@@ -1,0 +1,60 @@
+"""Query gateway: validate → execute → envelope.
+
+Reference parity: ``getQueryResult`` (query_controller.go:54-107) runs
+param validation (paramsNullHandler :38-43, dbDriverValidator :46-51),
+the parse + SELECT gate (queryValidator :26-35), connects
+(base.go:38-66), executes via the RDBMS (sqltojson call :98) and writes
+JSON (:106). Here the validation pipeline is the same shape, but
+execution is Catalyst: ``spark.sql`` builds the logical plan lazily and
+the optimizer owns pushdown/pruning/join selection (SURVEY.md §4.1) —
+no custom rewrite code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from golang_db_query_engine_elasticsearch_indexer_spark.errors import ParamsNullError
+from golang_db_query_engine_elasticsearch_indexer_spark.plans import assert_select_only
+from golang_db_query_engine_elasticsearch_indexer_spark.result import (
+    DEFAULT_MAX_ROWS,
+    QueryResult,
+    collect_envelope,
+)
+from golang_db_query_engine_elasticsearch_indexer_spark.session import SourceRegistry
+
+
+def query_df(spark: SparkSession, sql: str) -> DataFrame:
+    """Validated SQL → lazy DataFrame (no execution yet).
+
+    The gate order mirrors query_controller.go:70-93: null check ->
+    parse/syntax (400) -> SELECT-only (401). Returns the *unexecuted*
+    plan so callers (HTTP response vs. indexer sink) choose the action;
+    this is what removes the reference's self-HTTP-call hop (A9,
+    elastic_controller.go:103-140) — the DataFrame is the handoff.
+    """
+    if sql is None or not sql.strip():
+        raise ParamsNullError()
+    assert_select_only(spark, sql)
+    return spark.sql(sql)
+
+
+def query(
+    spark: SparkSession,
+    sql: str,
+    registry: SourceRegistry | None = None,
+    db_driver: str | None = None,
+    db_name: str | None = None,
+    max_rows: int = DEFAULT_MAX_ROWS,
+) -> QueryResult:
+    """Full GET /query/ semantics: resolve source, validate, run, envelope.
+
+    ``db_driver``/``db_name`` are optional because a Spark catalog can
+    already hold the tables (the reference always needs them since it
+    owns no data; query_controller.go:55-58).
+    """
+    if registry is not None or db_driver is not None or db_name is not None:
+        if registry is None or not db_driver or not db_name:
+            raise ParamsNullError()
+        registry.attach(spark, db_driver, db_name)
+    return collect_envelope(query_df(spark, sql), max_rows=max_rows)

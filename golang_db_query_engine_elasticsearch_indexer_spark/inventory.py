@@ -1,0 +1,800 @@
+"""Query inventory: the engine's declared capability surface.
+
+Every entry maps to SURVEY.md §2's operator inventory. The reference
+admits this SQL surface through its parse gate (single call site
+query_controller.go:27, MySQL grammar) and delegates execution to the
+RDBMS; our engine executes it natively with Catalyst (SURVEY.md §2.B).
+Each entry carries a DuckDB oracle (usually the same SQL — both are
+ANSI-ish dialects) for the driver's differential correctness gate.
+
+Float discipline: both engines sum doubles in different orders, so
+every floating aggregate is ``round()``-ed to a tolerance that absorbs
+last-bit drift; every ORDER BY is made total (explicit tiebreaks) so
+LIMIT/window frames are deterministic.
+
+Entries here are *SQL-shaped*; DataFrame-API operators (dedup,
+similarity, text analysis, streaming, indexer) are registered by
+``operators/``/``streaming/`` modules and merged in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+# name -> {"sql": spark_sql, "oracle": duckdb_sql (defaults to sql)}
+SQL_QUERIES: dict[str, dict] = {}
+
+
+def _q(name: str, sql: str, oracle: str | None = None) -> None:
+    SQL_QUERIES[name] = {"sql": sql, "oracle": oracle or sql}
+
+
+# ---------------------------------------------------------------------------
+# Aggregation spine (SURVEY.md §2.B "Aggregation"). TPC-H-shaped queries
+# adapted to the fixture date range (orders 1995..2001, TESTDATA.md).
+# ---------------------------------------------------------------------------
+
+_q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= date '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+_q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           cast(cast(o_orderdate AS date) AS string)         AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < date '1997-03-15'
+      AND l_shipdate  > date '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+
+_q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey   = o_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    JOIN supplier ON l_suppkey   = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= date '1996-01-01'
+      AND o_orderdate <  date '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+_q(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= date '1996-01-01'
+      AND l_shipdate <  date '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+_q(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= date '1996-10-01'
+      AND o_orderdate <  date '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Projection / filter predicates (SURVEY.md §2.B "Projection", "Filter")
+# ---------------------------------------------------------------------------
+
+_q(
+    "proj_distinct",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus
+    FROM lineitem
+    ORDER BY 1, 2
+    """,
+)
+
+_q(
+    "filter_in_between_like",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND o_orderpriority LIKE '1%'
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND NOT (o_orderkey % 2 = 0)
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+
+_q(
+    "filter_null_handling",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg,
+           (nullif(c_mktsegment, 'BUILDING') IS NULL)           AS is_building
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+)
+
+_q(
+    "filter_null_safe_eq",
+    """
+    SELECT count(*) AS n
+    FROM customer
+    WHERE nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
+    """,
+)
+
+_q(
+    "filter_regexp",
+    """
+    SELECT count(*) AS n
+    FROM part
+    WHERE p_name RLIKE '^[a-m].*[0-9]$'
+    """,
+    oracle="""
+    SELECT count(*) AS n
+    FROM part
+    WHERE regexp_matches(p_name, '^[a-m].*[0-9]$')
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.B "Joins — equi/outer/cross/semi/anti/theta")
+# ---------------------------------------------------------------------------
+
+_q(
+    "join_left_outer",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+
+_q(
+    "join_right_outer",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM orders
+    RIGHT JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+
+_q(
+    "join_full_outer",
+    """
+    SELECT coalesce(a.k, b.k) AS k, a.na, b.nb
+    FROM (SELECT l_returnflag  AS k, count(*) AS na FROM lineitem GROUP BY 1) a
+    FULL JOIN (SELECT o_orderstatus AS k, count(*) AS nb FROM orders GROUP BY 1) b
+      ON a.k = b.k
+    ORDER BY k
+    """,
+)
+
+_q(
+    "join_cross",
+    """
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    LIMIT 50
+    """,
+)
+
+_q(
+    "join_semi_exists",
+    """
+    SELECT count(*) AS n
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+
+_q(
+    "join_anti_not_exists",
+    """
+    SELECT count(*) AS n
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    """,
+)
+
+_q(
+    "join_non_equi_theta",
+    """
+    SELECT s_suppkey, count(*) AS n_cheaper_parts
+    FROM supplier JOIN part ON p_retailprice < s_acctbal
+    GROUP BY s_suppkey
+    ORDER BY s_suppkey
+    """,
+)
+
+_q(
+    "join_using",
+    """
+    SELECT count(*) AS n, min(r_name) AS first_region
+    FROM (SELECT n_regionkey AS rk, n_name FROM nation) n
+    JOIN (SELECT r_regionkey AS rk, r_name FROM region) r USING (rk)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Subqueries (SURVEY.md §2.B "Subqueries")
+# ---------------------------------------------------------------------------
+
+_q(
+    "subquery_scalar",
+    """
+    SELECT count(*) AS n
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+
+_q(
+    "subquery_correlated_scalar",
+    """
+    SELECT c_custkey
+    FROM customer c
+    WHERE c_acctbal > 2 * (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+)
+
+_q(
+    "subquery_in",
+    """
+    SELECT count(*) AS n
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+
+_q(
+    "subquery_not_in",
+    """
+    SELECT count(*) AS n
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+    """,
+)
+
+_q(
+    "subquery_derived_table",
+    """
+    SELECT round(avg(n_ord), 4) AS avg_orders_per_cust, max(n_ord) AS max_orders
+    FROM (SELECT o_custkey, count(*) AS n_ord FROM orders GROUP BY o_custkey) t
+    """,
+)
+
+_q(
+    "with_cte",
+    """
+    WITH cust_tot AS (
+      SELECT o_custkey, sum(o_totalprice) AS tot
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment, round(sum(tot), 2) AS seg_total
+    FROM cust_tot JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Aggregates (SURVEY.md §2.B "Aggregation", "Approximate agg")
+# ---------------------------------------------------------------------------
+
+_q(
+    "agg_count_distinct",
+    """
+    SELECT count(DISTINCT l_partkey) AS nd_parts,
+           count(DISTINCT l_suppkey) AS nd_supps,
+           count(DISTINCT l_returnflag) AS nd_flags
+    FROM lineitem
+    """,
+)
+
+_q(
+    "agg_stats",
+    """
+    SELECT l_linestatus,
+           round(stddev_samp(l_quantity), 4)              AS sd_qty,
+           round(var_samp(l_quantity), 4)                 AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4)    AS corr_qp,
+           round(covar_samp(l_quantity, l_discount), 6)   AS covar_qd
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+
+_q(
+    "agg_group_concat",
+    """
+    SELECT n_nationkey,
+           array_join(sort_array(collect_list(s_name)), ',') AS supplier_names
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    ORDER BY n_nationkey
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    ORDER BY n_nationkey
+    """,
+)
+
+_q(
+    "agg_having",
+    """
+    SELECT o_custkey, count(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    ORDER BY n DESC, o_custkey
+    """,
+)
+
+_q(
+    "agg_filtered",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25)  AS n_big,
+           count(*) FILTER (WHERE l_quantity <= 25) AS n_small
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+_q(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           round(percentile(l_quantity, 0.5), 4)  AS p50,
+           round(percentile(l_quantity, 0.95), 4) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4)  AS p50,
+           round(quantile_cont(l_quantity, 0.95), 4) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+_q(
+    "agg_rollup",
+    """
+    SELECT coalesce(l_returnflag, '<all>')  AS rf,
+           coalesce(l_linestatus, '<all>')  AS ls,
+           round(sum(l_quantity), 2)        AS sum_qty,
+           count(*)                         AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+)
+
+_q(
+    "agg_cube",
+    """
+    SELECT coalesce(l_returnflag, '<all>')  AS rf,
+           coalesce(l_linestatus, '<all>')  AS ls,
+           count(*)                         AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY rf, ls
+    """,
+)
+
+_q(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, '<all>')    AS st,
+           coalesce(o_orderpriority, '<all>')  AS prio,
+           count(*)                            AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY st, prio
+    """,
+)
+
+_q(
+    "pivot_conditional",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY.md §2.B "Window functions" — extension: the
+# reference's pinned 2018 parser predates OVER(); Spark executes natively)
+# ---------------------------------------------------------------------------
+
+_q(
+    "win_topk_per_group",
+    """
+    SELECT s_suppkey, l_orderkey, l_linenumber, l_extendedprice
+    FROM (
+      SELECT l_suppkey AS s_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    ) t
+    WHERE rn <= 3
+    ORDER BY s_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber
+    """,
+)
+
+_q(
+    "win_rank_dense",
+    """
+    SELECT o_orderstatus, o_orderkey,
+           rank()       OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority, o_orderkey) AS rnk,
+           dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority)             AS drnk
+    FROM orders
+    ORDER BY o_orderstatus, rnk
+    LIMIT 200
+    """,
+)
+
+_q(
+    "win_lead_lag",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           lag(l_quantity)  OVER w AS prev_qty,
+           lead(l_quantity) OVER w AS next_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    LIMIT 500
+    """,
+)
+
+_q(
+    "win_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    LIMIT 500
+    """,
+)
+
+_q(
+    "win_ntile",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Sort / limit / offset, set ops (SURVEY.md §2.B)
+# ---------------------------------------------------------------------------
+
+_q(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+)
+
+_q(
+    "set_union_all",
+    """
+    SELECT k, count(*) AS n
+    FROM (
+      SELECT l_returnflag AS k FROM lineitem
+      UNION ALL
+      SELECT o_orderstatus AS k FROM orders
+    ) t
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+
+_q(
+    "set_union_distinct",
+    """
+    SELECT c_nationkey AS k FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    ORDER BY k
+    """,
+)
+
+_q(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY k
+    """,
+)
+
+_q(
+    "set_except",
+    """
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY k
+    """,
+)
+
+_q(
+    "values_inline_table",
+    """
+    SELECT id, name FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, name)
+    ORDER BY id
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Scalar function families (SURVEY.md §2.B "String/Date/Math/Conditional/
+# Casts/JSON"). MySQL builtins pass the reference's generic-function
+# grammar; Spark implements the common set natively.
+# ---------------------------------------------------------------------------
+
+_q(
+    "str_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name)                                   AS up,
+           lower(c_mktsegment)                             AS lo,
+           substring(c_name, 1, 8)                         AS sub,
+           length(c_name)                                  AS len,
+           replace(c_name, 'Customer', 'Cust')             AS rep,
+           concat(c_name, '-', c_mktsegment)               AS cat,
+           c_name || '!'                                   AS bang,
+           lpad(cast(c_custkey AS string), 8, '0')         AS pad,
+           trim('  pad  ')                                 AS trimmed,
+           instr(c_name, '1')                              AS pos1,
+           reverse(c_mktsegment)                           AS rev
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 50
+    """,
+)
+
+_q(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                                        AS y,
+           month(o_orderdate)                                       AS m,
+           day(o_orderdate)                                         AS d,
+           quarter(o_orderdate)                                     AS q,
+           extract(YEAR FROM o_orderdate)                           AS ey,
+           cast(date_trunc('month', o_orderdate) AS date)           AS month_start,
+           cast(cast(o_orderdate AS date) AS string)                AS iso_day,
+           datediff(cast(o_orderdate AS date), date '1995-01-01')   AS days_since,
+           date_add(cast(o_orderdate AS date), 30)                  AS plus30
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                        AS y,
+           month(o_orderdate)                                       AS m,
+           day(o_orderdate)                                         AS d,
+           quarter(o_orderdate)                                     AS q,
+           extract(YEAR FROM o_orderdate)                           AS ey,
+           cast(date_trunc('month', o_orderdate) AS date)           AS month_start,
+           cast(cast(o_orderdate AS date) AS string)                AS iso_day,
+           datediff('day', date '1995-01-01', cast(o_orderdate AS date)) AS days_since,
+           cast(o_orderdate AS date) + 30                           AS plus30
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+
+_q(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4)                AS ad,
+           round(l_extendedprice / l_quantity, 3)          AS unit_price,
+           cast(ceil(l_quantity)  AS bigint)               AS cq,
+           cast(floor(l_extendedprice) AS bigint)          AS fe,
+           mod(l_orderkey, 7)                              AS m7,
+           round(power(1 + l_discount, 2), 6)              AS pw,
+           round(sqrt(l_quantity), 6)                      AS sq,
+           round(ln(l_extendedprice), 6)                   AS lg
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+
+_q(
+    "conditional_case",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 250000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                              AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'open')     AS st,
+           least(o_totalprice, 100000.0)                    AS capped,
+           greatest(o_orderkey, 100)                        AS floored
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+
+_q(
+    "cast_types",
+    """
+    SELECT o_orderkey,
+           cast(floor(o_totalprice) AS bigint)            AS price_int,
+           cast(o_orderkey AS string)                     AS key_str,
+           cast(o_orderdate AS date)                      AS just_date,
+           cast(cast(o_orderkey AS string) AS bigint)     AS roundtrip,
+           cast('3.5' AS double)                          AS lit_d
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+
+_q(
+    "json_functions",
+    """
+    SELECT event_id,
+           cast(get_json_object(props, '$.k') AS bigint) AS k_val
+    FROM events
+    ORDER BY event_id
+    LIMIT 200
+    """,
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS bigint) AS k_val
+    FROM events
+    ORDER BY event_id
+    LIMIT 200
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Events: sessionization + time bucketing (batch form; streaming variants
+# live in streaming/ — SURVEY.md §2.B "Streaming" extension row)
+# ---------------------------------------------------------------------------
+
+_q(
+    "events_time_bucket",
+    """
+    SELECT cast(date_trunc('hour', ts) AS string) AS hour_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+
+_q(
+    "events_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  WHEN unix_micros(cast(ts AS timestamp_ltz)) -
+                       unix_micros(cast(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS timestamp_ltz))
+                       > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, cast(sum(new_session) AS bigint) AS n_sessions, count(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  WHEN epoch_us(ts) -
+                       epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, cast(sum(new_session) AS bigint) AS n_sessions, count(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+
+
+def flagship_sql() -> str:
+    """The minimum-slice query (SURVEY.md §7): scan → agg → order."""
+    return SQL_QUERIES["q1_pricing_summary"]["sql"]

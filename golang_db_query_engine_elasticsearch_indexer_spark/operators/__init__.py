@@ -1,0 +1,25 @@
+"""DataFrame-API operators beyond the SQL surface.
+
+North-star extensions (SURVEY.md §2.C + BASELINE.json): dedup,
+similarity search, text analysis, multimodal plumbing, as-of join.
+Each submodule contributes entries to :func:`registry` —
+``name -> {"fn": (spark, sf_dir) -> DataFrame, "oracle": duckdb_sql|None}``
+— merged into the driver contract by ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+
+def registry() -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
+        asof,
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
+
+    for mod in (dedup, similarity, text, multimodal, asof):
+        out.update(mod.registry())
+    return out

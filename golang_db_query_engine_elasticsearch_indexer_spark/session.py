@@ -1,0 +1,169 @@
+"""SparkSession factory and named-source registry.
+
+Reference parity: base.go:38-66 ``Initialize(dbDriver, dbName)`` opens a
+database handle for a (driver, database) pair read from ``.env``. Here a
+*source* is a directory of Parquet tables registered as temp views in
+the Spark catalog; ``dbDriver`` becomes a registry-name allowlist
+(query_controller.go:46-51) and ``dbName`` selects the directory.
+
+Scale posture: registration is metadata-only (Parquet footers); no data
+moves until a query runs. On a real cluster the same registry would
+point at object-store prefixes and persistent catalog tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+    IncorrectDbDriverError,
+    ParamsNullError,
+)
+
+# Tables the driver-generated fixture dirs contain (TESTDATA.md).
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Fixture columns stored as parquet TIMESTAMP(NANOS): with
+# spark.sql.legacy.parquet.nanosAsLong they surface as LongType
+# nanoseconds and are converted to timestamp_ntz (DuckDB-naive
+# semantics, parquet isAdjustedToUTC=false) at registration.
+NANO_TS_COLUMNS = {"l_shipdate", "o_orderdate", "ts"}
+
+
+def build_session(
+    app_name: str = "golang_db_query_engine_elasticsearch_indexer_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession with the engine's defaults.
+
+    Local-mode knobs follow the test environment (local[N] single JVM);
+    the AQE/shuffle settings are the ones that matter at cluster scale:
+    AQE re-plans joins and coalesces/splits shuffle partitions at
+    runtime, which is what keeps a fixed ``shuffle.partitions`` from
+    being wrong at 1000x the data.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Fixture timestamps are wall-clock (parquet isAdjustedToUTC=false)
+        # and the DuckDB oracle compares naive timestamps; make NTZ the
+        # default so timestamp literals/functions agree with the oracle.
+        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Fixture parquet stores TIMESTAMP(NANOS) (TESTDATA.md), which the
+        # vectorized reader rejects; read as long and convert at
+        # registration (register_sf_dir) to timestamp_ntz.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class SourceRegistry:
+    """Named source backends behind one parameter.
+
+    Replaces the reference's ``dbDriver``/``dbName`` pair
+    (query_controller.go:55-58 + base.go:38-66). ``drivers`` is the
+    allowlist; each driver maps ``db_name -> parquet directory``.
+    """
+
+    def __init__(self) -> None:
+        self._drivers: dict[str, dict[str, str]] = {"parquet": {}}
+
+    def register_driver(self, driver: str) -> None:
+        self._drivers.setdefault(driver, {})
+
+    def register_source(self, driver: str, db_name: str, path: str) -> None:
+        if driver not in self._drivers:
+            raise IncorrectDbDriverError(f"Incorrect database driver provided: {driver!r}")
+        self._drivers[driver][db_name] = path
+
+    def validate_driver(self, driver: str) -> None:
+        """Parity with dbDriverValidator (query_controller.go:46-51)."""
+        if not driver:
+            raise ParamsNullError()
+        if driver not in self._drivers:
+            raise IncorrectDbDriverError(f"Incorrect database driver provided: {driver!r}")
+
+    def resolve(self, driver: str, db_name: str) -> str:
+        self.validate_driver(driver)
+        if not db_name:
+            raise ParamsNullError()
+        try:
+            return self._drivers[driver][db_name]
+        except KeyError:
+            raise IncorrectDbDriverError(
+                f"Unknown database {db_name!r} for driver {driver!r}"
+            ) from None
+
+    def attach(self, spark: SparkSession, driver: str, db_name: str) -> None:
+        """Register the source's tables as temp views (metadata only)."""
+        register_sf_dir(spark, self.resolve(driver, db_name))
+
+
+def default_registry() -> SourceRegistry:
+    """Registry preloaded with the driver fixture scale factors."""
+    reg = SourceRegistry()
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}"
+        if os.path.isdir(path):
+            reg.register_source("parquet", f"sf{sf}", path)
+    return reg
+
+
+def register_sf_dir(spark: SparkSession, sf_dir: str, tables=FIXTURE_TABLES) -> dict[str, DataFrame]:
+    """Register every fixture table under ``sf_dir`` as a temp view.
+
+    Reads only Parquet footers — safe at any scale. Missing tables are
+    skipped so partial fixture dirs still register.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for f_ in df.schema.fields:
+            if f_.name in NANO_TS_COLUMNS and isinstance(f_.dataType, LongType):
+                df = df.withColumn(
+                    f_.name,
+                    F.timestamp_micros(F.expr(f"{f_.name} div 1000")).cast("timestamp_ntz"),
+                )
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
