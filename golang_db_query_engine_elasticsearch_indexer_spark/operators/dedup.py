@@ -1,0 +1,301 @@
+"""Deduplication operators over the ``documents`` table.
+
+North-star extensions (BASELINE.json; SURVEY.md §2.C). Scale design:
+
+- **exact**: group by a fixed-width content hash (sha256), never by the
+  raw text — the shuffle moves 32-byte keys, not documents.
+- **minhash LSH**: shingle → minhash signature → band buckets →
+  candidate pairs → exact-jaccard verification *of candidates only*.
+  The naive shingle self-join is quadratic in docs-per-shingle (at
+  sf0.01 already 104k intersecting pairs; at 100 TB it is unrunnable);
+  banding bounds the verified set to probable near-dups.
+- **simhash**: per-token 16-bit hashes folded into a weighted-bit
+  fingerprint — one narrow aggregation, no pairwise work.
+
+All hash math uses md5/sha256 hex (identical bytes in any engine), so
+every operator here has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKENS = r"split(lower(trim(text)), '\\s+')"
+DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.25
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one surviving doc_id per distinct text.
+
+    Grouping key is sha256(text) (fixed-width shuffle key); survivor is
+    the minimum doc_id (keep-first semantics).
+    """
+    return (
+        spark.table("documents")
+        .groupBy(F.sha2(F.col("text"), 256).alias("content_sha256"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "content_sha256", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+EXACT_ORACLE = """
+SELECT min(doc_id) AS doc_id, sha256(text) AS content_sha256, count(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+ORDER BY doc_id
+"""
+
+
+def normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-lite: dedup on normalized text (lowercase, strip
+    non-alphanumerics, collapse whitespace)."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' +', ' '))"
+    )
+    return (
+        spark.table("documents")
+        .selectExpr("doc_id", f"md5({norm}) AS norm_md5")
+        .groupBy("norm_md5")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "norm_md5", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+NORMALIZED_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS norm_md5
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, norm_md5, count(*) AS n_copies
+FROM t
+GROUP BY norm_md5
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def _shingles_df(spark: SparkSession) -> DataFrame:
+    """(doc_id, sh): distinct word-bigram shingles per document."""
+    return (
+        spark.table("documents")
+        .where(f"size({TOKENS}) >= 2")
+        .selectExpr(
+            "doc_id",
+            f"""explode(array_distinct(transform(
+                  sequence(1, size({TOKENS}) - 1),
+                  i -> concat(element_at({TOKENS}, i), ' ', element_at({TOKENS}, i + 1))
+            ))) AS sh""",
+        )
+    )
+
+
+DUCK_SHINGLES = rf"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len({DUCK_TOKENS})),
+           i -> {DUCK_TOKENS}[i] || ' ' || {DUCK_TOKENS}[i + 1]))) AS sh
+  FROM documents
+  WHERE len({DUCK_TOKENS}) >= 2
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash(16) + LSH banding (4 bands x 4 rows),
+    exact-jaccard-verified at >= 0.25.
+
+    The minhash function is ``min(md5(seed || shingle))`` — a
+    deterministic, engine-independent permutation surrogate. Banding
+    sends each doc to 4 bucket keys; only same-bucket pairs are
+    verified, which is what keeps the pair count sub-quadratic at scale.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = _shingles_df(spark).cache()
+
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
+        ).alias(f"b{b}")
+        for b in range(N_BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
+    bands = sigs.select("doc_id", *band_cols).selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_val)"
+    )
+
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, ["band_id", "band_val"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("bb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "a")
+        .join(sb, (F.col("b") == F.col("bb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .selectExpr("a AS doc_a", "b AS doc_b", "round(inter / (na + nb - inter), 4) AS jaccard")
+        .where(f"jaccard >= {JACCARD_THRESHOLD}")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _duck_minhash_oracle() -> str:
+    hash_aggs = ",\n           ".join(
+        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(N_HASHES)
+    )
+    band_exprs = ",\n           ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + f")) AS b{b}"
+        for b in range(N_BANDS)
+    )
+    band_union = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band_id, b{b} AS band_val FROM bandcols"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH sh AS ({DUCK_SHINGLES}),
+sigs AS (
+  SELECT doc_id,
+           {hash_aggs}
+  FROM sh GROUP BY doc_id
+),
+bandcols AS (
+  SELECT doc_id,
+           {band_exprs}
+  FROM sigs
+),
+bands AS (
+{band_union}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+)
+SELECT inter.a AS doc_a, inter.b AS doc_b,
+       round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = inter.a
+JOIN sizes nb ON nb.doc_id = inter.b
+WHERE inter.i * 1.0 / (na.n + nb.n - inter.i) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+N_SIM_BITS = 16
+
+# 16-bit token hash from the first 4 hex digits of md5, written with
+# substring/instr arithmetic that parses identically in Spark and DuckDB.
+_HEX = "0123456789abcdef"
+
+
+def _hash16(md5_expr: str) -> str:
+    terms = [
+        f"(instr('{_HEX}', substring({md5_expr}, {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+        for k in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16) per document: per-token 16-bit hashes vote +1/-1 on
+    each bit position (with term frequency); fingerprint sets bit j
+    where the vote is positive."""
+    toks = (
+        spark.table("documents")
+        .selectExpr("doc_id", f"explode({TOKENS}) AS w")
+        .selectExpr("doc_id", f"{_hash16('md5(w)')} AS h")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END")).alias(f"v{j}")
+            for j in range(N_SIM_BITS)
+        ]
+    )
+    fp = reduce(
+        lambda acc, j: acc + F.expr(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END"),
+        range(N_SIM_BITS),
+        F.lit(0),
+    )
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash16")).orderBy("doc_id")
+
+
+def _duck_simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(N_SIM_BITS)
+    )
+    fp = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(N_SIM_BITS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents
+),
+hashes AS (
+  SELECT doc_id, {_hash16('md5(w)')} AS h FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashes GROUP BY doc_id
+)
+SELECT doc_id, cast({fp} AS BIGINT) AS simhash16
+FROM votes
+ORDER BY doc_id
+"""
+
+
+def registry() -> dict[str, dict]:
+    return {
+        "dedup_exact": {"fn": exact, "oracle": EXACT_ORACLE},
+        "dedup_normalized": {"fn": normalized, "oracle": NORMALIZED_ORACLE},
+        "dedup_minhash_lsh": {"fn": minhash_lsh_pairs, "oracle": _duck_minhash_oracle()},
+        "dedup_simhash": {"fn": simhash, "oracle": _duck_simhash_oracle()},
+    }

@@ -1,0 +1,194 @@
+"""Text-analysis operators over the ``documents`` table.
+
+North-star extensions (BASELINE.json; SURVEY.md §2.C): language ID,
+quality scoring, token counting, document fingerprinting. All are pure
+column expressions (JVM-side, whole-stage codegen) — no Python UDFs in
+the hot path, so they scale linearly with input and never shuffle
+except for explicit aggregations.
+
+Each operator has an exact DuckDB oracle: the heuristics are defined
+as deterministic arithmetic so the differential gate is meaningful.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKENS = r"split(lower(trim(text)), '\\s+')"
+
+# Stopword sets for the language-ID heuristic (fixed, tiny, broadcast as
+# literals inside the expression — no side data needed).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "a", "is", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+    "es": ["el", "la", "de", "y", "es", "un", "en"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est"],
+}
+
+
+def _array_lit(words: list[str]) -> str:
+    inner = ",".join(f"'{w}'" for w in words)
+    return f"array({inner})"
+
+
+def _list_lit(words: list[str]) -> str:
+    inner = ",".join(f"'{w}'" for w in words)
+    return f"[{inner}]"
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token estimate.
+
+    The regex mirrors byte-pair pre-tokenization coarsely: runs of
+    letters, single digits, or single punctuation marks.
+    """
+    return spark.table("documents").selectExpr(
+        "doc_id",
+        f"size({TOKENS}) AS n_tokens",
+        "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]', 0)) AS n_bpeish",
+        "length(text) AS n_chars_measured",
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNT_ORACLE = r"""
+SELECT doc_id,
+       len(string_split_regex(lower(trim(text)), '\s+'))                     AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]'))       AS n_bpeish,
+       length(text)                                                          AS n_chars_measured
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality features + a composite score.
+
+    Features: char length, token count, mean token length, stopword
+    ratio (English set), punctuation ratio. The composite is a fixed
+    linear blend — deterministic, oracle-checkable.
+    """
+    stop = _array_lit(LANG_STOPWORDS["en"])
+    return spark.table("documents").selectExpr(
+        "doc_id",
+        f"size({TOKENS}) AS n_tokens",
+        f"round(length(text) / size({TOKENS}), 4) AS chars_per_token",
+        f"round(size(filter({TOKENS}, w -> array_contains({stop}, w))) / size({TOKENS}), 4) AS stopword_ratio",
+        "round((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text), 4) AS punct_ratio",
+        f"""round(
+              0.4 * least(size({TOKENS}) / 100.0, 1.0)
+            + 0.4 * (size(filter({TOKENS}, w -> array_contains({stop}, w))) / size({TOKENS}))
+            + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))
+        , 4) AS quality""",
+    ).orderBy("doc_id")
+
+
+QUALITY_SCORE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(length(text) / len(toks), 4) AS chars_per_token,
+       round(len(list_filter(toks, w -> list_contains({en}, w))) * 1.0 / len(toks), 4) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text), 4) AS punct_ratio,
+       round(
+           0.4 * least(len(toks) / 100.0, 1.0)
+         + 0.4 * (len(list_filter(toks, w -> list_contains({en}, w))) * 1.0 / len(toks))
+         + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
+       , 4) AS quality
+FROM t
+ORDER BY doc_id
+""".format(en=_list_lit(LANG_STOPWORDS["en"]))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language ID: score = stopword hits per language,
+    prediction = argmax with fixed precedence (en > de > es > fr > zh).
+    """
+    scores = {
+        lang: f"size(filter({TOKENS}, w -> array_contains({_array_lit(ws)}, w)))"
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    pred = f"""CASE
+        WHEN {scores['en']} >= greatest({scores['de']}, {scores['es']}, {scores['fr']})
+             AND {scores['en']} > 0 THEN 'en'
+        WHEN {scores['de']} >= greatest({scores['es']}, {scores['fr']}) AND {scores['de']} > 0 THEN 'de'
+        WHEN {scores['es']} >= {scores['fr']} AND {scores['es']} > 0 THEN 'es'
+        WHEN {scores['fr']} > 0 THEN 'fr'
+        ELSE 'und' END"""
+    return spark.table("documents").selectExpr(
+        "doc_id",
+        "lang AS labeled_lang",
+        *(f"{expr} AS score_{lang}" for lang, expr in scores.items()),
+        f"{pred} AS pred_lang",
+    ).orderBy("doc_id")
+
+
+def _duck_score(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"w -> list_contains({_list_lit(LANG_STOPWORDS[lang])}, w)))"
+    )
+
+
+LANG_ID_ORACLE = f"""
+SELECT doc_id,
+       lang AS labeled_lang,
+       {_duck_score('en')} AS score_en,
+       {_duck_score('de')} AS score_de,
+       {_duck_score('es')} AS score_es,
+       {_duck_score('fr')} AS score_fr,
+       CASE
+         WHEN {_duck_score('en')} >= greatest({_duck_score('de')}, {_duck_score('es')}, {_duck_score('fr')})
+              AND {_duck_score('en')} > 0 THEN 'en'
+         WHEN {_duck_score('de')} >= greatest({_duck_score('es')}, {_duck_score('fr')})
+              AND {_duck_score('de')} > 0 THEN 'de'
+         WHEN {_duck_score('es')} >= {_duck_score('fr')} AND {_duck_score('es')} > 0 THEN 'es'
+         WHEN {_duck_score('fr')} > 0 THEN 'fr'
+         ELSE 'und' END AS pred_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over tokens (Karp-Rabin style):
+    ``h = fold(h*31 + v(token)) mod 1e9+7`` with
+    ``v(w) = 131*length(w) + ascii(first char)``.
+
+    Pure fold expression — order-dependent by construction, identical
+    in any engine, no overflow (values stay < 2^63).
+    """
+    return spark.table("documents").selectExpr(
+        "doc_id",
+        f"""aggregate(
+              transform({TOKENS}, w -> 131L * length(w) + ascii(substring(w, 1, 1))),
+              0L,
+              (acc, x) -> (acc * 31 + x) % 1000000007L
+        ) AS fingerprint""",
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_ORACLE = r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split_regex(lower(trim(text)), '\s+'),
+                          w -> 131::BIGINT * length(w) + ascii(substring(w, 1, 1)))),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def registry() -> dict[str, dict]:
+    return {
+        "text_token_count": {"fn": token_count, "oracle": TOKEN_COUNT_ORACLE},
+        "text_quality_score": {"fn": quality_score, "oracle": QUALITY_SCORE_ORACLE},
+        "text_lang_id": {"fn": lang_id, "oracle": LANG_ID_ORACLE},
+        "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
+    }
