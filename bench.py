@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a cheap action (count on the final frame) so
+the measured time is plan execution, not driver serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    # reference-parity SQL surface (scan/filter/join/agg/window/topk)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "agg_rollup",
+    "agg_count_distinct",
+    "win_topk_per_group",
+    "events_sessionization",
+    # north-star pipeline operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "ann_brute_force_topk",
+    "asof_join_events_orders",
+    "indexer_positional_ids",
+]
+
+
+def main() -> None:
+    from golang_db_query_engine_elasticsearch_indexer_spark.session import build_session
+
+    import __spark_entry__ as entry
+
+    spark = build_session(app_name="bench")
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once with the cheapest query
+    qs["proj_distinct"](spark, SF_DIR).count()
+
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

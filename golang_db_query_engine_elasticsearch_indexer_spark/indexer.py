@@ -1,0 +1,288 @@
+"""Indexing pipeline: query -> deterministic doc IDs -> bulk sink.
+
+Reference parity (SURVEY.md §2.A A9-A16, elastic_controller.go):
+
+- The reference re-reads its own /query/ endpoint over loopback HTTP,
+  buffers the whole result in driver RAM three times
+  (elastic_controller.go:118,129,104), then fans out to
+  ``esutil.BulkIndexer`` goroutines. Here the DataFrame *is* the
+  handoff: one lineage from scan to sink, executors write partitions
+  directly — this is what makes the path feasible at 100 TB
+  (SURVEY.md §4.2 "memory model").
+- Doc identity: the reference uses the 1-based position of the row in
+  the result (elastic_controller.go:204), so re-running a save upserts
+  by position and a shorter re-run leaves a stale tail (§1.1 quirk).
+  We reproduce the positional-ID + stale-tail semantics exactly, but
+  over a *deterministic total order* (SURVEY.md §7 hard-part #1),
+  assigned scalably: range-partitioned sort, per-partition row_number,
+  plus broadcast per-partition offsets — no single-partition window.
+- Sinks are pluggable (§4.3): a local JSONL index models
+  auto-create / positional upsert / failure accounting for offline
+  tests; the Elasticsearch sink carries the reference's bulk tuning
+  (workers = partitions, 5 MB flush elastic_controller.go:46, retry on
+  429/502/503/504 :52-64) as elasticsearch-spark connector options.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from golang_db_query_engine_elasticsearch_indexer_spark.gateway import query_df
+
+ID_COL = "_id"
+
+
+@dataclass
+class IndexStats:
+    """Parity with the reference's run accounting
+    (elastic_controller.go:236-249): flushed/failed counts + docs/sec."""
+
+    index_name: str
+    num_docs: int = 0
+    num_failed: int = 0
+    took_sec: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def docs_per_sec(self) -> float:
+        return self.num_docs / self.took_sec if self.took_sec > 0 else 0.0
+
+    def log_line(self) -> str:
+        return json.dumps(
+            {
+                "index": self.index_name,
+                "num_flushed": self.num_docs,
+                "num_failed": self.num_failed,
+                "took_sec": round(self.took_sec, 3),
+                "docs_per_sec": round(self.docs_per_sec, 1),
+            }
+        )
+
+
+def _orderable_cols(df: DataFrame) -> list[str]:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
+def with_positional_ids(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+    """Assign the reference's 1-based positional doc ID, scalably.
+
+    The reference enumerates a driver-side list (``i + 1``,
+    elastic_controller.go:204); Spark result order is undefined, so we
+    impose a deterministic total order (explicit ``order_cols`` or all
+    orderable output columns — documented deviation, SURVEY.md §7) and
+    assign contiguous IDs without ever collapsing to one partition:
+
+    1. global sort (range partitioning preserves order across partitions)
+    2. per-partition row_number (narrow)
+    3. per-partition counts -> broadcast cumulative offsets (tiny)
+    """
+    cols = order_cols or _orderable_cols(df)
+    if not cols:
+        df = df.withColumn("__sort_key", F.md5(F.to_json(F.struct(*df.columns))))
+        cols = ["__sort_key"]
+    ordered = df.orderBy(*cols).withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    local = ordered.withColumn("__rn", F.row_number().over(w))
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    spark = df.sparkSession
+    offset_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "__pid int, __offset long",
+        )
+    )
+    out = (
+        local.join(offset_df, "__pid", "left")
+        .withColumn(ID_COL, (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn", "__offset", "__sort_key")
+    )
+    return out
+
+
+class JsonlIndexSink:
+    """Local filesystem 'index': a directory of JSONL part files.
+
+    Models the ES semantics the tests need offline (SURVEY.md §7
+    hard-part #4): auto-create (A12), positional upsert incl. the
+    stale-tail behavior, per-run accounting. Writes happen from
+    executors via ``df.write`` — the driver never holds the dataset.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _dir(self, index_name: str) -> str:
+        return os.path.join(self.root, index_name)
+
+    def index_exists(self, index_name: str) -> bool:
+        return os.path.isdir(self._dir(index_name))
+
+    def ensure_index(self, index_name: str) -> bool:
+        """HEAD-then-PUT parity (elastic_controller.go:161-181): returns
+        True if the index already existed."""
+        existed = self.index_exists(index_name)
+        os.makedirs(self._dir(index_name), exist_ok=True)
+        return existed
+
+    def write(self, spark: SparkSession, df_with_id: DataFrame, index_name: str) -> IndexStats:
+        """Bulk 'index' action: upsert by _id, keep stale tail docs."""
+        t0 = time.time()
+        self.ensure_index(index_name)
+        path = self._dir(index_name)
+        existing = self.read(spark, index_name)
+        if existing is not None:
+            survivors = existing.join(
+                df_with_id.select(ID_COL), ID_COL, "left_anti"
+            )
+            payload = df_with_id.unionByName(survivors, allowMissingColumns=True)
+        else:
+            payload = df_with_id
+        tmp = path + ".tmp"
+        payload.write.mode("overwrite").json(tmp)
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+        num_docs = df_with_id.count()
+        return IndexStats(index_name, num_docs=num_docs, took_sec=time.time() - t0)
+
+    def read(self, spark: SparkSession, index_name: str) -> DataFrame | None:
+        path = self._dir(index_name)
+        if not os.path.isdir(path) or not any(
+            f.endswith(".json") for f in os.listdir(path)
+        ):
+            return None
+        return spark.read.json(path)
+
+    def delete_index(self, index_name: str) -> None:
+        shutil.rmtree(self._dir(index_name), ignore_errors=True)
+
+
+def _iter_jsonl(path: str):
+    for fn in os.listdir(path):
+        if fn.endswith(".json"):
+            with open(os.path.join(path, fn)) as f:
+                yield from f
+
+
+class ElasticsearchSink:
+    """elasticsearch-spark connector sink with the reference's bulk
+    tuning. The connector jar is not in this container, so ``write``
+    degrades to raising with the exact spark-submit config needed;
+    ``options()`` is unit-tested for parity.
+    """
+
+    def __init__(
+        self,
+        nodes: str = "localhost:9200",
+        username: str | None = None,
+        password: str | None = None,
+    ):
+        self.nodes = nodes
+        self.username = username
+        self.password = password
+
+    def options(self, index_name: str) -> dict[str, str]:
+        opts = {
+            "es.nodes": self.nodes,
+            "es.resource": index_name,
+            # auto-create parity: elastic_controller.go:168 (PUT with no mapping)
+            "es.index.auto.create": "true",
+            # bulk sizing parity: 5 MB flush threshold (elastic_controller.go:46)
+            "es.batch.size.bytes": "5mb",
+            "es.batch.size.entries": "0",
+            # retry/backoff parity: max 5, on 429/502/503/504 (:52-64)
+            "es.batch.write.retry.count": "5",
+            "es.batch.write.retry.wait": "10s",
+            "es.mapping.id": ID_COL,
+            "es.write.operation": "index",
+        }
+        if self.username:
+            opts["es.net.http.auth.user"] = self.username
+        if self.password:
+            opts["es.net.http.auth.pass"] = self.password
+        return opts
+
+    def write(self, spark: SparkSession, df_with_id: DataFrame, index_name: str) -> IndexStats:
+        t0 = time.time()
+        try:
+            (
+                df_with_id.write.format("org.elasticsearch.spark.sql")
+                .options(**self.options(index_name))
+                .mode("append")
+                .save()
+            )
+        except Exception as e:  # connector jar absent in this environment
+            raise RuntimeError(
+                "elasticsearch-spark connector not on classpath; submit with "
+                "--packages org.elasticsearch:elasticsearch-spark-30_2.13:<ver>"
+            ) from e
+        return IndexStats(index_name, num_docs=df_with_id.count(), took_sec=time.time() - t0)
+
+
+def positional_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry validating the distributed ID assignment:
+    the range-partition + offset machinery must reproduce a global
+    ``row_number()`` exactly."""
+    df = query_df(
+        spark,
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000",
+    )
+    return (
+        with_positional_ids(df, order_cols=["o_orderkey"])
+        .select(F.col(ID_COL).alias("doc_id"), "o_orderkey", "o_orderstatus")
+        .orderBy("doc_id")
+    )
+
+
+POSITIONAL_IDS_ORACLE = """
+SELECT row_number() OVER (ORDER BY o_orderkey) AS doc_id, o_orderkey, o_orderstatus
+FROM orders
+WHERE o_totalprice > 100000
+ORDER BY doc_id
+"""
+
+
+def query_registry() -> dict[str, dict]:
+    return {
+        "indexer_positional_ids": {
+            "fn": positional_ids_query,
+            "oracle": POSITIONAL_IDS_ORACLE,
+        },
+    }
+
+
+def save(
+    spark: SparkSession,
+    sql: str,
+    index_name: str,
+    sink,
+    order_cols: list[str] | None = None,
+) -> IndexStats:
+    """POST /elastic/save/ semantics (elastic_controller.go:253-301):
+    validate+run the query, assign positional IDs, bulk-write to the
+    sink — as one Spark lineage, no loopback HTTP, no driver buffering.
+    """
+    df = query_df(spark, sql)
+    with_ids = with_positional_ids(df, order_cols=order_cols)
+    stats = sink.write(spark, with_ids, index_name)
+    return stats

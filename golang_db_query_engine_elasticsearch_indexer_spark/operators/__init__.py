@@ -22,4 +22,12 @@ def registry() -> dict[str, dict]:
 
     for mod in (dedup, similarity, text, multimodal, asof):
         out.update(mod.registry())
+
+    from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415
+        indexer,
+        streaming,
+    )
+
+    out.update(indexer.query_registry())
+    out.update(streaming.registry())
     return out

@@ -1,0 +1,153 @@
+"""Structured Streaming extensions over the ``events`` table.
+
+The reference is strictly batch (SURVEY.md §1.4); these are the
+extension rows of §2.B "Streaming": tumbling-window aggregation,
+gap-based session windows, and streaming dedup, written as
+``readStream`` pipelines. For the driver contract each pipeline runs
+against the fixture parquet as a bounded stream (file source +
+``processAllAvailable`` + memory sink) and returns the materialized
+result — REAL streaming execution, verified against batch SQL oracles.
+
+Scale posture: on a cluster the same code points at a Kafka/file-drop
+source; watermarks bound state, window aggs shuffle once per trigger on
+(window, key).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded file stream of the events fixture with the nanos->ntz
+    conversion the batch registry applies (session.register_sf_dir)."""
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # Event time must be TIMESTAMP (ltz) for watermarks/session windows;
+    # with the UTC session the wall clock equals the stored naive value,
+    # so string renderings still match the DuckDB oracle.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a bounded stream to completion into a memory sink."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows x event_type: count + sum(value)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("string").alias("hour_start"),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("hour_start", "event_type")
+
+
+TUMBLING_ORACLE = """
+SELECT cast(date_trunc('hour', ts) AS string) AS hour_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_start, event_type
+"""
+
+
+def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user via
+    ``F.session_window``; post-aggregated (batch) to sessions-per-user.
+
+    The oracle is the independent batch formulation: lag() gap >30min
+    marks a new session — two different algorithms, same answer.
+    """
+    sessions = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_table(sessions, "complete")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSION_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       cast(sum(new_session) AS bigint) AS n_sessions,
+       count(*) AS n_events
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on event_id (watermarked) -> per-type counts."""
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_table(deduped, "complete")
+    return out.orderBy("event_type")
+
+
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(DISTINCT event_id) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def registry() -> dict[str, dict]:
+    return {
+        "stream_tumbling_counts": {"fn": tumbling_counts, "oracle": TUMBLING_ORACLE},
+        "stream_session_counts": {"fn": session_counts, "oracle": SESSION_ORACLE},
+        "stream_dedup_counts": {"fn": stream_dedup, "oracle": STREAM_DEDUP_ORACLE},
+    }

@@ -1,0 +1,96 @@
+"""Indexer tests against the pluggable JSONL sink (SURVEY.md §5 item 3):
+doc count, positional-ID parity, idempotent re-index, stale-tail
+semantics, document shape equality with /query/ rows, ES option parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from golang_db_query_engine_elasticsearch_indexer_spark import indexer
+from golang_db_query_engine_elasticsearch_indexer_spark.gateway import query_df
+from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (
+    ElasticsearchSink,
+    JsonlIndexSink,
+    save,
+    with_positional_ids,
+)
+
+SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_totalprice > 250000
+"""
+
+
+@pytest.fixture()
+def sink(tmp_path):
+    return JsonlIndexSink(str(tmp_path / "indexes"))
+
+
+def test_positional_ids_contiguous_and_deterministic(spark, tables):
+    df = query_df(spark, SQL)
+    ids1 = [r._id for r in with_positional_ids(df).orderBy("_id").collect()]
+    n = df.count()
+    assert ids1 == list(range(1, n + 1))  # 1-based contiguous (elastic_controller.go:204)
+    # deterministic across runs
+    ids2 = [r._id for r in with_positional_ids(df).orderBy("_id").collect()]
+    assert ids1 == ids2
+    # id follows the imposed total order (o_orderkey ascending here)
+    rows = with_positional_ids(df, order_cols=["o_orderkey"]).collect()
+    by_key = sorted(rows, key=lambda r: r.o_orderkey)
+    assert [r._id for r in by_key] == list(range(1, n + 1))
+
+
+def test_save_creates_index_and_counts(spark, tables, sink):
+    stats = save(spark, SQL, "orders_big", sink)
+    assert sink.index_exists("orders_big")
+    assert stats.num_docs == spark.sql(SQL).count()
+    assert stats.num_failed == 0
+    assert stats.docs_per_sec > 0
+    assert '"num_flushed"' in stats.log_line()
+
+
+def test_reindex_is_idempotent(spark, tables, sink):
+    save(spark, SQL, "idx", sink)
+    first = {(r._id, r.o_orderkey) for r in sink.read(spark, "idx").collect()}
+    save(spark, SQL, "idx", sink)
+    second = {(r._id, r.o_orderkey) for r in sink.read(spark, "idx").collect()}
+    assert first == second
+
+
+def test_stale_tail_on_shorter_reindex(spark, tables, sink):
+    """Reference quirk kept by design (SURVEY.md §1.1): re-running with a
+    shorter result upserts by position and leaves the old tail."""
+    save(spark, SQL + " ORDER BY o_orderkey LIMIT 10", "tail", sink, order_cols=["o_orderkey"])
+    assert sink.read(spark, "tail").count() == 10
+    save(spark, SQL + " ORDER BY o_orderkey LIMIT 4", "tail", sink, order_cols=["o_orderkey"])
+    docs = sink.read(spark, "tail")
+    assert docs.count() == 10  # 4 overwritten + 6 stale tail survive
+    assert docs.where("_id <= 4").count() == 4
+
+
+def test_document_shape_matches_query_rows(spark, tables, sink):
+    save(spark, SQL, "shape", sink)
+    doc_cols = set(sink.read(spark, "shape").columns)
+    assert doc_cols == {"_id", "o_orderkey", "o_orderstatus", "o_totalprice"}
+
+
+def test_gate_applies_to_save(spark, tables, sink):
+    from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+        UnauthorizedOperationError,
+    )
+
+    with pytest.raises(UnauthorizedOperationError):
+        save(spark, "DROP TABLE orders", "nope", sink)
+    assert not sink.index_exists("nope")
+
+
+def test_es_sink_option_parity():
+    opts = ElasticsearchSink("es1:9200", username="u", password="p").options("docs")
+    # bulk tuning parity with elastic_controller.go:46 (5 MB), :52-64 (retry 5)
+    assert opts["es.batch.size.bytes"] == "5mb"
+    assert opts["es.batch.write.retry.count"] == "5"
+    assert opts["es.index.auto.create"] == "true"
+    assert opts["es.mapping.id"] == indexer.ID_COL
+    assert opts["es.net.http.auth.user"] == "u"
