@@ -33,7 +33,6 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from golang_db_query_engine_elasticsearch_indexer_spark.gateway import query_df
 
@@ -94,12 +93,25 @@ def with_positional_ids(df: DataFrame, order_cols: list[str] | None = None) -> D
     if not cols:
         df = df.withColumn("__sort_key", F.md5(F.to_json(F.struct(*df.columns))))
         cols = ["__sort_key"]
-    ordered = df.orderBy(*cols).withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    local = ordered.withColumn("__rn", F.row_number().over(w))
+    # One range-partitioned sort; in-partition position comes from
+    # monotonically_increasing_id's low 33 bits (narrow — no second
+    # shuffle, unlike a Window over the partition id). The persist is
+    # required for correctness, not just speed: the counts pass and the
+    # output pass must see the SAME physical partitioning, and an AQE
+    # re-plan between two evaluations of an unpersisted sort could
+    # renumber partitions and corrupt every offset.
+    ordered = (
+        df.orderBy(*cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            (F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)).alias("__idx"),
+        )
+        .persist()
+    )
     counts = sorted(
         (r["__pid"], r["cnt"])
-        for r in local.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
     )
     offsets, acc = {}, 0
     for pid, cnt in counts:
@@ -113,9 +125,12 @@ def with_positional_ids(df: DataFrame, order_cols: list[str] | None = None) -> D
         )
     )
     out = (
-        local.join(offset_df, "__pid", "left")
-        .withColumn(ID_COL, (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__rn")).cast("long"))
-        .drop("__pid", "__rn", "__offset", "__sort_key")
+        ordered.join(offset_df, "__pid", "left")
+        .withColumn(
+            ID_COL,
+            (F.coalesce(F.col("__offset"), F.lit(0)) + F.col("__idx") + 1).cast("long"),
+        )
+        .drop("__pid", "__idx", "__offset", "__sort_key")
     )
     return out
 

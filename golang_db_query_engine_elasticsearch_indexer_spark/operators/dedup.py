@@ -94,15 +94,28 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def _shingles_df(spark: SparkSession) -> DataFrame:
-    """(doc_id, sh): distinct word-bigram shingles per document."""
+    """(doc_id, sh): distinct word-bigram shingles per document.
+
+    Tokenizes ONCE into an array column before shingling: inlining the
+    ``split(...)`` expression into the ``transform`` lambda makes Spark
+    re-tokenize the document per element (O(tokens^2) regexes per doc —
+    measured 2x slower at sf0.1). Small local parquet files arrive as a
+    single input split, which would serialize the explode fan-out, so we
+    widen to the session's default parallelism first; on a real cluster
+    the many-input-splits case skips the repartition.
+    """
+    docs = spark.table("documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     return (
-        spark.table("documents")
-        .where(f"size({TOKENS}) >= 2")
+        docs.selectExpr("doc_id", f"{TOKENS} AS toks")
+        .where("size(toks) >= 2")
         .selectExpr(
             "doc_id",
-            f"""explode(array_distinct(transform(
-                  sequence(1, size({TOKENS}) - 1),
-                  i -> concat(element_at({TOKENS}, i), ' ', element_at({TOKENS}, i + 1))
+            """explode(array_distinct(transform(
+                  sequence(1, size(toks) - 1),
+                  i -> concat(toks[i - 1], ' ', toks[i])
             ))) AS sh""",
         )
     )
