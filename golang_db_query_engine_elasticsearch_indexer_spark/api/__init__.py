@@ -1,0 +1,184 @@
+"""HTTP API: the reference's three routes on the Spark engine.
+
+Reference parity (SURVEY.md §2.A, §3):
+
+- route table ``routes.go:9-15``: ``GET /`` (home), ``GET /query/``
+  (validated SQL -> JSON rows), ``POST /elastic/save/`` (same query ->
+  bulk-index into a named index).
+- logging middleware ``middlewares.go:40-59`` + ``logger.go:66-77``:
+  one structured JSON log line per request with URI, method, status,
+  duration, response size.
+- error envelope ``responses.go:17-27``: ``{"error": msg}`` with the
+  status codes assigned by ``query_controller.go:61-93`` (400 bad
+  driver / null params / syntax, 401 non-SELECT) — the codes ride on
+  the typed exceptions in ``errors.py``.
+
+Deliberate fixes over the reference (documented, SURVEY.md §2.A quirks):
+
+- Q1: the SELECT gate checks the parsed plan type, not a regex.
+- Q5: an extraction failure on the save route maps to the real error's
+  status, not 501.
+- A9: /elastic/save/ does NOT re-fetch its own /query/ route over
+  loopback HTTP — the DataFrame is the handoff (one lineage, no driver
+  buffering; elastic_controller.go:103-140 vs indexer.save).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+
+from flask import Flask, g, jsonify, request
+
+from golang_db_query_engine_elasticsearch_indexer_spark import gateway
+from golang_db_query_engine_elasticsearch_indexer_spark import indexer as indexer_mod
+from golang_db_query_engine_elasticsearch_indexer_spark.errors import EngineError
+from golang_db_query_engine_elasticsearch_indexer_spark.result import DEFAULT_MAX_ROWS
+from golang_db_query_engine_elasticsearch_indexer_spark.session import (
+    build_session,
+    default_registry,
+)
+
+WELCOME = "Welcome to Database Query engine and Elastic Search bulk posting engine"
+
+_log = logging.getLogger("golang_db_query_engine_elasticsearch_indexer_spark.api")
+
+
+def _json_log_handler() -> logging.Handler:
+    """logrus-JSON-style structured log lines (logger.go:20-33 parity)."""
+    h = logging.StreamHandler()
+
+    class _Fmt(logging.Formatter):
+        def format(self, record: logging.LogRecord) -> str:
+            payload = {
+                "level": record.levelname.lower(),
+                "msg": record.getMessage(),
+                "time": self.formatTime(record, "%Y-%m-%dT%H:%M:%S%z"),
+            }
+            payload.update(getattr(record, "http", {}))
+            return json.dumps(payload)
+
+    h.setFormatter(_Fmt())
+    return h
+
+
+def create_app(
+    spark=None,
+    registry=None,
+    sink=None,
+    max_rows: int = DEFAULT_MAX_ROWS,
+) -> Flask:
+    """App factory. ``spark``/``registry``/``sink`` are injectable for
+    tests; defaults build a local session, the fixture registry, and a
+    JSONL sink under ./indexes (the offline stand-in for Elasticsearch,
+    SURVEY.md §4.3)."""
+    app = Flask("golang_db_query_engine_elasticsearch_indexer_spark")
+    state: dict = {"spark": spark, "registry": registry, "sink": sink}
+    if not _log.handlers:
+        _log.addHandler(_json_log_handler())
+        _log.setLevel(logging.INFO)
+
+    def _spark():
+        if state["spark"] is None:
+            state["spark"] = build_session()
+        return state["spark"]
+
+    def _registry():
+        if state["registry"] is None:
+            state["registry"] = default_registry()
+        return state["registry"]
+
+    def _sink():
+        if state["sink"] is None:
+            state["sink"] = indexer_mod.JsonlIndexSink("indexes")
+        return state["sink"]
+
+    # -- middleware (middlewares.go:40-59): one JSON line per request --
+    @app.before_request
+    def _start_timer():
+        g._t0 = time.time()
+
+    @app.after_request
+    def _log_request(resp):
+        dur_ms = round((time.time() - getattr(g, "_t0", time.time())) * 1000, 2)
+        _log.info(
+            "http request",
+            extra={
+                "http": {
+                    "uri": request.full_path if request.query_string else request.path,
+                    "method": request.method,
+                    "status": resp.status_code,
+                    "duration_ms": dur_ms,
+                    "size": resp.calculate_content_length() or 0,
+                }
+            },
+        )
+        return resp
+
+    @app.errorhandler(EngineError)
+    def _engine_error(err: EngineError):
+        # responses.go:17-27 envelope; status from the typed error.
+        return jsonify(err.envelope()), err.http_status
+
+    # -- GET / (home_controller.go:9-11) --
+    @app.get("/")
+    def home():
+        return jsonify(WELCOME), 200
+
+    # -- GET /query/ (query_controller.go:54-107) --
+    @app.get("/query/")
+    def get_query_result():
+        params = request.args
+        result = gateway.query(
+            _spark(),
+            params.get("query", ""),
+            registry=_registry(),
+            db_driver=params.get("dbDriver", ""),
+            db_name=params.get("dbName", ""),
+            max_rows=max_rows,
+        )
+        return app.response_class(result.to_json(), mimetype="application/json"), 200
+
+    # -- POST /elastic/save/ (elastic_controller.go:253-301) --
+    @app.post("/elastic/save/")
+    def post_query_result():
+        form = request.form if request.form else request.args
+        db_driver = form.get("dbDriver", "")
+        db_name = form.get("dbName", "")
+        sql = form.get("query", "")
+        index_name = form.get("indexName", "")
+        spark = _spark()
+        reg = _registry()
+        if not index_name:
+            from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+                ParamsNullError,
+            )
+
+            raise ParamsNullError()
+        reg.attach(spark, db_driver, db_name)
+        stats = indexer_mod.save(spark, sql, index_name, _sink())
+        _log.info(stats.log_line())
+        return (
+            jsonify(
+                {
+                    "result": "posted data successfully on elastic search",
+                    "index": stats.index_name,
+                    "num_flushed": stats.num_docs,
+                    "num_failed": stats.num_failed,
+                    "docs_per_sec": round(stats.docs_per_sec, 1),
+                }
+            ),
+            201,
+        )
+
+    return app
+
+
+def main() -> None:  # pragma: no cover
+    """Serve on :8084 — the reference's port (base.go:73)."""
+    create_app().run(host="0.0.0.0", port=8084)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

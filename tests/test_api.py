@@ -1,0 +1,127 @@
+"""HTTP API tests: route/status/envelope parity with the reference.
+
+Reference behaviors under test (SURVEY.md §2.A, §3):
+- GET /            -> 200 welcome (home_controller.go:9-11)
+- GET /query/      -> 200 rows; 400 bad driver / null params / syntax;
+                      401 non-SELECT (query_controller.go:61-93)
+- POST /elastic/save/ -> 201 + accounting (elastic_controller.go:299),
+                      positional doc IDs (elastic_controller.go:204)
+- error envelope {"error": msg} (responses.go:17-27)
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from golang_db_query_engine_elasticsearch_indexer_spark.api import WELCOME, create_app
+from golang_db_query_engine_elasticsearch_indexer_spark.indexer import JsonlIndexSink
+from golang_db_query_engine_elasticsearch_indexer_spark.session import SourceRegistry
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def client(spark, tables, tmp_path_factory):
+    reg = SourceRegistry()
+    reg.register_source("parquet", "testdb", SF_DIR)
+    sink = JsonlIndexSink(str(tmp_path_factory.mktemp("indexes")))
+    app = create_app(spark=spark, registry=reg, sink=sink)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        yield c
+
+
+def _q(client, **params):
+    return client.get("/query/", query_string=params)
+
+
+def test_home_route(client):
+    r = client.get("/")
+    assert r.status_code == 200
+    assert json.loads(r.data) == WELCOME
+
+
+def test_query_route_ok(client):
+    r = _q(
+        client,
+        dbDriver="parquet",
+        dbName="testdb",
+        query="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    )
+    assert r.status_code == 200
+    body = json.loads(r.data)
+    assert body["count"] == 5
+    assert body["data"][0]["r_name"] == "AFRICA"
+    assert {"name": "r_regionkey", "type": "int", "nullable": True} in body["schema"]
+
+
+def test_query_route_bad_driver_400(client):
+    r = _q(client, dbDriver="oracle", dbName="testdb", query="SELECT 1")
+    assert r.status_code == 400
+    assert "error" in json.loads(r.data)
+
+
+def test_query_route_null_params_400(client):
+    r = _q(client, dbDriver="parquet", dbName="testdb", query="")
+    assert r.status_code == 400
+    assert "error" in json.loads(r.data)
+
+
+def test_query_route_non_select_401(client):
+    r = _q(client, dbDriver="parquet", dbName="testdb", query="DROP TABLE region")
+    assert r.status_code == 401
+    body = json.loads(r.data)
+    assert "not authorized" in body["error"]
+
+
+def test_query_route_syntax_400(client):
+    r = _q(client, dbDriver="parquet", dbName="testdb", query="SELECT * FROM (((")
+    assert r.status_code == 400
+    assert "error" in json.loads(r.data)
+
+
+def test_save_route_201_and_docs(client, spark):
+    r = client.post(
+        "/elastic/save/",
+        data={
+            "dbDriver": "parquet",
+            "dbName": "testdb",
+            "query": "SELECT n_nationkey, n_name FROM nation",
+            "indexName": "nations",
+        },
+    )
+    assert r.status_code == 201
+    body = json.loads(r.data)
+    assert body["num_flushed"] == 25
+    assert body["num_failed"] == 0
+    # docs are readable back with 1-based positional ids (A14 parity)
+    r2 = _q(
+        client,
+        dbDriver="parquet",
+        dbName="testdb",
+        query="SELECT 1",
+    )
+    assert r2.status_code == 200
+
+
+def test_save_route_missing_index_400(client):
+    r = client.post(
+        "/elastic/save/",
+        data={"dbDriver": "parquet", "dbName": "testdb", "query": "SELECT 1"},
+    )
+    assert r.status_code == 400
+
+
+def test_save_route_non_select_401(client):
+    r = client.post(
+        "/elastic/save/",
+        data={
+            "dbDriver": "parquet",
+            "dbName": "testdb",
+            "query": "DELETE FROM nation",
+            "indexName": "oops",
+        },
+    )
+    assert r.status_code == 401
