@@ -1,0 +1,104 @@
+"""Shared SQL expression builders, in two dialects (Spark + DuckDB).
+
+The engine's custom operators (dedup, similarity, text analysis) are
+deliberately written as *expressions*, not UDFs: everything here stays
+JVM-side under whole-stage codegen in Spark (SURVEY.md §2.C), and each
+builder has a DuckDB rendering so every operator gets an exact
+differential oracle (SURVEY.md §5). Keeping both dialects in one place
+is what guarantees the Spark query and its oracle compute the same
+arithmetic.
+
+Dialect notes encoded here once instead of per-operator:
+- Spark ``arr[i]`` is 0-based; DuckDB ``list[i]`` is 1-based.
+- Spark regex strings need ``\\\\s``; DuckDB takes ``\\s``.
+- Vector math: Spark ``zip_with``/``aggregate`` folds in double;
+  DuckDB ``list_cosine_similarity`` on ``DOUBLE[]`` matches to 6 dp.
+"""
+
+from __future__ import annotations
+
+# --- tokenization ----------------------------------------------------------
+
+#: whitespace tokens of lower(trim(text)) — the canonical tokenizer for
+#: every text operator (documents.text column).
+TOKENS = r"split(lower(trim(text)), '\\s+')"
+DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+
+def array_lit(words: list[str]) -> str:
+    """Spark array literal from python strings."""
+    inner = ",".join(f"'{w}'" for w in words)
+    return f"array({inner})"
+
+
+def list_lit(words: list[str]) -> str:
+    """DuckDB list literal from python strings."""
+    inner = ",".join(f"'{w}'" for w in words)
+    return f"[{inner}]"
+
+
+# --- vector math (embeddings: array<float>) --------------------------------
+
+#: dot product of two array columns, folded in double (JVM codegen).
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), "
+    "cast(0 AS double), (acc, v) -> acc + v)"
+)
+
+#: L2 norm of an array column.
+NORM = (
+    "sqrt(aggregate(transform({a}, x -> cast(x AS double) * cast(x AS double)), "
+    "cast(0 AS double), (acc, v) -> acc + v))"
+)
+
+
+def cosine(a: str, b: str, norm_a: str, norm_b: str) -> str:
+    """Cosine similarity given precomputed norms (Spark dialect)."""
+    return f"({DOT.format(a=a, b=b)}) / ({norm_a} * {norm_b})"
+
+
+# --- portable integer hashing ---------------------------------------------
+
+#: hex alphabet used by the instr-arithmetic hex decoder below.
+HEX = "0123456789abcdef"
+
+
+def hash16(md5_expr: str) -> str:
+    """16-bit integer from the first 4 hex digits of an md5 expression.
+
+    Written as instr/substring arithmetic that parses and evaluates
+    identically in Spark SQL and DuckDB — the portable primitive under
+    simhash and any bucketed hashing that needs small integers.
+    """
+    terms = [
+        f"(instr('{HEX}', substring({md5_expr}, {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+        for k in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def seeded_min_md5(seed: int, col: str = "sh") -> str:
+    """One MinHash component: min over md5(seed || value) — a
+    deterministic, engine-independent permutation surrogate (both
+    dialects spell it identically)."""
+    return f"min(md5('{seed}|' || {col}))"
+
+
+# --- n-gram builders -------------------------------------------------------
+
+def spark_ngrams(n: int, toks: str = "toks") -> str:
+    """Distinct word n-grams of an array column (Spark, 0-based)."""
+    parts = ", ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+def duck_ngrams(n: int, toks_expr: str) -> str:
+    """Distinct word n-grams (DuckDB, 1-based lists)."""
+    parts = " || ' ' || ".join(f"{toks_expr}[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, len({toks_expr}) - {n} + 2), "
+        f"i -> {parts}))"
+    )

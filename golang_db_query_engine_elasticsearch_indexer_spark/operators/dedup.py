@@ -23,8 +23,13 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-TOKENS = r"split(lower(trim(text)), '\\s+')"
-DUCK_TOKENS = r"string_split_regex(lower(trim(text)), '\s+')"
+from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+    DUCK_TOKENS,
+    TOKENS,
+    duck_ngrams,
+    hash16 as _hash16,
+    spark_ngrams,
+)
 
 N_HASHES = 16
 N_BANDS = 4
@@ -240,23 +245,121 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
+# N-gram Jaccard (inverted-index candidates, rare-gram filter)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 3
+NGRAM_MAX_DF = 20  # candidate generation uses only n-grams rarer than this
+NGRAM_JACCARD_THRESHOLD = 0.2
+
+
+def _ngrams_df(spark: SparkSession, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, g): distinct word n-grams per document (tokenize-once,
+    same physical shape as ``_shingles_df``)."""
+    docs = spark.table("documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return (
+        docs.selectExpr("doc_id", f"{TOKENS} AS toks")
+        .where(f"size(toks) >= {n}")
+        .selectExpr("doc_id", f"explode({spark_ngrams(n)}) AS g")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-{3}-gram Jaccard, candidates from an
+    inverted index restricted to *rare* n-grams (document frequency <=
+    NGRAM_MAX_DF).
+
+    Scale design: the inverted-index self-join is quadratic in
+    docs-per-gram, so common grams (stopword runs) are excluded from
+    candidate generation — the classic prefix/rare-token filter. A pair
+    sharing ONLY ubiquitous grams is below any useful threshold anyway.
+    Verification then computes exact Jaccard over full gram sets for
+    candidates only. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    """
+    g = _ngrams_df(spark).cache()
+
+    rare = (
+        g.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df").between(2, NGRAM_MAX_DF))
+        .select("g")
+    )
+    inv = g.join(F.broadcast(rare), "g")
+    x = inv.select(F.col("g"), F.col("doc_id").alias("a"))
+    y = inv.select(F.col("g"), F.col("doc_id").alias("b"))
+    cand = (
+        x.join(y, "g")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = g.select(F.col("doc_id").alias("a"), F.col("g").alias("g_a"))
+    gb = g.select(F.col("doc_id").alias("bb"), F.col("g").alias("g_b"))
+    inter = (
+        cand.join(ga, "a")
+        .join(gb, (F.col("b") == F.col("bb")) & (F.col("g_a") == F.col("g_b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .selectExpr(
+            "a AS doc_a",
+            "b AS doc_b",
+            "round(inter / (na + nb - inter), 4) AS jaccard",
+        )
+        .where(f"jaccard >= {NGRAM_JACCARD_THRESHOLD}")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _duck_ngram_oracle() -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({duck_ngrams(NGRAM_N, DUCK_TOKENS)}) AS g
+  FROM documents
+  WHERE len({DUCK_TOKENS}) >= {NGRAM_N}
+),
+rare AS (
+  SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY g)
+  WHERE df BETWEEN 2 AND {NGRAM_MAX_DF}
+),
+inv AS (SELECT g.g, g.doc_id FROM g JOIN rare USING (g)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.a
+  JOIN g gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
+)
+SELECT inter.a AS doc_a, inter.b AS doc_b,
+       round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = inter.a
+JOIN sizes nb ON nb.doc_id = inter.b
+WHERE inter.i * 1.0 / (na.n + nb.n - inter.i) >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
 N_SIM_BITS = 16
-
-# 16-bit token hash from the first 4 hex digits of md5, written with
-# substring/instr arithmetic that parses identically in Spark and DuckDB.
-_HEX = "0123456789abcdef"
-
-
-def _hash16(md5_expr: str) -> str:
-    terms = [
-        f"(instr('{_HEX}', substring({md5_expr}, {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
-        for k in range(4)
-    ]
-    return "(" + " + ".join(terms) + ")"
-
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(16) per document: per-token 16-bit hashes vote +1/-1 on
@@ -310,5 +413,6 @@ def registry() -> dict[str, dict]:
         "dedup_exact": {"fn": exact, "oracle": EXACT_ORACLE},
         "dedup_normalized": {"fn": normalized, "oracle": NORMALIZED_ORACLE},
         "dedup_minhash_lsh": {"fn": minhash_lsh_pairs, "oracle": _duck_minhash_oracle()},
+        "dedup_ngram_jaccard": {"fn": ngram_jaccard_pairs, "oracle": _duck_ngram_oracle()},
         "dedup_simhash": {"fn": simhash, "oracle": _duck_simhash_oracle()},
     }

@@ -22,16 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from golang_db_query_engine_elasticsearch_indexer_spark.functions import DOT, NORM
+
 TOP_K = 5
 N_PROBES = 5  # probe set: vec_id < N_PROBES
 N_SIGN_BITS = 8
 NEARDUP_COS = 0.35
-
-DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)), "
-    "cast(0 AS double), (acc, v) -> acc + v)"
-)
-NORM = "sqrt(aggregate(transform({a}, x -> cast(x AS double) * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v))"
 
 
 def _with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
@@ -201,6 +197,128 @@ ORDER BY va, vb
 """
 
 
+N_DIM = 64
+N_PROBE_CELLS = 2
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors into cells (nearest
+    label-centroid), probe the N_PROBE_CELLS nearest cells per query,
+    exact cosine top-k within the probed cells only.
+
+    Scale shape: centroids are a tiny broadcast relation; assignment is
+    one broadcast join + per-vector argmax (no shuffle of the big
+    side); search touches ~nprobe/nlist of the data instead of all of
+    it. The deterministic stand-in for k-means here is the per-label
+    mean (labels exist in the fixture; a Spark-native Lloyd's iteration
+    would produce centroids the same shape). Assignment scores are
+    rounded to 6 dp with a label tiebreak so the cell boundaries are
+    engine-independent for the oracle.
+    """
+    emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
+    cent = (
+        spark.table("embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias(
+                "centroid"
+            )
+        )
+        .withColumn("cnorm", F.expr(NORM.format(a="centroid")))
+    )
+    cell_scores = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "score",
+        F.round(
+            F.expr(DOT.format(a="embedding", b="centroid")) / (F.col("norm") * F.col("cnorm")),
+            6,
+        ),
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("label"))
+    ranked_cells = cell_scores.withColumn("rn", F.row_number().over(wcell))
+    assigned = ranked_cells.where("rn = 1").select(
+        "vec_id", "embedding", "norm", F.col("label").alias("cell")
+    )
+    probe_cells = (
+        ranked_cells.where(F.col("vec_id") < N_PROBES)
+        .where(F.col("rn") <= N_PROBE_CELLS)
+        .select(F.col("vec_id").alias("probe_id"), F.col("label").alias("cell"))
+    )
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    cand = assigned.join(F.broadcast(probe_cells), "cell").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = cand.join(F.broadcast(probes), "probe_id").withColumn(
+        "cos",
+        F.expr(DOT.format(a="p_emb", b="embedding")) / (F.col("p_norm") * F.col("norm")),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT label, list(cv ORDER BY i) AS centroid FROM (
+    SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+    FROM embeddings, range(1, {N_DIM + 1}) t(i)
+    GROUP BY label, i)
+  GROUP BY label
+),
+cell_scores AS (
+  SELECT e.vec_id, c.label,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS score
+  FROM embeddings e, cent c
+),
+ranked_cells AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn
+  FROM cell_scores
+),
+assigned AS (SELECT vec_id, label AS cell FROM ranked_cells WHERE rn = 1),
+probe_cells AS (
+  SELECT vec_id AS probe_id, label AS cell
+  FROM ranked_cells WHERE vec_id < {N_PROBES} AND rn <= {N_PROBE_CELLS}
+),
+cand AS (
+  SELECT pc.probe_id, a.vec_id
+  FROM assigned a JOIN probe_cells pc USING (cell)
+  WHERE a.vec_id != pc.probe_id
+),
+scored AS (
+  SELECT c.probe_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM cand c
+  JOIN embeddings p ON p.vec_id = c.probe_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT probe_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY probe_id, rank
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (grouped vector mean) — the
     aggregation shape clustering/IVF coarse quantizers need."""
@@ -226,6 +344,7 @@ def registry() -> dict[str, dict]:
     return {
         "ann_brute_force_topk": {"fn": brute_force_topk, "oracle": BRUTE_FORCE_ORACLE},
         "ann_lsh_bucket_topk": {"fn": lsh_bucket_topk, "oracle": _lsh_oracle()},
+        "ann_ivf_topk": {"fn": ivf_topk, "oracle": IVF_ORACLE},
         "embedding_neardup_pairs": {"fn": neardup_pairs, "oracle": NEARDUP_ORACLE},
         "embedding_label_centroids": {"fn": label_centroids, "oracle": CENTROIDS_ORACLE},
     }

@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-TOKENS = r"split(lower(trim(text)), '\\s+')"
+from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+    TOKENS,
+    array_lit as _array_lit,
+    list_lit as _list_lit,
+)
 
 # Stopword sets for the language-ID heuristic (fixed, tiny, broadcast as
 # literals inside the expression — no side data needed).
@@ -25,16 +29,6 @@ LANG_STOPWORDS = {
     "es": ["el", "la", "de", "y", "es", "un", "en"],
     "fr": ["le", "la", "et", "les", "des", "un", "est"],
 }
-
-
-def _array_lit(words: list[str]) -> str:
-    inner = ",".join(f"'{w}'" for w in words)
-    return f"array({inner})"
-
-
-def _list_lit(words: list[str]) -> str:
-    inner = ",".join(f"'{w}'" for w in words)
-    return f"[{inner}]"
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

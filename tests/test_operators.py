@@ -60,6 +60,36 @@ def test_simhash_locality(spark, planted_docs, sf_dir):
     assert hamming(fp[9001], fp[9003]) <= hamming(fp[9001], fp[9004])
 
 
+def test_ngram_jaccard_finds_near_dup(spark, planted_docs, sf_dir):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert (9001, 9002) in pairs and pairs[(9001, 9002)] == 1.0
+    assert (9001, 9003) in pairs  # one-token edit keeps most trigrams
+    assert not any(9004 in p for p in pairs)
+
+
+def test_ivf_topk_shape_and_consistency(spark, tables, sf_dir):
+    """IVF results: TOP_K rows per probe, cosines bounded by the exact
+    rank-1 cosine, and decent recall on the probed cells."""
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(spark, sf_dir).collect()
+    }
+    rows = similarity.ivf_topk(spark, sf_dir).collect()
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r.probe_id, []).append(r)
+    assert set(per_probe) == {0, 1, 2, 3, 4}
+    for probe, rs in per_probe.items():
+        assert len(rs) == similarity.TOP_K
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+    recall = len({(r.probe_id, r.neighbor_id) for r in rows} & exact) / len(exact)
+    assert recall >= 0.2  # nprobe=2 of nlist cells; exact recall is data-dependent
+
+
 def test_lsh_topk_recall_vs_exact(spark, tables, sf_dir):
     """Bucketed ANN must return a subset ranked consistently with the
     exact result (within-bucket exactness)."""
