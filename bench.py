@@ -30,8 +30,10 @@ HEADLINE = [
     # north-star pipeline operators
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "text_quality_score",
     "ann_brute_force_topk",
+    "ann_ivf_topk",
     "asof_join_events_orders",
     "indexer_positional_ids",
 ]

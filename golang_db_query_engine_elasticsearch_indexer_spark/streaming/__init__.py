@@ -145,9 +145,76 @@ ORDER BY event_type
 """
 
 
+def _user_summary_fn(key, pdf_iter, state):
+    """Custom stateful kernel: accumulate (n_events, total_value) per
+    user across micro-batches in GroupState, emit the running summary.
+
+    Arrow-batched (pandas per group-chunk) — the supported shape for
+    stateful logic Spark's built-in operators can't express.
+    """
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    (user_id,) = key
+    if state.exists:
+        n, tot = state.get
+    else:
+        n, tot = 0, 0.0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        tot += float(pdf["value"].sum())
+    state.update((int(n), float(tot)))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [tot]}
+    )
+
+
+def stateful_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (event count, value total), state kept in the
+    store between micro-batches.
+
+    In update mode each batch emits the refreshed summary; n_events is
+    strictly increasing per user, so the post-aggregation keeps the
+    latest emission per user regardless of how the bounded stream was
+    split into batches — making the result batch-equivalent and
+    oracle-checkable.
+    """
+    stream = _events_stream(spark, sf_dir)
+    updated = stream.groupBy("user_id").applyInPandasWithState(
+        _user_summary_fn,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, tot double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    out = _run_to_table(updated, "update")
+    return (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.round(F.col("s.total_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STATEFUL_SUMMARY_ORACLE = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "stream_tumbling_counts": {"fn": tumbling_counts, "oracle": TUMBLING_ORACLE},
         "stream_session_counts": {"fn": session_counts, "oracle": SESSION_ORACLE},
         "stream_dedup_counts": {"fn": stream_dedup, "oracle": STREAM_DEDUP_ORACLE},
+        "stream_stateful_user_summary": {
+            "fn": stateful_user_summary,
+            "oracle": STATEFUL_SUMMARY_ORACLE,
+        },
     }
