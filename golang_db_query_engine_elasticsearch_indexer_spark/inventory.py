@@ -795,6 +795,113 @@ _q(
 )
 
 
+# ---------------------------------------------------------------------------
+# Surface widening: NATURAL/LATERAL joins, window frames, set-op ALL
+# variants, unpivot (SURVEY.md §2.B "Joins", "Window functions", "Set ops").
+# ---------------------------------------------------------------------------
+
+_q(
+    "join_natural",
+    """
+    SELECT n_name, region_name
+    FROM (SELECT n_regionkey AS regionkey, n_name FROM nation)
+    NATURAL JOIN (SELECT r_regionkey AS regionkey, r_name AS region_name FROM region)
+    ORDER BY n_name
+    """,
+)
+
+_q(
+    "join_lateral_topk",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+           FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 1
+         ) t
+    WHERE c.c_custkey <= 200
+    ORDER BY c.c_custkey
+    """,
+)
+
+_q(
+    "win_rows_frame",
+    """
+    SELECT o_orderkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_orderkey
+    """,
+)
+
+_q(
+    "win_range_frame",
+    """
+    SELECT o_orderkey, o_totalprice,
+           count(*) OVER (
+             ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_within_1k_below
+    FROM orders
+    WHERE o_orderkey <= 2000
+    ORDER BY o_orderkey
+    """,
+)
+
+_q(
+    "win_first_last_value",
+    """
+    SELECT o_orderkey,
+           first_value(o_orderkey) OVER w AS first_in_status,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_in_status
+    FROM orders
+    WHERE o_orderkey <= 500
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+
+_q(
+    "set_except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+    ORDER BY o_custkey
+    """,
+)
+
+_q(
+    "unpivot_stack",
+    """
+    SELECT r_name, metric, value FROM (
+      SELECT r_name,
+             stack(2, 'key_sum', cast(sum(r_regionkey) AS double),
+                      'name_len', cast(max(length(r_name)) AS double)) AS (metric, value)
+      FROM region GROUP BY r_name
+    )
+    ORDER BY r_name, metric
+    """,
+    oracle="""
+    SELECT r_name, metric, value FROM (
+      SELECT r_name, 'key_sum' AS metric, cast(sum(r_regionkey) AS double) AS value
+      FROM region GROUP BY r_name
+      UNION ALL
+      SELECT r_name, 'name_len', cast(max(length(r_name)) AS double)
+      FROM region GROUP BY r_name
+    )
+    ORDER BY r_name, metric
+    """,
+)
+
+
 def flagship_sql() -> str:
     """The minimum-slice query (SURVEY.md §7): scan → agg → order."""
     return SQL_QUERIES["q1_pricing_summary"]["sql"]
