@@ -145,6 +145,24 @@ ORDER BY event_type
 """
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state: ``dropDuplicatesWithinWatermark``
+    keys state by event_id but evicts entries once the watermark passes
+    them — the form that holds at unbounded stream length (plain
+    dropDuplicates state grows forever). On the bounded fixture (no
+    duplicate event_ids across the watermark) it is batch-equivalent.
+    """
+    deduped = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_table(deduped, "complete")
+    return out.orderBy("event_type")
+
+
 def _user_summary_fn(key, pdf_iter, state):
     """Custom stateful kernel: accumulate (n_events, total_value) per
     user across micro-batches in GroupState, emit the running summary.
@@ -213,6 +231,10 @@ def registry() -> dict[str, dict]:
         "stream_tumbling_counts": {"fn": tumbling_counts, "oracle": TUMBLING_ORACLE},
         "stream_session_counts": {"fn": session_counts, "oracle": SESSION_ORACLE},
         "stream_dedup_counts": {"fn": stream_dedup, "oracle": STREAM_DEDUP_ORACLE},
+        "stream_dedup_within_watermark": {
+            "fn": stream_dedup_within_watermark,
+            "oracle": STREAM_DEDUP_ORACLE,
+        },
         "stream_stateful_user_summary": {
             "fn": stateful_user_summary,
             "oracle": STATEFUL_SUMMARY_ORACLE,

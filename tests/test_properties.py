@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): invariants that must hold for any
+input, not just the fixtures.
+
+- positional IDs: for ANY dataset, IDs are exactly 1..n and follow the
+  declared sort order (the distributed offset machinery reproduces a
+  driver-side enumerate — elastic_controller.go:204 semantics).
+- canonical envelope: int64 round-trips exactly at any magnitude (the
+  reference's float64 coercion loses >2^53 — SURVEY.md §1.2).
+- plan gate: no SELECT-wrapping of a command sneaks through, and
+  whitespace/case/comment noise never flips a verdict.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pytest
+
+from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+    UnauthorizedOperationError,
+)
+from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (
+    with_positional_ids,
+)
+from golang_db_query_engine_elasticsearch_indexer_spark.plans import (
+    assert_select_only,
+)
+from golang_db_query_engine_elasticsearch_indexer_spark.result import (
+    rows_to_documents,
+)
+
+_SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SLOW
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-1000, 1000), st.text("abc", min_size=0, max_size=3)),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(1, 7),
+)
+def test_positional_ids_enumerate_any_dataset(spark, vals, nparts):
+    df = spark.createDataFrame(vals, "k long, s string").repartition(nparts)
+    got = with_positional_ids(df, order_cols=["k", "s"]).collect()
+    assert sorted(r["_id"] for r in got) == list(range(1, len(vals) + 1))
+    by_id = sorted(got, key=lambda r: r["_id"])
+    assert [(r.k, r.s) for r in by_id] == sorted(vals)
+
+
+@given(n=st.integers(min_value=-(2**62), max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_int64_exact_in_documents(n):
+    doc = rows_to_documents([{"v": n}])[0]
+    assert json.loads(doc)["v"] == n
+
+
+_COMMANDS = [
+    "DROP TABLE t",
+    "DELETE FROM t WHERE id IN (SELECT id FROM u)",
+    "INSERT INTO t SELECT * FROM u",
+    "CREATE TABLE t AS SELECT 1",
+    "UPDATE t SET x = (SELECT max(y) FROM u)",
+    "MERGE INTO t USING u ON t.id = u.id WHEN MATCHED THEN DELETE",
+    "TRUNCATE TABLE t",
+    "WITH x AS (SELECT 1) INSERT INTO t SELECT * FROM x",
+]
+
+
+@_SLOW
+@given(
+    cmd=st.sampled_from(_COMMANDS),
+    lead_ws=st.text(" \t\n", max_size=3),
+    comment=st.booleans(),
+)
+def test_gate_rejects_commands_under_noise(spark, cmd, lead_ws, comment):
+    sql = lead_ws + ("/* select */ " if comment else "") + cmd
+    with pytest.raises(UnauthorizedOperationError):
+        assert_select_only(spark, sql)
+
+
+_READS = [
+    "SELECT 1",
+    "Select * from region",
+    "sElEcT r_name FROM region WHERE r_comment = 'insert into'",
+    "WITH x AS (SELECT 1 AS a) SELECT * FROM x",
+    "VALUES (1, 'a'), (2, 'b')",
+    "(SELECT 1) UNION ALL (SELECT 2)",
+]
+
+
+@_SLOW
+@given(q=st.sampled_from(_READS), lead_ws=st.text(" \t\n", max_size=3))
+def test_gate_accepts_reads_under_noise(spark, tables, q, lead_ws):
+    assert_select_only(spark, lead_ws + q)  # must not raise
