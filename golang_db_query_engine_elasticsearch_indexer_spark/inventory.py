@@ -19,12 +19,13 @@ similarity, text analysis, streaming, indexer) are registered by
 
 from __future__ import annotations
 
-# name -> {"sql": spark_sql, "oracle": duckdb_sql (defaults to sql)}
+# name -> {"sql": spark_sql, "oracle": duckdb_sql (defaults to sql; None =
+# genuinely engine-specific result, driver runs the weaker rows-only check)}
 SQL_QUERIES: dict[str, dict] = {}
 
 
-def _q(name: str, sql: str, oracle: str | None = None) -> None:
-    SQL_QUERIES[name] = {"sql": sql, "oracle": oracle or sql}
+def _q(name: str, sql: str, oracle: str | None = None, no_oracle: bool = False) -> None:
+    SQL_QUERIES[name] = {"sql": sql, "oracle": None if no_oracle else (oracle or sql)}
 
 
 # ---------------------------------------------------------------------------
@@ -899,6 +900,24 @@ _q(
     )
     ORDER BY r_name, metric
     """,
+)
+
+
+# Approximate aggregation (SURVEY.md §2.B "Approximate agg" — free
+# upgrades over the reference surface). Sketch results are
+# engine-specific (Spark HLL++ / GK-quantile vs DuckDB's sketches), so
+# there is no exact cross-engine oracle: rows-only check, by design.
+_q(
+    "agg_approx_sketches",
+    """
+    SELECT l_returnflag,
+           approx_count_distinct(l_orderkey)              AS approx_orders,
+           round(percentile_approx(l_extendedprice, 0.5), 2) AS approx_median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    no_oracle=True,
 )
 
 
