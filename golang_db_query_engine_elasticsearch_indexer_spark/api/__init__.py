@@ -121,6 +121,21 @@ def create_app(
         # responses.go:17-27 envelope; status from the typed error.
         return jsonify(err.envelope()), err.http_status
 
+    @app.errorhandler(Exception)
+    def _analysis_error(err: Exception):
+        # Parity with the reference's execution-error path: SqlToJson
+        # failures (unknown table/column, type errors) return 400 with
+        # the error envelope (query_controller.go:100-104). Spark
+        # surfaces those as AnalysisException at analyze time.
+        try:
+            from pyspark.errors import AnalysisException
+
+            if isinstance(err, AnalysisException):
+                return jsonify({"error": str(err)}), 400
+        except ImportError:
+            pass
+        raise err
+
     # -- GET / (home_controller.go:9-11) --
     @app.get("/")
     def home():
@@ -130,6 +145,19 @@ def create_app(
     @app.get("/query/")
     def get_query_result():
         params = request.args
+        if params.get("explain", "").lower() in ("1", "true", "formatted"):
+            # Engine improvement over the reference (which cannot see
+            # the RDBMS plan): return the optimized physical plan
+            # instead of executing. Same validation gates apply.
+            spark = _spark()
+            _registry().attach(spark, params.get("dbDriver", ""), params.get("dbName", ""))
+            df = gateway.query_df(spark, params.get("query", ""))
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            return jsonify({"plan": plan}), 200
         result = gateway.query(
             _spark(),
             params.get("query", ""),

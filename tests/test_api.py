@@ -82,6 +82,25 @@ def test_query_route_syntax_400(client):
     assert "error" in json.loads(r.data)
 
 
+def test_query_route_unknown_table_400(client):
+    r = _q(client, dbDriver="parquet", dbName="testdb", query="SELECT * FROM nope_table")
+    assert r.status_code == 400
+    assert "nope_table" in json.loads(r.data)["error"]
+
+
+def test_query_route_explain(client):
+    r = _q(
+        client,
+        dbDriver="parquet",
+        dbName="testdb",
+        query="SELECT r_name FROM region WHERE r_regionkey = 2",
+        explain="true",
+    )
+    assert r.status_code == 200
+    plan = json.loads(r.data)["plan"]
+    assert "PushedFilters" in plan and "r_regionkey" in plan
+
+
 def test_save_route_201_and_docs(client, spark):
     r = client.post(
         "/elastic/save/",
