@@ -1,0 +1,48 @@
+"""Skew tools: salted join for hot keys AQE can't fix alone.
+
+At 100 TB a single hot join key (the null-user, the default tenant,
+the viral document) concentrates one shuffle partition onto one task.
+AQE's skew-join splitting (on by default in ``session.build_session``)
+handles sort-merge cases by splitting oversized partitions; salting is
+the explicit fallback that also works for shuffled-hash joins and for
+aggregations: spread the big side's hot key across S buckets and
+replicate the matching small-side rows S times.
+
+Pure DataFrame combinator — no shuffle beyond the join's own, the
+replication factor multiplies only the SMALL side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join with the big side salted across ``salt_buckets``.
+
+    The big side's salt is a deterministic hash of the whole row (so
+    rows with the SAME hot key land in DIFFERENT buckets); the small
+    side is exploded once per bucket. Result equals ``big.join(small,
+    on, how)`` for inner/left joins — verified property-style in
+    tests/test_skew.py.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (the skewed-side-preserving shapes)")
+    big_salted = big.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    )
+    small_salted = small.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    joined = big_salted.join(small_salted, [*keys, SALT_COL], how)
+    return joined.drop(SALT_COL)
