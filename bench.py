@@ -36,6 +36,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "asof_join_events_orders",
     "indexer_positional_ids",
+    "pipeline_curate_corpus",
 ]
 
 

@@ -20,7 +20,11 @@ def registry() -> dict[str, dict]:
         text,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof):
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
+        pipeline,
+    )
+
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415

@@ -1,0 +1,97 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+The individual north-star operators (dedup, text analysis) are verified
+in isolation; this module composes them into the job an LLM-data
+pipeline actually runs — dedup, then quality gates, then language
+selection, emitting per-document features — as ONE declarative plan, so
+Catalyst fuses the stages (single scan of documents, one agg for the
+dedup survivors, everything else codegen'd column math).
+
+Scale shape: the only shuffle is the keep-first dedup's 32-byte-key
+groupBy + the survivor semi-join; filters are pure map-side. At 100 TB
+this is scan-bound, which is the best attainable shape for the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+    DUCK_TOKENS,
+    TOKENS,
+    array_lit,
+    list_lit,
+)
+from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (
+    LANG_STOPWORDS,
+)
+
+MIN_TOKENS = 20
+MAX_TOKENS = 2000
+MIN_STOPWORD_RATIO = 0.03
+MAX_CHARS_PER_TOKEN = 12.0
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated English sub-corpus: exact-dedup survivors (keep-first by
+    content hash) that pass token-count, stopword-ratio, and
+    chars-per-token gates, with the features a downstream sampler needs.
+    """
+    en = array_lit(LANG_STOPWORDS["en"])
+    survivors = (
+        spark.table("documents")
+        .groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    featured = (
+        spark.table("documents")
+        .join(survivors, "doc_id", "left_semi")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            f"size({TOKENS}) AS n_tokens",
+            f"round(size(filter({TOKENS}, w -> array_contains({en}, w))) / size({TOKENS}), 4)"
+            " AS stopword_ratio",
+            f"round(length(text) / size({TOKENS}), 4) AS chars_per_token",
+        )
+    )
+    return (
+        featured.where(
+            (F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS))
+            & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+            & (F.col("chars_per_token") <= MAX_CHARS_PER_TOKEN)
+            & (F.col("lang") == "en")
+        )
+        .orderBy("doc_id")
+    )
+
+
+CURATE_ORACLE = f"""
+WITH survivors AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+),
+featured AS (
+  SELECT d.doc_id, d.lang,
+         len({DUCK_TOKENS}) AS n_tokens,
+         round(len(list_filter({DUCK_TOKENS}, w -> list_contains({list_lit(LANG_STOPWORDS["en"])}, w)))
+               * 1.0 / len({DUCK_TOKENS}), 4) AS stopword_ratio,
+         round(length(text) * 1.0 / len({DUCK_TOKENS}), 4) AS chars_per_token
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM survivors)
+)
+SELECT doc_id, lang, n_tokens, stopword_ratio, chars_per_token
+FROM featured
+WHERE n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+  AND stopword_ratio >= {MIN_STOPWORD_RATIO}
+  AND chars_per_token <= {MAX_CHARS_PER_TOKEN}
+  AND lang = 'en'
+ORDER BY doc_id
+"""
+
+
+def registry() -> dict[str, dict]:
+    return {
+        "pipeline_curate_corpus": {"fn": curate_corpus, "oracle": CURATE_ORACLE},
+    }
