@@ -91,7 +91,51 @@ ORDER BY doc_id
 """
 
 
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal semantic dedup: drop any document whose embedding has
+    a near-duplicate (cosine >= threshold) with a LOWER doc_id.
+
+    The fixture's vec_id is the doc_id (1:1). Greedy keep-first on the
+    pair list — the standard single-pass approximation of
+    connected-component dedup (a full CC needs iteration; at scale
+    that's an iterative join loop or GraphFrames, and the greedy pass
+    is what large corpus pipelines actually run first).
+    """
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.similarity import (
+        neardup_pairs,
+    )
+
+    dupes = neardup_pairs(spark, sf_dir).select(F.col("vb").alias("doc_id")).distinct()
+    return (
+        spark.table("documents")
+        .join(dupes, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+from golang_db_query_engine_elasticsearch_indexer_spark.operators.similarity import (
+    NEARDUP_COS,
+)
+
+SEMANTIC_DEDUP_ORACLE = f"""
+WITH pairs AS (
+  SELECT b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_COS}
+)
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT vb FROM pairs)
+ORDER BY doc_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "pipeline_curate_corpus": {"fn": curate_corpus, "oracle": CURATE_ORACLE},
+        "dedup_semantic_survivors": {
+            "fn": semantic_dedup_survivors,
+            "oracle": SEMANTIC_DEDUP_ORACLE,
+        },
     }
