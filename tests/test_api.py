@@ -125,6 +125,29 @@ def test_save_route_201_and_docs(client, spark):
     assert r2.status_code == 200
 
 
+def test_query_route_complex_types_envelope(client):
+    r = _q(
+        client,
+        dbDriver="parquet",
+        dbName="testdb",
+        query=(
+            "SELECT vec_id, slice(embedding, 1, 2) AS emb2, "
+            "named_struct('k', vec_id, 'l', label) AS st, "
+            "map('label', label) AS m "
+            "FROM embeddings ORDER BY vec_id LIMIT 2"
+        ),
+    )
+    assert r.status_code == 200
+    body = json.loads(r.data)
+    row = body["data"][0]
+    assert isinstance(row["emb2"], list) and len(row["emb2"]) == 2
+    assert row["st"]["k"] == row["vec_id"]
+    assert row["m"]["label"] == row["st"]["l"]
+    types = {c["name"]: c["type"] for c in body["schema"]}
+    assert types["emb2"] == "array<float>"
+    assert types["m"].startswith("map<")
+
+
 def test_save_route_missing_index_400(client):
     r = client.post(
         "/elastic/save/",
