@@ -83,6 +83,40 @@ ORDER BY hour_start, event_type
 """
 
 
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, 30 min slide) x event_type.
+
+    Each event lands in two overlapping windows; the batch oracle
+    reproduces that by fanning each event out to its k=0,1 grid starts.
+    """
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("string").alias("win_start"),
+        "event_type",
+        "n",
+    ).orderBy("win_start", "event_type")
+
+
+SLIDING_ORACLE = """
+WITH fanned AS (
+  SELECT event_type,
+         time_bucket(INTERVAL 30 minutes, ts) - k * INTERVAL 30 minutes AS win_start,
+         ts
+  FROM events, (SELECT unnest(range(0, 2)) AS k)
+)
+SELECT cast(win_start AS string) AS win_start, event_type, count(*) AS n
+FROM fanned
+WHERE ts < win_start + INTERVAL 1 hour
+GROUP BY win_start, event_type
+ORDER BY win_start, event_type
+"""
+
+
 def session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (30 min) per user via
     ``F.session_window``; post-aggregated (batch) to sessions-per-user.
@@ -229,6 +263,7 @@ ORDER BY user_id
 def registry() -> dict[str, dict]:
     return {
         "stream_tumbling_counts": {"fn": tumbling_counts, "oracle": TUMBLING_ORACLE},
+        "stream_sliding_counts": {"fn": sliding_counts, "oracle": SLIDING_ORACLE},
         "stream_session_counts": {"fn": session_counts, "oracle": SESSION_ORACLE},
         "stream_dedup_counts": {"fn": stream_dedup, "oracle": STREAM_DEDUP_ORACLE},
         "stream_dedup_within_watermark": {
