@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+    DUCK_TOKENS,
     TOKENS,
     array_lit as _array_lit,
     list_lit as _list_lit,
@@ -179,10 +180,55 @@ ORDER BY doc_id
 """
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: corpus unigram LM, then each
+    document's mean token log-probability (higher = more typical text).
+
+    Two-pass shape that scales: pass 1 aggregates token counts (shuffle
+    on token, the vocabulary relation is corpus-small); pass 2 joins
+    tokens back to the vocabulary (broadcastable) and averages per doc.
+    This is the standard cheap stand-in for model-based perplexity
+    filtering in corpus pipelines.
+    """
+    toks = spark.table("documents").selectExpr(
+        "doc_id", f"explode({TOKENS}) AS w"
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .selectExpr("doc_id", "ln(cnt / total) AS lp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents
+),
+vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+total AS (SELECT sum(cnt) AS total FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln(cnt * 1.0 / total)), 4) AS avg_logprob
+FROM toks JOIN vocab USING (w), total
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "text_token_count": {"fn": token_count, "oracle": TOKEN_COUNT_ORACLE},
         "text_quality_score": {"fn": quality_score, "oracle": QUALITY_SCORE_ORACLE},
         "text_lang_id": {"fn": lang_id, "oracle": LANG_ID_ORACLE},
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
+        "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
     }
