@@ -988,6 +988,234 @@ _q(
 )
 
 
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes (SURVEY.md §2.B joins/subqueries/aggregation),
+# adapted to the fixture schema: there is no partsupp table and lineitem has
+# no commitdate/receiptdate or shipmode, so q4/q12/q21 use a late-shipping
+# proxy (l_shipdate vs o_orderdate + INTERVAL) and q16 counts suppliers from
+# lineitem. The *operator shapes* (EXISTS-agg, CASE-sum, outer-join
+# distribution, correlated avg, disjunctive pushdown, double-EXISTS,
+# NOT-EXISTS + scalar avg) are the coverage target, not the TPC-H numbers.
+# ---------------------------------------------------------------------------
+
+_q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= date '1996-07-01'
+      AND o_orderdate <  date '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+_q(
+    "q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= date '1996-01-01'
+      AND l_shipdate <  date '1997-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+
+_q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+_q(
+    "q14_promo_revenue",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= date '1996-09-01'
+      AND l_shipdate <  date '1996-10-01'
+    """,
+)
+
+_q(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= date '1996-01-01'
+        AND l_shipdate <  date '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+
+_q(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_size IN (1, 7, 13, 19, 25, 31, 37, 43)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+
+_q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+
+_q(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+
+_q(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem    ON p_partkey   = l_partkey
+      JOIN supplier    ON s_suppkey   = l_suppkey
+      JOIN orders      ON l_orderkey  = o_orderkey
+      JOIN customer    ON o_custkey   = c_custkey
+      JOIN nation n1   ON c_nationkey = n1.n_nationkey
+      JOIN nation n2   ON s_nationkey = n2.n_nationkey
+      JOIN region      ON n1.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+_q(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey  = l1.l_suppkey
+    JOIN orders      ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o2 ON l3.l_orderkey = o2.o_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+
+_q(
+    "q22_dormant_customers",
+    """
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT c_custkey % 7 AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_custkey % 7 IN (0, 1, 2, 3)
+        AND c_acctbal > (
+          SELECT avg(c_acctbal) FROM customer
+          WHERE c_acctbal > 0.00 AND c_custkey % 7 IN (0, 1, 2, 3)
+        )
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+
+# Deterministic train/validation/test splitting — a first-class
+# training-data-pipeline operator. Assignment is a pure function of the
+# stable document key (md5 hex prefix ranges ≈ 5% / 10% / 85%), so the
+# split is reproducible on any cluster size, needs no shuffle beyond the
+# final count, survives re-runs and backfills, and never leaks a
+# document across splits. Both engines produce identical md5 hex, so the
+# assignment itself is oracle-checked, not just the counts.
+_q(
+    "split_train_val_test",
+    """
+    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM (
+      SELECT CASE WHEN substr(md5(cast(doc_id AS string)), 1, 2) < '0d' THEN 'validation'
+                  WHEN substr(md5(cast(doc_id AS string)), 1, 2) < '27' THEN 'test'
+                  ELSE 'train' END AS split,
+             n_chars
+      FROM documents
+    ) assigned
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+
+
 def flagship_sql() -> str:
     """The minimum-slice query (SURVEY.md §7): scan → agg → order."""
     return SQL_QUERIES["q1_pricing_summary"]["sql"]
