@@ -16,6 +16,7 @@ def registry() -> dict[str, dict]:
         asof,
         dedup,
         multimodal,
+        sampling,
         similarity,
         text,
     )
@@ -24,7 +25,7 @@ def registry() -> dict[str, dict]:
         pipeline,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof, pipeline):
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415

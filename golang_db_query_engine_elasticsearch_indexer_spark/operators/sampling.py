@@ -1,0 +1,181 @@
+"""Dataset sampling / mixing / sequence-packing operators.
+
+Training-data-pipeline extensions (SURVEY.md §2.C posture; BASELINE.json
+north star): the selection half of corpus curation. Everything here is
+**deterministic** — assignment is a pure function of the stable document
+key (md5 hex-prefix thresholds), never ``rand()`` — because at 100 TB a
+sample must be reproducible across reruns, backfills, and cluster
+resizes, and the differential gate can then check *membership*, not just
+counts. All expressions are JVM-side column arithmetic (whole-stage
+codegen); the only shuffles are the final aggregations and the
+per-shard window in :func:`pack_sequences`.
+
+The reference has no sampling surface at all (its gate simply forwards
+SELECT text, `api/controllers/query_controller.go:98`); these operators
+are the Spark-first capability a user curating pretraining corpora needs
+on the same substrate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+    DUCK_TOKENS,
+    TOKENS,
+)
+
+# md5-hex-prefix thresholds: first two hex chars are uniform over 0..255,
+# so '80' ≈ 50%, '40' ≈ 25%, '1a' ≈ ~10.2%. Shared by Spark and DuckDB —
+# both emit lowercase hex md5 — so the *assignment* is oracle-checked.
+_KEY = "substr(md5(cast(doc_id AS string)), 1, 2)"
+
+_STRATA = f"""
+CASE lang WHEN 'en' THEN {_KEY} < '80'
+          WHEN 'de' THEN {_KEY} < '40'
+          ELSE {_KEY} < '1a' END
+"""
+
+# Weighted source mixture: upsample low-numbered "curated" sources,
+# downsample the long tail. Weight = fraction kept of each source.
+_MIX = f"""
+CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN {_KEY} < 'cc'
+     WHEN source IN ('src4', 'src5', 'src6', 'src7') THEN {_KEY} < '66'
+     ELSE {_KEY} < '1a' END
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (en 50%, de 25%, rest ~10%).
+
+    One parquet scan, zero shuffles before the output sort: the
+    predicate is a pure row-local expression, so Catalyst fuses
+    scan→filter→project into a single codegen stage and the sample
+    scales linearly at any SF.
+    """
+    return (
+        spark.table("documents")
+        .where(_STRATA)
+        .selectExpr("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_STRATA}
+ORDER BY doc_id
+"""
+
+
+def weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source mixture (80% / 40% / ~10% keep rates),
+    with per-source accounting of what the mix actually contains."""
+    return (
+        spark.table("documents")
+        .where(_MIX)
+        .groupBy("source")
+        .agg({"*": "count", "n_chars": "sum"})
+        .withColumnRenamed("count(1)", "n_docs")
+        .withColumnRenamed("sum(n_chars)", "total_chars")
+        .orderBy("source")
+    )
+
+
+WEIGHTED_MIX_ORACLE = f"""
+SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+WHERE {_MIX}
+GROUP BY source
+ORDER BY source
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign documents to
+    fixed-token-budget (2048) training sequences.
+
+    The standard pretraining packing shape: order documents, take the
+    running token total, and cut a new sequence every time the budget
+    rolls over (``seq_id = floor(tokens_before / budget)``). A *global*
+    running sum would serialize into one partition, so documents are
+    first sharded (``doc_id % 32``) and packed per shard — the window
+    is ``PARTITION BY shard``, which scales: 100 TB just means more
+    shards (use ``hash(doc_id) % num_shards`` sized to executors).
+    """
+    return spark.sql(
+        f"""
+        SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS seq_tokens
+        FROM (
+          SELECT shard,
+                 cast(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             - n_tokens) / 2048) AS bigint) AS seq_id,
+                 n_tokens
+          FROM (
+            SELECT doc_id, doc_id % 32 AS shard, size({TOKENS}) AS n_tokens
+            FROM documents
+          ) toks
+        ) packed
+        GROUP BY shard, seq_id
+        ORDER BY shard, seq_id
+        """
+    )
+
+
+PACK_ORACLE = f"""
+SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS seq_tokens
+FROM (
+  SELECT shard,
+         cast(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / 2048) AS bigint) AS seq_id,
+         n_tokens
+  FROM (
+    SELECT doc_id, doc_id % 32 AS shard, len({DUCK_TOKENS}) AS n_tokens
+    FROM documents
+  ) toks
+) packed
+GROUP BY shard, seq_id
+ORDER BY shard, seq_id
+"""
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top 50 terms by document frequency.
+
+    explode → distinct-per-doc → count — the exact-counting baseline a
+    count-min/`approx_count_distinct` sketch would approximate at
+    scale. The per-doc `array_distinct` happens *before* the explode so
+    the shuffle carries each (doc, term) once.
+    """
+    return spark.sql(
+        f"""
+        SELECT w, count(*) AS doc_freq
+        FROM (SELECT doc_id, explode(array_distinct({TOKENS})) AS w FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+        ORDER BY doc_freq DESC, w
+        LIMIT 50
+        """
+    )
+
+
+TOP_TERMS_ORACLE = f"""
+SELECT w, count(*) AS doc_freq
+FROM (SELECT DISTINCT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents)
+WHERE w <> ''
+GROUP BY w
+ORDER BY doc_freq DESC, w
+LIMIT 50
+"""
+
+
+def registry() -> dict[str, dict]:
+    return {
+        "sample_stratified": {"fn": stratified_sample, "oracle": STRATIFIED_ORACLE},
+        "sample_weighted_mix": {"fn": weighted_mix, "oracle": WEIGHTED_MIX_ORACLE},
+        "pack_sequences_chunked": {"fn": pack_sequences, "oracle": PACK_ORACLE},
+        "tokens_top_terms": {"fn": top_terms, "oracle": TOP_TERMS_ORACLE},
+    }
