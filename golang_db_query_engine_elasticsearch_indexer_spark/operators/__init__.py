@@ -18,6 +18,7 @@ def registry() -> dict[str, dict]:
         dedup,
         multimodal,
         sampling,
+        search,
         similarity,
         text,
     )
@@ -26,7 +27,7 @@ def registry() -> dict[str, dict]:
         pipeline,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam):
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415

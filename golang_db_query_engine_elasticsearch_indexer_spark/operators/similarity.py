@@ -340,8 +340,63 @@ ORDER BY label, pos
 """
 
 
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column:
+    ``q_i = round(127 * x_i / max|x|)``, the standard 4x compression
+    before ANN serving.
+
+    Output is (vec_id, scale, qsum, max_err): the dequantization scale,
+    a checksum of the quantized vector, and the max absolute
+    reconstruction error — so the oracle verifies the actual quantized
+    values and the error bound, not just shapes. Pure row-local array
+    expressions (whole-stage codegen, zero shuffles): at 100 TB this is
+    a map-only rewrite of the embedding store.
+    """
+    return spark.sql(
+        """
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               aggregate(qvec, cast(0 AS bigint), (acc, x) -> acc + x) AS qsum,
+               round(array_max(zip_with(v, qvec,
+                     (x, q) -> abs(x - q * scale / 127))), 6) AS max_err
+        FROM (
+          SELECT vec_id, v,
+                 array_max(transform(v, x -> abs(x))) AS scale,
+                 transform(v, x -> cast(round(127 * x /
+                     array_max(transform(v, y -> abs(y)))) AS bigint)) AS qvec
+          FROM (
+            SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v
+            FROM embeddings
+          )
+        )
+        ORDER BY vec_id
+        """
+    )
+
+
+QUANTIZE_ORACLE = """
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       list_sum(qvec) AS qsum,
+       round(list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(v[i] - qvec[i] * scale / 127))), 6) AS max_err
+FROM (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS scale,
+         list_transform(v, x -> cast(round(127 * x /
+             list_max(list_transform(v, y -> abs(y)))) AS bigint)) AS qvec
+  FROM (
+    SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+    FROM embeddings
+  )
+)
+ORDER BY vec_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
+        "embedding_quantize_int8": {"fn": quantize_int8, "oracle": QUANTIZE_ORACLE},
         "ann_brute_force_topk": {"fn": brute_force_topk, "oracle": BRUTE_FORCE_ORACLE},
         "ann_lsh_bucket_topk": {"fn": lsh_bucket_topk, "oracle": _lsh_oracle()},
         "ann_ivf_topk": {"fn": ivf_topk, "oracle": IVF_ORACLE},
