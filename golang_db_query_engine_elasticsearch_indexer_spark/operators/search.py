@@ -105,7 +105,153 @@ ORDER BY bm25 DESC, doc_id
 """
 
 
+RRF_K = 60
+RRF_DEPTH = 50  # fuse the top-50 of each ranker
+PROBE_ID = 0  # fixture vec_id standing in for the query embedding
+TOP_N = 20
+
+# Shared CTE body for the lexical ranking (identical formula to
+# :func:`bm25_topk`, scores rounded BEFORE ranking + doc_id tiebreak so
+# the rank permutation is total and cross-engine stable).
+_BM_CTES = """
+stats AS (
+  SELECT count(*) AS n_docs, avg({size}(toks)) AS avgdl FROM toks
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf, max(dl) AS dl
+  FROM ({tf_inner})
+  GROUP BY doc_id, w
+),
+df AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+),
+bm AS (
+  SELECT doc_id,
+         round(sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * tf * ({k1} + 1)
+           / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))
+         ), 4) AS s
+  FROM tf JOIN df USING (w) CROSS JOIN stats
+  GROUP BY doc_id
+),
+bm_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM bm
+)
+"""
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 (lexical) + embedding cosine (semantic),
+    fused by reciprocal-rank fusion ``sum(1 / (60 + rank))``.
+
+    The modern ES "hybrid search" pattern, computed natively: the two
+    rankers share nothing until the final tiny union — BM25 streams the
+    documents table once (filter-before-explode), the vector side is a
+    map-only cosine against one broadcast probe row — and RRF fuses the
+    two rank lists (<= 50 rows each) in a trivial aggregation.
+    Both scores are rounded before ranking so rank permutations are
+    cross-engine deterministic.
+    """
+    bm_ctes = _BM_CTES.format(
+        size="size",
+        k1=K1,
+        b=B,
+        tf_inner=f"""
+            SELECT doc_id, size(toks) AS dl,
+                   explode(filter(toks, x -> x IN ({_terms_sql()}))) AS w
+            FROM toks
+        """,
+    )
+    return spark.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, {TOKENS} AS toks FROM documents
+        ),
+        {bm_ctes},
+        probe AS (
+          SELECT transform(embedding, x -> cast(x AS double)) AS p
+          FROM embeddings WHERE vec_id = {PROBE_ID}
+        ),
+        cos AS (
+          SELECT vec_id AS doc_id,
+                 round(
+                   aggregate(zip_with(embedding, p,
+                       (x, y) -> cast(x AS double) * y),
+                       cast(0 AS double), (acc, v) -> acc + v)
+                   / (sqrt(aggregate(transform(embedding,
+                          x -> cast(x AS double) * cast(x AS double)),
+                          cast(0 AS double), (acc, v) -> acc + v))
+                      * sqrt(aggregate(transform(p, x -> x * x),
+                          cast(0 AS double), (acc, v) -> acc + v))), 4) AS s
+          FROM embeddings CROSS JOIN probe
+          WHERE vec_id <> {PROBE_ID}
+        ),
+        cos_rank AS (
+          SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM cos
+        )
+        SELECT doc_id, round(sum(1.0 / ({RRF_K} + r)), 6) AS rrf,
+               count(*) AS n_rankers
+        FROM (
+          SELECT doc_id, r FROM bm_rank WHERE r <= {RRF_DEPTH}
+          UNION ALL
+          SELECT doc_id, r FROM cos_rank WHERE r <= {RRF_DEPTH}
+        )
+        GROUP BY doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT {TOP_N}
+        """
+    )
+
+
+def _hybrid_oracle() -> str:
+    bm_ctes = _BM_CTES.format(
+        size="len",
+        k1=K1,
+        b=B,
+        tf_inner=f"""
+            SELECT doc_id, unnest(toks) AS w, len(toks) AS dl FROM toks
+        """,
+    )
+    # DuckDB explodes all tokens then filters (no filter-before-explode
+    # needed for correctness; WHERE applies after the unnest).
+    bm_ctes = bm_ctes.replace(
+        "GROUP BY doc_id, w",
+        f"WHERE w IN ({_terms_sql()})\n  GROUP BY doc_id, w",
+        1,
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+),
+{bm_ctes},
+probe AS (
+  SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = {PROBE_ID}
+),
+cos AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], p), 4) AS s
+  FROM embeddings CROSS JOIN probe
+  WHERE vec_id <> {PROBE_ID}
+),
+cos_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM cos
+)
+SELECT doc_id, round(sum(1.0 / ({RRF_K} + r)), 6) AS rrf,
+       count(*) AS n_rankers
+FROM (
+  SELECT doc_id, r FROM bm_rank WHERE r <= {RRF_DEPTH}
+  UNION ALL
+  SELECT doc_id, r FROM cos_rank WHERE r <= {RRF_DEPTH}
+)
+GROUP BY doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {TOP_N}
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "search_bm25": {"fn": bm25_topk, "oracle": BM25_ORACLE},
+        "search_hybrid_rrf": {"fn": hybrid_rrf, "oracle": _hybrid_oracle()},
     }
