@@ -1192,6 +1192,22 @@ _q(
     """,
 )
 
+_q(
+    "win_percent_rank_cume_dist",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey), 6)    AS cume,
+           round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderdate >= date '1997-01-01'
+      AND o_orderdate <  date '1997-02-01'
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+
 # Deterministic train/validation/test splitting — a first-class
 # training-data-pipeline operator. Assignment is a pure function of the
 # stable document key (md5 hex prefix ranges ≈ 5% / 10% / 85%), so the
