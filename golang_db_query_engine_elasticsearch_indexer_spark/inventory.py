@@ -1192,6 +1192,48 @@ _q(
     """,
 )
 
+# Ordered-funnel analysis: users reaching view -> click-within-1-day ->
+# purchase-within-1-day-of-click, each stage anchored at the earliest
+# qualifying event. The per-stage joins are equi on user_id (the time
+# constraints are post-join filters), so each stage is one keyed
+# shuffle of a rapidly-shrinking relation — the classic
+# product-analytics funnel expressed relationally.
+_q(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    )
+    SELECT stage, count(*) AS n_users
+    FROM (
+      SELECT v.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS stage
+      FROM v
+      LEFT JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON v.user_id = p.user_id
+    ) staged
+    GROUP BY stage
+    ORDER BY stage
+    """,
+)
+
 _q(
     "win_percent_rank_cume_dist",
     """
