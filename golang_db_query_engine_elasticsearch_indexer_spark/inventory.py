@@ -1234,6 +1234,42 @@ _q(
     """,
 )
 
+# Cohort retention: users grouped by first-activity DAY (the fixture's
+# events span a single month), counted as active per week offset. Day
+# difference syntax diverges between dialects (Spark datediff(end,
+# start) vs DuckDB date_diff('day', start, end)), hence the explicit
+# oracle. Two keyed shuffles total: the per-user min, then the
+# (cohort, offset) count-distinct.
+_q(
+    "events_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT cast(cast(f.first_ts AS date) AS string) AS cohort_day,
+           cast(floor(datediff(cast(e.ts AS date), cast(f.first_ts AS date)) / 7)
+                AS bigint)                          AS week_offset,
+           count(DISTINCT e.user_id)                AS active_users
+    FROM events e
+    JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_day, week_offset
+    ORDER BY cohort_day, week_offset
+    """,
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT cast(cast(f.first_ts AS date) AS string) AS cohort_day,
+           cast(floor(date_diff('day', cast(f.first_ts AS date), cast(e.ts AS date)) / 7)
+                AS bigint)                          AS week_offset,
+           count(DISTINCT e.user_id)                AS active_users
+    FROM events e
+    JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY cohort_day, week_offset
+    ORDER BY cohort_day, week_offset
+    """,
+)
+
 _q(
     "win_percent_rank_cume_dist",
     """
