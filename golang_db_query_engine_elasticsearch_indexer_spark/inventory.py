@@ -1270,6 +1270,35 @@ _q(
     """,
 )
 
+# Market-basket affinity: parts co-ordered in the same order, with
+# lift = P(a,b) / (P(a)P(b)). The self-join shuffles once on
+# l_orderkey; the per-part frequency and order-count relations are
+# tiny and broadcast back onto the pair stream. The distinct-first
+# projection keeps the join input at (order, part) grain so multi-line
+# orders can't inflate counts.
+_q(
+    "basket_part_affinity",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+    freq AS (SELECT l_partkey, count(*) AS cnt FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS together
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, together,
+           round(together * 1.0 * n_orders / (fa.cnt * fb.cnt), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON part_a = fa.l_partkey
+    JOIN freq fb ON part_b = fb.l_partkey
+    CROSS JOIN n
+    ORDER BY together DESC, part_a, part_b
+    """,
+)
+
 _q(
     "win_percent_rank_cume_dist",
     """
