@@ -172,21 +172,31 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("bb"), F.col("sh").alias("sh_b"))
-    inter = (
-        cand.join(sa, "a")
-        .join(sb, (F.col("b") == F.col("bb")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    # Verify with array_intersect on per-doc shingle arrays (shingles
+    # are already distinct per doc): one codegen'd expression per
+    # candidate pair, linear in candidates — the exploded
+    # pairs-x-shingles join this replaces materialized every shingle of
+    # every candidate pair (same lesson as the ngram-jaccard verifier).
+    shingle_sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
     return (
-        inter.join(na, "a")
-        .join(nb, "b")
-        .selectExpr("a AS doc_a", "b AS doc_b", "round(inter / (na + nb - inter), 4) AS jaccard")
+        cand.join(
+            shingle_sets.select(F.col("doc_id").alias("a"), F.col("shs").alias("ga")), "a"
+        )
+        .join(
+            shingle_sets.select(F.col("doc_id").alias("b"), F.col("shs").alias("gb")), "b"
+        )
+        .selectExpr(
+            "a AS doc_a",
+            "b AS doc_b",
+            "size(array_intersect(ga, gb)) AS inter",
+            "size(ga) AS na",
+            "size(gb) AS nb",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "round(inter / (na + nb - inter), 4) AS jaccard",
+        )
         .where(f"jaccard >= {JACCARD_THRESHOLD}")
         .orderBy("doc_a", "doc_b")
     )
