@@ -31,6 +31,77 @@ def _configure(spark: SparkSession) -> None:
             pass
 
 
+# The driver's CORRECTNESS gate hash-checks the FIRST 50 keys of queries()
+# in insertion order. Round 1 verified the 50 core-SQL entries (all green in
+# CORRECTNESS_r01.json); round 2 rotates the previously unchecked high-value
+# entries to the front: every operator-registry op (LLM pipeline, dedup, ANN,
+# search, indexer, as-of), the streaming set, and the richest unchecked SQL
+# analytics. Entries already driver-verified in r01 go last.
+_PRIORITY: tuple[str, ...] = (
+    # §2.C LLM-pipeline / dedup / similarity / text / multimodal operators
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_quantize_int8",
+    "ann_brute_force_topk",
+    "ann_lsh_bucket_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
+    "embedding_label_centroids",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_unigram_logprob",
+    "multimodal_binary_features",
+    "multimodal_resize_pooled",
+    "multimodal_frame_sample",
+    "asof_join_events_orders",
+    "pipeline_curate_corpus",
+    "dedup_semantic_survivors",
+    "sample_stratified",
+    "sample_weighted_mix",
+    "split_train_val_test",
+    "pack_sequences_chunked",
+    "tokens_top_terms",
+    "decontam_benchmark_overlap",
+    "search_bm25",
+    "search_hybrid_rrf",
+    "indexer_positional_ids",
+    # streaming (real bounded streams vs batch oracles)
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_counts",
+    "stream_dedup_counts",
+    "stream_dedup_within_watermark",
+    "stream_stateful_user_summary",
+    # richest previously-unchecked SQL analytics
+    "events_sessionization",
+    "events_funnel",
+    "events_cohort_retention",
+    "basket_part_affinity",
+    # extended TPC-H shapes not in the r01 window
+    "q4_order_priority",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+)
+
+
+def _prioritized(d: dict) -> dict:
+    """Reorder dict: _PRIORITY names first (in that order), rest unchanged."""
+    out = {k: d[k] for k in _PRIORITY if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
 def _sql_runner(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _configure(spark)
@@ -68,7 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[name] = run
     except ImportError:
         pass
-    return out
+    return _prioritized(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -87,4 +158,4 @@ def oracle_sql() -> dict[str, str]:
                 out[name] = spec["oracle"]
     except ImportError:
         pass
-    return out
+    return _prioritized(out)
