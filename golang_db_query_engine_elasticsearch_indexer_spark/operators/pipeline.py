@@ -100,6 +100,10 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-component dedup (a full CC needs iteration; at scale
     that's an iterative join loop or GraphFrames, and the greedy pass
     is what large corpus pipelines actually run first).
+
+    The pair source is the banded-LSH neardup_pairs (equi-join candidate
+    generation + exact-cosine verify) — sub-quadratic, so the composed
+    dedup stays runnable at 100 TB; no CartesianProduct in the plan.
     """
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.similarity import (
         neardup_pairs,
@@ -116,12 +120,20 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from golang_db_query_engine_elasticsearch_indexer_spark.operators.similarity import (
     NEARDUP_COS,
+    _neardup_band_sql_duck,
 )
 
 SEMANTIC_DEDUP_ORACLE = f"""
-WITH pairs AS (
-  SELECT b.vec_id AS vb
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WITH bands AS ({_neardup_band_sql_duck()}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.vb
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.va
+  JOIN embeddings b ON b.vec_id = c.vb
   WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_COS}
 )
 SELECT doc_id, lang, n_chars

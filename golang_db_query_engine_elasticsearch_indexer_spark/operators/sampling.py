@@ -70,15 +70,19 @@ ORDER BY doc_id
 
 
 def weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted multi-source mixture (80% / 40% / ~10% keep rates),
-    with per-source accounting of what the mix actually contains."""
+    """Weighted multi-source mixture (~80% / ~40% / ~10.2% keep rates —
+    'cc' = 204/256, '66' = 102/256, '1a' = 26/256), with per-source
+    accounting of what the mix actually contains."""
+    from pyspark.sql import functions as F
+
     return (
         spark.table("documents")
         .where(_MIX)
         .groupBy("source")
-        .agg({"*": "count", "n_chars": "sum"})
-        .withColumnRenamed("count(1)", "n_docs")
-        .withColumnRenamed("sum(n_chars)", "total_chars")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
         .orderBy("source")
     )
 
@@ -92,54 +96,52 @@ ORDER BY source
 """
 
 
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing: assign documents to
-    fixed-token-budget (2048) training sequences.
-
-    The standard pretraining packing shape: order documents, take the
-    running token total, and cut a new sequence every time the budget
-    rolls over (``seq_id = floor(tokens_before / budget)``). A *global*
-    running sum would serialize into one partition, so documents are
-    first sharded (``doc_id % 32``) and packed per shard — the window
-    is ``PARTITION BY shard``, which scales: 100 TB just means more
-    shards (use ``hash(doc_id) % num_shards`` sized to executors).
-    """
-    return spark.sql(
-        f"""
-        SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS seq_tokens
-        FROM (
-          SELECT shard,
-                 cast(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                             - n_tokens) / 2048) AS bigint) AS seq_id,
-                 n_tokens
-          FROM (
-            SELECT doc_id, doc_id % 32 AS shard, size({TOKENS}) AS n_tokens
-            FROM documents
-          ) toks
-        ) packed
-        GROUP BY shard, seq_id
-        ORDER BY shard, seq_id
-        """
-    )
+# Packing parameters: shard count sizes the parallelism of the
+# per-shard running sum (at 100 TB set it to ~2-4x the executor-core
+# count so each shard's window fits one task); budget is the training
+# sequence length in tokens.
+PACK_SHARDS = 32
+PACK_BUDGET = 2048
 
 
-PACK_ORACLE = f"""
+def _pack_sql(tokens_expr: str, len_fn: str, n_shards: int = PACK_SHARDS) -> str:
+    return f"""
 SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS seq_tokens
 FROM (
   SELECT shard,
          cast(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     - n_tokens) / 2048) AS bigint) AS seq_id,
+                     - n_tokens) / {PACK_BUDGET}) AS bigint) AS seq_id,
          n_tokens
   FROM (
-    SELECT doc_id, doc_id % 32 AS shard, len({DUCK_TOKENS}) AS n_tokens
+    SELECT doc_id, doc_id % {n_shards} AS shard, {len_fn}({tokens_expr}) AS n_tokens
     FROM documents
   ) toks
 ) packed
 GROUP BY shard, seq_id
 ORDER BY shard, seq_id
 """
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign documents to
+    fixed-token-budget (PACK_BUDGET) training sequences.
+
+    The standard pretraining packing shape: order documents, take the
+    running token total, and cut a new sequence every time the budget
+    rolls over (``seq_id = floor(tokens_before / budget)``). A *global*
+    running sum would serialize into one partition, so documents are
+    first sharded (``doc_id % n_shards``) and packed per shard — the
+    window is ``PARTITION BY shard``, which scales: at 100 TB pass an
+    ``n_shards`` sized to the cluster (the oracle fixes it at
+    PACK_SHARDS so membership stays checkable).
+    """
+    return spark.sql(_pack_sql(TOKENS, "size", n_shards))
+
+
+PACK_ORACLE = _pack_sql(DUCK_TOKENS, "len")
 
 
 def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,6 +120,7 @@ stats AS (
 tf AS (
   SELECT doc_id, w, count(*) AS tf, max(dl) AS dl
   FROM ({tf_inner})
+  {tf_where}
   GROUP BY doc_id, w
 ),
 df AS (
@@ -152,11 +153,21 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     two rank lists (<= 50 rows each) in a trivial aggregation.
     Both scores are rounded before ranking so rank permutations are
     cross-engine deterministic.
+
+    ID-SPACE STAND-IN: the lexical ranker ranks ``documents.doc_id``
+    while the vector ranker ranks ``embeddings.vec_id`` — in this
+    fixture those are two unrelated id spaces (embeddings is a
+    standalone 500-row table, not a per-document embedding store), so
+    the fused "doc_id" demonstrates the RRF *mechanics*, not a real
+    retrieval over one corpus. With a production documents-keyed
+    embedding column the same plan applies unchanged; the fusion is
+    oracle-verified either way.
     """
     bm_ctes = _BM_CTES.format(
         size="size",
         k1=K1,
         b=B,
+        tf_where="",
         tf_inner=f"""
             SELECT doc_id, size(toks) AS dl,
                    explode(filter(toks, x -> x IN ({_terms_sql()}))) AS w
@@ -205,20 +216,16 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_oracle() -> str:
+    # DuckDB explodes all tokens then filters via tf_where (Spark does
+    # filter-before-explode inside tf_inner, so its tf_where is empty).
     bm_ctes = _BM_CTES.format(
         size="len",
         k1=K1,
         b=B,
-        tf_inner=f"""
+        tf_where=f"WHERE w IN ({_terms_sql()})",
+        tf_inner="""
             SELECT doc_id, unnest(toks) AS w, len(toks) AS dl FROM toks
         """,
-    )
-    # DuckDB explodes all tokens then filters (no filter-before-explode
-    # needed for correctness; WHERE applies after the unnest).
-    bm_ctes = bm_ctes.replace(
-        "GROUP BY doc_id, w",
-        f"WHERE w IN ({_terms_sql()})\n  GROUP BY doc_id, w",
-        1,
     )
     return f"""
 WITH toks AS (

@@ -9,7 +9,9 @@ North-star extensions (BASELINE.json; SURVEY.md §2.C):
   hyperplanes degenerate to coordinate hyperplanes for isotropic
   embeddings) so candidate generation is an equi-join on a bucket key
   instead of a cross join.
-- **all-pairs near-dup** — cosine >= threshold over candidate pairs.
+- **banded-LSH near-dup** — candidate pairs from multi-band sign-bit
+  buckets (pairs sharing >= 1 band), exact-cosine verified; the
+  all-pairs form survives only as a test-side recall baseline.
 
 All dot products run in double precision via ``zip_with``/``aggregate``
 (JVM codegen, no Python). DuckDB oracles use ``list_cosine_similarity``
@@ -164,12 +166,82 @@ ORDER BY probe_id, rank
 """
 
 
-def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= NEARDUP_COS, doc_a < doc_b.
+NEARDUP_BANDS = 8
+NEARDUP_BAND_BITS = 4
 
-    Exact all-pairs form (the verification step LSH candidates would
-    feed at scale; at 100 TB the candidate set comes from bucketing —
-    see lsh_bucket_topk — never from this cross join).
+
+def _band_keys_expr() -> str:
+    """Spark expr: array<struct<band:int, bkey:string>> of sign-bit band
+    keys — band b covers embedding dimensions b*r+1 .. b*r+r."""
+    r = NEARDUP_BAND_BITS
+    bits = ", ".join(
+        f"CASE WHEN element_at(embedding, b * {r} + {i + 1}) >= 0 THEN '1' ELSE '0' END"
+        for i in range(r)
+    )
+    return (
+        f"transform(sequence(0, {NEARDUP_BANDS - 1}), "
+        f"b -> struct(b AS band, concat({bits}) AS bkey))"
+    )
+
+
+def neardup_candidates(spark: SparkSession) -> DataFrame:
+    """Candidate (va, vb) pairs sharing at least one sign-bit LSH band.
+
+    Each vector emits NEARDUP_BANDS (band, bkey) rows; candidates come
+    from an equi-join on (band, bkey) — a hash shuffle bounded by band
+    occupancy, never a cross join. ``distinct`` collapses pairs that
+    collide in several bands. This is the sub-quadratic candidate
+    generator that makes near-dup detection runnable at 100 TB; recall
+    vs the exact all-pairs baseline is measured in tests.
+    """
+    bands = (
+        spark.table("embeddings")
+        .select("vec_id", F.explode(F.expr(_band_keys_expr())).alias("bk"))
+        .select("vec_id", "bk.band", "bk.bkey")
+    )
+    a = bands.select(F.col("vec_id").alias("va"), "band", "bkey")
+    b = bands.select(F.col("vec_id").alias("vb"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+
+
+def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: banded-LSH candidates (pairs
+    sharing >= 1 of NEARDUP_BANDS sign-bit bands), exact-cosine verified
+    at cosine >= NEARDUP_COS, doc_a < doc_b.
+
+    Scale shape: candidate generation is an equi-join on (band, bkey)
+    (see neardup_candidates); the exact-cosine verify touches candidates
+    only. The physical plan contains no CartesianProduct or
+    BroadcastNestedLoopJoin over the full table — asserted in tests.
+    The O(n^2) all-pairs form survives as neardup_pairs_allpairs for
+    test-side recall measurement only.
+    """
+    emb = _with_norm(spark.table("embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("norm").alias("nb")
+    )
+    return (
+        neardup_candidates(spark)
+        .join(a, "va")
+        .join(b, "vb")
+        .withColumn("cos", F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= NEARDUP_COS)
+        .select("va", "vb", F.round("cos", 6).alias("cosine"))
+        .orderBy("va", "vb")
+    )
+
+
+def neardup_pairs_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-dup (crossJoin, O(n^2)) — recall baseline
+    for tests ONLY; not in the registry (unrunnable at 100 TB).
     """
     emb = _with_norm(spark.table("embeddings"))
     a = emb.select(
@@ -188,7 +260,40 @@ def neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEARDUP_ORACLE = f"""
+def _neardup_band_sql_duck() -> str:
+    """DuckDB band-key relation mirroring _band_keys_expr exactly."""
+    r = NEARDUP_BAND_BITS
+    bits = ", ".join(
+        f"CASE WHEN embedding[b * {r} + {i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(r)
+    )
+    return (
+        f"SELECT vec_id, b AS band, concat({bits}) AS bkey "
+        f"FROM embeddings, range(0, {NEARDUP_BANDS}) t(b)"
+    )
+
+
+def _neardup_oracle() -> str:
+    return f"""
+WITH bands AS ({_neardup_band_sql_duck()}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT c.va, c.vb,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.va
+JOIN embeddings b ON b.vec_id = c.vb
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {NEARDUP_COS}
+ORDER BY va, vb
+"""
+
+
+NEARDUP_ORACLE = _neardup_oracle()
+
+# All-pairs oracle — used only by the recall test vs neardup_pairs_allpairs.
+NEARDUP_ALLPAIRS_ORACLE = f"""
 SELECT a.vec_id AS va, b.vec_id AS vb,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -351,6 +456,10 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     values and the error bound, not just shapes. Pure row-local array
     expressions (whole-stage codegen, zero shuffles): at 100 TB this is
     a map-only rewrite of the embedding store.
+
+    The scale is nullif-guarded: an all-zero embedding yields NULL
+    scale/qsum/max_err in BOTH dialects instead of Spark-NULL vs
+    DuckDB-inf divergence on divide-by-zero.
     """
     return spark.sql(
         """
@@ -361,9 +470,9 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (x, q) -> abs(x - q * scale / 127))), 6) AS max_err
         FROM (
           SELECT vec_id, v,
-                 array_max(transform(v, x -> abs(x))) AS scale,
+                 nullif(array_max(transform(v, x -> abs(x))), 0.0D) AS scale,
                  transform(v, x -> cast(round(127 * x /
-                     array_max(transform(v, y -> abs(y)))) AS bigint)) AS qvec
+                     nullif(array_max(transform(v, y -> abs(y))), 0.0D)) AS bigint)) AS qvec
           FROM (
             SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v
             FROM embeddings
@@ -382,9 +491,9 @@ SELECT vec_id,
              i -> abs(v[i] - qvec[i] * scale / 127))), 6) AS max_err
 FROM (
   SELECT vec_id, v,
-         list_max(list_transform(v, x -> abs(x))) AS scale,
+         nullif(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale,
          list_transform(v, x -> cast(round(127 * x /
-             list_max(list_transform(v, y -> abs(y)))) AS bigint)) AS qvec
+             nullif(list_max(list_transform(v, y -> abs(y))), 0.0)) AS bigint)) AS qvec
   FROM (
     SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
     FROM embeddings

@@ -185,10 +185,14 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's mean token log-probability (higher = more typical text).
 
     Two-pass shape that scales: pass 1 aggregates token counts (shuffle
-    on token, the vocabulary relation is corpus-small); pass 2 joins
-    tokens back to the vocabulary (broadcastable) and averages per doc.
-    This is the standard cheap stand-in for model-based perplexity
-    filtering in corpus pipelines.
+    on token); pass 2 joins tokens back to the vocabulary and averages
+    per doc. The vocabulary join is left UNHINTED: the vocab relation
+    grows with the corpus, so a forced broadcast would OOM at 100 TB —
+    AQE picks broadcast when the measured size allows and falls back to
+    a shuffled hash join when it doesn't (a min-frequency prune of the
+    vocab is the other scale lever). The one-row ``total`` is safely
+    broadcast. This is the standard cheap stand-in for model-based
+    perplexity filtering in corpus pipelines.
     """
     toks = spark.table("documents").selectExpr(
         "doc_id", f"explode({TOKENS}) AS w"
@@ -196,7 +200,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored = (
-        toks.join(F.broadcast(vocab), "w")
+        toks.join(vocab, "w")
         .crossJoin(F.broadcast(total))
         .selectExpr("doc_id", "ln(cnt / total) AS lp")
     )

@@ -109,6 +109,38 @@ def test_lsh_topk_recall_vs_exact(spark, tables, sf_dir):
     assert 0.0 <= recall <= 1.0  # recorded, not asserted high: sign-LSH on random vectors
 
 
+def test_neardup_banded_vs_allpairs_recall(spark, tables, sf_dir):
+    """The shipped near-dup operator is banded-LSH candidates + exact
+    verify: its pairs must be a subset of the all-pairs baseline (no
+    false positives — the verify step is exact cosine), with recall
+    bounded below, and its physical plan must contain no cross join."""
+    banded = {(r.va, r.vb) for r in similarity.neardup_pairs(spark, sf_dir).collect()}
+    allp = {(r.va, r.vb) for r in similarity.neardup_pairs_allpairs(spark, sf_dir).collect()}
+    assert banded <= allp  # exact verify => zero false positives
+    assert len(banded) / max(len(allp), 1) >= 0.6  # 0.73 measured at cos>=0.35
+    plan = (
+        similarity.neardup_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_no_cross_join(spark, tables, sf_dir):
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import pipeline
+
+    plan = (
+        pipeline.semantic_dedup_survivors(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multimodal_decode_stub_fails_loudly(spark, tables, sf_dir):
     payloads = spark.table("documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
