@@ -1019,8 +1019,8 @@ _q(
     "q12_priority_shipping",
     """
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= date '1996-01-01'
@@ -1290,7 +1290,7 @@ _q(
       HAVING count(*) >= 3
     )
     SELECT part_a, part_b, together,
-           round(together * 1.0 * n_orders / (fa.cnt * fb.cnt), 6) AS lift
+           round(cast(together AS double) * n_orders / (fa.cnt * fb.cnt), 6) AS lift
     FROM pairs
     JOIN freq fa ON part_a = fa.l_partkey
     JOIN freq fb ON part_b = fb.l_partkey
@@ -1325,7 +1325,7 @@ _q(
 _q(
     "split_train_val_test",
     """
-    SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT split, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS total_chars
     FROM (
       SELECT CASE WHEN substr(md5(cast(doc_id AS string)), 1, 2) < '0d' THEN 'validation'
                   WHEN substr(md5(cast(doc_id AS string)), 1, 2) < '27' THEN 'test'

@@ -88,7 +88,7 @@ def weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WEIGHTED_MIX_ORACLE = f"""
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT source, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE {_MIX}
 GROUP BY source
@@ -106,7 +106,7 @@ PACK_BUDGET = 2048
 
 def _pack_sql(tokens_expr: str, len_fn: str, n_shards: int = PACK_SHARDS) -> str:
     return f"""
-SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS seq_tokens
+SELECT shard, seq_id, count(*) AS n_docs, cast(sum(n_tokens) AS BIGINT) AS seq_tokens
 FROM (
   SELECT shard,
          cast(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

@@ -201,7 +201,8 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos_rank AS (
           SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM cos
         )
-        SELECT doc_id, round(sum(1.0 / ({RRF_K} + r)), 6) AS rrf,
+        SELECT doc_id,
+               round(sum(cast(1.0 AS double) / ({RRF_K} + r)), 6) AS rrf,
                count(*) AS n_rankers
         FROM (
           SELECT doc_id, r FROM bm_rank WHERE r <= {RRF_DEPTH}

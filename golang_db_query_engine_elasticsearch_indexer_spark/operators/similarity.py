@@ -486,7 +486,7 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUANTIZE_ORACLE = """
 SELECT vec_id,
        round(scale, 6) AS scale,
-       list_sum(qvec) AS qsum,
+       cast(list_sum(qvec) AS BIGINT) AS qsum,
        round(list_max(list_transform(range(1, len(v) + 1),
              i -> abs(v[i] - qvec[i] * scale / 127))), 6) AS max_err
 FROM (

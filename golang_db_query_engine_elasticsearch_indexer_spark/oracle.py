@@ -61,6 +61,53 @@ def canon_value(v: Any) -> Any:
     return v
 
 
+# Result-dtype parity. The driver's hash canonicalization goes through a
+# dataframe conversion in which DuckDB HUGEINT (the default sum(int)
+# result) and engine DECIMALs take a different representation than plain
+# BIGINT/DOUBLE — so two result sets with identical cell VALUES can still
+# hash-differently if their column types diverge across engines. The
+# value-coercing comparison below (canon_value turns Decimal into float
+# and compares ints regardless of width) is blind to that, which is how
+# six dtype-misaligned oracle pairs stayed pytest-green while failing the
+# round-2 driver gate (VERDICT r02 "What's wrong" #2). canon_type maps
+# each engine's column type to a coarse tag at exactly the driver's
+# observed granularity: int widths collapse (driver-green text_token_count
+# pairs Spark INT with DuckDB BIGINT), but hugeint, decimal, float, str,
+# bool, date, timestamp, binary, and array element tags must all agree.
+_INT_TYPES = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long", "byte",
+    "short", "utinyint", "usmallint", "uinteger", "ubigint",
+}
+_FLOAT_TYPES = {"float", "real", "double", "double precision", "float4", "float8"}
+
+
+def canon_type(t: Any) -> str:
+    """Coarse engine-independent tag for a column type string (Spark
+    ``DataType.simpleString()`` or DuckDB type repr)."""
+    s = str(t).strip().lower()
+    if s.endswith("[]"):
+        return f"array<{canon_type(s[:-2])}>"
+    if s.startswith("array<") and s.endswith(">"):
+        return f"array<{canon_type(s[6:-1])}>"
+    if s in _INT_TYPES:
+        return "int"
+    if s == "hugeint":
+        return "hugeint"
+    if s in _FLOAT_TYPES:
+        return "float"
+    if s.startswith(("decimal", "numeric")):
+        return "decimal"
+    if s.startswith(("varchar", "char")) or s in {"string", "text"}:
+        return "str"
+    if s in {"boolean", "bool"}:
+        return "bool"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s in {"blob", "binary", "varbinary", "bytea"}:
+        return "binary"
+    return s
+
+
 def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     """Column-name-sorted, row-sorted canonical matrix."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
@@ -77,12 +124,30 @@ def duckdb_rows(con, sql: str) -> tuple[list[str], list[tuple]]:
     return list(rel.columns), rel.fetchall()
 
 
+def type_mismatches(spark_df, con, oracle_sql: str) -> list[str]:
+    """Per-column canonical type-tag differences between the Spark result
+    schema and the DuckDB oracle result schema (empty = parity)."""
+    s_tags = {f.name: canon_type(f.dataType.simpleString()) for f in spark_df.schema}
+    rel = con.sql(oracle_sql)
+    d_tags = {c: canon_type(t) for c, t in zip(rel.columns, rel.types)}
+    return [
+        f"{name}: spark={s_tags[name]} duckdb={d_tags[name]}"
+        for name in sorted(set(s_tags) & set(d_tags))
+        if s_tags[name] != d_tags[name]
+    ]
+
+
 def compare(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     """Returns (match, diagnostic)."""
     s_cols, s_rows = spark_rows(spark_df)
     d_cols, d_rows = duckdb_rows(con, oracle_sql)
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    bad_types = type_mismatches(spark_df, con, oracle_sql)
+    if bad_types:
+        return False, "column-type mismatch (driver hash would differ): " + "; ".join(
+            bad_types
+        )
     if len(s_rows) != len(d_rows):
         return False, f"row-count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
     s_mat = canon_rows(s_cols, s_rows)

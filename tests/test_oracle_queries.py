@@ -2,8 +2,11 @@
 
 This is the engine-side mirror of the driver's t2 gate (SURVEY.md §5
 item 1): each ``__spark_entry__.queries()`` entry with an oracle must
-match on columns, row count, and sorted canonical values at the test
-scale factor.
+match on columns, column type tags, row count, and sorted canonical
+values. The gate runs at the DRIVER's scale factor (sf0.01 by default,
+``SPARK_GRAFT_ORACLE_SF_DIR``) — not the smaller sf0.001 the behavioral
+tests use — so row-count/selectivity edge cases the driver will see are
+reproduced here first.
 """
 
 from __future__ import annotations
@@ -11,7 +14,13 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
-from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+from golang_db_query_engine_elasticsearch_indexer_spark.oracle import (
+    compare,
+    duckdb_connection,
+)
+from golang_db_query_engine_elasticsearch_indexer_spark.session import register_sf_dir
+
+from conftest import SF_DIR_ORACLE
 
 ALL = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
@@ -19,20 +28,57 @@ WITH_ORACLE = sorted(n for n in ALL if n in ORACLES)
 ROWS_ONLY = sorted(n for n in ALL if n not in ORACLES)
 
 
+@pytest.fixture(scope="module")
+def oracle_tables(spark, sf_dir):
+    """Register the sf0.01 fixture views for this module, restoring the
+    default test-scale views afterwards (later modules rely on them)."""
+    register_sf_dir(spark, SF_DIR_ORACLE)
+    yield SF_DIR_ORACLE
+    register_sf_dir(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def duck_oracle():
+    con = duckdb_connection(SF_DIR_ORACLE)
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", WITH_ORACLE)
-def test_query_matches_oracle(name, spark, sf_dir, duck, tables):
-    df = ALL[name](spark, sf_dir)
-    ok, diag = compare(df, duck, ORACLES[name])
+def test_query_matches_oracle(name, spark, oracle_tables, duck_oracle):
+    df = ALL[name](spark, oracle_tables)
+    ok, diag = compare(df, duck_oracle, ORACLES[name])
     assert ok, f"{name}: {diag}"
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(name, spark, sf_dir, tables):
-    df = ALL[name](spark, sf_dir)
+def test_rows_only_query_runs(name, spark, oracle_tables):
+    df = ALL[name](spark, oracle_tables)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 
 
-def test_entry_smoke(spark):
+def test_gate_catches_hugeint_dtype_divergence(spark, duck_oracle):
+    """Regression for VERDICT r02 'What's wrong' #2: identical VALUES with
+    diverging column types (DuckDB sum()->HUGEINT vs Spark BIGINT, Spark
+    DECIMAL vs DuckDB DOUBLE) must FAIL the gate — the driver's hash
+    distinguishes them even though value-coercing comparison does not."""
+    df = spark.sql("SELECT cast(3 AS bigint) AS x")
+    ok, diag = compare(df, duck_oracle, "SELECT sum(v) AS x FROM (VALUES (1), (2)) t(v)")
+    assert not ok and "column-type mismatch" in diag and "hugeint" in diag
+
+    df = spark.sql("SELECT cast(1.5 AS decimal(10, 2)) AS x")
+    ok, diag = compare(df, duck_oracle, "SELECT 1.5::DOUBLE AS x")
+    assert not ok and "column-type mismatch" in diag
+
+    # positive control: aligned types still pass
+    df = spark.sql("SELECT cast(3 AS bigint) AS x")
+    ok, diag = compare(df, duck_oracle, "SELECT 3::BIGINT AS x")
+    assert ok, diag
+
+
+def test_entry_smoke(spark, oracle_tables, sf_dir):
+    # entry() registers its own sf0.001 views; re-pin the module views after.
     df = entrymod.entry(spark)
     assert df.count() > 0
+    register_sf_dir(spark, oracle_tables)
