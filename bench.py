@@ -60,6 +60,23 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # Measured recall of the banded-LSH near-dup kernel vs the exact
+    # all-pairs baseline — reported so the approximation is visible
+    # outside the test suite (ADVICE r02). Measured at sf0.01 (cheap:
+    # the baseline is O(n^2)) and NOT part of the timed headline.
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import similarity
+    from golang_db_query_engine_elasticsearch_indexer_spark.session import (
+        register_sf_dir,
+    )
+
+    recall_sf = "/root/testdata/sf0.01"
+    register_sf_dir(spark, recall_sf)
+    banded = {(r.va, r.vb) for r in similarity.neardup_pairs(spark, recall_sf).collect()}
+    allp = {
+        (r.va, r.vb) for r in similarity.neardup_pairs_allpairs(spark, recall_sf).collect()
+    }
+    recall = round(len(banded) / max(len(allp), 1), 4)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -69,6 +86,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "neardup_recall_sf0.01": recall,
             }
         )
     )

@@ -87,12 +87,23 @@ def seeded_min_md5(seed: int, col: str = "sh") -> str:
 # --- n-gram builders -------------------------------------------------------
 
 def spark_ngrams(n: int, toks: str = "toks") -> str:
-    """Distinct word n-grams of an array column (Spark, 0-based)."""
-    parts = ", ".join(f"{toks}[i + {j}]" for j in range(n))
-    return (
-        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
-        f"i -> concat_ws(' ', {parts})))"
-    )
+    """Distinct word n-grams of an array column (Spark).
+
+    Built as nested ``zip_with`` over ``slice`` windows rather than
+    ``transform(sequence(...), i -> toks[i]...)``: per-element array
+    indexing inside an interpreted lambda re-walks the array with bounds
+    checks each access, measured 5x slower (2.25s vs 0.4s for sf0.1
+    trigrams on one thread). ``zip_with`` streams the window arrays
+    pairwise. Lambda variables are numbered per nesting level — Spark
+    rejects shadowed lambda argument names."""
+    length = f"greatest(size({toks}) - {n - 1}, 0)"
+    expr = f"slice({toks}, 1, {length})"
+    for j in range(1, n):
+        expr = (
+            f"zip_with({expr}, slice({toks}, {j + 1}, {length}), "
+            f"(x{j}, y{j}) -> concat(x{j}, ' ', y{j}))"
+        )
+    return f"array_distinct({expr})"
 
 
 def duck_ngrams(n: int, toks_expr: str) -> str:

@@ -1173,6 +1173,10 @@ _q(
     """,
 )
 
+# TPC-H Q22 shape. In the fixture every customer has at least one order
+# (TPC-H proper leaves 1/3 orderless), so plain NOT EXISTS(orders) is
+# vacuously empty; dormancy is instead "no order since 1999-01-01",
+# which keeps the anti-join shape and returns a discriminating result.
 _q(
     "q22_dormant_customers",
     """
@@ -1185,7 +1189,8 @@ _q(
           SELECT avg(c_acctbal) FROM customer
           WHERE c_acctbal > 0.00 AND c_custkey % 7 IN (0, 1, 2, 3)
         )
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= date '1999-01-01')
     ) custsale
     GROUP BY cntrycode
     ORDER BY cntrycode

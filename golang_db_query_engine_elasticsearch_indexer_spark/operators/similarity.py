@@ -166,20 +166,33 @@ ORDER BY probe_id, rank
 """
 
 
-NEARDUP_BANDS = 8
+# 16 bands x 4 sign bits uses all 64 embedding dimensions. At the test
+# threshold (cos >= 0.35, theta ~ 69.5 deg) the per-bit collision
+# probability for a qualifying pair is ~0.61, so a 4-bit band matches
+# with p ~ 0.14 and 16 bands give expected recall 1-(1-p)^16 ~ 0.91
+# (vs ~0.71 for the 8-band round-2 version; measured recall is asserted
+# in tests and reported in bench.py). More bands = linearly more
+# candidate volume; at a production near-dup threshold (>= 0.9) band
+# collisions for non-dups are far rarer and the same 16x4 setting is
+# comfortably sub-quadratic.
+NEARDUP_BANDS = 16
 NEARDUP_BAND_BITS = 4
 
 
 def _band_keys_expr() -> str:
     """Spark expr: array<struct<band:int, bkey:string>> of sign-bit band
-    keys — band b covers embedding dimensions b*r+1 .. b*r+r."""
+    keys — band b covers embedding dimensions b*r+1 .. b*r+r. Bands that
+    would index past the embedding length are dropped (ANSI mode would
+    otherwise raise INVALID_ARRAY_INDEX on short vectors; the DuckDB
+    mirror has the same guard so both engines emit identical bands)."""
     r = NEARDUP_BAND_BITS
     bits = ", ".join(
         f"CASE WHEN element_at(embedding, b * {r} + {i + 1}) >= 0 THEN '1' ELSE '0' END"
         for i in range(r)
     )
     return (
-        f"transform(sequence(0, {NEARDUP_BANDS - 1}), "
+        f"transform(filter(sequence(0, {NEARDUP_BANDS - 1}), "
+        f"b -> (b + 1) * {r} <= size(embedding)), "
         f"b -> struct(b AS band, concat({bits}) AS bkey))"
     )
 
@@ -269,7 +282,8 @@ def _neardup_band_sql_duck() -> str:
     )
     return (
         f"SELECT vec_id, b AS band, concat({bits}) AS bkey "
-        f"FROM embeddings, range(0, {NEARDUP_BANDS}) t(b)"
+        f"FROM embeddings, range(0, {NEARDUP_BANDS}) t(b) "
+        f"WHERE (b + 1) * {r} <= len(embedding)"
     )
 
 

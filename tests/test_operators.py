@@ -117,7 +117,11 @@ def test_neardup_banded_vs_allpairs_recall(spark, tables, sf_dir):
     banded = {(r.va, r.vb) for r in similarity.neardup_pairs(spark, sf_dir).collect()}
     allp = {(r.va, r.vb) for r in similarity.neardup_pairs_allpairs(spark, sf_dir).collect()}
     assert banded <= allp  # exact verify => zero false positives
-    assert len(banded) / max(len(allp), 1) >= 0.6  # 0.73 measured at cos>=0.35
+    # Floor is empirical on the checked-in fixture (seeded, 64-dim):
+    # 0.94 measured at sf0.001 with 16x4 banding and cos>=0.35. If
+    # fixtures are ever regenerated with another seed/dim, re-measure
+    # before tightening/loosening — the bound is probabilistic, not exact.
+    assert len(banded) / max(len(allp), 1) >= 0.85
     plan = (
         similarity.neardup_pairs(spark, sf_dir)
         ._jdf.queryExecution()
