@@ -68,12 +68,20 @@ def create_app(
     registry=None,
     sink=None,
     max_rows: int = DEFAULT_MAX_ROWS,
+    env: dict | None = None,
+    dotenv_path: str = ".env",
 ) -> Flask:
     """App factory. ``spark``/``registry``/``sink`` are injectable for
-    tests; defaults build a local session, the fixture registry, and a
-    JSONL sink under ./indexes (the offline stand-in for Elasticsearch,
-    SURVEY.md §4.3)."""
+    tests; otherwise runtime behavior comes from ``.env`` + environment
+    (base.go:25-35 godotenv parity — see ``config.py`` for keys):
+    ``SPARK_GRAFT_SINK`` selects jsonl/http/es (ES endpoint from
+    ``ELASTICSEARCH_HOST``/``USERNAME``/``PASSWORD``, the reference's
+    exact variable names, elastic_controller.go:54-62), and
+    ``SPARK_GRAFT_SOURCES`` adds registry sources."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.config import app_config
+
     app = Flask("golang_db_query_engine_elasticsearch_indexer_spark")
+    cfg = app_config(env=env, dotenv_path=dotenv_path)
     state: dict = {"spark": spark, "registry": registry, "sink": sink}
     if not _log.handlers:
         _log.addHandler(_json_log_handler())
@@ -86,12 +94,31 @@ def create_app(
 
     def _registry():
         if state["registry"] is None:
-            state["registry"] = default_registry()
+            reg = default_registry()
+            for pair in cfg.get("SPARK_GRAFT_SOURCES", "").split(";"):
+                if "=" in pair:
+                    name, _, path = pair.partition("=")
+                    reg.register_source("parquet", name.strip(), path.strip())
+            state["registry"] = reg
         return state["registry"]
 
     def _sink():
         if state["sink"] is None:
-            state["sink"] = indexer_mod.JsonlIndexSink("indexes")
+            kind = cfg.get("SPARK_GRAFT_SINK", "jsonl").lower()
+            if kind == "http":
+                state["sink"] = indexer_mod.HttpBulkSink(
+                    cfg.get("ELASTICSEARCH_HOST", "http://localhost:9200")
+                )
+            elif kind == "es":
+                state["sink"] = indexer_mod.ElasticsearchSink(
+                    cfg.get("ELASTICSEARCH_HOST", "localhost:9200"),
+                    username=cfg.get("USERNAME"),
+                    password=cfg.get("PASSWORD"),
+                )
+            else:
+                state["sink"] = indexer_mod.JsonlIndexSink(
+                    cfg.get("SPARK_GRAFT_INDEX_DIR", "indexes")
+                )
         return state["sink"]
 
     # -- middleware (middlewares.go:40-59): one JSON line per request --

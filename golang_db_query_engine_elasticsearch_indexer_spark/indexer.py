@@ -199,6 +199,162 @@ def _iter_jsonl(path: str):
                 yield from f
 
 
+class HttpBulkSink:
+    """Executable Elasticsearch ``_bulk`` path over plain HTTP — the
+    reference's actual write protocol (``esutil.BulkIndexer`` → POST
+    ``/_bulk``, elastic_controller.go:184-250) runnable offline with no
+    connector jar and no client library: executors speak the wire
+    format directly.
+
+    Scale shape:
+
+    - rows are JSON-serialized JVM-side (``to_json`` over a struct), so
+      Python only receives ``(_id, doc_json)`` string pairs through
+      Arrow — the document never round-trips a Python object;
+    - each partition accumulates NDJSON action/source line pairs and
+      POSTs when the buffer reaches ``flush_bytes`` (5 MB default,
+      parity elastic_controller.go:46) — executor memory held per task
+      is one flush buffer, independent of partition size;
+    - request-level retry on 429/502/503/504 up to ``max_retries``
+      (parity :52-64, same status set);
+    - per-item statuses from each response feed ``num_docs`` (flushed
+      OK) and ``num_failed`` exactly like the reference's
+      OnSuccess/OnFailure callbacks (:210-222) — the counter can
+      actually move, unlike a constant;
+    - index auto-create is HEAD-then-PUT (:161-181).
+    """
+
+    RETRY_STATUSES = (429, 502, 503, 504)
+
+    def __init__(
+        self,
+        base_url: str = "http://localhost:9200",
+        flush_bytes: int = 5 * 1024 * 1024,
+        max_retries: int = 5,
+        retry_wait: float = 0.2,
+        timeout: float = 10.0,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.flush_bytes = flush_bytes
+        self.max_retries = max_retries
+        self.retry_wait = retry_wait
+        self.timeout = timeout
+
+    def _request(self, method: str, path: str, body: bytes | None = None) -> int:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=body,
+            method=method,
+            headers={"Content-Type": "application/x-ndjson"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    def index_exists(self, index_name: str) -> bool:
+        return self._request("HEAD", f"/{index_name}") == 200
+
+    def ensure_index(self, index_name: str) -> bool:
+        """HEAD-then-PUT parity (elastic_controller.go:161-181)."""
+        if self.index_exists(index_name):
+            return True
+        self._request("PUT", f"/{index_name}")
+        return False
+
+    def write(self, spark: SparkSession, df_with_id: DataFrame, index_name: str) -> IndexStats:
+        t0 = time.time()
+        self.ensure_index(index_name)
+
+        doc_cols = [c for c in df_with_id.columns if c != ID_COL]
+        payload = df_with_id.select(
+            F.col(ID_COL).cast("string").alias("__id"),
+            F.to_json(F.struct(*doc_cols)).alias("__doc"),
+        )
+
+        base_url = self.base_url
+        flush_bytes = self.flush_bytes
+        max_retries = self.max_retries
+        retry_wait = self.retry_wait
+        timeout = self.timeout
+        retry_statuses = self.RETRY_STATUSES
+
+        def send_partition(batches):
+            import json as _json
+            import time as _time
+            import urllib.error
+            import urllib.request
+
+            import pandas as pd
+
+            def post_bulk(lines: list[str]) -> tuple[int, int]:
+                body = ("\n".join(lines) + "\n").encode()
+                req = urllib.request.Request(
+                    base_url + "/_bulk",
+                    data=body,
+                    method="POST",
+                    headers={"Content-Type": "application/x-ndjson"},
+                )
+                for attempt in range(max_retries + 1):
+                    try:
+                        with urllib.request.urlopen(req, timeout=timeout) as resp:
+                            data = _json.loads(resp.read())
+                        ok = failed = 0
+                        for item in data.get("items", []):
+                            status = item.get("index", {}).get("status", 500)
+                            if status < 300:
+                                ok += 1
+                            else:
+                                failed += 1
+                        return ok, failed
+                    except urllib.error.HTTPError as e:
+                        if e.code in retry_statuses and attempt < max_retries:
+                            _time.sleep(retry_wait * (attempt + 1))
+                            continue
+                        raise
+                raise RuntimeError("unreachable")
+
+            n_ok = n_failed = 0
+            lines: list[str] = []
+            buf_size = 0
+            for pdf in batches:
+                for doc_id, doc in zip(pdf["__id"], pdf["__doc"]):
+                    action = _json.dumps(
+                        {"index": {"_index": index_name, "_id": doc_id}}
+                    )
+                    lines.extend((action, doc))
+                    buf_size += len(action) + len(doc) + 2
+                    if buf_size >= flush_bytes:
+                        ok, failed = post_bulk(lines)
+                        n_ok += ok
+                        n_failed += failed
+                        lines, buf_size = [], 0
+            if lines:
+                ok, failed = post_bulk(lines)
+                n_ok += ok
+                n_failed += failed
+            yield pd.DataFrame({"n_ok": [n_ok], "n_failed": [n_failed]})
+
+        counts = (
+            payload.mapInPandas(send_partition, "n_ok long, n_failed long")
+            .agg(
+                F.sum("n_ok").alias("ok"),
+                F.sum("n_failed").alias("failed"),
+            )
+            .collect()[0]
+        )
+        return IndexStats(
+            index_name,
+            num_docs=int(counts.ok or 0),
+            num_failed=int(counts.failed or 0),
+            took_sec=time.time() - t0,
+        )
+
+
 class ElasticsearchSink:
     """elasticsearch-spark connector sink with the reference's bulk
     tuning. The connector jar is not in this container, so ``write``

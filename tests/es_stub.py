@@ -1,0 +1,96 @@
+"""In-process stub Elasticsearch server for offline bulk-path tests.
+
+Implements just enough of the ES REST surface for the indexer's
+HttpBulkSink: HEAD/PUT /{index} (exists / auto-create) and POST /_bulk
+(NDJSON action+source pairs, per-item statuses). Failure injection:
+``fail_ids`` report per-item 500s (docs not stored); ``reject_first_n_bulk``
+rejects whole requests with 429 to exercise the retry path.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class StubES:
+    def __init__(self, fail_ids=(), reject_first_n_bulk: int = 0):
+        self.indexes: dict[str, dict[str, dict]] = {}
+        self.fail_ids = {str(i) for i in fail_ids}
+        self.reject_remaining = reject_first_n_bulk
+        self.bulk_requests = 0
+        self.lock = threading.Lock()
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def _respond(self, status: int, payload: bytes = b""):
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                if payload and self.command != "HEAD":
+                    self.wfile.write(payload)
+
+            def do_HEAD(self):
+                name = self.path.strip("/")
+                with stub.lock:
+                    exists = name in stub.indexes
+                self._respond(200 if exists else 404)
+
+            def do_PUT(self):
+                name = self.path.strip("/")
+                length = int(self.headers.get("Content-Length") or 0)
+                if length:
+                    self.rfile.read(length)
+                with stub.lock:
+                    stub.indexes.setdefault(name, {})
+                self._respond(200, b"{}")
+
+            def do_POST(self):
+                if not self.path.startswith("/_bulk"):
+                    self._respond(404, b"{}")
+                    return
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length).decode()
+                with stub.lock:
+                    stub.bulk_requests += 1
+                    if stub.reject_remaining > 0:
+                        stub.reject_remaining -= 1
+                        self._respond(429, b"{}")
+                        return
+                    lines = [ln for ln in body.split("\n") if ln]
+                    items, errors = [], False
+                    for i in range(0, len(lines), 2):
+                        action = json.loads(lines[i])
+                        source = json.loads(lines[i + 1])
+                        meta = action["index"]
+                        doc_id = str(meta["_id"])
+                        if doc_id in stub.fail_ids:
+                            items.append({"index": {"_id": doc_id, "status": 500}})
+                            errors = True
+                        else:
+                            stub.indexes.setdefault(meta["_index"], {})[doc_id] = source
+                            items.append({"index": {"_id": doc_id, "status": 201}})
+                    payload = json.dumps({"errors": errors, "items": items}).encode()
+                self._respond(200, payload)
+
+        self.server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.base_url = f"http://127.0.0.1:{self.port}"
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+
+    def start(self) -> str:
+        self._thread.start()
+        return self.base_url
+
+    def stop(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()
+
+    def docs(self, index_name: str) -> dict[str, dict]:
+        with self.lock:
+            return dict(self.indexes.get(index_name, {}))

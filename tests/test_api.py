@@ -167,3 +167,45 @@ def test_save_route_non_select_401(client):
         },
     )
     assert r.status_code == 401
+
+
+def test_env_config_selects_http_sink_and_sources(spark, tables, tmp_path):
+    """base.go:25-35 godotenv parity: sink kind, ES endpoint, and extra
+    registry sources come from .env + environment — no code injection.
+    The save route then bulk-writes over the real wire protocol to a
+    stub ES server."""
+    from es_stub import StubES
+
+    stub = StubES()
+    stub.start()
+    try:
+        dotenv = tmp_path / ".env"
+        # .env supplies the sink kind; env overlay supplies the endpoint
+        # (process env wins over the file, godotenv no-override parity).
+        dotenv.write_text(
+            "SPARK_GRAFT_SINK=http\n"
+            "ELASTICSEARCH_HOST=http://file-loses:1\n"
+            f"SPARK_GRAFT_SOURCES=envdb={SF_DIR}\n"
+        )
+        app = create_app(
+            spark=spark,
+            env={"ELASTICSEARCH_HOST": stub.base_url},
+            dotenv_path=str(dotenv),
+        )
+        app.config["TESTING"] = True
+        with app.test_client() as c:
+            r = c.post(
+                "/elastic/save/",
+                data={
+                    "dbDriver": "parquet",
+                    "dbName": "envdb",  # registered purely via .env
+                    "query": "SELECT r_regionkey, r_name FROM region",
+                    "indexName": "env_idx",
+                },
+            )
+        assert r.status_code == 201, r.data
+        body = json.loads(r.data)
+        assert body["num_flushed"] == 5 and body["num_failed"] == 0
+        assert len(stub.docs("env_idx")) == 5
+    finally:
+        stub.stop()

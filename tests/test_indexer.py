@@ -86,6 +86,83 @@ def test_gate_applies_to_save(spark, tables, sink):
     assert not sink.index_exists("nope")
 
 
+@pytest.fixture()
+def es_stub():
+    from es_stub import StubES
+
+    made = []
+
+    def make(**kwargs):
+        stub = StubES(**kwargs)
+        stub.start()
+        made.append(stub)
+        return stub
+
+    yield make
+    for stub in made:
+        stub.stop()
+
+
+def test_http_bulk_roundtrip_and_autocreate(spark, tables, es_stub):
+    """The wire-protocol path (elastic_controller.go:184-250 semantics):
+    executors POST /_bulk to a real HTTP server; index auto-created."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import HttpBulkSink
+
+    stub = es_stub()
+    sink = HttpBulkSink(stub.base_url)
+    n = spark.sql(SQL).count()
+    stats = save(spark, SQL, "orders_http", sink)
+    assert "orders_http" in stub.indexes  # HEAD-then-PUT auto-create
+    assert stats.num_docs == n and stats.num_failed == 0
+    assert stats.docs_per_sec > 0 and '"docs_per_sec"' in stats.log_line()
+    docs = stub.docs("orders_http")
+    assert len(docs) == n
+    # positional ids 1..n arrived as the _id routing key
+    assert set(docs) == {str(i) for i in range(1, n + 1)}
+    assert set(docs["1"]) == {"o_orderkey", "o_orderstatus", "o_totalprice"}
+
+
+def test_http_bulk_failure_accounting(spark, tables, es_stub):
+    """Per-item failures move num_failed (reference OnFailure callback,
+    elastic_controller.go:210-222) — the counter is measured, not 0."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import HttpBulkSink
+
+    stub = es_stub(fail_ids={"2", "5"})
+    sink = HttpBulkSink(stub.base_url)
+    n = spark.sql(SQL).count()
+    stats = save(spark, SQL, "flaky_docs", sink)
+    assert stats.num_failed == 2
+    assert stats.num_docs == n - 2
+    assert len(stub.docs("flaky_docs")) == n - 2
+
+
+def test_http_bulk_retries_on_429(spark, tables, es_stub):
+    """Request-level retry on 429/502/503/504 (elastic_controller.go:52-64):
+    first bulk request rejected, retry lands every doc."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import HttpBulkSink
+
+    stub = es_stub(reject_first_n_bulk=1)
+    sink = HttpBulkSink(stub.base_url, retry_wait=0.05)
+    n = spark.sql(SQL).count()
+    stats = save(spark, SQL, "retried", sink)
+    assert stats.num_failed == 0 and stats.num_docs == n
+    assert len(stub.docs("retried")) == n
+    assert stub.bulk_requests >= 2  # the rejected attempt plus the retry
+
+
+def test_http_bulk_flush_chunking(spark, tables, es_stub):
+    """A tiny flush_bytes forces multiple bulk POSTs per partition (5 MB
+    threshold parity, elastic_controller.go:46) without losing docs."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import HttpBulkSink
+
+    stub = es_stub()
+    sink = HttpBulkSink(stub.base_url, flush_bytes=256)
+    n = spark.sql(SQL).count()
+    stats = save(spark, SQL, "chunked", sink)
+    assert stats.num_docs == n and len(stub.docs("chunked")) == n
+    assert stub.bulk_requests > 1
+
+
 def test_es_sink_option_parity():
     opts = ElasticsearchSink("es1:9200", username="u", password="p").options("docs")
     # bulk tuning parity with elastic_controller.go:46 (5 MB), :52-64 (retry 5)
