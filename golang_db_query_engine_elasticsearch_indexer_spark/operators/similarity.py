@@ -318,36 +318,101 @@ ORDER BY va, vb
 
 N_DIM = 64
 N_PROBE_CELLS = 2
+KMEANS_K = 10
+KMEANS_ITERS = 2
+# Training sample: vectors whose md5(vec_id) hex starts below this bound
+# (~44% of data at '7'; deterministic, so the oracle mirrors it). At
+# 100 TB the quantizer trains on this sample — assignment still covers
+# every vector — which is the standard IVF build recipe.
+KMEANS_SAMPLE_BOUND = "7"
+
+
+def kmeans_centroids(spark: SparkSession, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+    """Learned IVF coarse quantizer: Lloyd's k-means, DataFrame-native,
+    fully deterministic (replaces the round-2 per-label-mean stand-in).
+
+    - **Train on a sample**: the quantizer fits on the deterministic
+      md5-prefix sample (< KMEANS_SAMPLE_BOUND, ~44%) — at 100 TB the
+      Lloyd passes touch the sample only while assignment still covers
+      every vector, the standard IVF build recipe. md5 membership is a
+      pure function of the key, so the oracle replays it exactly.
+    - **Init**: the k sampled vectors with the smallest ``md5(vec_id)``
+      — a seedless deterministic pseudo-random draw both engines
+      compute identically (no rand()).
+    - **Iterate** ``iters`` times: assign each sampled vector to its
+      nearest centroid by cosine (score rounded to 6 dp, centroid-id
+      tiebreak — cell boundaries are engine-independent), then
+      recompute each centroid as the per-dimension mean of its members,
+      also rounded to 6 dp so float-summation-order differences between
+      engines cannot leak into the next assignment.
+
+    Scale shape: the centroid relation is k rows — always broadcast;
+    each iteration is one broadcast join + per-vector argmax (narrow)
+    + one posexplode aggregation of the assigned vectors (k*dim
+    groups). Iterations are unrolled into one lineage, so the full plan
+    is iters+1 passes over the sample with no driver-side data motion.
+    """
+    emb = (
+        _with_norm(spark.table("embeddings"))
+        .where(f"md5(cast(vec_id AS string)) < '{KMEANS_SAMPLE_BOUND}'")
+        .select("vec_id", "embedding", "norm")
+    )
+    seeds = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(k)
+    )
+    cent = (
+        seeds.withColumn("cid", F.row_number().over(Window.orderBy("h")))
+        .selectExpr(
+            "cid",
+            "transform(embedding, x -> round(cast(x AS double), 6)) AS centroid",
+        )
+        .withColumn("cnorm", F.expr(NORM.format(a="centroid")))
+    )
+    for _ in range(iters):
+        scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+            "score",
+            F.round(
+                F.expr(DOT.format(a="embedding", b="centroid"))
+                / (F.col("norm") * F.col("cnorm")),
+                6,
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cid"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("vec_id", "embedding", "cid")
+        )
+        cent = (
+            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
+                ).alias("centroid")
+            )
+            .withColumn("cnorm", F.expr(NORM.format(a="centroid")))
+        )
+    return cent
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize vectors into cells (nearest
-    label-centroid), probe the N_PROBE_CELLS nearest cells per query,
-    exact cosine top-k within the probed cells only.
+    learned k-means centroid), probe the N_PROBE_CELLS nearest cells
+    per query, exact cosine top-k within the probed cells only.
 
     Scale shape: centroids are a tiny broadcast relation; assignment is
     one broadcast join + per-vector argmax (no shuffle of the big
     side); search touches ~nprobe/nlist of the data instead of all of
-    it. The deterministic stand-in for k-means here is the per-label
-    mean (labels exist in the fixture; a Spark-native Lloyd's iteration
-    would produce centroids the same shape). Assignment scores are
-    rounded to 6 dp with a label tiebreak so the cell boundaries are
-    engine-independent for the oracle.
+    it. Recall@k vs the brute-force baseline is asserted in tests and
+    reported by bench.py.
     """
     emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
-    cent = (
-        spark.table("embeddings")
-        .select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
-        .groupBy("label")
-        .agg(
-            F.expr("transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)").alias(
-                "centroid"
-            )
-        )
-        .withColumn("cnorm", F.expr(NORM.format(a="centroid")))
-    )
+    cent = kmeans_centroids(spark)
     cell_scores = emb.crossJoin(F.broadcast(cent)).withColumn(
         "score",
         F.round(
@@ -355,15 +420,15 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
-    wcell = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("label"))
+    wcell = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cid"))
     ranked_cells = cell_scores.withColumn("rn", F.row_number().over(wcell))
     assigned = ranked_cells.where("rn = 1").select(
-        "vec_id", "embedding", "norm", F.col("label").alias("cell")
+        "vec_id", "embedding", "norm", F.col("cid").alias("cell")
     )
     probe_cells = (
         ranked_cells.where(F.col("vec_id") < N_PROBES)
         .where(F.col("rn") <= N_PROBE_CELLS)
-        .select(F.col("vec_id").alias("probe_id"), F.col("label").alias("cell"))
+        .select(F.col("vec_id").alias("probe_id"), F.col("cid").alias("cell"))
     )
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
@@ -391,27 +456,63 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IVF_ORACLE = f"""
-WITH cent AS (
-  SELECT label, list(cv ORDER BY i) AS centroid FROM (
-    SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
-    FROM embeddings, range(1, {N_DIM + 1}) t(i)
-    GROUP BY label, i)
-  GROUP BY label
+def _kmeans_oracle_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB CTE chain mirroring kmeans_centroids step for step
+    (unrolled Lloyd's iterations, same init / rounding / tiebreaks)."""
+    parts = [
+        f"""samp AS (
+  SELECT * FROM embeddings
+  WHERE md5(cast(vec_id AS varchar)) < '{KMEANS_SAMPLE_BOUND}'
 ),
+seeds AS (
+  SELECT vec_id, md5(cast(vec_id AS varchar)) AS h
+  FROM samp ORDER BY h LIMIT {k}
+),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY s.h) AS cid,
+         list_transform(e.embedding, x -> round(cast(x AS double), 6)) AS centroid
+  FROM seeds s JOIN embeddings e USING (vec_id)
+)"""
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        parts.append(
+            f"""assign{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                      c.cid) AS rn
+    FROM samp e, {prev} c)
+  WHERE rn = 1
+),
+cent{it} AS (
+  SELECT cid, list(cv ORDER BY i) AS centroid FROM (
+    SELECT a.cid, i, round(avg(e.embedding[i]::DOUBLE), 6) AS cv
+    FROM assign{it} a JOIN samp e USING (vec_id), range(1, {N_DIM + 1}) t(i)
+    GROUP BY a.cid, i)
+  GROUP BY cid
+)"""
+        )
+    return ",\n".join(parts)
+
+
+IVF_ORACLE = f"""
+WITH {_kmeans_oracle_ctes()},
 cell_scores AS (
-  SELECT e.vec_id, c.label,
+  SELECT e.vec_id, c.cid,
          round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS score
-  FROM embeddings e, cent c
+  FROM embeddings e, cent{KMEANS_ITERS} c
 ),
 ranked_cells AS (
-  SELECT vec_id, label,
-         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, label) AS rn
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
   FROM cell_scores
 ),
-assigned AS (SELECT vec_id, label AS cell FROM ranked_cells WHERE rn = 1),
+assigned AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
 probe_cells AS (
-  SELECT vec_id AS probe_id, label AS cell
+  SELECT vec_id AS probe_id, cid AS cell
   FROM ranked_cells WHERE vec_id < {N_PROBES} AND rn <= {N_PROBE_CELLS}
 ),
 cand AS (

@@ -93,6 +93,7 @@ def jdbc_options(
     table: str,
     user: str | None = None,
     password: str | None = None,
+    driver: str | None = None,
     partition_column: str | None = None,
     num_partitions: int | None = None,
     lower_bound: int | None = None,
@@ -110,6 +111,8 @@ def jdbc_options(
         opts["user"] = user
     if password:
         opts["password"] = password
+    if driver:
+        opts["driver"] = driver
     if partition_column is not None:
         if num_partitions is None or lower_bound is None or upper_bound is None:
             raise ValueError(
@@ -127,7 +130,9 @@ def jdbc_options(
 
 
 def read_jdbc(spark: SparkSession, **kwargs) -> DataFrame:
-    """Lazy federated read; connects only when an action runs (needs the
-    JDBC driver jar on the classpath — not present in this container,
-    so tests cover option construction, not the connection)."""
+    """Lazy federated read; connects only when an action runs. Needs a
+    JDBC driver jar on the classpath — Spark ships embedded Derby, which
+    the tests use for a real connection-level round-trip (write via
+    Spark JDBC, read back partitioned); MySQL/Postgres (the reference's
+    backends, base.go:38-66) are the same option dict with their jar."""
     return spark.read.format("jdbc").options(**jdbc_options(**kwargs)).load()

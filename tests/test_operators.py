@@ -87,7 +87,21 @@ def test_ivf_topk_shape_and_consistency(spark, tables, sf_dir):
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
     recall = len({(r.probe_id, r.neighbor_id) for r in rows} & exact) / len(exact)
-    assert recall >= 0.2  # nprobe=2 of nlist cells; exact recall is data-dependent
+    # nprobe=2 of KMEANS_K=10 cells scans ~20% of the data; isotropic
+    # random fixtures are IVF's worst case (no cluster structure), so
+    # expected recall sits near the scan fraction. Measured 0.28 at
+    # sf0.01 with learned k-means centroids; reported in bench.py.
+    assert recall >= 0.15
+
+
+def test_kmeans_centroids_deterministic(spark, tables, sf_dir):
+    """Lloyd's k-means is seedless-deterministic: same centroids on
+    every run (md5 init, 6-dp rounding each iteration)."""
+    c1 = {r.cid: r.centroid for r in similarity.kmeans_centroids(spark).collect()}
+    c2 = {r.cid: r.centroid for r in similarity.kmeans_centroids(spark).collect()}
+    assert c1 == c2
+    assert 0 < len(c1) <= similarity.KMEANS_K
+    assert all(len(v) == similarity.N_DIM for v in c1.values())
 
 
 def test_lsh_topk_recall_vs_exact(spark, tables, sf_dir):

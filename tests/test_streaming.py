@@ -112,3 +112,58 @@ def test_stateful_summary_state_survives_micro_batches(spark, tmp_path):
     # one emission per micro-batch; the later one accumulates state
     assert emissions[-1] == (3, 6.0)
     assert len(emissions) == 2 and emissions[0] in {(1, 3.0), (2, 3.0)}
+
+
+def test_dedup_within_watermark_evicts_state_vs_plain_dedup(spark, tmp_path):
+    """Watermark EVICTION differential (VERDICT r02 ask #10): a duplicate
+    event_id arriving after the watermark has passed the first
+    occurrence's retention window is re-emitted by
+    dropDuplicatesWithinWatermark (state was evicted — bounded state)
+    but still suppressed by plain dropDuplicates (state never evicted
+    when the key omits the event-time column — unbounded state). Same
+    three micro-batches, different answers: that asymmetry IS the
+    eviction."""
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 10:05:00", 1.0)],
+        # advances the watermark to 11:50 -> id=1 state (expires 10:10)
+        # is evicted from the within-watermark store
+        [(50, "2024-01-01 12:00:00", 1.0)],
+        # duplicate id=1, event time 12:05 (not late vs 11:50 watermark)
+        [(1, "2024-01-01 12:05:00", 9.0)],
+    ]
+    emitted = {}
+    for label, within in (("within", True), ("plain", False)):
+        src = str(tmp_path / f"dedup_{label}")
+        os.makedirs(src, exist_ok=True)
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp_ltz, v double")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+        )
+        stream = (
+            stream.dropDuplicatesWithinWatermark(["event_id"])
+            if within
+            else stream.dropDuplicates(["event_id"])
+        )
+        name = f"dw_{label}_{uuid.uuid4().hex[:6]}"
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            for rows in batches:
+                _write_batch(spark, src, rows)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        counts = {}
+        for r in spark.table(name).collect():
+            counts[r.event_id] = counts.get(r.event_id, 0) + 1
+        emitted[label] = counts
+
+    assert emitted["within"][1] == 2  # re-admitted after eviction
+    assert emitted["plain"][1] == 1  # unbounded state still suppresses
+    assert emitted["within"][2] == emitted["plain"][2] == 1
+    assert emitted["within"][50] == emitted["plain"][50] == 1
