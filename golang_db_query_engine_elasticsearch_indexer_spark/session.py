@@ -38,10 +38,13 @@ FIXTURE_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Fixture columns stored as parquet TIMESTAMP(NANOS): with
-# spark.sql.legacy.parquet.nanosAsLong they surface as LongType
-# nanoseconds and are converted to timestamp_ntz (DuckDB-naive
-# semantics, parquet isAdjustedToUTC=false) at registration.
+# Timestamp columns across fixture generations. Current fixtures store
+# parquet TIMESTAMP(MICROS), which surfaces natively as timestamp_ntz
+# (isAdjustedToUTC=false) — no conversion. Older generations stored
+# TIMESTAMP(NANOS); with spark.sql.legacy.parquet.nanosAsLong those
+# surface as LongType nanoseconds, and register_sf_dir converts them to
+# timestamp_ntz. The conversion is gated on the SURFACED type (LongType),
+# i.e. on the parquet footer — never on an assumed unit.
 NANO_TS_COLUMNS = {"l_shipdate", "o_orderdate", "ts"}
 
 
@@ -77,9 +80,10 @@ def build_session(
         # default so timestamp literals/functions agree with the oracle.
         .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Fixture parquet stores TIMESTAMP(NANOS) (TESTDATA.md), which the
-        # vectorized reader rejects; read as long and convert at
-        # registration (register_sf_dir) to timestamp_ntz.
+        # Robustness against TIMESTAMP(NANOS) fixture generations (which
+        # the vectorized reader otherwise rejects): surface nanos as long
+        # and convert at registration (register_sf_dir). Current fixtures
+        # are TIMESTAMP(MICROS) and read natively; this conf is then inert.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -15,29 +15,43 @@ source; watermarks bound state, window aggs shuffle once per trigger on
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
+from pyspark.sql.types import LongType
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded file stream of the events fixture with the nanos->ntz
-    conversion the batch registry applies (session.register_sf_dir)."""
+    """Bounded file stream of the events fixture.
+
+    The stream schema is DERIVED from the parquet footer (a batch
+    metadata-only read), never assumed: current fixtures store ``ts``
+    as TIMESTAMP(MICROS) which surfaces directly as timestamp_ntz;
+    older generations stored TIMESTAMP(NANOS), which (under
+    ``nanosAsLong``) surfaces as LongType nanoseconds and gets the same
+    ns->ntz conversion the batch registry applies
+    (session.register_sf_dir). This keeps stream and batch readers
+    agreeing with each other — and with the DuckDB oracle — whichever
+    way the fixtures were written.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # footer-only, no data scan
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # Event time must be TIMESTAMP (ltz) for watermarks/session windows;
-    # with the UTC session the wall clock equals the stored naive value,
-    # so string renderings still match the DuckDB oracle.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # Watermarks demand TIMESTAMP (ltz); the UTC session makes the
+        # ntz->ltz cast identity on rendered values, so window starts
+        # still string-match the DuckDB oracle's naive timestamps.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return raw
 
 
 def _run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
