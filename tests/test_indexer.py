@@ -11,6 +11,7 @@ from golang_db_query_engine_elasticsearch_indexer_spark import indexer
 from golang_db_query_engine_elasticsearch_indexer_spark.gateway import query_df
 from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (
     ElasticsearchSink,
+    HttpBulkSink,
     JsonlIndexSink,
     save,
     with_positional_ids,
@@ -171,3 +172,42 @@ def test_es_sink_option_parity():
     assert opts["es.index.auto.create"] == "true"
     assert opts["es.mapping.id"] == indexer.ID_COL
     assert opts["es.net.http.auth.user"] == "u"
+
+
+def test_save_releases_positional_cache(spark, tables, sink):
+    """save() must not leak the sorted positional-ID cache: after the
+    sink write completes the persisted frame is released (try/finally
+    in indexer.save)."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    save(spark, SQL, "released", sink)
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+
+
+def test_http_bulk_interval_flush(spark, tables, es_stub):
+    """Time-based flush parity (30 s FlushInterval,
+    elastic_controller.go:149): with the interval forced to 0 every doc
+    trips the elapsed-interval check, so each one flushes in its own
+    bulk request — proving the time path fires independently of the
+    5 MB size threshold."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import HttpBulkSink
+
+    stub = es_stub()
+    sink = HttpBulkSink(stub.base_url, flush_interval_sec=0.0)
+    n = spark.sql(SQL).count()
+    stats = save(spark, SQL, "ticked", sink)
+    assert stats.num_docs == n and len(stub.docs("ticked")) == n
+    assert stub.bulk_requests >= n
+
+
+def test_http_bulk_auth_and_url_normalization():
+    """Credentials ride as a Basic Authorization header
+    (ELASTICSEARCH_USERNAME/PASSWORD parity, elastic_controller.go:54-62)
+    and a scheme-less host (the reference's .env style) is normalized."""
+    import base64
+
+    s = HttpBulkSink("es1:9200", username="u", password="p")
+    assert s.base_url == "http://es1:9200"
+    auth = s._headers()["Authorization"]
+    assert auth == "Basic " + base64.b64encode(b"u:p").decode()
+    assert "Authorization" not in HttpBulkSink("http://es1:9200")._headers()

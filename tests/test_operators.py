@@ -87,11 +87,13 @@ def test_ivf_topk_shape_and_consistency(spark, tables, sf_dir):
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
     recall = len({(r.probe_id, r.neighbor_id) for r in rows} & exact) / len(exact)
-    # nprobe=2 of KMEANS_K=10 cells scans ~20% of the data; isotropic
+    # nprobe=5 of KMEANS_K=10 cells scans ~half the data; isotropic
     # random fixtures are IVF's worst case (no cluster structure), so
-    # expected recall sits near the scan fraction. Measured 0.28 at
-    # sf0.01 with learned k-means centroids; reported in bench.py.
-    assert recall >= 0.15
+    # expected recall sits near the scan fraction. The floor is the
+    # operating point the engine ships at (reported in bench.py);
+    # nprobe is exposed on ivf_topk for callers wanting a different
+    # recall/latency tradeoff.
+    assert recall >= 0.5
 
 
 def test_kmeans_centroids_deterministic(spark, tables, sf_dir):
