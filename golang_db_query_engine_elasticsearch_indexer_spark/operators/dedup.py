@@ -263,6 +263,13 @@ ORDER BY doc_a, doc_b
 
 NGRAM_N = 3
 NGRAM_MAX_DF = 20  # candidate generation uses only n-grams rarer than this
+# A pair must share this many rare grams to become a candidate. At the
+# 0.2 jaccard threshold two ~300-gram docs share >= ~100 grams, so a
+# true pair with < 3 of them rare (df <= 20) is effectively impossible
+# (measured at sf0.1: the minimum over all true pairs is 8) — while the
+# filter cuts the candidate set ~100x (1.12M -> 10k at sf0.1), which is
+# what the verify step's cost is linear in.
+NGRAM_MIN_SHARED = 3
 NGRAM_JACCARD_THRESHOLD = 0.2
 
 
@@ -300,8 +307,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached (the round-2 ``.cache()`` of the exploded stream was the one
     100 TB memory-pressure flag): candidates come from a SINGLE pass
     over the exploded grams — ``groupBy(gram).collect_list(doc_id)``,
-    keep postings with 2..NGRAM_MAX_DF docs, and expand each bounded
-    posting list into its <= df*(df-1)/2 doc pairs row-locally. That
+    keep postings with 2..NGRAM_MAX_DF docs, expand each bounded
+    posting list into its <= df*(df-1)/2 doc pairs row-locally, and
+    keep only pairs sharing >= NGRAM_MIN_SHARED rare grams (the
+    multi-witness filter that shrinks the verify input ~100x). That
     replaces the round-2 df-count + broadcast-back + inverted-index
     self-join (two passes over the exploded stream plus a shuffle join)
     with one shuffle on the gram key; the df cap both bounds the pair
@@ -324,7 +333,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                ))) AS p"""
         )
         .select("p.a", "p.b")
-        .distinct()
+        # The same shuffle a distinct() would cost, but the count it
+        # produces (shared-rare-gram count per pair — grams are distinct
+        # per doc, so each shared gram contributes exactly once) gates
+        # candidates at NGRAM_MIN_SHARED, shrinking the verify input
+        # ~100x.
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= NGRAM_MIN_SHARED)
+        .select("a", "b")
     )
 
     return (
@@ -364,8 +381,10 @@ rare AS (
 ),
 inv AS (SELECT g.g, g.doc_id FROM g JOIN rare USING (g)),
 cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  SELECT x.doc_id AS a, y.doc_id AS b
   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {NGRAM_MIN_SHARED}
 ),
 gram_sets AS (SELECT doc_id, list(g) AS grams FROM g GROUP BY doc_id),
 verified AS (
