@@ -274,6 +274,52 @@ ORDER BY user_id
 """
 
 
+def stream_index_events(
+    spark: SparkSession,
+    sf_dir: str,
+    sink,
+    index_name: str = "events_stream",
+) -> dict:
+    """Continuous indexing: events stream -> ``foreachBatch`` -> bulk
+    sink — the reference's save pipeline (elastic_controller.go:253-301)
+    lifted onto Structured Streaming, which the batch-only reference
+    cannot do at all.
+
+    Each micro-batch bulk-writes through the SAME pluggable sink the
+    batch path uses (JsonlIndexSink / HttpBulkSink — whose
+    flush-interval now matters, see HttpBulkSink docstring). Doc
+    identity is the natural key ``event_id``: positional IDs are
+    undefined under unbounded input, so the stream path upserts by key
+    — re-delivered events overwrite themselves, making the sink
+    idempotent under at-least-once delivery (the property that makes
+    this safe on a real cluster).
+
+    Returns accumulated run stats: {docs, failed, batches}.
+    """
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import ID_COL
+
+    totals = {"docs": 0, "failed": 0, "batches": 0}
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with_id = batch_df.withColumn(ID_COL, F.col("event_id").cast("string"))
+        stats = sink.write(batch_df.sparkSession, with_id, index_name)
+        totals["docs"] += stats.num_docs
+        totals["failed"] += stats.num_failed
+        totals["batches"] += 1
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(_write_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return totals
+
+
 def registry() -> dict[str, dict]:
     return {
         "stream_tumbling_counts": {"fn": tumbling_counts, "oracle": TUMBLING_ORACLE},

@@ -167,3 +167,31 @@ def test_dedup_within_watermark_evicts_state_vs_plain_dedup(spark, tmp_path):
     assert emitted["plain"][1] == 1  # unbounded state still suppresses
     assert emitted["within"][2] == emitted["plain"][2] == 1
     assert emitted["within"][50] == emitted["plain"][50] == 1
+
+
+def test_stream_index_events_into_bulk_sink(spark, tables, sf_dir):
+    """Streaming ingest -> ES bulk sink: the save pipeline over
+    foreachBatch. Every event lands exactly once, keyed by its natural
+    event_id (idempotent upsert under at-least-once delivery)."""
+    from es_stub import StubES
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import HttpBulkSink
+    from golang_db_query_engine_elasticsearch_indexer_spark.streaming import (
+        stream_index_events,
+    )
+
+    stub = StubES()
+    stub.start()
+    try:
+        sink = HttpBulkSink(stub.base_url)
+        totals = stream_index_events(spark, sf_dir, sink, index_name="ev_stream")
+        n = spark.table("events").count()
+        assert totals["docs"] == n and totals["failed"] == 0
+        assert totals["batches"] >= 1
+        docs = stub.docs("ev_stream")
+        assert len(docs) == n
+        ids = {str(r.event_id) for r in spark.table("events").select("event_id").collect()}
+        assert set(docs) == ids
+        assert "event_type" in docs[next(iter(ids))]
+    finally:
+        stub.stop()
