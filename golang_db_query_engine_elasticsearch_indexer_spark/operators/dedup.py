@@ -37,6 +37,46 @@ ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.25
 
 
+def _verify_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a, b) pairs against a
+    (doc_id, grams) relation, touching ``arrs`` ONCE.
+
+    Joining the pair relation to ``arrs`` per side would recompute the
+    tokenize+ngram scan twice and (at cluster scale, where the gram
+    relation exceeds the broadcast threshold) shuffle ALL documents'
+    gram arrays twice. Instead each pair fans out to its two member
+    rows, joins the gram relation once, and regroups per pair pulling
+    each side's array back out — the re-group shuffles only the
+    candidate-matched arrays (2 x |cand|, far below |docs| after
+    candidate gating). ``max(CASE WHEN ...)`` is the standard
+    pivot-by-tag: exactly one non-null per side per pair.
+    Output: (doc_a, doc_b, jaccard) at >= threshold.
+    """
+    sides = cand.selectExpr("a", "b", "explode(array(a, b)) AS doc_id")
+    return (
+        sides.join(arrs, "doc_id")
+        .groupBy("a", "b")
+        .agg(
+            F.max(F.when(F.col("doc_id") == F.col("a"), F.col("grams"))).alias("ga"),
+            F.max(F.when(F.col("doc_id") == F.col("b"), F.col("grams"))).alias("gb"),
+        )
+        .selectExpr(
+            "a AS doc_a",
+            "b AS doc_b",
+            "size(array_intersect(ga, gb)) AS inter",
+            "size(ga) AS na",
+            "size(gb) AS nb",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "round(inter / (na + nb - inter), 4) AS jaccard",
+        )
+        .where(f"jaccard >= {threshold}")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -178,30 +218,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Verify with array_intersect on per-doc shingle arrays (already
     # distinct): one codegen'd expression per candidate pair, linear in
-    # candidates. The arrays come straight from the map-only relation —
-    # recomputing the scan is cheaper (and scale-safer) than caching an
-    # exploded token stream.
-    return (
-        cand.join(
-            sh.select(F.col("doc_id").alias("a"), F.col("shs").alias("ga")), "a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("b"), F.col("shs").alias("gb")), "b"
-        )
-        .selectExpr(
-            "a AS doc_a",
-            "b AS doc_b",
-            "size(array_intersect(ga, gb)) AS inter",
-            "size(ga) AS na",
-            "size(gb) AS nb",
-        )
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            "round(inter / (na + nb - inter), 4) AS jaccard",
-        )
-        .where(f"jaccard >= {JACCARD_THRESHOLD}")
-        .orderBy("doc_a", "doc_b")
+    # candidates; the shared one-scan verify touches the map-only
+    # shingle relation once (see _verify_jaccard) — recomputing that
+    # scan is cheaper (and scale-safer) than caching an exploded token
+    # stream.
+    return _verify_jaccard(
+        cand, sh.withColumnRenamed("shs", "grams"), JACCARD_THRESHOLD
     )
 
 
@@ -344,28 +366,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
 
-    return (
-        cand.join(
-            arrs.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga")), "a"
-        )
-        .join(
-            arrs.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb")), "b"
-        )
-        .selectExpr(
-            "a AS doc_a",
-            "b AS doc_b",
-            "size(array_intersect(ga, gb)) AS inter",
-            "size(ga) AS na",
-            "size(gb) AS nb",
-        )
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            "round(inter / (na + nb - inter), 4) AS jaccard",
-        )
-        .where(f"jaccard >= {NGRAM_JACCARD_THRESHOLD}")
-        .orderBy("doc_a", "doc_b")
-    )
+    return _verify_jaccard(cand, arrs, NGRAM_JACCARD_THRESHOLD)
 
 
 def _duck_ngram_oracle() -> str:
