@@ -51,11 +51,13 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup_counts",
     "stream_dedup_within_watermark",
     "stream_stateful_user_summary",
-    # (b) code changed in round 4
+    # (b) code changed or added in round 4
     "ann_ivf_topk",
     "q7_volume_shipping",
     "q9_product_type_profit",
     "indexer_positional_ids",
+    "text_repetition",
+    "corpus_source_stats",
     # (c) cohort last driver-checked in r02
     "events_sessionization",
     "events_funnel",
@@ -96,8 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_stats",
     "agg_group_concat",
     "agg_having",
-    "agg_filtered",
-    "agg_percentile",
 )
 
 

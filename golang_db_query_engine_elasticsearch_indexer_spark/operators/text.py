@@ -228,6 +228,118 @@ ORDER BY doc_id
 """
 
 
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    rules, the deterministic subset): duplicate-token ratio, most-
+    frequent-token fraction, and duplicate-bigram fraction. High values
+    mark boilerplate/spam for corpus filtering.
+
+    Everything is a row-local array expression (whole-stage codegen,
+    zero shuffles — a map-only pass at any scale). The per-token
+    frequency scan is O(tokens^2) per document but token counts are
+    bounded per row, not per partition.
+    """
+    toks = TOKENS
+    total_bg = f"greatest(size({toks}) - 1, 0)"
+    return spark.table("documents").selectExpr(
+        "doc_id",
+        f"size({toks}) AS n_tokens",
+        f"round(1.0 - size(array_distinct({toks})) / size({toks}), 4) AS dup_token_ratio",
+        f"""round(array_max(transform(array_distinct({toks}),
+               d -> size(filter({toks}, w -> w = d)))) / size({toks}), 4)
+            AS top_token_frac""",
+        f"""round(CASE WHEN {total_bg} = 0 THEN 0.0
+                  ELSE 1.0 - size({spark_bigrams()}) / {total_bg} END, 4)
+            AS dup_bigram_frac""",
+    ).orderBy("doc_id")
+
+
+def spark_bigrams() -> str:
+    """Distinct word bigrams of the canonical token array (Spark)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import spark_ngrams
+
+    return spark_ngrams(2, TOKENS)
+
+
+REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 4) AS dup_token_ratio,
+       round(list_max(list_transform(list_distinct(toks),
+             d -> len(list_filter(toks, w -> w = d)))) * 1.0 / len(toks), 4) AS top_token_frac,
+       round(CASE WHEN greatest(len(toks) - 1, 0) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1]))) * 1.0 / greatest(len(toks) - 1, 0) END, 4)
+         AS dup_bigram_frac
+FROM t
+ORDER BY doc_id
+"""
+
+
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup — the report a corpus pipeline cuts
+    mixing decisions from: document count, token volume, mean quality
+    composite, and exact-duplicate rate within the source.
+
+    One groupBy on the (low-cardinality) source key; the quality and
+    hash features are row-local, so the shuffle moves one row of
+    partial aggregates per (partition, source).
+    """
+    stop = _array_lit(LANG_STOPWORDS["en"])
+    per_doc = spark.table("documents").selectExpr(
+        "source",
+        f"size({TOKENS}) AS n_tokens",
+        "sha2(text, 256) AS h",
+        f"""  0.4 * least(size({TOKENS}) / 100.0, 1.0)
+            + 0.4 * (size(filter({TOKENS}, w -> array_contains({stop}, w))) / size({TOKENS}))
+            + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))
+          AS quality""",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(
+                1 - F.countDistinct("h") / F.count("*"), 4
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_STATS_ORACLE = r"""
+WITH t AS (
+  SELECT source,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         sha256(text) AS h,
+         text
+  FROM documents
+),
+q AS (
+  SELECT source, len(toks) AS n_tokens, h,
+           0.4 * least(len(toks) / 100.0, 1.0)
+         + 0.4 * (len(list_filter(toks, w -> list_contains({en}, w))) * 1.0 / len(toks))
+         + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
+         AS quality
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 4) AS avg_quality,
+       round(1 - count(DISTINCT h) * 1.0 / count(*), 4) AS exact_dup_rate
+FROM q
+GROUP BY source
+ORDER BY source
+""".format(en=_list_lit(LANG_STOPWORDS["en"]))
+
+
 def registry() -> dict[str, dict]:
     return {
         "text_token_count": {"fn": token_count, "oracle": TOKEN_COUNT_ORACLE},
@@ -235,4 +347,6 @@ def registry() -> dict[str, dict]:
         "text_lang_id": {"fn": lang_id, "oracle": LANG_ID_ORACLE},
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
+        "text_repetition": {"fn": repetition, "oracle": REPETITION_ORACLE},
+        "corpus_source_stats": {"fn": source_stats, "oracle": SOURCE_STATS_ORACLE},
     }
