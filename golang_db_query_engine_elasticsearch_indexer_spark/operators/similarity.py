@@ -402,38 +402,48 @@ def _kmeans_cents(
     Spark-side, so every collected value is one the oracle's SQL also
     computes; Python only shuttles exact doubles.
     """
+    # The sample is constant-size (KMEANS_SAMPLE_N rows) no matter the
+    # corpus, so pinning it for the training scope is legitimate at any
+    # scale — without it the seed draw and every Lloyd pass would each
+    # rerun the full-table top-N scan. Released in the finally: the
+    # trainer returns plain Python data, nothing downstream can hold
+    # the cache.
     samp = (
         _with_norm(spark.table("embeddings"))
         .withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
         .limit(KMEANS_SAMPLE_N)
         .select("embedding", "norm", "h")
+        .persist()
     )
-    seed_rows = (
-        samp.orderBy("h")
-        .limit(k)
-        .selectExpr("transform(embedding, x -> round(cast(x AS double), 6)) AS c")
-        .collect()
-    )
-    cents = [
-        (i + 1, list(r["c"]), _l2(r["c"])) for i, r in enumerate(seed_rows)
-    ]
-    for _ in range(iters):
-        nearest = f"array_max({_scored_cells_expr(_centroid_array_expr(cents))}).cid"
-        stats = (
-            samp.select(F.expr(nearest).alias("cid"), "embedding")
-            .select("cid", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+    try:
+        seed_rows = (
+            samp.orderBy("h")
+            .limit(k)
+            .selectExpr("transform(embedding, x -> round(cast(x AS double), 6)) AS c")
             .collect()
-        )  # k * N_DIM rows — constant-size
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in stats:
-            by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cv"])
+        )
         cents = [
-            (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
-            for cid, dims in sorted(by_cid.items())
+            (i + 1, list(r["c"]), _l2(r["c"])) for i, r in enumerate(seed_rows)
         ]
+        for _ in range(iters):
+            nearest = f"array_max({_scored_cells_expr(_centroid_array_expr(cents))}).cid"
+            stats = (
+                samp.select(F.expr(nearest).alias("cid"), "embedding")
+                .select("cid", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+                .collect()
+            )  # k * N_DIM rows — constant-size
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in stats:
+                by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cv"])
+            cents = [
+                (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
+                for cid, dims in sorted(by_cid.items())
+            ]
+    finally:
+        samp.unpersist()
     return cents
 
 
