@@ -285,12 +285,15 @@ ORDER BY doc_a, doc_b
 
 NGRAM_N = 3
 NGRAM_MAX_DF = 20  # candidate generation uses only n-grams rarer than this
-# A pair must share this many rare grams to become a candidate. At the
-# 0.2 jaccard threshold two ~300-gram docs share >= ~100 grams, so a
-# true pair with < 3 of them rare (df <= 20) is effectively impossible
-# (measured at sf0.1: the minimum over all true pairs is 8) — while the
-# filter cuts the candidate set ~100x (1.12M -> 10k at sf0.1), which is
-# what the verify step's cost is linear in.
+# A pair must share this many rare grams to become a candidate — capped
+# at the information-theoretic minimum for the pair's sizes (a pair at
+# jaccard >= t shares >= t/(1+t) * (na+nb) grams total; with t = 0.2
+# that's (na+nb)/6, so a short-doc pair, e.g. two identical 3-token
+# docs with one trigram, is still admitted on 1 shared gram). At the
+# fixture's ~300-gram docs a true pair with < 3 RARE shared grams is
+# effectively impossible (measured minimum over true pairs at sf0.1:
+# 8), and the gate cuts the candidate set ~100x (1.12M -> 10k at
+# sf0.1), which is what the verify step's cost is linear in.
 NGRAM_MIN_SHARED = 3
 NGRAM_JACCARD_THRESHOLD = 0.2
 
@@ -341,28 +344,37 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
     arrs = _gram_arrays_df(spark)
-    g = arrs.selectExpr("doc_id", "explode(grams) AS g")
+    g = arrs.selectExpr("doc_id", "size(grams) AS sz", "explode(grams) AS g")
 
+    # Postings carry (doc_id, gram-count) so the witness gate below can
+    # apply the per-pair size-aware bound; doc_id is unique within a
+    # posting (grams are distinct per doc), so the sort is total.
     cand = (
         g.groupBy("g")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("docs"))
         .where(F.size("docs").between(2, NGRAM_MAX_DF))
         .selectExpr(
             """explode(flatten(transform(
                  sequence(1, size(docs) - 1),
                  i -> transform(sequence(0, i - 1),
-                                j -> struct(docs[j] AS a, docs[i] AS b))
+                                j -> struct(docs[j].doc_id AS a, docs[j].sz AS sza,
+                                            docs[i].doc_id AS b, docs[i].sz AS szb))
                ))) AS p"""
         )
-        .select("p.a", "p.b")
+        .select("p.a", "p.sza", "p.b", "p.szb")
         # The same shuffle a distinct() would cost, but the count it
         # produces (shared-rare-gram count per pair — grams are distinct
         # per doc, so each shared gram contributes exactly once) gates
-        # candidates at NGRAM_MIN_SHARED, shrinking the verify input
-        # ~100x.
-        .groupBy("a", "b")
+        # candidates at least(NGRAM_MIN_SHARED, ceil((sza+szb)/6)) —
+        # the cap is the t/(1+t) bound at t=0.2, so short docs are
+        # never gated harder than a true pair could satisfy. Shrinks
+        # the verify input ~100x.
+        .groupBy("a", "sza", "b", "szb")
         .agg(F.count("*").alias("n_shared"))
-        .where(F.col("n_shared") >= NGRAM_MIN_SHARED)
+        .where(
+            F.col("n_shared")
+            >= F.expr(f"least({NGRAM_MIN_SHARED}, greatest(1, (sza + szb + 5) div 6))")
+        )
         .select("a", "b")
     )
 
@@ -381,11 +393,14 @@ rare AS (
   WHERE df BETWEEN 2 AND {NGRAM_MAX_DF}
 ),
 inv AS (SELECT g.g, g.doc_id FROM g JOIN rare USING (g)),
+sizes0 AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
 cand AS (
   SELECT x.doc_id AS a, y.doc_id AS b
   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-  GROUP BY 1, 2
-  HAVING count(*) >= {NGRAM_MIN_SHARED}
+  JOIN sizes0 sa ON sa.doc_id = x.doc_id
+  JOIN sizes0 sb ON sb.doc_id = y.doc_id
+  GROUP BY 1, 2, sa.sz, sb.sz
+  HAVING count(*) >= least({NGRAM_MIN_SHARED}, greatest(1, (sa.sz + sb.sz + 5) // 6))
 ),
 gram_sets AS (SELECT doc_id, list(g) AS grams FROM g GROUP BY doc_id),
 verified AS (

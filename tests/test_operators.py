@@ -183,3 +183,27 @@ def test_binary_features_match_python_hash(spark, tables, sf_dir):
     )
     assert row.md5_hex == hashlib.md5(text.encode()).hexdigest()
     assert row.n_bytes == len(text.encode())
+
+
+def test_ngram_jaccard_short_doc_pairs_survive_witness_gate(spark, tables, sf_dir):
+    """The multi-witness candidate gate is capped at the per-pair
+    information-theoretic bound: two identical 3-token docs have ONE
+    trigram (1 shared gram < NGRAM_MIN_SHARED) yet are a jaccard=1.0
+    pair — they must still be found."""
+    rows = [
+        (9101, "alpha beta gamma", "en", "srcY", 16),
+        (9102, "alpha beta gamma", "en", "srcY", 16),  # identical, 1 trigram
+        (9103, "unrelated words entirely different here", "en", "srcY", 39),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        pairs = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+        }
+        assert pairs == {(9101, 9102): 1.0}
+    finally:
+        tables["documents"].createOrReplaceTempView("documents")
