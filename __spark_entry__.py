@@ -58,6 +58,9 @@ _PRIORITY: tuple[str, ...] = (
     "indexer_positional_ids",
     "text_repetition",
     "corpus_source_stats",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_survivors",
     # (c) cohort last driver-checked in r02
     "events_sessionization",
     "events_funnel",
@@ -95,9 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     "subquery_not_in",
     "subquery_derived_table",
     "agg_count_distinct",
-    "agg_stats",
-    "agg_group_concat",
-    "agg_having",
 )
 
 

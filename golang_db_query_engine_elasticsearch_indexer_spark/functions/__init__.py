@@ -77,11 +77,26 @@ def hash16(md5_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def seeded_min_md5(seed: int, col: str = "sh") -> str:
-    """One MinHash component: min over md5(seed || value) — a
-    deterministic, engine-independent permutation surrogate (both
-    dialects spell it identically)."""
-    return f"min(md5('{seed}|' || {col}))"
+def hex_prefix_int(md5_expr: str, digits: int = 12) -> str:
+    """Non-negative integer from the first ``digits`` hex digits of an
+    md5 expression (digits <= 15 keeps the value < 2^60, safely inside
+    BIGINT for downstream multiply-mod arithmetic).
+
+    Same instr/substring arithmetic as hash16, generalized: parses and
+    evaluates identically in Spark SQL and DuckDB — the portable
+    primitive under MinHash permutations and any hashing that needs
+    wide integers.
+    """
+    terms = [
+        # cast keeps the arithmetic in BIGINT from the first multiply:
+        # small power-of-16 literals would otherwise parse as INT and
+        # overflow under Spark ANSI mode. `cast(.. AS bigint)` parses in
+        # both dialects.
+        f"(instr('{HEX}', substring({md5_expr}, {k + 1}, 1)) - 1) "
+        f"* cast({16 ** (digits - 1 - k)} AS bigint)"
+        for k in range(digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 # --- n-gram builders -------------------------------------------------------

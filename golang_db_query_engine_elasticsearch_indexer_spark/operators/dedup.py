@@ -28,6 +28,7 @@ from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
     TOKENS,
     duck_ngrams,
     hash16 as _hash16,
+    hex_prefix_int as _hex_prefix_int,
     spark_ngrams,
 )
 
@@ -35,6 +36,27 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.25
+
+# MinHash permutation family: each shingle is hashed ONCE to a 48-bit
+# integer v (12 hex digits of md5), and the i-th signature component is
+# min over shingles of (a_i*v + b_i) mod p — the classic linear-
+# congruential permutation surrogate. One md5 per shingle instead of
+# N_HASHES of them: hashing is the dominant map-side CPU of minhash at
+# corpus scale, so this is a ~16x cut in that term. p MUST be far below
+# the 48-bit value range: with a large modulus (2^61-1 was tried) a_i*v
+# almost never wraps, the map is monotonic in v, every component picks
+# the same argmin shingle, and band buckets collapse into giant
+# clusters. p = 2^31-1 makes each map wrap ~a_i*2^17 times (genuine
+# mixing) while a_i < 2^15 keeps a_i*v + b_i < 2^63 (no BIGINT
+# overflow in either engine). Constants are fixed primes/offsets —
+# pure integer arithmetic both engines compute identically.
+MINHASH_PRIME = (1 << 31) - 1
+MINHASH_PERMS = (
+    (10007, 3), (10009, 14), (10037, 159), (10039, 2653),
+    (10061, 589), (10067, 793), (10069, 2384), (10079, 6264),
+    (10091, 3383), (10093, 2795), (10099, 288), (10103, 4197),
+    (10111, 1693), (10133, 9937), (10139, 5105), (10141, 8209),
+)
 
 
 def _verify_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
@@ -178,23 +200,33 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash(16) + LSH banding (4 bands x 4 rows),
     exact-jaccard-verified at >= 0.25.
 
-    The minhash function is ``min(md5(seed || shingle))`` — a
-    deterministic, engine-independent permutation surrogate, computed as
-    a row-local ``array_min`` over the per-doc shingle array: signature
-    generation is MAP-ONLY (no explode, no groupBy, no cache). The only
-    shuffles in the whole operator are the band-bucket candidate
-    self-join and the two verify joins — the minimum this problem
-    admits. Banding sends each doc to 4 bucket keys; only same-bucket
-    pairs are verified, which is what keeps the pair count sub-quadratic
-    at scale. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    Signatures use the linear-permutation family (MINHASH_PERMS): one
+    md5 per shingle decoded to a 48-bit integer, then 16 multiply-mod
+    permutations folded with row-local ``array_min`` over the per-doc
+    shingle array — signature generation is MAP-ONLY (no explode, no
+    groupBy, no cache) and hashes each shingle once, not once per
+    component. The only shuffles in the whole operator are the
+    band-bucket candidate self-join and the verify join — the minimum
+    this problem admits. Banding sends each doc to 4 bucket keys; only
+    same-bucket pairs are verified, which is what keeps the pair count
+    sub-quadratic at scale. Output: (doc_a, doc_b, jaccard) with
+    doc_a < doc_b.
     """
     sh = _shingle_arrays_df(spark)
 
+    # vs is aliased once and referenced N_HASHES times: CollapseProject
+    # keeps the expensive md5+decode transform un-inlined, so each
+    # shingle is hashed exactly once per scan. The inner transform
+    # materializes md5 per shingle BEFORE the 12-term hex decode so the
+    # decode's 12 references hit a lambda variable, not 12 md5 calls.
     sigs = sh.selectExpr(
         "doc_id",
+        f"transform(transform(shs, s -> md5(s)), m -> {_hex_prefix_int('m', 12)}) AS vs",
+    ).selectExpr(
+        "doc_id",
         *[
-            f"array_min(transform(shs, s -> md5(concat('{i}|', s)))) AS h{i}"
-            for i in range(N_HASHES)
+            f"array_min(transform(vs, v -> ({a}L * v + {b}L) % {MINHASH_PRIME}L)) AS h{i}"
+            for i, (a, b) in enumerate(MINHASH_PERMS)
         ],
     )
     band_cols = [
@@ -229,7 +261,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_minhash_oracle() -> str:
     hash_aggs = ",\n           ".join(
-        f"min(md5('{i}|' || sh)) AS h{i}" for i in range(N_HASHES)
+        f"min(({a} * v + {b}) % {MINHASH_PRIME}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
     )
     band_exprs = ",\n           ".join(
         "md5(concat_ws('|', "
@@ -243,10 +276,14 @@ def _duck_minhash_oracle() -> str:
     )
     return f"""
 WITH sh AS ({DUCK_SHINGLES}),
+vals AS (
+  SELECT doc_id, {_hex_prefix_int("m", 12)} AS v
+  FROM (SELECT doc_id, md5(sh) AS m FROM sh)
+),
 sigs AS (
   SELECT doc_id,
            {hash_aggs}
-  FROM sh GROUP BY doc_id
+  FROM vals GROUP BY doc_id
 ),
 bandcols AS (
   SELECT doc_id,
