@@ -36,6 +36,16 @@ N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = 4
 JACCARD_THRESHOLD = 0.25
+# Band buckets larger than this produce no candidate pairs. A
+# mega-duplicated document (boilerplate repeated millions of times in a
+# real corpus) puts its whole clone set into one bucket; an unbounded
+# bucket join then goes quadratic in the clone count — the classic
+# 100 TB dedup failure mode. Identical docs belong to the EXACT dedup
+# pass (which handles any multiplicity in one groupBy); near-dup
+# banding only needs buckets small enough that pair expansion is
+# bounded (<= C(cap,2) pairs per bucket). Fixture maximum occupancy is
+# 4, so the cap is semantics-neutral there — it exists for the tail.
+MINHASH_MAX_BUCKET = 100
 
 # MinHash permutation family: each shingle is hashed ONCE to a 48-bit
 # integer v (12 hex digits of md5), and the i-th signature component is
@@ -240,11 +250,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_val)"
     )
 
-    x, y = bands.alias("x"), bands.alias("y")
+    # Candidates via capped bucket postings (same shape as the ngram
+    # inverted index) instead of a bands-self-join: ONE pass over the
+    # signature relation (a self-join computes the expensive signature
+    # subtree twice), collect_list state and pair fan-out both bounded
+    # by MINHASH_MAX_BUCKET, pairs expanded row-locally.
     cand = (
-        x.join(y, ["band_id", "band_val"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        bands.groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs").between(2, MINHASH_MAX_BUCKET))
+        .selectExpr(
+            """explode(flatten(transform(
+                 sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                                j -> struct(docs[j] AS a, docs[i] AS b))
+               ))) AS p"""
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -293,10 +315,15 @@ bandcols AS (
 bands AS (
 {band_union}
 ),
+occ AS (
+  SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY 1, 2
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM bands x JOIN bands y
     ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+  JOIN occ ON occ.band_id = x.band_id AND occ.band_val = x.band_val
+  WHERE occ.n <= {MINHASH_MAX_BUCKET}
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
