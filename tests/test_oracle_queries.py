@@ -82,3 +82,24 @@ def test_entry_smoke(spark, oracle_tables, sf_dir):
     df = entrymod.entry(spark)
     assert df.count() > 0
     register_sf_dir(spark, oracle_tables)
+
+
+def test_approx_sketches_within_tolerance(spark, oracle_tables, duck_oracle):
+    """The one no-oracle entry (engine-specific HLL/GK sketches) gets a
+    bounded local check instead of none: each approximate value must sit
+    within 10% of the exact answer DuckDB computes — so the entry is
+    'approximately verified', not merely 'runs'."""
+    rows = {r.l_returnflag: r for r in ALL["agg_approx_sketches"](spark, oracle_tables).collect()}
+    exact = duck_oracle.execute(
+        """
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS n,
+               median(l_extendedprice) AS med
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchall()
+    assert len(rows) == len(exact) > 0
+    for flag, n, med in exact:
+        got = rows[flag]
+        assert abs(got.approx_orders - n) <= 0.1 * n, (flag, got.approx_orders, n)
+        assert abs(float(got.approx_median_price) - float(med)) <= 0.1 * float(med)
