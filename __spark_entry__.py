@@ -61,6 +61,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_semantic_survivors",
+    "dedup_components",
     # (c) cohort last driver-checked in r02
     "events_sessionization",
     "events_funnel",
@@ -97,7 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_right_outer",
     "subquery_not_in",
     "subquery_derived_table",
-    "agg_count_distinct",
 )
 
 

@@ -484,6 +484,101 @@ ORDER BY doc_a, doc_b
 
 
 # ---------------------------------------------------------------------------
+# Transitive near-dup clustering (connected components)
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 30
+
+# Final labels of the previous connected_components call: the returned
+# DataFrame is consumed after the call returns, so its backing cache is
+# released on the NEXT call (bounds the footprint to one result, same
+# pattern as indexer.positional_ids_query).
+_cc_last_release: list[DataFrame] = []
+
+
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    verified minhash pair graph, labeled by the minimum doc_id in each
+    component — the step that turns pairwise near-dup hits into "keep
+    one canonical doc per cluster" (pairs alone under-delete: A~B and
+    B~C must collapse to ONE cluster even when A~C missed the
+    threshold).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels, converging
+    in O(graph diameter) rounds (near-dup components are tiny/dense, so
+    the diameter is small; large-star/small-star would give O(log n) if
+    ever needed). Each round materializes its labels (persist + count)
+    and releases the previous round's cache — the standard Spark
+    iterative-algorithm shape that keeps lineage from compounding.
+    Convergence is detected via sum(label), which strictly decreases
+    until fixpoint; the loop is driver-side CONTROL FLOW only (two
+    scalar aggregates per round), never data motion.
+
+    Output: (doc_id, component) for every doc in at least one pair,
+    component = min doc_id reachable. Deterministic given the
+    deterministic pair graph, so the DuckDB oracle replays it with a
+    recursive-CTE transitive closure.
+    """
+    edges = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).persist()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(CC_MAX_ITERS):
+        neigh = (
+            sym.join(labels.selectExpr("id AS dst", "lbl AS nlbl"), "dst")
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh.selectExpr("src AS id", "nlbl"), "id", "left")
+            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+        ).persist()
+        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    while _cc_last_release:
+        _cc_last_release.pop().unpersist()
+    _cc_last_release.append(labels)
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("component")
+    ).orderBy("doc_id")
+
+
+def _duck_components_oracle() -> str:
+    """Recursive-CTE transitive closure over the same verified pair
+    graph the Spark loop propagates labels on; component = min
+    reachable doc_id."""
+    pairs_sql = _duck_minhash_oracle()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs_sql})
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, min(dst) AS component
+FROM reach
+GROUP BY src
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
@@ -543,4 +638,5 @@ def registry() -> dict[str, dict]:
         "dedup_minhash_lsh": {"fn": minhash_lsh_pairs, "oracle": _duck_minhash_oracle()},
         "dedup_ngram_jaccard": {"fn": ngram_jaccard_pairs, "oracle": _duck_ngram_oracle()},
         "dedup_simhash": {"fn": simhash, "oracle": _duck_simhash_oracle()},
+        "dedup_components": {"fn": connected_components, "oracle": _duck_components_oracle()},
     }

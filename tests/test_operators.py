@@ -207,3 +207,32 @@ def test_ngram_jaccard_short_doc_pairs_survive_witness_gate(spark, tables, sf_di
         assert pairs == {(9101, 9102): 1.0}
     finally:
         tables["documents"].createOrReplaceTempView("documents")
+
+
+def test_connected_components_clusters_planted_chain(spark, tables, sf_dir):
+    """A chain of single-token edits must collapse into ONE component
+    labeled by its minimum doc_id; an unrelated identical pair forms its
+    own component; documents with no near-dup pair don't appear."""
+    base = "one two three four five six seven eight nine ten " * 5
+    chain1 = base.replace("five", "5", 1)
+    chain2 = chain1.replace("nine ten one", "nine xx one", 1)
+    other = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [
+        (9001, base.strip(), "en", "srcZ", len(base)),
+        (9002, chain1.strip(), "en", "srcZ", len(chain1)),
+        (9003, chain2.strip(), "en", "srcZ", len(chain2)),
+        (9005, other.strip(), "en", "srcZ", len(other)),
+        (9006, other.strip(), "en", "srcZ", len(other)),
+        (9007, "completely unrelated text goes here now", "en", "srcZ", 39),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        comp = {r.doc_id: r.component for r in dedup.connected_components(spark, sf_dir).collect()}
+        assert comp[9001] == comp[9002] == comp[9003] == 9001
+        assert comp[9005] == comp[9006] == 9005
+        assert 9007 not in comp
+    finally:
+        tables["documents"].createOrReplaceTempView("documents")
