@@ -950,6 +950,58 @@ _q(
     """,
 )
 
+# q2/q11/q20 forms (min-cost supplier, important values, excess
+# suppliers) adapted to the fixture schema: the fixtures have no
+# partsupp table, so lineitem serves as the part-supplier relation.
+# These are the classic correlated-aggregate workloads — per-group
+# scalar subqueries Catalyst must decorrelate into joins.
+_q(
+    "q2_min_cost_supplier",
+    """
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+           round(l.l_extendedprice, 2) AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_name LIKE '%bolt%'
+      AND l.l_extendedprice = (
+        SELECT min(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey)
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+
+_q(
+    "q11_important_values",
+    """
+    SELECT l_suppkey, round(sum(l_extendedprice * l_quantity), 2) AS inv_value
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(l_extendedprice * l_quantity) > (
+      SELECT 0.011 * sum(l_extendedprice * l_quantity) FROM lineitem)
+    ORDER BY inv_value DESC, l_suppkey
+    """,
+)
+
+_q(
+    "q20_excess_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%red%'
+      GROUP BY l_suppkey, l.l_partkey
+      HAVING sum(l_quantity) > (
+        SELECT 0.12 * sum(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+    )
+    ORDER BY s_suppkey
+    """,
+)
+
 _q(
     "q18_large_orders",
     """
