@@ -274,6 +274,71 @@ ORDER BY user_id
 """
 
 
+def view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join — Structured Streaming's hardest
+    shape: for each ``view`` event, the ``click`` events by the same
+    user within the following 30 minutes. Both sides are watermarked
+    (1 hour) and the join carries the event-time range condition, which
+    is what lets Spark bound both join-state buffers — without the time
+    bound, stream-stream join state grows forever.
+
+    The joined rows are post-aggregated (batch) to per-user pair
+    counts so the bounded-stream result is compact and order-free; the
+    oracle is the equivalent batch self-join.
+    """
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval 30 minutes"
+        ),
+    )
+    out = _run_to_table(joined.select("v_user", "view_id", "click_id"), "append")
+    return (
+        out.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("view_id").alias("n_views_with_click"),
+        )
+        .orderBy("user_id")
+    )
+
+
+VIEW_CLICK_JOIN_ORACLE = """
+WITH pairs AS (
+  SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+  FROM events v
+  JOIN events c
+    ON c.user_id = v.user_id
+   AND v.event_type = 'view' AND c.event_type = 'click'
+   AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 minutes
+)
+SELECT user_id, count(*) AS n_pairs,
+       count(DISTINCT view_id) AS n_views_with_click
+FROM pairs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def stream_index_events(
     spark: SparkSession,
     sf_dir: str,
@@ -333,5 +398,9 @@ def registry() -> dict[str, dict]:
         "stream_stateful_user_summary": {
             "fn": stateful_user_summary,
             "oracle": STATEFUL_SUMMARY_ORACLE,
+        },
+        "stream_view_click_join": {
+            "fn": view_click_join,
+            "oracle": VIEW_CLICK_JOIN_ORACLE,
         },
     }
