@@ -521,29 +521,49 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure.
     """
     edges = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
-        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    # The edge list is joined once per round: without pinning it, every
+    # iteration re-executes the whole minhash candidate pipeline. Edges
+    # are bounded by the banding caps (MINHASH_MAX_BUCKET), so this is
+    # a candidate-sized cache, not a corpus-sized one.
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .persist()
     )
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    ).persist()
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(CC_MAX_ITERS):
-        neigh = (
-            sym.join(labels.selectExpr("id AS dst", "lbl AS nlbl"), "dst")
-            .groupBy("src")
-            .agg(F.min("nlbl").alias("nlbl"))
-        )
-        new_labels = (
-            labels.join(neigh.selectExpr("src AS id", "nlbl"), "id", "left")
-            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+    converged = False
+    try:
+        labels = (
+            sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
         ).persist()
-        new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        for _ in range(CC_MAX_ITERS):
+            neigh = (
+                sym.join(labels.selectExpr("id AS dst", "lbl AS nlbl"), "dst")
+                .groupBy("src")
+                .agg(F.min("nlbl").alias("nlbl"))
+            )
+            new_labels = (
+                labels.join(neigh.selectExpr("src AS id", "nlbl"), "id", "left")
+                .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+            ).persist()
+            new_sum = new_labels.agg(F.sum("lbl")).first()[0]
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+    finally:
+        sym.unpersist()
+    if not converged:
+        # Partial labels are WRONG answers (some nodes still carry a
+        # non-minimal label); fail loudly rather than return them. A
+        # component with diameter > CC_MAX_ITERS in near-dup data means
+        # something upstream is off (e.g. exact dedup not run first).
         labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {CC_MAX_ITERS} rounds"
+        )
     while _cc_last_release:
         _cc_last_release.pop().unpersist()
     _cc_last_release.append(labels)
