@@ -36,13 +36,15 @@ def _configure(spark: SparkSession) -> None:
 # the operator/streaming/analytics entries, r03 the dtype fixes + the
 # never-checked batch. Round 4 front-loads (a) the six stream_* entries —
 # three were WRONG at HEAD in r03 (timestamp-unit bug, fixed this round)
-# and their driver green was r02-stale, (b) entries whose code changed
-# this round (IVF rework: absolute sample cap + nprobe=5; de-vacuoused
-# q7/q9 predicates; positional-ID cache release), (c) the rest of the
-# cohort last checked in r02, (d) as many r01-only entries as fit — the
-# remainder rotate into r05. Out-of-window entries keep regression
-# coverage via the full 116-entry differential gate in
-# tests/test_oracle_queries.py (sf0.01).
+# and their driver green was r02-stale, (b) every entry whose code
+# changed or that was added this round (IVF rework, de-vacuoused q7/q9,
+# positional-ID cache release, the rewritten dedup kernels, the new
+# text/corpus/cluster/correlated-subquery/stream-join operators), then
+# (c) the cohort last checked in r02 — dedup_normalized and the
+# r01-only re-verification batch rotate to r05. Out-of-window entries
+# keep regression coverage via the full 123-entry differential gate in
+# tests/test_oracle_queries.py (sf0.01; also verified this round at
+# sf0.001 and sf0.1).
 _PRIORITY: tuple[str, ...] = (
     # (a) streaming — wrong at HEAD in r03, fixed this round
     "stream_tumbling_counts",
@@ -62,6 +64,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_semantic_survivors",
     "dedup_components",
+    "q2_min_cost_supplier",
+    "q11_important_values",
+    "q20_excess_suppliers",
+    "stream_view_click_join",
     # (c) cohort last driver-checked in r02
     "events_sessionization",
     "events_funnel",
@@ -75,7 +81,6 @@ _PRIORITY: tuple[str, ...] = (
     "q18_large_orders",
     "q21_waiting_suppliers",
     "dedup_exact",
-    "dedup_normalized",
     "dedup_simhash",
     "ann_brute_force_topk",
     "ann_lsh_bucket_topk",
@@ -94,10 +99,6 @@ _PRIORITY: tuple[str, ...] = (
     "tokens_top_terms",
     "decontam_benchmark_overlap",
     "search_bm25",
-    # (d) r01-only entries (first slice; rest rotate in r05)
-    "join_right_outer",
-    "subquery_not_in",
-    "subquery_derived_table",
 )
 
 

@@ -107,7 +107,9 @@ def create_app(
             kind = cfg.get("SPARK_GRAFT_SINK", "jsonl").lower()
             if kind == "http":
                 state["sink"] = indexer_mod.HttpBulkSink(
-                    cfg.get("ELASTICSEARCH_HOST", "http://localhost:9200")
+                    cfg.get("ELASTICSEARCH_HOST", "http://localhost:9200"),
+                    username=cfg.get("USERNAME"),
+                    password=cfg.get("PASSWORD"),
                 )
             elif kind == "es":
                 es_sink = indexer_mod.ElasticsearchSink(

@@ -80,6 +80,7 @@ def with_positional_ids(
     df: DataFrame,
     order_cols: list[str] | None = None,
     release: list[DataFrame] | None = None,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Assign the reference's 1-based positional doc ID, scalably.
 
@@ -93,12 +94,21 @@ def with_positional_ids(
     2. per-partition row_number (narrow)
     3. per-partition counts -> broadcast cumulative offsets (tiny)
 
-    The sorted frame is persisted (load-bearing — see inline comment).
-    The cache must outlive the caller's terminal action on the result,
-    so release is the CALLER's duty: pass a ``release`` list and
-    ``unpersist()`` its entries once the output action completes (as
-    ``save()`` does in a try/finally); without one the cache lives
-    until session end.
+    The sorted frame is materialized (load-bearing — see inline
+    comment). Two modes:
+
+    - ``checkpoint=False`` (default): ``persist()``; the cache must
+      outlive the caller's terminal action on the result, so release is
+      the CALLER's duty — pass a ``release`` list and ``unpersist()``
+      its entries once the output action completes (as ``save()`` does
+      in a try/finally); without one the cache lives until session end.
+    - ``checkpoint=True``: eager ``localCheckpoint()`` — partitioning
+      is frozen by materialization (even stronger than persist), the
+      blocks are auto-cleaned when the result is garbage-collected,
+      and a stale re-evaluation after cleanup FAILS LOUDLY (missing
+      checkpoint block) instead of silently renumbering IDs. The right
+      mode when the result's consumption point is outside the caller's
+      control (the driver-contract query path).
     """
     cols = order_cols or _orderable_cols(df)
     if not cols:
@@ -111,17 +121,17 @@ def with_positional_ids(
     # output pass must see the SAME physical partitioning, and an AQE
     # re-plan between two evaluations of an unpersisted sort could
     # renumber partitions and corrupt every offset.
-    ordered = (
-        df.orderBy(*cols)
-        .select(
-            "*",
-            F.spark_partition_id().alias("__pid"),
-            (F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)).alias("__idx"),
-        )
-        .persist()
+    ordered = df.orderBy(*cols).select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        (F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1)).alias("__idx"),
     )
-    if release is not None:
-        release.append(ordered)
+    if checkpoint:
+        ordered = ordered.localCheckpoint(eager=True)
+    else:
+        ordered = ordered.persist()
+        if release is not None:
+            release.append(ordered)
     counts = sorted(
         (r["__pid"], r["cnt"])
         for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
@@ -419,13 +429,25 @@ class ElasticsearchSink:
         self.username = username
         self.password = password
 
+    CONNECTOR_CLASS = "org.elasticsearch.spark.sql.DefaultSource"
+
     def connector_available(self, spark: SparkSession) -> bool:
-        """True when the elasticsearch-spark connector is on the JVM
-        classpath — the gate create_app uses to fall back to
-        HttpBulkSink (same endpoint, same wire protocol) instead of
-        shipping a sink that can only raise."""
+        """True when the elasticsearch-spark connector is loadable —
+        the gate create_app uses to fall back to HttpBulkSink (same
+        endpoint, same wire protocol) instead of shipping a sink that
+        can only raise. Checks Spark's own classloader first:
+        ``--packages``/``spark.jars`` jars live in Spark's mutable URL
+        classloader, which plain ``Class.forName`` (system classpath)
+        cannot see."""
         try:
-            spark._jvm.java.lang.Class.forName("org.elasticsearch.spark.sql.DefaultSource")
+            spark._jvm.org.apache.spark.util.Utils.classForName(
+                self.CONNECTOR_CLASS, True, False
+            )
+            return True
+        except Exception:
+            pass
+        try:
+            spark._jvm.java.lang.Class.forName(self.CONNECTOR_CLASS)
             return True
         except Exception:
             return False
@@ -468,27 +490,19 @@ class ElasticsearchSink:
         return IndexStats(index_name, num_docs=df_with_id.count(), took_sec=time.time() - t0)
 
 
-# The most recent positional-ids query cache: the returned DataFrame is
-# consumed by the caller AFTER this function returns, so its backing
-# cache can only be released on the NEXT call (or session end) — this
-# bounds the steady-state footprint to one cached result instead of one
-# per call.
-_last_query_release: list[DataFrame] = []
-
-
 def positional_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry validating the distributed ID assignment:
     the range-partition + offset machinery must reproduce a global
-    ``row_number()`` exactly. The result stays valid until the next
-    positional_ids_query call (see _last_query_release)."""
-    while _last_query_release:
-        _last_query_release.pop().unpersist()
+    ``row_number()`` exactly. Uses checkpoint mode: the result is
+    consumed at a point outside this function's control, so the backing
+    blocks are GC-scoped and a post-cleanup re-evaluation fails loudly
+    rather than silently renumbering (see with_positional_ids)."""
     df = query_df(
         spark,
         "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000",
     )
     return (
-        with_positional_ids(df, order_cols=["o_orderkey"], release=_last_query_release)
+        with_positional_ids(df, order_cols=["o_orderkey"], checkpoint=True)
         .select(F.col(ID_COL).alias("doc_id"), "o_orderkey", "o_orderstatus")
         .orderBy("doc_id")
     )

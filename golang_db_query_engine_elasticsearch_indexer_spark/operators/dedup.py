@@ -531,6 +531,7 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     converged = False
+    labels = new_labels = None
     try:
         labels = (
             sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
@@ -548,11 +549,18 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).persist()
             new_sum = new_labels.agg(F.sum("lbl")).first()[0]
             labels.unpersist()
-            labels = new_labels
+            labels, new_labels = new_labels, None
             if new_sum == prev_sum:
                 converged = True
                 break
             prev_sum = new_sum
+    except BaseException:
+        # A failed round must not strand its label caches for the
+        # session lifetime — the leak class save()'s try/finally closes.
+        for h in (new_labels, labels):
+            if h is not None:
+                h.unpersist()
+        raise
     finally:
         sym.unpersist()
     if not converged:

@@ -235,30 +235,33 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     mark boilerplate/spam for corpus filtering.
 
     Everything is a row-local array expression (whole-stage codegen,
-    zero shuffles — a map-only pass at any scale). The per-token
-    frequency scan is O(tokens^2) per document but token counts are
-    bounded per row, not per partition.
+    zero shuffles — a map-only pass at any scale). The token array is
+    projected ONCE before the signal expressions: the frequency scan
+    references the array per distinct token, and an inlined
+    ``split(...)`` there would re-tokenize the document
+    O(distinct_tokens) times (the trap _shingle_arrays_df documents).
+    The per-token frequency scan itself is O(tokens^2) per document but
+    token counts are bounded per row, not per partition.
     """
-    toks = TOKENS
-    total_bg = f"greatest(size({toks}) - 1, 0)"
-    return spark.table("documents").selectExpr(
-        "doc_id",
-        f"size({toks}) AS n_tokens",
-        f"round(1.0 - size(array_distinct({toks})) / size({toks}), 4) AS dup_token_ratio",
-        f"""round(array_max(transform(array_distinct({toks}),
-               d -> size(filter({toks}, w -> w = d)))) / size({toks}), 4)
-            AS top_token_frac""",
-        f"""round(CASE WHEN {total_bg} = 0 THEN 0.0
-                  ELSE 1.0 - size({spark_bigrams()}) / {total_bg} END, 4)
-            AS dup_bigram_frac""",
-    ).orderBy("doc_id")
-
-
-def spark_bigrams() -> str:
-    """Distinct word bigrams of the canonical token array (Spark)."""
     from golang_db_query_engine_elasticsearch_indexer_spark.functions import spark_ngrams
 
-    return spark_ngrams(2, TOKENS)
+    total_bg = "greatest(size(toks) - 1, 0)"
+    return (
+        spark.table("documents")
+        .selectExpr("doc_id", f"{TOKENS} AS toks")
+        .selectExpr(
+            "doc_id",
+            "size(toks) AS n_tokens",
+            "round(1.0 - size(array_distinct(toks)) / size(toks), 4) AS dup_token_ratio",
+            """round(array_max(transform(array_distinct(toks),
+                   d -> size(filter(toks, w -> w = d)))) / size(toks), 4)
+                AS top_token_frac""",
+            f"""round(CASE WHEN {total_bg} = 0 THEN 0.0
+                      ELSE 1.0 - size({spark_ngrams(2, "toks")}) / {total_bg} END, 4)
+                AS dup_bigram_frac""",
+        )
+        .orderBy("doc_id")
+    )
 
 
 REPETITION_ORACLE = r"""
@@ -290,14 +293,18 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregates per (partition, source).
     """
     stop = _array_lit(LANG_STOPWORDS["en"])
-    per_doc = spark.table("documents").selectExpr(
-        "source",
-        f"size({TOKENS}) AS n_tokens",
-        "sha2(text, 256) AS h",
-        f"""  0.4 * least(size({TOKENS}) / 100.0, 1.0)
-            + 0.4 * (size(filter({TOKENS}, w -> array_contains({stop}, w))) / size({TOKENS}))
-            + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))
-          AS quality""",
+    per_doc = (
+        spark.table("documents")
+        .selectExpr("source", "text", f"{TOKENS} AS toks")
+        .selectExpr(
+            "source",
+            "size(toks) AS n_tokens",
+            "sha2(text, 256) AS h",
+            f"""  0.4 * least(size(toks) / 100.0, 1.0)
+                + 0.4 * (size(filter(toks, w -> array_contains({stop}, w))) / size(toks))
+                + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))
+              AS quality""",
+        )
     )
     return (
         per_doc.groupBy("source")
