@@ -195,3 +195,80 @@ def test_stream_index_events_into_bulk_sink(spark, tables, sf_dir):
         assert "event_type" in docs[next(iter(ids))]
     finally:
         stub.stop()
+
+
+def _write_typed_batch(spark, path, rows):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime.fromisoformat(ts), u, et)
+        for i, ts, u, et in rows
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ltz, user_id long, event_type string"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_stream_join_drops_late_clicks(spark, tmp_path):
+    """Stream-stream join state is watermark-bounded: a click arriving
+    after the watermark passed its event time must NOT join its
+    matching view, while on-time rows still do — the property that
+    makes the join's state buffers finite on an unbounded stream."""
+    src = str(tmp_path / "ss_src")
+    os.makedirs(src, exist_ok=True)
+
+    # batch 1: a view at 09:40 (its in-window click arrives late, in
+    # batch 2), plus 12:00 events on BOTH streams so the join watermark
+    # (the min across inputs) advances to ~11:50.
+    _write_typed_batch(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 09:40:00", 1, "view"),
+            (2, "2024-01-01 12:00:00", 9, "view"),
+            (3, "2024-01-01 12:00:00", 9, "click"),
+        ],
+    )
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp_ltz, user_id long, event_type string"
+    ).parquet(src)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .selectExpr("user_id AS v_user", "event_id AS view_id", "ts AS v_ts")
+        .withWatermark("v_ts", "10 minutes")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .selectExpr("user_id AS c_user", "event_id AS click_id", "ts AS c_ts")
+        .withWatermark("c_ts", "10 minutes")
+    )
+    joined = views.join(
+        clicks,
+        F.expr("v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval 30 minutes"),
+    ).select("view_id", "click_id")
+
+    name = f"ssj_{uuid.uuid4().hex[:6]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: the 09:50 click matches the 09:40 view but sits far
+        # behind the ~11:50 watermark -> must be dropped; the 12:05
+        # view + 12:10 click pair is on time -> must join.
+        _write_typed_batch(
+            spark,
+            src,
+            [
+                (4, "2024-01-01 09:50:00", 1, "click"),
+                (5, "2024-01-01 12:05:00", 2, "view"),
+                (6, "2024-01-01 12:10:00", 2, "click"),
+            ],
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = {(r.view_id, r.click_id) for r in spark.table(name).collect()}
+    assert (5, 6) in pairs          # on-time pair joined
+    assert (1, 4) not in pairs      # late click evicted by the watermark
