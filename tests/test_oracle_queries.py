@@ -103,3 +103,35 @@ def test_approx_sketches_within_tolerance(spark, oracle_tables, duck_oracle):
         got = rows[flag]
         assert abs(got.approx_orders - n) <= 0.1 * n, (flag, got.approx_orders, n)
         assert abs(float(got.approx_median_price) - float(med)) <= 0.1 * float(med)
+
+
+def test_priority_window_contract():
+    """Guards for the driver-window rotation (the silent-failure modes
+    that bit round 3): every _PRIORITY name must exist in the registry
+    (a typo would silently drop the entry from the window), the window
+    must be exactly 50 deep, and every window slot must carry a full
+    hash oracle (a rows-only entry in the window wastes a slot)."""
+    names = set(ALL)
+    missing = [n for n in entrymod._PRIORITY if n not in names]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert len(entrymod._PRIORITY) == 50
+    window = list(ALL)[:50]
+    assert [n for n in window if n not in ORACLES] == []
+
+
+def test_dedup_kernels_have_no_cross_join(spark, oracle_tables):
+    """The minhash and ngram candidate generators must never compile to
+    a cross join / nested-loop join over the corpus — the plan property
+    that keeps them sub-quadratic at scale (already asserted for the
+    embedding kernels in test_operators)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import dedup
+
+    for fn in (dedup.minhash_lsh_pairs, dedup.ngram_jaccard_pairs):
+        plan = (
+            fn(spark, SF_DIR_ORACLE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
