@@ -1022,6 +1022,37 @@ _q(
     """,
 )
 
+# Array/map/struct functions (SURVEY.md §2.B — extension row: the
+# reference emits flat scalar rows only; the complex-type family is
+# what the embeddings/documents fixtures need). Results are projected
+# back to scalars so the cross-engine hash compares primitive values.
+_q(
+    "array_map_struct_functions",
+    """
+    SELECT n_nationkey,
+           cast(size(split(n_name, '_')) AS int) AS n_parts,
+           element_at(split(n_name, '_'), -1) AS suffix,
+           aggregate(sequence(1, n_nationkey + 1), cast(0 AS bigint),
+                     (acc, x) -> acc + x) AS tri,
+           named_struct('k', n_nationkey).k AS sk,
+           map('a', n_regionkey)['a'] AS mv,
+           element_at(sort_array(array(n_regionkey, n_nationkey)), 1) AS lo
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+    oracle="""
+    SELECT n_nationkey,
+           cast(len(string_split(n_name, '_')) AS int) AS n_parts,
+           string_split(n_name, '_')[-1] AS suffix,
+           cast(list_sum(range(1, n_nationkey + 2)) AS bigint) AS tri,
+           struct_pack(k := n_nationkey).k AS sk,
+           map_extract(map(['a'], [n_regionkey]), 'a')[1] AS mv,
+           list_sort([n_regionkey, n_nationkey])[1] AS lo
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+
 # Approximate aggregation (SURVEY.md §2.B "Approximate agg" — free
 # upgrades over the reference surface). Sketch results are
 # engine-specific (Spark HLL++ / GK-quantile vs DuckDB's sketches), so
