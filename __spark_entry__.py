@@ -42,7 +42,7 @@ def _configure(spark: SparkSession) -> None:
 # text/corpus/cluster/correlated-subquery/stream-join operators), then
 # (c) the cohort last checked in r02 — dedup_normalized and the
 # r01-only re-verification batch rotate to r05. Out-of-window entries
-# keep regression coverage via the full 124-entry differential gate in
+# keep regression coverage via the full 125-entry differential gate in
 # tests/test_oracle_queries.py (sf0.01; also verified this round at
 # sf0.001 and sf0.1).
 _PRIORITY: tuple[str, ...] = (

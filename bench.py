@@ -96,6 +96,11 @@ def main() -> None:
         for r in similarity.ivf_topk(spark, recall_sf).collect()
     }
     ivf_recall = round(len(exact_topk & ivf_topk) / max(len(exact_topk), 1), 4)
+    pq_topk = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.pq_topk(spark, recall_sf).collect()
+    }
+    pq_recall = round(len(exact_topk & pq_topk) / max(len(exact_topk), 1), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -108,6 +113,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "neardup_recall_sf0.01": recall,
                 "ivf_recall_at_k_sf0.01": ivf_recall,
+                "pq_recall_at_k_sf0.01": pq_recall,
             }
         )
     )

@@ -371,7 +371,10 @@ def _scored_cells_expr(cent_expr: str) -> str:
 
 
 def _kmeans_cents(
-    spark: SparkSession, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    spark: SparkSession,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    vec_expr: str = "embedding",
 ) -> list[tuple[int, list[float], float]]:
     """Learned IVF coarse quantizer: Lloyd's k-means, fully
     deterministic (replaces the round-2 per-label-mean stand-in).
@@ -409,7 +412,9 @@ def _kmeans_cents(
     # trainer returns plain Python data, nothing downstream can hold
     # the cache.
     samp = (
-        _with_norm(spark.table("embeddings"))
+        spark.table("embeddings")
+        .selectExpr("vec_id", f"{vec_expr} AS embedding")
+        .withColumn("norm", F.expr(NORM.format(a="embedding")))
         .withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
         .limit(KMEANS_SAMPLE_N)
@@ -595,6 +600,220 @@ ORDER BY probe_id, rank
 """
 
 
+PQ_M = 8       # subspaces
+PQ_SUB = 8     # dims per subspace (PQ_M * PQ_SUB = N_DIM)
+PQ_K = 16      # codes per subspace -> 8 x 4-bit codes per vector
+PQ_RERANK = 50  # PQ shortlist size fed to the exact re-rank stage
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank: the billion-scale
+    serving recipe (compress -> prune -> re-rank).
+
+    Build: the 64-dim space splits into PQ_M 8-dim subspaces; each gets
+    its own PQ_K-centroid codebook from the SAME deterministic Lloyd's
+    trainer as IVF (driver-resident, constant-size sample, trained
+    exactly once per query). A vector encodes as 8 codes of 16 values —
+    4 bytes instead of 256 (64x compression of the corpus the scan
+    actually touches).
+
+    Search: full-precision probes score RECONSTRUCTED corpus vectors
+    (each subspace's chosen centroid, concatenated — queries exact,
+    corpus compressed) to shortlist PQ_RERANK candidates per probe;
+    the shortlist alone is re-scored against the original vectors for
+    the final top-k. Quantization error then only costs recall when a
+    true neighbor misses the whole shortlist, not when ranks jiggle
+    inside it — on the isotropic fixtures that lifts recall@5 from 0.2
+    (raw ADC ranks) to the tested floor. Encoding is a row-local argmax
+    per subspace against codebook literals (map-only, no joins/windows
+    over the big side); the compressed scan streams once against the
+    broadcast probe set; the re-rank touches PQ_RERANK * n_probes rows.
+    """
+    cbs = [
+        _kmeans_cents(
+            spark,
+            k=PQ_K,
+            iters=KMEANS_ITERS,
+            vec_expr=f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB})",
+        )
+        for s in range(PQ_M)
+    ]
+    cb_exprs = [_centroid_array_expr(cb) for cb in cbs]
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    for s in range(PQ_M):
+        emb = emb.withColumn(
+            f"sub{s}", F.expr(f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB})")
+        ).withColumn(f"nsub{s}", F.expr(NORM.format(a=f"sub{s}")))
+    for s in range(PQ_M):
+        dot = DOT.format(a=f"sub{s}", b="c.centroid")
+        emb = emb.withColumn(
+            f"code{s}",
+            F.expr(
+                f"array_max(transform({cb_exprs[s]}, c -> struct("
+                f"round(({dot}) / (nsub{s} * c.cnorm), 6) AS score, "
+                f"-c.cid AS neg, c.cid AS cid))).cid"
+            ),
+        )
+    recon_parts = ", ".join(
+        f"{cb_exprs[s]}[code{s} - 1].centroid" for s in range(PQ_M)
+    )
+    docs = emb.selectExpr(
+        "vec_id", f"flatten(array({recon_parts})) AS recon"
+    ).withColumn("rnorm", F.expr(NORM.format(a="recon")))
+
+    probes = _with_norm(spark.table("embeddings")).where(
+        F.col("vec_id") < N_PROBES
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    adc = docs.crossJoin(F.broadcast(probes)).where(
+        F.col("vec_id") != F.col("probe_id")
+    ).withColumn(
+        "adc_cos",
+        F.round(
+            F.expr(DOT.format(a="p_emb", b="recon")) / (F.col("p_norm") * F.col("rnorm")),
+            6,
+        ),
+    )
+    wadc = Window.partitionBy("probe_id").orderBy(F.col("adc_cos").desc(), F.col("vec_id"))
+    shortlist = (
+        adc.withColumn("srn", F.row_number().over(wadc))
+        .where(F.col("srn") <= PQ_RERANK)
+        .select("probe_id", "vec_id", "p_emb", "p_norm")
+    )
+    exact = shortlist.join(
+        _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm"),
+        "vec_id",
+    ).withColumn(
+        "cos",
+        F.expr(DOT.format(a="p_emb", b="embedding")) / (F.col("p_norm") * F.col("norm")),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+def _pq_oracle_ctes() -> str:
+    """Per-subspace unrolled Lloyd's chains mirroring _kmeans_cents over
+    slice expressions: shared sample/seeds, then s{i}_cent{it} CTEs."""
+    parts = [
+        f"""samp AS (
+  SELECT * FROM embeddings
+  ORDER BY md5(cast(vec_id AS varchar)) LIMIT {KMEANS_SAMPLE_N}
+),
+seeds AS (
+  SELECT vec_id, md5(cast(vec_id AS varchar)) AS h
+  FROM samp ORDER BY h LIMIT {PQ_K}
+)"""
+    ]
+    for s in range(PQ_M):
+        lo = s * PQ_SUB + 1
+        hi = (s + 1) * PQ_SUB
+        sub = f"list_slice(e.embedding, {lo}, {hi})"
+        parts.append(
+            f"""s{s}_cent0 AS (
+  SELECT row_number() OVER (ORDER BY sd.h) AS cid,
+         list_transform({sub}, x -> round(cast(x AS double), 6)) AS centroid
+  FROM seeds sd JOIN embeddings e USING (vec_id)
+)"""
+        )
+        for it in range(1, KMEANS_ITERS + 1):
+            parts.append(
+                f"""s{s}_assign{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity({sub}::DOUBLE[], c.centroid), 6) DESC,
+                      c.cid) AS rn
+    FROM samp e, s{s}_cent{it - 1} c)
+  WHERE rn = 1
+),
+s{s}_cent{it} AS (
+  SELECT cid, list(cv ORDER BY i) AS centroid FROM (
+    SELECT a.cid, i, round(avg(e.embedding[{lo - 1} + i]::DOUBLE), 6) AS cv
+    FROM s{s}_assign{it} a JOIN samp e USING (vec_id), range(1, {PQ_SUB + 1}) t(i)
+    GROUP BY a.cid, i)
+  GROUP BY cid
+)"""
+            )
+    return ",\n".join(parts)
+
+
+def _pq_oracle() -> str:
+    subcent_union = "\n  UNION ALL\n".join(
+        f"  SELECT {s} AS s, cid, centroid FROM s{s}_cent{KMEANS_ITERS}"
+        for s in range(PQ_M)
+    )
+    return f"""
+WITH {_pq_oracle_ctes()},
+subcent AS (
+{subcent_union}
+),
+slices AS (
+  SELECT vec_id, s,
+         list_slice(embedding, s * {PQ_SUB} + 1, (s + 1) * {PQ_SUB})::DOUBLE[] AS sub
+  FROM embeddings, range(0, {PQ_M}) t(s)
+),
+enc_scored AS (
+  SELECT l.vec_id, l.s, c.cid,
+         round(list_cosine_similarity(l.sub, c.centroid), 6) AS score
+  FROM slices l JOIN subcent c USING (s)
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, cid) AS rn
+    FROM enc_scored)
+  WHERE rn = 1
+),
+recon AS (
+  SELECT c.vec_id, flatten(list(sc.centroid ORDER BY c.s)) AS recon
+  FROM codes c JOIN subcent sc ON sc.s = c.s AND sc.cid = c.cid
+  GROUP BY c.vec_id
+),
+adc AS (
+  SELECT p.vec_id AS probe_id, r.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.embedding::DOUBLE[], r.recon), 6) AS adc_cos
+  FROM embeddings p JOIN recon r ON r.vec_id != p.vec_id
+  WHERE p.vec_id < {N_PROBES}
+),
+shortlist AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc_cos DESC, neighbor_id) AS srn
+    FROM adc)
+  WHERE srn <= {PQ_RERANK}
+),
+exact_scored AS (
+  SELECT s.probe_id, s.neighbor_id,
+         list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM shortlist s
+  JOIN embeddings p ON p.vec_id = s.probe_id
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM exact_scored
+)
+SELECT probe_id, neighbor_id, rank, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY probe_id, rank
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (grouped vector mean) — the
     aggregation shape clustering/IVF coarse quantizers need."""
@@ -680,6 +899,7 @@ def registry() -> dict[str, dict]:
         "ann_brute_force_topk": {"fn": brute_force_topk, "oracle": BRUTE_FORCE_ORACLE},
         "ann_lsh_bucket_topk": {"fn": lsh_bucket_topk, "oracle": _lsh_oracle()},
         "ann_ivf_topk": {"fn": ivf_topk, "oracle": IVF_ORACLE},
+        "ann_pq_topk": {"fn": pq_topk, "oracle": _pq_oracle()},
         "embedding_neardup_pairs": {"fn": neardup_pairs, "oracle": NEARDUP_ORACLE},
         "embedding_label_centroids": {"fn": label_centroids, "oracle": CENTROIDS_ORACLE},
     }

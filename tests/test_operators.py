@@ -236,3 +236,22 @@ def test_connected_components_clusters_planted_chain(spark, tables, sf_dir):
         assert 9007 not in comp
     finally:
         tables["documents"].createOrReplaceTempView("documents")
+
+
+def test_pq_topk_recall_with_rerank(spark, tables, sf_dir):
+    """PQ shortlist + exact re-rank: results must be exact-cosine-ranked
+    (re-rank stage) and recall the brute-force top-k above the shipped
+    floor — raw ADC ranks alone measured 0.2 on the isotropic fixtures,
+    the re-rank stage is what makes PQ servable."""
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(spark, sf_dir).collect()
+    }
+    rows = similarity.pq_topk(spark, sf_dir).collect()
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r.probe_id, []).append(r.cosine)
+    for cosines in per_probe.values():
+        assert cosines == sorted(cosines, reverse=True)
+    recall = len({(r.probe_id, r.neighbor_id) for r in rows} & exact) / len(exact)
+    assert recall >= 0.5
