@@ -50,9 +50,17 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("p_norm"),
     )
     pairs = emb.crossJoin(F.broadcast(probes)).where(F.col("vec_id") != F.col("probe_id"))
+    # cos is rounded to 6 dp BEFORE the ranking window (not just on
+    # output): sub-1e-6 float summation-order differences between the
+    # Spark fold and DuckDB's list_cosine_similarity could otherwise
+    # flip ranks near the top-k boundary; on the rounded value both
+    # engines apply the identical (cos DESC, vec_id) order.
     scored = pairs.withColumn(
         "cos",
-        F.expr(DOT.format(a="p_emb", b="embedding")) / (F.col("p_norm") * F.col("norm")),
+        F.round(
+            F.expr(DOT.format(a="p_emb", b="embedding")) / (F.col("p_norm") * F.col("norm")),
+            6,
+        ),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -62,7 +70,7 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
             "rank",
-            F.round("cos", 6).alias("cosine"),
+            F.col("cos").alias("cosine"),
         )
         .orderBy("probe_id", "rank")
     )
@@ -71,7 +79,7 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 BRUTE_FORCE_ORACLE = f"""
 WITH scored AS (
   SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+         round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
   FROM embeddings p JOIN embeddings e ON e.vec_id != p.vec_id
   WHERE p.vec_id < {N_PROBES}
 ),
@@ -81,7 +89,7 @@ ranked AS (
          cos
   FROM scored
 )
-SELECT probe_id, neighbor_id, rank, round(cos, 6) AS cosine
+SELECT probe_id, neighbor_id, rank, cos AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY probe_id, rank
 """
@@ -124,9 +132,13 @@ def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = emb.join(F.broadcast(probes), "bucket").where(
         F.col("vec_id") != F.col("probe_id")
     )
+    # round-before-rank: see brute_force_topk.
     scored = pairs.withColumn(
         "cos",
-        F.expr(DOT.format(a="p_emb", b="embedding")) / (F.col("p_norm") * F.col("norm")),
+        F.round(
+            F.expr(DOT.format(a="p_emb", b="embedding")) / (F.col("p_norm") * F.col("norm")),
+            6,
+        ),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -136,7 +148,7 @@ def lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
             "rank",
-            F.round("cos", 6).alias("cosine"),
+            F.col("cos").alias("cosine"),
         )
         .orderBy("probe_id", "rank")
     )
@@ -150,7 +162,7 @@ WITH b AS (
 ),
 scored AS (
   SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
-         list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+         round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
   FROM b p JOIN b e ON e.bucket = p.bucket AND e.vec_id != p.vec_id
   WHERE p.vec_id < {N_PROBES}
 ),
@@ -160,7 +172,7 @@ ranked AS (
          cos
   FROM scored
 )
-SELECT probe_id, neighbor_id, rank, round(cos, 6) AS cosine
+SELECT probe_id, neighbor_id, rank, cos AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY probe_id, rank
 """
@@ -341,16 +353,27 @@ def _l2(vec: list[float]) -> float:
 
 
 def _centroid_array_expr(cents: list[tuple[int, list[float], float]]) -> str:
-    """SQL literal ``array<struct<cid,centroid,cnorm>>`` from collected
-    centroids. Doubles round-trip exactly via repr() -> string cast
-    (both correctly rounded), so the literal is bit-identical to the
-    collected value. Constant-folded at plan time; ~13 KB of SQL for
-    k=10 x 64 dims."""
+    """SQL literal ``array<struct<cid,centroid,cnorm,cn2>>`` from
+    collected centroids (``cn2`` = squared norm as the same left fold of
+    squares the NORM SQL expression performs, pre-sqrt — PQ's ADC stage
+    needs it to assemble reconstruction norms from codes alone). Doubles
+    round-trip exactly via repr() -> string cast (both correctly
+    rounded), so the literal is bit-identical to the collected value.
+    Constant-folded at plan time; ~13 KB of SQL for k=10 x 64 dims."""
+
+    def _sq(vec: list[float]) -> float:
+        acc = 0.0
+        for v in vec:
+            acc += v * v
+        return acc
+
     entries = ", ".join(
-        "struct({cid} AS cid, array({vals}) AS centroid, cast('{n!r}' AS double) AS cnorm)".format(
+        "struct({cid} AS cid, array({vals}) AS centroid, "
+        "cast('{n!r}' AS double) AS cnorm, cast('{n2!r}' AS double) AS cn2)".format(
             cid=cid,
             vals=", ".join(f"cast('{v!r}' AS double)" for v in vec),
             n=n,
+            n2=_sq(vec),
         )
         for cid, vec, n in cents
     )
@@ -461,23 +484,40 @@ def kmeans_centroids(spark: SparkSession, k: int = KMEANS_K, iters: int = KMEANS
     )
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = N_PROBE_CELLS) -> DataFrame:
+def ivf_build(spark: SparkSession) -> list[tuple[int, list[float], float]]:
+    """Train the IVF coarse quantizer ONCE and return the artifact
+    (``[(cid, centroid, cnorm)]`` — bytes on the driver). The "build
+    once, search many" split: pass the artifact to ``ivf_topk`` via
+    ``cents=`` and every subsequent search skips training entirely (at
+    100 TB the same list would round-trip through a k-row parquet
+    table). bench.py times build and search separately."""
+    return _kmeans_cents(spark)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = N_PROBE_CELLS,
+    cents: list[tuple[int, list[float], float]] | None = None,
+) -> DataFrame:
     """IVF-style ANN: coarse-quantize vectors into cells (nearest
     learned k-means centroid), probe the ``nprobe`` nearest cells per
     query, exact cosine top-k within the probed cells only.
 
     Scale shape: k-means runs exactly once (driver-resident k-row
-    artifact — the "build once, search many" IVF shape; at 100 TB the
-    trained quantizer would live in a table, here it lives for the
-    query). Cell assignment is a ROW-LOCAL argmax against the centroid
-    literal — a map-only pass under whole-stage codegen with no join
-    and no window shuffle of the big side. Probe-cell ranking reads
-    only the pushed-down ``vec_id < N_PROBES`` slice; search touches
-    ~nprobe/nlist of the data instead of all of it. Recall@k vs the
-    brute-force baseline is asserted in tests (>= 0.5 floor) and
-    reported by bench.py.
+    artifact — the "build once, search many" IVF shape: callers that
+    search repeatedly train via ``ivf_build`` and pass ``cents=``;
+    with ``cents=None`` the query is self-contained and trains inline,
+    the driver-contract path). Cell assignment is a ROW-LOCAL argmax
+    against the centroid literal — a map-only pass under whole-stage
+    codegen with no join and no window shuffle of the big side.
+    Probe-cell ranking reads only the pushed-down ``vec_id < N_PROBES``
+    slice; search touches ~nprobe/nlist of the data instead of all of
+    it. Recall@k vs the brute-force baseline is asserted in tests
+    (>= 0.5 floor) and reported by bench.py.
     """
-    cents = _kmeans_cents(spark)
+    if cents is None:
+        cents = _kmeans_cents(spark)
     cells = _scored_cells_expr(_centroid_array_expr(cents))
     emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
     assigned = emb.withColumn("cell", F.expr(f"array_max({cells}).cid"))
@@ -499,9 +539,13 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = N_PROBE_CELLS) -> D
     cand = assigned.join(F.broadcast(probe_cells), "cell").where(
         F.col("vec_id") != F.col("probe_id")
     )
+    # round-before-rank: see brute_force_topk.
     scored = cand.join(F.broadcast(probes), "probe_id").withColumn(
         "cos",
-        F.expr(DOT.format(a="p_emb", b="embedding")) / (F.col("p_norm") * F.col("norm")),
+        F.round(
+            F.expr(DOT.format(a="p_emb", b="embedding")) / (F.col("p_norm") * F.col("norm")),
+            6,
+        ),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -511,7 +555,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, nprobe: int = N_PROBE_CELLS) -> D
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
             "rank",
-            F.round("cos", 6).alias("cosine"),
+            F.col("cos").alias("cosine"),
         )
         .orderBy("probe_id", "rank")
     )
@@ -583,7 +627,7 @@ cand AS (
 ),
 scored AS (
   SELECT c.probe_id, c.vec_id AS neighbor_id,
-         list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+         round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
   FROM cand c
   JOIN embeddings p ON p.vec_id = c.probe_id
   JOIN embeddings e ON e.vec_id = c.vec_id
@@ -594,7 +638,7 @@ ranked AS (
          cos
   FROM scored
 )
-SELECT probe_id, neighbor_id, rank, round(cos, 6) AS cosine
+SELECT probe_id, neighbor_id, rank, cos AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY probe_id, rank
 """
@@ -606,30 +650,11 @@ PQ_K = 16      # codes per subspace -> 8 x 4-bit codes per vector
 PQ_RERANK = 50  # PQ shortlist size fed to the exact re-rank stage
 
 
-def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN with exact re-rank: the billion-scale
-    serving recipe (compress -> prune -> re-rank).
-
-    Build: the 64-dim space splits into PQ_M 8-dim subspaces; each gets
-    its own PQ_K-centroid codebook from the SAME deterministic Lloyd's
-    trainer as IVF (driver-resident, constant-size sample, trained
-    exactly once per query). A vector encodes as 8 codes of 16 values —
-    4 bytes instead of 256 (64x compression of the corpus the scan
-    actually touches).
-
-    Search: full-precision probes score RECONSTRUCTED corpus vectors
-    (each subspace's chosen centroid, concatenated — queries exact,
-    corpus compressed) to shortlist PQ_RERANK candidates per probe;
-    the shortlist alone is re-scored against the original vectors for
-    the final top-k. Quantization error then only costs recall when a
-    true neighbor misses the whole shortlist, not when ranks jiggle
-    inside it — on the isotropic fixtures that lifts recall@5 from 0.2
-    (raw ADC ranks) to the tested floor. Encoding is a row-local argmax
-    per subspace against codebook literals (map-only, no joins/windows
-    over the big side); the compressed scan streams once against the
-    broadcast probe set; the re-rank touches PQ_RERANK * n_probes rows.
-    """
-    cbs = [
+def pq_train(spark: SparkSession) -> list[list[tuple[int, list[float], float]]]:
+    """Train the PQ_M per-subspace codebooks (deterministic Lloyd's over
+    slice views of the sample — same trainer as IVF). Driver-resident
+    artifact: PQ_M * PQ_K * PQ_SUB doubles (~8 KB)."""
+    return [
         _kmeans_cents(
             spark,
             k=PQ_K,
@@ -638,30 +663,143 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for s in range(PQ_M)
     ]
-    cb_exprs = [_centroid_array_expr(cb) for cb in cbs]
 
-    emb = spark.table("embeddings").select("vec_id", "embedding")
+
+def _pq_encode(df: DataFrame, cb_exprs: list[str]) -> DataFrame:
+    """Encode (vec_id, embedding) rows into PQ codes: one POSITION per
+    subspace into that subspace's codebook array (``pos{s}``, tinyint —
+    4 bits of information for PQ_K=16) plus the reconstruction norm
+    ``rnorm`` assembled from the codebooks' stored squared norms
+    (disjoint subspaces => ||recon||^2 = sum of chosen centroids'
+    squared norms; no 64-dim reconstruction is ever materialized).
+
+    Positions, not cids: Lloyd's can drop a cluster that receives no
+    sample points, leaving cid gaps, so positional indexing by cid-1
+    would silently misalign (ADVICE r04). The argmax yields the array
+    POSITION directly (codebooks are cid-sorted, so position order
+    equals cid order and the lowest-cid tiebreak is preserved); all
+    later lookups are element_at(codebook, pos + 1) — gap-proof. The
+    DuckDB oracle keeps cids and joins by them: position <-> cid is a
+    bijection, so both engines choose the same centroid.
+
+    Zero-norm guard: an all-zero sub-slice has no defined cosine; both
+    this path and the DuckDB oracle deterministically assign position 0
+    (the lowest cid) instead of letting NULL/NaN scores diverge between
+    engines (Spark 0/0 -> NaN, DuckDB list_cosine_similarity -> -1).
+
+    Map-only: every expression is row-local under whole-stage codegen.
+    """
+    out = df
     for s in range(PQ_M):
-        emb = emb.withColumn(
+        out = out.withColumn(
             f"sub{s}", F.expr(f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB})")
         ).withColumn(f"nsub{s}", F.expr(NORM.format(a=f"sub{s}")))
     for s in range(PQ_M):
         dot = DOT.format(a=f"sub{s}", b="c.centroid")
-        emb = emb.withColumn(
-            f"code{s}",
+        out = out.withColumn(
+            f"pos{s}",
             F.expr(
-                f"array_max(transform({cb_exprs[s]}, c -> struct("
+                f"CASE WHEN nsub{s} = 0D THEN cast(0 AS tinyint) ELSE "
+                f"cast(array_max(transform({cb_exprs[s]}, (c, i) -> struct("
                 f"round(({dot}) / (nsub{s} * c.cnorm), 6) AS score, "
-                f"-c.cid AS neg, c.cid AS cid))).cid"
+                f"-i AS neg, i AS pos))).pos AS tinyint) END"
             ),
         )
-    recon_parts = ", ".join(
-        f"{cb_exprs[s]}[code{s} - 1].centroid" for s in range(PQ_M)
+    rn2 = " + ".join(
+        f"element_at({cb_exprs[s]}, cast(pos{s} AS int) + 1).cn2" for s in range(PQ_M)
     )
-    docs = emb.selectExpr(
-        "vec_id", f"flatten(array({recon_parts})) AS recon"
-    ).withColumn("rnorm", F.expr(NORM.format(a="recon")))
+    return out.selectExpr(
+        "vec_id", *[f"pos{s}" for s in range(PQ_M)], f"sqrt({rn2}) AS rnorm"
+    )
 
+
+def _pq_probe_luts(spark: SparkSession, cb_exprs: list[str]) -> DataFrame:
+    """Per-probe ADC lookup tables: for each subspace, the array of
+    partial dot products (probe sub-slice . codebook centroid) aligned
+    with the codebook's array positions — PQ_M arrays of PQ_K doubles
+    per probe (~1 KB), broadcast to the code scan."""
+    probes = _with_norm(spark.table("embeddings")).where(F.col("vec_id") < N_PROBES)
+    lut_cols = []
+    for s in range(PQ_M):
+        psub = f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB})"
+        dot = DOT.format(a=psub, b="c.centroid")
+        lut_cols.append(f"transform({cb_exprs[s]}, c -> {dot}) AS lut{s}")
+    return probes.selectExpr("vec_id AS probe_id", "norm AS p_norm", *lut_cols)
+
+
+class PQIndex:
+    """Built PQ artifact: driver-resident codebooks + the encoded code
+    table (optionally persisted). The 'build once, search many' handle
+    — ``pq_build`` -> N x ``pq_search`` -> ``release()``."""
+
+    def __init__(self, codebooks, codes: DataFrame, persisted: bool):
+        self.codebooks = codebooks
+        self.cb_exprs = [_centroid_array_expr(cb) for cb in codebooks]
+        self.codes = codes
+        self._persisted = persisted
+
+    def release(self) -> None:
+        if self._persisted:
+            self.codes.unpersist()
+            self._persisted = False
+
+
+def pq_build(spark: SparkSession, sf_dir: str, persist: bool = True) -> PQIndex:
+    """Train codebooks and encode the corpus into the code table
+    (vec_id, pos0..pos7, rnorm — PQ_M tinyints + one double instead of
+    64 floats: the 64x-smaller relation the ADC scan streams). With
+    ``persist=True`` the code table is materialized (count() forces it)
+    so repeated searches never re-run training or encoding — the caller
+    releases it via ``index.release()``. At 100 TB the code table would
+    live as a parquet table beside the embedding store."""
+    cbs = pq_train(spark)
+    cb_exprs = [_centroid_array_expr(cb) for cb in cbs]
+    codes = _pq_encode(
+        spark.table("embeddings").select("vec_id", "embedding"), cb_exprs
+    )
+    index = PQIndex(cbs, codes, False)
+    if persist:
+        index.codes = codes.persist()
+        index.codes.count()
+        index._persisted = True
+    return index
+
+
+def pq_search(spark: SparkSession, sf_dir: str, index: PQIndex) -> DataFrame:
+    """ADC search over stored codes + exact re-rank.
+
+    The ADC stage scores CODES, not reconstructions: each probe carries
+    PQ_M lookup tables of its partial dots against every codebook
+    centroid (computed once per probe, broadcast), so scoring one doc is
+    PQ_M array lookups + adds — the scan streams the narrow code table,
+    never a 64-dim vector. That is PQ's actual economics (Jegou et al.,
+    TPAMI 2011): the corpus the scan touches is 64x smaller and per-pair
+    arithmetic drops from O(dim) multiplies to O(M) lookups. adc_cos is
+    mathematically identical to cos(probe, reconstruction) because
+    subspaces are disjoint: dot(p, recon) = sum_s lut_s[pos_s] and
+    ||recon||^2 = sum_s cn2_s[pos_s].
+
+    The PQ_RERANK-deep shortlist per probe is then re-scored exactly
+    against the original vectors (quantization error only costs recall
+    when a true neighbor misses the whole shortlist, not when ranks
+    jiggle inside it). Both stages rank on values rounded to 6 dp with
+    vec_id tiebreaks, so the DuckDB oracle replays rank-for-rank.
+    """
+    luts = _pq_probe_luts(spark, index.cb_exprs)
+    num = " + ".join(
+        f"element_at(lut{s}, cast(pos{s} AS int) + 1)" for s in range(PQ_M)
+    )
+    adc = (
+        index.codes.crossJoin(F.broadcast(luts))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn("adc_cos", F.expr(f"round(({num}) / (p_norm * rnorm), 6)"))
+    )
+    wadc = Window.partitionBy("probe_id").orderBy(F.col("adc_cos").desc(), F.col("vec_id"))
+    shortlist = (
+        adc.withColumn("srn", F.row_number().over(wadc))
+        .where(F.col("srn") <= PQ_RERANK)
+        .select("probe_id", "vec_id")
+    )
     probes = _with_norm(spark.table("embeddings")).where(
         F.col("vec_id") < N_PROBES
     ).select(
@@ -669,27 +807,20 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("p_emb"),
         F.col("norm").alias("p_norm"),
     )
-    adc = docs.crossJoin(F.broadcast(probes)).where(
-        F.col("vec_id") != F.col("probe_id")
-    ).withColumn(
-        "adc_cos",
-        F.round(
-            F.expr(DOT.format(a="p_emb", b="recon")) / (F.col("p_norm") * F.col("rnorm")),
-            6,
-        ),
-    )
-    wadc = Window.partitionBy("probe_id").orderBy(F.col("adc_cos").desc(), F.col("vec_id"))
-    shortlist = (
-        adc.withColumn("srn", F.row_number().over(wadc))
-        .where(F.col("srn") <= PQ_RERANK)
-        .select("probe_id", "vec_id", "p_emb", "p_norm")
-    )
-    exact = shortlist.join(
-        _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm"),
-        "vec_id",
-    ).withColumn(
-        "cos",
-        F.expr(DOT.format(a="p_emb", b="embedding")) / (F.col("p_norm") * F.col("norm")),
+    emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
+    # The tiny shortlist (PQ_RERANK * n_probes rows) broadcasts into the
+    # exact re-rank scan; round-before-rank as everywhere (brute_force).
+    exact = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(DOT.format(a="p_emb", b="embedding"))
+                / (F.col("p_norm") * F.col("norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -699,10 +830,19 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
             "rank",
-            F.round("cos", 6).alias("cosine"),
+            F.col("cos").alias("cosine"),
         )
         .orderBy("probe_id", "rank")
     )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank: the billion-scale
+    serving recipe (compress -> LUT scan -> re-rank), self-contained
+    for the driver contract (build inline, nothing persisted). Repeat
+    searchers use ``pq_build``/``pq_search`` and pay training+encoding
+    once; bench.py reports build and search timings separately."""
+    return pq_search(spark, sf_dir, pq_build(spark, sf_dir, persist=False))
 
 
 def _pq_oracle_ctes() -> str:
@@ -753,6 +893,14 @@ s{s}_cent{it} AS (
 
 
 def _pq_oracle() -> str:
+    """Mirrors pq_topk stage for stage. Codes are kept as cids (the
+    Spark path stores array positions; position <-> cid is a bijection
+    over the cid-sorted codebook, so both engines pick the same
+    centroid). The ADC value is assembled exactly like the Spark LUT
+    path — sum of per-subspace partial dots over sqrt of summed
+    centroid squared norms — with round(.., 6) absorbing summation-
+    order ulps; zero-norm sub-slices take the subspace's minimum cid,
+    matching the Spark CASE guard."""
     subcent_union = "\n  UNION ALL\n".join(
         f"  SELECT {s} AS s, cid, centroid FROM s{s}_cent{KMEANS_ITERS}"
         for s in range(PQ_M)
@@ -762,32 +910,54 @@ WITH {_pq_oracle_ctes()},
 subcent AS (
 {subcent_union}
 ),
+cbn AS (
+  SELECT s, cid, centroid,
+         list_inner_product(centroid::DOUBLE[], centroid::DOUBLE[]) AS cn2
+  FROM subcent
+),
+probes AS (
+  SELECT vec_id AS probe_id, embedding,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS p_norm
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
 slices AS (
-  SELECT vec_id, s,
-         list_slice(embedding, s * {PQ_SUB} + 1, (s + 1) * {PQ_SUB})::DOUBLE[] AS sub
-  FROM embeddings, range(0, {PQ_M}) t(s)
+  SELECT vec_id, s, sub, list_inner_product(sub, sub) AS sn2
+  FROM (
+    SELECT vec_id, s,
+           list_slice(embedding, s * {PQ_SUB} + 1, (s + 1) * {PQ_SUB})::DOUBLE[] AS sub
+    FROM embeddings, range(0, {PQ_M}) t(s))
 ),
 enc_scored AS (
   SELECT l.vec_id, l.s, c.cid,
          round(list_cosine_similarity(l.sub, c.centroid), 6) AS score
   FROM slices l JOIN subcent c USING (s)
+  WHERE l.sn2 > 0
 ),
 codes AS (
   SELECT vec_id, s, cid FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, cid) AS rn
     FROM enc_scored)
   WHERE rn = 1
+  UNION ALL
+  SELECT l.vec_id, l.s, m.mincid AS cid
+  FROM slices l JOIN (SELECT s, min(cid) AS mincid FROM subcent GROUP BY s) m USING (s)
+  WHERE l.sn2 = 0
 ),
-recon AS (
-  SELECT c.vec_id, flatten(list(sc.centroid ORDER BY c.s)) AS recon
-  FROM codes c JOIN subcent sc ON sc.s = c.s AND sc.cid = c.cid
-  GROUP BY c.vec_id
+lut AS (
+  SELECT p.probe_id, c.s, c.cid, c.cn2,
+         list_inner_product(
+           list_slice(p.embedding, c.s * {PQ_SUB} + 1, (c.s + 1) * {PQ_SUB})::DOUBLE[],
+           c.centroid::DOUBLE[]) AS pd
+  FROM probes p, cbn c
 ),
 adc AS (
-  SELECT p.vec_id AS probe_id, r.vec_id AS neighbor_id,
-         round(list_cosine_similarity(p.embedding::DOUBLE[], r.recon), 6) AS adc_cos
-  FROM embeddings p JOIN recon r ON r.vec_id != p.vec_id
-  WHERE p.vec_id < {N_PROBES}
+  SELECT l.probe_id, d.vec_id AS neighbor_id,
+         round(sum(l.pd) / (p.p_norm * sqrt(sum(l.cn2))), 6) AS adc_cos
+  FROM codes d
+  JOIN lut l ON l.s = d.s AND l.cid = d.cid
+  JOIN probes p ON p.probe_id = l.probe_id
+  WHERE d.vec_id != l.probe_id
+  GROUP BY l.probe_id, d.vec_id, p.p_norm
 ),
 shortlist AS (
   SELECT probe_id, neighbor_id FROM (
@@ -797,7 +967,7 @@ shortlist AS (
 ),
 exact_scored AS (
   SELECT s.probe_id, s.neighbor_id,
-         list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+         round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
   FROM shortlist s
   JOIN embeddings p ON p.vec_id = s.probe_id
   JOIN embeddings e ON e.vec_id = s.neighbor_id
@@ -808,7 +978,7 @@ ranked AS (
          cos
   FROM exact_scored
 )
-SELECT probe_id, neighbor_id, rank, round(cos, 6) AS cosine
+SELECT probe_id, neighbor_id, rank, cos AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY probe_id, rank
 """

@@ -255,3 +255,69 @@ def test_pq_topk_recall_with_rerank(spark, tables, sf_dir):
         assert cosines == sorted(cosines, reverse=True)
     recall = len({(r.probe_id, r.neighbor_id) for r in rows} & exact) / len(exact)
     assert recall >= 0.5
+
+
+def test_pq_build_search_split_matches_selfcontained(spark, tables, sf_dir):
+    """The 'build once, search many' path (pq_build -> pq_search over a
+    persisted code table) must return exactly what the self-contained
+    pq_topk returns — the artifact split may not change semantics — and
+    the persisted code table must be the narrow relation the ADC scan
+    claims to stream (vec_id + PQ_M tinyint codes + rnorm, no
+    embeddings)."""
+    index = similarity.pq_build(spark, sf_dir, persist=True)
+    try:
+        code_cols = set(index.codes.columns)
+        assert code_cols == {
+            "vec_id",
+            *[f"pos{s}" for s in range(similarity.PQ_M)],
+            "rnorm",
+        }
+        assert all(
+            f.dataType.simpleString() == "tinyint"
+            for f in index.codes.schema.fields
+            if f.name.startswith("pos")
+        )
+        split = [tuple(r) for r in similarity.pq_search(spark, sf_dir, index).collect()]
+        whole = [tuple(r) for r in similarity.pq_topk(spark, sf_dir).collect()]
+        assert split == whole
+        # second search reuses the same persisted codes (no retraining)
+        again = [tuple(r) for r in similarity.pq_search(spark, sf_dir, index).collect()]
+        assert again == split
+    finally:
+        index.release()
+
+
+def test_ivf_build_search_split_matches_selfcontained(spark, tables, sf_dir):
+    """ivf_topk(cents=ivf_build(...)) must equal the self-contained
+    ivf_topk — the prebuilt-quantizer path skips training, not math."""
+    cents = similarity.ivf_build(spark)
+    split = [tuple(r) for r in similarity.ivf_topk(spark, sf_dir, cents=cents).collect()]
+    whole = [tuple(r) for r in similarity.ivf_topk(spark, sf_dir).collect()]
+    assert split == whole
+
+
+def test_pq_encode_zero_subvector_guard(spark, tables, sf_dir):
+    """An all-zero sub-slice has no defined cosine to any centroid; the
+    encoder must deterministically assign position 0 (lowest cid) with
+    no NULL codes — the cross-engine divergence guard (Spark 0/0->NaN
+    vs DuckDB list_cosine_similarity->-1)."""
+    cbs = similarity.pq_train(spark)
+    cb_exprs = [similarity._centroid_array_expr(cb) for cb in cbs]
+    dim = similarity.N_DIM
+    rows = [
+        (9001, [0.0] * dim),                      # fully zero vector
+        (9002, [0.0] * 8 + [1.0] * (dim - 8)),    # one zero sub-slice
+        (9003, [0.5] * dim),                      # ordinary vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = {r.vec_id: r for r in similarity._pq_encode(df, cb_exprs).collect()}
+    for s in range(similarity.PQ_M):
+        assert enc[9001][f"pos{s}"] == 0
+        assert enc[9003][f"pos{s}"] is not None
+    assert enc[9002]["pos0"] == 0
+    assert all(
+        enc[v][f"pos{s}"] is not None
+        for v in (9001, 9002, 9003)
+        for s in range(similarity.PQ_M)
+    )
+    assert enc[9003]["rnorm"] is not None and enc[9003]["rnorm"] > 0
