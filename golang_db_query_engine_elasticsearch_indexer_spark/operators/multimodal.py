@@ -58,22 +58,160 @@ ORDER BY doc_id
 
 
 def decode_stub(modality: str):
-    """Decode entry point for real codecs (image/audio/video).
+    """Decode entry point for codecs this container lacks (audio/video).
 
-    STUB: codec libraries (PIL, torchaudio, ffmpeg) are not in this
-    container. The function validates the plumbing contract and fails
-    loudly rather than faking media decode silently.
+    STUB: torchaudio/ffmpeg are not in this container; these modalities
+    validate the plumbing contract and fail loudly rather than faking
+    media decode silently. IMAGE decode is NOT stubbed — see
+    ``decode_image`` below, a real binary PPM (P6) parser running in
+    the same Arrow-batched path.
     """
 
     def _decode(batches):
         for pdf in batches:
             raise NotImplementedError(
                 f"{modality} decode requires codec libraries not present in "
-                "this environment; payload plumbing (schema/batching) is "
-                "exercised by binary_features instead"
+                "this environment; image decode (PPM) is real — see "
+                "decode_image; payload plumbing is also exercised by "
+                "binary_features"
             )
 
     return _decode
+
+
+# --- real image decode: binary PPM (P6) ------------------------------------
+#
+# The one self-describing raster format decodable with zero codec deps:
+# ASCII header ("P6", whitespace/comment-separated width height maxval,
+# ONE whitespace byte) followed by w*h*3 raw RGB bytes. Fixture images
+# are synthesized IN SPARK SQL from doc_id (dimensions) and an md5 chain
+# (pixel bytes), so the bytes entering the decoder are genuine PPM wire
+# format and the DuckDB oracle can recompute the decoded stats from the
+# same generative formula without ever parsing binary.
+
+DECODE_SCHEMA = (
+    "doc_id long, width int, height int, maxval int, "
+    "r_sum long, g_sum long, b_sum long"
+)
+
+
+def _ppm_payload_expr() -> str:
+    """Spark SQL expr: a genuine P6 PPM binary per document.
+    width = 4 + doc_id % 5, height = 3 + doc_id % 4, maxval 255; pixel
+    bytes are unhex(md5-chain keyed on doc_id) — deterministic, so the
+    oracle replays them. Pure codegen'd expressions; the only Python in
+    the operator is the decoder itself."""
+    w = "(4 + doc_id % 5)"
+    h = "(3 + doc_id % 4)"
+    nbytes = f"(3 * {w} * {h})"
+    nchunks = f"(({nbytes} + 15) div 16)"
+    hexstr = (
+        f"substring(concat_ws('', transform(sequence(0, {nchunks} - 1), "
+        f"i -> md5(concat(cast(doc_id AS string), ':', cast(i AS string))))), "
+        f"1, {nbytes} * 2)"
+    )
+    header = (
+        f"concat('P6', chr(10), cast({w} AS string), ' ', "
+        f"cast({h} AS string), chr(10), '255', chr(10))"
+    )
+    return f"concat(encode({header}, 'utf-8'), unhex({hexstr}))"
+
+
+def _decode_ppm_batches(batches):
+    """mapInPandas worker: a REAL PPM (P6) decoder — magic check,
+    whitespace/#-comment-tolerant header tokenizer, the
+    single-whitespace-then-raster rule, numpy (h, w, 3) reshape,
+    per-channel sums. Raises on malformed input instead of guessing."""
+    import numpy as np  # noqa: PLC0415 — executor-side
+    import pandas as pd  # noqa: PLC0415
+
+    def parse(b):
+        data = bytes(b)
+        pos = 0
+
+        def token():
+            nonlocal pos
+            while pos < len(data):
+                c = data[pos : pos + 1]
+                if c.isspace():
+                    pos += 1
+                elif c == b"#":
+                    while pos < len(data) and data[pos : pos + 1] != b"\n":
+                        pos += 1
+                else:
+                    break
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            return data[start:pos]
+
+        magic = token()
+        if magic != b"P6":
+            raise ValueError(f"not a binary PPM (P6): magic={magic!r}")
+        w, h, maxval = int(token()), int(token()), int(token())
+        if not (0 < maxval < 65536):
+            raise ValueError(f"PPM maxval out of range: {maxval}")
+        pos += 1  # exactly ONE whitespace byte separates header and raster
+        n = w * h * 3
+        if len(data) - pos < n:
+            raise ValueError(f"PPM truncated: need {n} bytes, have {len(data) - pos}")
+        px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
+        sums = px.sum(axis=(0, 1), dtype=np.int64)
+        return w, h, maxval, int(sums[0]), int(sums[1]), int(sums[2])
+
+    for pdf in batches:
+        rows = [(int(d), *parse(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "maxval", "r_sum", "g_sum", "b_sum"],
+        )
+
+
+def decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode through the multimodal path: synthesize genuine
+    PPM binaries (codegen'd SQL), ship them through Arrow batches, parse
+    header + raster with an actual decoder, emit typed stats. The shape
+    a production pipeline has — binary column in, decoded features out —
+    with the decode step no longer a stub."""
+    payloads = spark.table("documents").select(
+        "doc_id", F.expr(_ppm_payload_expr()).alias("payload")
+    )
+    return payloads.mapInPandas(_decode_ppm_batches, schema=DECODE_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _decode_image_oracle() -> str:
+    """Recomputes the decoded stats from the generative formula (never
+    parses binary): channel c of pixel j is the byte at hex positions
+    6j+2c+1..6j+2c+2; a hex pair's value via strpos('0123..f')."""
+    hv = "strpos('0123456789abcdef', substring(hexstr, {p}, 1)) - 1"
+    chan = (
+        "cast(list_sum(list_transform(range(0, npix), j -> "
+        f"({hv.format(p='6*j + {c2} + 1')}) * 16 + ({hv.format(p='6*j + {c2} + 2')})"
+        ")) AS BIGINT)"
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+hx AS (
+  SELECT doc_id, w, h, w * h AS npix,
+         substring(list_aggregate(list_transform(range(0, (3 * w * h + 15) // 16),
+             i -> md5(doc_id::VARCHAR || ':' || i::VARCHAR)), 'string_agg', ''),
+           1, 6 * w * h) AS hexstr
+  FROM dims
+)
+SELECT doc_id,
+       cast(w AS INTEGER) AS width,
+       cast(h AS INTEGER) AS height,
+       cast(255 AS INTEGER) AS maxval,
+       {chan.format(c2=0)} AS r_sum,
+       {chan.format(c2=2)} AS g_sum,
+       {chan.format(c2=4)} AS b_sum
+FROM hx
+ORDER BY doc_id
+"""
 
 
 N_RESIZE_BINS = 8
@@ -209,4 +347,8 @@ def registry() -> dict[str, dict]:
         },
         "multimodal_resize_pooled": {"fn": resize_pooled, "oracle": _resize_oracle()},
         "multimodal_frame_sample": {"fn": frame_sample, "oracle": FRAME_SAMPLE_ORACLE},
+        "multimodal_decode_image": {
+            "fn": decode_image,
+            "oracle": _decode_image_oracle(),
+        },
     }

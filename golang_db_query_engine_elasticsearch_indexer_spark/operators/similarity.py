@@ -651,18 +651,97 @@ PQ_RERANK = 50  # PQ shortlist size fed to the exact re-rank stage
 
 
 def pq_train(spark: SparkSession) -> list[list[tuple[int, list[float], float]]]:
-    """Train the PQ_M per-subspace codebooks (deterministic Lloyd's over
-    slice views of the sample — same trainer as IVF). Driver-resident
+    """Train the PQ_M per-subspace codebooks — deterministic Lloyd's,
+    value-for-value identical to running ``_kmeans_cents`` once per
+    subspace over slice views (the DuckDB oracle's unrolled per-subspace
+    CTE chains mirror that definition), but FUSED: all 8 subspaces share
+    one persisted sample and each Lloyd iteration is ONE pass computing
+    every subspace's assignments and per-(subspace, cid, dim) means
+    together, instead of 8 independent sample scans and ~24 sequential
+    collects. Cuts codebook training from ~25 driver round-trips to 4
+    (the r04 verdict's per-query-training cost item). Driver-resident
     artifact: PQ_M * PQ_K * PQ_SUB doubles (~8 KB)."""
-    return [
-        _kmeans_cents(
-            spark,
-            k=PQ_K,
-            iters=KMEANS_ITERS,
-            vec_expr=f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB})",
+    samp = (
+        spark.table("embeddings")
+        .select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(KMEANS_SAMPLE_N)
+        .select("embedding", "h")
+        .persist()
+    )
+    try:
+        seed_rows = (
+            samp.orderBy("h")
+            .limit(PQ_K)
+            .selectExpr(
+                *[
+                    f"transform(slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB}), "
+                    f"x -> round(cast(x AS double), 6)) AS c{s}"
+                    for s in range(PQ_M)
+                ]
+            )
+            .collect()
         )
-        for s in range(PQ_M)
-    ]
+        cbs = [
+            [(i + 1, list(r[f"c{s}"]), _l2(r[f"c{s}"])) for i, r in enumerate(seed_rows)]
+            for s in range(PQ_M)
+        ]
+        for _ in range(KMEANS_ITERS):
+            # Per-subspace nearest-centroid cid with the same scored-
+            # struct argmax (round-6 scores, lowest-cid tiebreak) the
+            # single-subspace trainer applies, then one explosion to
+            # (s, cid, pos, val) and ONE aggregation for all subspaces.
+            assigned = samp.selectExpr(
+                *[
+                    f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB}) AS sub{s}"
+                    for s in range(PQ_M)
+                ]
+            )
+            for s in range(PQ_M):
+                cb = _centroid_array_expr(cbs[s])
+                dot = DOT.format(a=f"sub{s}", b="c.centroid")
+                nsub = NORM.format(a=f"sub{s}")
+                assigned = assigned.withColumn(
+                    f"cid{s}",
+                    F.expr(
+                        f"array_max(transform({cb}, c -> struct("
+                        f"round(({dot}) / (({nsub}) * c.cnorm), 6) AS score, "
+                        f"-c.cid AS neg, c.cid AS cid))).cid"
+                    ),
+                )
+            exploded = assigned.select(
+                F.explode(
+                    F.expr(
+                        "array("
+                        + ", ".join(
+                            f"struct({s} AS s, cid{s} AS cid, sub{s} AS v)"
+                            for s in range(PQ_M)
+                        )
+                        + ")"
+                    )
+                ).alias("e")
+            ).select("e.s", "e.cid", F.posexplode("e.v").alias("pos", "val"))
+            stats = (
+                exploded.groupBy("s", "cid", "pos")
+                .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+                .collect()
+            )  # PQ_M * PQ_K * PQ_SUB rows — constant-size
+            by_s: list[dict[int, dict[int, float]]] = [{} for _ in range(PQ_M)]
+            for r in stats:
+                by_s[int(r["s"])].setdefault(int(r["cid"]), {})[int(r["pos"])] = float(
+                    r["cv"]
+                )
+            cbs = [
+                [
+                    (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
+                    for cid, dims in sorted(by_cid.items())
+                ]
+                for by_cid in by_s
+            ]
+    finally:
+        samp.unpersist()
+    return cbs
 
 
 def _pq_encode(df: DataFrame, cb_exprs: list[str]) -> DataFrame:

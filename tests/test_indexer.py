@@ -211,3 +211,31 @@ def test_http_bulk_auth_and_url_normalization():
     auth = s._headers()["Authorization"]
     assert auth == "Basic " + base64.b64encode(b"u:p").decode()
     assert "Authorization" not in HttpBulkSink("http://es1:9200")._headers()
+
+
+def test_positional_ids_balanced_under_low_cardinality_order(spark, tables):
+    """A single-value order column must NOT concentrate the range sort
+    on one partition: the unconditional md5 tiebreak spreads ties, so
+    IDs stay contiguous/complete AND the sorted frame lands on several
+    partitions (the skew-proofing the 100 TB shape needs)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4000).select(
+        F.lit("same").alias("flag"), F.col("id").alias("payload")
+    )
+    release = []
+    try:
+        out = with_positional_ids(df, order_cols=["flag"], release=release)
+        pids = (
+            out.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        ids = sorted(r._id for r in out.collect())
+        assert ids == list(range(1, 4001))
+        assert len(pids) >= 4, f"ties collapsed onto {len(pids)} partition(s)"
+        assert max(r["count"] for r in pids) < 4000
+    finally:
+        for h in release:
+            h.unpersist()

@@ -321,3 +321,49 @@ def test_pq_encode_zero_subvector_guard(spark, tables, sf_dir):
         for s in range(similarity.PQ_M)
     )
     assert enc[9003]["rnorm"] is not None and enc[9003]["rnorm"] > 0
+
+
+def test_ppm_decoder_is_a_real_parser(spark, tables, sf_dir):
+    """The image decoder must behave like an actual PPM reader: accept
+    header comments and arbitrary header whitespace, and fail loudly on
+    wrong magic or truncated raster — not pattern-match the fixture
+    generator's exact layout."""
+    import pandas as pd
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import multimodal
+
+    def decode_one(payload: bytes):
+        batches = iter(
+            [pd.DataFrame({"doc_id": [1], "payload": [payload]})]
+        )
+        out = list(multimodal._decode_ppm_batches(batches))[0]
+        return out.iloc[0]
+
+    # 2x1 image, comment + extra whitespace in header
+    pixels = bytes([10, 20, 30, 40, 50, 60])
+    row = decode_one(b"P6 # a comment\n  2\t1 # dims\n 255\n" + pixels)
+    assert (row.width, row.height, row.maxval) == (2, 1, 255)
+    assert (row.r_sum, row.g_sum, row.b_sum) == (10 + 40, 20 + 50, 30 + 60)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_one(b"P5\n2 1\n255\n" + pixels)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_one(b"P6\n2 2\n255\n" + pixels)  # needs 12 bytes, has 6
+
+
+def test_decode_image_entry_runs_on_fixture(spark, tables, sf_dir):
+    """End-to-end: synthesized PPM payloads flow through Arrow into the
+    decoder; dims follow the doc_id formula and sums are in range."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import multimodal
+
+    rows = multimodal.decode_image(spark, sf_dir).limit(20).collect()
+    assert rows
+    for r in rows:
+        assert r.width == 4 + r.doc_id % 5
+        assert r.height == 3 + r.doc_id % 4
+        assert r.maxval == 255
+        npix = r.width * r.height
+        for s in (r.r_sum, r.g_sum, r.b_sum):
+            assert 0 <= s <= 255 * npix
