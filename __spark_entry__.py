@@ -39,16 +39,21 @@ def _configure(spark: SparkSession) -> None:
 # (the LUT-ADC PQ rewrite + never-driver-checked ann_pq_topk, the
 # round-before-rank ANN ordering change, the rare-gram witness cap, the
 # components checkpoint scope, the skew-proof positional-ID tiebreak,
-# the new real PPM decode entry), then (b) the 30 remaining entries
+# the new real PPM decode entry, and the three new round-5 operators:
+# chunk windows, duplicate-span coverage, TF-IDF cosine top-k), then
+# (b) the 30 remaining entries
 # whose newest driver green predates r03 — the 28 r01-only cohort
 # (agg_*/win_*/set_*/scalar-function/join_right_outer/subquery/pivot/
 # sort/values), dedup_normalized (r02-only), and the never-checked
-# array_map_struct_functions. After r05 every one of the 126 entries
+# array_map_struct_functions. After r05 every one of the 129 entries
 # has driver evidence no older than r04. Out-of-window entries keep
 # regression coverage via the full differential gate in
 # tests/test_oracle_queries.py (sf0.01).
 _PRIORITY: tuple[str, ...] = (
     # (a) code changed or added in round 5
+    "doc_chunk_windows",
+    "dedup_span_coverage",
+    "search_tfidf_cosine_topk",
     "ann_pq_topk",
     "ann_ivf_topk",
     "ann_brute_force_topk",
@@ -99,9 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "filter_null_handling",
     "filter_null_safe_eq",
     "filter_regexp",
-    "join_anti_not_exists",
-    "join_cross",
-    "join_full_outer",
 )
 
 

@@ -14,6 +14,7 @@ def registry() -> dict[str, dict]:
     out: dict[str, dict] = {}
     from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
         asof,
+        chunking,
         decontam,
         dedup,
         multimodal,
@@ -27,7 +28,7 @@ def registry() -> dict[str, dict]:
         pipeline,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search):
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415

@@ -258,8 +258,133 @@ LIMIT {TOP_N}
 """
 
 
+TFIDF_PROBES = 5  # doc_id < 5 stand in for query documents
+TFIDF_TOP_K = 5
+
+
+def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-to-document similarity: TF-IDF weighted sparse cosine,
+    top-k nearest corpus documents for each probe document.
+
+    Weights ``tf * ln((N + 1) / (df + 1))`` — the smoothed idf is
+    exactly 0 for a term present in every document, so corpus-wide
+    stop-terms drop out of the postings (``wt != 0`` filter) BEFORE the
+    join: the classic sparse-retrieval pruning that keeps the term-join
+    fan-out bounded at scale. Weights are rounded to 6 dp (absorbing
+    cross-engine ``ln`` libm drift) and the cosine to 4 dp before the
+    ranking window, with a neighbor_id tiebreak, so the rank permutation
+    is total and cross-engine stable (ADVICE r04 pattern).
+
+    Plan shape: one explode + two aggregations build the postings and
+    norms (each one shuffle on doc_id / term); the probe side is a
+    constant-size relation (TFIDF_PROBES documents) broadcast onto the
+    corpus postings; the per-(probe, doc) dot is a partial-aggregated
+    sum. Nothing is quadratic in corpus size — the probe fan-out is
+    fixed.
+    """
+    return spark.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, {TOKENS} AS toks FROM documents
+        ),
+        stats AS (SELECT count(*) AS n_docs FROM toks),
+        tf AS (
+          SELECT doc_id, w, count(*) AS tf
+          FROM (SELECT doc_id, explode(toks) AS w FROM toks)
+          GROUP BY doc_id, w
+        ),
+        df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        wts AS (
+          SELECT doc_id, w,
+                 round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS wt
+          FROM tf JOIN df USING (w) CROSS JOIN stats
+        ),
+        nz AS (SELECT doc_id, w, wt FROM wts WHERE wt != 0),
+        norms AS (
+          SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM nz GROUP BY doc_id
+        ),
+        probe AS (
+          SELECT doc_id AS probe_id, w, wt FROM nz WHERE doc_id < {TFIDF_PROBES}
+        ),
+        dots AS (
+          SELECT /*+ BROADCAST(p) */
+                 p.probe_id, c.doc_id AS neighbor_id, sum(p.wt * c.wt) AS dot
+          FROM probe p JOIN nz c USING (w)
+          WHERE c.doc_id != p.probe_id
+          GROUP BY p.probe_id, c.doc_id
+        ),
+        scored AS (
+          SELECT d.probe_id, d.neighbor_id,
+                 round(d.dot / (np.nrm * nc.nrm), 4) AS tfidf_cos
+          FROM dots d
+          JOIN norms np ON np.doc_id = d.probe_id
+          JOIN norms nc ON nc.doc_id = d.neighbor_id
+        ),
+        ranked AS (
+          SELECT probe_id, neighbor_id, tfidf_cos,
+                 row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY tfidf_cos DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT probe_id, neighbor_id, rank, tfidf_cos
+        FROM ranked WHERE rank <= {TFIDF_TOP_K}
+        ORDER BY probe_id, rank
+        """
+    )
+
+
+TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+),
+stats AS (SELECT count(*) AS n_docs FROM toks),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS w FROM toks)
+  GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+wts AS (
+  SELECT doc_id, w,
+         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS wt
+  FROM tf JOIN df USING (w) CROSS JOIN stats
+),
+nz AS (SELECT doc_id, w, wt FROM wts WHERE wt != 0),
+norms AS (
+  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM nz GROUP BY doc_id
+),
+probe AS (
+  SELECT doc_id AS probe_id, w, wt FROM nz WHERE doc_id < {TFIDF_PROBES}
+),
+dots AS (
+  SELECT p.probe_id, c.doc_id AS neighbor_id, sum(p.wt * c.wt) AS dot
+  FROM probe p JOIN nz c USING (w)
+  WHERE c.doc_id != p.probe_id
+  GROUP BY p.probe_id, c.doc_id
+),
+scored AS (
+  SELECT d.probe_id, d.neighbor_id,
+         round(d.dot / (np.nrm * nc.nrm), 4) AS tfidf_cos
+  FROM dots d
+  JOIN norms np ON np.doc_id = d.probe_id
+  JOIN norms nc ON nc.doc_id = d.neighbor_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, tfidf_cos,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY tfidf_cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, rank, tfidf_cos
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY probe_id, rank
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "search_bm25": {"fn": bm25_topk, "oracle": BM25_ORACLE},
         "search_hybrid_rrf": {"fn": hybrid_rrf, "oracle": _hybrid_oracle()},
+        "search_tfidf_cosine_topk": {"fn": tfidf_cosine_topk, "oracle": TFIDF_ORACLE},
     }
