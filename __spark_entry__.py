@@ -55,6 +55,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_span_coverage",
     "search_tfidf_cosine_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "ann_ivf_topk",
     "ann_brute_force_topk",
     "ann_lsh_bucket_topk",
@@ -103,7 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "filter_in_between_like",
     "filter_null_handling",
     "filter_null_safe_eq",
-    "filter_regexp",
 )
 
 

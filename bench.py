@@ -36,6 +36,10 @@ HEADLINE = [
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "search_tfidf_cosine_topk",
+    "dedup_span_coverage",
+    "doc_chunk_windows",
     "search_bm25",
     "asof_join_events_orders",
     "indexer_positional_ids",

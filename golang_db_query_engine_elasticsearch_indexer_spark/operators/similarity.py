@@ -561,22 +561,35 @@ def ivf_topk(
     )
 
 
-def _kmeans_oracle_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+def _kmeans_oracle_ctes(
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    include_samp: bool = True,
+    seeds: str = "seeds",
+) -> str:
     """DuckDB CTE chain mirroring kmeans_centroids step for step
-    (unrolled Lloyd's iterations, same init / rounding / tiebreaks)."""
-    parts = [
+    (unrolled Lloyd's iterations, same init / rounding / tiebreaks).
+    ``include_samp=False`` / ``seeds=`` let the chain be embedded next
+    to the PQ chain (which defines its own identical ``samp`` and a
+    differently-sized ``seeds``) without CTE-name collisions."""
+    samp_cte = (
         f"""samp AS (
   SELECT * FROM embeddings
   ORDER BY md5(cast(vec_id AS varchar)) LIMIT {KMEANS_SAMPLE_N}
 ),
-seeds AS (
+"""
+        if include_samp
+        else ""
+    )
+    parts = [
+        f"""{samp_cte}{seeds} AS (
   SELECT vec_id, md5(cast(vec_id AS varchar)) AS h
   FROM samp ORDER BY h LIMIT {k}
 ),
 cent0 AS (
   SELECT row_number() OVER (ORDER BY s.h) AS cid,
          list_transform(e.embedding, x -> round(cast(x AS double), 6)) AS centroid
-  FROM seeds s JOIN embeddings e USING (vec_id)
+  FROM {seeds} s JOIN embeddings e USING (vec_id)
 )"""
     ]
     for it in range(1, iters + 1):
@@ -744,7 +757,9 @@ def pq_train(spark: SparkSession) -> list[list[tuple[int, list[float], float]]]:
     return cbs
 
 
-def _pq_encode(df: DataFrame, cb_exprs: list[str]) -> DataFrame:
+def _pq_encode(
+    df: DataFrame, cb_exprs: list[str], extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Encode (vec_id, embedding) rows into PQ codes: one POSITION per
     subspace into that subspace's codebook array (``pos{s}``, tinyint —
     4 bits of information for PQ_K=16) plus the reconstruction norm
@@ -788,7 +803,10 @@ def _pq_encode(df: DataFrame, cb_exprs: list[str]) -> DataFrame:
         f"element_at({cb_exprs[s]}, cast(pos{s} AS int) + 1).cn2" for s in range(PQ_M)
     )
     return out.selectExpr(
-        "vec_id", *[f"pos{s}" for s in range(PQ_M)], f"sqrt({rn2}) AS rnorm"
+        "vec_id",
+        *extra,
+        *[f"pos{s}" for s in range(PQ_M)],
+        f"sqrt({rn2}) AS rnorm",
     )
 
 
@@ -844,6 +862,44 @@ def pq_build(spark: SparkSession, sf_dir: str, persist: bool = True) -> PQIndex:
     return index
 
 
+def _exact_rerank(spark: SparkSession, shortlist: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of a tiny (probe_id, vec_id) shortlist
+    against the original vectors: the shortlist broadcasts into one
+    corpus scan, round-before-rank as everywhere (brute_force)."""
+    probes = _with_norm(spark.table("embeddings")).where(
+        F.col("vec_id") < N_PROBES
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
+    exact = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(probes), "probe_id")
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(DOT.format(a="p_emb", b="embedding"))
+                / (F.col("p_norm") * F.col("norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.col("cos").alias("cosine"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
 def pq_search(spark: SparkSession, sf_dir: str, index: PQIndex) -> DataFrame:
     """ADC search over stored codes + exact re-rank.
 
@@ -879,40 +935,9 @@ def pq_search(spark: SparkSession, sf_dir: str, index: PQIndex) -> DataFrame:
         .where(F.col("srn") <= PQ_RERANK)
         .select("probe_id", "vec_id")
     )
-    probes = _with_norm(spark.table("embeddings")).where(
-        F.col("vec_id") < N_PROBES
-    ).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("p_emb"),
-        F.col("norm").alias("p_norm"),
-    )
-    emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
     # The tiny shortlist (PQ_RERANK * n_probes rows) broadcasts into the
-    # exact re-rank scan; round-before-rank as everywhere (brute_force).
-    exact = (
-        emb.join(F.broadcast(shortlist), "vec_id")
-        .join(F.broadcast(probes), "probe_id")
-        .withColumn(
-            "cos",
-            F.round(
-                F.expr(DOT.format(a="p_emb", b="embedding"))
-                / (F.col("p_norm") * F.col("norm")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select(
-            "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "rank",
-            F.col("cos").alias("cosine"),
-        )
-        .orderBy("probe_id", "rank")
-    )
+    # exact re-rank scan.
+    return _exact_rerank(spark, shortlist)
 
 
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1063,6 +1088,173 @@ ORDER BY probe_id, rank
 """
 
 
+def ivfpq_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = N_PROBE_CELLS
+) -> DataFrame:
+    """IVF-PQ composite ANN — the billion-scale serving layout (FAISS
+    IVFADC; Jegou et al., TPAMI 2011 §V): a coarse k-means quantizer
+    routes the search to ``nprobe`` inverted lists, and only vectors in
+    the probed cells are ADC-scored from their stored PQ codes, then the
+    shortlist is exactly re-ranked.
+
+    Scale shape — strictly better than either part alone: the ADC scan
+    touches ~nprobe/nlist of the CODE table (both prunings compose:
+    IVF bounds which rows are read, PQ bounds the bytes and arithmetic
+    per row). Cell assignment and encoding happen in ONE map-only pass
+    over the embeddings (row-local argmaxes against the two broadcast
+    codebook literals); the candidate restriction is an equi-join on the
+    cell id against the broadcast (probe, cell) relation; LUT scoring,
+    shortlist and re-rank are identical to :func:`pq_search`.
+    """
+    cents = _kmeans_cents(spark)
+    cbs = pq_train(spark)
+    cb_exprs = [_centroid_array_expr(cb) for cb in cbs]
+    cells = _scored_cells_expr(_centroid_array_expr(cents))
+    base = (
+        _with_norm(spark.table("embeddings"))
+        .select("vec_id", "embedding", "norm")
+        .withColumn("cell", F.expr(f"array_max({cells}).cid"))
+    )
+    codes = _pq_encode(base, cb_exprs, extra=("cell",))
+    emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
+    probe_cells = (
+        emb.where(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.explode(
+                F.expr(f"slice(reverse(array_sort({cells})), 1, {nprobe})")
+            ).alias("pc"),
+        )
+        .select("probe_id", F.col("pc.cid").alias("cell"))
+    )
+    luts = _pq_probe_luts(spark, cb_exprs)
+    cand = codes.join(F.broadcast(probe_cells), "cell").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    num = " + ".join(
+        f"element_at(lut{s}, cast(pos{s} AS int) + 1)" for s in range(PQ_M)
+    )
+    adc = cand.join(F.broadcast(luts), "probe_id").withColumn(
+        "adc_cos", F.expr(f"round(({num}) / (p_norm * rnorm), 6)")
+    )
+    wadc = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_cos").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        adc.withColumn("srn", F.row_number().over(wadc))
+        .where(F.col("srn") <= PQ_RERANK)
+        .select("probe_id", "vec_id")
+    )
+    return _exact_rerank(spark, shortlist)
+
+
+def _ivfpq_oracle(nprobe: int = N_PROBE_CELLS) -> str:
+    """Mirrors ivfpq_topk stage for stage: the PQ chain (shared samp +
+    per-subspace codebooks) plus the coarse chain (seeds renamed to
+    cseeds to avoid colliding with PQ's 16-row seed draw), composed so
+    ADC scoring only sees (probe, vec) pairs whose vector lies in one of
+    the probe's nprobe nearest cells."""
+    coarse = _kmeans_oracle_ctes(include_samp=False, seeds="cseeds")
+    return f"""
+WITH {_pq_oracle_ctes()},
+{coarse},
+cell_scores AS (
+  SELECT e.vec_id, c.cid,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS score
+  FROM embeddings e, cent{KMEANS_ITERS} c
+),
+ranked_cells AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+  FROM cell_scores
+),
+assigned AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+probe_cells AS (
+  SELECT vec_id AS probe_id, cid AS cell
+  FROM ranked_cells WHERE vec_id < {N_PROBES} AND rn <= {nprobe}
+),
+cand AS (
+  SELECT pc.probe_id, a.vec_id
+  FROM assigned a JOIN probe_cells pc USING (cell)
+  WHERE a.vec_id != pc.probe_id
+),
+subcent AS (
+{chr(10).join(f"  SELECT {s} AS s, cid, centroid FROM s{s}_cent{KMEANS_ITERS}" + (" UNION ALL" if s < PQ_M - 1 else "") for s in range(PQ_M))}
+),
+cbn AS (
+  SELECT s, cid, centroid,
+         list_inner_product(centroid::DOUBLE[], centroid::DOUBLE[]) AS cn2
+  FROM subcent
+),
+probes AS (
+  SELECT vec_id AS probe_id, embedding,
+         sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS p_norm
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+slices AS (
+  SELECT vec_id, s, sub, list_inner_product(sub, sub) AS sn2
+  FROM (
+    SELECT vec_id, s,
+           list_slice(embedding, s * {PQ_SUB} + 1, (s + 1) * {PQ_SUB})::DOUBLE[] AS sub
+    FROM embeddings, range(0, {PQ_M}) t(s))
+),
+enc_scored AS (
+  SELECT l.vec_id, l.s, c.cid,
+         round(list_cosine_similarity(l.sub, c.centroid), 6) AS score
+  FROM slices l JOIN subcent c USING (s)
+  WHERE l.sn2 > 0
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, cid) AS rn
+    FROM enc_scored)
+  WHERE rn = 1
+  UNION ALL
+  SELECT l.vec_id, l.s, m.mincid AS cid
+  FROM slices l JOIN (SELECT s, min(cid) AS mincid FROM subcent GROUP BY s) m USING (s)
+  WHERE l.sn2 = 0
+),
+lut AS (
+  SELECT p.probe_id, c.s, c.cid, c.cn2,
+         list_inner_product(
+           list_slice(p.embedding, c.s * {PQ_SUB} + 1, (c.s + 1) * {PQ_SUB})::DOUBLE[],
+           c.centroid::DOUBLE[]) AS pd
+  FROM probes p, cbn c
+),
+adc AS (
+  SELECT ca.probe_id, d.vec_id AS neighbor_id,
+         round(sum(l.pd) / (p.p_norm * sqrt(sum(l.cn2))), 6) AS adc_cos
+  FROM cand ca
+  JOIN codes d ON d.vec_id = ca.vec_id
+  JOIN lut l ON l.probe_id = ca.probe_id AND l.s = d.s AND l.cid = d.cid
+  JOIN probes p ON p.probe_id = ca.probe_id
+  GROUP BY ca.probe_id, d.vec_id, p.p_norm
+),
+shortlist AS (
+  SELECT probe_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc_cos DESC, neighbor_id) AS srn
+    FROM adc)
+  WHERE srn <= {PQ_RERANK}
+),
+exact_scored AS (
+  SELECT s.probe_id, s.neighbor_id,
+         round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+  FROM shortlist s
+  JOIN embeddings p ON p.vec_id = s.probe_id
+  JOIN embeddings e ON e.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM exact_scored
+)
+SELECT probe_id, neighbor_id, rank, cos AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY probe_id, rank
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (grouped vector mean) — the
     aggregation shape clustering/IVF coarse quantizers need."""
@@ -1149,6 +1341,7 @@ def registry() -> dict[str, dict]:
         "ann_lsh_bucket_topk": {"fn": lsh_bucket_topk, "oracle": _lsh_oracle()},
         "ann_ivf_topk": {"fn": ivf_topk, "oracle": IVF_ORACLE},
         "ann_pq_topk": {"fn": pq_topk, "oracle": _pq_oracle()},
+        "ann_ivfpq_topk": {"fn": ivfpq_topk, "oracle": _ivfpq_oracle()},
         "embedding_neardup_pairs": {"fn": neardup_pairs, "oracle": NEARDUP_ORACLE},
         "embedding_label_centroids": {"fn": label_centroids, "oracle": CENTROIDS_ORACLE},
     }
