@@ -52,6 +52,8 @@ def _configure(spark: SparkSession) -> None:
 _PRIORITY: tuple[str, ...] = (
     # (a) code changed or added in round 5
     "doc_chunk_windows",
+    "events_anomaly_zscore",
+    "stream_static_enrich",
     "dedup_span_coverage",
     "search_tfidf_cosine_topk",
     "ann_pq_topk",
@@ -63,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_components",
     "indexer_positional_ids",
     "multimodal_decode_image",
+    "multimodal_decode_audio",
     # (b) stale-evidence backlog: newest driver green r01/r02 or never
     "array_map_struct_functions",
     "dedup_normalized",
@@ -100,10 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     "basket_part_affinity",
     "embedding_neardup_pairs",
     "embedding_quantize_int8",
-    "events_time_bucket",
     "filter_in_between_like",
-    "filter_null_handling",
-    "filter_null_safe_eq",
 )
 
 

@@ -796,6 +796,40 @@ _q(
 )
 
 
+_q(
+    "events_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    roll AS (
+      SELECT hour_start, event_type, n,
+             round(avg(n) OVER w, 6)         AS mu,
+             round(stddev_samp(n) OVER w, 6) AS sigma
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT cast(hour_start AS string) AS hour_start, event_type, n, mu, sigma,
+           round((n - mu) / sigma, 4) AS z,
+           CASE WHEN abs((n - mu) / sigma) >= 2 THEN 1 ELSE 0 END AS is_anomaly
+    FROM roll
+    WHERE sigma > 0
+    ORDER BY event_type, hour_start
+    """,
+)
+# events_anomaly_zscore: rolling z-score anomaly detection on the hourly
+# event-rate series — each hour's count against the trailing-24h
+# mean/stddev (rows-preceding frame, so gaps don't widen the window).
+# mu/sigma are rounded to 6 dp BEFORE z so cross-engine stddev
+# implementation drift (Welford vs naive summation) cannot leak into
+# the flag; the frame excludes the current row (self-exclusion: a spike
+# must not inflate its own baseline). Scale: one shuffle to the hourly
+# rollup (upstream count partial-aggregates map-side), then a window
+# over the tiny per-type series.
+
+
 # ---------------------------------------------------------------------------
 # Surface widening: NATURAL/LATERAL joins, window frames, set-op ALL
 # variants, unpivot (SURVEY.md §2.B "Joins", "Window functions", "Set ops").

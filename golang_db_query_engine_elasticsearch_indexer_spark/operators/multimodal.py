@@ -58,13 +58,14 @@ ORDER BY doc_id
 
 
 def decode_stub(modality: str):
-    """Decode entry point for codecs this container lacks (audio/video).
+    """Decode entry point for codecs this container lacks (video and
+    compressed formats: jpeg/mp3/mp4).
 
-    STUB: torchaudio/ffmpeg are not in this container; these modalities
+    STUB: ffmpeg/libjpeg are not in this container; these modalities
     validate the plumbing contract and fail loudly rather than faking
-    media decode silently. IMAGE decode is NOT stubbed — see
-    ``decode_image`` below, a real binary PPM (P6) parser running in
-    the same Arrow-batched path.
+    media decode silently. IMAGE and AUDIO decode are NOT stubbed —
+    see ``decode_image`` (real binary PPM parser) and ``decode_audio``
+    (real RIFF/WAV chunk walker), both in the same Arrow-batched path.
     """
 
     def _decode(batches):
@@ -214,6 +215,165 @@ ORDER BY doc_id
 """
 
 
+# --- real audio decode: WAV (RIFF / 8-bit PCM) ------------------------------
+#
+# Like the PPM path: the one audio container decodable with zero codec
+# deps. Fixture WAVs are synthesized IN SPARK SQL as genuine RIFF wire
+# format — "RIFF" + size + "WAVE", a 16-byte PCM fmt chunk (mono, 8 kHz,
+# 8-bit), and a data chunk whose samples come from the same md5-chain
+# generator as the PPM raster — so the decoder parses real bytes and the
+# DuckDB oracle recomputes the stats from the generative formula.
+
+WAV_SCHEMA = (
+    "doc_id long, n_channels int, sample_rate int, bits int, "
+    "n_samples long, sum_sq long, rms double"
+)
+
+
+def _le32hex(expr: str) -> str:
+    """Spark SQL expr: little-endian 32-bit hex rendering of an int
+    expression (the RIFF/data chunk-size fields)."""
+    bytes_ = [f"(({expr}) div {256 ** k}) % 256" for k in range(4)]
+    pairs = [
+        f"concat(substring('{HEX_DIGITS}', ({b}) div 16 + 1, 1), "
+        f"substring('{HEX_DIGITS}', ({b}) % 16 + 1, 1))"
+        for b in bytes_
+    ]
+    return "concat(" + ", ".join(pairs) + ")"
+
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def _wav_payload_expr() -> str:
+    """A genuine 8-bit-PCM mono WAV per document: n = 64 + doc_id % 64
+    samples at 8 kHz. Header fields are little-endian per RIFF; sample
+    bytes are the md5 chain keyed on 'wav:doc_id'. Pure codegen."""
+    n = "(64 + doc_id % 64)"
+    nchunks = f"(({n} + 15) div 16)"
+    hexstr = (
+        f"substring(concat_ws('', transform(sequence(0, {nchunks} - 1), "
+        f"i -> md5(concat('wav:', cast(doc_id AS string), ':', cast(i AS string))))), "
+        f"1, {n} * 2)"
+    )
+    header_hex = (
+        "concat("
+        "'52494646', "  # "RIFF"
+        f"{_le32hex(f'36 + {n}')}, "
+        "'57415645', "  # "WAVE"
+        "'666d7420', '10000000', "  # "fmt ", chunk size 16
+        "'0100', '0100', "  # PCM, mono
+        "'401f0000', '401f0000', "  # sample rate 8000, byte rate 8000
+        "'0100', '0800', "  # block align 1, bits 8
+        "'64617461', "  # "data"
+        f"{_le32hex(n)})"
+    )
+    return f"unhex(concat({header_hex}, {hexstr}))"
+
+
+def _decode_wav_batches(batches):
+    """mapInPandas worker: a REAL RIFF/WAV parser — validates the RIFF
+    and WAVE magics, WALKS the chunk list (id + LE32 size + payload,
+    word-aligned) to find fmt and data rather than assuming fixed
+    offsets, checks PCM/8-bit, and emits exact integer stats (sum of
+    squared deviations from the 8-bit midpoint) plus the derived RMS.
+    Raises on malformed input instead of guessing."""
+    import math  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415 — executor-side
+    import pandas as pd  # noqa: PLC0415
+
+    def parse(b):
+        data = bytes(b)
+        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {data[:12]!r}")
+        riff_size = struct.unpack("<I", data[4:8])[0]
+        if riff_size != len(data) - 8:
+            raise ValueError(f"RIFF size {riff_size} != payload {len(data) - 8}")
+        pos, fmt, samples = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            csize = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            body = data[pos + 8 : pos + 8 + csize]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                samples = body
+            pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+        if fmt is None or samples is None:
+            raise ValueError("missing fmt or data chunk")
+        audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+        if audio_fmt != 1 or bits != 8:
+            raise ValueError(f"not 8-bit PCM: fmt={audio_fmt} bits={bits}")
+        px = np.frombuffer(samples, dtype=np.uint8).astype(np.int64)
+        n = len(px)
+        sum_sq = int(((px - 128) ** 2).sum())  # exact integer arithmetic
+        rms = math.floor(math.sqrt(sum_sq / n) * 10_000 + 0.5) / 10_000
+        return channels, rate, bits, n, sum_sq, rms
+
+    for pdf in batches:
+        rows = [(int(d), *parse(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_channels", "sample_rate", "bits",
+                "n_samples", "sum_sq", "rms",
+            ],
+        )
+
+
+def decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode through the multimodal path: genuine WAV
+    binaries synthesized by codegen'd SQL, Arrow-batched to a real
+    RIFF chunk-walking parser, typed stats out. Together with
+    ``decode_image`` this retires the decode stub for every
+    self-describing format; compressed codecs (jpeg/mp3/mp4) remain
+    loud NotImplementedError stubs by design."""
+    payloads = spark.table("documents").select(
+        "doc_id", F.expr(_wav_payload_expr()).alias("payload")
+    )
+    return payloads.mapInPandas(_decode_wav_batches, schema=WAV_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _decode_audio_oracle() -> str:
+    """Recomputes the decoded stats from the generative formula: sample
+    j is the byte at hex positions 2j+1..2j+2 of the md5 chain; sum_sq
+    is exact integer arithmetic in both engines, so rms (sqrt of an
+    exact ratio) is bit-deterministic before its 4-dp round."""
+    hv = "strpos('0123456789abcdef', substring(hexstr, {p}, 1)) - 1"
+    byte_j = f"(({hv.format(p='2*j + 1')}) * 16 + ({hv.format(p='2*j + 2')}))"
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+),
+hx AS (
+  SELECT doc_id, n,
+         substring(list_aggregate(list_transform(range(0, (n + 15) // 16),
+             i -> md5('wav:' || doc_id::VARCHAR || ':' || i::VARCHAR)), 'string_agg', ''),
+           1, 2 * n) AS hexstr
+  FROM dims
+),
+stats AS (
+  SELECT doc_id, n,
+         cast(list_sum(list_transform(range(0, n),
+             j -> ({byte_j} - 128) * ({byte_j} - 128))) AS BIGINT) AS sum_sq
+  FROM hx
+)
+SELECT doc_id,
+       cast(1 AS INTEGER) AS n_channels,
+       cast(8000 AS INTEGER) AS sample_rate,
+       cast(8 AS INTEGER) AS bits,
+       cast(n AS BIGINT) AS n_samples,
+       sum_sq,
+       round(sqrt(sum_sq * 1.0 / n), 4) AS rms
+FROM stats
+ORDER BY doc_id
+"""
+
+
 N_RESIZE_BINS = 8
 FRAME_BYTES = 256
 FRAME_STRIDE = 4
@@ -350,5 +510,9 @@ def registry() -> dict[str, dict]:
         "multimodal_decode_image": {
             "fn": decode_image,
             "oracle": _decode_image_oracle(),
+        },
+        "multimodal_decode_audio": {
+            "fn": decode_audio,
+            "oracle": _decode_audio_oracle(),
         },
     }

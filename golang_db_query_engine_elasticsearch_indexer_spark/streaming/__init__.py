@@ -339,6 +339,45 @@ ORDER BY user_id
 """
 
 
+def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining streaming join
+    shape (stream-stream is ``view_click_join``): the events stream
+    joined to the static ``customer`` dimension, then aggregated per
+    nation. Stream-static inner joins are STATELESS (each micro-batch
+    probes the static side; no watermark, no join-state buffer), which
+    is why the static side is explicitly broadcast — at cluster scale
+    the dimension ships once per executor and the stream never
+    shuffles for the join.
+
+    ID-SPACE STAND-IN: ``events.user_id`` plays the customer key
+    (fixture tables are independent; user_id 0..149 inner-joins
+    c_custkey 1..N so the enrichment is non-vacuous). With a real
+    keyed dimension the same plan applies unchanged.
+    """
+    ev = _events_stream(spark, sf_dir)
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return out.orderBy("c_nationkey")
+
+
+STATIC_ENRICH_ORACLE = """
+SELECT c_nationkey, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def stream_index_events(
     spark: SparkSession,
     sf_dir: str,
@@ -402,5 +441,9 @@ def registry() -> dict[str, dict]:
         "stream_view_click_join": {
             "fn": view_click_join,
             "oracle": VIEW_CLICK_JOIN_ORACLE,
+        },
+        "stream_static_enrich": {
+            "fn": static_enrich,
+            "oracle": STATIC_ENRICH_ORACLE,
         },
     }
