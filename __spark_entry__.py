@@ -56,6 +56,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_static_enrich",
     "dedup_span_coverage",
     "search_tfidf_cosine_topk",
+    "retrieval_training_triplets",
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_ivf_topk",
@@ -63,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_lsh_bucket_topk",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "dedup_keep_best",
     "indexer_positional_ids",
     "multimodal_decode_image",
     "multimodal_decode_audio",
@@ -102,8 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "basket_part_affinity",
     "embedding_neardup_pairs",
-    "embedding_quantize_int8",
-    "filter_in_between_like",
 )
 
 

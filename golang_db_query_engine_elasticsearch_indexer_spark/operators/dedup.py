@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
     DUCK_TOKENS,
     TOKENS,
+    array_lit as _array_lit,
     duck_ngrams,
     hash16 as _hash16,
     hex_prefix_int as _hex_prefix_int,
@@ -601,6 +602,107 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: for each
+    connected component, KEEP the member with the highest quality score
+    (the curation policy real pipelines want — "min doc_id" is an
+    arbitrary canonical; "best quality" is the right one) and report
+    cluster size. Quality is the same deterministic blend
+    ``text.quality_score`` computes, rounded to 4 dp BEFORE the argmax
+    with a doc_id tiebreak, so the winner is cross-engine stable.
+
+    Scale shape: components (candidate-sized) join the per-doc quality
+    (map-only expressions) once; the winner per cluster is ONE
+    aggregation via a scored-struct max — no window shuffle.
+    """
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (  # noqa: PLC0415
+        LANG_STOPWORDS,
+    )
+
+    stop = _array_lit(LANG_STOPWORDS["en"])
+    comp = connected_components(spark, sf_dir)
+    quality = spark.table("documents").selectExpr(
+        "doc_id",
+        f"""round(
+              0.4 * least(size({TOKENS}) / 100.0, 1.0)
+            + 0.4 * (size(filter({TOKENS}, w -> array_contains({stop}, w))) / size({TOKENS}))
+            + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))
+        , 4) AS quality""",
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("quality"),
+                    (-F.col("doc_id")).alias("neg"),
+                    F.col("doc_id").alias("kept"),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "component",
+            F.col("s.kept").alias("kept_doc_id"),
+            "n_members",
+            F.col("s.quality").alias("best_quality"),
+        )
+        .orderBy("component")
+    )
+
+
+def _duck_keep_best_oracle() -> str:
+    """Recursive closure (same graph as the components oracle) joined
+    to the DuckDB rendering of the quality blend; winner per component
+    via a (quality DESC, doc_id) window."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+        list_lit,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (  # noqa: PLC0415
+        LANG_STOPWORDS,
+    )
+
+    en = list_lit(LANG_STOPWORDS["en"])
+    pairs_sql = _duck_minhash_oracle()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs_sql})
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (
+  SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+),
+q AS (
+  SELECT doc_id,
+         round(
+             0.4 * least(len({DUCK_TOKENS}) / 100.0, 1.0)
+           + 0.4 * (len(list_filter({DUCK_TOKENS}, w -> list_contains({en}, w))) * 1.0 / len({DUCK_TOKENS}))
+           + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
+         , 4) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT c.component, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS n_members
+  FROM comp c JOIN q USING (doc_id)
+)
+SELECT component, doc_id AS kept_doc_id, n_members, quality AS best_quality
+FROM ranked WHERE rn = 1
+ORDER BY component
+"""
+
+
 def _duck_components_oracle() -> str:
     """Recursive-CTE transitive closure over the same verified pair
     graph the Spark loop propagates labels on; component = min
@@ -688,4 +790,5 @@ def registry() -> dict[str, dict]:
         "dedup_ngram_jaccard": {"fn": ngram_jaccard_pairs, "oracle": _duck_ngram_oracle()},
         "dedup_simhash": {"fn": simhash, "oracle": _duck_simhash_oracle()},
         "dedup_components": {"fn": connected_components, "oracle": _duck_components_oracle()},
+        "dedup_keep_best": {"fn": keep_best, "oracle": _duck_keep_best_oracle()},
     }

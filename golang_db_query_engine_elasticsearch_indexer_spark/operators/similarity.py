@@ -900,6 +900,40 @@ def _exact_rerank(spark: SparkSession, shortlist: DataFrame) -> DataFrame:
     )
 
 
+def pq_index_save(index: PQIndex, path: str) -> None:
+    """Persist the built PQ artifact to storage: the code table as
+    parquet (the narrow relation searches stream — at 100 TB this
+    lives partitioned beside the embedding store) and the driver-
+    resident codebooks as a JSON sidecar (~8 KB; float repr round-trips
+    exactly, so reloaded literals are bit-identical)."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    sidecar = [
+        [[cid, vec, n] for cid, vec, n in cb] for cb in index.codebooks
+    ]
+    with open(os.path.join(path, "codebooks.json"), "w") as f:
+        json.dump(sidecar, f)
+
+
+def pq_index_load(spark: SparkSession, path: str) -> PQIndex:
+    """Reload a persisted PQ artifact: searches resume without any
+    training or encoding (the cold-start 'build once, search many'
+    path across sessions, not just within one)."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    with open(os.path.join(path, "codebooks.json")) as f:
+        sidecar = json.load(f)
+    cbs = [
+        [(int(cid), [float(x) for x in vec], float(n)) for cid, vec, n in cb]
+        for cb in sidecar
+    ]
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return PQIndex(cbs, codes, False)
+
+
 def pq_search(spark: SparkSession, sf_dir: str, index: PQIndex) -> DataFrame:
     """ADC search over stored codes + exact re-rank.
 
@@ -1255,6 +1289,100 @@ ORDER BY probe_id, rank
 """
 
 
+TRIPLET_HARD_LO = 20  # hard-negative band: ranks [LO, HI] of the exact list
+TRIPLET_HARD_HI = 24
+
+
+def training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-retrieval training data: (anchor, positive, hard
+    negative) triplets per probe — positive = the exact top-1 neighbor,
+    negatives = the TRIPLET_HARD_LO..HI band of the same exact ranking
+    (the "hard negatives" recipe: near the query but NOT nearest, the
+    negatives that actually move a bi-encoder). ``margin`` is the
+    positive-negative cosine gap the loss will be trained against.
+
+    Scale shape: one broadcast-probe scored scan and ONE ranking window
+    (positives and negatives are two filters over the same window
+    output, self-joined on the tiny probe key). At 100 TB the exact
+    scan becomes any ANN entry above — the triplet assembly is
+    unchanged.
+    """
+    emb = _with_norm(spark.table("embeddings"))
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(DOT.format(a="p_emb", b="embedding"))
+                / (F.col("p_norm") * F.col("norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        (F.col("rank") == 1)
+        | F.col("rank").between(TRIPLET_HARD_LO, TRIPLET_HARD_HI)
+    )
+    pos = ranked.where(F.col("rank") == 1).select(
+        "probe_id",
+        F.col("vec_id").alias("positive_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    neg = ranked.where(F.col("rank") >= TRIPLET_HARD_LO).select(
+        "probe_id",
+        F.col("vec_id").alias("negative_id"),
+        F.col("cos").alias("neg_cos"),
+        F.col("rank").alias("neg_rank"),
+    )
+    return (
+        pos.join(neg, "probe_id")
+        .select(
+            "probe_id",
+            "positive_id",
+            "negative_id",
+            "neg_rank",
+            "pos_cos",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        )
+        .orderBy("probe_id", "neg_rank")
+    )
+
+
+TRIPLETS_ORACLE = f"""
+WITH scored AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS vid,
+         round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings p JOIN embeddings e ON e.vec_id != p.vec_id
+  WHERE p.vec_id < {N_PROBES}
+),
+ranked AS (
+  SELECT probe_id, vid, cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vid) AS rank
+  FROM scored
+),
+pos AS (
+  SELECT probe_id, vid AS positive_id, cos AS pos_cos FROM ranked WHERE rank = 1
+),
+neg AS (
+  SELECT probe_id, vid AS negative_id, cos AS neg_cos, rank AS neg_rank
+  FROM ranked WHERE rank BETWEEN {TRIPLET_HARD_LO} AND {TRIPLET_HARD_HI}
+)
+SELECT p.probe_id, p.positive_id, n.negative_id, n.neg_rank,
+       p.pos_cos, n.neg_cos,
+       round(p.pos_cos - n.neg_cos, 6) AS margin
+FROM pos p JOIN neg n USING (probe_id)
+ORDER BY probe_id, neg_rank
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (grouped vector mean) — the
     aggregation shape clustering/IVF coarse quantizers need."""
@@ -1342,6 +1470,10 @@ def registry() -> dict[str, dict]:
         "ann_ivf_topk": {"fn": ivf_topk, "oracle": IVF_ORACLE},
         "ann_pq_topk": {"fn": pq_topk, "oracle": _pq_oracle()},
         "ann_ivfpq_topk": {"fn": ivfpq_topk, "oracle": _ivfpq_oracle()},
+        "retrieval_training_triplets": {
+            "fn": training_triplets,
+            "oracle": TRIPLETS_ORACLE,
+        },
         "embedding_neardup_pairs": {"fn": neardup_pairs, "oracle": NEARDUP_ORACLE},
         "embedding_label_centroids": {"fn": label_centroids, "oracle": CENTROIDS_ORACLE},
     }

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+    chunking,
     dedup,
     multimodal,
     similarity,
@@ -386,3 +387,60 @@ def test_decode_image_entry_runs_on_fixture(spark, tables, sf_dir):
         npix = r.width * r.height
         for s in (r.r_sum, r.g_sum, r.b_sum):
             assert 0 <= s <= 255 * npix
+
+
+def test_chunk_windows_total_coverage(spark, tables, sf_dir):
+    """Chunking invariants: window starts advance by exactly STRIDE,
+    every token position is covered (stride < chunk => contiguous), and
+    the final chunk ends exactly at the document's last token."""
+    n_toks = {
+        r.doc_id: r.n
+        for r in spark.sql(
+            "SELECT doc_id, size(split(lower(trim(text)), '\\\\s+')) AS n FROM documents"
+        ).collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in chunking.chunk_windows(spark, sf_dir).collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(n_toks)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        starts = [r.start_pos for r in rows]
+        assert starts == [1 + k * chunking.STRIDE for k in range(len(rows))]
+        # contiguous coverage: each window reaches at least the next start
+        for a, b in zip(rows, rows[1:]):
+            assert a.start_pos + a.n_chunk_tokens >= b.start_pos
+        last = rows[-1]
+        assert last.start_pos + last.n_chunk_tokens - 1 == n_toks[doc_id]
+
+
+def test_span_dup_coverage_bounds(spark, tables, sf_dir):
+    """Span-coverage invariants: fractions in [0,1], dup spans bounded
+    by total spans, covered tokens bounded by n_tokens, and zero dup
+    spans implies zero coverage."""
+    rows = chunking.span_dup_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_spans <= r.n_spans
+        assert 0 <= r.covered_tokens <= r.n_tokens
+        assert 0.0 <= r.dup_fraction <= 1.0
+        if r.n_dup_spans == 0:
+            assert r.covered_tokens == 0
+        else:
+            # a dup span covers at least SPAN tokens
+            assert r.covered_tokens >= chunking.SPAN
+
+
+def test_pq_index_parquet_roundtrip(spark, tables, sf_dir, tmp_path):
+    """Persisted PQ artifact: save -> load across a fresh handle must
+    reproduce the in-memory search exactly (codes parquet + codebook
+    sidecar round-trip bit-exactly)."""
+    index = similarity.pq_build(spark, sf_dir, persist=False)
+    path = str(tmp_path / "pq_index")
+    similarity.pq_index_save(index, path)
+    loaded = similarity.pq_index_load(spark, path)
+    a = [tuple(r) for r in similarity.pq_search(spark, sf_dir, index).collect()]
+    b = [tuple(r) for r in similarity.pq_search(spark, sf_dir, loaded).collect()]
+    assert a == b
+    assert loaded.codebooks == index.codebooks
+    assert set(loaded.codes.columns) == set(index.codes.columns)
