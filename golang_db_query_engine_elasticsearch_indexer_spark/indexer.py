@@ -118,10 +118,11 @@ def with_positional_ids(
     # through a few straggler partitions at scale. The tiebreak spreads
     # ties uniformly across partitions at no semantic cost (IDs remain
     # consistent with ``cols``; ties get a deterministic hash order
-    # instead of an arbitrary one). xxhash64 over the row's JSON: one
-    # long instead of an md5 hex string, so the extra sort key adds 8
-    # bytes to the shuffle, not 32.
-    df = df.withColumn("__sort_key", F.xxhash64(F.to_json(F.struct(*df.columns))))
+    # instead of an arbitrary one). xxhash64 folds the columns natively
+    # (no per-row JSON serialization on the hot path — to_json would
+    # materialize every multi-KB document just to hash it) and the sort
+    # key is one long: 8 extra bytes on the shuffle, not a string.
+    df = df.withColumn("__sort_key", F.xxhash64(*[F.col(c) for c in df.columns]))
     cols = [*cols, "__sort_key"]
     # One range-partitioned sort; in-partition position comes from
     # monotonically_increasing_id's low 33 bits (narrow — no second

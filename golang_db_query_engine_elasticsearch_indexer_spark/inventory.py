@@ -813,7 +813,8 @@ _q(
     )
     SELECT cast(hour_start AS string) AS hour_start, event_type, n, mu, sigma,
            round((n - mu) / sigma, 4) AS z,
-           CASE WHEN abs((n - mu) / sigma) >= 2 THEN 1 ELSE 0 END AS is_anomaly
+           CASE WHEN abs(round((n - mu) / sigma, 4)) >= 2 THEN 1 ELSE 0 END
+             AS is_anomaly
     FROM roll
     WHERE sigma > 0
     ORDER BY event_type, hour_start
@@ -824,8 +825,10 @@ _q(
 # mean/stddev (rows-preceding frame, so gaps don't widen the window).
 # mu/sigma are rounded to 6 dp BEFORE z so cross-engine stddev
 # implementation drift (Welford vs naive summation) cannot leak into
-# the flag; the frame excludes the current row (self-exclusion: a spike
-# must not inflate its own baseline). Scale: one shuffle to the hourly
+# the flag, and the flag thresholds the ROUNDED z — the value actually
+# reported — so a consumer re-deriving it from the output agrees with
+# the shipped column; the frame excludes the current row
+# (self-exclusion: a spike must not inflate its own baseline). Scale: one shuffle to the hourly
 # rollup (upstream count partial-aggregates map-side), then a window
 # over the tiny per-type series.
 

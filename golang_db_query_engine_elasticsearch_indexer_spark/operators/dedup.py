@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
     DUCK_TOKENS,
     TOKENS,
-    array_lit as _array_lit,
     duck_ngrams,
     hash16 as _hash16,
     hex_prefix_int as _hex_prefix_int,
@@ -616,18 +615,13 @@ def keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation via a scored-struct max — no window shuffle.
     """
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (  # noqa: PLC0415
-        LANG_STOPWORDS,
+        quality_blend,
     )
 
-    stop = _array_lit(LANG_STOPWORDS["en"])
     comp = connected_components(spark, sf_dir)
     quality = spark.table("documents").selectExpr(
         "doc_id",
-        f"""round(
-              0.4 * least(size({TOKENS}) / 100.0, 1.0)
-            + 0.4 * (size(filter({TOKENS}, w -> array_contains({stop}, w))) / size({TOKENS}))
-            + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))
-        , 4) AS quality""",
+        f"round({quality_blend()}, 4) AS quality",
     )
     return (
         comp.join(quality, "doc_id")
@@ -656,14 +650,10 @@ def _duck_keep_best_oracle() -> str:
     """Recursive closure (same graph as the components oracle) joined
     to the DuckDB rendering of the quality blend; winner per component
     via a (quality DESC, doc_id) window."""
-    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
-        list_lit,
-    )
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (  # noqa: PLC0415
-        LANG_STOPWORDS,
+        duck_quality_blend,
     )
 
-    en = list_lit(LANG_STOPWORDS["en"])
     pairs_sql = _duck_minhash_oracle()
     return f"""
 WITH RECURSIVE pairs AS (
@@ -683,12 +673,7 @@ comp AS (
   SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
 ),
 q AS (
-  SELECT doc_id,
-         round(
-             0.4 * least(len({DUCK_TOKENS}) / 100.0, 1.0)
-           + 0.4 * (len(list_filter({DUCK_TOKENS}, w -> list_contains({en}, w))) * 1.0 / len({DUCK_TOKENS}))
-           + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
-         , 4) AS quality
+  SELECT doc_id, round({duck_quality_blend()}, 4) AS quality
   FROM documents
 ),
 ranked AS (

@@ -150,8 +150,10 @@ def _decode_ppm_batches(batches):
         if magic != b"P6":
             raise ValueError(f"not a binary PPM (P6): magic={magic!r}")
         w, h, maxval = int(token()), int(token()), int(token())
-        if not (0 < maxval < 65536):
-            raise ValueError(f"PPM maxval out of range: {maxval}")
+        # maxval > 255 means TWO bytes per sample (big-endian); this
+        # decoder reads one, so reject rather than silently mis-decode.
+        if not (0 < maxval <= 255):
+            raise ValueError(f"unsupported PPM maxval (8-bit only): {maxval}")
         pos += 1  # exactly ONE whitespace byte separates header and raster
         n = w * h * 3
         if len(data) - pos < n:
@@ -248,18 +250,22 @@ HEX_DIGITS = "0123456789abcdef"
 def _wav_payload_expr() -> str:
     """A genuine 8-bit-PCM mono WAV per document: n = 64 + doc_id % 64
     samples at 8 kHz. Header fields are little-endian per RIFF; sample
-    bytes are the md5 chain keyed on 'wav:doc_id'. Pure codegen."""
+    bytes are the md5 chain keyed on 'wav:doc_id'. An odd-length data
+    chunk carries the spec-required pad byte (counted in the RIFF size
+    but NOT in the data csize), so the files conform for any external
+    reader and the parser's word-alignment is truthfully exercised.
+    Pure codegen."""
     n = "(64 + doc_id % 64)"
     nchunks = f"(({n} + 15) div 16)"
     hexstr = (
-        f"substring(concat_ws('', transform(sequence(0, {nchunks} - 1), "
+        f"concat(substring(concat_ws('', transform(sequence(0, {nchunks} - 1), "
         f"i -> md5(concat('wav:', cast(doc_id AS string), ':', cast(i AS string))))), "
-        f"1, {n} * 2)"
+        f"1, {n} * 2), CASE WHEN {n} % 2 = 1 THEN '00' ELSE '' END)"
     )
     header_hex = (
         "concat("
         "'52494646', "  # "RIFF"
-        f"{_le32hex(f'36 + {n}')}, "
+        f"{_le32hex(f'36 + {n} + {n} % 2')}, "
         "'57415645', "  # "WAVE"
         "'666d7420', '10000000', "  # "fmt ", chunk size 16
         "'0100', '0100', "  # PCM, mono
@@ -295,8 +301,15 @@ def _decode_wav_batches(batches):
         while pos + 8 <= len(data):
             cid = data[pos : pos + 4]
             csize = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            if pos + 8 + csize > len(data):
+                raise ValueError(
+                    f"chunk {cid!r} overruns file: size {csize}, "
+                    f"{len(data) - pos - 8} bytes remain"
+                )
             body = data[pos + 8 : pos + 8 + csize]
             if cid == b"fmt ":
+                if len(body) < 16:
+                    raise ValueError(f"fmt chunk too short: {len(body)} bytes")
                 fmt = struct.unpack("<HHIIHH", body[:16])
             elif cid == b"data":
                 samples = body

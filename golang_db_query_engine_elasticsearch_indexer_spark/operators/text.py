@@ -32,6 +32,30 @@ LANG_STOPWORDS = {
 }
 
 
+def quality_blend(toks: str = TOKENS, text: str = "text") -> str:
+    """Spark dialect of THE quality composite (unrounded): the single
+    definition every consumer shares (quality_score, source_stats,
+    dedup.keep_best) so the scoring and the canonical-selection policy
+    can never silently desynchronize. 0.4·length-saturation +
+    0.4·stopword-ratio + 0.2·(1 − punctuation-ratio)."""
+    stop = _array_lit(LANG_STOPWORDS["en"])
+    return (
+        f"0.4 * least(size({toks}) / 100.0, 1.0)"
+        f" + 0.4 * (size(filter({toks}, w -> array_contains({stop}, w))) / size({toks}))"
+        f" + 0.2 * (1.0 - (length({text}) - length(regexp_replace({text}, '[.,;:!?]', ''))) / length({text}))"
+    )
+
+
+def duck_quality_blend(toks: str = DUCK_TOKENS, text: str = "text") -> str:
+    """DuckDB dialect of the same blend, value-for-value identical."""
+    en = _list_lit(LANG_STOPWORDS["en"])
+    return (
+        f"0.4 * least(len({toks}) / 100.0, 1.0)"
+        f" + 0.4 * (len(list_filter({toks}, w -> list_contains({en}, w))) * 1.0 / len({toks}))"
+        f" + 0.2 * (1.0 - (length({text}) - length(regexp_replace({text}, '[.,;:!?]', '', 'g'))) * 1.0 / length({text}))"
+    )
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + a BPE-ish regex token estimate.
 
@@ -70,11 +94,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(length(text) / size({TOKENS}), 4) AS chars_per_token",
         f"round(size(filter({TOKENS}, w -> array_contains({stop}, w))) / size({TOKENS}), 4) AS stopword_ratio",
         "round((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text), 4) AS punct_ratio",
-        f"""round(
-              0.4 * least(size({TOKENS}) / 100.0, 1.0)
-            + 0.4 * (size(filter({TOKENS}, w -> array_contains({stop}, w))) / size({TOKENS}))
-            + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))
-        , 4) AS quality""",
+        f"round({quality_blend()}, 4) AS quality",
     ).orderBy("doc_id")
 
 
@@ -89,14 +109,10 @@ SELECT doc_id,
        round(length(text) / len(toks), 4) AS chars_per_token,
        round(len(list_filter(toks, w -> list_contains({en}, w))) * 1.0 / len(toks), 4) AS stopword_ratio,
        round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text), 4) AS punct_ratio,
-       round(
-           0.4 * least(len(toks) / 100.0, 1.0)
-         + 0.4 * (len(list_filter(toks, w -> list_contains({en}, w))) * 1.0 / len(toks))
-         + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
-       , 4) AS quality
+       round({blend}, 4) AS quality
 FROM t
 ORDER BY doc_id
-""".format(en=_list_lit(LANG_STOPWORDS["en"]))
+""".format(en=_list_lit(LANG_STOPWORDS["en"]), blend=duck_quality_blend(toks="toks"))
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,7 +308,6 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash features are row-local, so the shuffle moves one row of
     partial aggregates per (partition, source).
     """
-    stop = _array_lit(LANG_STOPWORDS["en"])
     per_doc = (
         spark.table("documents")
         .selectExpr("source", "text", f"{TOKENS} AS toks")
@@ -300,10 +315,7 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "size(toks) AS n_tokens",
             "sha2(text, 256) AS h",
-            f"""  0.4 * least(size(toks) / 100.0, 1.0)
-                + 0.4 * (size(filter(toks, w -> array_contains({stop}, w))) / size(toks))
-                + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))
-              AS quality""",
+            f"{quality_blend(toks='toks')} AS quality",
         )
     )
     return (
@@ -330,10 +342,7 @@ WITH t AS (
 ),
 q AS (
   SELECT source, len(toks) AS n_tokens, h,
-           0.4 * least(len(toks) / 100.0, 1.0)
-         + 0.4 * (len(list_filter(toks, w -> list_contains({en}, w))) * 1.0 / len(toks))
-         + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
-         AS quality
+         {blend} AS quality
   FROM t
 )
 SELECT source,
@@ -344,7 +353,7 @@ SELECT source,
 FROM q
 GROUP BY source
 ORDER BY source
-""".format(en=_list_lit(LANG_STOPWORDS["en"]))
+""".format(blend=duck_quality_blend(toks="toks"))
 
 
 def registry() -> dict[str, dict]:

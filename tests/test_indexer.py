@@ -215,7 +215,7 @@ def test_http_bulk_auth_and_url_normalization():
 
 def test_positional_ids_balanced_under_low_cardinality_order(spark, tables):
     """A single-value order column must NOT concentrate the range sort
-    on one partition: the unconditional md5 tiebreak spreads ties, so
+    on one partition: the unconditional xxhash64 tiebreak spreads ties, so
     IDs stay contiguous/complete AND the sorted frame lands on several
     partitions (the skew-proofing the 100 TB shape needs)."""
     from pyspark.sql import functions as F

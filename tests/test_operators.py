@@ -444,3 +444,24 @@ def test_pq_index_parquet_roundtrip(spark, tables, sf_dir, tmp_path):
     assert a == b
     assert loaded.codebooks == index.codebooks
     assert set(loaded.codes.columns) == set(index.codes.columns)
+
+
+def test_ivfpq_build_search_split_matches_selfcontained(spark, tables, sf_dir):
+    """The composite's 'build once, search many' path must return
+    exactly what the self-contained ivfpq_topk returns, and the
+    persisted code table must carry the cell tag next to the codes."""
+    index = similarity.ivfpq_build(spark, sf_dir, persist=True)
+    try:
+        assert "cell" in index.codes.columns
+        assert {"vec_id", "rnorm"} <= set(index.codes.columns)
+        split = [
+            tuple(r) for r in similarity.ivfpq_search(spark, sf_dir, index).collect()
+        ]
+        whole = [tuple(r) for r in similarity.ivfpq_topk(spark, sf_dir).collect()]
+        assert split == whole
+        again = [
+            tuple(r) for r in similarity.ivfpq_search(spark, sf_dir, index).collect()
+        ]
+        assert again == split
+    finally:
+        index.release()
