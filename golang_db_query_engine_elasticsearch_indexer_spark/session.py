@@ -147,14 +147,37 @@ def default_registry() -> SourceRegistry:
     return reg
 
 
-def register_sf_dir(spark: SparkSession, sf_dir: str, tables=FIXTURE_TABLES) -> dict[str, DataFrame]:
+# Per-session registration memo: (session, sf_dir, tables) of the last
+# registration, so back-to-back queries against the SAME fixture dir
+# skip the ~0.7 s of footer reads + view DDL round-trips (measured: the
+# dominant fixed cost of every driver-contract call — the q1 plan itself
+# runs in 0.23 s). Switching sf_dir (or passing force=True) re-registers,
+# so the contract's dir-switching behavior is unchanged. WeakKeyDict so
+# a stopped session doesn't pin its DataFrames.
+import weakref
+
+_REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def register_sf_dir(
+    spark: SparkSession,
+    sf_dir: str,
+    tables=FIXTURE_TABLES,
+    force: bool = False,
+) -> dict[str, DataFrame]:
     """Register every fixture table under ``sf_dir`` as a temp view.
 
     Reads only Parquet footers — safe at any scale. Missing tables are
-    skipped so partial fixture dirs still register.
+    skipped so partial fixture dirs still register. Idempotent calls
+    (same session + sf_dir + tables) return the memoized registration;
+    pass ``force=True`` after replacing views out-of-band.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
+
+    memo = _REGISTERED.get(spark)
+    if not force and memo is not None and memo[0] == (sf_dir, tuple(tables)):
+        return memo[1]
 
     out: dict[str, DataFrame] = {}
     for name in tables:
@@ -170,4 +193,5 @@ def register_sf_dir(spark: SparkSession, sf_dir: str, tables=FIXTURE_TABLES) -> 
                 )
         df.createOrReplaceTempView(name)
         out[name] = df
+    _REGISTERED[spark] = ((sf_dir, tuple(tables)), out)
     return out
