@@ -53,6 +53,8 @@ _PRIORITY: tuple[str, ...] = (
     # (a) code changed or added in round 5
     "doc_chunk_windows",
     "events_anomaly_zscore",
+    "recursive_date_spine",
+    "variant_json_bucket",
     "stream_static_enrich",
     "dedup_span_coverage",
     "search_tfidf_cosine_topk",
@@ -102,8 +104,6 @@ _PRIORITY: tuple[str, ...] = (
     # (c) window filler, oldest remaining evidence first (r03-green) —
     # the contract test pins the window at exactly 50 explicit names
     "agg_rollup",
-    "basket_part_affinity",
-    "embedding_neardup_pairs",
 )
 
 

@@ -833,6 +833,83 @@ _q(
 # over the tiny per-type series.
 
 
+_q(
+    "recursive_date_spine",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT cast(date_trunc('day', min(ts)) AS date) AS lo,
+             cast(date_trunc('day', max(ts)) AS date) AS hi
+      FROM events
+    ),
+    spine(d) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT cast(d + INTERVAL 1 DAY AS date) FROM spine, bounds WHERE d < hi
+    ),
+    daily AS (
+      SELECT cast(date_trunc('day', ts) AS date) AS d, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT cast(s.d AS string) AS day, coalesce(daily.n, 0) AS n_events
+    FROM spine s LEFT JOIN daily ON daily.d = s.d
+    ORDER BY day
+    """,
+    oracle="""
+    WITH RECURSIVE bounds AS (
+      SELECT cast(date_trunc('day', min(ts)) AS date) AS lo,
+             cast(date_trunc('day', max(ts)) AS date) AS hi
+      FROM events
+    ),
+    spine(d) AS (
+      SELECT lo FROM bounds
+      UNION ALL
+      SELECT cast(d + INTERVAL 1 DAY AS date) FROM spine, bounds WHERE d < hi
+    ),
+    daily AS (
+      SELECT cast(date_trunc('day', ts) AS date) AS d, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT cast(s.d AS string) AS day, coalesce(daily.n, 0) AS n_events
+    FROM spine s LEFT JOIN daily ON daily.d = s.d
+    ORDER BY day
+    """,
+)
+# recursive_date_spine: WITH RECURSIVE (Spark 4's recursive CTE) builds
+# the day spine between the corpus's min and max event days, then
+# gap-fills the daily event series with zeros — the canonical time-
+# series densification a reporting layer needs and plain GROUP BY
+# cannot produce (missing days simply don't exist in the input). The
+# recursion depth is the calendar span (days), not the data size.
+
+_q(
+    "variant_json_bucket",
+    """
+    SELECT variant_get(parse_json(props), '$.k', 'int') % 10 AS k_bucket,
+           count(*) AS n,
+           min(variant_get(parse_json(props), '$.k', 'int')) AS min_k,
+           max(variant_get(parse_json(props), '$.k', 'int')) AS max_k
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+    oracle="""
+    SELECT cast(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n,
+           min(cast(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           max(cast(json_extract(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+    """,
+)
+# variant_json_bucket: semi-structured access via Spark 4's VARIANT
+# (parse_json + variant_get typed path extraction) over the events
+# props JSON column — the open-schema column pattern a 100 TB event
+# store ships with; the binary variant encoding makes repeated path
+# access cheaper than per-row string re-parsing. DuckDB oracle uses
+# its native json_extract on the same paths.
+
+
 # ---------------------------------------------------------------------------
 # Surface widening: NATURAL/LATERAL joins, window frames, set-op ALL
 # variants, unpivot (SURVEY.md §2.B "Joins", "Window functions", "Set ops").
