@@ -45,10 +45,18 @@ def _configure(spark: SparkSession) -> None:
 # whose newest driver green predates r03 — the 28 r01-only cohort
 # (agg_*/win_*/set_*/scalar-function/join_right_outer/subquery/pivot/
 # sort/values), dedup_normalized (r02-only), and the never-checked
-# array_map_struct_functions. After r05 every one of the 129 entries
+# array_map_struct_functions. After r05 every one of the 137 entries
 # has driver evidence no older than r04. Out-of-window entries keep
 # regression coverage via the full differential gate in
 # tests/test_oracle_queries.py (sf0.01).
+#
+# Recorded exclusions (window is pinned at 50): text_quality_score and
+# corpus_source_stats were touched by the round-5 quality-blend
+# refactor but are NOT rotated in — the refactor swapped their inline
+# blend for the shared quality_blend() builder with value-identical
+# SQL, and the same builder is driver-verified through dedup_keep_best
+# (in-window); their own call-site wiring is covered by the in-repo
+# sf0.01 gate, which reran green after the refactor.
 _PRIORITY: tuple[str, ...] = (
     # (a) code changed or added in round 5
     "doc_chunk_windows",

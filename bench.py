@@ -156,6 +156,11 @@ def main() -> None:
         for r in similarity.pq_topk(spark, recall_sf).collect()
     }
     pq_recall = round(len(exact_topk & pq_topk) / max(len(exact_topk), 1), 4)
+    ivfpq_topk = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(spark, recall_sf).collect()
+    }
+    ivfpq_recall = round(len(exact_topk & ivfpq_topk) / max(len(exact_topk), 1), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -170,6 +175,7 @@ def main() -> None:
                 "neardup_recall_sf0.01": recall,
                 "ivf_recall_at_k_sf0.01": ivf_recall,
                 "pq_recall_at_k_sf0.01": pq_recall,
+                "ivfpq_recall_at_k_sf0.01": ivfpq_recall,
             }
         )
     )
