@@ -135,3 +135,44 @@ def test_dedup_kernels_have_no_cross_join(spark, oracle_tables):
         )
         assert "CartesianProduct" not in plan, fn.__name__
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+
+def test_round5_kernels_have_no_cross_join(spark, oracle_tables):
+    """Round-5 operators with joins must stay equi-join-shaped: the
+    span-coverage gram join, keep-best's component/quality join, and
+    the IVF-PQ candidate restriction all key on hashes/ids — a cross
+    join or nested-loop over the corpus would be the quadratic failure
+    mode at scale. Exempt by design: ANN brute-force (broadcast
+    nested-loop over constant-size probes IS the exact baseline) and
+    TF-IDF/BM25's ``CROSS JOIN stats`` (a broadcast of ONE corpus-stats
+    row — constant build side at any scale; for TF-IDF we instead
+    assert the postings join itself compiled to a hash join)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        chunking,
+        dedup,
+        search,
+        similarity,
+    )
+
+    frames = [
+        chunking.span_dup_coverage(spark, SF_DIR_ORACLE),
+        dedup.keep_best(spark, SF_DIR_ORACLE),
+        similarity.ivfpq_search(
+            spark,
+            SF_DIR_ORACLE,
+            similarity.ivfpq_build(spark, SF_DIR_ORACLE, persist=False),
+        ),
+    ]
+    for df in frames:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    tfidf_plan = (
+        search.tfidf_cosine_topk(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in tfidf_plan
+    # the probe-postings term join must be a hash join, never a loop
+    assert "BroadcastHashJoin" in tfidf_plan or "SortMergeJoin" in tfidf_plan
