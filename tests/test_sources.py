@@ -118,3 +118,27 @@ def test_jdbc_federation_live_roundtrip_derby(spark, tables, tmp_path):
     # predicate pushdown reaches the remote SQL (JDBCRelation scan)
     plan = df.where("r_regionkey >= 2")._jdf.queryExecution().executedPlan().toString()
     assert "JDBCRelation" in plan and "PushedFilters" in plan
+
+
+def test_register_sf_dir_memo_semantics(spark, tables):
+    """The per-session registration memo: same (session, dir) returns
+    the memoized registration without re-reading footers; switching
+    dirs re-registers; force=True re-registers in place (the escape
+    hatch after replacing views out-of-band)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.session import (
+        register_sf_dir,
+    )
+
+    a = register_sf_dir(spark, "/root/testdata/sf0.001")
+    b = register_sf_dir(spark, "/root/testdata/sf0.001")
+    assert b is a  # memo hit: identical dict object, no re-registration
+    c = register_sf_dir(spark, "/root/testdata/sf0.01")
+    assert c is not a
+    assert spark.table("customer").count() == c["customer"].count()
+    d = register_sf_dir(spark, "/root/testdata/sf0.001")
+    assert d is not a  # dir switch always re-registers (fresh dict)
+    # out-of-band view replacement + force: the view is restored
+    spark.range(3).toDF("doc_id").createOrReplaceTempView("documents")
+    assert register_sf_dir(spark, "/root/testdata/sf0.001") is d  # memo blind
+    register_sf_dir(spark, "/root/testdata/sf0.001", force=True)
+    assert "text" in spark.table("documents").columns  # restored
