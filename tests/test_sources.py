@@ -142,3 +142,18 @@ def test_register_sf_dir_memo_semantics(spark, tables):
     assert register_sf_dir(spark, "/root/testdata/sf0.001") is d  # memo blind
     register_sf_dir(spark, "/root/testdata/sf0.001", force=True)
     assert "text" in spark.table("documents").columns  # restored
+
+
+def test_partitioned_parquet_write_prunes_partitions(spark, tables, tmp_path):
+    """Hive-partitioned parquet layout — the 100 TB storage pattern:
+    a filter on the partition column must reach the scan as a
+    PartitionFilter (directory pruning: non-matching partitions are
+    never opened), not a post-scan Filter."""
+    out = str(tmp_path / "events_by_type")
+    spark.table("events").write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).where("event_type = 'click'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters:")[1].split("]")[0]
+    clicks = spark.table("events").where("event_type = 'click'").count()
+    assert df.count() == clicks
