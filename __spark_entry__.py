@@ -39,15 +39,18 @@ def _configure(spark: SparkSession) -> None:
 # (the LUT-ADC PQ rewrite + never-driver-checked ann_pq_topk, the
 # round-before-rank ANN ordering change, the rare-gram witness cap, the
 # components checkpoint scope, the skew-proof positional-ID tiebreak,
-# the new real PPM decode entry, and the three new round-5 operators:
-# chunk windows, duplicate-span coverage, TF-IDF cosine top-k), then
+# the real PPM/WAV decode entries, and the round-5 operators: chunk
+# windows, duplicate-span coverage, TF-IDF cosine top-k, anomaly
+# z-score, recursive spine, VARIANT buckets, stream-static enrich,
+# IVF-PQ, keep-best canonicals, retrieval triplets, bigram LM), then
 # (b) the 30 remaining entries
 # whose newest driver green predates r03 — the 28 r01-only cohort
 # (agg_*/win_*/set_*/scalar-function/join_right_outer/subquery/pivot/
 # sort/values), dedup_normalized (r02-only), and the never-checked
-# array_map_struct_functions. After r05 every one of the 137 entries
-# has driver evidence no older than r04. Out-of-window entries keep
-# regression coverage via the full differential gate in
+# array_map_struct_functions. After r05 the stale backlog is RETIRED:
+# no entry's newest driver green predates r03 (the out-of-window
+# remainder is r03/r04-green and unchanged this round), and every
+# entry keeps regression coverage via the full differential gate in
 # tests/test_oracle_queries.py (sf0.01).
 #
 # Recorded exclusions (window is pinned at 50): text_quality_score and
@@ -78,6 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "indexer_positional_ids",
     "multimodal_decode_image",
     "multimodal_decode_audio",
+    "text_bigram_logprob",
     # (b) stale-evidence backlog: newest driver green r01/r02 or never
     "array_map_struct_functions",
     "dedup_normalized",
@@ -109,9 +113,6 @@ _PRIORITY: tuple[str, ...] = (
     "math_functions",
     "conditional_case",
     "cast_types",
-    # (c) window filler, oldest remaining evidence first (r03-green) —
-    # the contract test pins the window at exactly 50 explicit names
-    "agg_rollup",
 )
 
 

@@ -230,6 +230,67 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy (the CCNet-style quality filter, one
+    order up from :func:`unigram_logprob`): corpus bigram model with
+    add-1 smoothing, each document scored by its mean conditional token
+    log-probability ``ln((c(w1,w2) + 1) / (c(w1·) + V))``.
+
+    Same two-pass scale shape as the unigram entry: the bigram and
+    prefix counts shuffle once on their keys; the count joins back onto
+    the bigram stream are left AQE-governed (the bigram vocabulary
+    grows with the corpus — a forced broadcast would OOM at 100 TB);
+    only the one-row vocabulary size is hint-broadcast. Smoothed
+    probabilities are exact rationals of integers, so both engines
+    compute bit-identical doubles before the ln.
+    """
+    toks = spark.table("documents").selectExpr("doc_id", f"{TOKENS} AS t")
+    bigrams = toks.where("size(t) >= 2").selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))) AS b",
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vsize = (
+        toks.selectExpr("explode(t) AS w").agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .selectExpr("doc_id", "ln((c2 + 1.0D) / (c1 + v)) AS lp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS t FROM documents
+),
+big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks))
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln((c2 + 1.0) / (c1 + v))), 4) AS avg_logprob
+FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 UNIGRAM_LOGPROB_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents
@@ -363,6 +424,7 @@ def registry() -> dict[str, dict]:
         "text_lang_id": {"fn": lang_id, "oracle": LANG_ID_ORACLE},
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
+        "text_bigram_logprob": {"fn": bigram_logprob, "oracle": BIGRAM_LOGPROB_ORACLE},
         "text_repetition": {"fn": repetition, "oracle": REPETITION_ORACLE},
         "corpus_source_stats": {"fn": source_stats, "oracle": SOURCE_STATS_ORACLE},
     }
