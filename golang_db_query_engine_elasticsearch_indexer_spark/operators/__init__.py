@@ -21,6 +21,7 @@ def registry() -> dict[str, dict]:
         sampling,
         search,
         similarity,
+        skew,
         text,
     )
 
@@ -28,7 +29,7 @@ def registry() -> dict[str, dict]:
         pipeline,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking):
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415

@@ -46,3 +46,42 @@ def salted_join(
     )
     joined = big_salted.join(small_salted, [*keys, SALT_COL], how)
     return joined.drop(SALT_COL)
+
+
+def salted_join_agg(spark, sf_dir: str) -> DataFrame:
+    """Driver-gated demonstration that salting preserves semantics: the
+    salted lineitem⋈supplier join rolled up to per-nation revenue must
+    hash-match the PLAIN join's SQL oracle — the equivalence the
+    combinator promises, verified end-to-end at the differential gate
+    rather than only property-style in tests."""
+    big = spark.table("lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    small = spark.table("supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(big, small, "l_suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT s_nationkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
+def registry() -> dict[str, dict]:
+    return {
+        "skew_salted_join_agg": {"fn": salted_join_agg, "oracle": SALTED_JOIN_ORACLE},
+    }
