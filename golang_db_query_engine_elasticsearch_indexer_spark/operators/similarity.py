@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from golang_db_query_engine_elasticsearch_indexer_spark.functions import DOT, NORM
+from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+    DOT,
+    DUCK_TOKENS,
+    NORM,
+    TOKENS,
+    hash16,
+)
 
 TOP_K = 5
 N_PROBES = 5  # probe set: vec_id < N_PROBES
@@ -1430,6 +1436,83 @@ ORDER BY probe_id, neg_rank
 """
 
 
+HASH_DIM = 64  # feature-hashing buckets (matches the embedding fixture dim)
+
+
+def doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed document vectors (the hashing trick — Weinberger
+    et al., ICML 2009): every token hashes to one of HASH_DIM buckets
+    with a ±1 sign from an independent hash bit, signed term counts
+    accumulate per bucket, and the vector is L2-normalized. Emitted
+    SPARSE — (doc_id, bucket, weight) rows — the representation a
+    100 TB corpus actually stores (dense 64-float rows for mostly-empty
+    buckets waste ~10x the bytes at real vocabulary skew), and the
+    bridge from the documents table into every dense-vector kernel
+    above (model-free, vocabulary-free, fixed output width).
+
+    Scale shape: one explode + one (doc, bucket) aggregation — the
+    signed sum partial-aggregates map-side — then a per-doc window for
+    the norm. The md5-based bucket/sign hashes are the engine's
+    portable hash16, so the DuckDB oracle replays them bit-for-bit.
+    """
+    h = hash16("md5(w)")
+    return spark.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, explode({TOKENS}) AS w FROM documents
+        ),
+        hashed AS (
+          SELECT doc_id, {h} % {HASH_DIM} AS bucket,
+                 CASE WHEN ({h} div {HASH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS s
+          FROM toks
+        ),
+        sparse AS (
+          SELECT doc_id, bucket, sum(s) AS v
+          FROM hashed GROUP BY doc_id, bucket
+        ),
+        normed AS (
+          SELECT doc_id, bucket, v,
+                 sqrt(sum(cast(v AS double) * v)
+                      OVER (PARTITION BY doc_id)) AS nrm
+          FROM sparse
+        )
+        SELECT doc_id, bucket,
+               round(v / nrm, 6) AS weight
+        FROM normed
+        WHERE v != 0
+        ORDER BY doc_id, bucket
+        """
+    )
+
+
+def _doc_embedding_hashed_oracle() -> str:
+    h = hash16("md5(w)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents
+),
+hashed AS (
+  SELECT doc_id, {h} % {HASH_DIM} AS bucket,
+         CASE WHEN ({h} // {HASH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+sparse AS (
+  SELECT doc_id, bucket, sum(s) AS v
+  FROM hashed GROUP BY doc_id, bucket
+),
+normed AS (
+  SELECT doc_id, bucket, v,
+         sqrt(sum(cast(v AS double) * v) OVER (PARTITION BY doc_id)) AS nrm
+  FROM sparse
+)
+SELECT doc_id, cast(bucket AS BIGINT) AS bucket,
+       round(v / nrm, 6) AS weight
+FROM normed
+WHERE v != 0
+ORDER BY doc_id, bucket
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (grouped vector mean) — the
     aggregation shape clustering/IVF coarse quantizers need."""
@@ -1520,6 +1603,10 @@ def registry() -> dict[str, dict]:
         "retrieval_training_triplets": {
             "fn": training_triplets,
             "oracle": TRIPLETS_ORACLE,
+        },
+        "doc_embedding_hashed": {
+            "fn": doc_embedding_hashed,
+            "oracle": _doc_embedding_hashed_oracle(),
         },
         "embedding_neardup_pairs": {"fn": neardup_pairs, "oracle": NEARDUP_ORACLE},
         "embedding_label_centroids": {"fn": label_centroids, "oracle": CENTROIDS_ORACLE},
