@@ -27,9 +27,10 @@ def registry() -> dict[str, dict]:
 
     from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
         pipeline,
+        profile,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew):
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415
