@@ -884,20 +884,20 @@ _q(
 _q(
     "variant_json_bucket",
     """
-    SELECT variant_get(parse_json(props), '$.k', 'int') % 10 AS k_bucket,
+    SELECT variant_get(v, '$.k', 'int') % 10 AS k_bucket,
            count(*) AS n,
-           min(variant_get(parse_json(props), '$.k', 'int')) AS min_k,
-           max(variant_get(parse_json(props), '$.k', 'int')) AS max_k
-    FROM events
+           min(variant_get(v, '$.k', 'int')) AS min_k,
+           max(variant_get(v, '$.k', 'int')) AS max_k
+    FROM (SELECT parse_json(props) AS v FROM events)
     GROUP BY 1
     ORDER BY k_bucket
     """,
     oracle="""
-    SELECT cast(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+    SELECT k % 10 AS k_bucket,
            count(*) AS n,
-           min(cast(json_extract(props, '$.k') AS INTEGER)) AS min_k,
-           max(cast(json_extract(props, '$.k') AS INTEGER)) AS max_k
-    FROM events
+           min(k) AS min_k,
+           max(k) AS max_k
+    FROM (SELECT cast(json_extract(props, '$.k') AS INTEGER) AS k FROM events)
     GROUP BY 1
     ORDER BY k_bucket
     """,

@@ -1459,11 +1459,12 @@ def doc_embedding_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         WITH toks AS (
-          SELECT doc_id, explode({TOKENS}) AS w FROM documents
+          SELECT doc_id, {h} AS h
+          FROM (SELECT doc_id, explode({TOKENS}) AS w FROM documents)
         ),
         hashed AS (
-          SELECT doc_id, {h} % {HASH_DIM} AS bucket,
-                 CASE WHEN ({h} div {HASH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS s
+          SELECT doc_id, h % {HASH_DIM} AS bucket,
+                 CASE WHEN (h div {HASH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS s
           FROM toks
         ),
         sparse AS (
@@ -1489,11 +1490,12 @@ def _doc_embedding_hashed_oracle() -> str:
     h = hash16("md5(w)")
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents)
 ),
 hashed AS (
-  SELECT doc_id, {h} % {HASH_DIM} AS bucket,
-         CASE WHEN ({h} // {HASH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS s
+  SELECT doc_id, h % {HASH_DIM} AS bucket,
+         CASE WHEN (h // {HASH_DIM}) % 2 = 0 THEN 1 ELSE -1 END AS s
   FROM toks
 ),
 sparse AS (

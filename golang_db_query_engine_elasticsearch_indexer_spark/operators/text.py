@@ -251,7 +251,10 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))) AS b",
     ).select("doc_id", "b.w1", "b.w2")
     c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c(w1·) = sum over w2 of c(w1,w2): roll the prefix counts up from
+    # the already-aggregated (distinct-bigram-sized) c2 relation rather
+    # than re-shuffling the token-scale bigram stream a second time.
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vsize = (
         toks.selectExpr("explode(t) AS w").agg(F.countDistinct("w").alias("v"))
     )
@@ -281,7 +284,7 @@ big AS (
         FROM toks WHERE len(t) >= 2)
 ),
 c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
-c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+c1 AS (SELECT w1, cast(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
 v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks))
 SELECT doc_id, count(*) AS n_bigrams,
        round(avg(ln((c2 + 1.0) / (c1 + v))), 4) AS avg_logprob

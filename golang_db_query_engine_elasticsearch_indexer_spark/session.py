@@ -85,6 +85,12 @@ def build_session(
         # and convert at registration (register_sf_dir). Current fixtures
         # are TIMESTAMP(MICROS) and read natively; this conf is then inert.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Recursive CTEs default to a 100-level cap; the date-spine
+        # entry recurses one calendar DAY per level, so any events table
+        # spanning >100 days would fail at runtime while the DuckDB
+        # oracle (uncapped) succeeds. A century of days keeps the guard
+        # against runaway recursion while covering any realistic span.
+        .config("spark.sql.cteRecursionLevelLimit", "36600")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -195,3 +201,12 @@ def register_sf_dir(
         out[name] = df
     _REGISTERED[spark] = ((sf_dir, tuple(tables)), out)
     return out
+
+
+def invalidate_registration(spark: SparkSession) -> None:
+    """Drop the registration memo for ``spark`` so the next
+    ``register_sf_dir`` call re-registers unconditionally. Called by
+    any code path that creates/replaces temp views OUT-OF-BAND of the
+    fixture registry (e.g. ``sources.register_dir``) — otherwise a
+    memo hit would leave a clobbered same-named view in place."""
+    _REGISTERED.pop(spark, None)

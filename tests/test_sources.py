@@ -120,28 +120,41 @@ def test_jdbc_federation_live_roundtrip_derby(spark, tables, tmp_path):
     assert "JDBCRelation" in plan and "PushedFilters" in plan
 
 
-def test_register_sf_dir_memo_semantics(spark, tables):
+def test_register_sf_dir_memo_semantics(spark, tables, sf_dir):
     """The per-session registration memo: same (session, dir) returns
     the memoized registration without re-reading footers; switching
-    dirs re-registers; force=True re-registers in place (the escape
-    hatch after replacing views out-of-band)."""
+    dirs re-registers; force=True and invalidate_registration()
+    re-register in place (the escape hatches after replacing views
+    out-of-band). Ends by force-restoring the suite's fixture dir so
+    session-scoped state doesn't leak into later tests."""
+    from tests.conftest import SF_DIR_ORACLE
+
     from golang_db_query_engine_elasticsearch_indexer_spark.session import (
+        invalidate_registration,
         register_sf_dir,
     )
 
-    a = register_sf_dir(spark, "/root/testdata/sf0.001")
-    b = register_sf_dir(spark, "/root/testdata/sf0.001")
-    assert b is a  # memo hit: identical dict object, no re-registration
-    c = register_sf_dir(spark, "/root/testdata/sf0.01")
-    assert c is not a
-    assert spark.table("customer").count() == c["customer"].count()
-    d = register_sf_dir(spark, "/root/testdata/sf0.001")
-    assert d is not a  # dir switch always re-registers (fresh dict)
-    # out-of-band view replacement + force: the view is restored
-    spark.range(3).toDF("doc_id").createOrReplaceTempView("documents")
-    assert register_sf_dir(spark, "/root/testdata/sf0.001") is d  # memo blind
-    register_sf_dir(spark, "/root/testdata/sf0.001", force=True)
-    assert "text" in spark.table("documents").columns  # restored
+    try:
+        a = register_sf_dir(spark, sf_dir)
+        b = register_sf_dir(spark, sf_dir)
+        assert b is a  # memo hit: identical dict, no re-registration
+        c = register_sf_dir(spark, SF_DIR_ORACLE)
+        assert c is not a
+        assert spark.table("customer").count() == c["customer"].count()
+        d = register_sf_dir(spark, sf_dir)
+        assert d is not a  # dir switch always re-registers (fresh dict)
+        # out-of-band view replacement: memo is blind until force /
+        # invalidation
+        spark.range(3).toDF("doc_id").createOrReplaceTempView("documents")
+        assert register_sf_dir(spark, sf_dir) is d
+        register_sf_dir(spark, sf_dir, force=True)
+        assert "text" in spark.table("documents").columns  # restored
+        spark.range(3).toDF("doc_id").createOrReplaceTempView("documents")
+        invalidate_registration(spark)
+        register_sf_dir(spark, sf_dir)  # no force needed post-invalidate
+        assert "text" in spark.table("documents").columns
+    finally:
+        register_sf_dir(spark, sf_dir, force=True)
 
 
 def test_partitioned_parquet_write_prunes_partitions(spark, tables, tmp_path):
