@@ -101,3 +101,26 @@ _READS = [
 @given(q=st.sampled_from(_READS), lead_ws=st.text(" \t\n", max_size=3))
 def test_gate_accepts_reads_under_noise(spark, tables, q, lead_ws):
     assert_select_only(spark, lead_ws + q)  # must not raise
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n_tokens=st.integers(min_value=1, max_value=120))
+def test_chunk_window_math_model(n_tokens):
+    """Pure-Python model of the chunk_windows grid (starts, lengths,
+    coverage) for ANY token count — the SQL implements exactly this:
+    starts at 1, 1+STRIDE, ... <= n; window length min(CHUNK, n-s+1);
+    stride < chunk => contiguous total coverage ending at n."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.chunking import (
+        CHUNK,
+        STRIDE,
+    )
+
+    starts = list(range(1, n_tokens + 1, STRIDE))
+    lengths = [min(CHUNK, n_tokens - s + 1) for s in starts]
+    assert starts[0] == 1
+    assert all(ln >= 1 for ln in lengths)
+    covered = set()
+    for s, ln in zip(starts, lengths):
+        covered.update(range(s, s + ln))
+    assert covered == set(range(1, n_tokens + 1))  # total coverage, no gaps
+    assert starts[-1] + lengths[-1] - 1 == n_tokens
