@@ -66,11 +66,15 @@ def _configure(spark: SparkSession) -> None:
 #   their only round-5 change is the shared round-before-rank pattern,
 #   which three in-window ANN entries (ivf/pq/ivfpq) exercise — their
 #   slots go to the never-checked doc_embedding_hashed/profile_orders.
-# - skew_salted_join_agg (new): excluded as the lowest-divergence-risk
-#   new entry — its oracle is the PLAIN lineitem⋈supplier aggregate,
-#   a shape many in-window TPC-H entries already hash-verify; the
-#   salted≡plain equivalence itself is pinned by tests/test_skew.py
-#   and the in-repo sf0.01 gate.
+# - skew_salted_join_agg / profile_orders (new): excluded as the
+#   lowest-divergence-risk new entries — skew's oracle is the PLAIN
+#   lineitem⋈supplier aggregate (a shape many in-window TPC-H entries
+#   already hash-verify; the salted≡plain equivalence is pinned by
+#   tests/test_skew.py), and profile's stack unpivot emits only
+#   strings/bigints over single-table aggregates. Their window slots
+#   go to sample_temperature_mix and doc_embedding_hashed, whose
+#   float-threshold / portable-hash arithmetic is where cross-engine
+#   divergence could actually hide.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (
@@ -87,7 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_topk",
     "ann_ivf_topk",
     "doc_embedding_hashed",
-    "profile_orders",
+    "sample_temperature_mix",
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_keep_best",

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
     DUCK_TOKENS,
     TOKENS,
+    hash16 as _hash16,
 )
 
 # md5-hex-prefix thresholds: first two hex chars are uniform over 0..255,
@@ -174,8 +175,80 @@ LIMIT 50
 """
 
 
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened LANGUAGE mixture (the GPT-3/multilingual
+    recipe: sample groups proportional to ``n^alpha``, alpha=0.5,
+    instead of raw counts): each language's per-doc keep probability is
+    ``sqrt(n_min / n_lang)`` — the rarest language keeps everything, a
+    language 4x larger keeps half — equalizing toward uniform without
+    ever oversampling. (The fixture's ``lang`` column is the skewed
+    dimension — en is ~3x fr — so the flattening is non-vacuous; the
+    ``source`` column is uniform by construction.)
+
+    Cross-engine determinism by construction: the keep probability uses
+    only TWO counts (the language's own and the global min) — never a
+    sum of per-group floats whose accumulation order could differ
+    between engines — and membership is the standard md5-prefix
+    threshold (hash16 of the doc key vs floor(p*65536)), so the
+    DuckDB oracle replays the exact row set. Scale: two tiny
+    aggregations + one broadcast of the per-language thresholds onto a
+    single corpus scan.
+    """
+    from pyspark.sql import functions as F
+
+    h = _hash16("md5(cast(doc_id AS string))")
+    thr = spark.sql(
+        """
+        WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        mn AS (SELECT min(n) AS n_min FROM counts)
+        SELECT lang, n,
+               cast(floor(sqrt(cast(n_min AS double) / n) * 65536) AS bigint) AS thr
+        FROM counts CROSS JOIN mn
+        """
+    )
+    kept = (
+        spark.table("documents")
+        .join(F.broadcast(thr), "lang")
+        .where(F.expr(h) < F.col("thr"))
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("thr").alias("keep_threshold"),
+            F.count("*").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS n_min FROM counts),
+thr AS (
+  SELECT lang, n,
+         cast(floor(sqrt(cast(n_min AS double) / n) * 65536) AS BIGINT) AS thr
+  FROM counts CROSS JOIN mn
+),
+kept AS (
+  SELECT d.lang, t.n, t.thr
+  FROM documents d JOIN thr t ON t.lang = d.lang
+  WHERE {_hash16("md5(cast(doc_id AS varchar))")} < t.thr
+)
+SELECT lang, max(n) AS n_docs, max(thr) AS keep_threshold,
+       count(*) AS n_kept
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
+        "sample_temperature_mix": {
+            "fn": temperature_mix,
+            "oracle": TEMPERATURE_MIX_ORACLE,
+        },
         "sample_stratified": {"fn": stratified_sample, "oracle": STRATIFIED_ORACLE},
         "sample_weighted_mix": {"fn": weighted_mix, "oracle": WEIGHTED_MIX_ORACLE},
         "pack_sequences_chunked": {"fn": pack_sequences, "oracle": PACK_ORACLE},
