@@ -24,7 +24,9 @@ from golang_db_query_engine_elasticsearch_indexer_spark.result import (
 from golang_db_query_engine_elasticsearch_indexer_spark.session import SourceRegistry
 
 
-def query_df(spark: SparkSession, sql: str) -> DataFrame:
+def query_df(
+    spark: SparkSession, sql: str, params: dict | None = None
+) -> DataFrame:
     """Validated SQL → lazy DataFrame (no execution yet).
 
     The gate order mirrors query_controller.go:70-93: null check ->
@@ -32,10 +34,20 @@ def query_df(spark: SparkSession, sql: str) -> DataFrame:
     plan so callers (HTTP response vs. indexer sink) choose the action;
     this is what removes the reference's self-HTTP-call hop (A9,
     elastic_controller.go:103-140) — the DataFrame is the handoff.
+
+    ``params`` binds named parameter markers (``:name``) as TYPED
+    LITERALS via Spark's parameterized SQL — the injection-safe
+    improvement over the reference, which interpolates the raw query
+    string end-to-end (query_controller.go:98): a hostile value like
+    ``"F' OR '1'='1"`` stays one string literal instead of rewriting
+    the predicate. The SELECT-only gate runs on the TEMPLATE (markers
+    parse as expressions), so binding cannot smuggle a command past it.
     """
     if sql is None or not sql.strip():
         raise ParamsNullError()
     assert_select_only(spark, sql)
+    if params:
+        return spark.sql(sql, args=params)
     return spark.sql(sql)
 
 
@@ -46,6 +58,7 @@ def query(
     db_driver: str | None = None,
     db_name: str | None = None,
     max_rows: int = DEFAULT_MAX_ROWS,
+    params: dict | None = None,
 ) -> QueryResult:
     """Full GET /query/ semantics: resolve source, validate, run, envelope.
 
@@ -57,4 +70,4 @@ def query(
         if registry is None or not db_driver or not db_name:
             raise ParamsNullError()
         registry.attach(spark, db_driver, db_name)
-    return collect_envelope(query_df(spark, sql), max_rows=max_rows)
+    return collect_envelope(query_df(spark, sql, params=params), max_rows=max_rows)

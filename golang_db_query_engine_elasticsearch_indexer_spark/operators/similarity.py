@@ -500,6 +500,27 @@ def ivf_build(spark: SparkSession) -> list[tuple[int, list[float], float]]:
     return _kmeans_cents(spark)
 
 
+def ivf_index_save(cents: list[tuple[int, list[float], float]], path: str) -> None:
+    """Persist the IVF coarse-quantizer artifact (k centroids, ~13 KB)
+    as JSON — float repr round-trips exactly, so a reloaded artifact
+    yields bit-identical centroid literals across sessions."""
+    import json  # noqa: PLC0415
+
+    with open(path, "w") as f:
+        json.dump([[cid, vec, n] for cid, vec, n in cents], f)
+
+
+def ivf_index_load(path: str) -> list[tuple[int, list[float], float]]:
+    """Reload a persisted IVF artifact for ``ivf_topk(cents=...)``."""
+    import json  # noqa: PLC0415
+
+    with open(path) as f:
+        return [
+            (int(cid), [float(x) for x in vec], float(n))
+            for cid, vec, n in json.load(f)
+        ]
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,

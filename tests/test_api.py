@@ -242,3 +242,25 @@ def test_es_sink_kind_falls_back_to_http(spark, tables, tmp_path):
         assert len(stub.docs("es_fallback_idx")) == 5
     finally:
         stub.stop()
+
+
+def test_parameterized_query_binds_literals(spark, tables):
+    """Named-parameter binding: values bind as typed literals (the
+    injection-safe improvement over the reference's raw string
+    interpolation) and the SELECT-only gate still vets the template."""
+    import pytest as _pytest
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+        UnauthorizedOperationError,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import query_df
+
+    sql = "SELECT count(*) AS n FROM orders WHERE o_orderstatus = :status"
+    n_f = query_df(spark, sql, params={"status": "F"}).collect()[0].n
+    assert n_f > 0
+    # a hostile value stays ONE string literal — no predicate rewrite
+    hostile = query_df(spark, sql, params={"status": "F' OR '1'='1"}).collect()[0].n
+    assert hostile == 0
+    # binding cannot smuggle a command past the gate: the TEMPLATE is vetted
+    with _pytest.raises(UnauthorizedOperationError):
+        query_df(spark, "DROP TABLE orders", params={"x": 1})

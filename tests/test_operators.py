@@ -465,3 +465,16 @@ def test_ivfpq_build_search_split_matches_selfcontained(spark, tables, sf_dir):
         assert again == split
     finally:
         index.release()
+
+
+def test_ivf_index_json_roundtrip(spark, tables, sf_dir, tmp_path):
+    """IVF artifact save/load: a reloaded quantizer must reproduce the
+    in-memory search exactly (floats round-trip via JSON repr)."""
+    cents = similarity.ivf_build(spark)
+    path = str(tmp_path / "ivf_cents.json")
+    similarity.ivf_index_save(cents, path)
+    loaded = similarity.ivf_index_load(path)
+    assert loaded == cents
+    a = [tuple(r) for r in similarity.ivf_topk(spark, sf_dir, cents=cents).collect()]
+    b = [tuple(r) for r in similarity.ivf_topk(spark, sf_dir, cents=loaded).collect()]
+    assert a == b
