@@ -199,6 +199,21 @@ def create_app(
                 )
             )
             return jsonify({"plan": plan}), 200
+        bind = None
+        if params.get("params"):
+            # Optional named-parameter binding (engine improvement —
+            # the reference interpolates raw strings): a JSON object of
+            # :name -> value, bound as typed literals by gateway.query.
+            from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+                ParamsNullError,
+            )
+
+            try:
+                bind = json.loads(params["params"])
+            except ValueError:
+                raise ParamsNullError() from None
+            if not isinstance(bind, dict):
+                raise ParamsNullError()
         result = gateway.query(
             _spark(),
             params.get("query", ""),
@@ -206,6 +221,7 @@ def create_app(
             db_driver=params.get("dbDriver", ""),
             db_name=params.get("dbName", ""),
             max_rows=max_rows,
+            params=bind,
         )
         return app.response_class(result.to_json(), mimetype="application/json"), 200
 

@@ -264,3 +264,34 @@ def test_parameterized_query_binds_literals(spark, tables):
     # binding cannot smuggle a command past the gate: the TEMPLATE is vetted
     with _pytest.raises(UnauthorizedOperationError):
         query_df(spark, "DROP TABLE orders", params={"x": 1})
+
+
+def test_query_route_params_binding(client):
+    r = _q(
+        client,
+        dbDriver="parquet",
+        dbName="testdb",
+        query="SELECT count(*) AS n FROM region WHERE r_name = :name",
+        params=json.dumps({"name": "AFRICA"}),
+    )
+    assert r.status_code == 200
+    assert json.loads(r.data)["data"][0]["n"] == 1
+    # hostile value binds as ONE literal -> zero rows, still 200
+    r2 = _q(
+        client,
+        dbDriver="parquet",
+        dbName="testdb",
+        query="SELECT count(*) AS n FROM region WHERE r_name = :name",
+        params=json.dumps({"name": "AFRICA' OR '1'='1"}),
+    )
+    assert r2.status_code == 200
+    assert json.loads(r2.data)["data"][0]["n"] == 0
+    # malformed params JSON -> 400
+    r3 = _q(
+        client,
+        dbDriver="parquet",
+        dbName="testdb",
+        query="SELECT 1 AS x",
+        params="{not json",
+    )
+    assert r3.status_code == 400
