@@ -18,16 +18,11 @@ from golang_db_query_engine_elasticsearch_indexer_spark.session import register_
 
 
 def _configure(spark: SparkSession) -> None:
-    """Apply engine session settings the driver's stock session may lack."""
-    for k, v in [
-        ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.timestampType", "TIMESTAMP_NTZ"),
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        ("spark.sql.adaptive.enabled", "true"),
-        # date-spine recursion: one level per calendar day (see
-        # session.build_session for rationale)
-        ("spark.sql.cteRecursionLevelLimit", "36600"),
-    ]:
+    """Apply engine session settings the driver's stock session may lack
+    (the single RUNTIME_CONF list build_session also applies)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.session import RUNTIME_CONF
+
+    for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -235,16 +235,17 @@ WAV_SCHEMA = (
 def _le32hex(expr: str) -> str:
     """Spark SQL expr: little-endian 32-bit hex rendering of an int
     expression (the RIFF/data chunk-size fields)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+        HEX,
+    )
+
     bytes_ = [f"(({expr}) div {256 ** k}) % 256" for k in range(4)]
     pairs = [
-        f"concat(substring('{HEX_DIGITS}', ({b}) div 16 + 1, 1), "
-        f"substring('{HEX_DIGITS}', ({b}) % 16 + 1, 1))"
+        f"concat(substring('{HEX}', ({b}) div 16 + 1, 1), "
+        f"substring('{HEX}', ({b}) % 16 + 1, 1))"
         for b in bytes_
     ]
     return "concat(" + ", ".join(pairs) + ")"
-
-
-HEX_DIGITS = "0123456789abcdef"
 
 
 def _wav_payload_expr() -> str:

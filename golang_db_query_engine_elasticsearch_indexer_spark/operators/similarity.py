@@ -42,12 +42,19 @@ def _with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
     return df.withColumn("norm", F.expr(NORM.format(a=col)))
 
 
-def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: probes (vec_id < N_PROBES) vs all vectors.
+def _exact_ranked(spark: SparkSession) -> DataFrame:
+    """Exact-cosine ranking of every (probe, vector) pair: the shared
+    scored scan under :func:`brute_force_topk` and
+    :func:`training_triplets` — (probe_id, vec_id, cos, rank), lazy.
 
     The probe side is tiny and broadcast; Catalyst turns the pair
     generation into BroadcastNestedLoopJoin — the data side streams
     once, which is the right physical shape for exact search at scale.
+    cos is rounded to 6 dp BEFORE the ranking window (not just on
+    output): sub-1e-6 float summation-order differences between the
+    Spark fold and DuckDB's list_cosine_similarity could otherwise
+    flip ranks near the top-k boundary; on the rounded value both
+    engines apply the identical (cos DESC, vec_id) order.
     """
     emb = _with_norm(spark.table("embeddings"))
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
@@ -56,11 +63,6 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm").alias("p_norm"),
     )
     pairs = emb.crossJoin(F.broadcast(probes)).where(F.col("vec_id") != F.col("probe_id"))
-    # cos is rounded to 6 dp BEFORE the ranking window (not just on
-    # output): sub-1e-6 float summation-order differences between the
-    # Spark fold and DuckDB's list_cosine_similarity could otherwise
-    # flip ranks near the top-k boundary; on the rounded value both
-    # engines apply the identical (cos DESC, vec_id) order.
     scored = pairs.withColumn(
         "cos",
         F.round(
@@ -69,8 +71,16 @@ def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.select("probe_id", "vec_id", "cos").withColumn(
+        "rank", F.row_number().over(w)
+    )
+
+
+def brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: probes (vec_id < N_PROBES) vs all vectors
+    (see :func:`_exact_ranked` for the plan shape)."""
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        _exact_ranked(spark)
         .where(F.col("rank") <= TOP_K)
         .select(
             "probe_id",
@@ -500,14 +510,23 @@ def ivf_build(spark: SparkSession) -> list[tuple[int, list[float], float]]:
     return _kmeans_cents(spark)
 
 
+def _cents_to_jsonable(cents):
+    """Centroid list -> JSON-serializable form (float repr round-trips
+    exactly, so reloaded artifacts are bit-identical)."""
+    return [[cid, vec, n] for cid, vec, n in cents]
+
+
+def _cents_from_jsonable(data):
+    return [(int(cid), [float(x) for x in vec], float(n)) for cid, vec, n in data]
+
+
 def ivf_index_save(cents: list[tuple[int, list[float], float]], path: str) -> None:
     """Persist the IVF coarse-quantizer artifact (k centroids, ~13 KB)
-    as JSON — float repr round-trips exactly, so a reloaded artifact
-    yields bit-identical centroid literals across sessions."""
+    as JSON."""
     import json  # noqa: PLC0415
 
     with open(path, "w") as f:
-        json.dump([[cid, vec, n] for cid, vec, n in cents], f)
+        json.dump(_cents_to_jsonable(cents), f)
 
 
 def ivf_index_load(path: str) -> list[tuple[int, list[float], float]]:
@@ -515,10 +534,7 @@ def ivf_index_load(path: str) -> list[tuple[int, list[float], float]]:
     import json  # noqa: PLC0415
 
     with open(path) as f:
-        return [
-            (int(cid), [float(x) for x in vec], float(n))
-            for cid, vec, n in json.load(f)
-        ]
+        return _cents_from_jsonable(json.load(f))
 
 
 def ivf_topk(
@@ -937,11 +953,8 @@ def pq_index_save(index: PQIndex, path: str) -> None:
     import os  # noqa: PLC0415
 
     index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
-    sidecar = [
-        [[cid, vec, n] for cid, vec, n in cb] for cb in index.codebooks
-    ]
     with open(os.path.join(path, "codebooks.json"), "w") as f:
-        json.dump(sidecar, f)
+        json.dump([_cents_to_jsonable(cb) for cb in index.codebooks], f)
 
 
 def pq_index_load(spark: SparkSession, path: str) -> PQIndex:
@@ -952,11 +965,7 @@ def pq_index_load(spark: SparkSession, path: str) -> PQIndex:
     import os  # noqa: PLC0415
 
     with open(os.path.join(path, "codebooks.json")) as f:
-        sidecar = json.load(f)
-    cbs = [
-        [(int(cid), [float(x) for x in vec], float(n)) for cid, vec, n in cb]
-        for cb in sidecar
-    ]
+        cbs = [_cents_from_jsonable(cb) for cb in json.load(f)]
     codes = spark.read.parquet(os.path.join(path, "codes"))
     return PQIndex(cbs, codes, False)
 
@@ -1149,24 +1158,16 @@ ORDER BY probe_id, rank
 """
 
 
-class IVFPQIndex:
-    """Built IVF-PQ artifact: driver-resident coarse centroids + PQ
-    codebooks, plus the cell-tagged code table (optionally persisted).
+class IVFPQIndex(PQIndex):
+    """Built IVF-PQ artifact: a :class:`PQIndex` (codebooks + the code
+    table, here cell-tagged) plus the driver-resident coarse centroids.
     'Build once, search many' — ``ivfpq_build`` -> N x ``ivfpq_search``
     -> ``release()``."""
 
     def __init__(self, cents, codebooks, codes: DataFrame, persisted: bool):
+        super().__init__(codebooks, codes, persisted)
         self.cents = cents
-        self.codebooks = codebooks
-        self.cb_exprs = [_centroid_array_expr(cb) for cb in codebooks]
         self.cells_expr = _scored_cells_expr(_centroid_array_expr(cents))
-        self.codes = codes
-        self._persisted = persisted
-
-    def release(self) -> None:
-        if self._persisted:
-            self.codes.unpersist()
-            self._persisted = False
 
 
 def ivfpq_build(spark: SparkSession, sf_dir: str, persist: bool = True) -> IVFPQIndex:
@@ -1381,26 +1382,7 @@ def training_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan becomes any ANN entry above — the triplet assembly is
     unchanged.
     """
-    emb = _with_norm(spark.table("embeddings"))
-    probes = emb.where(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("p_emb"),
-        F.col("norm").alias("p_norm"),
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(probes))
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .withColumn(
-            "cos",
-            F.round(
-                F.expr(DOT.format(a="p_emb", b="embedding"))
-                / (F.col("p_norm") * F.col("norm")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+    ranked = _exact_ranked(spark).where(
         (F.col("rank") == 1)
         | F.col("rank").between(TRIPLET_HARD_LO, TRIPLET_HARD_HI)
     )

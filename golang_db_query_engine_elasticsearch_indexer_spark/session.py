@@ -47,6 +47,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # i.e. on the parquet footer — never on an assumed unit.
 NANO_TS_COLUMNS = {"l_shipdate", "o_orderdate", "ts"}
 
+#: Runtime confs the engine's semantics depend on — applied by
+#: build_session AND by the driver contract's ``_configure`` onto a
+#: stock session (one list, so the two can't drift):
+#: UTC + NTZ keep timestamps oracle-comparable; nanosAsLong tolerates
+#: TIMESTAMP(NANOS) fixture generations; AQE owns runtime re-planning;
+#: the recursion cap covers the date-spine entry's one-level-per-day
+#: recursion over any realistic span (default 100 would fail >100-day
+#: tables at runtime while the uncapped DuckDB oracle succeeds).
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.timestampType": "TIMESTAMP_NTZ",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.cteRecursionLevelLimit": "36600",
+}
+
 
 def build_session(
     app_name: str = "golang_db_query_engine_elasticsearch_indexer_spark",
@@ -71,29 +87,14 @@ def build_session(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        # Fixture timestamps are wall-clock (parquet isAdjustedToUTC=false)
-        # and the DuckDB oracle compares naive timestamps; make NTZ the
-        # default so timestamp literals/functions agree with the oracle.
-        .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Robustness against TIMESTAMP(NANOS) fixture generations (which
-        # the vectorized reader otherwise rejects): surface nanos as long
-        # and convert at registration (register_sf_dir). Current fixtures
-        # are TIMESTAMP(MICROS) and read natively; this conf is then inert.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Recursive CTEs default to a 100-level cap; the date-spine
-        # entry recurses one calendar DAY per level, so any events table
-        # spanning >100 days would fail at runtime while the DuckDB
-        # oracle (uncapped) succeeds. A century of days keeps the guard
-        # against runaway recursion while covering any realistic span.
-        .config("spark.sql.cteRecursionLevelLimit", "36600")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
