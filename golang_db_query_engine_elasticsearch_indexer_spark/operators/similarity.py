@@ -1196,6 +1196,33 @@ def ivfpq_build(spark: SparkSession, sf_dir: str, persist: bool = True) -> IVFPQ
     return index
 
 
+def ivfpq_index_save(index: IVFPQIndex, path: str) -> None:
+    """Persist the composite artifact: cell-tagged codes as parquet,
+    PQ codebooks + coarse centroids as JSON sidecars."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    index.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    with open(os.path.join(path, "codebooks.json"), "w") as f:
+        json.dump([_cents_to_jsonable(cb) for cb in index.codebooks], f)
+    with open(os.path.join(path, "cents.json"), "w") as f:
+        json.dump(_cents_to_jsonable(index.cents), f)
+
+
+def ivfpq_index_load(spark: SparkSession, path: str) -> IVFPQIndex:
+    """Reload a persisted IVF-PQ artifact: searches resume with no
+    training, assignment, or encoding."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    with open(os.path.join(path, "codebooks.json")) as f:
+        cbs = [_cents_from_jsonable(cb) for cb in json.load(f)]
+    with open(os.path.join(path, "cents.json")) as f:
+        cents = _cents_from_jsonable(json.load(f))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return IVFPQIndex(cents, cbs, codes, False)
+
+
 def ivfpq_search(
     spark: SparkSession,
     sf_dir: str,

@@ -478,3 +478,18 @@ def test_ivf_index_json_roundtrip(spark, tables, sf_dir, tmp_path):
     a = [tuple(r) for r in similarity.ivf_topk(spark, sf_dir, cents=cents).collect()]
     b = [tuple(r) for r in similarity.ivf_topk(spark, sf_dir, cents=loaded).collect()]
     assert a == b
+
+
+def test_ivfpq_index_parquet_roundtrip(spark, tables, sf_dir, tmp_path):
+    """Persisted IVF-PQ artifact: save -> load must reproduce the
+    in-memory search exactly (cell-tagged codes + both sidecars
+    round-trip bit-exactly)."""
+    index = similarity.ivfpq_build(spark, sf_dir, persist=False)
+    path = str(tmp_path / "ivfpq_index")
+    similarity.ivfpq_index_save(index, path)
+    loaded = similarity.ivfpq_index_load(spark, path)
+    assert loaded.cents == index.cents
+    assert loaded.codebooks == index.codebooks
+    a = [tuple(r) for r in similarity.ivfpq_search(spark, sf_dir, index).collect()]
+    b = [tuple(r) for r in similarity.ivfpq_search(spark, sf_dir, loaded).collect()]
+    assert a == b
