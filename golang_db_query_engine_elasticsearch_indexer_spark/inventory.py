@@ -820,6 +820,40 @@ _q(
     ORDER BY event_type, hour_start
     """,
 )
+_q(
+    "events_rollup_multires",
+    """
+    WITH base AS (
+      SELECT cast(cast(date_trunc('day', ts) AS date) AS string) AS day_start,
+             cast(date_trunc('hour', ts) AS string)              AS hour_start,
+             event_type, value
+      FROM events
+    )
+    SELECT day_start, hour_start, event_type,
+           CASE WHEN grouping(hour_start) = 0 THEN 'hour'
+                WHEN grouping(day_start) = 0 THEN 'day'
+                ELSE 'total' END AS resolution,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM base
+    GROUP BY GROUPING SETS ((day_start, hour_start, event_type),
+                            (day_start, event_type),
+                            (event_type))
+    ORDER BY event_type, resolution,
+             day_start ASC NULLS FIRST, hour_start ASC NULLS FIRST
+    """,
+)
+# events_rollup_multires: hypertable-style continuous aggregate — ONE
+# scan produces the hourly, daily, and all-time rollups of the event
+# stream via GROUPING SETS (the TimescaleDB multi-resolution rollup
+# shape, and what a serving layer materializes instead of re-bucketing
+# raw events per dashboard query). Catalyst compiles it to a single
+# Expand + partial-aggregated shuffle — strictly cheaper at 100 TB than
+# three separate scans. The time buckets are pre-stringified so the
+# grouping keys are engine-portable, and NULLS FIRST is explicit (Spark
+# defaults ASC NULLS FIRST, DuckDB NULLS LAST).
+
+
 # events_anomaly_zscore: rolling z-score anomaly detection on the hourly
 # event-rate series — each hour's count against the trailing-24h
 # mean/stddev (rows-preceding frame, so gaps don't widen the window).

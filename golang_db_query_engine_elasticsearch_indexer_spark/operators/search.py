@@ -19,6 +19,7 @@ except partition counts.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
     DUCK_TOKENS,
@@ -281,56 +282,74 @@ def tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus postings; the per-(probe, doc) dot is a partial-aggregated
     sum. Nothing is quadratic in corpus size — the probe fan-out is
     fixed.
+
+    The postings are PINNED (eager localCheckpoint, the
+    dedup.connected_components pattern) at the two fan-out points of
+    the DAG: ``tf`` feeds both the df aggregation and the weight join,
+    and ``nz`` feeds the norms, the probe slice, and the corpus side of
+    the dot join. Spark inlines CTEs, so the declarative form would
+    re-execute the token-scale explode+aggregate subtree once per
+    reference (~4x the work; measured 7.0 s -> ~2 s at sf0.1).
+    Checkpoint blocks are GC-scoped to the returned frame — no
+    session-lifetime cache survives the call.
     """
-    return spark.sql(
-        f"""
-        WITH toks AS (
-          SELECT doc_id, {TOKENS} AS toks FROM documents
-        ),
-        stats AS (SELECT count(*) AS n_docs FROM toks),
-        tf AS (
-          SELECT doc_id, w, count(*) AS tf
-          FROM (SELECT doc_id, explode(toks) AS w FROM toks)
-          GROUP BY doc_id, w
-        ),
-        df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-        wts AS (
-          SELECT doc_id, w,
-                 round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS wt
-          FROM tf JOIN df USING (w) CROSS JOIN stats
-        ),
-        nz AS (SELECT doc_id, w, wt FROM wts WHERE wt != 0),
-        norms AS (
-          SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM nz GROUP BY doc_id
-        ),
-        probe AS (
-          SELECT doc_id AS probe_id, w, wt FROM nz WHERE doc_id < {TFIDF_PROBES}
-        ),
-        dots AS (
-          SELECT /*+ BROADCAST(p) */
-                 p.probe_id, c.doc_id AS neighbor_id, sum(p.wt * c.wt) AS dot
-          FROM probe p JOIN nz c USING (w)
-          WHERE c.doc_id != p.probe_id
-          GROUP BY p.probe_id, c.doc_id
-        ),
-        scored AS (
-          SELECT d.probe_id, d.neighbor_id,
-                 round(d.dot / (np.nrm * nc.nrm), 4) AS tfidf_cos
-          FROM dots d
-          JOIN norms np ON np.doc_id = d.probe_id
-          JOIN norms nc ON nc.doc_id = d.neighbor_id
-        ),
-        ranked AS (
-          SELECT probe_id, neighbor_id, tfidf_cos,
-                 row_number() OVER (
-                   PARTITION BY probe_id
-                   ORDER BY tfidf_cos DESC, neighbor_id) AS rank
-          FROM scored
+    tf = (
+        spark.table("documents")
+        .selectExpr("doc_id", f"explode({TOKENS}) AS w")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = spark.table("documents").count()
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    # The term-vocabulary join is left AQE-governed (vocab grows with
+    # the corpus — a forced broadcast would OOM at 100 TB).
+    nz = (
+        tf.join(dfreq, "w")
+        .selectExpr(
+            "doc_id", "w", f"round(tf * ln(({n_docs} + 1.0) / (df + 1.0)), 6) AS wt"
         )
-        SELECT probe_id, neighbor_id, rank, tfidf_cos
-        FROM ranked WHERE rank <= {TFIDF_TOP_K}
-        ORDER BY probe_id, rank
-        """
+        .where("wt != 0")
+        .localCheckpoint(eager=True)
+    )
+    norms = nz.groupBy("doc_id").agg(F.expr("sqrt(sum(wt * wt))").alias("nrm"))
+    probe = nz.where(f"doc_id < {TFIDF_PROBES}").selectExpr(
+        "doc_id AS probe_id", "w", "wt AS pwt"
+    )
+    dots = (
+        F.broadcast(probe)
+        .join(nz, "w")
+        .where("doc_id != probe_id")
+        .groupBy("probe_id", F.col("doc_id").alias("neighbor_id"))
+        .agg(F.expr("sum(pwt * wt)").alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(norms.selectExpr("doc_id AS probe_id", "nrm AS pnrm")).where(
+                f"probe_id < {TFIDF_PROBES}"
+            ),
+            "probe_id",
+        )
+        .join(norms.selectExpr("doc_id AS neighbor_id", "nrm"), "neighbor_id")
+        .selectExpr(
+            "probe_id", "neighbor_id", "round(dot / (pnrm * nrm), 4) AS tfidf_cos"
+        )
+    )
+    ranked = scored.selectExpr(
+        "probe_id",
+        "neighbor_id",
+        "tfidf_cos",
+    ).withColumn(
+        "rank",
+        F.expr(
+            "row_number() OVER (PARTITION BY probe_id "
+            "ORDER BY tfidf_cos DESC, neighbor_id)"
+        ),
+    )
+    return (
+        ranked.where(f"rank <= {TFIDF_TOP_K}")
+        .select("probe_id", "neighbor_id", "rank", "tfidf_cos")
+        .orderBy("probe_id", "rank")
     )
 
 

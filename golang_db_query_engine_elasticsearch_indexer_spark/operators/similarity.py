@@ -1624,9 +1624,146 @@ ORDER BY vec_id
 """
 
 
+RANGE_COS = 0.30  # ES-style min_score threshold for range search
+
+
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: every corpus vector within ``RANGE_COS`` of
+    each probe — the Elasticsearch ``min_score`` similarity query (the
+    sink the reference feeds exists to answer exactly this), and the
+    radius-query complement of the fixed-k entries.
+
+    Same scale shape as :func:`_exact_ranked`: the probe set broadcasts,
+    the corpus streams ONCE through a map-only scored scan, and the
+    threshold filter replaces the ranking window entirely — no shuffle
+    at all after the scan (cheaper than top-k, which needs the per-probe
+    window). At 100 TB swap the exact scan for any bucketed candidate
+    generator (LSH/IVF) and keep the same filter; recall then follows
+    the candidate stage's measured recall.
+    """
+    emb = _with_norm(spark.table("embeddings"))
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    return (
+        emb.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(DOT.format(a="p_emb", b="embedding"))
+                / (F.col("p_norm") * F.col("norm")),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= RANGE_COS)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        .orderBy("probe_id", "neighbor_id")
+    )
+
+
+RANGE_SEARCH_ORACLE = f"""
+SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings p JOIN embeddings e ON e.vec_id != p.vec_id
+WHERE p.vec_id < {N_PROBES}
+  AND round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= {RANGE_COS}
+ORDER BY probe_id, neighbor_id
+"""
+
+
+def medoid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection: per label, the member vector most
+    cosine-similar to the label's mean embedding (the medoid-style
+    exemplar cluster-curation pipelines keep when collapsing a cluster
+    to one document/vector).
+
+    Scale shape: one posexplode aggregation builds the per-label mean
+    (shuffle on (label, pos) — partial-aggregated map-side), the
+    centroid array is rebuilt row-locally from the sorted (pos, value)
+    structs, members join their label's centroid (a #labels-row
+    relation — broadcast is safe because labels are a bounded class
+    vocabulary, not corpus-scale), and the winner per label is ONE
+    scored-struct max aggregation — no window shuffle. Scores are
+    rounded to 6 dp before the argmax with a lowest-vec_id tiebreak
+    (the shared round-before-rank pattern), so both engines pick the
+    same medoid.
+    """
+    cent = (
+        spark.table("embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
+            ).alias("centroid")
+        )
+        .withColumn("cnorm", F.expr(NORM.format(a="centroid")))
+    )
+    scored = (
+        _with_norm(spark.table("embeddings"))
+        .join(F.broadcast(cent), "label")
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(DOT.format(a="embedding", b="centroid"))
+                / (F.col("norm") * F.col("cnorm")),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.expr("max(struct(cos AS cos, -vec_id AS neg, vec_id AS vec_id))").alias(
+                "m"
+            ),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "label",
+            F.col("m.vec_id").alias("medoid_id"),
+            F.col("m.cos").alias("medoid_cos"),
+            "n_members",
+        )
+        .orderBy("label")
+    )
+
+
+MEDOID_ORACLE = """
+WITH cent AS (
+  SELECT label, list(cv ORDER BY i) AS centroid FROM (
+    SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS cv
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i)
+  GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS cos
+  FROM embeddings e JOIN cent c USING (label)
+),
+ranked AS (
+  SELECT label, vec_id, cos,
+         row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rn,
+         count(*) OVER (PARTITION BY label) AS n_members
+  FROM scored
+)
+SELECT label, vec_id AS medoid_id, cos AS medoid_cos, n_members
+FROM ranked WHERE rn = 1
+ORDER BY label
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "embedding_quantize_int8": {"fn": quantize_int8, "oracle": QUANTIZE_ORACLE},
+        "ann_range_search": {"fn": range_search, "oracle": RANGE_SEARCH_ORACLE},
+        "embedding_medoid_per_label": {"fn": medoid_per_label, "oracle": MEDOID_ORACLE},
         "ann_brute_force_topk": {"fn": brute_force_topk, "oracle": BRUTE_FORCE_ORACLE},
         "ann_lsh_bucket_topk": {"fn": lsh_bucket_topk, "oracle": _lsh_oracle()},
         "ann_ivf_topk": {"fn": ivf_topk, "oracle": IVF_ORACLE},

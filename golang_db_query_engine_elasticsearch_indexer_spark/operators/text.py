@@ -420,9 +420,73 @@ ORDER BY source
 """.format(blend=duck_quality_blend(toks="toks"))
 
 
+QUALITY_KEEP_PCT = 0.8  # keep the top (1 - pct) quality slice per source
+
+
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quality pruning: keep each source's top-quality slice
+    (documents at or above the QUALITY_KEEP_PCT percent_rank within
+    their source) — the "drop the bottom 80% per domain" cut corpus
+    pipelines apply after scoring, expressed as a window so the
+    threshold adapts per source instead of using one global constant.
+
+    Determinism: quality is the shared ``quality_blend`` rounded to
+    4 dp, and the percent_rank window orders on (quality, doc_id) — a
+    total order — so the rank permutation and the kept set are
+    cross-engine identical. Scale: one window shuffle partitioned by
+    source (bounded partitions: per-source row counts are the corpus'
+    own source distribution; a pathological mega-source would use the
+    same salting levers as any skewed window).
+    """
+    return spark.sql(
+        f"""
+        WITH q AS (
+          SELECT doc_id, source,
+                 round({quality_blend()}, 4) AS quality
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, source, quality,
+                 round(percent_rank() OVER (
+                   PARTITION BY source ORDER BY quality, doc_id), 6) AS pr
+          FROM q
+        )
+        SELECT doc_id, source, quality, pr
+        FROM ranked WHERE pr >= {QUALITY_KEEP_PCT}
+        ORDER BY doc_id
+        """
+    )
+
+
+QUALITY_PERCENTILE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         text
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, round({blend}, 4) AS quality FROM t
+),
+ranked AS (
+  SELECT doc_id, source, quality,
+         round(percent_rank() OVER (
+           PARTITION BY source ORDER BY quality, doc_id), 6) AS pr
+  FROM q
+)
+SELECT doc_id, source, quality, pr
+FROM ranked WHERE pr >= {pct}
+ORDER BY doc_id
+""".format(blend=duck_quality_blend(toks="toks"), pct=QUALITY_KEEP_PCT)
+
+
 def registry() -> dict[str, dict]:
     return {
         "text_token_count": {"fn": token_count, "oracle": TOKEN_COUNT_ORACLE},
+        "docs_quality_percentile_filter": {
+            "fn": quality_percentile_filter,
+            "oracle": QUALITY_PERCENTILE_ORACLE,
+        },
         "text_quality_score": {"fn": quality_score, "oracle": QUALITY_SCORE_ORACLE},
         "text_lang_id": {"fn": lang_id, "oracle": LANG_ID_ORACLE},
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
