@@ -70,6 +70,15 @@ def _configure(spark: SparkSession) -> None:
 #   go to sample_temperature_mix and doc_embedding_hashed, whose
 #   float-threshold / portable-hash arithmetic is where cross-engine
 #   divergence could actually hide.
+# - late round-5 additions (ann_range_search,
+#   embedding_medoid_per_label, events_rollup_multires,
+#   docs_quality_percentile_filter): added AFTER the window was frozen
+#   around the stale-backlog retirement; displacing backlog slots for
+#   them would break the retirement promise, so they queue for the r06
+#   window. Divergence risk is low by construction: each reuses an
+#   already-driver-verified kernel shape (the broadcast-probe scored
+#   scan, the label-centroid aggregation, GROUPING SETS, and the shared
+#   quality blend + a total-order window).
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

