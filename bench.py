@@ -38,8 +38,12 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "search_tfidf_cosine_topk",
+    "ann_range_search",
+    "embedding_medoid_per_label",
     "dedup_span_coverage",
     "doc_chunk_windows",
+    "docs_quality_percentile_filter",
+    "events_rollup_multires",
     "search_bm25",
     "asof_join_events_orders",
     "indexer_positional_ids",

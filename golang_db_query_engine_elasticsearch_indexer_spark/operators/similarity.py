@@ -748,24 +748,25 @@ def pq_train(spark: SparkSession) -> list[list[tuple[int, list[float], float]]]:
             # struct argmax (round-6 scores, lowest-cid tiebreak) the
             # single-subspace trainer applies, then one explosion to
             # (s, cid, pos, val) and ONE aggregation for all subspaces.
+            # ONE projection for all 8 subspace argmaxes (chained
+            # withColumns would nest 8 projections and pay analyzer
+            # cost per layer — measurable at this expression size).
+            cid_exprs = []
+            for s in range(PQ_M):
+                cb = _centroid_array_expr(cbs[s])
+                dot = DOT.format(a=f"sub{s}", b="c.centroid")
+                nsub = NORM.format(a=f"sub{s}")
+                cid_exprs.append(
+                    f"array_max(transform({cb}, c -> struct("
+                    f"round(({dot}) / (({nsub}) * c.cnorm), 6) AS score, "
+                    f"-c.cid AS neg, c.cid AS cid))).cid AS cid{s}"
+                )
             assigned = samp.selectExpr(
                 *[
                     f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB}) AS sub{s}"
                     for s in range(PQ_M)
                 ]
-            )
-            for s in range(PQ_M):
-                cb = _centroid_array_expr(cbs[s])
-                dot = DOT.format(a=f"sub{s}", b="c.centroid")
-                nsub = NORM.format(a=f"sub{s}")
-                assigned = assigned.withColumn(
-                    f"cid{s}",
-                    F.expr(
-                        f"array_max(transform({cb}, c -> struct("
-                        f"round(({dot}) / (({nsub}) * c.cnorm), 6) AS score, "
-                        f"-c.cid AS neg, c.cid AS cid))).cid"
-                    ),
-                )
+            ).selectExpr(*cid_exprs, *[f"sub{s}" for s in range(PQ_M)])
             exploded = assigned.select(
                 F.explode(
                     F.expr(
@@ -826,22 +827,30 @@ def _pq_encode(
 
     Map-only: every expression is row-local under whole-stage codegen.
     """
-    out = df
-    for s in range(PQ_M):
-        out = out.withColumn(
-            f"sub{s}", F.expr(f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB})")
-        ).withColumn(f"nsub{s}", F.expr(NORM.format(a=f"sub{s}")))
+    # Three flat projections, not 24 chained withColumns (each chained
+    # withColumn nests another Project node; at these expression sizes
+    # the analyzer cost per layer is measurable).
+    passthrough = [f.name for f in df.schema.fields if f.name != "embedding"]
+    out = df.selectExpr(
+        *passthrough,
+        *[
+            f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB}) AS sub{s}"
+            for s in range(PQ_M)
+        ],
+    ).selectExpr(
+        "*",
+        *[f"{NORM.format(a=f'sub{s}')} AS nsub{s}" for s in range(PQ_M)],
+    )
+    pos_exprs = []
     for s in range(PQ_M):
         dot = DOT.format(a=f"sub{s}", b="c.centroid")
-        out = out.withColumn(
-            f"pos{s}",
-            F.expr(
-                f"CASE WHEN nsub{s} = 0D THEN cast(0 AS tinyint) ELSE "
-                f"cast(array_max(transform({cb_exprs[s]}, (c, i) -> struct("
-                f"round(({dot}) / (nsub{s} * c.cnorm), 6) AS score, "
-                f"-i AS neg, i AS pos))).pos AS tinyint) END"
-            ),
+        pos_exprs.append(
+            f"CASE WHEN nsub{s} = 0D THEN cast(0 AS tinyint) ELSE "
+            f"cast(array_max(transform({cb_exprs[s]}, (c, i) -> struct("
+            f"round(({dot}) / (nsub{s} * c.cnorm), 6) AS score, "
+            f"-i AS neg, i AS pos))).pos AS tinyint) END AS pos{s}"
         )
+    out = out.selectExpr("*", *pos_exprs)
     rn2 = " + ".join(
         f"element_at({cb_exprs[s]}, cast(pos{s} AS int) + 1).cn2" for s in range(PQ_M)
     )
