@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "dedup_incremental_batch",
     "text_quality_score",
     "ann_brute_force_topk",
     "ann_ivf_topk",

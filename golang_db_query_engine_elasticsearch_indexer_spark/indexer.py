@@ -225,6 +225,56 @@ class JsonlIndexSink:
         shutil.rmtree(self._dir(index_name), ignore_errors=True)
 
 
+class ParquetPartitionedSink:
+    """Warehouse sink: hive-partitioned parquet with DYNAMIC partition
+    overwrite — the write path a curated 100 TB corpus actually lands
+    on (the ES index the reference feeds is a SERVING copy; the corpus
+    of record lives partitioned in object storage).
+
+    Semantics: ``write`` replaces ONLY the partitions present in the
+    incoming frame (``partitionOverwriteMode=dynamic``) and leaves
+    every other partition untouched — per-partition idempotent
+    re-ingestion, the batch analog of the ES positional upsert this
+    module's other sinks model. Executors write their partitions
+    directly; the driver never holds data. Downstream readers get
+    partition pruning on the partition columns for free.
+    """
+
+    def __init__(self, root: str, partition_by: tuple[str, ...]):
+        if not partition_by:
+            raise ValueError("partition_by must name at least one column")
+        self.root = root
+        self.partition_by = tuple(partition_by)
+
+    def _dir(self, index_name: str) -> str:
+        return os.path.join(self.root, index_name)
+
+    def index_exists(self, index_name: str) -> bool:
+        return os.path.isdir(self._dir(index_name))
+
+    def write(self, spark: SparkSession, df_with_id: DataFrame, index_name: str) -> IndexStats:
+        t0 = time.time()
+        (
+            df_with_id.write.mode("overwrite")
+            # per-write override: only partitions present in df are
+            # replaced; absent ones survive (no session-conf mutation)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*self.partition_by)
+            .parquet(self._dir(index_name))
+        )
+        return IndexStats(
+            index_name, num_docs=df_with_id.count(), took_sec=time.time() - t0
+        )
+
+    def read(self, spark: SparkSession, index_name: str) -> DataFrame | None:
+        if not self.index_exists(index_name):
+            return None
+        return spark.read.parquet(self._dir(index_name))
+
+    def delete_index(self, index_name: str) -> None:
+        shutil.rmtree(self._dir(index_name), ignore_errors=True)
+
+
 def _iter_jsonl(path: str):
     for fn in os.listdir(path):
         if fn.endswith(".json"):

@@ -206,29 +206,17 @@ DUCK_SHINGLES = rf"""
 """
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash(16) + LSH banding (4 bands x 4 rows),
-    exact-jaccard-verified at >= 0.25.
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_val) LSH band keys from the per-doc
+    shingle arrays — the shared candidate-generation substrate of
+    :func:`minhash_lsh_pairs` and :func:`incremental_batch`.
 
-    Signatures use the linear-permutation family (MINHASH_PERMS): one
-    md5 per shingle decoded to a 48-bit integer, then 16 multiply-mod
-    permutations folded with row-local ``array_min`` over the per-doc
-    shingle array — signature generation is MAP-ONLY (no explode, no
-    groupBy, no cache) and hashes each shingle once, not once per
-    component. The only shuffles in the whole operator are the
-    band-bucket candidate self-join and the verify join — the minimum
-    this problem admits. Banding sends each doc to 4 bucket keys; only
-    same-bucket pairs are verified, which is what keeps the pair count
-    sub-quadratic at scale. Output: (doc_a, doc_b, jaccard) with
-    doc_a < doc_b.
+    vs is aliased once and referenced N_HASHES times: CollapseProject
+    keeps the expensive md5+decode transform un-inlined, so each
+    shingle is hashed exactly once per scan. The inner transform
+    materializes md5 per shingle BEFORE the 12-term hex decode so the
+    decode's 12 references hit a lambda variable, not 12 md5 calls.
     """
-    sh = _shingle_arrays_df(spark)
-
-    # vs is aliased once and referenced N_HASHES times: CollapseProject
-    # keeps the expensive md5+decode transform un-inlined, so each
-    # shingle is hashed exactly once per scan. The inner transform
-    # materializes md5 per shingle BEFORE the 12-term hex decode so the
-    # decode's 12 references hit a lambda variable, not 12 md5 calls.
     sigs = sh.selectExpr(
         "doc_id",
         f"transform(transform(shs, s -> md5(s)), m -> {_hex_prefix_int('m', 12)}) AS vs",
@@ -246,9 +234,29 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(N_BANDS)
     ]
     stack_args = ", ".join(f"{b}, b{b}" for b in range(N_BANDS))
-    bands = sigs.select("doc_id", *band_cols).selectExpr(
+    return sigs.select("doc_id", *band_cols).selectExpr(
         "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_id, band_val)"
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash(16) + LSH banding (4 bands x 4 rows),
+    exact-jaccard-verified at >= 0.25.
+
+    Signatures use the linear-permutation family (MINHASH_PERMS): one
+    md5 per shingle decoded to a 48-bit integer, then 16 multiply-mod
+    permutations folded with row-local ``array_min`` over the per-doc
+    shingle array — signature generation is MAP-ONLY (no explode, no
+    groupBy, no cache) and hashes each shingle once, not once per
+    component. The only shuffles in the whole operator are the
+    band-bucket candidate self-join and the verify join — the minimum
+    this problem admits. Banding sends each doc to 4 bucket keys; only
+    same-bucket pairs are verified, which is what keeps the pair count
+    sub-quadratic at scale. Output: (doc_a, doc_b, jaccard) with
+    doc_a < doc_b.
+    """
+    sh = _shingle_arrays_df(spark)
+    bands = _minhash_bands(sh)
 
     # Candidates via capped bucket postings (same shape as the ngram
     # inverted index) instead of a bands-self-join: ONE pass over the
@@ -281,7 +289,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_oracle() -> str:
+def _duck_band_ctes() -> str:
+    """DuckDB CTE text producing ``bands(doc_id, band_id, band_val)``
+    from ``sh`` — the oracle-side mirror of :func:`_minhash_bands`,
+    shared by the in-table and incremental minhash oracles."""
     hash_aggs = ",\n           ".join(
         f"min(({a} * v + {b}) % {MINHASH_PRIME}) AS h{i}"
         for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -296,9 +307,7 @@ def _duck_minhash_oracle() -> str:
         f"      SELECT doc_id, {b} AS band_id, b{b} AS band_val FROM bandcols"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH sh AS ({DUCK_SHINGLES}),
-vals AS (
+    return f"""vals AS (
   SELECT doc_id, {_hex_prefix_int("m", 12)} AS v
   FROM (SELECT doc_id, md5(sh) AS m FROM sh)
 ),
@@ -314,7 +323,13 @@ bandcols AS (
 ),
 bands AS (
 {band_union}
-),
+)"""
+
+
+def _duck_minhash_oracle() -> str:
+    return f"""
+WITH sh AS ({DUCK_SHINGLES}),
+{_duck_band_ctes()},
 occ AS (
   SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY 1, 2
 ),
@@ -340,6 +355,157 @@ JOIN sizes na ON na.doc_id = inter.a
 JOIN sizes nb ON nb.doc_id = inter.b
 WHERE inter.i * 1.0 / (na.n + nb.n - inter.i) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+# Deterministic fixture split: doc_id % 10 >= 8 plays the "newly arrived
+# batch" (~20%), the rest the already-deduped corpus. In production the
+# two sides are separate tables; the split keeps the entry
+# self-contained and oracle-replayable.
+INCR_BATCH_MOD = 10
+INCR_BATCH_MIN = 8
+
+
+def incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the OPERATIONAL shape at 100 TB: a corpus is
+    deduped once, then each arriving batch is checked against it (and
+    only it); nobody re-runs all-pairs over the full corpus per
+    ingestion. For every batch document, report the corpus documents it
+    duplicates: ``kind='exact'`` (identical sha256) or ``kind='near'``
+    (minhash band candidate verified at jaccard >= threshold).
+
+    Scale shape: the exact stage is an equi-join of the batch's 32-byte
+    content hashes against the corpus hash relation (at scale: the
+    persisted hash index, not a rescan). The near stage reuses the
+    in-table LSH substrate (:func:`_minhash_bands`) but pairs ONLY
+    batch x corpus within a band bucket — batch-internal and
+    corpus-internal pairs are never generated, so the candidate volume
+    is |batch|-proportional, not |corpus|-proportional. Total bucket
+    occupancy is capped at MINHASH_MAX_BUCKET exactly like the in-table
+    kernel, and pairs expand row-locally from the bucketed posting
+    lists. Exact matches are excluded from the near output (they would
+    trivially re-verify at jaccard 1.0).
+    """
+    docs = spark.table("documents")
+    flagged = docs.selectExpr(
+        "doc_id",
+        "sha2(text, 256) AS h",
+        f"doc_id % {INCR_BATCH_MOD} >= {INCR_BATCH_MIN} AS is_batch",
+    )
+    corpus_hashes = (
+        flagged.where("NOT is_batch")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("corpus_id"))
+    )
+    exact_m = (
+        flagged.where("is_batch")
+        .join(corpus_hashes, "h")
+        .selectExpr("doc_id AS batch_id", "corpus_id")
+    )
+
+    sh = _shingle_arrays_df(spark)
+    bands = _minhash_bands(sh).withColumn(
+        "is_batch",
+        F.expr(f"doc_id % {INCR_BATCH_MOD} >= {INCR_BATCH_MIN}"),
+    )
+    cand = (
+        bands.groupBy("band_id", "band_val")
+        .agg(
+            F.array_sort(
+                F.expr("collect_list(CASE WHEN is_batch THEN doc_id END)")
+            ).alias("batch_docs"),
+            F.array_sort(
+                F.expr("collect_list(CASE WHEN NOT is_batch THEN doc_id END)")
+            ).alias("corpus_docs"),
+        )
+        .where(
+            "size(batch_docs) >= 1 AND size(corpus_docs) >= 1 "
+            f"AND size(batch_docs) + size(corpus_docs) <= {MINHASH_MAX_BUCKET}"
+        )
+        .selectExpr(
+            """explode(flatten(transform(batch_docs,
+                 x -> transform(corpus_docs, y -> struct(x AS a, y AS b))
+               ))) AS p"""
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    near = _verify_jaccard(
+        cand, sh.withColumnRenamed("shs", "grams"), JACCARD_THRESHOLD
+    ).selectExpr("doc_a AS batch_id", "doc_b AS corpus_id", "jaccard")
+    near_only = near.join(exact_m, ["batch_id", "corpus_id"], "left_anti")
+    return (
+        exact_m.selectExpr(
+            "batch_id",
+            "corpus_id",
+            "'exact' AS kind",
+            "cast(1.0 AS double) AS jaccard",
+        )
+        .unionByName(
+            near_only.selectExpr("batch_id", "corpus_id", "'near' AS kind", "jaccard")
+        )
+        .orderBy("batch_id", "kind", "corpus_id")
+    )
+
+
+def _duck_incremental_oracle() -> str:
+    return f"""
+WITH sh AS ({DUCK_SHINGLES}),
+{_duck_band_ctes()},
+flags AS (
+  SELECT doc_id, sha256(text) AS h,
+         doc_id % {INCR_BATCH_MOD} >= {INCR_BATCH_MIN} AS is_batch
+  FROM documents
+),
+corpus_hashes AS (
+  SELECT h, min(doc_id) AS corpus_id FROM flags WHERE NOT is_batch GROUP BY h
+),
+exact_m AS (
+  SELECT f.doc_id AS batch_id, c.corpus_id
+  FROM flags f JOIN corpus_hashes c USING (h)
+  WHERE f.is_batch
+),
+occ AS (
+  SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN bands y ON x.band_id = y.band_id AND x.band_val = y.band_val
+  JOIN flags fx ON fx.doc_id = x.doc_id AND fx.is_batch
+  JOIN flags fy ON fy.doc_id = y.doc_id AND NOT fy.is_batch
+  JOIN occ ON occ.band_id = x.band_id AND occ.band_val = x.band_val
+  WHERE occ.n <= {MINHASH_MAX_BUCKET}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+),
+near AS (
+  SELECT inter.a AS batch_id, inter.b AS corpus_id,
+         round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = inter.a
+  JOIN sizes nb ON nb.doc_id = inter.b
+  WHERE inter.i * 1.0 / (na.n + nb.n - inter.i) >= {JACCARD_THRESHOLD}
+),
+near_only AS (
+  SELECT n.* FROM near n
+  WHERE NOT EXISTS (SELECT 1 FROM exact_m e
+                    WHERE e.batch_id = n.batch_id AND e.corpus_id = n.corpus_id)
+)
+SELECT batch_id, corpus_id, 'exact' AS kind, 1.0::DOUBLE AS jaccard FROM exact_m
+UNION ALL
+SELECT batch_id, corpus_id, 'near' AS kind, jaccard FROM near_only
+ORDER BY batch_id, kind, corpus_id
 """
 
 
@@ -772,6 +938,10 @@ def registry() -> dict[str, dict]:
         "dedup_exact": {"fn": exact, "oracle": EXACT_ORACLE},
         "dedup_normalized": {"fn": normalized, "oracle": NORMALIZED_ORACLE},
         "dedup_minhash_lsh": {"fn": minhash_lsh_pairs, "oracle": _duck_minhash_oracle()},
+        "dedup_incremental_batch": {
+            "fn": incremental_batch,
+            "oracle": _duck_incremental_oracle(),
+        },
         "dedup_ngram_jaccard": {"fn": ngram_jaccard_pairs, "oracle": _duck_ngram_oracle()},
         "dedup_simhash": {"fn": simhash, "oracle": _duck_simhash_oracle()},
         "dedup_components": {"fn": connected_components, "oracle": _duck_components_oracle()},

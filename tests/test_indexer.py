@@ -239,3 +239,62 @@ def test_positional_ids_balanced_under_low_cardinality_order(spark, tables):
     finally:
         for h in release:
             h.unpersist()
+
+
+def test_parquet_partitioned_sink_dynamic_overwrite(spark, tables, tmp_path):
+    """Dynamic partition overwrite: rewriting ONE source partition
+    replaces only that partition's rows; untouched partitions survive
+    byte-for-byte, and downstream reads prune on the partition column."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (
+        ParquetPartitionedSink,
+    )
+
+    sink = ParquetPartitionedSink(str(tmp_path / "warehouse"), partition_by=("src",))
+    df1 = spark.createDataFrame(
+        [(1, "a1", "A"), (2, "a2", "A"), (3, "b1", "B")], "id long, v string, src string"
+    )
+    stats = sink.write(spark, df1, "corpus")
+    assert stats.num_docs == 3
+
+    # rewrite partition A only, with different rows
+    df2 = spark.createDataFrame([(9, "a9", "A")], "id long, v string, src string")
+    sink.write(spark, df2, "corpus")
+
+    out = {(r.id, r.v, r.src) for r in sink.read(spark, "corpus").collect()}
+    assert out == {(9, "a9", "A"), (3, "b1", "B")}  # B untouched, A replaced
+
+    # partition pruning: a src-filtered read must not scan partition B
+    plan = (
+        sink.read(spark, "corpus")
+        .where("src = 'A'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(src" in plan
+
+    sink.delete_index("corpus")
+    assert sink.read(spark, "corpus") is None
+
+
+def test_save_through_parquet_partitioned_sink(spark, tables, tmp_path):
+    """save() composes with the warehouse sink: query -> positional IDs
+    -> partitioned parquet, one lineage."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (
+        ParquetPartitionedSink,
+        save,
+    )
+
+    sink = ParquetPartitionedSink(str(tmp_path / "wh"), partition_by=("o_orderstatus",))
+    stats = save(
+        spark,
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000",
+        "orders_hot",
+        sink,
+        order_cols=["o_orderkey"],
+    )
+    got = sink.read(spark, "orders_hot")
+    assert got.count() == stats.num_docs > 0
+    # positional IDs are the contiguous 1..N range
+    ids = [r[0] for r in got.select(indexer.ID_COL).orderBy(indexer.ID_COL).collect()]
+    assert ids == list(range(1, len(ids) + 1))

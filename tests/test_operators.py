@@ -528,3 +528,35 @@ def test_medoid_is_argmax_member(spark, tables, sf_dir):
         assert -1.0 <= m.medoid_cos <= 1.0
     # n_members must sum to the table size (every vector has one label)
     assert sum(m.n_members for m in meds) == len(members)
+
+
+def test_incremental_batch_planted(spark, tables, sf_dir):
+    """Planted batch-vs-corpus duplicates: an exact clone reports
+    kind='exact' against the minimum corpus holder, a one-token edit
+    reports kind='near', and batch-internal pairs are never emitted."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base.replace("epsilon", "EPS", 1)
+    rows = [
+        (9001, base.strip(), "en", "srcX", len(base)),   # corpus (1 % 10 < 8)
+        (9004, "totally unrelated words only here", "en", "srcX", 33),  # corpus
+        (9008, base.strip(), "en", "srcX", len(base)),   # batch: exact clone
+        (9009, near.strip(), "en", "srcX", len(near)),   # batch: near clone
+        (9018, near.strip(), "en", "srcX", len(near)),   # batch: near clone twin
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        out = {
+            (r.batch_id, r.corpus_id): (r.kind, r.jaccard)
+            for r in dedup.incremental_batch(spark, sf_dir).collect()
+        }
+    finally:
+        tables["documents"].createOrReplaceTempView("documents")
+    assert out[(9008, 9001)] == ("exact", 1.0)
+    assert out[(9009, 9001)][0] == "near" and out[(9009, 9001)][1] > 0.5
+    assert out[(9018, 9001)][0] == "near"
+    # batch-internal pair (9009, 9018) must NOT appear even though they
+    # are identical to each other — incremental only pairs against corpus
+    assert not any(a in (9009, 9018) and b in (9009, 9018) for (a, b) in out)
