@@ -560,3 +560,33 @@ def test_incremental_batch_planted(spark, tables, sf_dir):
     # batch-internal pair (9009, 9018) must NOT appear even though they
     # are identical to each other — incremental only pairs against corpus
     assert not any(a in (9009, 9018) and b in (9009, 9018) for (a, b) in out)
+
+
+def test_incremental_near_pairs_subset_of_full_minhash(spark, tables, sf_dir):
+    """Cross-kernel consistency: every incremental 'near' hit is a
+    batch x corpus pair the full in-table minhash kernel also reports
+    (same band substrate, same occupancy cap, same threshold), and the
+    incremental output contains EVERY full-kernel pair that crosses the
+    batch/corpus split — neither kernel hides pairs from the other."""
+    full = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.jaccard
+        for r in dedup.minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    incr = dedup.incremental_batch(spark, sf_dir).collect()
+    near = {
+        (min(r.batch_id, r.corpus_id), max(r.batch_id, r.corpus_id)): r.jaccard
+        for r in incr
+        if r.kind == "near"
+    }
+    exact = {
+        (min(r.batch_id, r.corpus_id), max(r.batch_id, r.corpus_id))
+        for r in incr
+        if r.kind == "exact"
+    }
+    for pair, j in near.items():
+        assert pair in full and full[pair] == j, pair
+    is_batch = lambda d: d % dedup.INCR_BATCH_MOD >= dedup.INCR_BATCH_MIN  # noqa: E731
+    crossing = {
+        p for p in full if is_batch(p[0]) != is_batch(p[1])
+    }
+    assert crossing == set(near) | (crossing & exact)
