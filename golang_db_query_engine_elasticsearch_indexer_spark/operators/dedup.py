@@ -577,6 +577,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
     arrs = _gram_arrays_df(spark)
+    return _verify_jaccard(
+        _rare_gram_candidates(arrs), arrs, NGRAM_JACCARD_THRESHOLD
+    )
+
+
+def _rare_gram_candidates(arrs: DataFrame) -> DataFrame:
+    """Witness-gated candidate pairs (a, b), a < b, from a rare-gram
+    inverted index over a (doc_id, grams) relation — the single-shuffle
+    candidate generator :func:`ngram_jaccard_pairs` documents, shared
+    with :func:`containment_pairs`."""
     g = arrs.selectExpr("doc_id", "explode(grams) AS g")
 
     # Rare-gram postings: doc_id is unique within a posting (grams are
@@ -602,7 +612,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("rc"))
     )
-    cand = (
+    return (
         posts.selectExpr(
             """explode(flatten(transform(
                  sequence(1, size(docs) - 1),
@@ -629,8 +639,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a", "b")
     )
-
-    return _verify_jaccard(cand, arrs, NGRAM_JACCARD_THRESHOLD)
 
 
 def _duck_ngram_oracle() -> str:
@@ -667,6 +675,98 @@ SELECT a AS doc_a, b AS doc_b,
        round(i * 1.0 / (na + nb - i), 4) AS jaccard
 FROM verified
 WHERE i * 1.0 / (na + nb - i) >= {NGRAM_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (doc-inside-doc duplication)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: containment
+    ``|grams(A) ∩ grams(B)| / min(|grams(A)|, |grams(B)|)`` — the
+    quote/excerpt/boilerplate-wrapper case Jaccard structurally misses
+    (a 100-gram doc embedded verbatim in a 900-gram doc has containment
+    1.0 but Jaccard 0.11, far under any useful symmetric threshold).
+    Corpus pipelines use this to drop documents that are substantially
+    reproduced inside larger ones.
+
+    Reuses :func:`_rare_gram_candidates` (same single-shuffle rare-gram
+    inverted index and witness gate — and the same documented rare-gram
+    blind spot) and the touch-``arrs``-once verify shape of
+    :func:`_verify_jaccard`; only the verification statistic differs.
+    Output: (doc_a, doc_b, containment, jaccard), doc_a < doc_b, at
+    containment >= CONTAINMENT_THRESHOLD — jaccard is carried so the
+    asymmetric hits Jaccard would drop are visible in the result.
+    """
+    arrs = _gram_arrays_df(spark)
+    sides = _rare_gram_candidates(arrs).selectExpr(
+        "a", "b", "explode(array(a, b)) AS doc_id"
+    )
+    return (
+        sides.join(arrs, "doc_id")
+        .groupBy("a", "b")
+        .agg(
+            F.max(F.when(F.col("doc_id") == F.col("a"), F.col("grams"))).alias("ga"),
+            F.max(F.when(F.col("doc_id") == F.col("b"), F.col("grams"))).alias("gb"),
+        )
+        .selectExpr(
+            "a AS doc_a",
+            "b AS doc_b",
+            "size(array_intersect(ga, gb)) AS inter",
+            "size(ga) AS na",
+            "size(gb) AS nb",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "round(inter / least(na, nb), 4) AS containment",
+            "round(inter / (na + nb - inter), 4) AS jaccard",
+        )
+        .where(f"containment >= {CONTAINMENT_THRESHOLD}")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _duck_containment_oracle() -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({duck_ngrams(NGRAM_N, DUCK_TOKENS)}) AS g
+  FROM documents
+  WHERE len({DUCK_TOKENS}) >= {NGRAM_N}
+),
+rare AS (
+  SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY g)
+  WHERE df BETWEEN 2 AND {NGRAM_MAX_DF}
+),
+inv AS (SELECT g.g, g.doc_id FROM g JOIN rare USING (g)),
+rc AS (SELECT doc_id, count(*) AS rc FROM inv GROUP BY doc_id),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+  JOIN rc ra ON ra.doc_id = x.doc_id
+  JOIN rc rb ON rb.doc_id = y.doc_id
+  GROUP BY 1, 2, ra.rc, rb.rc
+  HAVING count(*) >= least({NGRAM_MIN_SHARED}, greatest(1, (ra.rc + rb.rc + 5) // 6))
+),
+gram_sets AS (SELECT doc_id, list(g) AS grams FROM g GROUP BY doc_id),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.grams, sb.grams)) AS i,
+         len(sa.grams) AS na, len(sb.grams) AS nb
+  FROM cand c
+  JOIN gram_sets sa ON sa.doc_id = c.a
+  JOIN gram_sets sb ON sb.doc_id = c.b
+)
+SELECT a AS doc_a, b AS doc_b,
+       round(i * 1.0 / least(na, nb), 4) AS containment,
+       round(i * 1.0 / (na + nb - i), 4) AS jaccard
+FROM verified
+WHERE i * 1.0 / least(na, nb) >= {CONTAINMENT_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -943,6 +1043,10 @@ def registry() -> dict[str, dict]:
             "oracle": _duck_incremental_oracle(),
         },
         "dedup_ngram_jaccard": {"fn": ngram_jaccard_pairs, "oracle": _duck_ngram_oracle()},
+        "dedup_containment": {
+            "fn": containment_pairs,
+            "oracle": _duck_containment_oracle(),
+        },
         "dedup_simhash": {"fn": simhash, "oracle": _duck_simhash_oracle()},
         "dedup_components": {"fn": connected_components, "oracle": _duck_components_oracle()},
         "dedup_keep_best": {"fn": keep_best, "oracle": _duck_keep_best_oracle()},

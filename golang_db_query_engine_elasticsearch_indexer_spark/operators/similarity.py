@@ -1683,6 +1683,44 @@ ORDER BY probe_id, neighbor_id
 """
 
 
+def _label_centroid_cosines(spark: SparkSession) -> DataFrame:
+    """(label, vec_id, cos): every member's cosine (rounded to 6 dp) to
+    its label's mean embedding — the scored scan :func:`medoid_per_label`
+    and :func:`outlier_scores` share.
+
+    One posexplode aggregation builds the per-label mean (shuffle on
+    (label, pos), partial-aggregated map-side), the centroid array is
+    rebuilt row-locally from sorted (pos, value) structs, and members
+    join their label's centroid — a #labels-row relation, broadcast-safe
+    because labels are a bounded class vocabulary, not corpus-scale.
+    """
+    cent = (
+        spark.table("embeddings")
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
+            ).alias("centroid")
+        )
+        .withColumn("cnorm", F.expr(NORM.format(a="centroid")))
+    )
+    return (
+        _with_norm(spark.table("embeddings"))
+        .join(F.broadcast(cent), "label")
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(DOT.format(a="embedding", b="centroid"))
+                / (F.col("norm") * F.col("cnorm")),
+                6,
+            ),
+        )
+    )
+
+
 def medoid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative selection: per label, the member vector most
     cosine-similar to the label's mean embedding (the medoid-style
@@ -1700,31 +1738,7 @@ def medoid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the shared round-before-rank pattern), so both engines pick the
     same medoid.
     """
-    cent = (
-        spark.table("embeddings")
-        .select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
-        .groupBy("label")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(pos, cv))), s -> s.cv)"
-            ).alias("centroid")
-        )
-        .withColumn("cnorm", F.expr(NORM.format(a="centroid")))
-    )
-    scored = (
-        _with_norm(spark.table("embeddings"))
-        .join(F.broadcast(cent), "label")
-        .withColumn(
-            "cos",
-            F.round(
-                F.expr(DOT.format(a="embedding", b="centroid"))
-                / (F.col("norm") * F.col("cnorm")),
-                6,
-            ),
-        )
-    )
+    scored = _label_centroid_cosines(spark)
     return (
         scored.groupBy("label")
         .agg(
@@ -1768,11 +1782,80 @@ ORDER BY label
 """
 
 
+OUTLIER_Z = 2.0  # flag members more than 2 sigma BELOW their label's mean cosine
+
+
+def outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring (the SemDeDup-style prune signal,
+    inverted): each vector's cosine to its label centroid, z-scored
+    within the label — members far below their cluster's typical
+    similarity are mislabeled/noisy candidates a curation pipeline drops
+    (or routes for re-labeling) before training.
+
+    Scale shape on top of the shared :func:`_label_centroid_cosines`
+    scan: ONE additional #labels-sized aggregation for (mean, stddev)
+    per label, broadcast back — the corpus streams twice total, shuffles
+    only label-keyed partials. The z-score uses stddev_pop over the
+    6-dp-rounded cosines and is itself rounded to 4 dp BEFORE the flag
+    comparison (the shared rounded-flag pattern from
+    events_anomaly_zscore), so the kept/flag set is cross-engine
+    identical; a single-member label (sd = 0) yields NULL z and a false
+    flag in both engines via nullif + coalesce.
+    """
+    scored = _label_centroid_cosines(spark).select("label", "vec_id", "cos")
+    stats = scored.groupBy("label").agg(
+        F.avg("cos").alias("mu"), F.stddev_pop("cos").alias("sd")
+    )
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .selectExpr(
+            "vec_id",
+            "label",
+            "cos AS centroid_cos",
+            "round((cos - mu) / nullif(sd, 0.0D), 4) AS z",
+        )
+        .selectExpr(
+            "vec_id",
+            "label",
+            "centroid_cos",
+            "z",
+            f"coalesce(z <= -{OUTLIER_Z}, false) AS is_outlier",
+        )
+        .orderBy("vec_id")
+    )
+
+
+OUTLIER_ORACLE = f"""
+WITH cent AS (
+  SELECT label, list(cv ORDER BY i) AS centroid FROM (
+    SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS cv
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i)
+  GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS cos
+  FROM embeddings e JOIN cent c USING (label)
+),
+stats AS (
+  SELECT label, avg(cos) AS mu, stddev_pop(cos) AS sd FROM scored GROUP BY label
+)
+SELECT vec_id, label, cos AS centroid_cos,
+       round((cos - mu) / nullif(sd, 0.0), 4) AS z,
+       coalesce(round((cos - mu) / nullif(sd, 0.0), 4) <= -{OUTLIER_Z}, false)
+         AS is_outlier
+FROM scored JOIN stats USING (label)
+ORDER BY vec_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "embedding_quantize_int8": {"fn": quantize_int8, "oracle": QUANTIZE_ORACLE},
         "ann_range_search": {"fn": range_search, "oracle": RANGE_SEARCH_ORACLE},
         "embedding_medoid_per_label": {"fn": medoid_per_label, "oracle": MEDOID_ORACLE},
+        "embedding_outlier_scores": {"fn": outlier_scores, "oracle": OUTLIER_ORACLE},
         "ann_brute_force_topk": {"fn": brute_force_topk, "oracle": BRUTE_FORCE_ORACLE},
         "ann_lsh_bucket_topk": {"fn": lsh_bucket_topk, "oracle": _lsh_oracle()},
         "ann_ivf_topk": {"fn": ivf_topk, "oracle": IVF_ORACLE},

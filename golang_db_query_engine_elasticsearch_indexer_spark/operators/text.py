@@ -480,9 +480,77 @@ ORDER BY doc_id
 """.format(blend=duck_quality_blend(toks="toks"), pct=QUALITY_KEEP_PCT)
 
 
+BPE_TOP_N = 50
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-step statistics (Sennrich et al. 2016): corpus
+    frequency of each adjacent character pair, weighted by word
+    frequency — the top row of this result IS the tokenizer's first
+    merge rule, and re-running the op over merged symbols iterates the
+    induction.
+
+    Scale shape: the token stream collapses to the (distinct word,
+    count) vocabulary FIRST (one shuffle on the word key, map-side
+    combined — the relation drops from corpus-token scale to
+    vocabulary scale, which grows sub-linearly in the corpus), and
+    character pairs explode off the *vocabulary*, never the raw token
+    stream; the final pair aggregation shuffles a vocabulary-sized
+    relation with ~word-length fan-out. At 100 TB the heavy shuffle is
+    the word count — exactly the word-count job — and everything after
+    is vocabulary-sized.
+
+    Output: top-{BPE_TOP_N} pairs by weighted frequency with the
+    number of distinct word types containing each pair; (freq DESC,
+    pair) is a total order, so the cut is deterministic.
+    """
+    vocab = (
+        spark.table("documents")
+        .selectExpr(f"explode({TOKENS}) AS w")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = vocab.where("length(w) >= 2").selectExpr(
+        "w",
+        "cnt",
+        "explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))) AS pair",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("cnt").alias("freq"),
+            F.countDistinct("w").alias("n_word_types"),
+        )
+        .orderBy(F.desc("freq"), "pair")
+        .limit(BPE_TOP_N)
+    )
+
+
+BPE_PAIR_STATS_ORACLE = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS cnt
+  FROM (SELECT unnest({DUCK_TOKENS}) AS w FROM documents)
+  GROUP BY w
+),
+p AS (
+  SELECT w, cnt, substring(w, i, 2) AS pair
+  FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i
+        FROM vocab WHERE length(w) >= 2)
+)
+SELECT pair,
+       cast(sum(cnt) AS BIGINT) AS freq,
+       count(DISTINCT w) AS n_word_types
+FROM p
+GROUP BY pair
+ORDER BY freq DESC, pair
+LIMIT {BPE_TOP_N}
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "text_token_count": {"fn": token_count, "oracle": TOKEN_COUNT_ORACLE},
+        "tokens_bpe_pair_stats": {"fn": bpe_pair_stats, "oracle": BPE_PAIR_STATS_ORACLE},
         "docs_quality_percentile_filter": {
             "fn": quality_percentile_filter,
             "oracle": QUALITY_PERCENTILE_ORACLE,

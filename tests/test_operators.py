@@ -590,3 +590,79 @@ def test_incremental_near_pairs_subset_of_full_minhash(spark, tables, sf_dir):
         p for p in full if is_batch(p[0]) != is_batch(p[1])
     }
     assert crossing == set(near) | (crossing & exact)
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark, tables, sf_dir):
+    """A 20-token excerpt of a 150-token doc: containment ~1.0 while
+    Jaccard ~0.12 (< threshold) — the asymmetric case the containment
+    operator exists for. The excerpt pair must appear in
+    containment_pairs and NOT in ngram_jaccard_pairs."""
+    big = " ".join(f"w{i}" for i in range(150))
+    small = " ".join(f"w{i}" for i in range(50, 70))
+    other = " ".join(f"x{i}" for i in range(40))
+    rows = [
+        (9101, big, "en", "srcX", len(big)),
+        (9102, small, "en", "srcX", len(small)),
+        (9103, other, "en", "srcX", len(other)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        cont = {
+            (r.doc_a, r.doc_b): (r.containment, r.jaccard)
+            for r in dedup.containment_pairs(spark, sf_dir).collect()
+        }
+        jac = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.ngram_jaccard_pairs(spark, sf_dir).collect()
+        }
+        assert (9101, 9102) in cont
+        c, j = cont[(9101, 9102)]
+        assert c >= 0.9, c                      # excerpt fully contained
+        assert j < dedup.NGRAM_JACCARD_THRESHOLD, j
+        assert (9101, 9102) not in jac          # symmetric metric misses it
+        assert not any(9103 in p for p in cont)
+    finally:
+        tables["documents"].createOrReplaceTempView("documents")
+
+
+def test_bpe_pair_stats_counts_planted_words(spark, tables, sf_dir):
+    """Weighted adjacent-pair counts over a tiny vocabulary with known
+    arithmetic: 'aaab' x2 and 'ab' x1 give freq(aa)=4 (two positions x
+    word count 2), freq(ab)=3 (one position in each word)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import text as text_ops
+
+    rows = [
+        (9201, "aaab aaab", "en", "srcX", 9),
+        (9202, "ab", "en", "srcX", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        out = {r.pair: (r.freq, r.n_word_types) for r in text_ops.bpe_pair_stats(spark, sf_dir).collect()}
+        assert out["aa"] == (4, 1)
+        assert out["ab"] == (3, 2)
+    finally:
+        tables["documents"].createOrReplaceTempView("documents")
+
+
+def test_outlier_scores_flags_planted_outlier(spark, tables, sf_dir):
+    """Five aligned vectors + one anti-aligned vector in a label: the
+    anti-aligned member z-scores at ~-2.24 and is flagged; the aligned
+    members are not."""
+    dim = 64
+    aligned = [1.0] + [0.0] * (dim - 1)
+    anti = [-1.0] + [0.0] * (dim - 1)
+    rows = [(i, aligned, 0) for i in range(5)] + [(99, anti, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.createOrReplaceTempView("embeddings")
+    try:
+        out = {r.vec_id: r for r in similarity.outlier_scores(spark, sf_dir).collect()}
+        assert out[99].is_outlier and out[99].z <= -2.0
+        assert all(not out[i].is_outlier for i in range(5))
+    finally:
+        tables["embeddings"].createOrReplaceTempView("embeddings")
