@@ -820,6 +820,110 @@ _q(
     ORDER BY event_type, hour_start
     """,
 )
+
+# Rolling 7-day distinct active users: the dashboard metric every event
+# pipeline reports. COUNT(DISTINCT) isn't window-able in either engine,
+# so each observed (day, user) contributes itself to the 7 target days
+# it falls inside (a bounded x7 row-local explode) and ONE distinct
+# aggregation per target day does the rest — linear in user-days, one
+# shuffle, no self-join of the event stream against itself.
+_q(
+    "events_rolling_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT cast(ts AS date) AS d, user_id FROM events
+    ),
+    contrib AS (
+      SELECT explode(sequence(d, date_add(d, 6))) AS wd, user_id FROM du
+    )
+    SELECT cast(wd AS string) AS day,
+           count(DISTINCT user_id) AS active_users_7d
+    FROM contrib
+    WHERE wd <= (SELECT max(cast(ts AS date)) FROM events)
+    GROUP BY wd
+    ORDER BY day
+    """,
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT ts::DATE AS d, user_id FROM events
+    ),
+    contrib AS (
+      SELECT unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS wd,
+             user_id
+      FROM du
+    )
+    SELECT cast(wd AS varchar) AS day,
+           count(DISTINCT user_id) AS active_users_7d
+    FROM contrib
+    WHERE wd <= (SELECT max(ts::DATE) FROM events)
+    GROUP BY wd
+    ORDER BY day
+    """,
+)
+
+# RFM (recency/frequency/monetary) customer segmentation — the classic
+# marketing-analytics rollup. One aggregation over orders, then three
+# ntile(5) windows with c_custkey tiebreaks (total order => identical
+# quintile assignment in both engines). The global windows are the
+# rank-based formulation; at 100 TB the same scores come from
+# approx-percentile quintile thresholds broadcast to a map-only CASE
+# (SCALE.md row).
+_q(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS c,
+             datediff(date '2001-08-01', max(cast(o_orderdate AS date))) AS recency_days,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT c, recency_days, n_orders, monetary,
+             ntile(5) OVER (ORDER BY recency_days DESC, c) AS r_score,
+             ntile(5) OVER (ORDER BY n_orders, c)          AS f_score,
+             ntile(5) OVER (ORDER BY monetary, c)          AS m_score
+      FROM rfm
+    )
+    SELECT c AS c_custkey, recency_days, n_orders, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal_lapsing'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    ORDER BY c_custkey
+    """,
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS c,
+             date_diff('day', max(o_orderdate::DATE), DATE '2001-08-01') AS recency_days,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT c, recency_days, n_orders, monetary,
+             ntile(5) OVER (ORDER BY recency_days DESC, c) AS r_score,
+             ntile(5) OVER (ORDER BY n_orders, c)          AS f_score,
+             ntile(5) OVER (ORDER BY monetary, c)          AS m_score
+      FROM rfm
+    )
+    SELECT c AS c_custkey, recency_days, n_orders, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal_lapsing'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    ORDER BY c_custkey
+    """,
+)
+
 _q(
     "events_rollup_multires",
     """

@@ -170,8 +170,10 @@ ORDER BY doc_id
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def _shingle_arrays_df(spark: SparkSession) -> DataFrame:
-    """(doc_id, shs): per-document array of DISTINCT word-bigram shingles.
+def _shingle_arrays_df(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    """(doc_id, shs): per-document array of DISTINCT word-bigram shingles
+    (of ``documents``, or of an explicit ``docs`` relation — the
+    streaming incremental path shingles each arriving micro-batch).
 
     Tokenizes ONCE into an array column before shingling: inlining the
     ``split(...)`` expression into the ``transform`` lambda makes Spark
@@ -186,7 +188,8 @@ def _shingle_arrays_df(spark: SparkSession) -> DataFrame:
     to the session's default parallelism first; on a real cluster the
     many-input-splits case skips the repartition.
     """
-    docs = spark.table("documents")
+    if docs is None:
+        docs = spark.table("documents")
     par = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)

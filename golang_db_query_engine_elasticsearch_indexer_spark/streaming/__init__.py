@@ -16,6 +16,7 @@ source; watermarks bound state, window aggs shuffle once per trigger on
 from __future__ import annotations
 
 import os
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -378,6 +379,184 @@ ORDER BY c_nationkey
 """
 
 
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-arrival dedup — the OPERATIONAL ingestion shape a
+    training-data pipeline runs continuously: newly arriving documents
+    (the same deterministic batch cohort ``dedup.incremental_batch``
+    uses) flow in as a bounded file stream; each micro-batch is checked
+    against the STATIC existing corpus inside ``foreachBatch`` — exact
+    sha256 equi-join plus minhash-band near-dup candidates verified at
+    the jaccard threshold — and matches append to a parquet sink the
+    result is read back from.
+
+    Scale shape: the corpus-side artifacts (hash index, LSH band
+    postings with bucket occupancy capped at MINHASH_MAX_BUCKET, and
+    shingle arrays for verification) are built ONCE and persisted for
+    the stream's lifetime — at production scale these are persisted
+    tables maintained by this very pipeline, not rescans. Per
+    micro-batch work is |batch|-proportional: the batch's own hashes /
+    bands / shingles are map-only, candidates come from the band
+    equi-join against the capped corpus postings (batch-internal pairs
+    are never generated), and executors write match partitions directly
+    to the sink — no watermark or stream-state buffer exists because
+    corpus state lives OUTSIDE the stream, and no driver collect
+    touches the data path. The caches release in the ``finally``.
+    """
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
+        dedup as _dd,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema  # footer-only, no data scan
+    is_batch = f"doc_id % {_dd.INCR_BATCH_MOD} >= {_dd.INCR_BATCH_MIN}"
+
+    corpus = spark.read.parquet(path).where(f"NOT ({is_batch})")
+    corpus_hashes = (
+        corpus.selectExpr("sha2(text, 256) AS h", "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("corpus_id"))
+        .persist()
+    )
+    corpus_sh = _dd._shingle_arrays_df(spark, corpus).persist()
+    corpus_bands = _dd._minhash_bands(corpus_sh)
+    bucket_ok = (
+        corpus_bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n"))
+        .where(f"n <= {_dd.MINHASH_MAX_BUCKET}")
+        .select("band_id", "band_val")
+    )
+    corpus_postings = (
+        corpus_bands.join(bucket_ok, ["band_id", "band_val"])
+        .selectExpr("doc_id AS b", "band_id", "band_val")
+        .persist()
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_incr_dedup_{uuid.uuid4().hex[:8]}"
+    )
+
+    def _match(batch_df: DataFrame, batch_id: int) -> None:
+        bb = batch_df.select("doc_id", "text")
+        exact = (
+            bb.selectExpr("doc_id AS batch_id", "sha2(text, 256) AS h")
+            .join(corpus_hashes, "h")
+            .select("batch_id", "corpus_id")
+        )
+        b_sh = _dd._shingle_arrays_df(spark, bb)
+        cand = (
+            _dd._minhash_bands(b_sh)
+            .selectExpr("doc_id AS a", "band_id", "band_val")
+            .join(corpus_postings, ["band_id", "band_val"])
+            .select("a", "b")
+            .distinct()
+        )
+        arrs = b_sh.withColumnRenamed("shs", "grams").unionByName(
+            corpus_sh.withColumnRenamed("shs", "grams")
+        )
+        near = _dd._verify_jaccard(cand, arrs, _dd.JACCARD_THRESHOLD).selectExpr(
+            "doc_a AS batch_id", "doc_b AS corpus_id", "jaccard"
+        )
+        near_only = near.join(exact, ["batch_id", "corpus_id"], "left_anti")
+        (
+            exact.selectExpr(
+                "batch_id", "corpus_id", "'exact' AS kind",
+                "cast(1.0 AS double) AS jaccard",
+            )
+            .unionByName(
+                near_only.selectExpr(
+                    "batch_id", "corpus_id", "'near' AS kind", "jaccard"
+                )
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+        .where(is_batch)
+        .writeStream.outputMode("append")
+        .foreachBatch(_match)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        corpus_hashes.unpersist()
+        corpus_sh.unpersist()
+        corpus_postings.unpersist()
+    return spark.read.parquet(out_dir).orderBy("batch_id", "kind", "corpus_id")
+
+
+def _docs_incremental_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
+        dedup as _dd,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.dedup import (  # noqa: PLC0415
+        DUCK_SHINGLES,
+        _duck_band_ctes,
+    )
+
+    return f"""
+WITH sh AS ({DUCK_SHINGLES}),
+{_duck_band_ctes()},
+flags AS (
+  SELECT doc_id, sha256(text) AS h,
+         doc_id % {_dd.INCR_BATCH_MOD} >= {_dd.INCR_BATCH_MIN} AS is_batch
+  FROM documents
+),
+corpus_hashes AS (
+  SELECT h, min(doc_id) AS corpus_id FROM flags WHERE NOT is_batch GROUP BY h
+),
+exact_m AS (
+  SELECT f.doc_id AS batch_id, c.corpus_id
+  FROM flags f JOIN corpus_hashes c USING (h)
+  WHERE f.is_batch
+),
+occ AS (
+  SELECT b.band_id, b.band_val, count(*) AS n
+  FROM bands b JOIN flags f ON f.doc_id = b.doc_id AND NOT f.is_batch
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN flags fx ON fx.doc_id = x.doc_id AND fx.is_batch
+  JOIN bands y ON x.band_id = y.band_id AND x.band_val = y.band_val
+  JOIN flags fy ON fy.doc_id = y.doc_id AND NOT fy.is_batch
+  JOIN occ ON occ.band_id = y.band_id AND occ.band_val = y.band_val
+  WHERE occ.n <= {_dd.MINHASH_MAX_BUCKET}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+),
+near AS (
+  SELECT inter.a AS batch_id, inter.b AS corpus_id,
+         round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = inter.a
+  JOIN sizes nb ON nb.doc_id = inter.b
+  WHERE inter.i * 1.0 / (na.n + nb.n - inter.i) >= {_dd.JACCARD_THRESHOLD}
+),
+near_only AS (
+  SELECT n.* FROM near n
+  WHERE NOT EXISTS (SELECT 1 FROM exact_m e
+                    WHERE e.batch_id = n.batch_id AND e.corpus_id = n.corpus_id)
+)
+SELECT batch_id, corpus_id, 'exact' AS kind, 1.0::DOUBLE AS jaccard FROM exact_m
+UNION ALL
+SELECT batch_id, corpus_id, 'near' AS kind, jaccard FROM near_only
+ORDER BY batch_id, kind, corpus_id
+"""
+
+
 def stream_index_events(
     spark: SparkSession,
     sf_dir: str,
@@ -445,5 +624,9 @@ def registry() -> dict[str, dict]:
         "stream_static_enrich": {
             "fn": static_enrich,
             "oracle": STATIC_ENRICH_ORACLE,
+        },
+        "stream_docs_incremental_dedup": {
+            "fn": docs_incremental_dedup,
+            "oracle": _docs_incremental_oracle(),
         },
     }

@@ -272,3 +272,24 @@ def test_stream_stream_join_drops_late_clicks(spark, tmp_path):
     pairs = {(r.view_id, r.click_id) for r in spark.table(name).collect()}
     assert (5, 6) in pairs          # on-time pair joined
     assert (1, 4) not in pairs      # late click evicted by the watermark
+
+
+def test_stream_incremental_dedup_matches_batch_kernel(spark, tables, sf_dir):
+    """The streaming foreachBatch incremental dedup must surface the
+    same (batch_id, corpus_id, kind) matches as the batch
+    dedup.incremental_batch kernel over the same cohort split (at the
+    fixture every band bucket is under both kernels' occupancy caps, so
+    their candidate sets coincide)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import streaming
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import dedup
+
+    stream_out = {
+        (r.batch_id, r.corpus_id, r.kind)
+        for r in streaming.docs_incremental_dedup(spark, sf_dir).collect()
+    }
+    batch_out = {
+        (r.batch_id, r.corpus_id, r.kind)
+        for r in dedup.incremental_batch(spark, sf_dir).collect()
+    }
+    assert stream_out == batch_out
+    assert stream_out  # non-vacuous on the fixture
