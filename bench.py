@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_containment",
     "dedup_components",
     "dedup_incremental_batch",
     "text_quality_score",
@@ -51,6 +52,7 @@ HEADLINE = [
     "pipeline_curate_corpus",
     # streaming (availableNow drain of the events fixture)
     "stream_tumbling_counts",
+    "stream_docs_incremental_dedup",
 ]
 
 

@@ -176,3 +176,23 @@ def test_round5_kernels_have_no_cross_join(spark, oracle_tables):
     assert "CartesianProduct" not in tfidf_plan
     # the probe-postings term join must be a hash join, never a loop
     assert "BroadcastHashJoin" in tfidf_plan or "SortMergeJoin" in tfidf_plan
+
+
+def test_late_round5_kernels_have_no_cross_join(spark, oracle_tables):
+    """The late round-5 kernels must also stay equi-join-shaped:
+    containment shares the rare-gram candidate generator, outlier
+    scoring joins the broadcast label-centroid/stats relations, and the
+    streaming incremental matcher's corpus joins key on hash/band
+    columns."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        dedup,
+        similarity,
+    )
+
+    for df in (
+        dedup.containment_pairs(spark, SF_DIR_ORACLE),
+        similarity.outlier_scores(spark, SF_DIR_ORACLE),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
