@@ -861,6 +861,88 @@ _q(
     """,
 )
 
+# Event-sequence transition matrix (first-order Markov): P(next | cur)
+# per event_type pair — the sequence-modeling summary session analyses
+# start from. One lag window per user (shuffle on user_id), then a
+# pair-count aggregation; probabilities are exact count ratios rounded
+# to 4 dp, so both engines emit identical doubles.
+_q(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           round(n / sum(n) OVER (PARTITION BY cur), 4) AS p
+    FROM pairs
+    ORDER BY cur, nxt
+    """,
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, count(*) AS n
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY cur), 4) AS p
+    FROM pairs
+    ORDER BY cur, nxt
+    """,
+)
+
+# Last-touch attribution: each purchase credits the user's most recent
+# preceding click — the marketing-attribution window pattern (IGNORE
+# NULLS last_value over an unbounded-preceding frame; one shuffle on
+# user_id, no self-join of the event stream).
+_q(
+    "events_attribution_last_touch",
+    """
+    WITH touched AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             last(CASE WHEN event_type = 'click' THEN event_id END, true)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed_click
+      FROM events
+    )
+    SELECT event_id AS purchase_id, user_id, attributed_click,
+           round(value, 2) AS purchase_value
+    FROM touched
+    WHERE event_type = 'purchase' AND attributed_click IS NOT NULL
+    ORDER BY purchase_id
+    """,
+    oracle="""
+    WITH touched AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed_click
+      FROM events
+    )
+    SELECT event_id AS purchase_id, user_id, attributed_click,
+           round(value, 2) AS purchase_value
+    FROM touched
+    WHERE event_type = 'purchase' AND attributed_click IS NOT NULL
+    ORDER BY purchase_id
+    """,
+)
+
 # RFM (recency/frequency/monetary) customer segmentation — the classic
 # marketing-analytics rollup. One aggregation over orders, then three
 # ntile(5) windows with c_custkey tiebreaks (total order => identical
