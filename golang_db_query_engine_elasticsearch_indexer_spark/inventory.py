@@ -466,6 +466,22 @@ _q(
     """,
 )
 
+# Modern grouping shorthand (GROUP BY ALL / ORDER BY ALL): both engines
+# infer the grouping keys from the non-aggregate select list and order
+# by every output column left-to-right — a total order, so the result
+# is deterministic without naming a single column twice.
+_q(
+    "agg_group_by_all",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*)                      AS n,
+           round(sum(o_totalprice), 2)   AS total
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+
 _q(
     "pivot_conditional",
     """
