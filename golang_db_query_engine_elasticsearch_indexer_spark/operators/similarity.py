@@ -1287,7 +1287,16 @@ def ivfpq_topk(
     shortlist is exactly re-ranked. Self-contained for the driver
     contract (build inline, nothing persisted); repeat searchers use
     ``ivfpq_build``/``ivfpq_search`` and pay training + encoding once —
-    bench.py reports build and search timings separately."""
+    bench.py reports build and search timings separately.
+
+    Known refinement NOT taken: codes here quantize raw vectors, not
+    residuals vs the assigned coarse centroid (IVFADC's §V.A variant).
+    Residual encoding would recover most of the recall the cell pruning
+    costs (measured 0.64 vs plain PQ's 0.72 at sf0.01) and slots into
+    the same LUT-ADC shape — the probe LUTs stay per-probe, plus a
+    constant-size per-(cell, subspace, code) cross-term table for the
+    reconstruction norm — but it roughly doubles the replayed-training
+    differential oracle, so it is documented rather than implemented."""
     return ivfpq_search(
         spark, sf_dir, ivfpq_build(spark, sf_dir, persist=False), nprobe
     )

@@ -32,10 +32,20 @@ _FORMATS: dict[str, tuple[str, dict[str, str]]] = {
     "csv": ("csv", {"header": "true", "inferSchema": "true"}),
     "json": ("json", {}),
     "orc": ("orc", {}),
+    # raw-lines corpus ingest: one string column ``value`` per line —
+    # the front door of a text-pipeline (documents arrive as flat text
+    # long before they have schema); wholetext=false keeps it splittable
+    "text": ("text", {}),
 }
 
 #: file suffixes recognized when scanning a directory for tables
-_SUFFIXES = {".parquet": "parquet", ".csv": "csv", ".json": "json", ".orc": "orc"}
+_SUFFIXES = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".orc": "orc",
+    ".txt": "text",
+}
 
 
 def read_table(

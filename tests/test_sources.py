@@ -170,3 +170,39 @@ def test_partitioned_parquet_write_prunes_partitions(spark, tables, tmp_path):
     assert "event_type" in plan.split("PartitionFilters:")[1].split("]")[0]
     clicks = spark.table("events").where("event_type = 'click'").count()
     assert df.count() == clicks
+
+
+def test_text_source_reads_raw_lines(spark, tmp_path):
+    """The raw-lines corpus front door: a .txt file registers as a
+    one-string-column (value) view, one row per line."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import sources
+
+    p = tmp_path / "raw_corpus.txt"
+    p.write_text("first line\nsecond line\nthird line\n")
+    views = sources.register_dir(spark, str(tmp_path))
+    try:
+        assert "raw_corpus" in views
+        rows = [r.value for r in spark.table("raw_corpus").orderBy("value").collect()]
+        assert rows == ["first line", "second line", "third line"]
+    finally:
+        spark.catalog.dropTempView("raw_corpus")
+
+
+def test_parquet_schema_evolution_merges_and_null_fills(spark, tmp_path):
+    """Data-lake schema evolution: a directory whose newer files add a
+    column reads with mergeSchema=true as the union schema, old rows
+    null-filled — the property that lets a 100 TB table gain columns
+    without rewriting history."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import sources
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(out)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(out)
+    df = sources.read_table(
+        spark, out, "parquet", options={"mergeSchema": "true"}
+    ).orderBy("id")
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = df.collect()
+    assert rows[0].score is None and rows[1].score == 9.5
