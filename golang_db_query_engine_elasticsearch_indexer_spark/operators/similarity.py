@@ -1791,6 +1791,97 @@ ORDER BY label
 """
 
 
+PCA_ITERS = 3  # power-iteration rounds for the top principal direction
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding cloud by power
+    iteration — the spectral building block (PCA whitening, ABTT
+    "all-but-the-top" embedding post-processing, spectral init for
+    clustering) the k-means trainer doesn't cover.
+
+    Each round computes ``u = sum_rows x * (x . v)`` — the matvec
+    ``(X^T X) v`` without ever materializing the 64x64 Gram matrix —
+    as ONE map-only dot per row feeding one 64-group aggregation
+    (partial-aggregated map-side, 64 rows collected); the driver
+    normalizes and rounds to 6 dp, exactly the k-means centroid
+    discipline, so float-summation-order differences between engines
+    cannot leak into the next round's literal. PCA_ITERS is fixed (not
+    convergence-tested): the oracle unrolls the same rounds as CTE
+    stages, and a fixed-depth chain is replayable where a data-dependent
+    loop is not. Output: 64 (pos, loading) rows plus the Rayleigh
+    quotient (the explained variance of the direction, same value on
+    every row) — both engines emit identical doubles.
+    """
+    emb = spark.table("embeddings").selectExpr(
+        "transform(embedding, x -> cast(x AS double)) AS v"
+    )
+    vec = [1.0] + [0.0] * (N_DIM - 1)
+    for _ in range(PCA_ITERS):
+        lit = "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
+        rows = (
+            emb.selectExpr(
+                f"aggregate(zip_with(v, {lit}, (a, b) -> a * b), 0D, (acc, x) -> acc + x) AS d",
+                "v",
+            )
+            .select(F.col("d"), F.posexplode("v").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("d") * F.col("x")).alias("u"))
+            .collect()
+        )  # N_DIM rows — constant-size
+        u = [0.0] * N_DIM
+        for r in rows:
+            u[int(r["pos"])] = float(r["u"])
+        n = _l2(u)
+        vec = [round(x / n, 6) for x in u]
+    lit = "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
+    lam = emb.selectExpr(
+        f"aggregate(zip_with(v, {lit}, (a, b) -> a * b), 0D, (acc, x) -> acc + x) AS d"
+    ).agg(F.round(F.sum(F.expr("d * d")), 4).alias("lam")).first()["lam"]
+    return spark.createDataFrame(
+        [(i, vec[i], float(lam)) for i in range(N_DIM)],
+        "pos int, loading double, eigenvalue double",
+    ).orderBy("pos")
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration CTE chain mirroring pca_top_component
+    round for round (same init, same round-6 normalization)."""
+    init = "[" + ", ".join(
+        ("1.0" if i == 0 else "0.0") for i in range(N_DIM)
+    ) + "]::DOUBLE[]"
+    ctes = [
+        "e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"l0 AS (SELECT {init} AS v)",
+    ]
+    for it in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"d{it} AS (SELECT list_inner_product(e.v, l{it - 1}.v) AS d, e.v AS v "
+            f"FROM e, l{it - 1})"
+        )
+        ctes.append(
+            f"u{it} AS (SELECT i, sum(d * v[i]) AS u "
+            f"FROM d{it}, range(1, {N_DIM + 1}) t(i) GROUP BY i)"
+        )
+        ctes.append(
+            f"n{it} AS (SELECT sqrt(sum(u * u)) AS n FROM u{it})"
+        )
+        ctes.append(
+            f"l{it} AS (SELECT list(round(u / n, 6) ORDER BY i) AS v "
+            f"FROM u{it}, n{it})"
+        )
+    return f"""
+WITH {", ".join(ctes)},
+lam AS (
+  SELECT round(sum(d * d), 4) AS lam
+  FROM (SELECT list_inner_product(e.v, l{PCA_ITERS}.v) AS d FROM e, l{PCA_ITERS})
+)
+SELECT i - 1 AS pos, l{PCA_ITERS}.v[i] AS loading, lam.lam AS eigenvalue
+FROM l{PCA_ITERS}, lam, range(1, {N_DIM + 1}) t(i)
+ORDER BY pos
+"""
+
+
 OUTLIER_Z = 2.0  # flag members more than 2 sigma BELOW their label's mean cosine
 
 
@@ -1865,6 +1956,7 @@ def registry() -> dict[str, dict]:
         "ann_range_search": {"fn": range_search, "oracle": RANGE_SEARCH_ORACLE},
         "embedding_medoid_per_label": {"fn": medoid_per_label, "oracle": MEDOID_ORACLE},
         "embedding_outlier_scores": {"fn": outlier_scores, "oracle": OUTLIER_ORACLE},
+        "embedding_pca_top_component": {"fn": pca_top_component, "oracle": _pca_oracle()},
         "ann_brute_force_topk": {"fn": brute_force_topk, "oracle": BRUTE_FORCE_ORACLE},
         "ann_lsh_bucket_topk": {"fn": lsh_bucket_topk, "oracle": _lsh_oracle()},
         "ann_ivf_topk": {"fn": ivf_topk, "oracle": IVF_ORACLE},

@@ -666,3 +666,29 @@ def test_outlier_scores_flags_planted_outlier(spark, tables, sf_dir):
         assert all(not out[i].is_outlier for i in range(5))
     finally:
         tables["embeddings"].createOrReplaceTempView("embeddings")
+
+
+def test_pca_top_component_finds_planted_direction(spark, tables, sf_dir):
+    """Vectors drawn (deterministically) along a planted axis with small
+    off-axis noise: the power-iteration loading must align with the
+    planted direction and its Rayleigh quotient must dominate any single
+    coordinate axis' energy."""
+    dim = 64
+    rows = []
+    for i in range(40):
+        v = [0.0] * dim
+        scale = 1.0 + (i % 5) * 0.5
+        v[3] = scale                 # planted dominant axis
+        v[(i * 7) % dim] += 0.05     # deterministic small noise
+        rows.append((i, v, i % 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.createOrReplaceTempView("embeddings")
+    try:
+        out = similarity.pca_top_component(spark, sf_dir).collect()
+        loadings = [r.loading for r in sorted(out, key=lambda r: r.pos)]
+        assert abs(loadings[3]) > 0.95              # aligned with axis 3
+        lam = out[0].eigenvalue
+        axis_energy = sum((1.0 + (i % 5) * 0.5) ** 2 for i in range(40))
+        assert lam >= 0.99 * axis_energy            # captures the planted variance
+    finally:
+        tables["embeddings"].createOrReplaceTempView("embeddings")
