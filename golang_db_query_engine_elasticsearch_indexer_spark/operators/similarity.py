@@ -1844,9 +1844,11 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pos")
 
 
-def _pca_oracle() -> str:
+def _pca_ctes() -> str:
     """Unrolled power-iteration CTE chain mirroring pca_top_component
-    round for round (same init, same round-6 normalization)."""
+    round for round (same init, same round-6 normalization); the final
+    direction is ``l{PCA_ITERS}.v`` — shared by the PCA oracle and the
+    remove-top-component oracle."""
     init = "[" + ", ".join(
         ("1.0" if i == 0 else "0.0") for i in range(N_DIM)
     ) + "]::DOUBLE[]"
@@ -1870,8 +1872,12 @@ def _pca_oracle() -> str:
             f"l{it} AS (SELECT list(round(u / n, 6) ORDER BY i) AS v "
             f"FROM u{it}, n{it})"
         )
+    return ", ".join(ctes)
+
+
+def _pca_oracle() -> str:
     return f"""
-WITH {", ".join(ctes)},
+WITH {_pca_ctes()},
 lam AS (
   SELECT round(sum(d * d), 4) AS lam
   FROM (SELECT list_inner_product(e.v, l{PCA_ITERS}.v) AS d FROM e, l{PCA_ITERS})
@@ -1879,6 +1885,74 @@ lam AS (
 SELECT i - 1 AS pos, l{PCA_ITERS}.v[i] AS loading, lam.lam AS eigenvalue
 FROM l{PCA_ITERS}, lam, range(1, {N_DIM + 1}) t(i)
 ORDER BY pos
+"""
+
+
+def remove_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath, ICLR
+    2018): subtract each vector's projection onto the corpus' top
+    principal direction — the cheap isotropy fix that measurably
+    improves cosine-similarity quality on real embedding stores.
+
+    Composition of :func:`pca_top_component`'s power iteration (the
+    direction lands on the driver as 64 doubles) with a MAP-ONLY
+    rewrite: ``x' = x - (x . v) v`` is one dot plus one fused
+    scale-subtract per row against the constant-folded direction
+    literal — zero shuffles over the corpus beyond the PCA rounds
+    themselves. Output verifies the actual arithmetic, not just shapes:
+    per-vector original/residual norms and the residual's re-projection
+    onto v (~0 by construction, rounded to 6 — the orthogonality
+    invariant both engines must agree on).
+    """
+    comp = {r["pos"]: r["loading"] for r in pca_top_component(spark, sf_dir).collect()}
+    vec = [comp[i] for i in range(N_DIM)]
+    lit = "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
+    return spark.sql(
+        f"""
+        SELECT vec_id,
+               round(sqrt(aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)), 6)
+                 AS orig_norm,
+               round(sqrt(aggregate(transform(resid, x -> x * x), 0D, (acc, x) -> acc + x)), 6)
+                 AS resid_norm,
+               round(abs(aggregate(zip_with(resid, {lit}, (a, b) -> a * b), 0D, (acc, x) -> acc + x)), 6)
+                 AS abs_resid_dot_v
+        FROM (
+          SELECT vec_id, v,
+                 zip_with(v, {lit}, (x, c) -> x - d * c) AS resid
+          FROM (
+            SELECT vec_id,
+                   transform(embedding, x -> cast(x AS double)) AS v,
+                   aggregate(zip_with(transform(embedding, x -> cast(x AS double)), {lit},
+                             (a, b) -> a * b), 0D, (acc, x) -> acc + x) AS d
+            FROM embeddings
+          )
+        )
+        ORDER BY vec_id
+        """
+    )
+
+
+def _remove_top_oracle() -> str:
+    return f"""
+WITH {_pca_ctes()},
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+         list_inner_product(list_transform(embedding, x -> x::DOUBLE), l{PCA_ITERS}.v) AS d,
+         l{PCA_ITERS}.v AS pv
+  FROM embeddings, l{PCA_ITERS}
+),
+resid AS (
+  SELECT vec_id, v,
+         list_transform(range(1, {N_DIM + 1}), i -> v[i] - d * pv[i]) AS r,
+         pv
+  FROM base
+)
+SELECT vec_id,
+       round(sqrt(list_inner_product(v, v)), 6) AS orig_norm,
+       round(sqrt(list_inner_product(r, r)), 6) AS resid_norm,
+       round(abs(list_inner_product(r, pv)), 6) AS abs_resid_dot_v
+FROM resid
+ORDER BY vec_id
 """
 
 
@@ -1957,6 +2031,10 @@ def registry() -> dict[str, dict]:
         "embedding_medoid_per_label": {"fn": medoid_per_label, "oracle": MEDOID_ORACLE},
         "embedding_outlier_scores": {"fn": outlier_scores, "oracle": OUTLIER_ORACLE},
         "embedding_pca_top_component": {"fn": pca_top_component, "oracle": _pca_oracle()},
+        "embedding_remove_top_component": {
+            "fn": remove_top_component,
+            "oracle": _remove_top_oracle(),
+        },
         "ann_brute_force_topk": {"fn": brute_force_topk, "oracle": BRUTE_FORCE_ORACLE},
         "ann_lsh_bucket_topk": {"fn": lsh_bucket_topk, "oracle": _lsh_oracle()},
         "ann_ivf_topk": {"fn": ivf_topk, "oracle": IVF_ORACLE},
