@@ -959,6 +959,60 @@ _q(
     """,
 )
 
+# HyperLogLog distinct-count sketch, implemented as DETERMINISTIC SQL
+# (Flajolet et al. 2007): 256 buckets from the top 8 bits of a 48-bit
+# md5-uniform hash, register = max leading-zero rank of the low 40
+# bits, harmonic-mean estimate (alpha_256 = 0.7213/(1 + 1.079/256))
+# with the small-range linear-counting correction. Unlike
+# approx_count_distinct (whose sketch is engine-internal and not
+# replayable), every step here is portable arithmetic, so the ESTIMATE
+# itself is oracle-checked — the pattern that lets a pipeline
+# pre-aggregate distinct counts mergeably at 100 TB (registers combine
+# with max) while keeping cross-engine testability. The observed
+# relative error is also emitted (and asserted small in tests).
+_HLL_SPARK = """
+    WITH h AS (
+      SELECT {H} AS h FROM events
+    ),
+    regs AS (
+      SELECT h div 1099511627776 AS bucket,
+             max(CASE WHEN h % 1099511627776 = 0 THEN 41
+                      ELSE 41 - length(bin(h % 1099511627776)) END) AS m
+      FROM h GROUP BY 1
+    ),
+    agg AS (
+      SELECT (256 - count(*)) + sum(power(2.0, -m)) AS denom,
+             256 - count(*) AS v
+      FROM regs
+    ),
+    est AS (
+      SELECT CASE WHEN (0.718272 * 65536 / denom) <= 640.0 AND v > 0
+                  THEN 256 * ln(256.0 / v)
+                  ELSE 0.718272 * 65536 / denom END AS e
+      FROM agg
+    )
+    SELECT round(e, 2) AS hll_estimate,
+           (SELECT count(DISTINCT user_id) FROM events) AS exact_distinct,
+           round(abs(e - (SELECT count(DISTINCT user_id) FROM events))
+                 / (SELECT count(DISTINCT user_id) FROM events), 4) AS rel_err
+    FROM est
+"""
+def _hll_entry() -> None:
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+        hex_prefix_int,
+    )
+
+    h = hex_prefix_int("md5(cast(user_id AS string))", 12)
+    spark_sql = _HLL_SPARK.replace("{H}", h)
+    duck_sql = spark_sql.replace("h div 1099511627776", "h // 1099511627776").replace(
+        "length(bin(h % 1099511627776))",
+        "length(printf('%b', h % 1099511627776))",
+    )
+    _q("sketch_hll_distinct_users", spark_sql, oracle=duck_sql)
+
+
+_hll_entry()
+
 # RFM (recency/frequency/monetary) customer segmentation — the classic
 # marketing-analytics rollup. One aggregation over orders, then three
 # ntile(5) windows with c_custkey tiebreaks (total order => identical

@@ -243,8 +243,70 @@ ORDER BY lang
 """
 
 
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, the A-ES scheme): each document gets key
+    ``ln(u) / w`` with u a DETERMINISTIC md5-uniform in (0, 1) and
+    w its quality blend; the top-k keys ARE a weighted sample without
+    replacement — the standard way to subsample a corpus toward its
+    high-quality slice while keeping every document reachable.
+
+    Deterministic where textbook A-ES uses rand(): u is a pure function
+    of doc_id, so the SAMPLE MEMBERSHIP is oracle-checked and stable
+    across reruns/backfills. Scale shape: the key is one map-only
+    expression; top-k by (rounded key, doc_id tiebreak) compiles to
+    TakeOrderedAndProject — no global sort materialized. Weights clip
+    at 0.01 so a zero-quality doc keeps a finite key.
+    """
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+        hex_prefix_int,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (  # noqa: PLC0415
+        quality_blend,
+    )
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    u = f"({hex_prefix_int('md5(cast(doc_id AS string))', 12)} + 1.0) / {16 ** 12 + 1}"
+    w = f"greatest(round({quality_blend()}, 4), 0.01)"
+    return (
+        spark.table("documents")
+        .selectExpr(
+            "doc_id",
+            f"{w} AS w",
+            f"round(ln({u}) / {w}, 6) AS skey",
+        )
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+def _weighted_reservoir_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+        hex_prefix_int,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (  # noqa: PLC0415
+        duck_quality_blend,
+    )
+
+    u = f"({hex_prefix_int('md5(cast(doc_id AS string))', 12)} + 1.0) / {16 ** 12 + 1}"
+    w = f"greatest(round({duck_quality_blend()}, 4), 0.01)"
+    return f"""
+SELECT doc_id, {w} AS w, round(ln({u}) / {w}, 6) AS skey
+FROM documents
+ORDER BY skey DESC, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
+        "sample_weighted_reservoir": {
+            "fn": weighted_reservoir,
+            "oracle": _weighted_reservoir_oracle(),
+        },
         "sample_temperature_mix": {
             "fn": temperature_mix,
             "oracle": TEMPERATURE_MIX_ORACLE,

@@ -692,3 +692,35 @@ def test_pca_top_component_finds_planted_direction(spark, tables, sf_dir):
         assert lam >= 0.99 * axis_energy            # captures the planted variance
     finally:
         tables["embeddings"].createOrReplaceTempView("embeddings")
+
+
+def test_hll_sketch_error_within_bound(spark, tables, sf_dir):
+    """The deterministic HLL estimate must stay within ~3 standard
+    errors (1.04/sqrt(256) ~ 6.5% -> bound 20%) of the exact distinct
+    count on the fixture."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["sketch_hll_distinct_users"](spark, sf_dir).collect()[0]
+    assert row.exact_distinct > 0
+    assert row.rel_err <= 0.20, row
+
+
+def test_weighted_reservoir_skews_toward_quality(spark, tables, sf_dir):
+    """A-ES weighted sampling must pull the sample's mean quality above
+    the corpus mean (that is what the weights are for), while still
+    being deterministic (same sample on a rerun)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import sampling
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (
+        quality_blend,
+    )
+
+    s1 = sampling.weighted_reservoir(spark, sf_dir).collect()
+    s2 = sampling.weighted_reservoir(spark, sf_dir).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]  # deterministic
+    corpus_mean = (
+        spark.table("documents")
+        .selectExpr(f"avg({quality_blend()}) AS m")
+        .first()["m"]
+    )
+    sample_mean = sum(r.w for r in s1) / len(s1)
+    assert sample_mean > corpus_mean
