@@ -69,8 +69,8 @@ MINHASH_PERMS = (
 )
 
 
-def _verify_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification of candidate (a, b) pairs against a
+def _verify_overlap(cand: DataFrame, arrs: DataFrame) -> DataFrame:
+    """Exact-overlap statistics for candidate (a, b) pairs against a
     (doc_id, grams) relation, touching ``arrs`` ONCE.
 
     Joining the pair relation to ``arrs`` per side would recompute the
@@ -82,7 +82,8 @@ def _verify_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataF
     candidate-matched arrays (2 x |cand|, far below |docs| after
     candidate gating). ``max(CASE WHEN ...)`` is the standard
     pivot-by-tag: exactly one non-null per side per pair.
-    Output: (doc_a, doc_b, jaccard) at >= threshold.
+    Output: (doc_a, doc_b, inter, na, nb) — the raw counts both the
+    Jaccard and the containment statistics derive from.
     """
     sides = cand.selectExpr("a", "b", "explode(array(a, b)) AS doc_id")
     return (
@@ -99,6 +100,17 @@ def _verify_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataF
             "size(ga) AS na",
             "size(gb) AS nb",
         )
+    )
+
+
+def _verify_jaccard(cand: DataFrame, arrs: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification over :func:`_verify_overlap`'s counts:
+    (doc_a, doc_b, jaccard) at >= threshold, filtered on the ROUNDED
+    value (the same 4-dp value the output carries and the oracle
+    filters on, so the kept set cannot diverge in the rounding-boundary
+    window)."""
+    return (
+        _verify_overlap(cand, arrs)
         .selectExpr(
             "doc_a",
             "doc_b",
@@ -356,7 +368,7 @@ SELECT inter.a AS doc_a, inter.b AS doc_b,
 FROM inter
 JOIN sizes na ON na.doc_id = inter.a
 JOIN sizes nb ON nb.doc_id = inter.b
-WHERE inter.i * 1.0 / (na.n + nb.n - inter.i) >= {JACCARD_THRESHOLD}
+WHERE round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -498,7 +510,7 @@ near AS (
   FROM inter
   JOIN sizes na ON na.doc_id = inter.a
   JOIN sizes nb ON nb.doc_id = inter.b
-  WHERE inter.i * 1.0 / (na.n + nb.n - inter.i) >= {JACCARD_THRESHOLD}
+  WHERE round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) >= {JACCARD_THRESHOLD}
 ),
 near_only AS (
   SELECT n.* FROM near n
@@ -644,9 +656,13 @@ def _rare_gram_candidates(arrs: DataFrame) -> DataFrame:
     )
 
 
-def _duck_ngram_oracle() -> str:
-    return f"""
-WITH g AS (
+def _duck_rare_gram_ctes() -> str:
+    """Shared oracle CTE chain for the rare-gram candidate generator +
+    overlap verification (mirrors ``_rare_gram_candidates`` +
+    ``_verify_overlap``); ends at ``verified(a, b, i, na, nb)``. One
+    definition for the jaccard AND containment oracles, so a witness-
+    gate or constant change can never silently apply to only one."""
+    return f"""g AS (
   SELECT doc_id, unnest({duck_ngrams(NGRAM_N, DUCK_TOKENS)}) AS g
   FROM documents
   WHERE len({DUCK_TOKENS}) >= {NGRAM_N}
@@ -673,11 +689,16 @@ verified AS (
   FROM cand c
   JOIN gram_sets sa ON sa.doc_id = c.a
   JOIN gram_sets sb ON sb.doc_id = c.b
-)
+)"""
+
+
+def _duck_ngram_oracle() -> str:
+    return f"""
+WITH {_duck_rare_gram_ctes()}
 SELECT a AS doc_a, b AS doc_b,
        round(i * 1.0 / (na + nb - i), 4) AS jaccard
 FROM verified
-WHERE i * 1.0 / (na + nb - i) >= {NGRAM_JACCARD_THRESHOLD}
+WHERE round(i * 1.0 / (na + nb - i), 4) >= {NGRAM_JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
@@ -700,30 +721,16 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reuses :func:`_rare_gram_candidates` (same single-shuffle rare-gram
     inverted index and witness gate — and the same documented rare-gram
-    blind spot) and the touch-``arrs``-once verify shape of
-    :func:`_verify_jaccard`; only the verification statistic differs.
-    Output: (doc_a, doc_b, containment, jaccard), doc_a < doc_b, at
-    containment >= CONTAINMENT_THRESHOLD — jaccard is carried so the
-    asymmetric hits Jaccard would drop are visible in the result.
+    blind spot) and :func:`_verify_overlap`'s touch-``arrs``-once
+    counts; only the derived statistic differs. Output: (doc_a, doc_b,
+    containment, jaccard), doc_a < doc_b, at containment >=
+    CONTAINMENT_THRESHOLD (filtered on the rounded value, as
+    everywhere) — jaccard is carried so the asymmetric hits Jaccard
+    would drop are visible in the result.
     """
     arrs = _gram_arrays_df(spark)
-    sides = _rare_gram_candidates(arrs).selectExpr(
-        "a", "b", "explode(array(a, b)) AS doc_id"
-    )
     return (
-        sides.join(arrs, "doc_id")
-        .groupBy("a", "b")
-        .agg(
-            F.max(F.when(F.col("doc_id") == F.col("a"), F.col("grams"))).alias("ga"),
-            F.max(F.when(F.col("doc_id") == F.col("b"), F.col("grams"))).alias("gb"),
-        )
-        .selectExpr(
-            "a AS doc_a",
-            "b AS doc_b",
-            "size(array_intersect(ga, gb)) AS inter",
-            "size(ga) AS na",
-            "size(gb) AS nb",
-        )
+        _verify_overlap(_rare_gram_candidates(arrs), arrs)
         .selectExpr(
             "doc_a",
             "doc_b",
@@ -737,39 +744,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_containment_oracle() -> str:
     return f"""
-WITH g AS (
-  SELECT doc_id, unnest({duck_ngrams(NGRAM_N, DUCK_TOKENS)}) AS g
-  FROM documents
-  WHERE len({DUCK_TOKENS}) >= {NGRAM_N}
-),
-rare AS (
-  SELECT g FROM (SELECT g, count(*) AS df FROM g GROUP BY g)
-  WHERE df BETWEEN 2 AND {NGRAM_MAX_DF}
-),
-inv AS (SELECT g.g, g.doc_id FROM g JOIN rare USING (g)),
-rc AS (SELECT doc_id, count(*) AS rc FROM inv GROUP BY doc_id),
-cand AS (
-  SELECT x.doc_id AS a, y.doc_id AS b
-  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
-  JOIN rc ra ON ra.doc_id = x.doc_id
-  JOIN rc rb ON rb.doc_id = y.doc_id
-  GROUP BY 1, 2, ra.rc, rb.rc
-  HAVING count(*) >= least({NGRAM_MIN_SHARED}, greatest(1, (ra.rc + rb.rc + 5) // 6))
-),
-gram_sets AS (SELECT doc_id, list(g) AS grams FROM g GROUP BY doc_id),
-verified AS (
-  SELECT c.a, c.b,
-         len(list_intersect(sa.grams, sb.grams)) AS i,
-         len(sa.grams) AS na, len(sb.grams) AS nb
-  FROM cand c
-  JOIN gram_sets sa ON sa.doc_id = c.a
-  JOIN gram_sets sb ON sb.doc_id = c.b
-)
+WITH {_duck_rare_gram_ctes()}
 SELECT a AS doc_a, b AS doc_b,
        round(i * 1.0 / least(na, nb), 4) AS containment,
        round(i * 1.0 / (na + nb - i), 4) AS jaccard
 FROM verified
-WHERE i * 1.0 / least(na, nb) >= {CONTAINMENT_THRESHOLD}
+WHERE round(i * 1.0 / least(na, nb), 4) >= {CONTAINMENT_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 

@@ -20,6 +20,8 @@ on DOUBLE[] — same arithmetic, differences absorbed by round(.., 6).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1833,7 +1835,18 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in rows:
             u[int(r["pos"])] = float(r["u"])
         n = _l2(u)
-        vec = [round(x / n, 6) for x in u]
+        if n == 0.0:
+            # Empty table, or the whole corpus is orthogonal to the
+            # current direction: power iteration is degenerate. Fail
+            # loudly instead of dividing by zero / returning garbage.
+            raise ValueError(
+                "pca_top_component: zero matvec result (empty embeddings "
+                "table or corpus orthogonal to the iteration direction)"
+            )
+        # HALF-AWAY-FROM-ZERO to 6 dp, matching SQL round() in BOTH
+        # engines — Python's round() is banker's (half-to-even) and
+        # would diverge from the oracle on exact dyadic ties.
+        vec = [math.copysign(math.floor(abs(x / n) * 1e6 + 0.5), x) / 1e6 for x in u]
     lit = "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
     lam = emb.selectExpr(
         f"aggregate(zip_with(v, {lit}, (a, b) -> a * b), 0D, (acc, x) -> acc + x) AS d"

@@ -16,6 +16,7 @@ source; watermarks bound state, window aggs shuffle once per trigger on
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -390,17 +391,22 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is read back from.
 
     Scale shape: the corpus-side artifacts (hash index, LSH band
-    postings with bucket occupancy capped at MINHASH_MAX_BUCKET, and
-    shingle arrays for verification) are built ONCE and persisted for
-    the stream's lifetime — at production scale these are persisted
-    tables maintained by this very pipeline, not rescans. Per
-    micro-batch work is |batch|-proportional: the batch's own hashes /
-    bands / shingles are map-only, candidates come from the band
-    equi-join against the capped corpus postings (batch-internal pairs
-    are never generated), and executors write match partitions directly
-    to the sink — no watermark or stream-state buffer exists because
-    corpus state lives OUTSIDE the stream, and no driver collect
-    touches the data path. The caches release in the ``finally``.
+    postings carrying their bucket occupancy, and shingle arrays for
+    verification) are built ONCE and persisted for the stream's
+    lifetime — at production scale these are persisted tables
+    maintained by this very pipeline, not rescans. Per micro-batch work
+    is |batch|-proportional: the batch's own hashes / bands / shingles
+    are map-only, candidates come from the band equi-join against the
+    corpus postings gated at TOTAL bucket occupancy (this micro-batch's
+    members + corpus members <= MINHASH_MAX_BUCKET — the same cap
+    semantics as ``dedup.incremental_batch``, so under the driver's
+    single-micro-batch drain the two kernels provably agree;
+    batch-internal pairs are never generated), and executors write
+    match partitions directly to the sink — no watermark or
+    stream-state buffer exists because corpus state lives OUTSIDE the
+    stream, and no driver collect touches the data path. The caches
+    release in the ``finally``; the sink directory is deleted after the
+    result is frozen with an eager localCheckpoint.
     """
     from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
         dedup as _dd,
@@ -419,15 +425,12 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus_sh = _dd._shingle_arrays_df(spark, corpus).persist()
     corpus_bands = _dd._minhash_bands(corpus_sh)
-    bucket_ok = (
-        corpus_bands.groupBy("band_id", "band_val")
-        .agg(F.count("*").alias("n"))
-        .where(f"n <= {_dd.MINHASH_MAX_BUCKET}")
-        .select("band_id", "band_val")
+    corpus_counts = corpus_bands.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("cn")
     )
     corpus_postings = (
-        corpus_bands.join(bucket_ok, ["band_id", "band_val"])
-        .selectExpr("doc_id AS b", "band_id", "band_val")
+        corpus_bands.join(corpus_counts, ["band_id", "band_val"])
+        .selectExpr("doc_id AS b", "band_id", "band_val", "cn")
         .persist()
     )
     out_dir = os.path.join(
@@ -442,10 +445,15 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("batch_id", "corpus_id")
         )
         b_sh = _dd._shingle_arrays_df(spark, bb)
+        b_bands = _dd._minhash_bands(b_sh)
+        batch_counts = b_bands.groupBy("band_id", "band_val").agg(
+            F.count("*").alias("bn")
+        )
         cand = (
-            _dd._minhash_bands(b_sh)
-            .selectExpr("doc_id AS a", "band_id", "band_val")
+            b_bands.join(batch_counts, ["band_id", "band_val"])
+            .selectExpr("doc_id AS a", "band_id", "band_val", "bn")
             .join(corpus_postings, ["band_id", "band_val"])
+            .where(f"bn + cn <= {_dd.MINHASH_MAX_BUCKET}")
             .select("a", "b")
             .distinct()
         )
@@ -487,7 +495,16 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_hashes.unpersist()
         corpus_sh.unpersist()
         corpus_postings.unpersist()
-    return spark.read.parquet(out_dir).orderBy("batch_id", "kind", "corpus_id")
+    # Freeze the matches (eager localCheckpoint — blocks are GC-scoped
+    # to the returned frame) so the temp sink directory can be deleted
+    # instead of accumulating across runs.
+    final = (
+        spark.read.parquet(out_dir)
+        .localCheckpoint(eager=True)
+        .orderBy("batch_id", "kind", "corpus_id")
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return final
 
 
 def _docs_incremental_oracle() -> str:
@@ -516,9 +533,7 @@ exact_m AS (
   WHERE f.is_batch
 ),
 occ AS (
-  SELECT b.band_id, b.band_val, count(*) AS n
-  FROM bands b JOIN flags f ON f.doc_id = b.doc_id AND NOT f.is_batch
-  GROUP BY 1, 2
+  SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY 1, 2
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -543,7 +558,7 @@ near AS (
   FROM inter
   JOIN sizes na ON na.doc_id = inter.a
   JOIN sizes nb ON nb.doc_id = inter.b
-  WHERE inter.i * 1.0 / (na.n + nb.n - inter.i) >= {_dd.JACCARD_THRESHOLD}
+  WHERE round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) >= {_dd.JACCARD_THRESHOLD}
 ),
 near_only AS (
   SELECT n.* FROM near n
