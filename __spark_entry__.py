@@ -79,7 +79,8 @@ def _configure(spark: SparkSession) -> None:
 #   events_markov_transitions, events_attribution_last_touch,
 #   agg_group_by_all, embedding_pca_top_component,
 #   embedding_remove_top_component, sample_weighted_reservoir,
-#   sketch_hll_distinct_users): added AFTER the window was frozen
+#   sketch_hll_distinct_users, sketch_hll_daily_merged): added AFTER
+#   the window was frozen
 #   around the stale-backlog retirement; displacing backlog slots for
 #   them would break the retirement promise, so they queue for the r06
 #   window. Divergence risk is low by construction: each reuses an

@@ -1010,6 +1010,60 @@ def _hll_entry() -> None:
     )
     _q("sketch_hll_distinct_users", spark_sql, oracle=duck_sql)
 
+    # Grouped + MERGED sketch — the property that makes HLL worth its
+    # error at 100 TB: per-day registers roll up to the global estimate
+    # by max() over registers, WITHOUT touching raw data again. The
+    # TOTAL row here is computed from the daily registers (one extra
+    # bucket-level aggregation), and the oracle replays the same merge,
+    # so the mergeability claim is itself differential-tested.
+    daily_spark = f"""
+    WITH h AS (
+      SELECT {h} AS h, cast(ts AS date) AS day FROM events
+    ),
+    regs AS (
+      SELECT day, h div 1099511627776 AS bucket,
+             max(CASE WHEN h % 1099511627776 = 0 THEN 41
+                      ELSE 41 - length(bin(h % 1099511627776)) END) AS m
+      FROM h GROUP BY 1, 2
+    ),
+    groups AS (
+      SELECT cast(day AS string) AS grp,
+             (256 - count(*)) + sum(power(2.0, -m)) AS denom,
+             256 - count(*) AS v
+      FROM regs GROUP BY day
+      UNION ALL
+      SELECT 'TOTAL' AS grp,
+             (256 - count(*)) + sum(power(2.0, -m)) AS denom,
+             256 - count(*) AS v
+      FROM (SELECT bucket, max(m) AS m FROM regs GROUP BY bucket)
+    ),
+    est AS (
+      SELECT grp,
+             CASE WHEN (0.718272 * 65536 / denom) <= 640.0 AND v > 0
+                  THEN 256 * ln(256.0 / v)
+                  ELSE 0.718272 * 65536 / denom END AS e
+      FROM groups
+    ),
+    ex AS (
+      SELECT cast(cast(ts AS date) AS string) AS grp,
+             count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'TOTAL', count(DISTINCT user_id) FROM events
+    )
+    SELECT grp, round(e, 2) AS hll_estimate, exact_distinct,
+           round(abs(e - exact_distinct) / exact_distinct, 4) AS rel_err
+    FROM est JOIN ex USING (grp)
+    ORDER BY grp
+"""
+    daily_duck = daily_spark.replace(
+        "h div 1099511627776", "h // 1099511627776"
+    ).replace(
+        "length(bin(h % 1099511627776))",
+        "length(printf('%b', h % 1099511627776))",
+    )
+    _q("sketch_hll_daily_merged", daily_spark, oracle=daily_duck)
+
 
 _hll_entry()
 
