@@ -969,10 +969,11 @@ ORDER BY doc_id
 
 N_SIM_BITS = 16
 
-def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(16) per document: per-token 16-bit hashes vote +1/-1 on
-    each bit position (with term frequency); fingerprint sets bit j
-    where the vote is positive."""
+
+def _simhash_fps(spark: SparkSession) -> DataFrame:
+    """Unordered ``(doc_id, simhash16)`` fingerprints — the shared
+    kernel under :func:`simhash` (signatures) and
+    :func:`simhash_pairs` (banded near-dup candidates)."""
     toks = (
         spark.table("documents")
         .selectExpr("doc_id", f"explode({TOKENS}) AS w")
@@ -989,10 +990,19 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(N_SIM_BITS),
         F.lit(0),
     )
-    return votes.select("doc_id", fp.cast("bigint").alias("simhash16")).orderBy("doc_id")
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash16"))
 
 
-def _duck_simhash_oracle() -> str:
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16) per document: per-token 16-bit hashes vote +1/-1 on
+    each bit position (with term frequency); fingerprint sets bit j
+    where the vote is positive."""
+    return _simhash_fps(spark).orderBy("doc_id")
+
+
+def _duck_simhash_fp_ctes() -> str:
+    """DuckDB CTE chain ending in ``fp(doc_id, f)`` — the fingerprint
+    relation both simhash oracles build on."""
     votes = ",\n         ".join(
         f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS v{j}"
         for j in range(N_SIM_BITS)
@@ -1009,10 +1019,85 @@ votes AS (
   SELECT doc_id,
          {votes}
   FROM hashes GROUP BY doc_id
-)
-SELECT doc_id, cast({fp} AS BIGINT) AS simhash16
-FROM votes
+),
+fp AS (
+  SELECT doc_id, cast({fp} AS BIGINT) AS f FROM votes
+)"""
+
+
+def _duck_simhash_oracle() -> str:
+    return f"""
+{_duck_simhash_fp_ctes()}
+SELECT doc_id, f AS simhash16
+FROM fp
 ORDER BY doc_id
+"""
+
+
+# SimHash near-dup banding: split the 16-bit fingerprint into 4 bands
+# of 4 bits. By pigeonhole, any pair within Hamming distance 3 differs
+# in at most 3 bands, so at least one band matches exactly — candidate
+# recall at the <= 3-bit threshold is 1.0 BY CONSTRUCTION (the
+# behavioral test checks the banded pair set equals the all-pairs
+# baseline). At corpus scale the occupancy lever is the same as
+# embedding_neardup_pairs: widen the fingerprint (more bits per band,
+# SimHash(64) = 4 x 16-bit bands) so per-bucket occupancy ~n/2^bits
+# stays constant; the 16-bit layout fits the fixture's 500-5000 docs.
+SIMHASH_BAND_BITS = 4
+SIMHASH_N_BANDS = 4
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by banded SimHash: band equi-join produces
+    candidates, ``bit_count(xor)`` verifies the Hamming threshold.
+
+    Scale shape: fingerprints are one narrow aggregation (the simhash
+    kernel); banding is a map-only x4 explode of 3-column rows; the
+    candidate join is an equi-join on (band, bkey) — never an all-pairs
+    product; verification is row-local bit arithmetic on two 16-bit
+    ints. The whole pipeline moves (doc_id, int) pairs, not documents.
+    """
+    fps = _simhash_fps(spark)
+    # posexplode keeps the band index alongside the 4-bit key.
+    bands = fps.selectExpr(
+        "doc_id",
+        "simhash16",
+        f"""posexplode(transform(sequence(0, {SIMHASH_N_BANDS - 1}),
+              b -> shiftright(simhash16, b * {SIMHASH_BAND_BITS})
+                   % {1 << SIMHASH_BAND_BITS})) AS (band, bkey)""",
+    )
+    a = bands.selectExpr("band", "bkey", "doc_id AS doc_a", "simhash16 AS fa")
+    b = bands.selectExpr("band", "bkey", "doc_id AS doc_b", "simhash16 AS fb")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where("doc_a < doc_b")
+        .select("doc_a", "doc_b", "fa", "fb")
+        .distinct()
+    )
+    return (
+        cand.selectExpr("doc_a", "doc_b", "bit_count(fa ^ fb) AS hamming")
+        .where(f"hamming <= {SIMHASH_HAMMING_MAX}")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _duck_simhash_pairs_oracle() -> str:
+    return f"""
+{_duck_simhash_fp_ctes()},
+bands AS (
+  SELECT doc_id, f, b, (f >> (b * {SIMHASH_BAND_BITS})) % {1 << SIMHASH_BAND_BITS} AS bkey
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {SIMHASH_N_BANDS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.f AS fa, b.f AS fb
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, cast(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= {SIMHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
 """
 
 
@@ -1031,6 +1116,10 @@ def registry() -> dict[str, dict]:
             "oracle": _duck_containment_oracle(),
         },
         "dedup_simhash": {"fn": simhash, "oracle": _duck_simhash_oracle()},
+        "dedup_simhash_pairs": {
+            "fn": simhash_pairs,
+            "oracle": _duck_simhash_pairs_oracle(),
+        },
         "dedup_components": {"fn": connected_components, "oracle": _duck_components_oracle()},
         "dedup_keep_best": {"fn": keep_best, "oracle": _duck_keep_best_oracle()},
     }

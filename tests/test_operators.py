@@ -61,6 +61,29 @@ def test_simhash_locality(spark, planted_docs, sf_dir):
     assert hamming(fp[9001], fp[9003]) <= hamming(fp[9001], fp[9004])
 
 
+def test_simhash_pairs_equal_allpairs_baseline(spark, tables, sf_dir):
+    """The 4x4-bit banding's pigeonhole guarantee: a pair within
+    Hamming distance SIMHASH_HAMMING_MAX (3) differs in at most 3 of
+    the 4 bands, so one band must match exactly — the banded candidate
+    set loses NO qualifying pair. Verified by comparing the operator's
+    output to the test-side all-pairs baseline over the real fixture
+    fingerprints (recall 1.0, and no extra pairs either)."""
+    fps = {r.doc_id: r.simhash16 for r in dedup.simhash(spark, sf_dir).collect()}
+    ids = sorted(fps)
+    baseline = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= dedup.SIMHASH_HAMMING_MAX
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs(spark, sf_dir).collect()
+    }
+    assert set(got) == baseline
+    assert all(h <= dedup.SIMHASH_HAMMING_MAX for h in got.values())
+
+
 def test_ngram_jaccard_finds_near_dup(spark, planted_docs, sf_dir):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
