@@ -1067,6 +1067,113 @@ def _hll_entry() -> None:
 
 _hll_entry()
 
+
+# Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter counts,
+# as DETERMINISTIC portable SQL — the frequency-estimation counterpart
+# of the HLL entry above. d=4 hash rows x w=256 counters; each token
+# increments one counter per row (bucket = md5-derived 16-bit hash mod
+# w); a term's estimate is the MIN over its d counters, which can only
+# OVERestimate (collisions add, never subtract) — the test asserts
+# estimate >= exact for every reported term. Counters are plain sums,
+# so sketches MERGE by cell-wise addition: the entry builds the sketch
+# twice — directly, and as the sum of per-source sketches — and emits
+# both estimates, so the mergeability property (the reason a 100 TB
+# pipeline can sketch per shard and combine) is itself inside the
+# differential gate. The scan is token-scale with a x4 row-local
+# explode; both sketch aggregations collapse to d*w = 1024 cells with
+# map-side partial aggregation, and the top-k probe joins that tiny
+# relation — nothing quadratic, nothing driver-side. The width is
+# sized to the fixture vocabulary (31 distinct tokens vs w=16) so
+# collisions actually occur and the estimate-vs-exact gap is
+# non-vacuous at test scale (the behavioral test asserts BOTH
+# directions: every estimate >= exact, and at least one strict
+# overestimate exists); a production deployment sizes w ~ e/epsilon
+# for additive error epsilon*N, d ~ ln(1/delta).
+_CMS_D = 4
+_CMS_W = 16
+_CMS_TOP = 20
+
+
+def _cms_entry() -> None:
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+        DUCK_TOKENS,
+        TOKENS,
+        hex_prefix_int,
+    )
+
+    bucket = (
+        hex_prefix_int("md5(concat('cms', cast(r AS string), ':', w))", 4)
+        + f" % {_CMS_W}"
+    )
+    body = f"""
+    hits AS (
+      SELECT w, r, {bucket} AS bucket FROM tokr
+    ),
+    cells AS (
+      SELECT r, bucket, count(*) AS c FROM hits GROUP BY r, bucket
+    ),
+    cells_by_source AS (
+      SELECT source, r, bucket, count(*) AS c
+      FROM (SELECT source, w, r, {bucket} AS bucket FROM tokr)
+      GROUP BY source, r, bucket
+    ),
+    merged AS (
+      SELECT r, bucket, cast(sum(c) AS BIGINT) AS c
+      FROM cells_by_source GROUP BY r, bucket
+    ),
+    exact AS (
+      SELECT w, count(*) AS exact_cnt FROM toks
+      GROUP BY w ORDER BY exact_cnt DESC, w LIMIT {_CMS_TOP}
+    ),
+    probes AS (
+      SELECT w, exact_cnt, r, {bucket} AS bucket
+      FROM (SELECT w, exact_cnt, {{R}} AS r FROM exact)
+    ),
+    est AS (
+      SELECT p.w, p.exact_cnt,
+             min(d.c) AS cms_estimate,
+             min(m.c) AS cms_merged
+      FROM probes p
+      JOIN cells d ON p.r = d.r AND p.bucket = d.bucket
+      JOIN merged m ON p.r = m.r AND p.bucket = m.bucket
+      GROUP BY p.w, p.exact_cnt
+    )
+    SELECT w AS term, exact_cnt, cms_estimate, cms_merged,
+           cms_estimate - exact_cnt AS overestimate
+    FROM est
+    ORDER BY exact_cnt DESC, term
+    """
+    spark_sql = (
+        f"""
+    WITH toks AS (
+      SELECT source, explode({TOKENS}) AS w FROM documents
+    ),
+    tokr AS (
+      SELECT source, w, explode(sequence(0, {_CMS_D - 1})) AS r FROM toks
+    ),"""
+        + body.replace("{R}", f"explode(sequence(0, {_CMS_D - 1}))")
+    )
+    duck_sql = (
+        f"""
+    WITH toks AS (
+      SELECT source, unnest({DUCK_TOKENS}) AS w FROM documents
+    ),
+    tokr AS (
+      SELECT source, w, unnest(range(0, {_CMS_D})) AS r FROM toks
+    ),"""
+        + body.replace("{R}", f"unnest(range(0, {_CMS_D}))")
+        .replace("count(*) AS c FROM hits", "cast(count(*) AS BIGINT) AS c FROM hits")
+        .replace(
+            "count(*) AS c\n      FROM (SELECT source",
+            "cast(count(*) AS BIGINT) AS c\n      FROM (SELECT source",
+        )
+        .replace("count(*) AS exact_cnt", "cast(count(*) AS BIGINT) AS exact_cnt")
+    )
+    _q("sketch_cms_heavy_hitters", spark_sql, oracle=duck_sql)
+
+
+_cms_entry()
+
 # RFM (recency/frequency/monetary) customer segmentation — the classic
 # marketing-analytics rollup. One aggregation over orders, then three
 # ntile(5) windows with c_custkey tiebreaks (total order => identical

@@ -728,6 +728,22 @@ def test_hll_sketch_error_within_bound(spark, tables, sf_dir):
     assert row.rel_err <= 0.20, row
 
 
+def test_cms_sketch_overestimates_only_and_merges(spark, tables, sf_dir):
+    """Count-min guarantees: (a) every estimate >= the exact count
+    (collisions only ADD); (b) the per-source-summed sketch equals the
+    directly-built sketch cell-for-cell, so merged estimates match;
+    (c) with w=16 vs the fixture's 31-term vocabulary, at least one
+    strict overestimate exists — the sketch is demonstrably lossy at
+    test scale, not a vacuous identity."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["sketch_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.cms_estimate >= r.exact_cnt for r in rows)
+    assert all(r.cms_estimate == r.cms_merged for r in rows)
+    assert any(r.overestimate > 0 for r in rows)
+
+
 def test_weighted_reservoir_skews_toward_quality(spark, tables, sf_dir):
     """A-ES weighted sampling must pull the sample's mean quality above
     the corpus mean (that is what the weights are for), while still
