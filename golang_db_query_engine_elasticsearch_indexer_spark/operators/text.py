@@ -480,6 +480,178 @@ ORDER BY doc_id
 """.format(blend=duck_quality_blend(toks="toks"), pct=QUALITY_KEEP_PCT)
 
 
+# --- PII detection / redaction --------------------------------------------
+#
+# The fixture documents are synthetic word-salad with NO natural PII, so
+# a detector run on them alone would be a vacuous all-zeros pass. The
+# operator therefore derives a raw text column IN-PLAN that appends
+# deterministic fixture-keyed PII (an email, a phone number, an IPv4 —
+# all functions of doc_id) to each document, then detects and redacts
+# it. The planted column is the test harness; the detection/redaction
+# expressions are the operator. Patterns are written in the regex
+# subset Java (Spark) and RE2 (DuckDB) agree on: character classes,
+# bounded repetition, \b word boundaries — no backreferences or
+# lookaround.
+#
+# Everything is row-local regexp arithmetic (map-only, codegen'd): at
+# 100 TB this is a single scan with zero shuffles, the same shape as
+# the other text_* signals.
+
+# (spark_literal, duck_literal) — Spark SQL string literals consume one
+# level of backslash escaping; DuckDB literals do not.
+_PII_PATTERNS = {
+    "email": (
+        r"[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}",
+        r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    ),
+    "phone": (
+        r"\\+1-[0-9]{3}-[0-9]{4}",
+        r"\+1-[0-9]{3}-[0-9]{4}",
+    ),
+    "ip": (
+        r"\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    ),
+}
+
+#: deterministic planted-PII raw text — identical expression text in
+#: both dialects (concat/lpad/cast/% all agree).
+_PII_RAW = (
+    "concat(text, ' contact user', cast(doc_id AS string), "
+    "'@example.com or call +1-555-', "
+    "lpad(cast(doc_id % 10000 AS string), 4, '0'), "
+    "' from 10.', cast(doc_id % 200 AS string), '.0.', "
+    "cast(doc_id % 250 AS string))"
+)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact PII (emails, phone numbers, IPv4 addresses):
+    per-document match counts, the redacted text's fingerprint, and a
+    residual count over the REDACTED text (0 = nothing leaked through,
+    an in-plan proof the redaction chain is complete — the IP pattern
+    must run before its digits are visible to nothing else, and the
+    replacement tokens themselves must not re-match any pattern).
+    """
+    pats = {k: sp for k, (sp, _) in _PII_PATTERNS.items()}
+    red = "raw"
+    for kind, sp in pats.items():
+        red = f"regexp_replace({red}, '{sp}', '<{kind.upper()}>')"
+    residual = " + ".join(
+        f"size(regexp_extract_all(redacted, '{sp}', 0))" for sp in pats.values()
+    )
+    return (
+        spark.table("documents")
+        .selectExpr("doc_id", f"{_PII_RAW} AS raw")
+        .selectExpr(
+            "doc_id",
+            *(
+                f"size(regexp_extract_all(raw, '{sp}', 0)) AS n_{kind}"
+                for kind, sp in pats.items()
+            ),
+            f"{red} AS redacted",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_ip",
+            f"({residual}) AS n_residual",
+            "md5(redacted) AS redacted_fp",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_pii_oracle() -> str:
+    pats = {k: dk for k, (_, dk) in _PII_PATTERNS.items()}
+    red = "raw"
+    for kind, dp in pats.items():
+        red = f"regexp_replace({red}, '{dp}', '<{kind.upper()}>', 'g')"
+    residual = " + ".join(
+        f"len(regexp_extract_all(redacted, '{dp}'))" for dp in pats.values()
+    )
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(raw, '{dp}')) AS n_{kind}"
+        for kind, dp in pats.items()
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, {_PII_RAW} AS raw FROM documents
+),
+d AS (
+  SELECT doc_id,
+       {counts},
+       {red} AS redacted
+  FROM r
+)
+SELECT doc_id, n_email, n_phone, n_ip,
+       ({residual}) AS n_residual,
+       md5(redacted) AS redacted_fp
+FROM d
+ORDER BY doc_id
+"""
+
+
+def _kl_sql(tokens_expr: str) -> str:
+    """Shared SQL for per-source KL divergence (one dialect knob: the
+    tokenizer). All counts roll up from the (source, term) relation, so
+    the token stream shuffles exactly once."""
+    return f"""
+        WITH toks AS (
+          SELECT source, {{EXPLODE}} AS w FROM documents
+        ),
+        srcc AS (
+          SELECT source, w, count(*) AS cs FROM toks GROUP BY source, w
+        ),
+        srct AS (
+          SELECT source, cast(sum(cs) AS bigint) AS ns FROM srcc GROUP BY source
+        ),
+        gcounts AS (
+          SELECT w, cast(sum(cs) AS bigint) AS c FROM srcc GROUP BY w
+        ),
+        tot AS (
+          SELECT cast(sum(c) AS bigint) AS n FROM gcounts
+        )
+        SELECT s.source,
+               t.ns AS n_tokens,
+               count(*) AS n_terms,
+               round(sum((s.cs * 1.0 / t.ns)
+                         * ln((s.cs * 1.0 / t.ns) / (g.c * 1.0 / o.n))), 4)
+                 AS kl_divergence
+        FROM srcc s
+        JOIN gcounts g ON s.w = g.w
+        JOIN srct t ON s.source = t.source
+        CROSS JOIN tot o
+        GROUP BY s.source, t.ns
+        ORDER BY s.source
+    """.replace("{EXPLODE}", tokens_expr)
+
+
+def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution — the signal mixture tuning cuts source weights
+    from (a source whose KL spikes is drifting off-distribution;
+    KL >= 0 always, = 0 iff the source matches the corpus exactly).
+
+    Scale shape: the token stream shuffles ONCE to the (source, term)
+    counts; per-source totals and the global term distribution both
+    roll up from that already-aggregated relation (term-scale, never a
+    second token-scale shuffle). The term join is AQE-governed (the
+    vocabulary grows with the corpus); the per-source totals join is a
+    #sources-row relation; the grand total is one broadcast row. KL
+    terms are exact rationals of integers before the ln, and the
+    per-source sum is rounded to 4 dp (6 dp showed 1-ulp
+    summation-order flips), so both engines agree.
+    """
+    return spark.sql(_kl_sql(f"explode({TOKENS})"))
+
+
+SOURCE_DIVERGENCE_ORACLE = _kl_sql(f"unnest({DUCK_TOKENS})").replace(
+    "count(*) AS n_terms", "cast(count(*) AS bigint) AS n_terms"
+)
+
+
 BPE_TOP_N = 50
 
 
@@ -561,5 +733,10 @@ def registry() -> dict[str, dict]:
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
         "text_bigram_logprob": {"fn": bigram_logprob, "oracle": BIGRAM_LOGPROB_ORACLE},
         "text_repetition": {"fn": repetition, "oracle": REPETITION_ORACLE},
+        "text_pii_redact": {"fn": pii_redact, "oracle": _duck_pii_oracle()},
         "corpus_source_stats": {"fn": source_stats, "oracle": SOURCE_STATS_ORACLE},
+        "corpus_source_divergence": {
+            "fn": source_divergence,
+            "oracle": SOURCE_DIVERGENCE_ORACLE,
+        },
     }

@@ -728,6 +728,33 @@ def test_hll_sketch_error_within_bound(spark, tables, sf_dir):
     assert row.rel_err <= 0.20, row
 
 
+def test_pii_redact_counts_and_scrubs(spark, tables, sf_dir):
+    """PII detection on adversarial planted text: multiple matches per
+    kind in one document, '@' strings that are NOT emails (no TLD) must
+    not match, and the redacted text must carry zero residual matches."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import text as T
+
+    rows = [
+        (9101, "mail me at a.b-c@mail.example.org and x9@y.io thanks", "en", "s", 50),
+        (9102, "not-an-email a@b and @handle stay; node 192.168.0.1 up", "en", "s", 54),
+        (9103, "call +1-415-2671 or +1-800-0000 now", "en", "s", 35),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        out = {r.doc_id: r for r in T.pii_redact(spark, sf_dir).collect()}
+        # planted raw adds exactly one of each kind to every doc
+        assert out[9101].n_email == 3          # 2 natural + 1 planted
+        assert out[9102].n_email == 1          # only the planted one
+        assert out[9102].n_ip == 2             # natural + planted
+        assert out[9103].n_phone == 3          # 2 natural + 1 planted
+        assert all(r.n_residual == 0 for r in out.values())
+    finally:
+        tables["documents"].createOrReplaceTempView("documents")
+
+
 def test_cms_sketch_overestimates_only_and_merges(spark, tables, sf_dir):
     """Count-min guarantees: (a) every estimate >= the exact count
     (collisions only ADD); (b) the per-source-summed sketch equals the
