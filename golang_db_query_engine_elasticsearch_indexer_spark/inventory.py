@@ -1079,10 +1079,13 @@ _hll_entry()
 # twice — directly, and as the sum of per-source sketches — and emits
 # both estimates, so the mergeability property (the reason a 100 TB
 # pipeline can sketch per shard and combine) is itself inside the
-# differential gate. The scan is token-scale with a x4 row-local
-# explode; both sketch aggregations collapse to d*w = 1024 cells with
-# map-side partial aggregation, and the top-k probe joins that tiny
-# relation — nothing quadratic, nothing driver-side. The width is
+# differential gate. Scale shape follows the word-count-first
+# discipline (same as tokens_bpe_pair_stats): the token stream
+# collapses to (source, term, count) in ONE shuffle, and the x4
+# hash-row explode, both sketch builds, and the exact top-k all run
+# off that vocabulary-scale relation — counter increments become
+# sum(count), so the raw stream is never exploded x4 and both sketch
+# aggregations collapse to d*w = 1024 cells. The width is
 # sized to the fixture vocabulary (31 distinct tokens vs w=16) so
 # collisions actually occur and the estimate-vs-exact gap is
 # non-vacuous at test scale (the behavioral test asserts BOTH
@@ -1107,22 +1110,21 @@ def _cms_entry() -> None:
     )
     body = f"""
     hits AS (
-      SELECT w, r, {bucket} AS bucket FROM tokr
+      SELECT source, w, cnt, r, {bucket} AS bucket FROM srcwr
     ),
     cells AS (
-      SELECT r, bucket, count(*) AS c FROM hits GROUP BY r, bucket
+      SELECT r, bucket, cast(sum(cnt) AS BIGINT) AS c FROM hits GROUP BY r, bucket
     ),
     cells_by_source AS (
-      SELECT source, r, bucket, count(*) AS c
-      FROM (SELECT source, w, r, {bucket} AS bucket FROM tokr)
-      GROUP BY source, r, bucket
+      SELECT source, r, bucket, cast(sum(cnt) AS BIGINT) AS c
+      FROM hits GROUP BY source, r, bucket
     ),
     merged AS (
       SELECT r, bucket, cast(sum(c) AS BIGINT) AS c
       FROM cells_by_source GROUP BY r, bucket
     ),
     exact AS (
-      SELECT w, count(*) AS exact_cnt FROM toks
+      SELECT w, cast(sum(cnt) AS BIGINT) AS exact_cnt FROM srcw
       GROUP BY w ORDER BY exact_cnt DESC, w LIMIT {_CMS_TOP}
     ),
     probes AS (
@@ -1145,29 +1147,27 @@ def _cms_entry() -> None:
     """
     spark_sql = (
         f"""
-    WITH toks AS (
-      SELECT source, explode({TOKENS}) AS w FROM documents
+    WITH srcw AS (
+      SELECT source, w, count(*) AS cnt
+      FROM (SELECT source, explode({TOKENS}) AS w FROM documents)
+      GROUP BY source, w
     ),
-    tokr AS (
-      SELECT source, w, explode(sequence(0, {_CMS_D - 1})) AS r FROM toks
+    srcwr AS (
+      SELECT source, w, cnt, explode(sequence(0, {_CMS_D - 1})) AS r FROM srcw
     ),"""
         + body.replace("{R}", f"explode(sequence(0, {_CMS_D - 1}))")
     )
     duck_sql = (
         f"""
-    WITH toks AS (
-      SELECT source, unnest({DUCK_TOKENS}) AS w FROM documents
+    WITH srcw AS (
+      SELECT source, w, count(*) AS cnt
+      FROM (SELECT source, unnest({DUCK_TOKENS}) AS w FROM documents)
+      GROUP BY source, w
     ),
-    tokr AS (
-      SELECT source, w, unnest(range(0, {_CMS_D})) AS r FROM toks
+    srcwr AS (
+      SELECT source, w, cnt, unnest(range(0, {_CMS_D})) AS r FROM srcw
     ),"""
         + body.replace("{R}", f"unnest(range(0, {_CMS_D}))")
-        .replace("count(*) AS c FROM hits", "cast(count(*) AS BIGINT) AS c FROM hits")
-        .replace(
-            "count(*) AS c\n      FROM (SELECT source",
-            "cast(count(*) AS BIGINT) AS c\n      FROM (SELECT source",
-        )
-        .replace("count(*) AS exact_cnt", "cast(count(*) AS BIGINT) AS exact_cnt")
     )
     _q("sketch_cms_heavy_hitters", spark_sql, oracle=duck_sql)
 
