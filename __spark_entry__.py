@@ -88,8 +88,9 @@ def _configure(spark: SparkSession) -> None:
 #   scan, the label-centroid aggregation, GROUPING SETS, and the shared
 #   quality blend + a total-order window).
 # - round-5 close-out additions (dedup_simhash_pairs,
-#   sketch_cms_heavy_hitters, text_pii_redact,
-#   corpus_source_divergence): same policy — added after the frozen
+#   sketch_cms_heavy_hitters, sketch_histogram_quantiles,
+#   text_pii_redact, corpus_source_divergence): same policy — added
+#   after the frozen
 #   window, queued for r06. Each is integer/regex arithmetic shared
 #   verbatim across dialects (bit_count/xor band verify, md5-bucket
 #   counter sums, Java∩RE2 regex, exact-rational LM ratios), the

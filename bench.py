@@ -34,6 +34,9 @@ HEADLINE = [
     "dedup_containment",
     "dedup_components",
     "dedup_incremental_batch",
+    "dedup_simhash_pairs",
+    "sketch_cms_heavy_hitters",
+    "sketch_histogram_quantiles",
     "text_quality_score",
     "ann_brute_force_topk",
     "ann_ivf_topk",

@@ -1174,6 +1174,104 @@ def _cms_entry() -> None:
 
 _cms_entry()
 
+
+# Histogram quantile sketch — the third sketch of the family (HLL =
+# distincts, CMS = frequencies, this = quantiles): a fixed 128-bin
+# equi-width histogram over integer cents, from which P50/P90/P99 are
+# interpolated and compared against the exact rank statistic IN the
+# result (rel_err column). All binning is INTEGER arithmetic
+# ((v-lo)*128 integer-div (hi-lo+1)) so bin assignment can never
+# diverge cross-engine on a float boundary; the interpolation is a
+# rational of integers rounded at the end. Mergeability — the property
+# that lets a 100 TB pipeline histogram each partition and sum —
+# is demonstrated in-plan: per-shard (v%4) histograms summed bin-wise
+# are EXCEPT-compared against the direct histogram and the difference
+# count (0) is a result column. Scale shape: one shuffle collapses the
+# column to its (value, count) distribution; the histogram is a
+# 128-row relation; the only full-order window (the exact-rank
+# baseline) runs over the value distribution, not the raw table — and
+# is exactly the thing the histogram replaces at scale.
+_HQ_BINS = 128
+
+
+def _histogram_quantiles_entry() -> None:
+    qs_values = "(VALUES (cast(0.5 AS double)), (cast(0.9 AS double)), (cast(0.99 AS double))) AS t(q)"
+    sql = f"""
+    WITH vals AS (
+      SELECT cast(round(l_extendedprice * 100, 0) AS bigint) AS v, count(*) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    bounds AS (
+      SELECT min(v) AS lo, max(v) AS hi, cast(sum(c) AS bigint) AS n FROM vals
+    ),
+    binned AS (
+      SELECT ((v - lo) * {_HQ_BINS}) {{IDIV}} (hi - lo + 1) AS bin, v % 4 AS sh, v, c
+      FROM vals CROSS JOIN bounds
+    ),
+    hist AS (
+      SELECT bin, cast(sum(c) AS bigint) AS bc FROM binned GROUP BY bin
+    ),
+    hist_by_shard AS (
+      SELECT sh, bin, cast(sum(c) AS bigint) AS bc FROM binned GROUP BY sh, bin
+    ),
+    merged AS (
+      SELECT bin, cast(sum(bc) AS bigint) AS bc FROM hist_by_shard GROUP BY bin
+    ),
+    merge_check AS (
+      SELECT count(*) AS n_diff FROM (
+        SELECT bin, bc FROM hist
+        EXCEPT
+        SELECT bin, bc FROM merged
+      ) d
+    ),
+    cum AS (
+      SELECT bin, bc,
+             cast(sum(bc) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cb
+      FROM hist
+    ),
+    tq AS (
+      SELECT q, cast(ceil(q * n) AS bigint) AS rk, lo, hi, n
+      FROM {qs_values} CROSS JOIN bounds
+    ),
+    pick AS (
+      SELECT t.q, t.rk, t.lo, t.hi, min(c2.bin) AS bin
+      FROM tq t JOIN cum c2 ON c2.cb >= t.rk
+      GROUP BY t.q, t.rk, t.lo, t.hi
+    ),
+    est AS (
+      SELECT p.q, p.rk,
+             p.lo + ((p.bin + (p.rk - (c2.cb - c2.bc)) * cast(1 AS double) / c2.bc)
+                     * (p.hi - p.lo + 1)) / cast({_HQ_BINS} AS double) AS est_cents
+      FROM pick p JOIN cum c2 ON p.bin = c2.bin
+    ),
+    cumv AS (
+      SELECT v, cast(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cv
+      FROM vals
+    ),
+    exact AS (
+      SELECT t.q, min(cv2.v) AS exact_cents
+      FROM tq t JOIN cumv cv2 ON cv2.cv >= t.rk
+      GROUP BY t.q
+    )
+    SELECT e.q, e.rk AS target_rank,
+           round(e.est_cents / cast(100 AS double), 4) AS est_quantile,
+           round(x.exact_cents / cast(100 AS double), 4) AS exact_quantile,
+           round(abs(e.est_cents - x.exact_cents) / x.exact_cents, 6) AS rel_err,
+           m.n_diff AS merged_hist_diff
+    FROM est e JOIN exact x ON e.q = x.q CROSS JOIN merge_check m
+    ORDER BY e.q
+    """
+    _q(
+        "sketch_histogram_quantiles",
+        sql.replace("{IDIV}", "div"),
+        oracle=sql.replace("{IDIV}", "//"),
+    )
+
+
+_histogram_quantiles_entry()
+
 # RFM (recency/frequency/monetary) customer segmentation — the classic
 # marketing-analytics rollup. One aggregation over orders, then three
 # ntile(5) windows with c_custkey tiebreaks (total order => identical

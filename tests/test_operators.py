@@ -771,6 +771,19 @@ def test_cms_sketch_overestimates_only_and_merges(spark, tables, sf_dir):
     assert any(r.overestimate > 0 for r in rows)
 
 
+def test_histogram_quantile_error_and_merge(spark, tables, sf_dir):
+    """128-bin histogram quantiles: every estimate within 2% of the
+    exact rank statistic (bin width ~ range/128, and the fixture price
+    distribution is near-uniform so interpolation is tight), and the
+    shard-merged histogram is bin-identical to the direct one."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["sketch_histogram_quantiles"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    assert all(r.rel_err <= 0.02 for r in rows)
+    assert all(r.merged_hist_diff == 0 for r in rows)
+
+
 def test_weighted_reservoir_skews_toward_quality(spark, tables, sf_dir):
     """A-ES weighted sampling must pull the sample's mean quality above
     the corpus mean (that is what the weights are for), while still
