@@ -89,7 +89,8 @@ def _configure(spark: SparkSession) -> None:
 #   quality blend + a total-order window).
 # - round-5 close-out additions (dedup_simhash_pairs,
 #   sketch_cms_heavy_hitters, sketch_histogram_quantiles,
-#   text_pii_redact, corpus_source_divergence): same policy — added
+#   text_pii_redact, corpus_source_divergence,
+#   events_state_intervals): same policy — added
 #   after the frozen
 #   window, queued for r06. Each is integer/regex arithmetic shared
 #   verbatim across dialects (bit_count/xor band verify, md5-bucket

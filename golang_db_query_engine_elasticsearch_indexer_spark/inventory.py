@@ -877,6 +877,48 @@ _q(
     """,
 )
 
+# SCD2-style state-interval history (gaps-and-islands): consecutive
+# runs of the same event_type per user collapse into intervals, closed
+# by the NEXT interval's start (valid_to NULL = current state) — the
+# slowly-changing-dimension type-2 build every warehouse derives from
+# an event stream. The island key is the classic double-row_number
+# difference (rn_global - rn_within_type), fully deterministic under
+# the (ts, event_id) total order. Scale: two windows + lead, all
+# partitioned BY USER (the shuffle key is user_id; partitions are
+# user-history-sized, never global sorts); the interval relation the
+# lead runs over is already collapsed.
+_q(
+    "events_state_intervals",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, event_type, rn - rnt AS g,
+             min(ts) AS valid_from,
+             cast(min(event_id) AS bigint) AS first_event_id,
+             count(*) AS n_events
+      FROM seq GROUP BY user_id, event_type, rn - rnt
+    ),
+    closed AS (
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, first_event_id)
+               AS valid_to,
+             n_events
+      FROM iv
+    )
+    SELECT user_id, event_type, valid_from, valid_to, n_events
+    FROM closed
+    ORDER BY user_id, valid_from, event_type
+    """,
+)
+
 # Event-sequence transition matrix (first-order Markov): P(next | cur)
 # per event_type pair — the sequence-modeling summary session analyses
 # start from. One lag window per user (shuffle on user_id), then a

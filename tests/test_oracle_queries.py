@@ -191,6 +191,7 @@ def test_late_round5_kernels_have_no_cross_join(spark, oracle_tables):
 
     for df in (
         dedup.containment_pairs(spark, SF_DIR_ORACLE),
+        dedup.simhash_pairs(spark, SF_DIR_ORACLE),
         similarity.outlier_scores(spark, SF_DIR_ORACLE),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
