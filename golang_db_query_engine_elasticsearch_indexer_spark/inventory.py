@@ -1039,35 +1039,12 @@ _HLL_SPARK = """
                  / (SELECT count(DISTINCT user_id) FROM events), 4) AS rel_err
     FROM est
 """
-def _hll_entry() -> None:
-    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
-        hex_prefix_int,
-    )
-
-    h = hex_prefix_int("md5(cast(user_id AS string))", 12)
-    spark_sql = _HLL_SPARK.replace("{H}", h)
-    duck_sql = spark_sql.replace("h div 1099511627776", "h // 1099511627776").replace(
-        "length(bin(h % 1099511627776))",
-        "length(printf('%b', h % 1099511627776))",
-    )
-    _q("sketch_hll_distinct_users", spark_sql, oracle=duck_sql)
-
-    # Grouped + MERGED sketch — the property that makes HLL worth its
-    # error at 100 TB: per-day registers roll up to the global estimate
-    # by max() over registers, WITHOUT touching raw data again. The
-    # TOTAL row here is computed from the daily registers (one extra
-    # bucket-level aggregation), and the oracle replays the same merge,
-    # so the mergeability claim is itself differential-tested.
-    daily_spark = f"""
-    WITH h AS (
-      SELECT {h} AS h, cast(ts AS date) AS day FROM events
-    ),
-    regs AS (
-      SELECT day, h div 1099511627776 AS bucket,
-             max(CASE WHEN h % 1099511627776 = 0 THEN 41
-                      ELSE 41 - length(bin(h % 1099511627776)) END) AS m
-      FROM h GROUP BY 1, 2
-    ),
+# Post-register HLL daily/total estimation: everything downstream of a
+# ``regs(day, bucket, m)`` relation — shared between the batch
+# sketch_hll_daily_merged entry (regs built inline) and the STREAMING
+# variant in ``streaming/`` (regs maintained by a streaming max-agg),
+# so the two can never drift. Identical text in both dialects.
+HLL_DAILY_POST = """
     groups AS (
       SELECT cast(day AS string) AS grp,
              (256 - count(*)) + sum(power(2.0, -m)) AS denom,
@@ -1098,12 +1075,49 @@ def _hll_entry() -> None:
     FROM est JOIN ex USING (grp)
     ORDER BY grp
 """
+
+#: DuckDB oracle for the daily/total HLL result — also reused verbatim
+#: by the streaming register-maintenance entry (same expected output).
+HLL_DAILY_DUCK: str = ""  # assigned in _hll_entry below
+
+
+def _hll_entry() -> None:
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+        hex_prefix_int,
+    )
+
+    h = hex_prefix_int("md5(cast(user_id AS string))", 12)
+    spark_sql = _HLL_SPARK.replace("{H}", h)
+    duck_sql = spark_sql.replace("h div 1099511627776", "h // 1099511627776").replace(
+        "length(bin(h % 1099511627776))",
+        "length(printf('%b', h % 1099511627776))",
+    )
+    _q("sketch_hll_distinct_users", spark_sql, oracle=duck_sql)
+
+    # Grouped + MERGED sketch — the property that makes HLL worth its
+    # error at 100 TB: per-day registers roll up to the global estimate
+    # by max() over registers, WITHOUT touching raw data again. The
+    # TOTAL row here is computed from the daily registers (one extra
+    # bucket-level aggregation), and the oracle replays the same merge,
+    # so the mergeability claim is itself differential-tested.
+    daily_spark = f"""
+    WITH h AS (
+      SELECT {h} AS h, cast(ts AS date) AS day FROM events
+    ),
+    regs AS (
+      SELECT day, h div 1099511627776 AS bucket,
+             max(CASE WHEN h % 1099511627776 = 0 THEN 41
+                      ELSE 41 - length(bin(h % 1099511627776)) END) AS m
+      FROM h GROUP BY 1, 2
+    ),{HLL_DAILY_POST}"""
     daily_duck = daily_spark.replace(
         "h div 1099511627776", "h // 1099511627776"
     ).replace(
         "length(bin(h % 1099511627776))",
         "length(printf('%b', h % 1099511627776))",
     )
+    global HLL_DAILY_DUCK
+    HLL_DAILY_DUCK = daily_duck
     _q("sketch_hll_daily_merged", daily_spark, oracle=daily_duck)
 
 

@@ -618,8 +618,64 @@ def stream_index_events(
     return totals
 
 
+def hll_daily_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL register maintenance: the per-(day, bucket)
+    max-rank registers are kept by a STREAMING aggregation over the
+    bounded event stream (incremental state — on an unbounded source
+    each micro-batch merges into the same registers via the agg's state
+    store, max() being exactly HLL's merge operator), and the
+    daily/TOTAL estimates post-process the materialized 256-register
+    relation with the SAME shared SQL as the batch entry
+    (``inventory.HLL_DAILY_POST``), so stream and batch can never
+    drift. The oracle is the batch entry's oracle verbatim — the claim
+    under differential test is that streaming register maintenance
+    produces the identical sketch.
+
+    Scale/state posture: streaming state is (days x 256) tiny integer
+    registers — bytes per day, not data; a production deployment bounds
+    the day dimension with a watermark + window (the registers of
+    closed days become immutable rows of a sketch table this pipeline
+    appends to). The post-processing runs on the driver-side
+    materialized register table (256 rows/day), not the stream.
+    """
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+        hex_prefix_int,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.inventory import (  # noqa: PLC0415
+        HLL_DAILY_POST,
+    )
+
+    h = hex_prefix_int("md5(cast(user_id AS string))", 12)
+    regs = (
+        _events_stream(spark, sf_dir)
+        .selectExpr(f"{h} AS h", "cast(ts AS date) AS day")
+        .selectExpr(
+            "day",
+            "h div 1099511627776 AS bucket",
+            """CASE WHEN h % 1099511627776 = 0 THEN 41
+                    ELSE 41 - length(bin(h % 1099511627776)) END AS m""",
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    tbl = _run_to_table(regs, "complete")
+    view = f"stream_hll_regs_{uuid.uuid4().hex[:8]}"
+    tbl.createOrReplaceTempView(view)
+    return spark.sql(
+        f"WITH regs AS (SELECT day, bucket, m FROM {view}),{HLL_DAILY_POST}"
+    )
+
+
 def registry() -> dict[str, dict]:
+    from golang_db_query_engine_elasticsearch_indexer_spark.inventory import (  # noqa: PLC0415
+        HLL_DAILY_DUCK,
+    )
+
     return {
+        "stream_hll_daily_merged": {
+            "fn": hll_daily_merged,
+            "oracle": HLL_DAILY_DUCK,
+        },
         "stream_tumbling_counts": {"fn": tumbling_counts, "oracle": TUMBLING_ORACLE},
         "stream_sliding_counts": {"fn": sliding_counts, "oracle": SLIDING_ORACLE},
         "stream_session_counts": {"fn": session_counts, "oracle": SESSION_ORACLE},
