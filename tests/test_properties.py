@@ -124,3 +124,87 @@ def test_chunk_window_math_model(n_tokens):
         covered.update(range(s, s + ln))
     assert covered == set(range(1, n_tokens + 1))  # total coverage, no gaps
     assert starts[-1] + lengths[-1] - 1 == n_tokens
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=st.integers(0, 65535), b=st.integers(0, 65535))
+def test_simhash_banding_pigeonhole_model(a, b):
+    """Pure model of the dedup_simhash_pairs banding guarantee: for ANY
+    two 16-bit fingerprints within Hamming distance SIMHASH_HAMMING_MAX
+    (3), at least one of the 4 4-bit bands is identical (3 differing
+    bits cannot touch 4 disjoint bands) — so the banded equi-join loses
+    no qualifying pair at any corpus size."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        SIMHASH_HAMMING_MAX,
+        SIMHASH_N_BANDS,
+    )
+
+    hamming = bin(a ^ b).count("1")
+    bands_equal = any(
+        (a >> (j * SIMHASH_BAND_BITS)) % 16 == (b >> (j * SIMHASH_BAND_BITS)) % 16
+        for j in range(SIMHASH_N_BANDS)
+    )
+    if hamming <= SIMHASH_HAMMING_MAX:
+        assert bands_equal
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+    q=st.sampled_from([0.5, 0.9, 0.99]),
+)
+def test_histogram_quantile_bin_model(vals, q):
+    """Pure model of sketch_histogram_quantiles' integer binning: for
+    ANY value multiset, every bin index lands in [0, B-1], and the
+    first bin whose cumulative count reaches rank ceil(q*n) is exactly
+    the bin containing the true rank statistic — so the interpolation
+    error is bounded by one bin width by construction."""
+    import math
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.inventory import _HQ_BINS
+
+    lo, hi, n = min(vals), max(vals), len(vals)
+    width = hi - lo + 1
+
+    def binof(v: int) -> int:
+        return ((v - lo) * _HQ_BINS) // width
+
+    assert all(0 <= binof(v) < _HQ_BINS for v in vals)
+    rk = math.ceil(q * n)
+    exact = sorted(vals)[rk - 1]
+    cum = 0
+    for b in range(_HQ_BINS):
+        cum += sum(1 for v in vals if binof(v) == b)
+        if cum >= rk:
+            picked = b
+            break
+    assert picked == binof(exact)
+
+
+@settings(max_examples=50, deadline=None)
+@given(toks=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=200))
+def test_cms_overestimate_model(toks):
+    """Pure model of sketch_cms_heavy_hitters with the SAME md5 hash
+    family as the SQL: for ANY token multiset, the count-min estimate
+    (min over the d row counters) is >= the true count of every term —
+    collisions only ever add."""
+    import hashlib
+    from collections import Counter
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.inventory import (
+        _CMS_D,
+        _CMS_W,
+    )
+
+    def bucket(r: int, w: str) -> int:
+        return int(hashlib.md5(f"cms{r}:{w}".encode()).hexdigest()[:4], 16) % _CMS_W
+
+    cells = Counter()
+    for w in toks:
+        for r in range(_CMS_D):
+            cells[(r, bucket(r, w))] += 1
+    exact = Counter(toks)
+    for w, c in exact.items():
+        est = min(cells[(r, bucket(r, w))] for r in range(_CMS_D))
+        assert est >= c
