@@ -615,10 +615,13 @@ _q(
 
 _q(
     "set_except",
+    # The supplier side is restricted so the difference is NON-EMPTY at
+    # every fixture scale (the unrestricted form matched vacuously with
+    # 0 rows at sf0.01 — every customer nation had a supplier).
     """
     SELECT c_nationkey AS k FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_suppkey <= 20
     ORDER BY k
     """,
 )

@@ -143,9 +143,96 @@ ORDER BY doc_id
 """
 
 
+def _report_sql(hash_fn: str, toks: str, stop_lit: str) -> str:
+    """Shared curation-funnel SQL (dialect knobs: hash fn, tokenizer,
+    stopword literal). Gates are applied CUMULATIVELY in curate_corpus'
+    order; all six stage counts come from ONE conditional aggregation
+    over one scan + the dedup-survivor join, and the report rows are a
+    constant-width union off that single-row aggregate."""
+    return f"""
+    WITH survivors AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY {hash_fn}
+    ),
+    flags AS (
+      SELECT (s.doc_id IS NOT NULL) AS k1,
+             size_t BETWEEN {MIN_TOKENS} AND {MAX_TOKENS} AS tok_ok,
+             stop_ratio >= {MIN_STOPWORD_RATIO} AS stop_ok,
+             cpt <= {MAX_CHARS_PER_TOKEN} AS cpt_ok,
+             lang = 'en' AS lang_ok
+      FROM (
+        SELECT d.doc_id, d.lang,
+               {{SIZE}} AS size_t,
+               {{STOPR}} AS stop_ratio,
+               {{CPT}} AS cpt
+        FROM documents d
+      ) d LEFT JOIN survivors s ON d.doc_id = s.doc_id
+    ),
+    agg AS (
+      SELECT cast(count(*) AS bigint) AS n0,
+             cast(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS bigint) AS n1,
+             cast(sum(CASE WHEN k1 AND tok_ok THEN 1 ELSE 0 END) AS bigint) AS n2,
+             cast(sum(CASE WHEN k1 AND tok_ok AND stop_ok THEN 1 ELSE 0 END) AS bigint) AS n3,
+             cast(sum(CASE WHEN k1 AND tok_ok AND stop_ok AND cpt_ok THEN 1 ELSE 0 END) AS bigint) AS n4,
+             cast(sum(CASE WHEN k1 AND tok_ok AND stop_ok AND cpt_ok AND lang_ok THEN 1 ELSE 0 END) AS bigint) AS n5
+      FROM flags
+    )
+    SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_in, n0 AS n_kept,
+           n0 - n0 AS n_dropped FROM agg
+    UNION ALL SELECT 1, 'exact_dedup', n0, n1, n0 - n1 FROM agg
+    UNION ALL SELECT 2, 'token_range', n1, n2, n1 - n2 FROM agg
+    UNION ALL SELECT 3, 'stopword_ratio', n2, n3, n2 - n3 FROM agg
+    UNION ALL SELECT 4, 'chars_per_token', n3, n4, n3 - n4 FROM agg
+    UNION ALL SELECT 5, 'lang_en', n4, n5, n4 - n5 FROM agg
+    ORDER BY stage_idx
+    """
+
+
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage curation funnel manifest — the observability artifact a
+    production corpus pipeline publishes with every run: one row per
+    stage with documents in, kept, and dropped, applying exactly
+    curate_corpus' gates in exactly its order (the final stage's n_kept
+    equals the curated corpus row count — asserted by test).
+
+    Scale: one scan + the dedup-survivor join feeds ONE conditional
+    aggregation; the report itself is a 6-row union off that single-row
+    aggregate. No per-stage re-scans — at 100 TB the manifest costs the
+    same as the pipeline's own dedup stage.
+    """
+    en = array_lit(LANG_STOPWORDS["en"])
+    sql = (
+        _report_sql("sha2(text, 256)", TOKENS, en)
+        .replace("{SIZE}", f"size({TOKENS})")
+        .replace(
+            "{STOPR}",
+            f"size(filter({TOKENS}, w -> array_contains({en}, w))) / size({TOKENS})",
+        )
+        .replace("{CPT}", f"length(text) / size({TOKENS})")
+    )
+    return spark.sql(sql)
+
+
+def _duck_report_oracle() -> str:
+    en = list_lit(LANG_STOPWORDS["en"])
+    return (
+        _report_sql("sha256(text)", DUCK_TOKENS, en)
+        .replace("{SIZE}", f"len({DUCK_TOKENS})")
+        .replace(
+            "{STOPR}",
+            f"len(list_filter({DUCK_TOKENS}, w -> list_contains({en}, w)))"
+            f" * 1.0 / len({DUCK_TOKENS})",
+        )
+        .replace("{CPT}", f"length(text) * 1.0 / len({DUCK_TOKENS})")
+    )
+
+
 def registry() -> dict[str, dict]:
     return {
         "pipeline_curate_corpus": {"fn": curate_corpus, "oracle": CURATE_ORACLE},
+        "pipeline_curation_report": {
+            "fn": curation_report,
+            "oracle": _duck_report_oracle(),
+        },
         "dedup_semantic_survivors": {
             "fn": semantic_dedup_survivors,
             "oracle": SEMANTIC_DEDUP_ORACLE,

@@ -771,6 +771,27 @@ def test_cms_sketch_overestimates_only_and_merges(spark, tables, sf_dir):
     assert any(r.overestimate > 0 for r in rows)
 
 
+def test_curation_report_consistent_with_pipeline(spark, tables, sf_dir):
+    """The funnel manifest must agree with the pipeline it reports on:
+    monotone non-increasing kept counts, each stage's n_in = previous
+    n_kept, drops sum to raw - final, and the final stage's n_kept
+    equals pipeline_curate_corpus' actual row count."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import pipeline
+
+    rows = sorted(
+        pipeline.curation_report(spark, sf_dir).collect(), key=lambda r: r.stage_idx
+    )
+    assert [r.stage for r in rows] == [
+        "raw", "exact_dedup", "token_range", "stopword_ratio",
+        "chars_per_token", "lang_en",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_kept
+        assert cur.n_kept <= cur.n_in
+        assert cur.n_dropped == cur.n_in - cur.n_kept
+    assert rows[-1].n_kept == pipeline.curate_corpus(spark, sf_dir).count()
+
+
 def test_histogram_quantile_error_and_merge(spark, tables, sf_dir):
     """128-bin histogram quantiles: every estimate within 2% of the
     exact rank statistic (bin width ~ range/128, and the fixture price
