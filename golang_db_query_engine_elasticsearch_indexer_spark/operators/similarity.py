@@ -2037,8 +2037,86 @@ ORDER BY vec_id
 """
 
 
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction + evaluation: each probe's label is
+    predicted by majority vote of its top-{TOP_K} exact-cosine
+    neighbors, reported against the probe's true label — the retrieval
+    quality-eval every embedding pipeline runs before trusting its
+    vectors. Tiebreak is fully deterministic: (votes DESC, best
+    neighbor rank ASC, label ASC).
+
+    Scale shape: reuses the shared exact-ranked scan (broadcast probes,
+    corpus streams once); the vote aggregation is |probes x labels|
+    sized. At 100 TB the exact scan swaps for any ANN entry — the vote
+    and eval stages are unchanged (they run on top-k rows only).
+    """
+    ranked = _exact_ranked(spark).where(F.col("rank") <= TOP_K)
+    labels = spark.table("embeddings").select("vec_id", "label")
+    votes = (
+        ranked.join(labels, "vec_id")
+        .groupBy("probe_id", "label")
+        .agg(F.count("*").alias("n_votes"), F.min("rank").alias("best_rank"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("best_rank"), F.col("label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("probe_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    truth = spark.table("embeddings").selectExpr(
+        "vec_id AS probe_id", "label AS true_label"
+    )
+    return (
+        pred.join(truth, "probe_id")
+        .selectExpr(
+            "probe_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            "pred_label = true_label AS correct",
+        )
+        .orderBy("probe_id")
+    )
+
+
+KNN_EVAL_ORACLE = f"""
+WITH scored AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+         round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings p JOIN embeddings e ON e.vec_id != p.vec_id
+  WHERE p.vec_id < {N_PROBES}
+),
+ranked AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT r.probe_id, e.label,
+         count(*) AS n_votes, min(r.rank) AS best_rank
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+  WHERE r.rank <= {TOP_K}
+  GROUP BY r.probe_id, e.label
+),
+pred AS (
+  SELECT probe_id, label AS pred_label, cast(n_votes AS bigint) AS n_votes,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY n_votes DESC, best_rank, label) AS rn
+  FROM votes
+)
+SELECT p.probe_id, t.label AS true_label, p.pred_label, p.n_votes,
+       p.pred_label = t.label AS correct
+FROM pred p JOIN embeddings t ON t.vec_id = p.probe_id
+WHERE p.rn = 1
+ORDER BY p.probe_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
+        "embedding_knn_eval": {"fn": knn_label_eval, "oracle": KNN_EVAL_ORACLE},
         "embedding_quantize_int8": {"fn": quantize_int8, "oracle": QUANTIZE_ORACLE},
         "ann_range_search": {"fn": range_search, "oracle": RANGE_SEARCH_ORACLE},
         "embedding_medoid_per_label": {"fn": medoid_per_label, "oracle": MEDOID_ORACLE},

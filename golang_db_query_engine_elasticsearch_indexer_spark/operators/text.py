@@ -652,6 +652,69 @@ SOURCE_DIVERGENCE_ORACLE = _kl_sql(f"unnest({DUCK_TOKENS})").replace(
 )
 
 
+# --- linear quality classifier ---------------------------------------------
+#
+# The scoring plumbing of a model-based quality filter (the
+# fasttext-style classifier corpus pipelines run after heuristics):
+# a logistic model over the engine's own deterministic text features,
+# with FIXED published weights standing in for trained ones — at
+# deploy time a trained model is exactly this: constants in the score
+# expression. Everything is row-local codegen'd arithmetic; the
+# sigmoid's exp() runs on identical doubles in both engines and the
+# score is rounded to 4 dp before both output and threshold (the
+# rounding-boundary discipline _verify_jaccard documents) so the kept
+# set cannot diverge cross-engine.
+QC_WEIGHTS = {
+    "length_sat": 1.6,       # saturating token-count signal
+    "stopword_ratio": 2.4,   # natural-language prior
+    "punct_ratio": -3.0,     # symbol soup penalty
+    "dup_token_ratio": -2.2, # boilerplate/repetition penalty
+}
+# Bias calibrated to the fixture's score distribution (raw-z median is
+# -0.09 with IQR [-0.19, 0.02]) so the decision boundary lands INSIDE
+# the distribution — both keep and drop classes are populated at test
+# scale and the threshold comparison is non-vacuous.
+QC_BIAS = 0.1
+QC_THRESHOLD = 0.5
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality score + keep/drop decision per document."""
+    z = (
+        f"{QC_BIAS}"
+        f" + {QC_WEIGHTS['length_sat']} * least(size(toks) / 100.0, 1.0)"
+        f" + {QC_WEIGHTS['stopword_ratio']} * (size(filter(toks, w -> array_contains({_array_lit(LANG_STOPWORDS['en'])}, w))) / size(toks))"
+        f" + {QC_WEIGHTS['punct_ratio']} * ((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))"
+        f" + {QC_WEIGHTS['dup_token_ratio']} * (1.0 - size(array_distinct(toks)) / size(toks))"
+    )
+    return (
+        spark.table("documents")
+        .selectExpr("doc_id", "text", f"{TOKENS} AS toks")
+        .selectExpr("doc_id", f"round(1.0 / (1.0 + exp(-({z}))), 4) AS p_keep")
+        .selectExpr("doc_id", "p_keep", f"p_keep >= {QC_THRESHOLD} AS keep")
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CLASSIFIER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({QC_BIAS}
+           + {QC_WEIGHTS['length_sat']} * least(len(toks) / 100.0, 1.0)
+           + {QC_WEIGHTS['stopword_ratio']} * (len(list_filter(toks, w -> list_contains({_list_lit(LANG_STOPWORDS['en'])}, w))) * 1.0 / len(toks))
+           + {QC_WEIGHTS['punct_ratio']} * ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
+           + {QC_WEIGHTS['dup_token_ratio']} * (1.0 - len(list_distinct(toks)) * 1.0 / len(toks))))), 4) AS p_keep
+  FROM t
+)
+SELECT doc_id, p_keep, p_keep >= {QC_THRESHOLD} AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
 BPE_TOP_N = 50
 
 
@@ -738,5 +801,9 @@ def registry() -> dict[str, dict]:
         "corpus_source_divergence": {
             "fn": source_divergence,
             "oracle": SOURCE_DIVERGENCE_ORACLE,
+        },
+        "text_quality_classifier": {
+            "fn": quality_classifier,
+            "oracle": QUALITY_CLASSIFIER_ORACLE,
         },
     }

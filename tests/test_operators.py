@@ -771,6 +771,50 @@ def test_cms_sketch_overestimates_only_and_merges(spark, tables, sf_dir):
     assert any(r.overestimate > 0 for r in rows)
 
 
+def test_knn_eval_consistent_with_brute_force(spark, tables, sf_dir):
+    """embedding_knn_eval's predictions must equal the majority vote
+    (with the documented rank/label tiebreak) computed test-side from
+    ann_brute_force_topk's rows and the label column — the two views of
+    the same scored scan cannot disagree."""
+    from collections import defaultdict
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import similarity
+
+    labels = {
+        r.vec_id: r.label for r in spark.table("embeddings").select("vec_id", "label").collect()
+    }
+    topk = similarity.brute_force_topk(spark, sf_dir).collect()
+    by_probe = defaultdict(list)
+    for r in topk:
+        by_probe[r.probe_id].append((r.rank, labels[r.neighbor_id]))
+    expected = {}
+    for p, rows in by_probe.items():
+        agg = defaultdict(lambda: [0, 99])
+        for rank, lab in rows:
+            agg[lab][0] += 1
+            agg[lab][1] = min(agg[lab][1], rank)
+        expected[p] = min(agg.items(), key=lambda kv: (-kv[1][0], kv[1][1], kv[0]))[0]
+    got = {r.probe_id: r for r in similarity.knn_label_eval(spark, sf_dir).collect()}
+    assert set(got) == set(expected)
+    for p in expected:
+        assert got[p].pred_label == expected[p]
+        assert got[p].correct == (got[p].pred_label == labels[p])
+
+
+def test_quality_classifier_splits_fixture(spark, tables, sf_dir):
+    """The logistic quality classifier's decision boundary must land
+    inside the fixture's score distribution (both classes populated —
+    a degenerate all-keep/all-drop run means the threshold comparison
+    is vacuous), scores must be valid probabilities, and the keep
+    decision must equal the threshold comparison on the rounded score."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import text as T
+
+    rows = T.quality_classifier(spark, sf_dir).collect()
+    assert all(0.0 <= r.p_keep <= 1.0 for r in rows)
+    assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+    assert all(r.keep == (r.p_keep >= T.QC_THRESHOLD) for r in rows)
+
+
 def test_curation_report_consistent_with_pipeline(spark, tables, sf_dir):
     """The funnel manifest must agree with the pipeline it reports on:
     monotone non-increasing kept counts, each stage's n_in = previous
