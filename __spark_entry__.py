@@ -92,7 +92,8 @@ def _configure(spark: SparkSession) -> None:
 #   text_pii_redact, corpus_source_divergence,
 #   events_state_intervals, stream_hll_daily_merged,
 #   pipeline_curation_report, text_quality_classifier,
-#   embedding_knn_eval): same policy —
+#   embedding_knn_eval, dedup_cluster_size_stats,
+#   sample_token_budget): same policy —
 #   added after the frozen
 #   window, queued for r06. Each is integer/regex arithmetic shared
 #   verbatim across dialects (bit_count/xor band verify, md5-bucket

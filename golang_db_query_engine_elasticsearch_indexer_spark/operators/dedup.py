@@ -961,6 +961,44 @@ ORDER BY doc_id
 """
 
 
+def cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the transitive near-dup components —
+    the one-page summary that sizes the dedup win before deletion runs:
+    how many clusters of each size exist and how many documents
+    keep-one-per-cluster would remove. Two tiny aggregations over the
+    candidate-sized component labels; the oracle wraps the recursive
+    transitive closure."""
+    sizes = (
+        connected_components(spark, sf_dir)
+        .groupBy("component")
+        .agg(F.count("*").alias("cluster_size"))
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .selectExpr(
+            "cluster_size",
+            "n_clusters",
+            "(cluster_size - 1) * n_clusters AS docs_removable",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _duck_cluster_stats_oracle() -> str:
+    return f"""
+WITH comp AS ({_duck_components_oracle()}),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       (cluster_size - 1) * count(*) AS docs_removable
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -1121,5 +1159,9 @@ def registry() -> dict[str, dict]:
             "oracle": _duck_simhash_pairs_oracle(),
         },
         "dedup_components": {"fn": connected_components, "oracle": _duck_components_oracle()},
+        "dedup_cluster_size_stats": {
+            "fn": cluster_size_stats,
+            "oracle": _duck_cluster_stats_oracle(),
+        },
         "dedup_keep_best": {"fn": keep_best, "oracle": _duck_keep_best_oracle()},
     }

@@ -301,8 +301,60 @@ LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+# Per-source token budget: every source contributes AT MOST this many
+# tokens to the sampled mix — the "cap each domain's share" rule corpus
+# recipes state in tokens, not documents. Sized below the fixture's
+# per-source token mass (~1.3-1.6k tokens/source at sf0.01) so the cap
+# binds and the boundary logic is exercised.
+TOKEN_BUDGET = 800
+
+
+def _token_budget_sql(tokens_len: str) -> str:
+    """Shared SQL (dialect knob: token-count expression). Documents are
+    ordered inside each source by the md5 shuffle key (a deterministic
+    'random' order — reruns pick the identical sample), the running
+    token total is a per-source cumulative window, and a document is
+    kept while the budget is not yet exhausted BEFORE it (so the first
+    document crossing the line still enters — the standard greedy
+    knapsack cut, making every source's kept mass >= min(budget,
+    source mass) truncated at one overshoot document)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, {tokens_len} AS n_tokens,
+             substr(md5(cast(doc_id AS string)), 1, 8) AS skey
+      FROM documents
+    ),
+    running AS (
+      SELECT doc_id, source, n_tokens, skey,
+             cast(coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY skey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+               AS tokens_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, tokens_before
+    FROM running
+    WHERE tokens_before < {TOKEN_BUDGET}
+    ORDER BY doc_id
+    """
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source token-budget sampling (greedy cut in
+    md5 order). One window shuffle partitioned by source; membership —
+    not just counts — is differential-checked."""
+    return spark.sql(_token_budget_sql(f"size({TOKENS})"))
+
+
+TOKEN_BUDGET_ORACLE = _token_budget_sql(f"len({DUCK_TOKENS})")
+
+
 def registry() -> dict[str, dict]:
     return {
+        "sample_token_budget": {
+            "fn": token_budget_sample,
+            "oracle": TOKEN_BUDGET_ORACLE,
+        },
         "sample_weighted_reservoir": {
             "fn": weighted_reservoir,
             "oracle": _weighted_reservoir_oracle(),

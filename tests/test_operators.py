@@ -771,6 +771,33 @@ def test_cms_sketch_overestimates_only_and_merges(spark, tables, sf_dir):
     assert any(r.overestimate > 0 for r in rows)
 
 
+def test_token_budget_sample_bounds(spark, tables, sf_dir):
+    """Greedy token-budget cut invariants per source: kept token mass
+    reaches at least min(budget, the source's full mass), and exceeds
+    the budget by at most ONE document (the overshoot doc that crossed
+    the line); a rerun keeps the identical membership."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import sampling
+
+    kept = sampling.token_budget_sample(spark, sf_dir).collect()
+    full = {
+        r.source: r.total
+        for r in spark.sql(
+            "SELECT source, sum(size(split(lower(trim(text)), '\\\\s+'))) AS total "
+            "FROM documents GROUP BY source"
+        ).collect()
+    }
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        mass = sum(r.n_tokens for r in rows)
+        max_doc = max(r.n_tokens for r in rows)
+        assert mass >= min(sampling.TOKEN_BUDGET, full[src])
+        assert mass < sampling.TOKEN_BUDGET + max_doc
+    kept2 = sampling.token_budget_sample(spark, sf_dir).collect()
+    assert {r.doc_id for r in kept} == {r.doc_id for r in kept2}
+
+
 def test_knn_eval_consistent_with_brute_force(spark, tables, sf_dir):
     """embedding_knn_eval's predictions must equal the majority vote
     (with the documented rank/label tiebreak) computed test-side from
