@@ -282,6 +282,45 @@ def _iter_jsonl(path: str):
                 yield from f
 
 
+def es_mapping_for_schema(schema) -> dict:
+    """Explicit Elasticsearch mapping derived from a Spark schema — the
+    A12 improvement SURVEY.md names: the reference creates indexes with
+    no mapping body (elastic_controller.go:168) because it never knows
+    result types; Spark's analyzer does, so the index can be created
+    with the types the data actually has (int64 stays ``long`` instead
+    of whatever dynamic mapping infers from the first document).
+
+    Rules mirror ES dynamic-mapping conventions: strings become
+    ``text`` with a ``keyword`` subfield, timestamps/dates ``date``,
+    integers ``long``, floats ``double``; ES arrays are implicit, so an
+    ArrayType maps to its element type; StructType nests as object
+    ``properties``.
+    """
+    from pyspark.sql import types as T
+
+    def es_type(dt) -> dict:
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return {"type": "long"}
+        if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+            return {"type": "double"}
+        if isinstance(dt, T.BooleanType):
+            return {"type": "boolean"}
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            return {"type": "date"}
+        if isinstance(dt, T.BinaryType):
+            return {"type": "binary"}
+        if isinstance(dt, T.ArrayType):
+            return es_type(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return {"properties": {f.name: es_type(f.dataType) for f in dt.fields}}
+        return {
+            "type": "text",
+            "fields": {"keyword": {"type": "keyword", "ignore_above": 256}},
+        }
+
+    return {"properties": {f.name: es_type(f.dataType) for f in schema.fields}}
+
+
 class HttpBulkSink:
     """Executable Elasticsearch ``_bulk`` path over plain HTTP — the
     reference's actual write protocol (``esutil.BulkIndexer`` → POST
@@ -326,6 +365,7 @@ class HttpBulkSink:
         username: str | None = None,
         password: str | None = None,
         flush_interval_sec: float = 30.0,
+        explicit_mapping: bool = False,
     ):
         if "://" not in base_url:
             base_url = "http://" + base_url
@@ -335,6 +375,12 @@ class HttpBulkSink:
         self.retry_wait = retry_wait
         self.timeout = timeout
         self.flush_interval_sec = flush_interval_sec
+        # SURVEY §2.A A12 flags the reference's body-less index create
+        # (elastic_controller.go:168 — ES dynamic mapping infers types
+        # per document) and names the improvement: derive an explicit
+        # mapping from the result schema, which Spark knows at analyze
+        # time and the reference never has. Off by default (parity).
+        self.explicit_mapping = explicit_mapping
         # Basic auth parity with the reference's client config
         # (elastic_controller.go:54-62: ELASTICSEARCH_USERNAME/PASSWORD).
         self._auth = None
@@ -370,16 +416,23 @@ class HttpBulkSink:
     def index_exists(self, index_name: str) -> bool:
         return self._request("HEAD", f"/{index_name}") == 200
 
-    def ensure_index(self, index_name: str) -> bool:
-        """HEAD-then-PUT parity (elastic_controller.go:161-181)."""
+    def ensure_index(self, index_name: str, schema=None) -> bool:
+        """HEAD-then-PUT parity (elastic_controller.go:161-181). With
+        ``explicit_mapping`` and a schema, the create carries a typed
+        mappings body instead of relying on ES dynamic mapping."""
         if self.index_exists(index_name):
             return True
-        self._request("PUT", f"/{index_name}")
+        body = None
+        if self.explicit_mapping and schema is not None:
+            import json as _json
+
+            body = _json.dumps({"mappings": es_mapping_for_schema(schema)}).encode()
+        self._request("PUT", f"/{index_name}", body=body)
         return False
 
     def write(self, spark: SparkSession, df_with_id: DataFrame, index_name: str) -> IndexStats:
         t0 = time.time()
-        self.ensure_index(index_name)
+        self.ensure_index(index_name, schema=df_with_id.drop(ID_COL).schema)
 
         doc_cols = [c for c in df_with_id.columns if c != ID_COL]
         payload = df_with_id.select(

@@ -17,6 +17,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 class StubES:
     def __init__(self, fail_ids=(), reject_first_n_bulk: int = 0):
         self.indexes: dict[str, dict[str, dict]] = {}
+        #: body of the PUT that created each index ({} if body-less) —
+        #: lets tests assert explicit-mapping creates.
+        self.create_bodies: dict[str, dict] = {}
         self.fail_ids = {str(i) for i in fail_ids}
         self.reject_remaining = reject_first_n_bulk
         self.bulk_requests = 0
@@ -44,10 +47,12 @@ class StubES:
             def do_PUT(self):
                 name = self.path.strip("/")
                 length = int(self.headers.get("Content-Length") or 0)
-                if length:
-                    self.rfile.read(length)
+                body = self.rfile.read(length) if length else b""
                 with stub.lock:
                     stub.indexes.setdefault(name, {})
+                    stub.create_bodies.setdefault(
+                        name, json.loads(body) if body else {}
+                    )
                 self._respond(200, b"{}")
 
             def do_POST(self):

@@ -123,6 +123,43 @@ def test_http_bulk_roundtrip_and_autocreate(spark, tables, es_stub):
     assert set(docs["1"]) == {"o_orderkey", "o_orderstatus", "o_totalprice"}
 
 
+def test_http_bulk_explicit_mapping_from_schema(spark, tables, es_stub):
+    """explicit_mapping=True derives the index mapping from the result
+    schema at create time (the A12 improvement over the reference's
+    body-less create, elastic_controller.go:168): int64 -> long,
+    double -> double, string -> text+keyword, timestamp -> date, arrays
+    map to their element type. Default (parity) stays body-less."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (
+        HttpBulkSink,
+        es_mapping_for_schema,
+    )
+
+    stub = es_stub()
+    sink = HttpBulkSink(stub.base_url, explicit_mapping=True)
+    sql = (
+        "SELECT o_orderkey, o_totalprice, o_orderstatus, "
+        "cast(o_orderdate AS timestamp) AS ots, array(o_orderkey) AS arr "
+        "FROM orders LIMIT 5"
+    )
+    save(spark, sql, "orders_mapped", sink)
+    props = stub.create_bodies["orders_mapped"]["mappings"]["properties"]
+    assert props["o_orderkey"] == {"type": "long"}
+    assert props["o_totalprice"] == {"type": "double"}
+    assert props["o_orderstatus"]["type"] == "text"
+    assert props["o_orderstatus"]["fields"]["keyword"]["type"] == "keyword"
+    assert props["ots"] == {"type": "date"}
+    assert props["arr"] == {"type": "long"}  # ES arrays are implicit
+
+    # parity default: create carries no body
+    save(spark, sql, "orders_plain", HttpBulkSink(stub.base_url))
+    assert stub.create_bodies["orders_plain"] == {}
+
+    # helper maps nested structs to object properties
+    df = spark.sql("SELECT named_struct('a', 1L, 'b', 'x') AS s")
+    m = es_mapping_for_schema(df.schema)
+    assert m["properties"]["s"]["properties"]["a"] == {"type": "long"}
+
+
 def test_http_bulk_failure_accounting(spark, tables, es_stub):
     """Per-item failures move num_failed (reference OnFailure callback,
     elastic_controller.go:210-222) — the counter is measured, not 0."""
