@@ -880,6 +880,34 @@ _q(
     """,
 )
 
+# New-vs-returning decomposition: each day's active users split by
+# whether the day is the user's FIRST day — the growth-accounting
+# breakdown every event warehouse reports. first_day is one groupBy on
+# user_id; the daily rollup joins it back (AQE-governed; the user
+# dimension grows with the corpus) and aggregates per day.
+_q(
+    "events_new_vs_returning",
+    """
+    WITH first_day AS (
+      SELECT user_id, min(cast(ts AS date)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT cast(ts AS date) AS day, user_id
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cast(d.day AS string) AS day,
+           count(*) AS active_users,
+           cast(sum(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS bigint)
+             AS new_users,
+           cast(sum(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END) AS bigint)
+             AS returning_users
+    FROM daily d JOIN first_day f ON d.user_id = f.user_id
+    GROUP BY d.day
+    ORDER BY day
+    """,
+)
+
 # SCD2-style state-interval history (gaps-and-islands): consecutive
 # runs of the same event_type per user collapse into intervals, closed
 # by the NEXT interval's start (valid_to NULL = current state) — the

@@ -652,6 +652,38 @@ SOURCE_DIVERGENCE_ORACLE = _kl_sql(f"unnest({DUCK_TOKENS})").replace(
 )
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the
+    fixture's labeled ``lang`` — the evaluation that tells a pipeline
+    whether its cheap lang filter is safe to act on: one row per
+    (labeled, predicted) pair with the count and the row-normalized
+    recall share. Rolls up :func:`lang_id`'s own output, so the eval
+    can never test a different predictor than the one deployed."""
+    preds = lang_id(spark, sf_dir).select("labeled_lang", "pred_lang")
+    return (
+        preds.groupBy("labeled_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .selectExpr(
+            "labeled_lang",
+            "pred_lang",
+            "n",
+            "round(n / sum(n) OVER (PARTITION BY labeled_lang), 4) AS share",
+        )
+        .orderBy("labeled_lang", "pred_lang")
+    )
+
+
+LANG_CONFUSION_ORACLE = f"""
+WITH preds AS ({LANG_ID_ORACLE})
+SELECT labeled_lang, pred_lang, count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY labeled_lang), 4)
+         AS share
+FROM preds
+GROUP BY labeled_lang, pred_lang
+ORDER BY labeled_lang, pred_lang
+"""
+
+
 # --- linear quality classifier ---------------------------------------------
 #
 # The scoring plumbing of a model-based quality filter (the
@@ -792,6 +824,7 @@ def registry() -> dict[str, dict]:
         },
         "text_quality_score": {"fn": quality_score, "oracle": QUALITY_SCORE_ORACLE},
         "text_lang_id": {"fn": lang_id, "oracle": LANG_ID_ORACLE},
+        "text_lang_confusion": {"fn": lang_confusion, "oracle": LANG_CONFUSION_ORACLE},
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
         "text_bigram_logprob": {"fn": bigram_logprob, "oracle": BIGRAM_LOGPROB_ORACLE},
