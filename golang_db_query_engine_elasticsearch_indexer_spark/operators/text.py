@@ -635,16 +635,46 @@ def source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     KL >= 0 always, = 0 iff the source matches the corpus exactly).
 
     Scale shape: the token stream shuffles ONCE to the (source, term)
-    counts; per-source totals and the global term distribution both
-    roll up from that already-aggregated relation (term-scale, never a
-    second token-scale shuffle). The term join is AQE-governed (the
-    vocabulary grows with the corpus); the per-source totals join is a
-    #sources-row relation; the grand total is one broadcast row. KL
-    terms are exact rationals of integers before the ln, and the
-    per-source sum is rounded to 4 dp (6 dp showed 1-ulp
-    summation-order flips), so both engines agree.
+    counts, which are PINNED (eager localCheckpoint — Spark inlines
+    CTEs, so the declarative form re-ran the token-scale explode+agg
+    three times; plan-audited); per-source totals and the global term
+    distribution both roll up from that already-aggregated relation
+    (term-scale). The term join is AQE-governed (the vocabulary grows
+    with the corpus); the per-source totals join is a #sources-row
+    relation; the grand total is one broadcast row. KL terms are exact
+    rationals of integers before the ln, and the per-source sum is
+    rounded to 4 dp (6 dp showed 1-ulp summation-order flips), so both
+    engines agree.
     """
-    return spark.sql(_kl_sql(f"explode({TOKENS})"))
+    srcc = (
+        spark.table("documents")
+        .selectExpr("source", f"explode({TOKENS}) AS w")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("cs"))
+        .localCheckpoint(eager=True)
+    )
+    srct = srcc.groupBy("source").agg(
+        F.sum("cs").cast("bigint").alias("ns")
+    )
+    gcounts = srcc.groupBy("w").agg(F.sum("cs").cast("bigint").alias("c"))
+    tot = gcounts.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        srcc.join(gcounts, "w")
+        .join(srct, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "ns")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(
+                F.sum(
+                    F.expr("(cs * 1.0 / ns) * ln((cs * 1.0 / ns) / (c * 1.0 / n))")
+                ),
+                4,
+            ).alias("kl_divergence"),
+        )
+        .selectExpr("source", "ns AS n_tokens", "n_terms", "kl_divergence")
+        .orderBy("source")
+    )
 
 
 SOURCE_DIVERGENCE_ORACLE = _kl_sql(f"unnest({DUCK_TOKENS})").replace(

@@ -197,3 +197,34 @@ def test_late_round5_kernels_have_no_cross_join(spark, oracle_tables):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_close_out_kernels_scan_shape(spark, oracle_tables):
+    """Plan audit for the round-5 close-out kernels: map-only operators
+    must prune their parquet scan to exactly the referenced columns
+    (a scan reading all columns for a two-column projection is wrong at
+    100 TB), and the pinned-KL kernel must scan the token source ONCE —
+    the declarative CTE form re-executed the token-scale explode+agg
+    three times before the localCheckpoint pin (measured in the plan's
+    ReadSchema occurrences)."""
+    import re
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        text as T,
+    )
+
+    pii_plan = (
+        T.pii_redact(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert re.findall(r"ReadSchema: (\S+)", pii_plan) == [
+        "struct<doc_id:bigint,text:string>"
+    ]
+
+    kl_plan = (
+        T.source_divergence(spark, SF_DIR_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # everything downstream of the pin reads checkpoint blocks — the
+    # documents parquet appears in NO scan of the final plan.
+    assert "ReadSchema" not in kl_plan
