@@ -714,6 +714,67 @@ ORDER BY labeled_lang, pred_lang
 """
 
 
+# --- compression-ratio quality signal --------------------------------------
+#
+# The DEFLATE-compressibility filter corpus recipes use alongside the
+# repetition heuristics (highly compressible text is boilerplate/spam;
+# near-incompressible text is often binary junk): ratio = deflated
+# bytes / raw bytes. zlib is not expressible in SQL, so this is the
+# engine's one deliberately rows-only TEXT entry (like the
+# approx-sketch entry, its check is behavioral: planted-input
+# monotonicity, determinism, and bounds — documented weaker gate).
+# The Spark-side plumbing is the real thing: Arrow-batched
+# ``mapInPandas`` with a fixed compression level, vectorized per
+# batch — the same hot-path discipline as the multimodal decoders
+# (never a row-at-a-time Python UDF).
+ZLIB_LEVEL = 6
+
+
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DEFLATE compression ratio (zlib level 6)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", IntegerType()),
+            StructField("n_deflated", IntegerType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def _batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            n = [len(b) for b in raw]
+            nd = [len(zlib.compress(b, ZLIB_LEVEL)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "n_deflated": nd,
+                    "ratio": [round(d / max(b, 1), 4) for d, b in zip(nd, n)],
+                }
+            )
+
+    return (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .mapInPandas(_batches, schema)
+        .orderBy("doc_id")
+    )
+
+
 # --- linear quality classifier ---------------------------------------------
 #
 # The scoring plumbing of a model-based quality filter (the
@@ -855,6 +916,7 @@ def registry() -> dict[str, dict]:
         "text_quality_score": {"fn": quality_score, "oracle": QUALITY_SCORE_ORACLE},
         "text_lang_id": {"fn": lang_id, "oracle": LANG_ID_ORACLE},
         "text_lang_confusion": {"fn": lang_confusion, "oracle": LANG_CONFUSION_ORACLE},
+        "text_compression_ratio": {"fn": compression_ratio, "oracle": None},
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
         "text_bigram_logprob": {"fn": bigram_logprob, "oracle": BIGRAM_LOGPROB_ORACLE},

@@ -771,6 +771,37 @@ def test_cms_sketch_overestimates_only_and_merges(spark, tables, sf_dir):
     assert any(r.overestimate > 0 for r in rows)
 
 
+def test_compression_ratio_behavior(spark, tables, sf_dir):
+    """The rows-only zlib entry gets a behavioral gate instead of a SQL
+    oracle: planted boilerplate compresses far better than high-entropy
+    text, ratios are bounded and deterministic across runs, and the
+    reported byte counts are exact."""
+    import zlib
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import text as T
+
+    rows = [
+        (9201, "spam spam spam " * 40, "en", "s", 600),
+        (9202, "qj3x8zk2vw9pyh4bt7nc5mr1fd6lg0s " * 4, "en", "s", 128),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        out = {r.doc_id: r for r in T.compression_ratio(spark, sf_dir).collect()}
+        assert out[9201].ratio < 0.2           # boilerplate crushes
+        assert out[9202].ratio > out[9201].ratio
+        for doc_id, text, *_ in rows:
+            exp = len(zlib.compress(text.encode(), T.ZLIB_LEVEL))
+            assert out[doc_id].n_deflated == exp
+            assert out[doc_id].n_bytes == len(text.encode())
+        again = {r.doc_id: r.ratio for r in T.compression_ratio(spark, sf_dir).collect()}
+        assert again == {k: v.ratio for k, v in out.items()}
+    finally:
+        tables["documents"].createOrReplaceTempView("documents")
+
+
 def test_token_budget_sample_bounds(spark, tables, sf_dir):
     """Greedy token-budget cut invariants per source: kept token mass
     reaches at least min(budget, the source's full mass), and exceeds
