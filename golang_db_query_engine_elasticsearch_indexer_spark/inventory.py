@@ -880,6 +880,46 @@ _q(
     """,
 )
 
+# Referential-integrity audit: orphan counts for every FK edge of the
+# star schema — the data-quality gate a warehouse runs before trusting
+# joins (an orphan row silently vanishes from inner joins, which is
+# exactly how partial loads corrupt aggregates unnoticed). Each edge is
+# one left-anti-shaped count (child rows whose key misses the parent);
+# the per-edge relations union into one report. Parent key sets are
+# dimension-sized; at 100 TB the big-fact edges run as AQE-planned
+# joins of (distinct child key) x parent — never row-by-row lookups.
+_q(
+    "audit_referential_integrity",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           count(*) AS n_child,
+           cast(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+             AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer', count(*),
+           cast(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation', count(*),
+           cast(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation', count(*),
+           cast(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation.n_regionkey -> region', count(*),
+           cast(sum(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part', count(*),
+           cast(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    ORDER BY fk_edge
+    """,
+)
+
 # New-vs-returning decomposition: each day's active users split by
 # whether the day is the user's FIRST day — the growth-accounting
 # breakdown every event warehouse reports. first_day is one groupBy on

@@ -219,6 +219,23 @@ DUCK_SHINGLES = rf"""
 """
 
 
+def _minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) MinHash signature components from the per-doc
+    shingle arrays — row-local array_min folds, one md5 per shingle
+    (see MINHASH_PERMS). Shared by the banding substrate and the
+    estimator-quality eval."""
+    return sh.selectExpr(
+        "doc_id",
+        f"transform(transform(shs, s -> md5(s)), m -> {_hex_prefix_int('m', 12)}) AS vs",
+    ).selectExpr(
+        "doc_id",
+        *[
+            f"array_min(transform(vs, v -> ({a}L * v + {b}L) % {MINHASH_PRIME}L)) AS h{i}"
+            for i, (a, b) in enumerate(MINHASH_PERMS)
+        ],
+    )
+
+
 def _minhash_bands(sh: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_val) LSH band keys from the per-doc
     shingle arrays — the shared candidate-generation substrate of
@@ -230,16 +247,7 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
     materializes md5 per shingle BEFORE the 12-term hex decode so the
     decode's 12 references hit a lambda variable, not 12 md5 calls.
     """
-    sigs = sh.selectExpr(
-        "doc_id",
-        f"transform(transform(shs, s -> md5(s)), m -> {_hex_prefix_int('m', 12)}) AS vs",
-    ).selectExpr(
-        "doc_id",
-        *[
-            f"array_min(transform(vs, v -> ({a}L * v + {b}L) % {MINHASH_PRIME}L)) AS h{i}"
-            for i, (a, b) in enumerate(MINHASH_PERMS)
-        ],
-    )
+    sigs = _minhash_sigs(sh)
     band_cols = [
         F.md5(
             F.concat_ws("|", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)])
@@ -339,9 +347,11 @@ bands AS (
 )"""
 
 
-def _duck_minhash_oracle() -> str:
-    return f"""
-WITH sh AS ({DUCK_SHINGLES}),
+def _duck_minhash_pair_ctes() -> str:
+    """DuckDB CTE chain (starting at ``sh``) ending in
+    ``pairs(doc_a, doc_b, jaccard)`` — the verified minhash pair
+    relation; shared by the minhash oracle and the estimator eval."""
+    return f"""sh AS ({DUCK_SHINGLES}),
 {_duck_band_ctes()},
 occ AS (
   SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY 1, 2
@@ -360,13 +370,22 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.a
   JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
   GROUP BY c.a, c.b
-)
-SELECT inter.a AS doc_a, inter.b AS doc_b,
-       round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) AS jaccard
-FROM inter
-JOIN sizes na ON na.doc_id = inter.a
-JOIN sizes nb ON nb.doc_id = inter.b
-WHERE round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) >= {JACCARD_THRESHOLD}
+),
+pairs AS (
+  SELECT inter.a AS doc_a, inter.b AS doc_b,
+         round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = inter.a
+  JOIN sizes nb ON nb.doc_id = inter.b
+  WHERE round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _duck_minhash_oracle() -> str:
+    return f"""
+WITH {_duck_minhash_pair_ctes()}
+SELECT doc_a, doc_b, jaccard
+FROM pairs
 ORDER BY doc_a, doc_b
 """
 
@@ -961,6 +980,64 @@ ORDER BY doc_id
 """
 
 
+def minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality, measured in-plan: for every verified
+    near-dup pair, the signature-agreement estimate (matching
+    components / {N_HASHES}) against the exact Jaccard the verify
+    stage computed, with the absolute error — the evidence that the
+    banding substrate's 16-component signature is an unbiased
+    estimator of the similarity it prunes by (E[match_i] = J exactly,
+    per the MinHash identity).
+
+    Scale: the pair relation is candidate-sized; the signature relation
+    is map-only (one row of 16 ints per doc); two hash joins on doc
+    ids. A behavioral test bounds the mean |error| by 3 standard
+    errors of the 16-component estimator.
+    """
+    sh = _shingle_arrays_df(spark)
+    sigs = _minhash_sigs(sh)
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    a = sigs.selectExpr(
+        "doc_id AS doc_a", *[f"h{i} AS a{i}" for i in range(N_HASHES)]
+    )
+    b = sigs.selectExpr(
+        "doc_id AS doc_b", *[f"h{i} AS b{i}" for i in range(N_HASHES)]
+    )
+    matches = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            f"round(({matches}) / cast({N_HASHES} AS double), 4) AS est_jaccard",
+            f"round(abs(round(({matches}) / cast({N_HASHES} AS double), 4) - jaccard), 4)"
+            " AS abs_err",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _duck_minhash_eval_oracle() -> str:
+    matches = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+WITH {_duck_minhash_pair_ctes()}
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       round(({matches}) / cast({N_HASHES} AS double), 4) AS est_jaccard,
+       round(abs(round(({matches}) / cast({N_HASHES} AS double), 4) - p.jaccard), 4)
+         AS abs_err
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 def cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size distribution of the transitive near-dup components —
     the one-page summary that sizes the dedup win before deletion runs:
@@ -1144,6 +1221,10 @@ def registry() -> dict[str, dict]:
         "dedup_exact": {"fn": exact, "oracle": EXACT_ORACLE},
         "dedup_normalized": {"fn": normalized, "oracle": NORMALIZED_ORACLE},
         "dedup_minhash_lsh": {"fn": minhash_lsh_pairs, "oracle": _duck_minhash_oracle()},
+        "dedup_minhash_estimate_eval": {
+            "fn": minhash_estimate_eval,
+            "oracle": _duck_minhash_eval_oracle(),
+        },
         "dedup_incremental_batch": {
             "fn": incremental_batch,
             "oracle": _duck_incremental_oracle(),

@@ -771,6 +771,21 @@ def test_cms_sketch_overestimates_only_and_merges(spark, tables, sf_dir):
     assert any(r.overestimate > 0 for r in rows)
 
 
+def test_minhash_estimator_error_bound(spark, tables, sf_dir):
+    """The 16-component MinHash estimate of Jaccard must track the
+    exact value: each component matches with probability J (the MinHash
+    identity), so |est - J| has standard error sqrt(J(1-J)/16) <= 0.125
+    — bound the MEAN absolute error at 2x that and every single error
+    at 4 standard errors (0.5)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import dedup
+
+    rows = dedup.minhash_estimate_eval(spark, sf_dir).collect()
+    assert len(rows) > 0
+    errs = [r.abs_err for r in rows]
+    assert sum(errs) / len(errs) <= 0.25
+    assert max(errs) <= 0.5
+
+
 def test_compression_ratio_behavior(spark, tables, sf_dir):
     """The rows-only zlib entry gets a behavioral gate instead of a SQL
     oracle: planted boilerplate compresses far better than high-entropy
