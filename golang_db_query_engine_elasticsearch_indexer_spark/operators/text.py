@@ -714,6 +714,60 @@ ORDER BY labeled_lang, pred_lang
 """
 
 
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source NEAR-duplication matrix: for every source pair, how
+    many distinct SimHash fingerprints appear in both — the
+    between-source contamination signal that tells a pipeline which
+    "independent" sources are actually mirrors (within-source
+    duplication is corpus_source_stats' exact_dup_rate; this is its
+    pairwise complement). Identity is the 16-bit SimHash fingerprint
+    rather than sha256: the fixture has NO cross-source exact
+    duplicates, so a sha-keyed matrix would be a vacuous empty pass —
+    fingerprint identity (simhash distance 0) is the near-dup
+    granularity the signal actually wants, and it is non-empty at test
+    scale. The join keys on the fingerprint over the (source,
+    fingerprint)-distinct relation — documents never move, and fan-out
+    per key is bounded by the source count."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.dedup import (  # noqa: PLC0415
+        _simhash_fps,
+    )
+
+    sh = (
+        _simhash_fps(spark)
+        .join(spark.table("documents").select("doc_id", "source"), "doc_id")
+        .select("source", "simhash16")
+        .distinct()
+    )
+    a = sh.selectExpr("simhash16 AS h", "source AS source_a")
+    b = sh.selectExpr("simhash16 AS h", "source AS source_b")
+    return (
+        a.join(b, "h")
+        .where("source_a < source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_overlap_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.dedup import (  # noqa: PLC0415
+        _duck_simhash_fp_ctes,
+    )
+
+    return f"""
+{_duck_simhash_fp_ctes()},
+sh AS (
+  SELECT DISTINCT d.source, f.f AS h
+  FROM fp f JOIN documents d ON d.doc_id = f.doc_id
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS shared_fingerprints
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+"""
+
+
 # --- compression-ratio quality signal --------------------------------------
 #
 # The DEFLATE-compressibility filter corpus recipes use alongside the
@@ -917,6 +971,10 @@ def registry() -> dict[str, dict]:
         "text_lang_id": {"fn": lang_id, "oracle": LANG_ID_ORACLE},
         "text_lang_confusion": {"fn": lang_confusion, "oracle": LANG_CONFUSION_ORACLE},
         "text_compression_ratio": {"fn": compression_ratio, "oracle": None},
+        "corpus_source_overlap": {
+            "fn": source_overlap,
+            "oracle": _source_overlap_oracle(),
+        },
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
         "text_bigram_logprob": {"fn": bigram_logprob, "oracle": BIGRAM_LOGPROB_ORACLE},
