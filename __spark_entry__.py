@@ -96,7 +96,8 @@ def _configure(spark: SparkSession) -> None:
 #   sample_token_budget, events_new_vs_returning,
 #   text_lang_confusion, text_compression_ratio [rows-only by
 #   necessity: zlib], audit_referential_integrity,
-#   dedup_minhash_estimate_eval, corpus_source_overlap): same policy —
+#   dedup_minhash_estimate_eval, corpus_source_overlap,
+#   sort_nulls_ordering): same policy —
 #   added after the frozen
 #   window, queued for r06. Each is integer/regex arithmetic shared
 #   verbatim across dialects (bit_count/xor band verify, md5-bucket

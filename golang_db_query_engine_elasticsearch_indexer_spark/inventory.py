@@ -579,6 +579,23 @@ _q(
     """,
 )
 
+# Explicit NULLS FIRST/LAST placement — engines default differently
+# (Spark: NULLS FIRST on ASC; DuckDB: NULLS LAST), so a portable ORDER
+# BY over a nullable expression MUST state placement; this entry pins
+# that both directions honor it. The nullable key is derived
+# deterministically (every third order contributes NULL).
+_q(
+    "sort_nulls_ordering",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS k
+    FROM orders
+    WHERE o_orderkey <= 200
+    ORDER BY k DESC NULLS LAST, o_orderkey NULLS FIRST
+    LIMIT 40
+    """,
+)
+
 _q(
     "set_union_all",
     """
