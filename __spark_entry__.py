@@ -102,8 +102,9 @@ def _configure(spark: SparkSession) -> None:
 #   window, queued for r06. Each is integer/regex arithmetic shared
 #   verbatim across dialects (bit_count/xor band verify, md5-bucket
 #   counter sums, Java∩RE2 regex, exact-rational LM ratios), the
-#   lowest-divergence-risk class, and all four are green under the
-#   in-repo sf0.01 differential gate at HEAD.
+#   lowest-divergence-risk class, and every close-out entry is green
+#   under the in-repo sf0.01 differential gate at HEAD (and under a
+#   recorded sf0.1 spot differential — SCALE.md §3).
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

@@ -311,6 +311,10 @@ def es_mapping_for_schema(schema) -> dict:
             return {"type": "binary"}
         if isinstance(dt, T.ArrayType):
             return es_type(dt.elementType)
+        if isinstance(dt, T.MapType):
+            # a JSON object with open keys — dynamic object mapping
+            # (the text fallback would reject every document).
+            return {"type": "object"}
         if isinstance(dt, T.StructType):
             return {"properties": {f.name: es_type(f.dataType) for f in dt.fields}}
         return {
@@ -391,13 +395,19 @@ class HttpBulkSink:
                 f"{username}:{password or ''}".encode()
             ).decode()
 
-    def _headers(self) -> dict[str, str]:
-        h = {"Content-Type": "application/x-ndjson"}
+    def _headers(self, content_type: str = "application/x-ndjson") -> dict[str, str]:
+        h = {"Content-Type": content_type}
         if self._auth:
             h["Authorization"] = self._auth
         return h
 
-    def _request(self, method: str, path: str, body: bytes | None = None) -> int:
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: bytes | None = None,
+        content_type: str = "application/x-ndjson",
+    ) -> int:
         import urllib.error
         import urllib.request
 
@@ -405,7 +415,7 @@ class HttpBulkSink:
             self.base_url + path,
             data=body,
             method=method,
-            headers=self._headers(),
+            headers=self._headers(content_type),
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
@@ -422,12 +432,19 @@ class HttpBulkSink:
         mappings body instead of relying on ES dynamic mapping."""
         if self.index_exists(index_name):
             return True
-        body = None
         if self.explicit_mapping and schema is not None:
             import json as _json
 
-            body = _json.dumps({"mappings": es_mapping_for_schema(schema)}).encode()
-        self._request("PUT", f"/{index_name}", body=body)
+            # The mappings body is JSON, not NDJSON — real ES enforces
+            # strict content types (406 on x-ndjson for this call).
+            self._request(
+                "PUT",
+                f"/{index_name}",
+                body=_json.dumps({"mappings": es_mapping_for_schema(schema)}).encode(),
+                content_type="application/json",
+            )
+        else:
+            self._request("PUT", f"/{index_name}")
         return False
 
     def write(self, spark: SparkSession, df_with_id: DataFrame, index_name: str) -> IndexStats:

@@ -994,7 +994,7 @@ _q(
       FROM seq GROUP BY user_id, event_type, rn - rnt
     ),
     closed AS (
-      SELECT user_id, event_type, valid_from,
+      SELECT user_id, event_type, valid_from, first_event_id,
              lead(valid_from) OVER (PARTITION BY user_id
                                     ORDER BY valid_from, first_event_id)
                AS valid_to,
@@ -1003,7 +1003,7 @@ _q(
     )
     SELECT user_id, event_type, valid_from, valid_to, n_events
     FROM closed
-    ORDER BY user_id, valid_from, event_type
+    ORDER BY user_id, valid_from, first_event_id
     """,
 )
 
@@ -1214,7 +1214,7 @@ _hll_entry()
 
 # Count-min sketch (Cormode & Muthukrishnan 2005) heavy-hitter counts,
 # as DETERMINISTIC portable SQL — the frequency-estimation counterpart
-# of the HLL entry above. d=4 hash rows x w=256 counters; each token
+# of the HLL entry above. d=4 hash rows x w=16 counters; each token
 # increments one counter per row (bucket = md5-derived 16-bit hash mod
 # w); a term's estimate is the MIN over its d counters, which can only
 # OVERestimate (collisions add, never subtract) — the test asserts
@@ -1229,7 +1229,8 @@ _hll_entry()
 # hash-row explode, both sketch builds, and the exact top-k all run
 # off that vocabulary-scale relation — counter increments become
 # sum(count), so the raw stream is never exploded x4 and both sketch
-# aggregations collapse to d*w = 1024 cells. The width is
+# aggregations collapse to d*w = 64 cells (production widths in the
+# hundreds-to-thousands keep this tiny). The width is
 # sized to the fixture vocabulary (31 distinct tokens vs w=16) so
 # collisions actually occur and the estimate-vs-exact gap is
 # non-vacuous at test scale (the behavioral test asserts BOTH

@@ -995,7 +995,11 @@ def minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors of the 16-component estimator.
     """
     sh = _shingle_arrays_df(spark)
-    sigs = _minhash_sigs(sh)
+    # Pin the signature relation: it is map-only (no Exchange for
+    # ReuseExchange to share), so the two join sides below would each
+    # re-run the md5-per-shingle + 16 array_min folds over every
+    # document — the same pin rationale as simhash_pairs.
+    sigs = _minhash_sigs(sh).localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(spark, sf_dir)
     a = sigs.selectExpr(
         "doc_id AS doc_a", *[f"h{i} AS a{i}" for i in range(N_HASHES)]
@@ -1101,9 +1105,17 @@ def _simhash_fps(spark: SparkSession) -> DataFrame:
         f"THEN {1 << j} ELSE 0 END"
         for j in range(N_SIM_BITS)
     )
+    # Two-step transform: materialize md5 per token FIRST, then decode
+    # — hash16() expands to four substring terms, and inside a
+    # higher-order-function lambda Spark does not common-subexpression-
+    # eliminate them, so a fused lambda would md5 each token 4x (the
+    # same trap _minhash_bands documents).
     return (
         spark.table("documents")
-        .selectExpr("doc_id", f"transform({TOKENS}, w -> {_hash16('md5(w)')}) AS hs")
+        .selectExpr(
+            "doc_id",
+            f"transform(transform({TOKENS}, w -> md5(w)), m -> {_hash16('m')}) AS hs",
+        )
         .selectExpr("doc_id", f"cast({bits} AS bigint) AS simhash16")
     )
 
@@ -1126,7 +1138,9 @@ def _duck_simhash_fp_ctes() -> str:
     )
     return f"""
 WITH hashed AS (
-  SELECT doc_id, list_transform({DUCK_TOKENS}, w -> {_hash16('md5(w)')}) AS hs
+  SELECT doc_id,
+         list_transform(list_transform({DUCK_TOKENS}, w -> md5(w)),
+                        m -> {_hash16('m')}) AS hs
   FROM documents
 ),
 fp AS (

@@ -143,12 +143,15 @@ ORDER BY doc_id
 """
 
 
-def _report_sql(hash_fn: str, toks: str, stop_lit: str) -> str:
-    """Shared curation-funnel SQL (dialect knobs: hash fn, tokenizer,
-    stopword literal). Gates are applied CUMULATIVELY in curate_corpus'
-    order; all six stage counts come from ONE conditional aggregation
-    over one scan + the dedup-survivor join, and the report rows are a
-    constant-width union off that single-row aggregate."""
+def _report_sql(hash_fn: str) -> str:
+    """Shared curation-funnel SQL (dialect knobs: the hash fn plus the
+    {SIZE}/{STOPR}/{CPT} expression placeholders the callers replace).
+    Gates are applied CUMULATIVELY in curate_corpus' order and compare
+    the SAME round(..., 4) values curate_corpus filters on (gating raw
+    values would disagree with the pipeline exactly at a rounding
+    boundary); all six stage counts come from ONE conditional
+    aggregation over one scan + the dedup-survivor join, and the report
+    rows are a constant-width union off that single-row aggregate."""
     return f"""
     WITH survivors AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY {hash_fn}
@@ -156,8 +159,8 @@ def _report_sql(hash_fn: str, toks: str, stop_lit: str) -> str:
     flags AS (
       SELECT (s.doc_id IS NOT NULL) AS k1,
              size_t BETWEEN {MIN_TOKENS} AND {MAX_TOKENS} AS tok_ok,
-             stop_ratio >= {MIN_STOPWORD_RATIO} AS stop_ok,
-             cpt <= {MAX_CHARS_PER_TOKEN} AS cpt_ok,
+             round(stop_ratio, 4) >= {MIN_STOPWORD_RATIO} AS stop_ok,
+             round(cpt, 4) <= {MAX_CHARS_PER_TOKEN} AS cpt_ok,
              lang = 'en' AS lang_ok
       FROM (
         SELECT d.doc_id, d.lang,
@@ -201,7 +204,7 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     en = array_lit(LANG_STOPWORDS["en"])
     sql = (
-        _report_sql("sha2(text, 256)", TOKENS, en)
+        _report_sql("sha2(text, 256)")
         .replace("{SIZE}", f"size({TOKENS})")
         .replace(
             "{STOPR}",
@@ -215,7 +218,7 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_report_oracle() -> str:
     en = list_lit(LANG_STOPWORDS["en"])
     return (
-        _report_sql("sha256(text)", DUCK_TOKENS, en)
+        _report_sql("sha256(text)")
         .replace("{SIZE}", f"len({DUCK_TOKENS})")
         .replace(
             "{STOPR}",

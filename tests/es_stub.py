@@ -48,6 +48,15 @@ class StubES:
                 name = self.path.strip("/")
                 length = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(length) if length else b""
+                # Real ES enforces strict content types: a JSON index
+                # create body must arrive as application/json (406
+                # otherwise) — mirror that so the sink's content-type
+                # handling is actually exercised offline.
+                if body and "application/json" not in (
+                    self.headers.get("Content-Type") or ""
+                ):
+                    self._respond(406, b'{"error":"Content-Type not supported"}')
+                    return
                 with stub.lock:
                     stub.indexes.setdefault(name, {})
                     stub.create_bodies.setdefault(

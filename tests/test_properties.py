@@ -140,9 +140,10 @@ def test_simhash_banding_pigeonhole_model(a, b):
         SIMHASH_N_BANDS,
     )
 
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     hamming = bin(a ^ b).count("1")
     bands_equal = any(
-        (a >> (j * SIMHASH_BAND_BITS)) % 16 == (b >> (j * SIMHASH_BAND_BITS)) % 16
+        (a >> (j * SIMHASH_BAND_BITS)) & mask == (b >> (j * SIMHASH_BAND_BITS)) & mask
         for j in range(SIMHASH_N_BANDS)
     )
     if hamming <= SIMHASH_HAMMING_MAX:
