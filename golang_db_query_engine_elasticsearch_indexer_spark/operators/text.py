@@ -768,6 +768,97 @@ ORDER BY source_a, source_b
 """
 
 
+# --- PMI collocation mining -------------------------------------------------
+
+PMI_MIN_SUPPORT = 25
+PMI_TOP_N = 50
+
+
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of term pairs by document
+    co-occurrence — collocation mining (phrase/tokenizer induction's
+    statistical core): pmi(x,y) = ln(df_xy * N / (df_x * df_y)) over
+    document frequencies, reported for the top-{PMI_TOP_N} pairs at
+    support >= {PMI_MIN_SUPPORT}.
+
+    Scale shape: per-document pairs explode off the SORTED DISTINCT
+    term array row-locally (fan-out is quadratic in per-doc distinct
+    terms — the 100 TB lever is intersecting that array with a bounded
+    candidate vocabulary, e.g. the top-K terms by document frequency,
+    before pairing; the fixture vocabulary is 31 terms so the cap is
+    moot here); document frequencies roll up from the distinct-term
+    explode (one shuffle), pair frequencies from the pair stream (one
+    shuffle), and the PMI join runs at vocabulary-pair scale. All
+    probabilities are exact integer ratios; pmi is rounded to 4 dp and
+    the (pmi DESC, x, y) cut is a total order.
+    """
+    dt = spark.table("documents").selectExpr(
+        "doc_id", f"array_sort(array_distinct({TOKENS})) AS dt"
+    )
+    pairs = dt.selectExpr(
+        "doc_id",
+        """explode(flatten(transform(
+             sequence(1, size(dt) - 1),
+             i -> transform(sequence(0, i - 1),
+                            j -> struct(dt[j] AS x, dt[i] AS y))
+           ))) AS p""",
+    ).select("p.x", "p.y")
+    dfxy = pairs.groupBy("x", "y").agg(F.count("*").alias("df_xy"))
+    dfx = (
+        dt.selectExpr("explode(dt) AS w")
+        .groupBy("w")
+        .agg(F.count("*").alias("df"))
+    )
+    n = spark.table("documents").agg(F.count("*").alias("n"))
+    return (
+        dfxy.where(f"df_xy >= {PMI_MIN_SUPPORT}")
+        .join(dfx.selectExpr("w AS x", "df AS df_x"), "x")
+        .join(dfx.selectExpr("w AS y", "df AS df_y"), "y")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "x",
+            "y",
+            "df_xy",
+            "df_x",
+            "df_y",
+            "round(ln(df_xy * 1.0 * n / (df_x * 1.0 * df_y)), 4) AS pmi",
+        )
+        .orderBy(F.desc("pmi"), "x", "y")
+        .limit(PMI_TOP_N)
+    )
+
+
+PMI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_sort(list_distinct({DUCK_TOKENS})) AS dt FROM documents
+),
+p1 AS (
+  SELECT dt, unnest(range(2, len(dt) + 1)) AS i FROM t
+),
+pairs AS (
+  SELECT dt[j] AS x, dt[i] AS y
+  FROM (SELECT dt, i, unnest(range(1, i)) AS j FROM p1)
+),
+dfxy AS (
+  SELECT x, y, cast(count(*) AS bigint) AS df_xy FROM pairs GROUP BY x, y
+),
+dfx AS (
+  SELECT w, cast(count(*) AS bigint) AS df
+  FROM (SELECT doc_id, unnest(dt) AS w FROM t) GROUP BY w
+),
+n AS (SELECT cast(count(*) AS bigint) AS n FROM documents)
+SELECT p.x, p.y, p.df_xy, a.df AS df_x, b.df AS df_y,
+       round(ln(p.df_xy * 1.0 * n.n / (a.df * 1.0 * b.df)), 4) AS pmi
+FROM dfxy p
+JOIN dfx a ON a.w = p.x
+JOIN dfx b ON b.w = p.y
+CROSS JOIN n
+WHERE p.df_xy >= {PMI_MIN_SUPPORT}
+ORDER BY pmi DESC, x, y
+LIMIT {PMI_TOP_N}
+"""
+
+
 # --- compression-ratio quality signal --------------------------------------
 #
 # The DEFLATE-compressibility filter corpus recipes use alongside the
@@ -975,6 +1066,7 @@ def registry() -> dict[str, dict]:
             "fn": source_overlap,
             "oracle": _source_overlap_oracle(),
         },
+        "tokens_pmi_top_pairs": {"fn": pmi_top_pairs, "oracle": PMI_ORACLE},
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
         "text_bigram_logprob": {"fn": bigram_logprob, "oracle": BIGRAM_LOGPROB_ORACLE},
