@@ -768,6 +768,76 @@ ORDER BY source_a, source_b
 """
 
 
+def signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between the engine's quality signals
+    (composite quality blend, unigram-LM mean log-probability,
+    duplicate-token ratio) — the signal-redundancy analysis a curation
+    pipeline runs before stacking filters: two signals that correlate
+    ~1 gate the same documents twice; a near-zero pair adds independent
+    information.
+
+    Scale: the per-doc signal relation reuses the unigram-LM shape (one
+    token shuffle + AQE-governed vocab join); the correlation is one
+    global aggregation (corr() partial-aggregates map-side). Rounded to
+    3 dp — corr() divides large near-cancelling sums, so it carries
+    more float summation-order noise than the 4-dp signals themselves.
+    """
+    toks = spark.table("documents").selectExpr(
+        "doc_id", f"explode({TOKENS}) AS w"
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .selectExpr("doc_id", "ln(cnt / total) AS lpx")
+        .groupBy("doc_id")
+        .agg(F.avg("lpx").alias("avg_lp"))
+    )
+    sig = (
+        spark.table("documents")
+        .selectExpr("doc_id", "text", f"{TOKENS} AS toks")
+        .selectExpr(
+            "doc_id",
+            f"{quality_blend(toks='toks')} AS q",
+            "1.0 - size(array_distinct(toks)) / size(toks) AS dup",
+        )
+        .join(lp, "doc_id")
+    )
+    return sig.selectExpr(
+        "round(corr(q, avg_lp), 3) AS corr_quality_logprob",
+        "round(corr(q, dup), 3) AS corr_quality_dup",
+        "round(corr(avg_lp, dup), 3) AS corr_logprob_dup",
+        "count(*) AS n_docs",
+    )
+
+
+SIGNAL_CORR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents
+),
+vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+total AS (SELECT sum(cnt) AS total FROM vocab),
+lp AS (
+  SELECT doc_id, avg(ln(cnt * 1.0 / total)) AS avg_lp
+  FROM toks JOIN vocab USING (w), total
+  GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id,
+         {duck_quality_blend()} AS q,
+         1.0 - len(list_distinct({DUCK_TOKENS})) * 1.0 / len({DUCK_TOKENS}) AS dup,
+         lp.avg_lp
+  FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+)
+SELECT round(corr(q, avg_lp), 3) AS corr_quality_logprob,
+       round(corr(q, dup), 3) AS corr_quality_dup,
+       round(corr(avg_lp, dup), 3) AS corr_logprob_dup,
+       cast(count(*) AS bigint) AS n_docs
+FROM sig
+"""
+
+
 # --- PMI collocation mining -------------------------------------------------
 
 PMI_MIN_SUPPORT = 25
@@ -1067,6 +1137,10 @@ def registry() -> dict[str, dict]:
             "oracle": _source_overlap_oracle(),
         },
         "tokens_pmi_top_pairs": {"fn": pmi_top_pairs, "oracle": PMI_ORACLE},
+        "corpus_signal_correlations": {
+            "fn": signal_correlations,
+            "oracle": SIGNAL_CORR_ORACLE,
+        },
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
         "text_bigram_logprob": {"fn": bigram_logprob, "oracle": BIGRAM_LOGPROB_ORACLE},
