@@ -965,6 +965,95 @@ _q(
     """,
 )
 
+# DAU/WAU stickiness — the engagement-depth ratio growth dashboards
+# track (dau/wau = 1/7 means users appear one day a week; 1.0 means
+# daily). WAU reuses the bounded x7 day-contribution explode of the
+# rolling-actives entry; DAU is the plain per-day distinct; the ratio
+# joins the two tiny day-keyed rollups. (A 30-day MAU would be
+# DEGENERATE on the fixture — events span exactly 30 days — so the
+# 7-day form is the honest one at test scale.)
+_q(
+    "events_stickiness",
+    """
+    WITH du AS (
+      SELECT DISTINCT cast(ts AS date) AS d, user_id FROM events
+    ),
+    dau AS (
+      SELECT d, count(DISTINCT user_id) AS dau FROM du GROUP BY d
+    ),
+    contrib AS (
+      SELECT explode(sequence(d, date_add(d, 6))) AS wd, user_id FROM du
+    ),
+    wau AS (
+      SELECT wd AS d, count(DISTINCT user_id) AS wau
+      FROM contrib
+      WHERE wd <= (SELECT max(cast(ts AS date)) FROM events)
+      GROUP BY wd
+    )
+    SELECT cast(dau.d AS string) AS day, dau.dau, wau.wau,
+           round(dau.dau * cast(1 AS double) / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """,
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT ts::DATE AS d, user_id FROM events
+    ),
+    dau AS (
+      SELECT d, count(DISTINCT user_id) AS dau FROM du GROUP BY d
+    ),
+    contrib AS (
+      SELECT unnest(generate_series(d, d + 6, INTERVAL 1 DAY))::DATE AS wd,
+             user_id
+      FROM du
+    ),
+    wau AS (
+      SELECT wd AS d, count(DISTINCT user_id) AS wau
+      FROM contrib
+      WHERE wd <= (SELECT max(ts::DATE) FROM events)
+      GROUP BY wd
+    )
+    SELECT cast(dau.d AS varchar) AS day, dau.dau, wau.wau,
+           round(dau.dau * cast(1 AS double) / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """,
+)
+
+# Monthly order volume with year-over-year growth — the seasonality
+# report every revenue warehouse publishes: one month-keyed rollup
+# (partial-aggregated shuffle), then lag(12) over the ~80-row month
+# series (a tiny single-partition window, NOT an order-scale sort).
+_q(
+    "orders_monthly_yoy",
+    """
+    WITH m AS (
+      SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           round((revenue - lag(revenue, 12) OVER (ORDER BY month))
+                 / lag(revenue, 12) OVER (ORDER BY month), 4) AS yoy_growth
+    FROM m
+    ORDER BY month
+    """,
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           round((revenue - lag(revenue, 12) OVER (ORDER BY month))
+                 / lag(revenue, 12) OVER (ORDER BY month), 4) AS yoy_growth
+    FROM m
+    ORDER BY month
+    """,
+)
+
 # SCD2-style state-interval history (gaps-and-islands): consecutive
 # runs of the same event_type per user collapse into intervals, closed
 # by the NEXT interval's start (valid_to NULL = current state) — the
