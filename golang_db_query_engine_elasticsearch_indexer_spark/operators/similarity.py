@@ -2037,6 +2037,55 @@ ORDER BY vec_id
 """
 
 
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact baseline,
+    measured IN-PLAN per probe — the eval loop every ANN deployment
+    runs, here with both sides oracle-checkable (the kernels' own
+    oracles compose into the eval's oracle, so the measurement can
+    never drift from the deployed kernels). Output: per probe, the
+    bucket's candidate hits inside the exact top-{TOP_K} and the
+    recall fraction.
+
+    Scale: both inputs are the existing top-k relations (probes x k
+    rows); the eval join and rollup are probe-scale.
+    """
+    ex = brute_force_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    ls = lsh_bucket_topk(spark, sf_dir).select(
+        "probe_id", F.col("neighbor_id").alias("lsh_neighbor")
+    )
+    return (
+        ex.join(
+            ls,
+            (ex.probe_id == ls.probe_id) & (ex.neighbor_id == ls.lsh_neighbor),
+            "left",
+        )
+        .groupBy(ex.probe_id.alias("probe_id"))
+        .agg(
+            F.count(F.col("lsh_neighbor")).alias("n_hits"),
+        )
+        .selectExpr(
+            "probe_id",
+            "n_hits",
+            f"round(n_hits * cast(1 AS double) / {TOP_K}, 4) AS recall_at_k",
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    return f"""
+WITH ex AS ({BRUTE_FORCE_ORACLE}),
+ls AS ({_lsh_oracle()})
+SELECT ex.probe_id,
+       cast(count(ls.neighbor_id) AS bigint) AS n_hits,
+       round(count(ls.neighbor_id) * cast(1 AS double) / {TOP_K}, 4) AS recall_at_k
+FROM ex LEFT JOIN ls
+  ON ls.probe_id = ex.probe_id AND ls.neighbor_id = ex.neighbor_id
+GROUP BY ex.probe_id
+ORDER BY ex.probe_id
+"""
+
+
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label prediction + evaluation: each probe's label is
     predicted by majority vote of its top-{TOP_K} exact-cosine
@@ -2117,6 +2166,7 @@ ORDER BY p.probe_id
 def registry() -> dict[str, dict]:
     return {
         "embedding_knn_eval": {"fn": knn_label_eval, "oracle": KNN_EVAL_ORACLE},
+        "ann_lsh_recall_eval": {"fn": lsh_recall_eval, "oracle": _lsh_recall_oracle()},
         "embedding_quantize_int8": {"fn": quantize_int8, "oracle": QUANTIZE_ORACLE},
         "ann_range_search": {"fn": range_search, "oracle": RANGE_SEARCH_ORACLE},
         "embedding_medoid_per_label": {"fn": medoid_per_label, "oracle": MEDOID_ORACLE},

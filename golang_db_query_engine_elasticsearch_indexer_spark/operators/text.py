@@ -838,8 +838,6 @@ FROM sig
 """
 
 
-# --- PMI collocation mining -------------------------------------------------
-
 PMI_MIN_SUPPORT = 25
 PMI_TOP_N = 50
 
@@ -1053,6 +1051,70 @@ ORDER BY doc_id
 """
 
 
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration of the logistic quality classifier against
+    the heuristic quality blend: documents are cut into p_keep deciles
+    (ntile with doc_id tiebreak — deterministic) and each decile
+    reports its mean classifier score and mean blend. A monotone
+    mean-blend column across deciles says the classifier orders
+    documents the same way the heuristics do; a flat one says it adds
+    nothing — the calibration check run before swapping a model filter
+    in for heuristics. One map-only scoring pass + one ntile window +
+    one 10-row aggregation."""
+    scored = spark.sql(
+        f"""
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-({QC_BIAS}
+                 + {QC_WEIGHTS['length_sat']} * least(size(toks) / 100.0, 1.0)
+                 + {QC_WEIGHTS['stopword_ratio']} * (size(filter(toks, w -> array_contains({_array_lit(LANG_STOPWORDS['en'])}, w))) / size(toks))
+                 + {QC_WEIGHTS['punct_ratio']} * ((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))
+                 + {QC_WEIGHTS['dup_token_ratio']} * (1.0 - size(array_distinct(toks)) / size(toks))))), 4) AS p_keep,
+               round({quality_blend(toks='toks')}, 4) AS blend
+        FROM (SELECT doc_id, text, {TOKENS} AS toks FROM documents)
+        """
+    )
+    return (
+        scored.selectExpr(
+            "doc_id", "p_keep", "blend",
+            "ntile(10) OVER (ORDER BY p_keep, doc_id) AS decile",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("p_keep"), 4).alias("mean_p_keep"),
+            F.round(F.avg("blend"), 4).alias("mean_blend"),
+        )
+        .orderBy("decile")
+    )
+
+
+CALIBRATION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({QC_BIAS}
+           + {QC_WEIGHTS['length_sat']} * least(len(toks) / 100.0, 1.0)
+           + {QC_WEIGHTS['stopword_ratio']} * (len(list_filter(toks, w -> list_contains({_list_lit(LANG_STOPWORDS['en'])}, w))) * 1.0 / len(toks))
+           + {QC_WEIGHTS['punct_ratio']} * ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
+           + {QC_WEIGHTS['dup_token_ratio']} * (1.0 - len(list_distinct(toks)) * 1.0 / len(toks))))), 4) AS p_keep,
+         round({duck_quality_blend(toks="toks")}, 4) AS blend
+  FROM t
+),
+cut AS (
+  SELECT p_keep, blend,
+         ntile(10) OVER (ORDER BY p_keep, doc_id) AS decile
+  FROM scored
+)
+SELECT decile, cast(count(*) AS bigint) AS n_docs,
+       round(avg(p_keep), 4) AS mean_p_keep,
+       round(avg(blend), 4) AS mean_blend
+FROM cut
+GROUP BY decile
+ORDER BY decile
+"""
+
 BPE_TOP_N = 50
 
 
@@ -1140,6 +1202,10 @@ def registry() -> dict[str, dict]:
         "corpus_signal_correlations": {
             "fn": signal_correlations,
             "oracle": SIGNAL_CORR_ORACLE,
+        },
+        "quality_classifier_calibration": {
+            "fn": classifier_calibration,
+            "oracle": CALIBRATION_ORACLE,
         },
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
