@@ -100,7 +100,8 @@ def _configure(spark: SparkSession) -> None:
 #   sort_nulls_ordering, tokens_pmi_top_pairs,
 #   corpus_signal_correlations, events_stickiness,
 #   orders_monthly_yoy, quality_classifier_calibration,
-#   ann_lsh_recall_eval): same policy —
+#   ann_lsh_recall_eval, ann_ivf_recall_eval,
+#   dedup_remap_to_canonical): same policy —
 #   added after the frozen
 #   window, queued for r06. Each is integer/regex arithmetic shared
 #   verbatim across dialects (bit_count/xor band verify, md5-bucket

@@ -912,6 +912,86 @@ def keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def remap_to_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational END of dedup: a full-corpus remap where every
+    document points at its canonical — cluster members at the cluster's
+    keep-best winner, singletons at themselves. This is the table a
+    pipeline actually applies (rewrite references, drop
+    non-canonicals); components/keep_best alone only DESCRIBE clusters.
+
+    Scale: components and the winner relation are candidate-sized; the
+    corpus-side join is one left join on doc_id; everything else is
+    row-local. Output: (doc_id, canonical_id, is_canonical,
+    in_cluster).
+    """
+    kb = keep_best(spark, sf_dir).select("component", "kept_doc_id")
+    mapped = (
+        connected_components(spark, sf_dir)
+        .join(kb, "component")
+        .select("doc_id", F.col("kept_doc_id").alias("mapped_canonical"))
+    )
+    return (
+        spark.table("documents")
+        .select("doc_id")
+        .join(mapped, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(mapped_canonical, doc_id) AS canonical_id",
+            "coalesce(mapped_canonical, doc_id) = doc_id AS is_canonical",
+            "mapped_canonical IS NOT NULL AS in_cluster",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_remap_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (  # noqa: PLC0415
+        duck_quality_blend,
+    )
+
+    pairs_sql = _duck_minhash_oracle()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs_sql})
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (
+  SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+),
+q AS (
+  SELECT doc_id, round({duck_quality_blend()}, 4) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT c.component, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM comp c JOIN q USING (doc_id)
+),
+winners AS (
+  SELECT component, doc_id AS kept FROM ranked WHERE rn = 1
+),
+mapped AS (
+  SELECT c.doc_id, w.kept AS mapped_canonical
+  FROM comp c JOIN winners w USING (component)
+)
+SELECT d.doc_id,
+       coalesce(m.mapped_canonical, d.doc_id) AS canonical_id,
+       coalesce(m.mapped_canonical, d.doc_id) = d.doc_id AS is_canonical,
+       m.mapped_canonical IS NOT NULL AS in_cluster
+FROM documents d LEFT JOIN mapped m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _duck_keep_best_oracle() -> str:
     """Recursive closure (same graph as the components oracle) joined
     to the DuckDB rendering of the quality blend; winner per component
@@ -1259,4 +1339,8 @@ def registry() -> dict[str, dict]:
             "oracle": _duck_cluster_stats_oracle(),
         },
         "dedup_keep_best": {"fn": keep_best, "oracle": _duck_keep_best_oracle()},
+        "dedup_remap_to_canonical": {
+            "fn": remap_to_canonical,
+            "oracle": _duck_remap_oracle(),
+        },
     }

@@ -2086,6 +2086,47 @@ ORDER BY ex.probe_id
 """
 
 
+def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF ANN against the exact baseline, per probe,
+    in-plan — the same eval shape as :func:`lsh_recall_eval` but over
+    the learned coarse quantizer (the oracle replays the identical
+    deterministic k-means, so even the trained index's recall is
+    differential-tested, not just reported by the bench)."""
+    ex = brute_force_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    iv = ivf_topk(spark, sf_dir).select(
+        "probe_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    return (
+        ex.join(
+            iv,
+            (ex.probe_id == iv.probe_id) & (ex.neighbor_id == iv.ivf_neighbor),
+            "left",
+        )
+        .groupBy(ex.probe_id.alias("probe_id"))
+        .agg(F.count(F.col("ivf_neighbor")).alias("n_hits"))
+        .selectExpr(
+            "probe_id",
+            "n_hits",
+            f"round(n_hits * cast(1 AS double) / {TOP_K}, 4) AS recall_at_k",
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _ivf_recall_oracle() -> str:
+    return f"""
+WITH ex AS ({BRUTE_FORCE_ORACLE}),
+iv AS ({IVF_ORACLE})
+SELECT ex.probe_id,
+       cast(count(iv.neighbor_id) AS bigint) AS n_hits,
+       round(count(iv.neighbor_id) * cast(1 AS double) / {TOP_K}, 4) AS recall_at_k
+FROM ex LEFT JOIN iv
+  ON iv.probe_id = ex.probe_id AND iv.neighbor_id = ex.neighbor_id
+GROUP BY ex.probe_id
+ORDER BY ex.probe_id
+"""
+
+
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label prediction + evaluation: each probe's label is
     predicted by majority vote of its top-{TOP_K} exact-cosine
@@ -2167,6 +2208,7 @@ def registry() -> dict[str, dict]:
     return {
         "embedding_knn_eval": {"fn": knn_label_eval, "oracle": KNN_EVAL_ORACLE},
         "ann_lsh_recall_eval": {"fn": lsh_recall_eval, "oracle": _lsh_recall_oracle()},
+        "ann_ivf_recall_eval": {"fn": ivf_recall_eval, "oracle": _ivf_recall_oracle()},
         "embedding_quantize_int8": {"fn": quantize_int8, "oracle": QUANTIZE_ORACLE},
         "ann_range_search": {"fn": range_search, "oracle": RANGE_SEARCH_ORACLE},
         "embedding_medoid_per_label": {"fn": medoid_per_label, "oracle": MEDOID_ORACLE},
