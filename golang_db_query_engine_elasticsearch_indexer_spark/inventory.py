@@ -971,7 +971,9 @@ _q(
 # rolling-actives entry; DAU is the plain per-day distinct; the ratio
 # joins the two tiny day-keyed rollups. (A 30-day MAU would be
 # DEGENERATE on the fixture — events span exactly 30 days — so the
-# 7-day form is the honest one at test scale.)
+# 7-day form is the honest one at test scale.) Days whose trailing
+# window is truncated by the data start are trimmed — they would
+# report inflated stickiness (day one would always be 1.0).
 _q(
     "events_stickiness",
     """
@@ -993,6 +995,7 @@ _q(
     SELECT cast(dau.d AS string) AS day, dau.dau, wau.wau,
            round(dau.dau * cast(1 AS double) / wau.wau, 4) AS stickiness
     FROM dau JOIN wau ON dau.d = wau.d
+    WHERE dau.d >= (SELECT date_add(min(cast(ts AS date)), 6) FROM events)
     ORDER BY day
     """,
     oracle="""
@@ -1016,6 +1019,7 @@ _q(
     SELECT cast(dau.d AS varchar) AS day, dau.dau, wau.wau,
            round(dau.dau * cast(1 AS double) / wau.wau, 4) AS stickiness
     FROM dau JOIN wau ON dau.d = wau.d
+    WHERE dau.d >= (SELECT min(ts::DATE) + 6 FROM events)
     ORDER BY day
     """,
 )

@@ -867,7 +867,9 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def keep_best(
+    spark: SparkSession, sf_dir: str, comp: DataFrame | None = None
+) -> DataFrame:
     """Canonical-document selection per near-dup cluster: for each
     connected component, KEEP the member with the highest quality score
     (the curation policy real pipelines want — "min doc_id" is an
@@ -884,7 +886,8 @@ def keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_blend,
     )
 
-    comp = connected_components(spark, sf_dir)
+    if comp is None:
+        comp = connected_components(spark, sf_dir)
     quality = spark.table("documents").selectExpr(
         "doc_id",
         f"round({quality_blend()}, 4) AS quality",
@@ -924,11 +927,13 @@ def remap_to_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local. Output: (doc_id, canonical_id, is_canonical,
     in_cluster).
     """
-    kb = keep_best(spark, sf_dir).select("component", "kept_doc_id")
-    mapped = (
-        connected_components(spark, sf_dir)
-        .join(kb, "component")
-        .select("doc_id", F.col("kept_doc_id").alias("mapped_canonical"))
+    # ONE components run feeds both the winner selection and the
+    # member remap (keep_best would otherwise re-run the whole cluster
+    # discovery internally — doubling the dominant cost).
+    comp = connected_components(spark, sf_dir)
+    kb = keep_best(spark, sf_dir, comp=comp).select("component", "kept_doc_id")
+    mapped = comp.join(kb, "component").select(
+        "doc_id", F.col("kept_doc_id").alias("mapped_canonical")
     )
     return (
         spark.table("documents")
@@ -945,49 +950,20 @@ def remap_to_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_remap_oracle() -> str:
-    from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (  # noqa: PLC0415
-        duck_quality_blend,
-    )
-
-    pairs_sql = _duck_minhash_oracle()
+    """Composes the components and keep-best oracles (the repo's
+    oracle-composition pattern) instead of duplicating the recursive
+    closure and winner ranking — a fix to either base oracle propagates
+    here by construction."""
     return f"""
-WITH RECURSIVE pairs AS (
-  SELECT doc_a, doc_b FROM ({pairs_sql})
-),
-sym AS (
-  SELECT doc_a AS src, doc_b AS dst FROM pairs
-  UNION ALL
-  SELECT doc_b, doc_a FROM pairs
-),
-reach(src, dst) AS (
-  SELECT src, src FROM sym
-  UNION
-  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
-),
-comp AS (
-  SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
-),
-q AS (
-  SELECT doc_id, round({duck_quality_blend()}, 4) AS quality
-  FROM documents
-),
-ranked AS (
-  SELECT c.component, c.doc_id, q.quality,
-         row_number() OVER (PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id) AS rn
-  FROM comp c JOIN q USING (doc_id)
-),
-winners AS (
-  SELECT component, doc_id AS kept FROM ranked WHERE rn = 1
-),
-mapped AS (
-  SELECT c.doc_id, w.kept AS mapped_canonical
-  FROM comp c JOIN winners w USING (component)
-)
 SELECT d.doc_id,
-       coalesce(m.mapped_canonical, d.doc_id) AS canonical_id,
-       coalesce(m.mapped_canonical, d.doc_id) = d.doc_id AS is_canonical,
-       m.mapped_canonical IS NOT NULL AS in_cluster
-FROM documents d LEFT JOIN mapped m ON m.doc_id = d.doc_id
+       coalesce(m.kept, d.doc_id) AS canonical_id,
+       coalesce(m.kept, d.doc_id) = d.doc_id AS is_canonical,
+       m.kept IS NOT NULL AS in_cluster
+FROM documents d LEFT JOIN (
+  SELECT c.doc_id, k.kept_doc_id AS kept
+  FROM ({_duck_components_oracle()}) c
+  JOIN ({_duck_keep_best_oracle()}) k USING (component)
+) m ON m.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 

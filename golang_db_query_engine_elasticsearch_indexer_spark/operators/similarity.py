@@ -2037,32 +2037,20 @@ ORDER BY vec_id
 """
 
 
-def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the LSH-bucketed ANN against the exact baseline,
-    measured IN-PLAN per probe — the eval loop every ANN deployment
-    runs, here with both sides oracle-checkable (the kernels' own
-    oracles compose into the eval's oracle, so the measurement can
-    never drift from the deployed kernels). Output: per probe, the
-    bucket's candidate hits inside the exact top-{TOP_K} and the
-    recall fraction.
-
-    Scale: both inputs are the existing top-k relations (probes x k
-    rows); the eval join and rollup are probe-scale.
-    """
-    ex = brute_force_topk(spark, sf_dir).select("probe_id", "neighbor_id")
-    ls = lsh_bucket_topk(spark, sf_dir).select(
-        "probe_id", F.col("neighbor_id").alias("lsh_neighbor")
-    )
+def _recall_eval(ex, approx, approx_col: str):
+    """Shared recall@k rollup: exact top-k (probe_id, neighbor_id) LEFT
+    JOIN the approximate kernel's picks, counted per probe — the one
+    place the eval shape lives (the approximate kernel is the only
+    varying input)."""
+    ap = approx.select("probe_id", F.col("neighbor_id").alias(approx_col))
     return (
         ex.join(
-            ls,
-            (ex.probe_id == ls.probe_id) & (ex.neighbor_id == ls.lsh_neighbor),
+            ap,
+            (ex.probe_id == ap.probe_id) & (ex.neighbor_id == ap[approx_col]),
             "left",
         )
         .groupBy(ex.probe_id.alias("probe_id"))
-        .agg(
-            F.count(F.col("lsh_neighbor")).alias("n_hits"),
-        )
+        .agg(F.count(F.col(approx_col)).alias("n_hits"))
         .selectExpr(
             "probe_id",
             "n_hits",
@@ -2072,18 +2060,41 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_recall_oracle() -> str:
+def _recall_oracle(approx_sql: str) -> str:
+    """DuckDB side of the same eval shape over any approximate kernel's
+    oracle text."""
     return f"""
 WITH ex AS ({BRUTE_FORCE_ORACLE}),
-ls AS ({_lsh_oracle()})
+ap AS ({approx_sql})
 SELECT ex.probe_id,
-       cast(count(ls.neighbor_id) AS bigint) AS n_hits,
-       round(count(ls.neighbor_id) * cast(1 AS double) / {TOP_K}, 4) AS recall_at_k
-FROM ex LEFT JOIN ls
-  ON ls.probe_id = ex.probe_id AND ls.neighbor_id = ex.neighbor_id
+       cast(count(ap.neighbor_id) AS bigint) AS n_hits,
+       round(count(ap.neighbor_id) * cast(1 AS double) / {TOP_K}, 4) AS recall_at_k
+FROM ex LEFT JOIN ap
+  ON ap.probe_id = ex.probe_id AND ap.neighbor_id = ex.neighbor_id
 GROUP BY ex.probe_id
 ORDER BY ex.probe_id
 """
+
+
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN against the exact baseline,
+    measured IN-PLAN per probe — the eval loop every ANN deployment
+    runs, here with both sides oracle-checkable (the kernels' own
+    oracles compose into the eval's oracle, so the measurement can
+    never drift from the deployed kernels).
+
+    Scale: both inputs are the existing top-k relations (probes x k
+    rows); the eval join and rollup are probe-scale.
+    """
+    return _recall_eval(
+        brute_force_topk(spark, sf_dir).select("probe_id", "neighbor_id"),
+        lsh_bucket_topk(spark, sf_dir),
+        "lsh_neighbor",
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    return _recall_oracle(_lsh_oracle())
 
 
 def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2092,39 +2103,15 @@ def ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the learned coarse quantizer (the oracle replays the identical
     deterministic k-means, so even the trained index's recall is
     differential-tested, not just reported by the bench)."""
-    ex = brute_force_topk(spark, sf_dir).select("probe_id", "neighbor_id")
-    iv = ivf_topk(spark, sf_dir).select(
-        "probe_id", F.col("neighbor_id").alias("ivf_neighbor")
-    )
-    return (
-        ex.join(
-            iv,
-            (ex.probe_id == iv.probe_id) & (ex.neighbor_id == iv.ivf_neighbor),
-            "left",
-        )
-        .groupBy(ex.probe_id.alias("probe_id"))
-        .agg(F.count(F.col("ivf_neighbor")).alias("n_hits"))
-        .selectExpr(
-            "probe_id",
-            "n_hits",
-            f"round(n_hits * cast(1 AS double) / {TOP_K}, 4) AS recall_at_k",
-        )
-        .orderBy("probe_id")
+    return _recall_eval(
+        brute_force_topk(spark, sf_dir).select("probe_id", "neighbor_id"),
+        ivf_topk(spark, sf_dir),
+        "ivf_neighbor",
     )
 
 
 def _ivf_recall_oracle() -> str:
-    return f"""
-WITH ex AS ({BRUTE_FORCE_ORACLE}),
-iv AS ({IVF_ORACLE})
-SELECT ex.probe_id,
-       cast(count(iv.neighbor_id) AS bigint) AS n_hits,
-       round(count(iv.neighbor_id) * cast(1 AS double) / {TOP_K}, 4) AS recall_at_k
-FROM ex LEFT JOIN iv
-  ON iv.probe_id = ex.probe_id AND iv.neighbor_id = ex.neighbor_id
-GROUP BY ex.probe_id
-ORDER BY ex.probe_id
-"""
+    return _recall_oracle(IVF_ORACLE)
 
 
 def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

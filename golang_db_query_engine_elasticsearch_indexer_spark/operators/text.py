@@ -782,17 +782,11 @@ def signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 dp — corr() divides large near-cancelling sums, so it carries
     more float summation-order noise than the 4-dp signals themselves.
     """
-    toks = spark.table("documents").selectExpr(
-        "doc_id", f"explode({TOKENS}) AS w"
-    )
-    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    lp = (
-        toks.join(vocab, "w")
-        .crossJoin(F.broadcast(total))
-        .selectExpr("doc_id", "ln(cnt / total) AS lpx")
-        .groupBy("doc_id")
-        .agg(F.avg("lpx").alias("avg_lp"))
+    # The correlated LM signal IS unigram_logprob's reported output
+    # (the 4-dp avg_logprob column), so the redundancy analysis can
+    # never measure a different definition than the deployed signal.
+    lp = unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("avg_lp")
     )
     sig = (
         spark.table("documents")
@@ -819,7 +813,7 @@ WITH toks AS (
 vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
 total AS (SELECT sum(cnt) AS total FROM vocab),
 lp AS (
-  SELECT doc_id, avg(ln(cnt * 1.0 / total)) AS avg_lp
+  SELECT doc_id, round(avg(ln(cnt * 1.0 / total)), 4) AS avg_lp
   FROM toks JOIN vocab USING (w), total
   GROUP BY doc_id
 ),
@@ -863,7 +857,11 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = spark.table("documents").selectExpr(
         "doc_id", f"array_sort(array_distinct({TOKENS})) AS dt"
     )
-    pairs = dt.selectExpr(
+    # Guard: Spark's sequence(1, size-1) with size=1 yields the
+    # DESCENDING [1, 0] (not empty like DuckDB's range), which indexes
+    # out of bounds / fabricates self-pairs for single-distinct-token
+    # documents — same guard the minhash pair expansion applies.
+    pairs = dt.where("size(dt) >= 2").selectExpr(
         "doc_id",
         """explode(flatten(transform(
              sequence(1, size(dt) - 1),
@@ -1014,8 +1012,11 @@ QC_BIAS = 0.1
 QC_THRESHOLD = 0.5
 
 
-def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logistic quality score + keep/drop decision per document."""
+def qc_score_spark() -> str:
+    """Spark rendering of THE logistic score (rounded to 4 dp) over a
+    ``(doc_id, text, toks)`` relation — the single definition every
+    classifier consumer (scoring entry, calibration) shares, mirroring
+    the quality_blend discipline."""
     z = (
         f"{QC_BIAS}"
         f" + {QC_WEIGHTS['length_sat']} * least(size(toks) / 100.0, 1.0)"
@@ -1023,10 +1024,27 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" + {QC_WEIGHTS['punct_ratio']} * ((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))"
         f" + {QC_WEIGHTS['dup_token_ratio']} * (1.0 - size(array_distinct(toks)) / size(toks))"
     )
+    return f"round(1.0 / (1.0 + exp(-({z}))), 4)"
+
+
+def qc_score_duck() -> str:
+    """DuckDB rendering of the same score, value-for-value identical."""
+    z = (
+        f"{QC_BIAS}"
+        f" + {QC_WEIGHTS['length_sat']} * least(len(toks) / 100.0, 1.0)"
+        f" + {QC_WEIGHTS['stopword_ratio']} * (len(list_filter(toks, w -> list_contains({_list_lit(LANG_STOPWORDS['en'])}, w))) * 1.0 / len(toks))"
+        f" + {QC_WEIGHTS['punct_ratio']} * ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))"
+        f" + {QC_WEIGHTS['dup_token_ratio']} * (1.0 - len(list_distinct(toks)) * 1.0 / len(toks))"
+    )
+    return f"round(1.0 / (1.0 + exp(-({z}))), 4)"
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality score + keep/drop decision per document."""
     return (
         spark.table("documents")
         .selectExpr("doc_id", "text", f"{TOKENS} AS toks")
-        .selectExpr("doc_id", f"round(1.0 / (1.0 + exp(-({z}))), 4) AS p_keep")
+        .selectExpr("doc_id", f"{qc_score_spark()} AS p_keep")
         .selectExpr("doc_id", "p_keep", f"p_keep >= {QC_THRESHOLD} AS keep")
         .orderBy("doc_id")
     )
@@ -1037,12 +1055,7 @@ WITH t AS (
   SELECT doc_id, text, {DUCK_TOKENS} AS toks FROM documents
 ),
 s AS (
-  SELECT doc_id,
-         round(1.0 / (1.0 + exp(-({QC_BIAS}
-           + {QC_WEIGHTS['length_sat']} * least(len(toks) / 100.0, 1.0)
-           + {QC_WEIGHTS['stopword_ratio']} * (len(list_filter(toks, w -> list_contains({_list_lit(LANG_STOPWORDS['en'])}, w))) * 1.0 / len(toks))
-           + {QC_WEIGHTS['punct_ratio']} * ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
-           + {QC_WEIGHTS['dup_token_ratio']} * (1.0 - len(list_distinct(toks)) * 1.0 / len(toks))))), 4) AS p_keep
+  SELECT doc_id, {qc_score_duck()} AS p_keep
   FROM t
 )
 SELECT doc_id, p_keep, p_keep >= {QC_THRESHOLD} AS keep
@@ -1064,11 +1077,7 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = spark.sql(
         f"""
         SELECT doc_id,
-               round(1.0 / (1.0 + exp(-({QC_BIAS}
-                 + {QC_WEIGHTS['length_sat']} * least(size(toks) / 100.0, 1.0)
-                 + {QC_WEIGHTS['stopword_ratio']} * (size(filter(toks, w -> array_contains({_array_lit(LANG_STOPWORDS['en'])}, w))) / size(toks))
-                 + {QC_WEIGHTS['punct_ratio']} * ((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / length(text))
-                 + {QC_WEIGHTS['dup_token_ratio']} * (1.0 - size(array_distinct(toks)) / size(toks))))), 4) AS p_keep,
+               {qc_score_spark()} AS p_keep,
                round({quality_blend(toks='toks')}, 4) AS blend
         FROM (SELECT doc_id, text, {TOKENS} AS toks FROM documents)
         """
@@ -1094,11 +1103,7 @@ WITH t AS (
 ),
 scored AS (
   SELECT doc_id,
-         round(1.0 / (1.0 + exp(-({QC_BIAS}
-           + {QC_WEIGHTS['length_sat']} * least(len(toks) / 100.0, 1.0)
-           + {QC_WEIGHTS['stopword_ratio']} * (len(list_filter(toks, w -> list_contains({_list_lit(LANG_STOPWORDS['en'])}, w))) * 1.0 / len(toks))
-           + {QC_WEIGHTS['punct_ratio']} * ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) * 1.0 / length(text))
-           + {QC_WEIGHTS['dup_token_ratio']} * (1.0 - len(list_distinct(toks)) * 1.0 / len(toks))))), 4) AS p_keep,
+         {qc_score_duck()} AS p_keep,
          round({duck_quality_blend(toks="toks")}, 4) AS blend
   FROM t
 ),
