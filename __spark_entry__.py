@@ -101,7 +101,8 @@ def _configure(spark: SparkSession) -> None:
 #   corpus_signal_correlations, events_stickiness,
 #   orders_monthly_yoy, quality_classifier_calibration,
 #   ann_lsh_recall_eval, ann_ivf_recall_eval,
-#   dedup_remap_to_canonical): same policy —
+#   dedup_remap_to_canonical, customers_abc_pareto,
+#   events_funnel_latency): same policy —
 #   added after the frozen
 #   window, queued for r06. Each is integer/regex arithmetic shared
 #   verbatim across dialects (bit_count/xor band verify, md5-bucket

@@ -965,6 +965,107 @@ _q(
     """,
 )
 
+# ABC/Pareto revenue classification — the "which customers carry 80%
+# of revenue" cut every account analysis starts from: customers ranked
+# by revenue, cumulative share via one window over the CUSTOMER-level
+# rollup (never an order-scale sort), classed A (first 60% of
+# revenue), B (next 25%), C (tail). The share a customer's class is
+# judged on EXCLUDES the customer itself (cum_before) so the first
+# customer is always A and boundaries are unambiguous; ordering ties
+# break on custkey.
+_q(
+    "customers_abc_pareto",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT custkey, revenue,
+             cast(coalesce(sum(revenue) OVER (
+               ORDER BY revenue DESC, custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS double) AS cum_before,
+             cast(sum(revenue) OVER () AS double) AS total
+      FROM rev
+    )
+    SELECT custkey, revenue,
+           round(cum_before / total, 6) AS share_before,
+           CASE WHEN cum_before / total < 0.6 THEN 'A'
+                WHEN cum_before / total < 0.85 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    ORDER BY revenue DESC, custkey
+    """,
+)
+
+# Funnel conversion latency — extends events_funnel with the TIMING
+# dimension: among users who complete view -> click -> purchase (in
+# order, each stage's first qualifying event), the distribution of
+# stage-to-stage delays in minutes. min-over-conditional windows give
+# each user's first stage timestamps (one shuffle on user_id);
+# percentile_cont/quantile_cont agree across engines (the
+# driver-green agg_percentile entry pins that) and inputs are exact
+# integer minutes — both dialects truncate to whole seconds FIRST
+# (unix_timestamp truncates; DuckDB's epoch keeps the fraction and
+# its double->bigint cast ROUNDS, so floor() is explicit on both
+# sides), then floor the minute division.
+_q(
+    "events_funnel_latency",
+    """
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id,
+             cast(floor((unix_timestamp(t_click) - unix_timestamp(t_view))
+               / 60) AS bigint) AS view_to_click_min,
+             cast(floor((unix_timestamp(t_purchase) - unix_timestamp(t_click))
+               / 60) AS bigint) AS click_to_purchase_min
+      FROM stages
+      WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+        AND t_purchase IS NOT NULL
+        AND t_view < t_click AND t_click < t_purchase
+    )
+    SELECT cast(count(*) AS bigint) AS n_converters,
+           round(percentile(view_to_click_min, 0.5), 2) AS p50_view_to_click_min,
+           round(percentile(view_to_click_min, 0.9), 2) AS p90_view_to_click_min,
+           round(percentile(click_to_purchase_min, 0.5), 2) AS p50_click_to_purchase_min,
+           round(percentile(click_to_purchase_min, 0.9), 2) AS p90_click_to_purchase_min
+    FROM conv
+    """,
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id,
+             cast(floor((floor(epoch(t_click)) - floor(epoch(t_view)))
+               / 60) AS bigint) AS view_to_click_min,
+             cast(floor((floor(epoch(t_purchase)) - floor(epoch(t_click)))
+               / 60) AS bigint) AS click_to_purchase_min
+      FROM stages
+      WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+        AND t_purchase IS NOT NULL
+        AND t_view < t_click AND t_click < t_purchase
+    )
+    SELECT cast(count(*) AS bigint) AS n_converters,
+           round(quantile_cont(view_to_click_min, 0.5), 2) AS p50_view_to_click_min,
+           round(quantile_cont(view_to_click_min, 0.9), 2) AS p90_view_to_click_min,
+           round(quantile_cont(click_to_purchase_min, 0.5), 2) AS p50_click_to_purchase_min,
+           round(quantile_cont(click_to_purchase_min, 0.9), 2) AS p90_click_to_purchase_min
+    FROM conv
+    """,
+)
+
 # DAU/WAU stickiness — the engagement-depth ratio growth dashboards
 # track (dau/wau = 1/7 means users appear one day a week; 1.0 means
 # daily). WAU reuses the bounded x7 day-contribution explode of the
