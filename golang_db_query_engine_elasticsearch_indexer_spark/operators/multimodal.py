@@ -513,6 +513,187 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# --- real image decode #2: BMP (24-bit BITMAPINFOHEADER) --------------------
+#
+# A structurally DIFFERENT parse from PPM: little-endian binary headers
+# instead of ASCII tokens, BOTTOM-UP row order, BGR channel order, and
+# 4-byte row padding — the three layout traps naive raster readers get
+# wrong. Fixture BMPs are synthesized in Spark SQL as genuine wire
+# format (headers assembled byte-by-byte as hex, raster from the same
+# md5-chain family as the PPM path, per-row zero padding), so the
+# decoder parses real bytes and the oracle replays the generative
+# formula. The top-left-pixel columns prove the decoder honors the
+# bottom-up layout (the visual first row is the LAST stored row) —
+# channel sums alone would pass with the rows upside down.
+
+BMP_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, row_stride int, "
+    "b_sum long, g_sum long, r_sum long, tl_b int, tl_g int, tl_r int"
+)
+
+_HEXD = "0123456789abcdef"
+
+
+def _hex2(b: str) -> str:
+    """Spark SQL: two lowercase hex digits of a byte value expression."""
+    return (
+        f"concat(substring('{_HEXD}', (({b}) div 16) + 1, 1), "
+        f"substring('{_HEXD}', (({b}) % 16) + 1, 1))"
+    )
+
+
+def _u32le(x: str) -> str:
+    return "concat(" + ", ".join(
+        _hex2(f"(({x}) div {256 ** i}) % 256") for i in range(4)
+    ) + ")"
+
+
+def _u16le(x: str) -> str:
+    return "concat(" + ", ".join(
+        _hex2(f"(({x}) div {256 ** i}) % 256") for i in range(2)
+    ) + ")"
+
+
+def _bmp_payload_expr() -> str:
+    """Spark SQL expr: a genuine 24-bit BMP binary per document.
+    width = 3 + doc_id % 6 (so the 4-byte row padding cycles 3,0,1,2),
+    height = 2 + doc_id % 3, raster bytes from an md5 chain salted
+    ':bmp:' — all deterministic, all codegen'd; only the decoder is
+    Python."""
+    w = "(3 + doc_id % 6)"
+    h = "(2 + doc_id % 3)"
+    pad = f"((4 - (({w}) * 3) % 4) % 4)"
+    stride = f"(({w}) * 3 + {pad})"
+    img_size = f"({h} * {stride})"
+    nbytes = f"(3 * {w} * {h})"
+    nchunks = f"(({nbytes} + 15) div 16)"
+    pixhex = (
+        f"substring(concat_ws('', transform(sequence(0, {nchunks} - 1), "
+        f"i -> md5(concat(cast(doc_id AS string), ':bmp:', cast(i AS string))))), "
+        f"1, {nbytes} * 2)"
+    )
+    # rows stored bottom-up with per-row zero padding
+    rows = (
+        f"concat_ws('', transform(sequence(0, {h} - 1), "
+        f"r -> concat(substring({pixhex}, r * {w} * 6 + 1, {w} * 6), "
+        f"repeat('00', {pad}))))"
+    )
+    header_hex = (
+        "concat('424d', "                      # 'BM'
+        f"{_u32le(f'54 + {img_size}')}, "      # file size
+        "'00000000', "                          # reserved
+        f"{_u32le('54')}, "                    # pixel-data offset
+        f"{_u32le('40')}, "                    # info-header size
+        f"{_u32le(w)}, {_u32le(h)}, "          # width, height (bottom-up)
+        f"{_u16le('1')}, {_u16le('24')}, "     # planes, bpp
+        f"{_u32le('0')}, "                     # compression BI_RGB
+        f"{_u32le(img_size)}, "                # image size
+        f"{_u32le('2835')}, {_u32le('2835')}, "  # x/y pixels-per-meter
+        f"{_u32le('0')}, {_u32le('0')})"       # palette counts
+    )
+    return f"unhex(concat({header_hex}, {rows}))"
+
+
+def _decode_bmp_batches(batches):
+    """mapInPandas worker: a REAL BMP decoder — magic/planes/bpp/
+    compression validation via little-endian struct parsing, padded
+    bottom-up raster walk, BGR channel sums, and the visual top-left
+    pixel (stored LAST row first pixel). Raises on malformed input."""
+    import struct  # noqa: PLC0415 — executor-side
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def parse(b):
+        data = bytes(b)
+        if data[:2] != b"BM":
+            raise ValueError(f"not a BMP: magic={data[:2]!r}")
+        file_size, _res, offset = struct.unpack_from("<III", data, 2)
+        (
+            hdr_size, w, h, planes, bpp, compression, _img_size
+        ) = struct.unpack_from("<IiiHHII", data, 14)
+        if hdr_size != 40 or planes != 1:
+            raise ValueError(f"unsupported BMP header: size={hdr_size} planes={planes}")
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"unsupported BMP encoding: bpp={bpp} comp={compression}")
+        if h <= 0:
+            raise ValueError("top-down BMPs (negative height) not supported")
+        stride = (w * 3 + 3) & ~3
+        if len(data) < offset + h * stride:
+            raise ValueError("BMP truncated")
+        raw = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=offset)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        img = rows[::-1]  # bottom-up storage -> visual order
+        sums = img.sum(axis=(0, 1), dtype=np.int64)  # B, G, R
+        tl = img[0, 0]
+        return (
+            w, h, bpp, stride,
+            int(sums[0]), int(sums[1]), int(sums[2]),
+            int(tl[0]), int(tl[1]), int(tl[2]),
+        )
+
+    for pdf in batches:
+        rows = [(int(d), *parse(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "bpp", "row_stride",
+                "b_sum", "g_sum", "r_sum", "tl_b", "tl_g", "tl_r",
+            ],
+        )
+
+
+def decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BMP decode through the multimodal path (see the section
+    comment: LE headers, bottom-up rows, BGR, row padding)."""
+    payloads = spark.table("documents").select(
+        "doc_id", F.expr(_bmp_payload_expr()).alias("payload")
+    )
+    return payloads.mapInPandas(_decode_bmp_batches, schema=BMP_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _decode_bmp_oracle() -> str:
+    """Recomputes the decoded stats from the generative formula without
+    parsing binary: pixel j's bytes live at hex positions 6j+1.. of the
+    md5 chain (B at +0, G at +2, R at +4); the visual top-left pixel is
+    the FIRST pixel of the LAST stored row, hex offset 6*w*(h-1)."""
+    hv = "strpos('0123456789abcdef', substring(hexstr, {p}, 1)) - 1"
+    byte_at = f"(({hv.format(p='{off} + 1')}) * 16 + ({hv.format(p='{off} + 2')}))"
+    chan_sum = (
+        "cast(list_sum(list_transform(range(0, npix), j -> "
+        + byte_at.format(off="6*j + {c2}")
+        + ")) AS BIGINT)"
+    )
+    tl = byte_at.format(off="6 * w * (h - 1) + {c2}")
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 3 AS h FROM documents
+),
+hx AS (
+  SELECT doc_id, w, h, w * h AS npix,
+         substring(list_aggregate(list_transform(range(0, (3 * w * h + 15) // 16),
+             i -> md5(doc_id::VARCHAR || ':bmp:' || i::VARCHAR)), 'string_agg', ''),
+           1, 6 * w * h) AS hexstr
+  FROM dims
+)
+SELECT doc_id,
+       cast(w AS INTEGER) AS width,
+       cast(h AS INTEGER) AS height,
+       cast(24 AS INTEGER) AS bpp,
+       cast((w * 3 + 3) // 4 * 4 AS INTEGER) AS row_stride,
+       {chan_sum.format(c2=0)} AS b_sum,
+       {chan_sum.format(c2=2)} AS g_sum,
+       {chan_sum.format(c2=4)} AS r_sum,
+       cast({tl.format(c2=0)} AS INTEGER) AS tl_b,
+       cast({tl.format(c2=2)} AS INTEGER) AS tl_g,
+       cast({tl.format(c2=4)} AS INTEGER) AS tl_r
+FROM hx
+ORDER BY doc_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "multimodal_binary_features": {
@@ -524,6 +705,10 @@ def registry() -> dict[str, dict]:
         "multimodal_decode_image": {
             "fn": decode_image,
             "oracle": _decode_image_oracle(),
+        },
+        "multimodal_decode_bmp": {
+            "fn": decode_bmp,
+            "oracle": _decode_bmp_oracle(),
         },
         "multimodal_decode_audio": {
             "fn": decode_audio,

@@ -396,6 +396,54 @@ def test_ppm_decoder_is_a_real_parser(spark, tables, sf_dir):
         decode_one(b"P6\n2 2\n255\n" + pixels)  # needs 12 bytes, has 6
 
 
+def test_bmp_decoder_is_a_real_parser(spark, tables, sf_dir):
+    """The BMP decoder must behave like an actual BMP reader: honor
+    bottom-up row order and 4-byte row padding on a hand-built file,
+    and fail loudly on wrong magic, unsupported encodings, and
+    truncated rasters."""
+    import struct
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import multimodal
+
+    def decode_one(payload: bytes):
+        batches = iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])
+        return list(multimodal._decode_bmp_batches(batches))[0].iloc[0]
+
+    def bmp(w, h, rows_bottom_up, bpp=24, comp=0, magic=b"BM", hgt=None):
+        stride = (w * 3 + 3) & ~3
+        raster = b"".join(
+            bytes(r) + b"\x00" * (stride - w * 3) for r in rows_bottom_up
+        )
+        return (
+            magic
+            + struct.pack("<III", 54 + len(raster), 0, 54)
+            + struct.pack("<IiiHHII", 40, w, hgt if hgt is not None else h, 1, bpp, comp, len(raster))
+            + struct.pack("<iiII", 2835, 2835, 0, 0)
+            + raster
+        )
+
+    # 1x2 image stored bottom-up: stored FIRST row is the visual
+    # BOTTOM; the visual top-left pixel must come from the LAST row.
+    bottom = [5, 6, 7]     # B,G,R of the visual bottom pixel
+    top = [50, 60, 70]     # visual top pixel
+    row = decode_one(bmp(1, 2, [bottom, top]))
+    assert (row.width, row.height, row.row_stride) == (1, 2, 4)
+    assert (row.tl_b, row.tl_g, row.tl_r) == (50, 60, 70)
+    assert (row.b_sum, row.g_sum, row.r_sum) == (55, 66, 77)
+
+    with _pytest.raises(ValueError, match="magic"):
+        decode_one(bmp(1, 1, [[1, 2, 3]], magic=b"XX"))
+    with _pytest.raises(ValueError, match="bpp"):
+        decode_one(bmp(1, 1, [[1, 2, 3]], bpp=32))
+    with _pytest.raises(ValueError, match="top-down"):
+        decode_one(bmp(1, 1, [[1, 2, 3]], hgt=-1))
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_one(bmp(1, 2, [[1, 2, 3], [4, 5, 6]])[:-4])
+
+
 def test_decode_image_entry_runs_on_fixture(spark, tables, sf_dir):
     """End-to-end: synthesized PPM payloads flow through Arrow into the
     decoder; dims follow the doc_id formula and sums are in range."""
