@@ -102,7 +102,8 @@ def _configure(spark: SparkSession) -> None:
 #   orders_monthly_yoy, quality_classifier_calibration,
 #   ann_lsh_recall_eval, ann_ivf_recall_eval,
 #   dedup_remap_to_canonical, customers_abc_pareto,
-#   events_funnel_latency, multimodal_decode_bmp): same policy —
+#   events_funnel_latency, multimodal_decode_bmp,
+#   corpus_zipf_fit): same policy —
 #   added after the frozen
 #   window, queued for r06. Each is integer/regex arithmetic shared
 #   verbatim across dialects (bit_count/xor band verify, md5-bucket

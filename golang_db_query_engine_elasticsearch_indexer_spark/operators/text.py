@@ -1120,6 +1120,54 @@ GROUP BY decile
 ORDER BY decile
 """
 
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term distribution: OLS slope and
+    intercept of ln(freq) against ln(rank) — natural text sits near
+    slope -1, and a corpus whose slope drifts (much flatter: synthetic/
+    templated text; much steeper: heavy boilerplate head) fails the
+    distributional sniff test. Rank is the (freq DESC, term) total
+    order, regression is one regr_slope/regr_intercept aggregation over
+    the VOCABULARY-scale relation; rounded to 3 dp (regression sums
+    carry more float noise than the underlying counts).
+    """
+    return spark.sql(
+        f"""
+        WITH vocab AS (
+          SELECT w, count(*) AS freq
+          FROM (SELECT explode({TOKENS}) AS w FROM documents)
+          GROUP BY w
+        ),
+        ranked AS (
+          SELECT freq,
+                 row_number() OVER (ORDER BY freq DESC, w) AS rank
+          FROM vocab
+        )
+        SELECT cast(count(*) AS bigint) AS n_terms,
+               round(regr_slope(ln(freq), ln(rank)), 3) AS zipf_slope,
+               round(regr_intercept(ln(freq), ln(rank)), 3) AS zipf_intercept
+        FROM ranked
+        """
+    )
+
+
+ZIPF_ORACLE = f"""
+WITH vocab AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT unnest({DUCK_TOKENS}) AS w FROM documents)
+  GROUP BY w
+),
+ranked AS (
+  SELECT freq,
+         row_number() OVER (ORDER BY freq DESC, w) AS rank
+  FROM vocab
+)
+SELECT cast(count(*) AS bigint) AS n_terms,
+       round(regr_slope(ln(freq), ln(rank)), 3) AS zipf_slope,
+       round(regr_intercept(ln(freq), ln(rank)), 3) AS zipf_intercept
+FROM ranked
+"""
+
+
 BPE_TOP_N = 50
 
 
@@ -1212,6 +1260,7 @@ def registry() -> dict[str, dict]:
             "fn": classifier_calibration,
             "oracle": CALIBRATION_ORACLE,
         },
+        "corpus_zipf_fit": {"fn": zipf_fit, "oracle": ZIPF_ORACLE},
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
         "text_bigram_logprob": {"fn": bigram_logprob, "oracle": BIGRAM_LOGPROB_ORACLE},
