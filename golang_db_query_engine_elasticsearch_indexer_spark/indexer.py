@@ -426,6 +426,29 @@ class HttpBulkSink:
     def index_exists(self, index_name: str) -> bool:
         return self._request("HEAD", f"/{index_name}") == 200
 
+    def swap_alias(self, alias: str, new_index: str, old_index: str | None = None) -> bool:
+        """Atomically point ``alias`` at ``new_index`` (removing it from
+        ``old_index`` in the SAME ``_aliases`` request) — the
+        zero-downtime reindex pattern: readers query the alias while a
+        fresh index is bulk-loaded, then the swap flips them over in
+        one atomic action set. The reference writes straight to a named
+        index (elastic_controller.go:276-297) and has no cutover story;
+        this is the operational improvement a production indexer needs.
+        """
+        import json as _json
+
+        actions: list[dict] = []
+        if old_index:
+            actions.append({"remove": {"index": old_index, "alias": alias}})
+        actions.append({"add": {"index": new_index, "alias": alias}})
+        status = self._request(
+            "POST",
+            "/_aliases",
+            body=_json.dumps({"actions": actions}).encode(),
+            content_type="application/json",
+        )
+        return status == 200
+
     def ensure_index(self, index_name: str, schema=None) -> bool:
         """HEAD-then-PUT parity (elastic_controller.go:161-181). With
         ``explicit_mapping`` and a schema, the create carries a typed

@@ -20,6 +20,8 @@ class StubES:
         #: body of the PUT that created each index ({} if body-less) —
         #: lets tests assert explicit-mapping creates.
         self.create_bodies: dict[str, dict] = {}
+        #: alias -> index (single-index aliases, the rollover pattern)
+        self.aliases: dict[str, str] = {}
         self.fail_ids = {str(i) for i in fail_ids}
         self.reject_remaining = reject_first_n_bulk
         self.bulk_requests = 0
@@ -65,6 +67,34 @@ class StubES:
                 self._respond(200, b"{}")
 
             def do_POST(self):
+                if self.path.startswith("/_aliases"):
+                    # atomic alias actions (remove + add applied
+                    # together under the lock, like real ES)
+                    length = int(self.headers.get("Content-Length") or 0)
+                    if "application/json" not in (
+                        self.headers.get("Content-Type") or ""
+                    ):
+                        self._respond(406, b'{"error":"Content-Type"}')
+                        return
+                    actions = json.loads(self.rfile.read(length))["actions"]
+                    with stub.lock:
+                        # validate FIRST, apply second — the whole
+                        # action set succeeds or fails as one unit
+                        # (real ES alias updates are atomic).
+                        for act in actions:
+                            if "add" in act and act["add"]["index"] not in stub.indexes:
+                                self._respond(404, b'{"error":"no such index"}')
+                                return
+                        for act in actions:
+                            if "remove" in act:
+                                a = act["remove"]
+                                if stub.aliases.get(a["alias"]) == a["index"]:
+                                    del stub.aliases[a["alias"]]
+                            elif "add" in act:
+                                a = act["add"]
+                                stub.aliases[a["alias"]] = a["index"]
+                    self._respond(200, b'{"acknowledged":true}')
+                    return
                 if not self.path.startswith("/_bulk"):
                     self._respond(404, b"{}")
                     return

@@ -160,6 +160,28 @@ def test_http_bulk_explicit_mapping_from_schema(spark, tables, es_stub):
     assert m["properties"]["s"]["properties"]["a"] == {"type": "long"}
 
 
+def test_http_bulk_alias_rollover(spark, tables, es_stub):
+    """Zero-downtime reindex: load v1, point the alias at it; load v2
+    and swap — the alias must move atomically (one _aliases action set)
+    and never point at both or neither; swapping onto a missing index
+    must fail without touching the alias."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import HttpBulkSink
+
+    stub = es_stub()
+    sink = HttpBulkSink(stub.base_url)
+    save(spark, SQL, "orders_v1", sink)
+    assert sink.swap_alias("orders_live", "orders_v1")
+    assert stub.aliases["orders_live"] == "orders_v1"
+
+    save(spark, SQL, "orders_v2", sink)
+    assert sink.swap_alias("orders_live", "orders_v2", old_index="orders_v1")
+    assert stub.aliases["orders_live"] == "orders_v2"
+
+    # missing target: refused, alias untouched
+    assert not sink.swap_alias("orders_live", "orders_v3", old_index="orders_v2")
+    assert stub.aliases["orders_live"] == "orders_v2"
+
+
 def test_http_bulk_failure_accounting(spark, tables, es_stub):
     """Per-item failures move num_failed (reference OnFailure callback,
     elastic_controller.go:210-222) — the counter is measured, not 0."""
