@@ -143,6 +143,89 @@ ORDER BY doc_id
 """
 
 
+def modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup agreement: how much do the TEXT near-dup
+    signal (minhash/LSH verified pairs) and the EMBEDDING near-dup
+    signal (banded cosine pairs; vec_id == doc_id in the fixtures)
+    find the SAME pairs? High pair-set Jaccard means one modality is
+    redundant; low means the signals catch different duplication and
+    both belong in the pipeline — the modality-selection analysis run
+    before paying for both at 100 TB.
+
+    Scale: both inputs are the kernels' own candidate-sized pair
+    relations; the comparison is one full-outer join + one conditional
+    aggregation over pairs, never documents.
+    """
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_lsh_pairs,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.similarity import (  # noqa: PLC0415
+        neardup_pairs,
+    )
+
+    tp = minhash_lsh_pairs(spark, sf_dir).selectExpr(
+        "doc_a", "doc_b", "1 AS in_text"
+    )
+    ep = neardup_pairs(spark, sf_dir).selectExpr(
+        "va AS doc_a", "vb AS doc_b", "1 AS in_emb"
+    )
+    return (
+        tp.join(ep, ["doc_a", "doc_b"], "full_outer")
+        .agg(
+            F.sum(F.coalesce(F.col("in_text"), F.lit(0))).cast("bigint").alias("n_text_pairs"),
+            F.sum(F.coalesce(F.col("in_emb"), F.lit(0))).cast("bigint").alias("n_emb_pairs"),
+            F.sum(
+                F.when(F.col("in_text").isNotNull() & F.col("in_emb").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_both"),
+        )
+        .selectExpr(
+            "n_text_pairs",
+            "n_emb_pairs",
+            "n_both",
+            "round(n_both * cast(1 AS double) "
+            "/ (n_text_pairs + n_emb_pairs - n_both), 4) AS pair_jaccard",
+        )
+    )
+
+
+def _duck_modality_agreement_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.dedup import (  # noqa: PLC0415
+        _duck_minhash_oracle,
+    )
+
+    return f"""
+WITH tp AS (
+  SELECT doc_a, doc_b FROM ({_duck_minhash_oracle()})
+),
+ep AS (
+  SELECT va AS doc_a, vb AS doc_b FROM ({_neardup_oracle_sql()})
+),
+u AS (
+  SELECT tp.doc_a AS ta, ep.doc_a AS ea
+  FROM tp FULL OUTER JOIN ep
+    ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+)
+SELECT cast(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_text_pairs,
+       cast(sum(CASE WHEN ea IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_emb_pairs,
+       cast(sum(CASE WHEN ta IS NOT NULL AND ea IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_both,
+       round(sum(CASE WHEN ta IS NOT NULL AND ea IS NOT NULL THEN 1 ELSE 0 END)
+             * cast(1 AS double)
+             / (sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END)
+                + sum(CASE WHEN ea IS NOT NULL THEN 1 ELSE 0 END)
+                - sum(CASE WHEN ta IS NOT NULL AND ea IS NOT NULL THEN 1 ELSE 0 END)), 4)
+         AS pair_jaccard
+FROM u
+"""
+
+
+def _neardup_oracle_sql() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.similarity import (  # noqa: PLC0415
+        NEARDUP_ORACLE,
+    )
+
+    return NEARDUP_ORACLE
+
+
 def _report_sql(hash_fn: str) -> str:
     """Shared curation-funnel SQL (dialect knobs: the hash fn plus the
     {SIZE}/{STOPR}/{CPT} expression placeholders the callers replace).
@@ -235,6 +318,10 @@ def registry() -> dict[str, dict]:
         "pipeline_curation_report": {
             "fn": curation_report,
             "oracle": _duck_report_oracle(),
+        },
+        "dedup_modality_agreement": {
+            "fn": modality_agreement,
+            "oracle": _duck_modality_agreement_oracle(),
         },
         "dedup_semantic_survivors": {
             "fn": semantic_dedup_survivors,
