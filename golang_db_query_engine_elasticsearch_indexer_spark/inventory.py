@@ -965,6 +965,41 @@ _q(
     """,
 )
 
+# Hour-of-day x day-of-week load heatmap — the traffic-shape rollup
+# capacity planning reads (24x7 cells, one partial-aggregated
+# shuffle). dayofweek/isodow are engine-specific numberings, so the
+# weekday key is the NAME from a shared format string; share is
+# row-local over the window sum.
+_q(
+    "events_load_heatmap",
+    """
+    WITH cells AS (
+      SELECT date_format(ts, 'EEEE') AS weekday,
+             cast(hour(ts) AS int) AS hour_of_day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT weekday, hour_of_day, n_events,
+           round(n_events * cast(1 AS double) / sum(n_events) OVER (), 6)
+             AS share
+    FROM cells
+    ORDER BY weekday, hour_of_day
+    """,
+    oracle="""
+    WITH cells AS (
+      SELECT strftime(ts, '%A') AS weekday,
+             cast(extract(hour FROM ts) AS int) AS hour_of_day,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT weekday, hour_of_day, n_events,
+           round(n_events * cast(1 AS double) / sum(n_events) OVER (), 6)
+             AS share
+    FROM cells
+    ORDER BY weekday, hour_of_day
+    """,
+)
+
 # ABC/Pareto revenue classification — the "which customers carry 80%
 # of revenue" cut every account analysis starts from: customers ranked
 # by revenue, cumulative share via one window over the CUSTOMER-level

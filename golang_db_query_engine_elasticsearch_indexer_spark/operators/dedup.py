@@ -1098,6 +1098,94 @@ ORDER BY p.doc_a, p.doc_b
 """
 
 
+# Cut points chosen around the fixture's bimodal candidate similarity
+# (2 band-collision false candidates near 0.06; 25 true near-dups at
+# 0.9+), so the reported curve actually moves at test scale: 0.05
+# admits the false candidates, 0.95 sheds the weakest true pair.
+SENSITIVITY_THRESHOLDS = (0.05, 0.25, 0.5, 0.95)
+
+
+def threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity of the near-dup verifier: how many
+    candidate pairs survive at each cut — the tuning curve a pipeline
+    inspects before fixing JACCARD_THRESHOLD (a cliff between two cuts
+    means the threshold sits inside a dense similarity band and small
+    changes swing deletion volume). ONE pass over the verified
+    candidate overlaps; all thresholds are conditional counts of the
+    same rounded jaccard the kernel filters on.
+    """
+    sh = _shingle_arrays_df(spark)
+    bands = _minhash_bands(sh)
+    cand = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs").between(2, MINHASH_MAX_BUCKET))
+        .selectExpr(
+            """explode(flatten(transform(
+                 sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                                j -> struct(docs[j] AS a, docs[i] AS b))
+               ))) AS p"""
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    j = _verify_overlap(cand, sh.withColumnRenamed("shs", "grams")).selectExpr(
+        "round(inter / (na + nb - inter), 4) AS jaccard"
+    )
+    return j.agg(
+        F.count("*").alias("n_candidates"),
+        *[
+            F.sum(F.expr(f"CASE WHEN jaccard >= {t} THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias(f"kept_at_{str(t).replace('.', '_')}")
+            for t in SENSITIVITY_THRESHOLDS
+        ],
+    )
+
+
+def _duck_threshold_sensitivity_oracle() -> str:
+    kept = ",\n       ".join(
+        f"cast(sum(CASE WHEN jaccard >= {t} THEN 1 ELSE 0 END) AS bigint)"
+        f" AS kept_at_{str(t).replace('.', '_')}"
+        for t in SENSITIVITY_THRESHOLDS
+    )
+    return f"""
+WITH sh AS ({DUCK_SHINGLES}),
+{_duck_band_ctes()},
+occ AS (
+  SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+  JOIN occ ON occ.band_id = x.band_id AND occ.band_val = x.band_val
+  WHERE occ.n <= {MINHASH_MAX_BUCKET}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+),
+j AS (
+  SELECT c.a, c.b,
+         round(coalesce(i.i, 0) * 1.0 / (na.n + nb.n - coalesce(i.i, 0)), 4)
+           AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes na ON na.doc_id = c.a
+  JOIN sizes nb ON nb.doc_id = c.b
+)
+SELECT cast(count(*) AS bigint) AS n_candidates,
+       {kept}
+FROM j
+"""
+
+
 def cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-size distribution of the transitive near-dup components —
     the one-page summary that sizes the dedup win before deletion runs:
@@ -1310,6 +1398,10 @@ def registry() -> dict[str, dict]:
             "oracle": _duck_simhash_pairs_oracle(),
         },
         "dedup_components": {"fn": connected_components, "oracle": _duck_components_oracle()},
+        "dedup_threshold_sensitivity": {
+            "fn": threshold_sensitivity,
+            "oracle": _duck_threshold_sensitivity_oracle(),
+        },
         "dedup_cluster_size_stats": {
             "fn": cluster_size_stats,
             "oracle": _duck_cluster_stats_oracle(),
