@@ -1035,11 +1035,11 @@ _q(
 )
 
 # Funnel conversion latency — extends events_funnel with the TIMING
-# dimension: among users who complete view -> click -> purchase (in
-# order, each stage's first qualifying event), the distribution of
-# stage-to-stage delays in minutes. min-over-conditional windows give
-# each user's first stage timestamps (one shuffle on user_id);
-# percentile_cont/quantile_cont agree across engines (the
+# dimension over the SAME converter population: the v/c/p stage CTEs
+# below are events_funnel's own (first view, first click within 1 day
+# of it, first purchase within 1 day of that), so n_converters here
+# EQUALS the funnel's stage-3 count by construction (asserted by
+# test). percentile_cont/quantile_cont agree across engines (the
 # driver-green agg_percentile entry pins that) and inputs are exact
 # integer minutes — both dialects truncate to whole seconds FIRST
 # (unix_timestamp truncates; DuckDB's epoch keeps the fraction and
@@ -1048,56 +1048,82 @@ _q(
 _q(
     "events_funnel_latency",
     """
-    WITH stages AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-      FROM events GROUP BY user_id
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 DAY
+      GROUP BY e.user_id
     ),
     conv AS (
+      SELECT v.user_id, v.t1, c.t2, p.t3
+      FROM p JOIN c ON p.user_id = c.user_id
+             JOIN v ON p.user_id = v.user_id
+    ),
+    lat AS (
       SELECT user_id,
-             cast(floor((unix_timestamp(t_click) - unix_timestamp(t_view))
+             cast(floor((unix_timestamp(t2) - unix_timestamp(t1))
                / 60) AS bigint) AS view_to_click_min,
-             cast(floor((unix_timestamp(t_purchase) - unix_timestamp(t_click))
+             cast(floor((unix_timestamp(t3) - unix_timestamp(t2))
                / 60) AS bigint) AS click_to_purchase_min
-      FROM stages
-      WHERE t_view IS NOT NULL AND t_click IS NOT NULL
-        AND t_purchase IS NOT NULL
-        AND t_view < t_click AND t_click < t_purchase
+      FROM conv
     )
     SELECT cast(count(*) AS bigint) AS n_converters,
            round(percentile(view_to_click_min, 0.5), 2) AS p50_view_to_click_min,
            round(percentile(view_to_click_min, 0.9), 2) AS p90_view_to_click_min,
            round(percentile(click_to_purchase_min, 0.5), 2) AS p50_click_to_purchase_min,
            round(percentile(click_to_purchase_min, 0.9), 2) AS p90_click_to_purchase_min
-    FROM conv
+    FROM lat
     """,
-    oracle="""
-    WITH stages AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-      FROM events GROUP BY user_id
+    oracle=    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 DAY
+      GROUP BY e.user_id
     ),
     conv AS (
+      SELECT v.user_id, v.t1, c.t2, p.t3
+      FROM p JOIN c ON p.user_id = c.user_id
+             JOIN v ON p.user_id = v.user_id
+    ),
+    lat AS (
       SELECT user_id,
-             cast(floor((floor(epoch(t_click)) - floor(epoch(t_view)))
+             cast(floor((floor(epoch(t2)) - floor(epoch(t1)))
                / 60) AS bigint) AS view_to_click_min,
-             cast(floor((floor(epoch(t_purchase)) - floor(epoch(t_click)))
+             cast(floor((floor(epoch(t3)) - floor(epoch(t2)))
                / 60) AS bigint) AS click_to_purchase_min
-      FROM stages
-      WHERE t_view IS NOT NULL AND t_click IS NOT NULL
-        AND t_purchase IS NOT NULL
-        AND t_view < t_click AND t_click < t_purchase
+      FROM conv
     )
     SELECT cast(count(*) AS bigint) AS n_converters,
            round(quantile_cont(view_to_click_min, 0.5), 2) AS p50_view_to_click_min,
            round(quantile_cont(view_to_click_min, 0.9), 2) AS p90_view_to_click_min,
            round(quantile_cont(click_to_purchase_min, 0.5), 2) AS p50_click_to_purchase_min,
            round(quantile_cont(click_to_purchase_min, 0.9), 2) AS p90_click_to_purchase_min
-    FROM conv
+    FROM lat
     """,
 )
 

@@ -260,6 +260,30 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct candidate (a, b) pairs from the band relation via capped
+    bucket postings — ONE pass over the signature relation (a self-join
+    would compute the expensive signature subtree twice), collect_list
+    state and pair fan-out both bounded by MINHASH_MAX_BUCKET, pairs
+    expanded row-locally. Shared by the kernel and the
+    threshold-sensitivity analysis so the candidate definition cannot
+    fork."""
+    return (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs").between(2, MINHASH_MAX_BUCKET))
+        .selectExpr(
+            """explode(flatten(transform(
+                 sequence(1, size(docs) - 1),
+                 i -> transform(sequence(0, i - 1),
+                                j -> struct(docs[j] AS a, docs[i] AS b))
+               ))) AS p"""
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash(16) + LSH banding (4 bands x 4 rows),
     exact-jaccard-verified at >= 0.25.
@@ -280,24 +304,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _minhash_bands(sh)
 
     # Candidates via capped bucket postings (same shape as the ngram
-    # inverted index) instead of a bands-self-join: ONE pass over the
-    # signature relation (a self-join computes the expensive signature
-    # subtree twice), collect_list state and pair fan-out both bounded
-    # by MINHASH_MAX_BUCKET, pairs expanded row-locally.
-    cand = (
-        bands.groupBy("band_id", "band_val")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .where(F.size("docs").between(2, MINHASH_MAX_BUCKET))
-        .selectExpr(
-            """explode(flatten(transform(
-                 sequence(1, size(docs) - 1),
-                 i -> transform(sequence(0, i - 1),
-                                j -> struct(docs[j] AS a, docs[i] AS b))
-               ))) AS p"""
-        )
-        .select("p.a", "p.b")
-        .distinct()
-    )
+    # inverted index) — see _minhash_candidates.
+    cand = _minhash_candidates(bands)
 
     # Verify with array_intersect on per-doc shingle arrays (already
     # distinct): one codegen'd expression per candidate pair, linear in
@@ -347,10 +355,13 @@ bands AS (
 )"""
 
 
-def _duck_minhash_pair_ctes() -> str:
-    """DuckDB CTE chain (starting at ``sh``) ending in
-    ``pairs(doc_a, doc_b, jaccard)`` — the verified minhash pair
-    relation; shared by the minhash oracle and the estimator eval."""
+def _duck_minhash_overlap_ctes() -> str:
+    """DuckDB CTE chain (starting at ``sh``) ending in the UNFILTERED
+    candidate overlap relation ``j(doc_a, doc_b, jaccard)`` — the one
+    definition of candidate generation + exact-jaccard scoring every
+    minhash-derived oracle (kernel, estimator eval, threshold
+    sensitivity) builds on, mirroring the Spark side's shared
+    ``_minhash_candidates`` / ``_verify_overlap`` helpers."""
     return f"""sh AS ({DUCK_SHINGLES}),
 {_duck_band_ctes()},
 occ AS (
@@ -371,13 +382,24 @@ inter AS (
   JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
   GROUP BY c.a, c.b
 ),
+j AS (
+  SELECT c.a AS doc_a, c.b AS doc_b,
+         round(coalesce(i.i, 0) * 1.0 / (na.n + nb.n - coalesce(i.i, 0)), 4)
+           AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  JOIN sizes na ON na.doc_id = c.a
+  JOIN sizes nb ON nb.doc_id = c.b
+)"""
+
+
+def _duck_minhash_pair_ctes() -> str:
+    """Overlap chain + the threshold filter: ends in the VERIFIED pair
+    relation ``pairs(doc_a, doc_b, jaccard)``."""
+    return f"""{_duck_minhash_overlap_ctes()},
 pairs AS (
-  SELECT inter.a AS doc_a, inter.b AS doc_b,
-         round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) AS jaccard
-  FROM inter
-  JOIN sizes na ON na.doc_id = inter.a
-  JOIN sizes nb ON nb.doc_id = inter.b
-  WHERE round(inter.i * 1.0 / (na.n + nb.n - inter.i), 4) >= {JACCARD_THRESHOLD}
+  SELECT doc_a, doc_b, jaccard FROM j
+  WHERE jaccard >= {JACCARD_THRESHOLD}
 )"""
 
 
@@ -1115,21 +1137,7 @@ def threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     same rounded jaccard the kernel filters on.
     """
     sh = _shingle_arrays_df(spark)
-    bands = _minhash_bands(sh)
-    cand = (
-        bands.groupBy("band_id", "band_val")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
-        .where(F.size("docs").between(2, MINHASH_MAX_BUCKET))
-        .selectExpr(
-            """explode(flatten(transform(
-                 sequence(1, size(docs) - 1),
-                 i -> transform(sequence(0, i - 1),
-                                j -> struct(docs[j] AS a, docs[i] AS b))
-               ))) AS p"""
-        )
-        .select("p.a", "p.b")
-        .distinct()
-    )
+    cand = _minhash_candidates(_minhash_bands(sh))
     j = _verify_overlap(cand, sh.withColumnRenamed("shs", "grams")).selectExpr(
         "round(inter / (na + nb - inter), 4) AS jaccard"
     )
@@ -1151,35 +1159,7 @@ def _duck_threshold_sensitivity_oracle() -> str:
         for t in SENSITIVITY_THRESHOLDS
     )
     return f"""
-WITH sh AS ({DUCK_SHINGLES}),
-{_duck_band_ctes()},
-occ AS (
-  SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY 1, 2
-),
-cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-  FROM bands x JOIN bands y
-    ON x.band_id = y.band_id AND x.band_val = y.band_val AND x.doc_id < y.doc_id
-  JOIN occ ON occ.band_id = x.band_id AND occ.band_val = x.band_val
-  WHERE occ.n <= {MINHASH_MAX_BUCKET}
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.a, c.b, count(*) AS i
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.a
-  JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
-  GROUP BY c.a, c.b
-),
-j AS (
-  SELECT c.a, c.b,
-         round(coalesce(i.i, 0) * 1.0 / (na.n + nb.n - coalesce(i.i, 0)), 4)
-           AS jaccard
-  FROM cand c
-  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-  JOIN sizes na ON na.doc_id = c.a
-  JOIN sizes nb ON nb.doc_id = c.b
-)
+WITH {_duck_minhash_overlap_ctes()}
 SELECT cast(count(*) AS bigint) AS n_candidates,
        {kept}
 FROM j

@@ -120,6 +120,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from golang_db_query_engine_elasticsearch_indexer_spark.operators.similarity import (
     NEARDUP_COS,
+    NEARDUP_ORACLE,
     _neardup_band_sql_duck,
 )
 
@@ -198,7 +199,7 @@ WITH tp AS (
   SELECT doc_a, doc_b FROM ({_duck_minhash_oracle()})
 ),
 ep AS (
-  SELECT va AS doc_a, vb AS doc_b FROM ({_neardup_oracle_sql()})
+  SELECT va AS doc_a, vb AS doc_b FROM ({NEARDUP_ORACLE})
 ),
 u AS (
   SELECT tp.doc_a AS ta, ep.doc_a AS ea
@@ -217,13 +218,6 @@ SELECT cast(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_text
 FROM u
 """
 
-
-def _neardup_oracle_sql() -> str:
-    from golang_db_query_engine_elasticsearch_indexer_spark.operators.similarity import (  # noqa: PLC0415
-        NEARDUP_ORACLE,
-    )
-
-    return NEARDUP_ORACLE
 
 
 def _report_sql(hash_fn: str) -> str:

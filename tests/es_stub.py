@@ -80,16 +80,24 @@ class StubES:
                     with stub.lock:
                         # validate FIRST, apply second — the whole
                         # action set succeeds or fails as one unit
-                        # (real ES alias updates are atomic).
+                        # (real ES alias updates are atomic): an add
+                        # naming a missing index OR a remove naming an
+                        # index the alias does not point at rejects the
+                        # entire set (aliases_not_found semantics).
                         for act in actions:
                             if "add" in act and act["add"]["index"] not in stub.indexes:
                                 self._respond(404, b'{"error":"no such index"}')
                                 return
-                        for act in actions:
                             if "remove" in act:
                                 a = act["remove"]
-                                if stub.aliases.get(a["alias"]) == a["index"]:
-                                    del stub.aliases[a["alias"]]
+                                if stub.aliases.get(a["alias"]) != a["index"]:
+                                    self._respond(
+                                        404, b'{"error":"aliases_not_found"}'
+                                    )
+                                    return
+                        for act in actions:
+                            if "remove" in act:
+                                del stub.aliases[act["remove"]["alias"]]
                             elif "add" in act:
                                 a = act["add"]
                                 stub.aliases[a["alias"]] = a["index"]

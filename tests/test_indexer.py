@@ -181,6 +181,12 @@ def test_http_bulk_alias_rollover(spark, tables, es_stub):
     assert not sink.swap_alias("orders_live", "orders_v3", old_index="orders_v2")
     assert stub.aliases["orders_live"] == "orders_v2"
 
+    # stale old_index (alias no longer points there): real ES rejects
+    # the whole atomic action set (aliases_not_found) — the alias must
+    # NOT move to the new index on a half-valid set.
+    assert not sink.swap_alias("orders_live", "orders_v1", old_index="orders_v9")
+    assert stub.aliases["orders_live"] == "orders_v2"
+
 
 def test_http_bulk_failure_accounting(spark, tables, es_stub):
     """Per-item failures move num_failed (reference OnFailure callback,

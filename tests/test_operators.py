@@ -936,6 +936,21 @@ def test_quality_classifier_splits_fixture(spark, tables, sf_dir):
     assert all(r.keep == (r.p_keep >= T.QC_THRESHOLD) for r in rows)
 
 
+def test_funnel_latency_population_matches_funnel(spark, tables, sf_dir):
+    """The latency entry's converter population must be exactly
+    events_funnel's stage-3 cohort (it shares the funnel's own
+    windowed stage CTEs — the global-first-touch form measured a
+    different, larger population)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    stage3 = {
+        r.stage: r.n_users for r in qs["events_funnel"](spark, sf_dir).collect()
+    }.get(3, 0)
+    lat = qs["events_funnel_latency"](spark, sf_dir).collect()[0]
+    assert lat.n_converters == stage3
+
+
 def test_curation_report_consistent_with_pipeline(spark, tables, sf_dir):
     """The funnel manifest must agree with the pipeline it reports on:
     monotone non-increasing kept counts, each stage's n_in = previous
