@@ -104,7 +104,8 @@ def _configure(spark: SparkSession) -> None:
 #   dedup_remap_to_canonical, customers_abc_pareto,
 #   events_funnel_latency, multimodal_decode_bmp,
 #   corpus_zipf_fit, dedup_modality_agreement,
-#   dedup_threshold_sensitivity, events_load_heatmap): same policy —
+#   dedup_threshold_sensitivity, events_load_heatmap,
+#   orders_revenue_concentration, events_value_boxplot): same policy —
 #   added after the frozen
 #   window, queued for r06. Each is integer/regex arithmetic shared
 #   verbatim across dialects (bit_count/xor band verify, md5-bucket

@@ -965,6 +965,85 @@ _q(
     """,
 )
 
+# Market concentration (Herfindahl-Hirschman index) of order revenue
+# by customer nation — the concentration diagnostic (HHI = sum of
+# squared revenue shares x 10000; < 1500 competitive, > 2500
+# concentrated). Two keyed rollups (nation revenue, then one squared-
+# share sum); shares are exact ratios of rounded revenues, HHI rounded
+# at the end.
+_q(
+    "orders_revenue_concentration",
+    """
+    WITH nrev AS (
+      SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (SELECT sum(revenue) AS total FROM nrev)
+    SELECT cast(count(*) AS bigint) AS n_nations,
+           round(sum(power(revenue / total, 2)) * 10000, 2) AS hhi,
+           round(max(revenue / total), 4) AS top_share
+    FROM nrev CROSS JOIN tot
+    """,
+)
+
+# Per-type value box-plot statistics — quartiles, IQR, and Tukey-fence
+# outlier counts for events.value by event_type: the distribution
+# summary monitoring reads per metric stream. Quartiles compute per
+# group (percentile/quantile_cont parity pinned by agg_percentile);
+# the fences are ROUNDED to 4 dp before the outlier comparison (the
+# rounding-boundary discipline) so the counted sets cannot diverge
+# cross-engine; the fence join is #types-sized.
+_q(
+    "events_value_boxplot",
+    """
+    WITH q AS (
+      SELECT event_type,
+             round(percentile(value, 0.25), 4) AS q1,
+             round(percentile(value, 0.5), 4) AS median,
+             round(percentile(value, 0.75), 4) AS q3
+      FROM events GROUP BY event_type
+    ),
+    fences AS (
+      SELECT event_type, q1, median, q3,
+             round(q3 - q1, 4) AS iqr,
+             round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+             round(q3 + 1.5 * (q3 - q1), 4) AS hi
+      FROM q
+    )
+    SELECT f.event_type, f.q1, f.median, f.q3, f.iqr,
+           cast(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+                         THEN 1 ELSE 0 END) AS bigint) AS n_outliers
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    GROUP BY f.event_type, f.q1, f.median, f.q3, f.iqr
+    ORDER BY f.event_type
+    """,
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.25), 4) AS q1,
+             round(quantile_cont(value, 0.5), 4) AS median,
+             round(quantile_cont(value, 0.75), 4) AS q3
+      FROM events GROUP BY event_type
+    ),
+    fences AS (
+      SELECT event_type, q1, median, q3,
+             round(q3 - q1, 4) AS iqr,
+             round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+             round(q3 + 1.5 * (q3 - q1), 4) AS hi
+      FROM q
+    )
+    SELECT f.event_type, f.q1, f.median, f.q3, f.iqr,
+           cast(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+                         THEN 1 ELSE 0 END) AS bigint) AS n_outliers
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    GROUP BY f.event_type, f.q1, f.median, f.q3, f.iqr
+    ORDER BY f.event_type
+    """,
+)
+
 # Hour-of-day x day-of-week load heatmap — the traffic-shape rollup
 # capacity planning reads (24x7 cells, one partial-aggregated
 # shuffle). dayofweek/isodow are engine-specific numberings, so the
