@@ -113,6 +113,13 @@ def _configure(spark: SparkSession) -> None:
 #   lowest-divergence-risk class, and every close-out entry is green
 #   under the in-repo sf0.01 differential gate at HEAD (and under a
 #   recorded sf0.1 spot differential — SCALE.md §3).
+# - statistics/bloom additions (join_bloom_prefilter,
+#   orders_regression_trend, events_chi_square, events_welch_ttest,
+#   orders_open_interval_sweep): same policy — added after the frozen
+#   window, queued for r06. Each is single-row/tiny-grid arithmetic
+#   (salted md5 folds, regression aggregates, contingency counts,
+#   sweep deltas) rounded per the boundary discipline, sf0.01-gated
+#   and sf0.1 spot-differentialed green (SCALE.md §3).
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

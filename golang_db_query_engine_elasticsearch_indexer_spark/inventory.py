@@ -2569,6 +2569,244 @@ _q(
 )
 
 
+def _bloom_pos(key: str, salt: int, m_bits: int = 65536) -> str:
+    """One Bloom position: salted md5 hex prefix folded mod ``m_bits``.
+
+    Built on the same portable ``hex_prefix_int`` primitive as the
+    MinHash permutations (10 hex digits < 2^40 keeps the mod in exact
+    BIGINT range), so Spark and DuckDB compute bit-identical positions.
+    """
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+        hex_prefix_int,
+    )
+
+    salted = f"md5(concat(cast({key} AS string), '#{salt}'))"
+    return f"({hex_prefix_int(salted, 10)} % {m_bits})"
+
+
+def _bloom_sql() -> str:
+    """Shared-dialect SQL for the Bloom pre-filter audit (see _q below)."""
+    k_hashes = 3
+    dim_pos = "\n      UNION ALL ".join(
+        f"SELECT {_bloom_pos('k', s)} AS pos FROM dim" for s in range(k_hashes)
+    )
+    probe_pos = "\n      UNION ALL ".join(
+        f"SELECT k, {_bloom_pos('k', s)} AS pos FROM probe" for s in range(k_hashes)
+    )
+    return f"""
+    WITH dim AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > 400000
+    ),
+    probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    dim_pos AS (
+      SELECT DISTINCT pos FROM (
+      {dim_pos}
+      ) d
+    ),
+    probe_pos AS (
+      {probe_pos}
+    ),
+    bloom_pass AS (
+      SELECT p.k FROM probe_pos p JOIN dim_pos b ON p.pos = b.pos
+      GROUP BY p.k HAVING count(*) = {k_hashes}
+    ),
+    truth AS (SELECT p.k FROM probe p JOIN dim d ON p.k = d.k),
+    counts AS (
+      SELECT (SELECT count(*) FROM probe)      AS n_probe,
+             (SELECT count(*) FROM dim)        AS n_dim_keys,
+             (SELECT count(*) FROM bloom_pass) AS n_bloom_pass,
+             (SELECT count(*) FROM truth)      AS n_true_match,
+             (SELECT count(*) FROM truth t LEFT JOIN bloom_pass bp ON t.k = bp.k
+              WHERE bp.k IS NULL)              AS n_missed
+    )
+    SELECT n_probe, n_dim_keys, n_bloom_pass, n_true_match, n_missed,
+           n_bloom_pass - n_true_match AS n_false_pos,
+           round(cast(n_bloom_pass - n_true_match AS double)
+                 / nullif(n_probe - n_true_match, 0), 6) AS fpr
+    FROM counts
+    """
+
+
+# Bloom-filter semi-join pre-filter with a measured false-positive
+# rate — the explicit form of the runtime-filter pushdown a 100 TB
+# join lives or dies by (Spark's own runtime bloom does exactly this
+# under AQE; here it is in-plan and auditable). The dim side's bit
+# set is DISTINCT positions only (<= m=65536 rows regardless of dim
+# cardinality — always broadcastable); the probe side is scanned once
+# with k=3 row-local hashes and the membership check is an equi-join
+# + bounded-fan-out (3) groupBy. The query reports the filter's
+# economics (pass count, true matches, false positives, FPR) and
+# proves the no-false-negative contract in-plan (n_missed = 0 by
+# construction). Positions are salted md5 folds — bit-identical in
+# both engines, so the oracle checks assignment, not just counts.
+_q("join_bloom_prefilter", _bloom_sql())
+
+# Per-priority linear revenue trend — the regression-aggregate family
+# (regr_slope / regr_intercept / regr_r2 / corr) over monthly revenue
+# with a deterministic month-index x. One keyed rollup to 80 monthly
+# points per group, then 5-group regression aggregates: the trend fit
+# every forecasting dashboard starts from, computed entirely with
+# partial-aggregable built-ins (no driver math). Revenue is rounded
+# BEFORE the fit (shared input discipline); fit outputs round at
+# scale-appropriate precision.
+_q(
+    "orders_regression_trend",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             cast((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+                  AS double) AS x,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority,
+           cast(count(*) AS bigint)                 AS n_months,
+           round(regr_slope(revenue, x), 2)         AS slope,
+           round(regr_intercept(revenue, x), 2)     AS intercept,
+           round(regr_r2(revenue, x), 6)            AS r2,
+           round(corr(revenue, x), 6)               AS corr_xy
+    FROM m GROUP BY priority ORDER BY priority
+    """,
+)
+
+# Chi-square test of independence between event_type and weekday —
+# the categorical-association check behind "does traffic shape depend
+# on the day". Builds the FULL contingency grid (distinct types x
+# distinct weekdays, zero-filled) so absent cells still contribute
+# their expected mass; marginals come from windows over the grid (35
+# rows), never a second scan. Weekday is the NAME from the shared
+# format string (the heatmap's dialect-numbering guard). Output is
+# the statistic + dof + n — the classic scan-once, reduce-to-one-row
+# diagnostic.
+_q(
+    "events_chi_square",
+    """
+    WITH obs AS (
+      SELECT event_type, date_format(ts, 'EEEE') AS weekday, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, d.weekday, coalesce(o.o, 0) AS o
+      FROM (SELECT DISTINCT event_type FROM obs) t
+      CROSS JOIN (SELECT DISTINCT weekday FROM obs) d
+      LEFT JOIN obs o ON o.event_type = t.event_type AND o.weekday = d.weekday
+    ),
+    tot AS (
+      SELECT o,
+             event_type,
+             weekday,
+             sum(o) OVER (PARTITION BY event_type) AS row_tot,
+             sum(o) OVER (PARTITION BY weekday)    AS col_tot,
+             sum(o) OVER ()                        AS n
+      FROM grid
+    )
+    SELECT cast(count(*) AS bigint) AS n_cells,
+           cast(max(n) AS bigint)   AS n_events,
+           cast((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT weekday) - 1) AS bigint) AS dof,
+           round(sum(power(o - row_tot * cast(col_tot AS double) / n, 2)
+                     / (row_tot * cast(col_tot AS double) / n)), 4) AS chi2
+    FROM tot
+    """,
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, strftime(ts, '%A') AS weekday, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, d.weekday, coalesce(o.o, 0) AS o
+      FROM (SELECT DISTINCT event_type FROM obs) t
+      CROSS JOIN (SELECT DISTINCT weekday FROM obs) d
+      LEFT JOIN obs o ON o.event_type = t.event_type AND o.weekday = d.weekday
+    ),
+    tot AS (
+      SELECT o,
+             event_type,
+             weekday,
+             sum(o) OVER (PARTITION BY event_type) AS row_tot,
+             sum(o) OVER (PARTITION BY weekday)    AS col_tot,
+             sum(o) OVER ()                        AS n
+      FROM grid
+    )
+    SELECT cast(count(*) AS bigint) AS n_cells,
+           cast(max(n) AS bigint)   AS n_events,
+           cast((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT weekday) - 1) AS bigint) AS dof,
+           round(sum(power(o - row_tot * cast(col_tot AS double) / n, 2)
+                     / (row_tot * cast(col_tot AS double) / n)), 4) AS chi2
+    FROM tot
+    """,
+)
+
+# Welch two-sample t-test (unequal variances) between purchase and
+# view event values — the A/B-comparison primitive. One grouped scan
+# produces (n, mean, var) per arm; the statistic and the
+# Welch-Satterthwaite dof are row-local arithmetic over the two
+# single-row arms. var_samp/avg are partial-aggregable, so the whole
+# test is one shuffle at any scale.
+_q(
+    "events_welch_ttest",
+    """
+    WITH s AS (
+      SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+      FROM events WHERE event_type IN ('purchase', 'view') GROUP BY event_type
+    ),
+    a AS (SELECT * FROM s WHERE event_type = 'purchase'),
+    b AS (SELECT * FROM s WHERE event_type = 'view')
+    SELECT cast(a.n AS bigint) AS n_purchase,
+           cast(b.n AS bigint) AS n_view,
+           round(a.m, 4) AS mean_purchase,
+           round(b.m, 4) AS mean_view,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           round(power(a.v / a.n + b.v / b.n, 2)
+                 / (power(a.v / a.n, 2) / (a.n - 1)
+                    + power(b.v / b.n, 2) / (b.n - 1)), 2) AS welch_dof
+    FROM a CROSS JOIN b
+    """,
+)
+
+# Open-order count per month via sweep-line — interval analytics
+# WITHOUT an interval join: each order's open span (order month ->
+# last ship month) becomes a +1 delta at the start and a -1 after the
+# end; a single cumulative window over the ~80 delta months yields
+# the concurrent-open count. This is the scale-correct shape for
+# "how many intervals cover X" questions — the naive month-x-order
+# range join is O(months x orders); the sweep is one rollup plus an
+# 80-row window. Month keys are integer indices ((y-1995)*12+m-1),
+# identical arithmetic in both engines.
+_q(
+    "orders_open_interval_sweep",
+    """
+    WITH span AS (
+      SELECT o.o_orderkey,
+             (year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1
+               AS start_m,
+             max((year(l.l_shipdate) - 1995) * 12 + month(l.l_shipdate) - 1)
+               AS end_m
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT start_m AS m, 1 AS delta FROM span
+      UNION ALL
+      SELECT end_m + 1 AS m, -1 AS delta FROM span
+    ),
+    agg AS (
+      SELECT m,
+             cast(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS bigint)
+               AS opened,
+             cast(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS bigint)
+               AS closed
+      FROM deltas GROUP BY m
+    )
+    SELECT cast(m AS int) AS month_idx, opened, closed,
+           cast(sum(opened - closed) OVER (ORDER BY m) AS bigint)
+             AS open_after_month
+    FROM agg ORDER BY month_idx
+    """,
+)
+
+
 def flagship_sql() -> str:
     """The minimum-slice query (SURVEY.md §7): scan → agg → order."""
     return SQL_QUERIES["q1_pricing_summary"]["sql"]

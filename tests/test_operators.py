@@ -1004,3 +1004,122 @@ def test_weighted_reservoir_skews_toward_quality(spark, tables, sf_dir):
     )
     sample_mean = sum(r.w for r in s1) / len(s1)
     assert sample_mean > corpus_mean
+
+
+def test_bloom_prefilter_contract(spark, tables, sf_dir):
+    """The Bloom pre-filter's load-bearing promise is NO false
+    negatives: every true semi-join match must pass the filter
+    (n_missed = 0), the pass set sits between truth and probe, and the
+    reported true-match count equals an independently computed exact
+    left-semi join."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["join_bloom_prefilter"](spark, sf_dir).collect()[0]
+    assert row.n_missed == 0
+    assert row.n_true_match <= row.n_bloom_pass <= row.n_probe
+    assert row.n_false_pos == row.n_bloom_pass - row.n_true_match
+    truth = (
+        spark.table("lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .join(
+            spark.table("orders").where("o_totalprice > 400000"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert row.n_true_match == truth
+
+
+def test_regression_trend_identities(spark, tables, sf_dir):
+    """Regression aggregates must satisfy their algebraic identities:
+    r2 = corr^2 (to rounding), r2 in [0,1], one fit per priority over
+    a multi-year month range."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["orders_regression_trend"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0
+        assert abs(r.r2 - r.corr_xy**2) < 1e-4
+        assert r.n_months >= 12
+
+
+def test_chi_square_grid_and_dof(spark, tables, sf_dir):
+    """The contingency grid must be complete (types x weekdays,
+    zero-filled), dof must match the independently counted category
+    cardinalities, n must be the full event count, and the statistic
+    is non-negative."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["events_chi_square"](spark, sf_dir).collect()[0]
+    ntypes = spark.table("events").select("event_type").distinct().count()
+    ndays = (
+        spark.table("events")
+        .selectExpr("date_format(ts, 'EEEE') AS d")
+        .distinct()
+        .count()
+    )
+    assert row.n_cells == ntypes * ndays
+    assert row.dof == (ntypes - 1) * (ndays - 1)
+    assert row.n_events == spark.table("events").count()
+    assert row.chi2 >= 0.0
+
+
+def test_welch_ttest_arithmetic(spark, tables, sf_dir):
+    """The t statistic and Welch-Satterthwaite dof must reproduce from
+    independently computed (n, mean, var) per arm, and the dof is
+    bounded by the pooled dof."""
+    import math
+
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["events_welch_ttest"](spark, sf_dir).collect()[0]
+    arms = {
+        r.event_type: r
+        for r in spark.table("events")
+        .where("event_type IN ('purchase', 'view')")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+        .collect()
+    }
+    a, b = arms["purchase"], arms["view"]
+    se2 = a.v / a.n + b.v / b.n
+    t = (a.m - b.m) / math.sqrt(se2)
+    dof = se2**2 / ((a.v / a.n) ** 2 / (a.n - 1) + (b.v / b.n) ** 2 / (b.n - 1))
+    assert row.n_purchase == a.n and row.n_view == b.n
+    assert abs(row.t_stat - t) < 1e-3
+    assert abs(row.welch_dof - dof) < 0.5
+    assert row.welch_dof <= a.n + b.n - 2
+
+
+def test_interval_sweep_conservation(spark, tables, sf_dir):
+    """Sweep-line bookkeeping: opened and closed totals both equal the
+    number of orders with lineitems, the running open count is never
+    negative, recomputes from the deltas, and ends at zero (every
+    span closes)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["orders_open_interval_sweep"](spark, sf_dir).collect()
+    n_spans = (
+        spark.table("orders")
+        .join(
+            spark.table("lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert sum(r.opened for r in rows) == n_spans
+    assert sum(r.closed for r in rows) == n_spans
+    running = 0
+    for r in sorted(rows, key=lambda r: r.month_idx):
+        running += r.opened - r.closed
+        assert running == r.open_after_month
+        assert running >= 0
+    assert running == 0
