@@ -120,6 +120,9 @@ def _configure(spark: SparkSession) -> None:
 #   (salted md5 folds, regression aggregates, contingency counts,
 #   sweep deltas) rounded per the boundary discipline, sf0.01-gated
 #   and sf0.1 spot-differentialed green (SCALE.md §3).
+# - dedup_split_leakage: same policy (added post-freeze, queued for
+#   r06); it reuses the in-window-verified banded-SimHash kernel and
+#   its conservation against dedup_simhash_pairs is behavioral-tested.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

@@ -1295,16 +1295,11 @@ SIMHASH_N_BANDS = 4
 SIMHASH_HAMMING_MAX = 3
 
 
-def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by banded SimHash: band equi-join produces
-    candidates, ``bit_count(xor)`` verifies the Hamming threshold.
-
-    Scale shape: fingerprints are one narrow aggregation (the simhash
-    kernel); banding is a map-only x4 explode of 3-column rows; the
-    candidate join is an equi-join on (band, bkey) — never an all-pairs
-    product; verification is row-local bit arithmetic on two 16-bit
-    ints. The whole pipeline moves (doc_id, int) pairs, not documents.
-    """
+def _simhash_pairs_df(spark: SparkSession) -> DataFrame:
+    """Unordered banded-SimHash near-dup pairs (doc_a, doc_b, hamming)
+    — the shared kernel under ``simhash_pairs`` and ``split_leakage``
+    (callers add their own ordering/aggregation so no sort exchange is
+    wasted under a downstream groupBy)."""
     # Pin the fingerprint relation (5k-50k rows of two bigints): the
     # row-local kernel has no shuffle for ReuseExchange to share, so an
     # unpinned self-join would re-hash every token once per side —
@@ -1331,11 +1326,25 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.selectExpr("doc_a", "doc_b", "bit_count(fa ^ fb) AS hamming")
         .where(f"hamming <= {SIMHASH_HAMMING_MAX}")
-        .orderBy("doc_a", "doc_b")
     )
 
 
-def _duck_simhash_pairs_oracle() -> str:
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by banded SimHash: band equi-join produces
+    candidates, ``bit_count(xor)`` verifies the Hamming threshold.
+
+    Scale shape: fingerprints are one narrow aggregation (the simhash
+    kernel); banding is a map-only x4 explode of 3-column rows; the
+    candidate join is an equi-join on (band, bkey) — never an all-pairs
+    product; verification is row-local bit arithmetic on two 16-bit
+    ints. The whole pipeline moves (doc_id, int) pairs, not documents.
+    """
+    return _simhash_pairs_df(spark).orderBy("doc_a", "doc_b")
+
+
+def _duck_simhash_cand_ctes() -> str:
+    """DuckDB CTE chain ending in ``cand(doc_a, doc_b, fa, fb)`` — the
+    banded candidate relation both simhash-pair oracles verify from."""
     return f"""
 {_duck_simhash_fp_ctes()},
 bands AS (
@@ -1346,11 +1355,85 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.f AS fa, b.f AS fb
   FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
   WHERE a.doc_id < b.doc_id
-)
+)"""
+
+
+def _duck_simhash_pairs_oracle() -> str:
+    return f"""
+{_duck_simhash_cand_ctes()}
 SELECT doc_a, doc_b, cast(bit_count(xor(fa, fb)) AS INT) AS hamming
 FROM cand
 WHERE bit_count(xor(fa, fb)) <= {SIMHASH_HAMMING_MAX}
 ORDER BY doc_a, doc_b
+"""
+
+
+# Deterministic md5-prefix split assignment — the SAME ranges as the
+# split_train_val_test inventory entry (~5% validation / 10% test /
+# 85% train), so the leakage audit reports on the split a training run
+# would actually materialize.
+SPLIT_CASE = (
+    "CASE WHEN substr(md5(cast(doc_id AS string)), 1, 2) < '0d' THEN 'validation' "
+    "WHEN substr(md5(cast(doc_id AS string)), 1, 2) < '27' THEN 'test' "
+    "ELSE 'train' END"
+)
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage audit: counts banded-SimHash
+    near-dup pairs by the (train/validation/test) split pair they
+    straddle — the "is my eval set contaminated by my training set"
+    check every split must pass before a training run (the complement
+    of decontam_benchmark_overlap, which audits against an EXTERNAL
+    benchmark; this audits the split itself).
+
+    Scale shape: reuses the banded-pairs kernel (equi-join candidates,
+    row-local Hamming verify); split assignment is a row-local md5
+    CASE (no shuffle); the two assignment joins key on doc_id and the
+    final rollup has at most 6 rows (unordered pair of 3 splits).
+    """
+    pairs = _simhash_pairs_df(spark)
+    assign = spark.table("documents").selectExpr("doc_id", f"{SPLIT_CASE} AS split")
+    return (
+        pairs.join(assign.selectExpr("doc_id AS doc_a", "split AS split_a"), "doc_a")
+        .join(assign.selectExpr("doc_id AS doc_b", "split AS split_b"), "doc_b")
+        .selectExpr(
+            "least(split_a, split_b) AS split_lo",
+            "greatest(split_a, split_b) AS split_hi",
+        )
+        .groupBy("split_lo", "split_hi")
+        .count()
+        .selectExpr(
+            "split_lo",
+            "split_hi",
+            "count AS n_pairs",
+            "cast(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS int) AS is_leak",
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+def _duck_split_leakage_oracle() -> str:
+    return f"""
+{_duck_simhash_cand_ctes()},
+pairs AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(fa, fb)) <= {SIMHASH_HAMMING_MAX}
+),
+assign AS (SELECT doc_id, {SPLIT_CASE} AS split FROM documents),
+rolled AS (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi,
+         count(*) AS n_pairs
+  FROM pairs
+  JOIN assign sa ON pairs.doc_a = sa.doc_id
+  JOIN assign sb ON pairs.doc_b = sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT split_lo, split_hi, cast(n_pairs AS BIGINT) AS n_pairs,
+       cast(CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS int) AS is_leak
+FROM rolled
+ORDER BY split_lo, split_hi
 """
 
 
@@ -1376,6 +1459,10 @@ def registry() -> dict[str, dict]:
         "dedup_simhash_pairs": {
             "fn": simhash_pairs,
             "oracle": _duck_simhash_pairs_oracle(),
+        },
+        "dedup_split_leakage": {
+            "fn": split_leakage,
+            "oracle": _duck_split_leakage_oracle(),
         },
         "dedup_components": {"fn": connected_components, "oracle": _duck_components_oracle()},
         "dedup_threshold_sensitivity": {

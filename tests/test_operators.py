@@ -1123,3 +1123,20 @@ def test_interval_sweep_conservation(spark, tables, sf_dir):
         assert running == r.open_after_month
         assert running >= 0
     assert running == 0
+
+
+def test_split_leakage_consistent_with_pairs(spark, tables, sf_dir):
+    """The leakage rollup must conserve the pair kernel's total (every
+    near-dup pair lands in exactly one split-pair cell), flag exactly
+    the cross-split cells, and use only the three split names."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    rows = qs["dedup_split_leakage"](spark, sf_dir).collect()
+    total_pairs = qs["dedup_simhash_pairs"](spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == total_pairs
+    names = {"train", "validation", "test"}
+    for r in rows:
+        assert r.split_lo in names and r.split_hi in names
+        assert r.split_lo <= r.split_hi
+        assert r.is_leak == (1 if r.split_lo != r.split_hi else 0)
