@@ -123,6 +123,10 @@ def _configure(spark: SparkSession) -> None:
 # - dedup_split_leakage: same policy (added post-freeze, queued for
 #   r06); it reuses the in-window-verified banded-SimHash kernel and
 #   its conservation against dedup_simhash_pairs is behavioral-tested.
+# - customers_gini_by_nation / events_hourly_autocorr: same policy
+#   (post-freeze, queued for r06); rank/corr arithmetic over tiny
+#   rollups with driver-side recomputation behavioral tests, sf0.01
+#   gate + sf0.1 spot differential green.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

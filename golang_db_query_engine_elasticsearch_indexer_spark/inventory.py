@@ -2807,6 +2807,89 @@ _q(
 )
 
 
+# Per-nation Gini coefficient of customer revenue — the inequality
+# measure complementing the HHI entry (HHI asks "how concentrated are
+# nations"; Gini asks "within a nation, how unequal are customers").
+# Rank-based exact formula G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+# (n*sum(x)) over revenue ranked ascending with a custkey tiebreak.
+# The ranking window runs over the CUSTOMER-level rollup partitioned
+# by nation (the ABC/Pareto discipline: window the aggregate, never
+# the order-scale relation); at 100 TB the same statistic estimates
+# from quantile sketches if even the customer rollup outgrows a
+# partition.
+_q(
+    "customers_gini_by_nation",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey AS custkey,
+             round(sum(o.o_totalprice), 2) AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, revenue,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY revenue, custkey) AS i
+      FROM rev
+    )
+    SELECT n.n_name AS nation,
+           cast(count(*) AS bigint) AS n_customers,
+           round(sum(revenue), 2) AS revenue_total,
+           round((2 * sum(i * revenue) - (count(*) + 1) * sum(revenue))
+                 / (count(*) * sum(revenue)), 6) AS gini
+    FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+
+
+# Autocorrelation of the hourly event rate at calendar-meaningful lags
+# (1,2,3,6,12,24h) — the periodicity diagnostic behind "does this
+# stream have a daily cycle". The event stream collapses to ~720
+# hourly buckets in one partial-aggregated shuffle; each lag pairs the
+# bucket relation with itself via an integer-offset equi-join (tiny x6
+# fan-out on an already-aggregated relation, never on events) and
+# corr() reduces each lag to one row.
+_q(
+    "events_hourly_autocorr",
+    """
+    WITH hourly AS (
+      SELECT datediff(cast(ts AS date), date '2024-01-01') * 24
+               + hour(ts) AS hidx,
+             count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT explode(array(1, 2, 3, 6, 12, 24)) AS lag)
+    SELECT l.lag,
+           cast(count(*) AS bigint) AS n_pairs,
+           round(corr(a.n, b.n), 6) AS acf
+    FROM hourly a
+    JOIN lags l ON true
+    JOIN hourly b ON b.hidx = a.hidx - l.lag
+    GROUP BY l.lag
+    ORDER BY l.lag
+    """,
+    oracle="""
+    WITH hourly AS (
+      SELECT date_diff('day', date '2024-01-01', cast(ts AS date)) * 24
+               + extract(hour FROM ts) AS hidx,
+             count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag)
+    SELECT cast(l.lag AS int) AS lag,
+           cast(count(*) AS bigint) AS n_pairs,
+           round(corr(a.n, b.n), 6) AS acf
+    FROM hourly a
+    JOIN lags l ON true
+    JOIN hourly b ON b.hidx = a.hidx - l.lag
+    GROUP BY l.lag
+    ORDER BY l.lag
+    """,
+)
+
+
 def flagship_sql() -> str:
     """The minimum-slice query (SURVEY.md §7): scan → agg → order."""
     return SQL_QUERIES["q1_pricing_summary"]["sql"]

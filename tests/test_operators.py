@@ -1140,3 +1140,60 @@ def test_split_leakage_consistent_with_pairs(spark, tables, sf_dir):
         assert r.split_lo in names and r.split_hi in names
         assert r.split_lo <= r.split_hi
         assert r.is_leak == (1 if r.split_lo != r.split_hi else 0)
+
+
+def test_gini_bounds_and_recompute(spark, tables, sf_dir):
+    """Gini per nation must be in [0, 1), cover exactly the customers
+    with orders, and reproduce from a driver-side recomputation of the
+    rank formula for the largest nation."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["customers_gini_by_nation"](spark, sf_dir).collect()
+    assert all(0.0 <= r.gini < 1.0 for r in rows)
+    n_with_orders = (
+        spark.table("orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_with_orders
+    top = max(rows, key=lambda r: r.n_customers)
+    rev = sorted(
+        (round(r.rev, 2), r.o_custkey)
+        for r in spark.sql(
+            """SELECT o_custkey, sum(o_totalprice) AS rev
+               FROM orders o JOIN customer c ON o_custkey = c_custkey
+               JOIN nation n ON c_nationkey = n_nationkey
+               WHERE n_name = '%s' GROUP BY o_custkey"""
+            % top.nation
+        ).collect()
+    )
+    xs = [x for x, _ in rev]
+    n, s = len(xs), sum(xs)
+    gini = (2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * s) / (n * s)
+    assert abs(top.gini - gini) < 1e-5
+
+
+def test_hourly_autocorr_recompute(spark, tables, sf_dir):
+    """Each lag's ACF must be a true correlation (|acf| <= 1, pair
+    count = #aligned hour pairs) and lag-1 must reproduce from a
+    driver-side numpy recomputation over the hourly series."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r.lag: r
+        for r in entrymod.queries()["events_hourly_autocorr"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 3, 6, 12, 24}
+    assert all(abs(r.acf) <= 1.0 for r in rows.values())
+    hourly = dict(
+        spark.sql(
+            """SELECT datediff(cast(ts AS date), date '2024-01-01') * 24 + hour(ts) AS h,
+                      count(*) AS n FROM events GROUP BY 1"""
+        ).rdd.map(lambda r: (r.h, r.n)).collect()
+    )
+    pairs = [(hourly[h], hourly[h - 1]) for h in hourly if h - 1 in hourly]
+    a = np.array([p[0] for p in pairs], dtype=float)
+    b = np.array([p[1] for p in pairs], dtype=float)
+    acf1 = float(np.corrcoef(a, b)[0, 1])
+    assert rows[1].n_pairs == len(pairs)
+    assert abs(rows[1].acf - acf1) < 1e-4
