@@ -51,6 +51,8 @@ HEADLINE = [
     "events_rollup_multires",
     "search_bm25",
     "asof_join_events_orders",
+    "join_bloom_prefilter",
+    "dedup_split_leakage",
     "indexer_positional_ids",
     "pipeline_curate_corpus",
     # streaming (availableNow drain of the events fixture)
