@@ -127,6 +127,11 @@ def _configure(spark: SparkSession) -> None:
 #   (post-freeze, queued for r06); rank/corr arithmetic over tiny
 #   rollups with driver-side recomputation behavioral tests, sf0.01
 #   gate + sf0.1 spot differential green.
+# - events_mannwhitney_u / orders_benford_digits /
+#   corpus_novelty_curve: same policy (post-freeze, queued for r06);
+#   exact rank/integer-digit/gram-count arithmetic with driver-side
+#   recompute or conservation behavioral tests, sf0.01 gate + sf0.1
+#   spot differential green.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

@@ -2890,6 +2890,85 @@ _q(
 )
 
 
+# Mann-Whitney U (Wilcoxon rank-sum) between purchase and view event
+# values — the nonparametric complement of events_welch_ttest (no
+# normality assumption; rank arithmetic is EXACT so the cross-engine
+# comparison has no float-summation hazard until the final z). Ties
+# get average ranks (min-rank + (tie_size-1)/2) and the variance
+# carries the standard tie correction. The ranking window runs over
+# the two-arm subset only; at 100 TB the same statistic computes from
+# binned rank counts.
+_q(
+    "events_mannwhitney_u",
+    """
+    WITH arms AS (
+      SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    ranked AS (
+      SELECT is_a,
+             rank() OVER (ORDER BY value) AS min_rank,
+             count(*) OVER (PARTITION BY value) AS tie_n
+      FROM arms
+    ),
+    stats AS (
+      SELECT cast(sum(is_a) AS bigint) AS n_a,
+             cast(sum(1 - is_a) AS bigint) AS n_b,
+             sum(CASE WHEN is_a = 1
+                      THEN min_rank + (tie_n - 1) / cast(2 AS double)
+                      ELSE 0 END) AS r_a
+      FROM ranked
+    ),
+    ties AS (
+      SELECT coalesce(sum(cast(t AS double) * t * t - t), 0) AS tie_term
+      FROM (SELECT count(*) AS t FROM arms GROUP BY value HAVING count(*) > 1) g
+    ),
+    final AS (
+      SELECT n_a, n_b,
+             r_a - n_a * (n_a + 1) / cast(2 AS double) AS u_stat,
+             n_a * cast(n_b AS double) / 2 AS mean_u,
+             sqrt(n_a * cast(n_b AS double) / 12
+                  * ((n_a + n_b + 1)
+                     - tie_term / ((n_a + n_b) * cast(n_a + n_b - 1 AS double))))
+               AS sigma_u
+      FROM stats CROSS JOIN ties
+    )
+    SELECT n_a AS n_purchase, n_b AS n_view,
+           round(u_stat, 2) AS u_stat,
+           round(mean_u, 2) AS mean_u,
+           round(sigma_u, 4) AS sigma_u,
+           round((u_stat - mean_u) / sigma_u, 4) AS z
+    FROM final
+    """,
+)
+
+# Benford first-significant-digit audit of order totals — the
+# data-quality / fraud screen: observed first-digit shares against the
+# Benford expectation log10(1 + 1/d). The digit is extracted from the
+# INTEGER cents string (round(x*100) cast to bigint, then the first
+# character) — integer-to-string formatting is stable in both engines,
+# where double-to-string is not; scaling by 100 preserves the leading
+# significant digit for x >= 1. One grouped count to 9 rows, shares
+# from a window over those 9.
+_q(
+    "orders_benford_digits",
+    """
+    WITH digits AS (
+      SELECT cast(substr(cast(cast(round(o_totalprice * 100, 0) AS bigint)
+                              AS string), 1, 1) AS int) AS digit
+      FROM orders
+    ),
+    counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit)
+    SELECT digit,
+           cast(n AS bigint) AS n_orders,
+           round(n * cast(1 AS double) / sum(n) OVER (), 6) AS share,
+           round(log10(1 + cast(1 AS double) / digit), 6) AS benford_expected
+    FROM counts
+    ORDER BY digit
+    """,
+)
+
+
 def flagship_sql() -> str:
     """The minimum-slice query (SURVEY.md §7): scan → agg → order."""
     return SQL_QUERIES["q1_pricing_summary"]["sql"]

@@ -1235,6 +1235,96 @@ LIMIT {BPE_TOP_N}
 """
 
 
+NOVELTY_N = 3
+NOVELTY_BUCKETS = 10
+
+
+def novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: docs in doc_id order split into ten
+    buckets; per bucket, the fraction of its distinct word trigrams
+    making their FIRST corpus appearance there — the
+    diminishing-returns measurement behind "is more of this source
+    still adding new content". Bucket 1 is 1.0 by construction; the
+    curve's decay rate is the signal.
+
+    Scale shape: grams travel as md5 hashes (32-byte keys, text never
+    shuffles); first-appearance is one min() aggregation on the gram
+    hash; presence is one distinct count keyed (bucket, gram). The
+    ntile bucket window suits the fixture's single doc-id range — at
+    corpus scale the bucket is a pure function of the ingest partition
+    (date/shard), making assignment map-only.
+    """
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+        spark_ngrams,
+    )
+
+    grams = spark.table("documents").selectExpr(
+        "doc_id",
+        f"explode({spark_ngrams(NOVELTY_N, TOKENS)}) AS gram",
+    ).selectExpr("doc_id", "md5(gram) AS g")
+    buckets = spark.table("documents").selectExpr(
+        "doc_id",
+        f"cast(ntile({NOVELTY_BUCKETS}) OVER (ORDER BY doc_id) AS int) AS bucket",
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    present = (
+        grams.join(buckets, "doc_id")
+        .groupBy("bucket")
+        .agg(F.countDistinct("g").alias("n_grams_present"))
+    )
+    intro = (
+        first.join(buckets.selectExpr("doc_id AS first_doc", "bucket"), "first_doc")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_grams_introduced"))
+    )
+    return (
+        present.join(intro, "bucket")
+        .selectExpr(
+            "bucket",
+            "n_grams_present",
+            "n_grams_introduced",
+            "round(n_grams_introduced * cast(1 AS double) / n_grams_present, 6)"
+            " AS novelty",
+        )
+        .orderBy("bucket")
+    )
+
+
+def _novelty_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+        duck_ngrams,
+    )
+
+    return f"""
+WITH grams AS (
+  SELECT doc_id, md5(g) AS g
+  FROM (SELECT doc_id, unnest({duck_ngrams(NOVELTY_N, DUCK_TOKENS)}) AS g
+        FROM documents) x
+),
+buckets AS (
+  SELECT doc_id,
+         cast(ntile({NOVELTY_BUCKETS}) OVER (ORDER BY doc_id) AS int) AS bucket
+  FROM documents
+),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g),
+present AS (
+  SELECT b.bucket, count(DISTINCT gr.g) AS n_grams_present
+  FROM grams gr JOIN buckets b ON gr.doc_id = b.doc_id GROUP BY b.bucket
+),
+intro AS (
+  SELECT b.bucket, count(*) AS n_grams_introduced
+  FROM firsts f JOIN buckets b ON f.first_doc = b.doc_id GROUP BY b.bucket
+)
+SELECT p.bucket,
+       cast(p.n_grams_present AS bigint) AS n_grams_present,
+       cast(i.n_grams_introduced AS bigint) AS n_grams_introduced,
+       round(i.n_grams_introduced * cast(1 AS double) / p.n_grams_present, 6)
+         AS novelty
+FROM present p JOIN intro i ON p.bucket = i.bucket
+ORDER BY p.bucket
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "text_token_count": {"fn": token_count, "oracle": TOKEN_COUNT_ORACLE},
@@ -1261,6 +1351,7 @@ def registry() -> dict[str, dict]:
             "oracle": CALIBRATION_ORACLE,
         },
         "corpus_zipf_fit": {"fn": zipf_fit, "oracle": ZIPF_ORACLE},
+        "corpus_novelty_curve": {"fn": novelty_curve, "oracle": _novelty_oracle()},
         "text_fingerprint": {"fn": fingerprint, "oracle": FINGERPRINT_ORACLE},
         "text_unigram_logprob": {"fn": unigram_logprob, "oracle": UNIGRAM_LOGPROB_ORACLE},
         "text_bigram_logprob": {"fn": bigram_logprob, "oracle": BIGRAM_LOGPROB_ORACLE},

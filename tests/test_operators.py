@@ -1197,3 +1197,81 @@ def test_hourly_autocorr_recompute(spark, tables, sf_dir):
     acf1 = float(np.corrcoef(a, b)[0, 1])
     assert rows[1].n_pairs == len(pairs)
     assert abs(rows[1].acf - acf1) < 1e-4
+
+
+def test_mannwhitney_recompute(spark, tables, sf_dir):
+    """U, its null mean/variance, and z must reproduce from a
+    driver-side average-rank recomputation (ties handled identically)."""
+    import math
+    from collections import Counter
+
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["events_mannwhitney_u"](spark, sf_dir).collect()[0]
+    vals = spark.sql(
+        """SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+           FROM events WHERE event_type IN ('purchase', 'view')"""
+    ).collect()
+    xs = sorted(vals, key=lambda r: r.value)
+    tie = Counter(r.value for r in xs)
+    # average rank per value: min-rank + (tie-1)/2
+    ranks, i = {}, 0
+    for v in sorted(tie):
+        ranks[v] = (i + 1) + (tie[v] - 1) / 2.0
+        i += tie[v]
+    n_a = sum(r.a for r in vals)
+    n_b = len(vals) - n_a
+    r_a = sum(ranks[r.value] for r in vals if r.a)
+    u = r_a - n_a * (n_a + 1) / 2.0
+    mean_u = n_a * n_b / 2.0
+    n = n_a + n_b
+    tie_term = sum(t**3 - t for t in tie.values())
+    sigma = math.sqrt(n_a * n_b / 12.0 * ((n + 1) - tie_term / (n * (n - 1))))
+    assert row.n_purchase == n_a and row.n_view == n_b
+    assert abs(row.u_stat - u) < 0.01
+    assert abs(row.mean_u - mean_u) < 0.01
+    assert abs(row.sigma_u - sigma) < 0.001
+    assert abs(row.z - (u - mean_u) / sigma) < 1e-3
+
+
+def test_benford_shares_and_expectation(spark, tables, sf_dir):
+    """All nine digits appear, shares sum to 1, counts sum to the
+    order count, and the expectation column is exactly log10(1+1/d)."""
+    import math
+
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["orders_benford_digits"](spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert sum(r.n_orders for r in rows) == spark.table("orders").count()
+    for r in rows:
+        assert abs(r.benford_expected - math.log10(1 + 1 / r.digit)) < 1e-6
+
+
+def test_novelty_curve_conservation(spark, tables, sf_dir):
+    """Bucket 1 is fully novel by construction, novelty is in (0, 1],
+    introduced never exceeds present, and introduced totals the
+    corpus-distinct gram count."""
+    import __spark_entry__ as entrymod
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+        TOKENS,
+        spark_ngrams,
+    )
+
+    rows = sorted(
+        entrymod.queries()["corpus_novelty_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert rows[0].bucket == 1 and rows[0].novelty == 1.0
+    for r in rows:
+        assert 0.0 < r.novelty <= 1.0
+        assert r.n_grams_introduced <= r.n_grams_present
+    total_grams = (
+        spark.table("documents")
+        .selectExpr(f"explode({spark_ngrams(3, TOKENS)}) AS g")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_grams_introduced for r in rows) == total_grams
