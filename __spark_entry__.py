@@ -132,6 +132,10 @@ def _configure(spark: SparkSession) -> None:
 #   exact rank/integer-digit/gram-count arithmetic with driver-side
 #   recompute or conservation behavioral tests, sf0.01 gate + sf0.1
 #   spot differential green.
+# - events_ks_test / events_survival_km / events_ewma_daily: same
+#   policy (post-freeze, queued for r06); integer ECDF/telescoping/
+#   closed-form-weight arithmetic, recompute behavioral tests, sf0.01
+#   gate + sf0.1 spot differential green.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

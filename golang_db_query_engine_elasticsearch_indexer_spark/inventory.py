@@ -2969,6 +2969,195 @@ _q(
 )
 
 
+# Two-sample Kolmogorov-Smirnov statistic between purchase and view
+# values — the distribution-shape complement of the mean-level t-test
+# and the rank-level U test. D = max |ECDF_a - ECDF_b| evaluated at
+# the pooled distinct values: per-value arm counts (one grouped
+# shuffle), cumulative windows over the distinct-value relation, and
+# a one-row max. Counts stay exact integers until the two final
+# divisions, so both engines walk identical ECDFs.
+_q(
+    "events_ks_test",
+    """
+    WITH arms AS (
+      SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    tot AS (
+      SELECT cast(sum(is_a) AS bigint) AS n_a,
+             cast(sum(1 - is_a) AS bigint) AS n_b
+      FROM arms
+    ),
+    per_v AS (
+      SELECT value, sum(is_a) AS da, sum(1 - is_a) AS db
+      FROM arms GROUP BY value
+    ),
+    cum AS (
+      SELECT sum(da) OVER (ORDER BY value) AS ca,
+             sum(db) OVER (ORDER BY value) AS cb
+      FROM per_v
+    )
+    SELECT n_a AS n_purchase, n_b AS n_view,
+           round(max(abs(ca * cast(1 AS double) / n_a
+                         - cb * cast(1 AS double) / n_b)), 6) AS ks_d,
+           round(max(abs(ca * cast(1 AS double) / n_a
+                         - cb * cast(1 AS double) / n_b))
+                 * sqrt(n_a * cast(n_b AS double) / (n_a + n_b)), 4) AS ks_scaled
+    FROM cum CROSS JOIN tot
+    GROUP BY n_a, n_b
+    """,
+)
+
+# Kaplan-Meier survival curve for signup -> first-purchase conversion
+# with a 7-day censoring horizon — time-to-event analytics done
+# exactly: subjects are signup users, the event is the first purchase
+# strictly after signup, durations are calendar-day differences, and
+# anyone converting after day 7 (or never) is censored at 7 (the
+# censor-after-event convention keeps them at risk through day 7).
+# S(t) folds as exp(sum(ln(1 - d/n))) over the <= 8-row time relation;
+# the d = n boundary is floored at 1e-12 (Spark's ln(0) is NULL where
+# DuckDB's is -inf — the floor makes both round to 0.000000).
+_q(
+    "events_survival_km",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.st
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    subj AS (
+      SELECT s.user_id,
+             CASE WHEN p.pt IS NOT NULL
+                       AND datediff(cast(p.pt AS date), cast(s.st AS date)) <= 7
+                  THEN datediff(cast(p.pt AS date), cast(s.st AS date))
+                  ELSE 7 END AS dur,
+             CASE WHEN p.pt IS NOT NULL
+                       AND datediff(cast(p.pt AS date), cast(s.st AS date)) <= 7
+                  THEN 1 ELSE 0 END AS observed
+      FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ),
+    totals AS (SELECT cast(count(*) AS bigint) AS n_subj FROM subj),
+    counts AS (
+      SELECT dur AS t,
+             cast(sum(observed) AS bigint) AS d,
+             cast(sum(1 - observed) AS bigint) AS c,
+             cast(count(*) AS bigint) AS ends
+      FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d, c,
+             cast(n_subj - coalesce(sum(ends) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS bigint) AS n_risk
+      FROM counts CROSS JOIN totals
+    )
+    SELECT cast(t AS int) AS t_day, n_risk AS n_at_risk,
+           d AS n_events, c AS n_censored,
+           round(exp(sum(ln(greatest(1 - d * cast(1 AS double) / n_risk,
+                                     cast(1e-12 AS double))))
+                     OVER (ORDER BY t)), 6) AS survival
+    FROM risk
+    ORDER BY t_day
+    """,
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.st
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    subj AS (
+      SELECT s.user_id,
+             CASE WHEN p.pt IS NOT NULL
+                       AND date_diff('day', cast(s.st AS date), cast(p.pt AS date)) <= 7
+                  THEN date_diff('day', cast(s.st AS date), cast(p.pt AS date))
+                  ELSE 7 END AS dur,
+             CASE WHEN p.pt IS NOT NULL
+                       AND date_diff('day', cast(s.st AS date), cast(p.pt AS date)) <= 7
+                  THEN 1 ELSE 0 END AS observed
+      FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ),
+    totals AS (SELECT cast(count(*) AS bigint) AS n_subj FROM subj),
+    counts AS (
+      SELECT dur AS t,
+             cast(sum(observed) AS bigint) AS d,
+             cast(sum(1 - observed) AS bigint) AS c,
+             cast(count(*) AS bigint) AS ends
+      FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT t, d, c,
+             cast(n_subj - coalesce(sum(ends) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS bigint) AS n_risk
+      FROM counts CROSS JOIN totals
+    )
+    SELECT cast(t AS int) AS t_day, n_risk AS n_at_risk,
+           d AS n_events, c AS n_censored,
+           round(exp(sum(ln(greatest(1 - d * cast(1 AS double) / n_risk,
+                                     cast(1e-12 AS double))))
+                     OVER (ORDER BY t)), 6) AS survival
+    FROM risk
+    ORDER BY t_day
+    """,
+)
+
+# Exponentially weighted moving average of the daily event rate —
+# trailing 14-day window with decay 0.7^j, normalized by the weights
+# actually present (missing days shrink the denominator instead of
+# biasing the level). The x14 offset fan-out runs on the ~30-row
+# DAILY rollup, never on events; weights are closed-form powers so
+# the smoothing is stateless and replayable from any point — the
+# batch property a backfill needs (a recursive EWMA would tie each
+# day to full history).
+_q(
+    "events_ewma_daily",
+    """
+    WITH daily AS (
+      SELECT cast(ts AS date) AS day, count(*) AS n FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, n, datediff(day, date '2024-01-01') AS di FROM daily
+    ),
+    offsets AS (SELECT explode(sequence(0, 13)) AS j),
+    w AS (
+      SELECT a.day, a.n, b.n AS nb, power(cast(0.7 AS double), o.j) AS wt
+      FROM idx a
+      JOIN offsets o ON true
+      JOIN idx b ON b.di = a.di - o.j
+    )
+    SELECT cast(day AS string) AS day, cast(n AS bigint) AS n_events,
+           round(sum(nb * wt) / sum(wt), 4) AS ewma
+    FROM w GROUP BY day, n ORDER BY day
+    """,
+    oracle="""
+    WITH daily AS (
+      SELECT cast(ts AS date) AS day, count(*) AS n FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, n, date_diff('day', date '2024-01-01', day) AS di FROM daily
+    ),
+    offsets AS (SELECT unnest(range(0, 14)) AS j),
+    w AS (
+      SELECT a.day, a.n, b.n AS nb, power(cast(0.7 AS double), o.j) AS wt
+      FROM idx a
+      JOIN offsets o ON true
+      JOIN idx b ON b.di = a.di - o.j
+    )
+    SELECT cast(day AS varchar) AS day, cast(n AS bigint) AS n_events,
+           round(sum(nb * wt) / sum(wt), 4) AS ewma
+    FROM w GROUP BY day, n ORDER BY day
+    """,
+)
+
+
 def flagship_sql() -> str:
     """The minimum-slice query (SURVEY.md §7): scan → agg → order."""
     return SQL_QUERIES["q1_pricing_summary"]["sql"]

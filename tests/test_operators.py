@@ -1275,3 +1275,84 @@ def test_novelty_curve_conservation(spark, tables, sf_dir):
         .count()
     )
     assert sum(r.n_grams_introduced for r in rows) == total_grams
+
+
+def test_ks_recompute(spark, tables, sf_dir):
+    """The KS statistic must reproduce from a driver-side ECDF walk
+    over the pooled values."""
+    import __spark_entry__ as entrymod
+
+    row = entrymod.queries()["events_ks_test"](spark, sf_dir).collect()[0]
+    vals = spark.sql(
+        """SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+           FROM events WHERE event_type IN ('purchase', 'view')"""
+    ).collect()
+    n_a = sum(r.a for r in vals)
+    n_b = len(vals) - n_a
+    ca = cb = 0
+    d = 0.0
+    for r in sorted(vals, key=lambda r: r.value):
+        if r.a:
+            ca += 1
+        else:
+            cb += 1
+        d = max(d, abs(ca / n_a - cb / n_b))
+    # the SQL evaluates at distinct-value boundaries; per-row walk
+    # reaches the same max because ties group contiguously
+    assert row.n_purchase == n_a and row.n_view == n_b
+    assert abs(row.ks_d - d) < 1e-5
+
+
+def test_survival_km_telescoping(spark, tables, sf_dir):
+    """Kaplan-Meier bookkeeping: the at-risk set telescopes by events
+    plus censorings, starts at the signup-user count, and the survival
+    column reproduces as the running product of (1 - d/n)."""
+    import __spark_entry__ as entrymod
+
+    rows = sorted(
+        entrymod.queries()["events_survival_km"](spark, sf_dir).collect(),
+        key=lambda r: r.t_day,
+    )
+    n_signup = (
+        spark.table("events")
+        .where("event_type = 'signup'")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_at_risk == n_signup
+    s = 1.0
+    at_risk = n_signup
+    for r in rows:
+        assert r.n_at_risk == at_risk
+        s *= 1 - r.n_events / r.n_at_risk
+        assert abs(r.survival - s) < 1e-5
+        assert 0.0 <= r.survival <= 1.0
+        at_risk -= r.n_events + r.n_censored
+    assert at_risk == 0
+
+
+def test_ewma_daily_recompute(spark, tables, sf_dir):
+    """The first day's EWMA equals its own count (no history), and a
+    mid-series day reproduces from the closed-form weighted sum."""
+    import __spark_entry__ as entrymod
+
+    rows = sorted(
+        entrymod.queries()["events_ewma_daily"](spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    counts = {r.day: r.n_events for r in rows}
+    assert abs(rows[0].ewma - rows[0].n_events) < 1e-3
+    days = [r.day for r in rows]
+    import datetime
+
+    target = rows[min(len(rows) - 1, 20)]
+    t0 = datetime.date.fromisoformat(target.day)
+    num = den = 0.0
+    for j in range(14):
+        d = (t0 - datetime.timedelta(days=j)).isoformat()
+        if d in counts:
+            w = 0.7**j
+            num += counts[d] * w
+            den += w
+    assert abs(target.ewma - num / den) < 1e-3
