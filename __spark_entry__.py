@@ -136,6 +136,14 @@ def _configure(spark: SparkSession) -> None:
 #   policy (post-freeze, queued for r06); integer ECDF/telescoping/
 #   closed-form-weight arithmetic, recompute behavioral tests, sf0.01
 #   gate + sf0.1 spot differential green.
+# - graph_pagerank_nations / graph_copurchase_hops /
+#   layout_zorder_orders: same policy (post-freeze, queued for r06);
+#   PageRank rounds the rank vector to 9 dp per iteration in both
+#   dialects (compounding-drift guard), BFS and the Morton-code layout
+#   profile are pure integer arithmetic; behavioral contracts
+#   (mass conservation, frontier invariants, bucket rectangles,
+#   literal-only iteration plan) pinned in tests/test_graph_layout.py,
+#   sf0.01 gate + sf0.1 spot differential green.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

@@ -17,6 +17,8 @@ def registry() -> dict[str, dict]:
         chunking,
         decontam,
         dedup,
+        graph,
+        layout,
         multimodal,
         sampling,
         search,
@@ -30,7 +32,7 @@ def registry() -> dict[str, dict]:
         profile,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile):
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile, graph, layout):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415
