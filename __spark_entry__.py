@@ -144,6 +144,13 @@ def _configure(spark: SparkSession) -> None:
 #   (mass conservation, frontier invariants, bucket rectangles,
 #   literal-only iteration plan) pinned in tests/test_graph_layout.py,
 #   sf0.01 gate + sf0.1 spot differential green.
+# - events_pattern_match / events_top_paths /
+#   embedding_matryoshka_recall: same policy (post-freeze, queued for
+#   r06); journey-string regex kernels are integer counting over the
+#   Java∩RE2 pattern subset with a pure-Python re recompute test, the
+#   path trigrams are LEAD-window counts, and the recall curve reuses
+#   the driver-verified brute-force/eval shapes with round-before-rank;
+#   sf0.01 gate + sf0.1 spot differential green.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

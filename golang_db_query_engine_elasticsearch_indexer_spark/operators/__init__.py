@@ -22,6 +22,7 @@ def registry() -> dict[str, dict]:
         multimodal,
         sampling,
         search,
+        sequence,
         similarity,
         skew,
         text,
@@ -32,7 +33,7 @@ def registry() -> dict[str, dict]:
         profile,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile, graph, layout):
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile, graph, layout, sequence):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415

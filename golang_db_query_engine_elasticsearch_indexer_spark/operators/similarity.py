@@ -2191,9 +2191,115 @@ ORDER BY p.probe_id
 """
 
 
+# --- Matryoshka (truncated-prefix) retrieval eval --------------------------
+
+#: prefix widths for the truncated-embedding recall curve (MRL-style:
+#: nested representations where the first dims carry the coarse
+#: signal). The eval measures how much signal the prefixes actually
+#: carry — on embeddings NOT trained with nested representations (like
+#: the synthetic fixture) recall is near chance, which is precisely the
+#: deployment mistake this eval exists to catch before switching
+#: serving to prefix scans.
+MRL_DIMS = (16, 32, 48)
+
+
+def matryoshka_topk(spark: SparkSession, sf_dir: str, dim: int) -> DataFrame:
+    """Approximate top-k over the first ``dim`` dims only — the
+    Matryoshka/truncated-prefix serving trade: a prefix scan reads
+    dim/64 of the vector bytes (at 100 TB of embeddings, 16/64 is the
+    difference between scanning 25 TB and 100 TB), at a recall cost
+    this kernel makes measurable. Same probe set, same
+    round-before-rank discipline as the exact baseline."""
+    emb = spark.table("embeddings").select(
+        "vec_id", F.expr(f"slice(embedding, 1, {dim})").alias("emb_t")
+    )
+    emb = emb.withColumn("norm_t", F.expr(NORM.format(a="emb_t")))
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb_t").alias("p_emb"),
+        F.col("norm_t").alias("p_norm"),
+    )
+    pairs = emb.crossJoin(F.broadcast(probes)).where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    scored = pairs.withColumn(
+        "cos",
+        F.round(
+            F.expr(DOT.format(a="p_emb", b="emb_t"))
+            / (F.col("p_norm") * F.col("norm_t")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.select("probe_id", "vec_id", "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "rank")
+        .orderBy("probe_id", "rank")
+    )
+
+
+def _mrl_topk_oracle(dim: int) -> str:
+    return f"""
+WITH scored AS (
+  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.embedding[1:{dim}]::DOUBLE[],
+                                      e.embedding[1:{dim}]::DOUBLE[]), 6) AS cos
+  FROM embeddings p JOIN embeddings e ON e.vec_id != p.vec_id
+  WHERE p.vec_id < {N_PROBES}
+),
+ranked AS (
+  SELECT probe_id, neighbor_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT probe_id, neighbor_id, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k CURVE of prefix-truncated search vs the full-dimension
+    exact baseline: one row per (prefix width, probe) through the same
+    differential-tested eval shape as the LSH/IVF recall entries —
+    quantifying what each cheaper prefix scan gives up. Scale: the
+    exact baseline relation is built once per width over the shared
+    broadcast-probe scan; every eval join is probe x k sized."""
+    ex = brute_force_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    out = None
+    for dim in MRL_DIMS:
+        ev = _recall_eval(ex, matryoshka_topk(spark, sf_dir, dim), "mrl_neighbor")
+        ev = ev.select(
+            F.lit(dim).cast("int").alias("prefix_dim"), "probe_id", "n_hits",
+            "recall_at_k",
+        )
+        out = ev if out is None else out.unionByName(ev)
+    return out.orderBy("prefix_dim", "probe_id")
+
+
+def _matryoshka_recall_oracle() -> str:
+    blocks = []
+    for dim in MRL_DIMS:
+        blocks.append(
+            f"""
+SELECT CAST({dim} AS INTEGER) AS prefix_dim, ex.probe_id,
+       cast(count(ap.neighbor_id) AS bigint) AS n_hits,
+       round(count(ap.neighbor_id) * cast(1 AS double) / {TOP_K}, 4) AS recall_at_k
+FROM ({BRUTE_FORCE_ORACLE.replace("ORDER BY probe_id, rank", "")}) ex
+LEFT JOIN ({_mrl_topk_oracle(dim)}) ap
+  ON ap.probe_id = ex.probe_id AND ap.neighbor_id = ex.neighbor_id
+GROUP BY ex.probe_id"""
+        )
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY prefix_dim, probe_id"
+
+
 def registry() -> dict[str, dict]:
     return {
         "embedding_knn_eval": {"fn": knn_label_eval, "oracle": KNN_EVAL_ORACLE},
+        "embedding_matryoshka_recall": {
+            "fn": matryoshka_recall_eval,
+            "oracle": _matryoshka_recall_oracle(),
+        },
         "ann_lsh_recall_eval": {"fn": lsh_recall_eval, "oracle": _lsh_recall_oracle()},
         "ann_ivf_recall_eval": {"fn": ivf_recall_eval, "oracle": _ivf_recall_oracle()},
         "embedding_quantize_int8": {"fn": quantize_int8, "oracle": QUANTIZE_ORACLE},
