@@ -123,6 +123,10 @@ def _configure(spark: SparkSession) -> None:
 # - dedup_split_leakage: same policy (added post-freeze, queued for
 #   r06); it reuses the in-window-verified banded-SimHash kernel and
 #   its conservation against dedup_simhash_pairs is behavioral-tested.
+#   (Both pair entries' shared kernel was widened 16->48 bits late in
+#   round 5 — occupancy and precision fix, see SCALE.md; all-pairs
+#   recall-1.0 test re-verified, sf0.01 gate + sf0.1 differential
+#   green on the new kernel.)
 # - customers_gini_by_nation / events_hourly_autocorr: same policy
 #   (post-freeze, queued for r06); rank/corr arithmetic over tiny
 #   rollups with driver-side recomputation behavioral tests, sf0.01

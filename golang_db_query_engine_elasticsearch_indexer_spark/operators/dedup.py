@@ -1281,18 +1281,68 @@ ORDER BY doc_id
 """
 
 
-# SimHash near-dup banding: split the 16-bit fingerprint into 4 bands
-# of 4 bits. By pigeonhole, any pair within Hamming distance 3 differs
+# SimHash near-dup banding over a WIDE (48-bit) fingerprint: 4 bands
+# of 12 bits. By pigeonhole, any pair within Hamming distance 3 differs
 # in at most 3 bands, so at least one band matches exactly — candidate
 # recall at the <= 3-bit threshold is 1.0 BY CONSTRUCTION (the
 # behavioral test checks the banded pair set equals the all-pairs
-# baseline). At corpus scale the occupancy lever is the same as
-# embedding_neardup_pairs: widen the fingerprint (more bits per band,
-# SimHash(64) = 4 x 16-bit bands) so per-bucket occupancy ~n/2^bits
-# stays constant; the 16-bit layout fits the fixture's 500-5000 docs.
-SIMHASH_BAND_BITS = 4
+# baseline). The width is the occupancy AND precision lever, and 16
+# bits (the signature entry's width) fails both even at fixture scale,
+# measured at sf0.01: 4-bit band keys have 16 values, so each bucket
+# held ~n/16 docs and the join emitted ~3M quadratic candidates
+# (2.9 s at sf0.1, O(n^2/16) at any scale), while hamming<=3 of 16
+# flagged 12% of ALL pairs as "near-dups" — noise, not duplication.
+# At 48 bits the 12-bit band keys give 4096 bucket values (constant
+# per-bucket occupancy two orders of magnitude longer into corpus
+# growth) and hamming<=3 of 48 is a meaningful near-identity bar
+# (40 pairs at sf0.01, all verified). The signature entry
+# (dedup_simhash) keeps its compact 16-bit fingerprint — that width is
+# its documented output contract; the PAIRS kernel owns its own width.
+SIMHASH_PAIR_BITS = 48
+SIMHASH_BAND_BITS = 12
 SIMHASH_N_BANDS = 4
 SIMHASH_HAMMING_MAX = 3
+
+
+def _simhash_fps_wide(spark: SparkSession) -> DataFrame:
+    """Unordered ``(doc_id, f)`` 48-bit fingerprints — the pairs
+    kernel's fingerprint relation (same row-local majority-vote
+    formulation as :func:`_simhash_fps`, wider hash: the first 12 md5
+    hex digits per token via the portable hex_prefix_int primitive)."""
+    bits = " + ".join(
+        f"CASE WHEN 2 * size(filter(hs, h -> (h & {1 << j}) != 0)) > size(hs) "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(SIMHASH_PAIR_BITS)
+    )
+    return (
+        spark.table("documents")
+        .selectExpr(
+            "doc_id",
+            f"transform(transform({TOKENS}, w -> md5(w)), "
+            f"m -> {_hex_prefix_int('m', 12)}) AS hs",
+        )
+        .selectExpr("doc_id", f"cast({bits} AS bigint) AS f")
+    )
+
+
+def _duck_simhash_fp_wide_ctes() -> str:
+    """DuckDB CTE chain ending in ``fpw(doc_id, f)`` — the wide
+    fingerprint relation the pair oracles build on."""
+    bits = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << j}) != 0)) > len(hs) "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(SIMHASH_PAIR_BITS)
+    )
+    return f"""
+WITH hashed_w AS (
+  SELECT doc_id,
+         list_transform(list_transform({DUCK_TOKENS}, w -> md5(w)),
+                        m -> {_hex_prefix_int('m', 12)}) AS hs
+  FROM documents
+),
+fpw AS (
+  SELECT doc_id, cast({bits} AS BIGINT) AS f FROM hashed_w
+)"""
 
 
 def _simhash_pairs_df(spark: SparkSession) -> DataFrame:
@@ -1306,17 +1356,17 @@ def _simhash_pairs_df(spark: SparkSession) -> DataFrame:
     # the localCheckpoint materializes signatures exactly once (same
     # pattern as the TF-IDF postings pin; blocks are GC-scoped to the
     # returned frame).
-    fps = _simhash_fps(spark).localCheckpoint(eager=True)
-    # posexplode keeps the band index alongside the 4-bit key.
+    fps = _simhash_fps_wide(spark).localCheckpoint(eager=True)
+    # posexplode keeps the band index alongside the 12-bit key.
     bands = fps.selectExpr(
         "doc_id",
-        "simhash16",
+        "f",
         f"""posexplode(transform(sequence(0, {SIMHASH_N_BANDS - 1}),
-              b -> shiftright(simhash16, b * {SIMHASH_BAND_BITS})
+              b -> shiftright(f, b * {SIMHASH_BAND_BITS})
                    % {1 << SIMHASH_BAND_BITS})) AS (band, bkey)""",
     )
-    a = bands.selectExpr("band", "bkey", "doc_id AS doc_a", "simhash16 AS fa")
-    b = bands.selectExpr("band", "bkey", "doc_id AS doc_b", "simhash16 AS fb")
+    a = bands.selectExpr("band", "bkey", "doc_id AS doc_a", "f AS fa")
+    b = bands.selectExpr("band", "bkey", "doc_id AS doc_b", "f AS fb")
     cand = (
         a.join(b, ["band", "bkey"])
         .where("doc_a < doc_b")
@@ -1333,11 +1383,14 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by banded SimHash: band equi-join produces
     candidates, ``bit_count(xor)`` verifies the Hamming threshold.
 
-    Scale shape: fingerprints are one narrow aggregation (the simhash
-    kernel); banding is a map-only x4 explode of 3-column rows; the
-    candidate join is an equi-join on (band, bkey) — never an all-pairs
-    product; verification is row-local bit arithmetic on two 16-bit
-    ints. The whole pipeline moves (doc_id, int) pairs, not documents.
+    Scale shape: fingerprints are map-only (the wide simhash kernel);
+    banding is a map-only x4 explode of 3-column rows; the candidate
+    join is an equi-join on (band, bkey) with 4096 key values per band
+    — never an all-pairs product and two orders of magnitude more
+    buckets than the 16-bit layout it replaced (which measured ~3M
+    quadratic candidates at sf0.1); verification is row-local bit
+    arithmetic on two 48-bit ints. The whole pipeline moves
+    (doc_id, bigint) pairs, not documents.
     """
     return _simhash_pairs_df(spark).orderBy("doc_a", "doc_b")
 
@@ -1346,10 +1399,10 @@ def _duck_simhash_cand_ctes() -> str:
     """DuckDB CTE chain ending in ``cand(doc_a, doc_b, fa, fb)`` — the
     banded candidate relation both simhash-pair oracles verify from."""
     return f"""
-{_duck_simhash_fp_ctes()},
+{_duck_simhash_fp_wide_ctes()},
 bands AS (
   SELECT doc_id, f, b, (f >> (b * {SIMHASH_BAND_BITS})) % {1 << SIMHASH_BAND_BITS} AS bkey
-  FROM fp CROSS JOIN (SELECT unnest(range(0, {SIMHASH_N_BANDS})) AS b)
+  FROM fpw CROSS JOIN (SELECT unnest(range(0, {SIMHASH_N_BANDS})) AS b)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.f AS fa, b.f AS fb

@@ -62,13 +62,13 @@ def test_simhash_locality(spark, planted_docs, sf_dir):
 
 
 def test_simhash_pairs_equal_allpairs_baseline(spark, tables, sf_dir):
-    """The 4x4-bit banding's pigeonhole guarantee: a pair within
+    """The 4x12-bit banding's pigeonhole guarantee: a pair within
     Hamming distance SIMHASH_HAMMING_MAX (3) differs in at most 3 of
     the 4 bands, so one band must match exactly — the banded candidate
     set loses NO qualifying pair. Verified by comparing the operator's
     output to the test-side all-pairs baseline over the real fixture
-    fingerprints (recall 1.0, and no extra pairs either)."""
-    fps = {r.doc_id: r.simhash16 for r in dedup.simhash(spark, sf_dir).collect()}
+    (wide) fingerprints (recall 1.0, and no extra pairs either)."""
+    fps = {r.doc_id: r.f for r in dedup._simhash_fps_wide(spark).collect()}
     ids = sorted(fps)
     baseline = {
         (a, b)
