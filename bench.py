@@ -55,6 +55,12 @@ HEADLINE = [
     "dedup_split_leakage",
     "indexer_positional_ids",
     "pipeline_curate_corpus",
+    # round-5 late kernels: iterative graph, layout, sequence, MRL eval
+    "graph_pagerank_nations",
+    "graph_copurchase_hops",
+    "layout_zorder_orders",
+    "events_pattern_match",
+    "embedding_matryoshka_recall",
     # streaming (availableNow drain of the events fixture)
     "stream_tumbling_counts",
     "stream_docs_incremental_dedup",

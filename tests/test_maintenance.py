@@ -1,0 +1,66 @@
+"""Small-file compaction: plan correctness, content preservation,
+output uniformity."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from golang_db_query_engine_elasticsearch_indexer_spark import maintenance
+
+
+def _row_checksum(df):
+    """Order-independent content checksum: sum of per-row xxhash64 over
+    all columns (null-total via sum of bigints)."""
+    return df.select(
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+        ).alias("s")
+    ).collect()[0].s
+
+
+def test_compaction_plan_and_rewrite(spark, tables, tmp_path):
+    src = os.path.join(str(tmp_path), "fragmented")
+    dst = os.path.join(str(tmp_path), "compacted")
+    docs = spark.table("documents")
+    docs.repartition(64).write.parquet(src)
+
+    plan = maintenance.plan_compaction(spark, src, target_mb=1024)
+    assert plan.n_files == 64
+    assert plan.total_bytes > 0
+    assert plan.target_files == 1  # tiny fixture fits one 1 GiB target
+    assert plan.needed
+
+    before = _row_checksum(spark.read.parquet(src))
+    n_before = spark.read.parquet(src).count()
+
+    report = maintenance.compact_parquet(spark, src, dst, target_mb=1024)
+    assert report.written_files == plan.target_files
+    assert report.rows == n_before
+    assert _row_checksum(spark.read.parquet(dst)) == before
+
+
+def test_compaction_targets_multiple_uniform_files(spark, tables, tmp_path):
+    """A sub-MB target forces a multi-file rewrite; round-robin
+    repartition must yield near-uniform file sizes (the reason it is
+    chosen over coalesce)."""
+    src = os.path.join(str(tmp_path), "frag2")
+    dst = os.path.join(str(tmp_path), "comp2")
+    spark.table("documents").repartition(32).write.parquet(src)
+
+    target = 0.02  # 20 KB target forces a multi-file plan at any scale
+    plan = maintenance.plan_compaction(spark, src, target_mb=target)
+    assert plan.target_files >= 2
+    report = maintenance.compact_parquet(spark, src, dst, target_mb=target)
+    assert report.written_files == plan.target_files
+    sizes = [s for _, s in maintenance._list_parquet_files(spark, dst)]
+    assert max(sizes) < 3 * min(sizes), f"skewed output files: {sizes}"
+
+
+def test_compaction_plan_not_needed_when_already_compact(spark, tables, tmp_path):
+    src = os.path.join(str(tmp_path), "ok")
+    spark.table("region").coalesce(1).write.parquet(src)
+    plan = maintenance.plan_compaction(spark, src, target_mb=128)
+    assert plan.n_files == 1
+    assert not plan.needed
