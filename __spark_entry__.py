@@ -155,6 +155,10 @@ def _configure(spark: SparkSession) -> None:
 #   path trigrams are LEAD-window counts, and the recall curve reuses
 #   the driver-verified brute-force/eval shapes with round-before-rank;
 #   sf0.01 gate + sf0.1 spot differential green.
+# - text_keywords_textrank: same policy (post-freeze, queued for r06);
+#   exact fixed-point integer TextRank (ppm ranks, floor-division
+#   contributions — no float arithmetic anywhere), determinism
+#   behavioral-tested, sf0.01 gate + sf0.1 spot differential green.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

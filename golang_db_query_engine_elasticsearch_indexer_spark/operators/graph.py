@@ -50,6 +50,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+    DUCK_TOKENS,
+    TOKENS,
+)
+
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 5
 BFS_MAX_HOPS = 3
@@ -249,6 +254,163 @@ ORDER BY hops, part_key"""
     return "\n".join(parts)
 
 
+# --- TextRank keyword extraction (fixed-point integer formulation) ---------
+
+TEXTRANK_ITERS = 3
+TEXTRANK_TOP_K = 20
+TEXTRANK_MIN_LEN = 4  # candidate keywords: tokens of at least 4 chars
+# Fixed-point scale: ranks are BIGINT parts-per-million. Rationale: a
+# float TextRank sums thousands of in-edge contributions per hub word,
+# and cross-engine summation-order drift (~1e-13) against a 9-dp
+# rounding boundary would straddle with non-negligible probability at
+# vocabulary scale (2000 nodes x 3 iterations ~ 0.6 expected flips —
+# unacceptable for a hash gate). Integer formulation is EXACT in both
+# engines: each edge contribution floors once ((r * cnt) div out —
+# deterministic per term, order-independent integer sum), and the
+# damping applies as (850000 * s) div 1000000. Overflow headroom: total
+# rank mass <= |vocab| * ~2e6 ppm; x 850000 stays < 2^63 up to ~1e7
+# vocabulary words.
+TEXTRANK_SCALE = 1_000_000
+
+
+def _textrank_edges_sql(*, dialect: str) -> str:
+    """Symmetrized word co-occurrence edges with out-strength:
+    (src, dst, cnt, outc). Adjacency = consecutive candidate keywords
+    (length >= TEXTRANK_MIN_LEN) within a document. One explode + one
+    groupBy on the word pair; per-doc fan-out is doc length, so
+    |adjacency| is O(total tokens) — linear in the corpus."""
+    if dialect == "spark":
+        return f"""
+ft0 AS (
+  SELECT filter({TOKENS}, w -> length(w) >= {TEXTRANK_MIN_LEN}) AS ft
+  FROM documents
+),
+ft2 AS (SELECT ft FROM ft0 WHERE size(ft) >= 2),
+pos AS (
+  SELECT ft, i FROM ft2 LATERAL VIEW explode(sequence(1, size(ft) - 1)) s AS i
+),
+adj AS (
+  SELECT element_at(ft, i) AS wa, element_at(ft, i + 1) AS wb
+  FROM pos WHERE element_at(ft, i) <> element_at(ft, i + 1)
+),
+dir AS (SELECT wa, wb FROM adj UNION ALL SELECT wb AS wa, wa AS wb FROM adj),
+edges AS (SELECT wa AS src, wb AS dst, count(*) AS cnt FROM dir GROUP BY wa, wb),
+edgesw AS (
+  SELECT src, dst, cnt, sum(cnt) OVER (PARTITION BY src) AS outc FROM edges
+)
+"""
+    return f"""
+ft0 AS (
+  SELECT list_filter({DUCK_TOKENS}, w -> length(w) >= {TEXTRANK_MIN_LEN}) AS ft
+  FROM documents
+),
+ft2 AS (SELECT ft FROM ft0 WHERE len(ft) >= 2),
+pos AS (
+  SELECT ft, unnest(generate_series(1, len(ft) - 1)) AS i FROM ft2
+),
+adj AS (
+  SELECT ft[i] AS wa, ft[i + 1] AS wb FROM pos WHERE ft[i] <> ft[i + 1]
+),
+dir AS (SELECT wa, wb FROM adj UNION ALL SELECT wb AS wa, wa AS wb FROM adj),
+edges AS (SELECT wa AS src, wb AS dst, count(*) AS cnt FROM dir GROUP BY wa, wb),
+edgesw AS (
+  SELECT src, dst, cnt, sum(cnt) OVER (PARTITION BY src) AS outc FROM edges
+)
+"""
+
+
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keywords by TextRank (Mihalcea & Tarau 2004) over the
+    word co-occurrence graph, in exact fixed-point integer arithmetic.
+
+    The rank vector here is VOCABULARY-cardinality, so unlike the
+    nation PageRank it stays distributed: edges are built once and
+    persisted for the fixed iteration budget, each iteration is one
+    word-keyed join + integer-sum aggregate, and the result is frozen
+    with an eager localCheckpoint before the caches release (the BFS
+    discipline). Every node has out-edges by symmetrization, so there
+    is no dangling mass to redistribute."""
+    s = TEXTRANK_SCALE
+    edges = spark.sql(
+        "WITH " + _textrank_edges_sql(dialect="spark").strip()
+        + "\nSELECT src, dst, cnt, outc FROM edgesw"
+    ).persist()
+    nodes = edges.select("src").distinct().withColumnRenamed("src", "word").persist()
+    ranks = nodes.select(
+        "word", F.lit(s).cast("bigint").alias("r")
+    )
+    held: list[DataFrame] = []
+    try:
+        for _ in range(TEXTRANK_ITERS):
+            contrib = (
+                edges.alias("e")
+                .join(ranks.alias("p"), F.col("p.word") == F.col("e.src"))
+                .select(
+                    F.col("e.dst").alias("word"),
+                    F.expr("(p.r * e.cnt) div e.outc").alias("c"),
+                )
+                .groupBy("word")
+                .agg(F.sum("c").alias("cs"))
+            )
+            ranks = (
+                nodes.alias("n")
+                .join(contrib.alias("c"), "word", "left")
+                .select(
+                    "word",
+                    F.expr(
+                        f"cast({s * 15 // 100} + ({s * 85 // 100} * coalesce(cs, 0))"
+                        f" div {s} AS bigint)"
+                    ).alias("r"),
+                )
+                .persist()
+            )
+            held.append(ranks)
+        final = (
+            ranks.select("word", F.col("r").alias("rank_ppm"))
+            .orderBy(F.col("rank_ppm").desc(), "word")
+            .limit(TEXTRANK_TOP_K)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in held:
+            d.unpersist()
+        nodes.unpersist()
+        edges.unpersist()
+    return final
+
+
+def _textrank_oracle() -> str:
+    s = TEXTRANK_SCALE
+    parts = [
+        "WITH " + _textrank_edges_sql(dialect="duckdb").strip(),
+        f""",
+r0 AS (SELECT DISTINCT src AS word, CAST({s} AS BIGINT) AS r FROM edgesw)""",
+    ]
+    for i in range(1, TEXTRANK_ITERS + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.dst AS word, sum((p.r * e.cnt) // e.outc) AS cs
+  FROM edgesw e JOIN r{i - 1} p ON p.word = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.word,
+         CAST({s * 15 // 100} + ({s * 85 // 100} * coalesce(c.cs, 0)) // {s}
+              AS BIGINT) AS r
+  FROM r0 n LEFT JOIN c{i} c ON c.word = n.word
+)"""
+        )
+    parts.append(
+        f"""
+SELECT word, r AS rank_ppm
+FROM r{TEXTRANK_ITERS}
+ORDER BY rank_ppm DESC, word
+LIMIT {TEXTRANK_TOP_K}"""
+    )
+    return "".join(parts)
+
+
 def registry() -> dict[str, dict]:
     return {
         "graph_pagerank_nations": {
@@ -258,5 +420,9 @@ def registry() -> dict[str, dict]:
         "graph_copurchase_hops": {
             "fn": copurchase_hops,
             "oracle": _copurchase_oracle(),
+        },
+        "text_keywords_textrank": {
+            "fn": textrank_keywords,
+            "oracle": _textrank_oracle(),
         },
     }

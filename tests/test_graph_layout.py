@@ -59,6 +59,21 @@ def test_copurchase_hops_contract(spark, tables):
     assert all((seed, k) in edges for k in hop1)
 
 
+def test_textrank_keywords_contract(spark, tables):
+    """Top-k keywords: candidate filter respected (no short/stop
+    tokens), ranks are valid fixed-point values (>= the damping floor
+    of 150000 ppm), list is rank-ordered, and a repeat invocation is
+    bit-identical (the integer formulation is exactly deterministic)."""
+    rows = graph.textrank_keywords(spark, None).collect()
+    assert 0 < len(rows) <= graph.TEXTRANK_TOP_K
+    assert all(len(r.word) >= graph.TEXTRANK_MIN_LEN for r in rows)
+    assert all(r.rank_ppm >= 150000 for r in rows)
+    ranks = [r.rank_ppm for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    again = [(r.word, r.rank_ppm) for r in graph.textrank_keywords(spark, None).collect()]
+    assert again == [(r.word, r.rank_ppm) for r in rows]
+
+
 def test_zorder_bucket_rectangles(spark, tables):
     """Fixing the top 6 z-bits confines each bucket to a 32x32
     rectangle of the 256x256 coordinate grid — the clustering contract
