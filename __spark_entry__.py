@@ -159,6 +159,9 @@ def _configure(spark: SparkSession) -> None:
 #   exact fixed-point integer TextRank (ppm ranks, floor-division
 #   contributions — no float arithmetic anywhere), determinism
 #   behavioral-tested, sf0.01 gate + sf0.1 spot differential green.
+# - dedup_lsh_bucket_stats: same policy (post-freeze, queued for r06);
+#   integer occupancy rollup over the driver-verified band relation,
+#   sf0.01 gate + sf0.1 spot differential green.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

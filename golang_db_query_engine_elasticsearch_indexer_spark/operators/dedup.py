@@ -424,6 +424,61 @@ INCR_BATCH_MOD = 10
 INCR_BATCH_MIN = 8
 
 
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy profile of the MinHash LSH band buckets — the
+    observability companion of the MINHASH_MAX_BUCKET scale guard: per
+    band, how many buckets are singletons (generate no candidates),
+    joinable (feed the pair expansion), or CAPPED (mega-buckets the
+    kernel deliberately skips to bound quadratic fan-out). Operating a
+    capped candidate generator at 100 TB without this rollup means not
+    knowing how much recall the cap is costing; here the capped row is
+    the audit trail. One groupBy over the band relation plus a 4-way
+    CASE — band-relation-sized, integer-only."""
+    sh = _shingle_arrays_df(spark)
+    occ = (
+        _minhash_bands(sh)
+        .groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n"))
+    )
+    cls = (
+        "CASE WHEN n = 1 THEN 'singleton' "
+        "WHEN n <= 10 THEN 'small' "
+        f"WHEN n <= {MINHASH_MAX_BUCKET} THEN 'large' "
+        "ELSE 'capped' END"
+    )
+    return (
+        occ.selectExpr("band_id", f"{cls} AS occ_class", "n")
+        .groupBy("band_id", "occ_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("band_id", "occ_class")
+    )
+
+
+def _duck_lsh_bucket_stats_oracle() -> str:
+    cls = (
+        "CASE WHEN n = 1 THEN 'singleton' "
+        "WHEN n <= 10 THEN 'small' "
+        f"WHEN n <= {MINHASH_MAX_BUCKET} THEN 'large' "
+        "ELSE 'capped' END"
+    )
+    return f"""
+WITH sh AS ({DUCK_SHINGLES}),
+{_duck_band_ctes()},
+occ AS (
+  SELECT band_id, band_val, count(*) AS n FROM bands GROUP BY 1, 2
+)
+SELECT band_id, {cls} AS occ_class,
+       cast(count(*) AS BIGINT) AS n_buckets,
+       cast(sum(n) AS BIGINT) AS n_docs
+FROM occ
+GROUP BY 1, 2
+ORDER BY band_id, occ_class
+"""
+
+
 def incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the OPERATIONAL shape at 100 TB: a corpus is
     deduped once, then each arriving batch is checked against it (and
@@ -1495,6 +1550,10 @@ def registry() -> dict[str, dict]:
         "dedup_exact": {"fn": exact, "oracle": EXACT_ORACLE},
         "dedup_normalized": {"fn": normalized, "oracle": NORMALIZED_ORACLE},
         "dedup_minhash_lsh": {"fn": minhash_lsh_pairs, "oracle": _duck_minhash_oracle()},
+        "dedup_lsh_bucket_stats": {
+            "fn": lsh_bucket_stats,
+            "oracle": _duck_lsh_bucket_stats_oracle(),
+        },
         "dedup_minhash_estimate_eval": {
             "fn": minhash_estimate_eval,
             "oracle": _duck_minhash_eval_oracle(),

@@ -1298,7 +1298,11 @@ def ivfpq_topk(
     the same LUT-ADC shape — the probe LUTs stay per-probe, plus a
     constant-size per-(cell, subspace, code) cross-term table for the
     reconstruction norm — but it roughly doubles the replayed-training
-    differential oracle, so it is documented rather than implemented."""
+    differential oracle, so it is documented rather than implemented.
+    nprobe is NOT the missing lever: measured recall saturates at 0.68
+    by nprobe=7 of 10 (scanning 70% of cells — barely better than no
+    IVF pruning), confirming the residual-quantization loss, not cell
+    routing, owns the gap to plain PQ."""
     return ivfpq_search(
         spark, sf_dir, ivfpq_build(spark, sf_dir, persist=False), nprobe
     )
