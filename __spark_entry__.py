@@ -162,6 +162,11 @@ def _configure(spark: SparkSession) -> None:
 # - dedup_lsh_bucket_stats: same policy (post-freeze, queued for r06);
 #   integer occupancy rollup over the driver-verified band relation,
 #   sf0.01 gate + sf0.1 spot differential green.
+# - dedup_prefix_filter_jaccard: same policy (post-freeze, queued for
+#   r06); its oracle is the GROUND-TRUTH all-pairs jaccard (not a
+#   mirror), so the differential proves the prefix lemma's exact
+#   recall; integer counts + the shared rounded-jaccard discipline;
+#   green at sf0.001/0.01/0.1.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

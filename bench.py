@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_components",
     "dedup_incremental_batch",
     "dedup_simhash_pairs",
+    "dedup_prefix_filter_jaccard",
     "sketch_cms_heavy_hitters",
     "sketch_histogram_quantiles",
     "text_quality_score",

@@ -479,6 +479,101 @@ ORDER BY band_id, occ_class
 """
 
 
+# Prefix-filtering set-similarity join (SSJoin/PPJoin family —
+# Chaudhuri et al. ICDE'06, Xiao et al. WWW'08): the DETERMINISTIC
+# near-dup candidate generator. MinHash banding trades recall for
+# candidate volume probabilistically; prefix filtering is exact by the
+# prefix lemma — order every set by one global token order (document
+# frequency ascending, token ascending), take each set's first
+# n - ceil(t*n) + 1 tokens, and any pair with Jaccard >= t MUST share
+# a prefix token. The differential against the ground-truth all-pairs
+# oracle below therefore tests the THEOREM, not just the code: any
+# missed pair is a hash mismatch.
+#
+# Feature choice is load-bearing: prefix filtering only wins when the
+# df-ascending global order puts genuinely RARE features at the front.
+# Word TRIGRAMS deliver that here (27k distinct at sf0.1, median df 9
+# -> 44k candidates); the bigram-shingle space has only ~900 distinct
+# values on the fixture vocabulary, every one common, and the measured
+# candidate set was 1.5M — the algorithm degenerates when no feature is
+# rare, which is a property to check about a corpus before deploying
+# this kernel on it.
+PREFIX_JACCARD_T = 0.8
+PREFIX_NGRAM_N = 3
+
+
+def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with word-trigram-set Jaccard >=
+    PREFIX_JACCARD_T, by prefix filtering — exact recall without
+    banding probability.
+
+    Scale shape: one explode + groupBy for document frequencies, one
+    re-sort per document (row-local after the df join), candidates from
+    an equi-join on PREFIX grams only (df-ascending order makes
+    prefixes the rarest grams, so posting lists are short by
+    construction; the size filter min >= t*max prunes row-locally
+    before the distinct), then the shared one-scan exact verify. High
+    thresholds keep prefixes short (t=0.8 -> ~20% of each set); this
+    kernel is the right tool for near-identity joins, minhash for
+    lower-threshold similarity."""
+    g = _gram_arrays_df(spark, PREFIX_NGRAM_N)
+    ex = g.selectExpr("doc_id", "explode(grams) AS gr")
+    dfreq = ex.groupBy("gr").agg(F.count("*").alias("dfr"))
+    ordered = (
+        ex.join(dfreq, "gr")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dfr, gr))), x -> x.gr)"
+            ).alias("og")
+        )
+    )
+    t = PREFIX_JACCARD_T
+    pre = ordered.selectExpr(
+        "doc_id",
+        "size(og) AS n",
+        f"slice(og, 1, size(og) - cast(ceil({t} * size(og)) AS int) + 1)"
+        " AS prefix",
+    ).selectExpr("doc_id", "n", "explode(prefix) AS ptok")
+    a = pre.selectExpr("ptok", "doc_id AS a", "n AS na")
+    b = pre.selectExpr("ptok", "doc_id AS b", "n AS nb")
+    cand = (
+        a.join(b, "ptok")
+        .where(f"a < b AND least(na, nb) >= {t} * greatest(na, nb)")
+        .select("a", "b")
+        .distinct()
+    )
+    return _verify_jaccard(cand, g, PREFIX_JACCARD_T)
+
+
+def _duck_prefix_filter_oracle() -> str:
+    """GROUND TRUTH, not a mirror: the complete all-pairs trigram
+    Jaccard at the threshold (any pair with J > 0 shares a gram, so the
+    gram-key self-join enumerates every qualifying pair). Matching it
+    proves the prefix candidates lose nothing."""
+    t = PREFIX_JACCARD_T
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({duck_ngrams(PREFIX_NGRAM_N, DUCK_TOKENS)}) AS sh
+  FROM documents
+  WHERE len({DUCK_TOKENS}) >= {PREFIX_NGRAM_N}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.da AS doc_a, i.db AS doc_b,
+       round(i.i / (sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.da
+JOIN sizes sb ON sb.doc_id = i.db
+WHERE round(i.i / (sa.n + sb.n - i.i), 4) >= {t}
+ORDER BY doc_a, doc_b
+"""
+
+
 def incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the OPERATIONAL shape at 100 TB: a corpus is
     deduped once, then each arriving batch is checked against it (and
@@ -1553,6 +1648,10 @@ def registry() -> dict[str, dict]:
         "dedup_lsh_bucket_stats": {
             "fn": lsh_bucket_stats,
             "oracle": _duck_lsh_bucket_stats_oracle(),
+        },
+        "dedup_prefix_filter_jaccard": {
+            "fn": prefix_filter_pairs,
+            "oracle": _duck_prefix_filter_oracle(),
         },
         "dedup_minhash_estimate_eval": {
             "fn": minhash_estimate_eval,

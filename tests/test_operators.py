@@ -84,6 +84,23 @@ def test_simhash_pairs_equal_allpairs_baseline(spark, tables, sf_dir):
     assert all(h <= dedup.SIMHASH_HAMMING_MAX for h in got.values())
 
 
+def test_prefix_filter_finds_planted_pairs_exactly(spark, planted_docs, sf_dir):
+    """Exact recall by the prefix lemma: the planted exact dup is at
+    jaccard 1.0, the one-token-edit near dup keeps most trigrams, and
+    the unrelated doc pairs with nothing. (The full equality against
+    the all-pairs ground truth is the oracle differential; this pins
+    the semantics on a readable corpus.)"""
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.prefix_filter_pairs(spark, sf_dir).collect()
+    }
+    assert pairs[(9001, 9002)] == 1.0
+    assert not any(9004 in p for p in pairs)
+    # one-token edit: trigram jaccard is high but below 1
+    if (9001, 9003) in pairs:
+        assert 0.8 <= pairs[(9001, 9003)] < 1.0
+
+
 def test_ngram_jaccard_finds_near_dup(spark, planted_docs, sf_dir):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
