@@ -145,11 +145,20 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_vals = ", ".join(
         f"('{q(r.src)}', '{q(r.dst)}', CAST({r.w!r} AS DOUBLE))" for r in edge_rows
     )
+    # degenerate guard: with no trade edges at all (not reachable on the
+    # fixtures, but VALUES of zero tuples is a syntax error) every node
+    # is dangling and the rank stays uniform — an empty relation gives
+    # exactly that through the dangling-mass term.
+    w_rel = (
+        "SELECT * FROM VALUES " + w_vals + " AS t(src, dst, w)"
+        if edge_rows
+        else "SELECT '' AS src, '' AS dst, CAST(0 AS DOUBLE) AS w WHERE 1 = 0"
+    )
     node_vals = ", ".join(f"('{q(r.node)}')" for r in node_rows)
     sql = (
-        "WITH w AS (SELECT * FROM VALUES "
-        + w_vals
-        + " AS t(src, dst, w)),\n"
+        "WITH w AS ("
+        + w_rel
+        + "),\n"
         + "nodes AS (SELECT * FROM VALUES "
         + node_vals
         + " AS t(node)),\n"
