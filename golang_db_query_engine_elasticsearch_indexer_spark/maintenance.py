@@ -85,11 +85,25 @@ def plan_compaction(
     )
 
 
+def _partition_dirs(files: list[tuple[str, int]], root: str) -> set[str]:
+    """Hive-style partition column names (``col=value`` path segments)
+    appearing between ``root`` and the data files."""
+    cols: set[str] = set()
+    root = root.rstrip("/")
+    for path, _ in files:
+        rel = path.split(root + "/", 1)[-1]
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                cols.add(seg.split("=", 1)[0])
+    return cols
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,
     dst_path: str,
     target_mb: float = DEFAULT_TARGET_MB,
+    partition_by: list[str] | None = None,
 ) -> CompactionReport:
     """Rewrite ``src_path`` into ~target-sized files at ``dst_path``.
 
@@ -98,14 +112,38 @@ def compact_parquet(
     validate -> repoint (or rename) — the same publish discipline as
     the bulk sink's atomic alias rollover (`indexer.py`). Content
     equality is the caller's validation hook; the report carries the
-    row count for it."""
+    row count for it.
+
+    Hive-partitioned sources must pass ``partition_by``: a plain
+    rewrite would silently flatten the directory layout and destroy the
+    partition pruning the layout exists for, so that case RAISES
+    instead. With ``partition_by`` the rewrite preserves the layout and
+    coalesces each partition's fragments to one file per partition
+    value (the hash repartition on the partition keys routes every
+    value to a single task)."""
+    files = _list_parquet_files(spark, src_path)
+    part_cols = _partition_dirs(files, src_path)
+    if part_cols and not partition_by:
+        raise ValueError(
+            f"source is hive-partitioned on {sorted(part_cols)}; pass "
+            "partition_by to preserve the layout (a plain rewrite would "
+            "flatten it and break partition pruning)"
+        )
     plan = plan_compaction(spark, src_path, target_mb)
     df = spark.read.parquet(src_path)
-    (
-        df.repartition(plan.target_files)
-        .write.mode("overwrite")
-        .parquet(dst_path)
-    )
+    if partition_by:
+        (
+            df.repartition(*partition_by)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(dst_path)
+        )
+    else:
+        (
+            df.repartition(plan.target_files)
+            .write.mode("overwrite")
+            .parquet(dst_path)
+        )
     written = _list_parquet_files(spark, dst_path)
     rows = spark.read.parquet(dst_path).count()
     return CompactionReport(plan=plan, written_files=len(written), rows=rows)

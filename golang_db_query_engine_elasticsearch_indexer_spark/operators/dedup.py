@@ -500,6 +500,15 @@ ORDER BY band_id, occ_class
 # this kernel on it.
 PREFIX_JACCARD_T = 0.8
 PREFIX_NGRAM_N = 3
+# Candidate generation runs at a slightly LOWER threshold than the
+# output filter: the kept set is filtered on round(J, 4) >= t, which
+# admits true J down to t - 5e-5, and the prefix lemma + size filter
+# only guarantee candidates for pairs at or above their own threshold
+# — generating at exactly t would open a rounding-boundary window
+# ([t - 5e-5, t)) where the ground-truth oracle keeps a pair the
+# candidate stage never saw. Generating at t - 5e-4 covers the window
+# with margin; the only cost is marginally longer prefixes.
+PREFIX_GEN_T = PREFIX_JACCARD_T - 5e-4
 
 
 def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,18 +537,18 @@ def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("og")
         )
     )
-    t = PREFIX_JACCARD_T
+    tg = PREFIX_GEN_T
     pre = ordered.selectExpr(
         "doc_id",
         "size(og) AS n",
-        f"slice(og, 1, size(og) - cast(ceil({t} * size(og)) AS int) + 1)"
+        f"slice(og, 1, size(og) - cast(ceil({tg} * size(og)) AS int) + 1)"
         " AS prefix",
     ).selectExpr("doc_id", "n", "explode(prefix) AS ptok")
     a = pre.selectExpr("ptok", "doc_id AS a", "n AS na")
     b = pre.selectExpr("ptok", "doc_id AS b", "n AS nb")
     cand = (
         a.join(b, "ptok")
-        .where(f"a < b AND least(na, nb) >= {t} * greatest(na, nb)")
+        .where(f"a < b AND least(na, nb) >= {tg} * greatest(na, nb)")
         .select("a", "b")
         .distinct()
     )

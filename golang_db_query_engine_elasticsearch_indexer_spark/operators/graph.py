@@ -79,8 +79,7 @@ w AS (
   SELECT src, dst, round(rev / sum(rev) OVER (PARTITION BY src), 9) AS w
   FROM rev
 ),
-nodes AS (SELECT n_name AS node FROM nation),
-cn AS (SELECT count(*) AS n FROM nation)
+nodes AS (SELECT n_name AS node FROM nation)
 """
 
 

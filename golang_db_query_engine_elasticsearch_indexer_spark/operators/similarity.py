@@ -2267,9 +2267,15 @@ def matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact baseline: one row per (prefix width, probe) through the same
     differential-tested eval shape as the LSH/IVF recall entries —
     quantifying what each cheaper prefix scan gives up. Scale: the
-    exact baseline relation is built once per width over the shared
-    broadcast-probe scan; every eval join is probe x k sized."""
-    ex = brute_force_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    exact full-dimension baseline is materialized ONCE (eager
+    localCheckpoint of the probe x k relation — otherwise the unioned
+    plan re-executes the full scored scan per prefix width); every eval
+    join is probe x k sized."""
+    ex = (
+        brute_force_topk(spark, sf_dir)
+        .select("probe_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     out = None
     for dim in MRL_DIMS:
         ev = _recall_eval(ex, matryoshka_topk(spark, sf_dir, dim), "mrl_neighbor")

@@ -58,6 +58,37 @@ def test_compaction_targets_multiple_uniform_files(spark, tables, tmp_path):
     assert max(sizes) < 3 * min(sizes), f"skewed output files: {sizes}"
 
 
+def test_compaction_refuses_to_flatten_partitioned_source(spark, tables, tmp_path):
+    """A hive-partitioned source without partition_by must raise (a
+    plain rewrite would silently flatten the layout and break partition
+    pruning); with partition_by the layout survives and each partition
+    coalesces to one file."""
+    import pytest
+
+    src = os.path.join(str(tmp_path), "part_src")
+    dst = os.path.join(str(tmp_path), "part_dst")
+    (
+        spark.table("orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .repartition(8)
+        .write.partitionBy("o_year")
+        .parquet(src)
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        maintenance.compact_parquet(spark, src, dst)
+
+    report = maintenance.compact_parquet(
+        spark, src, dst, partition_by=["o_year"]
+    )
+    assert report.rows == spark.table("orders").count()
+    out = spark.read.parquet(dst)
+    assert "o_year" in out.columns
+    years = [r.o_year for r in out.select("o_year").distinct().collect()]
+    per_dir = maintenance._list_parquet_files(spark, dst)
+    assert len(per_dir) == len(years)  # one file per partition value
+    assert all(f"o_year=" in p for p, _ in per_dir)
+
+
 def test_compaction_plan_not_needed_when_already_compact(spark, tables, tmp_path):
     src = os.path.join(str(tmp_path), "ok")
     spark.table("region").coalesce(1).write.parquet(src)

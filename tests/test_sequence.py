@@ -4,8 +4,6 @@ test_oracle_queries.py)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
     sequence,
     similarity,

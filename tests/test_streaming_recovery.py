@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import functions as F
-
 
 def _start(spark, src, out, ckpt, schema):
     return (
