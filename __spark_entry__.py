@@ -167,6 +167,10 @@ def _configure(spark: SparkSession) -> None:
 #   mirror), so the differential proves the prefix lemma's exact
 #   recall; integer counts + the shared rounded-jaccard discipline;
 #   green at sf0.001/0.01/0.1.
+# - sample_curriculum_order: same policy (post-freeze, queued for
+#   r06); total-ordered ntile/row_number windows over the shared
+#   rounded quality blend — deterministic by construction; green at
+#   sf0.001/0.01/0.1.
 # All excluded entries remain covered by the in-repo differential
 # gate, which reran green at HEAD.
 _PRIORITY: tuple[str, ...] = (

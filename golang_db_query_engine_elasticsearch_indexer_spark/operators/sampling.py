@@ -349,8 +349,65 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET_ORACLE = _token_budget_sql(f"len({DUCK_TOKENS})")
 
 
+CURRICULUM_STAGES = 4
+
+
+def _curriculum_sql(quality_expr: str, cast_t: str) -> str:
+    """Curriculum schedule: quality quartile stages (cleanest first —
+    curriculum training consumes easy/clean examples before noisy
+    ones), deterministic md5 shuffle WITHIN each stage (a
+    quality-sorted corpus would correlate adjacent batches; the
+    within-stage shuffle decorrelates them reproducibly). Total-ordered
+    windows at every step => identical positions in both engines."""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, round({quality_expr}, 4) AS quality,
+         md5(cast(doc_id AS {cast_t})) AS shuf
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, quality, shuf,
+         ntile({CURRICULUM_STAGES}) OVER (ORDER BY quality DESC, doc_id) AS stage
+  FROM scored
+)
+SELECT doc_id, quality, stage,
+       row_number() OVER (ORDER BY stage, shuf, doc_id) AS curriculum_pos
+FROM staged
+ORDER BY curriculum_pos
+"""
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering of the corpus: the position
+    every doc takes in an easy-to-hard training schedule.
+
+    Scale note: the global ntile/row_number windows are the exact
+    formulation; at 100 TB the same schedule comes from broadcast
+    approx-percentile stage cutoffs (map-only CASE) plus the
+    range-partitioned offset machinery ``indexer.with_positional_ids``
+    already implements for positions — the statistic is unchanged, only
+    the physical plan swaps (the RFM entry documents the same trade)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (  # noqa: PLC0415
+        quality_blend,
+    )
+
+    return spark.sql(_curriculum_sql(quality_blend(), "string"))
+
+
+def _curriculum_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.text import (  # noqa: PLC0415
+        duck_quality_blend,
+    )
+
+    return _curriculum_sql(duck_quality_blend(), "varchar")
+
+
 def registry() -> dict[str, dict]:
     return {
+        "sample_curriculum_order": {
+            "fn": curriculum_order,
+            "oracle": _curriculum_oracle(),
+        },
         "sample_token_budget": {
             "fn": token_budget_sample,
             "oracle": TOKEN_BUDGET_ORACLE,

@@ -84,6 +84,29 @@ def test_simhash_pairs_equal_allpairs_baseline(spark, tables, sf_dir):
     assert all(h <= dedup.SIMHASH_HAMMING_MAX for h in got.values())
 
 
+def test_curriculum_order_contract(spark, tables, sf_dir):
+    """Stages are quality-monotone (min quality of stage k >= max of
+    stage k+1 under the deterministic tiebreak), positions are a
+    permutation of 1..N, and stages are contiguous position blocks."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import sampling
+
+    rows = sampling.curriculum_order(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.curriculum_pos for r in rows) == list(range(1, n + 1))
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r)
+    stages = sorted(by_stage)
+    assert stages == list(range(1, sampling.CURRICULUM_STAGES + 1))
+    for a, b in zip(stages, stages[1:]):
+        assert min(r.quality for r in by_stage[a]) >= max(
+            r.quality for r in by_stage[b]
+        )
+        assert max(r.curriculum_pos for r in by_stage[a]) < min(
+            r.curriculum_pos for r in by_stage[b]
+        )
+
+
 def test_prefix_filter_finds_planted_pairs_exactly(spark, planted_docs, sf_dir):
     """Exact recall by the prefix lemma: the planted exact dup is at
     jaccard 1.0, the one-token-edit near dup keeps most trigrams, and
