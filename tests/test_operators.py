@@ -370,6 +370,115 @@ def test_ivfpq_topk_recall_and_order(spark, tables, sf_dir):
     assert recall >= 0.4
 
 
+def test_ivfpq_residual_adc_is_exact_reconstruction_cosine(spark, tables, sf_dir):
+    """The residual ADC identity: the code-only score must equal
+    cos(probe, cell_centroid + decoded_residual) computed from an
+    explicit reconstruction — term-for-term (cell_dot + LUTs over
+    ||c||^2 + 2c.r + ||r||^2), verified numerically to 1e-9 for every
+    (probe 0, doc) pair the probed cells cover."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    idx = similarity.ivfpq_residual_build(spark, sf_dir, persist=True)
+    try:
+        emb = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in spark.table("embeddings").collect()
+        }
+        cents = {cid: np.array(c) for cid, c, _n in idx.cents}
+        codes = {r.vec_id: r for r in idx.codes.collect()}
+        p = emb[0]
+        pn = float(np.sqrt((p * p).sum()))
+
+        cb = similarity._centroid_array_expr(idx.cents)
+        embn = similarity._with_norm(spark.table("embeddings")).select(
+            "vec_id", "embedding", "norm"
+        )
+        pc = (
+            embn.where(F.col("vec_id") < similarity.N_PROBES)
+            .select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("p_emb"),
+                F.explode(
+                    F.expr(
+                        f"slice(reverse(array_sort({idx.cells_expr})), 1, "
+                        f"{similarity.N_PROBE_CELLS})"
+                    )
+                ).alias("pc"),
+            )
+            .selectExpr(
+                "probe_id",
+                "pc.cid AS cell",
+                f"{similarity.DOT.format(a='p_emb', b=f'filter({cb}, c -> c.cid = pc.cid)[0].centroid')} AS cell_dot",
+                f"element_at({idx.cell_cn2_expr}, pc.cid) AS cell_cn2",
+            )
+        )
+        luts = similarity._pq_probe_luts(spark, idx.cb_exprs)
+        num = "cell_dot + " + " + ".join(
+            f"element_at(lut{s}, cast(pos{s} AS int) + 1)"
+            for s in range(similarity.PQ_M)
+        )
+        rn2 = " + ".join(
+            f"element_at({idx.cb_exprs[s]}, cast(pos{s} AS int) + 1).cn2"
+            for s in range(similarity.PQ_M)
+        )
+        crossv = " + ".join(
+            f"element_at({idx.cross_exprs[s]}, cell * {similarity.PQ_K}"
+            f" + cast(pos{s} AS int))"
+            for s in range(similarity.PQ_M)
+        )
+        den = f"cell_cn2 + 2 * ({crossv}) + ({rn2})"
+        adc = (
+            idx.codes.join(F.broadcast(pc), "cell")
+            .join(F.broadcast(luts), "probe_id")
+            .where("probe_id = 0")
+            .withColumn(
+                "adc_cos",
+                F.expr(f"({num}) / nullif(p_norm * sqrt(greatest({den}, 0D)), 0D)"),
+            )
+        )
+        checked = 0
+        for r in adc.collect():
+            code = codes[r.vec_id]
+            recon = cents[code.cell].copy()
+            for s in range(similarity.PQ_M):
+                pos = getattr(code, f"pos{s}")
+                recon[s * similarity.PQ_SUB : (s + 1) * similarity.PQ_SUB] += (
+                    np.array(idx.codebooks[s][pos][1])
+                )
+            true_cos = float(
+                (p @ recon) / (pn * np.sqrt((recon * recon).sum()))
+            )
+            assert abs(r.adc_cos - true_cos) < 1e-9, (r.vec_id, r.adc_cos, true_cos)
+            checked += 1
+        assert checked > 50
+    finally:
+        idx.release()
+
+
+def test_ivfpq_residual_recall_parity_floor(spark, tables, sf_dir):
+    """Residual-coded search must not fall below the raw-coded
+    composite (measured parity on the fixture geometry — see
+    ivfpq_topk's docstring for why it is parity, not a win, here) and
+    must stay above the absolute floor."""
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(spark, sf_dir).collect()
+    }
+    res = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.ivfpq_residual_topk(spark, sf_dir).collect()
+    }
+    raw = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.ivfpq_topk(spark, sf_dir).collect()
+    }
+    r_res = len(res & exact) / len(exact)
+    r_raw = len(raw & exact) / len(exact)
+    assert r_res >= r_raw - 0.08, (r_res, r_raw)
+    assert r_res >= 0.4
+
+
 def test_ivf_build_search_split_matches_selfcontained(spark, tables, sf_dir):
     """ivf_topk(cents=ivf_build(...)) must equal the self-contained
     ivf_topk — the prebuilt-quantizer path skips training, not math."""
