@@ -1523,6 +1523,28 @@ def ivfpq_residual_search(
     return _exact_rerank(spark, shortlist)
 
 
+def ivfpq_residual_index_save(index: IVFPQResidualIndex, path: str) -> None:
+    """Persist the residual artifact — identical layout to the raw
+    composite (codes parquet + codebooks/cents JSON); the cross/cn2
+    tables are derived, not stored (rebuilt from cents + codebooks on
+    load)."""
+    ivfpq_index_save(index, path)
+
+
+def ivfpq_residual_index_load(spark: SparkSession, path: str) -> IVFPQResidualIndex:
+    """Reload a persisted residual artifact; searches resume with no
+    training, assignment, residual pass, or encoding."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    with open(os.path.join(path, "codebooks.json")) as f:
+        cbs = [_cents_from_jsonable(cb) for cb in json.load(f)]
+    with open(os.path.join(path, "cents.json")) as f:
+        cents = _cents_from_jsonable(json.load(f))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return IVFPQResidualIndex(cents, cbs, codes, False)
+
+
 def ivfpq_residual_topk(
     spark: SparkSession, sf_dir: str, nprobe: int = N_PROBE_CELLS
 ) -> DataFrame:

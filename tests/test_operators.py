@@ -715,6 +715,32 @@ def test_ivfpq_index_parquet_roundtrip(spark, tables, sf_dir, tmp_path):
     assert a == b
 
 
+def test_ivfpq_residual_index_parquet_roundtrip(spark, tables, sf_dir, tmp_path):
+    """Persisted residual artifact: save -> load must reproduce the
+    in-memory search exactly; the derived cross/cn2 literals rebuild
+    bit-identically from the round-tripped cents + codebooks."""
+    index = similarity.ivfpq_residual_build(spark, sf_dir, persist=False)
+    try:
+        path = str(tmp_path / "residual_index")
+        similarity.ivfpq_residual_index_save(index, path)
+        loaded = similarity.ivfpq_residual_index_load(spark, path)
+        assert loaded.cents == index.cents
+        assert loaded.codebooks == index.codebooks
+        assert loaded.cross_exprs == index.cross_exprs
+        assert loaded.cell_cn2_expr == index.cell_cn2_expr
+        a = [
+            tuple(r)
+            for r in similarity.ivfpq_residual_search(spark, sf_dir, index).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in similarity.ivfpq_residual_search(spark, sf_dir, loaded).collect()
+        ]
+        assert a == b
+    finally:
+        index.release()
+
+
 def test_range_search_consistent_with_brute_force(spark, tables, sf_dir):
     """Range search must return EXACTLY the pairs whose exact cosine
     meets the threshold: every brute-force top-k hit at or above
