@@ -354,8 +354,8 @@ def test_pq_build_search_split_matches_selfcontained(spark, tables, sf_dir):
 def test_ivfpq_topk_recall_and_order(spark, tables, sf_dir):
     """IVF-PQ composite: exact-cosine-ranked output (re-rank stage) and
     recall above a floor reflecting BOTH prunings stacked (cell pruning
-    ~nprobe/nlist of the data, then ADC shortlisting — measured 0.64 at
-    sf0.01 on the isotropic worst-case fixtures)."""
+    ~nprobe/nlist of the data, then ADC shortlisting — measured 0.76 at
+    sf0.01 with the 100-deep shortlist, the cell-routing ceiling)."""
     exact = {
         (r.probe_id, r.neighbor_id)
         for r in similarity.brute_force_topk(spark, sf_dir).collect()
