@@ -349,6 +349,86 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_BUDGET_ORACLE = _token_budget_sql(f"len({DUCK_TOKENS})")
 
 
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling" — public): score every
+# document by how much more likely its hashed-feature bag is under a
+# TARGET-domain unigram model than under the raw-corpus model, then
+# keep the top of the importance ranking. Features are words hashed
+# into a FIXED number of buckets — the hashing trick caps both LM
+# tables at DSIR_BUCKETS rows regardless of corpus size, which is what
+# makes the recipe 100 TB-safe: the bucket relation is broadcastable by
+# construction.
+DSIR_BUCKETS = 1024
+DSIR_TOPK = 200
+# The "curated domain" the importance weights steer toward.
+DSIR_TARGET = "source IN ('src0', 'src1')"
+
+
+def _dsir_sql(token_select: str) -> str:
+    """Shared SQL (dialect knob: the token-explode subquery). Both LM
+    count tables come out of ONE shuffle on the bucket key (conditional
+    aggregation computes target and corpus counts together); the join
+    back onto the token stream is an explicit broadcast because
+    ``counts`` is bounded at DSIR_BUCKETS rows by construction (DuckDB
+    parses the hint as a comment). Add-1 smoothing keeps every bucket
+    ratio an exact rational of integers before the ln; the per-doc sum
+    is rounded to 4 dp at the boundary (summation-order discipline) and
+    the final ranking is total-ordered with the doc_id tiebreak. The
+    top-k is a sort-limit (TakeOrdered at scale), never a full sort."""
+    b = _hash16("md5(w)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, {b} % {DSIR_BUCKETS} AS b
+  FROM ({token_select})
+),
+counts AS (
+  SELECT b, count(*) AS c_s,
+         sum(CASE WHEN {DSIR_TARGET} THEN 1 ELSE 0 END) AS c_t
+  FROM toks GROUP BY b
+),
+tot AS (SELECT sum(c_s) AS n_s, sum(c_t) AS n_t FROM counts),
+scored AS (
+  SELECT /*+ BROADCAST(counts), BROADCAST(tot) */
+         t.doc_id, t.source, count(*) AS n_tokens,
+         round(sum(ln((c_t + 1.0) / (n_t + {DSIR_BUCKETS}))
+                 - ln((c_s + 1.0) / (n_s + {DSIR_BUCKETS}))), 4) AS log_weight
+  FROM toks t JOIN counts USING (b) CROSS JOIN tot
+  GROUP BY t.doc_id, t.source
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens, log_weight,
+         row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, log_weight, rnk
+FROM ranked WHERE rnk <= {DSIR_TOPK} ORDER BY rnk
+"""
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance ranking: top-k documents whose hashed-unigram
+    distribution is most target-domain-like relative to the corpus.
+
+    Scale shape: token→bucket is map-only portable-md5 arithmetic; ONE
+    shuffle builds both LMs (conditional agg); the score join is a
+    broadcast against a table bounded at DSIR_BUCKETS rows at any
+    corpus size; the per-doc reduce partial-aggregates map-side. The
+    deterministic top-of-ranking cut stands in for DSIR's Gumbel
+    resample — the sampling flavor is already covered by
+    :func:`weighted_reservoir`, so this entry keeps the statistic
+    differential-checkable end to end."""
+    return spark.sql(
+        _dsir_sql(
+            f"SELECT doc_id, source, explode({TOKENS}) AS w FROM documents"
+        )
+    )
+
+
+DSIR_ORACLE = _dsir_sql(
+    f"SELECT doc_id, source, unnest({DUCK_TOKENS}) AS w FROM documents"
+)
+
+
 CURRICULUM_STAGES = 4
 
 
@@ -404,6 +484,10 @@ def _curriculum_oracle() -> str:
 
 def registry() -> dict[str, dict]:
     return {
+        "sample_dsir_importance": {
+            "fn": dsir_importance,
+            "oracle": DSIR_ORACLE,
+        },
         "sample_curriculum_order": {
             "fn": curriculum_order,
             "oracle": _curriculum_oracle(),

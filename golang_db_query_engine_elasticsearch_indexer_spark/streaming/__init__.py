@@ -341,6 +341,108 @@ ORDER BY user_id
 """
 
 
+# Left-outer emission boundary (see view_click_left_outer): the query's
+# global watermark is the MIN over both sides' watermark nodes (Spark's
+# multi-watermark policy default), each side's watermark being its own
+# max event time minus the 1-hour delay; an unmatched view row is only
+# released once that global watermark passes v_ts + the 30-minute join
+# bound. Comparing inside that boundary minus a 1-minute margin (the
+# watermark is millisecond-truncated, so the exact edge is ambiguous by
+# construction) makes stream and batch agree row-for-row.
+OUTER_JOIN_CUTOFF = """
+least(max(CASE WHEN event_type = 'view' THEN ts END),
+      max(CASE WHEN event_type = 'click' THEN ts END))
+  - INTERVAL 91 minutes
+"""
+
+
+def view_click_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER time-bounded join — the watermark-close
+    shape :func:`view_click_join` doesn't exercise: views with NO click
+    within 30 minutes surface as null-padded rows, and Structured
+    Streaming can only emit those once the watermark proves no matching
+    click can still arrive (state eviction in the trailing no-data
+    micro-batch). Inner matches stream out immediately; the nulls are
+    the part that needs the watermark machinery.
+
+    The memory-sink output is post-filtered (batch) to the
+    watermark-closed region — the region where the streamed result is
+    CONTRACTUALLY equal to the batch left join — then rolled up per
+    user; the oracle applies the identical cutoff. At scale this is the
+    abandoned-cart/unclicked-impression pipeline: both state buffers
+    stay bounded by the same time bound that closes the join.
+    """
+    ev = _events_stream(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + interval 30 minutes"
+        ),
+        "left_outer",
+    )
+    out = _run_to_table(
+        joined.select("v_user", "view_id", "click_id", "v_ts"), "append"
+    )
+    cutoff = spark.table("events").agg(
+        F.expr(OUTER_JOIN_CUTOFF).alias("cutoff")
+    )
+    return (
+        out.crossJoin(F.broadcast(cutoff))
+        .where("v_ts <= cutoff")
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.countDistinct("view_id").alias("n_views"),
+            F.countDistinct(
+                F.expr("CASE WHEN click_id IS NULL THEN view_id END")
+            ).alias("n_unclicked_views"),
+            F.sum(
+                F.expr("CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END")
+            ).alias("n_pairs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+VIEW_CLICK_LEFT_OUTER_ORACLE = f"""
+WITH cut AS (
+  SELECT {OUTER_JOIN_CUTOFF} AS cutoff FROM events
+), j AS (
+  SELECT v.user_id, v.event_id AS view_id, v.ts AS v_ts,
+         c.event_id AS click_id
+  FROM events v LEFT JOIN events c
+    ON c.user_id = v.user_id AND c.event_type = 'click'
+   AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 minutes
+  WHERE v.event_type = 'view'
+)
+SELECT user_id, count(DISTINCT view_id) AS n_views,
+       count(DISTINCT CASE WHEN click_id IS NULL THEN view_id END)
+         AS n_unclicked_views,
+       cast(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pairs
+FROM j, cut WHERE j.v_ts <= cut.cutoff
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join — the remaining streaming join
     shape (stream-stream is ``view_click_join``): the events stream
@@ -691,6 +793,10 @@ def registry() -> dict[str, dict]:
         "stream_view_click_join": {
             "fn": view_click_join,
             "oracle": VIEW_CLICK_JOIN_ORACLE,
+        },
+        "stream_view_click_left_outer": {
+            "fn": view_click_left_outer,
+            "oracle": VIEW_CLICK_LEFT_OUTER_ORACLE,
         },
         "stream_static_enrich": {
             "fn": static_enrich,

@@ -107,6 +107,56 @@ def test_curriculum_order_contract(spark, tables, sf_dir):
         )
 
 
+def test_dsir_importance_matches_python_recompute(spark, tables, sf_dir):
+    """Full pure-Python recompute of the DSIR statistic: hashed-bucket
+    target/corpus LMs with add-1 smoothing, per-doc summed log ratio
+    rounded to 4 dp, total-ordered ranking — the Spark/DuckDB-shared
+    arithmetic re-derived independently, not mirrored."""
+    import hashlib
+    import math
+    import re
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import sampling
+
+    docs = spark.table("documents").select("doc_id", "source", "text").collect()
+    B = sampling.DSIR_BUCKETS
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % B
+
+    c_s, c_t = {}, {}
+    per_doc = {}
+    for r in docs:
+        toks = re.split(r"\s+", r.text.strip().lower())
+        bs = [bucket(w) for w in toks]
+        per_doc[r.doc_id] = (r.source, bs)
+        for b in bs:
+            c_s[b] = c_s.get(b, 0) + 1
+            if r.source in ("src0", "src1"):
+                c_t[b] = c_t.get(b, 0) + 1
+    n_s, n_t = sum(c_s.values()), sum(c_t.values())
+    scored = []
+    for doc_id, (source, bs) in per_doc.items():
+        lw = sum(
+            math.log((c_t.get(b, 0) + 1.0) / (n_t + B))
+            - math.log((c_s[b] + 1.0) / (n_s + B))
+            for b in bs
+        )
+        scored.append((doc_id, source, len(bs), round(lw, 4)))
+    scored.sort(key=lambda t: (-t[3], t[0]))
+    expect = [
+        (doc_id, source, n, lw, rnk + 1)
+        for rnk, (doc_id, source, n, lw) in enumerate(
+            scored[: sampling.DSIR_TOPK]
+        )
+    ]
+    got = [
+        (r.doc_id, r.source, r.n_tokens, r.log_weight, r.rnk)
+        for r in sampling.dsir_importance(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
 def test_prefix_filter_finds_planted_pairs_exactly(spark, planted_docs, sf_dir):
     """Exact recall by the prefix lemma: the planted exact dup is at
     jaccard 1.0, the one-token-edit near dup keeps most trigrams, and

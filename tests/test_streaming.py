@@ -293,3 +293,20 @@ def test_stream_incremental_dedup_matches_batch_kernel(spark, tables, sf_dir):
     }
     assert stream_out == batch_out
     assert stream_out  # non-vacuous on the fixture
+
+
+def test_left_outer_join_emits_null_padded_unclicked_views(spark, tables, sf_dir):
+    """The left-outer stream-stream join's distinguishing output — views
+    with NO in-window click, null-padded and released at watermark
+    close — is non-vacuous on the fixture, and the per-user rollup is
+    internally consistent (unclicked <= total views; a user with pairs
+    has at least one clicked view)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import streaming
+
+    rows = streaming.view_click_left_outer(spark, sf_dir).collect()
+    assert rows, "watermark-closed comparison region is empty"
+    assert sum(r.n_unclicked_views for r in rows) > 0
+    for r in rows:
+        assert 0 <= r.n_unclicked_views <= r.n_views
+        if r.n_pairs > 0:
+            assert r.n_unclicked_views < r.n_views
