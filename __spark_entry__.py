@@ -113,11 +113,15 @@ def _configure(spark: SparkSession) -> None:
 #   lowest-divergence-risk class, and every close-out entry is green
 #   under the in-repo sf0.01 differential gate at HEAD (and under a
 #   recorded sf0.1 spot differential — SCALE.md §3).
-# - sample_dsir_importance / stream_view_click_left_outer: same
-#   policy (post-freeze, queued for r06); the DSIR statistic has a
-#   full pure-Python recompute test (not a dialect mirror) and the
-#   outer join's cutoff region is differential-equal to the batch
-#   left join at sf0.001 AND sf0.01 across repeated runs.
+# - sample_dsir_importance / stream_view_click_left_outer /
+#   tokens_bpe_merge_learn / dedup_image_phash: same policy
+#   (post-freeze, queued for r06); each has an INDEPENDENT
+#   non-mirror check — DSIR and the BPE merge loop are reproduced by
+#   pure-Python reference implementations, the outer join's cutoff
+#   region is differential-equal to the batch left join at two SFs
+#   across repeated runs, and the phash oracle is the ground-truth
+#   all-pairs join (the banding lemma is what the differential
+#   proves).
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

@@ -96,19 +96,21 @@ DECODE_SCHEMA = (
 )
 
 
-def _ppm_payload_expr() -> str:
+def _ppm_payload_expr(id_expr: str = "doc_id") -> str:
     """Spark SQL expr: a genuine P6 PPM binary per document.
-    width = 4 + doc_id % 5, height = 3 + doc_id % 4, maxval 255; pixel
-    bytes are unhex(md5-chain keyed on doc_id) — deterministic, so the
+    width = 4 + id % 5, height = 3 + id % 4, maxval 255; pixel bytes
+    are unhex(md5-chain keyed on ``id_expr``) — deterministic, so the
     oracle replays them. Pure codegen'd expressions; the only Python in
-    the operator is the decoder itself."""
-    w = "(4 + doc_id % 5)"
-    h = "(3 + doc_id % 4)"
+    the operator is the decoder itself. ``id_expr`` defaults to the
+    document key; the phash entry passes an aliased key to plant
+    cross-document duplicate images."""
+    w = f"(4 + {id_expr} % 5)"
+    h = f"(3 + {id_expr} % 4)"
     nbytes = f"(3 * {w} * {h})"
     nchunks = f"(({nbytes} + 15) div 16)"
     hexstr = (
         f"substring(concat_ws('', transform(sequence(0, {nchunks} - 1), "
-        f"i -> md5(concat(cast(doc_id AS string), ':', cast(i AS string))))), "
+        f"i -> md5(concat(cast({id_expr} AS string), ':', cast(i AS string))))), "
         f"1, {nbytes} * 2)"
     )
     header = (
@@ -118,52 +120,59 @@ def _ppm_payload_expr() -> str:
     return f"concat(encode({header}, 'utf-8'), unhex({hexstr}))"
 
 
-def _decode_ppm_batches(batches):
-    """mapInPandas worker: a REAL PPM (P6) decoder — magic check,
-    whitespace/#-comment-tolerant header tokenizer, the
-    single-whitespace-then-raster rule, numpy (h, w, 3) reshape,
-    per-channel sums. Raises on malformed input instead of guessing."""
+def _parse_ppm(b):
+    """A REAL PPM (P6) parser — magic check, whitespace/#-comment-
+    tolerant header tokenizer, the single-whitespace-then-raster rule,
+    numpy (h, w, 3) reshape. Raises on malformed input instead of
+    guessing. Executor-side (numpy imported lazily)."""
     import numpy as np  # noqa: PLC0415 — executor-side
+
+    data = bytes(b)
+    pos = 0
+
+    def token():
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        return data[start:pos]
+
+    magic = token()
+    if magic != b"P6":
+        raise ValueError(f"not a binary PPM (P6): magic={magic!r}")
+    w, h, maxval = int(token()), int(token()), int(token())
+    # maxval > 255 means TWO bytes per sample (big-endian); this
+    # decoder reads one, so reject rather than silently mis-decode.
+    if not (0 < maxval <= 255):
+        raise ValueError(f"unsupported PPM maxval (8-bit only): {maxval}")
+    pos += 1  # exactly ONE whitespace byte separates header and raster
+    n = w * h * 3
+    if len(data) - pos < n:
+        raise ValueError(f"PPM truncated: need {n} bytes, have {len(data) - pos}")
+    px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
+    return w, h, maxval, px
+
+
+def _decode_ppm_batches(batches):
+    """mapInPandas worker: real PPM decode + per-channel sums."""
     import pandas as pd  # noqa: PLC0415
 
-    def parse(b):
-        data = bytes(b)
-        pos = 0
-
-        def token():
-            nonlocal pos
-            while pos < len(data):
-                c = data[pos : pos + 1]
-                if c.isspace():
-                    pos += 1
-                elif c == b"#":
-                    while pos < len(data) and data[pos : pos + 1] != b"\n":
-                        pos += 1
-                else:
-                    break
-            start = pos
-            while pos < len(data) and not data[pos : pos + 1].isspace():
-                pos += 1
-            return data[start:pos]
-
-        magic = token()
-        if magic != b"P6":
-            raise ValueError(f"not a binary PPM (P6): magic={magic!r}")
-        w, h, maxval = int(token()), int(token()), int(token())
-        # maxval > 255 means TWO bytes per sample (big-endian); this
-        # decoder reads one, so reject rather than silently mis-decode.
-        if not (0 < maxval <= 255):
-            raise ValueError(f"unsupported PPM maxval (8-bit only): {maxval}")
-        pos += 1  # exactly ONE whitespace byte separates header and raster
-        n = w * h * 3
-        if len(data) - pos < n:
-            raise ValueError(f"PPM truncated: need {n} bytes, have {len(data) - pos}")
-        px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos).reshape(h, w, 3)
-        sums = px.sum(axis=(0, 1), dtype=np.int64)
+    def stats(b):
+        w, h, maxval, px = _parse_ppm(b)
+        sums = px.sum(axis=(0, 1), dtype="int64")
         return w, h, maxval, int(sums[0]), int(sums[1]), int(sums[2])
 
     for pdf in batches:
-        rows = [(int(d), *parse(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+        rows = [(int(d), *stats(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])]
         yield pd.DataFrame(
             rows,
             columns=["doc_id", "width", "height", "maxval", "r_sum", "g_sum", "b_sum"],
@@ -694,6 +703,151 @@ ORDER BY doc_id
 """
 
 
+# --- image near-dup via perceptual hash ------------------------------------
+#
+# Cross-document duplicate-IMAGE detection — the visual sibling of the
+# text dedup family: decode each document's image through the real PPM
+# path, compute an average-hash (aHash) perceptual fingerprint in EXACT
+# integer arithmetic, and find all pairs within a small hamming radius
+# via banded candidates. PHASH_BANDS bands of PHASH_CELLS/PHASH_BANDS
+# bits give pigeonhole-EXACT recall at hamming <= PHASH_HAMMING_T
+# (3 differing bits cannot touch all 4 bands), so the banded Spark plan
+# is differential-checked against the ground-truth ALL-PAIRS oracle —
+# the same prove-the-lemma posture as dedup_prefix_filter_jaccard.
+#
+# The fixture hash is 16-bit (one bit per fixed grid cell) so the
+# DuckDB oracle can recompute it from the generative pixel formula; a
+# production pHash is 64-bit with 16-bit bands (65536 buckets/band) —
+# identical plan shape, and the simhash kernel's occupancy-cap
+# discipline applies to the band join at that width.
+PHASH_CELLS = 16
+PHASH_BANDS = 4
+PHASH_HAMMING_T = 3
+# Every doc with doc_id % 50 == 1 carries the SAME image as doc_id - 1
+# (dims and raster keyed on the aliased id): the realistic "one image
+# embedded in many documents" case the entry must surface.
+_PHASH_ID = "(CASE WHEN doc_id % 50 = 1 THEN doc_id - 1 ELSE doc_id END)"
+
+
+def _phash_batches(batches):
+    """mapInPandas worker: real decode -> integer aHash. Pixel j's luma
+    is r+g+b; grid cell of pixel j is (j * PHASH_CELLS) div npix; bit g
+    is set iff cell_sum(g) * npix > total_sum * cellpix(g) — the
+    mean-vs-mean comparison cross-multiplied so it stays in exact
+    integer arithmetic (no float means, no rounding ambiguity)."""
+    import numpy as np  # noqa: PLC0415 — executor-side
+    import pandas as pd  # noqa: PLC0415
+
+    def phash(b):
+        w, h, _, px = _parse_ppm(b)
+        luma = px.sum(axis=2, dtype="int64").reshape(-1)
+        npix = w * h
+        cell = (np.arange(npix) * PHASH_CELLS) // npix
+        cs = np.bincount(cell, weights=luma, minlength=PHASH_CELLS).astype("int64")
+        cp = np.bincount(cell, minlength=PHASH_CELLS).astype("int64")
+        total = int(luma.sum())
+        bits = ((cs * npix) > (total * cp)).astype("int64")
+        return int((bits << np.arange(PHASH_CELLS)).sum())
+
+    for pdf in batches:
+        rows = [(int(d), phash(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"]).astype(
+            {"doc_id": "int64", "phash": "int32"}
+        )
+
+
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs whose images are perceptually near-identical
+    (aHash hamming <= PHASH_HAMMING_T), found via banded candidates.
+
+    Scale shape: decode+hash is ONE Arrow-batched map-only pass (the
+    hash relation is corpus-rowcount x 2 ints — thousands of times
+    narrower than the images); candidates come from a band equi-join
+    on the hash relation, never an all-pairs product; the hamming
+    verify is row-local bit arithmetic on the joined pairs. The
+    all-pairs form exists only in the ORACLE (ground truth), exactly
+    like the prefix-filter entry."""
+    payloads = spark.table("documents").select(
+        "doc_id", F.expr(_ppm_payload_expr(_PHASH_ID)).alias("payload")
+    )
+    hashed = payloads.mapInPandas(_phash_batches, "doc_id long, phash int")
+    bits_per_band = PHASH_CELLS // PHASH_BANDS
+    banded = hashed.selectExpr(
+        "doc_id",
+        "phash",
+        f"explode(transform(sequence(0, {PHASH_BANDS - 1}), "
+        f"b -> struct(b AS band, "
+        f"cast(shiftright(phash, b * {bits_per_band}) % {2 ** bits_per_band} AS int)"
+        " AS key))) AS bk",
+    ).select("doc_id", "phash", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            F.expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"),
+        )
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            "cast(bit_count(a.phash ^ b.phash) AS int) AS hamming",
+        )
+        .where(f"hamming <= {PHASH_HAMMING_T}")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _image_phash_oracle() -> str:
+    """Ground-truth oracle: recompute every hash from the generative
+    pixel formula (per-pixel luma off the md5-chain hex), then the
+    ALL-PAIRS hamming join — the banding lemma is what the differential
+    proves."""
+    hv = "(strpos('0123456789abcdef', substring(hexstr, {p}, 1)) - 1)"
+    byte = f"({hv.format(p='{o} + 1')} * 16 + {hv.format(p='{o} + 2')})"
+    luma = " + ".join(byte.format(o=f"(6*j + {c2})") for c2 in (0, 2, 4))
+    return f"""
+WITH ids AS (
+  SELECT doc_id, {_PHASH_ID} AS img_id FROM documents
+),
+dims AS (
+  SELECT doc_id, img_id, 4 + img_id % 5 AS w, 3 + img_id % 4 AS h FROM ids
+),
+hx AS (
+  SELECT doc_id, w * h AS npix,
+         substring(list_aggregate(list_transform(range(0, (3 * w * h + 15) // 16),
+             i -> md5(img_id::VARCHAR || ':' || i::VARCHAR)), 'string_agg', ''),
+           1, 6 * w * h) AS hexstr
+  FROM dims
+),
+px AS (
+  SELECT doc_id, npix, j, (j * {PHASH_CELLS}) // npix AS g,
+         {luma} AS luma
+  FROM (SELECT doc_id, npix, hexstr, unnest(range(0, npix)) AS j FROM hx)
+),
+cells AS (
+  SELECT doc_id, npix, g,
+         cast(sum(luma) AS BIGINT) AS cs, cast(count(*) AS BIGINT) AS cp
+  FROM px GROUP BY doc_id, npix, g
+),
+tots AS (
+  SELECT doc_id, npix, cast(sum(cs) AS BIGINT) AS ts FROM cells
+  GROUP BY doc_id, npix
+),
+hashes AS (
+  SELECT c.doc_id,
+         cast(sum(CASE WHEN c.cs * c.npix > t.ts * c.cp
+                       THEN 1 << c.g ELSE 0 END) AS INTEGER) AS phash
+  FROM cells c JOIN tots t ON c.doc_id = t.doc_id
+  GROUP BY c.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "multimodal_binary_features": {
@@ -705,6 +859,10 @@ def registry() -> dict[str, dict]:
         "multimodal_decode_image": {
             "fn": decode_image,
             "oracle": _decode_image_oracle(),
+        },
+        "dedup_image_phash": {
+            "fn": image_phash_pairs,
+            "oracle": _image_phash_oracle(),
         },
         "multimodal_decode_bmp": {
             "fn": decode_bmp,

@@ -1235,6 +1235,120 @@ LIMIT {BPE_TOP_N}
 """
 
 
+BPE_MERGES = 6
+
+
+def _bpe_merge_sql(
+    vocab_src: str,
+    spaced_expr: str,
+    pairs_from: str,
+) -> str:
+    """Shared chained-CTE SQL for the full BPE merge LOOP (dialect
+    knobs: vocab source subquery, char-spacing regexp, pair-index
+    explosion). One ``b{r}``/``v{r}`` CTE pair per merge round — the
+    whole trainer is a single declarative query with literal-only
+    iteration: no driver loop, no collect, both engines run the exact
+    same induction.
+
+    Symbol strings use a TWO-space separator with ONE-space padding
+    (`` a  b  c ``) so plain ``replace`` is an exact whole-symbol
+    merge: the pattern `` x  y `` can never match across a symbol
+    boundary (symbols contain no spaces), and each replacement
+    consumes the OUTER halves of its neighbors' double separators,
+    leaving single spaces that re-pair with the replacement's own
+    padding — adjacent occurrences (``a a a a`` under merge ``a+a``)
+    therefore chain exactly like the reference greedy left-to-right
+    scan (Sennrich et al. 2016), which both engines' non-overlapping
+    ``replace`` implements."""
+    parts = [f"v0 AS (SELECT {spaced_expr} AS w, cnt FROM ({vocab_src}))"]
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(f"p{r} AS ({pairs_from.format(prev=f'v{r - 1}')})")
+        parts.append(
+            f"""b{r} AS (
+  SELECT lsym, rsym, pattern, repl, freq, {r} AS merge_rank FROM (
+    SELECT lsym, rsym, pattern, repl,
+           cast(sum(cnt) AS BIGINT) AS freq
+    FROM p{r} GROUP BY lsym, rsym, pattern, repl)
+  ORDER BY freq DESC, pattern LIMIT 1)"""
+        )
+        parts.append(
+            f"v{r} AS (SELECT replace(v.w, b.pattern, b.repl) AS w, cnt"
+            f" FROM v{r - 1} v CROSS JOIN b{r} b)"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, lsym, rsym, lsym || rsym AS merged, freq FROM b{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY merge_rank"
+
+
+# Spark dialect knobs ------------------------------------------------
+_BPE_VOCAB_SPARK = f"""
+SELECT word, cast(count(*) AS BIGINT) AS cnt
+FROM (SELECT explode({TOKENS}) AS word FROM documents)
+GROUP BY word
+"""
+_BPE_SPACED_SPARK = (
+    "concat(' ', trim(regexp_replace(word, '(.)', '$1  ')), ' ')"
+)
+_BPE_PAIRS_SPARK = """
+SELECT cnt, pr.lsym, pr.rsym, pr.pattern, pr.repl
+FROM (SELECT cnt, split(trim(w), '  ') AS s FROM {prev})
+LATERAL VIEW explode(transform(sequence(1, size(s) - 1), i -> struct(
+    element_at(s, i) AS lsym,
+    element_at(s, i + 1) AS rsym,
+    concat(' ', element_at(s, i), '  ', element_at(s, i + 1), ' ') AS pattern,
+    concat(' ', element_at(s, i), element_at(s, i + 1), ' ') AS repl))) t AS pr
+WHERE size(s) >= 2
+"""
+
+# DuckDB dialect knobs -----------------------------------------------
+_BPE_VOCAB_DUCK = f"""
+SELECT word, cast(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
+GROUP BY word
+"""
+_BPE_SPACED_DUCK = (
+    "' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '"
+)
+_BPE_PAIRS_DUCK = """
+SELECT cnt,
+       s[i] AS lsym, s[i + 1] AS rsym,
+       ' ' || s[i] || '  ' || s[i + 1] || ' ' AS pattern,
+       ' ' || s[i] || s[i + 1] || ' ' AS repl
+FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i
+      FROM (SELECT cnt, string_split(trim(w), '  ') AS s FROM {prev})
+      WHERE len(s) >= 2)
+"""
+
+
+def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {BPE_MERGES} BPE merge rules — the actual
+    tokenizer-training induction, not just the first-step statistics
+    (:func:`bpe_pair_stats`): each round counts adjacent symbol pairs
+    over the vocabulary weighted by word frequency, picks the argmax
+    (freq DESC, pattern tiebreak), rewrites every word, and repeats.
+
+    Scale shape: identical to the HF-tokenizers trainer — the ONLY
+    corpus-scale work is the word-count shuffle in ``v0``; every merge
+    round operates on the vocabulary relation (sub-linear in corpus
+    size by Heaps' law), each round being one vocabulary-sized
+    aggregation + a 1-row cross join. The rounds chain as CTEs in ONE
+    query, so Catalyst sees the whole plan (no driver round-trips);
+    at production merge counts (30k) the loop would checkpoint the
+    vocab relation every ~50 rounds to cap plan depth — the same
+    lineage discipline ``dedup.components`` applies.
+    """
+    return spark.sql(
+        _bpe_merge_sql(_BPE_VOCAB_SPARK, _BPE_SPACED_SPARK, _BPE_PAIRS_SPARK)
+    )
+
+
+BPE_MERGE_LEARN_ORACLE = _bpe_merge_sql(
+    _BPE_VOCAB_DUCK, _BPE_SPACED_DUCK, _BPE_PAIRS_DUCK
+)
+
+
 NOVELTY_N = 3
 NOVELTY_BUCKETS = 10
 
@@ -1329,6 +1443,10 @@ def registry() -> dict[str, dict]:
     return {
         "text_token_count": {"fn": token_count, "oracle": TOKEN_COUNT_ORACLE},
         "tokens_bpe_pair_stats": {"fn": bpe_pair_stats, "oracle": BPE_PAIR_STATS_ORACLE},
+        "tokens_bpe_merge_learn": {
+            "fn": bpe_merge_learn,
+            "oracle": BPE_MERGE_LEARN_ORACLE,
+        },
         "docs_quality_percentile_filter": {
             "fn": quality_percentile_filter,
             "oracle": QUALITY_PERCENTILE_ORACLE,

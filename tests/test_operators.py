@@ -595,6 +595,60 @@ def test_ppm_decoder_is_a_real_parser(spark, tables, sf_dir):
         decode_one(b"P6\n2 2\n255\n" + pixels)  # needs 12 bytes, has 6
 
 
+def test_image_phash_plants_and_pigeonhole_recall(spark, tables, sf_dir):
+    """Every planted duplicate-image pair (doc_id % 50 == 1 shares
+    doc_id - 1's image) surfaces at hamming 0, and the banded candidate
+    generation loses NOTHING vs brute force at the hamming threshold —
+    checked by recomputing every hash in pure Python (independent aHash
+    over the generated rasters) and enumerating all pairs."""
+    import hashlib
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import multimodal
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.image_phash_pairs(spark, sf_dir).collect()
+    }
+    doc_ids = [r.doc_id for r in spark.table("documents").select("doc_id").collect()]
+    for d in doc_ids:
+        if d % 50 == 1 and (d - 1) in set(doc_ids):
+            assert got.get((d - 1, d)) == 0, f"planted pair {(d - 1, d)} missing"
+
+    # independent python hash of the generative raster
+    def phash(doc_id):
+        img = doc_id - 1 if doc_id % 50 == 1 else doc_id
+        w, h = 4 + img % 5, 3 + img % 4
+        nbytes = 3 * w * h
+        hx = "".join(
+            hashlib.md5(f"{img}:{i}".encode()).hexdigest()
+            for i in range((nbytes + 15) // 16)
+        )[: nbytes * 2]
+        raster = bytes.fromhex(hx)
+        npix = w * h
+        luma = [sum(raster[3 * j : 3 * j + 3]) for j in range(npix)]
+        cs, cp = [0] * multimodal.PHASH_CELLS, [0] * multimodal.PHASH_CELLS
+        for j, v in enumerate(luma):
+            g = (j * multimodal.PHASH_CELLS) // npix
+            cs[g] += v
+            cp[g] += 1
+        total = sum(luma)
+        return sum(
+            1 << g
+            for g in range(multimodal.PHASH_CELLS)
+            if cs[g] * npix > total * cp[g]
+        )
+
+    hashes = {d: phash(d) for d in doc_ids}
+    expect = {}
+    ids = sorted(doc_ids)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = bin(hashes[a] ^ hashes[b]).count("1")
+            if hd <= multimodal.PHASH_HAMMING_T:
+                expect[(a, b)] = hd
+    assert got == expect
+
+
 def test_bmp_decoder_is_a_real_parser(spark, tables, sf_dir):
     """The BMP decoder must behave like an actual BMP reader: honor
     bottom-up row order and 4-byte row padding on a hand-built file,
@@ -944,6 +998,55 @@ def test_bpe_pair_stats_counts_planted_words(spark, tables, sf_dir):
         assert out["ab"] == (3, 2)
     finally:
         tables["documents"].createOrReplaceTempView("documents")
+
+
+def test_bpe_merge_learn_matches_reference_bpe(spark, tables, sf_dir):
+    """The in-SQL merge loop reproduces CANONICAL BPE (Sennrich et al.
+    2016) — an independent pure-Python trainer over symbol LISTS (no
+    string-replace tricks: greedy left-to-right pair merging per word),
+    run on the real fixture vocabulary, must emit the identical merge
+    table. This proves the double-space replace encoding IS whole-symbol
+    merging, including the adjacent-occurrence chaining case."""
+    import re
+    from collections import Counter
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import text as text_ops
+
+    docs = spark.table("documents").select("text").collect()
+    vocab = Counter()
+    for r in docs:
+        for w in re.split(r"\s+", r.text.strip().lower()):
+            vocab[tuple(w)] += 1
+
+    def merge_word(syms, pair):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    expect = []
+    for rank in range(1, text_ops.BPE_MERGES + 1):
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        # tiebreak mirrors the SQL: freq DESC, then the padded pattern
+        # string ASC (which orders by (lsym, rsym) for space-free syms)
+        best, freq = min(pairs.items(), key=lambda kv: (-kv[1], f" {kv[0][0]}  {kv[0][1]} "))
+        expect.append((rank, best[0], best[1], best[0] + best[1], freq))
+        vocab = Counter(
+            {merge_word(s, best): c for s, c in vocab.items()}
+        )
+    got = [
+        (r.merge_rank, r.lsym, r.rsym, r.merged, r.freq)
+        for r in text_ops.bpe_merge_learn(spark, sf_dir).collect()
+    ]
+    assert got == expect
 
 
 def test_outlier_scores_flags_planted_outlier(spark, tables, sf_dir):
