@@ -122,6 +122,12 @@ def _configure(spark: SparkSession) -> None:
 #   across repeated runs, and the phash oracle is the ground-truth
 #   all-pairs join (the banding lemma is what the differential
 #   proves).
+# - search_phrase_match / search_fuzzy_terms /
+#   events_attribution_position: same policy (post-freeze, queued for
+#   r06); the search oracles are independent formulations (direct
+#   array scan / ground-truth levenshtein scan), attribution credits
+#   are exact integer ppm, and each has planted-case behavioral
+#   tests.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

@@ -1423,6 +1423,46 @@ _q(
     """,
 )
 
+# Position-based (U-shaped) multi-touch attribution: each purchase
+# splits credit across ALL preceding clicks of the same user — 40%
+# first touch, 40% last touch, 20% shared by the middles (100% / 50-50
+# for 1- and 2-click journeys). The companion of the last-touch entry;
+# one purchases⋈clicks join per user plus two per-purchase windows.
+# Journey length is bounded in practice (attribution windows), so the
+# per-purchase fan-out is a constant at 100 TB. Credit is EXACT
+# integer arithmetic (parts-per-million with floor division): a
+# credit-times-value double would land on decimal half-way points
+# (e.g. 0.025 x any 2 dp value), where Spark's HALF_UP and DuckDB's
+# nearest-double rounding systematically disagree.
+_q(
+    "events_attribution_position",
+    """
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             round(p.value, 2) AS purchase_value,
+             c.event_id AS click_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts, c.event_id) AS pos,
+             count(*)   OVER (PARTITION BY p.event_id) AS n_clicks
+      FROM events p
+      JOIN events c
+        ON c.user_id = p.user_id AND c.event_type = 'click'
+       AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id, click_id,
+           cast(pos AS BIGINT) AS pos, cast(n_clicks AS BIGINT) AS n_clicks,
+           cast(CASE WHEN n_clicks = 1 THEN 1000000
+                     WHEN n_clicks = 2 THEN 500000
+                     WHEN pos = 1 OR pos = n_clicks THEN 400000
+                     ELSE floor(200000.0 / (n_clicks - 2)) END AS BIGINT)
+             AS credit_ppm,
+           purchase_value
+    FROM pairs
+    ORDER BY purchase_id, click_id
+    """,
+)
+
 # HyperLogLog distinct-count sketch, implemented as DETERMINISTIC SQL
 # (Flajolet et al. 2007): 256 buckets from the top 8 bits of a 48-bit
 # md5-uniform hash, register = max leading-zero rank of the low 40

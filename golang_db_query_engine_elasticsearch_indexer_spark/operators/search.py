@@ -401,9 +401,145 @@ ORDER BY probe_id, rank
 """
 
 
+# --- exact phrase match via positional postings -----------------------------
+
+# ES `match_phrase` internalized: Lucene answers phrase queries from
+# positional postings (term -> (doc, position) lists, consecutive-
+# position intersection); this entry builds the same shape as a plan.
+PHRASE = ("hash", "value")
+
+
+def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing the exact phrase ``"hash value"`` with
+    per-doc occurrence counts — the `match_phrase` query the reference
+    delegates to ES, answered by positional-postings intersection.
+
+    Scale shape: the token stream is filtered to the phrase's terms
+    BEFORE positions materialize rows (two tiny postings relations, not
+    a corpus-wide explode); the consecutive-position check is an
+    equi-join on (doc_id, pos + 1) — both sides shuffle on doc_id, the
+    smaller relation's size is bounded by the rarer term's corpus
+    frequency. A k-term phrase chains k-1 such joins, each further
+    shrinking the stream. The oracle is an independent formulation
+    (direct array scan), not a mirror."""
+    w1, w2 = PHRASE
+    toks = spark.table("documents").selectExpr(
+        "doc_id", f"{TOKENS} AS t"
+    ).selectExpr("doc_id", "posexplode(t) AS (pos, w)")
+    p1 = toks.where(F.col("w") == w1).select("doc_id", "pos")
+    p2 = toks.where(F.col("w") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+    )
+
+
+PHRASE_MATCH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {DUCK_TOKENS} AS t FROM documents
+),
+counted AS (
+  SELECT doc_id,
+         cast(len(list_filter(range(1, len(t)),
+              i -> t[i] = '{PHRASE[0]}' AND t[i + 1] = '{PHRASE[1]}'))
+              AS BIGINT) AS n_occurrences
+  FROM t
+)
+SELECT doc_id, n_occurrences FROM counted
+WHERE n_occurrences > 0
+ORDER BY n_occurrences DESC, doc_id
+"""
+
+
+# --- fuzzy term search via deletion neighborhoods (SymSpell) ----------------
+
+# ES `fuzzy` queries (edit distance <= 1) internalized with the
+# SymSpell recipe: candidate terms come from a JOIN on single-character
+# -deletion variants — dist(q, t) <= 1 implies q = t, t in del1(q),
+# q in del1(t), or del1(q) ∩ del1(t) != {} — then TRUE levenshtein
+# verifies (the deletion join over-generates, e.g. transpositions).
+# The oracle is the ground-truth full-vocabulary levenshtein scan, so
+# the differential proves the neighborhood lemma's completeness.
+# 'tabl' (deletion), 'valu' (deletion), 'scann' (insertion) — note a
+# TRANSPOSITION like 'tabel' is levenshtein distance 2 and correctly
+# matches nothing at max dist 1 (asserted in tests).
+FUZZY_PROBES = ("tabl", "valu", "scann")
+FUZZY_MAX_DIST = 1
+
+
+def _del1_expr(col: str) -> str:
+    """Spark SQL: array of the string itself + every single-deletion
+    variant (the SymSpell distance-1 neighborhood)."""
+    return (
+        f"array_union(array({col}), transform(sequence(1, length({col})), "
+        f"i -> concat(substring({col}, 1, i - 1), "
+        f"substring({col}, i + 1, length({col})))))"
+    )
+
+
+def fuzzy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each (misspelled) probe term: every corpus vocabulary term
+    within levenshtein distance {FUZZY_MAX_DIST}, with corpus
+    frequency.
+
+    Scale shape: the vocabulary (sub-linear in corpus size) explodes
+    into ~word-length deletion variants — one shuffle on the variant
+    key; the probe side is a handful of rows, broadcast. NO
+    vocabulary-x-probes distance scan ever runs in the engine: the
+    levenshtein verify touches only the candidates the deletion join
+    surfaces. That asymmetry (scan in the oracle, join in the engine)
+    is the point at 100 TB-vocabulary scale."""
+    vocab = (
+        spark.table("documents")
+        .selectExpr(f"explode({TOKENS}) AS w")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    vvar = vocab.selectExpr("w", "freq", f"explode({_del1_expr('w')}) AS v")
+    probes = spark.createDataFrame(
+        [(p,) for p in FUZZY_PROBES], "probe string"
+    ).selectExpr("probe", f"explode({_del1_expr('probe')}) AS v")
+    return (
+        vvar.join(F.broadcast(probes), "v")
+        .select("probe", "w", "freq")
+        .distinct()
+        .where(f"levenshtein(probe, w) <= {FUZZY_MAX_DIST}")
+        .selectExpr(
+            "probe",
+            "w AS term",
+            "cast(levenshtein(probe, w) AS int) AS dist",
+            "freq",
+        )
+        .orderBy("probe", "term")
+    )
+
+
+def _fuzzy_oracle() -> str:
+    probes = ", ".join(f"('{p}')" for p in FUZZY_PROBES)
+    return f"""
+WITH vocab AS (
+  SELECT w, cast(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({DUCK_TOKENS}) AS w FROM documents)
+  GROUP BY w
+),
+p(probe) AS (VALUES {probes})
+SELECT probe, w AS term,
+       cast(levenshtein(probe, w) AS INTEGER) AS dist, freq
+FROM p CROSS JOIN vocab
+WHERE levenshtein(probe, w) <= {FUZZY_MAX_DIST}
+ORDER BY probe, term
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "search_bm25": {"fn": bm25_topk, "oracle": BM25_ORACLE},
         "search_hybrid_rrf": {"fn": hybrid_rrf, "oracle": _hybrid_oracle()},
         "search_tfidf_cosine_topk": {"fn": tfidf_cosine_topk, "oracle": TFIDF_ORACLE},
+        "search_phrase_match": {"fn": phrase_match, "oracle": PHRASE_MATCH_ORACLE},
+        "search_fuzzy_terms": {"fn": fuzzy_terms, "oracle": _fuzzy_oracle()},
     }

@@ -1049,6 +1049,62 @@ def test_bpe_merge_learn_matches_reference_bpe(spark, tables, sf_dir):
     assert got == expect
 
 
+def test_phrase_match_counts_planted_occurrences(spark, tables, sf_dir):
+    """Positional-postings intersection counts OCCURRENCES, not just
+    membership: overlapping/adjacent repeats and single-term-only docs
+    behave like a real match_phrase."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import search
+
+    rows = [
+        (9301, "hash value hash value x hash value", "en", "srcX", 30),
+        (9302, "hash hash value value", "en", "srcX", 20),  # one occurrence
+        (9303, "hash x value", "en", "srcX", 12),           # not adjacent
+        (9304, "value hash", "en", "srcX", 10),             # wrong order
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        out = {r.doc_id: r.n_occurrences for r in search.phrase_match(spark, sf_dir).collect()}
+        assert out == {9301: 3, 9302: 1}
+    finally:
+        tables["documents"].createOrReplaceTempView("documents")
+
+
+def test_fuzzy_terms_edit_distance_semantics(spark, tables, sf_dir):
+    """The deletion-neighborhood join + levenshtein verify implements
+    true edit-distance-1 search: deletion/insertion/substitution
+    variants match, exact matches report dist 0, and a TRANSPOSITION
+    (distance 2 under plain levenshtein) is correctly excluded even
+    though the deletion neighborhoods intersect."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import search
+
+    rows = [(9401, "table stable tble tabe tazle tabel table", "en", "srcX", 40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    orig = search.FUZZY_PROBES
+    search.FUZZY_PROBES = ("table",)
+    try:
+        got = {
+            (r.term, r.dist): r.freq
+            for r in search.fuzzy_terms(spark, sf_dir).collect()
+        }
+        assert got == {
+            ("table", 0): 2,   # exact
+            ("stable", 1): 1,  # insertion
+            ("tble", 1): 1,    # deletion
+            ("tabe", 1): 1,    # deletion
+            ("tazle", 1): 1,   # substitution
+            # 'tabel' (transposition, levenshtein 2): excluded
+        }
+    finally:
+        search.FUZZY_PROBES = orig
+        tables["documents"].createOrReplaceTempView("documents")
+
+
 def test_outlier_scores_flags_planted_outlier(spark, tables, sf_dir):
     """Five aligned vectors + one anti-aligned vector in a label: the
     anti-aligned member z-scores at ~-2.24 and is flagged; the aligned
@@ -1684,3 +1740,30 @@ def test_ewma_daily_recompute(spark, tables, sf_dir):
             num += counts[d] * w
             den += w
     assert abs(target.ewma - num / den) < 1e-3
+
+
+def test_position_attribution_conserves_credit(spark, tables, sf_dir):
+    """U-shaped attribution invariants per purchase: positions are
+    1..n, exactly one first/last 400k credit pair for n>=3, and total
+    credit is 1M exactly (n<=2) or within the floor-division deficit
+    (n-3 ppm at most) below 1M."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import inventory
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import query_df
+
+    rows = query_df(
+        spark, inventory.SQL_QUERIES["events_attribution_position"]["sql"]
+    ).collect()
+    assert rows
+    by_purchase = {}
+    for r in rows:
+        by_purchase.setdefault(r.purchase_id, []).append(r)
+    for pid, rs in by_purchase.items():
+        n = rs[0].n_clicks
+        assert len(rs) == n
+        assert sorted(r.pos for r in rs) == list(range(1, n + 1))
+        total = sum(r.credit_ppm for r in rs)
+        if n <= 2:
+            assert total == 1_000_000
+        else:
+            assert 1_000_000 - (n - 2) < total <= 1_000_000
+            assert sum(1 for r in rs if r.credit_ppm == 400_000) == 2
