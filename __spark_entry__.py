@@ -128,6 +128,10 @@ def _configure(spark: SparkSession) -> None:
 #   array scan / ground-truth levenshtein scan), attribution credits
 #   are exact integer ppm, and each has planted-case behavioral
 #   tests.
+# - audit_expectations / events_session_window_native: same policy
+#   (post-freeze, queued for r06); the expectations entry has a
+#   planted-violation counting test and the session-window oracle is
+#   the independent gaps-and-islands formulation.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

@@ -1463,6 +1463,52 @@ _q(
     """,
 )
 
+# Native session_window (the Spark-first form of sessionization): the
+# built-in gap-window operator in batch GROUP BY, per (user, session)
+# rows with window bounds as epoch micros (integers — timestamp
+# rendering never crosses engines). The oracle is the INDEPENDENT
+# gaps-and-islands formulation (lag + running sum), so the
+# differential checks Spark's operator semantics against first
+# principles: a new session starts when the gap is >= the 30-minute
+# duration (session windows are half-open [start, start+gap)), end =
+# last event + gap. events_sessionization keeps the hand-rolled
+# per-user rollup; this entry is the per-session grain on the native
+# operator.
+_q(
+    "events_session_window_native",
+    """
+    SELECT user_id,
+           unix_micros(session_window.start) AS session_start_us,
+           unix_micros(session_window.end)   AS session_end_us,
+           count(*) AS n_events
+    FROM (SELECT user_id, cast(ts AS timestamp_ltz) AS ts FROM events)
+    GROUP BY user_id, session_window(ts, '30 minutes')
+    ORDER BY user_id, session_start_us
+    """,
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    ids AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 1800000000 AS session_end_us,
+           count(*) AS n_events
+    FROM ids GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+
 # HyperLogLog distinct-count sketch, implemented as DETERMINISTIC SQL
 # (Flajolet et al. 2007): 256 buckets from the top 8 bits of a 48-bit
 # md5-uniform hash, register = max leading-zero rank of the low 40

@@ -958,6 +958,32 @@ def pq_build(spark: SparkSession, sf_dir: str, persist: bool = True) -> PQIndex:
     return index
 
 
+def pq_index_append(
+    spark: SparkSession, index: PQIndex, new_vectors: DataFrame
+) -> PQIndex:
+    """Incremental index maintenance — the missing third verb of the
+    build/search lifecycle: encode NEW vectors with the index's FROZEN
+    codebooks and union them into the code table. No retraining, no
+    re-encoding of existing codes; the appended batch is one map-only
+    encode pass over the new rows only, so daily ingest costs O(new),
+    not O(corpus). (Codebook drift under a shifting distribution is
+    the operator's responsibility: retrain via ``pq_build`` when
+    measured recall decays — the standard faiss add/retrain split.)
+
+    ``new_vectors`` needs (vec_id, embedding) columns; the returned
+    index owns a fresh persisted union (release the old index if it
+    was persisted separately)."""
+    new_codes = _pq_encode(
+        new_vectors.select("vec_id", "embedding"), index.cb_exprs
+    )
+    merged = index.codes.unionByName(new_codes)
+    out = PQIndex(index.codebooks, merged, False)
+    out.codes = merged.persist()
+    out.codes.count()
+    out._persisted = True
+    return out
+
+
 def _exact_rerank(spark: SparkSession, shortlist: DataFrame) -> DataFrame:
     """Exact-cosine re-rank of a tiny (probe_id, vec_id) shortlist
     against the original vectors: the shortlist broadcasts into one

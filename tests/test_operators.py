@@ -1767,3 +1767,76 @@ def test_position_attribution_conserves_credit(spark, tables, sf_dir):
         else:
             assert 1_000_000 - (n - 2) < total <= 1_000_000
             assert sum(1 for r in rs if r.credit_ppm == 400_000) == 2
+
+
+def test_audit_expectations_counts_planted_violations(spark, tables, sf_dir):
+    """Violation counting is real, not vacuously zero: plant a
+    duplicate doc_id, an unknown lang, an inconsistent n_chars, and a
+    null text, and the per-check counters pick up exactly those."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import profile
+
+    rows = [
+        (9501, "ok text", "en", "srcX", 7),
+        (9501, "dup id", "en", "srcX", 6),        # doc_id_unique
+        (9502, "bad lang", "xx", "srcX", 8),      # lang_known
+        (9503, "short", "de", "srcX", 99),        # n_chars_consistent
+        (9504, None, "fr", "srcX", 0),            # text_not_null
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        out = {
+            r.check_name: r.n_violations
+            for r in profile.audit_expectations(spark, sf_dir).collect()
+        }
+        assert out["documents.doc_id_unique"] == 1
+        assert out["documents.lang_known"] == 1
+        # the null-text row also fails length-consistency (length(NULL)
+        # is NULL -> predicate NULL -> not counted), so exactly the
+        # planted 9503 row counts
+        assert out["documents.n_chars_consistent"] == 1
+        assert out["documents.text_not_null"] == 1
+        assert out["documents.doc_id_not_null"] == 0
+        # other tables untouched
+        assert out["orders.totalprice_positive"] == 0
+    finally:
+        tables["documents"].createOrReplaceTempView("documents")
+
+
+def test_pq_index_append_equals_full_build(spark, tables, sf_dir):
+    """Incremental maintenance contract: encode half the corpus, append
+    the other half with the FROZEN codebooks, and search results are
+    row-identical to the index built over the full corpus in one shot
+    (same codebooks by deterministic training)."""
+    from pyspark.sql import functions as F
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import similarity
+
+    full = similarity.pq_build(spark, sf_dir)
+    try:
+        emb = spark.table("embeddings")
+        half_codes = similarity._pq_encode(
+            emb.where("vec_id % 2 = 0").select("vec_id", "embedding"),
+            full.cb_exprs,
+        )
+        part = similarity.PQIndex(full.codebooks, half_codes, False)
+        merged = similarity.pq_index_append(
+            spark, part, emb.where("vec_id % 2 = 1")
+        )
+        try:
+            got = sorted(
+                (r.probe_id, r.rank, r.neighbor_id)
+                for r in similarity.pq_search(spark, sf_dir, merged).collect()
+            )
+            want = sorted(
+                (r.probe_id, r.rank, r.neighbor_id)
+                for r in similarity.pq_search(spark, sf_dir, full).collect()
+            )
+            assert got == want and got
+            assert merged.codes.count() == emb.count()
+        finally:
+            merged.release()
+    finally:
+        full.release()
