@@ -132,6 +132,11 @@ def _configure(spark: SparkSession) -> None:
 #   (post-freeze, queued for r06); the expectations entry has a
 #   planted-violation counting test and the session-window oracle is
 #   the independent gaps-and-islands formulation.
+# - pipeline_incremental_rollup / dedup_audio_fingerprint: same
+#   policy (post-freeze, queued for r06); the rollup's oracle is the
+#   ground-truth full recompute (differential proves the merge
+#   algebra) and the fingerprint has a pure-Python recompute test
+#   plus the ground-truth all-pairs oracle.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

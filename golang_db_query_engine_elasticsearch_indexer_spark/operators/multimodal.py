@@ -257,19 +257,21 @@ def _le32hex(expr: str) -> str:
     return "concat(" + ", ".join(pairs) + ")"
 
 
-def _wav_payload_expr() -> str:
-    """A genuine 8-bit-PCM mono WAV per document: n = 64 + doc_id % 64
+def _wav_payload_expr(id_expr: str = "doc_id") -> str:
+    """A genuine 8-bit-PCM mono WAV per document: n = 64 + id % 64
     samples at 8 kHz. Header fields are little-endian per RIFF; sample
-    bytes are the md5 chain keyed on 'wav:doc_id'. An odd-length data
+    bytes are the md5 chain keyed on 'wav:id'. An odd-length data
     chunk carries the spec-required pad byte (counted in the RIFF size
     but NOT in the data csize), so the files conform for any external
     reader and the parser's word-alignment is truthfully exercised.
-    Pure codegen."""
-    n = "(64 + doc_id % 64)"
+    Pure codegen. ``id_expr`` defaults to the document key; the audio
+    fingerprint entry passes an aliased key to plant cross-document
+    duplicate audio."""
+    n = f"(64 + {id_expr} % 64)"
     nchunks = f"(({n} + 15) div 16)"
     hexstr = (
         f"concat(substring(concat_ws('', transform(sequence(0, {nchunks} - 1), "
-        f"i -> md5(concat('wav:', cast(doc_id AS string), ':', cast(i AS string))))), "
+        f"i -> md5(concat('wav:', cast({id_expr} AS string), ':', cast(i AS string))))), "
         f"1, {n} * 2), CASE WHEN {n} % 2 = 1 THEN '00' ELSE '' END)"
     )
     header_hex = (
@@ -287,6 +289,48 @@ def _wav_payload_expr() -> str:
     return f"unhex(concat({header_hex}, {hexstr}))"
 
 
+def _parse_wav(b):
+    """A REAL RIFF/WAV parser — validates the RIFF and WAVE magics,
+    WALKS the chunk list (id + LE32 size + payload, word-aligned) to
+    find fmt and data rather than assuming fixed offsets, checks
+    PCM/8-bit. Returns (channels, rate, bits, samples int64 array).
+    Raises on malformed input instead of guessing. Executor-side."""
+    import struct  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415 — executor-side
+
+    data = bytes(b)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file: {data[:12]!r}")
+    riff_size = struct.unpack("<I", data[4:8])[0]
+    if riff_size != len(data) - 8:
+        raise ValueError(f"RIFF size {riff_size} != payload {len(data) - 8}")
+    pos, fmt, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        csize = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        if pos + 8 + csize > len(data):
+            raise ValueError(
+                f"chunk {cid!r} overruns file: size {csize}, "
+                f"{len(data) - pos - 8} bytes remain"
+            )
+        body = data[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short: {len(body)} bytes")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            samples = body
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if fmt is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1 or bits != 8:
+        raise ValueError(f"not 8-bit PCM: fmt={audio_fmt} bits={bits}")
+    px = np.frombuffer(samples, dtype=np.uint8).astype(np.int64)
+    return channels, rate, bits, px
+
+
 def _decode_wav_batches(batches):
     """mapInPandas worker: a REAL RIFF/WAV parser — validates the RIFF
     and WAVE magics, WALKS the chunk list (id + LE32 size + payload,
@@ -295,41 +339,11 @@ def _decode_wav_batches(batches):
     squared deviations from the 8-bit midpoint) plus the derived RMS.
     Raises on malformed input instead of guessing."""
     import math  # noqa: PLC0415
-    import struct  # noqa: PLC0415
 
-    import numpy as np  # noqa: PLC0415 — executor-side
     import pandas as pd  # noqa: PLC0415
 
     def parse(b):
-        data = bytes(b)
-        if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-            raise ValueError(f"not a RIFF/WAVE file: {data[:12]!r}")
-        riff_size = struct.unpack("<I", data[4:8])[0]
-        if riff_size != len(data) - 8:
-            raise ValueError(f"RIFF size {riff_size} != payload {len(data) - 8}")
-        pos, fmt, samples = 12, None, None
-        while pos + 8 <= len(data):
-            cid = data[pos : pos + 4]
-            csize = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-            if pos + 8 + csize > len(data):
-                raise ValueError(
-                    f"chunk {cid!r} overruns file: size {csize}, "
-                    f"{len(data) - pos - 8} bytes remain"
-                )
-            body = data[pos + 8 : pos + 8 + csize]
-            if cid == b"fmt ":
-                if len(body) < 16:
-                    raise ValueError(f"fmt chunk too short: {len(body)} bytes")
-                fmt = struct.unpack("<HHIIHH", body[:16])
-            elif cid == b"data":
-                samples = body
-            pos += 8 + csize + (csize % 2)  # chunks are word-aligned
-        if fmt is None or samples is None:
-            raise ValueError("missing fmt or data chunk")
-        audio_fmt, channels, rate, _byte_rate, _align, bits = fmt
-        if audio_fmt != 1 or bits != 8:
-            raise ValueError(f"not 8-bit PCM: fmt={audio_fmt} bits={bits}")
-        px = np.frombuffer(samples, dtype=np.uint8).astype(np.int64)
+        channels, rate, bits, px = _parse_wav(b)
         n = len(px)
         sum_sq = int(((px - 128) ** 2).sum())  # exact integer arithmetic
         rms = math.floor(math.sqrt(sum_sq / n) * 10_000 + 0.5) / 10_000
@@ -848,6 +862,127 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- audio near-dup via energy-delta fingerprint ---------------------------
+#
+# The audio sibling of dedup_image_phash (Shazam-lite): decode each
+# document's WAV through the real RIFF path, split the samples into
+# AFP_FRAMES fixed grid frames, compute per-frame energy (sum of
+# squared deviations from the 8-bit midpoint — exact integers), and
+# fingerprint the SHAPE of the energy envelope: bit f = 1 iff frame
+# f+1 is louder than frame f. Energy-delta signs survive gain changes
+# and codec noise, which is why real audio fingerprinting uses the
+# derivative, not the energy itself. Candidates come from the same
+# 4x4-bit banding (pigeonhole-exact at hamming <= 3); the oracle is
+# again the ground-truth all-pairs join off the generative formula.
+AFP_FRAMES = 17  # 17 frames -> 16 delta bits
+_AFP_ID = "(CASE WHEN doc_id % 40 = 1 THEN doc_id - 1 ELSE doc_id END)"
+
+
+def _afp_batches(batches):
+    """mapInPandas worker: real WAV decode -> integer energy-delta
+    fingerprint. Frame of sample j is (j * AFP_FRAMES) div n."""
+    import numpy as np  # noqa: PLC0415 — executor-side
+    import pandas as pd  # noqa: PLC0415
+
+    def fp(b):
+        _, _, _, px = _parse_wav(b)
+        n = len(px)
+        frame = (np.arange(n) * AFP_FRAMES) // n
+        energy = np.bincount(
+            frame, weights=(px - 128) ** 2, minlength=AFP_FRAMES
+        ).astype("int64")
+        bits = (energy[1:] > energy[:-1]).astype("int64")
+        return int((bits << np.arange(AFP_FRAMES - 1)).sum())
+
+    for pdf in batches:
+        rows = [(int(d), fp(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+        yield pd.DataFrame(rows, columns=["doc_id", "afp"]).astype(
+            {"doc_id": "int64", "afp": "int32"}
+        )
+
+
+def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs whose audio is near-identical by the
+    energy-envelope fingerprint (hamming <= PHASH_HAMMING_T), banded
+    candidates, same scale shape as :func:`image_phash_pairs`."""
+    payloads = spark.table("documents").select(
+        "doc_id", F.expr(_wav_payload_expr(_AFP_ID)).alias("payload")
+    )
+    hashed = payloads.mapInPandas(_afp_batches, "doc_id long, afp int")
+    bits_per_band = (AFP_FRAMES - 1) // PHASH_BANDS
+    banded = hashed.selectExpr(
+        "doc_id",
+        "afp",
+        f"explode(transform(sequence(0, {PHASH_BANDS - 1}), "
+        f"b -> struct(b AS band, "
+        f"cast(shiftright(afp, b * {bits_per_band}) % {2 ** bits_per_band} AS int)"
+        " AS key))) AS bk",
+    ).select("doc_id", "afp", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            F.expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"),
+        )
+        .selectExpr(
+            "a.doc_id AS doc_a",
+            "b.doc_id AS doc_b",
+            "cast(bit_count(a.afp ^ b.afp) AS int) AS hamming",
+        )
+        .where(f"hamming <= {PHASH_HAMMING_T}")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _audio_fingerprint_oracle() -> str:
+    """Ground truth: per-sample energies off the md5 chain, frame sums,
+    LEAD-window delta bits, all-pairs hamming join."""
+    hv = "(strpos('0123456789abcdef', substring(hexstr, {p}, 1)) - 1)"
+    sample = f"({hv.format(p='2*j + 1')} * 16 + {hv.format(p='2*j + 2')})"
+    return f"""
+WITH ids AS (
+  SELECT doc_id, {_AFP_ID} AS aid FROM documents
+),
+dims AS (
+  SELECT doc_id, aid, 64 + aid % 64 AS n FROM ids
+),
+hx AS (
+  SELECT doc_id, n,
+         substring(list_aggregate(list_transform(range(0, (n + 15) // 16),
+             i -> md5('wav:' || aid::VARCHAR || ':' || i::VARCHAR)),
+           'string_agg', ''), 1, 2 * n) AS hexstr
+  FROM dims
+),
+sm AS (
+  SELECT doc_id, n, j, (j * {AFP_FRAMES}) // n AS f,
+         ({sample} - 128) * ({sample} - 128) AS e
+  FROM (SELECT doc_id, n, hexstr, unnest(range(0, n)) AS j FROM hx)
+),
+frames AS (
+  SELECT doc_id, f, cast(sum(e) AS BIGINT) AS energy
+  FROM sm GROUP BY doc_id, f
+),
+deltas AS (
+  SELECT doc_id, f,
+         lead(energy) OVER (PARTITION BY doc_id ORDER BY f) AS nxt, energy
+  FROM frames
+),
+fps AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN nxt > energy THEN 1 << f ELSE 0 END)
+              AS INTEGER) AS afp
+  FROM deltas WHERE nxt IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {PHASH_HAMMING_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "multimodal_binary_features": {
@@ -863,6 +998,10 @@ def registry() -> dict[str, dict]:
         "dedup_image_phash": {
             "fn": image_phash_pairs,
             "oracle": _image_phash_oracle(),
+        },
+        "dedup_audio_fingerprint": {
+            "fn": audio_fingerprint_pairs,
+            "oracle": _audio_fingerprint_oracle(),
         },
         "multimodal_decode_bmp": {
             "fn": decode_bmp,

@@ -1840,3 +1840,49 @@ def test_pq_index_append_equals_full_build(spark, tables, sf_dir):
             merged.release()
     finally:
         full.release()
+
+
+def test_audio_fingerprint_plants_and_pigeonhole_recall(spark, tables, sf_dir):
+    """Planted duplicate-audio pairs (doc_id % 40 == 1 shares
+    doc_id - 1's WAV) surface at hamming 0, and banding loses nothing
+    vs brute force — all fingerprints recomputed independently in pure
+    Python from the generative sample formula."""
+    import hashlib
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import multimodal
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.audio_fingerprint_pairs(spark, sf_dir).collect()
+    }
+    doc_ids = [r.doc_id for r in spark.table("documents").select("doc_id").collect()]
+    for d in doc_ids:
+        if d % 40 == 1 and (d - 1) in set(doc_ids):
+            assert got.get((d - 1, d)) == 0, f"planted pair {(d - 1, d)} missing"
+
+    F_ = multimodal.AFP_FRAMES
+
+    def afp(doc_id):
+        aid = doc_id - 1 if doc_id % 40 == 1 else doc_id
+        n = 64 + aid % 64
+        hx = "".join(
+            hashlib.md5(f"wav:{aid}:{i}".encode()).hexdigest()
+            for i in range((n + 15) // 16)
+        )[: 2 * n]
+        px = bytes.fromhex(hx)
+        energy = [0] * F_
+        for j in range(n):
+            energy[(j * F_) // n] += (px[j] - 128) ** 2
+        return sum(
+            1 << f for f in range(F_ - 1) if energy[f + 1] > energy[f]
+        )
+
+    fps = {d: afp(d) for d in doc_ids}
+    expect = {}
+    ids = sorted(doc_ids)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            hd = bin(fps[a] ^ fps[b]).count("1")
+            if hd <= multimodal.PHASH_HAMMING_T:
+                expect[(a, b)] = hd
+    assert got == expect
