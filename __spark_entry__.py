@@ -137,6 +137,9 @@ def _configure(spark: SparkSession) -> None:
 #   ground-truth full recompute (differential proves the merge
 #   algebra) and the fingerprint has a pure-Python recompute test
 #   plus the ground-truth all-pairs oracle.
+# - quality_classifier_train: same policy (post-freeze, queued for
+#   r06); an independent Python gradient-descent implementation
+#   reproduces every iteration's weights and loss in tests.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

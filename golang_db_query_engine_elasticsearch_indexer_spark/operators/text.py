@@ -1064,6 +1064,113 @@ ORDER BY doc_id
 """
 
 
+# --- classifier TRAINING as one declarative query ---------------------------
+#
+# The other half of quality_classifier's loop: the fixed QC_WEIGHTS
+# deploy a model, this entry TRAINS one — full-batch gradient descent
+# on logistic loss over the same four features, predicting curated-
+# source membership. The whole optimization is ONE query: iterations
+# chain as CTE pairs (gradient aggregate -> weight update), the same
+# literal-only iteration shape as the BPE merge loop and PageRank.
+# Determinism discipline: features round to 4 dp in the shared feats
+# relation (so both engines descend from identical inputs), each
+# gradient component and updated weight rounds to 9 dp per iteration
+# (absorbing summation-order and libm-ulp drift before it compounds —
+# the PageRank rule), and the loss reports at 6 dp.
+GD_ITERS = 5
+GD_LR = 1.0
+_GD_LABEL = "source IN ('src0', 'src1', 'src2', 'src3')"
+
+
+def _gd_iterations_sql(feats_cte: str) -> str:
+    """Dialect-independent GD chain over a ``feats`` CTE with columns
+    (y, x1..x4); only the feature extraction differs per engine."""
+    z = "(b + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4)"
+    sig = f"(1.0 / (1.0 + exp(-{z})))"
+    parts = [
+        f"feats AS ({feats_cte})",
+        "w0 AS (SELECT cast(0.0 AS double) AS b, cast(0.0 AS double) AS w1,"
+        " cast(0.0 AS double) AS w2, cast(0.0 AS double) AS w3,"
+        " cast(0.0 AS double) AS w4)",
+    ]
+    for r in range(1, GD_ITERS + 1):
+        parts.append(
+            f"""g{r} AS (
+  SELECT round(avg({sig} - y), 9) AS gb,
+         round(avg(({sig} - y) * x1), 9) AS g1,
+         round(avg(({sig} - y) * x2), 9) AS g2,
+         round(avg(({sig} - y) * x3), 9) AS g3,
+         round(avg(({sig} - y) * x4), 9) AS g4,
+         round(avg(-(y * ln({sig}) + (1.0 - y) * ln(1.0 - {sig}))), 6)
+           AS logloss
+  FROM feats CROSS JOIN w{r - 1})"""
+        )
+        parts.append(
+            f"""w{r} AS (
+  SELECT round(b - {GD_LR} * gb, 9) AS b,
+         round(w1 - {GD_LR} * g1, 9) AS w1,
+         round(w2 - {GD_LR} * g2, 9) AS w2,
+         round(w3 - {GD_LR} * g3, 9) AS w3,
+         round(w4 - {GD_LR} * g4, 9) AS w4
+  FROM w{r - 1} CROSS JOIN g{r})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT cast({r} AS INTEGER) AS iter, g{r}.logloss,"
+        f" w{r}.b, w{r}.w1, w{r}.w2, w{r}.w3, w{r}.w4"
+        f" FROM w{r} CROSS JOIN g{r}"
+        for r in range(1, GD_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY iter"
+
+
+_GD_FEATS_SPARK = f"""
+  SELECT cast(CASE WHEN {_GD_LABEL} THEN 1 ELSE 0 END AS double) AS y,
+         round(least(size(toks) / 100.0, 1.0), 4) AS x1,
+         round(size(filter(toks, w -> array_contains({{stop}}, w)))
+               / size(toks), 4) AS x2,
+         round((length(text) - length(regexp_replace(text, '[.,;:!?]', '')))
+               / length(text), 4) AS x3,
+         round(1.0 - size(array_distinct(toks)) / size(toks), 4) AS x4
+  FROM (SELECT source, text, {TOKENS} AS toks FROM documents)
+"""
+
+_GD_FEATS_DUCK = f"""
+  SELECT cast(CASE WHEN {_GD_LABEL} THEN 1 ELSE 0 END AS double) AS y,
+         round(least(len(toks) / 100.0, 1.0), 4) AS x1,
+         round(len(list_filter(toks, w -> list_contains({{stop}}, w)))
+               * 1.0 / len(toks), 4) AS x2,
+         round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               * 1.0 / length(text), 4) AS x3,
+         round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 4) AS x4
+  FROM (SELECT source, text, {DUCK_TOKENS} AS toks FROM documents)
+"""
+
+
+def classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic quality/provenance classifier by full-batch GD
+    — the whole optimization as one Catalyst plan, per-iteration rows
+    (iter, logloss-before-step, updated weights) out.
+
+    Scale shape: each iteration is ONE partial-aggregated scan of the
+    feature relation (gradients are averages — map-side combinable)
+    plus a 1-row cross join; K iterations chain as CTEs so there are
+    no driver round-trips. At 100 TB: persist feats once (it is read K
+    times), and that single cache is the only state — exactly how
+    MLlib's LBFGS drives its aggregations, minus the driver loop. A
+    trained model deploys by pasting the final weight row into the
+    constant-weight scoring expression (quality_classifier)."""
+    return spark.sql(
+        _gd_iterations_sql(
+            _GD_FEATS_SPARK.format(stop=_array_lit(LANG_STOPWORDS["en"]))
+        )
+    )
+
+
+CLASSIFIER_TRAIN_ORACLE = _gd_iterations_sql(
+    _GD_FEATS_DUCK.format(stop=_list_lit(LANG_STOPWORDS["en"]))
+)
+
+
 def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile calibration of the logistic quality classifier against
     the heuristic quality blend: documents are cut into p_keep deciles
@@ -1479,6 +1586,10 @@ def registry() -> dict[str, dict]:
         "corpus_source_divergence": {
             "fn": source_divergence,
             "oracle": SOURCE_DIVERGENCE_ORACLE,
+        },
+        "quality_classifier_train": {
+            "fn": classifier_train,
+            "oracle": CLASSIFIER_TRAIN_ORACLE,
         },
         "text_quality_classifier": {
             "fn": quality_classifier,

@@ -1886,3 +1886,57 @@ def test_audio_fingerprint_plants_and_pigeonhole_recall(spark, tables, sf_dir):
             if hd <= multimodal.PHASH_HAMMING_T:
                 expect[(a, b)] = hd
     assert got == expect
+
+
+def test_classifier_train_matches_python_gd(spark, tables, sf_dir):
+    """The in-SQL gradient descent is reproduced step-for-step by an
+    independent Python implementation over the same (rounded) feature
+    rows — per-iteration 9 dp weight rounding included — and the loss
+    decreases monotonically (it is actually optimizing)."""
+    import math
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+        array_lit as _al,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import text as text_ops
+
+    feats = spark.sql(
+        text_ops._GD_FEATS_SPARK.format(stop=_al(text_ops.LANG_STOPWORDS["en"]))
+    ).collect()
+    # Spark surfaces some rounded feature columns as DECIMAL; the GD
+    # SQL promotes them to double in the arithmetic — mirror that here.
+    X = [tuple(float(v) for v in (r.y, r.x1, r.x2, r.x3, r.x4)) for r in feats]
+    n = len(X)
+    w = [0.0] * 5  # b, w1..w4
+
+    def r9(v):
+        # mirror SQL round (half-up on the decimal repr)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(v)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    expect = []
+    for it in range(1, text_ops.GD_ITERS + 1):
+        gs, loss = [0.0] * 5, 0.0
+        for y, x1, x2, x3, x4 in X:
+            z = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3 + w[4] * x4
+            s = 1.0 / (1.0 + math.exp(-z))
+            d = s - y
+            for k, x in enumerate((1.0, x1, x2, x3, x4)):
+                gs[k] += d * x
+            loss += -(y * math.log(s) + (1.0 - y) * math.log(1.0 - s))
+        gs = [r9(g / n) for g in gs]
+        loss = round(loss / n, 6)
+        w = [r9(wk - text_ops.GD_LR * gk) for wk, gk in zip(w, gs)]
+        expect.append((it, loss, *w))
+    got = [
+        (r.iter, r.logloss, r.b, r.w1, r.w2, r.w3, r.w4)
+        for r in text_ops.classifier_train(spark, sf_dir).collect()
+    ]
+    for g, e in zip(got, expect):
+        assert g[0] == e[0]
+        assert abs(g[1] - e[1]) < 2e-6
+        for a, b in zip(g[2:], e[2:]):
+            assert abs(a - b) < 2e-9
+    losses = [g[1] for g in got]
+    assert all(a > b for a, b in zip(losses, losses[1:]))
