@@ -140,6 +140,9 @@ def _configure(spark: SparkSession) -> None:
 # - quality_classifier_train: same policy (post-freeze, queued for
 #   r06); an independent Python gradient-descent implementation
 #   reproduces every iteration's weights and loss in tests.
+# - graph_copurchase_triangles: same policy (post-freeze, queued for
+#   r06); the oracle builds edges via the naive self-join and a
+#   planted-graph test hand-counts a known census.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

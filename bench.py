@@ -62,6 +62,15 @@ HEADLINE = [
     "layout_zorder_orders",
     "events_pattern_match",
     "embedding_matryoshka_recall",
+    # round-5 continuation: importance sampling, tokenizer training,
+    # multimodal near-dup, search, in-SQL GD
+    "sample_dsir_importance",
+    "tokens_bpe_merge_learn",
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "search_phrase_match",
+    "search_fuzzy_terms",
+    "quality_classifier_train",
     # streaming (availableNow drain of the events fixture)
     "stream_tumbling_counts",
     "stream_docs_incremental_dedup",

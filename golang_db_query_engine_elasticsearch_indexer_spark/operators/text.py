@@ -1083,8 +1083,10 @@ _GD_LABEL = "source IN ('src0', 'src1', 'src2', 'src3')"
 
 
 def _gd_iterations_sql(feats_cte: str) -> str:
-    """Dialect-independent GD chain over a ``feats`` CTE with columns
-    (y, x1..x4); only the feature extraction differs per engine."""
+    """Chained-CTE GD over a ``feats`` CTE with columns (y, x1..x4) —
+    the ORACLE formulation (DuckDB materializes CTEs; Spark would
+    inline this chain exponentially, so the engine runs the
+    driver-looped form in :func:`classifier_train`)."""
     z = "(b + w1 * x1 + w2 * x2 + w3 * x3 + w4 * x4)"
     sig = f"(1.0 / (1.0 + exp(-{z})))"
     parts = [
@@ -1146,24 +1148,64 @@ _GD_FEATS_DUCK = f"""
 """
 
 
-def classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train a logistic quality/provenance classifier by full-batch GD
-    — the whole optimization as one Catalyst plan, per-iteration rows
-    (iter, logloss-before-step, updated weights) out.
+def _round_half_up(v: float, places: int) -> float:
+    """Decimal HALF_UP rounding of a double's shortest repr — matches
+    both engines' SQL ``round`` on these magnitudes (pinned by the
+    differential and the Python-GD recompute test)."""
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
 
-    Scale shape: each iteration is ONE partial-aggregated scan of the
-    feature relation (gradients are averages — map-side combinable)
-    plus a 1-row cross join; K iterations chain as CTEs so there are
-    no driver round-trips. At 100 TB: persist feats once (it is read K
-    times), and that single cache is the only state — exactly how
-    MLlib's LBFGS drives its aggregations, minus the driver loop. A
-    trained model deploys by pasting the final weight row into the
-    constant-weight scoring expression (quality_classifier)."""
-    return spark.sql(
-        _gd_iterations_sql(
-            _GD_FEATS_SPARK.format(stop=_array_lit(LANG_STOPWORDS["en"]))
-        )
-    )
+    return float(Decimal(repr(v)).quantize(Decimal(f"1e-{places}"), ROUND_HALF_UP))
+
+
+def classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic quality/provenance classifier by full-batch GD:
+    per-iteration rows (iter, logloss-before-step, updated weights).
+
+    Scale shape — the MLlib driver-loop shape: the feature relation is
+    persisted ONCE; each iteration is one partial-aggregated scan of
+    that cache (gradients are averages — map-side combinable) whose
+    1-row result is collected, the weight vector lives on the driver,
+    and the next iteration's expression embeds the weights as literals
+    (repr() round-trips doubles bit-exactly). A fully chained
+    single-query form was measured to inline the CTE chain
+    exponentially (2^K scans — see bpe_merge_learn); the oracle keeps
+    that chained formulation (DuckDB materializes CTEs), so the
+    differential also pins loop-vs-chain equivalence. A trained model
+    deploys by pasting the final weight row into the constant-weight
+    scoring expression (quality_classifier)."""
+    feats = spark.sql(
+        _GD_FEATS_SPARK.format(stop=_array_lit(LANG_STOPWORDS["en"]))
+    ).persist()
+    w = [0.0] * 5  # b, w1..w4
+    out: list[tuple] = []
+    try:
+        for it in range(1, GD_ITERS + 1):
+            z = (
+                f"({w[0]!r} + {w[1]!r} * x1 + {w[2]!r} * x2"
+                f" + {w[3]!r} * x3 + {w[4]!r} * x4)"
+            )
+            sig = f"(1.0 / (1.0 + exp(-{z})))"
+            g = feats.selectExpr(
+                f"round(avg({sig} - y), 9) AS gb",
+                f"round(avg(({sig} - y) * x1), 9) AS g1",
+                f"round(avg(({sig} - y) * x2), 9) AS g2",
+                f"round(avg(({sig} - y) * x3), 9) AS g3",
+                f"round(avg(({sig} - y) * x4), 9) AS g4",
+                f"round(avg(-(y * ln({sig}) + (1.0 - y) * ln(1.0 - {sig}))), 6)"
+                " AS logloss",
+            ).collect()[0]
+            w = [
+                _round_half_up(wk - GD_LR * gk, 9)
+                for wk, gk in zip(w, (g.gb, g.g1, g.g2, g.g3, g.g4))
+            ]
+            out.append((it, g.logloss, *w))
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(
+        out,
+        "iter int, logloss double, b double, w1 double, w2 double,"
+        " w3 double, w4 double",
+    ).orderBy("iter")
 
 
 CLASSIFIER_TRAIN_ORACLE = _gd_iterations_sql(
@@ -1350,12 +1392,13 @@ def _bpe_merge_sql(
     spaced_expr: str,
     pairs_from: str,
 ) -> str:
-    """Shared chained-CTE SQL for the full BPE merge LOOP (dialect
-    knobs: vocab source subquery, char-spacing regexp, pair-index
-    explosion). One ``b{r}``/``v{r}`` CTE pair per merge round — the
-    whole trainer is a single declarative query with literal-only
-    iteration: no driver loop, no collect, both engines run the exact
-    same induction.
+    """Chained-CTE SQL for the full BPE merge LOOP (dialect knobs:
+    vocab source subquery, char-spacing regexp, pair-index explosion).
+    One ``b{r}``/``v{r}`` CTE pair per merge round. Used as the DuckDB
+    ORACLE formulation (DuckDB materializes each CTE once); the Spark
+    engine runs the equivalent driver-looped form — see
+    :func:`bpe_merge_learn` for why the chained form is NOT the Spark
+    shape (exponential CTE inlining).
 
     Symbol strings use a TWO-space separator with ONE-space padding
     (`` a  b  c ``) so plain ``replace`` is an exact whole-symbol
@@ -1437,18 +1480,58 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (freq DESC, pattern tiebreak), rewrites every word, and repeats.
 
     Scale shape: identical to the HF-tokenizers trainer — the ONLY
-    corpus-scale work is the word-count shuffle in ``v0``; every merge
-    round operates on the vocabulary relation (sub-linear in corpus
-    size by Heaps' law), each round being one vocabulary-sized
-    aggregation + a 1-row cross join. The rounds chain as CTEs in ONE
-    query, so Catalyst sees the whole plan (no driver round-trips);
-    at production merge counts (30k) the loop would checkpoint the
-    vocab relation every ~50 rounds to cap plan depth — the same
-    lineage discipline ``dedup.components`` applies.
+    corpus-scale work is the word-count shuffle building the spaced
+    vocabulary, which is persisted ONCE; each merge round is one
+    vocabulary-sized aggregation (map-side combined) + a 1-row argmax
+    collect, and the rewrite materializes per round so round r+1 reads
+    round r's cache, never its lineage. A fully chained single-query
+    form was measured to inline the CTE chain EXPONENTIALLY (2^K - 1
+    corpus scans at K merges — Spark inlines multiply-referenced
+    CTEs), so the driver-resident argmax with per-round persist is the
+    shape that survives production merge counts; the DuckDB oracle
+    keeps the chained-CTE formulation (DuckDB materializes CTEs), so
+    the differential also pins loop-vs-chain equivalence.
     """
-    return spark.sql(
-        _bpe_merge_sql(_BPE_VOCAB_SPARK, _BPE_SPACED_SPARK, _BPE_PAIRS_SPARK)
-    )
+    vocab = spark.sql(
+        f"SELECT {_BPE_SPACED_SPARK} AS w, cnt FROM ({_BPE_VOCAB_SPARK})"
+    ).persist()
+    held = [vocab]
+    cur = vocab
+    out: list[tuple] = []
+    try:
+        for r in range(1, BPE_MERGES + 1):
+            cur.createOrReplaceTempView("__bpe_cur")
+            best = (
+                spark.sql(
+                    "SELECT lsym, rsym, pattern, repl,"
+                    " cast(sum(cnt) AS BIGINT) AS freq FROM ("
+                    + _BPE_PAIRS_SPARK.format(prev="__bpe_cur")
+                    + ") GROUP BY lsym, rsym, pattern, repl"
+                    " ORDER BY freq DESC, pattern LIMIT 1"
+                )
+            ).collect()[0]
+            out.append(
+                (r, best.lsym, best.rsym, best.lsym + best.rsym, best.freq)
+            )
+            nxt = cur.select(
+                F.call_function(
+                    "replace",
+                    F.col("w"),
+                    F.lit(best.pattern),
+                    F.lit(best.repl),
+                ).alias("w"),
+                "cnt",
+            ).persist()
+            nxt.count()  # materialize so the next round reads the cache
+            held.append(nxt)
+            cur = nxt
+    finally:
+        for d in held:
+            d.unpersist()
+        spark.catalog.dropTempView("__bpe_cur")
+    return spark.createDataFrame(
+        out, "merge_rank int, lsym string, rsym string, merged string, freq bigint"
+    ).orderBy("merge_rank")
 
 
 BPE_MERGE_LEARN_ORACLE = _bpe_merge_sql(

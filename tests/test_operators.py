@@ -1940,3 +1940,21 @@ def test_classifier_train_matches_python_gd(spark, tables, sf_dir):
             assert abs(a - b) < 2e-9
     losses = [g[1] for g in got]
     assert all(a > b for a, b in zip(losses, losses[1:]))
+
+
+def test_triangle_census_on_planted_graph(spark, tables, sf_dir):
+    """Hand-checkable graph: baskets {1,2}, {2,3}, {1,3} close one
+    triangle; {4,5} dangles. n=5 nodes, 4 edges, 3 wedges, 1 triangle,
+    transitivity 1.0 — verifying the degree-oriented closure end to
+    end on a graph small enough to count by hand."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import graph
+
+    rows = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3), (4, 4), (4, 5)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    df.createOrReplaceTempView("lineitem")
+    try:
+        r = graph.copurchase_triangles(spark, sf_dir).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (5, 4, 3, 1)
+        assert r.transitivity == 1.0
+    finally:
+        tables["lineitem"].createOrReplaceTempView("lineitem")
