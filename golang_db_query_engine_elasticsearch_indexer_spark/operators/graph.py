@@ -457,43 +457,46 @@ LIMIT {TEXTRANK_TOP_K}"""
 # exists ONLY in the oracle, so the differential proves the oriented
 # algorithm counts exactly.
 
-# Shared post-edges SQL: both engines run identical text over an
-# ``edges`` CTE of distinct undirected edges with p1 < p2.
-_TRIANGLE_TAIL_SQL = """
-deg AS (
+# Shared SQL pieces, parameterized on relation names: the ORACLE
+# composes them into one CTE chain (DuckDB materializes each CTE
+# once); the Spark engine materializes each piece as a persisted
+# relation instead — Spark INLINES multiply-referenced CTEs, and the
+# one-query form measured 18 fact-table scans (see bpe_merge_learn
+# for the same pitfall).
+_TRI_DEG_SQL = """
   SELECT v, cast(count(*) AS BIGINT) AS d FROM (
-    SELECT p1 AS v FROM edges UNION ALL SELECT p2 AS v FROM edges) u
+    SELECT p1 AS v FROM {edges} UNION ALL SELECT p2 AS v FROM {edges}) u
   GROUP BY v
-),
-oriented AS (
+"""
+_TRI_ORIENTED_SQL = """
   SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
               THEN e.p1 ELSE e.p2 END AS src,
          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
               THEN e.p2 ELSE e.p1 END AS dst,
          CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.p1 < e.p2)
               THEN d2.d ELSE d1.d END AS dst_d
-  FROM edges e
-  JOIN deg d1 ON d1.v = e.p1
-  JOIN deg d2 ON d2.v = e.p2
-),
-tri AS (
-  SELECT cast(count(*) AS BIGINT) AS n_triangles
-  FROM oriented o1
-  JOIN oriented o2
-    ON o1.src = o2.src
-   AND (o1.dst_d < o2.dst_d OR (o1.dst_d = o2.dst_d AND o1.dst < o2.dst))
-  JOIN oriented c ON c.src = o1.dst AND c.dst = o2.dst
-),
-stats AS (
-  SELECT cast(count(*) AS BIGINT) AS n_nodes,
-         cast(sum(floor(d * (d - 1) / 2.0)) AS BIGINT) AS n_wedges
-  FROM deg
-),
-ecount AS (SELECT cast(count(*) AS BIGINT) AS n_edges FROM edges)
+  FROM {edges} e
+  JOIN {deg} d1 ON d1.v = e.p1
+  JOIN {deg} d2 ON d2.v = e.p2
+"""
+_TRI_FINAL_SQL = """
 SELECT s.n_nodes, ec.n_edges, s.n_wedges, t.n_triangles,
        round(cast(3.0 * t.n_triangles AS double) / s.n_wedges, 6)
          AS transitivity
-FROM stats s CROSS JOIN ecount ec CROSS JOIN tri t
+FROM (
+  SELECT cast(count(*) AS BIGINT) AS n_nodes,
+         cast(sum(floor(d * (d - 1) / 2.0)) AS BIGINT) AS n_wedges
+  FROM {deg}
+) s
+CROSS JOIN (SELECT cast(count(*) AS BIGINT) AS n_edges FROM {edges}) ec
+CROSS JOIN (
+  SELECT cast(count(*) AS BIGINT) AS n_triangles
+  FROM {oriented} o1
+  JOIN {oriented} o2
+    ON o1.src = o2.src
+   AND (o1.dst_d < o2.dst_d OR (o1.dst_d = o2.dst_d AND o1.dst < o2.dst))
+  JOIN {oriented} c ON c.src = o1.dst AND c.dst = o2.dst
+) t
 """
 
 # Spark edge construction: per-order baskets (ONE shuffle on
@@ -534,18 +537,52 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     global clustering coefficient (transitivity = 3T / wedges).
 
     Scale shape: edges come from the basket shuffle (no self-join of
-    the fact table); degrees are one aggregation; the wedge join fans
-    out only from oriented SOURCES (bounded out-degree); the closing
-    probe is an equi-join on the oriented edge key. The naive triple
-    join never runs in the engine."""
-    return spark.sql(
-        "WITH " + _TRIANGLE_EDGES_SPARK.strip().rstrip() + ",\n"
-        + _TRIANGLE_TAIL_SQL
+    the fact table) and are PERSISTED, as are degrees and the oriented
+    edge list — each is consumed 2-3 times and Spark would otherwise
+    inline the shared subplans into repeated fact-table scans (the
+    measured CTE-inlining pitfall, 18 scans in the one-query form).
+    The wedge join fans out only from oriented SOURCES (bounded
+    out-degree); the closing probe is an equi-join on the oriented
+    edge key. The naive triple join never runs in the engine; the
+    1-row result is collected so every cache releases before return."""
+    edges = spark.sql(
+        "WITH " + _TRIANGLE_EDGES_SPARK.strip() + " SELECT p1, p2 FROM edges"
+    ).persist()
+    edges.createOrReplaceTempView("__tri_edges")
+    deg = spark.sql(_TRI_DEG_SQL.format(edges="__tri_edges")).persist()
+    deg.createOrReplaceTempView("__tri_deg")
+    oriented = spark.sql(
+        _TRI_ORIENTED_SQL.format(edges="__tri_edges", deg="__tri_deg")
+    ).persist()
+    oriented.createOrReplaceTempView("__tri_oriented")
+    try:
+        row = spark.sql(
+            _TRI_FINAL_SQL.format(
+                edges="__tri_edges", deg="__tri_deg", oriented="__tri_oriented"
+            )
+        ).collect()[0]
+    finally:
+        oriented.unpersist()
+        deg.unpersist()
+        edges.unpersist()
+        for v in ("__tri_oriented", "__tri_deg", "__tri_edges"):
+            spark.catalog.dropTempView(v)
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_nodes bigint, n_edges bigint, n_wedges bigint,"
+        " n_triangles bigint, transitivity double",
     )
 
 
 TRIANGLES_ORACLE = (
-    "WITH " + _TRIANGLE_EDGES_DUCK.strip() + ",\n" + _TRIANGLE_TAIL_SQL
+    "WITH "
+    + _TRIANGLE_EDGES_DUCK.strip()
+    + ",\ndeg AS ("
+    + _TRI_DEG_SQL.format(edges="edges")
+    + "),\noriented AS ("
+    + _TRI_ORIENTED_SQL.format(edges="edges", deg="deg")
+    + ")\n"
+    + _TRI_FINAL_SQL.format(edges="edges", deg="deg", oriented="oriented")
 )
 
 
