@@ -1759,19 +1759,29 @@ _cms_entry()
 _HQ_BINS = 128
 
 
-def _histogram_quantiles_entry() -> None:
-    qs_values = "(VALUES (cast(0.5 AS double)), (cast(0.9 AS double)), (cast(0.99 AS double))) AS t(q)"
-    sql = f"""
-    WITH vals AS (
+_HQ_VALS_SQL = """
       SELECT cast(round(l_extendedprice * 100, 0) AS bigint) AS v, count(*) AS c
       FROM lineitem GROUP BY 1
-    ),
+"""
+
+_HQ_QS_VALUES = (
+    "(VALUES (cast(0.5 AS double)), (cast(0.9 AS double)),"
+    " (cast(0.99 AS double))) AS t(q)"
+)
+
+# CTE list + final select, parameterized on the vals relation name and
+# the integer-division token. The ORACLE chains vals as a CTE (DuckDB
+# materializes it); the Spark engine persists vals as a temp view
+# first (operators/materialized.py) because Spark would inline the
+# three vals references into three lineitem scans (11 scans total in
+# the one-query form).
+_HQ_TAIL_SQL = """
     bounds AS (
-      SELECT min(v) AS lo, max(v) AS hi, cast(sum(c) AS bigint) AS n FROM vals
+      SELECT min(v) AS lo, max(v) AS hi, cast(sum(c) AS bigint) AS n FROM {vals}
     ),
     binned AS (
-      SELECT ((v - lo) * {_HQ_BINS}) {{IDIV}} (hi - lo + 1) AS bin, v % 4 AS sh, v, c
-      FROM vals CROSS JOIN bounds
+      SELECT ((v - lo) * {BINS}) {IDIV} (hi - lo + 1) AS bin, v % 4 AS sh, v, c
+      FROM {vals} CROSS JOIN bounds
     ),
     hist AS (
       SELECT bin, cast(sum(c) AS bigint) AS bc FROM binned GROUP BY bin
@@ -1797,7 +1807,7 @@ def _histogram_quantiles_entry() -> None:
     ),
     tq AS (
       SELECT q, cast(ceil(q * n) AS bigint) AS rk, lo, hi, n
-      FROM {qs_values} CROSS JOIN bounds
+      FROM {QS} CROSS JOIN bounds
     ),
     pick AS (
       SELECT t.q, t.rk, t.lo, t.hi, min(c2.bin) AS bin
@@ -1807,13 +1817,13 @@ def _histogram_quantiles_entry() -> None:
     est AS (
       SELECT p.q, p.rk,
              p.lo + ((p.bin + (p.rk - (c2.cb - c2.bc)) * cast(1 AS double) / c2.bc)
-                     * (p.hi - p.lo + 1)) / cast({_HQ_BINS} AS double) AS est_cents
+                     * (p.hi - p.lo + 1)) / cast({BINS} AS double) AS est_cents
       FROM pick p JOIN cum c2 ON p.bin = c2.bin
     ),
     cumv AS (
       SELECT v, cast(sum(c) OVER (ORDER BY v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cv
-      FROM vals
+      FROM {vals}
     ),
     exact AS (
       SELECT t.q, min(cv2.v) AS exact_cents
@@ -1827,11 +1837,24 @@ def _histogram_quantiles_entry() -> None:
            m.n_diff AS merged_hist_diff
     FROM est e JOIN exact x ON e.q = x.q CROSS JOIN merge_check m
     ORDER BY e.q
-    """
+"""
+
+
+def _hq_tail(vals: str, idiv: str) -> str:
+    return _HQ_TAIL_SQL.format(
+        vals=vals, IDIV=idiv, BINS=_HQ_BINS, QS=_HQ_QS_VALUES
+    )
+
+
+def _histogram_quantiles_entry() -> None:
+    # The Spark sql below is the SPEC formulation; the runtime Spark
+    # side is overridden by operators/materialized.py (vals persisted
+    # once). The oracle IS this chained form with DuckDB's // division.
+    chained = "WITH vals AS (" + _HQ_VALS_SQL + "),\n"
     _q(
         "sketch_histogram_quantiles",
-        sql.replace("{IDIV}", "div"),
-        oracle=sql.replace("{IDIV}", "//"),
+        chained + _hq_tail("vals", "div"),
+        oracle=chained + _hq_tail("vals", "//"),
     )
 
 

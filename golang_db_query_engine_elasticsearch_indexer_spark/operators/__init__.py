@@ -29,11 +29,12 @@ def registry() -> dict[str, dict]:
     )
 
     from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
+        materialized,
         pipeline,
         profile,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile, graph, layout, sequence):
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile, graph, layout, sequence, materialized):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415

@@ -1,0 +1,188 @@
+"""Entries whose Spark form materializes shared intermediates.
+
+Spark INLINES multiply-referenced CTEs into independent subplans — a
+WITH-clause relation consumed N times becomes N copies of its whole
+subtree, and chains of such references multiply (measured: 63 scans
+for the 6-round BPE chain, 18 for the Bloom audit, 18 for the triangle
+census). DuckDB materializes each CTE once, so the chained-CTE text
+stays correct AND efficient there — which is exactly what the oracle
+needs. These Spark implementations therefore persist each shared
+relation as a temp view, run the identical SQL tail against the
+caches, and release everything after an eager ``localCheckpoint``
+freezes the (small) result — the ``dedup.components`` lineage
+discipline applied to the CTE-inlining pitfall. Values are unchanged;
+only the physical plan differs, which the unchanged driver hashes
+prove.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def materialized_chain(
+    spark: SparkSession,
+    stages: list[tuple[str, str]],
+    final_sql: str,
+) -> DataFrame:
+    """Persist each named stage as a temp view (in order — later stages
+    may reference earlier ones), evaluate ``final_sql`` against the
+    caches, freeze the result with an eager localCheckpoint, and
+    release every cache and view before returning."""
+    held: list[DataFrame] = []
+    try:
+        for name, sql in stages:
+            df = spark.sql(sql).persist()
+            df.createOrReplaceTempView(name)
+            held.append(df)
+        return spark.sql(final_sql).localCheckpoint(eager=True)
+    finally:
+        for df in held:
+            df.unpersist()
+        for name, _ in stages:
+            spark.catalog.dropTempView(name)
+
+
+# --- join_bloom_prefilter ---------------------------------------------------
+
+
+def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the Bloom pre-filter audit (oracle: the chained
+    form in ``inventory._bloom_sql``). ``dim`` and ``probe`` are each
+    consumed by 4-5 downstream relations; inlined, the one-query form
+    re-ran the DISTINCT over the fact table five times (18 scans
+    total). Staged: orders and lineitem are scanned ONCE each."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.inventory import (  # noqa: PLC0415
+        _bloom_pos,
+    )
+
+    k_hashes = 3
+    dim_pos = "\nUNION ALL ".join(
+        f"SELECT {_bloom_pos('k', s)} AS pos FROM __blm_dim"
+        for s in range(k_hashes)
+    )
+    probe_pos = "\nUNION ALL ".join(
+        f"SELECT k, {_bloom_pos('k', s)} AS pos FROM __blm_probe"
+        for s in range(k_hashes)
+    )
+    stages = [
+        (
+            "__blm_dim",
+            "SELECT DISTINCT o_orderkey AS k FROM orders"
+            " WHERE o_totalprice > 400000",
+        ),
+        ("__blm_probe", "SELECT DISTINCT l_orderkey AS k FROM lineitem"),
+        ("__blm_dim_pos", f"SELECT DISTINCT pos FROM ({dim_pos}) d"),
+        ("__blm_probe_pos", probe_pos),
+        (
+            "__blm_pass",
+            "SELECT p.k FROM __blm_probe_pos p JOIN __blm_dim_pos b"
+            f" ON p.pos = b.pos GROUP BY p.k HAVING count(*) = {k_hashes}",
+        ),
+        (
+            "__blm_truth",
+            "SELECT p.k FROM __blm_probe p JOIN __blm_dim d ON p.k = d.k",
+        ),
+    ]
+    final = """
+    WITH counts AS (
+      SELECT (SELECT count(*) FROM __blm_probe)  AS n_probe,
+             (SELECT count(*) FROM __blm_dim)    AS n_dim_keys,
+             (SELECT count(*) FROM __blm_pass)   AS n_bloom_pass,
+             (SELECT count(*) FROM __blm_truth)  AS n_true_match,
+             (SELECT count(*) FROM __blm_truth t
+              LEFT JOIN __blm_pass bp ON t.k = bp.k
+              WHERE bp.k IS NULL)                AS n_missed
+    )
+    SELECT n_probe, n_dim_keys, n_bloom_pass, n_true_match, n_missed,
+           n_bloom_pass - n_true_match AS n_false_pos,
+           round(cast(n_bloom_pass - n_true_match AS double)
+                 / nullif(n_probe - n_true_match, 0), 6) AS fpr
+    FROM counts
+    """
+    return materialized_chain(spark, stages, final)
+
+
+# --- sketch_histogram_quantiles ---------------------------------------------
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the histogram-quantile sketch (oracle: the chained
+    form in ``inventory._histogram_quantiles_entry``). Everything
+    downstream of ``vals`` is distinct-value-sized; caching vals alone
+    cuts the lineitem scans from 11 to 1."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.inventory import (  # noqa: PLC0415
+        _HQ_VALS_SQL,
+        _hq_tail,
+    )
+
+    return materialized_chain(
+        spark,
+        [("__hq_vals", _HQ_VALS_SQL)],
+        "WITH " + _hq_tail("__hq_vals", "div"),
+    )
+
+
+# --- events_stickiness ------------------------------------------------------
+
+
+def stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of DAU/WAU stickiness (oracle: the chained form in
+    inventory). ``du`` feeds both the DAU rollup and the x7
+    day-contribution explode, and the day bounds were scalar
+    subqueries over raw events — 8 fact-table scans inlined. Staged:
+    events is scanned ONCE (du), bounds derive from the du cache."""
+    stages = [
+        (
+            "__stk_du",
+            "SELECT DISTINCT cast(ts AS date) AS d, user_id FROM events",
+        ),
+        (
+            "__stk_bounds",
+            "SELECT min(d) AS lo, max(d) AS hi FROM __stk_du",
+        ),
+    ]
+    final = """
+    WITH dau AS (
+      SELECT d, count(DISTINCT user_id) AS dau FROM __stk_du GROUP BY d
+    ),
+    contrib AS (
+      SELECT explode(sequence(d, date_add(d, 6))) AS wd, user_id
+      FROM __stk_du
+    ),
+    wau AS (
+      SELECT wd AS d, count(DISTINCT user_id) AS wau
+      FROM contrib
+      WHERE wd <= (SELECT hi FROM __stk_bounds)
+      GROUP BY wd
+    )
+    SELECT cast(dau.d AS string) AS day, dau.dau, wau.wau,
+           round(dau.dau * cast(1 AS double) / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    WHERE dau.d >= (SELECT date_add(lo, 6) FROM __stk_bounds)
+    ORDER BY day
+    """
+    return materialized_chain(spark, stages, final)
+
+
+def registry() -> dict[str, dict]:
+    from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415
+        inventory,
+    )
+
+    return {
+        "join_bloom_prefilter": {
+            "fn": bloom_prefilter,
+            "oracle": inventory.SQL_QUERIES["join_bloom_prefilter"]["oracle"],
+        },
+        "sketch_histogram_quantiles": {
+            "fn": histogram_quantiles,
+            "oracle": inventory.SQL_QUERIES["sketch_histogram_quantiles"][
+                "oracle"
+            ],
+        },
+        "events_stickiness": {
+            "fn": stickiness,
+            "oracle": inventory.SQL_QUERIES["events_stickiness"]["oracle"],
+        },
+    }

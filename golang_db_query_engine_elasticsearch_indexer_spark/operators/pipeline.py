@@ -220,15 +220,14 @@ FROM u
 
 
 
-def _report_sql(hash_fn: str) -> str:
-    """Shared curation-funnel SQL (dialect knobs: the hash fn plus the
-    {SIZE}/{STOPR}/{CPT} expression placeholders the callers replace).
-    Gates are applied CUMULATIVELY in curate_corpus' order and compare
-    the SAME round(..., 4) values curate_corpus filters on (gating raw
-    values would disagree with the pipeline exactly at a rounding
-    boundary); all six stage counts come from ONE conditional
-    aggregation over one scan + the dedup-survivor join, and the report
-    rows are a constant-width union off that single-row aggregate."""
+def _report_agg_sql(hash_fn: str) -> str:
+    """The single-scan conditional aggregation (survivors join + six
+    cumulative-gate counters) — one row out. Kept separate from the
+    report union because Spark would inline an ``agg`` CTE referenced
+    six times into six copies of this whole subtree (12 document scans
+    measured); the Spark side materializes this row first
+    (operators/materialized.py helper) while the oracle chains it as a
+    CTE (DuckDB materializes CTEs natively)."""
     return f"""
     WITH survivors AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY {hash_fn}
@@ -246,25 +245,41 @@ def _report_sql(hash_fn: str) -> str:
                {{CPT}} AS cpt
         FROM documents d
       ) d LEFT JOIN survivors s ON d.doc_id = s.doc_id
-    ),
-    agg AS (
-      SELECT cast(count(*) AS bigint) AS n0,
-             cast(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS bigint) AS n1,
-             cast(sum(CASE WHEN k1 AND tok_ok THEN 1 ELSE 0 END) AS bigint) AS n2,
-             cast(sum(CASE WHEN k1 AND tok_ok AND stop_ok THEN 1 ELSE 0 END) AS bigint) AS n3,
-             cast(sum(CASE WHEN k1 AND tok_ok AND stop_ok AND cpt_ok THEN 1 ELSE 0 END) AS bigint) AS n4,
-             cast(sum(CASE WHEN k1 AND tok_ok AND stop_ok AND cpt_ok AND lang_ok THEN 1 ELSE 0 END) AS bigint) AS n5
-      FROM flags
     )
+    SELECT cast(count(*) AS bigint) AS n0,
+           cast(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS bigint) AS n1,
+           cast(sum(CASE WHEN k1 AND tok_ok THEN 1 ELSE 0 END) AS bigint) AS n2,
+           cast(sum(CASE WHEN k1 AND tok_ok AND stop_ok THEN 1 ELSE 0 END) AS bigint) AS n3,
+           cast(sum(CASE WHEN k1 AND tok_ok AND stop_ok AND cpt_ok THEN 1 ELSE 0 END) AS bigint) AS n4,
+           cast(sum(CASE WHEN k1 AND tok_ok AND stop_ok AND cpt_ok AND lang_ok THEN 1 ELSE 0 END) AS bigint) AS n5
+    FROM flags
+    """
+
+
+def _report_union_sql(agg: str) -> str:
+    """The 6-row funnel union off the one-row aggregate relation."""
+    return f"""
     SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_in, n0 AS n_kept,
-           n0 - n0 AS n_dropped FROM agg
-    UNION ALL SELECT 1, 'exact_dedup', n0, n1, n0 - n1 FROM agg
-    UNION ALL SELECT 2, 'token_range', n1, n2, n1 - n2 FROM agg
-    UNION ALL SELECT 3, 'stopword_ratio', n2, n3, n2 - n3 FROM agg
-    UNION ALL SELECT 4, 'chars_per_token', n3, n4, n3 - n4 FROM agg
-    UNION ALL SELECT 5, 'lang_en', n4, n5, n4 - n5 FROM agg
+           n0 - n0 AS n_dropped FROM {agg}
+    UNION ALL SELECT 1, 'exact_dedup', n0, n1, n0 - n1 FROM {agg}
+    UNION ALL SELECT 2, 'token_range', n1, n2, n1 - n2 FROM {agg}
+    UNION ALL SELECT 3, 'stopword_ratio', n2, n3, n2 - n3 FROM {agg}
+    UNION ALL SELECT 4, 'chars_per_token', n3, n4, n3 - n4 FROM {agg}
+    UNION ALL SELECT 5, 'lang_en', n4, n5, n4 - n5 FROM {agg}
     ORDER BY stage_idx
     """
+
+
+def _report_sql(hash_fn: str) -> str:
+    """Chained form (the ORACLE formulation): agg as a CTE + the
+    funnel union. Gates are applied CUMULATIVELY in curate_corpus'
+    order and compare the SAME round(..., 4) values curate_corpus
+    filters on (gating raw values would disagree with the pipeline
+    exactly at a rounding boundary)."""
+    return (
+        "WITH agg AS (" + _report_agg_sql(hash_fn) + ")"
+        + _report_union_sql("agg")
+    )
 
 
 def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,9 +294,13 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. No per-stage re-scans — at 100 TB the manifest costs the
     same as the pipeline's own dedup stage.
     """
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.materialized import (  # noqa: PLC0415
+        materialized_chain,
+    )
+
     en = array_lit(LANG_STOPWORDS["en"])
-    sql = (
-        _report_sql("sha2(text, 256)")
+    agg_sql = (
+        _report_agg_sql("sha2(text, 256)")
         .replace("{SIZE}", f"size({TOKENS})")
         .replace(
             "{STOPR}",
@@ -289,7 +308,9 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .replace("{CPT}", f"length(text) / size({TOKENS})")
     )
-    return spark.sql(sql)
+    return materialized_chain(
+        spark, [("__cur_agg", agg_sql)], _report_union_sql("__cur_agg")
+    )
 
 
 def _duck_report_oracle() -> str:
