@@ -143,6 +143,9 @@ def _configure(spark: SparkSession) -> None:
 # - graph_copurchase_triangles: same policy (post-freeze, queued for
 #   r06); the oracle builds edges via the naive self-join and a
 #   planted-graph test hand-counts a known census.
+# - events_funnel_one_pass: same policy (post-freeze, queued for
+#   r06); its oracle is the independent relational join-chain
+#   formulation (the events_funnel shape), not a mirror.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

@@ -2573,6 +2573,86 @@ _q(
     """,
 )
 
+# The SAME funnel computed in ONE scan: per-user events are collected
+# and sorted once (a single shuffle on user_id), then a codegen'd
+# aggregate() fold walks each user's history picking the first
+# qualifying event per stage — no per-stage fact-table re-joins.
+# events_funnel keeps the relational join-chain formulation (its own
+# oracle), and THIS entry's oracle IS that join-chain — an independent
+# formulation, so the differential proves fold == relational algebra.
+# At 100 TB the fold form scans the fact table once instead of three
+# times and its only shuffle is the per-user grouping; state per user
+# is one 3-timestamp struct. Greedy-first == min-qualifying because
+# events are processed in ascending (ts, type) order with strict
+# inequalities mirroring the join chain's.
+_q(
+    "events_funnel_one_pass",
+    """
+    WITH folded AS (
+      SELECT user_id,
+             aggregate(
+               array_sort(collect_list(named_struct('ts', ts, 't', event_type))),
+               named_struct('v', cast(NULL AS timestamp),
+                            'c', cast(NULL AS timestamp),
+                            'p', cast(NULL AS timestamp)),
+               (acc, e) -> named_struct(
+                 'v', CASE WHEN acc.v IS NULL AND e.t = 'view'
+                           THEN e.ts ELSE acc.v END,
+                 'c', CASE WHEN acc.c IS NULL AND e.t = 'click'
+                            AND acc.v IS NOT NULL AND e.ts > acc.v
+                            AND e.ts <= acc.v + INTERVAL 1 DAY
+                           THEN e.ts ELSE acc.c END,
+                 'p', CASE WHEN acc.p IS NULL AND e.t = 'purchase'
+                            AND acc.c IS NOT NULL AND e.ts > acc.c
+                            AND e.ts <= acc.c + INTERVAL 1 DAY
+                           THEN e.ts ELSE acc.p END)
+             ) AS f
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT stage, count(*) AS n_users FROM (
+      SELECT CASE WHEN f.p IS NOT NULL THEN 3
+                  WHEN f.c IS NOT NULL THEN 2
+                  ELSE 1 END AS stage
+      FROM folded WHERE f.v IS NOT NULL
+    ) staged
+    GROUP BY stage
+    ORDER BY stage
+    """,
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    )
+    SELECT stage, count(*) AS n_users
+    FROM (
+      SELECT v.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS stage
+      FROM v
+      LEFT JOIN c ON v.user_id = c.user_id
+      LEFT JOIN p ON v.user_id = p.user_id
+    ) staged
+    GROUP BY stage
+    ORDER BY stage
+    """,
+)
+
 # Cohort retention: users grouped by first-activity DAY (the fixture's
 # events span a single month), counted as active per week offset. Day
 # difference syntax diverges between dialects (Spark datediff(end,
