@@ -146,6 +146,9 @@ def _configure(spark: SparkSession) -> None:
 # - events_funnel_one_pass: same policy (post-freeze, queued for
 #   r06); its oracle is the independent relational join-chain
 #   formulation (the events_funnel shape), not a mirror.
+# - tokens_bigrams_udtf: same policy (post-freeze, queued for r06);
+#   the Python-UDTF row expansion is hash-verified against DuckDB
+#   list arithmetic.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

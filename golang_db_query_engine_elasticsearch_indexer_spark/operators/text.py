@@ -1539,6 +1539,72 @@ BPE_MERGE_LEARN_ORACLE = _bpe_merge_sql(
 )
 
 
+# --- Python UDTF seam -------------------------------------------------------
+#
+# The table-function half of the UDF seam (the scalar/grouped halves
+# are the Arrow-batched pandas paths in multimodal/streaming): a
+# Python UDTF exploding each document into word bigrams, consumed via
+# SQL LATERAL and aggregated JVM-side. Arrow-optimized
+# (``useArrow=True``) — rows stream through Arrow batches, not
+# pickled one at a time. The oracle recomputes the bigrams with
+# DuckDB list arithmetic, so the UDTF's row expansion itself is
+# hash-verified. This is a SEAM DEMO: for pure bigram counting the
+# built-in transform/sequence expression (text_bigram_logprob) is the
+# faster all-JVM path — a UDTF earns its place when the per-row
+# expansion needs real Python (tokenizers, parsers, model calls).
+BIGRAM_UDTF_TOP_N = 50
+
+
+def _make_bigram_udtf():
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="gram string", useArrow=True)
+    class Bigrams:
+        def eval(self, text: str):  # noqa: ANN001
+            import re  # noqa: PLC0415
+
+            toks = re.split(r"\s+", text.strip().lower()) if text else []
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1],)
+
+    return Bigrams
+
+
+def bigrams_udtf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigrams via the Python-UDTF lateral expansion.
+
+    Scale shape: the UDTF is a map-side row expander (Arrow-batched,
+    partition-parallel, no shuffle of its own); the count aggregation
+    and top-N cut stay JVM-side. Registration is idempotent per
+    session."""
+    spark.udtf.register("bigrams_udtf", _make_bigram_udtf())
+    return spark.sql(
+        f"""
+        SELECT g.gram, count(*) AS n
+        FROM documents, LATERAL bigrams_udtf(text) g
+        GROUP BY g.gram
+        ORDER BY n DESC, gram
+        LIMIT {BIGRAM_UDTF_TOP_N}
+        """
+    )
+
+
+BIGRAMS_UDTF_ORACLE = f"""
+WITH t AS (
+  SELECT {DUCK_TOKENS} AS toks FROM documents
+),
+b AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t
+        WHERE len(toks) >= 2)
+)
+SELECT gram, count(*) AS n
+FROM b GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT {BIGRAM_UDTF_TOP_N}
+"""
+
+
 NOVELTY_N = 3
 NOVELTY_BUCKETS = 10
 
@@ -1669,6 +1735,10 @@ def registry() -> dict[str, dict]:
         "corpus_source_divergence": {
             "fn": source_divergence,
             "oracle": SOURCE_DIVERGENCE_ORACLE,
+        },
+        "tokens_bigrams_udtf": {
+            "fn": bigrams_udtf_top,
+            "oracle": BIGRAMS_UDTF_ORACLE,
         },
         "quality_classifier_train": {
             "fn": classifier_train,
