@@ -91,6 +91,32 @@ ORDER BY doc_id
 """
 
 
+def curate_with_metrics(spark: SparkSession, sf_dir: str):
+    """The curation pipeline instrumented with Spark's Observation API:
+    run-manifest metrics (kept docs, kept token mass, mean quality
+    signals) ride the SAME job as the curated output — zero extra
+    scans, exactly what a production run publishes alongside its
+    output partition. Returns ``(observed_df, observation)``; the
+    caller triggers one action on the frame and then reads
+    ``observation.get`` (blocks until that action commits).
+
+    This is the run-level counterpart of audit_expectations (which
+    gates content) and pipeline_curation_report (which explains the
+    funnel): observe() costs nothing at 100 TB because the metrics are
+    accumulator-style aggregates attached to the existing plan."""
+    from pyspark.sql import Observation  # noqa: PLC0415
+
+    obs = Observation("curation_metrics")
+    observed = curate_corpus(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.round(F.avg("stopword_ratio"), 4).alias("mean_stopword_ratio"),
+        F.round(F.avg("chars_per_token"), 4).alias("mean_chars_per_token"),
+    )
+    return observed, obs
+
+
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal semantic dedup: drop any document whose embedding has
     a near-duplicate (cosine >= threshold) with a LOWER doc_id.

@@ -1958,3 +1958,24 @@ def test_triangle_census_on_planted_graph(spark, tables, sf_dir):
         assert r.transitivity == 1.0
     finally:
         tables["lineitem"].createOrReplaceTempView("lineitem")
+
+
+def test_curate_with_metrics_rides_the_same_job(spark, tables, sf_dir):
+    """Observation-API metrics match an independent recomputation of
+    the curated output — and arrive from the SAME action (no second
+    scan is issued to read them)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import pipeline
+
+    observed, obs = pipeline.curate_with_metrics(spark, sf_dir)
+    rows = observed.collect()  # the one action
+    m = obs.get
+    assert m["n_kept"] == len(rows)
+    assert m["kept_tokens"] == sum(r.n_tokens for r in rows)
+    assert abs(
+        m["mean_stopword_ratio"]
+        - round(sum(r.stopword_ratio for r in rows) / len(rows), 4)
+    ) <= 1e-4
+    assert abs(
+        m["mean_chars_per_token"]
+        - round(sum(r.chars_per_token for r in rows) / len(rows), 4)
+    ) <= 1e-4
