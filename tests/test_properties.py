@@ -209,3 +209,71 @@ def test_cms_overestimate_model(toks):
     for w, c in exact.items():
         est = min(cells[(r, bucket(r, w))] for r in range(_CMS_D))
         assert est >= c
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    syms=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        min_size=1,
+        max_size=10,
+    ),
+    data=st.data(),
+)
+def test_bpe_double_space_replace_model(syms, data):
+    """The double-space/single-pad encoding makes plain str.replace an
+    EXACT whole-symbol merge for ANY symbol sequence and ANY adjacent
+    pair — including adjacent-occurrence chaining ('a a a a' under
+    a+a) and the cross-boundary traps ('xa b' vs pair (a, b)). Both
+    engines' replace and Python's share leftmost-non-overlapping
+    semantics, so this models the SQL kernel in tokens_bpe_merge_learn."""
+    pairs = list(zip(syms, syms[1:]))
+    if not pairs:
+        return
+    lsym, rsym = data.draw(st.sampled_from(pairs))
+
+    spaced = " " + "  ".join(syms) + " "
+    replaced = spaced.replace(f" {lsym}  {rsym} ", f" {lsym}{rsym} ")
+    got = replaced.strip().split("  ")
+
+    # canonical list-based greedy left-to-right merge
+    want, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (lsym, rsym):
+            want.append(lsym + rsym)
+            i += 2
+        else:
+            want.append(syms[i])
+            i += 1
+    assert got == want
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    q=st.text(alphabet="abc", min_size=1, max_size=6),
+    t=st.text(alphabet="abc", min_size=1, max_size=6),
+)
+def test_deletion_neighborhood_completeness_model(q, t):
+    """SymSpell lemma behind search_fuzzy_terms: whenever
+    levenshtein(q, t) <= 1, the distance-1 deletion neighborhoods of q
+    and t intersect — so the variant equi-join can NEVER miss a true
+    match (the join over-generates, e.g. transpositions, and the
+    levenshtein verify then filters; completeness is the part that
+    needs proof)."""
+    def neighborhood(w):
+        return {w} | {w[:i] + w[i + 1 :] for i in range(len(w))}
+
+    if _levenshtein(q, t) <= 1:
+        assert neighborhood(q) & neighborhood(t)
