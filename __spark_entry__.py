@@ -149,6 +149,10 @@ def _configure(spark: SparkSession) -> None:
 # - tokens_bigrams_udtf: same policy (post-freeze, queued for r06);
 #   the Python-UDTF row expansion is hash-verified against DuckDB
 #   list arithmetic.
+# - functions_try_safe: same policy (post-freeze, queued for r06);
+#   NULL-absorbing semantics cross-checked against the NULLIF/CASE +
+#   TRY_CAST formulation. ALL 16 continuation-session entries also
+#   hash-matched DuckDB at sf0.1 in one sweep (SCALE.md §3).
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

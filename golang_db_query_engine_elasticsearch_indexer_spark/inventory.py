@@ -730,6 +730,38 @@ _q(
     """,
 )
 
+# ANSI-safe "try" variants: the error-absorbing function surface a
+# gateway exposes so malformed rows NULL out instead of failing the
+# job (the Spark-side counterpart of the reference's per-row JSON
+# tolerance). DuckDB has TRY_CAST but no try_divide/try_add, so the
+# oracle expresses the identical semantics with NULLIF/CASE guards —
+# a different formulation of the same contract.
+_q(
+    "functions_try_safe",
+    """
+    SELECT o_orderkey,
+           try_divide(o_totalprice, o_orderkey % 3)          AS div_maybe_zero,
+           try_cast(o_orderstatus AS int)                    AS status_as_int,
+           try_cast(cast(o_orderkey AS string) AS bigint)    AS key_roundtrip,
+           try_cast(o_orderpriority AS date)                 AS prio_as_date,
+           try_divide(cast(1.0 AS double), 0)                AS one_over_zero
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / nullif(o_orderkey % 3, 0)          AS div_maybe_zero,
+           TRY_CAST(o_orderstatus AS INTEGER)                AS status_as_int,
+           TRY_CAST(cast(o_orderkey AS VARCHAR) AS BIGINT)   AS key_roundtrip,
+           TRY_CAST(o_orderpriority AS DATE)                 AS prio_as_date,
+           CAST(NULL AS DOUBLE)                              AS one_over_zero
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+
 _q(
     "conditional_case",
     """
