@@ -2043,6 +2043,73 @@ _q(
     ORDER BY day
     """,
 )
+# Time-series gap-fill + forward-fill: the dense (user x day) grid with
+# three fill flavors — zero-fill (spend that day), last-observation-
+# carried-forward (last_value IGNORE NULLS over the running frame), and
+# running cumulative — the report shape every sparse-activity timeseries
+# needs before charting/modeling. The grid is users x days (bounded:
+# distinct-users x date-span, never event-count); the only fact work is
+# one bounded scan each for bounds/users/daily. User slice keeps the
+# fixture output compact.
+_q(
+    "events_gapfill_forward",
+    """
+    WITH bounds AS (
+      SELECT cast(min(ts) AS date) AS lo, cast(max(ts) AS date) AS hi
+      FROM events
+    ),
+    spine AS (SELECT explode(sequence(lo, hi)) AS d FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 30),
+    daily AS (
+      SELECT user_id, cast(ts AS date) AS d, round(sum(value), 2) AS spend
+      FROM events WHERE event_type = 'purchase' AND user_id < 30
+      GROUP BY user_id, cast(ts AS date)
+    )
+    SELECT u.user_id, cast(s.d AS string) AS day,
+           coalesce(daily.spend, 0.0) AS spend,
+           last(daily.spend, true)
+             OVER (PARTITION BY u.user_id ORDER BY s.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_known_spend,
+           round(sum(coalesce(daily.spend, 0.0))
+             OVER (PARTITION BY u.user_id ORDER BY s.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS cum_spend
+    FROM users u CROSS JOIN spine s
+    LEFT JOIN daily ON daily.user_id = u.user_id AND daily.d = s.d
+    ORDER BY u.user_id, day
+    """,
+    oracle="""
+    WITH bounds AS (
+      SELECT cast(min(ts) AS date) AS lo, cast(max(ts) AS date) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    ),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 30),
+    daily AS (
+      SELECT user_id, ts::DATE AS d, round(sum(value), 2) AS spend
+      FROM events WHERE event_type = 'purchase' AND user_id < 30
+      GROUP BY user_id, ts::DATE
+    )
+    SELECT u.user_id, cast(s.d AS varchar) AS day,
+           coalesce(daily.spend, 0.0) AS spend,
+           last_value(daily.spend IGNORE NULLS)
+             OVER (PARTITION BY u.user_id ORDER BY s.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_known_spend,
+           round(sum(coalesce(daily.spend, 0.0))
+             OVER (PARTITION BY u.user_id ORDER BY s.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS cum_spend
+    FROM users u CROSS JOIN spine s
+    LEFT JOIN daily ON daily.user_id = u.user_id AND daily.d = s.d
+    ORDER BY u.user_id, day
+    """,
+)
+
 # recursive_date_spine: WITH RECURSIVE (Spark 4's recursive CTE) builds
 # the day spine between the corpus's min and max event days, then
 # gap-fills the daily event series with zeros — the canonical time-

@@ -22,25 +22,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 def materialized_chain(
     spark: SparkSession,
-    stages: list[tuple[str, str]],
+    stages: list[tuple],
     final_sql: str,
 ) -> DataFrame:
-    """Persist each named stage as a temp view (in order — later stages
-    may reference earlier ones), evaluate ``final_sql`` against the
-    caches, freeze the result with an eager localCheckpoint, and
-    release every cache and view before returning."""
+    """Register each named stage as a temp view (in order — later
+    stages may reference earlier ones), evaluate ``final_sql`` against
+    them, freeze the result with an eager localCheckpoint, and release
+    every cache and view before returning.
+
+    Each stage is ``(name, sql)`` or ``(name, sql, persist)``: persist
+    defaults True and should be False for stages consumed exactly once
+    — a single-reference view inlines without duplication, and NOT
+    paying the cache materialization for it measurably matters at
+    local scale (the Bloom audit's position unions are the case in
+    point)."""
     held: list[DataFrame] = []
     try:
-        for name, sql in stages:
-            df = spark.sql(sql).persist()
+        for stage in stages:
+            name, sql = stage[0], stage[1]
+            persist = stage[2] if len(stage) > 2 else True
+            df = spark.sql(sql)
+            if persist:
+                df = df.persist()
+                held.append(df)
             df.createOrReplaceTempView(name)
-            held.append(df)
         return spark.sql(final_sql).localCheckpoint(eager=True)
     finally:
         for df in held:
             df.unpersist()
-        for name, _ in stages:
-            spark.catalog.dropTempView(name)
+        for stage in stages:
+            spark.catalog.dropTempView(stage[0])
 
 
 # --- join_bloom_prefilter ---------------------------------------------------
@@ -72,8 +83,12 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WHERE o_totalprice > 400000",
         ),
         ("__blm_probe", "SELECT DISTINCT l_orderkey AS k FROM lineitem"),
-        ("__blm_dim_pos", f"SELECT DISTINCT pos FROM ({dim_pos}) d"),
-        ("__blm_probe_pos", probe_pos),
+        # position unions are consumed once — plain views (no cache);
+        # bloom_pass/truth are consumed twice and their subtrees carry
+        # the position join, so they stay persisted (measured: plain
+        # views re-ran the position join and cost MORE than the cache)
+        ("__blm_dim_pos", f"SELECT DISTINCT pos FROM ({dim_pos}) d", False),
+        ("__blm_probe_pos", probe_pos, False),
         (
             "__blm_pass",
             "SELECT p.k FROM __blm_probe_pos p JOIN __blm_dim_pos b"
