@@ -153,9 +153,11 @@ def _configure(spark: SparkSession) -> None:
 #   NULL-absorbing semantics cross-checked against the NULLIF/CASE +
 #   TRY_CAST formulation. ALL 16 continuation-session entries also
 #   hash-matched DuckDB at sf0.1 in one sweep (SCALE.md §3).
-# - events_gapfill_forward: same policy (post-freeze, queued for
-#   r06); grid/fill arithmetic with the IGNORE NULLS running window
-#   expressed natively in both dialects.
+# - events_gapfill_forward / events_bot_detection: same policy
+#   (post-freeze, queued for r06); grid/fill arithmetic with the
+#   IGNORE NULLS running window expressed natively in both dialects,
+#   and integer-microsecond gap stats with planted-bot behavioral
+#   tests.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

@@ -2043,6 +2043,64 @@ _q(
     ORDER BY day
     """,
 )
+# Bot/automation detection from inter-event timing — the traffic-
+# hygiene filter a training-data pipeline runs before trusting
+# engagement signals: humans arrive with high gap variance, scripts
+# are metronomic (coefficient of variation near 0) or inhumanly fast
+# (sub-second median gaps). Gaps are exact integer MICROSECONDS (one
+# lag window per user); the only floats are the final avg/stddev,
+# rounded at the boundary. A planted-metronome test proves the flag
+# fires (organic fixture traffic is honestly unflagged).
+_q(
+    "events_bot_detection",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             unix_micros(cast(ts AS timestamp_ltz)) -
+               lag(unix_micros(cast(ts AS timestamp_ltz)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             count(gap_us) AS n_gaps,
+             round(avg(gap_us) / 1e6, 2) AS avg_gap_s,
+             round(stddev_samp(gap_us) / 1e6, 2) AS std_gap_s,
+             round(stddev_samp(gap_us) / avg(gap_us), 4) AS gap_cv
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY user_id
+      HAVING count(gap_us) >= 5
+    )
+    SELECT user_id, n_gaps, avg_gap_s, std_gap_s, gap_cv,
+           (gap_cv < 0.1 OR avg_gap_s < 1.0) AS is_bot_like
+    FROM stats
+    ORDER BY user_id
+    """,
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) -
+               lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             count(gap_us) AS n_gaps,
+             round(avg(gap_us) / 1e6, 2) AS avg_gap_s,
+             round(stddev_samp(gap_us) / 1e6, 2) AS std_gap_s,
+             round(stddev_samp(gap_us) / avg(gap_us), 4) AS gap_cv
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY user_id
+      HAVING count(gap_us) >= 5
+    )
+    SELECT user_id, n_gaps, avg_gap_s, std_gap_s, gap_cv,
+           (gap_cv < 0.1 OR avg_gap_s < 1.0) AS is_bot_like
+    FROM stats
+    ORDER BY user_id
+    """,
+)
+
 # Time-series gap-fill + forward-fill: the dense (user x day) grid with
 # three fill flavors — zero-fill (spend that day), last-observation-
 # carried-forward (last_value IGNORE NULLS over the running frame), and

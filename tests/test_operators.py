@@ -1979,3 +1979,47 @@ def test_curate_with_metrics_rides_the_same_job(spark, tables, sf_dir):
         m["mean_chars_per_token"]
         - round(sum(r.chars_per_token for r in rows) / len(rows), 4)
     ) <= 1e-4
+
+
+def test_bot_detection_flags_planted_metronome(spark, tables, sf_dir):
+    """A planted user with exact 60-second gaps (cv = 0) and a planted
+    sub-second rapid-fire user are both flagged; an organic irregular
+    user is not."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import inventory
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import query_df
+
+    rows = []
+    eid = 0
+    for i in range(10):  # metronome: exactly 60s apart
+        rows.append((eid, f"2024-01-01 10:{i:02d}:00", 901, "view", 1.0, "{}"))
+        eid += 1
+    for i in range(10):  # rapid fire: 100ms apart
+        rows.append((eid, f"2024-01-01 11:00:00.{i}", 902, "view", 1.0, "{}"))
+        eid += 1
+    import random
+
+    rnd = random.Random(7)
+    t = 0
+    for _ in range(10):  # organic: irregular minutes-scale gaps
+        t += rnd.randint(40, 900)
+        rows.append((eid, f"2024-01-01 12:{t // 60 % 60:02d}:{t % 60:02d}", 903, "view", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts AS timestamp) AS ts", "user_id",
+                 "event_type", "value", "props")
+    df.createOrReplaceTempView("events")
+    try:
+        out = {
+            r.user_id: r.is_bot_like
+            for r in query_df(
+                spark, inventory.SQL_QUERIES["events_bot_detection"]["sql"]
+            ).collect()
+        }
+        assert out[901] is True   # metronome: cv = 0
+        assert out[902] is True   # rapid fire: avg gap < 1s
+        assert out[903] is False  # organic
+    finally:
+        tables["events"].createOrReplaceTempView("events")
