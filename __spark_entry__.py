@@ -158,6 +158,11 @@ def _configure(spark: SparkSession) -> None:
 #   IGNORE NULLS running window expressed natively in both dialects,
 #   and integer-microsecond gap stats with planted-bot behavioral
 #   tests.
+# - search_mmr_rerank: same policy (post-freeze, queued for r06);
+#   rows-only BY NECESSITY (greedy sequential argmax has no SQL
+#   formulation — the third and last rows-only entry, with
+#   agg_approx_sketches and text_compression_ratio); every selection
+#   is pinned by a pure-Python recompute test instead.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

@@ -535,6 +535,107 @@ ORDER BY probe, term
 """
 
 
+# --- MMR diversification re-rank (grouped-map applyInPandas seam) -----------
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily
+# pick results that are relevant to the query but DISSIMILAR to what
+# is already picked — the standard diversification pass over a dense
+# top-k. The greedy loop is inherently sequential PER PROBE, which is
+# exactly the shape batch ``applyInPandas`` (grouped map) exists for:
+# each probe's bounded candidate set (MMR_CANDS rows) arrives as one
+# pandas frame, the numpy greedy runs row-locally, and probes
+# parallelize across the cluster. This is the remaining UDF-seam
+# flavor (scalar/iterator seams: multimodal; stateful: streaming).
+# No SQL oracle exists for a greedy sequential argmax — the entry is
+# rows-only by necessity; a pure-Python recompute test pins every
+# selection instead.
+MMR_LAMBDA = 0.5
+MMR_TOP = 10
+MMR_CANDS = 50
+
+
+def _mmr_fn(pdf):
+    import numpy as np  # noqa: PLC0415 — executor-side
+    import pandas as pd  # noqa: PLC0415
+
+    pdf = pdf.sort_values(["cos", "vec_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    E = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+    E = E / np.linalg.norm(E, axis=1, keepdims=True)
+    sims = E @ E.T
+    rel = pdf["cos"].to_numpy()
+    selected: list[int] = []
+    rows = []
+    while len(selected) < min(MMR_TOP, len(pdf)):
+        if selected:
+            penalty = sims[:, selected].max(axis=1)
+            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * penalty
+        else:
+            score = rel.copy()
+        score[selected] = -np.inf
+        pick = int(np.argmax(score))  # ties -> lowest index (stable order)
+        selected.append(pick)
+        rows.append(
+            (
+                int(pdf["probe_id"].iloc[0]),
+                len(selected),
+                int(pdf["vec_id"].iloc[pick]),
+                round(float(score[pick]), 6),
+            )
+        )
+    return pd.DataFrame(rows, columns=["probe_id", "rank", "vec_id", "mmr_score"])
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-{MMR_TOP} per probe over the exact top-
+    {MMR_CANDS} cosine candidates.
+
+    Scale shape: candidate generation is the broadcast-probe scored
+    scan every ANN entry uses (swap in any ANN candidate source at
+    scale); the grouped map receives bounded {MMR_CANDS}-row groups —
+    state per group is a {MMR_CANDS}x{MMR_CANDS} sim matrix, constant
+    regardless of corpus size."""
+    from pyspark.sql import Window  # noqa: PLC0415
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.similarity import (  # noqa: PLC0415
+        DOT,
+        N_PROBES,
+        _with_norm,
+    )
+
+    emb = _with_norm(spark.table("embeddings"))
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("norm").alias("p_norm"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(DOT.format(a="p_emb", b="embedding"))
+                / (F.col("p_norm") * F.col("norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    cands = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MMR_CANDS)
+        .select("probe_id", "vec_id", "cos", "embedding")
+    )
+    return (
+        cands.groupBy("probe_id")
+        .applyInPandas(
+            _mmr_fn, "probe_id long, rank int, vec_id long, mmr_score double"
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
 def registry() -> dict[str, dict]:
     return {
         "search_bm25": {"fn": bm25_topk, "oracle": BM25_ORACLE},
@@ -542,4 +643,7 @@ def registry() -> dict[str, dict]:
         "search_tfidf_cosine_topk": {"fn": tfidf_cosine_topk, "oracle": TFIDF_ORACLE},
         "search_phrase_match": {"fn": phrase_match, "oracle": PHRASE_MATCH_ORACLE},
         "search_fuzzy_terms": {"fn": fuzzy_terms, "oracle": _fuzzy_oracle()},
+        # rows-only by necessity: greedy sequential argmax has no SQL
+        # formulation; pinned instead by the pure-Python recompute test
+        "search_mmr_rerank": {"fn": mmr_rerank, "oracle": None},
     }

@@ -2023,3 +2023,58 @@ def test_bot_detection_flags_planted_metronome(spark, tables, sf_dir):
         assert out[903] is False  # organic
     finally:
         tables["events"].createOrReplaceTempView("events")
+
+
+def test_mmr_rerank_matches_python_recompute(spark, tables, sf_dir):
+    """Every MMR selection is reproduced by an independent pure-Python
+    greedy over the same candidates (rank-1 is the relevance argmax,
+    later picks trade relevance against max similarity to the picked
+    set) — the recompute pins the grouped-map kernel since no SQL
+    oracle can express the sequential argmax."""
+    import math
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        search,
+        similarity,
+    )
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.table("embeddings").collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    got = {}
+    for r in search.mmr_rerank(spark, sf_dir).collect():
+        got.setdefault(r.probe_id, []).append((r.rank, r.vec_id))
+    assert set(got) == set(range(similarity.N_PROBES))
+    for probe, rows in got.items():
+        assert [rk for rk, _ in sorted(rows)] == list(range(1, search.MMR_TOP + 1))
+        # candidates: top MMR_CANDS by (rounded cos desc, vec_id)
+        cands = sorted(
+            ((round(cos(emb[probe], v), 6), -vid) for vid, v in emb.items() if vid != probe),
+            reverse=True,
+        )[: search.MMR_CANDS]
+        cands = [(-nvid, c) for c, nvid in cands]
+        import numpy as np
+
+        ids = [vid for vid, _ in cands]
+        rel = np.array([c for _, c in cands])
+        E = np.stack([np.array(emb[v]) for v in ids])
+        E = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sims = E @ E.T
+        selected = []
+        expect = []
+        while len(selected) < search.MMR_TOP:
+            if selected:
+                score = search.MMR_LAMBDA * rel - (1 - search.MMR_LAMBDA) * sims[:, selected].max(axis=1)
+            else:
+                score = rel.copy()
+            score[selected] = -np.inf
+            pick = int(np.argmax(score))
+            selected.append(pick)
+            expect.append(ids[pick])
+        assert [vid for _, vid in sorted(rows)] == expect, f"probe {probe}"
