@@ -2043,6 +2043,52 @@ _q(
     ORDER BY day
     """,
 )
+# Neyman-allocation stratified sample design (survey statistics): for
+# a fixed total budget, sample each stratum proportionally to
+# N_h * S_h (its size times its internal standard deviation) — the
+# allocation that minimizes estimator variance. Strata are sources,
+# the target variable is document length; output is the per-stratum
+# design table (size, spread, optimal share, integer allocation) the
+# sampler then executes with the md5 machinery the sample_* entries
+# already verify. One aggregation + one window sum over #strata rows.
+_q(
+    "sample_neyman_allocation",
+    """
+    WITH strata AS (
+      SELECT source, count(*) AS n_h,
+             round(stddev_samp(n_chars), 4) AS s_h
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_h, s_h, n_h * s_h AS w,
+             sum(n_h * s_h) OVER () AS w_total
+      FROM strata
+    )
+    SELECT source, n_h, s_h,
+           round(w / w_total, 6) AS neyman_share,
+           cast(floor(100 * w / w_total) AS BIGINT) AS alloc_of_100
+    FROM weighted
+    ORDER BY source
+    """,
+    oracle="""
+    WITH strata AS (
+      SELECT source, count(*) AS n_h,
+             round(stddev_samp(n_chars), 4) AS s_h
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n_h, s_h, n_h * s_h AS w,
+             sum(n_h * s_h) OVER () AS w_total
+      FROM strata
+    )
+    SELECT source, n_h, s_h,
+           round(w / w_total, 6) AS neyman_share,
+           cast(floor(100 * w / w_total) AS BIGINT) AS alloc_of_100
+    FROM weighted
+    ORDER BY source
+    """,
+)
+
 # Bot/automation detection from inter-event timing — the traffic-
 # hygiene filter a training-data pipeline runs before trusting
 # engagement signals: humans arrive with high gap variance, scripts
