@@ -180,6 +180,37 @@ def stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialized_chain(spark, stages, final)
 
 
+# --- orders_revenue_concentration -------------------------------------------
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of the HHI revenue-concentration entry (oracle: the
+    chained form in inventory). The per-nation revenue rollup is a
+    3-table join consumed twice (total + shares) — inlined, that is
+    six fact/dim scans; staged, the rollup (#nations rows) computes
+    once."""
+    stages = [
+        (
+            "__hhi_nrev",
+            """
+            SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            """,
+        ),
+    ]
+    final = """
+    WITH tot AS (SELECT sum(revenue) AS total FROM __hhi_nrev)
+    SELECT cast(count(*) AS bigint) AS n_nations,
+           round(sum(power(revenue / total, 2)) * 10000, 2) AS hhi,
+           round(max(revenue / total), 4) AS top_share
+    FROM __hhi_nrev CROSS JOIN tot
+    """
+    return materialized_chain(spark, stages, final)
+
+
 def registry() -> dict[str, dict]:
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415
         inventory,
@@ -199,5 +230,11 @@ def registry() -> dict[str, dict]:
         "events_stickiness": {
             "fn": stickiness,
             "oracle": inventory.SQL_QUERIES["events_stickiness"]["oracle"],
+        },
+        "orders_revenue_concentration": {
+            "fn": revenue_concentration,
+            "oracle": inventory.SQL_QUERIES["orders_revenue_concentration"][
+                "oracle"
+            ],
         },
     }
