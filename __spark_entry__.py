@@ -163,8 +163,10 @@ def _configure(spark: SparkSession) -> None:
 #   formulation — the third and last rows-only entry, with
 #   agg_approx_sketches and text_compression_ratio); every selection
 #   is pinned by a pure-Python recompute test instead.
-# - sample_neyman_allocation: same policy (post-freeze, queued for
-#   r06); #strata-row design-table arithmetic, sf0.01 + sf0.1 green.
+# - sample_neyman_allocation / embedding_cluster_purity: same policy
+#   (post-freeze, queued for r06); #strata-row design-table
+#   arithmetic and the contingency eval over the driver-verified
+#   k-means chain, sf0.01 (+ sf0.1 for neyman) green.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

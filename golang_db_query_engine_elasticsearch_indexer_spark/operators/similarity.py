@@ -2586,9 +2586,92 @@ GROUP BY ex.probe_id"""
     return "\nUNION ALL\n".join(blocks) + "\nORDER BY prefix_dim, probe_id"
 
 
+# --- clustering quality: learned cells vs ground-truth labels ---------------
+
+
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purity of the learned coarse quantizer against the fixture's
+    ground-truth labels: assign EVERY embedding to its k-means cell
+    (the same row-local argmax the IVF path uses), build the
+    cell x label contingency, and report each cell's majority label
+    and purity — the eval that says whether the quantizer's cells mean
+    anything semantically (high purity => cell routing approximates
+    label routing, which is why IVF recall saturates at the routing
+    ceiling on this corpus).
+
+    Scale: assignment is map-only against the driver-resident centroid
+    literal; the contingency is one (cell, label) aggregation; the
+    majority pick is an argmax over #cells x #labels rows."""
+    cents = _kmeans_cents(spark)
+    cells = _scored_cells_expr(_centroid_array_expr(cents))
+    assigned = (
+        _with_norm(spark.table("embeddings"))
+        .withColumn("cell", F.expr(f"array_max({cells}).cid"))
+        .select("vec_id", "cell", "label")
+    )
+    cont = assigned.groupBy("cell", "label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("label"))
+    top = (
+        cont.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cell", F.col("label").alias("top_label"), F.col("n").alias("n_top"))
+    )
+    tot = cont.groupBy("cell").agg(F.sum("n").alias("n_vecs"))
+    return (
+        tot.join(top, "cell")
+        .selectExpr(
+            "cell",
+            "cast(n_vecs AS bigint) AS n_vecs",
+            "top_label",
+            "cast(n_top AS bigint) AS n_top",
+            "round(n_top * cast(1 AS double) / n_vecs, 4) AS purity",
+        )
+        .orderBy("cell")
+    )
+
+
+CLUSTER_PURITY_ORACLE = f"""
+WITH {_kmeans_oracle_ctes()},
+cell_scores AS (
+  SELECT e.vec_id, e.label, c.cid,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) AS score
+  FROM embeddings e, cent{KMEANS_ITERS} c
+),
+assigned AS (
+  SELECT vec_id, label, cid AS cell FROM (
+    SELECT vec_id, label, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+    FROM cell_scores)
+  WHERE rn = 1
+),
+cont AS (
+  SELECT cell, label, count(*) AS n FROM assigned GROUP BY cell, label
+),
+top AS (
+  SELECT cell, label AS top_label, n AS n_top FROM (
+    SELECT cell, label, n,
+           row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn
+    FROM cont)
+  WHERE rn = 1
+),
+tot AS (
+  SELECT cell, cast(sum(n) AS BIGINT) AS n_vecs FROM cont GROUP BY cell
+)
+SELECT t.cell, t.n_vecs, p.top_label,
+       cast(p.n_top AS BIGINT) AS n_top,
+       round(p.n_top * cast(1 AS double) / t.n_vecs, 4) AS purity
+FROM tot t JOIN top p USING (cell)
+ORDER BY cell
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "embedding_knn_eval": {"fn": knn_label_eval, "oracle": KNN_EVAL_ORACLE},
+        "embedding_cluster_purity": {
+            "fn": cluster_purity,
+            "oracle": CLUSTER_PURITY_ORACLE,
+        },
         "embedding_matryoshka_recall": {
             "fn": matryoshka_recall_eval,
             "oracle": _matryoshka_recall_oracle(),
