@@ -167,6 +167,8 @@ def _configure(spark: SparkSession) -> None:
 #   (post-freeze, queued for r06); #strata-row design-table
 #   arithmetic and the contingency eval over the driver-verified
 #   k-means chain, sf0.01 (+ sf0.1 for neyman) green.
+# - events_anomaly_seasonal: same policy (post-freeze, queued for
+#   r06); two keyed aggregations + row-local z, boundary-rounded.
 # - statistics/bloom additions (join_bloom_prefilter,
 #   orders_regression_trend, events_chi_square, events_welch_ttest,
 #   orders_open_interval_sweep): same policy — added after the frozen

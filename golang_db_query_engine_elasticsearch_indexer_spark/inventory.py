@@ -2043,6 +2043,50 @@ _q(
     ORDER BY day
     """,
 )
+# Seasonal-baseline anomaly scoring: each (day, hour) bucket's event
+# count compared to the mean and stddev of the SAME hour-of-day across
+# the rest of the fixture month — the companion of the rolling z-score
+# entry for periodic traffic (a 9am spike is normal on weekdays, a 3am
+# spike is not). Two small keyed aggregations; the z computation is
+# row-local over #buckets rows; deviations round at the boundary.
+_q(
+    "events_anomaly_seasonal",
+    """
+    WITH hourly AS (
+      SELECT cast(ts AS date) AS d, hour(ts) AS h, count(*) AS n
+      FROM events GROUP BY cast(ts AS date), hour(ts)
+    ),
+    base AS (
+      SELECT h, avg(n) AS mu, stddev_samp(n) AS sigma
+      FROM hourly GROUP BY h
+    )
+    SELECT cast(hourly.d AS string) AS day, hourly.h AS hour, hourly.n,
+           round(base.mu, 4) AS hour_mean,
+           round(base.sigma, 4) AS hour_std,
+           round((hourly.n - base.mu) / nullif(base.sigma, 0), 4) AS z
+    FROM hourly JOIN base ON hourly.h = base.h
+    WHERE abs((hourly.n - base.mu) / nullif(base.sigma, 0)) >= 2
+    ORDER BY day, hour
+    """,
+    oracle="""
+    WITH hourly AS (
+      SELECT ts::DATE AS d, hour(ts) AS h, count(*) AS n
+      FROM events GROUP BY ts::DATE, hour(ts)
+    ),
+    base AS (
+      SELECT h, avg(n) AS mu, stddev_samp(n) AS sigma
+      FROM hourly GROUP BY h
+    )
+    SELECT cast(hourly.d AS varchar) AS day, hourly.h AS hour, hourly.n,
+           round(base.mu, 4) AS hour_mean,
+           round(base.sigma, 4) AS hour_std,
+           round((hourly.n - base.mu) / nullif(base.sigma, 0), 4) AS z
+    FROM hourly JOIN base ON hourly.h = base.h
+    WHERE abs((hourly.n - base.mu) / nullif(base.sigma, 0)) >= 2
+    ORDER BY day, hour
+    """,
+)
+
 # Neyman-allocation stratified sample design (survey statistics): for
 # a fixed total budget, sample each stratum proportionally to
 # N_h * S_h (its size times its internal standard deviation) — the
