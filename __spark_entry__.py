@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from golang_db_query_engine_elasticsearch_indexer_spark import inventory
+from golang_db_query_engine_elasticsearch_indexer_spark import rotation as _rotation
 from golang_db_query_engine_elasticsearch_indexer_spark.gateway import query_df
 from golang_db_query_engine_elasticsearch_indexer_spark.session import register_sf_dir
 
@@ -29,260 +30,20 @@ def _configure(spark: SparkSession) -> None:
             pass
 
 
-# The driver's CORRECTNESS gate hash-checks the FIRST 50 keys of queries()
-# in insertion order. Cumulative coverage: r01 core SQL, r02 operators/
-# streaming, r03 dtype fixes, r04 streaming-fix + the round's new
-# kernels. Round 5 retires the ENTIRE stale-evidence backlog in one
-# window: (a) every entry whose code changed or was added this round
-# (the LUT-ADC PQ rewrite + never-driver-checked ann_pq_topk, the
-# round-before-rank ANN ordering change, the rare-gram witness cap, the
-# components checkpoint scope, the skew-proof positional-ID tiebreak,
-# the real PPM/WAV decode entries, and the round-5 operators: chunk
-# windows, duplicate-span coverage, TF-IDF cosine top-k, anomaly
-# z-score, recursive spine, VARIANT buckets, stream-static enrich,
-# IVF-PQ, keep-best canonicals, retrieval triplets, bigram LM), then
-# (b) the 30 remaining entries
-# whose newest driver green predates r03 — the 28 r01-only cohort
-# (agg_*/win_*/set_*/scalar-function/join_right_outer/subquery/pivot/
-# sort/values), dedup_normalized (r02-only), and the never-checked
-# array_map_struct_functions. After r05 the stale backlog is RETIRED:
-# no entry's newest driver green predates r03 (the out-of-window
-# remainder is r03/r04-green and unchanged this round), and every
-# entry keeps regression coverage via the full differential gate in
-# tests/test_oracle_queries.py (sf0.01).
-#
-# Recorded exclusions (window is pinned at 50):
-# - text_quality_score / corpus_source_stats: touched by the round-5
-#   quality-blend refactor, not rotated in — the refactor swapped
-#   their inline blend for the shared quality_blend() builder with
-#   value-identical SQL, and the same builder is driver-verified
-#   through dedup_keep_best (in-window).
-# - ann_brute_force_topk / ann_lsh_bucket_topk: r04-driver-green;
-#   their only round-5 change is the shared round-before-rank pattern,
-#   which three in-window ANN entries (ivf/pq/ivfpq) exercise — their
-#   slots go to the never-checked doc_embedding_hashed/profile_orders.
-# - skew_salted_join_agg / profile_orders (new): excluded as the
-#   lowest-divergence-risk new entries — skew's oracle is the PLAIN
-#   lineitem⋈supplier aggregate (a shape many in-window TPC-H entries
-#   already hash-verify; the salted≡plain equivalence is pinned by
-#   tests/test_skew.py), and profile's stack unpivot emits only
-#   strings/bigints over single-table aggregates. Their window slots
-#   go to sample_temperature_mix and doc_embedding_hashed, whose
-#   float-threshold / portable-hash arithmetic is where cross-engine
-#   divergence could actually hide.
-# - late round-5 additions (ann_range_search,
-#   embedding_medoid_per_label, events_rollup_multires,
-#   docs_quality_percentile_filter, dedup_incremental_batch,
-#   dedup_containment, tokens_bpe_pair_stats,
-#   embedding_outlier_scores, stream_docs_incremental_dedup,
-#   events_rolling_active_users, customer_rfm_segments,
-#   events_markov_transitions, events_attribution_last_touch,
-#   agg_group_by_all, embedding_pca_top_component,
-#   embedding_remove_top_component, sample_weighted_reservoir,
-#   sketch_hll_distinct_users, sketch_hll_daily_merged): added AFTER
-#   the window was frozen
-#   around the stale-backlog retirement; displacing backlog slots for
-#   them would break the retirement promise, so they queue for the r06
-#   window. Divergence risk is low by construction: each reuses an
-#   already-driver-verified kernel shape (the broadcast-probe scored
-#   scan, the label-centroid aggregation, GROUPING SETS, and the shared
-#   quality blend + a total-order window).
-# - round-5 close-out additions (dedup_simhash_pairs,
-#   sketch_cms_heavy_hitters, sketch_histogram_quantiles,
-#   text_pii_redact, corpus_source_divergence,
-#   events_state_intervals, stream_hll_daily_merged,
-#   pipeline_curation_report, text_quality_classifier,
-#   embedding_knn_eval, dedup_cluster_size_stats,
-#   sample_token_budget, events_new_vs_returning,
-#   text_lang_confusion, text_compression_ratio [rows-only by
-#   necessity: zlib], audit_referential_integrity,
-#   dedup_minhash_estimate_eval, corpus_source_overlap,
-#   sort_nulls_ordering, tokens_pmi_top_pairs,
-#   corpus_signal_correlations, events_stickiness,
-#   orders_monthly_yoy, quality_classifier_calibration,
-#   ann_lsh_recall_eval, ann_ivf_recall_eval,
-#   dedup_remap_to_canonical, customers_abc_pareto,
-#   events_funnel_latency, multimodal_decode_bmp,
-#   corpus_zipf_fit, dedup_modality_agreement,
-#   dedup_threshold_sensitivity, events_load_heatmap,
-#   orders_revenue_concentration, events_value_boxplot): same policy —
-#   added after the frozen
-#   window, queued for r06. Each is integer/regex arithmetic shared
-#   verbatim across dialects (bit_count/xor band verify, md5-bucket
-#   counter sums, Java∩RE2 regex, exact-rational LM ratios), the
-#   lowest-divergence-risk class, and every close-out entry is green
-#   under the in-repo sf0.01 differential gate at HEAD (and under a
-#   recorded sf0.1 spot differential — SCALE.md §3).
-# - sample_dsir_importance / stream_view_click_left_outer /
-#   tokens_bpe_merge_learn / dedup_image_phash: same policy
-#   (post-freeze, queued for r06); each has an INDEPENDENT
-#   non-mirror check — DSIR and the BPE merge loop are reproduced by
-#   pure-Python reference implementations, the outer join's cutoff
-#   region is differential-equal to the batch left join at two SFs
-#   across repeated runs, and the phash oracle is the ground-truth
-#   all-pairs join (the banding lemma is what the differential
-#   proves).
-# - search_phrase_match / search_fuzzy_terms /
-#   events_attribution_position: same policy (post-freeze, queued for
-#   r06); the search oracles are independent formulations (direct
-#   array scan / ground-truth levenshtein scan), attribution credits
-#   are exact integer ppm, and each has planted-case behavioral
-#   tests.
-# - audit_expectations / events_session_window_native: same policy
-#   (post-freeze, queued for r06); the expectations entry has a
-#   planted-violation counting test and the session-window oracle is
-#   the independent gaps-and-islands formulation.
-# - pipeline_incremental_rollup / dedup_audio_fingerprint: same
-#   policy (post-freeze, queued for r06); the rollup's oracle is the
-#   ground-truth full recompute (differential proves the merge
-#   algebra) and the fingerprint has a pure-Python recompute test
-#   plus the ground-truth all-pairs oracle.
-# - quality_classifier_train: same policy (post-freeze, queued for
-#   r06); an independent Python gradient-descent implementation
-#   reproduces every iteration's weights and loss in tests.
-# - graph_copurchase_triangles: same policy (post-freeze, queued for
-#   r06); the oracle builds edges via the naive self-join and a
-#   planted-graph test hand-counts a known census.
-# - events_funnel_one_pass: same policy (post-freeze, queued for
-#   r06); its oracle is the independent relational join-chain
-#   formulation (the events_funnel shape), not a mirror.
-# - tokens_bigrams_udtf: same policy (post-freeze, queued for r06);
-#   the Python-UDTF row expansion is hash-verified against DuckDB
-#   list arithmetic.
-# - functions_try_safe: same policy (post-freeze, queued for r06);
-#   NULL-absorbing semantics cross-checked against the NULLIF/CASE +
-#   TRY_CAST formulation. ALL 16 continuation-session entries also
-#   hash-matched DuckDB at sf0.1 in one sweep (SCALE.md §3).
-# - events_gapfill_forward / events_bot_detection: same policy
-#   (post-freeze, queued for r06); grid/fill arithmetic with the
-#   IGNORE NULLS running window expressed natively in both dialects,
-#   and integer-microsecond gap stats with planted-bot behavioral
-#   tests.
-# - search_mmr_rerank: same policy (post-freeze, queued for r06);
-#   rows-only BY NECESSITY (greedy sequential argmax has no SQL
-#   formulation — the third and last rows-only entry, with
-#   agg_approx_sketches and text_compression_ratio); every selection
-#   is pinned by a pure-Python recompute test instead.
-# - sample_neyman_allocation / embedding_cluster_purity: same policy
-#   (post-freeze, queued for r06); #strata-row design-table
-#   arithmetic and the contingency eval over the driver-verified
-#   k-means chain, sf0.01 (+ sf0.1 for neyman) green.
-# - events_anomaly_seasonal: same policy (post-freeze, queued for
-#   r06); two keyed aggregations + row-local z, boundary-rounded.
-# - statistics/bloom additions (join_bloom_prefilter,
-#   orders_regression_trend, events_chi_square, events_welch_ttest,
-#   orders_open_interval_sweep): same policy — added after the frozen
-#   window, queued for r06. Each is single-row/tiny-grid arithmetic
-#   (salted md5 folds, regression aggregates, contingency counts,
-#   sweep deltas) rounded per the boundary discipline, sf0.01-gated
-#   and sf0.1 spot-differentialed green (SCALE.md §3).
-# - dedup_split_leakage: same policy (added post-freeze, queued for
-#   r06); it reuses the in-window-verified banded-SimHash kernel and
-#   its conservation against dedup_simhash_pairs is behavioral-tested.
-#   (Both pair entries' shared kernel was widened 16->48 bits late in
-#   round 5 — occupancy and precision fix, see SCALE.md; all-pairs
-#   recall-1.0 test re-verified, sf0.01 gate + sf0.1 differential
-#   green on the new kernel.)
-# - customers_gini_by_nation / events_hourly_autocorr: same policy
-#   (post-freeze, queued for r06); rank/corr arithmetic over tiny
-#   rollups with driver-side recomputation behavioral tests, sf0.01
-#   gate + sf0.1 spot differential green.
-# - events_mannwhitney_u / orders_benford_digits /
-#   corpus_novelty_curve: same policy (post-freeze, queued for r06);
-#   exact rank/integer-digit/gram-count arithmetic with driver-side
-#   recompute or conservation behavioral tests, sf0.01 gate + sf0.1
-#   spot differential green.
-# - events_ks_test / events_survival_km / events_ewma_daily: same
-#   policy (post-freeze, queued for r06); integer ECDF/telescoping/
-#   closed-form-weight arithmetic, recompute behavioral tests, sf0.01
-#   gate + sf0.1 spot differential green.
-# - graph_pagerank_nations / graph_copurchase_hops /
-#   layout_zorder_orders: same policy (post-freeze, queued for r06);
-#   PageRank rounds the rank vector to 9 dp per iteration in both
-#   dialects (compounding-drift guard), BFS and the Morton-code layout
-#   profile are pure integer arithmetic; behavioral contracts
-#   (mass conservation, frontier invariants, bucket rectangles,
-#   literal-only iteration plan) pinned in tests/test_graph_layout.py,
-#   sf0.01 gate + sf0.1 spot differential green.
-# - events_pattern_match / events_top_paths /
-#   embedding_matryoshka_recall: same policy (post-freeze, queued for
-#   r06); journey-string regex kernels are integer counting over the
-#   Java∩RE2 pattern subset with a pure-Python re recompute test, the
-#   path trigrams are LEAD-window counts, and the recall curve reuses
-#   the driver-verified brute-force/eval shapes with round-before-rank;
-#   sf0.01 gate + sf0.1 spot differential green.
-# - text_keywords_textrank: same policy (post-freeze, queued for r06);
-#   exact fixed-point integer TextRank (ppm ranks, floor-division
-#   contributions — no float arithmetic anywhere), determinism
-#   behavioral-tested, sf0.01 gate + sf0.1 spot differential green.
-# - dedup_lsh_bucket_stats: same policy (post-freeze, queued for r06);
-#   integer occupancy rollup over the driver-verified band relation,
-#   sf0.01 gate + sf0.1 spot differential green.
-# - dedup_prefix_filter_jaccard: same policy (post-freeze, queued for
-#   r06); its oracle is the GROUND-TRUTH all-pairs jaccard (not a
-#   mirror), so the differential proves the prefix lemma's exact
-#   recall; integer counts + the shared rounded-jaccard discipline;
-#   green at sf0.001/0.01/0.1.
-# - sample_curriculum_order: same policy (post-freeze, queued for
-#   r06); total-ordered ntile/row_number windows over the shared
-#   rounded quality blend — deterministic by construction; green at
-#   sf0.001/0.01/0.1.
-# All excluded entries remain covered by the in-repo differential
-# gate, which reran green at HEAD.
-_PRIORITY: tuple[str, ...] = (
-    # (a) code changed or added in round 5
-    "doc_chunk_windows",
-    "events_anomaly_zscore",
-    "recursive_date_spine",
-    "variant_json_bucket",
-    "stream_static_enrich",
-    "dedup_span_coverage",
-    "search_tfidf_cosine_topk",
-    "retrieval_training_triplets",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivf_topk",
-    "doc_embedding_hashed",
-    "sample_temperature_mix",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_keep_best",
-    "indexer_positional_ids",
-    "multimodal_decode_image",
-    "multimodal_decode_audio",
-    "text_bigram_logprob",
-    # (b) stale-evidence backlog: newest driver green r01/r02 or never
-    "array_map_struct_functions",
-    "dedup_normalized",
-    "join_right_outer",
-    "subquery_not_in",
-    "subquery_derived_table",
-    "agg_count_distinct",
-    "agg_stats",
-    "agg_group_concat",
-    "agg_having",
-    "agg_filtered",
-    "agg_percentile",
-    "agg_cube",
-    "agg_grouping_sets",
-    "pivot_conditional",
-    "win_topk_per_group",
-    "win_rank_dense",
-    "win_lead_lag",
-    "win_running_sum",
-    "win_ntile",
-    "sort_limit_offset",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "values_inline_table",
-    "str_functions",
-    "date_functions",
-    "math_functions",
-    "conditional_case",
-    "cast_types",
-)
+# The driver's CORRECTNESS gate hash-checks the FIRST 50 keys of
+# queries() in insertion order. Which 50 is decided by the
+# machine-readable rotation schedule in
+# golang_db_query_engine_elasticsearch_indexer_spark/rotation.py
+# (VERDICT r05 asks #1/#6): entries whose code changed this round
+# first, then the never-driver-checked backlog by divergence risk
+# (float/stat kernels -> regex/string -> exact-integer), with net-new
+# inventory frozen until the backlog clears (r06 window = 48
+# never-checked + the 2 changed entries; r07 = 50 never-checked;
+# r08 = the final 6, then re-rotation of the oldest evidence).
+# Everything out of window keeps regression coverage via the in-repo
+# sf0.01 differential gate (tests/test_oracle_queries.py) and the
+# recorded sf0.1 spot differentials (SCALE.md).
+_PRIORITY: tuple[str, ...] = _rotation.CURRENT_WINDOW
 
 
 def _prioritized(d: dict) -> dict:

@@ -28,6 +28,20 @@ def _q(name: str, sql: str, oracle: str | None = None, no_oracle: bool = False) 
     SQL_QUERIES[name] = {"sql": sql, "oracle": None if no_oracle else (oracle or sql)}
 
 
+# Entries whose EXECUTABLE form lives in operators/materialized.py (the
+# staged-materialization variant is the one registered in queries());
+# only the oracle and the reference spec text live here. Keeping them
+# out of SQL_QUERIES guarantees exactly one executable form per name —
+# previously the registry silently shadowed the inventory text in the
+# queries() merge and the dead SQL could drift unnoticed (VERDICT r05
+# ask #2).
+STAGED_QUERIES: dict[str, dict] = {}
+
+
+def _q_staged(name: str, spec_sql: str, oracle: str | None = None) -> None:
+    STAGED_QUERIES[name] = {"spec_sql": spec_sql, "oracle": oracle or spec_sql}
+
+
 # ---------------------------------------------------------------------------
 # Aggregation spine (SURVEY.md §2.B "Aggregation"). TPC-H-shaped queries
 # adapted to the fixture date range (orders 1995..2001, TESTDATA.md).
@@ -1003,7 +1017,7 @@ _q(
 # concentrated). Two keyed rollups (nation revenue, then one squared-
 # share sum); shares are exact ratios of rounded revenues, HHI rounded
 # at the end.
-_q(
+_q_staged(
     "orders_revenue_concentration",
     """
     WITH nrev AS (
@@ -1247,7 +1261,7 @@ _q(
 # 7-day form is the honest one at test scale.) Days whose trailing
 # window is truncated by the data start are trimmed — they would
 # report inflated stickiness (day one would always be 1.0).
-_q(
+_q_staged(
     "events_stickiness",
     """
     WITH du AS (
@@ -1879,11 +1893,11 @@ def _hq_tail(vals: str, idiv: str) -> str:
 
 
 def _histogram_quantiles_entry() -> None:
-    # The Spark sql below is the SPEC formulation; the runtime Spark
-    # side is overridden by operators/materialized.py (vals persisted
-    # once). The oracle IS this chained form with DuckDB's // division.
+    # The chained text below is the SPEC formulation; the executable
+    # Spark side is operators/materialized.py (vals persisted once).
+    # The oracle IS this chained form with DuckDB's // division.
     chained = "WITH vals AS (" + _HQ_VALS_SQL + "),\n"
-    _q(
+    _q_staged(
         "sketch_histogram_quantiles",
         chained + _hq_tail("vals", "div"),
         oracle=chained + _hq_tail("vals", "//"),
@@ -2156,7 +2170,7 @@ _q(
              count(gap_us) AS n_gaps,
              round(avg(gap_us) / 1e6, 2) AS avg_gap_s,
              round(stddev_samp(gap_us) / 1e6, 2) AS std_gap_s,
-             round(stddev_samp(gap_us) / avg(gap_us), 4) AS gap_cv
+             round(stddev_samp(gap_us) / nullif(avg(gap_us), 0), 4) AS gap_cv
       FROM gaps WHERE gap_us IS NOT NULL
       GROUP BY user_id
       HAVING count(gap_us) >= 5
@@ -2179,7 +2193,7 @@ _q(
              count(gap_us) AS n_gaps,
              round(avg(gap_us) / 1e6, 2) AS avg_gap_s,
              round(stddev_samp(gap_us) / 1e6, 2) AS std_gap_s,
-             round(stddev_samp(gap_us) / avg(gap_us), 4) AS gap_cv
+             round(stddev_samp(gap_us) / nullif(avg(gap_us), 0), 4) AS gap_cv
       FROM gaps WHERE gap_us IS NOT NULL
       GROUP BY user_id
       HAVING count(gap_us) >= 5
@@ -3075,7 +3089,7 @@ def _bloom_sql() -> str:
 # proves the no-false-negative contract in-plan (n_missed = 0 by
 # construction). Positions are salted md5 folds — bit-identical in
 # both engines, so the oracle checks assignment, not just counts.
-_q("join_bloom_prefilter", _bloom_sql())
+_q_staged("join_bloom_prefilter", _bloom_sql())
 
 # Per-priority linear revenue trend — the regression-aggregate family
 # (regr_slope / regr_intercept / regr_r2 / corr) over monthly revenue

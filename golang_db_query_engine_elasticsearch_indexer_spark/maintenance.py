@@ -50,6 +50,12 @@ class CompactionReport:
     plan: CompactionPlan
     written_files: int
     rows: int
+    # Partitioned rewrites size each partition-value directory
+    # separately (sum of per-directory ceil(bytes/target)); the global
+    # ``plan.target_files`` does not describe that write, so the
+    # partitioned path reports its own target here (None for plain
+    # rewrites).
+    partitioned_target_files: int | None = None
 
 
 def _list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -85,17 +91,52 @@ def plan_compaction(
     )
 
 
-def _partition_dirs(files: list[tuple[str, int]], root: str) -> set[str]:
+def _qualified_root(spark: SparkSession, path: str) -> str:
+    """``path`` as the filesystem's fully-qualified URI (the same form
+    the Hadoop listing returns), so relative paths are derived by
+    prefix against LIKE strings — a bare ``/tmp/t`` caller path never
+    string-matches the listing's ``file:/tmp/t/...`` otherwise, and an
+    ancestor directory containing ``=`` would then be misread as a
+    partition segment."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    return fs.makeQualified(p).toString().rstrip("/")
+
+
+def _rel_path(path: str, qroot: str) -> str | None:
+    """Path relative to the qualified table root; None if outside it."""
+    prefix = qroot + "/"
+    return path[len(prefix):] if path.startswith(prefix) else None
+
+
+def _partition_dirs(files: list[tuple[str, int]], qroot: str) -> set[str]:
     """Hive-style partition column names (``col=value`` path segments)
-    appearing between ``root`` and the data files."""
+    appearing between the QUALIFIED ``qroot`` and the data files; only
+    segments strictly below the table root are inspected."""
     cols: set[str] = set()
-    root = root.rstrip("/")
+    qroot = qroot.rstrip("/")
     for path, _ in files:
-        rel = path.split(root + "/", 1)[-1]
+        rel = _rel_path(path, qroot)
+        if rel is None:
+            continue
         for seg in rel.split("/")[:-1]:
             if "=" in seg:
                 cols.add(seg.split("=", 1)[0])
     return cols
+
+
+def _partition_file_targets(
+    files: list[tuple[str, int]], target_bytes: int
+) -> dict[str, int]:
+    """Per-directory output-file counts: directory (dirname of each
+    listed data file, scheme-qualified) -> ceil(dir bytes / target)."""
+    sizes: dict[str, int] = {}
+    for path, sz in files:
+        d = path.rsplit("/", 1)[0]
+        sizes[d] = sizes.get(d, 0) + sz
+    return {d: max(1, -(-b // target_bytes)) for d, b in sizes.items()}
 
 
 def compact_parquet(
@@ -118,11 +159,16 @@ def compact_parquet(
     rewrite would silently flatten the directory layout and destroy the
     partition pruning the layout exists for, so that case RAISES
     instead. With ``partition_by`` the rewrite preserves the layout and
-    coalesces each partition's fragments to one file per partition
-    value (the hash repartition on the partition keys routes every
-    value to a single task)."""
+    sizes each partition-value directory INDEPENDENTLY against
+    ``target_mb``: a partition that fits the target coalesces to one
+    file, an oversized one splits across ceil(bytes/target) files via a
+    salt column (rows are routed to their directory's salt range by
+    their source file, read off ``input_file_name()`` — no value
+    parsing, no join). The report's ``partitioned_target_files`` —
+    not the global ``plan.target_files`` — describes that write."""
     files = _list_parquet_files(spark, src_path)
-    part_cols = _partition_dirs(files, src_path)
+    qroot = _qualified_root(spark, src_path)
+    part_cols = _partition_dirs(files, qroot)
     if part_cols and not partition_by:
         raise ValueError(
             f"source is hive-partitioned on {sorted(part_cols)}; pass "
@@ -131,9 +177,54 @@ def compact_parquet(
         )
     plan = plan_compaction(spark, src_path, target_mb)
     df = spark.read.parquet(src_path)
+    part_target: int | None = None
     if partition_by:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        targets = _partition_file_targets(files, plan.target_bytes)
+        part_target = sum(targets.values())
+        # Global contiguous bucket per output file: each partition-value
+        # directory owns the bucket range [offset, offset + n_files) and
+        # its rows are salted across that range. Rows find their
+        # directory via input_file_name() (no partition-value parsing,
+        # no join); the dir -> (offset, n_files) map is a broadcast
+        # literal bounded by partition cardinality, never file count.
+        # repartitionByRange with an EXPLICIT count keys one bucket per
+        # task — a plain repartition(cols) here gets its small shuffle
+        # partitions re-coalesced by AQE into one task per value,
+        # silently undoing the split (measured: every salt collapsed
+        # back to one file). Scheme-qualified URIs are normalized on
+        # both sides because input_file_name() and the Hadoop listing
+        # render the authority differently (file:///x vs file:/x).
+        import re  # noqa: PLC0415
+
+        def _norm(p: str) -> str:
+            return re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/", p)
+
+        off_entries: list = []
+        nf_entries: list = []
+        offset = 0
+        for d, n in sorted(targets.items()):
+            off_entries.extend((F.lit(_norm(d)), F.lit(offset)))
+            nf_entries.extend((F.lit(_norm(d)), F.lit(n)))
+            offset += n
+        row_dir = F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), r"/[^/]*$", ""),
+            r"^[A-Za-z][A-Za-z0-9+.-]*:/+",
+            "/",
+        )
+        salt = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()),
+            F.coalesce(F.element_at(F.create_map(*nf_entries), row_dir), F.lit(1)),
+        )
+        bucket = (
+            F.coalesce(F.element_at(F.create_map(*off_entries), row_dir), F.lit(0))
+            + salt
+        )
         (
-            df.repartition(*partition_by)
+            df.withColumn("__compact_bucket", bucket)
+            .repartitionByRange(part_target, "__compact_bucket")
+            .drop("__compact_bucket")
             .write.mode("overwrite")
             .partitionBy(*partition_by)
             .parquet(dst_path)
@@ -146,4 +237,9 @@ def compact_parquet(
         )
     written = _list_parquet_files(spark, dst_path)
     rows = spark.read.parquet(dst_path).count()
-    return CompactionReport(plan=plan, written_files=len(written), rows=rows)
+    return CompactionReport(
+        plan=plan,
+        written_files=len(written),
+        rows=rows,
+        partitioned_target_files=part_target,
+    )

@@ -213,37 +213,50 @@ SELECT p.p2 AS p1, p.p1 AS p2 FROM pairs
 """
 
 
-def copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_hops(
+    spark: SparkSession, sf_dir: str, round_sizes: list[int] | None = None
+) -> DataFrame:
     """Every part reachable within BFS_MAX_HOPS co-purchase hops of the
     seed part (the minimum part key — deterministic at every scale),
     with its hop distance: the 'related items within k degrees'
     recommendation primitive.
 
+    Frontier-only expansion (the textbook distributed-BFS shape): each
+    round joins ONLY the nodes discovered in the previous round against
+    the edge list, then anti-joins the settled set to keep just the
+    genuinely new nodes — with unit edge weights every node's first
+    discovery round IS its minimum distance, so the settled relation
+    never needs revisiting. Re-expanding the whole reached set (the
+    first version of this operator) is correct but does O(|settled| x
+    degree) wasted probe work per round — the difference between
+    O(edges within k hops) total and O(rounds x edges) at 100x scale.
+
     Edge list persisted across the fixed number of frontier expansions,
     released after an eager localCheckpoint freezes the result."""
     edges = spark.sql(_COPURCHASE_EDGES_SPARK).persist()
     seed = spark.sql("SELECT min(l_partkey) AS s FROM lineitem").collect()[0][0]
-    h = spark.range(1).select(
+    frontier = spark.range(1).select(
         F.lit(seed).cast("bigint").alias("node"), F.lit(0).cast("int").alias("dist")
     )
+    h = frontier
     held: list[DataFrame] = []
     try:
         for _ in range(BFS_MAX_HOPS):
-            nxt = (
-                h.alias("h")
-                .join(edges.alias("e"), F.col("h.node") == F.col("e.p1"))
+            expanded = (
+                frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.node") == F.col("e.p1"))
                 .select(
                     F.col("e.p2").alias("node"),
-                    (F.col("h.dist") + 1).cast("int").alias("dist"),
+                    (F.col("f.dist") + 1).cast("int").alias("dist"),
                 )
-            )
-            h = (
-                h.unionByName(nxt)
                 .groupBy("node")
                 .agg(F.min("dist").alias("dist"))
-                .persist()
             )
-            held.append(h)
+            frontier = expanded.join(h, "node", "left_anti").persist()
+            h = h.unionByName(frontier).persist()
+            held.extend((frontier, h))
+            if round_sizes is not None:  # test instrumentation only
+                round_sizes.append(frontier.count())
         final = (
             h.select(F.col("node").alias("part_key"), F.col("dist").alias("hops"))
             .orderBy("hops", "part_key")
@@ -481,7 +494,7 @@ _TRI_ORIENTED_SQL = """
 """
 _TRI_FINAL_SQL = """
 SELECT s.n_nodes, ec.n_edges, s.n_wedges, t.n_triangles,
-       round(cast(3.0 * t.n_triangles AS double) / s.n_wedges, 6)
+       round(cast(3.0 * t.n_triangles AS double) / nullif(s.n_wedges, 0), 6)
          AS transitivity
 FROM (
   SELECT cast(count(*) AS BIGINT) AS n_nodes,

@@ -219,21 +219,21 @@ def registry() -> dict[str, dict]:
     return {
         "join_bloom_prefilter": {
             "fn": bloom_prefilter,
-            "oracle": inventory.SQL_QUERIES["join_bloom_prefilter"]["oracle"],
+            "oracle": inventory.STAGED_QUERIES["join_bloom_prefilter"]["oracle"],
         },
         "sketch_histogram_quantiles": {
             "fn": histogram_quantiles,
-            "oracle": inventory.SQL_QUERIES["sketch_histogram_quantiles"][
+            "oracle": inventory.STAGED_QUERIES["sketch_histogram_quantiles"][
                 "oracle"
             ],
         },
         "events_stickiness": {
             "fn": stickiness,
-            "oracle": inventory.SQL_QUERIES["events_stickiness"]["oracle"],
+            "oracle": inventory.STAGED_QUERIES["events_stickiness"]["oracle"],
         },
         "orders_revenue_concentration": {
             "fn": revenue_concentration,
-            "oracle": inventory.SQL_QUERIES["orders_revenue_concentration"][
+            "oracle": inventory.STAGED_QUERIES["orders_revenue_concentration"][
                 "oracle"
             ],
         },

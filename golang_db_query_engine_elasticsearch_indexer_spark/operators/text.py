@@ -1563,7 +1563,16 @@ def _make_bigram_udtf():
         def eval(self, text: str):  # noqa: ANN001
             import re  # noqa: PLC0415
 
-            toks = re.split(r"\s+", text.strip().lower()) if text else []
+            # Mirror the SQL tokenizer (functions.TOKENS) exactly:
+            # trim() strips ASCII SPACE only (not Unicode whitespace,
+            # not tabs), and Java's \s is the ASCII class
+            # [ \t\n\x0b\f\r] — Python's .strip()/\s are Unicode-aware
+            # and would diverge on tab/NBSP-framed documents.
+            toks = (
+                re.split(r"[ \t\n\x0b\f\r]+", text.strip(" ").lower())
+                if text
+                else []
+            )
             for i in range(len(toks) - 1):
                 yield (toks[i] + " " + toks[i + 1],)
 

@@ -295,3 +295,51 @@ def test_query_route_params_binding(client):
         params="{not json",
     )
     assert r3.status_code == 400
+
+
+def test_exactly_one_executable_form_per_query_name():
+    """inventory.SQL_QUERIES and the operator registry must be
+    disjoint: a name defined in both would let the queries() merge
+    silently shadow one form and the dead SQL drift unnoticed
+    (VERDICT r05 ask #2 — staged-materialization entries live in
+    inventory.STAGED_QUERIES, oracle-only)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import inventory
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        registry,
+    )
+
+    ops = set(registry())
+    assert not (set(inventory.SQL_QUERIES) & ops)
+    # staged entries: oracle here, executable form in the registry
+    assert set(inventory.STAGED_QUERIES) <= ops
+
+
+def test_rotation_schedule_invariants():
+    """The driver-evidence rotation table (rotation.py) must stay
+    coherent: it covers every queries() name, the current window is
+    exactly the driver's 50 slots and leads queries() in order, every
+    windowed entry has a DuckDB oracle (rows-only entries are parked
+    in r08 by design), and every never-driver-checked entry has a
+    scheduled window — the backlog can shrink but never silently
+    grow."""
+    import __spark_entry__ as entrymod
+    from golang_db_query_engine_elasticsearch_indexer_spark.rotation import (
+        CURRENT_WINDOW,
+        ROTATION,
+        scheduled,
+    )
+
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert set(ROTATION) == set(qs)
+    assert len(CURRENT_WINDOW) == 50
+    assert list(qs)[:50] == list(CURRENT_WINDOW)
+    assert all(name in os_ for name in CURRENT_WINDOW)
+    for name, (last_round, _risk, window) in ROTATION.items():
+        if last_round is None:
+            assert window in {"r06", "r07", "r08"}, (
+                f"{name} has no driver evidence and no scheduled window"
+            )
+    # the three rows-only-by-necessity entries are scheduled, last
+    rows_only = set(qs) - set(os_)
+    assert rows_only <= set(scheduled("r08"))

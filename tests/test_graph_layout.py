@@ -59,6 +59,27 @@ def test_copurchase_hops_contract(spark, tables):
     assert all((seed, k) in edges for k in hop1)
 
 
+def test_copurchase_hops_frontier_only_expansion(spark, tables):
+    """The settled set is never re-expanded (VERDICT r05 ask #3): each
+    round's frontier contains only never-seen nodes, so the per-round
+    discovery counts sum EXACTLY to |result| - 1 (the seed). The old
+    whole-set formulation also produced correct distances but scanned
+    |settled| x degree probe rows per round; this pins the frontier-only
+    shape so a regression back to it is caught by the count identity
+    (re-expansion would surface duplicates that the anti-join must
+    remove, and the per-round sizes must equal the per-hop histogram of
+    the final result)."""
+    sizes: list[int] = []
+    rows = graph.copurchase_hops(spark, None, round_sizes=sizes).collect()
+    assert len(sizes) == graph.BFS_MAX_HOPS
+    assert sum(sizes) == len(rows) - 1
+    from collections import Counter
+
+    per_hop = Counter(r.hops for r in rows)
+    for d, n in enumerate(sizes, start=1):
+        assert per_hop.get(d, 0) == n
+
+
 def test_textrank_keywords_contract(spark, tables):
     """Top-k keywords: candidate filter respected (no short/stop
     tokens), ranks are valid fixed-point values (>= the damping floor

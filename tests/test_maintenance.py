@@ -95,3 +95,70 @@ def test_compaction_plan_not_needed_when_already_compact(spark, tables, tmp_path
     plan = maintenance.plan_compaction(spark, src, target_mb=128)
     assert plan.n_files == 1
     assert not plan.needed
+
+
+def test_partition_detection_ignores_ancestor_dirs_with_equals(
+    spark, tables, tmp_path
+):
+    """An ancestor directory containing '=' (e.g. a run-scoped
+    'job=nightly' workspace) must NOT trigger the hive-partitioned
+    refusal: only segments BELOW the qualified table root are
+    partition candidates (ADVICE r05: the bare-path prefix split
+    missed against scheme-qualified listings and scanned the whole
+    absolute path)."""
+    root = os.path.join(str(tmp_path), "job=nightly", "flat_src")
+    dst = os.path.join(str(tmp_path), "flat_dst")
+    spark.table("region").coalesce(1).write.parquet(root)
+    report = maintenance.compact_parquet(spark, root, dst, target_mb=1024)
+    assert report.rows == spark.table("region").count()
+    assert report.partitioned_target_files is None
+
+
+def test_partitioned_compaction_splits_oversized_partitions(
+    spark, tables, tmp_path
+):
+    """With partition_by, target_mb is honored per partition-value
+    directory: a directory larger than the target splits into
+    ~ceil(bytes/target) files instead of one oversized file (ADVICE
+    r05), while content and layout are preserved."""
+    src = os.path.join(str(tmp_path), "big_part_src")
+    dst = os.path.join(str(tmp_path), "big_part_dst")
+    (
+        spark.table("orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .repartition(4)
+        .write.partitionBy("o_year")
+        .parquet(src)
+    )
+    files = maintenance._list_parquet_files(spark, src)
+    qroot = maintenance._qualified_root(spark, src)
+    # pick a target that forces every year to need >= 2 files
+    per_dir: dict[str, int] = {}
+    for p, s in files:
+        d = p.rsplit("/", 1)[0]
+        per_dir[d] = per_dir.get(d, 0) + s
+    target_mb = (min(per_dir.values()) / 2) / (1024 * 1024)
+    report = maintenance.compact_parquet(
+        spark, src, dst, target_mb=target_mb, partition_by=["o_year"]
+    )
+    targets = maintenance._partition_file_targets(
+        files, max(1, int(target_mb * 1024 * 1024))
+    )
+    assert report.partitioned_target_files == sum(targets.values())
+    assert min(targets.values()) >= 2
+    # every partition directory got more than one output file
+    out_per_dir: dict[str, int] = {}
+    for p, _ in maintenance._list_parquet_files(spark, dst):
+        d = p.rsplit("/", 1)[0]
+        out_per_dir[d] = out_per_dir.get(d, 0) + 1
+    assert len(out_per_dir) == len(per_dir)
+    assert min(out_per_dir.values()) >= 2
+    # content preserved (order-independent checksum), layout preserved
+    a = _row_checksum(spark.read.parquet(src))
+    b = _row_checksum(spark.read.parquet(dst))
+    assert a == b
+    assert maintenance._partition_dirs(
+        maintenance._list_parquet_files(spark, dst),
+        maintenance._qualified_root(spark, dst),
+    ) == {"o_year"}
+    assert qroot.endswith("big_part_src")
