@@ -429,6 +429,7 @@ def _kmeans_cents(
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     vec_expr: str = "embedding",
+    samp: DataFrame | None = None,
 ) -> list[tuple[int, list[float], float]]:
     """Learned IVF coarse quantizer: Lloyd's k-means, fully
     deterministic (replaces the round-2 per-label-mean stand-in).
@@ -464,17 +465,24 @@ def _kmeans_cents(
     # scale — without it the seed draw and every Lloyd pass would each
     # rerun the full-table top-N scan. Released in the finally: the
     # trainer returns plain Python data, nothing downstream can hold
-    # the cache.
-    samp = (
-        spark.table("embeddings")
-        .selectExpr("vec_id", f"{vec_expr} AS embedding")
-        .withColumn("norm", F.expr(NORM.format(a="embedding")))
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h")
-        .limit(KMEANS_SAMPLE_N)
-        .select("embedding", "norm", "h")
-        .persist()
-    )
+    # the cache. A composite build (IVF-PQ) passes its own persisted
+    # ``samp`` — (embedding, norm, h), the identical top-N draw — so
+    # coarse and codebook training share ONE sample scan; a
+    # caller-owned sample is never unpersisted here.
+    owned = samp is None
+    if owned:
+        samp = (
+            spark.table("embeddings")
+            .selectExpr("vec_id", f"{vec_expr} AS embedding")
+            .withColumn("norm", F.expr(NORM.format(a="embedding")))
+            .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("h")
+            .limit(KMEANS_SAMPLE_N)
+            .select("embedding", "norm", "h")
+            .persist()
+        )
+    else:
+        samp = samp.select("embedding", "norm", "h")
     try:
         seed_rows = (
             samp.orderBy("h")
@@ -502,7 +510,8 @@ def _kmeans_cents(
                 for cid, dims in sorted(by_cid.items())
             ]
     finally:
-        samp.unpersist()
+        if owned:
+            samp.unpersist()
     return cents
 
 
@@ -732,6 +741,7 @@ def pq_train(
     spark: SparkSession,
     source: DataFrame | None = None,
     metric: str = "cos",
+    samp: DataFrame | None = None,
 ) -> list[list[tuple[int, list[float], float]]]:
     """Train the PQ_M per-subspace codebooks — deterministic Lloyd's,
     value-for-value identical to running ``_kmeans_cents`` once per
@@ -756,17 +766,24 @@ def pq_train(
     residual IVF-PQ with cosine-assigned codes was 0.56, i.e. WORSE
     than raw-vector codes, while l2 assignment is what makes IVFADC's
     refinement actually pay)."""
-    if source is None:
-        source = spark.table("embeddings")
-    samp = (
-        source
-        .select("vec_id", "embedding")
-        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h")
-        .limit(KMEANS_SAMPLE_N)
-        .select("embedding", "h")
-        .persist()
-    )
+    # ``samp``: a caller-owned persisted (embedding, h) top-N draw —
+    # the composite builds pass the ONE shared sample both trainers use
+    # (identical rows to the draw below; never unpersisted here).
+    owned = samp is None
+    if owned:
+        if source is None:
+            source = spark.table("embeddings")
+        samp = (
+            source
+            .select("vec_id", "embedding")
+            .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("h")
+            .limit(KMEANS_SAMPLE_N)
+            .select("embedding", "h")
+            .persist()
+        )
+    else:
+        samp = samp.select("embedding", "h")
     try:
         seed_rows = (
             samp.orderBy("h")
@@ -842,7 +859,8 @@ def pq_train(
                 for by_cid in by_s
             ]
     finally:
-        samp.unpersist()
+        if owned:
+            samp.unpersist()
     return cbs
 
 
@@ -1324,8 +1342,25 @@ def ivfpq_build(spark: SparkSession, sf_dir: str, persist: bool = True) -> IVFPQ
     literals. With ``persist=True`` the code table is materialized so
     repeated searches never retrain or re-encode (the r04 per-query-
     training cost item, closed for the composite too)."""
-    cents = _kmeans_cents(spark)
-    cbs = pq_train(spark)
+    # ONE top-N sample scan feeds both trainers (coarse + 8 codebooks):
+    # the draw (top-KMEANS_SAMPLE_N by md5(vec_id)) and every rounded
+    # value are identical to the trainers' own draws, so results — and
+    # the DuckDB oracle replay — are unchanged; only the duplicate
+    # full-table TakeOrdered disappears.
+    shared = (
+        _with_norm(spark.table("embeddings"))
+        .select("vec_id", "embedding", "norm")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(KMEANS_SAMPLE_N)
+        .select("embedding", "norm", "h")
+        .persist()
+    )
+    try:
+        cents = _kmeans_cents(spark, samp=shared)
+        cbs = pq_train(spark, samp=shared)
+    finally:
+        shared.unpersist()
     cb_exprs = [_centroid_array_expr(cb) for cb in cbs]
     cells = _scored_cells_expr(_centroid_array_expr(cents))
     base = (
