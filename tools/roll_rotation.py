@@ -1,0 +1,139 @@
+#!/usr/bin/env python3
+"""Roll the driver-evidence rotation schedule forward one round.
+
+Usage (from the repo root, at the START of round N+1, after the driver
+has written CORRECTNESS_r{N}.json):
+
+    python tools/roll_rotation.py r07
+
+It recomputes every entry's newest driver-green round from all
+CORRECTNESS_r*.json files, promotes the named window's scheduled
+entries (verifying they actually went green), shifts the remaining
+windows up, and rewrites
+golang_db_query_engine_elasticsearch_indexer_spark/rotation.py in
+place. Policy invariants enforced:
+
+- an entry that was scheduled but did NOT come back green stays at the
+  front of the next window (a failed check is the highest-priority
+  evidence gap there is);
+- once no never-checked entries remain, the window fills by oldest
+  driver evidence first (re-rotation), so no entry's evidence ages
+  beyond ~(inventory / 50) rounds;
+- net-new entries (present in queries() but absent from the table) are
+  flagged loudly and front-scheduled — the "no entry stays unchecked
+  beyond 2 rounds" rule from rotation.py's policy docstring.
+
+The tool only writes rotation.py; review + commit the diff.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+
+WINDOW = 50
+
+
+def _evidence() -> dict[str, int]:
+    ev: dict[str, int] = {}
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for name, rec in json.load(open(f)).items():
+            good = rec.get("hash_match") or (
+                rec.get("rows_match") and rec.get("err") is None
+            )
+            if good:
+                ev[name] = max(ev.get(name, 0), rnd)
+    return ev
+
+
+def main() -> None:
+    if len(sys.argv) != 2 or not re.fullmatch(r"r\d+", sys.argv[1]):
+        sys.exit("usage: python tools/roll_rotation.py r07")
+    new_window = sys.argv[1]
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+    from golang_db_query_engine_elasticsearch_indexer_spark.rotation import (
+        ROTATION,
+    )
+
+    ev = _evidence()
+    names = list(entry.queries())
+    net_new = [n for n in names if n not in ROTATION]
+    if net_new:
+        print(f"NET-NEW entries (front-scheduled): {net_new}")
+
+    def _rnum(w: str) -> int:
+        return int(w[1:])
+
+    failed = [
+        n
+        for n, (_, _, w) in ROTATION.items()
+        if w is not None and _rnum(w) < _rnum(new_window) and not ev.get(n)
+    ]
+    if failed:
+        print(f"WARNING: scheduled but NOT green last round: {failed}")
+
+    # backlog = never driver-green, ordered by their previously assigned
+    # window (earlier window first), then name for determinism
+    backlog = sorted(
+        (n for n in names if not ev.get(n)),
+        key=lambda n: (
+            _rnum(ROTATION.get(n, (None, "", None))[2] or "r99"),
+            n,
+        ),
+    )
+    pool = sorted(
+        (n for n in names if ev.get(n)),
+        key=lambda n: (ev[n], n),
+    )
+    window = (net_new + failed + [n for n in backlog if n not in failed])[:WINDOW]
+    if len(window) < WINDOW:
+        window += [n for n in pool if n not in window][: WINDOW - len(window)]
+
+    nxt = f"r{_rnum(new_window) + 1:02d}"
+    nxt2 = f"r{_rnum(new_window) + 2:02d}"
+    rest = [n for n in backlog if n not in window]
+
+    def risk(name: str) -> str:
+        old = ROTATION.get(name)
+        if old and old[1] not in ("changed-this-round", "verified"):
+            return old[1]
+        return "unclassified" if name in net_new else "verified"
+
+    lines = ["ROTATION: dict[str, tuple[int | None, str, str | None]] = {"]
+    for name in sorted(set(names)):
+        last = ev.get(name) or None
+        if name in window:
+            win = new_window
+        elif name in rest:
+            win = nxt if rest.index(name) < WINDOW else nxt2
+        else:
+            win = None
+        lines.append(f"    {name!r}: ({last!r}, {risk(name)!r}, {win!r}),")
+    lines.append("}")
+    lines.append("")
+    lines.append("CURRENT_WINDOW: tuple[str, ...] = (")
+    lines.extend(f"    {n!r}," for n in window)
+    lines.append(")")
+
+    path = "golang_db_query_engine_elasticsearch_indexer_spark/rotation.py"
+    src = open(path).read()
+    head = src[: src.index("ROTATION: dict")]
+    tail_m = re.search(r"\n\ndef scheduled\(", src)
+    tail = src[tail_m.start():]
+    open(path, "w").write(head + "\n".join(lines) + tail)
+    print(
+        f"rotation.py rewritten: window={new_window} ({len(window)} slots), "
+        f"backlog remaining={len(rest)}, failed-rescheduled={len(failed)}"
+    )
+
+
+if __name__ == "__main__":
+    main()
