@@ -162,3 +162,35 @@ def test_partitioned_compaction_splits_oversized_partitions(
         maintenance._qualified_root(spark, dst),
     ) == {"o_year"}
     assert qroot.endswith("big_part_src")
+
+
+def test_partitioned_compaction_two_level_layout(spark, tables, tmp_path):
+    """Two partition columns: detection finds both, the rewrite
+    preserves the nested layout, and per-LEAF-directory sizing still
+    holds (each leaf dir fits the big target -> exactly one file)."""
+    src = os.path.join(str(tmp_path), "two_src")
+    dst = os.path.join(str(tmp_path), "two_dst")
+    (
+        spark.table("orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_half", (F.month("o_orderdate") <= 6).cast("int"))
+        .repartition(4)
+        .write.partitionBy("o_year", "o_half")
+        .parquet(src)
+    )
+    files = maintenance._list_parquet_files(spark, src)
+    qroot = maintenance._qualified_root(spark, src)
+    assert maintenance._partition_dirs(files, qroot) == {"o_year", "o_half"}
+    report = maintenance.compact_parquet(
+        spark, src, dst, target_mb=1024, partition_by=["o_year", "o_half"]
+    )
+    assert report.rows == spark.table("orders").count()
+    out_files = maintenance._list_parquet_files(spark, dst)
+    leaf_dirs = {p.rsplit("/", 1)[0] for p, _ in out_files}
+    src_leaf_dirs = {p.rsplit("/", 1)[0] for p, _ in files}
+    assert len(out_files) == len(leaf_dirs) == len(src_leaf_dirs)
+    assert all("o_year=" in d and "o_half=" in d for d in leaf_dirs)
+    assert report.partitioned_target_files == len(src_leaf_dirs)
+    a = _row_checksum(spark.read.parquet(src))
+    b = _row_checksum(spark.read.parquet(dst))
+    assert a == b
