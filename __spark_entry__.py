@@ -37,8 +37,8 @@ def _configure(spark: SparkSession) -> None:
 # (VERDICT r05 asks #1/#6): entries whose code changed this round
 # first, then the never-driver-checked backlog by divergence risk
 # (float/stat kernels -> regex/string -> exact-integer), with net-new
-# inventory frozen until the backlog clears (r06 window = 48
-# never-checked + the 2 changed entries; r07 = 50 never-checked;
+# inventory frozen until the backlog clears (r06 window = 43
+# never-checked + 7 changed entries; r07 = 50 never-checked;
 # r08 = the final 6, then re-rotation of the oldest evidence).
 # Everything out of window keeps regression coverage via the in-repo
 # sf0.01 differential gate (tests/test_oracle_queries.py) and the

@@ -546,9 +546,14 @@ ORDER BY probe, term
 # pandas frame, the numpy greedy runs row-locally, and probes
 # parallelize across the cluster. This is the remaining UDF-seam
 # flavor (scalar/iterator seams: multimodal; stateful: streaming).
-# No SQL oracle exists for a greedy sequential argmax — the entry is
-# rows-only by necessity; a pure-Python recompute test pins every
-# selection instead.
+# The sequential argmax DOES have a SQL formulation once the step
+# count is a constant: MMR_TOP unrolled pick/selected CTE stages (the
+# same staged-loop recipe as the BPE-merge and PageRank oracles), so
+# the entry is oracle-backed — the kernel rounds relevance AND the
+# candidate-pair similarities to 6 dp before any comparison (the
+# engine-wide round-before-rank discipline), which is what makes the
+# greedy argmax replay rank-for-rank across engines. A pure-Python
+# recompute test additionally pins every selection.
 MMR_LAMBDA = 0.5
 MMR_TOP = 10
 MMR_CANDS = 50
@@ -562,8 +567,13 @@ def _mmr_fn(pdf):
         drop=True
     )
     E = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
-    E = E / np.linalg.norm(E, axis=1, keepdims=True)
-    sims = E @ E.T
+    # Candidate-pair cosines rounded to 6 dp BEFORE the greedy loop —
+    # the same boundary discipline every ranked kernel applies, and the
+    # contract that lets the unrolled SQL oracle reproduce each argmax
+    # (np.round's half-even vs SQL's half-up differs only exactly ON a
+    # 5e-7 boundary, which the 1e-16-noise cosines never hit).
+    n = np.linalg.norm(E, axis=1)
+    sims = np.round((E @ E.T) / np.outer(n, n), 6)
     rel = pdf["cos"].to_numpy()
     selected: list[int] = []
     rows = []
@@ -581,7 +591,14 @@ def _mmr_fn(pdf):
                 int(pdf["probe_id"].iloc[0]),
                 len(selected),
                 int(pdf["vec_id"].iloc[pick]),
-                round(float(score[pick]), 6),
+                # Raw IEEE score, NOT re-rounded: 0.5*rel - 0.5*pen on
+                # identical 6-dp inputs is bit-identical across engines,
+                # while a final 6-dp round lands exactly ON the 5e-7
+                # half-even/half-up tie boundary (0.5 * a 6-dp value has
+                # 7 decimal digits) — measured 6/50 rows flipping by
+                # 1e-6 between numpy and SQL round before this was
+                # removed.
+                float(score[pick]),
             )
         )
     return pd.DataFrame(rows, columns=["probe_id", "rank", "vec_id", "mmr_score"])
@@ -636,6 +653,93 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR (the staged-loop oracle recipe, as in the
+    BPE-merge and PageRank chains): pick1 is the relevance argmax;
+    each later stage computes every unselected candidate's penalty
+    (max 6-dp-rounded cosine to the selected set), scores
+    lam*rel - (1-lam)*penalty, and picks the argmax with the kernel's
+    exact tiebreak (score DESC, then candidate order = cos DESC,
+    vec_id ASC). Scores compare as identical doubles because both
+    engines derive them from the same 6-dp-rounded rel/penalty inputs
+    with the same two-term expression."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.similarity import (  # noqa: PLC0415
+        N_PROBES,
+    )
+
+    lam = MMR_LAMBDA
+    score = f"{lam!r} * c.cos - {1 - lam!r} * pn.pen"
+    parts = [
+        f"""scored AS MATERIALIZED (
+  SELECT p.vec_id AS probe_id, e.vec_id AS vid,
+         round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+  FROM embeddings p JOIN embeddings e ON e.vec_id != p.vec_id
+  WHERE p.vec_id < {N_PROBES}
+),
+cands AS MATERIALIZED (
+  SELECT probe_id, vid, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vid) AS rn
+    FROM scored) z
+  WHERE rn <= {MMR_CANDS}
+),
+sims AS MATERIALIZED (
+  SELECT a.probe_id, a.vid AS va, b.vid AS vb,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS s
+  FROM cands a
+  JOIN cands b ON b.probe_id = a.probe_id AND b.vid != a.vid
+  JOIN embeddings ea ON ea.vec_id = a.vid
+  JOIN embeddings eb ON eb.vec_id = b.vid
+),
+p1 AS MATERIALIZED (
+  SELECT probe_id, vid, cos, cast(cos AS double) AS score FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vid) AS rn
+    FROM cands) z
+  WHERE rn = 1
+),
+s1 AS MATERIALIZED (SELECT probe_id, vid FROM p1)"""
+    ]
+    # Every stage is MATERIALIZED: p{t} references s{t-1} twice and
+    # s{t} chains on s{t-1}, so inlined CTEs would re-expand the whole
+    # prefix at each of the MMR_TOP stages — the same multiply-
+    # referenced-CTE blowup the engine fixed with operators/
+    # materialized.py (measured: the non-materialized form of this
+    # oracle did not finish in 10 min at sf0.01; materialized it runs
+    # in seconds).
+    for t in range(2, MMR_TOP + 1):
+        parts.append(
+            f"""pen{t} AS MATERIALIZED (
+  SELECT x.probe_id, x.va AS vid, max(x.s) AS pen
+  FROM sims x JOIN s{t - 1} sl ON sl.probe_id = x.probe_id AND sl.vid = x.vb
+  GROUP BY x.probe_id, x.va
+),
+p{t} AS MATERIALIZED (
+  SELECT probe_id, vid, cos, score FROM (
+    SELECT c.probe_id, c.vid, c.cos, {score} AS score,
+           row_number() OVER (PARTITION BY c.probe_id
+             ORDER BY ({score}) DESC, c.cos DESC, c.vid) AS rn
+    FROM cands c
+    JOIN pen{t} pn ON pn.probe_id = c.probe_id AND pn.vid = c.vid
+    LEFT JOIN s{t - 1} ex ON ex.probe_id = c.probe_id AND ex.vid = c.vid
+    WHERE ex.vid IS NULL) z
+  WHERE rn = 1
+),
+s{t} AS MATERIALIZED (SELECT probe_id, vid FROM s{t - 1}
+         UNION ALL SELECT probe_id, vid FROM p{t})"""
+        )
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT probe_id, {t} AS rank, vid AS vec_id,"
+        f" score AS mmr_score FROM p{t}"
+        for t in range(1, MMR_TOP + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT probe_id, rank, vec_id, mmr_score FROM (\n"
+        + union
+        + "\n) u ORDER BY probe_id, rank"
+    )
+
+
 def registry() -> dict[str, dict]:
     return {
         "search_bm25": {"fn": bm25_topk, "oracle": BM25_ORACLE},
@@ -643,7 +747,9 @@ def registry() -> dict[str, dict]:
         "search_tfidf_cosine_topk": {"fn": tfidf_cosine_topk, "oracle": TFIDF_ORACLE},
         "search_phrase_match": {"fn": phrase_match, "oracle": PHRASE_MATCH_ORACLE},
         "search_fuzzy_terms": {"fn": fuzzy_terms, "oracle": _fuzzy_oracle()},
-        # rows-only by necessity: greedy sequential argmax has no SQL
-        # formulation; pinned instead by the pure-Python recompute test
-        "search_mmr_rerank": {"fn": mmr_rerank, "oracle": None},
+        # oracle-backed since r06: the greedy loop unrolls into MMR_TOP
+        # staged pick/selected CTEs (round-before-rank makes the argmax
+        # replay exactly); the pure-Python recompute test still pins
+        # every selection independently
+        "search_mmr_rerank": {"fn": mmr_rerank, "oracle": _mmr_oracle()},
     }

@@ -2051,8 +2051,10 @@ def test_mmr_rerank_matches_python_recompute(spark, tables, sf_dir):
     """Every MMR selection is reproduced by an independent pure-Python
     greedy over the same candidates (rank-1 is the relevance argmax,
     later picks trade relevance against max similarity to the picked
-    set) — the recompute pins the grouped-map kernel since no SQL
-    oracle can express the sequential argmax."""
+    set) — the recompute pins the grouped-map kernel independently of
+    the DuckDB differential (which checks the unrolled staged-CTE
+    oracle). Pair cosines are rounded to 6 dp before the greedy, the
+    kernel's round-before-rank contract."""
     import math
 
     from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
@@ -2087,7 +2089,7 @@ def test_mmr_rerank_matches_python_recompute(spark, tables, sf_dir):
         rel = np.array([c for _, c in cands])
         E = np.stack([np.array(emb[v]) for v in ids])
         E = E / np.linalg.norm(E, axis=1, keepdims=True)
-        sims = E @ E.T
+        sims = np.round(E @ E.T, 6)
         selected = []
         expect = []
         while len(selected) < search.MMR_TOP:
