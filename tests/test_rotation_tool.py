@@ -1,0 +1,175 @@
+"""Unit tests for the rotation-roller scheduling policy (tools/
+roll_rotation.py) plus consistency checks on the live rotation table.
+
+The roller rewrites rotation.py at the start of each round; a bug in
+its policy silently corrupts the driver-evidence schedule the judge
+audits, so the pure scheduling function is pinned here against the
+documented invariants (net-new first, failed-stays-front, backlog by
+assigned window, oldest-evidence refill, fixed window size).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+_TOOL = os.path.join(os.path.dirname(__file__), "..", "tools", "roll_rotation.py")
+_spec = importlib.util.spec_from_file_location("roll_rotation", _TOOL)
+roll = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(roll)
+
+
+def _rot(entries):
+    """rotation-table shorthand: {name: (last, risk, window)}"""
+    return {n: (last, risk, win) for n, last, risk, win in entries}
+
+
+def test_backlog_fills_window_by_assigned_window_then_name():
+    names = [f"q{i:02d}" for i in range(8)]
+    rotation = _rot(
+        [("q00", 5, "verified", None)]
+        + [(f"q{i:02d}", None, "float-stat", "r07") for i in range(1, 4)]
+        + [(f"q{i:02d}", None, "integer-exact", "r08") for i in range(4, 8)]
+    )
+    ev = {"q00": 5}
+    window, rest, failed, net_new = roll.compute_schedule(
+        names, rotation, ev, "r07", window_size=4
+    )
+    assert window == ["q01", "q02", "q03", "q04"]  # r07 cohort, then r08 by name
+    assert rest == ["q05", "q06", "q07"]
+    assert failed == [] and net_new == []
+
+
+def test_net_new_front_scheduled_and_not_duplicated():
+    names = ["new_b", "new_a", "q1", "q2"]
+    rotation = _rot(
+        [("q1", None, "float-stat", "r07"), ("q2", 6, "verified", None)]
+    )
+    window, rest, failed, net_new = roll.compute_schedule(
+        names, rotation, ev={"q2": 6}, new_window="r07", window_size=3
+    )
+    # queries() order preserved for net-new; each name appears ONCE
+    assert net_new == ["new_b", "new_a"]
+    assert window == ["new_b", "new_a", "q1"]
+    assert len(window) == len(set(window))
+    assert rest == []
+
+
+def test_failed_entry_stays_at_front_of_next_window():
+    names = ["ok", "failed_one", "pending"]
+    rotation = _rot(
+        [
+            ("ok", 6, "verified", None),
+            # scheduled r06, the r06 driver run did NOT return it green
+            ("failed_one", None, "float-stat", "r06"),
+            ("pending", None, "integer-exact", "r08"),
+        ]
+    )
+    window, rest, failed, net_new = roll.compute_schedule(
+        names, rotation, ev={"ok": 6}, new_window="r07", window_size=2
+    )
+    assert failed == ["failed_one"]
+    assert window[0] == "failed_one"
+    assert window == ["failed_one", "pending"]
+
+
+def test_refill_uses_oldest_driver_evidence_first():
+    names = ["old3", "old5", "old4", "backlog1"]
+    rotation = _rot(
+        [
+            ("old3", 3, "verified", None),
+            ("old5", 5, "verified", None),
+            ("old4", 4, "verified", None),
+            ("backlog1", None, "float-stat", "r07"),
+        ]
+    )
+    window, rest, failed, net_new = roll.compute_schedule(
+        names,
+        rotation,
+        ev={"old3": 3, "old5": 5, "old4": 4},
+        new_window="r07",
+        window_size=3,
+    )
+    # backlog first, then re-rotation by oldest evidence
+    assert window == ["backlog1", "old3", "old4"]
+    assert rest == []
+
+
+def test_deleted_entry_never_rescheduled():
+    """An entry dropped from queries() must not reappear in the window
+    just because its old schedule slot elapsed without evidence."""
+    names = ["live"]
+    rotation = _rot(
+        [
+            ("live", 6, "verified", None),
+            ("deleted", None, "float-stat", "r06"),
+        ]
+    )
+    window, rest, failed, net_new = roll.compute_schedule(
+        names, rotation, ev={"live": 6}, new_window="r07", window_size=2
+    )
+    assert "deleted" not in window and "deleted" not in failed
+    assert window == ["live"]
+
+
+def test_evidence_reader_takes_newest_green_and_ignores_errors(tmp_path):
+    r5 = tmp_path / "CORRECTNESS_r05.json"
+    r6 = tmp_path / "CORRECTNESS_r06.json"
+    r5.write_text(
+        json.dumps(
+            {
+                "a": {"hash_match": True},
+                "b": {"rows_match": True, "err": None},
+                "c": {"rows_match": True, "err": "boom"},
+            }
+        )
+    )
+    r6.write_text(json.dumps({"a": {"hash_match": True}, "c": {"hash_match": False}}))
+    ev = roll._evidence([str(r5), str(r6)])
+    assert ev == {"a": 6, "b": 5}
+
+
+def test_render_tables_roundtrips_through_exec():
+    names = ["q1", "q2", "q3"]
+    rotation = _rot(
+        [
+            ("q1", None, "float-stat", "r07"),
+            ("q2", 6, "verified", None),
+            ("q3", None, "regex-string", "r07"),
+        ]
+    )
+    ev = {"q2": 6}
+    window, rest, failed, net_new = roll.compute_schedule(
+        names, rotation, ev, "r07", window_size=2
+    )
+    block = roll.render_tables(
+        names, rotation, ev, "r07", window, rest, net_new, window_size=2
+    )
+    ns: dict = {}
+    exec(block, ns)  # the emitted source must be valid, consistent python
+    assert set(ns["CURRENT_WINDOW"]) == {
+        n for n, (_, _, w) in ns["ROTATION"].items() if w == "r07"
+    }
+    assert ns["ROTATION"]["q2"] == (6, "verified", None)
+    # risk classes survive the rewrite
+    assert ns["ROTATION"]["q1"][1] == "float-stat"
+    assert ns["ROTATION"]["q3"][1] == "regex-string"
+
+
+def test_live_table_consistency():
+    """The committed rotation.py satisfies its own invariants."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
+
+    assert len(r.CURRENT_WINDOW) == 50
+    assert len(set(r.CURRENT_WINDOW)) == 50
+    current = {n for n, (_, _, w) in r.ROTATION.items() if w == "r06"}
+    assert set(r.CURRENT_WINDOW) == current
+    # every scheduled window is a known label; windows are bounded
+    for name, (_last, risk, win) in r.ROTATION.items():
+        assert win in (None, "r06", "r07", "r08"), (name, win)
+        assert risk, name

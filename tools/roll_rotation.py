@@ -36,9 +36,10 @@ import sys
 WINDOW = 50
 
 
-def _evidence() -> dict[str, int]:
+def _evidence(paths: list[str] | None = None) -> dict[str, int]:
+    """name -> newest driver-green round, from CORRECTNESS_r*.json files."""
     ev: dict[str, int] = {}
-    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+    for f in sorted(paths if paths is not None else glob.glob("CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", f)
         if not m:
             continue
@@ -50,6 +51,94 @@ def _evidence() -> dict[str, int]:
             if good:
                 ev[name] = max(ev.get(name, 0), rnd)
     return ev
+
+
+def _rnum(w: str) -> int:
+    return int(w[1:])
+
+
+def compute_schedule(
+    names: list[str],
+    rotation: dict[str, tuple],
+    ev: dict[str, int],
+    new_window: str,
+    window_size: int = WINDOW,
+) -> tuple[list[str], list[str], list[str], list[str]]:
+    """Pure scheduling policy: returns (window, rest, failed, net_new).
+
+    - net_new: in queries() but not in the table — front-scheduled (the
+      "no entry unchecked beyond 2 rounds" rule).
+    - failed: scheduled in an already-elapsed window but still without
+      driver-green evidence — a failed check is the highest-priority
+      evidence gap, so they stay at the window's front.
+    - backlog: never driver-green, ordered by previously assigned
+      window (earlier first) then name.
+    - refill: once the backlog fits, the window tops up with the OLDEST
+      driver evidence first (re-rotation).
+    """
+    net_new = [n for n in names if n not in rotation]
+    failed = [
+        n
+        for n, (_, _, w) in rotation.items()
+        if w is not None and _rnum(w) < _rnum(new_window) and not ev.get(n)
+        and n in names
+    ]
+    backlog = sorted(
+        (n for n in names if not ev.get(n) and n not in net_new),
+        key=lambda n: (
+            _rnum(rotation.get(n, (None, "", None))[2] or "r99"),
+            n,
+        ),
+    )
+    pool = sorted(
+        (n for n in names if ev.get(n)),
+        key=lambda n: (ev[n], n),
+    )
+    window = list(
+        dict.fromkeys(net_new + failed + [n for n in backlog if n not in failed])
+    )[:window_size]
+    if len(window) < window_size:
+        window += [n for n in pool if n not in window][: window_size - len(window)]
+    rest = [n for n in backlog if n not in window]
+    return window, rest, failed, net_new
+
+
+def render_tables(
+    names: list[str],
+    rotation: dict[str, tuple],
+    ev: dict[str, int],
+    new_window: str,
+    window: list[str],
+    rest: list[str],
+    net_new: list[str],
+    window_size: int = WINDOW,
+) -> str:
+    """The ROTATION + CURRENT_WINDOW source block for rotation.py."""
+
+    def risk(name: str) -> str:
+        old = rotation.get(name)
+        if old and old[1] not in ("changed-this-round", "verified"):
+            return old[1]
+        return "unclassified" if name in net_new else "verified"
+
+    nxt = f"r{_rnum(new_window) + 1:02d}"
+    nxt2 = f"r{_rnum(new_window) + 2:02d}"
+    lines = ["ROTATION: dict[str, tuple[int | None, str, str | None]] = {"]
+    for name in sorted(set(names)):
+        last = ev.get(name) or None
+        if name in window:
+            win = new_window
+        elif name in rest:
+            win = nxt if rest.index(name) < window_size else nxt2
+        else:
+            win = None
+        lines.append(f"    {name!r}: ({last!r}, {risk(name)!r}, {win!r}),")
+    lines.append("}")
+    lines.append("")
+    lines.append("CURRENT_WINDOW: tuple[str, ...] = (")
+    lines.extend(f"    {n!r}," for n in window)
+    lines.append(")")
+    return "\n".join(lines)
 
 
 def main() -> None:
@@ -65,70 +154,23 @@ def main() -> None:
 
     ev = _evidence()
     names = list(entry.queries())
-    net_new = [n for n in names if n not in ROTATION]
+    window, rest, failed, net_new = compute_schedule(
+        names, ROTATION, ev, new_window
+    )
     if net_new:
         print(f"NET-NEW entries (front-scheduled): {net_new}")
-
-    def _rnum(w: str) -> int:
-        return int(w[1:])
-
-    failed = [
-        n
-        for n, (_, _, w) in ROTATION.items()
-        if w is not None and _rnum(w) < _rnum(new_window) and not ev.get(n)
-    ]
     if failed:
         print(f"WARNING: scheduled but NOT green last round: {failed}")
 
-    # backlog = never driver-green, ordered by their previously assigned
-    # window (earlier window first), then name for determinism
-    backlog = sorted(
-        (n for n in names if not ev.get(n)),
-        key=lambda n: (
-            _rnum(ROTATION.get(n, (None, "", None))[2] or "r99"),
-            n,
-        ),
+    block = render_tables(
+        names, ROTATION, ev, new_window, window, rest, net_new
     )
-    pool = sorted(
-        (n for n in names if ev.get(n)),
-        key=lambda n: (ev[n], n),
-    )
-    window = (net_new + failed + [n for n in backlog if n not in failed])[:WINDOW]
-    if len(window) < WINDOW:
-        window += [n for n in pool if n not in window][: WINDOW - len(window)]
-
-    nxt = f"r{_rnum(new_window) + 1:02d}"
-    nxt2 = f"r{_rnum(new_window) + 2:02d}"
-    rest = [n for n in backlog if n not in window]
-
-    def risk(name: str) -> str:
-        old = ROTATION.get(name)
-        if old and old[1] not in ("changed-this-round", "verified"):
-            return old[1]
-        return "unclassified" if name in net_new else "verified"
-
-    lines = ["ROTATION: dict[str, tuple[int | None, str, str | None]] = {"]
-    for name in sorted(set(names)):
-        last = ev.get(name) or None
-        if name in window:
-            win = new_window
-        elif name in rest:
-            win = nxt if rest.index(name) < WINDOW else nxt2
-        else:
-            win = None
-        lines.append(f"    {name!r}: ({last!r}, {risk(name)!r}, {win!r}),")
-    lines.append("}")
-    lines.append("")
-    lines.append("CURRENT_WINDOW: tuple[str, ...] = (")
-    lines.extend(f"    {n!r}," for n in window)
-    lines.append(")")
-
     path = "golang_db_query_engine_elasticsearch_indexer_spark/rotation.py"
     src = open(path).read()
     head = src[: src.index("ROTATION: dict")]
     tail_m = re.search(r"\n\ndef scheduled\(", src)
     tail = src[tail_m.start():]
-    open(path, "w").write(head + "\n".join(lines) + tail)
+    open(path, "w").write(head + block + tail)
     print(
         f"rotation.py rewritten: window={new_window} ({len(window)} slots), "
         f"backlog remaining={len(rest)}, failed-rescheduled={len(failed)}"
