@@ -325,6 +325,51 @@ def es_mapping_for_schema(schema) -> dict:
     return {"properties": {f.name: es_type(f.dataType) for f in schema.fields}}
 
 
+def post_bulk_ndjson(
+    base_url: str,
+    headers: dict[str, str],
+    lines: list[str],
+    *,
+    max_retries: int,
+    retry_wait: float,
+    timeout: float,
+    retry_statuses: tuple[int, ...] = (429, 502, 503, 504),
+) -> tuple[int, int]:
+    """POST one ``_bulk`` NDJSON body and return (ok, failed) item
+    counts — request-level retry with linear backoff on the
+    reference's status set (elastic_controller.go:52-64). Module-level
+    so BOTH executor paths share it: HttpBulkSink's ``mapInPandas``
+    partitions and the Python Data Source task writer
+    (sources/es_datasource.py)."""
+    import json as _json  # noqa: PLC0415 — executor-side
+    import time as _time  # noqa: PLC0415
+    import urllib.error  # noqa: PLC0415
+    import urllib.request  # noqa: PLC0415
+
+    body = ("\n".join(lines) + "\n").encode()
+    req = urllib.request.Request(
+        base_url + "/_bulk", data=body, method="POST", headers=headers
+    )
+    for attempt in range(max_retries + 1):
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                data = _json.loads(resp.read())
+            ok = failed = 0
+            for item in data.get("items", []):
+                status = item.get("index", {}).get("status", 500)
+                if status < 300:
+                    ok += 1
+                else:
+                    failed += 1
+            return ok, failed
+        except urllib.error.HTTPError as e:
+            if e.code in retry_statuses and attempt < max_retries:
+                _time.sleep(retry_wait * (attempt + 1))
+                continue
+            raise
+    raise RuntimeError("unreachable")
+
+
 class HttpBulkSink:
     """Executable Elasticsearch ``_bulk`` path over plain HTTP — the
     reference's actual write protocol (``esutil.BulkIndexer`` → POST
@@ -426,6 +471,23 @@ class HttpBulkSink:
     def index_exists(self, index_name: str) -> bool:
         return self._request("HEAD", f"/{index_name}") == 200
 
+    def delete_index(self, index_name: str) -> bool:
+        """DELETE /{index}; True if it existed. The overwrite-mode
+        primitive for the Data Source writer (the reference only ever
+        appends; SaveMode.Overwrite needs a recreate)."""
+        return self._request("DELETE", f"/{index_name}") == 200
+
+    def refresh(self, index_name: str) -> bool:
+        """POST /{index}/_refresh — the read-visibility barrier a test
+        or a strictly-ordered pipeline issues after a bulk load (ES
+        makes bulk writes searchable only after a refresh cycle)."""
+        return (
+            self._request(
+                "POST", f"/{index_name}/_refresh", content_type="application/json"
+            )
+            == 200
+        )
+
     def swap_alias(self, alias: str, new_index: str, old_index: str | None = None) -> bool:
         """Atomically point ``alias`` at ``new_index`` (removing it from
         ``old_index`` in the SAME ``_aliases`` request) — the
@@ -492,37 +554,23 @@ class HttpBulkSink:
         def send_partition(batches):
             import json as _json
             import time as _time
-            import urllib.error
-            import urllib.request
 
             import pandas as pd
 
+            from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (
+                post_bulk_ndjson,
+            )
+
             def post_bulk(lines: list[str]) -> tuple[int, int]:
-                body = ("\n".join(lines) + "\n").encode()
-                req = urllib.request.Request(
-                    base_url + "/_bulk",
-                    data=body,
-                    method="POST",
-                    headers=headers,
+                return post_bulk_ndjson(
+                    base_url,
+                    headers,
+                    lines,
+                    max_retries=max_retries,
+                    retry_wait=retry_wait,
+                    timeout=timeout,
+                    retry_statuses=retry_statuses,
                 )
-                for attempt in range(max_retries + 1):
-                    try:
-                        with urllib.request.urlopen(req, timeout=timeout) as resp:
-                            data = _json.loads(resp.read())
-                        ok = failed = 0
-                        for item in data.get("items", []):
-                            status = item.get("index", {}).get("status", 500)
-                            if status < 300:
-                                ok += 1
-                            else:
-                                failed += 1
-                        return ok, failed
-                    except urllib.error.HTTPError as e:
-                        if e.code in retry_statuses and attempt < max_retries:
-                            _time.sleep(retry_wait * (attempt + 1))
-                            continue
-                        raise
-                raise RuntimeError("unreachable")
 
             n_ok = n_failed = 0
             lines: list[str] = []

@@ -25,6 +25,11 @@ class StubES:
         self.fail_ids = {str(i) for i in fail_ids}
         self.reject_remaining = reject_first_n_bulk
         self.bulk_requests = 0
+        #: indexes removed via DELETE (overwrite-mode evidence)
+        self.deletes: list[str] = []
+        #: indexes that received POST /{index}/_refresh
+        self.refreshes: list[str] = []
+        self.auto_id_seq = 0
         self.lock = threading.Lock()
         stub = self
 
@@ -45,6 +50,16 @@ class StubES:
                 with stub.lock:
                     exists = name in stub.indexes
                 self._respond(200 if exists else 404)
+
+            def do_DELETE(self):
+                name = self.path.strip("/")
+                with stub.lock:
+                    existed = name in stub.indexes
+                    stub.indexes.pop(name, None)
+                    stub.create_bodies.pop(name, None)
+                    if existed:
+                        stub.deletes.append(name)
+                self._respond(200 if existed else 404, b"{}")
 
             def do_PUT(self):
                 name = self.path.strip("/")
@@ -103,6 +118,14 @@ class StubES:
                                 stub.aliases[a["alias"]] = a["index"]
                     self._respond(200, b'{"acknowledged":true}')
                     return
+                if self.path.endswith("/_refresh"):
+                    name = self.path.strip("/").rsplit("/", 1)[0]
+                    with stub.lock:
+                        known = name in stub.indexes
+                        if known:
+                            stub.refreshes.append(name)
+                    self._respond(200 if known else 404, b"{}")
+                    return
                 if not self.path.startswith("/_bulk"):
                     self._respond(404, b"{}")
                     return
@@ -120,7 +143,13 @@ class StubES:
                         action = json.loads(lines[i])
                         source = json.loads(lines[i + 1])
                         meta = action["index"]
-                        doc_id = str(meta["_id"])
+                        if "_id" in meta:
+                            doc_id = str(meta["_id"])
+                        else:
+                            # ES generates an id when the action omits
+                            # one — a deterministic counter stands in.
+                            stub.auto_id_seq += 1
+                            doc_id = f"auto-{stub.auto_id_seq}"
                         if doc_id in stub.fail_ids:
                             items.append({"index": {"_id": doc_id, "status": 500}})
                             errors = True
