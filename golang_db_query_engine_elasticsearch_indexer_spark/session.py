@@ -61,6 +61,12 @@ RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.cteRecursionLevelLimit": "36600",
+    # Python Data Source filter pushdown (4.1 opt-in): the elastic
+    # scroll reader translates Spark Filters into ES bool.filter
+    # clauses; with this off Spark REFUSES any reader that implements
+    # pushFilters (the reader offers .option("pushdown","false") as
+    # the per-read escape hatch on foreign sessions).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

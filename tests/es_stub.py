@@ -14,6 +14,71 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+def _dyn_type(v) -> dict:
+    """ES dynamic-mapping inference for one stored JSON value."""
+    if isinstance(v, bool):
+        return {"type": "boolean"}
+    if isinstance(v, int):
+        return {"type": "long"}
+    if isinstance(v, float):
+        return {"type": "double"}
+    return {
+        "type": "text",
+        "fields": {"keyword": {"type": "keyword", "ignore_above": 256}},
+    }
+
+
+def _field(name: str) -> str:
+    """Strip the .keyword sub-field suffix (term/prefix/wildcard
+    queries target it for exact string semantics)."""
+    return name[: -len(".keyword")] if name.endswith(".keyword") else name
+
+
+def _eval_query(q: dict, src: dict) -> bool:
+    """Minimal ES query-DSL evaluator: bool/filter/must_not, term,
+    terms, range (gt/gte/lt/lte), exists, prefix, wildcard('*v*')."""
+    if "bool" in q:
+        b = q["bool"]
+        return all(_eval_query(c, src) for c in b.get("filter", [])) and not any(
+            _eval_query(c, src) for c in b.get("must_not", [])
+        )
+    if "term" in q:
+        ((f, v),) = q["term"].items()
+        return src.get(_field(f)) == v
+    if "terms" in q:
+        ((f, vs),) = q["terms"].items()
+        return src.get(_field(f)) in vs
+    if "range" in q:
+        ((f, spec),) = q["range"].items()
+        x = src.get(_field(f))
+        if x is None:
+            return False
+        return (
+            ("gt" not in spec or x > spec["gt"])
+            and ("gte" not in spec or x >= spec["gte"])
+            and ("lt" not in spec or x < spec["lt"])
+            and ("lte" not in spec or x <= spec["lte"])
+        )
+    if "exists" in q:
+        return src.get(_field(q["exists"]["field"])) is not None
+    if "prefix" in q:
+        ((f, v),) = q["prefix"].items()
+        x = src.get(_field(f))
+        return isinstance(x, str) and x.startswith(v)
+    if "wildcard" in q:
+        ((f, v),) = q["wildcard"].items()
+        x = src.get(_field(f))
+        needle = v.strip("*")
+        if v.startswith("*") and v.endswith("*"):
+            return isinstance(x, str) and needle in x
+        if v.endswith("*"):
+            return isinstance(x, str) and x.startswith(needle)
+        if v.startswith("*"):
+            return isinstance(x, str) and x.endswith(needle)
+        return x == v
+    raise ValueError(f"stub cannot evaluate query clause: {list(q)}")
+
+
 class StubES:
     def __init__(self, fail_ids=(), reject_first_n_bulk: int = 0):
         self.indexes: dict[str, dict[str, dict]] = {}
@@ -30,6 +95,15 @@ class StubES:
         #: indexes that received POST /{index}/_refresh
         self.refreshes: list[str] = []
         self.auto_id_seq = 0
+        #: scroll_id -> (remaining (id, source) pairs, page size)
+        self.scrolls: dict[str, tuple[list, int]] = {}
+        self.scroll_seq = 0
+        self.scroll_clears = 0
+        self.search_requests = 0
+        #: total hits returned across all search/scroll pages — lets a
+        #: pushdown test assert FEWER docs crossed the wire
+        self.hits_served = 0
+        self.last_search_body: dict = {}
         self.lock = threading.Lock()
         stub = self
 
@@ -52,6 +126,16 @@ class StubES:
                 self._respond(200 if exists else 404)
 
             def do_DELETE(self):
+                if self.path.startswith("/_search/scroll"):
+                    length = int(self.headers.get("Content-Length") or 0)
+                    body = json.loads(self.rfile.read(length)) if length else {}
+                    sid = body.get("scroll_id")
+                    with stub.lock:
+                        existed = stub.scrolls.pop(sid, None) is not None
+                        if existed:
+                            stub.scroll_clears += 1
+                    self._respond(200, b'{"succeeded":true}')
+                    return
                 name = self.path.strip("/")
                 with stub.lock:
                     existed = name in stub.indexes
@@ -60,6 +144,29 @@ class StubES:
                     if existed:
                         stub.deletes.append(name)
                 self._respond(200 if existed else 404, b"{}")
+
+            def do_GET(self):
+                # GET /{index}/_mapping — the explicit create body's
+                # mappings when one was given, else a dynamic mapping
+                # inferred from stored docs (ES's own behavior).
+                if self.path.rstrip("/").endswith("/_mapping"):
+                    name = self.path.strip("/").rsplit("/", 1)[0]
+                    with stub.lock:
+                        if name not in stub.indexes:
+                            self._respond(404, b'{"error":"no such index"}')
+                            return
+                        body = stub.create_bodies.get(name) or {}
+                        mappings = body.get("mappings")
+                        if not mappings:
+                            props: dict = {}
+                            for doc in stub.indexes[name].values():
+                                for k, v in doc.items():
+                                    props.setdefault(k, _dyn_type(v))
+                            mappings = {"properties": props}
+                    payload = json.dumps({name: {"mappings": mappings}}).encode()
+                    self._respond(200, payload)
+                    return
+                self._respond(404, b"{}")
 
             def do_PUT(self):
                 name = self.path.strip("/")
@@ -117,6 +224,73 @@ class StubES:
                                 a = act["add"]
                                 stub.aliases[a["alias"]] = a["index"]
                     self._respond(200, b'{"acknowledged":true}')
+                    return
+                if self.path.startswith("/_search/scroll"):
+                    length = int(self.headers.get("Content-Length") or 0)
+                    body = json.loads(self.rfile.read(length)) if length else {}
+                    sid = body.get("scroll_id")
+                    with stub.lock:
+                        state = stub.scrolls.get(sid)
+                        if state is None:
+                            self._respond(404, b'{"error":"no scroll"}')
+                            return
+                        docs, size = state
+                        page, rest = docs[:size], docs[size:]
+                        stub.scrolls[sid] = (rest, size)
+                        stub.search_requests += 1
+                        stub.hits_served += len(page)
+                    payload = json.dumps(
+                        {
+                            "_scroll_id": sid,
+                            "hits": {
+                                "hits": [
+                                    {"_id": i, "_source": s} for i, s in page
+                                ]
+                            },
+                        }
+                    ).encode()
+                    self._respond(200, payload)
+                    return
+                if "/_search" in self.path:
+                    name = self.path.strip("/").split("/", 1)[0]
+                    length = int(self.headers.get("Content-Length") or 0)
+                    body = json.loads(self.rfile.read(length)) if length else {}
+                    with stub.lock:
+                        if name not in stub.indexes:
+                            self._respond(404, b'{"error":"no such index"}')
+                            return
+                        stub.search_requests += 1
+                        stub.last_search_body = body
+                        items = list(stub.indexes[name].items())
+                        sl = body.get("slice")
+                        if sl:
+                            items = [
+                                it
+                                for pos, it in enumerate(items)
+                                if pos % sl["max"] == sl["id"]
+                            ]
+                        q = body.get("query")
+                        if q:
+                            items = [
+                                (i, s) for i, s in items if _eval_query(q, s)
+                            ]
+                        size = int(body.get("size", 10))
+                        page, rest = items[:size], items[size:]
+                        stub.hits_served += len(page)
+                        stub.scroll_seq += 1
+                        sid = f"scroll-{stub.scroll_seq}"
+                        stub.scrolls[sid] = (rest, size)
+                    payload = json.dumps(
+                        {
+                            "_scroll_id": sid,
+                            "hits": {
+                                "hits": [
+                                    {"_id": i, "_source": s} for i, s in page
+                                ]
+                            },
+                        }
+                    ).encode()
+                    self._respond(200, payload)
                     return
                 if self.path.endswith("/_refresh"):
                     name = self.path.strip("/").rsplit("/", 1)[0]

@@ -1,0 +1,220 @@
+"""Tests for the sliced-scroll Python Data Source reader
+(sources/es_scroll.py) against the stub ES: write-then-read roundtrip,
+slice-per-partition parallelism and disjointness, mapping-derived
+schema, filter pushdown (transfer shrinks, results stay exact),
+pagination, and scroll-cursor cleanup.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from golang_db_query_engine_elasticsearch_indexer_spark.gateway import query_df
+from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_datasource import (
+    write_dataframe,
+)
+from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_scroll import (
+    ElasticScrollDataSource,
+    register,
+    schema_for_es_mapping,
+)
+
+SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_totalprice > 250000
+"""
+
+
+@pytest.fixture()
+def es_stub():
+    from es_stub import StubES
+
+    made = []
+
+    def make(**kwargs):
+        stub = StubES(**kwargs)
+        stub.start()
+        made.append(stub)
+        return stub
+
+    yield make
+    for stub in made:
+        stub.stop()
+
+
+def _load(spark, stub, index, schema=None, **opts):
+    register(spark)
+    r = spark.read.format("elastic_scroll").option("url", stub.base_url).option(
+        "index", index
+    )
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    if schema:
+        r = r.schema(schema)
+    return r.load()
+
+
+def test_write_then_read_roundtrip_and_partitions(spark, tables, es_stub):
+    stub = es_stub()
+    df = query_df(spark, SQL)
+    write_dataframe(df, "rt", id_col="o_orderkey", url=stub.base_url)
+    out = _load(
+        spark,
+        stub,
+        "rt",
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+        slices=3,
+        id_col="o_orderkey",
+    )
+    assert out.rdd.getNumPartitions() == 3  # one partition per slice
+    got = {r.o_orderkey: (r.o_orderstatus, r.o_totalprice) for r in out.collect()}
+    expect = {r.o_orderkey: (r.o_orderstatus, r.o_totalprice) for r in df.collect()}
+    assert len(got) == df.count()  # slices are disjoint: no dupes
+    assert set(got) == set(expect)
+    for k, (status, price) in expect.items():
+        assert got[k][0] == status
+        assert got[k][1] == pytest.approx(price)
+
+
+def test_mapping_derived_schema(spark, es_stub):
+    """An index created with the engine's explicit mapping reads back
+    with the types the mapping declares — no user schema needed."""
+    stub = es_stub()
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_datasource import (
+        register as reg_w,
+    )
+
+    reg_w(spark)
+    df = spark.createDataFrame(
+        [(1, "t", 2.5, True)], "k long, s string, v double, b boolean"
+    )
+    (
+        df.write.format("elastic_bulk")
+        .mode("append")
+        .option("url", stub.base_url)
+        .option("index", "typed")
+        .option("explicit_mapping", "true")
+        .save()
+    )
+    out = _load(spark, stub, "typed", slices=1)
+    kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert kinds == {"k": "bigint", "s": "string", "v": "double", "b": "boolean"}
+    row = out.collect()[0]
+    assert (row.k, row.s, row.v, row.b) == (1, "t", 2.5, True)
+
+
+def test_dynamic_mapping_inference(spark, es_stub):
+    """No explicit mapping: the stub infers ES dynamic types from the
+    stored docs and the reader inverts them."""
+    stub = es_stub()
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_datasource import (
+        register as reg_w,
+    )
+
+    reg_w(spark)
+    df = spark.createDataFrame([(7, "x", 1.5)], "k long, s string, v double")
+    (
+        df.write.format("elastic_bulk")
+        .mode("append")
+        .option("url", stub.base_url)
+        .option("index", "dyn")
+        .save()
+    )
+    out = _load(spark, stub, "dyn", slices=1)
+    kinds = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert kinds == {"k": "bigint", "s": "string", "v": "double"}
+
+
+def test_filter_pushdown_shrinks_transfer_and_stays_exact(spark, tables, es_stub):
+    stub = es_stub()
+    df = query_df(spark, SQL)
+    n_all = df.count()
+    write_dataframe(df, "pf", id_col="o_orderkey", url=stub.base_url)
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double"
+
+    base = stub.hits_served
+    full = _load(
+        spark, stub, "pf", schema=schema, slices=2, id_col="o_orderkey"
+    ).collect()
+    unfiltered_transfer = stub.hits_served - base
+    assert len(full) == n_all
+
+    base = stub.hits_served
+    out = _load(
+        spark, stub, "pf", schema=schema, slices=2, id_col="o_orderkey"
+    ).where("o_totalprice > 400000 AND o_orderstatus = 'O'")
+    rows = out.collect()
+    pushed_transfer = stub.hits_served - base
+    expect = {
+        r.o_orderkey
+        for r in df.where("o_totalprice > 400000 AND o_orderstatus = 'O'").collect()
+    }
+    assert {r.o_orderkey for r in rows} == expect
+    # the range clause reached ES: strictly fewer docs crossed the wire
+    assert 0 < pushed_transfer < unfiltered_transfer
+    q = stub.last_search_body["query"]["bool"]["filter"]
+    assert {"range": {"o_totalprice": {"gt": 400000}}} in q
+    assert {"term": {"o_orderstatus.keyword": "O"}} in q
+
+
+def test_id_col_filter_never_pushed(spark, tables, es_stub):
+    """A predicate on the id column must stay Spark-side: the column
+    lives in _id, not _source, so a pushed term clause would match
+    zero docs server-side and silently drop every row."""
+    stub = es_stub()
+    df = query_df(spark, SQL)
+    write_dataframe(df, "idf", id_col="o_orderkey", url=stub.base_url)
+    some_key = df.collect()[0].o_orderkey
+    out = _load(
+        spark,
+        stub,
+        "idf",
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+        slices=2,
+        id_col="o_orderkey",
+    ).where(f"o_orderkey = {some_key}")
+    rows = out.collect()
+    assert [r.o_orderkey for r in rows] == [some_key]
+    # no term clause on the id column reached ES
+    q = stub.last_search_body.get("query", {})
+    assert "o_orderkey" not in str(q)
+
+
+def test_pagination_and_scroll_cleanup(spark, tables, es_stub):
+    stub = es_stub()
+    df = query_df(spark, SQL)
+    n = df.count()
+    write_dataframe(df, "pages", id_col="o_orderkey", url=stub.base_url)
+    out = _load(
+        spark,
+        stub,
+        "pages",
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+        slices=1,
+        page_size=7,
+    )
+    assert out.count() == n
+    # multiple scroll continuations + the cursor cleared at drain
+    assert stub.search_requests > n // 7
+    assert stub.scroll_clears >= 1
+
+
+def test_schema_inverse_roundtrips_engine_mapping():
+    """schema -> es_mapping_for_schema -> schema_for_es_mapping is the
+    identity on the scalar types both sides share."""
+    from pyspark.sql.types import StructType
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (
+        es_mapping_for_schema,
+    )
+
+    ddl = "b boolean, d double, k bigint, s string, t timestamp, z binary"
+    schema = StructType.fromDDL(ddl)
+    back = schema_for_es_mapping(es_mapping_for_schema(schema)["properties"])
+    assert back.simpleString() == schema.simpleString()
+    assert ElasticScrollDataSource.name() == "elastic_scroll"
+
+
+def test_bare_object_mapping_demands_explicit_schema():
+    with pytest.raises(ValueError, match="explicit"):
+        schema_for_es_mapping({"m": {"type": "object"}})
