@@ -277,3 +277,98 @@ def test_deletion_neighborhood_completeness_model(q, t):
 
     if _levenshtein(q, t) <= 1:
         assert neighborhood(q) & neighborhood(t)
+
+
+# --- ES filter-pushdown safety (sources/es_scroll.py) -----------------------
+
+@st.composite
+def _docs(draw):
+    return {
+        "s": draw(st.one_of(st.none(), st.text(alphabet="abxy", max_size=4))),
+        "n": draw(st.one_of(st.none(), st.integers(-5, 5))),
+        "f": draw(st.one_of(st.none(), st.floats(-5, 5, allow_nan=False))),
+    }
+
+
+@st.composite
+def _spark_filters(draw):
+    """(Filter, column, python_predicate) triples covering every
+    translated clause shape; predicates use SQL semantics (NULL never
+    matches a comparison)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        IsNull,
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    kind = draw(st.sampled_from(
+        ["eq", "gt", "gte", "lt", "lte", "in", "null", "notnull",
+         "starts", "ends", "contains"]
+    ))
+    if kind in ("starts", "ends", "contains"):
+        v = draw(st.text(alphabet="abxy", min_size=1, max_size=2))
+        cls = {"starts": StringStartsWith, "ends": StringEndsWith,
+               "contains": StringContains}[kind]
+        pred = {
+            "starts": lambda x: isinstance(x, str) and x.startswith(v),
+            "ends": lambda x: isinstance(x, str) and x.endswith(v),
+            "contains": lambda x: isinstance(x, str) and v in x,
+        }[kind]
+        return cls(("s",), v), "s", pred
+    col = draw(st.sampled_from(["s", "n", "f"]))
+    if kind == "null":
+        return IsNull((col,)), col, lambda x: x is None
+    if kind == "notnull":
+        return IsNotNull((col,)), col, lambda x: x is not None
+    if col == "s":
+        v = draw(st.text(alphabet="abxy", max_size=4))
+    elif col == "n":
+        v = draw(st.integers(-5, 5))
+    else:
+        v = draw(st.floats(-5, 5, allow_nan=False))
+    if kind == "in":
+        vs = (v,)
+        return In((col,), vs), col, lambda x: x is not None and x in vs
+    cls = {"eq": EqualTo, "gt": GreaterThan, "gte": GreaterThanOrEqual,
+           "lt": LessThan, "lte": LessThanOrEqual}[kind]
+    import operator
+    op = {"eq": operator.eq, "gt": operator.gt, "gte": operator.ge,
+          "lt": operator.lt, "lte": operator.le}[kind]
+    return cls((col,), v), col, lambda x: x is not None and op(x, v)
+
+
+@settings(max_examples=500, deadline=None)
+@given(doc=_docs(), fp=_spark_filters())
+def test_es_pushdown_clause_never_drops_matching_rows(doc, fp):
+    """Pushdown-safety superset property: whenever the SQL predicate
+    keeps a row, the translated ES clause must also keep it — pushdown
+    may over-return (Spark re-filters; false positives only cost
+    transfer) but must NEVER under-return (false negatives silently
+    lose rows). The clause is evaluated with the stub\'s query-DSL
+    evaluator over an ES-shaped _source (null fields absent), so the
+    translation and the stub evaluator pin each other."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from es_stub import _eval_query
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_scroll import (
+        _es_clause,
+    )
+
+    flt, col, pred = fp
+    clause = _es_clause(flt, string_cols={"s"})
+    if clause is None:
+        return  # untranslatable filters are simply not pushed — safe
+    if pred(doc[col]):
+        src = {k: v for k, v in doc.items() if v is not None}
+        assert _eval_query(clause, src), (flt, clause, src)
