@@ -54,7 +54,40 @@ def read_table(
     fmt: str = "parquet",
     options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Lazy reader for one table at ``path`` in ``fmt``."""
+    """Lazy reader for one table at ``path`` in ``fmt``.
+
+    ``fmt="elastic"`` treats ``path`` as an Elasticsearch INDEX name
+    and reads through the sliced-scroll Data Source (es_scroll.py):
+    connection settings come from options (``url``/``username``/
+    ``password``), falling back to the reference's environment names
+    (ELASTICSEARCH_HOST/USERNAME/PASSWORD via config.app_config) —
+    the same resolution order the Go client uses."""
+    if fmt == "elastic":
+        from golang_db_query_engine_elasticsearch_indexer_spark.config import (  # noqa: PLC0415
+            app_config,
+        )
+        from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_scroll import (  # noqa: PLC0415
+            FORMAT_NAME as _SCROLL,
+            register as _register_scroll,
+        )
+
+        _register_scroll(spark)
+        cfg = app_config()
+        opts = dict(options or {})
+        opts.setdefault("index", path)
+        if "url" not in opts and cfg.get("ELASTICSEARCH_HOST"):
+            opts["url"] = cfg["ELASTICSEARCH_HOST"]
+        for env_key, opt_key in (
+            ("ELASTICSEARCH_USERNAME", "username"),
+            ("ELASTICSEARCH_PASSWORD", "password"),
+        ):
+            if opt_key not in opts and cfg.get(env_key):
+                opts[opt_key] = cfg[env_key]
+        schema = opts.pop("schema", None)
+        reader = spark.read.format(_SCROLL).options(**opts)
+        if schema:
+            reader = reader.schema(schema)
+        return reader.load()
     if fmt not in _FORMATS:
         raise IncorrectDbDriverError(f"Unknown source format {fmt!r}")
     reader_fmt, defaults = _FORMATS[fmt]

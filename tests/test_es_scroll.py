@@ -218,3 +218,49 @@ def test_schema_inverse_roundtrips_engine_mapping():
 def test_bare_object_mapping_demands_explicit_schema():
     with pytest.raises(ValueError, match="explicit"):
         schema_for_es_mapping({"m": {"type": "object"}})
+
+
+def test_read_table_elastic_format_and_env_fallback(
+    spark, tables, es_stub, monkeypatch, tmp_path
+):
+    """sources.read_table(fmt='elastic') treats path as the index name
+    and resolves the connection from the reference's environment names
+    when options omit it — then plain spark.sql works over the view:
+    the full loop SQL -> bulk write -> scroll read -> SQL."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources import read_table
+
+    stub = es_stub()
+    df = query_df(spark, SQL)
+    write_dataframe(df, "loop", id_col="o_orderkey", url=stub.base_url)
+
+    # explicit option path
+    out = read_table(
+        spark,
+        "loop",
+        fmt="elastic",
+        options={
+            "url": stub.base_url,
+            "id_col": "o_orderkey",
+            "schema": "o_orderkey long, o_orderstatus string, o_totalprice double",
+            "slices": "2",
+        },
+    )
+    assert out.count() == df.count()
+
+    # env fallback path (reference's variable names), no url option
+    monkeypatch.setenv("ELASTICSEARCH_HOST", stub.base_url)
+    monkeypatch.chdir(tmp_path)  # no .env file interference
+    out2 = read_table(
+        spark,
+        "loop",
+        fmt="elastic",
+        options={
+            "id_col": "o_orderkey",
+            "schema": "o_orderkey long, o_orderstatus string, o_totalprice double",
+        },
+    )
+    out2.createOrReplaceTempView("es_loop")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM es_loop WHERE o_totalprice > 300000"
+    ).collect()[0].n
+    assert n == df.where("o_totalprice > 300000").count()
