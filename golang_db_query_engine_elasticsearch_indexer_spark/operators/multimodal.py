@@ -64,17 +64,19 @@ def decode_stub(modality: str):
     STUB: ffmpeg/libjpeg are not in this container; these modalities
     validate the plumbing contract and fail loudly rather than faking
     media decode silently. IMAGE and AUDIO decode are NOT stubbed —
-    see ``decode_image`` (real binary PPM parser) and ``decode_audio``
-    (real RIFF/WAV chunk walker), both in the same Arrow-batched path.
+    see ``decode_image`` (real binary PPM parser), ``decode_bmp``,
+    ``decode_png`` (real chunked+zlib decoder — the one COMPRESSED
+    format stdlib can inflate), and ``decode_audio`` (real RIFF/WAV
+    chunk walker), all in the same Arrow-batched path.
     """
 
     def _decode(batches):
         for pdf in batches:
             raise NotImplementedError(
                 f"{modality} decode requires codec libraries not present in "
-                "this environment; image decode (PPM) is real — see "
-                "decode_image; payload plumbing is also exercised by "
-                "binary_features"
+                "this environment; image decode (PPM/BMP/PNG) is real — see "
+                "decode_image/decode_bmp/decode_png; payload plumbing is "
+                "also exercised by binary_features"
             )
 
     return _decode
@@ -980,6 +982,269 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.afp, b.afp)) <= {PHASH_HAMMING_T}
 ORDER BY doc_a, doc_b
+"""
+
+
+# --- real image decode: PNG (stdlib zlib — a COMPRESSED format) -------------
+#
+# PNG is the one compressed image container decodable with zero codec
+# deps: the container is chunked (length/type/data/CRC32), the pixel
+# stream is zlib (stdlib), and the per-scanline filters are pure byte
+# arithmetic. This retires another slice of the compressed-codec stub
+# (decode_stub now covers only jpeg/mp3/mp4, whose codecs genuinely
+# aren't in this container).
+#
+# Fixture discipline matches PPM/WAV/BMP: pixel bytes come from the
+# md5-chain formula (md5(doc_id || ':png:' || i) — replayable in DuckDB
+# SQL), so the oracle recomputes the decoded stats WITHOUT parsing
+# binary. The PNG wrapping itself cannot be synthesized in SQL (CRC32 +
+# zlib), so the encoder runs in the same Arrow batch as the decoder;
+# the encoder is NOT trusted by symmetry alone — a hand-crafted
+# known-byte vector and corruption tests pin the decoder independently
+# (tests/test_operators.py).
+#
+# NOTE: not yet in registry() — the r06 rotation policy freezes net-new
+# driver entries until the never-checked backlog clears (rotation.py);
+# the oracle below is ready for registration when the freeze lifts.
+
+PNG_SCHEMA = (
+    "doc_id long, width int, height int, channels int, "
+    "r_sum long, g_sum long, b_sum long, a_sum long"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_pixel_bytes(doc_id: int, n: int) -> bytes:
+    """First ``n`` bytes of the md5 chain md5(f"{doc_id}:png:{i}") —
+    the Python replay of the oracle's DuckDB formula."""
+    import hashlib  # noqa: PLC0415
+
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += bytes.fromhex(
+            hashlib.md5(f"{doc_id}:png:{i}".encode()).hexdigest()
+        )
+        i += 1
+    return bytes(out[:n])
+
+
+def _png_dims(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, channels) for one document: the generative
+    formula the oracle replays. Channels cycle gray/RGB/RGBA."""
+    return 3 + doc_id % 5, 2 + doc_id % 4, (1, 3, 4)[doc_id % 3]
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_scanline(ftype: int, cur: bytes, prior: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to one raw scanline (encoder side)."""
+    out = bytearray(len(cur))
+    for x, v in enumerate(cur):
+        a = cur[x - bpp] if x >= bpp else 0
+        b = prior[x]
+        c = prior[x - bpp] if x >= bpp else 0
+        pred = (0, a, b, (a + b) // 2, _paeth(a, b, c))[ftype]
+        out[x] = (v - pred) & 0xFF
+    return bytes(out)
+
+
+def _unfilter_scanline(ftype: int, filt: bytes, prior: bytes, bpp: int) -> bytes:
+    """Invert ``_filter_scanline`` (decoder side): reconstruction uses
+    already-reconstructed left/up bytes, per the PNG spec."""
+    if ftype > 4:
+        raise ValueError(f"PNG: unknown filter type {ftype}")
+    out = bytearray(len(filt))
+    for x, v in enumerate(filt):
+        a = out[x - bpp] if x >= bpp else 0
+        b = prior[x]
+        c = prior[x - bpp] if x >= bpp else 0
+        pred = (0, a, b, (a + b) // 2, _paeth(a, b, c))[ftype]
+        out[x] = (v + pred) & 0xFF
+    return bytes(out)
+
+
+def _build_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """A genuine PNG: signature, IHDR, one IDAT (zlib), IEND — each
+    chunk CRC32-stamped. Scanline filter types CYCLE 0..4 by row so
+    every filter path in the decoder is exercised by every image with
+    height >= 5 (and across doc_ids for smaller ones)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        cur = pixels[r * stride : (r + 1) * stride]
+        ftype = r % 5
+        raw += bytes([ftype]) + _filter_scanline(ftype, cur, prior, channels)
+        prior = cur
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(b) -> tuple[int, int, int, bytes]:
+    """A REAL PNG decoder: signature + chunk-CRC validation, IHDR
+    sanity (8-bit, gray/RGB/RGBA, deflate, no interlace), multi-IDAT
+    concatenation, zlib inflate, and per-scanline unfiltering (all five
+    filter types). Returns (width, height, channels, pixel bytes)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    data = bytes(b)
+    if data[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG: signature={data[:8]!r}")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    ended = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("PNG truncated in chunk header")
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("PNG truncated in chunk body")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+            if color_type not in (0, 2, 6):
+                raise ValueError(
+                    f"unsupported PNG color type {color_type} (gray/RGB/RGBA)"
+                )
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported PNG compression/filter method")
+            if interlace != 0:
+                raise ValueError("interlaced PNGs not supported")
+            channels = {0: 1, 2: 3, 6: 4}[color_type]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if width is None or not ended:
+        raise ValueError("PNG missing IHDR or IEND")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG pixel stream: need {height * (1 + stride)} bytes, "
+            f"have {len(raw)}"
+        )
+    out = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        line = raw[r * (1 + stride) : (r + 1) * (1 + stride)]
+        cur = _unfilter_scanline(line[0], line[1:], prior, channels)
+        out += cur
+        prior = cur
+    return width, height, channels, bytes(out)
+
+
+def _decode_png_batches(batches):
+    """mapInPandas worker: build the formula PNG, decode it back with
+    the real parser, emit per-channel sums of the DECODED pixels."""
+    import pandas as pd  # noqa: PLC0415
+
+    def stats(doc_id: int):
+        w, h, ch = _png_dims(doc_id)
+        png = _build_png(w, h, ch, _png_pixel_bytes(doc_id, w * h * ch))
+        dw, dh, dch, px = _parse_png(png)
+        sums = [0, 0, 0, 0]
+        for j in range(dw * dh):
+            for c in range(dch):
+                sums[c] += px[j * dch + c]
+        return (int(doc_id), dw, dh, dch, *sums)
+
+    for pdf in batches:
+        rows = [stats(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "channels",
+                "r_sum", "g_sum", "b_sum", "a_sum",
+            ],
+        )
+
+
+def decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode through the multimodal path (chunk CRCs, zlib
+    inflate, all five scanline filters; see the section comment).
+
+    Scale shape: identical to decode_image/decode_bmp — map-only over
+    Arrow batches, no shuffle before the final order; per-row state is
+    one tiny image."""
+    payloads = spark.table("documents").select("doc_id")
+    return payloads.mapInPandas(_decode_png_batches, schema=PNG_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _decode_png_oracle() -> str:
+    """Recomputes the decoded stats from the md5-chain formula without
+    touching PNG bytes: pixel j channel c is the byte at hex offset
+    2*(channels*j + c) of the chain md5(doc_id || ':png:' || i)."""
+    hv = "strpos('0123456789abcdef', substring(hexstr, {p}, 1)) - 1"
+    byte_at = f"(({hv.format(p='{off} + 1')}) * 16 + ({hv.format(p='{off} + 2')}))"
+    chan_sum = (
+        "CASE WHEN {c} < channels THEN cast(list_sum(list_transform(range(0, npix), "
+        "j -> " + byte_at.format(off="2*(channels*j + {c})") + ")) AS BIGINT) "
+        "ELSE cast(0 AS BIGINT) END"
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+         list_element([1, 3, 4], cast(doc_id % 3 AS INTEGER) + 1) AS channels
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, w, h, channels, w * h AS npix,
+         list_aggregate(list_transform(range(0, (channels * w * h + 15) // 16),
+             i -> md5(doc_id::VARCHAR || ':png:' || i::VARCHAR)),
+           'string_agg', '') AS hexstr
+  FROM dims
+)
+SELECT doc_id, cast(w AS INTEGER) AS width, cast(h AS INTEGER) AS height,
+       cast(channels AS INTEGER) AS channels,
+       {chan_sum.format(c=0)} AS r_sum,
+       {chan_sum.format(c=1)} AS g_sum,
+       {chan_sum.format(c=2)} AS b_sum,
+       {chan_sum.format(c=3)} AS a_sum
+FROM hx
+ORDER BY doc_id
 """
 
 

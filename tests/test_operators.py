@@ -2102,3 +2102,125 @@ def test_mmr_rerank_matches_python_recompute(spark, tables, sf_dir):
             selected.append(pick)
             expect.append(ids[pick])
         assert [vid for _, vid in sorted(rows)] == expect, f"probe {probe}"
+
+
+# --- PNG decode (real compressed-format decoder, stdlib zlib) ---------------
+
+
+def _handmade_png():
+    """A 2x2 RGB PNG assembled byte-by-byte in the TEST (chunk layout,
+    filters, zlib framing written here, not via the module's encoder) —
+    pins the decoder against an independent construction."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    # two scanlines, filter 0 (None): raw pixel bytes verbatim
+    raw = (
+        b"\x00" + bytes([255, 0, 0, 0, 255, 0])
+        + b"\x00" + bytes([0, 0, 255, 255, 255, 255])
+    )
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    pixels = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    return png, pixels
+
+
+def test_png_decoder_known_vector():
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _parse_png,
+    )
+
+    png, pixels = _handmade_png()
+    w, h, ch, out = _parse_png(png)
+    assert (w, h, ch) == (2, 2, 3)
+    assert out == pixels
+
+
+def test_png_encoder_decoder_roundtrip_all_filters_and_channels():
+    """Every doc_id in 0..59 covers gray/RGB/RGBA and (via height >= 5
+    rows cycling filter 0..4) every filter path; the decoder must
+    invert the encoder bit-exactly."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_png,
+        _parse_png,
+        _png_dims,
+        _png_pixel_bytes,
+    )
+
+    seen_channels = set()
+    for doc_id in range(60):
+        w, h, ch = _png_dims(doc_id)
+        seen_channels.add(ch)
+        px = _png_pixel_bytes(doc_id, w * h * ch)
+        assert _parse_png(_build_png(w, h, ch, px)) == (w, h, ch, px)
+    assert seen_channels == {1, 3, 4}
+
+
+def test_png_decoder_rejects_malformed():
+    import struct
+    import zlib
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_png,
+        _parse_png,
+        _png_pixel_bytes,
+    )
+
+    good = _build_png(4, 3, 3, _png_pixel_bytes(1, 36))
+    with pytest.raises(ValueError, match="signature"):
+        _parse_png(b"JUNK" + good[4:])
+    corrupted = bytearray(good)
+    corrupted[50] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_png(bytes(corrupted))
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_png(good[:30])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # 16-bit depth and interlacing are validated before any inflate
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        _parse_png(deep)
+    laced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        _parse_png(laced)
+
+
+def test_png_decode_matches_duckdb_oracle(spark, tables, sf_dir, duck):
+    """The full differential the gate would run once the entry is
+    registered (deferred by the r06 net-new freeze): Spark decode_png
+    vs the DuckDB generative-formula oracle, hash-style compare."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _decode_png_oracle,
+        decode_png,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    ok, diag = compare(decode_png(spark, sf_dir), duck, _decode_png_oracle())
+    assert ok, diag
