@@ -57,6 +57,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     StringContains,
     StringEndsWith,
     StringStartsWith,
@@ -356,6 +357,105 @@ class ElasticScrollReader(ElasticScrollReaderNoPushdown):
         return filters
 
 
+def _scroll_all(cfg: _ScrollConfig, query: dict | None, sort) -> Iterator[dict]:
+    """Drain one full scroll (no slicing) yielding hit dicts — the
+    shared pagination kernel for the streaming reader."""
+    body: dict = {"size": cfg.page_size, "sort": sort}
+    if query:
+        body["query"] = query
+    url = f"{cfg.base_url}/{cfg.index}/_search?scroll={cfg.scroll_keep}"
+    resp = _http_json("POST", url, body, cfg.headers, cfg.timeout)
+    sid = resp.get("_scroll_id")
+    try:
+        while True:
+            hits = resp.get("hits", {}).get("hits", [])
+            if not hits:
+                break
+            yield from hits
+            resp = _http_json(
+                "POST",
+                f"{cfg.base_url}/_search/scroll",
+                {"scroll": cfg.scroll_keep, "scroll_id": sid},
+                cfg.headers,
+                cfg.timeout,
+            )
+    finally:
+        if sid:
+            try:
+                _http_json(
+                    "DELETE",
+                    f"{cfg.base_url}/_search/scroll",
+                    {"scroll_id": sid},
+                    cfg.headers,
+                    cfg.timeout,
+                )
+            except Exception:
+                pass
+
+
+class ElasticScrollStreamReader(SimpleDataSourceStreamReader):
+    """Tail an ES index as a structured stream: each microbatch reads
+    every document whose ``cursor_col`` exceeds the last offset.
+
+    Offset = ``{"cursor": <last seen value>}`` — valid because the
+    cursor column is REQUIRED to be monotone under ingestion (an
+    ingestion sequence number or event-time the writer only appends
+    past; the standard tailing contract — a doc arriving later with a
+    smaller cursor than an already-committed offset is silently
+    skipped, exactly like a file arriving in an already-listed hour of
+    a partitioned directory). Replays are exactly-once because
+    ``readBetweenOffsets`` re-issues the same (gt start, lte end) range
+    query. A SIMPLE stream reader reads on the driver — right for
+    incremental tailing volumes; bulk backfills belong to the batch
+    reader's sliced scroll."""
+
+    def __init__(self, cfg: _ScrollConfig, schema: StructType, cursor_col: str):
+        self.cfg = cfg
+        self.schema = schema
+        self.cursor_col = cursor_col
+        self.start_at = None
+
+    def initialOffset(self) -> dict:  # noqa: N802 — API name
+        return {"cursor": self.start_at}
+
+    def _range_query(self, start, end=None) -> dict | None:
+        spec: dict = {}
+        if start is not None:
+            spec["gt"] = start
+        if end is not None:
+            spec["lte"] = end
+        return {"range": {self.cursor_col: spec}} if spec else None
+
+    def _rows(self, query) -> tuple[list[tuple], object]:
+        convs = [(f.name, _converter(f.dataType)) for f in self.schema.fields]
+        sort = [{self.cursor_col: {"order": "asc"}}]
+        rows: list[tuple] = []
+        last = None
+        for h in _scroll_all(self.cfg, query, sort):
+            src = h.get("_source", {})
+            if self.cfg.id_col:
+                src = {**src, self.cfg.id_col: h.get("_id")}
+            rows.append(tuple(conv(src.get(name)) for name, conv in convs))
+            cur = src.get(self.cursor_col)
+            if cur is not None and (last is None or cur > last):
+                last = cur
+        return rows, last
+
+    def read(self, start: dict):
+        rows, last = self._rows(self._range_query(start.get("cursor")))
+        end = {"cursor": last if last is not None else start.get("cursor")}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        rows, _ = self._rows(
+            self._range_query(start.get("cursor"), end.get("cursor"))
+        )
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing ES-side
+
+
 class ElasticScrollDataSource(DataSource):
     """``spark.read.format("elastic_scroll")`` — see module docstring."""
 
@@ -385,6 +485,24 @@ class ElasticScrollDataSource(DataSource):
         if str(self.options.get("pushdown", "true")).lower() == "false":
             return ElasticScrollReaderNoPushdown(cfg, schema)
         return ElasticScrollReader(cfg, schema)
+
+    def simpleStreamReader(  # noqa: N802 — API name
+        self, schema: StructType
+    ) -> ElasticScrollStreamReader:
+        cursor_col = self.options.get("cursor_col")
+        if not cursor_col:
+            raise ValueError(
+                "streaming from elastic_scroll requires .option('cursor_col', "
+                "<monotone column>) — the tailing offset"
+            )
+        reader = ElasticScrollStreamReader(
+            _ScrollConfig.from_options(self.options), schema, str(cursor_col)
+        )
+        if self.options.get("start_at") is not None:
+            # stringly-typed option; compare in the cursor column's type
+            conv = _converter(schema[str(cursor_col)].dataType)
+            reader.start_at = conv(self.options["start_at"])
+        return reader
 
 
 def register(spark) -> None:

@@ -274,6 +274,13 @@ class StubES:
                             items = [
                                 (i, s) for i, s in items if _eval_query(q, s)
                             ]
+                        sort = body.get("sort")
+                        if sort and isinstance(sort[0], dict):
+                            ((fld, spec),) = sort[0].items()
+                            items.sort(
+                                key=lambda it: it[1].get(_field(fld)),
+                                reverse=spec.get("order", "asc") == "desc",
+                            )
                         size = int(body.get("size", 10))
                         page, rest = items[:size], items[size:]
                         stub.hits_served += len(page)

@@ -264,3 +264,82 @@ def test_read_table_elastic_format_and_env_fallback(
         "SELECT count(*) AS n FROM es_loop WHERE o_totalprice > 300000"
     ).collect()[0].n
     assert n == df.where("o_totalprice > 300000").count()
+
+
+def test_streaming_tail_incremental_and_restart(spark, es_stub, tmp_path):
+    """readStream.format('elastic_scroll') tails an index by a monotone
+    cursor column: each microbatch delivers exactly the docs past the
+    last offset; a restart from the checkpoint resumes where it
+    stopped (no replays, no gaps)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_datasource import (
+        register as reg_w,
+    )
+
+    stub = es_stub()
+    reg_w(spark)
+    register(spark)
+
+    # The cursor column must stay IN _source (write without id_col),
+    # and each batch must land ATOMICALLY w.r.t. the tailing cursor:
+    # coalesce(1) makes it one _bulk request, because the reader's
+    # monotone-ingestion contract says a doc arriving after a larger
+    # cursor has been read is skipped — partition-parallel bulk writes
+    # land out of cursor order, and the stream's prefetcher really does
+    # read between two in-flight requests (observed in this test).
+    def put2(lo, hi):
+        df = spark.createDataFrame(
+            [(i, f"d{i}", float(i)) for i in range(lo, hi)],
+            "seq long, name string, v double",
+        )
+        (
+            df.coalesce(1)
+            .write.format("elastic_bulk")
+            .mode("append")
+            .option("url", stub.base_url)
+            .option("index", "tail2")
+            .save()
+        )
+
+    put2(0, 5)
+
+    out_dir = str(tmp_path / "out")
+
+    def start_query():
+        stream = (
+            spark.readStream.format("elastic_scroll")
+            .schema("seq long, name string, v double")
+            .option("url", stub.base_url)
+            .option("index", "tail2")
+            .option("cursor_col", "seq")
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    def sunk():
+        return sorted(r.seq for r in spark.read.parquet(out_dir).collect())
+
+    q = start_query()
+    try:
+        q.processAllAvailable()
+        assert sunk() == list(range(0, 5))
+
+        put2(5, 9)
+        q.processAllAvailable()
+        assert sunk() == list(range(0, 9))  # only the new docs appended
+    finally:
+        q.stop()
+
+    # docs arriving while the stream is DOWN are picked up on restart
+    # from the checkpoint — no replays (each seq exactly once), no gaps
+    put2(9, 12)
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+        assert sunk() == list(range(0, 12))
+    finally:
+        q2.stop()
