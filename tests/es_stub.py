@@ -80,7 +80,12 @@ def _eval_query(q: dict, src: dict) -> bool:
 
 
 class StubES:
-    def __init__(self, fail_ids=(), reject_first_n_bulk: int = 0):
+    def __init__(
+        self,
+        fail_ids=(),
+        reject_first_n_bulk: int = 0,
+        require_basic_auth: tuple[str, str] | None = None,
+    ):
         self.indexes: dict[str, dict[str, dict]] = {}
         #: body of the PUT that created each index ({} if body-less) —
         #: lets tests assert explicit-mapping creates.
@@ -100,6 +105,16 @@ class StubES:
         self.scroll_seq = 0
         self.scroll_clears = 0
         self.search_requests = 0
+        #: exact Authorization header demanded on EVERY request when
+        #: require_basic_auth is set (real ES with security enabled)
+        self.auth_header: str | None = None
+        if require_basic_auth:
+            import base64
+
+            u, p = require_basic_auth
+            self.auth_header = "Basic " + base64.b64encode(
+                f"{u}:{p}".encode()
+            ).decode()
         #: total hits returned across all search/scroll pages — lets a
         #: pushdown test assert FEWER docs crossed the wire
         self.hits_served = 0
@@ -111,6 +126,14 @@ class StubES:
             def log_message(self, *args):
                 pass
 
+            def _authorized(self) -> bool:
+                if stub.auth_header is None:
+                    return True
+                if self.headers.get("Authorization") == stub.auth_header:
+                    return True
+                self._respond(401, b'{"error":"unauthorized"}')
+                return False
+
             def _respond(self, status: int, payload: bytes = b""):
                 self.send_response(status)
                 self.send_header("Content-Type", "application/json")
@@ -120,12 +143,16 @@ class StubES:
                     self.wfile.write(payload)
 
             def do_HEAD(self):
+                if not self._authorized():
+                    return
                 name = self.path.strip("/")
                 with stub.lock:
                     exists = name in stub.indexes
                 self._respond(200 if exists else 404)
 
             def do_DELETE(self):
+                if not self._authorized():
+                    return
                 if self.path.startswith("/_search/scroll"):
                     length = int(self.headers.get("Content-Length") or 0)
                     body = json.loads(self.rfile.read(length)) if length else {}
@@ -146,6 +173,8 @@ class StubES:
                 self._respond(200 if existed else 404, b"{}")
 
             def do_GET(self):
+                if not self._authorized():
+                    return
                 # GET /{index}/_mapping — the explicit create body's
                 # mappings when one was given, else a dynamic mapping
                 # inferred from stored docs (ES's own behavior).
@@ -169,6 +198,8 @@ class StubES:
                 self._respond(404, b"{}")
 
             def do_PUT(self):
+                if not self._authorized():
+                    return
                 name = self.path.strip("/")
                 length = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(length) if length else b""
@@ -189,6 +220,8 @@ class StubES:
                 self._respond(200, b"{}")
 
             def do_POST(self):
+                if not self._authorized():
+                    return
                 if self.path.startswith("/_aliases"):
                     # atomic alias actions (remove + add applied
                     # together under the lock, like real ES)

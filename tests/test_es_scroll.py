@@ -343,3 +343,48 @@ def test_streaming_tail_incremental_and_restart(spark, es_stub, tmp_path):
         assert sunk() == list(range(0, 12))
     finally:
         q2.stop()
+
+
+def test_auth_enforced_end_to_end(spark, es_stub):
+    """Against a stub that DEMANDS basic auth on every request (real
+    ES with security enabled): the writer and the reader both succeed
+    with credentials and fail without — exercising the Authorization
+    header on index HEAD/PUT, _bulk, _mapping, _search, and scroll."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_datasource import (
+        register as reg_w,
+    )
+
+    stub = es_stub(require_basic_auth=("elastic", "sekret"))
+    reg_w(spark)
+    register(spark)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+
+    with pytest.raises(Exception, match="401|Unauthorized|unauthorized"):
+        (
+            df.write.format("elastic_bulk")
+            .mode("append")
+            .option("url", stub.base_url)
+            .option("index", "sec")
+            .save()
+        )
+    assert stub.docs("sec") == {}
+
+    (
+        df.write.format("elastic_bulk")
+        .mode("append")
+        .option("url", stub.base_url)
+        .option("index", "sec")
+        .option("username", "elastic")
+        .option("password", "sekret")
+        .option("id_col", "k")
+        .save()
+    )
+    assert set(stub.docs("sec")) == {"1", "2"}
+
+    with pytest.raises(Exception, match="401|Unauthorized|unauthorized"):
+        _load(spark, stub, "sec", slices=1).collect()
+
+    out = _load(
+        spark, stub, "sec", slices=1, username="elastic", password="sekret"
+    )
+    assert {r.s for r in out.collect()} == {"a", "b"}
