@@ -335,6 +335,41 @@ def register(spark) -> None:
     spark.dataSource.register(ElasticBulkDataSource)
 
 
+class ElasticDataSourceSink:
+    """The Data Source seam wearing the engine's sink interface
+    (``write(spark, df_with_id, index_name) -> IndexStats``), so
+    ``indexer.save`` — the POST /elastic/save/ path — can route the
+    same lineage through ``df.write.format("elastic_bulk")`` instead
+    of the mapInPandas sink. Counters ride the commit protocol, which
+    does not report back to the caller, so ``IndexStats.num_docs`` is
+    the lineage count and ``num_failed`` is NOT observable here (use
+    ``HttpBulkSink`` when per-item failure accounting must reach the
+    API response; the commit log still carries it)."""
+
+    def __init__(self, base_url: str = "http://localhost:9200", **options):
+        self.base_url = base_url
+        self.options = options
+
+    def write(self, spark, df_with_id, index_name: str):
+        import time as _time  # noqa: PLC0415
+
+        from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (  # noqa: PLC0415
+            ID_COL,
+            IndexStats,
+        )
+
+        t0 = _time.time()
+        n = df_with_id.count()
+        write_dataframe(
+            df_with_id,
+            index_name,
+            id_col=ID_COL,
+            url=self.base_url,
+            **self.options,
+        )
+        return IndexStats(index_name, num_docs=n, took_sec=_time.time() - t0)
+
+
 def write_dataframe(
     df: "DataFrame",
     index_name: str,

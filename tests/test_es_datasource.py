@@ -258,3 +258,27 @@ def test_fast_path_documents_match_http_sink(spark, tables, es_stub):
     HttpBulkSink(base_url=stub.base_url).write(spark, with_id, "via_sink")
     write_dataframe(with_id, "via_ds", id_col="_id", url=stub.base_url)
     assert stub.docs("via_sink") == stub.docs("via_ds")
+
+
+def test_save_routes_through_datasource_sink(spark, tables, es_stub):
+    """indexer.save (the POST /elastic/save/ semantics) with the Data
+    Source sink: positional IDs, same documents as the HttpBulkSink
+    route, stats carry the lineage count."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import save
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_datasource import (
+        ElasticDataSourceSink,
+    )
+
+    stub = es_stub()
+    stats = save(
+        spark,
+        SQL,
+        "saved_ds",
+        ElasticDataSourceSink(stub.base_url),
+        order_cols=["o_orderkey"],
+    )
+    n = query_df(spark, SQL).count()
+    assert stats.num_docs == n
+    docs = stub.docs("saved_ds")
+    assert set(docs) == {str(i) for i in range(1, n + 1)}  # positional ids
+    assert stats.docs_per_sec > 0
