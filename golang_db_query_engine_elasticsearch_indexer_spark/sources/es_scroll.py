@@ -300,6 +300,13 @@ class ElasticScrollReaderNoPushdown(DataSourceReader):
             body["slice"] = {"id": partition.slice_id, "max": partition.n_slices}
         if self.clauses:
             body["query"] = {"bool": {"filter": self.clauses}}
+        # Column pruning pushed to ES: rows are built ONLY from schema
+        # fields, so ask for exactly those (_source filtering) — the
+        # id_col rides in _id, not _source. Whatever Spark projects
+        # later, the wire never carries unrequested fields.
+        body["_source"] = [
+            f.name for f in self.schema.fields if f.name != cfg.id_col
+        ]
         convs = [(f.name, _converter(f.dataType)) for f in self.schema.fields]
         url = f"{cfg.base_url}/{cfg.index}/_search?scroll={cfg.scroll_keep}"
         resp = _http_json("POST", url, body, cfg.headers, cfg.timeout)
@@ -357,12 +364,17 @@ class ElasticScrollReader(ElasticScrollReaderNoPushdown):
         return filters
 
 
-def _scroll_all(cfg: _ScrollConfig, query: dict | None, sort) -> Iterator[dict]:
+def _scroll_all(
+    cfg: _ScrollConfig, query: dict | None, sort, source: list[str] | None = None
+) -> Iterator[dict]:
     """Drain one full scroll (no slicing) yielding hit dicts — the
-    shared pagination kernel for the streaming reader."""
+    shared pagination kernel for the streaming reader. ``source``
+    prunes ``_source`` to the named fields server-side."""
     body: dict = {"size": cfg.page_size, "sort": sort}
     if query:
         body["query"] = query
+    if source is not None:
+        body["_source"] = source
     url = f"{cfg.base_url}/{cfg.index}/_search?scroll={cfg.scroll_keep}"
     resp = _http_json("POST", url, body, cfg.headers, cfg.timeout)
     sid = resp.get("_scroll_id")
@@ -429,9 +441,15 @@ class ElasticScrollStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, query) -> tuple[list[tuple], object]:
         convs = [(f.name, _converter(f.dataType)) for f in self.schema.fields]
         sort = [{self.cursor_col: {"order": "asc"}}]
+        # prune _source to schema fields (+ the cursor, which offset
+        # tracking reads even when it is not a schema column)
+        source = sorted(
+            {f.name for f in self.schema.fields if f.name != self.cfg.id_col}
+            | {self.cursor_col}
+        )
         rows: list[tuple] = []
         last = None
-        for h in _scroll_all(self.cfg, query, sort):
+        for h in _scroll_all(self.cfg, query, sort, source):
             src = h.get("_source", {})
             if self.cfg.id_col:
                 src = {**src, self.cfg.id_col: h.get("_id")}

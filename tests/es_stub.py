@@ -118,6 +118,9 @@ class StubES:
         #: total hits returned across all search/scroll pages — lets a
         #: pushdown test assert FEWER docs crossed the wire
         self.hits_served = 0
+        #: union of _source field names that left the server — lets a
+        #: column-pruning test assert unrequested fields never did
+        self.source_fields_served: set[str] = set()
         self.last_search_body: dict = {}
         self.lock = threading.Lock()
         stub = self
@@ -313,6 +316,24 @@ class StubES:
                             items.sort(
                                 key=lambda it: it[1].get(_field(fld)),
                                 reverse=spec.get("order", "asc") == "desc",
+                            )
+                        src_filter = body.get("_source")
+                        if isinstance(src_filter, list):
+                            # ES _source filtering: only named fields
+                            # leave the server
+                            stub.source_fields_served.update(
+                                k
+                                for _, s in items
+                                for k in s
+                                if k in src_filter
+                            )
+                            items = [
+                                (i, {k: v for k, v in s.items() if k in src_filter})
+                                for i, s in items
+                            ]
+                        else:
+                            stub.source_fields_served.update(
+                                k for _, s in items for k in s
                             )
                         size = int(body.get("size", 10))
                         page, rest = items[:size], items[size:]

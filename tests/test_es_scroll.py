@@ -388,3 +388,33 @@ def test_auth_enforced_end_to_end(spark, es_stub):
         spark, stub, "sec", slices=1, username="elastic", password="sekret"
     )
     assert {r.s for r in out.collect()} == {"a", "b"}
+
+
+def test_source_pruning_reaches_es(spark, es_stub):
+    """Column pruning pushed to ES: the reader requests _source
+    filtering for exactly the schema fields, so a column the schema
+    omits never leaves the server."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_datasource import (
+        register as reg_w,
+    )
+
+    stub = es_stub()
+    reg_w(spark)
+    register(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, "secret1"), (2, "b", 2.5, "secret2")],
+        "k long, s string, v double, wide string",
+    )
+    (
+        df.write.format("elastic_bulk")
+        .mode("append")
+        .option("url", stub.base_url)
+        .option("index", "pruned")
+        .save()
+    )
+    out = _load(spark, stub, "pruned", schema="k long, s string", slices=2)
+    assert {(r.k, r.s) for r in out.collect()} == {(1, "a"), (2, "b")}
+    assert stub.last_search_body["_source"] == ["k", "s"]
+    # the unrequested columns never crossed the wire
+    assert "wide" not in stub.source_fields_served
+    assert "v" not in stub.source_fields_served

@@ -372,3 +372,25 @@ def test_es_pushdown_clause_never_drops_matching_rows(doc, fp):
     if pred(doc[col]):
         src = {k: v for k, v in doc.items() if v is not None}
         assert _eval_query(clause, src), (flt, clause, src)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=24),
+    prior=st.binary(min_size=24, max_size=24),
+    ftype=st.integers(0, 4),
+    bpp=st.sampled_from([1, 3, 4]),
+)
+def test_png_filter_unfilter_inverse_model(data, prior, ftype, bpp):
+    """PNG scanline filters are exact inverses for every filter type,
+    pixel width, and byte content — the property the decoder's
+    correctness rests on beyond the md5 fixtures."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _filter_scanline,
+        _unfilter_scanline,
+    )
+
+    cur = data[: (len(data) // bpp) * bpp]
+    pri = prior[: len(cur)]
+    filt = _filter_scanline(ftype, cur, pri, bpp)
+    assert _unfilter_scanline(ftype, filt, pri, bpp) == cur
