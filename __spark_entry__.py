@@ -37,9 +37,10 @@ def _configure(spark: SparkSession) -> None:
 # (VERDICT r05 asks #1/#6): entries whose code changed this round
 # first, then the never-driver-checked backlog by divergence risk
 # (float/stat kernels -> regex/string -> exact-integer), with net-new
-# inventory frozen until the backlog clears (r06 window = 43
-# never-checked + 7 changed entries; r07 = 50 never-checked;
-# r08 = the final 6, then re-rotation of the oldest evidence).
+# inventory frozen until the backlog clears (r06 executed as 49
+# first-time + 1 re-check, all green; r07 = the 50 remaining
+# never-checked; r08 = the final 6, then re-rotation of the oldest
+# evidence).
 # Everything out of window keeps regression coverage via the in-repo
 # sf0.01 differential gate (tests/test_oracle_queries.py) and the
 # recorded sf0.1 spot differentials (SCALE.md).

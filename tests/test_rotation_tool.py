@@ -167,9 +167,41 @@ def test_live_table_consistency():
 
     assert len(r.CURRENT_WINDOW) == 50
     assert len(set(r.CURRENT_WINDOW)) == 50
-    current = {n for n, (_, _, w) in r.ROTATION.items() if w == "r06"}
+    current = {n for n, (_, _, w) in r.ROTATION.items() if w == "r07"}
     assert set(r.CURRENT_WINDOW) == current
     # every scheduled window is a known label; windows are bounded
     for name, (_last, risk, win) in r.ROTATION.items():
-        assert win in (None, "r06", "r07", "r08"), (name, win)
+        assert win in (None, "r07", "r08", "r09"), (name, win)
         assert risk, name
+    # the backlog accounting holds: every never-driver-checked entry
+    # has a scheduled slot, and the r08 close-out is exactly the
+    # final 6 the policy docstring promises
+    never = {n for n, (last, _, _) in r.ROTATION.items() if last is None}
+    assert never == set(r.CURRENT_WINDOW) | set(r.scheduled("r08"))
+    assert len(r.scheduled("r08")) == 6
+
+
+def test_docstring_window_recount_matches_correctness_files():
+    """VERDICT r06 nit #4: the policy docstring's account of the r06
+    window ("49 first-time + 1 re-check") must be a recomputation from
+    the CORRECTNESS files, not prose drift."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, repo)
+    from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
+
+    r06 = json.load(open(os.path.join(repo, "CORRECTNESS_r06.json")))
+    assert len(r06) == 50
+    assert all(rec.get("hash_match") or (
+        rec.get("rows_match") and rec.get("err") is None
+    ) for rec in r06.values())
+    # prior driver-green evidence (r01..r05) for the r06-window names
+    prior = roll._evidence(
+        [os.path.join(repo, f"CORRECTNESS_r{i:02d}.json") for i in range(1, 6)]
+    )
+    rechecks = sorted(n for n in r06 if n in prior)
+    first_time = [n for n in r06 if n not in prior]
+    assert rechecks == ["ann_ivfpq_topk"]
+    assert len(first_time) == 49
+    doc = r.__doc__
+    assert "49 first-time" in doc and "1 re-check" in doc
+    assert "ann_ivfpq_topk" in doc
