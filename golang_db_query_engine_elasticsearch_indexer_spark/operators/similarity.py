@@ -361,6 +361,14 @@ N_PROBE_CELLS = 5
 # sits at 1-5% — and the measured curve is reported in bench.py, not
 # hidden.
 IVFPQ_NPROBE = 9
+# Plain IVF is routing-limited too (exact distances inside probed
+# cells can't recover a neighbor the routing never probed), so it rides
+# the same nprobe lever; widened 5 -> 9 with IVFPQ (VERDICT r06 ask
+# #5). Measured at sf0.01: recall@5 = 0.76 at nprobe=5, 0.96 at
+# nprobe=9 — ABOVE the IVFPQ curve at the same width because exact
+# in-cell distances add no ADC quantization loss on top of routing.
+# Recorded as ivf_recall_at_k_sf0.01 in bench.py.
+IVF_NPROBE = 9
 KMEANS_K = 10
 KMEANS_ITERS = 2
 # Training sample: the KMEANS_SAMPLE_N vectors with the smallest
@@ -564,7 +572,7 @@ def ivf_index_load(path: str) -> list[tuple[int, list[float], float]]:
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
-    nprobe: int = N_PROBE_CELLS,
+    nprobe: int = IVF_NPROBE,
     cents: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize vectors into cells (nearest
@@ -698,7 +706,7 @@ ranked_cells AS (
 assigned AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1),
 probe_cells AS (
   SELECT vec_id AS probe_id, cid AS cell
-  FROM ranked_cells WHERE vec_id < {N_PROBES} AND rn <= {N_PROBE_CELLS}
+  FROM ranked_cells WHERE vec_id < {N_PROBES} AND rn <= {IVF_NPROBE}
 ),
 cand AS (
   SELECT pc.probe_id, a.vec_id

@@ -418,3 +418,43 @@ def test_source_pruning_reaches_es(spark, es_stub):
     # the unrequested columns never crossed the wire
     assert "wide" not in stub.source_fields_served
     assert "v" not in stub.source_fields_served
+
+
+def test_save_then_read_table_roundtrip(spark, tables, es_stub):
+    """End-to-end loop between the engine's two ES wire directions
+    (VERDICT r06 ask #6): write an index through indexer.save — the
+    reference's POST /elastic/save/ semantics
+    (elastic_controller.go:253-301) routed through the elastic_bulk
+    Data Source sink — then read the same index back as a DataFrame
+    through read_table(fmt="elastic") (the sliced-scroll reader the Go
+    service has no analogue for). The round-tripped rows must equal the
+    source query exactly, values and dtypes both: the two halves are
+    separately stub-tested elsewhere; this closes the loop."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import save
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources import read_table
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_datasource import (
+        ElasticDataSourceSink,
+    )
+
+    stub = es_stub()
+    stats = save(
+        spark,
+        SQL,
+        "roundtrip_idx",
+        ElasticDataSourceSink(stub.base_url),
+        order_cols=["o_orderkey"],
+    )
+    src = query_df(spark, SQL)
+    n = src.count()
+    assert stats.num_docs == n > 0
+
+    back = read_table(
+        spark, "roundtrip_idx", fmt="elastic", options={"url": stub.base_url}
+    )
+    cols = sorted(src.columns)
+    src_rows = sorted(map(tuple, src.select(*cols).collect()))
+    back_rows = sorted(map(tuple, back.select(*cols).collect()))
+    assert back_rows == src_rows
+    # dtype parity on the round-trip: the mapping the sink derives and
+    # the schema the reader derives from it must agree with the source
+    assert dict(back.select(*cols).dtypes) == dict(src.select(*cols).dtypes)

@@ -201,13 +201,14 @@ def test_ivf_topk_shape_and_consistency(spark, tables, sf_dir):
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
     recall = len({(r.probe_id, r.neighbor_id) for r in rows} & exact) / len(exact)
-    # nprobe=5 of KMEANS_K=10 cells scans ~half the data; isotropic
-    # random fixtures are IVF's worst case (no cluster structure), so
-    # expected recall sits near the scan fraction. The floor is the
-    # operating point the engine ships at (reported in bench.py);
-    # nprobe is exposed on ivf_topk for callers wanting a different
+    # IVF_NPROBE=9 of KMEANS_K=10 cells scans ~90% of this isotropic
+    # worst-case fixture, so recall sits near the scan fraction
+    # (measured 0.96 at sf0.01, reported in bench.py as
+    # ivf_recall_at_k_sf0.01). The floor asserts the shipped operating
+    # point stays well above the old nprobe=5 value (0.76); nprobe is
+    # exposed on ivf_topk for callers wanting a different
     # recall/latency tradeoff.
-    assert recall >= 0.5
+    assert recall >= 0.84
 
 
 def test_kmeans_centroids_deterministic(spark, tables, sf_dir):
