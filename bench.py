@@ -203,6 +203,11 @@ def main() -> None:
         for r in similarity.ivfpq_topk(spark, recall_sf).collect()
     }
     ivfpq_recall = round(len(exact_topk & ivfpq_topk) / max(len(exact_topk), 1), 4)
+    res_topk = {
+        (r.probe_id, r.neighbor_id)
+        for r in similarity.ivfpq_residual_topk(spark, recall_sf).collect()
+    }
+    res_recall = round(len(exact_topk & res_topk) / max(len(exact_topk), 1), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -218,6 +223,7 @@ def main() -> None:
                 "ivf_recall_at_k_sf0.01": ivf_recall,
                 "pq_recall_at_k_sf0.01": pq_recall,
                 "ivfpq_recall_at_k_sf0.01": ivfpq_recall,
+                "ivfpq_residual_recall_at_k_sf0.01": res_recall,
             }
         )
     )

@@ -65,18 +65,19 @@ def decode_stub(modality: str):
     validate the plumbing contract and fail loudly rather than faking
     media decode silently. IMAGE and AUDIO decode are NOT stubbed —
     see ``decode_image`` (real binary PPM parser), ``decode_bmp``,
-    ``decode_png`` (real chunked+zlib decoder — the one COMPRESSED
-    format stdlib can inflate), and ``decode_audio`` (real RIFF/WAV
-    chunk walker), all in the same Arrow-batched path.
+    ``decode_png`` (real chunked+zlib decoder), ``decode_gif`` (real
+    hand-rolled LZW codec — no stdlib codec exists for it), and
+    ``decode_audio`` (real RIFF/WAV chunk walker), all in the same
+    Arrow-batched path.
     """
 
     def _decode(batches):
         for pdf in batches:
             raise NotImplementedError(
                 f"{modality} decode requires codec libraries not present in "
-                "this environment; image decode (PPM/BMP/PNG) is real — see "
-                "decode_image/decode_bmp/decode_png; payload plumbing is "
-                "also exercised by binary_features"
+                "this environment; image decode (PPM/BMP/PNG/GIF) is real — "
+                "see decode_image/decode_bmp/decode_png/decode_gif; payload "
+                "plumbing is also exercised by binary_features"
             )
 
     return _decode
@@ -1243,6 +1244,390 @@ SELECT doc_id, cast(w AS INTEGER) AS width, cast(h AS INTEGER) AS height,
        {chan_sum.format(c=1)} AS g_sum,
        {chan_sum.format(c=2)} AS b_sum,
        {chan_sum.format(c=3)} AS a_sum
+FROM hx
+ORDER BY doc_id
+"""
+
+
+# --- real image decode: GIF (hand-rolled LZW — a second COMPRESSED ----------
+# format)
+#
+# GIF's pixel stream is LZW with variable-width codes — no stdlib codec
+# exists, so the codec is implemented from the GIF89a spec: clear/EOI
+# codes, dictionary growth, width bumps at powers of two up to the
+# 12-bit cap, the KwKwK self-reference case, and clear-on-full-dict.
+# This retires another slice of the compressed-codec stub (decode_stub
+# now covers only jpeg/mp3/mp4, whose codecs genuinely aren't
+# implementable from stdlib primitives in reasonable scope).
+#
+# Fixture discipline matches PNG: palette indices come from the
+# md5-chain formula (md5(doc_id || ':gif:' || i) — replayable in DuckDB
+# SQL) and the palette itself is a closed-form function of the entry
+# index, so the oracle recomputes the decoded channel sums WITHOUT
+# parsing binary. The GIF wrapping (LZW + sub-block framing) cannot be
+# synthesized in SQL, so the encoder runs in the same Arrow batch as
+# the decoder; the encoder is NOT trusted by symmetry alone — a
+# hand-crafted known-byte vector, an out-of-range-code vector, and
+# corruption tests pin the decoder independently
+# (tests/test_operators.py), and the width schedule of the bit packer
+# is a simulation of the DECODER's table growth, not folklore
+# off-by-one rules.
+#
+# NOTE: not yet in registry() — the rotation policy freezes net-new
+# driver entries until the never-checked backlog clears (rotation.py);
+# the oracle below is ready for registration when the freeze lifts
+# (r08, alongside multimodal_decode_png).
+
+GIF_SCHEMA = (
+    "doc_id long, width int, height int, n_colors int, "
+    "r_sum long, g_sum long, b_sum long"
+)
+
+_LZW_MAX_CODE = 4095  # 12-bit cap, GIF89a spec appendix F
+
+
+def _gif_dims(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, palette bits) for one document — the generative
+    formula the oracle replays. Palette size cycles 4/8/16 colors."""
+    return 3 + doc_id % 5, 2 + doc_id % 4, 2 + doc_id % 3
+
+
+def _gif_palette(bits: int) -> bytes:
+    """Global color table: entry k = ((k*37)%256, (k*73)%256,
+    (k*151)%256) — a closed form DuckDB replays without the bytes."""
+    return bytes(
+        v
+        for k in range(1 << bits)
+        for v in ((k * 37) % 256, (k * 73) % 256, (k * 151) % 256)
+    )
+
+
+def _gif_index_bytes(doc_id: int, n: int) -> bytes:
+    """First ``n`` bytes of the md5 chain md5(f"{doc_id}:gif:{i}")."""
+    import hashlib  # noqa: PLC0415
+
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += bytes.fromhex(
+            hashlib.md5(f"{doc_id}:gif:{i}".encode()).hexdigest()
+        )
+        i += 1
+    return bytes(out[:n])
+
+
+def _lzw_codes(mcs: int, indices: bytes) -> list[int]:
+    """GIF-LZW compress ``indices`` into a code sequence (no bit
+    packing yet): leading CLEAR, greedy longest-match dictionary build,
+    CLEAR-and-reset when the table hits the 12-bit cap, trailing EOI."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    def base() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(1 << mcs)}
+
+    table = base()
+    next_code = eoi + 1
+    codes = [clear]
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        codes.append(table[w])
+        if next_code <= _LZW_MAX_CODE:
+            table[wk] = next_code
+            next_code += 1
+        else:
+            codes.append(clear)
+            table = base()
+            next_code = eoi + 1
+        w = bytes([k])
+    if w:
+        codes.append(table[w])
+    codes.append(eoi)
+    return codes
+
+
+def _lzw_pack(mcs: int, codes: list[int]) -> bytes:
+    """Pack codes LSB-first into bytes. Each code's width comes from a
+    SIMULATION of the decoder's table growth (the decoder assigns
+    entries one code later than the encoder, so mirroring its schedule
+    here is what keeps both sides bit-synchronized — including the
+    final flush code and EOI after a width bump)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    next_code = eoi + 1
+    have_prev = False
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width, next_code, have_prev = mcs + 1, eoi + 1, False
+        elif code == eoi:
+            break
+        elif have_prev:
+            if next_code <= _LZW_MAX_CODE:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        else:
+            have_prev = True
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(mcs: int, data: bytes, max_pixels: int) -> bytes:
+    """GIF-LZW decompress: variable-width codes LSB-first, CLEAR/EOI,
+    the KwKwK case (code == next unassigned code), table cap at 4096
+    entries with deferred-clear tolerance, width bumps at powers of
+    two. ``max_pixels`` bounds output so a malicious stream can't
+    balloon memory past the declared image size."""
+    if mcs < 2 or mcs > 11:
+        raise ValueError(f"GIF: LZW minimum code size {mcs} out of range")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width = mcs + 1
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while True:
+        if bitpos + width > total_bits:
+            raise ValueError("GIF: LZW stream truncated before EOI")
+        byte0 = bitpos // 8
+        chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width, next_code, prev = mcs + 1, eoi + 1, None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError(
+                    f"GIF: first LZW code after clear must be a literal, got {code}"
+                )
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code and next_code <= _LZW_MAX_CODE:
+                entry = prev + prev[:1]  # KwKwK: referenced before assigned
+            else:
+                raise ValueError(f"GIF: LZW code {code} out of range (next={next_code})")
+            if next_code <= _LZW_MAX_CODE:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError(
+                f"GIF: LZW output exceeds declared pixel count {max_pixels}"
+            )
+        prev = entry
+
+
+def _build_gif(width: int, height: int, palette: bytes, indices: bytes) -> bytes:
+    """A genuine GIF89a: header, logical screen descriptor, global
+    color table, a graphic-control and a comment extension (so the
+    decoder's block-skipping path is always exercised), one image
+    descriptor, LZW-compressed pixel data in <=255-byte sub-blocks,
+    trailer."""
+    import struct  # noqa: PLC0415
+
+    ncolors = len(palette) // 3
+    bits = ncolors.bit_length() - 1
+    if 1 << bits != ncolors or not 2 <= bits <= 8:
+        raise ValueError(f"GIF: palette size {ncolors} not a power of two in 4..256")
+    mcs = max(2, bits)
+    packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, packed, 0, 0)
+    out += palette
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control, no transp.
+    out += b"\x21\xfe\x03gen\x00"  # comment extension
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out.append(mcs)
+    lzw = _lzw_pack(mcs, _lzw_codes(mcs, indices))
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _parse_gif(b) -> tuple[int, int, int, bytes, bytes]:
+    """A REAL GIF decoder: header + logical-screen parse, global color
+    table, extension-block skipping, image descriptor sanity (no local
+    palette, no interlace), sub-block reassembly, and full LZW
+    decompression. Returns (width, height, n_colors, palette bytes,
+    palette-index bytes)."""
+    import struct  # noqa: PLC0415
+
+    data = bytes(b)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: signature={data[:6]!r}")
+    if len(data) < 13:
+        raise ValueError("GIF truncated in logical screen descriptor")
+    width, height, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table is not supported")
+    ncolors = 1 << ((packed & 0x07) + 1)
+    pos = 13
+    palette = data[pos : pos + 3 * ncolors]
+    if len(palette) != 3 * ncolors:
+        raise ValueError("GIF truncated in global color table")
+    pos += 3 * ncolors
+    image: tuple[int, int, bytes] | None = None
+    while True:
+        if pos >= len(data):
+            raise ValueError("GIF truncated before trailer")
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while True:
+                if pos >= len(data):
+                    raise ValueError("GIF truncated in extension block")
+                n = data[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+        elif block == 0x2C:  # image descriptor
+            if image is not None:
+                raise ValueError("multi-image GIFs not supported")
+            if pos + 9 > len(data):
+                raise ValueError("GIF truncated in image descriptor")
+            _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            if ipacked & 0x80:
+                raise ValueError("GIF local color tables not supported")
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIFs not supported")
+            if pos >= len(data):
+                raise ValueError("GIF truncated at LZW minimum code size")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while True:
+                if pos >= len(data):
+                    raise ValueError("GIF truncated in image sub-blocks")
+                n = data[pos]
+                pos += 1
+                if n == 0:
+                    break
+                chunk = data[pos : pos + n]
+                if len(chunk) != n:
+                    raise ValueError("GIF truncated in image sub-blocks")
+                lzw += chunk
+                pos += n
+            pixels = _lzw_decode(mcs, bytes(lzw), iw * ih)
+            if len(pixels) != iw * ih:
+                raise ValueError(
+                    f"GIF pixel stream: need {iw * ih} indices, have {len(pixels)}"
+                )
+            if any(p >= ncolors for p in pixels):
+                raise ValueError("GIF pixel index outside the color table")
+            image = (iw, ih, pixels)
+        else:
+            raise ValueError(f"GIF: unknown block introducer 0x{block:02x}")
+    if image is None:
+        raise ValueError("GIF contains no image")
+    iw, ih, pixels = image
+    if (iw, ih) != (width, height):
+        raise ValueError("GIF image dims differ from logical screen")
+    return width, height, ncolors, palette, pixels
+
+
+def _decode_gif_batches(batches):
+    """mapInPandas worker: build the formula GIF, decode it back with
+    the real parser, emit palette-mapped channel sums of the DECODED
+    indices."""
+    import pandas as pd  # noqa: PLC0415
+
+    def stats(doc_id: int):
+        w, h, bits = _gif_dims(doc_id)
+        ncolors = 1 << bits
+        idxs = bytes(v % ncolors for v in _gif_index_bytes(doc_id, w * h))
+        gif = _build_gif(w, h, _gif_palette(bits), idxs)
+        dw, dh, dnc, pal, px = _parse_gif(gif)
+        sums = [0, 0, 0]
+        for i in px:
+            sums[0] += pal[3 * i]
+            sums[1] += pal[3 * i + 1]
+            sums[2] += pal[3 * i + 2]
+        return (int(doc_id), dw, dh, dnc, *sums)
+
+    for pdf in batches:
+        rows = [stats(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_colors",
+                "r_sum", "g_sum", "b_sum",
+            ],
+        )
+
+
+def decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode through the multimodal path (LZW codec written
+    from the GIF89a spec; see the section comment).
+
+    Scale shape: identical to decode_image/decode_bmp/decode_png —
+    map-only over Arrow batches, no shuffle before the final order;
+    per-row state is one tiny image."""
+    payloads = spark.table("documents").select("doc_id")
+    return payloads.mapInPandas(_decode_gif_batches, schema=GIF_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _decode_gif_oracle() -> str:
+    """Recomputes the decoded channel sums from the md5-chain formula
+    without touching GIF bytes: pixel j's palette index is (byte at hex
+    offset 2*j of the chain md5(doc_id || ':gif:' || i)) % n_colors,
+    and palette entry k is ((k*37)%256, (k*73)%256, (k*151)%256)."""
+    hv = "strpos('0123456789abcdef', substring(hexstr, {p}, 1)) - 1"
+    byte_at = f"(({hv.format(p='{off} + 1')}) * 16 + ({hv.format(p='{off} + 2')}))"
+    idx = byte_at.format(off="2*j") + " % ncolors"
+    chan_sum = (
+        "cast(list_sum(list_transform(range(0, npix), "
+        "j -> ((" + idx + ") * {m}) % 256)) AS BIGINT)"
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+         1 << cast(2 + doc_id % 3 AS INTEGER) AS ncolors
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, w, h, ncolors, w * h AS npix,
+         list_aggregate(list_transform(range(0, (w * h + 15) // 16),
+             i -> md5(doc_id::VARCHAR || ':gif:' || i::VARCHAR)),
+           'string_agg', '') AS hexstr
+  FROM dims
+)
+SELECT doc_id, cast(w AS INTEGER) AS width, cast(h AS INTEGER) AS height,
+       cast(ncolors AS INTEGER) AS n_colors,
+       {chan_sum.format(m=37)} AS r_sum,
+       {chan_sum.format(m=73)} AS g_sum,
+       {chan_sum.format(m=151)} AS b_sum
 FROM hx
 ORDER BY doc_id
 """

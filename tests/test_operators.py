@@ -2225,3 +2225,149 @@ def test_png_decode_matches_duckdb_oracle(spark, tables, sf_dir, duck):
 
     ok, diag = compare(decode_png(spark, sf_dir), duck, _decode_png_oracle())
     assert ok, diag
+
+
+# --- GIF decode (real hand-rolled LZW codec) ---------------------------------
+
+
+def _handmade_gif():
+    """A 3x1, 4-color GIF assembled byte-by-byte in the TEST (logical
+    screen, palette, image descriptor, and the LZW bitstream for pixels
+    [1,2,2] packed BY HAND: codes 4(clear),1,2,2 at width 3 then
+    5(EOI) at width 4 after the decoder-side bump -> bytes 8C 54) —
+    pins the decoder, including its width schedule, against an
+    independent construction."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _gif_palette,
+    )
+
+    gif = (
+        b"GIF89a"
+        + bytes([3, 0, 1, 0, 0x91, 0, 0])
+        + _gif_palette(2)
+        + b"\x2c" + bytes([0, 0, 0, 0, 3, 0, 1, 0, 0])
+        + bytes([2, 2, 0x8C, 0x54, 0])
+        + b"\x3b"
+    )
+    return gif, bytes([1, 2, 2])
+
+
+def test_gif_decoder_known_vector():
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _parse_gif,
+    )
+
+    gif, pixels = _handmade_gif()
+    w, h, nc, pal, px = _parse_gif(gif)
+    assert (w, h, nc) == (3, 1, 4)
+    assert px == pixels
+    assert pal[3:6] == bytes([37, 73, 151])  # palette entry 1 formula
+
+
+def test_gif_encoder_decoder_roundtrip_all_palettes():
+    """Every doc_id in 0..59 covers the 4/8/16-color palettes and all
+    fixture dims; the decoder must invert the encoder bit-exactly,
+    extensions skipped."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_gif,
+        _gif_dims,
+        _gif_index_bytes,
+        _gif_palette,
+        _parse_gif,
+    )
+
+    seen = set()
+    for doc_id in range(60):
+        w, h, bits = _gif_dims(doc_id)
+        nc = 1 << bits
+        seen.add(nc)
+        idxs = bytes(v % nc for v in _gif_index_bytes(doc_id, w * h))
+        got = _parse_gif(_build_gif(w, h, _gif_palette(bits), idxs))
+        assert got == (w, h, nc, _gif_palette(bits), idxs)
+    assert seen == {4, 8, 16}
+
+
+def test_gif_lzw_kwkwk_width_growth_and_clear_at_full():
+    """The three LZW paths no tiny fixture reaches: the KwKwK
+    self-reference, code-width growth to the 12-bit cap, and the
+    encoder's clear-and-reset when the table fills — all must
+    round-trip, and the decoder must also survive width-12 streams."""
+    import hashlib
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _lzw_codes,
+        _lzw_decode,
+        _lzw_pack,
+    )
+
+    # KwKwK: [1,1,1] emits code 6 before the decoder has assigned it
+    assert _lzw_decode(2, _lzw_pack(2, _lzw_codes(2, bytes([1, 1, 1]))), 3) == bytes(
+        [1, 1, 1]
+    )
+
+    # deterministic 120k-symbol stream over a 16-symbol alphabet: the
+    # table hits 4096 entries (width 12) repeatedly, forcing clears
+    long = bytearray()
+    i = 0
+    while len(long) < 120_000:
+        long += hashlib.md5(f"lzw:{i}".encode()).digest()
+        i += 1
+    long = bytes(v % 16 for v in long[:120_000])
+    codes = _lzw_codes(4, long)
+    assert codes.count(16) > 1  # mid-stream clears happened (16 == clear @ mcs 4)
+    assert max(codes) > 2048  # width-12 codes were actually emitted
+    assert _lzw_decode(4, _lzw_pack(4, codes), len(long)) == long
+
+
+def test_gif_decoder_rejects_malformed():
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_gif,
+        _gif_index_bytes,
+        _gif_palette,
+        _lzw_decode,
+        _parse_gif,
+    )
+
+    idxs = bytes(v % 8 for v in _gif_index_bytes(1, 12))
+    good = _build_gif(4, 3, _gif_palette(3), idxs)
+    with pytest.raises(ValueError, match="signature"):
+        _parse_gif(b"JUNK" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_gif(good[:20])
+    with pytest.raises(ValueError, match="unknown block"):
+        _parse_gif(good[:-1] + b"\x7f")  # trailer swapped for junk introducer
+    # interlace flag and local color table are rejected before inflate
+    img_at = good.index(b"\x2c")
+    laced = bytearray(good)
+    laced[img_at + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        _parse_gif(bytes(laced))
+    local = bytearray(good)
+    local[img_at + 9] |= 0x80
+    with pytest.raises(ValueError, match="local color"):
+        _parse_gif(bytes(local))
+    # LZW: a non-literal straight after clear is rejected
+    # (codes 4(clear),7 at width 3, LSB-first = 0x3C)
+    with pytest.raises(ValueError, match="must be a literal"):
+        _lzw_decode(2, bytes([0x3C]), 10)
+    # LZW: code 7 arrives when the table only reaches 6 -> out of range
+    # (codes 4(clear),1,7 at width 3, LSB-first = 0xCC 0x01)
+    with pytest.raises(ValueError, match="out of range"):
+        _lzw_decode(2, bytes([0xCC, 0x01]), 10)
+    # LZW stream that never reaches EOI
+    with pytest.raises(ValueError, match="truncated before EOI"):
+        _lzw_decode(2, bytes([0x04]), 10)
+
+
+def test_gif_decode_matches_duckdb_oracle(spark, tables, sf_dir, duck):
+    """The full differential the gate would run once the entry is
+    registered (deferred by the rotation freeze until r08): Spark
+    decode_gif vs the DuckDB generative-formula oracle."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _decode_gif_oracle,
+        decode_gif,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    ok, diag = compare(decode_gif(spark, sf_dir), duck, _decode_gif_oracle())
+    assert ok, diag

@@ -394,3 +394,23 @@ def test_png_filter_unfilter_inverse_model(data, prior, ftype, bpp):
     pri = prior[: len(cur)]
     filt = _filter_scanline(ftype, cur, pri, bpp)
     assert _unfilter_scanline(ftype, filt, pri, bpp) == cur
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    idxs=st.lists(st.integers(0, 15), min_size=0, max_size=400),
+    mcs=st.sampled_from([4]),
+)
+def test_gif_lzw_roundtrip_model(idxs, mcs):
+    """LZW encode->pack->decode is the identity for arbitrary index
+    sequences — the property the GIF decoder's correctness rests on
+    beyond the md5 fixtures (KwKwK runs, width bumps, empty input)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _lzw_codes,
+        _lzw_decode,
+        _lzw_pack,
+    )
+
+    data = bytes(idxs)
+    packed = _lzw_pack(mcs, _lzw_codes(mcs, data))
+    assert _lzw_decode(mcs, packed, max(len(data), 1)) == data
