@@ -740,6 +740,172 @@ s{t} AS MATERIALIZED (SELECT probe_id, vid FROM s{t - 1}
     )
 
 
+# --- persisted inverted-index artifact (build once, search many) ------------
+#
+# The build-once/search-many contract the ANN family ships
+# (pq_from_artifact, VERDICT r05 ask #5) extended to the text-search
+# family: bm25_topk recomputes postings per query — correct for the
+# self-contained driver contract, but a serving deployment tokenizes
+# the corpus ONCE into an inverted index and pays only a postings
+# lookup per query. The artifact is three pieces:
+#
+# - postings parquet (w, doc_id, tf, dl): range-partitioned and sorted
+#   by term, so parquet row-group min/max statistics prune a term
+#   lookup to the row groups that actually hold it — at 100 TB the
+#   per-query read is ~|matching postings|, not the corpus;
+# - df parquet (w, df): the per-term document frequencies (small —
+#   vocabulary-sized, broadcast at search time);
+# - stats.json: n_docs + avgdl, two numbers, embedded as exact literals
+#   (repr round-trip) so the search-path doubles are bit-identical to
+#   the self-contained computation.
+#
+# Save is atomic (tmp-dir + os.replace, same discipline as the PQ
+# artifact) and the artifact is keyed by a fingerprint of the fixture's
+# documents parquet, so a regenerated corpus can never be served by a
+# stale index.
+#
+# NOTE: search_bm25_from_artifact is not yet in registry() — the
+# rotation policy freezes net-new driver entries until the
+# never-checked backlog clears (rotation.py); its oracle is
+# BM25_ORACLE verbatim (the artifact path is hash-identical to the
+# self-contained entry), ready for registration at the freeze exit.
+
+
+class BM25Index:
+    """Handle on a built inverted index: distributed postings + df,
+    driver-resident corpus stats."""
+
+    def __init__(self, postings: DataFrame, df: DataFrame, n_docs: int, avgdl: float):
+        self.postings = postings
+        self.df = df
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+
+
+def bm25_index_build(spark: SparkSession, sf_dir: str) -> BM25Index:
+    """Tokenize the corpus once into full-vocabulary postings
+    (w, doc_id, tf, dl), per-term df, and corpus stats. One scan, two
+    small aggregations — the map-side-combined shuffle is on the term
+    key, linear in corpus size."""
+    toks = spark.sql(f"SELECT doc_id, {TOKENS} AS toks FROM documents")
+    postings = (
+        toks.select(
+            "doc_id",
+            F.expr("size(toks)").alias("dl"),
+            F.explode("toks").alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    df = postings.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs, avgdl = toks.select(
+        F.count("*"), F.avg(F.expr("size(toks)"))
+    ).first()
+    return BM25Index(postings, df, int(n_docs), float(avgdl))
+
+
+def bm25_index_save(index: BM25Index, path: str) -> None:
+    """Persist the index: postings range-partitioned + sorted by term
+    (row-group pruning serves point term lookups), df alongside, stats
+    as JSON (ints + the avgdl double via repr — exact round-trip)."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    (
+        index.postings.repartitionByRange(8, "w")
+        .sortWithinPartitions("w", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "postings"))
+    )
+    index.df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "df"))
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump({"n_docs": index.n_docs, "avgdl": index.avgdl}, f)
+
+
+def bm25_index_load(spark: SparkSession, path: str) -> BM25Index:
+    """Reload a persisted index; no scan of the corpus, no tokenize."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    with open(os.path.join(path, "stats.json")) as f:
+        stats = json.load(f)
+    return BM25Index(
+        spark.read.parquet(os.path.join(path, "postings")),
+        spark.read.parquet(os.path.join(path, "df")),
+        int(stats["n_docs"]),
+        float(stats["avgdl"]),
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str, index: BM25Index) -> DataFrame:
+    """BM25 over stored postings: filter to the query terms (pushed to
+    the parquet scan when the index came from disk), broadcast the tiny
+    df relation, fold the driver-resident stats in as exact literals.
+    Identical formula/rounding/tiebreaks to bm25_topk, so the result is
+    hash-identical and shares BM25_ORACLE."""
+    hits = index.postings.where(F.col("w").isin(QUERY_TERMS)).join(
+        F.broadcast(index.df), "w"
+    )
+    n, a = index.n_docs, index.avgdl
+    score = (
+        f"round(sum(ln(1 + ({n} - df + 0.5) / (df + 0.5)) * tf * ({K1} + 1)"
+        f" / (tf + {K1} * (1 - {B} + {B} * dl / cast('{a!r}' AS double)))), 4)"
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.expr(score).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+    )
+
+
+def _bm25_artifact_path(sf_dir: str) -> str:
+    """Deterministic artifact location keyed by the sf_dir AND a
+    fingerprint of the documents parquet (names/sizes/mtimes), so a
+    regenerated fixture can never be served by a stale index."""
+    import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    h = hashlib.md5(str(sf_dir).encode())
+    docs = os.path.join(str(sf_dir), "documents.parquet")
+    if os.path.isdir(docs):
+        walk = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(docs)
+            for f in sorted(fs)
+        ]
+    elif os.path.exists(docs):
+        walk = [docs]
+    else:
+        walk = []
+    for p in sorted(walk):
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(root, ".search_artifacts", "bm25_" + h.hexdigest())
+
+
+def bm25_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k served from the PERSISTED inverted index: the first
+    invocation per fixture tokenizes + saves (atomic tmp-dir rename, a
+    crashed build never half-publishes), every later one reloads the
+    postings from disk and pays only the term-lookup search path.
+    Hash-identical to ``search_bm25``; shares BM25_ORACLE."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    path = _bm25_artifact_path(sf_dir)
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        bm25_index_save(bm25_index_build(spark, sf_dir), tmp)
+        try:
+            os.replace(tmp, path)  # atomic publish; loser of a race loses
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return bm25_search(spark, sf_dir, bm25_index_load(spark, path))
+
+
 def registry() -> dict[str, dict]:
     return {
         "search_bm25": {"fn": bm25_topk, "oracle": BM25_ORACLE},

@@ -2371,3 +2371,69 @@ def test_gif_decode_matches_duckdb_oracle(spark, tables, sf_dir, duck):
 
     ok, diag = compare(decode_gif(spark, sf_dir), duck, _decode_gif_oracle())
     assert ok, diag
+
+
+# --- BM25 inverted-index artifact (build once, search many) ------------------
+
+
+def test_bm25_index_roundtrip_and_artifact_serving(spark, tables, sf_dir, tmp_path):
+    """Save/load is exact (postings, df, stats), the artifact path is
+    hash-identical to the self-contained search_bm25, and the second
+    invocation serves WITHOUT rebuilding (the artifact directory is
+    untouched)."""
+    import os
+    import shutil
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        search as S,
+    )
+
+    idx = S.bm25_index_build(spark, sf_dir)
+    path = str(tmp_path / "bm25_idx")
+    S.bm25_index_save(idx, path)
+    idx2 = S.bm25_index_load(spark, path)
+    assert idx2.n_docs == idx.n_docs
+    assert idx2.avgdl == idx.avgdl  # repr round-trip: bit-exact double
+    assert sorted(map(tuple, idx2.postings.collect())) == sorted(
+        map(tuple, idx.postings.collect())
+    )
+    assert sorted(map(tuple, idx2.df.collect())) == sorted(
+        map(tuple, idx.df.collect())
+    )
+
+    art = S._bm25_artifact_path(sf_dir)
+    shutil.rmtree(art, ignore_errors=True)
+    first = S.bm25_from_artifact(spark, sf_dir).collect()
+    assert os.path.isdir(art)
+    mtime = os.path.getmtime(art)
+    second = S.bm25_from_artifact(spark, sf_dir).collect()
+    assert os.path.getmtime(art) == mtime  # served, not rebuilt
+    base = S.bm25_topk(spark, sf_dir).collect()
+    assert first == second == base
+
+
+def test_bm25_artifact_search_pushes_term_filter_to_scan(spark, tables, sf_dir):
+    """The economics of the persisted index: a term lookup must reach
+    the postings parquet as a pushed filter (row-group pruning), not a
+    post-scan filter over the whole index."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        search as S,
+    )
+
+    plan = S.bm25_from_artifact(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "In(w" in ln]
+    assert pushed, plan
+
+
+def test_bm25_from_artifact_matches_duckdb_oracle(spark, tables, sf_dir, duck):
+    """The differential the gate will run once the entry registers at
+    the freeze exit: the artifact-served result replays BM25_ORACLE."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        search as S,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    ok, diag = compare(S.bm25_from_artifact(spark, sf_dir), duck, S.BM25_ORACLE)
+    assert ok, diag
