@@ -1136,6 +1136,8 @@ def _parse_png(b) -> tuple[int, int, int, bytes]:
         if zlib.crc32(ctype + body) != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"PNG IHDR must be 13 bytes, got {length}")
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -1158,7 +1160,10 @@ def _parse_png(b) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None or not ended:
         raise ValueError("PNG missing IHDR or IEND")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # CRC-consistent garbage is still garbage
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     stride = width * channels
     if len(raw) != height * (1 + stride):
         raise ValueError(

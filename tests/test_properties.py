@@ -414,3 +414,79 @@ def test_gif_lzw_roundtrip_model(idxs, mcs):
     data = bytes(idxs)
     packed = _lzw_pack(mcs, _lzw_codes(mcs, data))
     assert _lzw_decode(mcs, packed, max(len(data), 1)) == data
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(min_size=0, max_size=64), mcs=st.integers(2, 8))
+def test_gif_lzw_decoder_total_on_adversarial_streams(data, mcs):
+    """The hand-rolled LZW decoder must be TOTAL on arbitrary bytes:
+    either a clean ValueError (truncation, out-of-range code, missing
+    EOI) or a bounded byte result — never a hang, IndexError, or
+    output larger than the declared pixel budget."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _lzw_decode,
+    )
+
+    try:
+        out = _lzw_decode(mcs, data, 256)
+    except ValueError:
+        return
+    assert isinstance(out, bytes) and len(out) <= 256
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(min_size=0, max_size=96))
+def test_gif_container_parser_total_on_adversarial_bytes(data):
+    """Same totality property for the container walker: random bytes
+    (with and without a valid magic prefix) either raise ValueError or
+    parse to a structurally valid image tuple."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _parse_gif,
+    )
+
+    for payload in (data, b"GIF89a" + data):
+        try:
+            w, h, nc, pal, px = _parse_gif(payload)
+        except ValueError:
+            continue
+        assert len(px) == w * h and len(pal) == 3 * nc
+
+
+@settings(max_examples=300, deadline=None)
+@given(data=st.binary(min_size=0, max_size=96))
+def test_png_parser_total_on_adversarial_bytes(data):
+    """Totality for the PNG walker too: arbitrary bytes — bare, with a
+    valid signature, or with a CRC-stamped garbage-IDAT chunk — raise
+    ValueError or parse to a structurally valid image; struct.error and
+    zlib.error must never escape."""
+    import struct
+    import zlib
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    payloads = (
+        data,
+        _PNG_SIG + data,
+        # well-formed chunk frame, adversarial contents: CRC-consistent
+        # garbage IDAT and a truncated IHDR body
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", data) + chunk(b"IEND", b""),
+        _PNG_SIG + chunk(b"IHDR", data[:7]) + chunk(b"IEND", b""),
+    )
+    for payload in payloads:
+        try:
+            w, h, ch, px = _parse_png(payload)
+        except ValueError:
+            continue
+        assert len(px) == w * h * ch
