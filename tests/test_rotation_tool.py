@@ -205,3 +205,43 @@ def test_docstring_window_recount_matches_correctness_files():
     doc = r.__doc__
     assert "49 first-time" in doc and "1 re-check" in doc
     assert "ann_ivfpq_topk" in doc
+
+
+def test_r08_roll_preview_matches_policy_promise():
+    """De-risk the r08 close-out (VERDICT r06 ask #2): simulate the
+    roller's next run under the expected outcome (the full r07 window
+    comes back green) and pin that the r08 window is the final 6
+    never-checked entries followed by re-rotation of the OLDEST driver
+    evidence — which at that point is the r03 cohort."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, repo)
+    from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
+
+    ev = {n: last for n, (last, _, _) in r.ROTATION.items() if last}
+    ev.update({n: 7 for n in r.CURRENT_WINDOW})  # r07 executes as scheduled
+    names = list(r.ROTATION)
+    window, rest, failed, net_new = roll.compute_schedule(
+        names, r.ROTATION, ev, "r08"
+    )
+    assert failed == [] and net_new == [] and rest == []
+    final6 = set(r.scheduled("r08"))
+    assert set(window[:6]) == final6
+    # the refill is oldest-evidence-first: the ENTIRE r03 cohort (43
+    # entries) re-rotates, and the one remaining slot takes the
+    # name-first r04 entry
+    r03 = {n for n, (last, _, _) in r.ROTATION.items() if last == 3}
+    assert len(window) == 50
+    refill = set(window[6:])
+    assert r03 <= refill
+    (extra,) = refill - r03
+    assert r.ROTATION[extra][0] == 4
+    r04 = sorted(n for n, (last, _, _) in r.ROTATION.items() if last == 4)
+    assert extra == r04[0]
+    # and a failed r07 entry would displace a re-rotation slot, not hide
+    ev_fail = dict(ev)
+    del ev_fail[r.CURRENT_WINDOW[0]]
+    window_f, _, failed_f, _ = roll.compute_schedule(
+        names, r.ROTATION, ev_fail, "r08"
+    )
+    assert failed_f == [r.CURRENT_WINDOW[0]]
+    assert window_f[0] == r.CURRENT_WINDOW[0]
