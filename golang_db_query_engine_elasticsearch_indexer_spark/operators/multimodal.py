@@ -1445,34 +1445,60 @@ def _lzw_decode(mcs: int, data: bytes, max_pixels: int) -> bytes:
         prev = entry
 
 
-def _build_gif(width: int, height: int, palette: bytes, indices: bytes) -> bytes:
-    """A genuine GIF89a: header, logical screen descriptor, global
-    color table, a graphic-control and a comment extension (so the
-    decoder's block-skipping path is always exercised), one image
-    descriptor, LZW-compressed pixel data in <=255-byte sub-blocks,
-    trailer."""
+def _gif_image_block(
+    width: int, height: int, indices: bytes, mcs: int, left: int = 0, top: int = 0
+) -> bytes:
+    """One image descriptor + LZW-compressed pixel data in <=255-byte
+    sub-blocks (the per-frame unit of a GIF stream)."""
     import struct  # noqa: PLC0415
 
-    ncolors = len(palette) // 3
-    bits = ncolors.bit_length() - 1
-    if 1 << bits != ncolors or not 2 <= bits <= 8:
-        raise ValueError(f"GIF: palette size {ncolors} not a power of two in 4..256")
-    mcs = max(2, bits)
-    packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", width, height, packed, 0, 0)
-    out += palette
-    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control, no transp.
-    out += b"\x21\xfe\x03gen\x00"  # comment extension
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out = bytearray(
+        b"\x2c" + struct.pack("<HHHH", left, top, width, height) + b"\x00"
+    )
     out.append(mcs)
     lzw = _lzw_pack(mcs, _lzw_codes(mcs, indices))
     for i in range(0, len(lzw), 255):
         block = lzw[i : i + 255]
         out.append(len(block))
         out += block
-    out += b"\x00\x3b"
+    out += b"\x00"
     return bytes(out)
+
+
+def _build_gif_animation(
+    width: int, height: int, palette: bytes, frames: list[bytes]
+) -> bytes:
+    """A genuine (possibly animated) GIF89a: header, logical screen
+    descriptor, global color table, the NETSCAPE2.0 looping application
+    extension and a comment extension (so the decoder's block-skipping
+    path is always exercised), then one graphic-control extension +
+    image block PER FRAME, trailer."""
+    import struct  # noqa: PLC0415
+
+    ncolors = len(palette) // 3
+    bits = ncolors.bit_length() - 1
+    if 1 << bits != ncolors or not 2 <= bits <= 8:
+        raise ValueError(f"GIF: palette size {ncolors} not a power of two in 4..256")
+    if not frames:
+        raise ValueError("GIF: need at least one frame")
+    mcs = max(2, bits)
+    packed = 0x80 | ((bits - 1) << 4) | (bits - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, packed, 0, 0)
+    out += palette
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    out += b"\x21\xfe\x03gen\x00"  # comment extension
+    for f, indices in enumerate(frames):
+        # graphic control: no transparency, delay = (f+1) centiseconds
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", f + 1) + b"\x00\x00"
+        out += _gif_image_block(width, height, indices, mcs)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _build_gif(width: int, height: int, palette: bytes, indices: bytes) -> bytes:
+    """A single-image GIF89a (one frame of :func:`_build_gif_animation`)."""
+    return _build_gif_animation(width, height, palette, [indices])
 
 
 def _parse_gif(b) -> tuple[int, int, int, bytes, bytes]:
@@ -1481,6 +1507,29 @@ def _parse_gif(b) -> tuple[int, int, int, bytes, bytes]:
     palette, no interlace), sub-block reassembly, and full LZW
     decompression. Returns (width, height, n_colors, palette bytes,
     palette-index bytes)."""
+    import struct  # noqa: PLC0415
+
+    width, height, ncolors, palette, frames = _parse_gif_frames(b)
+    if len(frames) != 1:
+        raise ValueError("multi-image GIFs not supported")
+    _left, _top, iw, ih, pixels = frames[0]
+    if (iw, ih) != (width, height):
+        raise ValueError("GIF image dims differ from logical screen")
+    return width, height, ncolors, palette, pixels
+
+
+def _parse_gif_frames(
+    b,
+) -> tuple[int, int, int, bytes, list[tuple[int, int, int, int, bytes]]]:
+    """The general GIF walker: EVERY image block in the stream is
+    decoded (animated GIFs are a sequence of image descriptors, each
+    with its own LZW stream and optional graphic-control extension).
+    Returns (screen_w, screen_h, n_colors, palette,
+    [(left, top, w, h, index bytes), ...]) — frames are reported RAW
+    (their own rectangles and pixels); disposal-method compositing is
+    deliberately out of scope (frame statistics don't need a composite,
+    and compositing semantics belong to a renderer, not an analytics
+    engine)."""
     import struct  # noqa: PLC0415
 
     data = bytes(b)
@@ -1497,7 +1546,7 @@ def _parse_gif(b) -> tuple[int, int, int, bytes, bytes]:
     if len(palette) != 3 * ncolors:
         raise ValueError("GIF truncated in global color table")
     pos += 3 * ncolors
-    image: tuple[int, int, bytes] | None = None
+    frames: list[tuple[int, int, int, int, bytes]] = []
     while True:
         if pos >= len(data):
             raise ValueError("GIF truncated before trailer")
@@ -1515,16 +1564,16 @@ def _parse_gif(b) -> tuple[int, int, int, bytes, bytes]:
                 if n == 0:
                     break
         elif block == 0x2C:  # image descriptor
-            if image is not None:
-                raise ValueError("multi-image GIFs not supported")
             if pos + 9 > len(data):
                 raise ValueError("GIF truncated in image descriptor")
-            _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
+            left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
             pos += 9
             if ipacked & 0x80:
                 raise ValueError("GIF local color tables not supported")
             if ipacked & 0x40:
                 raise ValueError("interlaced GIFs not supported")
+            if iw == 0 or ih == 0 or left + iw > width or top + ih > height:
+                raise ValueError("GIF frame rectangle outside the logical screen")
             if pos >= len(data):
                 raise ValueError("GIF truncated at LZW minimum code size")
             mcs = data[pos]
@@ -1549,15 +1598,12 @@ def _parse_gif(b) -> tuple[int, int, int, bytes, bytes]:
                 )
             if any(p >= ncolors for p in pixels):
                 raise ValueError("GIF pixel index outside the color table")
-            image = (iw, ih, pixels)
+            frames.append((left, top, iw, ih, pixels))
         else:
             raise ValueError(f"GIF: unknown block introducer 0x{block:02x}")
-    if image is None:
+    if not frames:
         raise ValueError("GIF contains no image")
-    iw, ih, pixels = image
-    if (iw, ih) != (width, height):
-        raise ValueError("GIF image dims differ from logical screen")
-    return width, height, ncolors, palette, pixels
+    return width, height, ncolors, palette, frames
 
 
 def _decode_gif_batches(batches):
@@ -1635,6 +1681,128 @@ SELECT doc_id, cast(w AS INTEGER) AS width, cast(h AS INTEGER) AS height,
        {chan_sum.format(m=151)} AS b_sum
 FROM hx
 ORDER BY doc_id
+"""
+
+
+# --- animated GIF: per-frame decode ------------------------------------------
+#
+# Real-world GIFs are animations — a sequence of image blocks, each
+# with its own graphic-control extension and LZW stream. The general
+# walker (_parse_gif_frames) decodes EVERY frame; this entry is the
+# video-like analogue of multimodal_frame_sample with a REAL codec
+# underneath: one row per (doc_id, frame) with palette-mapped channel
+# sums. Frames are reported raw (no disposal-method compositing — a
+# renderer's concern, not an analytics engine's). Fixture frames come
+# from per-(doc, frame) md5 chains, so the DuckDB oracle replays the
+# decoded stats without parsing binary; registration deferred with the
+# other freeze-exit entries (rotation.py).
+
+GIF_FRAMES_SCHEMA = (
+    "doc_id long, frame_id int, n_frames int, r_sum long, g_sum long, b_sum long"
+)
+
+
+def _gif_n_frames(doc_id: int) -> int:
+    return 2 + doc_id % 3
+
+
+def _gif_frame_index_bytes(doc_id: int, frame: int, n: int) -> bytes:
+    """First ``n`` bytes of the chain md5(f"{doc_id}:gifa:{frame}:{i}")."""
+    import hashlib  # noqa: PLC0415
+
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += bytes.fromhex(
+            hashlib.md5(f"{doc_id}:gifa:{frame}:{i}".encode()).hexdigest()
+        )
+        i += 1
+    return bytes(out[:n])
+
+
+def _gif_frames_batches(batches):
+    """mapInPandas worker: build the formula animation, decode every
+    frame back with the real parser, emit one row per frame."""
+    import pandas as pd  # noqa: PLC0415
+
+    def rows_for(doc_id: int):
+        w, h, bits = _gif_dims(doc_id)
+        ncolors = 1 << bits
+        nf = _gif_n_frames(doc_id)
+        frames = [
+            bytes(v % ncolors for v in _gif_frame_index_bytes(doc_id, f, w * h))
+            for f in range(nf)
+        ]
+        gif = _build_gif_animation(w, h, _gif_palette(bits), frames)
+        _w, _h, _nc, pal, decoded = _parse_gif_frames(gif)
+        out = []
+        for f, (_l, _t, _fw, _fh, px) in enumerate(decoded):
+            sums = [0, 0, 0]
+            for i in px:
+                sums[0] += pal[3 * i]
+                sums[1] += pal[3 * i + 1]
+                sums[2] += pal[3 * i + 2]
+            out.append((int(doc_id), f, len(decoded), *sums))
+        return out
+
+    for pdf in batches:
+        rows = [r for d in pdf["doc_id"] for r in rows_for(int(d))]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "frame_id", "n_frames", "r_sum", "g_sum", "b_sum",
+            ],
+        )
+
+
+def gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame decode of animated GIFs through the multimodal path.
+
+    Scale shape: map-only over Arrow batches with a bounded per-row
+    fan-out (2-4 frames per document), no shuffle before the final
+    order; per-row state is one tiny animation."""
+    payloads = spark.table("documents").select("doc_id")
+    return payloads.mapInPandas(_gif_frames_batches, schema=GIF_FRAMES_SCHEMA).orderBy(
+        "doc_id", "frame_id"
+    )
+
+
+def _gif_frames_oracle() -> str:
+    """Replays the per-(doc, frame) md5-chain formula: frame f pixel j
+    is (byte 2*j of the chain md5(doc_id || ':gifa:' || f || ':' || i))
+    % n_colors, mapped through the closed-form palette."""
+    hv = "strpos('0123456789abcdef', substring(hexstr, {p}, 1)) - 1"
+    byte_at = f"(({hv.format(p='{off} + 1')}) * 16 + ({hv.format(p='{off} + 2')}))"
+    idx = byte_at.format(off="2*j") + " % ncolors"
+    chan_sum = (
+        "cast(list_sum(list_transform(range(0, npix), "
+        "j -> ((" + idx + ") * {m}) % 256)) AS BIGINT)"
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+         1 << cast(2 + doc_id % 3 AS INTEGER) AS ncolors,
+         2 + doc_id % 3 AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, w, h, ncolors, n_frames, unnest(range(0, n_frames)) AS f
+  FROM dims
+),
+hx AS (
+  SELECT doc_id, f, n_frames, ncolors, w * h AS npix,
+         list_aggregate(list_transform(range(0, (w * h + 15) // 16),
+             i -> md5(doc_id::VARCHAR || ':gifa:' || f::VARCHAR || ':' || i::VARCHAR)),
+           'string_agg', '') AS hexstr
+  FROM frames
+)
+SELECT doc_id, cast(f AS INTEGER) AS frame_id,
+       cast(n_frames AS INTEGER) AS n_frames,
+       {chan_sum.format(m=37)} AS r_sum,
+       {chan_sum.format(m=73)} AS g_sum,
+       {chan_sum.format(m=151)} AS b_sum
+FROM hx
+ORDER BY doc_id, frame_id
 """
 
 

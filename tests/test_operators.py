@@ -2437,3 +2437,73 @@ def test_bm25_from_artifact_matches_duckdb_oracle(spark, tables, sf_dir, duck):
 
     ok, diag = compare(S.bm25_from_artifact(spark, sf_dir), duck, S.BM25_ORACLE)
     assert ok, diag
+
+
+def test_gif_animation_roundtrip_and_frame_isolation():
+    """Animated GIFs: every frame decodes independently (own LZW
+    stream, own graphic-control extension), order preserved, and the
+    strict single-image entry point rejects animations."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_gif_animation,
+        _gif_dims,
+        _gif_frame_index_bytes,
+        _gif_n_frames,
+        _gif_palette,
+        _parse_gif,
+        _parse_gif_frames,
+    )
+
+    seen_nf = set()
+    for doc_id in range(30):
+        w, h, bits = _gif_dims(doc_id)
+        nc = 1 << bits
+        nf = _gif_n_frames(doc_id)
+        seen_nf.add(nf)
+        frames = [
+            bytes(v % nc for v in _gif_frame_index_bytes(doc_id, f, w * h))
+            for f in range(nf)
+        ]
+        sw, sh, snc, pal, dec = _parse_gif_frames(
+            _build_gif_animation(w, h, _gif_palette(bits), frames)
+        )
+        assert (sw, sh, snc) == (w, h, nc)
+        assert [d[4] for d in dec] == frames
+        assert all((left, top, fw, fh) == (0, 0, w, h) for left, top, fw, fh, _ in dec)
+    assert seen_nf == {2, 3, 4}
+
+    with pytest.raises(ValueError, match="multi-image"):
+        _parse_gif(
+            _build_gif_animation(3, 2, _gif_palette(2), [bytes(6), bytes(6)])
+        )
+
+
+def test_gif_frame_rectangle_bounds_enforced():
+    """A frame rectangle outside the logical screen is malformed."""
+    import struct
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_gif,
+        _gif_palette,
+        _parse_gif_frames,
+    )
+
+    good = _build_gif(3, 2, _gif_palette(2), bytes(6))
+    img_at = good.index(b"\x2c")
+    # move the frame right by one column: left=1 with width 3 > screen 3
+    bad = bytearray(good)
+    bad[img_at + 1 : img_at + 3] = struct.pack("<H", 1)
+    with pytest.raises(ValueError, match="outside the logical screen"):
+        _parse_gif_frames(bytes(bad))
+
+
+def test_gif_frame_stats_matches_duckdb_oracle(spark, tables, sf_dir, duck):
+    """Differential for the staged per-frame entry: Spark
+    gif_frame_stats vs the per-(doc, frame) md5-chain oracle."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _gif_frames_oracle,
+        gif_frame_stats,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    ok, diag = compare(gif_frame_stats(spark, sf_dir), duck, _gif_frames_oracle())
+    assert ok, diag
