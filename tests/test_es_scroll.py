@@ -458,3 +458,42 @@ def test_save_then_read_table_roundtrip(spark, tables, es_stub):
     # dtype parity on the round-trip: the mapping the sink derives and
     # the schema the reader derives from it must agree with the source
     assert dict(back.select(*cols).dtypes) == dict(src.select(*cols).dtypes)
+
+
+def test_save_then_read_table_roundtrip_with_auth(spark, tables, es_stub):
+    """The same save -> read_table loop against a security-enabled
+    stub: credentials must thread through BOTH high-level halves —
+    indexer.save's sink options into the elastic_bulk writer, and
+    read_table's options into the sliced-scroll reader."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import save
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources import read_table
+    from golang_db_query_engine_elasticsearch_indexer_spark.sources.es_datasource import (
+        ElasticDataSourceSink,
+    )
+
+    stub = es_stub(require_basic_auth=("elastic", "sekret"))
+    stats = save(
+        spark,
+        SQL,
+        "rt_auth",
+        ElasticDataSourceSink(stub.base_url, username="elastic", password="sekret"),
+        order_cols=["o_orderkey"],
+    )
+    src = query_df(spark, SQL)
+    assert stats.num_docs == src.count() > 0
+
+    with pytest.raises(Exception, match="401|Unauthorized|unauthorized"):
+        read_table(
+            spark, "rt_auth", fmt="elastic", options={"url": stub.base_url}
+        ).collect()
+
+    back = read_table(
+        spark,
+        "rt_auth",
+        fmt="elastic",
+        options={"url": stub.base_url, "username": "elastic", "password": "sekret"},
+    )
+    cols = sorted(src.columns)
+    assert sorted(map(tuple, back.select(*cols).collect())) == sorted(
+        map(tuple, src.select(*cols).collect())
+    )
