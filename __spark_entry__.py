@@ -34,13 +34,13 @@ def _configure(spark: SparkSession) -> None:
 # queries() in insertion order. Which 50 is decided by the
 # machine-readable rotation schedule in
 # golang_db_query_engine_elasticsearch_indexer_spark/rotation.py
-# (VERDICT r05 asks #1/#6): entries whose code changed this round
-# first, then the never-driver-checked backlog by divergence risk
-# (float/stat kernels -> regex/string -> exact-integer), with net-new
-# inventory frozen until the backlog clears (r06 executed as 49
-# first-time + 1 re-check, all green; r07 = the 50 remaining
-# never-checked; r08 = the final 6, then re-rotation of the oldest
-# evidence).
+# (VERDICT r05 asks #1/#6): net-new and changed-kernel entries first,
+# then the never-driver-checked backlog by divergence risk, then
+# re-rotation of the oldest driver evidence. The backlog cleared on
+# schedule (r06: 49 first-time + 1 re-check; r07: the remaining 50 —
+# both 50/50 green); r08 is the close-out window (2 r08-built net-new
+# + 2 changed-kernel re-checks + the 10-entry backlog of 4 freeze-exit
+# registrations and the final 6 + 36 oldest-r03 re-rotation slots).
 # Everything out of window keeps regression coverage via the in-repo
 # sf0.01 differential gate (tests/test_oracle_queries.py) and the
 # recorded sf0.1 spot differentials (SCALE.md).

@@ -78,6 +78,10 @@ HEADLINE = [
     # streaming (availableNow drain of the events fixture)
     "stream_tumbling_counts",
     "stream_docs_incremental_dedup",
+    # r08: the real-PNG codec path joins the headline at its freeze-exit
+    # registration (VERDICT r06 ask #7 / r07 ask #7 — the one planned
+    # addition; the rest of the set stays frozen at the r06/r07 list)
+    "multimodal_decode_png",
 ]
 
 

@@ -1004,9 +1004,9 @@ ORDER BY doc_a, doc_b
 # known-byte vector and corruption tests pin the decoder independently
 # (tests/test_operators.py).
 #
-# NOTE: not yet in registry() — the r06 rotation policy freezes net-new
-# driver entries until the never-checked backlog clears (rotation.py);
-# the oracle below is ready for registration when the freeze lifts.
+# Registered at the r08 freeze exit (rotation.py): the never-checked
+# backlog cleared in r07, so this entry entered registry() and the
+# roller front-scheduled it as net-new in the r08 window.
 
 PNG_SCHEMA = (
     "doc_id long, width int, height int, channels int, "
@@ -1278,10 +1278,8 @@ ORDER BY doc_id
 # is a simulation of the DECODER's table growth, not folklore
 # off-by-one rules.
 #
-# NOTE: not yet in registry() — the rotation policy freezes net-new
-# driver entries until the never-checked backlog clears (rotation.py);
-# the oracle below is ready for registration when the freeze lifts
-# (r08, alongside multimodal_decode_png).
+# Registered at the r08 freeze exit alongside multimodal_decode_png
+# (rotation.py): net-new, front-scheduled in the r08 window.
 
 GIF_SCHEMA = (
     "doc_id long, width int, height int, n_colors int, "
@@ -1507,8 +1505,6 @@ def _parse_gif(b) -> tuple[int, int, int, bytes, bytes]:
     palette, no interlace), sub-block reassembly, and full LZW
     decompression. Returns (width, height, n_colors, palette bytes,
     palette-index bytes)."""
-    import struct  # noqa: PLC0415
-
     width, height, ncolors, palette, frames = _parse_gif_frames(b)
     if len(frames) != 1:
         raise ValueError("multi-image GIFs not supported")
@@ -1694,8 +1690,8 @@ ORDER BY doc_id
 # sums. Frames are reported raw (no disposal-method compositing — a
 # renderer's concern, not an analytics engine's). Fixture frames come
 # from per-(doc, frame) md5 chains, so the DuckDB oracle replays the
-# decoded stats without parsing binary; registration deferred with the
-# other freeze-exit entries (rotation.py).
+# decoded stats without parsing binary; registered at the r08 freeze
+# exit with the other staged entries (rotation.py).
 
 GIF_FRAMES_SCHEMA = (
     "doc_id long, frame_id int, n_frames int, r_sum long, g_sum long, b_sum long"
@@ -1806,6 +1802,511 @@ ORDER BY doc_id, frame_id
 """
 
 
+# --- real document decode: PDF text extraction ------------------------------
+#
+# The LLM-pipeline op users actually run first: documents arrive as
+# PDFs, training wants text. The reference has no document parsing at
+# all (it ships pre-extracted rows to ES — api/models/*.go are flat
+# string structs), so this extends the multimodal decode family from
+# images/audio to DOCUMENT formats with a genuinely parsed container:
+# classic cross-reference table (seek to byte offsets — no scanning),
+# object graph (dicts, arrays, names, numbers, references, literal +
+# hex strings), /FlateDecode content streams (zlib — the same
+# honest-compression boundary as PNG), and a content-stream text
+# extractor covering Tj, ', ", and TJ with the full string-escape
+# grammar (\n \r \t \b \f \( \) \\, 1-3 digit octal, backslash
+# line continuation, nested unescaped parentheses).
+#
+# Fixture discipline is STRONGER than the md5-chain codecs: the
+# encoder embeds the documents table's own ``text`` column (paginated
+# at PDF_PAGE_CHARS, lines alternating Tj / kerned-TJ), so the DuckDB
+# oracle replays nothing binary — it checks the extracted text against
+# the source column directly (md5 + per-page md5 chain). The encoder
+# is not trusted by symmetry alone: a hand-assembled known-byte vector
+# (uncompressed stream, octal + continuation escapes, hex string,
+# nested parens, ' and TJ operators) pins the parser independently,
+# and malformed inputs (bad header, lying xref, short /Length,
+# unsupported filter, unterminated string, dangling reference) must
+# raise, not mis-extract.
+
+PDF_PAGE_CHARS = 120
+PDF_LINE_CHARS = 40
+
+PDF_SCHEMA = (
+    "doc_id long, n_pages int, n_chars long, text_md5 string, pages_md5 string"
+)
+
+_PDF_WS = b"\x00\t\n\x0c\r "
+_PDF_DELIM = b"()<>[]{}/%"
+
+
+class _PdfName(str):
+    """A /Name token (distinct from a string value)."""
+
+
+class _PdfRef:
+    """An indirect reference ``num gen R``."""
+
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+
+def _pdf_skip_ws(b: bytes, i: int) -> int:
+    n = len(b)
+    while i < n:
+        c = b[i : i + 1]
+        if c in _PDF_WS:
+            i += 1
+        elif c == b"%":
+            while i < n and b[i : i + 1] not in b"\r\n":
+                i += 1
+        else:
+            break
+    return i
+
+
+def _pdf_string(b: bytes, i: int) -> tuple[bytes, int]:
+    """Literal string ``(...)`` with the spec escape grammar and
+    balanced-paren nesting; returns (raw bytes, next index)."""
+    i += 1  # past '('
+    depth, n = 1, len(b)
+    out = bytearray()
+    while i < n:
+        c = b[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = b[i]
+            if e in b"nrtbf":
+                out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t",
+                        0x62: b"\b", 0x66: b"\f"}[e]
+                i += 1
+            elif 0x30 <= e <= 0x37:  # 1-3 octal digits
+                val, k = 0, 0
+                while i < n and k < 3 and 0x30 <= b[i] <= 0x37:
+                    val = val * 8 + (b[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(val & 0xFF)
+            elif e in b"\r\n":  # line continuation: both swallowed
+                i += 1
+                if e == 0x0D and i < n and b[i] == 0x0A:
+                    i += 1
+            else:  # spec: stray backslash is dropped, char kept
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            i += 1
+            if depth == 0:
+                return bytes(out), i
+            out.append(c)
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("PDF: unterminated string literal")
+
+
+def _pdf_hex_string(b: bytes, i: int) -> tuple[bytes, int]:
+    i += 1  # past '<'
+    digits: list[str] = []
+    n = len(b)
+    while i < n and b[i : i + 1] != b">":
+        c = b[i : i + 1]
+        if c in b"0123456789abcdefABCDEF":
+            digits.append(c.decode())
+        elif c not in _PDF_WS:
+            raise ValueError("PDF: bad hex-string character")
+        i += 1
+    if i >= n:
+        raise ValueError("PDF: unterminated hex string")
+    if len(digits) % 2:
+        digits.append("0")  # spec: odd count implies trailing 0
+    return bytes.fromhex("".join(digits)), i + 1
+
+
+_PDF_NUM_RE = None  # compiled lazily (executors import this module cold)
+_PDF_REF_RE = None
+
+
+def _pdf_regexes():
+    global _PDF_NUM_RE, _PDF_REF_RE  # noqa: PLW0603
+    if _PDF_NUM_RE is None:
+        import re  # noqa: PLC0415
+
+        _PDF_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+        _PDF_REF_RE = re.compile(rb"\s+(\d+)\s+R(?![A-Za-z0-9])")
+    return _PDF_NUM_RE, _PDF_REF_RE
+
+
+def _pdf_value(b: bytes, i: int, depth: int = 0):
+    """Parse one object value at ``i`` (dict/array/name/string/number/
+    reference/bool/null); returns (value, next index). Container
+    nesting is capped so adversarial bytes raise instead of blowing
+    the recursion limit."""
+    if depth > 64:
+        raise ValueError("PDF: container nesting too deep")
+    num_re, ref_re = _pdf_regexes()
+    i = _pdf_skip_ws(b, i)
+    if b[i : i + 2] == b"<<":
+        i += 2
+        d: dict[str, object] = {}
+        while True:
+            i = _pdf_skip_ws(b, i)
+            if i >= len(b):
+                raise ValueError("PDF: unterminated dictionary")
+            if b[i : i + 2] == b">>":
+                return d, i + 2
+            if b[i : i + 1] != b"/":
+                raise ValueError("PDF: dictionary key must be a name")
+            key, i = _pdf_value(b, i, depth + 1)
+            d[str(key)], i = _pdf_value(b, i, depth + 1)
+    if b[i : i + 1] == b"[":
+        i += 1
+        arr: list[object] = []
+        while True:
+            i = _pdf_skip_ws(b, i)
+            if i >= len(b):
+                raise ValueError("PDF: unterminated array")
+            if b[i : i + 1] == b"]":
+                return arr, i + 1
+            v, i = _pdf_value(b, i, depth + 1)
+            arr.append(v)
+    if b[i : i + 1] == b"(":
+        return _pdf_string(b, i)
+    if b[i : i + 1] == b"<":
+        return _pdf_hex_string(b, i)
+    if b[i : i + 1] == b"/":
+        j = i + 1
+        while j < len(b) and b[j : j + 1] not in _PDF_WS + _PDF_DELIM:
+            j += 1
+        return _PdfName(b[i + 1 : j].decode("latin-1")), j
+    m = num_re.match(b, i)
+    if m:
+        tok = m.group()
+        if b"." in tok:
+            return float(tok), m.end()
+        r = ref_re.match(b, m.end())
+        if r and not tok.startswith((b"+", b"-")):
+            return _PdfRef(int(tok)), r.end()
+        return int(tok), m.end()
+    for kw, val in ((b"true", True), (b"false", False), (b"null", None)):
+        if b[i : i + len(kw)] == kw:
+            return val, i + len(kw)
+    raise ValueError(f"PDF: unparseable token at byte {i}")
+
+
+def _pdf_xref(b: bytes) -> tuple[dict[int, int], dict]:
+    """Locate startxref, parse the classic xref table at that offset
+    (subsection headers + 20-byte entries) and the trailer dict."""
+    import re  # noqa: PLC0415
+
+    sx = b.rfind(b"startxref")
+    if sx < 0:
+        raise ValueError("PDF: no startxref")
+    m = re.match(rb"startxref\s+(\d+)", b[sx:])
+    if not m:
+        raise ValueError("PDF: malformed startxref")
+    at = int(m.group(1))
+    if b[at : at + 4] != b"xref":
+        raise ValueError("PDF: startxref does not point at an xref table")
+    i = _pdf_skip_ws(b, at + 4)
+    head_re = re.compile(rb"(\d+)\s+(\d+)")
+    offsets: dict[int, int] = {}
+    while not b.startswith(b"trailer", i):
+        h = head_re.match(b, i)
+        if not h:
+            raise ValueError("PDF: bad xref subsection header")
+        start, count = int(h.group(1)), int(h.group(2))
+        i = _pdf_skip_ws(b, h.end())
+        for k in range(count):
+            ent = b[i : i + 20]
+            if len(ent) < 18:
+                raise ValueError("PDF: truncated xref entry")
+            if ent[17:18] == b"n":
+                offsets[start + k] = int(ent[0:10])
+            i += 20
+        i = _pdf_skip_ws(b, i)
+    trailer, _ = _pdf_value(b, i + len(b"trailer"))
+    if not isinstance(trailer, dict) or "Root" not in trailer:
+        raise ValueError("PDF: trailer has no /Root")
+    return offsets, trailer
+
+
+def _pdf_object_at(b: bytes, off: int, num: int):
+    """Parse ``num gen obj ... endobj`` at the xref-declared offset —
+    the offset must actually point at that object (a lying xref is an
+    error, not a scan trigger). Returns (value, stream bytes | None)."""
+    import re  # noqa: PLC0415
+
+    m = re.compile(rb"(\d+)\s+(\d+)\s+obj\b").match(b, off)
+    if not m or int(m.group(1)) != num:
+        raise ValueError(f"PDF: xref offset for object {num} is wrong")
+    val, i = _pdf_value(b, m.end())
+    i = _pdf_skip_ws(b, i)
+    if b[i : i + 6] != b"stream":
+        return val, None
+    if not isinstance(val, dict) or not isinstance(val.get("Length"), int):
+        raise ValueError("PDF: stream without an integer /Length")
+    i += 6
+    if b[i : i + 2] == b"\r\n":
+        i += 2
+    elif b[i : i + 1] == b"\n":
+        i += 1
+    data = b[i : i + val["Length"]]
+    j = _pdf_skip_ws(b, i + val["Length"])
+    if b[j : j + 9] != b"endstream":
+        raise ValueError("PDF: /Length does not land on endstream")
+    return val, data
+
+
+def _pdf_text_from_content(data: bytes) -> str:
+    """Extract shown text from one content stream: strings consumed by
+    Tj / ' / \" and the string elements of TJ arrays, in stream order
+    (kerning numbers ignored). Any other operator just clears its
+    operands."""
+    import re  # noqa: PLC0415
+
+    num_re, _ = _pdf_regexes()
+    op_re = re.compile(rb"[A-Za-z'\"][A-Za-z0-9'\"*]*")
+    i, n = 0, len(data)
+    operands: list[object] = []
+    pieces: list[bytes] = []
+    while i < n:
+        i = _pdf_skip_ws(data, i)
+        if i >= n:
+            break
+        c = data[i : i + 1]
+        if c in b"([</" or num_re.match(data, i):
+            v, i = _pdf_value(data, i)
+            operands.append(v)
+            continue
+        m = op_re.match(data, i)
+        if not m:
+            raise ValueError(f"PDF: bad content token at byte {i}")
+        op = m.group()
+        i = m.end()
+        if op in (b"Tj", b"'", b'"'):
+            if not operands or not isinstance(operands[-1], bytes):
+                raise ValueError(f"PDF: {op.decode()} without a string operand")
+            pieces.append(operands[-1])
+        elif op == b"TJ":
+            if not operands or not isinstance(operands[-1], list):
+                raise ValueError("PDF: TJ without an array operand")
+            pieces.extend(x for x in operands[-1] if isinstance(x, bytes))
+        operands = []
+    return b"".join(pieces).decode("utf-8")
+
+
+def _parse_pdf(b) -> list[str]:
+    """A REAL (minimal) PDF reader: header check, startxref -> classic
+    xref table -> trailer /Root, object graph walk Catalog -> Pages ->
+    Kids -> per-page /Contents, FlateDecode inflate, content-stream
+    text extraction. Returns the per-page extracted text."""
+    import zlib  # noqa: PLC0415
+
+    b = bytes(b)
+    if not b.startswith(b"%PDF-"):
+        raise ValueError("PDF: bad header signature")
+    offsets, trailer = _pdf_xref(b)
+
+    def deref(v):
+        if isinstance(v, _PdfRef):
+            if v.num not in offsets:
+                raise ValueError(f"PDF: dangling reference to object {v.num}")
+            return _pdf_object_at(b, offsets[v.num], v.num)
+        return v, None
+
+    try:
+        catalog, _ = deref(trailer["Root"])
+        pages, _ = deref(catalog["Pages"])
+        kids = pages.get("Kids")
+        if not isinstance(kids, list) or pages.get("Count") != len(kids):
+            raise ValueError("PDF: /Pages /Count disagrees with /Kids")
+        out: list[str] = []
+        for kid in kids:
+            page, _ = deref(kid)
+            if str(page.get("Type")) != "Page":
+                raise ValueError("PDF: /Kids entry is not a /Page")
+            cdict, data = deref(page["Contents"])
+            if data is None:
+                raise ValueError("PDF: page /Contents is not a stream")
+            filt = cdict.get("Filter")
+            if filt is not None:
+                if str(filt) != "FlateDecode":
+                    raise ValueError(f"PDF: unsupported filter /{filt}")
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as exc:
+                    raise ValueError(f"PDF: bad Flate stream: {exc}") from exc
+            out.append(_pdf_text_from_content(data))
+    except (KeyError, TypeError, AttributeError, UnicodeDecodeError) as exc:
+        # a structurally-broken object graph is malformed input, not a
+        # parser crash — the totality contract is ValueError
+        raise ValueError(f"PDF: malformed object graph: {exc!r}") from exc
+    return out
+
+
+def _pdf_escape(s: str) -> bytes:
+    out = s.encode("utf-8")
+    return (
+        out.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
+
+
+def _pdf_page_chunks(text: str) -> list[str]:
+    if not text:
+        raise ValueError("PDF builder: empty document text")
+    return [
+        text[i : i + PDF_PAGE_CHARS]
+        for i in range(0, len(text), PDF_PAGE_CHARS)
+    ]
+
+
+def _pdf_content(chunk: str) -> bytes:
+    """One page's content stream. Lines alternate plain Tj and a
+    kerned TJ array (string split in half around a -250 adjustment),
+    so both show operators are exercised by every multi-line page."""
+    lines = [
+        chunk[i : i + PDF_LINE_CHARS]
+        for i in range(0, len(chunk), PDF_LINE_CHARS)
+    ]
+    parts = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, ln in enumerate(lines):
+        if i:
+            parts.append(b"0 -14 Td")
+        if i % 2 == 0:
+            parts.append(b"(" + _pdf_escape(ln) + b") Tj")
+        else:
+            h = len(ln) // 2
+            parts.append(
+                b"[(" + _pdf_escape(ln[:h]) + b") -250 ("
+                + _pdf_escape(ln[h:]) + b")] TJ"
+            )
+    parts.append(b"ET")
+    return b" ".join(parts)
+
+
+def _build_pdf(text: str) -> bytes:
+    """A genuine multi-page PDF: catalog/pages/font objects, one page +
+    one FlateDecode content stream per PDF_PAGE_CHARS chunk, a correct
+    classic xref table (real byte offsets), trailer, startxref."""
+    import zlib  # noqa: PLC0415
+
+    chunks = _pdf_page_chunks(text)
+    objs: dict[int, bytes] = {}
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(len(chunks)))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Count {len(chunks)} /Kids [ {kids} ] >>".encode()
+    )
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for i, chunk in enumerate(chunks):
+        pg, cs = 4 + 2 * i, 5 + 2 * i
+        objs[pg] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] "
+            f"/Resources << /Font << /F1 3 0 R >> >> /Contents {cs} 0 R >>"
+        ).encode()
+        data = zlib.compress(_pdf_content(chunk))
+        objs[cs] = (
+            f"<< /Filter /FlateDecode /Length {len(data)} >>".encode()
+            + b"\nstream\n"
+            + data
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    nobj = max(objs) + 1
+    out += f"xref\n0 {nobj}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, nobj):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {nobj} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _pdf_batches(batches):
+    """mapInPandas worker: wrap each document's text in a real PDF,
+    extract it back with the real reader, emit page/char counts and
+    md5s of the EXTRACTED text (the oracle recomputes them from the
+    source column — any parser infidelity flips the hash)."""
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    def stats(doc_id: int, text: str):
+        pages = _parse_pdf(_build_pdf(text))
+        joined = "".join(pages)
+        page_chain = "".join(
+            hashlib.md5(p.encode()).hexdigest() for p in pages
+        )
+        return (
+            int(doc_id),
+            len(pages),
+            len(joined),
+            hashlib.md5(joined.encode()).hexdigest(),
+            hashlib.md5(page_chain.encode()).hexdigest(),
+        )
+
+    for pdf in batches:
+        rows = [stats(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])]
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_pages", "n_chars", "text_md5", "pages_md5"],
+        )
+
+
+def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF -> text extraction through the multimodal decode path (see
+    the section comment: real xref/object/stream/content parsing).
+
+    Scale shape: identical to the other decoders — map-only over Arrow
+    batches (codec work can't be SQL), no shuffle before the final
+    order; per-row state is one document's PDF. On a cluster the
+    binary column streams through executors once; nothing collects."""
+    payloads = spark.table("documents").select("doc_id", "text")
+    return payloads.mapInPandas(_pdf_batches, schema=PDF_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _pdf_extract_oracle() -> str:
+    """No binary replay at all: the extraction is checked against the
+    source ``text`` column itself — total md5, char count, and the
+    per-page md5 chain replayed with substring() at PDF_PAGE_CHARS."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         (length(text) + {PDF_PAGE_CHARS - 1}) // {PDF_PAGE_CHARS} AS n_pages
+  FROM documents
+)
+SELECT doc_id,
+       cast(n_pages AS INTEGER) AS n_pages,
+       cast(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5,
+       md5(list_aggregate(list_transform(range(0, n_pages),
+             i -> md5(substring(text,
+                                cast(i * {PDF_PAGE_CHARS} + 1 AS INTEGER),
+                                {PDF_PAGE_CHARS}))),
+           'string_agg', '')) AS pages_md5
+FROM d
+ORDER BY doc_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "multimodal_binary_features": {
@@ -1833,5 +2334,25 @@ def registry() -> dict[str, dict]:
         "multimodal_decode_audio": {
             "fn": decode_audio,
             "oracle": _decode_audio_oracle(),
+        },
+        # r08 freeze-exit registrations (rotation.py): staged in r07
+        # with oracles ready, entered the driver window as net-new
+        "multimodal_decode_png": {
+            "fn": decode_png,
+            "oracle": _decode_png_oracle(),
+        },
+        "multimodal_decode_gif": {
+            "fn": decode_gif,
+            "oracle": _decode_gif_oracle(),
+        },
+        "multimodal_gif_frames": {
+            "fn": gif_frame_stats,
+            "oracle": _gif_frames_oracle(),
+        },
+        # r08 net-new: document-format decode (front-scheduled by the
+        # roller the round it registers, per the post-freeze policy)
+        "multimodal_pdf_extract_text": {
+            "fn": pdf_extract_text,
+            "oracle": _pdf_extract_oracle(),
         },
     }

@@ -764,11 +764,10 @@ s{t} AS MATERIALIZED (SELECT probe_id, vid FROM s{t - 1}
 # documents parquet, so a regenerated corpus can never be served by a
 # stale index.
 #
-# NOTE: search_bm25_from_artifact is not yet in registry() — the
-# rotation policy freezes net-new driver entries until the
-# never-checked backlog clears (rotation.py); its oracle is
-# BM25_ORACLE verbatim (the artifact path is hash-identical to the
-# self-contained entry), ready for registration at the freeze exit.
+# search_bm25_from_artifact registered at the r08 freeze exit
+# (rotation.py): its oracle is BM25_ORACLE verbatim (the artifact path
+# is hash-identical to the self-contained entry), so the driver's
+# hash-compare covers build+save+load+serve end-to-end.
 
 
 class BM25Index:
@@ -903,7 +902,120 @@ def bm25_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.replace(tmp, path)  # atomic publish; loser of a race loses
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            # "lost the race" is only true if a winner actually
+            # published; EXDEV/permission failures must not be
+            # swallowed into an opaque missing-file load error
+            if not os.path.isdir(path):
+                raise
     return bm25_search(spark, sf_dir, bm25_index_load(spark, path))
+
+
+# --- search highlighting (the ES highlight API, computed natively) ----------
+#
+# The reference's users read ES hits WITH highlights — `_search` bodies
+# carry a `highlight` block and ES returns matched-term snippets per
+# hit. This computes the same user-facing artifact inside Spark: for
+# the BM25 top-HIGHLIGHT_TOPN documents, each query term present gets
+# its first-occurrence snippet — up to HIGHLIGHT_PRE chars of left
+# context, the term wrapped in <em>…</em>, HIGHLIGHT_SUF chars of
+# right context — deterministic char arithmetic (locate/strpos +
+# substring), so the DuckDB oracle replays it exactly.
+#
+# Scale shape: the ranking CTEs are the shared BM25 body (one
+# filter-before-explode corpus scan + tiny aggregates); the rank
+# filter keeps HIGHLIGHT_TOPN rows, and only THOSE join back to
+# documents for text (AQE converts that post-shuffle join to a
+# broadcast of the 20-row side at runtime), so snippet extraction
+# never touches the corpus beyond the one ranking scan. Highlighting
+# is O(top-k), not O(corpus), exactly like ES.
+
+HIGHLIGHT_TOPN = 20
+HIGHLIGHT_PRE = 20  # chars of context kept before the hit
+HIGHLIGHT_SUF = 40  # chars of context kept after the hit
+
+_SNIPPET_EXPR = f"""
+concat(
+  substring(text, greatest(1, pos - {HIGHLIGHT_PRE}),
+            pos - greatest(1, pos - {HIGHLIGHT_PRE})),
+  '<em>', term, '</em>',
+  substring(text, pos + length(term), {HIGHLIGHT_SUF})
+)"""
+
+
+def highlight_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, pos, bm25, snippet) for every query term present
+    in a BM25 top-HIGHLIGHT_TOPN document — ES highlight parity."""
+    bm_ctes = _BM_CTES.format(
+        size="size",
+        k1=K1,
+        b=B,
+        tf_where="",
+        tf_inner=f"""
+            SELECT doc_id, size(toks) AS dl,
+                   explode(filter(toks, x -> x IN ({_terms_sql()}))) AS w
+            FROM toks
+        """,
+    )
+    return spark.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, {TOKENS} AS toks FROM documents
+        ),
+        {bm_ctes},
+        top AS (
+          SELECT doc_id, s AS bm25
+          FROM bm JOIN bm_rank USING (doc_id)
+          WHERE r <= {HIGHLIGHT_TOPN}
+        ),
+        hits AS (
+          SELECT t.doc_id, t.bm25, d.text, q.term,
+                 locate(q.term, d.text) AS pos
+          FROM top t
+          JOIN documents d ON t.doc_id = d.doc_id
+          CROSS JOIN (SELECT explode(array({_terms_sql()})) AS term) q
+        )
+        SELECT doc_id, term, cast(pos AS INT) AS pos, bm25,
+               {_SNIPPET_EXPR} AS snippet
+        FROM hits
+        WHERE pos > 0
+        ORDER BY doc_id, term
+        """
+    )
+
+
+def _highlight_oracle() -> str:
+    bm_ctes = _BM_CTES.format(
+        size="len",
+        k1=K1,
+        b=B,
+        tf_where=f"WHERE w IN ({_terms_sql()})",
+        tf_inner="""
+            SELECT doc_id, unnest(toks) AS w, len(toks) AS dl FROM toks
+        """,
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+),
+{bm_ctes},
+top AS (
+  SELECT doc_id, s AS bm25
+  FROM bm JOIN bm_rank USING (doc_id)
+  WHERE r <= {HIGHLIGHT_TOPN}
+),
+hits AS (
+  SELECT t.doc_id, t.bm25, d.text, q.term,
+         strpos(d.text, q.term) AS pos
+  FROM top t
+  JOIN documents d ON t.doc_id = d.doc_id
+  CROSS JOIN (SELECT unnest([{_terms_sql()}]) AS term) q
+)
+SELECT doc_id, term, cast(pos AS INTEGER) AS pos, bm25,
+       {_SNIPPET_EXPR} AS snippet
+FROM hits
+WHERE pos > 0
+ORDER BY doc_id, term
+"""
 
 
 def registry() -> dict[str, dict]:
@@ -918,4 +1030,15 @@ def registry() -> dict[str, dict]:
         # replay exactly); the pure-Python recompute test still pins
         # every selection independently
         "search_mmr_rerank": {"fn": mmr_rerank, "oracle": _mmr_oracle()},
+        # r08 freeze-exit registration: persisted-inverted-index serve
+        # path, hash-identical to search_bm25 (shares BM25_ORACLE)
+        "search_bm25_from_artifact": {
+            "fn": bm25_from_artifact,
+            "oracle": BM25_ORACLE,
+        },
+        # r08 net-new: ES highlight parity over the BM25 top-k
+        "search_highlight_snippets": {
+            "fn": highlight_snippets,
+            "oracle": _highlight_oracle(),
+        },
     }

@@ -318,10 +318,10 @@ def test_rotation_schedule_invariants():
     """The driver-evidence rotation table (rotation.py) must stay
     coherent: it covers every queries() name, the current window is
     exactly the driver's 50 slots and leads queries() in order, every
-    windowed entry has a DuckDB oracle (rows-only entries are parked
-    in r08 by design), and every never-driver-checked entry has a
-    scheduled window — the backlog can shrink but never silently
-    grow."""
+    windowed entry has a DuckDB oracle except the two
+    rows-only-by-necessity entries the r08 close-out schedules on
+    purpose, and every never-driver-checked entry has a scheduled
+    window — the backlog can shrink but never silently grow."""
     import __spark_entry__ as entrymod
     from golang_db_query_engine_elasticsearch_indexer_spark.rotation import (
         CURRENT_WINDOW,
@@ -334,12 +334,18 @@ def test_rotation_schedule_invariants():
     assert set(ROTATION) == set(qs)
     assert len(CURRENT_WINDOW) == 50
     assert list(qs)[:50] == list(CURRENT_WINDOW)
-    assert all(name in os_ for name in CURRENT_WINDOW)
+    # every windowed entry carries a DuckDB oracle EXCEPT the
+    # rows-only-by-necessity pair, which r08 schedules ON PURPOSE so
+    # the driver records their rows-only pass (rotation.py docstring
+    # documents the expected row shape)
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {"agg_approx_sketches", "text_compression_ratio"}
+    assert all(
+        name in os_ or name in rows_only for name in CURRENT_WINDOW
+    )
     for name, (last_round, _risk, window) in ROTATION.items():
         if last_round is None:
-            assert window in {"r06", "r07", "r08"}, (
+            assert window == "r08", (
                 f"{name} has no driver evidence and no scheduled window"
             )
-    # the three rows-only-by-necessity entries are scheduled, last
-    rows_only = set(qs) - set(os_)
     assert rows_only <= set(scheduled("r08"))

@@ -2507,3 +2507,196 @@ def test_gif_frame_stats_matches_duckdb_oracle(spark, tables, sf_dir, duck):
 
     ok, diag = compare(gif_frame_stats(spark, sf_dir), duck, _gif_frames_oracle())
     assert ok, diag
+
+
+# --- PDF text extraction (real xref/object/stream/content parsing) ----------
+
+
+def _handmade_pdf(patch=None):
+    """A single-page PDF assembled in the TEST with an UNCOMPRESSED
+    content stream exercising the grammar corners the repo encoder
+    never emits: octal escapes, a backslash line continuation, a hex
+    string, nested unescaped parens, and the ' and " show operators —
+    pins the parser against an independent construction. ``patch``
+    edits an object body BEFORE assembly, so xref offsets stay honest
+    for the malformed-input vectors."""
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"(He\\154\\154o) Tj "
+        b"[(, ) -120 (wor) 5 (ld)] TJ "
+        b"(!\\\n cont) ' "
+        b"<2020> Tj "
+        b"1 2 ((nested) parens) \" "
+        b"ET"
+    )
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (
+            4,
+            b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream",
+        ),
+    ]
+    if patch:
+        objs = [(num, patch(num, body)) for num, body in objs]
+    out = bytearray(b"%PDF-1.7\n")
+    offs = {}
+    for num, payload in objs:
+        offs[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + payload + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for num in (1, 2, 3, 4):
+        out += f"{offs[num]:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out), "Hello, world! cont  (nested) parens"
+
+
+def test_pdf_parser_known_vector():
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _parse_pdf,
+    )
+
+    pdf, expected = _handmade_pdf()
+    assert _parse_pdf(pdf) == [expected]
+
+
+def test_pdf_builder_parser_roundtrip():
+    """The repo encoder (multi-page, FlateDecode, Tj/TJ alternation)
+    must be inverted exactly, including PDF-special characters and
+    multi-byte UTF-8, with the page split at PDF_PAGE_CHARS."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        PDF_PAGE_CHARS,
+        _build_pdf,
+        _parse_pdf,
+    )
+
+    texts = [
+        "a",
+        "key agg row scan slow fast table value part hash " * 12,
+        "(nested (parens)) and \\ backslash and ) stray",
+        "tab\tnewline\ncarriage\rmix",
+        "unicode σπάρκ ✓ 漢字",
+        "x" * (PDF_PAGE_CHARS * 3 + 1),
+    ]
+    for t in texts:
+        pages = _parse_pdf(_build_pdf(t))
+        assert "".join(pages) == t
+        assert len(pages) == (len(t) + PDF_PAGE_CHARS - 1) // PDF_PAGE_CHARS
+
+
+def test_pdf_parser_rejects_malformed():
+    import re
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_pdf,
+        _parse_pdf,
+        _pdf_string,
+        _pdf_text_from_content,
+    )
+
+    good = _build_pdf("hello pdf world " * 10)
+    with pytest.raises(ValueError, match="signature"):
+        _parse_pdf(b"JUNK" + good[4:])
+    # startxref pointing into the void
+    m = re.search(rb"startxref\s+(\d+)", good)
+    off = m.group(1)
+    with pytest.raises(ValueError, match="does not point at an xref"):
+        _parse_pdf(good.replace(b"startxref\n" + off, b"startxref\n" + b"0" * len(off)))
+    # a lying xref: first object's offset nudged by one (same width)
+    bad = bytearray(good)
+    x = good.index(b"xref\n0 ")
+    row = good.index(b"\n", x + 6) + 1 + 20  # skip header + free entry
+    bad[row : row + 10] = b"%010d" % (int(good[row : row + 10]) + 1)
+    with pytest.raises(ValueError, match="offset for object"):
+        _parse_pdf(bytes(bad))
+    # /Length short by one (same digit width) -> endstream misses
+    m = re.search(rb"/Length (\d\d+)", good)
+    n = int(m.group(1))
+    with pytest.raises(ValueError, match="endstream"):
+        _parse_pdf(good.replace(
+            b"/Length %d" % n, b"/Length %0*d" % (len(m.group(1)), n - 1), 1))
+    # unsupported filter (patched pre-assembly so offsets stay honest)
+    pdf_filt, _ = _handmade_pdf(
+        lambda num, body: body.replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+        if num == 4 else body
+    )
+    with pytest.raises(ValueError, match="unsupported filter"):
+        _parse_pdf(pdf_filt)
+    # dangling /Contents reference (9 0 R resolves nowhere)
+    pdf_dang, _ = _handmade_pdf(
+        lambda num, body: body.replace(b"/Contents 4 0 R", b"/Contents 9 0 R")
+    )
+    with pytest.raises(ValueError, match="dangling reference"):
+        _parse_pdf(pdf_dang)
+    # /Count disagreeing with /Kids
+    pdf_cnt, _ = _handmade_pdf(
+        lambda num, body: body.replace(b"/Count 1", b"/Count 2")
+    )
+    with pytest.raises(ValueError, match="/Count disagrees"):
+        _parse_pdf(pdf_cnt)
+    with pytest.raises(ValueError, match="unterminated string"):
+        _pdf_string(b"(abc", 0)
+    with pytest.raises(ValueError, match="without a string operand"):
+        _pdf_text_from_content(b"Tj")
+    with pytest.raises(ValueError, match="without an array operand"):
+        _pdf_text_from_content(b"(x) TJ")
+
+
+def test_pdf_extract_matches_duckdb_oracle(spark, tables, sf_dir, duck):
+    """Full differential: Spark pdf_extract_text (build -> parse ->
+    stats) vs the DuckDB oracle recomputing from the source text
+    column — no binary replay on the oracle side."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _pdf_extract_oracle,
+        pdf_extract_text,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    ok, diag = compare(pdf_extract_text(spark, sf_dir), duck, _pdf_extract_oracle())
+    assert ok, diag
+
+
+# --- search highlighting (ES highlight parity) -------------------------------
+
+
+def test_highlight_snippets_matches_duckdb_oracle(spark, tables, sf_dir, duck):
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.search import (
+        _highlight_oracle,
+        highlight_snippets,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    ok, diag = compare(highlight_snippets(spark, sf_dir), duck, _highlight_oracle())
+    assert ok, diag
+
+
+def test_highlight_snippet_shape(spark, tables, sf_dir):
+    """Every snippet wraps its term once, left context <= HIGHLIGHT_PRE
+    chars, right context <= HIGHLIGHT_SUF, and pos really is the first
+    occurrence (locate semantics)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.search import (
+        HIGHLIGHT_PRE,
+        HIGHLIGHT_SUF,
+        HIGHLIGHT_TOPN,
+        highlight_snippets,
+    )
+
+    rows = highlight_snippets(spark, sf_dir).collect()
+    assert rows
+    assert len({r.doc_id for r in rows}) <= HIGHLIGHT_TOPN
+    texts = {
+        r.doc_id: r.text
+        for r in spark.table("documents").select("doc_id", "text").collect()
+    }
+    for r in rows:
+        pre, rest = r.snippet.split("<em>", 1)
+        term, suf = rest.split("</em>", 1)
+        assert term == r.term
+        assert len(pre) <= HIGHLIGHT_PRE and len(suf) <= HIGHLIGHT_SUF
+        assert texts[r.doc_id].find(r.term) == r.pos - 1

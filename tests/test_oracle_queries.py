@@ -110,13 +110,17 @@ def test_priority_window_contract():
     that bit round 3): every _PRIORITY name must exist in the registry
     (a typo would silently drop the entry from the window), the window
     must be exactly 50 deep, and every window slot must carry a full
-    hash oracle (a rows-only entry in the window wastes a slot)."""
+    hash oracle — EXCEPT the two rows-only-by-necessity entries
+    (rotation.py policy: r08 deliberately schedules them so the driver
+    records their rows-only pass; their expected row shape is
+    documented in the rotation docstring)."""
     names = set(ALL)
     missing = [n for n in entrymod._PRIORITY if n not in names]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     assert len(entrymod._PRIORITY) == 50
     window = list(ALL)[:50]
-    assert [n for n in window if n not in ORACLES] == []
+    rows_only_ok = {"agg_approx_sketches", "text_compression_ratio"}
+    assert set(n for n in window if n not in ORACLES) <= rows_only_ok
 
 
 def test_dedup_kernels_have_no_cross_join(spark, oracle_tables):

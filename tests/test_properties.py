@@ -490,3 +490,41 @@ def test_png_parser_total_on_adversarial_bytes(data):
         except ValueError:
             continue
         assert len(px) == w * h * ch
+
+
+@given(text=st.text(min_size=1, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_pdf_roundtrip_any_text(text):
+    """Build -> parse returns the input text exactly for ANY unicode
+    payload (escaping, pagination, Tj/TJ alternation all inverted)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        PDF_PAGE_CHARS,
+        _build_pdf,
+        _parse_pdf,
+    )
+
+    pages = _parse_pdf(_build_pdf(text))
+    assert "".join(pages) == text
+    assert len(pages) == (len(text) + PDF_PAGE_CHARS - 1) // PDF_PAGE_CHARS
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_pdf_parser_total_on_adversarial_bytes(data):
+    """The PDF reader must raise ValueError (never crash, hang, or
+    mis-return) on arbitrary bytes — with or without a plausible
+    header/startxref frame."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _parse_pdf,
+    )
+
+    for payload in (
+        data,
+        b"%PDF-1.4\n" + data,
+        b"%PDF-1.4\n" + data + b"\nstartxref\n9\n%%EOF\n",
+    ):
+        try:
+            pages = _parse_pdf(payload)
+        except ValueError:
+            continue
+        assert isinstance(pages, list)

@@ -167,18 +167,18 @@ def test_live_table_consistency():
 
     assert len(r.CURRENT_WINDOW) == 50
     assert len(set(r.CURRENT_WINDOW)) == 50
-    current = {n for n, (_, _, w) in r.ROTATION.items() if w == "r07"}
+    current = {n for n, (_, _, w) in r.ROTATION.items() if w == "r08"}
     assert set(r.CURRENT_WINDOW) == current
     # every scheduled window is a known label; windows are bounded
     for name, (_last, risk, win) in r.ROTATION.items():
-        assert win in (None, "r07", "r08", "r09"), (name, win)
+        assert win in (None, "r08", "r09", "r10"), (name, win)
         assert risk, name
-    # the backlog accounting holds: every never-driver-checked entry
-    # has a scheduled slot, and the r08 close-out is exactly the
-    # final 6 the policy docstring promises
+    # the close-out accounting holds: EVERY never-driver-checked entry
+    # is in the r08 window (backlog fully clears — 6 carried + 4
+    # freeze-exit net-new), nothing stays unscheduled
     never = {n for n, (last, _, _) in r.ROTATION.items() if last is None}
-    assert never == set(r.CURRENT_WINDOW) | set(r.scheduled("r08"))
-    assert len(r.scheduled("r08")) == 6
+    assert never <= set(r.CURRENT_WINDOW)
+    assert len(never) == 12
 
 
 def test_docstring_window_recount_matches_correctness_files():
@@ -207,41 +207,136 @@ def test_docstring_window_recount_matches_correctness_files():
     assert "ann_ivfpq_topk" in doc
 
 
-def test_r08_roll_preview_matches_policy_promise():
-    """De-risk the r08 close-out (VERDICT r06 ask #2): simulate the
-    roller's next run under the expected outcome (the full r07 window
-    comes back green) and pin that the r08 window is the final 6
-    never-checked entries followed by re-rotation of the OLDEST driver
-    evidence — which at that point is the r03 cohort."""
+def test_changed_entries_front_scheduled_after_failed():
+    """The changed-this-round rule is mechanical (VERDICT r07 asks
+    #3/#4): entries named in ``changed`` displace re-rotation slots,
+    sitting right after failed ones, and never duplicate."""
+    names = ["ok_old", "ok_new", "changed_a", "failed_one", "pending"]
+    rotation = _rot(
+        [
+            ("ok_old", 3, "verified", None),
+            ("ok_new", 6, "verified", None),
+            ("changed_a", 5, "verified", None),
+            ("failed_one", None, "float-stat", "r07"),
+            ("pending", None, "integer-exact", "r08"),
+        ]
+    )
+    ev = {"ok_old": 3, "ok_new": 6, "changed_a": 5}
+    window, rest, failed, net_new = roll.compute_schedule(
+        names, rotation, ev, "r08", window_size=4, changed={"changed_a"}
+    )
+    assert failed == ["failed_one"]
+    # failed first, then the changed re-check, then backlog, then the
+    # oldest-evidence refill
+    assert window == ["failed_one", "changed_a", "pending", "ok_old"]
+    # a changed entry that is ALSO net-new is only scheduled once
+    window2, _, _, net_new2 = roll.compute_schedule(
+        names + ["brand_new"],
+        rotation,
+        ev,
+        "r08",
+        window_size=4,
+        changed={"brand_new", "changed_a"},
+    )
+    assert net_new2 == ["brand_new"]
+    assert window2 == ["brand_new", "failed_one", "changed_a", "pending"]
+
+
+_FINAL6 = [
+    "agg_approx_sketches",
+    "agg_group_by_all",
+    "audit_referential_integrity",
+    "profile_orders",
+    "skew_salted_join_agg",
+    "text_compression_ratio",
+]
+_FREEZE_EXIT = [
+    "multimodal_decode_png",
+    "multimodal_decode_gif",
+    "multimodal_gif_frames",
+    "search_bm25_from_artifact",
+]
+_CHANGED_R08 = ["ann_ivf_recall_eval", "ann_ivf_topk"]
+_NET_NEW_R08 = ["multimodal_pdf_extract_text", "search_highlight_snippets"]
+
+
+def test_r08_window_matches_executed_roll():
+    """The committed r08 window is the roller's deterministic output:
+    the 2 r08-built net-new entries (queries() registration order),
+    the 2 changed-kernel re-checks, the 10-entry never-checked backlog
+    (4 freeze-exit + the final 6, name order within the shared r08
+    slot), then 36 oldest-evidence (r03) re-rotation slots — refill
+    order recomputed here from the CORRECTNESS files, not trusted from
+    the table."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    sys.path.insert(0, repo)
+    from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
+
+    ev = roll._evidence(
+        sorted(
+            os.path.join(repo, f)
+            for f in os.listdir(repo)
+            if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+        )
+    )
+    w = list(r.CURRENT_WINDOW)
+    assert w[:2] == _NET_NEW_R08
+    assert w[2:4] == _CHANGED_R08
+    assert w[4:14] == sorted(_FREEZE_EXIT + _FINAL6)
+    # none of the first 14 had (usable) driver evidence; the two
+    # changed entries DO have rows but predate the nprobe 5->9 change
+    for n in _NET_NEW_R08 + _FREEZE_EXIT + _FINAL6:
+        assert not ev.get(n), n
+    # refill = oldest evidence first, (round, name) order, recomputed
+    taken = set(w[:14])
+    pool = sorted((n for n in ev if n in r.ROTATION and n not in taken),
+                  key=lambda n: (ev[n], n))
+    assert w[14:] == pool[:36]
+    assert all(ev[n] == 3 for n in w[14:])
+    # the r03 tail that didn't fit re-rotates next by the same rule
+    assert pool[36:43] == [
+        "subquery_scalar",
+        "unpivot_stack",
+        "win_first_last_value",
+        "win_percent_rank_cume_dist",
+        "win_range_frame",
+        "win_rows_frame",
+        "with_cte",
+    ]
+
+
+def test_r09_roll_preview():
+    """Simulate the next roll under the expected outcome (the full r08
+    window goes green): no backlog remains, so r09 is pure re-rotation
+    — the 7-entry r03 tail first, then the r04 cohort by name."""
     repo = os.path.join(os.path.dirname(__file__), "..")
     sys.path.insert(0, repo)
     from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
 
     ev = {n: last for n, (last, _, _) in r.ROTATION.items() if last}
-    ev.update({n: 7 for n in r.CURRENT_WINDOW})  # r07 executes as scheduled
+    ev.update({n: 8 for n in r.CURRENT_WINDOW})
     names = list(r.ROTATION)
     window, rest, failed, net_new = roll.compute_schedule(
-        names, r.ROTATION, ev, "r08"
+        names, r.ROTATION, ev, "r09"
     )
     assert failed == [] and net_new == [] and rest == []
-    final6 = set(r.scheduled("r08"))
-    assert set(window[:6]) == final6
-    # the refill is oldest-evidence-first: the ENTIRE r03 cohort (43
-    # entries) re-rotates, and the one remaining slot takes the
-    # name-first r04 entry
-    r03 = {n for n, (last, _, _) in r.ROTATION.items() if last == 3}
     assert len(window) == 50
-    refill = set(window[6:])
-    assert r03 <= refill
-    (extra,) = refill - r03
-    assert r.ROTATION[extra][0] == 4
+    assert window[:7] == [
+        "subquery_scalar",
+        "unpivot_stack",
+        "win_first_last_value",
+        "win_percent_rank_cume_dist",
+        "win_range_frame",
+        "win_rows_frame",
+        "with_cte",
+    ]
     r04 = sorted(n for n, (last, _, _) in r.ROTATION.items() if last == 4)
-    assert extra == r04[0]
-    # and a failed r07 entry would displace a re-rotation slot, not hide
+    assert window[7:] == r04[:43]
+    # and a failed r08 entry would displace a re-rotation slot, not hide
     ev_fail = dict(ev)
     del ev_fail[r.CURRENT_WINDOW[0]]
     window_f, _, failed_f, _ = roll.compute_schedule(
-        names, r.ROTATION, ev_fail, "r08"
+        names, r.ROTATION, ev_fail, "r09"
     )
     assert failed_f == [r.CURRENT_WINDOW[0]]
     assert window_f[0] == r.CURRENT_WINDOW[0]

@@ -16,6 +16,9 @@ place. Policy invariants enforced:
 - an entry that was scheduled but did NOT come back green stays at the
   front of the next window (a failed check is the highest-priority
   evidence gap there is);
+- entries named via ``--changed`` (kernel or oracle changed since their
+  newest driver row) are front-scheduled right after failed ones —
+  rotation.py's priority rule (1), mechanical since r08;
 - once no never-checked entries remain, the window fills by oldest
   driver evidence first (re-rotation), so no entry's evidence ages
   beyond ~(inventory / 50) rounds;
@@ -63,6 +66,7 @@ def compute_schedule(
     ev: dict[str, int],
     new_window: str,
     window_size: int = WINDOW,
+    changed: set[str] | None = None,
 ) -> tuple[list[str], list[str], list[str], list[str]]:
     """Pure scheduling policy: returns (window, rest, failed, net_new).
 
@@ -71,11 +75,17 @@ def compute_schedule(
     - failed: scheduled in an already-elapsed window but still without
       driver-green evidence — a failed check is the highest-priority
       evidence gap, so they stay at the window's front.
+    - changed: entries whose KERNEL OR ORACLE changed since their
+      newest driver evidence (rotation.py policy priority (1)) —
+      front-scheduled right after failed, displacing re-rotation
+      slots, so post-change driver evidence is mechanical, not a
+      manual displacement (VERDICT r07 "What's wrong" #1).
     - backlog: never driver-green, ordered by previously assigned
       window (earlier first) then name.
     - refill: once the backlog fits, the window tops up with the OLDEST
       driver evidence first (re-rotation).
     """
+    changed = changed or set()
     net_new = [n for n in names if n not in rotation]
     failed = [
         n
@@ -83,6 +93,7 @@ def compute_schedule(
         if w is not None and _rnum(w) < _rnum(new_window) and not ev.get(n)
         and n in names
     ]
+    recheck = sorted(n for n in changed if n in names and n not in net_new)
     backlog = sorted(
         (n for n in names if not ev.get(n) and n not in net_new),
         key=lambda n: (
@@ -95,7 +106,7 @@ def compute_schedule(
         key=lambda n: (ev[n], n),
     )
     window = list(
-        dict.fromkeys(net_new + failed + [n for n in backlog if n not in failed])
+        dict.fromkeys(net_new + failed + recheck + backlog)
     )[:window_size]
     if len(window) < window_size:
         window += [n for n in pool if n not in window][: window_size - len(window)]
@@ -142,9 +153,21 @@ def render_tables(
 
 
 def main() -> None:
-    if len(sys.argv) != 2 or not re.fullmatch(r"r\d+", sys.argv[1]):
-        sys.exit("usage: python tools/roll_rotation.py r07")
-    new_window = sys.argv[1]
+    args = sys.argv[1:]
+    changed: set[str] = set()
+    if "--changed" in args:
+        i = args.index("--changed")
+        changed = {n for n in args[i + 1].split(",") if n}
+        del args[i : i + 2]
+    if len(args) != 1 or not re.fullmatch(r"r\d+", args[0]):
+        sys.exit(
+            "usage: python tools/roll_rotation.py [--changed a,b] r08\n"
+            "  --changed: comma-separated entries whose kernel/oracle "
+            "changed since their newest driver row (derive from the "
+            "round-boundary `git diff` of operator/oracle files); "
+            "front-scheduled after failed entries."
+        )
+    new_window = args[0]
 
     sys.path.insert(0, ".")
     import __spark_entry__ as entry
@@ -155,12 +178,14 @@ def main() -> None:
     ev = _evidence()
     names = list(entry.queries())
     window, rest, failed, net_new = compute_schedule(
-        names, ROTATION, ev, new_window
+        names, ROTATION, ev, new_window, changed=changed
     )
     if net_new:
         print(f"NET-NEW entries (front-scheduled): {net_new}")
     if failed:
         print(f"WARNING: scheduled but NOT green last round: {failed}")
+    if changed:
+        print(f"CHANGED-kernel re-checks (front-scheduled): {sorted(changed)}")
 
     block = render_tables(
         names, ROTATION, ev, new_window, window, rest, net_new
