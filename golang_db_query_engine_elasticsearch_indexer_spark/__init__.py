@@ -30,13 +30,20 @@ from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
     SqlSyntaxError,
     UnauthorizedOperationError,
 )
-from golang_db_query_engine_elasticsearch_indexer_spark.gateway import query, query_df
+from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (
+    es_search,
+    es_search_df,
+    query,
+    query_df,
+)
 from golang_db_query_engine_elasticsearch_indexer_spark.session import (
     SourceRegistry,
     build_session,
 )
 
 __all__ = [
+    "es_search",
+    "es_search_df",
     "EngineError",
     "IncorrectDbDriverError",
     "ParamsNullError",

@@ -71,3 +71,29 @@ def query(
             raise ParamsNullError()
         registry.attach(spark, db_driver, db_name)
     return collect_envelope(query_df(spark, sql, params=params), max_rows=max_rows)
+
+
+def es_search_df(spark: SparkSession, index: str, body: dict) -> DataFrame:
+    """ES `_search` semantics as a first-class gateway verb: the JSON
+    body a reference user POSTs to `/{index}/_search` compiles to a
+    Catalyst plan over the table named ``index`` (operators/es_dsl.py:
+    query context, knn, one-level aggs). Lazy, like query_df — the
+    DataFrame is the handoff. Unsupported DSL raises ValueError before
+    any execution; an empty body means match_all (ES default)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        compile_search,
+    )
+
+    if index is None or body is None:
+        raise ParamsNullError()
+    return spark.sql(compile_search(index, body, "spark"))
+
+
+def es_search(
+    spark: SparkSession,
+    index: str,
+    body: dict,
+    max_rows: int = DEFAULT_MAX_ROWS,
+) -> QueryResult:
+    """`POST /{index}/_search` parity: compile, run, envelope."""
+    return collect_envelope(es_search_df(spark, index, body), max_rows=max_rows)

@@ -17,6 +17,7 @@ def registry() -> dict[str, dict]:
         chunking,
         decontam,
         dedup,
+        es_dsl,
         graph,
         layout,
         multimodal,
@@ -34,7 +35,7 @@ def registry() -> dict[str, dict]:
         profile,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile, graph, layout, sequence, materialized):
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile, graph, layout, sequence, materialized, es_dsl):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415

@@ -1,0 +1,606 @@
+"""Elasticsearch Query-DSL compiler: `_search` bodies -> Spark SQL.
+
+The reference exists to put rows INTO Elasticsearch so users can query
+them with the ES `_search` DSL (`api/controllers/elastic_controller.go`
+ships the documents; querying is the whole point of shipping). This
+module closes that loop natively: the SAME JSON body a reference user
+sends to `POST /index/_search` compiles to a Catalyst plan over the
+engine's tables — query context (bool/term/terms/range/match/
+match_phrase/prefix/wildcard/exists/ids, ES minimum_should_match
+defaults), `_source`/`sort`/`size`/`from`, and a single-level
+aggregation context (terms / date_histogram / histogram / disjoint
+range buckets, with avg/sum/min/max/value_count/cardinality/stats
+sub-metrics).
+
+Design:
+
+- The compiler emits SQL TEXT in two dialects ("spark", "duck") from
+  one clause tree — the registered entries run the Spark dialect and
+  hand the DuckDB dialect to the driver's differential gate, the same
+  split discipline as TOKENS/DUCK_TOKENS everywhere else. DSL
+  *semantics* (bool logic, minimum_should_match, wildcard translation,
+  phrase adjacency, range-bucket edges) are additionally pinned by
+  unit tests against hand-derived expected rows, so the two dialects
+  can't just agree on a shared mistake.
+- Analysis model: the engine's standard analyzer is the repo tokenizer
+  (lowercase, whitespace split — functions.TOKENS). `match` analyzes
+  its query string at COMPILE time (Python) with the same rule and
+  tests token membership; `match_phrase` tests adjacency on the
+  space-joined token stream. Scoring is out of scope here (filter
+  context); relevance ranking lives in operators/search.py (BM25 et
+  al.), exactly how ES splits query vs filter context.
+- Determinism discipline: every search gets a trailing id tiebreak,
+  every double metric is round()-ed, terms buckets order by
+  (doc_count DESC, key) — so LIMIT windows and hashes are total and
+  cross-engine stable.
+- Unsupported DSL raises ValueError loudly (no silent best-effort):
+  a clause the compiler doesn't understand must never return wrong
+  rows quietly.
+
+Scale shape: compilation is driver-side string work; the emitted plan
+is ordinary Catalyst SQL — filters push down to the parquet scan,
+single-level aggs are one partial+final aggregation, terms-agg top-N
+is TakeOrdered. Nothing in the compiled text changes at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# --- analysis (the standard analyzer: lowercase + whitespace split) ---------
+
+
+def _analyze(query: str) -> list[str]:
+    """Compile-time analyzer for match/match_phrase query strings —
+    the Python replay of functions.TOKENS (lowercase, trim, split on
+    whitespace runs)."""
+    return [t for t in re.split(r"\s+", query.strip().lower()) if t]
+
+
+def _tokens_expr(field: str, dialect: str) -> str:
+    if dialect == "spark":
+        return rf"split(lower(trim({field})), '\\s+')"
+    return rf"string_split_regex(lower(trim({field})), '\s+')"
+
+
+# --- literal rendering -------------------------------------------------------
+
+_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d+)?)?$")
+
+
+def _lit(v, dialect: str) -> str:
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        if _TS_RE.match(v):  # ES date math is out of scope; ISO only
+            return "TIMESTAMP '" + v.replace("T", " ") + "'"
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(f"es_dsl: unsupported literal {v!r}")
+
+
+def _like_escape(s: str) -> str:
+    """Escape LIKE metacharacters in a literal fragment. Uses '!' with
+    an explicit ESCAPE clause — backslash escapes parse differently in
+    Spark vs DuckDB STRING literals, so backslash is the one escape
+    char a cross-dialect compiler must not use."""
+    return (
+        s.replace("!", "!!").replace("%", "!%").replace("_", "!_")
+        .replace("'", "''")
+    )
+
+
+def _ident(f) -> str:
+    if not isinstance(f, str) or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", f):
+        raise ValueError(f"es_dsl: bad field name {f!r}")
+    return f
+
+
+# --- query context -----------------------------------------------------------
+
+
+def _one(d: dict, what: str) -> tuple:
+    if not isinstance(d, dict) or len(d) != 1:
+        raise ValueError(f"es_dsl: {what} must be a single-key object")
+    return next(iter(d.items()))
+
+
+def _query_expr(q: dict, dialect: str, id_field: str) -> str:
+    kind, body = _one(q, "query clause")
+    if kind == "match_all":
+        return "TRUE"
+    if kind == "bool":
+        return _bool_expr(body, dialect, id_field)
+    if kind == "term":
+        f, v = _one(body, "term")
+        if isinstance(v, dict):
+            v = v["value"]
+        return f"{_ident(f)} = {_lit(v, dialect)}"
+    if kind == "terms":
+        f, vals = _one(body, "terms")
+        if not isinstance(vals, list) or not vals:
+            raise ValueError("es_dsl: terms wants a non-empty list")
+        return f"{_ident(f)} IN ({', '.join(_lit(v, dialect) for v in vals)})"
+    if kind == "ids":
+        vals = body["values"]
+        return f"{id_field} IN ({', '.join(_lit(v, dialect) for v in vals)})"
+    if kind == "exists":
+        return f"{_ident(body['field'])} IS NOT NULL"
+    if kind == "range":
+        f, conds = _one(body, "range")
+        ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+        parts = []
+        for op, v in conds.items():
+            if op not in ops:
+                raise ValueError(f"es_dsl: unsupported range op {op!r}")
+            parts.append(f"{_ident(f)} {ops[op]} {_lit(v, dialect)}")
+        if not parts:
+            raise ValueError("es_dsl: empty range")
+        return "(" + " AND ".join(parts) + ")"
+    if kind == "prefix":
+        f, v = _one(body, "prefix")
+        if isinstance(v, dict):
+            v = v["value"]
+        return f"{_ident(f)} LIKE '{_like_escape(v)}%' ESCAPE '!'"
+    if kind == "wildcard":
+        f, v = _one(body, "wildcard")
+        if isinstance(v, dict):
+            v = v["value"]
+        pat = "".join(
+            "%" if c == "*" else "_" if c == "?" else _like_escape(c) for c in v
+        )
+        return f"{_ident(f)} LIKE '{pat}' ESCAPE '!'"
+    if kind == "match":
+        f, v = _one(body, "match")
+        if isinstance(v, dict):
+            v = v["query"]
+        toks = _analyze(v)
+        if not toks:
+            raise ValueError("es_dsl: match with an empty query string")
+        arr = ", ".join(_lit(t, dialect) for t in toks)
+        te = _tokens_expr(_ident(f), dialect)
+        if dialect == "spark":
+            return f"arrays_overlap({te}, array({arr}))"
+        return f"len(list_intersect({te}, [{arr}])) > 0"
+    if kind == "match_phrase":
+        f, v = _one(body, "match_phrase")
+        if isinstance(v, dict):
+            v = v["query"]
+        toks = _analyze(v)
+        if not toks:
+            raise ValueError("es_dsl: match_phrase with an empty query string")
+        te = _tokens_expr(_ident(f), dialect)
+        joined = (
+            f"concat(' ', array_join({te}, ' '), ' ')"
+            if dialect == "spark"
+            else f"' ' || array_to_string({te}, ' ') || ' '"
+        )
+        needle = " ".join(toks)
+        return f"{joined} LIKE '%{_like_escape(' ' + needle + ' ')}%' ESCAPE '!'"
+    raise ValueError(f"es_dsl: unsupported query clause {kind!r}")
+
+
+def _bool_expr(body: dict, dialect: str, id_field: str) -> str:
+    """ES bool semantics: must/filter AND, must_not AND NOT, should
+    with minimum_should_match defaulting to 1 when there is no
+    must/filter and 0 otherwise (pure scoring — dropped, since this is
+    filter context)."""
+    known = {"must", "filter", "should", "must_not", "minimum_should_match"}
+    bad = set(body) - known
+    if bad:
+        raise ValueError(f"es_dsl: unsupported bool keys {sorted(bad)}")
+
+    def clauses(key: str) -> list[dict]:
+        v = body.get(key, [])
+        return v if isinstance(v, list) else [v]
+
+    parts: list[str] = []
+    for c in clauses("must") + clauses("filter"):
+        parts.append(_query_expr(c, dialect, id_field))
+    for c in clauses("must_not"):
+        neg = _query_expr(c, dialect, id_field)
+        # must_not matches docs where the clause is NOT true — in ES a
+        # NULL field simply fails the inner clause, so NULLs MATCH the
+        # negation; plain SQL NOT would drop them
+        parts.append(f"NOT coalesce({neg}, FALSE)")
+    should = clauses("should")
+    msm = body.get("minimum_should_match")
+    if msm is None:
+        msm = 1 if should and not (clauses("must") + clauses("filter")) else 0
+    if not isinstance(msm, int) or msm < 0:
+        raise ValueError("es_dsl: minimum_should_match must be an int >= 0")
+    if msm > 0:
+        if msm > len(should):
+            raise ValueError("es_dsl: minimum_should_match exceeds should count")
+        votes = " + ".join(
+            f"(CASE WHEN coalesce({_query_expr(c, dialect, id_field)}, FALSE)"
+            " THEN 1 ELSE 0 END)"
+            for c in should
+        )
+        parts.append(f"({votes}) >= {msm}")
+    if not parts:
+        return "TRUE"
+    return "(" + " AND ".join(parts) + ")"
+
+
+# --- search compilation ------------------------------------------------------
+
+
+def compile_search(
+    index: str, body: dict, dialect: str, id_field: str = "doc_id"
+) -> str:
+    """Compile a `_search` body (query context + _source/sort/size/
+    from) to one SQL statement over table ``index``."""
+    if dialect not in ("spark", "duck"):
+        raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
+    known = {"query", "_source", "sort", "size", "from", "aggs", "knn"}
+    bad = set(body) - known
+    if bad:
+        raise ValueError(f"es_dsl: unsupported body keys {sorted(bad)}")
+    if "knn" in body:
+        return _compile_knn(index, body, dialect, id_field)
+    if "aggs" in body:
+        return compile_aggs(index, body, dialect, id_field)
+    where = _query_expr(body.get("query", {"match_all": {}}), dialect, id_field)
+    cols = body.get("_source")
+    select = ", ".join(_ident(c) for c in cols) if cols else "*"
+    order: list[str] = []
+    for s in body.get("sort", []):
+        if isinstance(s, str):
+            f, d = s, "asc"
+        else:
+            f, spec = _one(s, "sort entry")
+            d = spec if isinstance(spec, str) else spec.get("order", "asc")
+        if d not in ("asc", "desc"):
+            raise ValueError(f"es_dsl: bad sort order {d!r}")
+        order.append(f"{_ident(f)} {d.upper()}")
+    if id_field not in [o.split()[0] for o in order]:
+        order.append(f"{id_field} ASC")  # total order: deterministic LIMIT
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    sql = (
+        f"SELECT {select} FROM {_ident(index)}\n"
+        f"WHERE {where}\n"
+        f"ORDER BY {', '.join(order)}\n"
+        f"LIMIT {size}"
+    )
+    if offset:
+        sql += f" OFFSET {offset}"
+    return sql
+
+
+# --- knn search (ES 8 vector search) -----------------------------------------
+
+
+def _compile_knn(index: str, body: dict, dialect: str, id_field: str) -> str:
+    """ES 8 `knn` search: cosine top-k of a literal query vector over
+    an `array<float>` column, optionally under a `filter` clause
+    (applied BEFORE the scan, ES semantics). ES's `num_candidates` is
+    an HNSW recall knob — accepted and ignored, because this scan is
+    EXACT (recall 1.0 supersedes any candidate pool; for approximate
+    serving at scale, the IVF/PQ operators in operators/similarity.py
+    are the swap-in). Scores round to 6 dp with an id tiebreak (the
+    ann_brute_force discipline) so the rank permutation is total and
+    cross-engine stable."""
+    if set(body) - {"knn", "_source", "size"}:
+        raise ValueError("es_dsl: knn combines only with _source/size")
+    spec = dict(body["knn"])
+    known = {"field", "query_vector", "k", "num_candidates", "filter"}
+    bad = set(spec) - known
+    if bad:
+        raise ValueError(f"es_dsl: unsupported knn keys {sorted(bad)}")
+    missing = {"field", "query_vector", "k"} - set(spec)
+    if missing:
+        raise ValueError(f"es_dsl: knn requires {sorted(missing)}")
+    f = _ident(spec["field"])
+    qv = spec["query_vector"]
+    if not isinstance(qv, list) or not qv or not all(
+        isinstance(x, (int, float)) and not isinstance(x, bool) for x in qv
+    ):
+        raise ValueError("es_dsl: knn query_vector must be a number list")
+    k = int(spec["k"])
+    where = (
+        _query_expr(spec["filter"], dialect, id_field)
+        if "filter" in spec
+        else "TRUE"
+    )
+    if dialect == "spark":
+        lits = ", ".join(f"cast({repr(float(x))} AS DOUBLE)" for x in qv)
+        cos = f"""
+          aggregate(zip_with({f}, array({lits}),
+              (x, y) -> cast(x AS double) * y),
+              cast(0 AS double), (acc, v) -> acc + v)
+          / (sqrt(aggregate(transform({f},
+                 x -> cast(x AS double) * cast(x AS double)),
+                 cast(0 AS double), (acc, v) -> acc + v))
+             * sqrt(aggregate(transform(array({lits}), x -> x * x),
+                 cast(0 AS double), (acc, v) -> acc + v)))"""
+    else:
+        lits = ", ".join(repr(float(x)) for x in qv)
+        cos = f"list_cosine_similarity({f}::DOUBLE[], [{lits}]::DOUBLE[])"
+    return f"""
+SELECT {id_field} AS match_id, round({cos}, 6) AS score
+FROM {_ident(index)}
+WHERE {where}
+ORDER BY score DESC, match_id ASC
+LIMIT {k}
+"""
+
+
+# --- aggregation context -----------------------------------------------------
+
+_METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality", "stats"}
+
+
+# Float discipline for sum/avg: double summation is ORDER-dependent,
+# and a round() on top flips at half boundaries when Spark's partial
+# aggregation order differs from DuckDB's single-threaded scan (bit us
+# live: avg(value) on one fixture day is exactly 46.49875, rounding to
+# .4987 or .4988 by partition count). So measures quantize to 6 dp
+# into DECIMAL (exact for the fixture's 2-dp values), the DECIMAL sum
+# is exact and order-independent, and the emitted double is the raw
+# IEEE result of identical operations on identical operands — no final
+# round, nothing for partitioning to flip.
+_DEC = "DECIMAL(28, 6)"
+
+
+def _metric_cols(name: str, kind: str, field: str, dialect: str) -> list[str]:
+    f = _ident(field)
+    exact_sum = f"cast(sum(cast({f} AS {_DEC})) AS DOUBLE)"
+    if kind == "value_count":
+        return [f"count({f}) AS {name}"]
+    if kind == "cardinality":
+        # ES's is approximate (HLL); exact here for the differential —
+        # the engine's sketch lives in sketch_hll_distinct_users
+        return [f"count(DISTINCT {f}) AS {name}"]
+    if kind == "sum":
+        return [f"{exact_sum} AS {name}"]
+    if kind == "avg":
+        return [f"{exact_sum} / count({f}) AS {name}"]
+    if kind == "stats":
+        return [
+            f"count({f}) AS {name}_count",
+            f"round(min({f}), 4) AS {name}_min",
+            f"round(max({f}), 4) AS {name}_max",
+            f"{exact_sum} / count({f}) AS {name}_avg",
+            f"{exact_sum} AS {name}_sum",
+        ]
+    return [f"round({kind}({f}), 4) AS {name}"]
+
+
+def compile_aggs(
+    index: str, body: dict, dialect: str, id_field: str = "doc_id"
+) -> str:
+    """Compile an aggregation body: one top-level bucket agg (terms /
+    date_histogram / histogram / disjoint range) with metric sub-aggs,
+    optionally under a query-context filter."""
+    if dialect not in ("spark", "duck"):
+        raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
+    where = _query_expr(body.get("query", {"match_all": {}}), dialect, id_field)
+    agg_name, spec = _one(body["aggs"], "aggs")
+    sub = spec.get("aggs", {})
+    metric_sql: list[str] = []
+    for sub_name, sub_spec in sub.items():
+        kind, m = _one(sub_spec, f"sub-agg {sub_name}")
+        if kind not in _METRICS:
+            raise ValueError(f"es_dsl: unsupported sub-agg {kind!r}")
+        metric_sql += _metric_cols(_ident(sub_name), kind, m["field"], dialect)
+    metrics = ("" if not metric_sql else ",\n       " + ",\n       ".join(metric_sql))
+
+    bucket_kinds = [k for k in spec if k != "aggs"]
+    if len(bucket_kinds) != 1:
+        raise ValueError("es_dsl: exactly one bucket agg per level")
+    kind = bucket_kinds[0]
+    b = spec[kind]
+    key = f"{agg_name}_key"
+
+    if kind == "terms":
+        f = _ident(b["field"])
+        size = int(b.get("size", 10))
+        return f"""
+SELECT {f} AS {key}, count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE {where}
+GROUP BY {f}
+ORDER BY doc_count DESC, {key} ASC
+LIMIT {size}
+"""
+    if kind == "date_histogram":
+        f = _ident(b["field"])
+        unit = b.get("calendar_interval", "day")
+        if unit not in ("day", "week", "month", "year"):
+            raise ValueError(f"es_dsl: unsupported calendar_interval {unit!r}")
+        # DuckDB's date_trunc('day') yields DATE, Spark's a TIMESTAMP;
+        # calendar units are all date-aligned, so cast both to DATE
+        expr = f"cast(date_trunc('{unit}', {f}) AS DATE)"
+        return f"""
+SELECT {expr} AS {key}, count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE {where}
+GROUP BY {expr}
+ORDER BY {key} ASC
+"""
+    if kind == "histogram":
+        f = _ident(b["field"])
+        step = b["interval"]
+        if not isinstance(step, (int, float)) or step <= 0:
+            raise ValueError("es_dsl: histogram interval must be > 0")
+        expr = f"floor({f} / {step}) * {step}"
+        return f"""
+SELECT round({expr}, 4) AS {key}, count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE {where}
+GROUP BY {expr}
+ORDER BY {key} ASC
+"""
+    if kind == "range":
+        f = _ident(b["field"])
+        ranges = b["ranges"]
+        edges = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            if lo is None and hi is None:
+                raise ValueError("es_dsl: range bucket needs from and/or to")
+            edges.append((lo, hi))
+        # ES evaluates overlapping ranges as independent buckets; one
+        # GROUP BY CASE can't express that, so require disjoint
+        for i, (lo1, hi1) in enumerate(edges):
+            for lo2, hi2 in edges[i + 1 :]:
+                a1, b1 = (lo1 if lo1 is not None else float("-inf"),
+                          hi1 if hi1 is not None else float("inf"))
+                a2, b2 = (lo2 if lo2 is not None else float("-inf"),
+                          hi2 if hi2 is not None else float("inf"))
+                if max(a1, a2) < min(b1, b2):
+                    raise ValueError(
+                        "es_dsl: overlapping range buckets are unsupported"
+                    )
+        whens, orders = [], []
+        for i, (lo, hi) in enumerate(edges):
+            conds = []
+            if lo is not None:
+                conds.append(f"{f} >= {_lit(lo, dialect)}")
+            if hi is not None:
+                conds.append(f"{f} < {_lit(hi, dialect)}")
+            label = (
+                f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            )
+            whens.append(f"WHEN {' AND '.join(conds)} THEN '{label}'")
+            orders.append(f"WHEN {' AND '.join(conds)} THEN {i}")
+        case = "CASE " + " ".join(whens) + " END"
+        ordinal = "CASE " + " ".join(orders) + " ELSE 999 END"
+        return f"""
+SELECT {case} AS {key}, count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE ({where}) AND ({case}) IS NOT NULL
+GROUP BY {case}, {ordinal}
+ORDER BY {ordinal} ASC
+"""
+    raise ValueError(f"es_dsl: unsupported bucket agg {kind!r}")
+
+
+# --- registered entries ------------------------------------------------------
+#
+# The same JSON a reference user sends to `POST /index/_search`,
+# executed by Catalyst; the oracle is the identical body compiled for
+# DuckDB (semantics pinned separately by unit tests on hand-derived
+# rows — tests/test_es_dsl.py).
+
+BOOL_FILTER_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "table scan"}}],
+            "filter": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"gte": 100, "lt": 450}}},
+            ],
+            "must_not": [{"prefix": {"source": "src1"}}],
+        }
+    },
+    "sort": [{"n_chars": {"order": "desc"}}],
+    "size": 25,
+    "_source": ["doc_id", "lang", "source", "n_chars"],
+}
+
+SHOULD_MSM_BODY = {
+    "query": {
+        "bool": {
+            "should": [
+                {"match_phrase": {"text": "value table"}},
+                {"wildcard": {"source": "src?9"}},
+                {"terms": {"lang": ["de", "fr"]}},
+            ],
+            "minimum_should_match": 2,
+        }
+    },
+    "sort": [{"doc_id": "asc"}],
+    "size": 50,
+    "_source": ["doc_id", "lang", "source"],
+}
+
+TERMS_AGG_BODY = {
+    "query": {"range": {"ts": {"gte": "2024-01-10"}}},
+    "aggs": {
+        "by_type": {
+            "terms": {"field": "event_type", "size": 10},
+            "aggs": {"v": {"stats": {"field": "value"}}},
+        }
+    },
+}
+
+DATE_HISTO_BODY = {
+    "query": {"term": {"event_type": "purchase"}},
+    "aggs": {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "v_avg": {"avg": {"field": "value"}},
+                "users": {"cardinality": {"field": "user_id"}},
+            },
+        }
+    },
+}
+
+KNN_BODY = {
+    "knn": {
+        "field": "embedding",
+        # exact 1-dp decimals: identical literals in both dialects
+        "query_vector": [((i * 37) % 19 - 9) / 10.0 for i in range(64)],
+        "k": 15,
+        "num_candidates": 100,  # ES HNSW knob; exact scan ignores it
+        "filter": {"range": {"vec_id": {"lt": 400}}},
+    }
+}
+
+RANGE_AGG_BODY = {
+    "aggs": {
+        "len_buckets": {
+            "range": {
+                "field": "n_chars",
+                "ranges": [{"to": 150}, {"from": 150, "to": 350}, {"from": 350}],
+            },
+            "aggs": {
+                "langs": {"cardinality": {"field": "lang"}},
+                "chars": {"avg": {"field": "n_chars"}},
+            },
+        }
+    },
+}
+
+
+def _entry(index: str, body: dict, id_field: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.sql(compile_search(index, body, "spark", id_field))
+
+    return run
+
+
+def registry() -> dict[str, dict]:
+    return {
+        "es_dsl_bool_filter": {
+            "fn": _entry("documents", BOOL_FILTER_BODY, "doc_id"),
+            "oracle": compile_search("documents", BOOL_FILTER_BODY, "duck"),
+        },
+        "es_dsl_should_msm": {
+            "fn": _entry("documents", SHOULD_MSM_BODY, "doc_id"),
+            "oracle": compile_search("documents", SHOULD_MSM_BODY, "duck"),
+        },
+        "es_dsl_terms_agg": {
+            "fn": _entry("events", TERMS_AGG_BODY, "event_id"),
+            "oracle": compile_search("events", TERMS_AGG_BODY, "duck", "event_id"),
+        },
+        "es_dsl_date_histogram": {
+            "fn": _entry("events", DATE_HISTO_BODY, "event_id"),
+            "oracle": compile_search("events", DATE_HISTO_BODY, "duck", "event_id"),
+        },
+        "es_dsl_range_agg": {
+            "fn": _entry("documents", RANGE_AGG_BODY, "doc_id"),
+            "oracle": compile_search("documents", RANGE_AGG_BODY, "duck"),
+        },
+        "es_dsl_knn": {
+            "fn": _entry("embeddings", KNN_BODY, "vec_id"),
+            "oracle": compile_search("embeddings", KNN_BODY, "duck", "vec_id"),
+        },
+    }

@@ -178,7 +178,7 @@ def test_live_table_consistency():
     # freeze-exit net-new), nothing stays unscheduled
     never = {n for n, (last, _, _) in r.ROTATION.items() if last is None}
     assert never <= set(r.CURRENT_WINDOW)
-    assert len(never) == 12
+    assert len(never) == 18
 
 
 def test_docstring_window_recount_matches_correctness_files():
@@ -257,17 +257,27 @@ _FREEZE_EXIT = [
     "search_bm25_from_artifact",
 ]
 _CHANGED_R08 = ["ann_ivf_recall_eval", "ann_ivf_topk"]
-_NET_NEW_R08 = ["multimodal_pdf_extract_text", "search_highlight_snippets"]
+_NET_NEW_R08 = ["es_dsl_knn"]  # registered after the last mid-round roll
+_BUILT_R08 = [
+    "es_dsl_bool_filter",
+    "es_dsl_should_msm",
+    "es_dsl_terms_agg",
+    "es_dsl_date_histogram",
+    "es_dsl_range_agg",
+    "multimodal_pdf_extract_text",
+    "search_highlight_snippets",
+]
 
 
 def test_r08_window_matches_executed_roll():
     """The committed r08 window is the roller's deterministic output:
-    the 2 r08-built net-new entries (queries() registration order),
-    the 2 changed-kernel re-checks, the 10-entry never-checked backlog
-    (4 freeze-exit + the final 6, name order within the shared r08
-    slot), then 36 oldest-evidence (r03) re-rotation slots — refill
-    order recomputed here from the CORRECTNESS files, not trusted from
-    the table."""
+    the newest net-new entry (es_dsl_knn, registered after the last
+    mid-round roll so it leads), the 2 changed-kernel re-checks, the
+    17-entry never-checked backlog (the other 5 ES-DSL entries + 4
+    freeze-exit + the 2 other r08-built operators + the final 6, name
+    order within the shared r08 slot), then 30 oldest-evidence (r03)
+    re-rotation slots — refill order recomputed here from the
+    CORRECTNESS files, not trusted from the table."""
     repo = os.path.join(os.path.dirname(__file__), "..")
     sys.path.insert(0, repo)
     from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
@@ -280,21 +290,27 @@ def test_r08_window_matches_executed_roll():
         )
     )
     w = list(r.CURRENT_WINDOW)
-    assert w[:2] == _NET_NEW_R08
-    assert w[2:4] == _CHANGED_R08
-    assert w[4:14] == sorted(_FREEZE_EXIT + _FINAL6)
-    # none of the first 14 had (usable) driver evidence; the two
+    assert w[:1] == _NET_NEW_R08
+    assert w[1:3] == _CHANGED_R08
+    assert w[3:20] == sorted(_FREEZE_EXIT + _BUILT_R08 + _FINAL6)
+    # none of the first 20 had (usable) driver evidence; the two
     # changed entries DO have rows but predate the nprobe 5->9 change
-    for n in _NET_NEW_R08 + _FREEZE_EXIT + _FINAL6:
+    for n in _NET_NEW_R08 + _BUILT_R08 + _FREEZE_EXIT + _FINAL6:
         assert not ev.get(n), n
     # refill = oldest evidence first, (round, name) order, recomputed
-    taken = set(w[:14])
+    taken = set(w[:20])
     pool = sorted((n for n in ev if n in r.ROTATION and n not in taken),
                   key=lambda n: (ev[n], n))
-    assert w[14:] == pool[:36]
-    assert all(ev[n] == 3 for n in w[14:])
+    assert w[20:] == pool[:30]
+    assert all(ev[n] == 3 for n in w[20:])
     # the r03 tail that didn't fit re-rotates next by the same rule
-    assert pool[36:43] == [
+    assert pool[30:43] == [
+        "sample_weighted_mix",
+        "search_hybrid_rrf",
+        "set_except_all",
+        "split_train_val_test",
+        "subquery_correlated_scalar",
+        "subquery_in",
         "subquery_scalar",
         "unpivot_stack",
         "win_first_last_value",
@@ -308,7 +324,7 @@ def test_r08_window_matches_executed_roll():
 def test_r09_roll_preview():
     """Simulate the next roll under the expected outcome (the full r08
     window goes green): no backlog remains, so r09 is pure re-rotation
-    — the 7-entry r03 tail first, then the r04 cohort by name."""
+    — the 13-entry r03 tail first, then the r04 cohort by name."""
     repo = os.path.join(os.path.dirname(__file__), "..")
     sys.path.insert(0, repo)
     from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
@@ -321,7 +337,13 @@ def test_r09_roll_preview():
     )
     assert failed == [] and net_new == [] and rest == []
     assert len(window) == 50
-    assert window[:7] == [
+    assert window[:13] == [
+        "sample_weighted_mix",
+        "search_hybrid_rrf",
+        "set_except_all",
+        "split_train_val_test",
+        "subquery_correlated_scalar",
+        "subquery_in",
         "subquery_scalar",
         "unpivot_stack",
         "win_first_last_value",
@@ -331,7 +353,7 @@ def test_r09_roll_preview():
         "with_cte",
     ]
     r04 = sorted(n for n, (last, _, _) in r.ROTATION.items() if last == 4)
-    assert window[7:] == r04[:43]
+    assert window[13:] == r04[:37]
     # and a failed r08 entry would displace a re-rotation slot, not hide
     ev_fail = dict(ev)
     del ev_fail[r.CURRENT_WINDOW[0]]
