@@ -236,7 +236,7 @@ def compile_search(
     from) to one SQL statement over table ``index``."""
     if dialect not in ("spark", "duck"):
         raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
-    known = {"query", "_source", "sort", "size", "from", "aggs", "knn"}
+    known = {"query", "_source", "sort", "size", "from", "aggs", "knn", "collapse"}
     bad = set(body) - known
     if bad:
         raise ValueError(f"es_dsl: unsupported body keys {sorted(bad)}")
@@ -261,10 +261,26 @@ def compile_search(
         order.append(f"{id_field} ASC")  # total order: deterministic LIMIT
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
+    oby = ", ".join(order)
+    src = _ident(index)
+    if "collapse" in body:
+        # ES field collapsing: one hit per distinct collapse-field
+        # value, the hit picked by the SEARCH SORT — a ranking window
+        # per group, then the outer order/limit as usual. _source is
+        # required so the rank column never leaks into the output.
+        cf = _ident(body["collapse"]["field"])
+        if not cols:
+            raise ValueError("es_dsl: collapse requires _source")
+        src = (
+            f"(SELECT *, row_number() OVER "
+            f"(PARTITION BY {cf} ORDER BY {oby}) AS collapse_rank\n"
+            f"   FROM {src} WHERE {where}) c"
+        )
+        where = "collapse_rank = 1"
     sql = (
-        f"SELECT {select} FROM {_ident(index)}\n"
+        f"SELECT {select} FROM {src}\n"
         f"WHERE {where}\n"
-        f"ORDER BY {', '.join(order)}\n"
+        f"ORDER BY {oby}\n"
         f"LIMIT {size}"
     )
     if offset:
@@ -371,31 +387,119 @@ def _metric_cols(name: str, kind: str, field: str, dialect: str) -> list[str]:
     return [f"round({kind}({f}), 4) AS {name}"]
 
 
+_BUCKETS = {"terms", "date_histogram", "histogram", "range"}
+
+
+def _bucket_key(kind: str, b: dict, dialect: str) -> tuple[str, str]:
+    """(key_expr, order_expr) for one bucket agg — the shared piece the
+    nested path composes. ``order_expr`` orders buckets of this kind
+    deterministically (range buckets by declaration order, everything
+    else by key)."""
+    f = _ident(b["field"])
+    if kind == "terms":
+        return f, f
+    if kind == "date_histogram":
+        unit = b.get("calendar_interval", "day")
+        if unit not in ("day", "week", "month", "year"):
+            raise ValueError(f"es_dsl: unsupported calendar_interval {unit!r}")
+        e = f"cast(date_trunc('{unit}', {f}) AS DATE)"
+        return e, e
+    if kind == "histogram":
+        step = b["interval"]
+        if not isinstance(step, (int, float)) or step <= 0:
+            raise ValueError("es_dsl: histogram interval must be > 0")
+        e = f"round(floor({f} / {step}) * {step}, 4)"
+        return e, e
+    if kind == "range":
+        case, ordinal = _range_case(f, b["ranges"], dialect)
+        return case, ordinal
+    raise ValueError(f"es_dsl: unsupported bucket agg {kind!r}")
+
+
+def _range_case(f: str, ranges: list, dialect: str) -> tuple[str, str]:
+    """CASE label + CASE ordinal for disjoint range buckets (ES
+    evaluates overlapping ranges independently — one GROUP BY can't,
+    so overlap raises)."""
+    edges = []
+    for r in ranges:
+        lo, hi = r.get("from"), r.get("to")
+        if lo is None and hi is None:
+            raise ValueError("es_dsl: range bucket needs from and/or to")
+        edges.append((lo, hi))
+    for i, (lo1, hi1) in enumerate(edges):
+        for lo2, hi2 in edges[i + 1 :]:
+            a1, b1 = (lo1 if lo1 is not None else float("-inf"),
+                      hi1 if hi1 is not None else float("inf"))
+            a2, b2 = (lo2 if lo2 is not None else float("-inf"),
+                      hi2 if hi2 is not None else float("inf"))
+            if max(a1, a2) < min(b1, b2):
+                raise ValueError(
+                    "es_dsl: overlapping range buckets are unsupported"
+                )
+    whens, orders = [], []
+    for i, (lo, hi) in enumerate(edges):
+        conds = []
+        if lo is not None:
+            conds.append(f"{f} >= {_lit(lo, dialect)}")
+        if hi is not None:
+            conds.append(f"{f} < {_lit(hi, dialect)}")
+        label = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{label}'")
+        orders.append(f"WHEN {' AND '.join(conds)} THEN {i}")
+    case = "CASE " + " ".join(whens) + " END"
+    ordinal = "CASE " + " ".join(orders) + " ELSE 999 END"
+    return case, ordinal
+
+
 def compile_aggs(
     index: str, body: dict, dialect: str, id_field: str = "doc_id"
 ) -> str:
     """Compile an aggregation body: one top-level bucket agg (terms /
-    date_histogram / histogram / disjoint range) with metric sub-aggs,
-    optionally under a query-context filter."""
+    date_histogram / histogram / disjoint range / significant_terms)
+    with metric sub-aggs, one optional nested BUCKET sub-level
+    (metrics then sit on the inner buckets), all under an optional
+    query-context filter."""
     if dialect not in ("spark", "duck"):
         raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
     where = _query_expr(body.get("query", {"match_all": {}}), dialect, id_field)
     agg_name, spec = _one(body["aggs"], "aggs")
     sub = spec.get("aggs", {})
-    metric_sql: list[str] = []
-    for sub_name, sub_spec in sub.items():
-        kind, m = _one(sub_spec, f"sub-agg {sub_name}")
-        if kind not in _METRICS:
-            raise ValueError(f"es_dsl: unsupported sub-agg {kind!r}")
-        metric_sql += _metric_cols(_ident(sub_name), kind, m["field"], dialect)
-    metrics = ("" if not metric_sql else ",\n       " + ",\n       ".join(metric_sql))
-
     bucket_kinds = [k for k in spec if k != "aggs"]
     if len(bucket_kinds) != 1:
         raise ValueError("es_dsl: exactly one bucket agg per level")
     kind = bucket_kinds[0]
     b = spec[kind]
     key = f"{agg_name}_key"
+
+    if kind == "significant_terms":
+        if sub:
+            raise ValueError("es_dsl: significant_terms takes no sub-aggs")
+        return _compile_significant_terms(
+            index, b, where, key, dialect
+        )
+
+    # split sub-aggs: at most one nested bucket, rest are metrics
+    inner = [(n, sp) for n, sp in sub.items()
+             if set(sp) & _BUCKETS or "aggs" in sp]
+    metric_specs = [(n, sp) for n, sp in sub.items() if (n, sp) not in inner]
+    metric_sql: list[str] = []
+    for sub_name, sub_spec in metric_specs:
+        mkind, m = _one(sub_spec, f"sub-agg {sub_name}")
+        if mkind not in _METRICS:
+            raise ValueError(f"es_dsl: unsupported sub-agg {mkind!r}")
+        metric_sql += _metric_cols(_ident(sub_name), mkind, m["field"], dialect)
+    metrics = (
+        "" if not metric_sql else ",\n       " + ",\n       ".join(metric_sql)
+    )
+
+    if inner:
+        if len(inner) > 1:
+            raise ValueError("es_dsl: at most one nested bucket per level")
+        if kind != "terms":
+            raise ValueError("es_dsl: nested buckets only under terms")
+        return _compile_nested(
+            index, b, inner[0], metrics, where, key, dialect
+        )
 
     if kind == "terms":
         f = _ident(b["field"])
@@ -408,77 +512,215 @@ GROUP BY {f}
 ORDER BY doc_count DESC, {key} ASC
 LIMIT {size}
 """
-    if kind == "date_histogram":
-        f = _ident(b["field"])
-        unit = b.get("calendar_interval", "day")
-        if unit not in ("day", "week", "month", "year"):
-            raise ValueError(f"es_dsl: unsupported calendar_interval {unit!r}")
-        # DuckDB's date_trunc('day') yields DATE, Spark's a TIMESTAMP;
-        # calendar units are all date-aligned, so cast both to DATE
-        expr = f"cast(date_trunc('{unit}', {f}) AS DATE)"
-        return f"""
-SELECT {expr} AS {key}, count(*) AS doc_count{metrics}
-FROM {_ident(index)}
-WHERE {where}
-GROUP BY {expr}
-ORDER BY {key} ASC
-"""
-    if kind == "histogram":
-        f = _ident(b["field"])
-        step = b["interval"]
-        if not isinstance(step, (int, float)) or step <= 0:
-            raise ValueError("es_dsl: histogram interval must be > 0")
-        expr = f"floor({f} / {step}) * {step}"
-        return f"""
-SELECT round({expr}, 4) AS {key}, count(*) AS doc_count{metrics}
-FROM {_ident(index)}
-WHERE {where}
-GROUP BY {expr}
-ORDER BY {key} ASC
-"""
+    key_expr, order_expr = _bucket_key(kind, b, dialect)
     if kind == "range":
-        f = _ident(b["field"])
-        ranges = b["ranges"]
-        edges = []
-        for r in ranges:
-            lo, hi = r.get("from"), r.get("to")
-            if lo is None and hi is None:
-                raise ValueError("es_dsl: range bucket needs from and/or to")
-            edges.append((lo, hi))
-        # ES evaluates overlapping ranges as independent buckets; one
-        # GROUP BY CASE can't express that, so require disjoint
-        for i, (lo1, hi1) in enumerate(edges):
-            for lo2, hi2 in edges[i + 1 :]:
-                a1, b1 = (lo1 if lo1 is not None else float("-inf"),
-                          hi1 if hi1 is not None else float("inf"))
-                a2, b2 = (lo2 if lo2 is not None else float("-inf"),
-                          hi2 if hi2 is not None else float("inf"))
-                if max(a1, a2) < min(b1, b2):
-                    raise ValueError(
-                        "es_dsl: overlapping range buckets are unsupported"
-                    )
-        whens, orders = [], []
-        for i, (lo, hi) in enumerate(edges):
-            conds = []
-            if lo is not None:
-                conds.append(f"{f} >= {_lit(lo, dialect)}")
-            if hi is not None:
-                conds.append(f"{f} < {_lit(hi, dialect)}")
-            label = (
-                f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
-            )
-            whens.append(f"WHEN {' AND '.join(conds)} THEN '{label}'")
-            orders.append(f"WHEN {' AND '.join(conds)} THEN {i}")
-        case = "CASE " + " ".join(whens) + " END"
-        ordinal = "CASE " + " ".join(orders) + " ELSE 999 END"
         return f"""
-SELECT {case} AS {key}, count(*) AS doc_count{metrics}
+SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
-WHERE ({where}) AND ({case}) IS NOT NULL
-GROUP BY {case}, {ordinal}
-ORDER BY {ordinal} ASC
+WHERE ({where}) AND ({key_expr}) IS NOT NULL
+GROUP BY {key_expr}, {order_expr}
+ORDER BY {order_expr} ASC
 """
-    raise ValueError(f"es_dsl: unsupported bucket agg {kind!r}")
+    return f"""
+SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE {where}
+GROUP BY {key_expr}
+ORDER BY {key} ASC
+"""
+
+
+def _compile_nested(
+    index: str,
+    outer_b: dict,
+    inner_pair: tuple,
+    metrics: str,
+    where: str,
+    outer_key: str,
+    dialect: str,
+) -> str:
+    """terms -> nested bucket: one two-key aggregation over the
+    filtered base (cells), outer terms size applied on TOTAL bucket
+    counts (window over the cells, not a second scan), inner buckets
+    ordered by their own rule. ES semantics: the outer top-N is chosen
+    by doc_count across the whole bucket, then each kept bucket
+    reports all its inner buckets.
+
+    Scale shape: ONE partial+final aggregation over (k1, k2) — the
+    window ranking runs on the aggregated cells (bucket-cardinality
+    rows), never the raw corpus."""
+    inner_name, inner_spec = inner_pair
+    ikinds = [k for k in inner_spec if k != "aggs"]
+    if len(ikinds) != 1 or ikinds[0] not in _BUCKETS:
+        raise ValueError("es_dsl: nested sub-agg must be a bucket agg")
+    if inner_spec.get("aggs") and any(
+        set(sp) & _BUCKETS for sp in inner_spec["aggs"].values()
+    ):
+        raise ValueError("es_dsl: nesting depth is two bucket levels")
+    # metrics live at the LEAF: recompute them from the inner spec
+    leaf_metrics: list[str] = []
+    for mn, msp in inner_spec.get("aggs", {}).items():
+        mk, m = _one(msp, f"sub-agg {mn}")
+        if mk not in _METRICS:
+            raise ValueError(f"es_dsl: unsupported sub-agg {mk!r}")
+        leaf_metrics += _metric_cols(_ident(mn), mk, m["field"], dialect)
+    if metrics:
+        # ES would compute these per outer bucket; supporting both
+        # levels doubles the aggregation shape — reject rather than
+        # silently drop
+        raise ValueError(
+            "es_dsl: metrics must sit on the innermost bucket level"
+        )
+    mtxt = "" if not leaf_metrics else ",\n         " + ",\n         ".join(
+        leaf_metrics
+    )
+    f1 = _ident(outer_b["field"])
+    size1 = int(outer_b.get("size", 10))
+    ikind = ikinds[0]
+    k2_expr, k2_order = _bucket_key(ikind, inner_spec[ikind], dialect)
+    inner_key = f"{inner_name}_key"
+    guard = f" AND ({k2_expr}) IS NOT NULL" if ikind == "range" else ""
+    isize = ""
+    if ikind == "terms" and "size" in inner_spec[ikind]:
+        isize = f"WHERE inner_rank <= {int(inner_spec[ikind]['size'])}\n"
+    leaf_cols = "".join(
+        ", r." + m.split(" AS ")[-1] for m in leaf_metrics
+    )
+    return f"""
+WITH cells AS (
+  SELECT {f1} AS {outer_key}, {k2_expr} AS {inner_key},
+         min({k2_order}) AS inner_ord,
+         count(*) AS doc_count{mtxt}
+  FROM {_ident(index)}
+  WHERE ({where}){guard}
+  GROUP BY {f1}, {k2_expr}
+),
+ranked AS (
+  SELECT *,
+         cast(sum(doc_count) OVER (PARTITION BY {outer_key}) AS BIGINT)
+           AS outer_count,
+         row_number() OVER (
+           PARTITION BY {outer_key}
+           ORDER BY doc_count DESC, inner_ord ASC
+         ) AS inner_rank
+  FROM cells
+),
+kept AS (
+  SELECT {outer_key}, outer_count,
+         dense_rank() OVER (ORDER BY outer_count DESC, {outer_key} ASC)
+           AS outer_rank
+  FROM (SELECT DISTINCT {outer_key}, outer_count FROM ranked)
+)
+SELECT r.{outer_key}, k.outer_count, r.{inner_key}, r.doc_count{leaf_cols}
+FROM ranked r JOIN kept k USING ({outer_key})
+WHERE k.outer_rank <= {size1}
+{isize}ORDER BY k.outer_count DESC, r.{outer_key} ASC, r.inner_ord ASC,
+         r.{inner_key} ASC
+"""
+
+
+def _compile_significant_terms(
+    index: str, b: dict, where: str, key: str, dialect: str
+) -> str:
+    """ES significant_terms over an analyzed text field: foreground =
+    docs matching the query, background = the whole index; per-token
+    DOC frequencies (distinct per doc), JLH score
+    ``(fg% - bg%) * (fg% / bg%)`` emitted as the raw IEEE double of
+    integer-ratio arithmetic (identical integers -> identical doubles
+    in both engines; no rounding to flip).
+
+    Scale shape: two aggregations over the distinct-token stream (one
+    filtered), both partial-aggregatable; the join is per-term
+    (vocabulary-sized), totals broadcast."""
+    f = _ident(b["field"])
+    size = int(b.get("size", 10))
+    min_dc = int(b.get("min_doc_count", 3))
+    te = _tokens_expr(f, dialect)
+    if dialect == "spark":
+        distinct_w = f"explode(array_distinct({te})) AS w"
+    else:
+        distinct_w = f"unnest(list_distinct({te})) AS w"
+    return f"""
+WITH fg_stream AS (
+  SELECT {distinct_w} FROM {_ident(index)} WHERE {where}
+),
+bg_stream AS (
+  SELECT {distinct_w} FROM {_ident(index)}
+),
+fg_df AS (SELECT w, count(*) AS fg FROM fg_stream GROUP BY w),
+bg_df AS (SELECT w, count(*) AS bg FROM bg_stream GROUP BY w),
+fg_tot AS (SELECT count(*) AS n_fg FROM {_ident(index)} WHERE {where}),
+bg_tot AS (SELECT count(*) AS n_bg FROM {_ident(index)})
+SELECT w AS {key}, fg AS doc_count, bg AS bg_count,
+       ((cast(fg AS DOUBLE) / n_fg) - (cast(bg AS DOUBLE) / n_bg))
+         * ((cast(fg AS DOUBLE) / n_fg) / (cast(bg AS DOUBLE) / n_bg))
+         AS score
+FROM fg_df JOIN bg_df USING (w) CROSS JOIN fg_tot CROSS JOIN bg_tot
+WHERE fg >= {min_dc}
+  AND (cast(fg AS DOUBLE) / n_fg) > (cast(bg AS DOUBLE) / n_bg)
+ORDER BY score DESC, {key} ASC
+LIMIT {size}
+"""
+
+
+# --- percolate (reverse search: stored queries match incoming docs) ----------
+
+
+def compile_percolate(
+    index: str,
+    queries: dict[str, dict],
+    dialect: str,
+    id_field: str = "doc_id",
+) -> str:
+    """The ES percolator, inverted-index-free: N stored query bodies
+    (query context only) evaluate against every row in ONE scan — each
+    query compiles to a boolean expression, the expressions stack into
+    an array of matched query ids, and a row-local filter+explode
+    emits (doc id, query_id) pairs. Alerting/routing semantics
+    (ES `percolate` query) without a second pass per stored query.
+
+    Scale shape: one corpus scan regardless of N stored queries; the
+    per-row work is N predicate evaluations (map-side, codegen'd); no
+    join, no shuffle before the final order. At 10k+ stored queries
+    you'd shard the predicate array, not the scan."""
+    if not queries:
+        raise ValueError("es_dsl: percolate needs at least one stored query")
+    cases = []
+    for qid in sorted(queries):
+        if not re.fullmatch(r"[A-Za-z0-9_\-]+", qid):
+            raise ValueError(f"es_dsl: bad percolate query id {qid!r}")
+        expr = _query_expr(queries[qid], dialect, id_field)
+        cases.append(
+            f"CASE WHEN coalesce({expr}, FALSE) THEN '{qid}' END"
+        )
+    arr = ",\n      ".join(cases)
+    if dialect == "spark":
+        matched = (
+            f"explode(filter(array(\n      {arr}\n    ), x -> x IS NOT NULL))"
+        )
+    else:
+        matched = (
+            f"unnest(list_filter([\n      {arr}\n    ], x -> x IS NOT NULL))"
+        )
+    return f"""
+SELECT {id_field}, {matched} AS query_id
+FROM {_ident(index)}
+ORDER BY {id_field}, query_id
+"""
+
+
+PERCOLATE_QUERIES = {
+    "long_english": {"bool": {"filter": [
+        {"term": {"lang": "en"}},
+        {"range": {"n_chars": {"gte": 400}}},
+    ]}},
+    "mentions_merge": {"match": {"text": "merge"}},
+    "scan_phrase": {"match_phrase": {"text": "table scan"}},
+    "short_or_zh": {"bool": {"should": [
+        {"range": {"n_chars": {"lt": 100}}},
+        {"term": {"lang": "zh"}},
+    ]}},
+}
 
 
 # --- registered entries ------------------------------------------------------
@@ -543,6 +785,34 @@ DATE_HISTO_BODY = {
     },
 }
 
+NESTED_AGG_BODY = {
+    "query": {"range": {"ts": {"gte": "2024-01-05"}}},
+    "aggs": {
+        "by_type": {
+            "terms": {"field": "event_type", "size": 3},
+            "aggs": {
+                "daily": {
+                    "date_histogram": {"field": "ts", "calendar_interval": "week"},
+                    "aggs": {"v": {"avg": {"field": "value"}}},
+                }
+            },
+        }
+    },
+}
+
+SIG_TERMS_BODY = {
+    "query": {"term": {"lang": "en"}},
+    "aggs": {"sig": {"significant_terms": {"field": "text", "size": 10}}},
+}
+
+COLLAPSE_BODY = {
+    "query": {"range": {"n_chars": {"gte": 100}}},
+    "collapse": {"field": "lang"},
+    "sort": [{"n_chars": {"order": "desc"}}],
+    "_source": ["doc_id", "lang", "source", "n_chars"],
+    "size": 10,
+}
+
 KNN_BODY = {
     "knn": {
         "field": "embedding",
@@ -602,5 +872,23 @@ def registry() -> dict[str, dict]:
         "es_dsl_knn": {
             "fn": _entry("embeddings", KNN_BODY, "vec_id"),
             "oracle": compile_search("embeddings", KNN_BODY, "duck", "vec_id"),
+        },
+        "es_dsl_nested_agg": {
+            "fn": _entry("events", NESTED_AGG_BODY, "event_id"),
+            "oracle": compile_search("events", NESTED_AGG_BODY, "duck", "event_id"),
+        },
+        "es_dsl_significant_terms": {
+            "fn": _entry("documents", SIG_TERMS_BODY, "doc_id"),
+            "oracle": compile_search("documents", SIG_TERMS_BODY, "duck"),
+        },
+        "es_dsl_collapse": {
+            "fn": _entry("documents", COLLAPSE_BODY, "doc_id"),
+            "oracle": compile_search("documents", COLLAPSE_BODY, "duck"),
+        },
+        "es_dsl_percolate": {
+            "fn": lambda spark, sf_dir: spark.sql(
+                compile_percolate("documents", PERCOLATE_QUERIES, "spark")
+            ),
+            "oracle": compile_percolate("documents", PERCOLATE_QUERIES, "duck"),
         },
     }
