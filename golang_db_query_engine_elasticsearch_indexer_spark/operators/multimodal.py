@@ -2307,6 +2307,355 @@ ORDER BY doc_id
 """
 
 
+# --- real image decode: TIFF (IFD directory + PackBits RLE) -----------------
+#
+# A third genuinely-parsed image container, with a container shape the
+# others don't exercise: TIFF is an OFFSET-GRAPH format (a binary tag
+# directory — the IFD — whose entries point at data elsewhere in the
+# file, like PDF's xref but packed structs), supports BOTH byte orders
+# ("II" little / "MM" big — the parser honors each, and the fixture
+# cycles them), splits pixel data into multiple strips that must be
+# reassembled in order, and compresses with PackBits — the third
+# hand-rolled codec after PNG/zlib and GIF/LZW (Apple RLE: header
+# 0..127 = n+1 literals, 129..255 = repeat next byte 257-n times,
+# 128 = noop). Grayscale and RGB, 8-bit, strip-based baseline TIFF.
+#
+# Fixture discipline matches PNG/GIF: pixels come from the md5 chain
+# md5(doc_id || ':tiff:' || i), so the DuckDB oracle replays channel
+# sums WITHOUT parsing binary; the encoder runs beside the decoder in
+# the Arrow batch and is NOT trusted by symmetry alone — a hand-built
+# known-byte vector (big-endian, hand-packed PackBits stream),
+# malformed-input vectors, and hypothesis properties (PackBits
+# roundtrip for any bytes, parser totality on adversarial bytes) pin
+# the decoder independently.
+
+TIFF_SCHEMA = (
+    "doc_id long, width int, height int, channels int, compression int, "
+    "r_sum long, g_sum long, b_sum long"
+)
+
+_TIFF_ROWS_PER_STRIP = 2
+_PACKBITS = 32773  # baseline TIFF "Macintosh RLE" compression tag value
+
+
+def _tiff_dims(doc_id: int) -> tuple[int, int, int, int, str]:
+    """(width, height, channels, compression, byte order) — the
+    generative formula the oracle replays. Compression alternates
+    none/PackBits, byte order cycles II/MM."""
+    return (
+        4 + doc_id % 5,
+        2 + doc_id % 4,
+        (1, 3)[doc_id % 2],
+        1 if doc_id % 3 == 0 else _PACKBITS,
+        "MM" if doc_id % 5 == 0 else "II",
+    )
+
+
+def _tiff_pixel_bytes(doc_id: int, n: int) -> bytes:
+    import hashlib  # noqa: PLC0415
+
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += bytes.fromhex(
+            hashlib.md5(f"{doc_id}:tiff:{i}".encode()).hexdigest()
+        )
+        i += 1
+    return bytes(out[:n])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits per the TIFF 6.0 spec: maximal runs of 2..128 equal
+    bytes become (257-n, byte); literal spans of 1..128 become
+    (n-1, bytes). Runs of exactly 2 are folded into literals when
+    surrounded by literals (the spec's recommendation) — the decoder
+    must handle any mix regardless."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 3 or (run == 2 and i + run >= n):
+            out += bytes([257 - run, data[i]])
+            i = j
+            continue
+        # literal span: until a run of >= 3 starts (or 128 cap)
+        k = i
+        while k < n and k - i < 128:
+            r = k + 1
+            while r < n and r - k < 3 and data[r] == data[k]:
+                r += 1
+            if r - k >= 3:
+                break
+            k = r
+        k = min(k, i + 128)
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h == 128:  # noop
+            continue
+        if h < 128:  # h+1 literal bytes
+            if i + h + 1 > n:
+                raise ValueError("TIFF: PackBits literal overruns the strip")
+            out += data[i : i + h + 1]
+            i += h + 1
+        else:  # repeat next byte 257-h times
+            if i >= n:
+                raise ValueError("TIFF: PackBits run header at end of strip")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _build_tiff(
+    width: int, height: int, channels: int, compression: int,
+    order: str, pixels: bytes,
+) -> bytes:
+    """A genuine strip-based baseline TIFF in either byte order:
+    header, pixel strips (RowsPerStrip rows each, PackBits-compressed
+    when asked), then one IFD whose entries point back at the strips."""
+    import struct  # noqa: PLC0415
+
+    e = "<" if order == "II" else ">"
+    stride = width * channels
+    strips = []
+    for r0 in range(0, height, _TIFF_ROWS_PER_STRIP):
+        raw = pixels[r0 * stride : (r0 + _TIFF_ROWS_PER_STRIP) * stride]
+        strips.append(
+            raw if compression == 1 else _packbits_encode(raw)
+        )
+    out = bytearray(struct.pack(f"{e}2sHI", order.encode(), 42, 0))
+    offsets, counts = [], []
+    for sdata in strips:
+        offsets.append(len(out))
+        counts.append(len(sdata))
+        out += sdata
+    # value arrays that do not fit in the 4-byte entry slot live here
+    nstrips = len(strips)
+    extra: dict[int, int] = {}
+    if nstrips > 1:
+        extra[273] = len(out)
+        out += struct.pack(f"{e}{nstrips}I", *offsets)
+        extra[279] = len(out)
+        out += struct.pack(f"{e}{nstrips}I", *counts)
+    if channels == 3:
+        extra[258] = len(out)
+        out += struct.pack(f"{e}3H", 8, 8, 8)
+    ifd_at = len(out)
+    struct.pack_into(f"{e}I", out, 4, ifd_at)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack(f"{e}HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 4, 1, width),                     # ImageWidth  LONG
+        entry(257, 4, 1, height),                    # ImageLength LONG
+        entry(
+            258, 3, channels,
+            8 if channels == 1 else extra[258],      # BitsPerSample SHORT[]
+        ),
+        entry(259, 3, 1, compression),               # Compression
+        entry(262, 3, 1, 1 if channels == 1 else 2), # Photometric
+        entry(
+            273, 4, nstrips,
+            offsets[0] if nstrips == 1 else extra[273],  # StripOffsets
+        ),
+        entry(277, 3, 1, channels),                  # SamplesPerPixel
+        entry(278, 4, 1, _TIFF_ROWS_PER_STRIP),      # RowsPerStrip
+        entry(
+            279, 4, nstrips,
+            counts[0] if nstrips == 1 else extra[279],   # StripByteCounts
+        ),
+    ]
+    # SHORT single values sit left-justified in the 4-byte slot under
+    # big-endian — re-pack those three entries correctly
+    def short_entry(tag: int, value: int) -> bytes:
+        return struct.pack(f"{e}HHIHH", tag, 3, 1, value, 0)
+
+    entries[3] = short_entry(259, compression)
+    entries[4] = short_entry(262, 1 if channels == 1 else 2)
+    entries[6] = short_entry(277, channels)
+    if channels == 1:
+        entries[2] = short_entry(258, 8)
+    out += struct.pack(f"{e}H", len(entries))
+    for en in entries:
+        out += en
+    out += struct.pack(f"{e}I", 0)  # no next IFD
+    return bytes(out)
+
+
+def _parse_tiff(b) -> tuple[int, int, int, int, bytes]:
+    """A REAL baseline-TIFF reader: byte-order detection (II/MM),
+    magic-42 check, IFD walk at its declared offset, tag extraction
+    with SHORT/LONG handling and out-of-line value arrays, strip
+    reassembly in order, per-strip PackBits decompression, and size
+    validation against width*height*samples. Returns
+    (width, height, channels, compression, pixel bytes)."""
+    import struct  # noqa: PLC0415
+
+    b = bytes(b)
+    if len(b) < 8:
+        raise ValueError("TIFF: truncated header")
+    try:
+        return _parse_tiff_checked(b)
+    except struct.error as exc:  # belt over the explicit bounds checks
+        raise ValueError(f"TIFF: truncated structure: {exc}") from exc
+
+
+def _parse_tiff_checked(b: bytes) -> tuple[int, int, int, int, bytes]:
+    import struct  # noqa: PLC0415
+
+    order = b[:2]
+    if order == b"II":
+        e = "<"
+    elif order == b"MM":
+        e = ">"
+    else:
+        raise ValueError("TIFF: bad byte-order signature")
+    magic, ifd_at = struct.unpack_from(f"{e}HI", b, 2)
+    if magic != 42:
+        raise ValueError("TIFF: bad magic number")
+    if ifd_at + 2 > len(b):
+        raise ValueError("TIFF: IFD offset out of bounds")
+    (n_entries,) = struct.unpack_from(f"{e}H", b, ifd_at)
+    if ifd_at + 2 + 12 * n_entries + 4 > len(b):
+        raise ValueError("TIFF: IFD overruns the file")
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        at = ifd_at + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(f"{e}HHI", b, at)
+        tags[tag] = (typ, count, at + 8)
+
+    def values(tag: int, default=None) -> list[int]:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF: required tag {tag} missing")
+            return [default]
+        typ, count, slot = tags[tag]
+        if typ == 3:
+            size, fmt = 2, "H"
+        elif typ == 4:
+            size, fmt = 4, "I"
+        else:
+            raise ValueError(f"TIFF: unsupported type {typ} for tag {tag}")
+        if size * count <= 4:
+            at = slot
+        else:
+            (at,) = struct.unpack_from(f"{e}I", b, slot)
+        if at + size * count > len(b):
+            raise ValueError(f"TIFF: tag {tag} values out of bounds")
+        return list(struct.unpack_from(f"{e}{count}{fmt}", b, at))
+
+    width = values(256)[0]
+    height = values(257)[0]
+    channels = values(277, 1)[0]
+    compression = values(259, 1)[0]
+    if compression not in (1, _PACKBITS):
+        raise ValueError(f"TIFF: unsupported compression {compression}")
+    bits = values(258, 8)
+    if len(bits) != channels or any(x != 8 for x in bits):
+        raise ValueError("TIFF: only 8-bit samples supported")
+    offsets = values(273)
+    counts = values(279)
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF: StripOffsets/StripByteCounts disagree")
+    out = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(b):
+            raise ValueError("TIFF: strip out of bounds")
+        strip = b[off : off + cnt]
+        out += strip if compression == 1 else _packbits_decode(strip)
+    if len(out) != width * height * channels:
+        raise ValueError(
+            "TIFF: decoded strip bytes do not cover width*height*samples"
+        )
+    return width, height, channels, compression, bytes(out)
+
+
+def _decode_tiff_batches(batches):
+    import pandas as pd  # noqa: PLC0415
+
+    def stats(doc_id: int):
+        w, h, ch, comp, order = _tiff_dims(doc_id)
+        px = _tiff_pixel_bytes(doc_id, w * h * ch)
+        dw, dh, dch, dcomp, out = _parse_tiff(
+            _build_tiff(w, h, ch, comp, order, px)
+        )
+        sums = [0, 0, 0]
+        for j in range(dw * dh):
+            for c in range(dch):
+                sums[c] += out[j * dch + c]
+        return (int(doc_id), dw, dh, dch, dcomp, *sums)
+
+    for pdf in batches:
+        rows = [stats(int(d)) for d in pdf["doc_id"]]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "channels", "compression",
+                "r_sum", "g_sum", "b_sum",
+            ],
+        )
+
+
+def decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TIFF decode through the multimodal path (IFD walk, both
+    byte orders, strip reassembly, PackBits — see section comment).
+
+    Scale shape: identical to the other decoders — map-only over Arrow
+    batches, no shuffle before the final order."""
+    payloads = spark.table("documents").select("doc_id")
+    return payloads.mapInPandas(
+        _decode_tiff_batches, schema=TIFF_SCHEMA
+    ).orderBy("doc_id")
+
+
+def _decode_tiff_oracle() -> str:
+    """md5-chain replay, PNG-oracle style: byte at hex offset
+    2*(channels*j + c) of the chain md5(doc_id || ':tiff:' || i)."""
+    hv = "strpos('0123456789abcdef', substring(hexstr, {p}, 1)) - 1"
+    byte_at = f"(({hv.format(p='{off} + 1')}) * 16 + ({hv.format(p='{off} + 2')}))"
+    chan_sum = (
+        "CASE WHEN {c} < channels THEN cast(list_sum(list_transform(range(0, npix), "
+        "j -> " + byte_at.format(off="2*(channels*j + {c})") + ")) AS BIGINT) "
+        "ELSE cast(0 AS BIGINT) END"
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+         list_element([1, 3], cast(doc_id % 2 AS INTEGER) + 1) AS channels,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE {_PACKBITS} END AS compression
+  FROM documents
+),
+hx AS (
+  SELECT doc_id, w, h, channels, compression, w * h AS npix,
+         list_aggregate(list_transform(range(0, (channels * w * h + 15) // 16),
+             i -> md5(doc_id::VARCHAR || ':tiff:' || i::VARCHAR)),
+           'string_agg', '') AS hexstr
+  FROM dims
+)
+SELECT doc_id, cast(w AS INTEGER) AS width, cast(h AS INTEGER) AS height,
+       cast(channels AS INTEGER) AS channels,
+       cast(compression AS INTEGER) AS compression,
+       {chan_sum.format(c=0)} AS r_sum,
+       {chan_sum.format(c=1)} AS g_sum,
+       {chan_sum.format(c=2)} AS b_sum
+FROM hx
+ORDER BY doc_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "multimodal_binary_features": {
@@ -2354,5 +2703,9 @@ def registry() -> dict[str, dict]:
         "multimodal_pdf_extract_text": {
             "fn": pdf_extract_text,
             "oracle": _pdf_extract_oracle(),
+        },
+        "multimodal_decode_tiff": {
+            "fn": decode_tiff,
+            "oracle": _decode_tiff_oracle(),
         },
     }

@@ -2700,3 +2700,130 @@ def test_highlight_snippet_shape(spark, tables, sf_dir):
         assert term == r.term
         assert len(pre) <= HIGHLIGHT_PRE and len(suf) <= HIGHLIGHT_SUF
         assert texts[r.doc_id].find(r.term) == r.pos - 1
+
+
+# --- TIFF decode (IFD walk + PackBits) ---------------------------------------
+
+
+def _handmade_tiff():
+    """A 3x2 grayscale BIG-ENDIAN TIFF assembled byte-by-byte in the
+    TEST, single strip, PackBits stream packed BY HAND:
+    pixels [5,5,5,9,2,2] -> run(3x5)=FE 05, literal(9)=00 09,
+    run(2x2)=FF 02 — pins the decoder (byte order, IFD layout, RLE)
+    against an independent construction."""
+    import struct
+
+    strip = bytes([0xFE, 5, 0x00, 9, 0xFF, 2])
+    out = bytearray(struct.pack(">2sHI", b"MM", 42, 0))
+    strip_at = len(out)
+    out += strip
+    ifd_at = len(out)
+    struct.pack_into(">I", out, 4, ifd_at)
+
+    def long_entry(tag, value):
+        return struct.pack(">HHII", tag, 4, 1, value)
+
+    def short_entry(tag, value):
+        return struct.pack(">HHIHH", tag, 3, 1, value, 0)
+
+    entries = [
+        long_entry(256, 3),            # width
+        long_entry(257, 2),            # height
+        short_entry(258, 8),           # bits per sample
+        short_entry(259, 32773),       # PackBits
+        short_entry(262, 1),           # grayscale
+        long_entry(273, strip_at),     # strip offset
+        short_entry(277, 1),           # samples per pixel
+        long_entry(278, 2),            # rows per strip
+        long_entry(279, len(strip)),   # strip byte count
+    ]
+    out += struct.pack(">H", len(entries))
+    for e in entries:
+        out += e
+    out += struct.pack(">I", 0)
+    return bytes(out), bytes([5, 5, 5, 9, 2, 2])
+
+
+def test_tiff_decoder_known_vector():
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _parse_tiff,
+    )
+
+    tiff, pixels = _handmade_tiff()
+    assert _parse_tiff(tiff) == (3, 2, 1, 32773, pixels)
+
+
+def test_tiff_roundtrip_both_orders_and_compressions():
+    """doc_ids 0..59 cover gray/RGB x none/PackBits x II/MM and
+    multi-strip reassembly (heights > RowsPerStrip)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_tiff,
+        _parse_tiff,
+        _tiff_dims,
+        _tiff_pixel_bytes,
+    )
+
+    seen = set()
+    for doc_id in range(60):
+        w, h, ch, comp, order = _tiff_dims(doc_id)
+        seen.add((ch, comp, order))
+        px = _tiff_pixel_bytes(doc_id, w * h * ch)
+        assert _parse_tiff(_build_tiff(w, h, ch, comp, order, px)) == (
+            w, h, ch, comp, px,
+        )
+    assert {("II",), ("MM",)} <= {(o,) for (_, _, o) in seen}
+    assert {1, 32773} == {c for (_, c, _) in seen}
+    assert {1, 3} == {ch for (ch, _, _) in seen}
+
+
+def test_tiff_decoder_rejects_malformed():
+    import struct
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_tiff,
+        _parse_tiff,
+        _tiff_pixel_bytes,
+    )
+
+    good = _build_tiff(4, 3, 3, 32773, "II", _tiff_pixel_bytes(1, 36))
+    with pytest.raises(ValueError, match="byte-order"):
+        _parse_tiff(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="magic"):
+        _parse_tiff(good[:2] + struct.pack("<H", 43) + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_tiff(good[:6])
+    # IFD offset pointing past the end
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 4, len(good) + 100)
+    with pytest.raises(ValueError, match="IFD offset out of bounds"):
+        _parse_tiff(bytes(bad))
+    # unsupported compression (LZW = 5) on the handmade frame
+    tiff, _ = _handmade_tiff()
+    lzw = tiff.replace(
+        struct.pack(">HHIHH", 259, 3, 1, 32773, 0),
+        struct.pack(">HHIHH", 259, 3, 1, 5, 0),
+    )
+    with pytest.raises(ValueError, match="unsupported compression"):
+        _parse_tiff(lzw)
+    # strip byte count lying (overruns file)
+    lie = tiff.replace(
+        struct.pack(">HHII", 279, 4, 1, 6),
+        struct.pack(">HHII", 279, 4, 1, 600),
+    )
+    with pytest.raises(ValueError, match="strip out of bounds"):
+        _parse_tiff(lie)
+    # PackBits stream not covering the raster
+    short = tiff.replace(bytes([0xFF, 2]), bytes([0x00, 2]))
+    with pytest.raises(ValueError, match="do not cover"):
+        _parse_tiff(short)
+
+
+def test_tiff_decode_matches_duckdb_oracle(spark, tables, sf_dir, duck):
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _decode_tiff_oracle,
+        decode_tiff,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    ok, diag = compare(decode_tiff(spark, sf_dir), duck, _decode_tiff_oracle())
+    assert ok, diag

@@ -528,3 +528,39 @@ def test_pdf_parser_total_on_adversarial_bytes(data):
         except ValueError:
             continue
         assert isinstance(pages, list)
+
+
+@given(data=st.binary(min_size=0, max_size=500))
+@settings(max_examples=150, deadline=None)
+def test_packbits_roundtrip_any_bytes(data):
+    """PackBits encode -> decode is the identity for ANY byte string
+    (runs, literals, 128-boundaries, empty input)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    assert _packbits_decode(_packbits_encode(data)) == data
+
+
+@given(data=st.binary(min_size=0, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_tiff_parser_total_on_adversarial_bytes(data):
+    """The TIFF reader raises ValueError (never crashes or hangs) on
+    arbitrary bytes, with or without a plausible header frame."""
+    import struct
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _parse_tiff,
+    )
+
+    for payload in (
+        data,
+        b"II" + struct.pack("<HI", 42, 8) + data,
+        b"MM" + struct.pack(">HI", 42, 8) + data,
+    ):
+        try:
+            w, h, ch, comp, px = _parse_tiff(payload)
+        except ValueError:
+            continue
+        assert len(px) == w * h * ch
