@@ -2656,6 +2656,230 @@ ORDER BY doc_id
 """
 
 
+# --- real document decode: DOCX text extraction ------------------------------
+#
+# The PDF reader's sibling for the OTHER ubiquitous document format.
+# DOCX is a ZIP container (stdlib zipfile — the same honest-stdlib
+# boundary as zlib for PNG) holding OOXML parts; the text lives in
+# word/document.xml as w:p paragraphs of w:r runs of w:t text nodes in
+# the WordprocessingML namespace. The reader walks the REAL structure:
+# container open, the [Content_Types].xml presence check, document
+# part lookup, namespace-qualified XML parse (stdlib ElementTree), and
+# in-order w:t text collection per paragraph (w:t nodes carry
+# xml:space="preserve" because run boundaries land mid-whitespace).
+#
+# Fixture discipline matches PDF: the encoder embeds the documents
+# table's own text column (paragraphs = DOCX_PARA_CHARS slices, runs =
+# DOCX_RUN_CHARS slices within each paragraph), so the DuckDB oracle
+# checks the extraction against the SOURCE column — total md5, counts,
+# and the per-paragraph md5 chain — with zero binary/XML replay.
+# Malformed containers (not a zip, missing parts, broken XML, wrong
+# namespace) raise ValueError, pinned by vectors in the tests.
+
+DOCX_PARA_CHARS = 120
+DOCX_RUN_CHARS = 40
+
+DOCX_SCHEMA = (
+    "doc_id long, n_paragraphs int, n_runs long, n_chars long, "
+    "text_md5 string, paras_md5 string"
+)
+
+_W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+_DOCX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>"
+)
+
+_DOCX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+    'Target="word/document.xml"/></Relationships>'
+)
+
+
+# XML 1.0 Char production: control characters (other than TAB/LF/CR)
+# simply cannot appear in a well-formed document, escaped or not — a
+# real .docx cannot carry them either, so the builder refuses loudly
+# instead of emitting a file every conformant parser would reject.
+_XML_ILLEGAL = None
+
+
+def _docx_xml_escape(s: str) -> str:
+    global _XML_ILLEGAL  # noqa: PLW0603
+    if _XML_ILLEGAL is None:
+        import re  # noqa: PLC0415
+
+        _XML_ILLEGAL = re.compile(
+            "[^\t\n\r\u0020-\ud7ff\ue000-\ufffd"
+            "\U00010000-\U0010ffff]"
+        )
+    m = _XML_ILLEGAL.search(s)
+    if m:
+        raise ValueError(
+            f"DOCX builder: character {m.group()!r} is not representable "
+            "in XML 1.0"
+        )
+    # XML 1.0 2.11: parsers normalize \r and \r\n to \n in content, so
+    # a conformant writer must emit carriage returns as &#13; to
+    # round-trip them
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\r", "&#13;")
+    )
+
+
+def _build_docx(text: str) -> bytes:
+    """A genuine minimal DOCX: ZIP with [Content_Types].xml, _rels, and
+    word/document.xml — paragraphs at DOCX_PARA_CHARS, runs at
+    DOCX_RUN_CHARS, every w:t marked xml:space='preserve' (slices cut
+    mid-whitespace; an un-preserved node would be trimmed by
+    spec-conforming consumers)."""
+    import io  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    if not text:
+        raise ValueError("DOCX builder: empty document text")
+    paras = []
+    for i in range(0, len(text), DOCX_PARA_CHARS):
+        chunk = text[i : i + DOCX_PARA_CHARS]
+        runs = "".join(
+            f'<w:r><w:t xml:space="preserve">'
+            f"{_docx_xml_escape(chunk[j : j + DOCX_RUN_CHARS])}</w:t></w:r>"
+            for j in range(0, len(chunk), DOCX_RUN_CHARS)
+        )
+        paras.append(f"<w:p>{runs}</w:p>")
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{_W_NS}"><w:body>'
+        + "".join(paras)
+        + "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _DOCX_CONTENT_TYPES)
+        z.writestr("_rels/.rels", _DOCX_RELS)
+        z.writestr("word/document.xml", document)
+    return buf.getvalue()
+
+
+def _parse_docx(b) -> tuple[list[str], int]:
+    """A REAL DOCX reader: ZIP container, content-types presence,
+    word/document.xml lookup, namespace-qualified parse, per-paragraph
+    in-order w:t collection. Returns (per-paragraph text, run count)."""
+    import io  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+    from xml.etree import ElementTree  # noqa: PLC0415
+
+    try:
+        z = zipfile.ZipFile(io.BytesIO(bytes(b)))
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"DOCX: not a ZIP container: {exc}") from exc
+    names = set(z.namelist())
+    if "[Content_Types].xml" not in names:
+        raise ValueError("DOCX: missing [Content_Types].xml")
+    if "word/document.xml" not in names:
+        raise ValueError("DOCX: missing word/document.xml part")
+    try:
+        root = ElementTree.fromstring(z.read("word/document.xml"))
+    except ElementTree.ParseError as exc:
+        raise ValueError(f"DOCX: broken document XML: {exc}") from exc
+    if root.tag != f"{{{_W_NS}}}document":
+        raise ValueError("DOCX: document root is not w:document")
+    body = root.find(f"{{{_W_NS}}}body")
+    if body is None:
+        raise ValueError("DOCX: w:document has no w:body")
+    paras: list[str] = []
+    n_runs = 0
+    for p in body.iter(f"{{{_W_NS}}}p"):
+        pieces: list[str] = []
+        for r in p.iter(f"{{{_W_NS}}}r"):
+            n_runs += 1
+            for t in r.iter(f"{{{_W_NS}}}t"):
+                pieces.append(t.text or "")
+        paras.append("".join(pieces))
+    return paras, n_runs
+
+
+def _docx_batches(batches):
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    def stats(doc_id: int, text: str):
+        paras, n_runs = _parse_docx(_build_docx(text))
+        joined = "".join(paras)
+        chain = "".join(
+            hashlib.md5(p.encode()).hexdigest() for p in paras
+        )
+        return (
+            int(doc_id),
+            len(paras),
+            n_runs,
+            len(joined),
+            hashlib.md5(joined.encode()).hexdigest(),
+            hashlib.md5(chain.encode()).hexdigest(),
+        )
+
+    for pdf in batches:
+        rows = [stats(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_paragraphs", "n_runs", "n_chars",
+                "text_md5", "paras_md5",
+            ],
+        )
+
+
+def docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX -> text through the multimodal path (real ZIP + OOXML
+    walk; see the section comment).
+
+    Scale shape: map-only over Arrow batches like every decoder —
+    container work can't be SQL; one document's ZIP per row."""
+    payloads = spark.table("documents").select("doc_id", "text")
+    return payloads.mapInPandas(_docx_batches, schema=DOCX_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _docx_extract_oracle() -> str:
+    """Source-column replay, PDF-oracle style: counts from the slice
+    formulas, md5s from the text itself — no XML, no ZIP."""
+    runs_per_para = (
+        f"(least(length(text) - p * {DOCX_PARA_CHARS}, {DOCX_PARA_CHARS})"
+        f" + {DOCX_RUN_CHARS - 1}) // {DOCX_RUN_CHARS}"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         (length(text) + {DOCX_PARA_CHARS - 1}) // {DOCX_PARA_CHARS}
+           AS n_paragraphs
+  FROM documents
+)
+SELECT doc_id,
+       cast(n_paragraphs AS INTEGER) AS n_paragraphs,
+       cast(list_sum(list_transform(range(0, n_paragraphs),
+             p -> {runs_per_para})) AS BIGINT) AS n_runs,
+       cast(n_chars AS BIGINT) AS n_chars,
+       md5(text) AS text_md5,
+       md5(list_aggregate(list_transform(range(0, n_paragraphs),
+             i -> md5(substring(text,
+                                cast(i * {DOCX_PARA_CHARS} + 1 AS INTEGER),
+                                {DOCX_PARA_CHARS}))),
+           'string_agg', '')) AS paras_md5
+FROM d
+ORDER BY doc_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "multimodal_binary_features": {
@@ -2707,5 +2931,9 @@ def registry() -> dict[str, dict]:
         "multimodal_decode_tiff": {
             "fn": decode_tiff,
             "oracle": _decode_tiff_oracle(),
+        },
+        "multimodal_docx_extract_text": {
+            "fn": docx_extract_text,
+            "oracle": _docx_extract_oracle(),
         },
     }

@@ -2827,3 +2827,116 @@ def test_tiff_decode_matches_duckdb_oracle(spark, tables, sf_dir, duck):
 
     ok, diag = compare(decode_tiff(spark, sf_dir), duck, _decode_tiff_oracle())
     assert ok, diag
+
+
+# --- DOCX text extraction (ZIP + OOXML walk) ---------------------------------
+
+
+def test_docx_known_vector_independent_construction():
+    """A DOCX assembled in the TEST with zipfile + literal XML —
+    multiple paragraphs, split runs, entity escapes, an empty run, and
+    non-w:t noise nodes the extractor must skip."""
+    import io
+    import zipfile
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _DOCX_CONTENT_TYPES,
+        _W_NS,
+        _parse_docx,
+    )
+
+    doc = (
+        '<?xml version="1.0"?>'
+        f'<w:document xmlns:w="{_W_NS}"><w:body>'
+        '<w:p><w:pPr><w:jc w:val="left"/></w:pPr>'
+        '<w:r><w:rPr><w:b/></w:rPr><w:t xml:space="preserve">Hello, </w:t></w:r>'
+        "<w:r><w:t>&lt;world&gt; &amp; co</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t/></w:r><w:r><w:t>second para</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", _DOCX_CONTENT_TYPES)
+        z.writestr("word/document.xml", doc)
+    paras, n_runs = _parse_docx(buf.getvalue())
+    assert paras == ["Hello, <world> & co", "second para"]
+    assert n_runs == 4
+
+
+def test_docx_roundtrip_and_counts():
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        DOCX_PARA_CHARS,
+        DOCX_RUN_CHARS,
+        _build_docx,
+        _parse_docx,
+    )
+
+    t = "key agg row scan slow fast table value part hash " * 9
+    paras, n_runs = _parse_docx(_build_docx(t))
+    assert "".join(paras) == t
+    assert len(paras) == (len(t) + DOCX_PARA_CHARS - 1) // DOCX_PARA_CHARS
+    want_runs = sum(
+        (min(len(t) - i, DOCX_PARA_CHARS) + DOCX_RUN_CHARS - 1) // DOCX_RUN_CHARS
+        for i in range(0, len(t), DOCX_PARA_CHARS)
+    )
+    assert n_runs == want_runs
+
+
+def test_docx_rejects_malformed():
+    import io
+    import zipfile
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _DOCX_CONTENT_TYPES,
+        _W_NS,
+        _build_docx,
+        _parse_docx,
+    )
+
+    with pytest.raises(ValueError, match="not a ZIP"):
+        _parse_docx(b"plainly not a zip file")
+
+    def zip_with(parts):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for name, data in parts.items():
+                z.writestr(name, data)
+        return buf.getvalue()
+
+    with pytest.raises(ValueError, match="Content_Types"):
+        _parse_docx(zip_with({"word/document.xml": "<x/>"}))
+    with pytest.raises(ValueError, match="missing word/document.xml"):
+        _parse_docx(zip_with({"[Content_Types].xml": _DOCX_CONTENT_TYPES}))
+    with pytest.raises(ValueError, match="broken document XML"):
+        _parse_docx(zip_with({
+            "[Content_Types].xml": _DOCX_CONTENT_TYPES,
+            "word/document.xml": "<w:document><unclosed",
+        }))
+    with pytest.raises(ValueError, match="root is not w:document"):
+        _parse_docx(zip_with({
+            "[Content_Types].xml": _DOCX_CONTENT_TYPES,
+            "word/document.xml": "<other/>",
+        }))
+    with pytest.raises(ValueError, match="no w:body"):
+        _parse_docx(zip_with({
+            "[Content_Types].xml": _DOCX_CONTENT_TYPES,
+            "word/document.xml": f'<w:document xmlns:w="{_W_NS}"/>',
+        }))
+    with pytest.raises(ValueError, match="empty document text"):
+        _build_docx("")
+    # XML 1.0 cannot represent control chars — the builder must refuse
+    with pytest.raises(ValueError, match="not representable in XML"):
+        _build_docx("bell \x07 char")
+
+
+def test_docx_extract_matches_duckdb_oracle(spark, tables, sf_dir, duck):
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _docx_extract_oracle,
+        docx_extract_text,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    ok, diag = compare(
+        docx_extract_text(spark, sf_dir), duck, _docx_extract_oracle()
+    )
+    assert ok, diag

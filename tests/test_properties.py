@@ -564,3 +564,28 @@ def test_tiff_parser_total_on_adversarial_bytes(data):
         except ValueError:
             continue
         assert len(px) == w * h * ch
+
+
+@given(text=st.text(
+    st.characters(
+        codec="utf-8",
+        # XML 1.0 Char production: the builder (correctly) refuses
+        # control characters, so the roundtrip domain excludes them
+        exclude_categories=("Cc", "Cs"),
+        include_characters="\t\n\r",
+    ),
+    min_size=1,
+    max_size=300,
+))
+@settings(max_examples=60, deadline=None)
+def test_docx_roundtrip_any_text(text):
+    """Build -> parse returns the input text exactly for ANY
+    XML-representable unicode payload (escaping, whitespace
+    preservation, slicing)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_docx,
+        _parse_docx,
+    )
+
+    paras, _ = _parse_docx(_build_docx(text))
+    assert "".join(paras) == text
