@@ -2880,6 +2880,202 @@ ORDER BY doc_id
 """
 
 
+# --- real web decode: HTML main-text extraction ------------------------------
+#
+# The highest-volume ingestion path a training-data pipeline has: web
+# pages in, main text out, boilerplate (nav/header/footer/scripts)
+# dropped. The reader is a REAL event-driven HTML walk (stdlib
+# html.parser — the same honest-stdlib boundary as zipfile/zlib): tag
+# stack tracking, <script>/<style> content suppression, entity and
+# character-reference decoding (convert_charrefs), void elements, and
+# a block model — text accumulates per block-level container, and a
+# CONTENT gate keeps only blocks outside nav/header/footer/aside
+# ancestry. That ancestry rule is the deterministic core of the
+# density heuristics real pipelines use (trafilatura/jusText keep
+# high-text-density blocks; chrome regions fail exactly this gate).
+#
+# Fixture discipline matches PDF/DOCX: the builder wraps the documents
+# table's own text column in a realistic page — <head> with <title>
+# and <style>, a <nav> link bar, a <header> masthead, the content as
+# <p> paragraphs (DOCX-style slices) inside <main>, a <script> blob,
+# and a <footer> — so the DuckDB oracle checks the extraction against
+# the SOURCE column with zero HTML replay. The boilerplate text is
+# deterministic per doc_id, and a known-byte vector plus property
+# tests pin that NONE of it leaks into the extraction.
+
+HTML_PARA_CHARS = 120
+
+HTML_SCHEMA = (
+    "doc_id long, n_blocks int, n_chars long, title_md5 string, text_md5 string"
+)
+
+_HTML_BLOCK_TAGS = frozenset(
+    "p div section article main li h1 h2 h3 h4 h5 h6 blockquote pre td".split()
+)
+_HTML_CHROME_TAGS = frozenset("nav header footer aside".split())
+_HTML_SKIP_TAGS = frozenset("script style noscript template".split())
+_HTML_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta source track wbr".split()
+)
+
+
+def _build_html(doc_id: int, text: str) -> str:
+    """A realistic page around the document's text: chrome regions
+    carry deterministic junk the extractor must drop; the content
+    lives as <p> slices under <main>."""
+    if not text:
+        raise ValueError("HTML builder: empty document text")
+    title = f"doc {doc_id}"
+    paras = "".join(
+        f"<p>{_html_escape(text[i : i + HTML_PARA_CHARS])}</p>"
+        for i in range(0, len(text), HTML_PARA_CHARS)
+    )
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"<title>{title}</title>"
+        "<style>body { font: 14px serif; }</style>"
+        "<script>var tracker = 'totally ' + 'real';</script>"
+        "</head><body>"
+        f"<nav><ul><li><a href='/'>home</a></li>"
+        f"<li><a href='/d/{doc_id}'>self</a></li></ul></nav>"
+        f"<header><h1>corpus viewer #{doc_id % 7}</h1></header>"
+        f"<main><article>{paras}</article></main>"
+        f"<aside>related: doc {doc_id + 1}, doc {doc_id + 2}</aside>"
+        "<footer>&copy; fixture corp &mdash; all rows reserved</footer>"
+        "<script>console.log('bye');</script>"
+        "</body></html>"
+    )
+
+
+def _html_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _parse_html(html: str) -> tuple[str, list[str]]:
+    """A REAL event-driven extraction: returns (title, content blocks)
+    where a block is the text of one block-level element that has no
+    chrome (nav/header/footer/aside) ancestor; script/style subtrees
+    contribute nothing; entities decode."""
+    from html.parser import HTMLParser  # noqa: PLC0415
+
+    class _Walker(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.stack: list[str] = []
+            self.title_parts: list[str] = []
+            self.blocks: list[str] = []
+            self.current: list[str] | None = None
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _HTML_VOID_TAGS:
+                return
+            self.stack.append(tag)
+            if tag in _HTML_BLOCK_TAGS and self.current is not None:
+                # nested block starts: flush the outer accumulation
+                self._flush()
+            if (
+                tag in _HTML_BLOCK_TAGS
+                and not set(self.stack) & _HTML_CHROME_TAGS
+                and not set(self.stack) & _HTML_SKIP_TAGS
+            ):
+                self.current = []
+
+        def handle_endtag(self, tag):
+            if tag in _HTML_VOID_TAGS:
+                return
+            # tolerate misnesting the way browsers do: pop to the tag
+            while self.stack:
+                top = self.stack.pop()
+                if top in _HTML_BLOCK_TAGS and self.current is not None:
+                    self._flush()
+                if top == tag:
+                    break
+            # text after a nested block's close still belongs to the
+            # enclosing block ("<div>outer <p>inner</p> tail</div>"):
+            # resume accumulation while a content block stays open
+            if (
+                self.current is None
+                and set(self.stack) & _HTML_BLOCK_TAGS
+                and not set(self.stack) & _HTML_CHROME_TAGS
+                and not set(self.stack) & _HTML_SKIP_TAGS
+            ):
+                self.current = []
+
+        def handle_data(self, data):
+            if set(self.stack) & _HTML_SKIP_TAGS:
+                return
+            if self.stack and self.stack[-1] == "title":
+                self.title_parts.append(data)
+                return
+            if self.current is not None:
+                self.current.append(data)
+
+        def _flush(self):
+            if self.current is not None:
+                text = "".join(self.current)
+                if text:
+                    self.blocks.append(text)
+                self.current = None
+
+    w = _Walker()
+    w.feed(html)
+    w.close()
+    w._flush()
+    return "".join(w.title_parts), w.blocks
+
+
+def _html_batches(batches):
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    def stats(doc_id: int, text: str):
+        title, blocks = _parse_html(_build_html(int(doc_id), text))
+        joined = "".join(blocks)
+        return (
+            int(doc_id),
+            len(blocks),
+            len(joined),
+            hashlib.md5(title.encode()).hexdigest(),
+            hashlib.md5(joined.encode()).hexdigest(),
+        )
+
+    for pdf in batches:
+        rows = [stats(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])]
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_blocks", "n_chars", "title_md5", "text_md5"],
+        )
+
+
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> main text through the multimodal path (see the section
+    comment: event-driven walk, chrome/script suppression).
+
+    Scale shape: map-only over Arrow batches; one page per row."""
+    payloads = spark.table("documents").select("doc_id", "text")
+    return payloads.mapInPandas(_html_batches, schema=HTML_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _html_extract_oracle() -> str:
+    """Source-column replay: the extraction must recover EXACTLY the
+    text column (none of the deterministic chrome/script junk), the
+    block count is the paragraph-slice formula, and the title is the
+    closed-form 'doc {id}'."""
+    return f"""
+SELECT doc_id,
+       cast((length(text) + {HTML_PARA_CHARS - 1}) // {HTML_PARA_CHARS}
+            AS INTEGER) AS n_blocks,
+       cast(length(text) AS BIGINT) AS n_chars,
+       md5('doc ' || doc_id::VARCHAR) AS title_md5,
+       md5(text) AS text_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "multimodal_binary_features": {
@@ -2935,5 +3131,9 @@ def registry() -> dict[str, dict]:
         "multimodal_docx_extract_text": {
             "fn": docx_extract_text,
             "oracle": _docx_extract_oracle(),
+        },
+        "multimodal_html_extract_text": {
+            "fn": html_extract_text,
+            "oracle": _html_extract_oracle(),
         },
     }

@@ -2940,3 +2940,63 @@ def test_docx_extract_matches_duckdb_oracle(spark, tables, sf_dir, duck):
         docx_extract_text(spark, sf_dir), duck, _docx_extract_oracle()
     )
     assert ok, diag
+
+
+# --- HTML main-text extraction ------------------------------------------------
+
+
+def test_html_known_vector_independent_construction():
+    """Hand-written page with the traps: misnested tags, entities,
+    nested blocks, chrome regions wrapping real-looking text, scripts
+    containing markup-like strings — none of the chrome may leak."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _parse_html,
+    )
+
+    html = (
+        "<html><head><title>T &amp; t</title>"
+        "<style>p { color: red } /* <p>fake</p> */</style></head><body>"
+        "<nav><p>navigation text must vanish</p></nav>"
+        "<header><div>masthead gone too</div></header>"
+        "<main><p>first &lt;block&gt;</p>"
+        "<div>outer <p>inner block</p> tail</div>"
+        "<p>unclosed paragraph"
+        "<script>document.write('<p>ghost</p>');</script>"
+        "</main>"
+        "<footer><p>legal boilerplate out</p></footer>"
+        "</body></html>"
+    )
+    title, blocks = _parse_html(html)
+    assert title == "T & t"
+    assert blocks == [
+        "first <block>",
+        "outer ",
+        "inner block",
+        " tail",
+        "unclosed paragraph",
+    ]
+
+
+def test_html_extractor_total_on_garbage():
+    """html.parser is forgiving by design: any string returns a
+    (title, blocks) pair, never an exception."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _parse_html,
+    )
+
+    for s in ["", "<<<>>>", "<p", "&#xZZ;", "</nav></nav><p>x", "\x00<p>y</p>"]:
+        title, blocks = _parse_html(s)
+        assert isinstance(title, str) and isinstance(blocks, list)
+
+
+def test_html_extract_matches_duckdb_oracle(spark, tables, sf_dir, duck):
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _html_extract_oracle,
+        html_extract_text,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    ok, diag = compare(
+        html_extract_text(spark, sf_dir), duck, _html_extract_oracle()
+    )
+    assert ok, diag

@@ -589,3 +589,26 @@ def test_docx_roundtrip_any_text(text):
 
     paras, _ = _parse_docx(_build_docx(text))
     assert "".join(paras) == text
+
+
+@given(
+    doc_id=st.integers(0, 10_000),
+    text=st.text(
+        st.characters(codec="utf-8", exclude_categories=("Cc", "Cs")),
+        min_size=1,
+        max_size=300,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_html_roundtrip_any_text(doc_id, text):
+    """Build -> extract recovers exactly the content text (entity
+    escaping inverted, zero chrome/script leakage) for any printable
+    unicode payload."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_html,
+        _parse_html,
+    )
+
+    title, blocks = _parse_html(_build_html(doc_id, text))
+    assert title == f"doc {doc_id}"
+    assert "".join(blocks) == text
