@@ -41,7 +41,7 @@ def _configure(spark: SparkSession) -> None:
 # both 50/50 green); r08 is the close-out window (the 10 r08-built
 # ES-DSL entries + 2 changed-kernel re-checks + the rest of the
 # never-checked backlog: 4 freeze-exit registrations, 2 more r08-built
-# operators, the final 6, TIFF/DOCX/HTML decode + 23 oldest-r03 re-rotation slots).
+# operators, the final 6, TIFF/DOCX/HTML/XLSX decode + 22 oldest-r03 re-rotation slots).
 # Everything out of window keeps regression coverage via the in-repo
 # sf0.01 differential gate (tests/test_oracle_queries.py) and the
 # recorded sf0.1 spot differentials (SCALE.md).

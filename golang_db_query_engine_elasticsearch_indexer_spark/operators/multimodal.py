@@ -3076,6 +3076,240 @@ ORDER BY doc_id
 """
 
 
+# --- real spreadsheet decode: XLSX cell extraction ---------------------------
+#
+# Completes the office trio (PDF, DOCX, XLSX). The format's one real
+# quirk is the SHARED-STRINGS indirection: string cells don't carry
+# text — they carry an INDEX into xl/sharedStrings.xml, where repeated
+# strings appear once. The reader walks the real structure: ZIP
+# container, [Content_Types] presence, sharedStrings table parse
+# (si/t, in order), worksheet walk (sheetData/row/c), per-cell type
+# dispatch (t="s" resolves through the table, no t / t="n" parses the
+# numeric v), and in-document-order reassembly. The encoder builds a
+# REAL deduplicated string table (repeated slices share one index), so
+# a reader that ignored the indirection or the dedup could not
+# reproduce the source text AND the distinct-string count together.
+#
+# Fixture discipline matches PDF/DOCX/HTML: string cells are
+# XLSX_CELL_CHARS slices of the documents text column (XLSX_COLS
+# string cells per row plus one numeric cell (7 * row_idx) % 100), so
+# the DuckDB oracle replays everything from the source column — text
+# md5, row count, the DISTINCT shared-string count, and the numeric
+# column's closed-form sum — with zero XML/ZIP parsing.
+
+XLSX_CELL_CHARS = 40
+XLSX_COLS = 3  # string cells per row
+
+XLSX_SCHEMA = (
+    "doc_id long, n_rows int, n_shared int, n_chars long, "
+    "num_sum long, text_md5 string"
+)
+
+_SML_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+_XLSX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+    "</Types>"
+)
+
+
+def _xlsx_col_letter(idx: int) -> str:
+    """0-based column index -> A1-notation letters."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _build_xlsx(text: str) -> bytes:
+    """A genuine minimal XLSX: the text slices into XLSX_CELL_CHARS
+    string cells (XLSX_COLS per row + one numeric cell), strings go
+    through a DEDUPLICATED sharedStrings table exactly as real writers
+    emit it."""
+    import io  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+
+    if not text:
+        raise ValueError("XLSX builder: empty document text")
+    slices = [
+        text[i : i + XLSX_CELL_CHARS]
+        for i in range(0, len(text), XLSX_CELL_CHARS)
+    ]
+    table: dict[str, int] = {}
+    for sl in slices:
+        table.setdefault(sl, len(table))
+    rows_xml = []
+    for r0 in range(0, len(slices), XLSX_COLS):
+        row_idx = r0 // XLSX_COLS
+        cells = []
+        for c0, sl in enumerate(slices[r0 : r0 + XLSX_COLS]):
+            ref = f"{_xlsx_col_letter(c0)}{row_idx + 1}"
+            cells.append(f'<c r="{ref}" t="s"><v>{table[sl]}</v></c>')
+        nref = f"{_xlsx_col_letter(XLSX_COLS)}{row_idx + 1}"
+        cells.append(f'<c r="{nref}"><v>{(7 * row_idx) % 100}</v></c>')
+        rows_xml.append(f'<row r="{row_idx + 1}">{"".join(cells)}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_SML_NS}"><sheetData>'
+        + "".join(rows_xml)
+        + "</sheetData></worksheet>"
+    )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{_SML_NS}" count="{len(slices)}" '
+        f'uniqueCount="{len(table)}">'
+        + "".join(
+            f'<si><t xml:space="preserve">{_docx_xml_escape(sl)}</t></si>'
+            for sl in table
+        )
+        + "</sst>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def _parse_xlsx(b) -> tuple[list[list], int]:
+    """A REAL XLSX reader: container, shared-strings table, worksheet
+    walk, per-cell type dispatch (t='s' -> table lookup, default ->
+    float). Returns (rows of python values, distinct shared strings)."""
+    import io  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+    from xml.etree import ElementTree  # noqa: PLC0415
+
+    try:
+        z = zipfile.ZipFile(io.BytesIO(bytes(b)))
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"XLSX: not a ZIP container: {exc}") from exc
+    names = set(z.namelist())
+    if "[Content_Types].xml" not in names:
+        raise ValueError("XLSX: missing [Content_Types].xml")
+    if "xl/worksheets/sheet1.xml" not in names:
+        raise ValueError("XLSX: missing worksheet part")
+
+    def parse(part: str):
+        try:
+            return ElementTree.fromstring(z.read(part))
+        except ElementTree.ParseError as exc:
+            raise ValueError(f"XLSX: broken XML in {part}: {exc}") from exc
+
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        sst = parse("xl/sharedStrings.xml")
+        if sst.tag != f"{{{_SML_NS}}}sst":
+            raise ValueError("XLSX: sharedStrings root is not sst")
+        for si in sst.iter(f"{{{_SML_NS}}}si"):
+            shared.append(
+                "".join(t.text or "" for t in si.iter(f"{{{_SML_NS}}}t"))
+            )
+    ws = parse("xl/worksheets/sheet1.xml")
+    if ws.tag != f"{{{_SML_NS}}}worksheet":
+        raise ValueError("XLSX: worksheet root is not worksheet")
+    rows: list[list] = []
+    for row in ws.iter(f"{{{_SML_NS}}}row"):
+        vals: list = []
+        for c in row.iter(f"{{{_SML_NS}}}c"):
+            v = c.find(f"{{{_SML_NS}}}v")
+            raw = v.text if v is not None and v.text is not None else ""
+            ctype = c.get("t", "n")
+            if ctype == "s":
+                idx = int(raw)
+                if not 0 <= idx < len(shared):
+                    raise ValueError(
+                        f"XLSX: shared-string index {idx} out of range"
+                    )
+                vals.append(shared[idx])
+            elif ctype == "n":
+                vals.append(float(raw) if raw else 0.0)
+            else:
+                raise ValueError(f"XLSX: unsupported cell type {ctype!r}")
+        rows.append(vals)
+    return rows, len(shared)
+
+
+def _xlsx_batches(batches):
+    import hashlib  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    def stats(doc_id: int, text: str):
+        rows, n_shared = _parse_xlsx(_build_xlsx(text))
+        strings: list[str] = []
+        num_sum = 0
+        for vals in rows:
+            for v in vals:
+                if isinstance(v, str):
+                    strings.append(v)
+                else:
+                    num_sum += int(v)
+        joined = "".join(strings)
+        return (
+            int(doc_id),
+            len(rows),
+            n_shared,
+            len(joined),
+            num_sum,
+            hashlib.md5(joined.encode()).hexdigest(),
+        )
+
+    for pdf in batches:
+        rows = [stats(d, t) for d, t in zip(pdf["doc_id"], pdf["text"])]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_rows", "n_shared", "n_chars", "num_sum",
+                "text_md5",
+            ],
+        )
+
+
+def xlsx_extract_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX -> cells through the multimodal path (real container +
+    shared-strings indirection; see the section comment).
+
+    Scale shape: map-only over Arrow batches; one workbook per row."""
+    payloads = spark.table("documents").select("doc_id", "text")
+    return payloads.mapInPandas(_xlsx_batches, schema=XLSX_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+def _xlsx_extract_oracle() -> str:
+    """Source-column replay: row count and numeric sum from closed
+    forms, the DISTINCT shared-string count from the slice stream, and
+    the text md5 from the column itself."""
+    ncells = f"(length(text) + {XLSX_CELL_CHARS - 1}) // {XLSX_CELL_CHARS}"
+    return f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n_chars, {ncells} AS ncells,
+         ({ncells} + {XLSX_COLS - 1}) // {XLSX_COLS} AS n_rows
+  FROM documents
+)
+SELECT doc_id,
+       cast(n_rows AS INTEGER) AS n_rows,
+       cast(len(list_distinct(list_transform(range(0, ncells),
+             i -> substring(text, cast(i * {XLSX_CELL_CHARS} + 1 AS INTEGER),
+                            {XLSX_CELL_CHARS})))) AS INTEGER) AS n_shared,
+       cast(n_chars AS BIGINT) AS n_chars,
+       cast(list_sum(list_transform(range(0, n_rows),
+             r -> (7 * r) % 100)) AS BIGINT) AS num_sum,
+       md5(text) AS text_md5
+FROM d
+ORDER BY doc_id
+"""
+
+
 def registry() -> dict[str, dict]:
     return {
         "multimodal_binary_features": {
@@ -3135,5 +3369,9 @@ def registry() -> dict[str, dict]:
         "multimodal_html_extract_text": {
             "fn": html_extract_text,
             "oracle": _html_extract_oracle(),
+        },
+        "multimodal_xlsx_extract_cells": {
+            "fn": xlsx_extract_cells,
+            "oracle": _xlsx_extract_oracle(),
         },
     }

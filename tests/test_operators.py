@@ -3000,3 +3000,116 @@ def test_html_extract_matches_duckdb_oracle(spark, tables, sf_dir, duck):
         html_extract_text(spark, sf_dir), duck, _html_extract_oracle()
     )
     assert ok, diag
+
+
+# --- XLSX cell extraction (shared-strings indirection) ------------------------
+
+
+def test_xlsx_known_vector_independent_construction():
+    """Hand-built workbook: out-of-order shared-string indices (cells
+    must resolve through the table, not document order), a rich-text
+    si with multiple t runs, numeric and empty cells."""
+    import io
+    import zipfile
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _SML_NS,
+        _XLSX_CONTENT_TYPES,
+        _parse_xlsx,
+    )
+
+    sst = (
+        f'<sst xmlns="{_SML_NS}" count="3" uniqueCount="3">'
+        "<si><t>zeroth</t></si>"
+        "<si><r><t>ri</t></r><r><t>ch</t></r></si>"
+        '<si><t xml:space="preserve"> spaced </t></si></sst>'
+    )
+    sheet = (
+        f'<worksheet xmlns="{_SML_NS}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>2</v></c>'
+        '<c r="B1"><v>41.5</v></c>'
+        '<c r="C1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2"><v></v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", _XLSX_CONTENT_TYPES)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    rows, n_shared = _parse_xlsx(buf.getvalue())
+    assert n_shared == 3
+    assert rows == [[" spaced ", 41.5, "zeroth"], ["rich", 0.0]]
+
+
+def test_xlsx_shared_strings_actually_dedupe():
+    """Repeated cell content must share one table entry — the format's
+    defining indirection, proven end-to-end: 5 equal slices, 1 shared
+    string, text still reconstructs."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        XLSX_CELL_CHARS,
+        _build_xlsx,
+        _parse_xlsx,
+    )
+
+    t = "a" * (XLSX_CELL_CHARS * 5)
+    rows, n_shared = _parse_xlsx(_build_xlsx(t))
+    assert n_shared == 1
+    assert "".join(v for r in rows for v in r if isinstance(v, str)) == t
+
+
+def test_xlsx_rejects_malformed():
+    import io
+    import zipfile
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _SML_NS,
+        _XLSX_CONTENT_TYPES,
+        _parse_xlsx,
+    )
+
+    def zip_with(parts):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for name, data in parts.items():
+                z.writestr(name, data)
+        return buf.getvalue()
+
+    with pytest.raises(ValueError, match="not a ZIP"):
+        _parse_xlsx(b"nope")
+    with pytest.raises(ValueError, match="missing worksheet"):
+        _parse_xlsx(zip_with({"[Content_Types].xml": _XLSX_CONTENT_TYPES}))
+    base = {
+        "[Content_Types].xml": _XLSX_CONTENT_TYPES,
+        "xl/sharedStrings.xml": f'<sst xmlns="{_SML_NS}"><si><t>x</t></si></sst>',
+    }
+    with pytest.raises(ValueError, match="index 7 out of range"):
+        _parse_xlsx(zip_with(dict(base, **{
+            "xl/worksheets/sheet1.xml":
+                f'<worksheet xmlns="{_SML_NS}"><sheetData>'
+                '<row><c t="s"><v>7</v></c></row></sheetData></worksheet>',
+        })))
+    with pytest.raises(ValueError, match="unsupported cell type"):
+        _parse_xlsx(zip_with(dict(base, **{
+            "xl/worksheets/sheet1.xml":
+                f'<worksheet xmlns="{_SML_NS}"><sheetData>'
+                '<row><c t="inlineStr"><v>0</v></c></row></sheetData>'
+                "</worksheet>",
+        })))
+    with pytest.raises(ValueError, match="broken XML"):
+        _parse_xlsx(zip_with(dict(base, **{
+            "xl/worksheets/sheet1.xml": "<worksheet><unclosed",
+        })))
+
+
+def test_xlsx_extract_matches_duckdb_oracle(spark, tables, sf_dir, duck):
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _xlsx_extract_oracle,
+        xlsx_extract_cells,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    ok, diag = compare(
+        xlsx_extract_cells(spark, sf_dir), duck, _xlsx_extract_oracle()
+    )
+    assert ok, diag

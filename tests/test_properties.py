@@ -612,3 +612,22 @@ def test_html_roundtrip_any_text(doc_id, text):
     title, blocks = _parse_html(_build_html(doc_id, text))
     assert title == f"doc {doc_id}"
     assert "".join(blocks) == text
+
+
+@given(text=st.text(
+    st.characters(codec="utf-8", exclude_categories=("Cc", "Cs"),
+                  include_characters="\t\n"),
+    min_size=1,
+    max_size=300,
+))
+@settings(max_examples=60, deadline=None)
+def test_xlsx_roundtrip_any_text(text):
+    """Build -> parse recovers the text through the shared-strings
+    indirection for any XML-representable payload."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_xlsx,
+        _parse_xlsx,
+    )
+
+    rows, _ = _parse_xlsx(_build_xlsx(text))
+    assert "".join(v for r in rows for v in r if isinstance(v, str)) == text

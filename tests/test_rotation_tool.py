@@ -178,7 +178,7 @@ def test_live_table_consistency():
     # freeze-exit net-new), nothing stays unscheduled
     never = {n for n, (last, _, _) in r.ROTATION.items() if last is None}
     assert never <= set(r.CURRENT_WINDOW)
-    assert len(never) == 25
+    assert len(never) == 26
 
 
 def test_docstring_window_recount_matches_correctness_files():
