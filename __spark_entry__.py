@@ -37,11 +37,11 @@ def _configure(spark: SparkSession) -> None:
 # (VERDICT r05 asks #1/#6): net-new and changed-kernel entries first,
 # then the never-driver-checked backlog by divergence risk, then
 # re-rotation of the oldest driver evidence. The backlog cleared on
-# schedule (r06: 49 first-time + 1 re-check; r07: the remaining 50 —
-# both 50/50 green); r08 is the close-out window (the 10 r08-built
-# ES-DSL entries + 2 changed-kernel re-checks + the rest of the
-# never-checked backlog: 4 freeze-exit registrations, 2 more r08-built
-# operators, the final 6, TIFF/DOCX/HTML/XLSX decode + 22 oldest-r03 re-rotation slots).
+# schedule (r06: 49 first-time + 1 re-check; r07: the remaining 50;
+# r08: the close-out — all 50/50 green, cumulative coverage 264/264).
+# From r09 the table is in steady-state re-rotation: net-new
+# registrations lead, then the oldest evidence first (r09 = the
+# 21-entry r03 tail + the oldest r04 cohort).
 # Everything out of window keeps regression coverage via the in-repo
 # sf0.01 differential gate (tests/test_oracle_queries.py) and the
 # recorded sf0.1 spot differentials (SCALE.md).

@@ -167,18 +167,17 @@ def test_live_table_consistency():
 
     assert len(r.CURRENT_WINDOW) == 50
     assert len(set(r.CURRENT_WINDOW)) == 50
-    current = {n for n, (_, _, w) in r.ROTATION.items() if w == "r08"}
+    current = {n for n, (_, _, w) in r.ROTATION.items() if w == "r09"}
     assert set(r.CURRENT_WINDOW) == current
     # every scheduled window is a known label; windows are bounded
     for name, (_last, risk, win) in r.ROTATION.items():
-        assert win in (None, "r08", "r09", "r10"), (name, win)
+        assert win in (None, "r09", "r10", "r11"), (name, win)
         assert risk, name
-    # the close-out accounting holds: EVERY never-driver-checked entry
-    # is in the r08 window (backlog fully clears — 6 carried + 4
-    # freeze-exit net-new), nothing stays unscheduled
+    # steady-state: the never-checked backlog cleared in r08, so every
+    # entry without evidence must be a THIS-round registration and must
+    # hold a window slot (net-new front-schedules the round it lands)
     never = {n for n, (last, _, _) in r.ROTATION.items() if last is None}
     assert never <= set(r.CURRENT_WINDOW)
-    assert len(never) == 26
 
 
 def test_docstring_window_recount_matches_correctness_files():
@@ -253,85 +252,144 @@ _FINAL6 = [
 _CHANGED_R08 = ["ann_ivf_recall_eval", "ann_ivf_topk"]
 
 
+def _capped_evidence(repo: str, through_round: int) -> dict[str, int]:
+    """Driver-green evidence from an EXPLICIT file list capped at
+    ``through_round`` — never a live glob. A live glob made the r08
+    window test time-dependent: the driver landing CORRECTNESS_r08.json
+    flipped an assertion about the pre-driver state (VERDICT r08
+    "What's wrong" #1). Window tests for round N must read exactly
+    CORRECTNESS_r01..r0{N-1}."""
+    return roll._evidence(
+        [
+            os.path.join(repo, f"CORRECTNESS_r{i:02d}.json")
+            for i in range(1, through_round)
+            if os.path.exists(os.path.join(repo, f"CORRECTNESS_r{i:02d}.json"))
+        ]
+    )
+
+
 def test_r08_window_matches_executed_roll():
-    """The committed r08 window honors every scheduling obligation —
-    asserted on the live tables against evidence RECOMPUTED from the
-    CORRECTNESS files, not trusted from the table. (The window was
-    built by several mid-round roller runs as entries registered, so
-    the binding contract is set-level: the driver hash-checks the
-    FIRST 50 of queries() as a set.)"""
+    """The EXECUTED r08 window (read from CORRECTNESS_r08.json — the
+    live table has rolled on) honored every scheduling obligation,
+    asserted against evidence capped at r01..r07. Boundary-proof by
+    construction: every input is a committed historical file."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r08 = json.load(open(os.path.join(repo, "CORRECTNESS_r08.json")))
+    w = list(r08)
+    assert len(w) == 50 and len(set(w)) == 50
+    ev = _capped_evidence(repo, 8)
+    # the entry universe as of r08: everything ever driver-checked
+    # through r08 (cumulative coverage hit 264/264 that round)
+    universe = set(ev)
+    for i in range(1, 9):
+        universe |= set(json.load(open(
+            os.path.join(repo, f"CORRECTNESS_r{i:02d}.json"))))
+    assert len(universe) == 264
+    # (1) the close-out promise: EVERY entry without green evidence
+    # through r07 (never-checked or previously-failed) got an r08 slot
+    backlog = {n for n in universe if not ev.get(n)}
+    assert backlog <= set(w)
+    # (2) the changed-kernel re-checks held window slots
+    assert set(_CHANGED_R08) <= set(w)
+    # (3) the final-6 r07 backlog promise was honored — all six held
+    # slots. (agg_approx_sketches is not in the recomputed backlog: its
+    # r03 rows-only row counts as evidence under the documented
+    # no_oracle success shape, but r08 scheduled it as never-checked
+    # under the pre-fix policy reading, so it sits in `taken` too.)
+    assert set(_FINAL6) <= set(w)
+    # (4) re-rotation slots were EXACTLY the oldest evidence first
+    taken = backlog | set(_CHANGED_R08) | set(_FINAL6)
+    refill = {n for n in w if n not in taken}
+    pool = sorted((n for n in ev if n not in taken), key=lambda n: (ev[n], n))
+    assert refill == set(pool[: len(refill)])
+    assert all(ev[n] == 3 for n in refill)
+    # (5) and every executed row succeeded (48 hash-green + the 2
+    # documented rows-only shapes)
+    for name, rec in r08.items():
+        ok = rec.get("hash_match") or (
+            rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
+        )
+        assert ok, (name, rec)
+
+
+def test_r09_window_matches_executed_roll():
+    """The committed r09 window honors the steady-state policy against
+    evidence capped at r01..r08 (explicit list, never a live glob —
+    this test stays green when the driver lands CORRECTNESS_r09.json).
+    Set-level, matching the driver's first-50 contract: net-new r09
+    registrations lead, then pure oldest-evidence re-rotation."""
     repo = os.path.join(os.path.dirname(__file__), "..")
     sys.path.insert(0, repo)
     import __spark_entry__ as entry
     from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
 
-    ev = roll._evidence(
-        sorted(
-            os.path.join(repo, f)
-            for f in os.listdir(repo)
-            if f.startswith("CORRECTNESS_r") and f.endswith(".json")
-        )
-    )
+    ev = _capped_evidence(repo, 9)
+    names = list(entry.queries())
     w = list(r.CURRENT_WINDOW)
     assert len(w) == 50 and len(set(w)) == 50
     # (1) the window IS the driver's first-50 slice of queries()
-    assert list(entry.queries())[:50] == w
-    # (2) every never-driver-checked entry is in the window: the
-    # backlog fully clears this round (incl. all r08-built net-new)
-    never = {n for n, (last, _, _) in r.ROTATION.items() if last is None}
-    assert never <= set(w)
-    for n in never:
-        assert not ev.get(n), n
-    # (3) the changed-kernel re-checks hold window slots
-    assert set(_CHANGED_R08) <= set(w)
-    # (4) the final-6 r07 backlog promise is honored
-    assert set(_FINAL6) <= never
-    # (5) re-rotation slots are EXACTLY the oldest evidence first:
-    # whatever the window spends beyond never+changed goes to the
-    # front of the (round, name)-sorted pool, in pool order
-    taken = never | set(_CHANGED_R08)
-    refill = [n for n in w if n not in taken]
-    pool = sorted(
-        (n for n in ev if n in r.ROTATION and n not in taken),
-        key=lambda n: (ev[n], n),
-    )
-    assert refill == pool[: len(refill)]
-    assert all(ev[n] == 3 for n in refill)
-    # (6) the r03 tail that did not fit is exactly the next slice and
-    # re-rotates in r09 (see test_r09_roll_preview)
-    tail = pool[len(refill) : len(refill) + 50]
-    assert all(ev[n] == 3 for n in tail if ev[n] == 3) and tail
+    assert names[:50] == w
+    # (2) the r08 close-out held: the only entries without capped
+    # evidence are this round's registrations, and they all lead
+    net_new = [n for n in names if not ev.get(n)]
+    assert set(w[: len(net_new)]) == set(net_new)
+    # (3) the remaining slots are pure re-rotation, oldest first
+    pool = sorted((n for n in names if ev.get(n)), key=lambda n: (ev[n], n))
+    assert set(w[len(net_new):]) == set(pool[: 50 - len(net_new)])
 
 
-def test_r09_roll_preview():
-    """Simulate the next roll under the expected outcome (the full r08
-    window goes green): no backlog remains, so r09 is pure re-rotation
-    — the leftover r03 tail first (oldest evidence), then the r04
-    cohort by name."""
+def test_r10_roll_preview():
+    """Simulate the next roll under the expected outcome (the full r09
+    window goes green): re-rotation continues with the oldest evidence
+    — the r04 tail first, then the r05 cohort by (round, name)."""
     repo = os.path.join(os.path.dirname(__file__), "..")
     sys.path.insert(0, repo)
     from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
 
     ev = {n: last for n, (last, _, _) in r.ROTATION.items() if last}
-    ev.update({n: 8 for n in r.CURRENT_WINDOW})
+    ev.update({n: 9 for n in r.CURRENT_WINDOW})
     names = list(r.ROTATION)
     window, rest, failed, net_new = roll.compute_schedule(
-        names, r.ROTATION, ev, "r09"
+        names, r.ROTATION, ev, "r10"
     )
     assert failed == [] and net_new == [] and rest == []
     assert len(window) == 50
-    r03_tail = sorted(
-        n for n, (last, _, win) in r.ROTATION.items()
-        if last == 3 and win is None
-    )
-    assert window[: len(r03_tail)] == r03_tail
-    r04 = sorted(n for n, (last, _, _) in r.ROTATION.items() if last == 4)
-    assert window[len(r03_tail):] == r04[: 50 - len(r03_tail)]
-    # and a failed r08 entry would displace a re-rotation slot, not hide
+    expected = sorted(
+        (n for n in names if ev[n] < 9), key=lambda n: (ev[n], n)
+    )[:50]
+    assert window == expected
+    # and a failed r09 entry would displace a re-rotation slot, not hide
     ev_fail = dict(ev)
     del ev_fail[r.CURRENT_WINDOW[0]]
     window_f, _, failed_f, _ = roll.compute_schedule(
-        names, r.ROTATION, ev_fail, "r09"
+        names, r.ROTATION, ev_fail, "r10"
     )
     assert failed_f == [r.CURRENT_WINDOW[0]]
     assert window_f[0] == r.CURRENT_WINDOW[0]
+
+
+def test_evidence_reader_credits_rows_only_shape(tmp_path):
+    """The ROWS-ONLY success shape (err == "no_oracle", spark_rows > 0
+    — rotation.py policy docstring) is driver-green evidence; without
+    this the two oracle-less entries would be rescheduled as 'failed'
+    every round forever. Zero rows or a real err stays non-green."""
+    f = tmp_path / "CORRECTNESS_r08.json"
+    f.write_text(
+        json.dumps(
+            {
+                "rows_only_ok": {
+                    "rows_match": None, "hash_match": None,
+                    "spark_rows": 3, "err": "no_oracle",
+                },
+                "rows_only_empty": {
+                    "rows_match": None, "hash_match": None,
+                    "spark_rows": 0, "err": "no_oracle",
+                },
+                "real_error": {
+                    "rows_match": None, "hash_match": None,
+                    "spark_rows": 3, "err": "boom",
+                },
+            }
+        )
+    )
+    assert roll._evidence([str(f)]) == {"rows_only_ok": 8}

@@ -48,8 +48,17 @@ def _evidence(paths: list[str] | None = None) -> dict[str, int]:
             continue
         rnd = int(m.group(1))
         for name, rec in json.load(open(f)).items():
-            good = rec.get("hash_match") or (
-                rec.get("rows_match") and rec.get("err") is None
+            # Success shapes (rotation.py policy docstring): a hash-green
+            # row; a rows-green row with no error; or the ROWS-ONLY shape
+            # err == "no_oracle" with spark_rows > 0 — the harness's
+            # notation for "no oracle supplied", not a failure.
+            good = (
+                rec.get("hash_match")
+                or (rec.get("rows_match") and rec.get("err") is None)
+                or (
+                    rec.get("err") == "no_oracle"
+                    and (rec.get("spark_rows") or 0) > 0
+                )
             )
             if good:
                 ev[name] = max(ev.get(name, 0), rnd)
