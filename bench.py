@@ -82,6 +82,12 @@ HEADLINE = [
     # registration (VERDICT r06 ask #7 / r07 ask #7 — the one planned
     # addition; the rest of the set stays frozen at the r06/r07 list)
     "multimodal_decode_png",
+    # r09: one ES-DSL entry tracks the flagship query-DSL surface
+    # (VERDICT r08 ask #5 — the one planned addition this round): a
+    # BM25-scored match is the ES default search experience, and its
+    # cost profile (tokenize + tf/df aggs + stats broadcast) is the
+    # DSL's heaviest compiled shape.
+    "es_dsl_match_scored",
 ]
 
 

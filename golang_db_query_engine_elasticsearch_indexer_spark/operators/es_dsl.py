@@ -7,10 +7,12 @@ module closes that loop natively: the SAME JSON body a reference user
 sends to `POST /index/_search` compiles to a Catalyst plan over the
 engine's tables — query context (bool/term/terms/range/match/
 match_phrase/prefix/wildcard/exists/ids, ES minimum_should_match
-defaults), `_source`/`sort`/`size`/`from`, and a single-level
-aggregation context (terms / date_histogram / histogram / disjoint
-range buckets, with avg/sum/min/max/value_count/cardinality/stats
-sub-metrics).
+defaults; bare match/multi_match = BM25-scored hits),
+`_source`/`sort`/`size`/`from`, and an aggregation context up to
+three bucket levels (terms / date_histogram / histogram / disjoint
+range / significant_terms / filters / composite-with-after, with
+avg/sum/min/max/value_count/cardinality/stats sub-metrics,
+cumulative_sum/derivative pipeline aggs, and top_hits).
 
 Design:
 
@@ -26,9 +28,16 @@ Design:
   (lowercase, whitespace split — functions.TOKENS). `match` analyzes
   its query string at COMPILE time (Python) with the same rule and
   tests token membership; `match_phrase` tests adjacency on the
-  space-joined token stream. Scoring is out of scope here (filter
-  context); relevance ranking lives in operators/search.py (BM25 et
-  al.), exactly how ES splits query vs filter context.
+  space-joined token stream.
+- Query vs filter context, the ES split: a TOP-LEVEL bare `match` /
+  `multi_match` with no explicit `sort` is QUERY CONTEXT — it compiles
+  to a BM25-scored (`operators/search.py` formula, same K1/B),
+  `_score`-ordered hit list, which is how ES users experience
+  `_search` by default. Everything else (bool trees, any clause with
+  an explicit sort, agg filters) is FILTER CONTEXT: membership only,
+  no score. Scoring inside arbitrary bool trees is intentionally
+  unsupported (a loud ValueError via the normal clause path), never a
+  silent constant score.
 - Determinism discipline: every search gets a trailing id tiebreak,
   every double metric is round()-ed, terms buckets order by
   (doc_count DESC, key) — so LIMIT windows and hashes are total and
@@ -67,8 +76,6 @@ def _tokens_expr(field: str, dialect: str) -> str:
 
 # --- literal rendering -------------------------------------------------------
 
-_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d+)?)?$")
-
 
 def _lit(v, dialect: str) -> str:
     if isinstance(v, bool):
@@ -76,8 +83,13 @@ def _lit(v, dialect: str) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, str):
-        if _TS_RE.match(v):  # ES date math is out of scope; ISO only
-            return "TIMESTAMP '" + v.replace("T", " ") + "'"
+        # Strings stay plain string literals — INCLUDING date-shaped
+        # ones. Both engines coerce a string literal to the column's
+        # temporal type in comparisons (verified: identical counts and
+        # parquet pushdown either way), while a forced TIMESTAMP
+        # literal against a STRING column holding date-shaped text
+        # (ids, versions) silently compiled to the wrong comparison
+        # (ADVICE r08 finding #2). ES date math is still out of scope.
         return "'" + v.replace("'", "''") + "'"
     raise ValueError(f"es_dsl: unsupported literal {v!r}")
 
@@ -226,6 +238,152 @@ def _bool_expr(body: dict, dialect: str, id_field: str) -> str:
     return "(" + " AND ".join(parts) + ")"
 
 
+# --- query context: BM25 relevance scoring -----------------------------------
+#
+# The same Okapi BM25 the engine's search operators use
+# (operators/search.py:38 — Lucene-style non-negative idf, shared
+# K1/B), emitted in both dialects. Scores round to 4 dp BEFORE the
+# rank order (libm ln drift discipline) and every ordering carries the
+# id tiebreak, so the hit permutation is total and cross-engine stable.
+
+_BM25_K1 = 1.2  # = search.K1 (pinned by test_scored_constants_match_search)
+_BM25_B = 0.75  # = search.B
+
+
+def _bm25_field_ctes(
+    index: str, field: str, terms: list[str], p: str, dialect: str,
+    id_field: str,
+) -> str:
+    """CTE chain scoring ONE analyzed field: `{p}_bm(_id, s)` holds the
+    per-doc BM25 over ``terms``. Corpus stats (N, avgdl) are per field,
+    as in Lucene.
+
+    Scale shape: the token array is filter()-ed to query terms before
+    the explode (spark dialect), so non-query tokens never materialize
+    rows; tf/df are two partial-aggregatable GROUP BYs; df and stats
+    are vocabulary-/constant-sized relations joined back onto the tf
+    stream (AQE broadcasts them)."""
+    arr = ", ".join(_lit(t, dialect) for t in terms)
+    te = _tokens_expr(field, dialect)
+    if dialect == "spark":
+        inner = (
+            f"SELECT _id, size(toks) AS dl,\n"
+            f"           explode(filter(toks, x -> x IN ({arr}))) AS w\n"
+            f"    FROM {p}_toks"
+        )
+        tf_where = ""
+        ln = "size"
+    else:
+        inner = (
+            f"SELECT _id, len(toks) AS dl, unnest(toks) AS w\n"
+            f"    FROM {p}_toks"
+        )
+        tf_where = f"\n  WHERE w IN ({arr})"
+        ln = "len"
+    k1, b = _BM25_K1, _BM25_B
+    return f"""{p}_toks AS (
+  SELECT {id_field} AS _id, {te} AS toks FROM {_ident(index)}
+),
+{p}_stats AS (
+  SELECT count(*) AS n_docs, avg({ln}(toks)) AS avgdl FROM {p}_toks
+),
+{p}_tf AS (
+  SELECT _id, w, count(*) AS tf, max(dl) AS dl
+  FROM ({inner}){tf_where}
+  GROUP BY _id, w
+),
+{p}_df AS (
+  SELECT w, count(*) AS df FROM {p}_tf GROUP BY w
+),
+{p}_bm AS (
+  SELECT _id,
+         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * tf * ({k1} + 1)
+             / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))) AS s
+  FROM {p}_tf JOIN {p}_df USING (w) CROSS JOIN {p}_stats
+  GROUP BY _id
+)"""
+
+
+def _compile_scored(
+    index: str, body: dict, dialect: str, id_field: str
+) -> str:
+    """Top-level `match` / `multi_match` with no explicit sort: BM25
+    query context. `multi_match` combines per-field scores by its ES
+    `type` — best_fields = max over fields (the default), most_fields
+    = sum. Hits are docs scoring on >= 1 term; `_source`/`size`/`from`
+    apply as usual; `_score` is always appended."""
+    # an EMPTY sort list routes here (ES: [] = default _score order),
+    # so tolerate the key; any non-empty sort took the filter-context
+    # path before this function was reached
+    extra = set(body) - {"query", "_source", "size", "from", "sort"}
+    if extra:
+        raise ValueError(
+            f"es_dsl: scored match combines only with _source/size/from "
+            f"(got {sorted(extra)})"
+        )
+    kind, spec = _one(body["query"], "query clause")
+    if kind == "match":
+        f, v = _one(spec, "match")
+        if isinstance(v, dict):
+            v = v["query"]
+        fields = [_ident(f)]
+        combine = "max"
+    else:
+        known = {"query", "fields", "type"}
+        bad = set(spec) - known
+        if bad:
+            raise ValueError(f"es_dsl: unsupported multi_match keys {sorted(bad)}")
+        v = spec["query"]
+        fields = [_ident(x) for x in spec["fields"]]
+        if not fields:
+            raise ValueError("es_dsl: multi_match wants >= 1 field")
+        mtype = spec.get("type", "best_fields")
+        if mtype not in ("best_fields", "most_fields"):
+            raise ValueError(f"es_dsl: unsupported multi_match type {mtype!r}")
+        combine = "max" if mtype == "best_fields" else "sum"
+    terms = _analyze(v)
+    if not terms:
+        raise ValueError("es_dsl: match with an empty query string")
+    ctes = ",\n".join(
+        _bm25_field_ctes(index, f, terms, f"f{i}", dialect, id_field)
+        for i, f in enumerate(fields)
+    )
+    union = "\n    UNION ALL ".join(
+        f"SELECT _id, s FROM f{i}_bm" for i in range(len(fields))
+    )
+    cols = body.get("_source")
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    off = f" OFFSET {offset}" if offset else ""
+    if cols:
+        select = ", ".join(f"t.{_ident(c)}" for c in cols)
+        return f"""
+WITH {ctes},
+scored AS (
+  SELECT _id, {combine}(s) AS s
+  FROM ({union}) u
+  GROUP BY _id
+)
+SELECT {select}, round(sc.s, 4) AS _score
+FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id
+ORDER BY _score DESC, t.{id_field} ASC
+LIMIT {size}{off}
+"""
+    return f"""
+WITH {ctes},
+scored AS (
+  SELECT _id, {combine}(s) AS s
+  FROM ({union}) u
+  GROUP BY _id
+)
+SELECT _id AS {id_field}, round(s, 4) AS _score
+FROM scored
+ORDER BY _score DESC, {id_field} ASC
+LIMIT {size}{off}
+"""
+
+
 # --- search compilation ------------------------------------------------------
 
 
@@ -243,8 +401,30 @@ def compile_search(
     if "knn" in body:
         return _compile_knn(index, body, dialect, id_field)
     if "aggs" in body:
+        # ES returns hits ALONGSIDE aggs; this compiler returns one
+        # relation per body, so hit-level keys combined with aggs would
+        # be silently meaningless — raise instead (ADVICE r08 finding
+        # #3). The ES "size": 0 idiom (aggs only, no hits) is the one
+        # accepted shape.
+        hit_keys = {"sort", "from", "_source", "collapse"} & set(body)
+        if hit_keys:
+            raise ValueError(
+                f"es_dsl: {sorted(hit_keys)} cannot combine with aggs "
+                "(this compiler returns agg rows only; use size: 0)"
+            )
+        if body.get("size", 0) != 0:
+            raise ValueError(
+                "es_dsl: aggs bodies must use the ES size: 0 idiom "
+                "(hit output alongside aggs is unsupported)"
+            )
         return compile_aggs(index, body, dialect, id_field)
-    where = _query_expr(body.get("query", {"match_all": {}}), dialect, id_field)
+    q = body.get("query", {"match_all": {}})
+    qkind, _ = _one(q, "query clause")
+    if qkind in ("match", "multi_match") and not body.get("sort"):
+        # ES query context: bare full-text query, no explicit sort ->
+        # BM25-scored, _score-ordered hits (the ES default experience)
+        return _compile_scored(index, body, dialect, id_field)
+    where = _query_expr(q, dialect, id_field)
     cols = body.get("_source")
     select = ", ".join(_ident(c) for c in cols) if cols else "*"
     order: list[str] = []
@@ -337,12 +517,23 @@ def _compile_knn(index: str, body: dict, dialect: str, id_field: str) -> str:
     else:
         lits = ", ".join(repr(float(x)) for x in qv)
         cos = f"list_cosine_similarity({f}::DOUBLE[], [{lits}]::DOUBLE[])"
+    # _source/size are HONORED, not ignored (ADVICE r08 finding #3):
+    # _source picks the hit columns (score always appended), size caps
+    # the returned hits at min(k, size) — ES returns k candidates
+    # through the standard size window.
+    cols = body.get("_source")
+    select = (
+        ", ".join(_ident(c) for c in cols) if cols
+        else f"{id_field} AS match_id"
+    )
+    tiebreak = id_field if cols else "match_id"
+    limit = min(k, int(body["size"])) if "size" in body else k
     return f"""
-SELECT {id_field} AS match_id, round({cos}, 6) AS score
+SELECT {select}, round({cos}, 6) AS score
 FROM {_ident(index)}
 WHERE {where}
-ORDER BY score DESC, match_id ASC
-LIMIT {k}
+ORDER BY score DESC, {tiebreak} ASC
+LIMIT {limit}
 """
 
 
@@ -388,6 +579,18 @@ def _metric_cols(name: str, kind: str, field: str, dialect: str) -> list[str]:
 
 
 _BUCKETS = {"terms", "date_histogram", "histogram", "range"}
+_PIPELINE = {"cumulative_sum", "derivative"}
+
+
+def _metric_list(sub_aggs: list[tuple[str, dict]], dialect: str) -> list[str]:
+    """SQL select-list fragments for metric sub-aggs, validated loudly."""
+    out: list[str] = []
+    for sub_name, sub_spec in sub_aggs:
+        mkind, m = _one(sub_spec, f"sub-agg {sub_name}")
+        if mkind not in _METRICS:
+            raise ValueError(f"es_dsl: unsupported sub-agg {mkind!r}")
+        out += _metric_cols(_ident(sub_name), mkind, m["field"], dialect)
+    return out
 
 
 def _bucket_key(kind: str, b: dict, dialect: str) -> tuple[str, str]:
@@ -408,7 +611,9 @@ def _bucket_key(kind: str, b: dict, dialect: str) -> tuple[str, str]:
         step = b["interval"]
         if not isinstance(step, (int, float)) or step <= 0:
             raise ValueError("es_dsl: histogram interval must be > 0")
-        e = f"round(floor({f} / {step}) * {step}, 4)"
+        # cast: Spark floor(double) is BIGINT, DuckDB's is DOUBLE — the
+        # key type must agree for the driver's hash compare
+        e = f"cast(round(floor({f} / {step}) * {step}, 4) AS DOUBLE)"
         return e, e
     if kind == "range":
         case, ordinal = _range_case(f, b["ranges"], dialect)
@@ -477,22 +682,43 @@ def compile_aggs(
         return _compile_significant_terms(
             index, b, where, key, dialect
         )
+    if kind == "composite":
+        return _compile_composite(index, b, sub, where, dialect)
+    if kind == "filters":
+        return _compile_filters(index, b, sub, where, key, dialect, id_field)
 
-    # split sub-aggs: at most one nested bucket, rest are metrics
+    # split sub-aggs: at most one nested bucket; top_hits is its own
+    # shape; pipeline aggs wrap the bucket result; the rest are metrics
     inner = [(n, sp) for n, sp in sub.items()
              if set(sp) & _BUCKETS or "aggs" in sp]
-    metric_specs = [(n, sp) for n, sp in sub.items() if (n, sp) not in inner]
-    metric_sql: list[str] = []
-    for sub_name, sub_spec in metric_specs:
-        mkind, m = _one(sub_spec, f"sub-agg {sub_name}")
-        if mkind not in _METRICS:
-            raise ValueError(f"es_dsl: unsupported sub-agg {mkind!r}")
-        metric_sql += _metric_cols(_ident(sub_name), mkind, m["field"], dialect)
+    top_hits = [(n, sp) for n, sp in sub.items() if "top_hits" in sp]
+    pipelines = [(n, sp) for n, sp in sub.items()
+                 if (n, sp) not in inner and set(sp) & _PIPELINE]
+    metric_specs = [
+        (n, sp) for n, sp in sub.items()
+        if (n, sp) not in inner and (n, sp) not in top_hits
+        and (n, sp) not in pipelines
+    ]
+    if top_hits:
+        if kind != "terms":
+            raise ValueError("es_dsl: top_hits only under terms")
+        if len(top_hits) > 1 or inner or pipelines or metric_specs:
+            raise ValueError(
+                "es_dsl: top_hits must be the only sub-agg of its bucket"
+            )
+        return _compile_top_hits(
+            index, b, top_hits[0], where, key, dialect, id_field
+        )
+    metric_sql = _metric_list(metric_specs, dialect)
     metrics = (
         "" if not metric_sql else ",\n       " + ",\n       ".join(metric_sql)
     )
 
     if inner:
+        if pipelines:
+            raise ValueError(
+                "es_dsl: pipeline aggs cannot combine with nested buckets"
+            )
         if len(inner) > 1:
             raise ValueError("es_dsl: at most one nested bucket per level")
         if kind != "terms":
@@ -502,6 +728,12 @@ def compile_aggs(
         )
 
     if kind == "terms":
+        if pipelines:
+            # ES requires a histogram-family parent for these — terms
+            # bucket order (by count) has no "previous bucket" meaning
+            raise ValueError(
+                "es_dsl: pipeline aggs need a histogram-family parent"
+            )
         f = _ident(b["field"])
         size = int(b.get("size", 10))
         return f"""
@@ -514,6 +746,10 @@ LIMIT {size}
 """
     key_expr, order_expr = _bucket_key(kind, b, dialect)
     if kind == "range":
+        if pipelines:
+            raise ValueError(
+                "es_dsl: pipeline aggs need a histogram-family parent"
+            )
         return f"""
 SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
@@ -521,11 +757,65 @@ WHERE ({where}) AND ({key_expr}) IS NOT NULL
 GROUP BY {key_expr}, {order_expr}
 ORDER BY {order_expr} ASC
 """
-    return f"""
-SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
+    base = f"""SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
 WHERE {where}
-GROUP BY {key_expr}
+GROUP BY {key_expr}"""
+    if pipelines:
+        return _wrap_pipelines(
+            base, pipelines, key,
+            {n for n, _ in metric_specs},
+        )
+    return f"\n{base}\nORDER BY {key} ASC\n"
+
+
+def _wrap_pipelines(
+    base: str, pipelines: list[tuple[str, dict]], key: str,
+    metric_names: set[str],
+) -> str:
+    """ES pipeline aggregations over a histogram-family parent:
+    cumulative_sum / derivative of a sibling metric (``buckets_path``,
+    ``_count`` = doc_count), as window functions over the aggregated
+    buckets in key order.
+
+    Determinism: the running sum accumulates in the window's total
+    ORDER BY (bucket key, unique per bucket) — a sequential
+    prefix-scan, the same additions in the same order in both engines,
+    so no rounding is needed on top of the parent metric's own
+    discipline. Scale shape: the window runs on the AGGREGATED bucket
+    relation (bucket-cardinality rows), never the raw corpus; the
+    single-partition window is bounded by bucket count, not data
+    size."""
+    cols: list[str] = []
+    for name, spec in pipelines:
+        pkind, p = _one(spec, f"pipeline agg {name}")
+        path = p.get("buckets_path")
+        if path == "_count":
+            path = "doc_count"
+        elif path not in metric_names:
+            raise ValueError(
+                f"es_dsl: buckets_path {path!r} names no sibling metric"
+            )
+        n = _ident(name)
+        # cast: DuckDB widens sum(BIGINT) to HUGEINT; metric paths are
+        # already DOUBLE (a no-op cast) — the types must agree
+        ctype = "BIGINT" if path == "doc_count" else "DOUBLE"
+        if pkind == "cumulative_sum":
+            cols.append(
+                f"cast(sum({path}) OVER (ORDER BY {key} ASC"
+                f" ROWS UNBOUNDED PRECEDING) AS {ctype}) AS {n}"
+            )
+        else:  # derivative: NULL for the first bucket, as in ES
+            cols.append(
+                f"{path} - lag({path}) OVER (ORDER BY {key} ASC) AS {n}"
+            )
+    pipe = ",\n       ".join(cols)
+    return f"""
+SELECT b.*,
+       {pipe}
+FROM (
+{base}
+) b
 ORDER BY {key} ASC
 """
 
@@ -553,10 +843,25 @@ def _compile_nested(
     ikinds = [k for k in inner_spec if k != "aggs"]
     if len(ikinds) != 1 or ikinds[0] not in _BUCKETS:
         raise ValueError("es_dsl: nested sub-agg must be a bucket agg")
-    if inner_spec.get("aggs") and any(
-        set(sp) & _BUCKETS for sp in inner_spec["aggs"].values()
-    ):
-        raise ValueError("es_dsl: nesting depth is two bucket levels")
+    deeper = [
+        (n, sp) for n, sp in inner_spec.get("aggs", {}).items()
+        if set(sp) & _BUCKETS or "aggs" in sp
+    ]
+    if deeper:
+        if len(deeper) > 1:
+            raise ValueError("es_dsl: at most one nested bucket per level")
+        if metrics:
+            raise ValueError(
+                "es_dsl: metrics must sit on the innermost bucket level"
+            )
+        if [n for n, sp in inner_spec["aggs"].items() if (n, sp) not in deeper]:
+            raise ValueError(
+                "es_dsl: metrics must sit on the innermost bucket level"
+            )
+        return _compile_nested3(
+            index, outer_b, (inner_name, inner_spec), deeper[0],
+            where, outer_key, dialect,
+        )
     # metrics live at the LEAF: recompute them from the inner spec
     leaf_metrics: list[str] = []
     for mn, msp in inner_spec.get("aggs", {}).items():
@@ -582,7 +887,9 @@ def _compile_nested(
     guard = f" AND ({k2_expr}) IS NOT NULL" if ikind == "range" else ""
     isize = ""
     if ikind == "terms" and "size" in inner_spec[ikind]:
-        isize = f"WHERE inner_rank <= {int(inner_spec[ikind]['size'])}\n"
+        # joined into the existing WHERE — a second WHERE clause is a
+        # parse error (ADVICE r08 finding #1)
+        isize = f"  AND r.inner_rank <= {int(inner_spec[ikind]['size'])}\n"
     leaf_cols = "".join(
         ", r." + m.split(" AS ")[-1] for m in leaf_metrics
     )
@@ -616,6 +923,298 @@ FROM ranked r JOIN kept k USING ({outer_key})
 WHERE k.outer_rank <= {size1}
 {isize}ORDER BY k.outer_count DESC, r.{outer_key} ASC, r.inner_ord ASC,
          r.{inner_key} ASC
+"""
+
+
+def _compile_nested3(
+    index: str,
+    outer_b: dict,
+    mid_pair: tuple,
+    leaf_pair: tuple,
+    where: str,
+    outer_key: str,
+    dialect: str,
+) -> str:
+    """Three bucket levels: terms -> bucket -> bucket, metrics at the
+    leaf. Same policy as the two-level shape, applied per level: a
+    level's top-N (terms ``size``) is chosen by the bucket's TOTAL
+    doc_count within its parent; kept buckets report all their
+    children; display order is parent-count-first, then each level's
+    own bucket rule (date/histogram keys ascending, range buckets by
+    declaration order).
+
+    Scale shape: ONE partial+final aggregation over (k1, k2, k3) —
+    every window (per-level totals and ranks) runs on the aggregated
+    cells relation (bucket-cardinality rows), never the raw corpus;
+    depth adds columns to one shuffle key, not extra shuffles. Depth
+    4+ raises (reject, don't guess)."""
+    mid_name, mid_spec = mid_pair
+    leaf_name, leaf_spec = leaf_pair
+    mkinds = [k for k in mid_spec if k != "aggs"]
+    lkinds = [k for k in leaf_spec if k != "aggs"]
+    if len(mkinds) != 1 or mkinds[0] not in _BUCKETS:
+        raise ValueError("es_dsl: nested sub-agg must be a bucket agg")
+    if len(lkinds) != 1 or lkinds[0] not in _BUCKETS:
+        raise ValueError("es_dsl: nested sub-agg must be a bucket agg")
+    if leaf_spec.get("aggs") and any(
+        set(sp) & _BUCKETS or "aggs" in sp
+        for sp in leaf_spec["aggs"].values()
+    ):
+        raise ValueError("es_dsl: nesting depth is three bucket levels")
+    leaf_metrics = _metric_list(list(leaf_spec.get("aggs", {}).items()), dialect)
+    mtxt = "" if not leaf_metrics else ",\n         " + ",\n         ".join(
+        leaf_metrics
+    )
+    leaf_cols = "".join(", " + m.split(" AS ")[-1] for m in leaf_metrics)
+    f1 = _ident(outer_b["field"])
+    size1 = int(outer_b.get("size", 10))
+    mkind, lkind = mkinds[0], lkinds[0]
+    e2, o2 = _bucket_key(mkind, mid_spec[mkind], dialect)
+    e3, o3 = _bucket_key(lkind, leaf_spec[lkind], dialect)
+    k2, k3 = f"{mid_name}_key", f"{leaf_name}_key"
+    guards = ""
+    if mkind == "range":
+        guards += f" AND ({e2}) IS NOT NULL"
+    if lkind == "range":
+        guards += f" AND ({e3}) IS NOT NULL"
+    s2 = s3 = ""
+    if mkind == "terms" and "size" in mid_spec[mkind]:
+        s2 = f" AND r2 <= {int(mid_spec[mkind]['size'])}"
+    if lkind == "terms" and "size" in leaf_spec[lkind]:
+        s3 = f" AND r3 <= {int(leaf_spec[lkind]['size'])}"
+    return f"""
+WITH cells AS (
+  SELECT {f1} AS {outer_key}, {e2} AS {k2}, {e3} AS {k3},
+         min({o2}) AS ord2, min({o3}) AS ord3,
+         count(*) AS doc_count{mtxt}
+  FROM {_ident(index)}
+  WHERE ({where}){guards}
+  GROUP BY {f1}, {e2}, {e3}
+),
+win AS (
+  SELECT *,
+         cast(sum(doc_count) OVER (PARTITION BY {outer_key}) AS BIGINT)
+           AS outer_count,
+         cast(sum(doc_count) OVER (PARTITION BY {outer_key}, {k2})
+           AS BIGINT) AS {mid_name}_count
+  FROM cells
+),
+ranked AS (
+  SELECT *,
+         dense_rank() OVER (ORDER BY outer_count DESC, {outer_key} ASC)
+           AS r1,
+         dense_rank() OVER (
+           PARTITION BY {outer_key}
+           ORDER BY {mid_name}_count DESC, ord2 ASC, {k2} ASC
+         ) AS r2,
+         row_number() OVER (
+           PARTITION BY {outer_key}, {k2}
+           ORDER BY doc_count DESC, ord3 ASC, {k3} ASC
+         ) AS r3
+  FROM win
+)
+SELECT {outer_key}, outer_count, {k2}, {mid_name}_count, {k3},
+       doc_count{leaf_cols}
+FROM ranked
+WHERE r1 <= {size1}{s2}{s3}
+ORDER BY outer_count DESC, {outer_key} ASC, ord2 ASC, {k2} ASC,
+         ord3 ASC, {k3} ASC
+"""
+
+
+_COMPOSITE_SOURCES = {"terms", "date_histogram", "histogram"}
+
+
+def _compile_composite(
+    index: str, b: dict, sub: dict, where: str, dialect: str
+) -> str:
+    """ES `composite` aggregation: the scalable pagination idiom. All
+    source-key combinations enumerate in composite sort order; `after`
+    resumes strictly after the given key tuple (rendered as an
+    order-aware lexicographic predicate, portable to both dialects —
+    no row-value comparison needed); docs missing any source key are
+    excluded (ES missing_bucket=false default). Metric sub-aggs apply
+    per composite bucket.
+
+    Scale shape: ONE partial+final aggregation over the source keys;
+    the after-predicate prunes before the sort; top-size is
+    TakeOrdered. This is the DSL surface you page a 100 TB bucket
+    space with — no deep from/size offset scan."""
+    known = {"sources", "size", "after"}
+    bad = set(b) - known
+    if bad:
+        raise ValueError(f"es_dsl: unsupported composite keys {sorted(bad)}")
+    sources = b.get("sources")
+    if not isinstance(sources, list) or not sources:
+        raise ValueError("es_dsl: composite wants a non-empty sources list")
+    size = int(b.get("size", 10))
+    keys: list[tuple[str, str, str]] = []  # (out name, key expr, asc|desc)
+    for s in sources:
+        name, spec2 = _one(s, "composite source")
+        skind, sbody = _one(spec2, f"composite source {name}")
+        if skind not in _COMPOSITE_SOURCES:
+            raise ValueError(
+                f"es_dsl: unsupported composite source {skind!r}"
+            )
+        order = sbody.get("order", "asc")
+        if order not in ("asc", "desc"):
+            raise ValueError(f"es_dsl: bad composite order {order!r}")
+        expr, _ = _bucket_key(skind, {k: v for k, v in sbody.items()
+                                      if k != "order"}, dialect)
+        keys.append((_ident(name), expr, order))
+    metric_sql = _metric_list(list(sub.items()), dialect)
+    metrics = (
+        "" if not metric_sql else ",\n       " + ",\n       ".join(metric_sql)
+    )
+    sel = ",\n       ".join(f"{e} AS {n}" for n, e, _ in keys)
+    group = ", ".join(e for _, e, _ in keys)
+    guards = " AND ".join(f"({e}) IS NOT NULL" for _, e, _ in keys)
+    order_by = ", ".join(f"{n} {d.upper()}" for n, _, d in keys)
+    after_pred = ""
+    after = b.get("after")
+    if after is not None:
+        if set(after) != {n for n, _, _ in keys}:
+            raise ValueError(
+                "es_dsl: after must name every composite source"
+            )
+        # The after predicate is a function of the GROUP BY keys alone,
+        # so it pushes BELOW the aggregation onto the key expressions:
+        # raw rows belonging to already-paged buckets are dropped at
+        # the scan, before the shuffle — paging deep into a 100 TB
+        # bucket space gets cheaper, not costlier, with every page.
+        disj = []
+        for i, (n, e, d) in enumerate(keys):
+            conj = [
+                f"({keys[j][1]}) = {_lit(after[keys[j][0]], dialect)}"
+                for j in range(i)
+            ]
+            conj.append(
+                f"({e}) {'>' if d == 'asc' else '<'} "
+                f"{_lit(after[n], dialect)}"
+            )
+            disj.append("(" + " AND ".join(conj) + ")")
+        after_pred = "\n    AND (" + "\n         OR ".join(disj) + ")"
+    return f"""
+SELECT {sel},
+       count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE ({where}) AND {guards}{after_pred}
+GROUP BY {group}
+ORDER BY {order_by}
+LIMIT {size}
+"""
+
+
+def _compile_filters(
+    index: str, b: dict, sub: dict, where: str, key: str, dialect: str,
+    id_field: str,
+) -> str:
+    """ES `filters` aggregation: each named filter is an independent
+    bucket (a doc can land in several), with metric sub-aggs per
+    bucket. Compiled the percolate way: ONE scan stacks per-row
+    matched bucket names into an array, a row-local filter+explode
+    fans out (doc, bucket) pairs, then a single GROUP BY — never one
+    pass per named filter."""
+    named = b.get("filters")
+    if not isinstance(named, dict) or not named:
+        raise ValueError("es_dsl: filters wants a non-empty name->clause map")
+    cases = []
+    for name in sorted(named):
+        if not re.fullmatch(r"[A-Za-z0-9_\-]+", name):
+            raise ValueError(f"es_dsl: bad filters bucket name {name!r}")
+        expr = _query_expr(named[name], dialect, id_field)
+        cases.append(f"CASE WHEN coalesce({expr}, FALSE) THEN '{name}' END")
+    arr = ",\n        " .join(cases)
+    if dialect == "spark":
+        matched = (
+            f"explode(filter(array(\n        {arr}\n      ),"
+            " x -> x IS NOT NULL))"
+        )
+    else:
+        matched = (
+            f"unnest(list_filter([\n        {arr}\n      ],"
+            " x -> x IS NOT NULL))"
+        )
+    metric_sql = _metric_list(list(sub.items()), dialect)
+    metrics = (
+        "" if not metric_sql else ",\n       " + ",\n       ".join(metric_sql)
+    )
+    return f"""
+SELECT bucket AS {key}, count(*) AS doc_count{metrics}
+FROM (
+  SELECT {matched} AS bucket, t.*
+  FROM {_ident(index)} t
+  WHERE {where}
+) m
+GROUP BY bucket
+ORDER BY {key} ASC
+"""
+
+
+def _compile_top_hits(
+    index: str, outer_b: dict, th_pair: tuple, where: str, key: str,
+    dialect: str, id_field: str,
+) -> str:
+    """ES `top_hits` under terms: the top buckets by doc_count, each
+    reporting its best N hits by the top_hits sort. `_source` is
+    required (the hit payload must be explicit for a stable schema).
+
+    Scale shape: hit ranking is a per-bucket window over the filtered
+    scan (partitioned by the bucket key — no global sort); bucket
+    selection ranks the AGGREGATED per-bucket counts (tiny relation)
+    and joins back, so the global window never sees raw rows."""
+    th_name, th_spec = th_pair
+    th = th_spec["top_hits"]
+    if set(th_spec) != {"top_hits"}:
+        raise ValueError("es_dsl: top_hits takes no sibling keys")
+    known = {"size", "sort", "_source"}
+    bad = set(th) - known
+    if bad:
+        raise ValueError(f"es_dsl: unsupported top_hits keys {sorted(bad)}")
+    cols = th.get("_source")
+    if not cols:
+        raise ValueError("es_dsl: top_hits requires _source")
+    f1 = _ident(outer_b["field"])
+    size1 = int(outer_b.get("size", 10))
+    hsize = int(th.get("size", 3))
+    order: list[str] = []
+    for s in th.get("sort", []):
+        if isinstance(s, str):
+            f, d = s, "asc"
+        else:
+            f, spec = _one(s, "top_hits sort entry")
+            d = spec if isinstance(spec, str) else spec.get("order", "asc")
+        if d not in ("asc", "desc"):
+            raise ValueError(f"es_dsl: bad sort order {d!r}")
+        order.append(f"{_ident(f)} {d.upper()}")
+    if id_field not in [o.split()[0] for o in order]:
+        order.append(f"{id_field} ASC")
+    oby = ", ".join(order)
+    src = ", ".join(_ident(c) for c in cols)
+    hsrc = ", ".join(f"h.{_ident(c)}" for c in cols)
+    return f"""
+WITH base AS (
+  SELECT * FROM {_ident(index)} WHERE {where}
+),
+counts AS (
+  SELECT {f1} AS bucket_key, count(*) AS doc_count
+  FROM base GROUP BY {f1}
+),
+kept AS (
+  SELECT bucket_key, doc_count,
+         dense_rank() OVER (ORDER BY doc_count DESC, bucket_key ASC)
+           AS bucket_rank
+  FROM counts
+),
+hits AS (
+  SELECT {src}, {f1} AS hit_bucket,
+         row_number() OVER (PARTITION BY {f1} ORDER BY {oby}) AS hit_rank
+  FROM base
+)
+SELECT k.bucket_key AS {key}, k.doc_count, h.hit_rank, {hsrc}
+FROM hits h JOIN kept k ON h.hit_bucket = k.bucket_key
+WHERE k.bucket_rank <= {size1} AND h.hit_rank <= {hsize}
+ORDER BY k.doc_count DESC, k.bucket_key ASC, h.hit_rank ASC
 """
 
 
@@ -824,6 +1423,89 @@ KNN_BODY = {
     }
 }
 
+MATCH_SCORED_BODY = {
+    # bare match, no sort: ES query context -> BM25 _score ordering
+    "query": {"match": {"text": "table scan fast"}},
+    "size": 25,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
+MULTI_MATCH_BODY = {
+    "query": {"multi_match": {
+        "query": "merge value batch",
+        "fields": ["text", "source"],
+        "type": "most_fields",
+    }},
+    "size": 20,
+}
+
+COMPOSITE_AFTER_BODY = {
+    "aggs": {"pages": {
+        "composite": {
+            "sources": [
+                {"etype": {"terms": {"field": "event_type"}}},
+                {"day": {"date_histogram": {"field": "ts",
+                                            "calendar_interval": "day"}}},
+            ],
+            "size": 15,
+            # resume strictly after this key tuple — the scalable
+            # pagination idiom (no deep from/size offset)
+            "after": {"etype": "purchase", "day": "2024-01-05"},
+        },
+        "aggs": {"v_sum": {"sum": {"field": "value"}}},
+    }},
+}
+
+NESTED3_BODY = {
+    "query": {"range": {"ts": {"gte": "2024-01-03"}}},
+    "aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 3},
+        "aggs": {"weekly": {
+            "date_histogram": {"field": "ts", "calendar_interval": "week"},
+            "aggs": {"band": {
+                "histogram": {"field": "value", "interval": 25},
+                "aggs": {"v": {"avg": {"field": "value"}}},
+            }},
+        }},
+    }},
+}
+
+FILTERS_AGG_BODY = {
+    "aggs": {"segments": {
+        "filters": {"filters": {
+            "short": {"range": {"n_chars": {"lt": 150}}},
+            "english": {"term": {"lang": "en"}},
+            "merge-docs": {"match": {"text": "merge"}},
+        }},
+        "aggs": {"chars": {"avg": {"field": "n_chars"}}},
+    }},
+}
+
+TOP_HITS_BODY = {
+    "query": {"range": {"n_chars": {"gte": 50}}},
+    "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 3},
+        "aggs": {"top": {"top_hits": {
+            "size": 2,
+            "sort": [{"n_chars": {"order": "desc"}}],
+            "_source": ["doc_id", "source", "n_chars"],
+        }}},
+    }},
+}
+
+PIPELINE_AGG_BODY = {
+    "query": {"term": {"event_type": "purchase"}},
+    "aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v_sum": {"sum": {"field": "value"}},
+            "v_cum": {"cumulative_sum": {"buckets_path": "v_sum"}},
+            "v_diff": {"derivative": {"buckets_path": "v_sum"}},
+            "n_cum": {"cumulative_sum": {"buckets_path": "_count"}},
+        },
+    }},
+}
+
 RANGE_AGG_BODY = {
     "aggs": {
         "len_buckets": {
@@ -890,5 +1572,37 @@ def registry() -> dict[str, dict]:
                 compile_percolate("documents", PERCOLATE_QUERIES, "spark")
             ),
             "oracle": compile_percolate("documents", PERCOLATE_QUERIES, "duck"),
+        },
+        "es_dsl_match_scored": {
+            "fn": _entry("documents", MATCH_SCORED_BODY, "doc_id"),
+            "oracle": compile_search("documents", MATCH_SCORED_BODY, "duck"),
+        },
+        "es_dsl_multi_match": {
+            "fn": _entry("documents", MULTI_MATCH_BODY, "doc_id"),
+            "oracle": compile_search("documents", MULTI_MATCH_BODY, "duck"),
+        },
+        "es_dsl_composite_after": {
+            "fn": _entry("events", COMPOSITE_AFTER_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", COMPOSITE_AFTER_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_nested_three_levels": {
+            "fn": _entry("events", NESTED3_BODY, "event_id"),
+            "oracle": compile_search("events", NESTED3_BODY, "duck", "event_id"),
+        },
+        "es_dsl_filters_agg": {
+            "fn": _entry("documents", FILTERS_AGG_BODY, "doc_id"),
+            "oracle": compile_search("documents", FILTERS_AGG_BODY, "duck"),
+        },
+        "es_dsl_top_hits": {
+            "fn": _entry("documents", TOP_HITS_BODY, "doc_id"),
+            "oracle": compile_search("documents", TOP_HITS_BODY, "duck"),
+        },
+        "es_dsl_pipeline_cumsum": {
+            "fn": _entry("events", PIPELINE_AGG_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", PIPELINE_AGG_BODY, "duck", "event_id"
+            ),
         },
     }

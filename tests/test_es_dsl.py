@@ -51,8 +51,10 @@ def _search(body: dict) -> str:
 
 
 def test_match_analyzes_and_ors_tokens(tiny):
-    # "ALPHA delta" analyzes to [alpha, delta]; any token hit matches
-    body = {"query": {"match": {"text": "ALPHA   delta"}}, "size": 100}
+    # "ALPHA delta" analyzes to [alpha, delta]; any token hit matches.
+    # (Explicit sort = filter context; a bare match would be scored.)
+    body = {"query": {"match": {"text": "ALPHA   delta"}},
+            "sort": [{"doc_id": "asc"}], "size": 100}
     assert _ids(tiny, _search(body)) == [1, 2, 3, 4, 5, 8]
 
 
@@ -320,11 +322,14 @@ def test_nested_validation(tiny):
             "histogram": {"field": "n", "interval": 10},
             "aggs": {"b": {"terms": {"field": "lang"}}},
         }}}, "duck")
-    with pytest.raises(ValueError, match="nesting depth is two"):
+    with pytest.raises(ValueError, match="nesting depth is three"):
         compile_aggs("docs", {"aggs": {"a": {
             "terms": {"field": "lang"},
             "aggs": {"b": {"terms": {"field": "source"},
-                           "aggs": {"c": {"terms": {"field": "n"}}}}},
+                           "aggs": {"c": {"terms": {"field": "n"},
+                                          "aggs": {"d": {"histogram": {
+                                              "field": "n",
+                                              "interval": 10}}}}}}},
         }}}, "duck")
     with pytest.raises(ValueError, match="metrics must sit on the innermost"):
         compile_aggs("docs", {"aggs": {"a": {
@@ -333,6 +338,15 @@ def test_nested_validation(tiny):
                 "b": {"terms": {"field": "source"}},
                 "m": {"avg": {"field": "n"}},
             },
+        }}}, "duck")
+    # depth 3: a metric beside the LEAF bucket (on the mid level) is
+    # equally rejected
+    with pytest.raises(ValueError, match="metrics must sit on the innermost"):
+        compile_aggs("docs", {"aggs": {"a": {
+            "terms": {"field": "lang"},
+            "aggs": {"b": {"terms": {"field": "source"},
+                           "aggs": {"c": {"terms": {"field": "n"}},
+                                    "m": {"avg": {"field": "n"}}}}},
         }}}, "duck")
 
 
@@ -432,6 +446,276 @@ def test_percolate_semantics(tiny):
         compile_percolate("docs", {}, "duck")
     with pytest.raises(ValueError, match="bad percolate query id"):
         compile_percolate("docs", {"x'y": {"match_all": {}}}, "duck")
+
+
+def test_match_scored_query_context(tiny):
+    """Bare match with no sort = ES query context: BM25-scored hits,
+    _score-ordered. 'alpha' hits docs 1,4,5,8 all with tf=1, so the
+    BM25 length normalization alone decides the order: shortest doc
+    first (8: dl=1, then 4: dl=2, then 1 and 5: dl=3, id tiebreak)."""
+    body = {"query": {"match": {"text": "ALPHA"}}, "size": 10}
+    rows = tiny.execute(_search(body)).fetchall()
+    assert [r[0] for r in rows] == [8, 4, 1, 5]
+    scores = {r[0]: r[1] for r in rows}
+    assert scores[8] > scores[4] > scores[1]
+    assert scores[1] == scores[5]  # same dl, same tf -> identical score
+    assert all(s > 0 for s in scores.values())
+    # _source honored; _score appended; explicit sort = filter context
+    src = {"query": {"match": {"text": "alpha"}}, "size": 2,
+           "_source": ["doc_id", "lang"]}
+    got = tiny.execute(_search(src)).fetchall()
+    assert got[0][0] == 8 and len(got[0]) == 3  # doc_id, lang, _score
+    with pytest.raises(ValueError, match="scored match combines only"):
+        compile_search("docs", {"query": {"match": {"text": "a"}},
+                                "collapse": {"field": "lang"}}, "duck")
+
+
+def test_multi_match_best_vs_most_fields(tiny):
+    """multi_match combine rules: best_fields = max over per-field
+    BM25, most_fields = sum. Doc 1 matches 'alpha' in text AND 'news'
+    in source, so its most_fields score strictly exceeds its
+    best_fields score; single-field docs score the same either way."""
+    q = {"query": "alpha news", "fields": ["text", "source"]}
+    best = {r[0]: r[1] for r in tiny.execute(_search(
+        {"query": {"multi_match": dict(q)}, "size": 10})).fetchall()}
+    most = {r[0]: r[1] for r in tiny.execute(_search(
+        {"query": {"multi_match": dict(q, type="most_fields")},
+         "size": 10})).fetchall()}
+    # membership: union of per-field hits (text alpha: 1,4,5,8;
+    # source news: 1,3)
+    assert set(best) == set(most) == {1, 3, 4, 5, 8}
+    assert most[1] > best[1]  # both fields hit -> sum beats max
+    for d in (3, 4, 5, 8):
+        assert most[d] == best[d]  # single-field docs: sum == max
+    with pytest.raises(ValueError, match="unsupported multi_match type"):
+        compile_search("docs", {"query": {"multi_match": dict(
+            q, type="phrase")}}, "duck")
+    # multi_match with an explicit sort would be filter context, which
+    # _query_expr does not model -> loud
+    with pytest.raises(ValueError, match="unsupported query clause"):
+        compile_search("docs", {"query": {"multi_match": dict(q)},
+                                "sort": [{"n": "asc"}]}, "duck")
+
+
+def test_scored_constants_match_search():
+    """One BM25: the DSL's K1/B must equal operators/search.py's."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        es_dsl,
+        search,
+    )
+
+    assert es_dsl._BM25_K1 == search.K1
+    assert es_dsl._BM25_B == search.B
+
+
+def test_aggs_reject_hit_level_keys(tiny):
+    """ADVICE r08 #3: aggs + hit-level keys must raise, not silently
+    drop; the ES size: 0 idiom is the one accepted combination."""
+    aggs = {"t": {"terms": {"field": "lang"}}}
+    for extra in ({"sort": [{"n": "asc"}]}, {"_source": ["doc_id"]},
+                  {"from": 5}, {"collapse": {"field": "lang"}}):
+        with pytest.raises(ValueError, match="cannot combine with aggs"):
+            compile_search("docs", {"aggs": aggs, **extra}, "duck")
+    with pytest.raises(ValueError, match="size: 0 idiom"):
+        compile_search("docs", {"aggs": aggs, "size": 5}, "duck")
+    # size: 0 is accepted
+    rows = tiny.execute(compile_search(
+        "docs", {"aggs": aggs, "size": 0}, "duck")).fetchall()
+    assert rows[0] == ("en", 3)
+
+
+def test_knn_honors_source_and_size(tiny):
+    """ADVICE r08 #3: knn _source/size are honored — _source picks hit
+    columns (score appended), size caps hits at min(k, size)."""
+    tiny.execute(
+        "CREATE TABLE vecs2 AS SELECT * FROM (VALUES"
+        " (1, [1.0, 0.0], 'a'), (2, [0.0, 1.0], 'b'), (3, [0.6, 0.8], 'c'),"
+        " (4, [-1.0, 0.0], 'd'), (5, [0.8, 0.6], 'e'))"
+        " AS t(vec_id, embedding, tag)"
+    )
+    base = {"field": "embedding", "query_vector": [1.0, 0.0], "k": 3}
+    rows = tiny.execute(compile_search(
+        "vecs2", {"knn": base, "size": 2}, "duck", id_field="vec_id"
+    )).fetchall()
+    assert rows == [(1, 1.0), (5, 0.8)]  # min(k=3, size=2)
+    rows = tiny.execute(compile_search(
+        "vecs2", {"knn": base, "_source": ["vec_id", "tag"]},
+        "duck", id_field="vec_id",
+    )).fetchall()
+    assert rows == [(1, "a", 1.0), (5, "e", 0.8), (3, "c", 0.6)]
+
+
+def test_lit_keeps_date_shaped_strings_plain(tiny):
+    """ADVICE r08 #2: a date-shaped string against a STRING column must
+    compare as a string, not be force-cast to TIMESTAMP."""
+    tiny.execute(
+        "CREATE TABLE rels AS SELECT * FROM (VALUES"
+        " (1, '2024-01-05'), (2, '2024-01-10'), (3, 'v2-beta'))"
+        " AS t(doc_id, version)"
+    )
+    body = {"query": {"term": {"version": "2024-01-10"}},
+            "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, compile_search("rels", body, "duck")) == [2]
+    body = {"query": {"range": {"version": {"gte": "2024-01-06"}}},
+            "sort": [{"doc_id": "asc"}], "size": 10}
+    # string comparison: '2024-01-10' and 'v2-beta' both >= '2024-01-06'
+    assert _ids(tiny, compile_search("rels", body, "duck")) == [2, 3]
+
+
+def test_composite_pagination_walks_the_bucket_space(tiny):
+    """composite + after: pages of size 2 concatenate to exactly the
+    full (lang, band) bucket enumeration, no overlap, no gap."""
+    def body(after=None):
+        comp = {
+            "sources": [
+                {"lg": {"terms": {"field": "lang"}}},
+                {"band": {"histogram": {"field": "n", "interval": 40}}},
+            ],
+            "size": 2,
+        }
+        if after:
+            comp["after"] = after
+        return {"aggs": {"p": {"composite": comp,
+                               "aggs": {"ns": {"sum": {"field": "n"}}}}}}
+
+    full_sql = compile_search("docs", {"aggs": {"p": {"composite": {
+        "sources": body()["aggs"]["p"]["composite"]["sources"],
+        "size": 100,
+    }, "aggs": {"ns": {"sum": {"field": "n"}}}}}}, "duck")
+    full = tiny.execute(full_sql).fetchall()
+    # NULL-lang doc 7 excluded (missing_bucket=false); asc key order
+    assert [r[:2] for r in full] == [
+        ("de", 0.0), ("de", 40.0), ("en", 0.0), ("en", 80.0),
+        ("fr", 40.0),
+    ]
+    walked, after = [], None
+    for _ in range(5):
+        page = tiny.execute(compile_search(
+            "docs", body(after), "duck")).fetchall()
+        if not page:
+            break
+        walked += page
+        after = {"lg": page[-1][0], "band": page[-1][1]}
+    assert walked == full
+    with pytest.raises(ValueError, match="after must name every"):
+        compile_search("docs", body({"lg": "de"}), "duck")
+    with pytest.raises(ValueError, match="unsupported composite source"):
+        compile_search("docs", {"aggs": {"p": {"composite": {
+            "sources": [{"r": {"range": {"field": "n", "ranges": []}}}],
+        }}}}, "duck")
+
+
+def test_composite_desc_order(tiny):
+    body = {"aggs": {"p": {"composite": {
+        "sources": [{"lg": {"terms": {"field": "lang", "order": "desc"}}}],
+        "size": 2,
+        "after": {"lg": "fr"},
+    }}}}
+    rows = tiny.execute(compile_search("docs", body, "duck")).fetchall()
+    # desc from 'fr': strictly after means < 'fr'
+    assert [r[0] for r in rows] == ["en", "de"]
+
+
+def test_filters_agg_semantics(tiny):
+    """Named filters = independent overlapping buckets, one scan."""
+    body = {"aggs": {"seg": {
+        "filters": {"filters": {
+            "en": {"term": {"lang": "en"}},
+            "big": {"range": {"n": {"gte": 60}}},
+        }},
+        "aggs": {"avg_n": {"avg": {"field": "n"}}},
+    }}}
+    rows = tiny.execute(compile_search("docs", body, "duck")).fetchall()
+    # en: docs 1,2,8 (n 10,20,80); big: docs 6,7,8 (n 60,70,80);
+    # doc 8 is in BOTH buckets
+    assert rows == [
+        ("big", 3, (60 + 70 + 80) / 3),
+        ("en", 3, (10 + 20 + 80) / 3),
+    ]
+    with pytest.raises(ValueError, match="bad filters bucket name"):
+        compile_search("docs", {"aggs": {"seg": {"filters": {"filters": {
+            "x'y": {"match_all": {}}}}}}}, "duck")
+
+
+def test_top_hits_semantics(tiny):
+    """terms -> top_hits: top buckets by doc_count, best hits per
+    bucket by the top_hits sort."""
+    body = {"aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 2},
+        "aggs": {"best": {"top_hits": {
+            "size": 1, "sort": [{"n": {"order": "desc"}}],
+            "_source": ["doc_id", "n"],
+        }}},
+    }}}
+    rows = tiny.execute(compile_search("docs", body, "duck")).fetchall()
+    # lang counts: en 3, de 2, fr 2 -> kept: en, de (key tiebreak);
+    # best hit: en -> doc 8 (n=80), de -> doc 4 (n=40)
+    assert rows == [("en", 3, 1, 8, 80), ("de", 2, 1, 4, 40)]
+    with pytest.raises(ValueError, match="top_hits only under terms"):
+        compile_search("docs", {"aggs": {"h": {
+            "histogram": {"field": "n", "interval": 40},
+            "aggs": {"t": {"top_hits": {"_source": ["doc_id"]}}},
+        }}}, "duck")
+    with pytest.raises(ValueError, match="top_hits requires _source"):
+        compile_search("docs", {"aggs": {"h": {
+            "terms": {"field": "lang"},
+            "aggs": {"t": {"top_hits": {"size": 1}}},
+        }}}, "duck")
+
+
+def test_pipeline_cumsum_and_derivative(tiny):
+    """cumulative_sum / derivative over a histogram parent, in bucket
+    key order; derivative of the first bucket is NULL (ES parity)."""
+    body = {"aggs": {"bands": {
+        "histogram": {"field": "n", "interval": 40},
+        "aggs": {
+            "ns": {"sum": {"field": "n"}},
+            "cum": {"cumulative_sum": {"buckets_path": "ns"}},
+            "dn": {"derivative": {"buckets_path": "ns"}},
+            "ccount": {"cumulative_sum": {"buckets_path": "_count"}},
+        },
+    }}}
+    rows = tiny.execute(compile_search("docs", body, "duck")).fetchall()
+    # bands: 0 (10,20,30), 40 (40,50,60,70), 80 (80)
+    assert [(r[0], r[1], r[2]) for r in rows] == [
+        (0.0, 3, 60.0), (40.0, 4, 220.0), (80.0, 1, 80.0)]
+    assert [r[3] for r in rows] == [60.0, 280.0, 360.0]   # cum
+    assert [r[4] for r in rows] == [None, 160.0, -140.0]  # derivative
+    assert [r[5] for r in rows] == [3, 7, 8]              # _count cum
+    with pytest.raises(ValueError, match="names no sibling metric"):
+        compile_search("docs", {"aggs": {"b": {
+            "histogram": {"field": "n", "interval": 40},
+            "aggs": {"c": {"cumulative_sum": {"buckets_path": "nope"}}},
+        }}}, "duck")
+    with pytest.raises(ValueError, match="histogram-family parent"):
+        compile_search("docs", {"aggs": {"b": {
+            "terms": {"field": "lang"},
+            "aggs": {"c": {"cumulative_sum": {"buckets_path": "_count"}}},
+        }}}, "duck")
+
+
+def test_nested_three_levels_semantics(tiny):
+    """terms -> terms -> histogram with a leaf metric: per-level top-N
+    by total count, display order parent-count-first then key rules."""
+    body = {"aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 1},
+        "aggs": {"by_src": {
+            "terms": {"field": "source"},
+            "aggs": {"band": {
+                "histogram": {"field": "n", "interval": 40},
+                "aggs": {"ns": {"sum": {"field": "n"}}},
+            }},
+        }},
+    }}}
+    rows = tiny.execute(compile_search("docs", body, "duck")).fetchall()
+    # top lang: en (3: docs 1,2,8). sources in en: news(1), blog(1),
+    # 105x(1) -> mid counts all 1, order by (count desc, key asc):
+    # 105x, blog, news. bands: doc1 n=10->0, doc2 n=20->0, doc8 n=80->80
+    assert rows == [
+        ("en", 3, "105x", 1, 80.0, 1, 80.0),
+        ("en", 3, "blog", 1, 0.0, 1, 20.0),
+        ("en", 3, "news", 1, 0.0, 1, 10.0),
+    ]
 
 
 # --- differential fuzz: the two dialects must agree for ANY body -------------

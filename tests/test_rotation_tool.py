@@ -250,6 +250,10 @@ _FINAL6 = [
     "text_compression_ratio",
 ]
 _CHANGED_R08 = ["ann_ivf_recall_eval", "ann_ivf_topk"]
+# r09 changed-kernel re-checks: the _lit plain-string fix (ADVICE r08
+# finding #2) rewrote these two entries' compiled SQL after their r08
+# driver rows
+_CHANGED_R09 = ["es_dsl_nested_agg", "es_dsl_terms_agg"]
 
 
 def _capped_evidence(repo: str, through_round: int) -> dict[str, int]:
@@ -333,9 +337,16 @@ def test_r09_window_matches_executed_roll():
     # evidence are this round's registrations, and they all lead
     net_new = [n for n in names if not ev.get(n)]
     assert set(w[: len(net_new)]) == set(net_new)
-    # (3) the remaining slots are pure re-rotation, oldest first
-    pool = sorted((n for n in names if ev.get(n)), key=lambda n: (ev[n], n))
-    assert set(w[len(net_new):]) == set(pool[: 50 - len(net_new)])
+    # (3) the changed-kernel re-checks hold slots right after
+    taken = set(net_new) | set(_CHANGED_R09)
+    assert set(_CHANGED_R09) <= set(w)
+    # (4) the remaining slots are pure re-rotation, oldest first
+    pool = sorted(
+        (n for n in names if ev.get(n) and n not in taken),
+        key=lambda n: (ev[n], n),
+    )
+    refill = [n for n in w if n not in taken]
+    assert set(refill) == set(pool[: len(refill)])
 
 
 def test_r10_roll_preview():
