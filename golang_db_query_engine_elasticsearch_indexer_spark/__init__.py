@@ -31,6 +31,7 @@ from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
     UnauthorizedOperationError,
 )
 from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (
+    es_count,
     es_search,
     es_search_df,
     query,
@@ -42,6 +43,7 @@ from golang_db_query_engine_elasticsearch_indexer_spark.session import (
 )
 
 __all__ = [
+    "es_count",
     "es_search",
     "es_search_df",
     "EngineError",

@@ -77,9 +77,12 @@ def es_search_df(spark: SparkSession, index: str, body: dict) -> DataFrame:
     """ES `_search` semantics as a first-class gateway verb: the JSON
     body a reference user POSTs to `/{index}/_search` compiles to a
     Catalyst plan over the table named ``index`` (operators/es_dsl.py:
-    query context, knn, one-level aggs). Lazy, like query_df — the
-    DataFrame is the handoff. Unsupported DSL raises ValueError before
-    any execution; an empty body means match_all (ES default)."""
+    query context incl. BM25-scored match/multi_match, knn,
+    search_after pagination, aggs up to three bucket levels with
+    metric/pipeline/top_hits sub-aggs, composite paging, filters).
+    Lazy, like query_df — the DataFrame is the handoff. Unsupported
+    DSL raises ValueError before any execution; an empty body means
+    match_all (ES default)."""
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
         compile_search,
     )
@@ -97,3 +100,18 @@ def es_search(
 ) -> QueryResult:
     """`POST /{index}/_search` parity: compile, run, envelope."""
     return collect_envelope(es_search_df(spark, index, body), max_rows=max_rows)
+
+
+def es_count(spark: SparkSession, index: str, body: dict | None = None) -> int:
+    """`GET /{index}/_count` parity: matching-doc count under an
+    optional query-context body (None/{} = match_all, the ES default).
+    Returns the bare int — the `{"count": N}` envelope reduced to its
+    payload."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        compile_count,
+    )
+
+    if index is None:
+        raise ParamsNullError()
+    row = spark.sql(compile_count(index, body or {}, "spark")).collect()[0]
+    return int(row["count"])

@@ -167,16 +167,56 @@ def _query_expr(q: dict, dialect: str, id_field: str) -> str:
         return f"{_ident(f)} LIKE '{pat}' ESCAPE '!'"
     if kind == "match":
         f, v = _one(body, "match")
+        op = "or"
         if isinstance(v, dict):
+            bad = set(v) - {"query", "operator"}
+            if bad:
+                raise ValueError(f"es_dsl: unsupported match keys {sorted(bad)}")
+            op = v.get("operator", "or")
+            if op not in ("or", "and"):
+                raise ValueError(f"es_dsl: bad match operator {op!r}")
             v = v["query"]
         toks = _analyze(v)
         if not toks:
             raise ValueError("es_dsl: match with an empty query string")
         arr = ", ".join(_lit(t, dialect) for t in toks)
         te = _tokens_expr(_ident(f), dialect)
+        if op == "and":
+            # every analyzed term must be present (ES operator: and)
+            if dialect == "spark":
+                return f"forall(array({arr}), t -> array_contains({te}, t))"
+            return f"list_has_all({te}, [{arr}])"
         if dialect == "spark":
             return f"arrays_overlap({te}, array({arr}))"
         return f"len(list_intersect({te}, [{arr}])) > 0"
+    if kind == "fuzzy":
+        f, v = _one(body, "fuzzy")
+        fuzz = "AUTO"
+        if isinstance(v, dict):
+            bad = set(v) - {"value", "fuzziness"}
+            if bad:
+                raise ValueError(f"es_dsl: unsupported fuzzy keys {sorted(bad)}")
+            fuzz = v.get("fuzziness", "AUTO")
+            v = v["value"]
+        if not isinstance(v, str) or not v.strip():
+            raise ValueError("es_dsl: fuzzy wants a non-empty term")
+        term = v.strip().lower()  # term-level query against analyzed tokens
+        if fuzz == "AUTO":
+            # the ES AUTO ladder: exact < 3 chars, 1 edit 3..5, 2 above
+            fuzz = 0 if len(term) < 3 else (1 if len(term) < 6 else 2)
+        if not isinstance(fuzz, int) or fuzz < 0 or fuzz > 2:
+            raise ValueError(f"es_dsl: bad fuzziness {fuzz!r}")
+        te = _tokens_expr(_ident(f), dialect)
+        lit = _lit(term, dialect)
+        # any token within the edit budget matches; levenshtein agrees
+        # between engines (checked: both pure Levenshtein, no transposition
+        # discount)
+        if dialect == "spark":
+            return f"exists({te}, t -> levenshtein(t, {lit}) <= {fuzz})"
+        return (
+            f"len(list_filter({te}, t -> levenshtein(t, {lit}) <= {fuzz}))"
+            " > 0"
+        )
     if kind == "match_phrase":
         f, v = _one(body, "match_phrase")
         if isinstance(v, dict):
@@ -252,7 +292,7 @@ _BM25_B = 0.75  # = search.B
 
 def _bm25_field_ctes(
     index: str, field: str, terms: list[str], p: str, dialect: str,
-    id_field: str,
+    id_field: str, require_all: bool = False,
 ) -> str:
     """CTE chain scoring ONE analyzed field: `{p}_bm(_id, s)` holds the
     per-doc BM25 over ``terms``. Corpus stats (N, avgdl) are per field,
@@ -281,6 +321,12 @@ def _bm25_field_ctes(
         tf_where = f"\n  WHERE w IN ({arr})"
         ln = "len"
     k1, b = _BM25_K1, _BM25_B
+    # operator: and — a hit must match EVERY distinct analyzed term;
+    # scoring is unchanged (BM25 over the matched terms)
+    having = (
+        f"\n  HAVING count(DISTINCT w) = {len(set(terms))}"
+        if require_all else ""
+    )
     return f"""{p}_toks AS (
   SELECT {id_field} AS _id, {te} AS toks FROM {_ident(index)}
 ),
@@ -301,7 +347,7 @@ def _bm25_field_ctes(
              * tf * ({k1} + 1)
              / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))) AS s
   FROM {p}_tf JOIN {p}_df USING (w) CROSS JOIN {p}_stats
-  GROUP BY _id
+  GROUP BY _id{having}
 )"""
 
 
@@ -323,9 +369,19 @@ def _compile_scored(
             f"(got {sorted(extra)})"
         )
     kind, spec = _one(body["query"], "query clause")
+    require_all = False
     if kind == "match":
         f, v = _one(spec, "match")
         if isinstance(v, dict):
+            bad = set(v) - {"query", "operator"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported match keys {sorted(bad)}"
+                )
+            op = v.get("operator", "or")
+            if op not in ("or", "and"):
+                raise ValueError(f"es_dsl: bad match operator {op!r}")
+            require_all = op == "and"
             v = v["query"]
         fields = [_ident(f)]
         combine = "max"
@@ -346,7 +402,10 @@ def _compile_scored(
     if not terms:
         raise ValueError("es_dsl: match with an empty query string")
     ctes = ",\n".join(
-        _bm25_field_ctes(index, f, terms, f"f{i}", dialect, id_field)
+        _bm25_field_ctes(
+            index, f, terms, f"f{i}", dialect, id_field,
+            require_all=require_all,
+        )
         for i, f in enumerate(fields)
     )
     union = "\n    UNION ALL ".join(
@@ -394,7 +453,8 @@ def compile_search(
     from) to one SQL statement over table ``index``."""
     if dialect not in ("spark", "duck"):
         raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
-    known = {"query", "_source", "sort", "size", "from", "aggs", "knn", "collapse"}
+    known = {"query", "_source", "sort", "size", "from", "aggs", "knn",
+             "collapse", "search_after"}
     bad = set(body) - known
     if bad:
         raise ValueError(f"es_dsl: unsupported body keys {sorted(bad)}")
@@ -406,7 +466,8 @@ def compile_search(
         # be silently meaningless — raise instead (ADVICE r08 finding
         # #3). The ES "size": 0 idiom (aggs only, no hits) is the one
         # accepted shape.
-        hit_keys = {"sort", "from", "_source", "collapse"} & set(body)
+        hit_keys = {"sort", "from", "_source", "collapse",
+                    "search_after"} & set(body)
         if hit_keys:
             raise ValueError(
                 f"es_dsl: {sorted(hit_keys)} cannot combine with aggs "
@@ -443,6 +504,36 @@ def compile_search(
     offset = int(body.get("from", 0))
     oby = ", ".join(order)
     src = _ident(index)
+    if "search_after" in body:
+        # ES deep hit pagination: resume strictly after the last hit's
+        # sort-key tuple. One value per EFFECTIVE sort key (the
+        # explicit sorts plus the auto id tiebreak). Rendered as an
+        # order-aware lexicographic predicate in the WHERE — it prunes
+        # at the scan, so page N of a 100 TB result costs the same as
+        # page 1 (the reason ES deprecates deep from/size in favor of
+        # search_after).
+        if "from" in body:
+            raise ValueError("es_dsl: search_after replaces from")
+        if "collapse" in body:
+            raise ValueError("es_dsl: search_after with collapse is unsupported")
+        vals = body["search_after"]
+        if not isinstance(vals, list) or len(vals) != len(order):
+            raise ValueError(
+                f"es_dsl: search_after wants one value per effective "
+                f"sort key ({len(order)}: {', '.join(order)})"
+            )
+        disj = []
+        for i, o in enumerate(order):
+            fld, d = o.split()
+            conj = [
+                f"{order[j].split()[0]} = {_lit(vals[j], dialect)}"
+                for j in range(i)
+            ]
+            conj.append(
+                f"{fld} {'>' if d == 'ASC' else '<'} {_lit(vals[i], dialect)}"
+            )
+            disj.append("(" + " AND ".join(conj) + ")")
+        where = f"({where})\n  AND (" + "\n       OR ".join(disj) + ")"
     if "collapse" in body:
         # ES field collapsing: one hit per distinct collapse-field
         # value, the hit picked by the SEARCH SORT — a ranking window
@@ -466,6 +557,23 @@ def compile_search(
     if offset:
         sql += f" OFFSET {offset}"
     return sql
+
+
+def compile_count(index: str, body: dict, dialect: str,
+                  id_field: str = "doc_id") -> str:
+    """The ES `_count` API: `GET /{index}/_count` with an optional
+    query-context body returns the matching-doc count. One aggregate,
+    filter pushed to the scan — the cheapest question the DSL answers
+    and the one ops dashboards ask most."""
+    if dialect not in ("spark", "duck"):
+        raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
+    bad = set(body) - {"query"}
+    if bad:
+        raise ValueError(
+            f"es_dsl: _count takes only a query clause (got {sorted(bad)})"
+        )
+    where = _query_expr(body.get("query", {"match_all": {}}), dialect, id_field)
+    return f"SELECT count(*) AS count FROM {_ident(index)}\nWHERE {where}\n"
 
 
 # --- knn search (ES 8 vector search) -----------------------------------------
@@ -580,6 +688,7 @@ def _metric_cols(name: str, kind: str, field: str, dialect: str) -> list[str]:
 
 _BUCKETS = {"terms", "date_histogram", "histogram", "range"}
 _PIPELINE = {"cumulative_sum", "derivative"}
+_SIBLING_PIPELINE = {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket"}
 
 
 def _metric_list(sub_aggs: list[tuple[str, dict]], dialect: str) -> list[str]:
@@ -667,7 +776,12 @@ def compile_aggs(
     if dialect not in ("spark", "duck"):
         raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
     where = _query_expr(body.get("query", {"match_all": {}}), dialect, id_field)
-    agg_name, spec = _one(body["aggs"], "aggs")
+    # sibling pipeline aggs (avg_bucket & co) sit BESIDE the bucket agg
+    # at the top level and consume its buckets via "parent>path"
+    siblings = {n: sp for n, sp in body["aggs"].items()
+                if set(sp) & _SIBLING_PIPELINE}
+    parents = {n: sp for n, sp in body["aggs"].items() if n not in siblings}
+    agg_name, spec = _one(parents, "aggs")
     sub = spec.get("aggs", {})
     bucket_kinds = [k for k in spec if k != "aggs"]
     if len(bucket_kinds) != 1:
@@ -676,6 +790,13 @@ def compile_aggs(
     b = spec[kind]
     key = f"{agg_name}_key"
 
+    if siblings and kind not in ("date_histogram", "histogram"):
+        # ES allows siblings of any bucket agg; here the enumerable
+        # histogram-family relation is the supported consumer — reject
+        # the rest rather than silently mis-scope the statistic
+        raise ValueError(
+            "es_dsl: sibling pipeline aggs need a histogram-family parent"
+        )
     if kind == "significant_terms":
         if sub:
             raise ValueError("es_dsl: significant_terms takes no sub-aggs")
@@ -761,41 +882,49 @@ ORDER BY {order_expr} ASC
 FROM {_ident(index)}
 WHERE {where}
 GROUP BY {key_expr}"""
-    if pipelines:
+    if pipelines or siblings:
         return _wrap_pipelines(
-            base, pipelines, key,
-            {n for n, _ in metric_specs},
+            base, pipelines, siblings, key,
+            {n for n, _ in metric_specs}, agg_name,
         )
     return f"\n{base}\nORDER BY {key} ASC\n"
 
 
 def _wrap_pipelines(
-    base: str, pipelines: list[tuple[str, dict]], key: str,
-    metric_names: set[str],
+    base: str, pipelines: list[tuple[str, dict]],
+    siblings: dict[str, dict], key: str,
+    metric_names: set[str], parent_name: str,
 ) -> str:
     """ES pipeline aggregations over a histogram-family parent:
-    cumulative_sum / derivative of a sibling metric (``buckets_path``,
-    ``_count`` = doc_count), as window functions over the aggregated
-    buckets in key order.
+    PARENT pipelines (cumulative_sum / derivative of a sibling metric,
+    ``buckets_path``, ``_count`` = doc_count) as ordered window
+    functions, and SIBLING pipelines (avg/sum/min/max_bucket with the
+    ES ``parent>path`` buckets_path) as whole-relation windows — ES
+    reports a sibling as one scalar beside the buckets; the relational
+    rendering is that scalar as a constant column on every bucket row.
 
     Determinism: the running sum accumulates in the window's total
     ORDER BY (bucket key, unique per bucket) — a sequential
     prefix-scan, the same additions in the same order in both engines,
     so no rounding is needed on top of the parent metric's own
-    discipline. Scale shape: the window runs on the AGGREGATED bucket
-    relation (bucket-cardinality rows), never the raw corpus; the
-    single-partition window is bounded by bucket count, not data
+    discipline. Scale shape: every window runs on the AGGREGATED
+    bucket relation (bucket-cardinality rows), never the raw corpus;
+    the single-partition window is bounded by bucket count, not data
     size."""
+
+    def resolve(path: str | None, what: str) -> str:
+        if path == "_count":
+            return "doc_count"
+        if path not in metric_names:
+            raise ValueError(
+                f"es_dsl: {what} buckets_path {path!r} names no sibling metric"
+            )
+        return path
+
     cols: list[str] = []
     for name, spec in pipelines:
         pkind, p = _one(spec, f"pipeline agg {name}")
-        path = p.get("buckets_path")
-        if path == "_count":
-            path = "doc_count"
-        elif path not in metric_names:
-            raise ValueError(
-                f"es_dsl: buckets_path {path!r} names no sibling metric"
-            )
+        path = resolve(p.get("buckets_path"), pkind)
         n = _ident(name)
         # cast: DuckDB widens sum(BIGINT) to HUGEINT; metric paths are
         # already DOUBLE (a no-op cast) — the types must agree
@@ -809,6 +938,49 @@ def _wrap_pipelines(
             cols.append(
                 f"{path} - lag({path}) OVER (ORDER BY {key} ASC) AS {n}"
             )
+    for name, spec in siblings.items():
+        pkind, p = _one(spec, f"sibling pipeline agg {name}")
+        bp = p.get("buckets_path")
+        if not isinstance(bp, str) or ">" not in bp:
+            raise ValueError(
+                f"es_dsl: sibling buckets_path must be 'parent>path', "
+                f"got {bp!r}"
+            )
+        pname, _, leaf = bp.partition(">")
+        if pname != parent_name:
+            raise ValueError(
+                f"es_dsl: sibling buckets_path parent {pname!r} is not "
+                f"the bucket agg {parent_name!r}"
+            )
+        path = resolve(leaf, pkind)
+        n = _ident(name)
+        fn = pkind.split("_")[0]  # avg | sum | min | max
+        # avg/sum over the UNORDERED whole-relation frame are
+        # order-dependent on doubles (engines sum the frame in
+        # different row orders — a last-ulp flip was caught live), so
+        # they follow the module's DECIMAL discipline: exact-decimal
+        # window sum, divide/emit as the raw IEEE double. min/max and
+        # integer paths are order-independent as-is.
+        if path == "doc_count":
+            dsum = "cast(sum(doc_count) OVER () AS DOUBLE)"
+            if fn == "sum":
+                cols.append(
+                    f"cast(sum(doc_count) OVER () AS BIGINT) AS {n}"
+                )
+            elif fn == "avg":
+                cols.append(f"{dsum} / count(*) OVER () AS {n}")
+            else:
+                cols.append(
+                    f"cast({fn}(doc_count) OVER () AS BIGINT) AS {n}"
+                )
+        else:
+            dsum = f"cast(sum(cast({path} AS {_DEC})) OVER () AS DOUBLE)"
+            if fn == "sum":
+                cols.append(f"{dsum} AS {n}")
+            elif fn == "avg":
+                cols.append(f"{dsum} / count({path}) OVER () AS {n}")
+            else:
+                cols.append(f"cast({fn}({path}) OVER () AS DOUBLE) AS {n}")
     pipe = ",\n       ".join(cols)
     return f"""
 SELECT b.*,
@@ -1506,6 +1678,52 @@ PIPELINE_AGG_BODY = {
     }},
 }
 
+MATCH_AND_BODY = {
+    # operator: and — every analyzed term required; still BM25-scored
+    "query": {"match": {"text": {"query": "table scan", "operator": "and"}}},
+    "size": 20,
+}
+
+FUZZY_BODY = {
+    # 'scna' is one transposition (two substitutions) from 'scan';
+    # AUTO on a 4-char term allows 1 edit, so pin fuzziness: 2
+    "query": {"fuzzy": {"text": {"value": "scna", "fuzziness": 2}}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 30,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
+SEARCH_AFTER_BODY = {
+    # deep pagination: resume strictly after (n_chars=350, doc_id=123)
+    "query": {"term": {"lang": "en"}},
+    "sort": [{"n_chars": {"order": "desc"}}],
+    "search_after": [350, 123],
+    "size": 20,
+    "_source": ["doc_id", "n_chars"],
+}
+
+SIBLING_PIPELINE_BODY = {
+    "query": {"term": {"event_type": "purchase"}},
+    "aggs": {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"v_sum": {"sum": {"field": "value"}}},
+        },
+        # sibling pipelines: one scalar each over daily's buckets,
+        # rendered as constant columns beside the buckets
+        "avg_daily": {"avg_bucket": {"buckets_path": "daily>v_sum"}},
+        "max_daily": {"max_bucket": {"buckets_path": "daily>v_sum"}},
+        "total_docs": {"sum_bucket": {"buckets_path": "daily>_count"}},
+    },
+}
+
+COUNT_BODY = {
+    "query": {"bool": {
+        "filter": [{"term": {"lang": "en"}}],
+        "must_not": [{"range": {"n_chars": {"lt": 120}}}],
+    }},
+}
+
 RANGE_AGG_BODY = {
     "aggs": {
         "len_buckets": {
@@ -1604,5 +1822,29 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "events", PIPELINE_AGG_BODY, "duck", "event_id"
             ),
+        },
+        "es_dsl_match_and_scored": {
+            "fn": _entry("documents", MATCH_AND_BODY, "doc_id"),
+            "oracle": compile_search("documents", MATCH_AND_BODY, "duck"),
+        },
+        "es_dsl_fuzzy": {
+            "fn": _entry("documents", FUZZY_BODY, "doc_id"),
+            "oracle": compile_search("documents", FUZZY_BODY, "duck"),
+        },
+        "es_dsl_search_after": {
+            "fn": _entry("documents", SEARCH_AFTER_BODY, "doc_id"),
+            "oracle": compile_search("documents", SEARCH_AFTER_BODY, "duck"),
+        },
+        "es_dsl_sibling_pipeline": {
+            "fn": _entry("events", SIBLING_PIPELINE_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", SIBLING_PIPELINE_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_count": {
+            "fn": lambda spark, sf_dir: spark.sql(
+                compile_count("documents", COUNT_BODY, "spark")
+            ),
+            "oracle": compile_count("documents", COUNT_BODY, "duck"),
         },
     }

@@ -170,7 +170,8 @@ def test_terms_agg_orders_by_count_then_key(tiny):
 
 def test_unsupported_dsl_raises_loudly():
     for body, msg in [
-        ({"query": {"fuzzy": {"text": "x"}}}, "unsupported query clause"),
+        ({"query": {"more_like_this": {"fields": ["text"]}}},
+         "unsupported query clause"),
         ({"query": {"bool": {"boost": 2}}}, "unsupported bool keys"),
         ({"query": {"match": {"text": "  "}}}, "empty query string"),
         ({"suggest": {}}, "unsupported body keys"),
@@ -718,6 +719,133 @@ def test_nested_three_levels_semantics(tiny):
     ]
 
 
+def test_match_operator_and(tiny):
+    """operator: and requires EVERY analyzed term; filter and scored
+    contexts agree on membership."""
+    filt = {"query": {"match": {"text": {"query": "beta gamma",
+                                         "operator": "and"}}},
+            "sort": [{"doc_id": "asc"}], "size": 10}
+    # beta AND gamma: docs 1, 2, 5
+    assert _ids(tiny, _search(filt)) == [1, 2, 5]
+    scored = {"query": {"match": {"text": {"query": "beta gamma",
+                                           "operator": "and"}}}, "size": 10}
+    assert sorted(r[0] for r in tiny.execute(_search(scored)).fetchall()) == [
+        1, 2, 5]
+    with pytest.raises(ValueError, match="bad match operator"):
+        compile_search("docs", {"query": {"match": {"text": {
+            "query": "x", "operator": "xor"}}}}, "duck")
+    with pytest.raises(ValueError, match="unsupported match keys"):
+        compile_search("docs", {"query": {"match": {"text": {
+            "query": "x", "boost": 2}}}}, "duck")
+
+
+def test_fuzzy_semantics(tiny):
+    """Token-level edit-distance match with the ES AUTO ladder."""
+    # 'alpa' is 1 edit from 'alpha': AUTO on 4 chars = 1 edit
+    body = {"query": {"fuzzy": {"text": "alpa"}},
+            "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, _search(body)) == [1, 4, 5, 8]
+    # 0 edits: no exact token 'alpa' anywhere
+    tight = {"query": {"fuzzy": {"text": {"value": "alpa", "fuzziness": 0}}},
+             "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, _search(tight)) == []
+    # AUTO on a 2-char term means exact
+    assert _ids(tiny, _search(
+        {"query": {"fuzzy": {"text": "ze"}},
+         "sort": [{"doc_id": "asc"}], "size": 10})) == []
+    with pytest.raises(ValueError, match="bad fuzziness"):
+        compile_search("docs", {"query": {"fuzzy": {"text": {
+            "value": "x", "fuzziness": 9}}}}, "duck")
+    with pytest.raises(ValueError, match="unsupported fuzzy keys"):
+        compile_search("docs", {"query": {"fuzzy": {"text": {
+            "value": "x", "boost": 2}}}}, "duck")
+
+
+def test_search_after_walks_hits(tiny):
+    """search_after pages concatenate to the full sorted hit list —
+    the deep-pagination contract (strictly after, order-aware)."""
+    def body(after=None):
+        b = {"query": {"exists": {"field": "lang"}},
+             "sort": [{"n": {"order": "desc"}}],
+             "_source": ["doc_id", "n"], "size": 3}
+        if after:
+            b["search_after"] = after
+        return b
+
+    full = tiny.execute(_search(dict(body(), size=100))).fetchall()
+    assert [r[0] for r in full] == [8, 6, 5, 4, 3, 2, 1]
+    walked, after = [], None
+    while True:
+        page = tiny.execute(_search(body(after))).fetchall()
+        if not page:
+            break
+        walked += page
+        after = [page[-1][1], page[-1][0]]  # (n value, id tiebreak)
+    assert walked == full
+    with pytest.raises(ValueError, match="one value per effective"):
+        compile_search("docs", dict(body([10]), size=3), "duck")
+    with pytest.raises(ValueError, match="search_after replaces from"):
+        compile_search("docs", {**body([10, 1]), "from": 2}, "duck")
+
+
+def test_sibling_pipeline_scalars(tiny):
+    """avg/sum/min/max_bucket: one scalar over the parent's buckets,
+    rendered as a constant column; buckets_path must name the parent."""
+    body = {"aggs": {
+        "bands": {
+            "histogram": {"field": "n", "interval": 40},
+            "aggs": {"ns": {"sum": {"field": "n"}}},
+        },
+        "avg_ns": {"avg_bucket": {"buckets_path": "bands>ns"}},
+        "max_ns": {"max_bucket": {"buckets_path": "bands>ns"}},
+        "docs_total": {"sum_bucket": {"buckets_path": "bands>_count"}},
+    }}
+    rows = tiny.execute(compile_search("docs", body, "duck")).fetchall()
+    # bands: 0 -> ns 60 (3 docs), 40 -> ns 220 (4), 80 -> ns 80 (1)
+    assert [(r[0], r[1], r[2]) for r in rows] == [
+        (0.0, 3, 60.0), (40.0, 4, 220.0), (80.0, 1, 80.0)]
+    for r in rows:  # scalars constant on every bucket row
+        assert r[3] == (60 + 220 + 80) / 3
+        assert r[4] == 220.0
+        assert r[5] == 8
+    with pytest.raises(ValueError, match="is not the bucket agg"):
+        compile_search("docs", {"aggs": {
+            "bands": {"histogram": {"field": "n", "interval": 40}},
+            "x": {"avg_bucket": {"buckets_path": "other>_count"}},
+        }}, "duck")
+    with pytest.raises(ValueError, match="histogram-family parent"):
+        compile_search("docs", {"aggs": {
+            "t": {"terms": {"field": "lang"}},
+            "x": {"avg_bucket": {"buckets_path": "t>_count"}},
+        }}, "duck")
+
+
+def test_count_api(tiny):
+    """_count: matching-doc count under an optional query body."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        compile_count,
+    )
+
+    sql = compile_count("docs", {"query": {"term": {"lang": "en"}}}, "duck")
+    assert tiny.execute(sql).fetchall() == [(3,)]
+    assert tiny.execute(compile_count("docs", {}, "duck")).fetchall() == [(8,)]
+    with pytest.raises(ValueError, match="_count takes only"):
+        compile_count("docs", {"size": 5}, "duck")
+
+
+def test_es_count_gateway(spark, tables, sf_dir):
+    from golang_db_query_engine_elasticsearch_indexer_spark import es_count
+    from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+        ParamsNullError,
+    )
+
+    n_en = es_count(spark, "documents", {"query": {"term": {"lang": "en"}}})
+    n_all = es_count(spark, "documents")
+    assert 0 < n_en < n_all
+    with pytest.raises(ParamsNullError):
+        es_count(spark, None, {})
+
+
 # --- differential fuzz: the two dialects must agree for ANY body -------------
 
 
@@ -731,7 +859,10 @@ def _body_strategy():
         {"exists": {"field": "source"}}, {"ids": {"values": [1, 3, 5, 7]}},
         {"prefix": {"source": "ne"}}, {"wildcard": {"source": "*e*"}},
         {"match": {"text": "alpha delta"}},
+        {"match": {"text": {"query": "beta gamma", "operator": "and"}}},
         {"match_phrase": {"text": "beta alpha"}},
+        {"fuzzy": {"text": "alpa"}},
+        {"fuzzy": {"text": {"value": "gama", "fuzziness": 1}}},
         {"range": {"n": {"gte": 20, "lt": 70}}},
         {"range": {"n": {"gt": 40}}},
         {"match_all": {}},
@@ -816,6 +947,8 @@ def test_cross_engine_differential_grid(spark, tiny):
         {"match": {"text": "alpha delta"}},
         {"match_phrase": {"text": "beta alpha"}},
         {"range": {"n": {"gte": 20, "lt": 70}}},
+        {"match": {"text": {"query": "beta gamma", "operator": "and"}}},
+        {"fuzzy": {"text": "alpa"}},
     ]
     bodies = [{"query": t, "size": 8} for t in terms]
     for i, a in enumerate(terms[:4]):

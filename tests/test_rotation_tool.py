@@ -334,13 +334,15 @@ def test_r09_window_matches_executed_roll():
     # (1) the window IS the driver's first-50 slice of queries()
     assert names[:50] == w
     # (2) the r08 close-out held: the only entries without capped
-    # evidence are this round's registrations, and they all lead
+    # evidence are this round's registrations, and they lead the
+    # window together with the changed-kernel re-checks (mid-round
+    # registration batches interleave with the re-checks, so the
+    # leading block is asserted as a SET — the driver contract is
+    # set-level anyway)
     net_new = [n for n in names if not ev.get(n)]
-    assert set(w[: len(net_new)]) == set(net_new)
-    # (3) the changed-kernel re-checks hold slots right after
     taken = set(net_new) | set(_CHANGED_R09)
-    assert set(_CHANGED_R09) <= set(w)
-    # (4) the remaining slots are pure re-rotation, oldest first
+    assert set(w[: len(taken)]) == taken
+    # (3) the remaining slots are pure re-rotation, oldest first
     pool = sorted(
         (n for n in names if ev.get(n) and n not in taken),
         key=lambda n: (ev[n], n),
