@@ -102,6 +102,21 @@ def es_search(
     return collect_envelope(es_search_df(spark, index, body), max_rows=max_rows)
 
 
+def es_msearch(
+    spark: SparkSession, searches: list[tuple[str, dict]]
+) -> list[DataFrame]:
+    """`POST /_msearch` parity: a batch of (index, body) searches
+    compiled together, returned as a list of LAZY DataFrames in request
+    order. Every body validates (loudly) before any plan executes —
+    the all-or-nothing contract a batch API needs; execution stays
+    caller-driven so the engine never runs half a batch implicitly."""
+    if searches is None or any(
+        ix is None or body is None for ix, body in searches
+    ):
+        raise ParamsNullError()
+    return [es_search_df(spark, ix, body) for ix, body in searches]
+
+
 def es_count(spark: SparkSession, index: str, body: dict | None = None) -> int:
     """`GET /{index}/_count` parity: matching-doc count under an
     optional query-context body (None/{} = match_all, the ES default).

@@ -217,6 +217,26 @@ def _query_expr(q: dict, dialect: str, id_field: str) -> str:
             f"len(list_filter({te}, t -> levenshtein(t, {lit}) <= {fuzz}))"
             " > 0"
         )
+    if kind == "match_phrase_prefix":
+        f, v = _one(body, "match_phrase_prefix")
+        if isinstance(v, dict):
+            v = v["query"]
+        toks = _analyze(v)
+        if not toks:
+            raise ValueError(
+                "es_dsl: match_phrase_prefix with an empty query string"
+            )
+        te = _tokens_expr(_ident(f), dialect)
+        joined = (
+            f"concat(' ', array_join({te}, ' '), ' ')"
+            if dialect == "spark"
+            else f"' ' || array_to_string({te}, ' ') || ' '"
+        )
+        # phrase adjacency, but the LAST term matches as a PREFIX: the
+        # needle keeps its leading token boundary and drops the
+        # trailing one, so 'quick bro' hits 'quick brown'
+        needle = " ".join(toks)
+        return f"{joined} LIKE '%{_like_escape(' ' + needle)}%' ESCAPE '!'"
     if kind == "match_phrase":
         f, v = _one(body, "match_phrase")
         if isinstance(v, dict):
@@ -647,7 +667,8 @@ LIMIT {limit}
 
 # --- aggregation context -----------------------------------------------------
 
-_METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality", "stats"}
+_METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality",
+            "stats", "extended_stats"}
 
 
 # Float discipline for sum/avg: double summation is ORDER-dependent,
@@ -683,6 +704,38 @@ def _metric_cols(name: str, kind: str, field: str, dialect: str) -> list[str]:
             f"{exact_sum} / count({f}) AS {name}_avg",
             f"{exact_sum} AS {name}_sum",
         ]
+    if kind == "extended_stats":
+        # ES extended_stats: stats + sum_of_squares + POPULATION
+        # variance/std. The squares quantize to DECIMAL first (exact,
+        # order-independent), then variance/std are the raw IEEE
+        # doubles of identical arithmetic on identical operands in
+        # both engines — same discipline as sum/avg. The square
+        # operands are DECIMAL(18,6), NOT the module _DEC(28,6):
+        # multiplying two (28,6) needs precision 57, which overflows
+        # DuckDB's 38-digit cap and silently degrades to a DOUBLE
+        # product (order-dependent sum — caught live at sf0.1);
+        # (18,6)x(18,6) -> (37,12) stays exact in both engines. The
+        # exact DECIMAL(38,12) sums agree bit-for-bit, but DuckDB's
+        # int128 -> DOUBLE cast is off by one ulp when the scaled
+        # integer exceeds 2^53 (caught live at sf0.1); rounding the
+        # exact sum to 4 dp first (lossless: 2-dp inputs square to
+        # exactly 4 dp) keeps the scaled integer in the exact range,
+        # where both engines' casts round correctly.
+        sq = (
+            f"cast(round(sum(cast({f} AS DECIMAL(18, 6))"
+            f" * cast({f} AS DECIMAL(18, 6))), 4) AS DOUBLE)"
+        )
+        var = f"({sq} - ({exact_sum} * {exact_sum}) / count({f})) / count({f})"
+        return [
+            f"count({f}) AS {name}_count",
+            f"round(min({f}), 4) AS {name}_min",
+            f"round(max({f}), 4) AS {name}_max",
+            f"{exact_sum} / count({f}) AS {name}_avg",
+            f"{exact_sum} AS {name}_sum",
+            f"{sq} AS {name}_sum_of_squares",
+            f"{var} AS {name}_variance",
+            f"sqrt({var}) AS {name}_std_deviation",
+        ]
     return [f"round({kind}({f}), 4) AS {name}"]
 
 
@@ -709,6 +762,11 @@ def _bucket_key(kind: str, b: dict, dialect: str) -> tuple[str, str]:
     else by key)."""
     f = _ident(b["field"])
     if kind == "terms":
+        if "missing" in b:
+            # ES terms `missing`: docs lacking the field bucket under
+            # the given stand-in key instead of being dropped
+            e = f"coalesce({f}, {_lit(b['missing'], dialect)})"
+            return e, e
         return f, f
     if kind == "date_histogram":
         unit = b.get("calendar_interval", "day")
@@ -848,6 +906,15 @@ def compile_aggs(
             index, b, inner[0], metrics, where, key, dialect
         )
 
+    if kind == "missing":
+        # ES missing agg: ONE bucket of docs lacking the field
+        if set(b) != {"field"}:
+            raise ValueError("es_dsl: missing takes only a field")
+        return f"""
+SELECT count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE ({where}) AND {_ident(b["field"])} IS NULL
+"""
     if kind == "terms":
         if pipelines:
             # ES requires a histogram-family parent for these — terms
@@ -855,14 +922,41 @@ def compile_aggs(
             raise ValueError(
                 "es_dsl: pipeline aggs need a histogram-family parent"
             )
-        f = _ident(b["field"])
+        bad = set(b) - {"field", "size", "order", "missing"}
+        if bad:
+            raise ValueError(f"es_dsl: unsupported terms keys {sorted(bad)}")
+        key_expr, _ = _bucket_key("terms", b, dialect)
         size = int(b.get("size", 10))
+        # ES terms `order`: _count (the default), _key, or a sibling
+        # metric name; non-key orders carry the key tiebreak so the
+        # top-N window stays total
+        oby = f"doc_count DESC, {key} ASC"
+        if "order" in b:
+            target, d = _one(b["order"], "terms order")
+            d = d.lower() if isinstance(d, str) else d
+            if d not in ("asc", "desc"):
+                raise ValueError(f"es_dsl: bad terms order {d!r}")
+            simple = {
+                n for n, sp in metric_specs
+                if next(iter(sp)) not in ("stats", "extended_stats")
+            }
+            if target == "_key":
+                oby = f"{key} {d.upper()}"
+            elif target == "_count":
+                oby = f"doc_count {d.upper()}, {key} ASC"
+            elif target in simple:
+                oby = f"{target} {d.upper()}, {key} ASC"
+            else:
+                raise ValueError(
+                    f"es_dsl: terms order target {target!r} is neither "
+                    "_key, _count, nor a sibling single-value metric"
+                )
         return f"""
-SELECT {f} AS {key}, count(*) AS doc_count{metrics}
+SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
 WHERE {where}
-GROUP BY {f}
-ORDER BY doc_count DESC, {key} ASC
+GROUP BY {key_expr}
+ORDER BY {oby}
 LIMIT {size}
 """
     key_expr, order_expr = _bucket_key(kind, b, dialect)
@@ -1717,6 +1811,33 @@ SIBLING_PIPELINE_BODY = {
     },
 }
 
+EXTENDED_STATS_BODY = {
+    "query": {"range": {"ts": {"gte": "2024-01-04"}}},
+    "aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 5},
+        "aggs": {"v": {"extended_stats": {"field": "value"}}},
+    }},
+}
+
+TERMS_ORDER_BODY = {
+    # buckets ordered by a sibling metric, not doc_count — the ES
+    # terms `order` parameter
+    "aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 4,
+                  "order": {"v_avg": "desc"}},
+        "aggs": {"v_avg": {"avg": {"field": "value"}}},
+    }},
+}
+
+MATCH_PHRASE_PREFIX_BODY = {
+    # adjacency with the last term as a prefix: 'table sc' hits
+    # 'table scan', 'table scans', ...
+    "query": {"match_phrase_prefix": {"text": "table sc"}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 40,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
 COUNT_BODY = {
     "query": {"bool": {
         "filter": [{"term": {"lang": "en"}}],
@@ -1846,5 +1967,23 @@ def registry() -> dict[str, dict]:
                 compile_count("documents", COUNT_BODY, "spark")
             ),
             "oracle": compile_count("documents", COUNT_BODY, "duck"),
+        },
+        "es_dsl_extended_stats": {
+            "fn": _entry("events", EXTENDED_STATS_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", EXTENDED_STATS_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_terms_order_metric": {
+            "fn": _entry("events", TERMS_ORDER_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", TERMS_ORDER_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_match_phrase_prefix": {
+            "fn": _entry("documents", MATCH_PHRASE_PREFIX_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", MATCH_PHRASE_PREFIX_BODY, "duck"
+            ),
         },
     }

@@ -846,6 +846,101 @@ def test_es_count_gateway(spark, tables, sf_dir):
         es_count(spark, None, {})
 
 
+def test_match_phrase_prefix(tiny):
+    """Adjacency with the last term as a prefix: 'beta al' hits 'beta
+    alpha' (docs 4, 5) but not 'alpha beta' (doc 1)."""
+    body = {"query": {"match_phrase_prefix": {"text": "Beta AL"}},
+            "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, _search(body)) == [4, 5]
+    # single term = plain prefix on a token boundary
+    body = {"query": {"match_phrase_prefix": {"text": "eps"}},
+            "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, _search(body)) == [3, 7]
+    with pytest.raises(ValueError, match="empty query string"):
+        compile_search("docs", {"query": {"match_phrase_prefix": {
+            "text": "  "}}}, "duck")
+
+
+def test_terms_order_param(tiny):
+    """ES terms order: _key, _count direction, or a sibling metric."""
+    by_key = {"aggs": {"t": {"terms": {
+        "field": "lang", "size": 10, "order": {"_key": "asc"}}}}}
+    rows = tiny.execute(compile_search("docs", by_key, "duck")).fetchall()
+    assert [r[0] for r in rows] == ["de", "en", "fr", None]
+    by_metric = {"aggs": {"t": {
+        "terms": {"field": "lang", "size": 10, "order": {"nmax": "desc"}},
+        "aggs": {"nmax": {"max": {"field": "n"}}},
+    }}}
+    rows = tiny.execute(compile_search("docs", by_metric, "duck")).fetchall()
+    # max n per lang: en 80, fr 60, de 40, NULL 70 -> desc: en, NULL, fr, de
+    assert [r[0] for r in rows] == ["en", None, "fr", "de"]
+    with pytest.raises(ValueError, match="neither _key, _count"):
+        compile_search("docs", {"aggs": {"t": {"terms": {
+            "field": "lang", "order": {"nope": "desc"}}}}}, "duck")
+    with pytest.raises(ValueError, match="unsupported terms keys"):
+        compile_search("docs", {"aggs": {"t": {"terms": {
+            "field": "lang", "min_doc_count": 2}}}}, "duck")
+
+
+def test_terms_missing_and_missing_agg(tiny):
+    """terms `missing` buckets NULL under the stand-in key; the
+    `missing` agg counts docs lacking the field."""
+    body = {"aggs": {"t": {"terms": {
+        "field": "lang", "size": 10, "missing": "unknown"}}}}
+    rows = tiny.execute(compile_search("docs", body, "duck")).fetchall()
+    assert ("unknown", 1) in rows and not any(r[0] is None for r in rows)
+    miss = {"aggs": {"m": {"missing": {"field": "source"},
+                           "aggs": {"navg": {"avg": {"field": "n"}}}}}}
+    rows = tiny.execute(compile_search("docs", miss, "duck")).fetchall()
+    assert rows == [(1, 40.0)]  # doc 4: source NULL, n=40
+    with pytest.raises(ValueError, match="missing takes only"):
+        compile_search("docs", {"aggs": {"m": {"missing": {
+            "field": "source", "size": 2}}}}, "duck")
+
+
+def test_extended_stats_semantics(tiny):
+    """Population variance/std from exact decimal sums, hand-checked."""
+    body = {"aggs": {"t": {
+        "terms": {"field": "lang", "size": 1},
+        "aggs": {"es": {"extended_stats": {"field": "n"}}},
+    }}}
+    row = tiny.execute(compile_search("docs", body, "duck")).fetchall()[0]
+    # top lang en: n = 10, 20, 80
+    key, dc, cnt, mn, mx, avg, total, ss, var, std = row
+    assert (key, dc, cnt, mn, mx) == ("en", 3, 3, 10, 80)
+    assert total == 110.0 and ss == 100 + 400 + 6400
+    mean = 110 / 3
+    want_var = (6900 - 110 * 110 / 3) / 3
+    assert var == want_var and avg == mean
+    assert std == want_var ** 0.5
+
+
+def test_es_msearch_gateway(spark, tables, sf_dir):
+    """_msearch: a batch of lazy searches, all-or-nothing validation."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import es_msearch
+    from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+        ParamsNullError,
+    )
+
+    dfs = es_msearch(spark, [
+        ("documents", {"query": {"term": {"lang": "en"}}, "size": 5,
+                       "_source": ["doc_id"]}),
+        ("events", {"aggs": {"t": {"terms": {"field": "event_type",
+                                             "size": 3}}}}),
+    ])
+    assert len(dfs) == 2
+    assert len(dfs[0].collect()) == 5
+    assert len(dfs[1].collect()) == 3
+    # one bad body fails the WHOLE batch before anything executes
+    with pytest.raises(ValueError, match="unsupported query clause"):
+        es_msearch(spark, [
+            ("documents", {"query": {"term": {"lang": "en"}}}),
+            ("documents", {"query": {"more_like_this": {}}}),
+        ])
+    with pytest.raises(ParamsNullError):
+        es_msearch(spark, [("documents", None)])
+
+
 # --- differential fuzz: the two dialects must agree for ANY body -------------
 
 
@@ -949,6 +1044,8 @@ def test_cross_engine_differential_grid(spark, tiny):
         {"range": {"n": {"gte": 20, "lt": 70}}},
         {"match": {"text": {"query": "beta gamma", "operator": "and"}}},
         {"fuzzy": {"text": "alpa"}},
+        {"match_phrase_prefix": {"text": "beta al"}},
+        {"match_phrase_prefix": {"text": "eps"}},
     ]
     bodies = [{"query": t, "size": 8} for t in terms]
     for i, a in enumerate(terms[:4]):
