@@ -217,6 +217,15 @@ def _query_expr(q: dict, dialect: str, id_field: str) -> str:
             f"len(list_filter({te}, t -> levenshtein(t, {lit}) <= {fuzz}))"
             " > 0"
         )
+    if kind == "constant_score":
+        # scoring wrapper; in filter context only the inner filter
+        # membership matters (the boost has no relational meaning)
+        bad = set(body) - {"filter", "boost"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported constant_score keys {sorted(bad)}"
+            )
+        return _query_expr(body["filter"], dialect, id_field)
     if kind == "match_phrase_prefix":
         f, v = _one(body, "match_phrase_prefix")
         if isinstance(v, dict):
@@ -809,13 +818,17 @@ def _range_case(f: str, ranges: list, dialect: str) -> tuple[str, str]:
                     "es_dsl: overlapping range buckets are unsupported"
                 )
     whens, orders = [], []
-    for i, (lo, hi) in enumerate(edges):
+    for i, ((lo, hi), r) in enumerate(zip(edges, ranges)):
         conds = []
         if lo is not None:
             conds.append(f"{f} >= {_lit(lo, dialect)}")
         if hi is not None:
             conds.append(f"{f} < {_lit(hi, dialect)}")
-        label = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        # ES keyed ranges: an explicit per-range "key" names the bucket
+        label = r.get(
+            "key", f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        )
+        label = str(label).replace("'", "''")
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{label}'")
         orders.append(f"WHEN {' AND '.join(conds)} THEN {i}")
     case = "CASE " + " ".join(whens) + " END"
@@ -914,6 +927,24 @@ def compile_aggs(
 SELECT count(*) AS doc_count{metrics}
 FROM {_ident(index)}
 WHERE ({where}) AND {_ident(b["field"])} IS NULL
+"""
+    if kind == "filter":
+        # ES filter agg: ONE bucket under an extra filter clause —
+        # the body of the agg IS the query clause
+        sub_where = _query_expr(b, dialect, id_field)
+        return f"""
+SELECT count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE ({where}) AND coalesce({sub_where}, FALSE)
+"""
+    if kind == "global":
+        # ES global agg: ONE bucket over the WHOLE index, ignoring the
+        # search query — the "compare against everything" idiom
+        if b != {}:
+            raise ValueError("es_dsl: global takes an empty body")
+        return f"""
+SELECT count(*) AS doc_count{metrics}
+FROM {_ident(index)}
 """
     if kind == "terms":
         if pipelines:
@@ -1838,6 +1869,23 @@ MATCH_PHRASE_PREFIX_BODY = {
     "_source": ["doc_id", "lang", "n_chars"],
 }
 
+FILTER_AGG_BODY = {
+    "query": {"range": {"ts": {"gte": "2024-01-02"}}},
+    "aggs": {"purchases": {
+        "filter": {"term": {"event_type": "purchase"}},
+        "aggs": {"v": {"stats": {"field": "value"}}},
+    }},
+}
+
+GLOBAL_AGG_BODY = {
+    # the query scopes hits; global ignores it — corpus-wide baseline
+    "query": {"term": {"lang": "en"}},
+    "aggs": {"all_docs": {
+        "global": {},
+        "aggs": {"chars": {"avg": {"field": "n_chars"}}},
+    }},
+}
+
 COUNT_BODY = {
     "query": {"bool": {
         "filter": [{"term": {"lang": "en"}}],
@@ -1985,5 +2033,15 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "documents", MATCH_PHRASE_PREFIX_BODY, "duck"
             ),
+        },
+        "es_dsl_filter_agg": {
+            "fn": _entry("events", FILTER_AGG_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", FILTER_AGG_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_global_agg": {
+            "fn": _entry("documents", GLOBAL_AGG_BODY, "doc_id"),
+            "oracle": compile_search("documents", GLOBAL_AGG_BODY, "duck"),
         },
     }

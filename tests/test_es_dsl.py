@@ -423,6 +423,29 @@ def test_compiled_filters_push_to_parquet_scan(spark, tables, sf_dir):
     assert "text" not in read  # _source pruned the wide column away
 
 
+def test_search_after_predicate_reaches_the_scan(spark, tables, sf_dir):
+    """The search_after tuple predicate must prune at the parquet scan
+    (PushedFilters carries the Or tree over the sort keys) — the
+    plan-level property that makes page N cost what page 1 costs."""
+    import re
+
+    body = {
+        "query": {"term": {"lang": "en"}},
+        "sort": [{"n_chars": {"order": "desc"}}],
+        "search_after": [350, 123],
+        "size": 20,
+        "_source": ["doc_id", "n_chars"],
+    }
+    df = spark.sql(compile_search("documents", body, "spark"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan).group(1)
+    assert "Or(LessThan(n_chars,350)" in pushed.replace(" ", "")
+
+
 def test_percolate_semantics(tiny):
     """Reverse search on the tiny corpus: every (doc, stored-query)
     match pair from ONE scan, hand-derived."""
@@ -939,6 +962,46 @@ def test_es_msearch_gateway(spark, tables, sf_dir):
         ])
     with pytest.raises(ParamsNullError):
         es_msearch(spark, [("documents", None)])
+
+
+def test_filter_and_global_aggs(tiny):
+    """filter agg = one bucket under query AND extra clause; global
+    agg = one bucket over the whole index, ignoring the query."""
+    body = {"query": {"term": {"lang": "en"}},
+            "aggs": {"news_docs": {
+                "filter": {"term": {"source": "news"}},
+                "aggs": {"nsum": {"sum": {"field": "n"}}},
+            }}}
+    # en docs: 1, 2, 8; of those source=news: doc 1 only
+    assert tiny.execute(compile_search("docs", body, "duck")).fetchall() == [
+        (1, 10.0)]
+    gbody = {"query": {"term": {"lang": "en"}},
+             "aggs": {"everything": {
+                 "global": {},
+                 "aggs": {"navg": {"avg": {"field": "n"}}},
+             }}}
+    # global ignores lang=en: all 8 docs, avg n = 45
+    assert tiny.execute(compile_search("docs", gbody, "duck")).fetchall() == [
+        (8, 45.0)]
+    with pytest.raises(ValueError, match="global takes an empty body"):
+        compile_search("docs", {"aggs": {"g": {
+            "global": {"field": "n"}}}}, "duck")
+
+
+def test_constant_score_and_keyed_ranges(tiny):
+    """constant_score unwraps to its filter; range buckets honor the
+    ES per-range \"key\" label."""
+    body = {"query": {"constant_score": {
+        "filter": {"term": {"lang": "de"}}, "boost": 1.2}},
+        "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, _search(body)) == [3, 4]
+    keyed = {"aggs": {"b": {"range": {"field": "n", "ranges": [
+        {"to": 30, "key": "small"},
+        {"from": 30, "to": 60, "key": "mid"},
+        {"from": 60, "key": "big"},
+    ]}}}}
+    rows = tiny.execute(compile_search("docs", keyed, "duck")).fetchall()
+    assert rows == [("small", 2), ("mid", 3), ("big", 3)]
 
 
 # --- differential fuzz: the two dialects must agree for ANY body -------------
