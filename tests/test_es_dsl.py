@@ -1004,6 +1004,103 @@ def test_constant_score_and_keyed_ranges(tiny):
     assert rows == [("small", 2), ("mid", 3), ("big", 3)]
 
 
+def test_search_after_equals_from_size_property(tiny):
+    """PROPERTY: for any page size, walking with search_after yields
+    exactly the same hit sequence as deep from/size offsets — the two
+    pagination idioms must agree on every page boundary."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(psize=st.integers(1, 8),
+           order=st.sampled_from(["asc", "desc"]),
+           qsize=st.integers(0, 3))
+    @settings(
+        max_examples=25, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(psize, order, qsize):
+        q = ({"range": {"n": {"gte": 10 * qsize}}} if qsize
+             else {"match_all": {}})
+        base = {"query": q, "sort": [{"n": {"order": order}}],
+                "_source": ["doc_id", "n"], "size": psize}
+        # from/size walk
+        offset_pages = []
+        for off in range(0, 12, psize):
+            page = tiny.execute(_search({**base, "from": off})).fetchall()
+            offset_pages += page
+            if len(page) < psize:
+                break
+        # search_after walk
+        sa_pages, after = [], None
+        while True:
+            b = dict(base)
+            if after:
+                b["search_after"] = after
+            page = tiny.execute(_search(b)).fetchall()
+            if not page:
+                break
+            sa_pages += page
+            after = [page[-1][1], page[-1][0]]
+            if len(page) < psize:
+                break
+        assert sa_pages == offset_pages
+
+    prop()
+
+
+def test_agg_body_fuzz_compiles_and_runs(tiny):
+    """PROPERTY: any grammar-generated aggregation body compiles in
+    both dialects (pure function of the body) and the duck text
+    executes; bucket doc_counts are positive and sum to at most the
+    corpus size per single-membership bucket kind."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    bucket = st.sampled_from([
+        {"terms": {"field": "lang", "size": 5}},
+        {"terms": {"field": "lang", "size": 3, "order": {"_key": "asc"}}},
+        {"terms": {"field": "source", "missing": "none"}},
+        {"histogram": {"field": "n", "interval": 25}},
+        {"range": {"field": "n",
+                   "ranges": [{"to": 40}, {"from": 40, "key": "hi"}]}},
+        {"missing": {"field": "source"}},
+        {"filter": {"term": {"lang": "en"}}},
+        {"global": {}},
+    ])
+    metric = st.sampled_from([
+        {}, {"m": {"avg": {"field": "n"}}},
+        {"m": {"sum": {"field": "n"}}, "c": {"cardinality": {"field": "lang"}}},
+        {"m": {"extended_stats": {"field": "n"}}},
+    ])
+    query = st.sampled_from([
+        {"match_all": {}}, {"term": {"lang": "en"}},
+        {"range": {"n": {"gte": 20}}},
+    ])
+
+    @given(b=bucket, m=metric, q=query)
+    @settings(
+        max_examples=40, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(b, m, q):
+        spec = dict(b)
+        if m:
+            spec = {**b, "aggs": m}
+        body = {"query": q, "aggs": {"a": spec}}
+        d1 = compile_search("docs", body, "duck")
+        assert d1 == compile_search("docs", body, "duck")
+        compile_search("docs", body, "spark")  # both dialects compile
+        rows = tiny.execute(d1).fetchall()
+        kind = next(iter(b))
+        counts = [r[1] if kind not in ("missing", "filter", "global")
+                  else r[0] for r in rows]
+        assert all(c >= 0 for c in counts)
+        if kind != "global":
+            assert sum(counts) <= 8  # single-membership buckets
+
+    prop()
+
+
 # --- differential fuzz: the two dialects must agree for ANY body -------------
 
 
