@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""In-plan scaling probe: measured evidence for the "would this survive
+a scale-up" question.
+
+Registers k-times-scaled views of the sf0.1 fixtures (key-shifted
+self-unions — NO data is written; the union is part of the logical
+plan, so Spark honestly scans the parquet k times and shuffles k times
+the rows) and times representative headline kernels at k = 1/2/4/8:
+
+- agg scan        q1_pricing_summary (inventory SQL) over lineitem xk
+- 3-table join    q3_shipping_priority over customer/orders/lineitem xk
+                  (join keys shifted CONSISTENTLY across tables, so the
+                  join fan-out scales like real data, not quadratically)
+- BM25 scoring    the compiled es_dsl match_scored body over documents xk
+- terms agg       the compiled es_dsl terms+stats body over events xk
+- exact dedup     hash-groupBy over documents xk (each text now has k
+                  exact copies — the dedup load grows like a crawl's)
+
+Usage (repo root):  python tools/scale_probe.py [ks...]   # default 1 2 4 8
+
+Prints one JSON line per (kernel, k) and a final summary with the
+efficiency ratio t(k) / (k * t(1)) — ~1.0 means the kernel is
+scan/shuffle-bounded (linear); >>1 means something super-linear hides
+in the plan. Results are recorded in SCALE.md ("scaling probe").
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SF_DIR = "/root/testdata/sf0.1"
+# key shifts keep scaled ids disjoint AND referentially consistent
+B_ORDER = 100_000_000  # orderkey space per copy
+B_CUST = 10_000_000
+B_DOC = 10_000_000
+B_EVENT = 100_000_000
+B_USER = 10_000_000
+
+
+def register_scaled(spark, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cu = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    dc = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    def times(df, shifts: dict[str, int]):
+        parts = []
+        for i in range(k):
+            part = df
+            for col, base in shifts.items():
+                part = part.withColumn(col, F.col(col) + F.lit(i * base))
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    times(li, {"l_orderkey": B_ORDER}).createOrReplaceTempView("lineitem")
+    times(od, {"o_orderkey": B_ORDER, "o_custkey": B_CUST}).createOrReplaceTempView("orders")
+    times(cu, {"c_custkey": B_CUST}).createOrReplaceTempView("customer")
+    times(dc, {"doc_id": B_DOC}).createOrReplaceTempView("documents")
+    times(ev, {"event_id": B_EVENT, "user_id": B_USER}).createOrReplaceTempView("events")
+
+
+def kernels() -> dict[str, str]:
+    from golang_db_query_engine_elasticsearch_indexer_spark.inventory import (
+        SQL_QUERIES,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        MATCH_SCORED_BODY,
+        TERMS_AGG_BODY,
+        compile_search,
+    )
+
+    return {
+        "agg_scan_q1": SQL_QUERIES["q1_pricing_summary"]["sql"],
+        "join3_q3": SQL_QUERIES["q3_shipping_priority"]["sql"],
+        "bm25_match_scored": compile_search(
+            "documents", MATCH_SCORED_BODY, "spark"
+        ),
+        "es_terms_agg": compile_search(
+            "events", TERMS_AGG_BODY, "spark", "event_id"
+        ),
+        "dedup_exact_hash": (
+            "SELECT count(*) AS clusters, sum(n) AS docs FROM ("
+            "  SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep"
+            "  FROM documents GROUP BY md5(text))"
+        ),
+    }
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    ks = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8]
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    ker = kernels()
+    # warmup: JVM/codegen/footers at k=1
+    register_scaled(spark, 1)
+    for sql in ker.values():
+        spark.sql(sql).count()
+
+    base: dict[str, float] = {}
+    rows = []
+    for k in ks:
+        register_scaled(spark, k)
+        for name, sql in ker.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                spark.sql(sql).count()
+                best = min(best, time.time() - t0)
+            if k == ks[0]:
+                base[name] = best
+            eff = best / (k / ks[0] * base[name])
+            rec = {"kernel": name, "k": k, "sec": round(best, 3),
+                   "efficiency": round(eff, 3)}
+            rows.append(rec)
+            print(json.dumps(rec), flush=True)
+    summary = {
+        r["kernel"]: {str(r["k"]): (r["sec"], r["efficiency"])
+                      for r in rows if r["kernel"] == r["kernel"]}
+        for r in rows
+    }
+    for name in ker:
+        summary[name] = {
+            str(r["k"]): [r["sec"], r["efficiency"]]
+            for r in rows if r["kernel"] == name
+        }
+    print(json.dumps({"summary": summary}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
