@@ -3113,3 +3113,145 @@ def test_xlsx_extract_matches_duckdb_oracle(spark, tables, sf_dir, duck):
         xlsx_extract_cells(spark, sf_dir), duck, _xlsx_extract_oracle()
     )
     assert ok, diag
+
+# --- JPEG decode (real baseline Huffman + IDCT decoder, r09) -----------------
+
+
+def _handmade_jpeg():
+    """An 8x8 grayscale constant-130 baseline JPEG assembled
+    byte-by-byte in the TEST: marker layout, quant/Huffman tables, and
+    the entropy segment are hand-derived from the T.81 coding rules
+    (DC diff 2 -> category 2 -> canonical code 011 + bits 10, EOB 0,
+    1-pad -> 0x73), NOT produced by the module's encoder — pins the
+    decoder against an independent construction."""
+    import struct
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dc_bits = bytes((0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0))
+    ac_bits = bytes((1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    qtab = bytes((8,) + (16,) * 63)
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + qtab)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, b"\x00" + dc_bits + bytes(range(12)))
+        + seg(0xFFC4, b"\x10" + ac_bits + bytes([0x00]))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes([0x73])
+        + b"\xff\xd9"
+    )
+    return jpg
+
+
+def test_jpeg_decoder_known_vector():
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _parse_jpeg,
+    )
+
+    w, h, ch, px = _parse_jpeg(_handmade_jpeg())
+    assert (w, h, ch) == (8, 8, 1)
+    assert px == bytes([130] * 64)
+
+
+def test_jpeg_roundtrip_constant_blocks_exact():
+    """The driver-entry construction is bit-exact: any 0..255 block
+    values survive encode -> full Huffman+IDCT decode unchanged, for
+    every fixture geometry."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_jpeg,
+        _jpeg_block_values,
+        _jpeg_dims,
+        _parse_jpeg,
+    )
+
+    for doc_id in range(24):
+        w, h = _jpeg_dims(doc_id)
+        bx = w // 8
+        vals = _jpeg_block_values(doc_id, bx * (h // 8))
+        dw, dh, dc, px = _parse_jpeg(_build_jpeg(w, h, [vals]))
+        assert (dw, dh, dc) == (w, h, 1)
+        for y in range(h):
+            for x in range(w):
+                assert px[y * w + x] == vals[(y // 8) * bx + x // 8]
+
+
+def test_jpeg_color_and_subsampling():
+    """YCbCr conversion and 4:2:0 chroma upsampling, hand-checked."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_jpeg,
+        _parse_jpeg,
+    )
+
+    y_, cb, cr = 120, 140, 90
+    w, h, ch, px = _parse_jpeg(_build_jpeg(8, 8, [[y_], [cb], [cr]]))
+    assert (w, h, ch) == (8, 8, 3)
+    want = (
+        round(y_ + 1.402 * (cr - 128)),
+        round(y_ - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        round(y_ + 1.772 * (cb - 128)),
+    )
+    assert tuple(px[:3]) == want
+    assert px == bytes(want) * 64  # constant everywhere
+    # 4:2:0: one 16x16 MCU, luma blocks (0,0)..(1,1) = 100/110/120/130,
+    # constant chroma -> R differences equal the luma differences
+    w, h, ch, px = _parse_jpeg(_build_jpeg(
+        16, 16, [[100, 110, 120, 130], [140], [90]],
+        sampling=[(2, 2), (1, 1), (1, 1)],
+    ))
+    assert (w, h, ch) == (16, 16, 3)
+    r00 = px[0]
+    assert px[8 * 3] - r00 == 10          # right luma block
+    assert px[8 * 16 * 3] - r00 == 20     # lower luma block
+    assert px[(8 * 16 + 8) * 3] - r00 == 30
+
+
+def test_jpeg_restart_markers_and_cropping():
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_jpeg,
+        _parse_jpeg,
+    )
+
+    # DRI=1: a RSTn between every MCU, DC prediction resets each time
+    vals = [10, 250, 130, 66]
+    w, h, ch, px = _parse_jpeg(_build_jpeg(32, 8, [vals], dri=1))
+    assert [px[0], px[8], px[16], px[24]] == vals
+    # non-multiple-of-8 dims crop the padded blocks
+    w, h, ch, px = _parse_jpeg(_build_jpeg(12, 10, [[50, 60, 70, 80]]))
+    assert (w, h) == (12, 10) and len(px) == 120
+    assert (px[0], px[11], px[9 * 12], px[9 * 12 + 11]) == (50, 60, 70, 80)
+
+
+def test_jpeg_decoder_rejects_malformed():
+    import struct
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_jpeg,
+        _parse_jpeg,
+    )
+
+    good = _build_jpeg(8, 8, [[130]])
+    with pytest.raises(ValueError, match="no SOI"):
+        _parse_jpeg(b"JU" + good[2:])
+    # progressive (SOF2) must be rejected loudly, not mis-decoded
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="baseline SOF0"):
+        _parse_jpeg(prog)
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated|marker"):
+        _parse_jpeg(good[:-3])
+    # an all-ones entropy stream matches no canonical DC code
+    bad = good[:-3] + bytes([0xFF, 0x00, 0xFF, 0x00]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="invalid Huffman|marker"):
+        _parse_jpeg(bad)
+    # a scan referencing an undeclared table
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    hdr_end = good.index(b"\xff\xda")
+    bad_sos = good[:hdr_end] + seg(
+        0xFFDA, bytes([1, 1, 0x33, 0, 63, 0])
+    ) + good[hdr_end + 10:]
+    with pytest.raises(ValueError, match="undeclared table"):
+        _parse_jpeg(bad_sos)
