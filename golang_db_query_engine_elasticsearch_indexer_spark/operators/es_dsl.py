@@ -677,7 +677,7 @@ LIMIT {limit}
 # --- aggregation context -----------------------------------------------------
 
 _METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality",
-            "stats", "extended_stats"}
+            "stats", "extended_stats", "percentiles"}
 
 
 # Float discipline for sum/avg: double summation is ORDER-dependent,
@@ -692,8 +692,8 @@ _METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality",
 _DEC = "DECIMAL(28, 6)"
 
 
-def _metric_cols(name: str, kind: str, field: str, dialect: str) -> list[str]:
-    f = _ident(field)
+def _metric_cols(name: str, kind: str, m: dict, dialect: str) -> list[str]:
+    f = _ident(m["field"])
     exact_sum = f"cast(sum(cast({f} AS {_DEC})) AS DOUBLE)"
     if kind == "value_count":
         return [f"count({f}) AS {name}"]
@@ -745,6 +745,38 @@ def _metric_cols(name: str, kind: str, field: str, dialect: str) -> list[str]:
             f"{var} AS {name}_variance",
             f"sqrt({var}) AS {name}_std_deviation",
         ]
+    if kind == "percentiles":
+        # ES percentiles (default percents as in ES). ES's is
+        # approximate (TDigest); EXACT interpolated quantiles here for
+        # the differential — both engines share the (1-g)*a + g*b
+        # interpolation on the sorted values, so the raw doubles agree
+        # with no summation-order hazard. Column per percent:
+        # {name}_p50, {name}_p99_9 (dots -> underscores).
+        percents = m.get("percents", [1, 5, 25, 50, 75, 95, 99])
+        if not isinstance(percents, list) or not percents or not all(
+            isinstance(x, (int, float)) and not isinstance(x, bool)
+            and 0 <= x <= 100 for x in percents
+        ):
+            raise ValueError("es_dsl: percents must be numbers in [0, 100]")
+        cols = []
+        for pc in percents:
+            q = repr(pc / 100.0)
+            label = (f"{pc:g}").replace(".", "_").replace("-", "m")
+            fn = (
+                f"percentile({f}, {q})" if dialect == "spark"
+                else f"quantile_cont({f}, {q})"
+            )
+            # the engines' internal interpolation paths drift at
+            # ~1e-12 (caught live at p99.9), so outputs quantize
+            # through DECIMAL(18,6): with k-dp data and 3-digit
+            # percents the true value is an exact <=(k+3)-dp decimal,
+            # leaving >=5 orders of magnitude between the drift and
+            # the 6-dp half boundary — lossless AND flip-proof
+            cols.append(
+                f"cast(cast({fn} AS DECIMAL(18, 6)) AS DOUBLE)"
+                f" AS {name}_p{label}"
+            )
+        return cols
     return [f"round({kind}({f}), 4) AS {name}"]
 
 
@@ -760,7 +792,7 @@ def _metric_list(sub_aggs: list[tuple[str, dict]], dialect: str) -> list[str]:
         mkind, m = _one(sub_spec, f"sub-agg {sub_name}")
         if mkind not in _METRICS:
             raise ValueError(f"es_dsl: unsupported sub-agg {mkind!r}")
-        out += _metric_cols(_ident(sub_name), mkind, m["field"], dialect)
+        out += _metric_cols(_ident(sub_name), mkind, m, dialect)
     return out
 
 
@@ -1165,7 +1197,7 @@ def _compile_nested(
         mk, m = _one(msp, f"sub-agg {mn}")
         if mk not in _METRICS:
             raise ValueError(f"es_dsl: unsupported sub-agg {mk!r}")
-        leaf_metrics += _metric_cols(_ident(mn), mk, m["field"], dialect)
+        leaf_metrics += _metric_cols(_ident(mn), mk, m, dialect)
     if metrics:
         # ES would compute these per outer bucket; supporting both
         # levels doubles the aggregation shape — reject rather than
@@ -1869,6 +1901,16 @@ MATCH_PHRASE_PREFIX_BODY = {
     "_source": ["doc_id", "lang", "n_chars"],
 }
 
+PERCENTILES_BODY = {
+    "query": {"term": {"event_type": "purchase"}},
+    "aggs": {"by_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week"},
+        "aggs": {"v": {"percentiles": {
+            "field": "value", "percents": [25, 50, 95, 99.9],
+        }}},
+    }},
+}
+
 FILTER_AGG_BODY = {
     "query": {"range": {"ts": {"gte": "2024-01-02"}}},
     "aggs": {"purchases": {
@@ -2043,5 +2085,11 @@ def registry() -> dict[str, dict]:
         "es_dsl_global_agg": {
             "fn": _entry("documents", GLOBAL_AGG_BODY, "doc_id"),
             "oracle": compile_search("documents", GLOBAL_AGG_BODY, "duck"),
+        },
+        "es_dsl_percentiles": {
+            "fn": _entry("events", PERCENTILES_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", PERCENTILES_BODY, "duck", "event_id"
+            ),
         },
     }

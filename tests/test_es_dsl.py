@@ -964,6 +964,33 @@ def test_es_msearch_gateway(spark, tables, sf_dir):
         es_msearch(spark, [("documents", None)])
 
 
+def test_percentiles_metric(tiny):
+    """Exact interpolated quantiles, hand-checked: n values sorted,
+    rank = q*(n-1), linear interpolation between neighbors."""
+    body = {"aggs": {"all": {
+        "histogram": {"field": "n", "interval": 1000},
+        "aggs": {"p": {"percentiles": {
+            "field": "n", "percents": [0, 50, 75, 100],
+        }}},
+    }}}
+    rows = tiny.execute(compile_search("docs", body, "duck")).fetchall()
+    # n = 10..80: p0=10, p50=45, p75=62.5, p100=80
+    assert rows[0][2:] == (10.0, 45.0, 62.5, 80.0)
+    # default percents emit 7 columns; bad percents raise
+    dflt = {"aggs": {"all": {
+        "histogram": {"field": "n", "interval": 1000},
+        "aggs": {"p": {"percentiles": {"field": "n"}}},
+    }}}
+    assert len(tiny.execute(compile_search("docs", dflt, "duck"))
+               .fetchall()[0]) == 2 + 7
+    with pytest.raises(ValueError, match="percents must be"):
+        compile_search("docs", {"aggs": {"a": {
+            "histogram": {"field": "n", "interval": 10},
+            "aggs": {"p": {"percentiles": {"field": "n",
+                                           "percents": [150]}}},
+        }}}, "duck")
+
+
 def test_filter_and_global_aggs(tiny):
     """filter agg = one bucket under query AND extra clause; global
     agg = one bucket over the whole index, ignoring the query."""
