@@ -32,6 +32,7 @@ from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
 )
 from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (
     es_count,
+    es_mapping,
     es_msearch,
     es_search,
     es_search_df,
@@ -45,6 +46,7 @@ from golang_db_query_engine_elasticsearch_indexer_spark.session import (
 
 __all__ = [
     "es_count",
+    "es_mapping",
     "es_msearch",
     "es_search",
     "es_search_df",

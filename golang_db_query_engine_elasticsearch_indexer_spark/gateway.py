@@ -117,6 +117,22 @@ def es_msearch(
     return [es_search_df(spark, ix, body) for ix, body in searches]
 
 
+def es_mapping(spark: SparkSession, index: str) -> dict:
+    """`GET /{index}/_mapping` parity: the ES-style mapping of a
+    registered table, derived from its Spark schema by the same rule
+    the indexer's explicit-mapping create uses (indexer.
+    es_mapping_for_schema) — so what the read API reports is exactly
+    what the write path would create. Returns the ES response shape
+    ``{index: {"mappings": {...}}}``."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (  # noqa: PLC0415
+        es_mapping_for_schema,
+    )
+
+    if index is None:
+        raise ParamsNullError()
+    return {index: {"mappings": es_mapping_for_schema(spark.table(index).schema)}}
+
+
 def es_count(spark: SparkSession, index: str, body: dict | None = None) -> int:
     """`GET /{index}/_count` parity: matching-doc count under an
     optional query-context body (None/{} = match_all, the ES default).

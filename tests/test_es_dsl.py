@@ -856,6 +856,29 @@ def test_count_api(tiny):
         compile_count("docs", {"size": 5}, "duck")
 
 
+def test_es_mapping_gateway(spark, tables, sf_dir):
+    """_mapping parity: the read API reports exactly what the write
+    path's explicit-mapping create would declare."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import es_mapping
+    from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+        ParamsNullError,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (
+        es_mapping_for_schema,
+    )
+
+    got = es_mapping(spark, "documents")
+    assert set(got) == {"documents"}
+    props = got["documents"]["mappings"]["properties"]
+    assert props["doc_id"] == {"type": "long"}
+    assert props["text"]["type"] == "text"
+    assert got["documents"]["mappings"] == es_mapping_for_schema(
+        spark.table("documents").schema
+    )
+    with pytest.raises(ParamsNullError):
+        es_mapping(spark, None)
+
+
 def test_es_count_gateway(spark, tables, sf_dir):
     from golang_db_query_engine_elasticsearch_indexer_spark import es_count
     from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
