@@ -217,6 +217,33 @@ def _query_expr(q: dict, dialect: str, id_field: str) -> str:
             f"len(list_filter({te}, t -> levenshtein(t, {lit}) <= {fuzz}))"
             " > 0"
         )
+    if kind == "dis_max":
+        # best-match scoring wrapper; in filter context membership is
+        # the union of the sub-queries (a doc matching ANY scores)
+        bad = set(body) - {"queries", "tie_breaker"}
+        if bad:
+            raise ValueError(f"es_dsl: unsupported dis_max keys {sorted(bad)}")
+        subs = body.get("queries")
+        if not isinstance(subs, list) or not subs:
+            raise ValueError("es_dsl: dis_max wants a non-empty queries list")
+        parts = [
+            f"coalesce({_query_expr(c, dialect, id_field)}, FALSE)"
+            for c in subs
+        ]
+        return "(" + " OR ".join(parts) + ")"
+    if kind == "boosting":
+        # the negative clause DEMOTES, it does not exclude (ES
+        # semantics) — so filter-context membership is the positive
+        # clause alone; the demotion is a scoring effect this context
+        # drops by design
+        bad = set(body) - {"positive", "negative", "negative_boost"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported boosting keys {sorted(bad)}"
+            )
+        if "positive" not in body:
+            raise ValueError("es_dsl: boosting requires a positive clause")
+        return _query_expr(body["positive"], dialect, id_field)
     if kind == "constant_score":
         # scoring wrapper; in filter context only the inner filter
         # membership matters (the boost has no relational meaning)
@@ -1901,6 +1928,25 @@ MATCH_PHRASE_PREFIX_BODY = {
     "_source": ["doc_id", "lang", "n_chars"],
 }
 
+DIS_MAX_BODY = {
+    # dis_max union + a boosting wrapper inside one bool tree: the
+    # compound-query wrappers in filter context
+    "query": {"bool": {"filter": [
+        {"dis_max": {"queries": [
+            {"match": {"text": "merge"}},
+            {"match_phrase": {"text": "table scan"}},
+        ], "tie_breaker": 0.3}},
+        {"boosting": {
+            "positive": {"range": {"n_chars": {"gte": 80}}},
+            "negative": {"term": {"lang": "zh"}},
+            "negative_boost": 0.2,
+        }},
+    ]}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 40,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
 PERCENTILES_BODY = {
     "query": {"term": {"event_type": "purchase"}},
     "aggs": {"by_day": {
@@ -2091,5 +2137,9 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "events", PERCENTILES_BODY, "duck", "event_id"
             ),
+        },
+        "es_dsl_dis_max_boosting": {
+            "fn": _entry("documents", DIS_MAX_BODY, "doc_id"),
+            "oracle": compile_search("documents", DIS_MAX_BODY, "duck"),
         },
     }

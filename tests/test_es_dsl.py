@@ -1038,6 +1038,28 @@ def test_filter_and_global_aggs(tiny):
             "global": {"field": "n"}}}}, "duck")
 
 
+def test_dis_max_and_boosting_membership(tiny):
+    """dis_max membership = union of sub-queries; boosting membership
+    = the positive clause alone (the negative clause demotes, never
+    excludes — ES semantics the filter context must preserve)."""
+    dm = {"query": {"dis_max": {"queries": [
+        {"term": {"lang": "de"}}, {"match": {"text": "zeta"}},
+    ], "tie_breaker": 0.5}}, "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, _search(dm)) == [3, 4, 6, 7]
+    bo = {"query": {"boosting": {
+        "positive": {"range": {"n": {"gte": 50}}},
+        "negative": {"term": {"lang": "fr"}},  # demotes, must NOT drop
+        "negative_boost": 0.1,
+    }}, "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, _search(bo)) == [5, 6, 7, 8]
+    with pytest.raises(ValueError, match="non-empty queries list"):
+        compile_search("docs", {"query": {"dis_max": {"queries": []}}},
+                       "duck")
+    with pytest.raises(ValueError, match="requires a positive"):
+        compile_search("docs", {"query": {"boosting": {
+            "negative": {"term": {"lang": "fr"}}}}}, "duck")
+
+
 def test_constant_score_and_keyed_ranges(tiny):
     """constant_score unwraps to its filter; range buckets honor the
     ES per-range \"key\" label."""
