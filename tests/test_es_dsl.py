@@ -446,6 +446,30 @@ def test_search_after_predicate_reaches_the_scan(spark, tables, sf_dir):
     assert "Or(LessThan(n_chars,350)" in pushed.replace(" ", "")
 
 
+def test_nested3_plan_scans_corpus_once(spark, tables, sf_dir):
+    """The three-level nesting's scale claim, pinned at the plan level:
+    ONE parquet scan of the corpus feeds the (k1,k2,k3) aggregation;
+    all per-level totals/ranks are windows over the aggregated cells —
+    depth adds key columns to one shuffle, not extra scans."""
+    import re
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        NESTED3_BODY,
+    )
+
+    df = spark.sql(compile_search("events", NESTED3_BODY, "spark", "event_id"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # count scan NODES (the detail header), not tree-render lines
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"expected one corpus scan, plan has {scans}"
+    # and the time filter reached that scan
+    assert "GreaterThanOrEqual(ts," in plan
+
+
 def test_percolate_semantics(tiny):
     """Reverse search on the tiny corpus: every (doc, stored-query)
     match pair from ONE scan, hand-derived."""

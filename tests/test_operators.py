@@ -3255,3 +3255,38 @@ def test_jpeg_decoder_rejects_malformed():
     ) + good[hdr_end + 10:]
     with pytest.raises(ValueError, match="undeclared table"):
         _parse_jpeg(bad_sos)
+
+
+def test_jpeg_roundtrip_property():
+    """PROPERTY: any constant-block geometry (dims not necessarily
+    multiples of 8, any 0..255 block values, 1 or 3 components at
+    4:4:4) survives encode -> full decode bit-exactly on the sampled
+    pixels that map to a block's interior."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.multimodal import (
+        _build_jpeg,
+        _parse_jpeg,
+    )
+
+    @given(
+        bw=st.integers(1, 4), bh=st.integers(1, 3),
+        crop_x=st.integers(0, 7), crop_y=st.integers(0, 7),
+        seed=st.integers(0, 2**31),
+    )
+    @settings(max_examples=30, deadline=None)
+    def prop(bw, bh, crop_x, crop_y, seed):
+        import random
+
+        rnd = random.Random(seed)
+        vals = [rnd.randrange(256) for _ in range(bw * bh)]
+        w = bw * 8 - crop_x
+        h = bh * 8 - crop_y
+        dw, dh, dc, px = _parse_jpeg(_build_jpeg(w, h, [vals]))
+        assert (dw, dh, dc) == (w, h, 1)
+        for y in range(h):
+            for x in range(w):
+                assert px[y * w + x] == vals[(y // 8) * bw + x // 8]
+
+    prop()
