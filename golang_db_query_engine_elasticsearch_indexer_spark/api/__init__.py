@@ -33,8 +33,14 @@ from flask import Flask, g, jsonify, request
 
 from golang_db_query_engine_elasticsearch_indexer_spark import gateway
 from golang_db_query_engine_elasticsearch_indexer_spark import indexer as indexer_mod
-from golang_db_query_engine_elasticsearch_indexer_spark.errors import EngineError
-from golang_db_query_engine_elasticsearch_indexer_spark.result import DEFAULT_MAX_ROWS
+from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+    EngineError,
+    ParamsNullError,
+)
+from golang_db_query_engine_elasticsearch_indexer_spark.result import (
+    DEFAULT_MAX_ROWS,
+    collect_envelope,
+)
 from golang_db_query_engine_elasticsearch_indexer_spark.session import (
     build_session,
     default_registry,
@@ -175,6 +181,10 @@ def create_app(
                 return jsonify({"error": str(err)}), 400
         except ImportError:
             pass
+        if isinstance(err, ValueError) and str(err).startswith("es_dsl:"):
+            # the DSL compiler's loud unsupported-clause rejections are
+            # client errors, surfaced BEFORE any execution
+            return jsonify({"error": str(err)}), 400
         raise err
 
     # -- GET / (home_controller.go:9-11) --
@@ -256,6 +266,76 @@ def create_app(
             ),
             201,
         )
+
+    # -- the ES API itself (r09): the engine SERVES the DSL it compiles,
+    # so a reference user's ES client can point its reads here. The
+    # reference only writes to ES (elastic_controller.go); these routes
+    # close the loop the reference leaves to a real cluster. Response
+    # model: /_count and /_mapping return the EXACT ES shapes; /_search
+    # and /_msearch return the engine's relational envelope (rows +
+    # schema + count + took) — the same documented improvement /query/
+    # makes over the reference's bare JSON array, rather than a
+    # half-imitation of the ES hits envelope. Optional dbDriver/dbName
+    # query args attach registry sources, as on /query/.
+
+    def _attach_if_named():
+        params = request.args
+        if params.get("dbDriver") or params.get("dbName"):
+            _registry().attach(
+                _spark(), params.get("dbDriver", ""), params.get("dbName", "")
+            )
+
+    @app.post("/<index>/_search")
+    def es_search_route(index: str):
+        import time as _time  # noqa: PLC0415
+
+        _attach_if_named()
+        body = request.get_json(force=True, silent=True) or {}
+        t0 = _time.time()
+        res = gateway.es_search(_spark(), index, body, max_rows=max_rows)
+        payload = json.loads(res.to_json())
+        payload["took"] = int((_time.time() - t0) * 1000)
+        return jsonify(payload), 200
+
+    @app.route("/<index>/_count", methods=["GET", "POST"])
+    def es_count_route(index: str):
+        _attach_if_named()
+        body = request.get_json(force=True, silent=True) or {}
+        return jsonify({"count": gateway.es_count(_spark(), index, body)}), 200
+
+    @app.get("/<index>/_mapping")
+    def es_mapping_route(index: str):
+        _attach_if_named()
+        return jsonify(gateway.es_mapping(_spark(), index)), 200
+
+    @app.post("/_msearch")
+    def es_msearch_route():
+        import time as _time  # noqa: PLC0415
+
+        _attach_if_named()
+        # the ES NDJSON protocol: alternating header/body lines; the
+        # header names the index ({} inherits none here — index is
+        # required, matching the gateway's all-or-nothing validation)
+        lines = [
+            ln for ln in request.get_data(as_text=True).splitlines()
+            if ln.strip()
+        ]
+        if len(lines) % 2:
+            raise ParamsNullError()
+        searches = []
+        for i in range(0, len(lines), 2):
+            head = json.loads(lines[i])
+            searches.append((head.get("index"), json.loads(lines[i + 1])))
+        t0 = _time.time()
+        dfs = gateway.es_msearch(_spark(), searches)
+        responses = []
+        for df in dfs:
+            res = collect_envelope(df, max_rows=max_rows)
+            responses.append(json.loads(res.to_json()))
+        return jsonify({
+            "took": int((_time.time() - t0) * 1000),
+            "responses": responses,
+        }), 200
 
     return app
 

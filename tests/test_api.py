@@ -348,3 +348,68 @@ def test_rotation_schedule_invariants():
             assert window is not None and name in CURRENT_WINDOW, (
                 f"{name} has no driver evidence and no current-window slot"
             )
+
+
+# --- the ES API routes (r09): the engine serves the DSL it compiles ----------
+
+
+def test_es_search_route(client):
+    body = {"query": {"term": {"lang": "en"}},
+            "_source": ["doc_id", "lang"], "size": 5}
+    r = client.post("/documents/_search", json=body)
+    assert r.status_code == 200
+    payload = json.loads(r.data)
+    assert payload["count"] == 5
+    assert all(row["lang"] == "en" for row in payload["data"])
+    assert "took" in payload
+    # aggs body through the same route
+    r = client.post("/events/_search", json={
+        "aggs": {"t": {"terms": {"field": "event_type", "size": 3}}}})
+    assert r.status_code == 200
+    assert json.loads(r.data)["count"] == 3
+    # unsupported DSL -> 400 with the error envelope, before execution
+    r = client.post("/documents/_search",
+                    json={"query": {"more_like_this": {}}})
+    assert r.status_code == 400
+    assert "es_dsl" in json.loads(r.data)["error"]
+
+
+def test_es_count_route(client):
+    r = client.post("/documents/_count",
+                    json={"query": {"term": {"lang": "en"}}})
+    assert r.status_code == 200
+    n_en = json.loads(r.data)["count"]
+    r = client.get("/documents/_count")
+    n_all = json.loads(r.data)["count"]
+    assert 0 < n_en < n_all
+
+
+def test_es_mapping_route(client):
+    r = client.get("/documents/_mapping")
+    assert r.status_code == 200
+    payload = json.loads(r.data)
+    assert payload["documents"]["mappings"]["properties"]["doc_id"] == {
+        "type": "long"
+    }
+
+
+def test_es_msearch_route(client):
+    nd = (
+        json.dumps({"index": "documents"}) + "\n"
+        + json.dumps({"query": {"term": {"lang": "en"}},
+                      "_source": ["doc_id"], "size": 3}) + "\n"
+        + json.dumps({"index": "events"}) + "\n"
+        + json.dumps({"aggs": {"t": {"terms": {"field": "event_type",
+                                               "size": 2}}}}) + "\n"
+    )
+    r = client.post("/_msearch", data=nd,
+                    content_type="application/x-ndjson")
+    assert r.status_code == 200
+    payload = json.loads(r.data)
+    assert len(payload["responses"]) == 2
+    assert payload["responses"][0]["count"] == 3
+    assert payload["responses"][1]["count"] == 2
+    # odd line count = malformed NDJSON -> 400
+    r = client.post("/_msearch", data=json.dumps({"index": "documents"}),
+                    content_type="application/x-ndjson")
+    assert r.status_code == 400
