@@ -704,7 +704,8 @@ LIMIT {limit}
 # --- aggregation context -----------------------------------------------------
 
 _METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality",
-            "stats", "extended_stats", "percentiles"}
+            "stats", "extended_stats", "percentiles", "percentile_ranks",
+            "weighted_avg"}
 
 
 # Float discipline for sum/avg: double summation is ORDER-dependent,
@@ -720,7 +721,11 @@ _DEC = "DECIMAL(28, 6)"
 
 
 def _metric_cols(name: str, kind: str, m: dict, dialect: str) -> list[str]:
-    f = _ident(m["field"])
+    # weighted_avg nests its fields under value/weight; every other
+    # metric names a top-level field
+    if kind != "weighted_avg" and "field" not in m:
+        raise ValueError(f"es_dsl: {kind} requires a field")
+    f = _ident(m["field"]) if "field" in m else None
     exact_sum = f"cast(sum(cast({f} AS {_DEC})) AS DOUBLE)"
     if kind == "value_count":
         return [f"count({f}) AS {name}"]
@@ -772,6 +777,43 @@ def _metric_cols(name: str, kind: str, m: dict, dialect: str) -> list[str]:
             f"{var} AS {name}_variance",
             f"sqrt({var}) AS {name}_std_deviation",
         ]
+    if kind == "percentile_ranks":
+        # ES percentile_ranks: for each given value, the percentage of
+        # observations <= it. The exact count-ratio form (ES's own is
+        # TDigest-approximate): integer counts and one multiply/divide
+        # on exact doubles — identical in both engines, no rounding
+        # discipline needed.
+        values = m.get("values")
+        if not isinstance(values, list) or not values or not all(
+            isinstance(x, (int, float)) and not isinstance(x, bool)
+            for x in values
+        ):
+            raise ValueError("es_dsl: percentile_ranks wants a values list")
+        cols = []
+        for v in values:
+            label = (f"{v:g}").replace(".", "_").replace("-", "m")
+            hits = (
+                f"sum(CASE WHEN {f} <= {_lit(v, dialect)} THEN 1 ELSE 0 END)"
+            )
+            cols.append(
+                f"cast(100 AS DOUBLE) * {hits} / count({f})"
+                f" AS {name}_rank_{label}"
+            )
+        return cols
+    if kind == "weighted_avg":
+        # ES weighted_avg: sum(value*weight)/sum(weight). Products and
+        # sums quantize to DECIMAL (the (18,6)x(18,6) product stays in
+        # range; the product sum rounds to 4 dp in the decimal domain
+        # before the DOUBLE cast — the same two DuckDB traps
+        # extended_stats hit, pre-empted), then one raw-double divide.
+        vf = _ident(m["value"]["field"])
+        wf = _ident(m["weight"]["field"])
+        num = (
+            f"cast(round(sum(cast({vf} AS DECIMAL(18, 6))"
+            f" * cast({wf} AS DECIMAL(18, 6))), 4) AS DOUBLE)"
+        )
+        den = f"cast(sum(cast({wf} AS {_DEC})) AS DOUBLE)"
+        return [f"{num} / {den} AS {name}"]
     if kind == "percentiles":
         # ES percentiles (default percents as in ES). ES's is
         # approximate (TDigest); EXACT interpolated quantiles here for
@@ -1928,6 +1970,22 @@ MATCH_PHRASE_PREFIX_BODY = {
     "_source": ["doc_id", "lang", "n_chars"],
 }
 
+PRANKS_WAVG_BODY = {
+    "query": {"range": {"ts": {"gte": "2024-01-03"}}},
+    "aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 4},
+        "aggs": {
+            "ranks": {"percentile_ranks": {
+                "field": "value", "values": [25.0, 50.0, 90.0],
+            }},
+            "wavg": {"weighted_avg": {
+                "value": {"field": "value"},
+                "weight": {"field": "user_id"},
+            }},
+        },
+    }},
+}
+
 DIS_MAX_BODY = {
     # dis_max union + a boosting wrapper inside one bool tree: the
     # compound-query wrappers in filter context
@@ -2141,5 +2199,11 @@ def registry() -> dict[str, dict]:
         "es_dsl_dis_max_boosting": {
             "fn": _entry("documents", DIS_MAX_BODY, "doc_id"),
             "oracle": compile_search("documents", DIS_MAX_BODY, "duck"),
+        },
+        "es_dsl_percentile_ranks_wavg": {
+            "fn": _entry("events", PRANKS_WAVG_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", PRANKS_WAVG_BODY, "duck", "event_id"
+            ),
         },
     }

@@ -1038,6 +1038,36 @@ def test_percentiles_metric(tiny):
         }}}, "duck")
 
 
+def test_percentile_ranks_and_weighted_avg(tiny):
+    """percentile_ranks = exact %-of-values-<=-v; weighted_avg =
+    sum(v*w)/sum(w) — both hand-checked."""
+    body = {"aggs": {"all": {
+        "histogram": {"field": "n", "interval": 1000},
+        "aggs": {
+            "r": {"percentile_ranks": {"field": "n", "values": [30, 75]}},
+            "w": {"weighted_avg": {"value": {"field": "n"},
+                                   "weight": {"field": "doc_id"}}},
+        },
+    }}}
+    row = tiny.execute(compile_search("docs", body, "duck")).fetchall()[0]
+    # n = 10..80 (8 values): <=30 is 3/8, <=75 is 7/8
+    assert row[2] == 100 * 3 / 8 and row[3] == 100 * 7 / 8
+    # weighted avg: sum(n*doc_id)/sum(doc_id) over docs 1..8, n=10i
+    num = sum(10 * i * i for i in range(1, 9))
+    den = sum(range(1, 9))
+    assert row[4] == num / den
+    with pytest.raises(ValueError, match="wants a values list"):
+        compile_search("docs", {"aggs": {"a": {
+            "histogram": {"field": "n", "interval": 10},
+            "aggs": {"r": {"percentile_ranks": {"field": "n"}}},
+        }}}, "duck")
+    with pytest.raises(ValueError, match="requires a field"):
+        compile_search("docs", {"aggs": {"a": {
+            "histogram": {"field": "n", "interval": 10},
+            "aggs": {"r": {"avg": {}}},
+        }}}, "duck")
+
+
 def test_filter_and_global_aggs(tiny):
     """filter agg = one bucket under query AND extra clause; global
     agg = one bucket over the whole index, ignoring the query."""
