@@ -879,6 +879,31 @@ def _bucket_key(kind: str, b: dict, dialect: str) -> tuple[str, str]:
             return e, e
         return f, f
     if kind == "date_histogram":
+        if "fixed_interval" in b:
+            # ES fixed_interval ("30m", "6h", ...): bucket key is the
+            # ES epoch-millis key, via integer epoch arithmetic that is
+            # engine-identical by construction
+            if "calendar_interval" in b:
+                raise ValueError(
+                    "es_dsl: fixed_interval and calendar_interval "
+                    "are mutually exclusive"
+                )
+            mi = re.fullmatch(r"(\d+)([smhd])", str(b["fixed_interval"]))
+            if not mi:
+                raise ValueError(
+                    f"es_dsl: bad fixed_interval {b['fixed_interval']!r}"
+                )
+            secs = int(mi.group(1)) * {
+                "s": 1, "m": 60, "h": 3600, "d": 86400,
+            }[mi.group(2)]
+            if secs <= 0:
+                raise ValueError("es_dsl: fixed_interval must be > 0")
+            ep = "unix_timestamp" if dialect == "spark" else "epoch"
+            e = (
+                f"cast(floor({ep}({f}) / {secs}) * {secs} AS BIGINT)"
+                " * 1000"
+            )
+            return e, e
         unit = b.get("calendar_interval", "day")
         if unit not in ("day", "week", "month", "year"):
             raise ValueError(f"es_dsl: unsupported calendar_interval {unit!r}")
@@ -1054,11 +1079,15 @@ FROM {_ident(index)}
             raise ValueError(
                 "es_dsl: pipeline aggs need a histogram-family parent"
             )
-        bad = set(b) - {"field", "size", "order", "missing"}
+        bad = set(b) - {"field", "size", "order", "missing",
+                        "min_doc_count"}
         if bad:
             raise ValueError(f"es_dsl: unsupported terms keys {sorted(bad)}")
         key_expr, _ = _bucket_key("terms", b, dialect)
         size = int(b.get("size", 10))
+        having = ""
+        if int(b.get("min_doc_count", 1)) > 1:
+            having = f"\nHAVING count(*) >= {int(b['min_doc_count'])}"
         # ES terms `order`: _count (the default), _key, or a sibling
         # metric name; non-key orders carry the key tiebreak so the
         # top-N window stays total
@@ -1087,7 +1116,7 @@ FROM {_ident(index)}
 SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
 WHERE {where}
-GROUP BY {key_expr}
+GROUP BY {key_expr}{having}
 ORDER BY {oby}
 LIMIT {size}
 """
@@ -1104,10 +1133,12 @@ WHERE ({where}) AND ({key_expr}) IS NOT NULL
 GROUP BY {key_expr}, {order_expr}
 ORDER BY {order_expr} ASC
 """
+    mdc = int(b.get("min_doc_count", 0))
+    having = f"\nHAVING count(*) >= {mdc}" if mdc > 1 else ""
     base = f"""SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
 WHERE {where}
-GROUP BY {key_expr}"""
+GROUP BY {key_expr}{having}"""
     if pipelines or siblings:
         return _wrap_pipelines(
             base, pipelines, siblings, key,
@@ -1241,6 +1272,10 @@ def _compile_nested(
     ikinds = [k for k in inner_spec if k != "aggs"]
     if len(ikinds) != 1 or ikinds[0] not in _BUCKETS:
         raise ValueError("es_dsl: nested sub-agg must be a bucket agg")
+    if "min_doc_count" in (inner_spec.get(ikinds[0]) or {}):
+        raise ValueError(
+            "es_dsl: min_doc_count is supported on top-level buckets only"
+        )
     deeper = [
         (n, sp) for n, sp in inner_spec.get("aggs", {}).items()
         if set(sp) & _BUCKETS or "aggs" in sp
@@ -1970,6 +2005,15 @@ MATCH_PHRASE_PREFIX_BODY = {
     "_source": ["doc_id", "lang", "n_chars"],
 }
 
+FIXED_INTERVAL_BODY = {
+    "query": {"term": {"event_type": "click"}},
+    "aggs": {"h6": {
+        "date_histogram": {"field": "ts", "fixed_interval": "6h",
+                           "min_doc_count": 2},
+        "aggs": {"v_sum": {"sum": {"field": "value"}}},
+    }},
+}
+
 PRANKS_WAVG_BODY = {
     "query": {"range": {"ts": {"gte": "2024-01-03"}}},
     "aggs": {"by_type": {
@@ -2204,6 +2248,12 @@ def registry() -> dict[str, dict]:
             "fn": _entry("events", PRANKS_WAVG_BODY, "event_id"),
             "oracle": compile_search(
                 "events", PRANKS_WAVG_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_fixed_interval": {
+            "fn": _entry("events", FIXED_INTERVAL_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", FIXED_INTERVAL_BODY, "duck", "event_id"
             ),
         },
     }

@@ -949,7 +949,47 @@ def test_terms_order_param(tiny):
             "field": "lang", "order": {"nope": "desc"}}}}}, "duck")
     with pytest.raises(ValueError, match="unsupported terms keys"):
         compile_search("docs", {"aggs": {"t": {"terms": {
-            "field": "lang", "min_doc_count": 2}}}}, "duck")
+            "field": "lang", "shard_size": 100}}}}, "duck")
+    # min_doc_count prunes buckets below the floor
+    mdc = {"aggs": {"t": {"terms": {
+        "field": "lang", "size": 10, "min_doc_count": 3}}}}
+    rows = tiny.execute(compile_search("docs", mdc, "duck")).fetchall()
+    assert rows == [("en", 3)]  # de 2, fr 2, NULL 1 all pruned
+
+
+def test_fixed_interval_buckets(tiny):
+    """date_histogram fixed_interval: ES epoch-millis bucket keys via
+    integer epoch arithmetic; min_doc_count composes."""
+    tiny.execute(
+        "CREATE TABLE tline AS SELECT * FROM (VALUES"
+        " (1, TIMESTAMP '2024-01-01 00:10:00'),"
+        " (2, TIMESTAMP '2024-01-01 05:59:00'),"
+        " (3, TIMESTAMP '2024-01-01 06:10:00'),"
+        " (4, TIMESTAMP '2024-01-01 23:50:00')) AS t(doc_id, ts)"
+    )
+    body = {"aggs": {"h6": {"date_histogram": {
+        "field": "ts", "fixed_interval": "6h"}}}}
+    rows = tiny.execute(compile_search("tline", body, "duck")).fetchall()
+    base = 1704067200000  # 2024-01-01T00:00Z epoch millis
+    assert rows == [(base, 2), (base + 6 * 3600 * 1000, 1),
+                    (base + 18 * 3600 * 1000, 1)]
+    floor2 = {"aggs": {"h6": {"date_histogram": {
+        "field": "ts", "fixed_interval": "6h", "min_doc_count": 2}}}}
+    assert tiny.execute(compile_search("tline", floor2, "duck")).fetchall() == [
+        (base, 2)]
+    with pytest.raises(ValueError, match="bad fixed_interval"):
+        compile_search("tline", {"aggs": {"h": {"date_histogram": {
+            "field": "ts", "fixed_interval": "6 fortnights"}}}}, "duck")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compile_search("tline", {"aggs": {"h": {"date_histogram": {
+            "field": "ts", "fixed_interval": "6h",
+            "calendar_interval": "day"}}}}, "duck")
+    with pytest.raises(ValueError, match="top-level buckets only"):
+        compile_search("docs", {"aggs": {"a": {
+            "terms": {"field": "lang"},
+            "aggs": {"b": {"histogram": {"field": "n", "interval": 10,
+                                         "min_doc_count": 2}}},
+        }}}, "duck")
 
 
 def test_terms_missing_and_missing_agg(tiny):
