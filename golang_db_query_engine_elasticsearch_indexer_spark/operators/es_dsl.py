@@ -1115,7 +1115,7 @@ FROM {_ident(index)}
         return f"""
 SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
-WHERE {where}
+WHERE ({where}) AND ({key_expr}) IS NOT NULL
 GROUP BY {key_expr}{having}
 ORDER BY {oby}
 LIMIT {size}
@@ -1137,7 +1137,7 @@ ORDER BY {order_expr} ASC
     having = f"\nHAVING count(*) >= {mdc}" if mdc > 1 else ""
     base = f"""SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
-WHERE {where}
+WHERE ({where}) AND ({key_expr}) IS NOT NULL
 GROUP BY {key_expr}{having}"""
     if pipelines or siblings:
         return _wrap_pipelines(
@@ -1317,7 +1317,9 @@ def _compile_nested(
     ikind = ikinds[0]
     k2_expr, k2_order = _bucket_key(ikind, inner_spec[ikind], dialect)
     inner_key = f"{inner_name}_key"
-    guard = f" AND ({k2_expr}) IS NOT NULL" if ikind == "range" else ""
+    # ES bucket aggs exclude docs missing a key field at EVERY level
+    # (also removes the engines' divergent NULL ordering at size cuts)
+    guard = f" AND ({f1}) IS NOT NULL AND ({k2_expr}) IS NOT NULL"
     isize = ""
     if ikind == "terms" and "size" in inner_spec[ikind]:
         # joined into the existing WHERE — a second WHERE clause is a
@@ -1405,11 +1407,10 @@ def _compile_nested3(
     e2, o2 = _bucket_key(mkind, mid_spec[mkind], dialect)
     e3, o3 = _bucket_key(lkind, leaf_spec[lkind], dialect)
     k2, k3 = f"{mid_name}_key", f"{leaf_name}_key"
-    guards = ""
-    if mkind == "range":
-        guards += f" AND ({e2}) IS NOT NULL"
-    if lkind == "range":
-        guards += f" AND ({e3}) IS NOT NULL"
+    guards = (
+        f" AND ({f1}) IS NOT NULL AND ({e2}) IS NOT NULL"
+        f" AND ({e3}) IS NOT NULL"
+    )
     s2 = s3 = ""
     if mkind == "terms" and "size" in mid_spec[mkind]:
         s2 = f" AND r2 <= {int(mid_spec[mkind]['size'])}"
@@ -1627,7 +1628,8 @@ def _compile_top_hits(
     hsrc = ", ".join(f"h.{_ident(c)}" for c in cols)
     return f"""
 WITH base AS (
-  SELECT * FROM {_ident(index)} WHERE {where}
+  SELECT * FROM {_ident(index)}
+  WHERE ({where}) AND {f1} IS NOT NULL
 ),
 counts AS (
   SELECT {f1} AS bucket_key, count(*) AS doc_count

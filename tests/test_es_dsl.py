@@ -163,9 +163,14 @@ def test_range_agg_edges_and_order(tiny):
 
 
 def test_terms_agg_orders_by_count_then_key(tiny):
+    """Buckets order by (doc_count DESC, key); docs MISSING the field
+    are in no bucket (ES semantics — doc 7 has NULL lang; use the
+    `missing` param to bucket them). The exclusion also removes the
+    engines' divergent NULL ordering at the size cut (Spark ASC =
+    NULLS FIRST, DuckDB = NULLS LAST — caught by the agg grid)."""
     body = {"aggs": {"t": {"terms": {"field": "lang", "size": 10}}}}
     rows = tiny.execute(compile_aggs("docs", body, "duck")).fetchall()
-    assert rows == [("en", 3), ("de", 2), ("fr", 2), (None, 1)]
+    assert rows == [("en", 3), ("de", 2), ("fr", 2)]
 
 
 def test_unsupported_dsl_raises_loudly():
@@ -936,14 +941,14 @@ def test_terms_order_param(tiny):
     by_key = {"aggs": {"t": {"terms": {
         "field": "lang", "size": 10, "order": {"_key": "asc"}}}}}
     rows = tiny.execute(compile_search("docs", by_key, "duck")).fetchall()
-    assert [r[0] for r in rows] == ["de", "en", "fr", None]
+    assert [r[0] for r in rows] == ["de", "en", "fr"]  # NULL lang excluded
     by_metric = {"aggs": {"t": {
         "terms": {"field": "lang", "size": 10, "order": {"nmax": "desc"}},
         "aggs": {"nmax": {"max": {"field": "n"}}},
     }}}
     rows = tiny.execute(compile_search("docs", by_metric, "duck")).fetchall()
-    # max n per lang: en 80, fr 60, de 40, NULL 70 -> desc: en, NULL, fr, de
-    assert [r[0] for r in rows] == ["en", None, "fr", "de"]
+    # max n per lang: en 80, fr 60, de 40 (doc 7's NULL lang excluded)
+    assert [r[0] for r in rows] == ["en", "fr", "de"]
     with pytest.raises(ValueError, match="neither _key, _count"):
         compile_search("docs", {"aggs": {"t": {"terms": {
             "field": "lang", "order": {"nope": "desc"}}}}}, "duck")
@@ -1336,6 +1341,79 @@ def test_dialect_differential_fuzz(tiny):
         assert len(rows) <= body["size"]
 
     prop()
+
+
+def test_cross_engine_agg_grid(spark, tiny):
+    """True cross-dialect differential for the AGGREGATION surface: a
+    deterministic grid of agg shapes (bucket kinds x metrics x
+    queries, plus pagination/pipeline/sibling combos) runs on the SAME
+    tiny corpus in Spark (spark dialect) and DuckDB (duck dialect);
+    rows must agree exactly. Catches dialect-translation bugs on
+    shapes no registered entry exercises."""
+    rows = [
+        (1, "Alpha Beta Gamma", "en", "news", 10),
+        (2, "beta gamma delta", "en", "blog", 20),
+        (3, "delta epsilon", "de", "news", 30),
+        (4, "beta alpha", "de", None, 40),
+        (5, "gamma beta alpha", "fr", "a_c", 50),
+        (6, "zeta", "fr", "abc", 60),
+        (7, "epsilon zeta", None, "10%x", 70),
+        (8, "alpha", "en", "105x", 80),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n long"
+    ).createOrReplaceTempView("agg_docs")
+    tiny.execute("CREATE TABLE agg_docs AS SELECT * FROM docs")
+
+    metrics = [
+        {},
+        {"m": {"avg": {"field": "n"}}},
+        {"m": {"extended_stats": {"field": "n"}}},
+        {"m": {"percentiles": {"field": "n", "percents": [50, 90]}}},
+        {"m": {"percentile_ranks": {"field": "n", "values": [35]}}},
+        {"m": {"weighted_avg": {"value": {"field": "n"},
+                                "weight": {"field": "doc_id"}}}},
+    ]
+    buckets = [
+        {"terms": {"field": "lang", "size": 3}},
+        {"terms": {"field": "lang", "size": 10, "order": {"_key": "asc"},
+                   "missing": "xx"}},
+        {"histogram": {"field": "n", "interval": 25}},
+        {"range": {"field": "n", "ranges": [{"to": 45, "key": "lo"},
+                                            {"from": 45}]}},
+        {"filter": {"term": {"lang": "en"}}},
+        {"missing": {"field": "source"}},
+        {"global": {}},
+    ]
+    bodies = []
+    for i, b in enumerate(buckets):
+        m = metrics[i % len(metrics)]
+        spec = {**b, "aggs": m} if m else dict(b)
+        bodies.append({"aggs": {"a": spec}})
+        bodies.append({"query": {"range": {"n": {"gte": 25}}},
+                       "aggs": {"a": spec}})
+    # pipeline + sibling combos over a histogram parent
+    bodies.append({"aggs": {
+        "h": {"histogram": {"field": "n", "interval": 25},
+              "aggs": {"s": {"sum": {"field": "n"}},
+                       "c": {"cumulative_sum": {"buckets_path": "s"}},
+                       "d": {"derivative": {"buckets_path": "_count"}}}},
+        "avg_h": {"avg_bucket": {"buckets_path": "h>s"}},
+    }})
+    # composite with and without after
+    comp = {"sources": [{"lg": {"terms": {"field": "lang"}}},
+                        {"band": {"histogram": {"field": "n",
+                                                "interval": 40}}}],
+            "size": 10}
+    bodies.append({"aggs": {"p": {"composite": dict(comp)}}})
+    bodies.append({"aggs": {"p": {"composite": dict(
+        comp, after={"lg": "de", "band": 40.0})}}})
+    for body in bodies:
+        got = [tuple(r) for r in spark.sql(
+            compile_search("agg_docs", body, "spark")).collect()]
+        want = tiny.execute(
+            compile_search("agg_docs", body, "duck")).fetchall()
+        assert got == want, (body, got, want)
 
 
 def test_cross_engine_differential_grid(spark, tiny):

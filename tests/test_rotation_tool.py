@@ -258,7 +258,8 @@ _CHANGED_R08 = ["ann_ivf_recall_eval", "ann_ivf_topk"]
 # r09 changed-kernel re-checks: the _lit plain-string fix (ADVICE r08
 # finding #2) rewrote these two entries' compiled SQL after their r08
 # driver rows
-_CHANGED_R09 = ["es_dsl_nested_agg", "es_dsl_terms_agg"]
+_CHANGED_R09 = ["es_dsl_date_histogram", "es_dsl_nested_agg",
+                "es_dsl_terms_agg"]
 
 
 def _capped_evidence(repo: str, through_round: int) -> dict[str, int]:
