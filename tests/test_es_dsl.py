@@ -1450,6 +1450,12 @@ def test_cross_engine_differential_grid(spark, tiny):
         {"fuzzy": {"text": "alpa"}},
         {"match_phrase_prefix": {"text": "beta al"}},
         {"match_phrase_prefix": {"text": "eps"}},
+        {"dis_max": {"queries": [{"term": {"lang": "de"}},
+                                 {"match": {"text": "zeta"}}]}},
+        {"boosting": {"positive": {"range": {"n": {"gte": 50}}},
+                      "negative": {"term": {"lang": "fr"}},
+                      "negative_boost": 0.1}},
+        {"constant_score": {"filter": {"exists": {"field": "source"}}}},
     ]
     bodies = [{"query": t, "size": 8} for t in terms]
     for i, a in enumerate(terms[:4]):
