@@ -36,6 +36,7 @@ from golang_db_query_engine_elasticsearch_indexer_spark import indexer as indexe
 from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
     EngineError,
     ParamsNullError,
+    SqlSyntaxError,
 )
 from golang_db_query_engine_elasticsearch_indexer_spark.result import (
     DEFAULT_MAX_ROWS,
@@ -285,12 +286,29 @@ def create_app(
                 _spark(), params.get("dbDriver", ""), params.get("dbName", "")
             )
 
+    def _es_body() -> dict:
+        """Parse the request body as the ES JSON search body. Absent or
+        empty body -> {} (ES treats that as match_all); PRESENT but
+        unparseable body -> 400, as Elasticsearch does — silent=True
+        here would degrade a malformed body to match_all and return
+        200 with default hits (ADVICE r09 finding #2)."""
+        raw = request.get_data(as_text=True)
+        if not raw or not raw.strip():
+            return {}
+        try:
+            body = json.loads(raw)
+        except ValueError as exc:
+            raise SqlSyntaxError(f"es_dsl: request body is not valid JSON: {exc}")
+        if not isinstance(body, dict):
+            raise SqlSyntaxError("es_dsl: request body must be a JSON object")
+        return body
+
     @app.post("/<index>/_search")
     def es_search_route(index: str):
         import time as _time  # noqa: PLC0415
 
         _attach_if_named()
-        body = request.get_json(force=True, silent=True) or {}
+        body = _es_body()
         t0 = _time.time()
         res = gateway.es_search(_spark(), index, body, max_rows=max_rows)
         payload = json.loads(res.to_json())
@@ -300,7 +318,7 @@ def create_app(
     @app.route("/<index>/_count", methods=["GET", "POST"])
     def es_count_route(index: str):
         _attach_if_named()
-        body = request.get_json(force=True, silent=True) or {}
+        body = _es_body()
         return jsonify({"count": gateway.es_count(_spark(), index, body)}), 200
 
     @app.get("/<index>/_mapping")

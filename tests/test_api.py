@@ -384,6 +384,25 @@ def test_es_count_route(client):
     assert 0 < n_en < n_all
 
 
+def test_es_routes_reject_malformed_json_body(client):
+    """A PRESENT but unparseable body is a 400, as in Elasticsearch —
+    it must never silently degrade to match_all and return 200 with
+    default hits (ADVICE r09 #2). An absent/empty body IS match_all."""
+    for path in ("/documents/_search", "/documents/_count"):
+        r = client.post(path, data="{not json", content_type="application/json")
+        assert r.status_code == 400, path
+        assert "not valid JSON" in json.loads(r.data)["error"]
+        # a JSON body that is not an object is equally malformed
+        r = client.post(path, data='["match_all"]',
+                        content_type="application/json")
+        assert r.status_code == 400, path
+    # empty body stays the ES default (match_all), not an error
+    r = client.post("/documents/_count", data="",
+                    content_type="application/json")
+    assert r.status_code == 200
+    assert json.loads(r.data)["count"] > 0
+
+
 def test_es_mapping_route(client):
     r = client.get("/documents/_mapping")
     assert r.status_code == 200

@@ -260,6 +260,9 @@ _CHANGED_R08 = ["ann_ivf_recall_eval", "ann_ivf_topk"]
 # driver rows
 _CHANGED_R09 = ["es_dsl_date_histogram", "es_dsl_nested_agg",
                 "es_dsl_terms_agg"]
+# r10 changed-kernel re-checks: none yet (populated if a kernel/oracle
+# with prior driver evidence is rewritten this round)
+_CHANGED_R10: list[str] = []
 
 
 def _capped_evidence(repo: str, through_round: int) -> dict[str, int]:
@@ -323,30 +326,58 @@ def test_r08_window_matches_executed_roll():
 
 
 def test_r09_window_matches_executed_roll():
-    """The committed r09 window honors the steady-state policy against
-    evidence capped at r01..r08 (explicit list, never a live glob —
-    this test stays green when the driver lands CORRECTNESS_r09.json).
-    Set-level, matching the driver's first-50 contract: net-new r09
-    registrations lead, then pure oldest-evidence re-rotation."""
+    """The EXECUTED r09 window (read from CORRECTNESS_r09.json — the
+    live table has rolled on) honored the steady-state policy against
+    evidence capped at r01..r08. Boundary-proof by construction:
+    every input is a committed historical file. Set-level, matching
+    the driver's first-50 contract: net-new r09 registrations lead
+    (with the changed-kernel re-checks), then pure oldest-evidence
+    re-rotation."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r09 = json.load(open(os.path.join(repo, "CORRECTNESS_r09.json")))
+    w = list(r09)
+    assert len(w) == 50 and len(set(w)) == 50
+    ev = _capped_evidence(repo, 9)
+    # (1) net-new r09 registrations (no evidence through r08, but an
+    # r09 row exists) lead the window together with the changed-kernel
+    # re-checks — asserted as a SET (mid-round registration batches
+    # interleave; the driver contract is set-level anyway)
+    net_new = [n for n in w if not ev.get(n)]
+    assert len(net_new) == 22
+    taken = set(net_new) | set(_CHANGED_R09)
+    assert set(w[: len(taken)]) == taken
+    # (2) the remaining slots are pure re-rotation, oldest first
+    pool = sorted(
+        (n for n in ev if n not in taken), key=lambda n: (ev[n], n)
+    )
+    refill = [n for n in w if n not in taken]
+    assert set(refill) == set(pool[: len(refill)])
+    # (3) every executed r09 row is hash-green (first all-hash window)
+    for name, rec in r09.items():
+        assert rec.get("hash_match"), (name, rec)
+
+
+def test_r10_window_matches_executed_roll():
+    """The LIVE r10 window honors the steady-state policy against
+    evidence capped at r01..r09 (explicit list, never a live glob —
+    this test stays green when the driver lands CORRECTNESS_r10.json).
+    Set-level: net-new r10 registrations + changed-kernel re-checks
+    lead, then pure oldest-evidence re-rotation."""
     repo = os.path.join(os.path.dirname(__file__), "..")
     sys.path.insert(0, repo)
     import __spark_entry__ as entry
     from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
 
-    ev = _capped_evidence(repo, 9)
+    ev = _capped_evidence(repo, 10)
     names = list(entry.queries())
     w = list(r.CURRENT_WINDOW)
     assert len(w) == 50 and len(set(w)) == 50
     # (1) the window IS the driver's first-50 slice of queries()
     assert names[:50] == w
-    # (2) the r08 close-out held: the only entries without capped
-    # evidence are this round's registrations, and they lead the
-    # window together with the changed-kernel re-checks (mid-round
-    # registration batches interleave with the re-checks, so the
-    # leading block is asserted as a SET — the driver contract is
-    # set-level anyway)
+    # (2) only this round's registrations lack capped evidence; they
+    # lead the window with the changed-kernel re-checks
     net_new = [n for n in names if not ev.get(n)]
-    taken = set(net_new) | set(_CHANGED_R09)
+    taken = set(net_new) | set(_CHANGED_R10)
     assert set(w[: len(taken)]) == taken
     # (3) the remaining slots are pure re-rotation, oldest first
     pool = sorted(
@@ -355,36 +386,6 @@ def test_r09_window_matches_executed_roll():
     )
     refill = [n for n in w if n not in taken]
     assert set(refill) == set(pool[: len(refill)])
-
-
-def test_r10_roll_preview():
-    """Simulate the next roll under the expected outcome (the full r09
-    window goes green): re-rotation continues with the oldest evidence
-    — the r04 tail first, then the r05 cohort by (round, name)."""
-    repo = os.path.join(os.path.dirname(__file__), "..")
-    sys.path.insert(0, repo)
-    from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
-
-    ev = {n: last for n, (last, _, _) in r.ROTATION.items() if last}
-    ev.update({n: 9 for n in r.CURRENT_WINDOW})
-    names = list(r.ROTATION)
-    window, rest, failed, net_new = roll.compute_schedule(
-        names, r.ROTATION, ev, "r10"
-    )
-    assert failed == [] and net_new == [] and rest == []
-    assert len(window) == 50
-    expected = sorted(
-        (n for n in names if ev[n] < 9), key=lambda n: (ev[n], n)
-    )[:50]
-    assert window == expected
-    # and a failed r09 entry would displace a re-rotation slot, not hide
-    ev_fail = dict(ev)
-    del ev_fail[r.CURRENT_WINDOW[0]]
-    window_f, _, failed_f, _ = roll.compute_schedule(
-        names, r.ROTATION, ev_fail, "r10"
-    )
-    assert failed_f == [r.CURRENT_WINDOW[0]]
-    assert window_f[0] == r.CURRENT_WINDOW[0]
 
 
 def test_evidence_reader_credits_rows_only_shape(tmp_path):

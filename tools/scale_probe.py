@@ -129,11 +129,7 @@ def main() -> None:
                    "efficiency": round(eff, 3)}
             rows.append(rec)
             print(json.dumps(rec), flush=True)
-    summary = {
-        r["kernel"]: {str(r["k"]): (r["sec"], r["efficiency"])
-                      for r in rows if r["kernel"] == r["kernel"]}
-        for r in rows
-    }
+    summary: dict[str, dict] = {}
     for name in ker:
         summary[name] = {
             str(r["k"]): [r["sec"], r["efficiency"]]
