@@ -326,6 +326,14 @@ def create_app(
         _attach_if_named()
         return jsonify(gateway.es_mapping(_spark(), index)), 200
 
+    @app.get("/_cat/indices")
+    def es_cat_indices_route():
+        # always the ?format=json shape (this engine serves JSON APIs;
+        # the ES text-columns default is a terminal nicety, not a
+        # contract anyone parses)
+        _attach_if_named()
+        return jsonify(gateway.cat_indices(_spark())), 200
+
     @app.post("/_msearch")
     def es_msearch_route():
         import time as _time  # noqa: PLC0415

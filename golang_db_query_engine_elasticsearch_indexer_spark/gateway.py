@@ -146,3 +146,53 @@ def es_count(spark: SparkSession, index: str, body: dict | None = None) -> int:
         raise ParamsNullError()
     row = spark.sql(compile_count(index, body or {}, "spark")).collect()[0]
     return int(row["count"])
+
+
+def cat_indices_sql(tables: tuple[str, ...], dialect: str) -> str:
+    """One UNION ALL of per-table counts, ordered by index name — the
+    relational body of `GET /_cat/indices`. Shared by the Spark verb
+    and the DuckDB oracle so both engines run the same statement.
+    Scale shape: each branch is a count(*) aggregate (a metadata-only
+    scan on parquet sources); the union is bounded by catalog size,
+    never data size."""
+    if not tables:
+        raise ParamsNullError()
+    q = '`index`' if dialect == "spark" else '"index"'
+    branches = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS {q}, count(*) AS docs_count FROM {t}"
+        for t in sorted(tables)
+    )
+    return f"{branches}\nORDER BY {q} ASC"
+
+
+def cat_indices_df(spark: SparkSession) -> DataFrame:
+    """`GET /_cat/indices` as a lazy DataFrame: (index, docs_count)
+    for every registered fixture table present in the session catalog
+    — the read-only index inventory the reference's users check daily
+    beside _search/_count/_mapping. Catalog-driven (temp views the
+    engine's own operators register, e.g. BM25 artifacts, are not
+    indices and are excluded by the fixture-table intersection)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.session import (  # noqa: PLC0415
+        FIXTURE_TABLES,
+    )
+
+    present = tuple(
+        t for t in FIXTURE_TABLES if spark.catalog.tableExists(t)
+    )
+    return spark.sql(cat_indices_sql(present, "spark"))
+
+
+def cat_indices(spark: SparkSession) -> list[dict]:
+    """`GET /_cat/indices?format=json` parity: the ES response shape —
+    one object per index with health/status constants (this engine has
+    no shard states) and the doc count. Bounded collect: one row per
+    catalog table."""
+    return [
+        {
+            "health": "green",
+            "status": "open",
+            "index": row["index"],
+            "docs.count": int(row["docs_count"]),
+        }
+        for row in cat_indices_df(spark).collect()
+    ]

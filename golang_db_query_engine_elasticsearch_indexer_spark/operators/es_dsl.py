@@ -418,11 +418,12 @@ def _compile_scored(
     # an EMPTY sort list routes here (ES: [] = default _score order),
     # so tolerate the key; any non-empty sort took the filter-context
     # path before this function was reached
-    extra = set(body) - {"query", "_source", "size", "from", "sort"}
+    extra = set(body) - {"query", "_source", "size", "from", "sort",
+                         "highlight"}
     if extra:
         raise ValueError(
-            f"es_dsl: scored match combines only with _source/size/from "
-            f"(got {sorted(extra)})"
+            f"es_dsl: scored match combines only with _source/size/from/"
+            f"highlight (got {sorted(extra)})"
         )
     kind, spec = _one(body["query"], "query clause")
     require_all = False
@@ -471,6 +472,11 @@ def _compile_scored(
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
     off = f" OFFSET {offset}" if offset else ""
+    if "highlight" in body:
+        return _compile_scored_highlight(
+            index, body, ctes, combine, union, terms, cols,
+            size, off, dialect, id_field,
+        )
     if cols:
         select = ", ".join(f"t.{_ident(c)}" for c in cols)
         return f"""
@@ -499,6 +505,117 @@ LIMIT {size}{off}
 """
 
 
+# snippet geometry — pinned equal to the standalone highlight kernel
+# (operators/search.py HIGHLIGHT_PRE/HIGHLIGHT_SUF) by unit test, so a
+# `highlight` key inside a _search body and the standalone operator
+# return byte-identical snippets for the same hit
+_HL_PRE = 20
+_HL_SUF = 40
+
+
+def _compile_scored_highlight(
+    index: str, body: dict, ctes: str, combine: str, union: str,
+    terms: list[str], cols, size: int, off: str, dialect: str,
+    id_field: str,
+) -> str:
+    """`highlight` inside a scored `_search` body: the BM25 top-k
+    relation feeds the same first-occurrence snippet geometry as the
+    standalone highlight kernel (search.py _HL_PRE/_HL_SUF, pinned by
+    test) — per requested field, the query term with the smallest
+    case-insensitive position wins, its original-casing slice wrapped
+    in <em>…</em>. One `highlight_<field>` column per requested field;
+    NULL when no query term occurs in that field (ES omits the field
+    from the hit's highlight object).
+
+    Scale shape: snippet extraction runs on the top-k relation ONLY —
+    the ranking CTEs are the shared BM25 body, the rank LIMIT keeps k
+    rows, and every highlight CTE is a cross join of those k rows with
+    the constant term list. O(top-k), never O(corpus), exactly like
+    ES."""
+    hl = body["highlight"]
+    bad = set(hl) - {"fields"}
+    if bad:
+        raise ValueError(f"es_dsl: unsupported highlight keys {sorted(bad)}")
+    hfields = hl.get("fields")
+    if not isinstance(hfields, dict) or not hfields:
+        raise ValueError(
+            "es_dsl: highlight.fields must be a non-empty map of "
+            "field -> options"
+        )
+    for hf, opts in hfields.items():
+        if opts not in ({}, None):
+            raise ValueError(
+                f"es_dsl: highlight field options are unsupported "
+                f"(got {sorted(opts)} for {hf!r}; defaults only)"
+            )
+    if not cols:
+        raise ValueError("es_dsl: highlight requires _source")
+    hnames = [_ident(hf) for hf in hfields]
+    term_lits = ", ".join(_lit(t, dialect) for t in terms)
+    qterms = (
+        f"SELECT explode(array({term_lits})) AS term"
+        if dialect == "spark"
+        else f"SELECT unnest([{term_lits}]) AS term"
+    )
+    top_cols = [f"t.{id_field} AS _id"]
+    top_cols += [f"t.{_ident(c)}" for c in cols]
+    top_cols += [f"t.{hf} AS _hl{i}" for i, hf in enumerate(hnames)]
+    hl_ctes, joins, out_hl = [], [], []
+    for i, hf in enumerate(hnames):
+        # occurrence search is case-INSENSITIVE (the analyzer lowercased
+        # the match tokens, so a doc can score on 'Alpha' — ES parity);
+        # the snippet slices the ORIGINAL field so the hit keeps its
+        # casing. lower() is length-preserving for the ASCII/Latin bulk,
+        # so positions transfer; locale expansions (Turkish dotted I)
+        # can shift a highlight by a char — documented, not defended
+        pos = (f"locate(term, lower(_hl{i}))" if dialect == "spark"
+               else f"strpos(lower(_hl{i}), term)")
+        snip = f"""concat(
+      substring(_hl{i}, greatest(1, pos - {_HL_PRE}),
+                pos - greatest(1, pos - {_HL_PRE})),
+      '<em>', substring(_hl{i}, pos, length(term)), '</em>',
+      substring(_hl{i}, pos + length(term), {_HL_SUF}))"""
+        hl_ctes.append(f"""hl{i} AS (
+  SELECT _id, term, cast({pos} AS INT) AS pos, _hl{i}
+  FROM topk CROSS JOIN qterms
+),
+hl{i}_best AS (
+  SELECT _id, {snip} AS snip,
+         row_number() OVER (PARTITION BY _id ORDER BY pos ASC, term ASC)
+           AS rn
+  FROM hl{i} WHERE pos > 0
+)""")
+        joins.append(f"LEFT JOIN hl{i}_best h{i} ON h{i}._id = k._id "
+                     f"AND h{i}.rn = 1")
+        out_hl.append(f"h{i}.snip AS highlight_{hf}")
+    select = ", ".join(
+        [f"k.{_ident(c)}" for c in cols] + ["k._score"] + out_hl
+    )
+    top_select = ", ".join(top_cols)
+    hl_cte_sql = ",\n".join(hl_ctes)
+    join_sql = "\n".join(joins)
+    return f"""
+WITH {ctes},
+scored AS (
+  SELECT _id, {combine}(s) AS s
+  FROM ({union}) u
+  GROUP BY _id
+),
+topk AS (
+  SELECT {top_select}, round(sc.s, 4) AS _score
+  FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id
+  ORDER BY _score DESC, t.{id_field} ASC
+  LIMIT {size}{off}
+),
+qterms AS ({qterms}),
+{hl_cte_sql}
+SELECT {select}
+FROM topk k
+{join_sql}
+ORDER BY k._score DESC, k._id ASC
+"""
+
+
 # --- search compilation ------------------------------------------------------
 
 
@@ -510,7 +627,7 @@ def compile_search(
     if dialect not in ("spark", "duck"):
         raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
     known = {"query", "_source", "sort", "size", "from", "aggs", "knn",
-             "collapse", "search_after"}
+             "collapse", "search_after", "highlight"}
     bad = set(body) - known
     if bad:
         raise ValueError(f"es_dsl: unsupported body keys {sorted(bad)}")
@@ -523,7 +640,7 @@ def compile_search(
         # #3). The ES "size": 0 idiom (aggs only, no hits) is the one
         # accepted shape.
         hit_keys = {"sort", "from", "_source", "collapse",
-                    "search_after"} & set(body)
+                    "search_after", "highlight"} & set(body)
         if hit_keys:
             raise ValueError(
                 f"es_dsl: {sorted(hit_keys)} cannot combine with aggs "
@@ -541,6 +658,12 @@ def compile_search(
         # ES query context: bare full-text query, no explicit sort ->
         # BM25-scored, _score-ordered hits (the ES default experience)
         return _compile_scored(index, body, dialect, id_field)
+    if "highlight" in body:
+        raise ValueError(
+            "es_dsl: highlight requires a scored match/multi_match "
+            "query with no explicit sort (filter-context hits carry "
+            "no matched terms to snippet)"
+        )
     where = _query_expr(q, dialect, id_field)
     cols = body.get("_source")
     select = ", ".join(_ident(c) for c in cols) if cols else "*"
@@ -707,6 +830,16 @@ _METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality",
             "stats", "extended_stats", "percentiles", "percentile_ranks",
             "weighted_avg"}
 
+# Metric kinds that render as MULTIPLE columns (stats_<name>_count/…,
+# <name>_p50/…): never valid as a terms `order` target or a pipeline
+# `buckets_path` — there is no single column to order by / read from.
+# Rejecting them here keeps the failure a compile-time ValueError
+# instead of a downstream binder error on a nonexistent column
+# (ADVICE r09 finding #1).
+_MULTI_COLUMN_METRICS = frozenset(
+    {"stats", "extended_stats", "percentiles", "percentile_ranks"}
+)
+
 
 # Float discipline for sum/avg: double summation is ORDER-dependent,
 # and a round() on top flips at half boundaries when Spark's partial
@@ -852,6 +985,10 @@ def _metric_cols(name: str, kind: str, m: dict, dialect: str) -> list[str]:
 _BUCKETS = {"terms", "date_histogram", "histogram", "range"}
 _PIPELINE = {"cumulative_sum", "derivative"}
 _SIBLING_PIPELINE = {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket"}
+# row-local parent pipelines: no bucket ordering needed — bucket_script
+# computes a derived metric per bucket, bucket_selector filters buckets
+# (the HAVING / derived-metric idiom of Kibana dashboard bodies)
+_ROWLOCAL_PIPELINE = {"bucket_script", "bucket_selector"}
 
 
 def _metric_list(sub_aggs: list[tuple[str, dict]], dialect: str) -> list[str]:
@@ -1012,11 +1149,20 @@ def compile_aggs(
     top_hits = [(n, sp) for n, sp in sub.items() if "top_hits" in sp]
     pipelines = [(n, sp) for n, sp in sub.items()
                  if (n, sp) not in inner and set(sp) & _PIPELINE]
+    rowlocal = [(n, sp) for n, sp in sub.items()
+                if (n, sp) not in inner and set(sp) & _ROWLOCAL_PIPELINE]
     metric_specs = [
         (n, sp) for n, sp in sub.items()
         if (n, sp) not in inner and (n, sp) not in top_hits
-        and (n, sp) not in pipelines
+        and (n, sp) not in pipelines and (n, sp) not in rowlocal
     ]
+    if rowlocal and kind not in (
+        "terms", "multi_terms", "date_histogram", "histogram"
+    ):
+        raise ValueError(
+            "es_dsl: bucket_script/bucket_selector need a terms, "
+            "multi_terms, or histogram-family parent"
+        )
     if top_hits:
         if kind != "terms":
             raise ValueError("es_dsl: top_hits only under terms")
@@ -1091,16 +1237,16 @@ FROM {_ident(index)}
         # ES terms `order`: _count (the default), _key, or a sibling
         # metric name; non-key orders carry the key tiebreak so the
         # top-N window stays total
+        simple = {
+            n for n, sp in metric_specs
+            if next(iter(sp)) not in _MULTI_COLUMN_METRICS
+        }
         oby = f"doc_count DESC, {key} ASC"
         if "order" in b:
             target, d = _one(b["order"], "terms order")
             d = d.lower() if isinstance(d, str) else d
             if d not in ("asc", "desc"):
                 raise ValueError(f"es_dsl: bad terms order {d!r}")
-            simple = {
-                n for n, sp in metric_specs
-                if next(iter(sp)) not in ("stats", "extended_stats")
-            }
             if target == "_key":
                 oby = f"{key} {d.upper()}"
             elif target == "_count":
@@ -1112,7 +1258,7 @@ FROM {_ident(index)}
                     f"es_dsl: terms order target {target!r} is neither "
                     "_key, _count, nor a sibling single-value metric"
                 )
-        return f"""
+        sql = f"""
 SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
 WHERE ({where}) AND ({key_expr}) IS NOT NULL
@@ -1120,6 +1266,26 @@ GROUP BY {key_expr}{having}
 ORDER BY {oby}
 LIMIT {size}
 """
+        if rowlocal:
+            # ES applies size truncation at collection, THEN pipeline
+            # aggs run on the returned buckets — so the script/selector
+            # wrap sits OUTSIDE the top-N limit
+            return _wrap_rowlocal(sql, rowlocal, simple, oby)
+        return sql
+    if kind == "multi_terms":
+        return _compile_multi_terms(
+            index, b, metric_specs, metrics, rowlocal, where, dialect
+        )
+    if kind == "auto_date_histogram":
+        if pipelines or rowlocal:
+            raise ValueError(
+                "es_dsl: pipeline aggs under auto_date_histogram are "
+                "unsupported (the interval is data-chosen; use "
+                "date_histogram with fixed_interval)"
+            )
+        return _compile_auto_date_histogram(
+            index, b, metrics, where, key, dialect
+        )
     key_expr, order_expr = _bucket_key(kind, b, dialect)
     if kind == "range":
         if pipelines:
@@ -1139,10 +1305,19 @@ ORDER BY {order_expr} ASC
 FROM {_ident(index)}
 WHERE ({where}) AND ({key_expr}) IS NOT NULL
 GROUP BY {key_expr}{having}"""
+    simple = {n for n, sp in metric_specs
+              if next(iter(sp)) not in _MULTI_COLUMN_METRICS}
     if pipelines or siblings:
-        return _wrap_pipelines(
-            base, pipelines, siblings, key,
-            {n for n, _ in metric_specs}, agg_name,
+        sql = _wrap_pipelines(base, pipelines, siblings, key, simple, agg_name)
+        if rowlocal:
+            # selector/script paths may also name a window-pipeline
+            # output (ES: buckets_path can target any sibling agg)
+            avail = simple | {n for n, _ in pipelines} | set(siblings)
+            return _wrap_rowlocal(sql, rowlocal, avail, f"{key} ASC")
+        return sql
+    if rowlocal:
+        return _wrap_rowlocal(
+            f"\n{base}\n", rowlocal, simple, f"{key} ASC"
         )
     return f"\n{base}\nORDER BY {key} ASC\n"
 
@@ -1174,7 +1349,10 @@ def _wrap_pipelines(
             return "doc_count"
         if path not in metric_names:
             raise ValueError(
-                f"es_dsl: {what} buckets_path {path!r} names no sibling metric"
+                f"es_dsl: {what} buckets_path {path!r} names no "
+                "single-value sibling metric (multi-column metrics — "
+                "stats/extended_stats/percentiles/percentile_ranks — "
+                "cannot be a buckets_path)"
             )
         return path
 
@@ -1245,6 +1423,335 @@ SELECT b.*,
 FROM (
 {base}
 ) b
+ORDER BY {key} ASC
+"""
+
+
+# --- row-local pipeline aggs: bucket_script / bucket_selector ----------------
+
+_SCRIPT_TOKEN = re.compile(
+    r"\s*(params\.[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+"
+    r"|&&|\|\||==|!=|>=|<=|[-+*/()><!])"
+)
+
+
+def _compile_script(script, params: dict[str, str], what: str) -> str:
+    """Translate the Painless-lite expression grammar real
+    bucket_script/bucket_selector bodies use — `params.x` refs, numeric
+    literals, + - * / arithmetic, comparisons, && || !, parentheses —
+    to one SQL expression with each param resolved to its bucket
+    column. Anything beyond that grammar (method calls, strings,
+    ternaries) raises at compile time: a silent mistranslation of a
+    dashboard metric is the one failure mode this compiler never
+    allows. Division follows Painless doubles (SQL `/` is float
+    division on these operand types in both target dialects)."""
+    if not isinstance(script, str) or not script.strip():
+        raise ValueError(f"es_dsl: {what} needs a non-empty script string")
+    toks: list[str] = []
+    i, s = 0, script.strip()
+    while i < len(s):
+        m = _SCRIPT_TOKEN.match(s, i)
+        if not m:
+            raise ValueError(
+                f"es_dsl: {what} script has unsupported syntax at {s[i:]!r}"
+            )
+        toks.append(m.group(1))
+        i = m.end()
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def atom() -> str:
+        t = peek()
+        if t is None:
+            raise ValueError(f"es_dsl: {what} script ends unexpectedly")
+        if t == "(":
+            take()
+            e = orexpr()
+            if peek() != ")":
+                raise ValueError(f"es_dsl: {what} script: unbalanced parens")
+            take()
+            return f"({e})"
+        if t == "-":
+            take()
+            return f"(- {atom()})"
+        if t == "!":
+            take()
+            return f"(NOT {atom()})"
+        take()
+        if t.startswith("params."):
+            name = t[len("params."):]
+            if name not in params:
+                raise ValueError(
+                    f"es_dsl: {what} script references params.{name} "
+                    "which is not a buckets_path key"
+                )
+            return params[name]
+        if re.fullmatch(r"\d+(\.\d+)?", t):
+            return t
+        raise ValueError(f"es_dsl: {what} script: unexpected token {t!r}")
+
+    def mul() -> str:
+        e = atom()
+        while peek() in ("*", "/"):
+            e = f"{e} {take()} {atom()}"
+        return e
+
+    def add() -> str:
+        e = mul()
+        while peek() in ("+", "-"):
+            e = f"{e} {take()} {mul()}"
+        return e
+
+    def cmp() -> str:
+        e = add()
+        if peek() in (">", "<", ">=", "<=", "==", "!="):
+            op = {"==": "=", "!=": "<>"}.get(t := take(), t)
+            e = f"{e} {op} {add()}"
+        return e
+
+    def andexpr() -> str:
+        e = cmp()
+        while peek() == "&&":
+            take()
+            e = f"({e}) AND ({cmp()})"
+        return e
+
+    def orexpr() -> str:
+        e = andexpr()
+        while peek() == "||":
+            take()
+            e = f"({e}) OR ({andexpr()})"
+        return e
+
+    out = orexpr()
+    if pos != len(toks):
+        raise ValueError(
+            f"es_dsl: {what} script: trailing tokens {toks[pos:]!r}"
+        )
+    return out
+
+
+def _wrap_rowlocal(
+    inner_sql: str,
+    rowlocal: list[tuple[str, dict]],
+    metric_names: set[str],
+    oby: str,
+) -> str:
+    """bucket_script derived-metric columns and bucket_selector
+    predicates over an already-aggregated bucket relation (the HAVING /
+    computed-column idioms of real Kibana dashboard bodies). Two
+    layers so a selector may reference a script output, as ES allows:
+    scripts compute in the inner select, selectors filter outside, the
+    parent's bucket order re-asserted on top. Scale shape: both run on
+    the AGGREGATED relation (bucket-cardinality rows, post top-N),
+    never the raw corpus — zero extra shuffles.
+
+    gap_policy: only the ES default "skip" — a NULL metric makes a
+    script column NULL and a selector predicate false (the bucket is
+    dropped), exactly ES's skip; "insert_zeros"/"keep_values" raise."""
+    script_cols: list[str] = []
+    script_names: set[str] = set()
+    selectors: list[str] = []
+
+    def resolve(path, what: str, extra: set[str]) -> str:
+        if path == "_count":
+            return "doc_count"
+        if path not in metric_names | extra:
+            raise ValueError(
+                f"es_dsl: {what} buckets_path {path!r} names no "
+                "single-value sibling metric (multi-column metrics — "
+                "stats/extended_stats/percentiles/percentile_ranks — "
+                "cannot be a buckets_path)"
+            )
+        return _ident(path)
+
+    for name, spec in rowlocal:
+        pkind, p = _one(spec, f"pipeline agg {name}")
+        bad = set(p) - {"buckets_path", "script", "gap_policy"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported {pkind} keys {sorted(bad)}"
+            )
+        if p.get("gap_policy", "skip") != "skip":
+            raise ValueError(
+                f"es_dsl: unsupported gap_policy "
+                f"{p.get('gap_policy')!r} (only the ES default 'skip')"
+            )
+        bp = p.get("buckets_path")
+        if not isinstance(bp, dict) or not bp:
+            raise ValueError(
+                f"es_dsl: {pkind} buckets_path must be a non-empty "
+                "map of script param -> sibling metric"
+            )
+        # selectors resolve AFTER scripts, so they may name one
+        extra = script_names if pkind == "bucket_selector" else set()
+        params = {k: resolve(v, pkind, extra) for k, v in bp.items()}
+        expr = _compile_script(p.get("script"), params, pkind)
+        if pkind == "bucket_script":
+            script_cols.append(f"cast({expr} AS DOUBLE) AS {_ident(name)}")
+            script_names.add(name)
+        else:
+            selectors.append(f"coalesce({expr}, FALSE)")
+    inner = f"SELECT * FROM (\n{inner_sql}\n) b0"
+    if script_cols:
+        inner = (
+            "SELECT b0.*,\n       "
+            + ",\n       ".join(script_cols)
+            + f"\nFROM (\n{inner_sql}\n) b0"
+        )
+    if not selectors:
+        return f"\nSELECT * FROM (\n{inner}\n) b1\nORDER BY {oby}\n"
+    pred = "\n  AND ".join(selectors)
+    return (
+        f"\nSELECT * FROM (\n{inner}\n) b1\n"
+        f"WHERE {pred}\nORDER BY {oby}\n"
+    )
+
+
+# --- multi_terms / auto_date_histogram bucket kinds ---------------------------
+
+
+def _compile_multi_terms(
+    index: str,
+    b: dict,
+    metric_specs: list[tuple[str, dict]],
+    metrics: str,
+    rowlocal: list[tuple[str, dict]],
+    where: str,
+    dialect: str,
+) -> str:
+    """ES `multi_terms`: terms over a compound key (>= 2 fields), one
+    GROUP BY over all key fields. ES semantics kept: a doc missing ANY
+    key field is excluded; default order is doc_count DESC with the
+    full key tuple as tiebreak; `order` accepts _count, _key (the key
+    tuple lexicographically), or a single-value sibling metric. The
+    relational rendering emits one column per key field (named by the
+    field) instead of ES's key array + '|'-joined key_as_string."""
+    bad = set(b) - {"terms", "size", "order", "min_doc_count"}
+    if bad:
+        raise ValueError(f"es_dsl: unsupported multi_terms keys {sorted(bad)}")
+    specs = b.get("terms")
+    if not isinstance(specs, list) or len(specs) < 2:
+        raise ValueError("es_dsl: multi_terms wants >= 2 term sources")
+    fields = []
+    for t in specs:
+        if set(t) != {"field"}:
+            raise ValueError(
+                "es_dsl: multi_terms sources take only a field "
+                f"(got {sorted(t)})"
+            )
+        fields.append(_ident(t["field"]))
+    size = int(b.get("size", 10))
+    having = ""
+    if int(b.get("min_doc_count", 1)) > 1:
+        having = f"\nHAVING count(*) >= {int(b['min_doc_count'])}"
+    keys_asc = ", ".join(f"{f} ASC" for f in fields)
+    simple = {n for n, sp in metric_specs
+              if next(iter(sp)) not in _MULTI_COLUMN_METRICS}
+    oby = f"doc_count DESC, {keys_asc}"
+    if "order" in b:
+        target, d = _one(b["order"], "multi_terms order")
+        d = d.lower() if isinstance(d, str) else d
+        if d not in ("asc", "desc"):
+            raise ValueError(f"es_dsl: bad multi_terms order {d!r}")
+        if target == "_key":
+            oby = ", ".join(f"{f} {d.upper()}" for f in fields)
+        elif target == "_count":
+            oby = f"doc_count {d.upper()}, {keys_asc}"
+        elif target in simple:
+            oby = f"{target} {d.upper()}, {keys_asc}"
+        else:
+            raise ValueError(
+                f"es_dsl: multi_terms order target {target!r} is neither "
+                "_key, _count, nor a sibling single-value metric"
+            )
+    not_null = " AND ".join(f"{f} IS NOT NULL" for f in fields)
+    sql = f"""
+SELECT {", ".join(fields)}, count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE ({where}) AND {not_null}
+GROUP BY {", ".join(fields)}{having}
+ORDER BY {oby}
+LIMIT {size}
+"""
+    if rowlocal:
+        return _wrap_rowlocal(sql, rowlocal, simple, oby)
+    return sql
+
+
+# the ES auto_date_histogram interval ladder, rendered as FIXED second
+# widths so both engines pick the identical interval from the identical
+# integer-second span (ES uses calendar-aware intervals above hours;
+# this deterministic rendering approximates month/quarter/year as
+# 30/90/365 days — documented deviation, pinned by unit test)
+_AUTO_DH_LADDER = [
+    1, 5, 10, 30,                      # seconds
+    60, 300, 600, 1800,                # minutes
+    3600, 10800, 43200,                # hours
+    86400, 604800,                     # day, week
+    2592000, 7776000, 31536000,        # ~month, ~quarter, ~year
+]
+
+
+def _compile_auto_date_histogram(
+    index: str, b: dict, metrics: str, where: str, key: str, dialect: str
+) -> str:
+    """ES `auto_date_histogram`: the engine picks the smallest ladder
+    interval such that the bucket count cannot exceed `buckets`. The
+    span (integer epoch seconds, identical truncation in both
+    dialects) is computed in-plan as a 1-row relation and cross-joined
+    back as a broadcast constant — two scans of the fact table, the
+    honest cost of a data-chosen interval, no driver round-trip. The
+    guarantee floor(span/i)+2 <= buckets (worst-case bucket count over
+    a half-open span) is enforced as span < (buckets-1)*i. Key is the
+    ES epoch-millis bucket key (the fixed_interval discipline); the
+    chosen interval is emitted as `interval_secs` on every row, parity
+    with the `interval` field of the ES response."""
+    bad = set(b) - {"field", "buckets"}
+    if bad:
+        raise ValueError(
+            f"es_dsl: unsupported auto_date_histogram keys {sorted(bad)}"
+        )
+    f = _ident(b["field"])
+    target = int(b.get("buckets", 10))
+    if not 2 <= target <= 1000:
+        raise ValueError(
+            "es_dsl: auto_date_histogram buckets must be in [2, 1000]"
+        )
+    # integer epoch seconds: Spark unix_timestamp truncates sub-second
+    # parts; DuckDB epoch() keeps them — floor to agree exactly
+    e = (f"unix_timestamp({f})" if dialect == "spark"
+         else f"cast(floor(epoch({f})) AS BIGINT)")
+    whens = "\n      ".join(
+        f"WHEN span < {(target - 1) * i} THEN {i}" for i in _AUTO_DH_LADDER
+    )
+    return f"""
+WITH espan AS (
+  SELECT max({e}) - min({e}) AS span
+  FROM {_ident(index)}
+  WHERE ({where}) AND {f} IS NOT NULL
+),
+ival AS (
+  SELECT CASE
+      {whens}
+      ELSE {_AUTO_DH_LADDER[-1] * 10}
+    END AS secs
+  FROM espan
+)
+SELECT cast(floor({e} / secs) * secs AS BIGINT) * 1000 AS {key},
+       cast(secs AS BIGINT) AS interval_secs,
+       count(*) AS doc_count{metrics}
+FROM {_ident(index)} CROSS JOIN ival
+WHERE ({where}) AND {f} IS NOT NULL
+GROUP BY cast(floor({e} / secs) * secs AS BIGINT) * 1000, secs
 ORDER BY {key} ASC
 """
 
@@ -2032,6 +2539,71 @@ PRANKS_WAVG_BODY = {
     }},
 }
 
+BUCKET_SELECTOR_BODY = {
+    # the Kibana HAVING idiom: keep only event types whose average
+    # value clears a threshold — bucket_selector over terms buckets
+    "aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 10},
+        "aggs": {
+            "v_avg": {"avg": {"field": "value"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"a": "v_avg", "c": "_count"},
+                "script": "params.a > 49 && params.c > 10",
+            }},
+        },
+    }},
+}
+
+BUCKET_SCRIPT_BODY = {
+    # derived per-bucket metric (sum/count scaled) COMPOSED with a
+    # window pipeline (cumulative_sum) — scripts layer over the
+    # pipeline-wrapped bucket relation
+    "query": {"term": {"event_type": "purchase"}},
+    "aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "week"},
+        "aggs": {
+            "v_sum": {"sum": {"field": "value"}},
+            "running": {"cumulative_sum": {"buckets_path": "v_sum"}},
+            "per_doc_pct": {"bucket_script": {
+                "buckets_path": {"s": "v_sum", "c": "_count"},
+                "script": "(params.s / params.c) * 100",
+            }},
+        },
+    }},
+}
+
+MATCH_HIGHLIGHT_BODY = {
+    # hits + highlights from ONE body, ES-style: BM25-scored match with
+    # first-occurrence <em> snippets computed on the top-k relation
+    "query": {"match": {"text": "table scan fast"}},
+    "size": 15,
+    "_source": ["doc_id", "lang"],
+    "highlight": {"fields": {"text": {}}},
+}
+
+MULTI_TERMS_BODY = {
+    # compound-key terms without composite's pagination semantics
+    "query": {"range": {"n_chars": {"gte": 100}}},
+    "aggs": {"by_lang_src": {
+        "multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "source"}],
+            "size": 12,
+            "min_doc_count": 2,
+        },
+        "aggs": {"chars_avg": {"avg": {"field": "n_chars"}}},
+    }},
+}
+
+AUTO_DATE_HISTOGRAM_BODY = {
+    # data-chosen interval: 30 days of purchases under a 12-bucket
+    # target resolves to weekly buckets via the fixed ladder
+    "query": {"term": {"event_type": "purchase"}},
+    "aggs": {"auto": {
+        "auto_date_histogram": {"field": "ts", "buckets": 12},
+        "aggs": {"v_avg": {"avg": {"field": "value"}}},
+    }},
+}
+
 DIS_MAX_BODY = {
     # dis_max union + a boosting wrapper inside one bool tree: the
     # compound-query wrappers in filter context
@@ -2106,6 +2678,25 @@ def _entry(index: str, body: dict, id_field: str):
         return spark.sql(compile_search(index, body, "spark", id_field))
 
     return run
+
+
+def _cat_indices_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        cat_indices_df,
+    )
+
+    return cat_indices_df(spark)
+
+
+def _cat_indices_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        cat_indices_sql,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.session import (  # noqa: PLC0415
+        FIXTURE_TABLES,
+    )
+
+    return cat_indices_sql(FIXTURE_TABLES, "duck")
 
 
 def registry() -> dict[str, dict]:
@@ -2257,5 +2848,39 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "events", FIXED_INTERVAL_BODY, "duck", "event_id"
             ),
+        },
+        "es_dsl_bucket_selector": {
+            "fn": _entry("events", BUCKET_SELECTOR_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", BUCKET_SELECTOR_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_bucket_script": {
+            "fn": _entry("events", BUCKET_SCRIPT_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", BUCKET_SCRIPT_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_match_highlight": {
+            "fn": _entry("documents", MATCH_HIGHLIGHT_BODY, "doc_id"),
+            "oracle": compile_search("documents", MATCH_HIGHLIGHT_BODY, "duck"),
+        },
+        "es_dsl_multi_terms": {
+            "fn": _entry("documents", MULTI_TERMS_BODY, "doc_id"),
+            "oracle": compile_search("documents", MULTI_TERMS_BODY, "duck"),
+        },
+        "es_dsl_auto_date_histogram": {
+            "fn": _entry("events", AUTO_DATE_HISTOGRAM_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", AUTO_DATE_HISTOGRAM_BODY, "duck", "event_id"
+            ),
+        },
+        # GET /_cat/indices — the read-only index inventory beside
+        # _search/_count/_mapping/_msearch; Spark side is catalog-driven
+        # (gateway.cat_indices_df), the oracle the same UNION ALL over
+        # the full fixture-table set
+        "es_cat_indices": {
+            "fn": _cat_indices_entry,
+            "oracle": _cat_indices_oracle(),
         },
     }

@@ -403,6 +403,18 @@ def test_es_routes_reject_malformed_json_body(client):
     assert json.loads(r.data)["count"] > 0
 
 
+def test_es_cat_indices_route(client):
+    r = client.get("/_cat/indices")
+    assert r.status_code == 200
+    payload = json.loads(r.data)
+    names = [row["index"] for row in payload]
+    assert names == sorted(names)
+    assert "documents" in names and "events" in names
+    for row in payload:
+        assert row["health"] == "green" and row["status"] == "open"
+        assert row["docs.count"] > 0
+
+
 def test_es_mapping_route(client):
     r = client.get("/documents/_mapping")
     assert r.status_code == 200

@@ -735,7 +735,7 @@ def test_pipeline_cumsum_and_derivative(tiny):
     assert [r[3] for r in rows] == [60.0, 280.0, 360.0]   # cum
     assert [r[4] for r in rows] == [None, 160.0, -140.0]  # derivative
     assert [r[5] for r in rows] == [3, 7, 8]              # _count cum
-    with pytest.raises(ValueError, match="names no sibling metric"):
+    with pytest.raises(ValueError, match="names no single-value sibling"):
         compile_search("docs", {"aggs": {"b": {
             "histogram": {"field": "n", "interval": 40},
             "aggs": {"c": {"cumulative_sum": {"buckets_path": "nope"}}},
@@ -745,6 +745,32 @@ def test_pipeline_cumsum_and_derivative(tiny):
             "terms": {"field": "lang"},
             "aggs": {"c": {"cumulative_sum": {"buckets_path": "_count"}}},
         }}}, "duck")
+
+
+def test_multi_column_metrics_rejected_as_order_and_path():
+    """stats/extended_stats/percentiles/percentile_ranks render as
+    MULTIPLE columns — naming one as a terms `order` target or a
+    pipeline `buckets_path` must be a compile-time ValueError, never a
+    downstream binder error on a nonexistent column (ADVICE r09 #1)."""
+    for kind, spec in [
+        ("stats", {"field": "n"}),
+        ("extended_stats", {"field": "n"}),
+        ("percentiles", {"field": "n", "percents": [50]}),
+        ("percentile_ranks", {"field": "n", "values": [30]}),
+    ]:
+        with pytest.raises(ValueError, match="neither _key, _count"):
+            compile_search("docs", {"aggs": {"t": {
+                "terms": {"field": "lang", "order": {"m": "desc"}},
+                "aggs": {"m": {kind: spec}},
+            }}}, "duck")
+        with pytest.raises(ValueError, match="names no single-value sibling"):
+            compile_search("docs", {"aggs": {"b": {
+                "histogram": {"field": "n", "interval": 40},
+                "aggs": {
+                    "m": {kind: spec},
+                    "c": {"cumulative_sum": {"buckets_path": "m"}},
+                },
+            }}}, "duck")
 
 
 def test_nested_three_levels_semantics(tiny):
@@ -1480,3 +1506,323 @@ def test_cross_engine_differential_grid(spark, tiny):
         ]
         want = tiny.execute(compile_search("fuzz_docs", body, "duck")).fetchall()
         assert got == want, (body, got, want)
+
+
+# --- r10: bucket_script / bucket_selector (row-local pipeline aggs) ----------
+
+
+def test_bucket_selector_filters_buckets(tiny):
+    """The Kibana HAVING idiom: selector keeps buckets whose metrics
+    pass the script predicate, applied AFTER the terms top-N (ES runs
+    pipelines on the returned buckets). Hand-derivation: en avg(n) =
+    (10+20+80)/3 = 36.67, de = (30+40)/2 = 35, fr = (50+60)/2 = 55 —
+    the `< 40` cut drops fr."""
+    body = {"aggs": {"t": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {
+            "avg_n": {"avg": {"field": "n"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"c": "_count", "a": "avg_n"},
+                "script": "params.c >= 2 && params.a < 40",
+            }},
+        },
+    }}}
+    rows = tiny.execute(compile_aggs("docs", body, "duck")).fetchall()
+    assert [(r[0], r[1]) for r in rows] == [("en", 3), ("de", 2)]
+
+
+def test_bucket_script_derived_metric(tiny):
+    """Derived per-bucket metric: sum/count*2 over histogram buckets.
+    Buckets of n with interval 40: [0,40)={10,20,30}, [40,80)=
+    {40,50,60,70}, [80,∞)={80}."""
+    body = {"aggs": {"h": {
+        "histogram": {"field": "n", "interval": 40},
+        "aggs": {
+            "s": {"sum": {"field": "n"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"s": "s", "c": "_count"},
+                "script": "params.s / params.c * 2",
+            }},
+        },
+    }}}
+    rows = tiny.execute(compile_aggs("docs", body, "duck")).fetchall()
+    assert rows == [
+        (0.0, 3, 60.0, 40.0),
+        (40.0, 4, 220.0, 110.0),
+        (80.0, 1, 80.0, 160.0),
+    ]
+
+
+def test_bucket_script_composes_with_window_pipelines(tiny):
+    """Scripts layer OVER the window-pipeline wrap: cumulative_sum and
+    a bucket_script coexist on one histogram parent, and a
+    bucket_selector may reference the script's output (ES allows a
+    buckets_path onto any sibling, including another pipeline)."""
+    body = {"aggs": {"h": {
+        "histogram": {"field": "n", "interval": 40},
+        "aggs": {
+            "s": {"sum": {"field": "n"}},
+            "running": {"cumulative_sum": {"buckets_path": "s"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"s": "s", "c": "_count"},
+                "script": "params.s / params.c",
+            }},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"p": "per_doc"},
+                "script": "params.p > 25",
+            }},
+        },
+    }}}
+    rows = tiny.execute(compile_aggs("docs", body, "duck")).fetchall()
+    # per_doc: 20, 55, 80 -> the >25 cut drops the first bucket;
+    # running (computed BEFORE the selector, over all buckets): 60, 280, 360
+    assert rows == [(40.0, 4, 220.0, 280.0, 55.0), (80.0, 1, 80.0, 360.0, 80.0)]
+
+
+def test_rowlocal_pipeline_rejections(tiny):
+    """Every unsupported shape is a compile-time ValueError."""
+    def terms_with(spec):
+        return {"aggs": {"t": {
+            "terms": {"field": "lang"},
+            "aggs": {"m": {"avg": {"field": "n"}}, "x": spec},
+        }}}
+
+    for spec, msg in [
+        ({"bucket_selector": {"buckets_path": {"a": "m"},
+                              "script": "params.a > 1",
+                              "gap_policy": "insert_zeros"}},
+         "unsupported gap_policy"),
+        ({"bucket_script": {"buckets_path": {"a": "m"},
+                            "script": "params.a.floor()"}},
+         "unsupported syntax"),
+        ({"bucket_script": {"buckets_path": {"a": "m"},
+                            "script": "params.b + 1"}},
+         "not a buckets_path key"),
+        ({"bucket_script": {"buckets_path": "m", "script": "1"}},
+         "non-empty map"),
+        ({"bucket_script": {"buckets_path": {"a": "nope"},
+                            "script": "params.a"}},
+         "single-value sibling"),
+        ({"bucket_script": {"buckets_path": {"a": "m"},
+                            "script": "params.a > 1)"}},
+         "trailing tokens"),
+        ({"bucket_script": {"buckets_path": {"a": "m"},
+                            "script": "(params.a > 1"}},
+         "unbalanced parens"),
+        ({"bucket_script": {"buckets_path": {"a": "m"}, "script": "  "}},
+         "non-empty script"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_aggs("docs", terms_with(spec), "duck")
+    # wrong parent kind
+    with pytest.raises(ValueError, match="histogram-family parent"):
+        compile_aggs("docs", {"aggs": {"r": {
+            "range": {"field": "n", "ranges": [{"to": 50}, {"from": 50}]},
+            "aggs": {"x": {"bucket_selector": {
+                "buckets_path": {"c": "_count"}, "script": "params.c > 1",
+            }}},
+        }}}, "duck")
+
+
+def test_script_translation_semantics(tiny):
+    """Painless-lite operator semantics: precedence, unary minus,
+    parens, ==/!= -> =/<>, float division on integer operands."""
+    got = tiny.execute(
+        "SELECT " + __import__(
+            "golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl",
+            fromlist=["_compile_script"],
+        )._compile_script(
+            "params.a + 2 * 3 - (-params.a) / 4",
+            {"a": "8"}, "t",
+        )
+    ).fetchone()[0]
+    assert got == 8 + 6 + 2  # 8 + 2*3 - (-8)/4 = 8 + 6 + 2 = 16
+    es = __import__(
+        "golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl",
+        fromlist=["_compile_script"],
+    )
+    assert tiny.execute(
+        "SELECT " + es._compile_script("params.c / 2", {"c": "5"}, "t")
+    ).fetchone()[0] == 2.5  # float division, Painless doubles
+    assert tiny.execute(
+        "SELECT " + es._compile_script(
+            "params.a == 3 || !(params.a != 3) && params.a > 99",
+            {"a": "3"}, "t")
+    ).fetchone()[0] is True
+
+
+# --- r10: multi_terms ---------------------------------------------------------
+
+
+def test_multi_terms_excludes_docs_missing_any_key(tiny):
+    """ES: a doc missing ANY key field is excluded (doc 4 has NULL
+    source, doc 7 NULL lang). Default order doc_count DESC then the
+    key tuple."""
+    body = {"aggs": {"mt": {"multi_terms": {
+        "terms": [{"field": "lang"}, {"field": "source"}], "size": 10,
+    }}}}
+    rows = tiny.execute(compile_aggs("docs", body, "duck")).fetchall()
+    assert rows == [
+        ("de", "news", 1), ("en", "105x", 1), ("en", "blog", 1),
+        ("en", "news", 1), ("fr", "a_c", 1), ("fr", "abc", 1),
+    ]
+
+
+def test_multi_terms_order_and_metrics(tiny):
+    body = {"aggs": {"mt": {
+        "multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "source"}],
+            "size": 3, "order": {"_key": "desc"},
+        },
+        "aggs": {"avg_n": {"avg": {"field": "n"}}},
+    }}}
+    rows = tiny.execute(compile_aggs("docs", body, "duck")).fetchall()
+    assert [(r[0], r[1]) for r in rows] == [
+        ("fr", "abc"), ("fr", "a_c"), ("en", "news"),
+    ]
+    assert rows[0][3] == 60.0
+    for body, msg in [
+        ({"aggs": {"m": {"multi_terms": {"terms": [{"field": "lang"}]}}}},
+         ">= 2 term sources"),
+        ({"aggs": {"m": {"multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "source", "missing": "x"}],
+        }}}}, "only a field"),
+        ({"aggs": {"m": {"multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "source"}],
+            "order": {"nope": "desc"},
+        }}}}, "multi_terms order target"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_aggs("docs", body, "duck")
+
+
+# --- r10: auto_date_histogram -------------------------------------------------
+
+
+@pytest.fixture()
+def tiny_ts():
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE ev AS SELECT * FROM (VALUES
+          (1, TIMESTAMP '2024-01-01 00:00:00', 'a'),
+          (2, TIMESTAMP '2024-01-01 06:30:00', 'a'),
+          (3, TIMESTAMP '2024-01-02 12:00:00', 'b'),
+          (4, TIMESTAMP '2024-01-05 23:59:59', 'b'),
+          (5, TIMESTAMP '2024-01-09 01:00:00', 'c')
+        ) AS t(event_id, ts, event_type)
+    """)
+    return con
+
+
+def test_auto_date_histogram_picks_ladder_interval(tiny_ts):
+    """8-day span under a 10-bucket target resolves to 1-day buckets
+    (the smallest ladder width i with span < (buckets-1)*i); the
+    chosen interval is emitted as interval_secs, parity with the ES
+    response's `interval` field. Keys are epoch-millis bucket starts
+    (the fixed_interval discipline)."""
+    body = {"aggs": {"auto": {
+        "auto_date_histogram": {"field": "ts", "buckets": 10},
+    }}}
+    rows = tiny_ts.execute(
+        compile_aggs("ev", body, "duck", "event_id")
+    ).fetchall()
+    assert [r[1] for r in rows] == [86400] * 4
+    assert [r[2] for r in rows] == [2, 1, 1, 1]
+    assert rows[0][0] == 1704067200000  # 2024-01-01T00:00:00Z
+    # a tighter target coarsens the interval: 3 buckets -> weekly
+    body = {"aggs": {"auto": {
+        "auto_date_histogram": {"field": "ts", "buckets": 3},
+    }}}
+    rows = tiny_ts.execute(
+        compile_aggs("ev", body, "duck", "event_id")
+    ).fetchall()
+    assert [r[1] for r in rows] == [604800, 604800]
+    assert sum(r[2] for r in rows) == 5
+
+
+def test_auto_date_histogram_rejections(tiny_ts):
+    for body, msg in [
+        ({"aggs": {"a": {"auto_date_histogram": {
+            "field": "ts", "buckets": 1}}}}, r"\[2, 1000\]"),
+        ({"aggs": {"a": {"auto_date_histogram": {
+            "field": "ts", "minimum_interval": "day"}}}},
+         "unsupported auto_date_histogram keys"),
+        ({"aggs": {"a": {
+            "auto_date_histogram": {"field": "ts"},
+            "aggs": {"c": {"cumulative_sum": {"buckets_path": "_count"}}},
+        }}}, "auto_date_histogram are"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_aggs("ev", body, "duck", "event_id")
+
+
+# --- r10: highlight inside the _search body ----------------------------------
+
+
+def test_highlight_constants_match_search():
+    """The in-body highlight and the standalone kernel must emit
+    byte-identical snippets: pin the geometry constants."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        es_dsl,
+        search,
+    )
+
+    assert es_dsl._HL_PRE == search.HIGHLIGHT_PRE
+    assert es_dsl._HL_SUF == search.HIGHLIGHT_SUF
+
+
+def test_match_highlight_snippets(tiny):
+    """hits + highlights from one body: per hit, the query term with
+    the smallest first-occurrence position wins; a field with no term
+    occurrence highlights NULL (ES omits it)."""
+    body = {
+        "query": {"match": {"text": "alpha delta"}},
+        "_source": ["doc_id", "lang"],
+        "size": 10,
+        "highlight": {"fields": {"text": {}}},
+    }
+    rows = tiny.execute(compile_search("docs", body, "duck")).fetchall()
+    by_id = {r[0]: r[3] for r in rows}
+    # doc 1 'Alpha Beta Gamma': the analyzer lowercased the match
+    # token, so the occurrence search is case-insensitive and the
+    # snippet keeps the ORIGINAL casing (ES parity)
+    assert by_id[1] == "<em>Alpha</em> Beta Gamma"
+    # doc 2 'beta gamma delta': delta at pos 12 -> left context kept
+    assert by_id[2] == "beta gamma <em>delta</em>"
+    # doc 8 'alpha': whole text wrapped
+    assert by_id[8] == "<em>alpha</em>"
+    # scores descend and every returned row has a snippet (a scored
+    # single-field match guarantees >= 1 term occurrence)
+    assert all(s is not None for s in by_id.values())
+    scores = [r[2] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_highlight_rejections(tiny):
+    for body, msg in [
+        ({"query": {"term": {"lang": "en"}},
+          "highlight": {"fields": {"text": {}}}},
+         "highlight requires a scored"),
+        ({"query": {"match": {"text": "alpha"}},
+          "sort": [{"n": "asc"}],
+          "highlight": {"fields": {"text": {}}}},
+         "highlight requires a scored"),
+        ({"query": {"match": {"text": "alpha"}},
+          "highlight": {"fields": {"text": {}}}},
+         "highlight requires _source"),
+        ({"query": {"match": {"text": "alpha"}},
+          "_source": ["doc_id"],
+          "highlight": {"fields": {"text": {"fragment_size": 10}}}},
+         "options are unsupported"),
+        ({"query": {"match": {"text": "alpha"}},
+          "_source": ["doc_id"],
+          "highlight": {"require_field_match": False,
+                        "fields": {"text": {}}}},
+         "unsupported highlight keys"),
+        ({"size": 0,
+          "aggs": {"t": {"terms": {"field": "lang"}}},
+          "highlight": {"fields": {"text": {}}}},
+         "cannot combine with aggs"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", body, "duck")
