@@ -88,6 +88,18 @@ HEADLINE = [
     # cost profile (tokenize + tf/df aggs + stats broadcast) is the
     # DSL's heaviest compiled shape.
     "es_dsl_match_scored",
+    # r10 (VERDICT r09 ask #6): the expensive r09 shapes join the watch
+    # set so a regression in the new DSL/codec tier is visible —
+    # composite pagination (scan-level lexicographic prune), three-level
+    # nested buckets (widest agg), top_hits (per-bucket ranking window),
+    # and the baseline-JPEG mapInPandas codec. Plus the r10 in-body
+    # highlight (BM25 top-k + snippet join-back, the new heaviest
+    # scored shape).
+    "es_dsl_composite_after",
+    "es_dsl_nested_three_levels",
+    "es_dsl_top_hits",
+    "multimodal_decode_jpeg",
+    "es_dsl_match_highlight",
 ]
 
 

@@ -56,5 +56,6 @@ def test_scaled_views_are_exact_k_fold_replicas(spark):
 def test_probe_kernels_compile_and_run_at_k1(spark):
     probe.SF_DIR = "/root/testdata/sf0.001"
     probe.register_scaled(spark, 1)
-    for name, sql in probe.kernels().items():
-        assert spark.sql(sql).count() >= 0, name
+    for name, obj in probe.kernels().items():
+        df = spark.sql(obj) if isinstance(obj, str) else obj(spark)
+        assert df.count() >= 0, name

@@ -15,8 +15,22 @@ the rows) and times representative headline kernels at k = 1/2/4/8:
 - terms agg       the compiled es_dsl terms+stats body over events xk
 - exact dedup     hash-groupBy over documents xk (each text now has k
                   exact copies — the dedup load grows like a crawl's)
+- window top-k    win_topk_per_group (rank window per supplier) over
+                  lineitem xk — k-times the groups, same per-group depth
+- LSH dedup       dedup_minhash_lsh over documents xk. The k copies are
+                  EXACT duplicates, so every LSH bucket grows k-fold and
+                  many cross the MINHASH_MAX_BUCKET cap and are dropped —
+                  that cap firing IS the kernel's documented skew guard
+                  doing its job on exactly the workload (k-fold crawl
+                  duplication) it guards against; the timing measures
+                  signature gen + banding + capped verify, the plan a
+                  100 TB crawl would run
+- JPEG codec      multimodal decode_jpeg over documents xk — map-only
+                  Arrow-batched mapInPandas; per-row CPU, zero shuffle
 
-Usage (repo root):  python tools/scale_probe.py [ks...]   # default 1 2 4 8
+Usage (repo root):
+  python tools/scale_probe.py [ks...]              # default 1 2 4 8
+  python tools/scale_probe.py --kernels a,b [ks..] # subset by name
 
 Prints one JSON line per (kernel, k) and a final summary with the
 efficiency ratio t(k) / (k * t(1)) — ~1.0 means the kernel is
@@ -69,9 +83,16 @@ def register_scaled(spark, k: int) -> None:
     times(ev, {"event_id": B_EVENT, "user_id": B_USER}).createOrReplaceTempView("events")
 
 
-def kernels() -> dict[str, str]:
+def kernels() -> dict:
+    """name -> SQL string (run via spark.sql) or callable(spark) ->
+    DataFrame (operator kernels that are not a single statement). All
+    read the scaled temp views, never the parquet paths directly."""
     from golang_db_query_engine_elasticsearch_indexer_spark.inventory import (
         SQL_QUERIES,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        dedup,
+        multimodal,
     )
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
         MATCH_SCORED_BODY,
@@ -93,13 +114,25 @@ def kernels() -> dict[str, str]:
             "  SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep"
             "  FROM documents GROUP BY md5(text))"
         ),
+        # r10 additions (VERDICT r09 ask #7): the three remaining
+        # families where a super-linear term could hide
+        "win_topk_per_group": SQL_QUERIES["win_topk_per_group"]["sql"],
+        "dedup_minhash_lsh": lambda spark: dedup.minhash_lsh_pairs(
+            spark, SF_DIR
+        ),
+        "jpeg_decode": lambda spark: multimodal.decode_jpeg(spark, SF_DIR),
     }
 
 
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    ks = [int(x) for x in sys.argv[1:]] or [1, 2, 4, 8]
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if argv and argv[0] == "--kernels":
+        only = set(argv[1].split(","))
+        argv = argv[2:]
+    ks = [int(x) for x in argv] or [1, 2, 4, 8]
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -107,20 +140,30 @@ def main() -> None:
         .getOrCreate()
     )
     ker = kernels()
+    if only is not None:
+        unknown = only - set(ker)
+        if unknown:
+            raise SystemExit(f"unknown kernels: {sorted(unknown)}")
+        ker = {n: s for n, s in ker.items() if n in only}
+
+    def run(obj) -> None:
+        df = spark.sql(obj) if isinstance(obj, str) else obj(spark)
+        df.count()
+
     # warmup: JVM/codegen/footers at k=1
     register_scaled(spark, 1)
-    for sql in ker.values():
-        spark.sql(sql).count()
+    for obj in ker.values():
+        run(obj)
 
     base: dict[str, float] = {}
     rows = []
     for k in ks:
         register_scaled(spark, k)
-        for name, sql in ker.items():
+        for name, obj in ker.items():
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                spark.sql(sql).count()
+                run(obj)
                 best = min(best, time.time() - t0)
             if k == ks[0]:
                 base[name] = best
