@@ -983,8 +983,9 @@ def _metric_cols(name: str, kind: str, m: dict, dialect: str) -> list[str]:
 
 
 _BUCKETS = {"terms", "date_histogram", "histogram", "range"}
-_PIPELINE = {"cumulative_sum", "derivative"}
-_SIBLING_PIPELINE = {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket"}
+_PIPELINE = {"cumulative_sum", "derivative", "serial_diff", "moving_fn"}
+_SIBLING_PIPELINE = {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+                     "stats_bucket"}
 # row-local parent pipelines: no bucket ordering needed — bucket_script
 # computes a derived metric per bucket, bucket_selector filters buckets
 # (the HAVING / derived-metric idiom of Kibana dashboard bodies)
@@ -1054,7 +1055,11 @@ def _bucket_key(kind: str, b: dict, dialect: str) -> tuple[str, str]:
         # key type must agree for the driver's hash compare
         e = f"cast(round(floor({f} / {step}) * {step}, 4) AS DOUBLE)"
         return e, e
-    if kind == "range":
+    if kind in ("range", "date_range"):
+        # date_range = range with string (ISO date) bounds: from
+        # inclusive / to exclusive, same CASE rendering — a date-shaped
+        # string literal coerces identically against temporal columns
+        # in both dialects (the r09 _lit rule, pushdown-verified)
         case, ordinal = _range_case(f, b["ranges"], dialect)
         return case, ordinal
     raise ValueError(f"es_dsl: unsupported bucket agg {kind!r}")
@@ -1070,12 +1075,23 @@ def _range_case(f: str, ranges: list, dialect: str) -> tuple[str, str]:
         if lo is None and hi is None:
             raise ValueError("es_dsl: range bucket needs from and/or to")
         edges.append((lo, hi))
+    bounds = [x for lo, hi in edges for x in (lo, hi) if x is not None]
+    has_str = any(isinstance(x, str) for x in bounds)
+    if has_str and not all(isinstance(x, str) for x in bounds):
+        raise ValueError(
+            "es_dsl: range bounds must be all-numeric or all-string "
+            "(date_range); do not mix"
+        )
+    # overlap sentinels: ISO date strings order lexicographically, so
+    # string (date_range) bounds compare directly with string sentinels
+    neg = "" if has_str else float("-inf")
+    pos = "\U0010ffff" if has_str else float("inf")
     for i, (lo1, hi1) in enumerate(edges):
         for lo2, hi2 in edges[i + 1 :]:
-            a1, b1 = (lo1 if lo1 is not None else float("-inf"),
-                      hi1 if hi1 is not None else float("inf"))
-            a2, b2 = (lo2 if lo2 is not None else float("-inf"),
-                      hi2 if hi2 is not None else float("inf"))
+            a1, b1 = (lo1 if lo1 is not None else neg,
+                      hi1 if hi1 is not None else pos)
+            a2, b2 = (lo2 if lo2 is not None else neg,
+                      hi2 if hi2 is not None else pos)
             if max(a1, a2) < min(b1, b2):
                 raise ValueError(
                     "es_dsl: overlapping range buckets are unsupported"
@@ -1286,8 +1302,35 @@ LIMIT {size}
         return _compile_auto_date_histogram(
             index, b, metrics, where, key, dialect
         )
+    if kind == "rare_terms":
+        # ES rare_terms: the long tail — buckets whose doc_count is at
+        # most max_doc_count, ordered rarest first. No size param (the
+        # rarity cap bounds the result); one GROUP BY + HAVING
+        if pipelines:
+            raise ValueError(
+                "es_dsl: pipeline aggs need a histogram-family parent"
+            )
+        bad = set(b) - {"field", "max_doc_count"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported rare_terms keys {sorted(bad)}"
+            )
+        mdc = int(b.get("max_doc_count", 1))
+        if not 1 <= mdc <= 100:
+            raise ValueError(
+                "es_dsl: rare_terms max_doc_count must be in [1, 100]"
+            )
+        f = _ident(b["field"])
+        return f"""
+SELECT {f} AS {key}, count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE ({where}) AND {f} IS NOT NULL
+GROUP BY {f}
+HAVING count(*) <= {mdc}
+ORDER BY doc_count ASC, {key} ASC
+"""
     key_expr, order_expr = _bucket_key(kind, b, dialect)
-    if kind == "range":
+    if kind in ("range", "date_range"):
         if pipelines:
             raise ValueError(
                 "es_dsl: pipeline aggs need a histogram-family parent"
@@ -1311,8 +1354,14 @@ GROUP BY {key_expr}{having}"""
         sql = _wrap_pipelines(base, pipelines, siblings, key, simple, agg_name)
         if rowlocal:
             # selector/script paths may also name a window-pipeline
-            # output (ES: buckets_path can target any sibling agg)
-            avail = simple | {n for n, _ in pipelines} | set(siblings)
+            # output (ES: buckets_path can target any sibling agg);
+            # stats_bucket is multi-column, so it is not addressable
+            avail = (
+                simple
+                | {n for n, _ in pipelines}
+                | {n for n, sp in siblings.items()
+                   if next(iter(sp)) != "stats_bucket"}
+            )
             return _wrap_rowlocal(sql, rowlocal, avail, f"{key} ASC")
         return sql
     if rowlocal:
@@ -1369,10 +1418,66 @@ def _wrap_pipelines(
                 f"cast(sum({path}) OVER (ORDER BY {key} ASC"
                 f" ROWS UNBOUNDED PRECEDING) AS {ctype}) AS {n}"
             )
-        else:  # derivative: NULL for the first bucket, as in ES
+        elif pkind == "derivative":
+            # NULL for the first bucket, as in ES
             cols.append(
                 f"{path} - lag({path}) OVER (ORDER BY {key} ASC) AS {n}"
             )
+        elif pkind == "serial_diff":
+            lag = int(p.get("lag", 1))
+            if lag < 1:
+                raise ValueError("es_dsl: serial_diff lag must be >= 1")
+            cols.append(
+                f"{path} - lag({path}, {lag}) OVER (ORDER BY {key} ASC)"
+                f" AS {n}"
+            )
+        else:  # moving_fn
+            bad = set(p) - {"buckets_path", "window", "script", "shift"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported moving_fn keys {sorted(bad)}"
+                )
+            w = int(p.get("window", 0))
+            if w < 1:
+                raise ValueError("es_dsl: moving_fn window must be >= 1")
+            m = re.fullmatch(
+                r"MovingFunctions\.(unweightedAvg|sum|min|max)\(values\)",
+                str(p.get("script", "")).strip(),
+            )
+            if not m:
+                raise ValueError(
+                    "es_dsl: moving_fn supports exactly the stock "
+                    "MovingFunctions.{unweightedAvg|sum|min|max}(values) "
+                    f"scripts (got {p.get('script')!r})"
+                )
+            shift = int(p.get("shift", 0))
+            # ES shift semantics: 0 (default) = window is the w buckets
+            # BEFORE the current one; 1 = slide right to include it
+            if shift == 0:
+                frame = f"ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING"
+            elif shift == 1:
+                frame = f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW"
+            else:
+                raise ValueError(
+                    f"es_dsl: unsupported moving_fn shift {shift} "
+                    "(0 = exclude current bucket, 1 = include)"
+                )
+            over = f"OVER (ORDER BY {key} ASC {frame})"
+            mfn = m.group(1)
+            # sliding-frame sums are order-INDEPENDENT only in the
+            # exact-decimal domain (DuckDB evaluates frames via segment
+            # trees — a different addition order than a sequential
+            # scan), so sum/avg follow the module's DECIMAL discipline
+            dsum = f"cast(sum(cast({path} AS {_DEC})) {over} AS DOUBLE)"
+            if mfn == "sum":
+                # MovingFunctions.sum of an EMPTY window is 0.0 in ES
+                # (avg of empty is NaN -> null, min/max +-Inf -> null,
+                # all matching SQL NULL)
+                cols.append(f"coalesce({dsum}, 0.0) AS {n}")
+            elif mfn == "unweightedAvg":
+                cols.append(f"{dsum} / count({path}) {over} AS {n}")
+            else:
+                cols.append(f"cast({mfn}({path}) {over} AS DOUBLE) AS {n}")
     for name, spec in siblings.items():
         pkind, p = _one(spec, f"sibling pipeline agg {name}")
         bp = p.get("buckets_path")
@@ -1389,6 +1494,26 @@ def _wrap_pipelines(
             )
         path = resolve(leaf, pkind)
         n = _ident(name)
+        if pkind == "stats_bucket":
+            # ES stats_bucket: count/min/max/avg/sum over the parent's
+            # buckets, one column each ({n}_count BIGINT, rest per the
+            # sibling discipline below)
+            if path == "doc_count":
+                dsum = "cast(sum(doc_count) OVER () AS DOUBLE)"
+                mm = "cast({f}(doc_count) OVER () AS BIGINT)"
+                ssum = "cast(sum(doc_count) OVER () AS BIGINT)"
+            else:
+                dsum = f"cast(sum(cast({path} AS {_DEC})) OVER () AS DOUBLE)"
+                mm = f"cast({{f}}({path}) OVER () AS DOUBLE)"
+                ssum = dsum
+            cols += [
+                f"count({path}) OVER () AS {n}_count",
+                f"{mm.format(f='min')} AS {n}_min",
+                f"{mm.format(f='max')} AS {n}_max",
+                f"{dsum} / count({path}) OVER () AS {n}_avg",
+                f"{ssum} AS {n}_sum",
+            ]
+            continue
         fn = pkind.split("_")[0]  # avg | sum | min | max
         # avg/sum over the UNORDERED whole-relation frame are
         # order-dependent on doubles (engines sum the frame in
@@ -2604,6 +2729,64 @@ AUTO_DATE_HISTOGRAM_BODY = {
     }},
 }
 
+RARE_TERMS_BODY = {
+    # the long tail: document lengths seen at most twice among long docs
+    "query": {"range": {"n_chars": {"gte": 300}}},
+    "aggs": {"rare_len": {
+        "rare_terms": {"field": "n_chars", "max_doc_count": 2},
+    }},
+}
+
+DATE_RANGE_BODY = {
+    # calendar reporting periods with ES from-inclusive/to-exclusive
+    # edges and an explicit key label on one bucket
+    "query": {"term": {"event_type": "signup"}},
+    "aggs": {"period": {
+        "date_range": {"field": "ts", "ranges": [
+            {"to": "2024-01-08"},
+            {"from": "2024-01-08", "to": "2024-01-16"},
+            {"from": "2024-01-16", "to": "2024-01-24", "key": "wk3"},
+            {"from": "2024-01-24"},
+        ]},
+        "aggs": {"v_avg": {"avg": {"field": "value"}}},
+    }},
+}
+
+SERIAL_DIFF_MOVING_BODY = {
+    # the time-series smoothing idioms: week-over-week serial_diff and
+    # 7-bucket moving average / moving doc-count sum
+    "query": {"term": {"event_type": "view"}},
+    "aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v_sum": {"sum": {"field": "value"}},
+            "wow": {"serial_diff": {"buckets_path": "v_sum", "lag": 7}},
+            "ma7": {"moving_fn": {
+                "buckets_path": "v_sum", "window": 7,
+                "script": "MovingFunctions.unweightedAvg(values)",
+            }},
+            "docs7": {"moving_fn": {
+                "buckets_path": "_count", "window": 7, "shift": 1,
+                "script": "MovingFunctions.sum(values)",
+            }},
+        },
+    }},
+}
+
+STATS_BUCKET_BODY = {
+    # sibling stats over the parent's buckets: the per-day average's
+    # spread, and the per-day doc_count's spread, in one response
+    "query": {"term": {"event_type": "error"}},
+    "aggs": {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"v_avg": {"avg": {"field": "value"}}},
+        },
+        "day_stats": {"stats_bucket": {"buckets_path": "daily>v_avg"}},
+        "day_docs": {"stats_bucket": {"buckets_path": "daily>_count"}},
+    },
+}
+
 DIS_MAX_BODY = {
     # dis_max union + a boosting wrapper inside one bool tree: the
     # compound-query wrappers in filter context
@@ -2882,5 +3065,27 @@ def registry() -> dict[str, dict]:
         "es_cat_indices": {
             "fn": _cat_indices_entry,
             "oracle": _cat_indices_oracle(),
+        },
+        "es_dsl_rare_terms": {
+            "fn": _entry("documents", RARE_TERMS_BODY, "doc_id"),
+            "oracle": compile_search("documents", RARE_TERMS_BODY, "duck"),
+        },
+        "es_dsl_date_range": {
+            "fn": _entry("events", DATE_RANGE_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", DATE_RANGE_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_serial_diff_moving_fn": {
+            "fn": _entry("events", SERIAL_DIFF_MOVING_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", SERIAL_DIFF_MOVING_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_stats_bucket": {
+            "fn": _entry("events", STATS_BUCKET_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", STATS_BUCKET_BODY, "duck", "event_id"
+            ),
         },
     }

@@ -1826,3 +1826,160 @@ def test_highlight_rejections(tiny):
     ]:
         with pytest.raises(ValueError, match=msg):
             compile_search("docs", body, "duck")
+
+
+# --- r10 batch 2: rare_terms / date_range / serial_diff / moving_fn /
+# --- stats_bucket
+
+
+def test_rare_terms_long_tail(tiny):
+    """Buckets with doc_count <= max_doc_count, rarest first; 'news'
+    (2 docs) survives only when the cap admits it."""
+    b = {"aggs": {"rare": {"rare_terms": {"field": "source"}}}}
+    rows = tiny.execute(compile_aggs("docs", b, "duck")).fetchall()
+    assert rows == [("10%x", 1), ("105x", 1), ("a_c", 1),
+                    ("abc", 1), ("blog", 1)]
+    b = {"aggs": {"rare": {"rare_terms": {
+        "field": "source", "max_doc_count": 2}}}}
+    rows = tiny.execute(compile_aggs("docs", b, "duck")).fetchall()
+    assert ("news", 2) in rows and len(rows) == 6
+    for body, msg in [
+        ({"aggs": {"r": {"rare_terms": {"field": "source",
+                                        "max_doc_count": 0}}}},
+         r"\[1, 100\]"),
+        ({"aggs": {"r": {"rare_terms": {"field": "source",
+                                        "size": 5}}}},
+         "unsupported rare_terms keys"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_aggs("docs", body, "duck")
+
+
+@pytest.fixture()
+def tiny_val():
+    con = duckdb.connect()
+    con.execute("""
+        CREATE TABLE ev AS SELECT * FROM (VALUES
+          (1, TIMESTAMP '2024-01-01 00:00:00', 10.0),
+          (2, TIMESTAMP '2024-01-02 06:30:00', 20.0),
+          (3, TIMESTAMP '2024-01-03 12:00:00', 30.0),
+          (4, TIMESTAMP '2024-01-05 23:59:59', 40.0),
+          (5, TIMESTAMP '2024-01-09 01:00:00', 50.0)
+        ) AS t(event_id, ts, value)
+    """)
+    return con
+
+
+def test_date_range_buckets(tiny_val):
+    """from inclusive / to exclusive on ISO date strings; declaration
+    order kept; explicit key labels honored; doc missing the field
+    would be in no bucket (same CASE rendering as numeric range)."""
+    b = {"aggs": {"dr": {
+        "date_range": {"field": "ts", "ranges": [
+            {"to": "2024-01-03"},
+            {"from": "2024-01-03", "to": "2024-01-06"},
+            {"from": "2024-01-06", "key": "late"},
+        ]},
+        "aggs": {"v": {"avg": {"field": "value"}}},
+    }}}
+    rows = tiny_val.execute(
+        compile_aggs("ev", b, "duck", "event_id")
+    ).fetchall()
+    assert rows == [
+        ("*-2024-01-03", 2, 15.0),
+        ("2024-01-03-2024-01-06", 2, 35.0),
+        ("late", 1, 50.0),
+    ]
+    with pytest.raises(ValueError, match="overlapping range buckets"):
+        compile_aggs("ev", {"aggs": {"d": {"date_range": {
+            "field": "ts", "ranges": [
+                {"to": "2024-01-05"}, {"from": "2024-01-03"},
+            ]}}}}, "duck", "event_id")
+    with pytest.raises(ValueError, match="all-numeric or all-string"):
+        compile_aggs("ev", {"aggs": {"d": {"date_range": {
+            "field": "ts", "ranges": [
+                {"to": "2024-01-05"}, {"from": 5},
+            ]}}}}, "duck", "event_id")
+
+
+def test_serial_diff_and_moving_fn(tiny_val):
+    """serial_diff = value minus the lag-n bucket (NULL while the lag
+    window is unfilled); moving_fn shift=0 windows EXCLUDE the current
+    bucket, shift=1 include it; MovingFunctions.sum of an empty window
+    is 0.0, unweightedAvg of an empty window is NULL (ES NaN)."""
+    b = {"aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "s": {"sum": {"field": "value"}},
+            "d2": {"serial_diff": {"buckets_path": "s", "lag": 2}},
+            "ma2": {"moving_fn": {
+                "buckets_path": "s", "window": 2,
+                "script": "MovingFunctions.unweightedAvg(values)"}},
+            "sm2": {"moving_fn": {
+                "buckets_path": "s", "window": 2, "shift": 1,
+                "script": "MovingFunctions.sum(values)"}},
+        },
+    }}}
+    rows = tiny_val.execute(
+        compile_aggs("ev", b, "duck", "event_id")
+    ).fetchall()
+    # (key, doc_count, s, d2, ma2, sm2) over buckets 1,2,3,5,9 Jan
+    assert [r[3] for r in rows] == [None, None, 20.0, 20.0, 20.0]
+    assert [r[4] for r in rows] == [None, 10.0, 15.0, 25.0, 35.0]
+    assert [r[5] for r in rows] == [10.0, 30.0, 50.0, 70.0, 90.0]
+    for spec, msg in [
+        ({"moving_fn": {"buckets_path": "s", "window": 0,
+                        "script": "MovingFunctions.sum(values)"}},
+         "window must be >= 1"),
+        ({"moving_fn": {"buckets_path": "s", "window": 3,
+                        "script": "MovingFunctions.stdDev(values)"}},
+         "stock MovingFunctions"),
+        ({"moving_fn": {"buckets_path": "s", "window": 3, "shift": 2,
+                        "script": "MovingFunctions.sum(values)"}},
+         "unsupported moving_fn shift"),
+        ({"serial_diff": {"buckets_path": "s", "lag": 0}},
+         "lag must be >= 1"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_aggs("ev", {"aggs": {"daily": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"s": {"sum": {"field": "value"}}, "x": spec},
+            }}}, "duck", "event_id")
+
+
+def test_stats_bucket_sibling(tiny_val):
+    """stats_bucket emits count/min/max/avg/sum of the parent's bucket
+    metric as five constant columns; _count paths keep integer types."""
+    b = {"aggs": {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"v": {"avg": {"field": "value"}}},
+        },
+        "st": {"stats_bucket": {"buckets_path": "daily>v"}},
+        "dc": {"stats_bucket": {"buckets_path": "daily>_count"}},
+    }}
+    rows = tiny_val.execute(
+        compile_aggs("ev", b, "duck", "event_id")
+    ).fetchall()
+    # columns: key, doc_count, v, st_count..st_sum, dc_count..dc_sum
+    assert len(rows) == 5
+    st = rows[0][3:8]
+    assert st == (5, 10.0, 50.0, 30.0, 150.0)
+    dc = rows[0][8:13]
+    assert dc == (5, 1, 1, 1.0, 5)
+    # a bucket_selector cannot address the multi-column stats_bucket
+    with pytest.raises(ValueError, match="single-value sibling"):
+        compile_aggs("ev", {"aggs": {
+            "daily": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {
+                    "v": {"avg": {"field": "value"}},
+                    "keep": {"bucket_selector": {
+                        "buckets_path": {"x": "st"},
+                        "script": "params.x > 1"}},
+                },
+            },
+            "st": {"stats_bucket": {"buckets_path": "daily>v"}},
+        }}, "duck", "event_id")
