@@ -350,8 +350,21 @@ def create_app(
             raise ParamsNullError()
         searches = []
         for i in range(0, len(lines), 2):
-            head = json.loads(lines[i])
-            searches.append((head.get("index"), json.loads(lines[i + 1])))
+            # a malformed NDJSON line is a client error (400), like the
+            # single-body routes — never a 500 through the generic
+            # handler
+            try:
+                head = json.loads(lines[i])
+                body = json.loads(lines[i + 1])
+            except ValueError as exc:
+                raise SqlSyntaxError(
+                    f"es_dsl: _msearch line is not valid JSON: {exc}"
+                )
+            if not isinstance(head, dict) or not isinstance(body, dict):
+                raise SqlSyntaxError(
+                    "es_dsl: _msearch lines must be JSON objects"
+                )
+            searches.append((head.get("index"), body))
         t0 = _time.time()
         dfs = gateway.es_msearch(_spark(), searches)
         responses = []

@@ -468,7 +468,7 @@ def _compile_scored(
     union = "\n    UNION ALL ".join(
         f"SELECT _id, s FROM f{i}_bm" for i in range(len(fields))
     )
-    cols = body.get("_source")
+    cols = _source_cols(body, "scored hits")
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
     off = f" OFFSET {offset}" if offset else ""
@@ -477,6 +477,20 @@ def _compile_scored(
             index, body, ctes, combine, union, terms, cols,
             size, off, dialect, id_field,
         )
+    if cols is None and "_source" in body:
+        # _source: true — full source + _score via the join-back
+        return f"""
+WITH {ctes},
+scored AS (
+  SELECT _id, {combine}(s) AS s
+  FROM ({union}) u
+  GROUP BY _id
+)
+SELECT t.*, round(sc.s, 4) AS _score
+FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id
+ORDER BY _score DESC, t.{id_field} ASC
+LIMIT {size}{off}
+"""
     if cols:
         select = ", ".join(f"t.{_ident(c)}" for c in cols)
         return f"""
@@ -549,7 +563,9 @@ def _compile_scored_highlight(
                 f"(got {sorted(opts)} for {hf!r}; defaults only)"
             )
     if not cols:
-        raise ValueError("es_dsl: highlight requires _source")
+        raise ValueError(
+            "es_dsl: highlight requires an explicit _source field list"
+        )
     hnames = [_ident(hf) for hf in hfields]
     term_lits = ", ".join(_lit(t, dialect) for t in terms)
     qterms = (
@@ -619,6 +635,26 @@ ORDER BY k._score DESC, k._id ASC
 # --- search compilation ------------------------------------------------------
 
 
+def _source_cols(body: dict, what: str):
+    """Normalize the ES `_source` key: absent/true = full source (all
+    columns), false = no source (id only), list of fields = projection;
+    anything else raises. Returning False is the caller's signal for
+    the id-only shape."""
+    cols = body.get("_source")
+    if cols is None or cols is True:
+        return None
+    if cols is False:
+        return False
+    if isinstance(cols, list) and cols and all(
+        isinstance(c, str) for c in cols
+    ):
+        return cols
+    raise ValueError(
+        f"es_dsl: _source for {what} must be a boolean or a non-empty "
+        f"list of field names (got {cols!r})"
+    )
+
+
 def compile_search(
     index: str, body: dict, dialect: str, id_field: str = "doc_id"
 ) -> str:
@@ -654,10 +690,35 @@ def compile_search(
         return compile_aggs(index, body, dialect, id_field)
     q = body.get("query", {"match_all": {}})
     qkind, _ = _one(q, "query clause")
-    if qkind in ("match", "multi_match") and not body.get("sort"):
-        # ES query context: bare full-text query, no explicit sort ->
+    # normalize the sort list: explicit `_score` (desc) entries are the
+    # DEFAULT score order spelled out — strip them so `sort: ["_score"]`
+    # routes like no sort at all; `_score asc` raises (anti-relevance
+    # order is unsupported)
+    field_sorts: list = []
+    score_sorted = False
+    for s in body.get("sort", []):
+        if s == "_score" or (
+            isinstance(s, dict) and set(s) == {"_score"}
+        ):
+            spec = s["_score"] if isinstance(s, dict) else "desc"
+            d = spec if isinstance(spec, str) else spec.get("order", "desc")
+            if d != "desc":
+                raise ValueError("es_dsl: sort _score asc is unsupported")
+            score_sorted = True
+        else:
+            field_sorts.append(s)
+    if qkind in ("match", "multi_match") and not field_sorts:
+        # ES query context: bare full-text query, no field sort ->
         # BM25-scored, _score-ordered hits (the ES default experience)
         return _compile_scored(index, body, dialect, id_field)
+    if score_sorted and qkind in ("match", "multi_match"):
+        raise ValueError(
+            "es_dsl: mixing _score with field sorts on a scored query "
+            "is unsupported (use _score alone or field sorts alone)"
+        )
+    # in filter context every hit scores identically, so a `_score`
+    # sort entry is a no-op — dropped; the id tiebreak keeps the order
+    # total (ES leaves equal-score order undefined)
     if "highlight" in body:
         raise ValueError(
             "es_dsl: highlight requires a scored match/multi_match "
@@ -665,10 +726,15 @@ def compile_search(
             "no matched terms to snippet)"
         )
     where = _query_expr(q, dialect, id_field)
-    cols = body.get("_source")
-    select = ", ".join(_ident(c) for c in cols) if cols else "*"
+    cols = _source_cols(body, "filter-context hits")
+    if cols is False:
+        select = id_field
+    elif cols:
+        select = ", ".join(_ident(c) for c in cols)
+    else:
+        select = "*"
     order: list[str] = []
-    for s in body.get("sort", []):
+    for s in field_sorts:
         if isinstance(s, str):
             f, d = s, "asc"
         else:
@@ -1342,9 +1408,20 @@ WHERE ({where}) AND ({key_expr}) IS NOT NULL
 GROUP BY {key_expr}, {order_expr}
 ORDER BY {order_expr} ASC
 """
-    mdc = int(b.get("min_doc_count", 0))
+    mdc = int(b.get("min_doc_count", 1))
     having = f"\nHAVING count(*) >= {mdc}" if mdc > 1 else ""
-    base = f"""SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
+    if "min_doc_count" in b and mdc == 0:
+        # the EXPLICIT Kibana default: a zero-filled bucket axis
+        if kind != "date_histogram":
+            raise ValueError(
+                "es_dsl: min_doc_count 0 (zero-filled axis) is "
+                "supported for date_histogram only"
+            )
+        base = _zero_fill_date_histogram(
+            index, b, metric_specs, metrics, where, key, key_expr, dialect
+        )
+    else:
+        base = f"""SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
 WHERE ({where}) AND ({key_expr}) IS NOT NULL
 GROUP BY {key_expr}{having}"""
@@ -1824,6 +1901,113 @@ _AUTO_DH_LADDER = [
     86400, 604800,                     # day, week
     2592000, 7776000, 31536000,        # ~month, ~quarter, ~year
 ]
+
+
+def _zero_fill_date_histogram(
+    index: str, b: dict, metric_specs: list[tuple[str, dict]],
+    metrics: str, where: str, key: str, key_expr: str, dialect: str,
+) -> str:
+    """``min_doc_count: 0`` — the EXPLICIT default of Kibana-generated
+    date_histogram bodies: the bucket axis is CONTIGUOUS, empty buckets
+    appear with doc_count 0 (and ES's empty-bucket metric values:
+    sum/value_count/cardinality 0, avg/min/max NULL). The axis is
+    generated in-plan from the data's key bounds — optionally widened
+    by ``extended_bounds`` {min,max} date strings, which only ever
+    EXTEND (ES semantics: data outside the bounds still buckets) — as
+    a sequence/generate_series relation left-joined to the aggregated
+    buckets. Scale shape: the axis is bounded by bucket count (axis
+    rows = time span / interval, never data size), the bounds relation
+    is one aggregate row, and the join is a broadcast of the bucket
+    relation; pipeline aggs composed on top run over the FILLED axis,
+    which is exactly what makes derivative/moving windows correct
+    across gaps."""
+    fills = []
+    for n, sp in metric_specs:
+        mk = next(iter(sp))
+        if mk in ("value_count", "cardinality"):
+            fills.append(f"coalesce(b.{_ident(n)}, 0) AS {_ident(n)}")
+        elif mk == "sum":
+            fills.append(
+                f"coalesce(b.{_ident(n)}, cast(0 AS DOUBLE)) AS {_ident(n)}"
+            )
+        elif mk in ("avg", "min", "max"):
+            fills.append(f"b.{_ident(n)} AS {_ident(n)}")
+        else:
+            raise ValueError(
+                f"es_dsl: min_doc_count 0 with {mk} metrics is "
+                "unsupported (single-value metrics only)"
+            )
+    fill_cols = "".join(",\n       " + c for c in fills)
+    f = _ident(b["field"])
+    eb = b.get("extended_bounds")
+    if eb is not None and (
+        not isinstance(eb, dict) or set(eb) != {"min", "max"}
+        or not all(isinstance(v, str) for v in eb.values())
+    ):
+        raise ValueError(
+            "es_dsl: extended_bounds wants {min, max} date strings"
+        )
+    if "fixed_interval" in b:
+        if eb:
+            raise ValueError(
+                "es_dsl: extended_bounds with fixed_interval is "
+                "unsupported (calendar intervals only)"
+            )
+        mi = re.fullmatch(r"(\d+)([smhd])", str(b["fixed_interval"]))
+        secs = int(mi.group(1)) * {
+            "s": 1, "m": 60, "h": 3600, "d": 86400,
+        }[mi.group(2)]
+        step = secs * 1000
+        axis = (
+            f"SELECT explode(sequence(lo, hi, {step})) AS {key} FROM zf_bounds"
+            if dialect == "spark"
+            else f"SELECT unnest(generate_series(lo, hi, {step}))"
+            f" AS {key} FROM zf_bounds"
+        )
+        bounds = (
+            f"SELECT min({key_expr}) AS lo, max({key_expr}) AS hi\n"
+            f"  FROM {_ident(index)} WHERE ({where}) AND {f} IS NOT NULL"
+        )
+    else:
+        unit = b.get("calendar_interval", "day")
+        n_step, u_step = {
+            "day": (1, "day"), "week": (7, "day"),
+            "month": (1, "month"), "year": (1, "year"),
+        }[unit]
+        lo, hi = f"min({key_expr})", f"max({key_expr})"
+        if eb:
+            # least/greatest ignore NULLs in both dialects, so an empty
+            # relation still yields the bounds-only axis (ES: empty
+            # buckets are forced across extended_bounds regardless)
+            emin = f"cast(date_trunc('{unit}', DATE '{eb['min']}') AS DATE)"
+            emax = f"cast(date_trunc('{unit}', DATE '{eb['max']}') AS DATE)"
+            lo, hi = f"least({lo}, {emin})", f"greatest({hi}, {emax})"
+        bounds = (
+            f"SELECT {lo} AS lo, {hi} AS hi\n"
+            f"  FROM {_ident(index)} WHERE ({where}) AND {f} IS NOT NULL"
+        )
+        axis = (
+            f"SELECT explode(sequence(lo, hi, interval {n_step} {u_step}))"
+            f" AS {key} FROM zf_bounds"
+            if dialect == "spark"
+            else f"SELECT cast(unnest(generate_series(lo, hi,"
+            f" INTERVAL {n_step} {u_step})) AS DATE) AS {key}"
+            f" FROM zf_bounds"
+        )
+    return f"""WITH zf_bounds AS (
+  {bounds}
+),
+zf_axis AS (
+  {axis}
+),
+zf_buckets AS (
+  SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
+  FROM {_ident(index)}
+  WHERE ({where}) AND ({key_expr}) IS NOT NULL
+  GROUP BY {key_expr}
+)
+SELECT a.{key} AS {key}, coalesce(b.doc_count, 0) AS doc_count{fill_cols}
+FROM zf_axis a LEFT JOIN zf_buckets b ON a.{key} = b.{key}"""
 
 
 def _compile_auto_date_histogram(
@@ -2787,6 +2971,25 @@ STATS_BUCKET_BODY = {
     },
 }
 
+ZERO_FILL_BODY = {
+    # the explicit Kibana default: min_doc_count 0 zero-fills the day
+    # axis across extended_bounds; the running sum then accumulates
+    # over the FILLED axis (gaps contribute 0), the dashboard shape
+    "query": {"range": {"value": {"gte": 300}}},
+    "aggs": {"daily": {
+        "date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "min_doc_count": 0,
+            "extended_bounds": {"min": "2024-01-01", "max": "2024-01-30"},
+        },
+        "aggs": {
+            "v_sum": {"sum": {"field": "value"}},
+            "n": {"value_count": {"field": "value"}},
+            "run": {"cumulative_sum": {"buckets_path": "v_sum"}},
+        },
+    }},
+}
+
 DIS_MAX_BODY = {
     # dis_max union + a boosting wrapper inside one bool tree: the
     # compound-query wrappers in filter context
@@ -3086,6 +3289,12 @@ def registry() -> dict[str, dict]:
             "fn": _entry("events", STATS_BUCKET_BODY, "event_id"),
             "oracle": compile_search(
                 "events", STATS_BUCKET_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_zero_fill_axis": {
+            "fn": _entry("events", ZERO_FILL_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", ZERO_FILL_BODY, "duck", "event_id"
             ),
         },
     }

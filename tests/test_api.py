@@ -444,3 +444,14 @@ def test_es_msearch_route(client):
     r = client.post("/_msearch", data=json.dumps({"index": "documents"}),
                     content_type="application/x-ndjson")
     assert r.status_code == 400
+    # an unparseable line is a 400 client error too, never a 500
+    r = client.post("/_msearch",
+                    data='{"index": "documents"}\n{not json\n',
+                    content_type="application/x-ndjson")
+    assert r.status_code == 400
+    assert "not valid JSON" in json.loads(r.data)["error"]
+    # a JSON line that is not an object is equally malformed
+    r = client.post("/_msearch",
+                    data='{"index": "documents"}\n[1, 2]\n',
+                    content_type="application/x-ndjson")
+    assert r.status_code == 400

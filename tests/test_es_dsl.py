@@ -1809,7 +1809,7 @@ def test_highlight_rejections(tiny):
          "highlight requires a scored"),
         ({"query": {"match": {"text": "alpha"}},
           "highlight": {"fields": {"text": {}}}},
-         "highlight requires _source"),
+         "highlight requires an explicit _source"),
         ({"query": {"match": {"text": "alpha"}},
           "_source": ["doc_id"],
           "highlight": {"fields": {"text": {"fragment_size": 10}}}},
@@ -1983,3 +1983,133 @@ def test_stats_bucket_sibling(tiny_val):
             },
             "st": {"stats_bucket": {"buckets_path": "daily>v"}},
         }}, "duck", "event_id")
+
+
+# --- r10 batch 3: _score sort routing and _source booleans --------------------
+
+
+def test_score_sort_routes_to_scored_context(tiny):
+    """`sort: ["_score"]` (or the dict forms) is the DEFAULT relevance
+    order spelled out: it must route to the BM25 scored path, never
+    emit ORDER BY on a nonexistent _score column."""
+    plain = compile_search(
+        "docs", {"query": {"match": {"text": "alpha delta"}}}, "duck")
+    for s in (["_score"], [{"_score": "desc"}],
+              [{"_score": {"order": "desc"}}]):
+        assert compile_search(
+            "docs", {"query": {"match": {"text": "alpha delta"}},
+                     "sort": s}, "duck") == plain
+    with pytest.raises(ValueError, match="_score asc is unsupported"):
+        compile_search("docs", {"query": {"match": {"text": "a"}},
+                                "sort": [{"_score": "asc"}]}, "duck")
+    with pytest.raises(ValueError, match="mixing _score with field"):
+        compile_search("docs", {"query": {"match": {"text": "a"}},
+                                "sort": ["_score", {"n": "desc"}]}, "duck")
+    # filter context: every hit scores identically, _score is a no-op
+    # and is dropped; the id tiebreak keeps the order total
+    rows = tiny.execute(compile_search(
+        "docs", {"query": {"term": {"lang": "en"}},
+                 "sort": ["_score"], "_source": ["doc_id"]}, "duck"
+    )).fetchall()
+    assert [r[0] for r in rows] == [1, 2, 8]
+
+
+def test_source_boolean_forms(tiny):
+    """_source: false = id only; true/absent = full source; anything
+    but a boolean or non-empty string list raises."""
+    rows = tiny.execute(compile_search(
+        "docs", {"query": {"term": {"lang": "en"}}, "_source": False},
+        "duck")).fetchall()
+    assert rows == [(1,), (2,), (8,)]
+    full = tiny.execute(compile_search(
+        "docs", {"query": {"term": {"lang": "en"}}, "_source": True},
+        "duck")).fetchall()
+    assert len(full[0]) == 5  # every column
+    # scored context: true = full source + _score via the join-back
+    scored = tiny.execute(compile_search(
+        "docs", {"query": {"match": {"text": "alpha"}}, "_source": True},
+        "duck")).fetchall()
+    assert len(scored[0]) == 6  # 5 columns + _score
+    assert scored[0][-1] >= scored[-1][-1]
+    for bad in ("text", [], [1, 2], {"includes": ["text"]}):
+        with pytest.raises(ValueError, match="_source for"):
+            compile_search("docs", {"query": {"term": {"lang": "en"}},
+                                    "_source": bad}, "duck")
+
+
+def test_zero_filled_date_histogram(tiny_val):
+    """min_doc_count 0 (the explicit Kibana default): contiguous day
+    axis, empty buckets with doc_count 0 and ES's empty-bucket metric
+    values (sum 0, value_count 0, avg NULL); pipeline aggs then run
+    over the FILLED axis (the derivative sees the gap days)."""
+    b = {"aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day",
+                           "min_doc_count": 0},
+        "aggs": {
+            "s": {"sum": {"field": "value"}},
+            "vc": {"value_count": {"field": "value"}},
+            "a": {"avg": {"field": "value"}},
+            "d": {"derivative": {"buckets_path": "s"}},
+        },
+    }}}
+    rows = tiny_val.execute(
+        compile_aggs("ev", b, "duck", "event_id")
+    ).fetchall()
+    # Jan 1..9 contiguous: 9 buckets, 4 empty
+    assert len(rows) == 9
+    assert [r[1] for r in rows] == [1, 1, 1, 0, 1, 0, 0, 0, 1]
+    empty = rows[3]
+    assert (empty[2], empty[3], empty[4]) == (0.0, 0, None)
+    # derivative across the gap: Jan 4 bucket = 0 - 30
+    assert empty[5] == -30.0
+
+
+def test_zero_fill_extended_bounds_and_rejections(tiny_val):
+    b = {"aggs": {"daily": {
+        "date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "min_doc_count": 0,
+            "extended_bounds": {"min": "2023-12-30", "max": "2024-01-11"},
+        },
+    }}}
+    rows = tiny_val.execute(
+        compile_aggs("ev", b, "duck", "event_id")
+    ).fetchall()
+    assert len(rows) == 13  # bounds only EXTEND the data span
+    assert rows[0][1] == 0 and rows[-1][1] == 0
+    for body, msg in [
+        ({"aggs": {"h": {"histogram": {"field": "value", "interval": 10,
+                                       "min_doc_count": 0}}}},
+         "date_histogram only"),
+        ({"aggs": {"d": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0},
+            "aggs": {"st": {"stats": {"field": "value"}}},
+        }}}, "single-value metrics only"),
+        ({"aggs": {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "min_doc_count": 0,
+            "extended_bounds": {"min": "2024-01-01"},
+        }}}}, "extended_bounds wants"),
+        ({"aggs": {"d": {"date_histogram": {
+            "field": "ts", "fixed_interval": "6h", "min_doc_count": 0,
+            "extended_bounds": {"min": "2024-01-01", "max": "2024-01-02"},
+        }}}}, "calendar intervals only"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_aggs("ev", body, "duck", "event_id")
+
+
+def test_zero_fill_fixed_interval(tiny_val):
+    b = {"aggs": {"h12": {
+        "date_histogram": {"field": "ts", "fixed_interval": "12h",
+                           "min_doc_count": 0},
+    }}}
+    rows = tiny_val.execute(
+        compile_aggs("ev", b, "duck", "event_id")
+    ).fetchall()
+    # Jan 1 00:00 .. Jan 9 00:00 at 12h = 17 contiguous buckets
+    assert len(rows) == 17
+    assert rows[0][0] == 1704067200000
+    assert rows[1][1] == 0
+    assert sum(r[1] for r in rows) == 5
