@@ -407,8 +407,40 @@ def _bm25_field_ctes(
 )"""
 
 
+def _fvf_expr(fvf: dict, dialect: str) -> str:
+    """field_value_factor as one SQL expression over the joined-back
+    hit row `t`: modifier(factor * t.field), ES's application order.
+    Optional `missing` substitutes for NULL field values (without it a
+    NULL field yields a NULL score, which ES would reject at runtime —
+    pass `missing` for nullable fields)."""
+    bad = set(fvf) - {"field", "factor", "modifier", "missing"}
+    if bad:
+        raise ValueError(
+            f"es_dsl: unsupported field_value_factor keys {sorted(bad)}"
+        )
+    f = f"t.{_ident(fvf['field'])}"
+    if "missing" in fvf:
+        f = f"coalesce({f}, {_lit(fvf['missing'], dialect)})"
+    factor = fvf.get("factor", 1)
+    if not isinstance(factor, (int, float)) or isinstance(factor, bool):
+        raise ValueError("es_dsl: field_value_factor factor must be numeric")
+    x = f"{factor} * {f}" if factor != 1 else f
+    modifier = fvf.get("modifier", "none")
+    if modifier == "none":
+        return f"({x})"
+    if modifier == "log1p":
+        return f"ln(1 + {x})"
+    if modifier == "sqrt":
+        return f"sqrt({x})"
+    raise ValueError(
+        f"es_dsl: unsupported field_value_factor modifier {modifier!r} "
+        "(none/log1p/sqrt)"
+    )
+
+
 def _compile_scored(
-    index: str, body: dict, dialect: str, id_field: str
+    index: str, body: dict, dialect: str, id_field: str,
+    fvf: dict | None = None, fs_mode: str = "multiply",
 ) -> str:
     """Top-level `match` / `multi_match` with no explicit sort: BM25
     query context. `multi_match` combines per-field scores by its ES
@@ -473,10 +505,19 @@ def _compile_scored(
     offset = int(body.get("from", 0))
     off = f" OFFSET {offset}" if offset else ""
     if "highlight" in body:
+        if fvf:
+            raise ValueError(
+                "es_dsl: function_score with highlight is unsupported"
+            )
         return _compile_scored_highlight(
             index, body, ctes, combine, union, terms, cols,
             size, off, dialect, id_field,
         )
+    sc = "sc.s"
+    if fvf:
+        fx = _fvf_expr(fvf, dialect)
+        sc = f"sc.s * {fx}" if fs_mode == "multiply" else f"sc.s + {fx}"
+    score = f"round({sc}, 4) AS _score"
     if cols is None and "_source" in body:
         # _source: true — full source + _score via the join-back
         return f"""
@@ -486,7 +527,7 @@ scored AS (
   FROM ({union}) u
   GROUP BY _id
 )
-SELECT t.*, round(sc.s, 4) AS _score
+SELECT t.*, {score}
 FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id
 ORDER BY _score DESC, t.{id_field} ASC
 LIMIT {size}{off}
@@ -500,9 +541,23 @@ scored AS (
   FROM ({union}) u
   GROUP BY _id
 )
-SELECT {select}, round(sc.s, 4) AS _score
+SELECT {select}, {score}
 FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id
 ORDER BY _score DESC, t.{id_field} ASC
+LIMIT {size}{off}
+"""
+    if fvf:
+        # the factor reads a field, so the id-only shape still joins
+        return f"""
+WITH {ctes},
+scored AS (
+  SELECT _id, {combine}(s) AS s
+  FROM ({union}) u
+  GROUP BY _id
+)
+SELECT t.{id_field} AS {id_field}, {score}
+FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id
+ORDER BY _score DESC, {id_field} ASC
 LIMIT {size}{off}
 """
     return f"""
@@ -707,6 +762,36 @@ def compile_search(
             score_sorted = True
         else:
             field_sorts.append(s)
+    if qkind == "function_score":
+        # popularity/recency boosting: BM25 relevance combined with a
+        # field-derived factor — the ES idiom for "relevant AND popular"
+        fs = q["function_score"]
+        bad = set(fs) - {"query", "field_value_factor", "boost_mode"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported function_score keys {sorted(bad)}"
+            )
+        inner = fs.get("query")
+        ikind, _ = _one(inner or {}, "function_score query")
+        if ikind not in ("match", "multi_match") or field_sorts:
+            raise ValueError(
+                "es_dsl: function_score needs a match/multi_match query "
+                "and no field sorts (scored context only)"
+            )
+        fvf = fs.get("field_value_factor")
+        if not fvf:
+            raise ValueError(
+                "es_dsl: function_score supports field_value_factor only"
+            )
+        mode = fs.get("boost_mode", "multiply")
+        if mode not in ("multiply", "sum"):
+            raise ValueError(
+                f"es_dsl: unsupported boost_mode {mode!r} (multiply/sum)"
+            )
+        return _compile_scored(
+            index, {**body, "query": inner}, dialect, id_field,
+            fvf=fvf, fs_mode=mode,
+        )
     if qkind in ("match", "multi_match") and not field_sorts:
         # ES query context: bare full-text query, no field sort ->
         # BM25-scored, _score-ordered hits (the ES default experience)
@@ -897,13 +982,15 @@ _METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality",
             "weighted_avg"}
 
 # Metric kinds that render as MULTIPLE columns (stats_<name>_count/…,
-# <name>_p50/…): never valid as a terms `order` target or a pipeline
-# `buckets_path` — there is no single column to order by / read from.
-# Rejecting them here keeps the failure a compile-time ValueError
-# instead of a downstream binder error on a nonexistent column
-# (ADVICE r09 finding #1).
+# <name>_p50/…) or otherwise not under the sub-agg's own name
+# (top_metrics emits <name>_<field>): never valid as a terms `order`
+# target or a pipeline `buckets_path` — there is no column named by
+# the sub-agg to order by / read from. Rejecting them here keeps the
+# failure a compile-time ValueError instead of a downstream binder
+# error on a nonexistent column (ADVICE r09 finding #1).
 _MULTI_COLUMN_METRICS = frozenset(
-    {"stats", "extended_stats", "percentiles", "percentile_ranks"}
+    {"stats", "extended_stats", "percentiles", "percentile_ranks",
+     "top_metrics"}
 )
 
 
@@ -1058,15 +1145,73 @@ _SIBLING_PIPELINE = {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
 _ROWLOCAL_PIPELINE = {"bucket_script", "bucket_selector"}
 
 
-def _metric_list(sub_aggs: list[tuple[str, dict]], dialect: str) -> list[str]:
+def _metric_list(
+    sub_aggs: list[tuple[str, dict]], dialect: str, id_field: str = "doc_id"
+) -> list[str]:
     """SQL select-list fragments for metric sub-aggs, validated loudly."""
     out: list[str] = []
     for sub_name, sub_spec in sub_aggs:
         mkind, m = _one(sub_spec, f"sub-agg {sub_name}")
+        if mkind == "top_metrics":
+            out += _top_metrics_cols(_ident(sub_name), m, dialect, id_field)
+            continue
         if mkind not in _METRICS:
             raise ValueError(f"es_dsl: unsupported sub-agg {mkind!r}")
         out += _metric_cols(_ident(sub_name), mkind, m, dialect)
     return out
+
+
+def _top_metrics_cols(
+    name: str, m: dict, dialect: str, id_field: str
+) -> list[str]:
+    """ES `top_metrics`: the metric field's value on the bucket's
+    sort-extremum row ("the latest reading per host") — one max_by/
+    min_by per requested metric, fully composable with other metric
+    sub-aggs (unlike top_hits, which changes the relation shape).
+    Sort-key comparison is at one-second granularity with id ties
+    (sub-second ordering resolves by id — integer epoch truncation is
+    what keeps both engines' arithmetic identical; ES leaves ties
+    undefined anyway); the composite (sort, id) key is exact
+    DECIMAL(38,0) — no double-precision loss past 2^53 — because
+    neither engine's max_by accepts a struct key. size > 1 raises
+    (multi-row output is top_hits' shape)."""
+    bad = set(m) - {"metrics", "sort", "size"}
+    if bad:
+        raise ValueError(f"es_dsl: unsupported top_metrics keys {sorted(bad)}")
+    if int(m.get("size", 1)) != 1:
+        raise ValueError(
+            "es_dsl: top_metrics size > 1 is unsupported (use top_hits)"
+        )
+    sf, d = _one(m.get("sort") or {}, "top_metrics sort")
+    d = d if isinstance(d, str) else d.get("order", "asc")
+    if d not in ("asc", "desc"):
+        raise ValueError(f"es_dsl: bad top_metrics sort order {d!r}")
+    mets = m.get("metrics")
+    if isinstance(mets, dict):
+        mets = [mets]
+    if not isinstance(mets, list) or not mets or not all(
+        isinstance(x, dict) and set(x) == {"field"} for x in mets
+    ):
+        raise ValueError(
+            "es_dsl: top_metrics metrics wants {field} or a list of them"
+        )
+    sfi = _ident(sf)
+    # the sort field must be TEMPORAL ("the latest reading" idiom —
+    # a non-timestamp sort field fails loudly at bind time): integer
+    # epoch seconds (the fixed_interval discipline) shifted left 18
+    # digits + the id — exact DECIMAL(38,0), engine-identical, room
+    # for 10^18 ids per second
+    ep = "unix_timestamp" if dialect == "spark" else "epoch"
+    composite = (
+        f"cast(floor({ep}({sfi})) AS DECIMAL(38, 0))"
+        f" * 1000000000000000000 + {id_field}"
+    )
+    fn = "max_by" if d == "desc" else "min_by"
+    return [
+        f"{fn}({_ident(x['field'])}, {composite}) AS "
+        f"{name}_{_ident(x['field'])}"
+        for x in mets
+    ]
 
 
 def _bucket_key(kind: str, b: dict, dialect: str) -> tuple[str, str]:
@@ -1255,7 +1400,7 @@ def compile_aggs(
         return _compile_top_hits(
             index, b, top_hits[0], where, key, dialect, id_field
         )
-    metric_sql = _metric_list(metric_specs, dialect)
+    metric_sql = _metric_list(metric_specs, dialect, id_field)
     metrics = (
         "" if not metric_sql else ",\n       " + ",\n       ".join(metric_sql)
     )
@@ -2971,6 +3116,41 @@ STATS_BUCKET_BODY = {
     },
 }
 
+FUNCTION_SCORE_BODY = {
+    # "relevant AND popular": BM25 over the match, multiplied by a
+    # log1p-damped document-length factor — the ES boosting idiom
+    "query": {"function_score": {
+        "query": {"match": {"text": "table scan fast"}},
+        "field_value_factor": {
+            "field": "n_chars", "modifier": "log1p", "factor": 0.01,
+        },
+        "boost_mode": "multiply",
+    }},
+    "size": 20,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
+TOP_METRICS_BODY = {
+    # "the latest reading per host": per event type, the value on the
+    # newest event, beside ordinary metrics — composable, unlike
+    # top_hits
+    "query": {"range": {"ts": {"gte": "2024-01-05"}}},
+    "aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 5},
+        "aggs": {
+            "v_avg": {"avg": {"field": "value"}},
+            "latest": {"top_metrics": {
+                "metrics": {"field": "value"},
+                "sort": {"ts": "desc"},
+            }},
+            "earliest": {"top_metrics": {
+                "metrics": [{"field": "value"}, {"field": "user_id"}],
+                "sort": {"ts": "asc"},
+            }},
+        },
+    }},
+}
+
 ZERO_FILL_BODY = {
     # the explicit Kibana default: min_doc_count 0 zero-fills the day
     # axis across extended_bounds; the running sum then accumulates
@@ -3295,6 +3475,18 @@ def registry() -> dict[str, dict]:
             "fn": _entry("events", ZERO_FILL_BODY, "event_id"),
             "oracle": compile_search(
                 "events", ZERO_FILL_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_function_score": {
+            "fn": _entry("documents", FUNCTION_SCORE_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", FUNCTION_SCORE_BODY, "duck"
+            ),
+        },
+        "es_dsl_top_metrics": {
+            "fn": _entry("events", TOP_METRICS_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", TOP_METRICS_BODY, "duck", "event_id"
             ),
         },
     }

@@ -2113,3 +2113,100 @@ def test_zero_fill_fixed_interval(tiny_val):
     assert rows[0][0] == 1704067200000
     assert rows[1][1] == 0
     assert sum(r[1] for r in rows) == 5
+
+
+# --- r10 batch 4: function_score + top_metrics ---------------------------------
+
+
+def test_function_score_field_value_factor(tiny):
+    """BM25 x field factor reorders by popularity: doc 8 ('alpha', 80
+    chars-ish n=80) outranks higher-tf docs once n boosts multiply in;
+    modifier applies AFTER factor (ES order)."""
+    plain = {"query": {"match": {"text": "alpha"}},
+             "_source": ["doc_id", "n"], "size": 10}
+    boosted = {"query": {"function_score": {
+        "query": {"match": {"text": "alpha"}},
+        "field_value_factor": {"field": "n", "modifier": "none"},
+    }}, "_source": ["doc_id", "n"], "size": 10}
+    p = tiny.execute(compile_search("docs", plain, "duck")).fetchall()
+    b = tiny.execute(compile_search("docs", boosted, "duck")).fetchall()
+    assert {r[0] for r in p} == {r[0] for r in b}  # same hit set
+    assert [r[0] for r in p] != [r[0] for r in b]  # different order
+    # multiply semantics: boosted score = raw plain score * n (the
+    # plain score we read back is already display-rounded to 4 dp, so
+    # the recomputation tolerance is that rounding error scaled by n)
+    ps = {r[0]: r[2] for r in p}
+    for doc_id, n, s in b:
+        assert abs(s - ps[doc_id] * n) <= n * 6e-5
+    for body, msg in [
+        ({"query": {"function_score": {
+            "query": {"term": {"lang": "en"}},
+            "field_value_factor": {"field": "n"}}}},
+         "needs a match/multi_match"),
+        ({"query": {"function_score": {
+            "query": {"match": {"text": "alpha"}}}}},
+         "field_value_factor only"),
+        ({"query": {"function_score": {
+            "query": {"match": {"text": "alpha"}},
+            "field_value_factor": {"field": "n"},
+            "boost_mode": "avg"}}},
+         "unsupported boost_mode"),
+        ({"query": {"function_score": {
+            "query": {"match": {"text": "alpha"}},
+            "field_value_factor": {"field": "n", "modifier": "square"}}}},
+         "unsupported field_value_factor modifier"),
+        ({"query": {"function_score": {
+            "query": {"match": {"text": "alpha"}},
+            "field_value_factor": {"field": "n"}}},
+          "highlight": {"fields": {"text": {}}},
+          "_source": ["doc_id"]},
+         "function_score with highlight"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", body, "duck")
+
+
+def test_top_metrics_latest_per_bucket(tiny_val):
+    """top_metrics = the metric value on the bucket's sort-extremum
+    row, composable with ordinary metrics (one column per metric,
+    named <agg>_<field>)."""
+    con = tiny_val
+    con.execute("ALTER TABLE ev ADD COLUMN grp VARCHAR")
+    con.execute("UPDATE ev SET grp = CASE WHEN event_id <= 3 THEN 'a' ELSE 'b' END")
+    b = {"aggs": {"t": {
+        "terms": {"field": "grp", "size": 5},
+        "aggs": {
+            "s": {"sum": {"field": "value"}},
+            "latest": {"top_metrics": {"metrics": {"field": "value"},
+                                       "sort": {"ts": "desc"}}},
+            "first": {"top_metrics": {"metrics": [{"field": "value"}],
+                                      "sort": {"ts": "asc"}}},
+        },
+    }}}
+    rows = con.execute(compile_aggs("ev", b, "duck", "event_id")).fetchall()
+    by = {r[0]: r for r in rows}
+    # a: events 1..3 (Jan 1,2,3) -> latest value 30 (Jan 3), first 10
+    assert (by["a"][3], by["a"][4]) == (30.0, 10.0)
+    # b: events 4,5 (Jan 5, Jan 9) -> latest 50, first 40
+    assert (by["b"][3], by["b"][4]) == (50.0, 40.0)
+    for spec, msg in [
+        ({"top_metrics": {"metrics": {"field": "value"},
+                          "sort": {"ts": "desc"}, "size": 3}},
+         "size > 1 is unsupported"),
+        ({"top_metrics": {"metrics": "value", "sort": {"ts": "desc"}}},
+         "metrics wants"),
+        ({"top_metrics": {"metrics": {"field": "value"},
+                          "sort": {"ts": "sideways"}}},
+         "bad top_metrics sort order"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_aggs("ev", {"aggs": {"t": {
+                "terms": {"field": "grp"}, "aggs": {"x": spec},
+            }}}, "duck", "event_id")
+    # not addressable as a terms order target (column is <agg>_<field>)
+    with pytest.raises(ValueError, match="neither _key, _count"):
+        compile_aggs("ev", {"aggs": {"t": {
+            "terms": {"field": "grp", "order": {"x": "desc"}},
+            "aggs": {"x": {"top_metrics": {
+                "metrics": {"field": "value"}, "sort": {"ts": "desc"}}}},
+        }}}, "duck", "event_id")
