@@ -326,6 +326,20 @@ def create_app(
         _attach_if_named()
         return jsonify(gateway.es_mapping(_spark(), index)), 200
 
+    @app.route("/<index>", methods=["HEAD"])
+    def es_index_exists_route(index: str):
+        _attach_if_named()
+        # ES HEAD /{index}: bare 200/404, no body
+        return ("", 200) if gateway.es_index_exists(_spark(), index) \
+            else ("", 404)
+
+    @app.get("/<index>/_doc/<doc_id>")
+    def es_get_route(index: str, doc_id: str):
+        _attach_if_named()
+        out = gateway.es_get(_spark(), index, doc_id,
+                             id_field=request.args.get("id_field"))
+        return jsonify(out), 200 if out["found"] else 404
+
     @app.get("/_cat/indices")
     def es_cat_indices_route():
         # always the ?format=json shape (this engine serves JSON APIs;

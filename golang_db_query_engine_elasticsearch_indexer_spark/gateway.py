@@ -196,3 +196,41 @@ def cat_indices(spark: SparkSession) -> list[dict]:
         }
         for row in cat_indices_df(spark).collect()
     ]
+
+
+def es_index_exists(spark: SparkSession, index: str) -> bool:
+    """`HEAD /{index}` parity: does the index (registered table) exist.
+    Catalog lookup only — no scan."""
+    if index is None:
+        raise ParamsNullError()
+    return bool(spark.catalog.tableExists(index))
+
+
+def es_get(
+    spark: SparkSession, index: str, doc_id, id_field: str | None = None
+) -> dict:
+    """`GET /{index}/_doc/{id}` parity: fetch one document by id and
+    return the ES get-API envelope ({_index, _id, found, _source}).
+    The id column defaults to the table's FIRST column (every fixture
+    table leads with its id; pass ``id_field`` to override). The
+    filter is applied through the DataFrame API with a typed Python
+    value — no string interpolation, so no injection surface — and
+    pushes down to the scan (at 100 TB this is the point lookup
+    partition pruning + parquet min/max stats exist for).
+    Digit-shaped ids coerce to int to match BIGINT id columns."""
+    import json as _json  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if index is None or doc_id is None:
+        raise ParamsNullError()
+    df = spark.table(index)
+    idc = id_field or df.columns[0]
+    if idc not in df.columns:
+        raise ParamsNullError(f"unknown id field {idc!r}")
+    key = int(doc_id) if str(doc_id).lstrip("-").isdigit() else doc_id
+    rows = df.filter(F.col(idc) == key).limit(1).toJSON().collect()
+    out = {"_index": index, "_id": str(doc_id), "found": bool(rows)}
+    if rows:
+        out["_source"] = _json.loads(rows[0])
+    return out

@@ -1017,7 +1017,10 @@ def _metric_cols(name: str, kind: str, m: dict, dialect: str) -> list[str]:
         return [f"count({f}) AS {name}"]
     if kind == "cardinality":
         # ES's is approximate (HLL); exact here for the differential —
-        # the engine's sketch lives in sketch_hll_distinct_users
+        # the engine's sketch lives in sketch_hll_distinct_users. A
+        # `precision_threshold` knob is accepted and ignored (the knn
+        # num_candidates precedent: the exact computation supersedes
+        # an approximation-accuracy knob)
         return [f"count(DISTINCT {f}) AS {name}"]
     if kind == "sum":
         return [f"{exact_sum} AS {name}"]
@@ -1262,9 +1265,21 @@ def _bucket_key(kind: str, b: dict, dialect: str) -> tuple[str, str]:
         step = b["interval"]
         if not isinstance(step, (int, float)) or step <= 0:
             raise ValueError("es_dsl: histogram interval must be > 0")
+        off = b.get("offset", 0)
+        if not isinstance(off, (int, float)) or not 0 <= off < step:
+            raise ValueError(
+                "es_dsl: histogram offset must satisfy 0 <= offset < "
+                "interval (ES contract)"
+            )
         # cast: Spark floor(double) is BIGINT, DuckDB's is DOUBLE — the
         # key type must agree for the driver's hash compare
-        e = f"cast(round(floor({f} / {step}) * {step}, 4) AS DOUBLE)"
+        if off:
+            e = (
+                f"cast(round(floor(({f} - {off}) / {step}) * {step}"
+                f" + {off}, 4) AS DOUBLE)"
+            )
+        else:
+            e = f"cast(round(floor({f} / {step}) * {step}, 4) AS DOUBLE)"
         return e, e
     if kind in ("range", "date_range"):
         # date_range = range with string (ISO date) bounds: from
@@ -1453,7 +1468,7 @@ FROM {_ident(index)}
                 "es_dsl: pipeline aggs need a histogram-family parent"
             )
         bad = set(b) - {"field", "size", "order", "missing",
-                        "min_doc_count"}
+                        "min_doc_count", "include", "exclude"}
         if bad:
             raise ValueError(f"es_dsl: unsupported terms keys {sorted(bad)}")
         key_expr, _ = _bucket_key("terms", b, dialect)
@@ -1461,6 +1476,40 @@ FROM {_ident(index)}
         having = ""
         if int(b.get("min_doc_count", 1)) > 1:
             having = f"\nHAVING count(*) >= {int(b['min_doc_count'])}"
+        # ES terms include/exclude: regex (string, FULL-match as in
+        # Lucene) or exact-value list filters on the bucket KEY —
+        # pushed into the WHERE so excluded keys never aggregate
+        key_filter = ""
+        for param, keep in (("include", True), ("exclude", False)):
+            if param not in b:
+                continue
+            v = b[param]
+            if isinstance(v, str):
+                if "'" in v or "\\" in v:
+                    raise ValueError(
+                        f"es_dsl: terms {param} regex may not contain "
+                        "quotes or backslashes (escapes parse "
+                        "differently across dialects)"
+                    )
+                # Lucene include/exclude regexes are FULL-match;
+                # Spark rlike is partial -> anchor there
+                cond = (
+                    f"regexp_full_match({key_expr}, '{v}')"
+                    if dialect == "duck"
+                    else f"rlike({key_expr}, '^(?:{v})$')"
+                )
+            elif isinstance(v, list) and v and all(
+                isinstance(x, (str, int, float)) and not isinstance(x, bool)
+                for x in v
+            ):
+                vals = ", ".join(_lit(x, dialect) for x in v)
+                cond = f"{key_expr} IN ({vals})"
+            else:
+                raise ValueError(
+                    f"es_dsl: terms {param} wants a regex string or a "
+                    "value list"
+                )
+            key_filter += f" AND {cond}" if keep else f" AND NOT {cond}"
         # ES terms `order`: _count (the default), _key, or a sibling
         # metric name; non-key orders carry the key tiebreak so the
         # top-N window stays total
@@ -1488,7 +1537,7 @@ FROM {_ident(index)}
         sql = f"""
 SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
-WHERE ({where}) AND ({key_expr}) IS NOT NULL
+WHERE ({where}) AND ({key_expr}) IS NOT NULL{key_filter}
 GROUP BY {key_expr}{having}
 ORDER BY {oby}
 LIMIT {size}
@@ -3116,6 +3165,26 @@ STATS_BUCKET_BODY = {
     },
 }
 
+TERMS_INCLUDE_BODY = {
+    # include regex (Lucene full-match) + exclude list on the bucket
+    # key, pushed into the WHERE below the aggregation
+    "query": {"range": {"n_chars": {"gte": 50}}},
+    "aggs": {"langs": {
+        "terms": {"field": "lang", "size": 10,
+                  "include": "(en|de|fr|es)", "exclude": ["es"]},
+        "aggs": {"chars_avg": {"avg": {"field": "n_chars"}}},
+    }},
+}
+
+HISTOGRAM_OFFSET_BODY = {
+    # offset-shifted numeric buckets: floor((x-off)/step)*step + off
+    "query": {"term": {"event_type": "click"}},
+    "aggs": {"v_hist": {
+        "histogram": {"field": "value", "interval": 50, "offset": 10},
+        "aggs": {"n_users": {"cardinality": {"field": "user_id"}}},
+    }},
+}
+
 FUNCTION_SCORE_BODY = {
     # "relevant AND popular": BM25 over the match, multiplied by a
     # log1p-damped document-length factor — the ES boosting idiom
@@ -3487,6 +3556,18 @@ def registry() -> dict[str, dict]:
             "fn": _entry("events", TOP_METRICS_BODY, "event_id"),
             "oracle": compile_search(
                 "events", TOP_METRICS_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_terms_include_exclude": {
+            "fn": _entry("documents", TERMS_INCLUDE_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", TERMS_INCLUDE_BODY, "duck"
+            ),
+        },
+        "es_dsl_histogram_offset": {
+            "fn": _entry("events", HISTOGRAM_OFFSET_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", HISTOGRAM_OFFSET_BODY, "duck", "event_id"
             ),
         },
     }

@@ -403,6 +403,27 @@ def test_es_routes_reject_malformed_json_body(client):
     assert json.loads(r.data)["count"] > 0
 
 
+def test_es_get_and_exists_routes(client):
+    # HEAD /{index}: bare 200/404
+    assert client.head("/documents").status_code == 200
+    assert client.head("/no_such_index").status_code == 404
+    # GET /{index}/_doc/{id}: the ES get envelope
+    r = client.get("/documents/_doc/1")
+    assert r.status_code == 200
+    payload = json.loads(r.data)
+    assert payload["found"] is True and payload["_id"] == "1"
+    assert payload["_source"]["doc_id"] == 1
+    assert "text" in payload["_source"]
+    # a missing id is found: false with 404, as in ES
+    r = client.get("/documents/_doc/999999999")
+    assert r.status_code == 404
+    assert json.loads(r.data)["found"] is False
+    # explicit id_field override
+    r = client.get("/events/_doc/1?id_field=event_id")
+    assert r.status_code == 200
+    assert json.loads(r.data)["_source"]["event_id"] == 1
+
+
 def test_es_cat_indices_route(client):
     r = client.get("/_cat/indices")
     assert r.status_code == 200

@@ -2210,3 +2210,66 @@ def test_top_metrics_latest_per_bucket(tiny_val):
             "aggs": {"x": {"top_metrics": {
                 "metrics": {"field": "value"}, "sort": {"ts": "desc"}}}},
         }}}, "duck", "event_id")
+
+
+# --- r10 batch 5: terms include/exclude, histogram offset, plan shapes --------
+
+
+def test_terms_include_exclude(tiny):
+    """include = Lucene FULL-match regex or value list; exclude the
+    complement; both push into the WHERE so excluded keys never
+    aggregate. 'e' alone must NOT full-match 'en'/'de'."""
+    base = {"field": "lang", "size": 10}
+    b = {"aggs": {"t": {"terms": {**base, "include": "e."}}}}
+    rows = tiny.execute(compile_aggs("docs", b, "duck")).fetchall()
+    assert [r[0] for r in rows] == ["en"]  # not 'de' (full match)
+    b = {"aggs": {"t": {"terms": {**base, "include": "(en|de|fr)",
+                                  "exclude": ["de"]}}}}
+    rows = tiny.execute(compile_aggs("docs", b, "duck")).fetchall()
+    assert [r[0] for r in rows] == ["en", "fr"]
+    b = {"aggs": {"t": {"terms": {**base, "exclude": "e."}}}}
+    rows = tiny.execute(compile_aggs("docs", b, "duck")).fetchall()
+    assert [r[0] for r in rows] == ["de", "fr"]
+    for bad, msg in [
+        ({"include": "it's"}, "quotes or backslashes"),
+        ({"include": {"partition": 0}}, "regex string or a value list"),
+        ({"exclude": []}, "regex string or a value list"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_aggs("docs", {"aggs": {"t": {"terms": {
+                **base, **bad}}}}, "duck")
+
+
+def test_histogram_offset(tiny):
+    """Bucket keys shift by offset: floor((x-off)/step)*step + off."""
+    b = {"aggs": {"h": {"histogram": {"field": "n", "interval": 40,
+                                      "offset": 15}}}}
+    rows = tiny.execute(compile_aggs("docs", b, "duck")).fetchall()
+    # n = 10..80: buckets [-25,15)={10}, [15,55)={20,30,40,50},
+    # [55,95)={60,70,80}
+    assert rows == [(-25.0, 1), (15.0, 4), (55.0, 3)]
+    with pytest.raises(ValueError, match="0 <= offset < "):
+        compile_aggs("docs", {"aggs": {"h": {"histogram": {
+            "field": "n", "interval": 40, "offset": 40}}}}, "duck")
+
+
+def test_compiled_plan_shapes(spark, tables):
+    """The scale claims, checked on the EXECUTED plans: the zero-fill
+    axis join broadcasts (the axis is span/interval rows, the buckets
+    relation is aggregated — neither side shuffles a corpus), and the
+    in-body highlight plan is top-k-first (TakeOrderedAndProject bounds
+    the relation BEFORE snippet extraction — O(top-k), never
+    O(corpus))."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        MATCH_HIGHLIGHT_BODY,
+        ZERO_FILL_BODY,
+    )
+
+    zf = spark.sql(compile_search("events", ZERO_FILL_BODY, "spark",
+                                  "event_id"))
+    plan = zf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    hl = spark.sql(compile_search("documents", MATCH_HIGHLIGHT_BODY,
+                                  "spark"))
+    plan = hl._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
