@@ -348,6 +348,27 @@ def create_app(
         _attach_if_named()
         return jsonify(gateway.cat_indices(_spark())), 200
 
+    @app.post("/_analyze")
+    def es_analyze_route():
+        body = _es_body()
+        if "text" not in body:
+            raise ParamsNullError()
+        return jsonify(gateway.es_analyze(
+            body["text"], body.get("analyzer", "standard"))), 200
+
+    @app.post("/_sql")
+    def es_sql_route():
+        # the ES SQL API shape over the engine's own SQL gateway —
+        # same SELECT-only gate and typed 400/401 envelopes
+        body = _es_body()
+        if not body.get("query"):
+            raise ParamsNullError()
+        out = gateway.es_sql(
+            _spark(), body["query"],
+            fetch_size=int(body.get("fetch_size", 1000)),
+        )
+        return jsonify(out), 200
+
     @app.post("/_msearch")
     def es_msearch_route():
         import time as _time  # noqa: PLC0415

@@ -14,7 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from golang_db_query_engine_elasticsearch_indexer_spark.errors import ParamsNullError
+from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+    ParamsNullError,
+    SqlSyntaxError,
+)
 from golang_db_query_engine_elasticsearch_indexer_spark.plans import assert_select_only
 from golang_db_query_engine_elasticsearch_indexer_spark.result import (
     DEFAULT_MAX_ROWS,
@@ -234,3 +237,72 @@ def es_get(
     if rows:
         out["_source"] = _json.loads(rows[0])
     return out
+
+
+def es_analyze(text: str, analyzer: str = "standard") -> dict:
+    """`POST /_analyze` parity: run the engine's analyzer (the SAME
+    lowercase + whitespace split the DSL compiler applies to match
+    queries at compile time — operators/es_dsl._analyze) over the text
+    and return the ES token list with offsets/positions. Pure
+    driver-side string work, no Spark job. Only the engine's one
+    analyzer is served; other names raise (this engine does not
+    silently substitute a different tokenization than it searches
+    with)."""
+    import re as _re  # noqa: PLC0415
+
+    if text is None:
+        raise ParamsNullError()
+    if analyzer not in ("standard", "default"):
+        raise SqlSyntaxError(
+            f"es_dsl: unsupported analyzer {analyzer!r} (the engine "
+            "analyzes with lowercase + whitespace split only)"
+        )
+    tokens = []
+    for pos, m in enumerate(_re.finditer(r"\S+", text)):
+        tokens.append({
+            "token": m.group(0).lower(),
+            "start_offset": m.start(),
+            "end_offset": m.end(),
+            "position": pos,
+            "type": "<ALPHANUM>",
+        })
+    return {"tokens": tokens}
+
+
+_ES_SQL_TYPES = {
+    "long": "long", "double": "double", "boolean": "boolean",
+    "date": "datetime", "binary": "binary", "text": "text",
+    "object": "object",
+}
+
+
+def es_sql(
+    spark: SparkSession, sql: str, fetch_size: int = DEFAULT_MAX_ROWS
+) -> dict:
+    """`POST /_sql` parity (the ES SQL API): run the statement through
+    the SAME validate-before-execute gateway as `GET /query/` and
+    return the ES response shape — ``{"columns": [{name, type}],
+    "rows": [[...]]}``. Column types come from the analyzed Spark
+    schema through the same rule the indexer's mapping create uses
+    (es_mapping_for_schema), so `_sql`, `_mapping`, and the write path
+    all declare one type story. The collect is bounded by fetch_size
+    (the reference's unbounded-buffer failure mode stays refused)."""
+    import json as _json  # noqa: PLC0415
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (  # noqa: PLC0415
+        es_mapping_for_schema,
+    )
+
+    df = query_df(spark, sql)
+    props = es_mapping_for_schema(df.schema)["properties"]
+    columns = [
+        {"name": f.name,
+         "type": _ES_SQL_TYPES.get(props[f.name]["type"], "text")}
+        for f in df.schema.fields
+    ]
+    names = [f.name for f in df.schema.fields]
+    rows = [
+        [(_json.loads(r) or {}).get(n) for n in names]
+        for r in df.limit(int(fetch_size)).toJSON().collect()
+    ]
+    return {"columns": columns, "rows": rows}

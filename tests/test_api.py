@@ -476,3 +476,39 @@ def test_es_msearch_route(client):
                     data='{"index": "documents"}\n[1, 2]\n',
                     content_type="application/x-ndjson")
     assert r.status_code == 400
+
+
+def test_es_analyze_route(client):
+    r = client.post("/_analyze", json={"text": "Quick  Brown FOX"})
+    assert r.status_code == 200
+    toks = json.loads(r.data)["tokens"]
+    assert [t["token"] for t in toks] == ["quick", "brown", "fox"]
+    assert toks[1] == {"token": "brown", "start_offset": 7,
+                       "end_offset": 12, "position": 1,
+                       "type": "<ALPHANUM>"}
+    # the engine serves its ONE analyzer; other names raise 400
+    r = client.post("/_analyze", json={"text": "x", "analyzer": "french"})
+    assert r.status_code == 400
+    r = client.post("/_analyze", json={})
+    assert r.status_code == 400
+
+
+def test_es_sql_route(client):
+    r = client.post("/_sql", json={
+        "query": "SELECT lang, count(*) AS n FROM documents "
+                 "GROUP BY lang ORDER BY n DESC, lang",
+        "fetch_size": 3,
+    })
+    assert r.status_code == 200
+    out = json.loads(r.data)
+    assert out["columns"][0] == {"name": "lang", "type": "text"}
+    assert out["columns"][1] == {"name": "n", "type": "long"}
+    assert len(out["rows"]) == 3
+    assert all(len(row) == 2 for row in out["rows"])
+    # same gate as /query/: DML is 401, parse failure 400
+    r = client.post("/_sql", json={"query": "DROP TABLE documents"})
+    assert r.status_code == 401
+    r = client.post("/_sql", json={"query": "SELECT * FROM ((("})
+    assert r.status_code == 400
+    r = client.post("/_sql", json={})
+    assert r.status_code == 400
