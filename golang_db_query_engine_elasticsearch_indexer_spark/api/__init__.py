@@ -309,6 +309,17 @@ def create_app(
 
         _attach_if_named()
         body = _es_body()
+        if request.args.get("plan", "").lower() in ("1", "true", "formatted"):
+            # engine extension, mirroring /query/?explain: return the
+            # optimized physical plan of the COMPILED body instead of
+            # executing — the observability the reference never had
+            spark = _spark()
+            df = gateway.es_search_df(spark, index, body)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            return jsonify({"plan": plan}), 200
         t0 = _time.time()
         res = gateway.es_search(_spark(), index, body, max_rows=max_rows)
         payload = json.loads(res.to_json())
@@ -347,6 +358,23 @@ def create_app(
         # contract anyone parses)
         _attach_if_named()
         return jsonify(gateway.cat_indices(_spark())), 200
+
+    @app.post("/<index>/_validate/query")
+    def es_validate_query_route(index: str):
+        _attach_if_named()
+        return jsonify(
+            gateway.es_validate_query(_spark(), index, _es_body())
+        ), 200
+
+    @app.post("/<index>/_mget")
+    def es_mget_route(index: str):
+        _attach_if_named()
+        body = _es_body()
+        if "ids" not in body:
+            raise ParamsNullError()
+        return jsonify(gateway.es_mget(
+            _spark(), index, body["ids"],
+            id_field=request.args.get("id_field"))), 200
 
     @app.post("/_analyze")
     def es_analyze_route():

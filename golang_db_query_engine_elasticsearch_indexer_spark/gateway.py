@@ -306,3 +306,54 @@ def es_sql(
         for r in df.limit(int(fetch_size)).toJSON().collect()
     ]
     return {"columns": columns, "rows": rows}
+
+
+def es_validate_query(spark: SparkSession, index: str, body: dict) -> dict:
+    """`POST /{index}/_validate/query` parity: compile-only check of a
+    query-context body — {"valid": true} or {"valid": false, "error":
+    ...}. Runs the SAME compiler as _search (nothing executes), plus a
+    Spark analysis pass so unknown fields/tables invalidate too, as in
+    ES."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        compile_search,
+    )
+
+    if index is None or body is None:
+        raise ParamsNullError()
+    try:
+        df = spark.sql(compile_search(index, {"query": body.get(
+            "query", {"match_all": {}})}, "spark"))
+        df.schema  # force analysis: unknown columns/tables surface here
+    except Exception as exc:  # noqa: BLE001 — the point IS the envelope
+        return {"valid": False, "error": str(exc)[:500]}
+    return {"valid": True}
+
+
+def es_mget(
+    spark: SparkSession, index: str, ids: list, id_field: str | None = None
+) -> dict:
+    """`POST /{index}/_mget` parity: batch get-by-id — ONE filtered
+    scan (`IN` predicate pushed down), results re-ordered to request
+    order with found:false placeholders, the ES docs envelope. Bounded
+    by the request's id count, capped to keep the collect honest."""
+    import json as _json  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if index is None or not isinstance(ids, list) or not ids:
+        raise ParamsNullError()
+    if len(ids) > 10_000:
+        raise SqlSyntaxError("es_dsl: _mget is capped at 10000 ids")
+    df = spark.table(index)
+    idc = id_field or df.columns[0]
+    keys = [int(i) if str(i).lstrip("-").isdigit() else i for i in ids]
+    rows = df.filter(F.col(idc).isin(keys)).toJSON().collect()
+    by_id = {}
+    for r in rows:
+        src = _json.loads(r)
+        by_id[str(src.get(idc))] = src
+    return {"docs": [
+        {"_index": index, "_id": str(i), "found": str(k) in by_id,
+         **({"_source": by_id[str(k)]} if str(k) in by_id else {})}
+        for i, k in zip(ids, keys)
+    ]}

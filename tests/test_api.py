@@ -512,3 +512,44 @@ def test_es_sql_route(client):
     assert r.status_code == 400
     r = client.post("/_sql", json={})
     assert r.status_code == 400
+
+
+def test_es_validate_query_route(client):
+    r = client.post("/documents/_validate/query",
+                    json={"query": {"term": {"lang": "en"}}})
+    assert r.status_code == 200 and json.loads(r.data) == {"valid": True}
+    # a compiler rejection invalidates (never 500s)
+    r = client.post("/documents/_validate/query",
+                    json={"query": {"more_like_this": {}}})
+    out = json.loads(r.data)
+    assert r.status_code == 200 and out["valid"] is False
+    assert "es_dsl" in out["error"]
+    # an unknown FIELD invalidates too (the Spark analysis pass)
+    r = client.post("/documents/_validate/query",
+                    json={"query": {"term": {"no_such_field": 1}}})
+    assert json.loads(r.data)["valid"] is False
+    # empty body = match_all = valid
+    r = client.post("/documents/_validate/query", json={})
+    assert json.loads(r.data)["valid"] is True
+
+
+def test_es_mget_route(client):
+    r = client.post("/documents/_mget", json={"ids": [2, 1, 999999999]})
+    assert r.status_code == 200
+    docs = json.loads(r.data)["docs"]
+    # request order kept, found:false placeholder for the missing id
+    assert [d["_id"] for d in docs] == ["2", "1", "999999999"]
+    assert [d["found"] for d in docs] == [True, True, False]
+    assert docs[0]["_source"]["doc_id"] == 2
+    assert "_source" not in docs[2]
+    r = client.post("/documents/_mget", json={})
+    assert r.status_code == 400
+
+
+def test_es_search_plan_extension(client):
+    r = client.post("/documents/_search?plan=true",
+                    json={"query": {"term": {"lang": "en"}},
+                          "_source": ["doc_id"], "size": 5})
+    assert r.status_code == 200
+    plan = json.loads(r.data)["plan"]
+    assert "Physical Plan" in plan and "PushedFilters" in plan
