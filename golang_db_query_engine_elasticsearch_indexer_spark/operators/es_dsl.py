@@ -288,6 +288,89 @@ def _query_expr(q: dict, dialect: str, id_field: str) -> str:
         )
         needle = " ".join(toks)
         return f"{joined} LIKE '%{_like_escape(' ' + needle + ' ')}%' ESCAPE '!'"
+    if kind == "regexp":
+        # Lucene regexp is FULL-match on the field value (the keyword-
+        # field idiom, like terms include/exclude); Spark rlike is
+        # partial -> anchored there. Quotes/backslashes raise: escape
+        # sequences parse differently across dialects.
+        f, v = _one(body, "regexp")
+        if isinstance(v, dict):
+            bad = set(v) - {"value"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported regexp keys {sorted(bad)} "
+                    "(flags/case_insensitive are unsupported)"
+                )
+            v = v["value"]
+        if not isinstance(v, str) or not v:
+            raise ValueError("es_dsl: regexp wants a non-empty pattern")
+        if "'" in v or "\\" in v:
+            raise ValueError(
+                "es_dsl: regexp may not contain quotes or backslashes "
+                "(escapes parse differently across dialects)"
+            )
+        if dialect == "spark":
+            return f"rlike({_ident(f)}, '^(?:{v})$')"
+        return f"regexp_full_match({_ident(f)}, '{v}')"
+    if kind == "terms_set":
+        # ES terms_set: match when >= N of the given terms appear, N
+        # read per-doc from minimum_should_match_field, or a CONSTANT
+        # via a literal-integer minimum_should_match_script (the only
+        # script shape accepted — anything else raises). Terms match
+        # against the analyzed token stream, the module's text rule.
+        f, spec = _one(body, "terms_set")
+        bad = set(spec) - {"terms", "minimum_should_match_field",
+                           "minimum_should_match_script"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported terms_set keys {sorted(bad)}"
+            )
+        terms = spec.get("terms")
+        if not isinstance(terms, list) or not terms or not all(
+            isinstance(t, str) and t for t in terms
+        ):
+            raise ValueError(
+                "es_dsl: terms_set wants a non-empty string terms list"
+            )
+        has_field = "minimum_should_match_field" in spec
+        has_script = "minimum_should_match_script" in spec
+        if has_field == has_script:
+            raise ValueError(
+                "es_dsl: terms_set needs exactly one of "
+                "minimum_should_match_field / _script"
+            )
+        if has_field:
+            msm = _ident(spec["minimum_should_match_field"])
+        else:
+            src = spec["minimum_should_match_script"]
+            src = src.get("source") if isinstance(src, dict) else src
+            if not re.fullmatch(r"\d+", str(src).strip()):
+                raise ValueError(
+                    "es_dsl: terms_set minimum_should_match_script "
+                    "supports a literal integer source only"
+                )
+            msm = str(int(str(src).strip()))
+        arr = ", ".join(_lit(t.lower(), dialect) for t in set(terms))
+        te = _tokens_expr(_ident(f), dialect)
+        if dialect == "spark":
+            return (
+                f"size(array_intersect({te}, array({arr}))) >= {msm}"
+            )
+        return f"len(list_intersect({te}, [{arr}])) >= {msm}"
+    if kind == "simple_query_string":
+        from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
+            es_querystring,
+        )
+
+        return es_querystring.simple_query_string_expr(
+            body, dialect, id_field
+        )
+    if kind == "query_string":
+        from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
+            es_querystring,
+        )
+
+        return es_querystring.query_string_expr(body, dialect, id_field)
     raise ValueError(f"es_dsl: unsupported query clause {kind!r}")
 
 
@@ -3185,6 +3268,53 @@ HISTOGRAM_OFFSET_BODY = {
     }},
 }
 
+REGEXP_BODY = {
+    # Lucene full-match regexp on a keyword-ish field
+    "query": {"regexp": {"source": "src1[0-9]"}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 120,
+    "_source": ["doc_id", "source", "lang"],
+}
+
+TERMS_SET_BODY = {
+    # "all 3 of these terms": the dynamic minimum_should_match
+    # query, here with the literal-integer script constant
+    "query": {"terms_set": {"text": {
+        "terms": ["spark", "vector", "stream"],
+        "minimum_should_match_script": {"source": "3"},
+    }}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 200,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
+SIMPLE_QUERY_STRING_BODY = {
+    # the Kibana search bar's safe dialect: | + - "phrase" trailing-*
+    "query": {"simple_query_string": {
+        "query": '(spark | vector) + "table scan" + -slow*',
+        "fields": ["text"],
+        "default_operator": "and",
+    }},
+    "sort": [{"doc_id": "asc"}],
+    "size": 200,
+    "_source": ["doc_id", "lang", "source"],
+}
+
+QUERY_STRING_BODY = {
+    # the full Lucene search-bar syntax: field:term, field groups,
+    # phrases, [lo TO hi} ranges, comparison shorthand, NOT, wildcards
+    "query": {"query_string": {
+        "query": (
+            'lang:(en OR fr) AND (text:"hash join" OR text:vector) '
+            "AND n_chars:[150 TO 450} AND NOT source:src1*"
+        ),
+        "default_field": "text",
+    }},
+    "sort": [{"doc_id": "asc"}],
+    "size": 200,
+    "_source": ["doc_id", "lang", "source", "n_chars"],
+}
+
 FUNCTION_SCORE_BODY = {
     # "relevant AND popular": BM25 over the match, multiplied by a
     # log1p-damped document-length factor — the ES boosting idiom
@@ -3569,5 +3699,23 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "events", HISTOGRAM_OFFSET_BODY, "duck", "event_id"
             ),
+        },
+        "es_dsl_regexp": {
+            "fn": _entry("documents", REGEXP_BODY, "doc_id"),
+            "oracle": compile_search("documents", REGEXP_BODY, "duck"),
+        },
+        "es_dsl_terms_set": {
+            "fn": _entry("documents", TERMS_SET_BODY, "doc_id"),
+            "oracle": compile_search("documents", TERMS_SET_BODY, "duck"),
+        },
+        "es_dsl_simple_query_string": {
+            "fn": _entry("documents", SIMPLE_QUERY_STRING_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", SIMPLE_QUERY_STRING_BODY, "duck"
+            ),
+        },
+        "es_dsl_query_string": {
+            "fn": _entry("documents", QUERY_STRING_BODY, "doc_id"),
+            "oracle": compile_search("documents", QUERY_STRING_BODY, "duck"),
         },
     }
