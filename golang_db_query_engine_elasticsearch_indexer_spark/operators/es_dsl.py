@@ -1062,7 +1062,7 @@ LIMIT {limit}
 
 _METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality",
             "stats", "extended_stats", "percentiles", "percentile_ranks",
-            "weighted_avg"}
+            "weighted_avg", "string_stats", "boxplot"}
 
 # Metric kinds that render as MULTIPLE columns (stats_<name>_count/…,
 # <name>_p50/…) or otherwise not under the sub-agg's own name
@@ -1073,7 +1073,7 @@ _METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality",
 # error on a nonexistent column (ADVICE r09 finding #1).
 _MULTI_COLUMN_METRICS = frozenset(
     {"stats", "extended_stats", "percentiles", "percentile_ranks",
-     "top_metrics"}
+     "top_metrics", "string_stats", "boxplot"}
 )
 
 
@@ -1218,6 +1218,56 @@ def _metric_cols(name: str, kind: str, m: dict, dialect: str) -> list[str]:
                 f" AS {name}_p{label}"
             )
         return cols
+    if kind == "string_stats":
+        # ES string_stats: count / min_length / max_length / avg_length
+        # over the field's character lengths. `entropy` (and
+        # show_distribution) need a character-frequency relation — a
+        # different aggregation shape — so the column is OMITTED from
+        # the schema (visible, not a silent wrong value) and the knob
+        # raises. avg follows the exact-DECIMAL sum discipline
+        # (integer lengths, so (28,6) is lossless).
+        if m.get("show_distribution"):
+            raise ValueError(
+                "es_dsl: string_stats show_distribution is unsupported "
+                "(the entropy/distribution columns need a character-"
+                "frequency aggregation this compiler does not emit)"
+            )
+        ln = f"length({f})"
+        lsum = f"cast(sum(cast({ln} AS {_DEC})) AS DOUBLE)"
+        return [
+            f"count({f}) AS {name}_count",
+            f"min({ln}) AS {name}_min_length",
+            f"max({ln}) AS {name}_max_length",
+            f"{lsum} / count({f}) AS {name}_avg_length",
+        ]
+    if kind == "boxplot":
+        # ES boxplot: the five-number summary via the same exact
+        # interpolated quantiles as `percentiles` (ES's own is
+        # TDigest-approximate). The IQR whisker columns (lower/upper)
+        # need a second conditional pass against the bucket's own
+        # q1/q3 — omitted from the schema, documented; a
+        # `compression` knob is accepted and ignored (the exactness-
+        # supersedes-approximation-knob precedent).
+        bad = set(m) - {"field", "compression"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported boxplot keys {sorted(bad)}"
+            )
+        # explicit DOUBLE on min/max: over an integer column Spark's
+        # round(min) stays integral while DuckDB's quantile family is
+        # float — the boundary columns must agree for the driver hash
+        cols = [f"cast(round(min({f}), 4) AS DOUBLE) AS {name}_min"]
+        for pc, lab in ((25, "q1"), (50, "q2"), (75, "q3")):
+            fn = (
+                f"percentile({f}, {pc / 100.0!r})" if dialect == "spark"
+                else f"quantile_cont({f}, {pc / 100.0!r})"
+            )
+            cols.append(
+                f"cast(cast({fn} AS DECIMAL(18, 6)) AS DOUBLE)"
+                f" AS {name}_{lab}"
+            )
+        cols.append(f"cast(round(max({f}), 4) AS DOUBLE) AS {name}_max")
+        return cols
     return [f"round({kind}({f}), 4) AS {name}"]
 
 
@@ -1298,6 +1348,117 @@ def _top_metrics_cols(
         f"{name}_{_ident(x['field'])}"
         for x in mets
     ]
+
+
+_UNIT_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400,
+              "week": 604800}
+
+
+def _date_histo_secs(b: dict) -> int:
+    """Bucket width in seconds for a date_histogram spec — defined for
+    fixed_interval and the constant-width calendar units; month/year
+    raise (variable length, a per-bucket divisor this compiler does
+    not emit)."""
+    if "fixed_interval" in b:
+        mi = re.fullmatch(r"(\d+)([smhd])", str(b["fixed_interval"]))
+        if not mi:
+            raise ValueError(
+                f"es_dsl: bad fixed_interval {b['fixed_interval']!r}"
+            )
+        return int(mi.group(1)) * {"s": 1, "m": 60, "h": 3600,
+                                   "d": 86400}[mi.group(2)]
+    unit = b.get("calendar_interval", "day")
+    if unit in ("day", "week"):
+        return _UNIT_SECS[unit]
+    raise ValueError(
+        f"es_dsl: rate under a {unit!r} calendar_interval is "
+        "unsupported (variable bucket length; use fixed_interval or "
+        "day/week)"
+    )
+
+
+def _rate_cols(rates: list[tuple[str, dict]], kind: str, b: dict,
+               dialect: str) -> list[str]:
+    """ES `rate` metric: per-bucket sum (or doc count) rescaled from
+    the bucket interval to the requested unit — "events per hour" on a
+    6-hour axis. Row-local arithmetic on the aggregated bucket: the
+    divisor bucket_secs/unit_secs is one compile-time literal, exact
+    in both engines."""
+    if kind != "date_histogram":
+        raise ValueError(
+            "es_dsl: rate requires a date_histogram parent"
+        )
+    secs = _date_histo_secs(b)
+    cols: list[str] = []
+    for name, spec in rates:
+        r = spec["rate"]
+        bad = set(r) - {"field", "unit"}
+        if bad:
+            raise ValueError(f"es_dsl: unsupported rate keys {sorted(bad)}")
+        unit = r.get("unit", "second")
+        if unit not in _UNIT_SECS:
+            raise ValueError(
+                f"es_dsl: bad rate unit {unit!r} "
+                f"({'/'.join(_UNIT_SECS)})"
+            )
+        div = secs / _UNIT_SECS[unit]
+        if "field" in r:
+            f = _ident(r["field"])
+            num = f"cast(sum(cast({f} AS {_DEC})) AS DOUBLE)"
+        else:
+            num = "cast(count(*) AS DOUBLE)"
+        cols.append(f"{num} / {div!r} AS {_ident(name)}")
+    return cols
+
+
+def _compile_mad(index: str, b: dict, mad: tuple[str, dict], where: str,
+                 key: str, dialect: str) -> str:
+    """ES `median_absolute_deviation`: median(|x - median(x)|) per
+    bucket — EXACT here (ES's is TDigest-approximate), as two
+    aggregations over one scan: bucket medians first (bucket-
+    cardinality relation, broadcast by AQE), joined back for the
+    deviation median. Quantiles share the percentiles discipline
+    (interpolated, DECIMAL(18,6)-quantized)."""
+    name, spec = mad
+    m = spec["median_absolute_deviation"]
+    if set(spec) != {"median_absolute_deviation"}:
+        raise ValueError(
+            "es_dsl: median_absolute_deviation takes no sibling keys"
+        )
+    bad = set(m) - {"field", "compression"}
+    if bad:
+        raise ValueError(
+            f"es_dsl: unsupported median_absolute_deviation keys "
+            f"{sorted(bad)}"
+        )
+    f = _ident(m["field"])
+    tbad = set(b) - {"field", "size"}
+    if tbad:
+        raise ValueError(
+            f"es_dsl: median_absolute_deviation terms parent supports "
+            f"field/size only (got {sorted(tbad)})"
+        )
+    key_expr, _ = _bucket_key("terms", b, dialect)
+    size = int(b.get("size", 10))
+    pct = "percentile" if dialect == "spark" else "quantile_cont"
+    n = _ident(name)
+    return f"""
+WITH raw AS (
+  SELECT {key_expr} AS k, {f} AS v
+  FROM {_ident(index)}
+  WHERE ({where}) AND ({key_expr}) IS NOT NULL
+),
+med AS (
+  SELECT k, {pct}(v, 0.5) AS m FROM raw GROUP BY k
+)
+SELECT r.k AS {key}, count(*) AS doc_count,
+       cast(cast({pct}(abs(r.v - med.m), 0.5) AS DECIMAL(18, 6))
+            AS DOUBLE) AS {n}
+FROM raw r JOIN med ON r.k = med.k
+GROUP BY r.k
+ORDER BY doc_count DESC, {key} ASC
+LIMIT {size}
+"""
 
 
 def _bucket_key(kind: str, b: dict, dialect: str) -> tuple[str, str]:
@@ -1476,11 +1637,27 @@ def compile_aggs(
                  if (n, sp) not in inner and set(sp) & _PIPELINE]
     rowlocal = [(n, sp) for n, sp in sub.items()
                 if (n, sp) not in inner and set(sp) & _ROWLOCAL_PIPELINE]
+    mads = [(n, sp) for n, sp in sub.items()
+            if (n, sp) not in inner and "median_absolute_deviation" in sp]
+    rates = [(n, sp) for n, sp in sub.items()
+             if (n, sp) not in inner and "rate" in sp]
     metric_specs = [
         (n, sp) for n, sp in sub.items()
         if (n, sp) not in inner and (n, sp) not in top_hits
         and (n, sp) not in pipelines and (n, sp) not in rowlocal
+        and (n, sp) not in mads and (n, sp) not in rates
     ]
+    if mads:
+        # median-of-|x - bucket median| needs the bucket's own median
+        # as an input — a second aggregation pass over the same scan,
+        # its own compile path (like top_hits, it owns the relation)
+        if kind != "terms" or len(mads) > 1 or len(sub) != 1:
+            raise ValueError(
+                "es_dsl: median_absolute_deviation must be the only "
+                "sub-agg of a terms bucket (it joins the bucket median "
+                "back against the rows)"
+            )
+        return _compile_mad(index, b, mads[0], where, key, dialect)
     if rowlocal and kind not in (
         "terms", "multi_terms", "date_histogram", "histogram"
     ):
@@ -1499,6 +1676,8 @@ def compile_aggs(
             index, b, top_hits[0], where, key, dialect, id_field
         )
     metric_sql = _metric_list(metric_specs, dialect, id_field)
+    if rates:
+        metric_sql += _rate_cols(rates, kind, b, dialect)
     metrics = (
         "" if not metric_sql else ",\n       " + ",\n       ".join(metric_sql)
     )
@@ -3315,6 +3494,42 @@ QUERY_STRING_BODY = {
     "_source": ["doc_id", "lang", "source", "n_chars"],
 }
 
+STRING_STATS_BOXPLOT_BODY = {
+    # per-language field-length profile + five-number summary
+    "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {
+            "src_len": {"string_stats": {"field": "source"}},
+            "chars_box": {"boxplot": {"field": "n_chars"}},
+        },
+    }},
+    "size": 0,
+}
+
+RATE_BODY = {
+    # "events per hour" on a 6-hour axis: value rate + doc-count rate
+    "query": {"term": {"event_type": "click"}},
+    "aggs": {"by6h": {
+        "date_histogram": {"field": "ts", "fixed_interval": "6h"},
+        "aggs": {
+            "value_per_hour": {"rate": {"field": "value", "unit": "hour"}},
+            "docs_per_hour": {"rate": {"unit": "hour"}},
+        },
+    }},
+    "size": 0,
+}
+
+MAD_BODY = {
+    # robust per-language dispersion of document length
+    "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {"mad_chars": {
+            "median_absolute_deviation": {"field": "n_chars"},
+        }},
+    }},
+    "size": 0,
+}
+
 FUNCTION_SCORE_BODY = {
     # "relevant AND popular": BM25 over the match, multiplied by a
     # log1p-damped document-length factor — the ES boosting idiom
@@ -3717,5 +3932,19 @@ def registry() -> dict[str, dict]:
         "es_dsl_query_string": {
             "fn": _entry("documents", QUERY_STRING_BODY, "doc_id"),
             "oracle": compile_search("documents", QUERY_STRING_BODY, "duck"),
+        },
+        "es_dsl_string_stats_boxplot": {
+            "fn": _entry("documents", STRING_STATS_BOXPLOT_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", STRING_STATS_BOXPLOT_BODY, "duck"
+            ),
+        },
+        "es_dsl_rate": {
+            "fn": _entry("events", RATE_BODY, "event_id"),
+            "oracle": compile_search("events", RATE_BODY, "duck", "event_id"),
+        },
+        "es_dsl_mad": {
+            "fn": _entry("documents", MAD_BODY, "doc_id"),
+            "oracle": compile_search("documents", MAD_BODY, "duck"),
         },
     }

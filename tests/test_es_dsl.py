@@ -2273,3 +2273,100 @@ def test_compiled_plan_shapes(spark, tables):
                                   "spark"))
     plan = hl._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# --- batch 7 metrics: string_stats / boxplot / rate / MAD ---------------------
+
+
+def test_string_stats_lengths(tiny):
+    # en sources: 'news'(4), 'blog'(4), '105x'(4) -> min 4 max 4 avg 4
+    b = {"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+         "aggs": {"ss": {"string_stats": {"field": "source"}}}}},
+         "size": 0}
+    rows = {r[0]: r for r in tiny.execute(
+        compile_search("docs", b, "duck")).fetchall()}
+    # (key, doc_count, count, min_len, max_len, avg_len)
+    assert rows["en"] == ("en", 3, 3, 4, 4, 4.0)
+    # de: 'news'(4), NULL -> count 2 of docs 3; doc 4 source NULL
+    assert rows["de"][1] == 2 and rows["de"][2] == 1
+    with pytest.raises(ValueError, match="show_distribution"):
+        compile_search("docs", {"aggs": {"x": {
+            "terms": {"field": "lang"},
+            "aggs": {"s": {"string_stats": {
+                "field": "source", "show_distribution": True}}}}},
+            "size": 0}, "duck")
+
+
+def test_boxplot_five_number_summary(tiny):
+    # en n values: 10, 20, 80 -> q1 15, q2 20, q3 50
+    b = {"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+         "aggs": {"bp": {"boxplot": {"field": "n"}}}}}, "size": 0}
+    rows = {r[0]: r for r in tiny.execute(
+        compile_search("docs", b, "duck")).fetchall()}
+    assert rows["en"] == ("en", 3, 10.0, 15.0, 20.0, 50.0, 80.0)
+    with pytest.raises(ValueError, match="unsupported boxplot keys"):
+        compile_search("docs", {"aggs": {"x": {
+            "terms": {"field": "lang"},
+            "aggs": {"b": {"boxplot": {"field": "n", "missing": 0}}}}},
+            "size": 0}, "duck")
+
+
+def test_rate_rescales_to_unit(tiny_val):
+    # daily buckets, per-hour rate: value/24 and docs/24
+    b = {"aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"vph": {"rate": {"field": "value", "unit": "hour"}},
+                 "dph": {"rate": {"unit": "hour"}}}}}, "size": 0}
+    rows = tiny_val.execute(
+        compile_aggs("ev", b, "duck", "event_id")).fetchall()
+    # first day: one event value 10 -> 10/24 per hour, 1/24 docs
+    assert rows[0][2] == pytest.approx(10.0 / 24)
+    assert rows[0][3] == pytest.approx(1.0 / 24)
+
+
+def test_rate_rejections(tiny_val):
+    with pytest.raises(ValueError, match="date_histogram parent"):
+        compile_aggs("ev", {"aggs": {"x": {
+            "terms": {"field": "value"},
+            "aggs": {"r": {"rate": {"unit": "day"}}}}}},
+            "duck", "event_id")
+    with pytest.raises(ValueError, match="variable bucket length"):
+        compile_aggs("ev", {"aggs": {"x": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "month"},
+            "aggs": {"r": {"rate": {"unit": "day"}}}}}},
+            "duck", "event_id")
+    with pytest.raises(ValueError, match="bad rate unit"):
+        compile_aggs("ev", {"aggs": {"x": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"r": {"rate": {"unit": "fortnight"}}}}}},
+            "duck", "event_id")
+
+
+def test_mad_exact_two_pass(tiny):
+    # en n: 10,20,80 median 20 -> |dev| 10,0,60 -> MAD 10
+    # de n: 30,40 median 35 -> |dev| 5,5 -> MAD 5
+    b = {"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+         "aggs": {"mad_n": {
+             "median_absolute_deviation": {"field": "n"}}}}},
+         "size": 0}
+    rows = {r[0]: r for r in tiny.execute(
+        compile_search("docs", b, "duck")).fetchall()}
+    assert rows["en"] == ("en", 3, 10.0)
+    assert rows["de"] == ("de", 2, 5.0)
+
+
+def test_mad_rejections(tiny):
+    with pytest.raises(ValueError, match="only\\s+sub-agg"):
+        compile_search("docs", {"aggs": {"x": {
+            "terms": {"field": "lang"},
+            "aggs": {"m": {"median_absolute_deviation": {"field": "n"}},
+                     "a": {"avg": {"field": "n"}}}}}, "size": 0},
+            "duck")
+    with pytest.raises(ValueError, match="only\\s+sub-agg"):
+        compile_search("docs", {"aggs": {"x": {
+            "histogram": {"field": "n", "interval": 10},
+            "aggs": {"m": {
+                "median_absolute_deviation": {"field": "n"}}}}},
+            "size": 0}, "duck")
