@@ -1274,7 +1274,14 @@ def _metric_cols(name: str, kind: str, m: dict, dialect: str) -> list[str]:
 _BUCKETS = {"terms", "date_histogram", "histogram", "range"}
 _PIPELINE = {"cumulative_sum", "derivative", "serial_diff", "moving_fn"}
 _SIBLING_PIPELINE = {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-                     "stats_bucket"}
+                     "stats_bucket", "percentiles_bucket"}
+# sibling pipelines that render as MULTIPLE columns — not addressable
+# as a buckets_path / selector target (the _MULTI_COLUMN_METRICS rule)
+_MULTI_COLUMN_SIBLINGS = {"stats_bucket", "percentiles_bucket"}
+# order-free parent pipelines: normalize (whole-relation rescale) and
+# bucket_sort (re-sort/truncate the returned buckets) need no bucket
+# ordering, so unlike _PIPELINE they also compose with terms parents
+_UNORDERED_PIPELINE = {"normalize", "bucket_sort"}
 # row-local parent pipelines: no bucket ordering needed — bucket_script
 # computes a derived metric per bucket, bucket_selector filters buckets
 # (the HAVING / derived-metric idiom of Kibana dashboard bodies)
@@ -1641,12 +1648,26 @@ def compile_aggs(
             if (n, sp) not in inner and "median_absolute_deviation" in sp]
     rates = [(n, sp) for n, sp in sub.items()
              if (n, sp) not in inner and "rate" in sp]
+    normalizes = [(n, sp) for n, sp in sub.items()
+                  if (n, sp) not in inner and "normalize" in sp]
+    bsorts = [(n, sp) for n, sp in sub.items()
+              if (n, sp) not in inner and "bucket_sort" in sp]
     metric_specs = [
         (n, sp) for n, sp in sub.items()
         if (n, sp) not in inner and (n, sp) not in top_hits
         and (n, sp) not in pipelines and (n, sp) not in rowlocal
         and (n, sp) not in mads and (n, sp) not in rates
+        and (n, sp) not in normalizes and (n, sp) not in bsorts
     ]
+    if (normalizes or bsorts) and kind not in (
+        "terms", "date_histogram", "histogram"
+    ):
+        raise ValueError(
+            "es_dsl: normalize/bucket_sort need a terms or "
+            "histogram-family parent"
+        )
+    if len(bsorts) > 1:
+        raise ValueError("es_dsl: at most one bucket_sort per level")
     if mads:
         # median-of-|x - bucket median| needs the bucket's own median
         # as an input — a second aggregation pass over the same scan,
@@ -1808,7 +1829,11 @@ LIMIT {size}
             # ES applies size truncation at collection, THEN pipeline
             # aggs run on the returned buckets — so the script/selector
             # wrap sits OUTSIDE the top-N limit
-            return _wrap_rowlocal(sql, rowlocal, simple, oby)
+            sql = _wrap_rowlocal(sql, rowlocal, simple, oby)
+        if normalizes or bsorts:
+            avail = simple | {n for n, sp in rowlocal
+                              if "bucket_script" in sp}
+            sql = _apply_unordered(sql, normalizes, bsorts, avail, key)
         return sql
     if kind == "multi_terms":
         return _compile_multi_terms(
@@ -1883,31 +1908,159 @@ WHERE ({where}) AND ({key_expr}) IS NOT NULL
 GROUP BY {key_expr}{having}"""
     simple = {n for n, sp in metric_specs
               if next(iter(sp)) not in _MULTI_COLUMN_METRICS}
+    # selector/script/normalize/sort paths may also name a
+    # window-pipeline output (ES: buckets_path can target any sibling
+    # agg); multi-column siblings are not addressable
+    avail = (
+        simple
+        | {n for n, _ in pipelines}
+        | {n for n, sp in siblings.items()
+           if next(iter(sp)) not in _MULTI_COLUMN_SIBLINGS}
+    )
     if pipelines or siblings:
-        sql = _wrap_pipelines(base, pipelines, siblings, key, simple, agg_name)
+        sql = _wrap_pipelines(base, pipelines, siblings, key, simple,
+                              agg_name, dialect)
         if rowlocal:
-            # selector/script paths may also name a window-pipeline
-            # output (ES: buckets_path can target any sibling agg);
-            # stats_bucket is multi-column, so it is not addressable
-            avail = (
-                simple
-                | {n for n, _ in pipelines}
-                | {n for n, sp in siblings.items()
-                   if next(iter(sp)) != "stats_bucket"}
-            )
-            return _wrap_rowlocal(sql, rowlocal, avail, f"{key} ASC")
-        return sql
-    if rowlocal:
-        return _wrap_rowlocal(
-            f"\n{base}\n", rowlocal, simple, f"{key} ASC"
+            sql = _wrap_rowlocal(sql, rowlocal, avail, f"{key} ASC")
+    elif rowlocal:
+        sql = _wrap_rowlocal(f"\n{base}\n", rowlocal, simple, f"{key} ASC")
+    else:
+        sql = f"\n{base}\nORDER BY {key} ASC\n"
+    if normalizes or bsorts:
+        avail = avail | {n for n, sp in rowlocal if "bucket_script" in sp}
+        sql = _apply_unordered(sql, normalizes, bsorts, avail, key)
+    return sql
+
+
+def _resolve_bucket_col(path, avail: set[str], key: str, what: str,
+                        allow_key: bool = False) -> str:
+    """Resolve a buckets_path/sort target on an aggregated bucket
+    relation: `_count` = doc_count, optionally `_key`, else a
+    single-column sibling name."""
+    if path == "_count":
+        return "doc_count"
+    if allow_key and path == "_key":
+        return key
+    if not isinstance(path, str) or path not in avail:
+        raise ValueError(
+            f"es_dsl: {what} target {path!r} names no single-value "
+            "sibling (multi-column metrics/siblings cannot be a target)"
         )
-    return f"\n{base}\nORDER BY {key} ASC\n"
+    return _ident(path)
+
+
+def _apply_unordered(
+    sql: str, normalizes: list[tuple[str, dict]],
+    bsorts: list[tuple[str, dict]], avail: set[str], key: str,
+) -> str:
+    """ES `normalize` and `bucket_sort` pipelines: both run on the
+    RETURNED buckets (post top-N, like every pipeline), need no bucket
+    ordering, and compose with terms parents — normalize adds
+    whole-relation rescale columns, bucket_sort re-sorts/truncates the
+    bucket list and runs OUTERMOST (it sees normalize outputs, as in
+    ES's dependency-ordered pipeline execution). Scale shape: both
+    wrap the aggregated bucket relation — bucket-cardinality rows,
+    never the corpus."""
+    if normalizes:
+        cols = []
+        for name, spec in normalizes:
+            if set(spec) != {"normalize"}:
+                raise ValueError("es_dsl: normalize takes no sibling keys")
+            p = spec["normalize"]
+            bad = set(p) - {"buckets_path", "method"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported normalize keys {sorted(bad)}"
+                )
+            path = _resolve_bucket_col(
+                p.get("buckets_path"), avail, key, "normalize"
+            )
+            method = p.get("method")
+            n = _ident(name)
+            # whole-relation sums follow the DECIMAL discipline (the
+            # engines frame-sum in different row orders); min/max are
+            # order-independent as-is
+            dsum = f"cast(sum(cast({path} AS {_DEC})) OVER () AS DOUBLE)"
+            if method == "percent_of_sum":
+                cols.append(f"100.0 * {path} / {dsum} AS {n}")
+            elif method in ("rescale_0_1", "rescale_0_100"):
+                mn = f"min({path}) OVER ()"
+                mx = f"max({path}) OVER ()"
+                scale = "100.0 * " if method == "rescale_0_100" else ""
+                # single-bucket relation: 0/0 -> NULL (no defined range)
+                cols.append(
+                    f"{scale}({path} - {mn})"
+                    f" / nullif(cast({mx} - {mn} AS DOUBLE), 0) AS {n}"
+                )
+            else:
+                raise ValueError(
+                    f"es_dsl: unsupported normalize method {method!r} "
+                    "(percent_of_sum / rescale_0_1 / rescale_0_100; "
+                    "mean/z-score/softmax are not compiled)"
+                )
+            avail = avail | {name}
+        ncols = ",\n       ".join(cols)
+        sql = f"""
+SELECT b.*,
+       {ncols}
+FROM (
+{sql}
+) b
+ORDER BY {key} ASC
+"""
+    if bsorts:
+        name, spec = bsorts[0]
+        if set(spec) != {"bucket_sort"}:
+            raise ValueError("es_dsl: bucket_sort takes no sibling keys")
+        p = spec["bucket_sort"]
+        bad = set(p) - {"sort", "from", "size", "gap_policy"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported bucket_sort keys {sorted(bad)}"
+            )
+        if p.get("gap_policy", "skip") != "skip":
+            raise ValueError(
+                "es_dsl: bucket_sort supports gap_policy skip only"
+            )
+        sorts = p.get("sort", [])
+        if isinstance(sorts, (str, dict)):
+            sorts = [sorts]
+        order: list[str] = []
+        for s_ in sorts:
+            if isinstance(s_, str):
+                f_, d_ = s_, "asc"
+            else:
+                f_, dspec = _one(s_, "bucket_sort sort entry")
+                d_ = (dspec if isinstance(dspec, str)
+                      else dspec.get("order", "asc"))
+            if d_ not in ("asc", "desc"):
+                raise ValueError(f"es_dsl: bad bucket_sort order {d_!r}")
+            col = _resolve_bucket_col(f_, avail, key, "bucket_sort",
+                                      allow_key=True)
+            # explicit NULLS LAST: the engines' defaults differ (Spark
+            # ASC puts NULLs first, DuckDB last)
+            order.append(f"{col} {d_.upper()} NULLS LAST")
+        order.append(f"{key} ASC")  # total order under LIMIT
+        offset = int(p.get("from", 0))
+        if "size" not in p and offset:
+            raise ValueError(
+                "es_dsl: bucket_sort from without size is unsupported"
+            )
+        limit = f"\nLIMIT {int(p['size'])}" if "size" in p else ""
+        off = f" OFFSET {offset}" if offset else ""
+        sql = f"""
+SELECT * FROM (
+{sql}
+) bsorted
+ORDER BY {', '.join(order)}{limit}{off}
+"""
+    return sql
 
 
 def _wrap_pipelines(
     base: str, pipelines: list[tuple[str, dict]],
     siblings: dict[str, dict], key: str,
-    metric_names: set[str], parent_name: str,
+    metric_names: set[str], parent_name: str, dialect: str = "spark",
 ) -> str:
     """ES pipeline aggregations over a histogram-family parent:
     PARENT pipelines (cumulative_sum / derivative of a sibling metric,
@@ -2046,6 +2199,38 @@ def _wrap_pipelines(
                 f"{dsum} / count({path}) OVER () AS {n}_avg",
                 f"{ssum} AS {n}_sum",
             ]
+            continue
+        if pkind == "percentiles_bucket":
+            # ES percentiles_bucket: exact interpolated quantiles of a
+            # parent metric ACROSS the buckets (ES default percents),
+            # one {n}_p{label} column per percent — the percentiles
+            # metric's naming and DECIMAL(18,6) discipline, evaluated
+            # as whole-relation windows over the bucket relation
+            percents = p.get("percents", [1, 5, 25, 50, 75, 95, 99])
+            if not isinstance(percents, list) or not percents or not all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                and 0 <= x <= 100 for x in percents
+            ):
+                raise ValueError(
+                    "es_dsl: percents must be numbers in [0, 100]"
+                )
+            pbad = set(p) - {"buckets_path", "percents"}
+            if pbad:
+                raise ValueError(
+                    f"es_dsl: unsupported percentiles_bucket keys "
+                    f"{sorted(pbad)}"
+                )
+            for pc in percents:
+                q = repr(pc / 100.0)
+                label = (f"{pc:g}").replace(".", "_").replace("-", "m")
+                fnq = (
+                    f"percentile({path}, {q})" if dialect == "spark"
+                    else f"quantile_cont({path}, {q})"
+                )
+                cols.append(
+                    f"cast(cast({fnq} OVER () AS DECIMAL(18, 6))"
+                    f" AS DOUBLE) AS {n}_p{label}"
+                )
             continue
         fn = pkind.split("_")[0]  # avg | sum | min | max
         # avg/sum over the UNORDERED whole-relation frame are
@@ -3530,6 +3715,55 @@ MAD_BODY = {
     "size": 0,
 }
 
+NORMALIZE_BODY = {
+    # per-language share-of-corpus and rescaled doc counts
+    "aggs": {"by_lang": {
+        "terms": {"field": "lang", "size": 10},
+        "aggs": {
+            "total_chars": {"sum": {"field": "n_chars"}},
+            "chars_pct": {"normalize": {
+                "buckets_path": "total_chars",
+                "method": "percent_of_sum",
+            }},
+            "docs_scaled": {"normalize": {
+                "buckets_path": "_count", "method": "rescale_0_100",
+            }},
+        },
+    }},
+    "size": 0,
+}
+
+BUCKET_SORT_BODY = {
+    # "top 3 event types by average value, skipping the biggest":
+    # sort + from + size on the returned buckets
+    "aggs": {"by_type": {
+        "terms": {"field": "event_type", "size": 100},
+        "aggs": {
+            "v_avg": {"avg": {"field": "value"}},
+            "top3": {"bucket_sort": {
+                "sort": [{"v_avg": {"order": "desc"}}],
+                "from": 1, "size": 3,
+            }},
+        },
+    }},
+    "size": 0,
+}
+
+PERCENTILES_BUCKET_BODY = {
+    # distribution of daily click volume across the month
+    "query": {"term": {"event_type": "click"}},
+    "aggs": {
+        "daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"v_sum": {"sum": {"field": "value"}}},
+        },
+        "day_pct": {"percentiles_bucket": {
+            "buckets_path": "daily>v_sum", "percents": [25, 50, 75, 99],
+        }},
+    },
+    "size": 0,
+}
+
 FUNCTION_SCORE_BODY = {
     # "relevant AND popular": BM25 over the match, multiplied by a
     # log1p-damped document-length factor — the ES boosting idiom
@@ -3946,5 +4180,21 @@ def registry() -> dict[str, dict]:
         "es_dsl_mad": {
             "fn": _entry("documents", MAD_BODY, "doc_id"),
             "oracle": compile_search("documents", MAD_BODY, "duck"),
+        },
+        "es_dsl_normalize": {
+            "fn": _entry("documents", NORMALIZE_BODY, "doc_id"),
+            "oracle": compile_search("documents", NORMALIZE_BODY, "duck"),
+        },
+        "es_dsl_bucket_sort": {
+            "fn": _entry("events", BUCKET_SORT_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", BUCKET_SORT_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_percentiles_bucket": {
+            "fn": _entry("events", PERCENTILES_BUCKET_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", PERCENTILES_BUCKET_BODY, "duck", "event_id"
+            ),
         },
     }

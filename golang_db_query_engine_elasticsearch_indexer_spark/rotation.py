@@ -24,7 +24,7 @@ that decides those 50 slots:
   re-rotation. The executed r08 window is pinned against the
   CORRECTNESS files (not this table, which rolls on) in
   tests/test_rotation_tool.py::test_r08_window_matches_executed_roll.
-- r10 (CURRENT_WINDOW below) continues steady state: the 22 net-new
+- r10 (CURRENT_WINDOW below) continues steady state: the 25 net-new
   r10 registrations lead (batch 1: es_dsl_bucket_selector /
   bucket_script — the Kibana HAVING and derived-metric pipeline
   idioms; es_dsl_match_highlight — highlight inside the _search body
@@ -49,16 +49,19 @@ that decides those 50 slots:
   the newest-evidence re-rotation tail (batch 6 returned the four r04
   stream_* entries to the pool — newest evidence, lowest staleness
   risk; batch 7 — es_dsl_string_stats_boxplot / rate / mad, the
-  remaining everyday ES metric kinds (exact where ES approximates) —
-  returned the next three newest-evidence re-rotations the same
-  way)), then pure oldest-evidence
+  remaining everyday ES metric kinds (exact where ES approximates);
+  batch 8 — es_dsl_normalize / bucket_sort / percentiles_bucket, the
+  remaining order-free pipeline aggs — each batch returning three
+  more re-rotations to the pool (the window's whole re-rotation
+  cohort shares r04 evidence, so eviction order among equals is
+  immaterial))), then pure oldest-evidence
   re-rotation (no changed-kernel re-checks this round: the r10
   boundary diff rewrote no registered entry's compiled SQL — verified
   by an old-vs-new registry oracle diff before the roll; re-verified
   after each batch). The executed r09 window (22 net-new + 3
   re-checks + 25 re-rotations) is pinned against CORRECTNESS_r09.json
   in tests/test_rotation_tool.py::test_r09_window_matches_executed_roll.
-  With a 308-entry registry and a 50-slot window, steady-state
+  With a 311-entry registry and a 50-slot window, steady-state
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
@@ -158,6 +161,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_bool_filter': (8, 'unclassified', None),
     'es_dsl_bucket_script': (None, 'unclassified', 'r10'),
     'es_dsl_bucket_selector': (None, 'unclassified', 'r10'),
+    'es_dsl_bucket_sort': (None, 'unclassified', 'r10'),
     'es_dsl_collapse': (8, 'unclassified', None),
     'es_dsl_composite_after': (9, 'unclassified', None),
     'es_dsl_count': (9, 'unclassified', None),
@@ -180,6 +184,8 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_match_scored': (9, 'unclassified', None),
     'es_dsl_multi_match': (9, 'unclassified', None),
     'es_dsl_multi_terms': (None, 'unclassified', 'r10'),
+    'es_dsl_normalize': (None, 'unclassified', 'r10'),
+    'es_dsl_percentiles_bucket': (None, 'unclassified', 'r10'),
     'es_dsl_nested_agg': (9, 'unclassified', None),
     'es_dsl_nested_three_levels': (9, 'unclassified', None),
     'es_dsl_percentile_ranks_wavg': (9, 'unclassified', None),
@@ -307,7 +313,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'q6_forecast_revenue': (9, 'verified', None),
     'q7_volume_shipping': (4, 'verified', 'r10'),
     'q8_market_share': (4, 'verified', 'r10'),
-    'q9_product_type_profit': (4, 'verified', 'r10'),
+    'q9_product_type_profit': (4, 'verified', None),
     'quality_classifier_calibration': (6, 'float-stat', None),
     'quality_classifier_train': (6, 'float-stat', None),
     'recursive_date_spine': (5, 'verified', None),
@@ -315,12 +321,12 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'sample_curriculum_order': (6, 'float-stat', None),
     'sample_dsir_importance': (6, 'float-stat', None),
     'sample_neyman_allocation': (6, 'float-stat', None),
-    'sample_stratified': (4, 'verified', 'r10'),
+    'sample_stratified': (4, 'verified', None),
     'sample_temperature_mix': (5, 'verified', None),
     'sample_token_budget': (6, 'float-stat', None),
     'sample_weighted_mix': (9, 'verified', None),
     'sample_weighted_reservoir': (6, 'float-stat', None),
-    'search_bm25': (4, 'verified', 'r10'),
+    'search_bm25': (4, 'verified', None),
     'search_bm25_from_artifact': (8, 'unclassified', None),
     'search_fuzzy_terms': (6, 'regex-string', None),
     'search_highlight_snippets': (8, 'unclassified', None),
@@ -413,6 +419,9 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_dsl_string_stats_boxplot',
     'es_dsl_rate',
     'es_dsl_mad',
+    'es_dsl_normalize',
+    'es_dsl_bucket_sort',
+    'es_dsl_percentiles_bucket',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
@@ -438,9 +447,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'q4_order_priority',
     'q7_volume_shipping',
     'q8_market_share',
-    'q9_product_type_profit',
-    'sample_stratified',
-    'search_bm25',
 )
 
 def scheduled(window: str) -> list[str]:

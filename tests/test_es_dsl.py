@@ -2370,3 +2370,111 @@ def test_mad_rejections(tiny):
             "aggs": {"m": {
                 "median_absolute_deviation": {"field": "n"}}}}},
             "size": 0}, "duck")
+
+
+# --- batch 8: normalize / bucket_sort / percentiles_bucket --------------------
+
+
+def test_normalize_percent_and_rescale(tiny):
+    # n sums: en 110 (10+20+80), de 70, fr 110, NULL-lang excluded
+    b = {"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+         "aggs": {"total": {"sum": {"field": "n"}},
+                  "pct": {"normalize": {"buckets_path": "total",
+                                        "method": "percent_of_sum"}},
+                  "docs01": {"normalize": {"buckets_path": "_count",
+                                           "method": "rescale_0_1"}}}}},
+         "size": 0}
+    rows = {r[0]: r for r in tiny.execute(
+        compile_search("docs", b, "duck")).fetchall()}
+    assert rows["en"][3] == pytest.approx(100 * 110 / 290)
+    assert rows["de"][3] == pytest.approx(100 * 70 / 290)
+    # doc counts en 3, de 2, fr 2 -> rescale_0_1: en 1.0, de/fr 0.0
+    assert rows["en"][4] == 1.0 and rows["de"][4] == 0.0
+
+
+def test_normalize_rejections(tiny):
+    with pytest.raises(ValueError, match="unsupported normalize method"):
+        compile_search("docs", {"aggs": {"x": {
+            "terms": {"field": "lang"},
+            "aggs": {"n2": {"normalize": {"buckets_path": "_count",
+                                          "method": "softmax"}}}}},
+            "size": 0}, "duck")
+    with pytest.raises(ValueError, match="names no single-value"):
+        compile_search("docs", {"aggs": {"x": {
+            "terms": {"field": "lang"},
+            "aggs": {"n2": {"normalize": {"buckets_path": "ghost",
+                                          "method": "percent_of_sum"}}}}},
+            "size": 0}, "duck")
+    with pytest.raises(ValueError, match="terms or\\s+histogram-family"):
+        compile_search("docs", {"aggs": {"x": {
+            "range": {"field": "n", "ranges": [{"to": 50}, {"from": 50}]},
+            "aggs": {"n2": {"normalize": {"buckets_path": "_count",
+                                          "method": "percent_of_sum"}}}}},
+            "size": 0}, "duck")
+
+
+def test_bucket_sort_truncates_and_offsets(tiny):
+    # avg n: en 36.67, de 35, fr 55 -> desc [fr, en, de];
+    # from 1, size 2 -> [en, de]
+    b = {"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+         "aggs": {"v": {"avg": {"field": "n"}},
+                  "bs": {"bucket_sort": {
+                      "sort": [{"v": {"order": "desc"}}],
+                      "from": 1, "size": 2}}}}}, "size": 0}
+    rows = tiny.execute(compile_search("docs", b, "duck")).fetchall()
+    assert [r[0] for r in rows] == ["en", "de"]
+    # sort by _key desc, size 2 -> [fr, en]
+    b2 = {"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+          "aggs": {"bs": {"bucket_sort": {
+              "sort": [{"_key": {"order": "desc"}}], "size": 2}}}}},
+          "size": 0}
+    rows2 = tiny.execute(compile_search("docs", b2, "duck")).fetchall()
+    assert [r[0] for r in rows2] == ["fr", "en"]
+
+
+def test_bucket_sort_sees_normalize_output(tiny):
+    # dependency order: bucket_sort runs outermost, so it can sort by
+    # a normalize column
+    b = {"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+         "aggs": {"total": {"sum": {"field": "n"}},
+                  "pct": {"normalize": {"buckets_path": "total",
+                                        "method": "percent_of_sum"}},
+                  "bs": {"bucket_sort": {
+                      "sort": [{"pct": {"order": "asc"}}], "size": 1}}}}},
+         "size": 0}
+    rows = tiny.execute(compile_search("docs", b, "duck")).fetchall()
+    assert [r[0] for r in rows] == ["de"]
+
+
+def test_bucket_sort_rejections(tiny):
+    with pytest.raises(ValueError, match="gap_policy skip"):
+        compile_search("docs", {"aggs": {"x": {
+            "terms": {"field": "lang"},
+            "aggs": {"bs": {"bucket_sort": {
+                "sort": [{"_count": "desc"}],
+                "gap_policy": "insert_zeros"}}}}}, "size": 0}, "duck")
+    with pytest.raises(ValueError, match="from without size"):
+        compile_search("docs", {"aggs": {"x": {
+            "terms": {"field": "lang"},
+            "aggs": {"bs": {"bucket_sort": {"from": 2}}}}}, "size": 0},
+            "duck")
+    with pytest.raises(ValueError, match="at most one bucket_sort"):
+        compile_search("docs", {"aggs": {"x": {
+            "terms": {"field": "lang"},
+            "aggs": {"a": {"bucket_sort": {"size": 1}},
+                     "b": {"bucket_sort": {"size": 2}}}}}, "size": 0},
+            "duck")
+
+
+def test_percentiles_bucket_sibling(tiny_val):
+    # daily sums 10,20,30,40,50 over 5 buckets -> p50 = 30
+    b = {"aggs": {
+        "daily": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "day"},
+                  "aggs": {"v": {"sum": {"field": "value"}}}},
+        "v_pct": {"percentiles_bucket": {"buckets_path": "daily>v",
+                                         "percents": [50, 100]}},
+    }, "size": 0}
+    rows = tiny_val.execute(
+        compile_aggs("ev", b, "duck", "event_id")).fetchall()
+    assert rows[0][-2] == 30.0 and rows[0][-1] == 50.0
