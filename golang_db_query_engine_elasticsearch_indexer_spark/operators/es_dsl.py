@@ -1624,12 +1624,38 @@ def compile_aggs(
         raise ValueError(
             "es_dsl: sibling pipeline aggs need a histogram-family parent"
         )
-    if kind == "significant_terms":
+    if kind in ("significant_terms", "significant_text"):
+        # significant_text IS significant_terms here: the engine's one
+        # analysis model already tokenizes the field inside
+        # _compile_significant_terms, which is exactly what ES's
+        # text-typed variant does (ES splits the two kinds by field
+        # mapping, a distinction this schema-driven engine lacks)
         if sub:
-            raise ValueError("es_dsl: significant_terms takes no sub-aggs")
+            raise ValueError(f"es_dsl: {kind} takes no sub-aggs")
+        bad = set(b) - {"field", "size", "min_doc_count"}
+        if kind == "significant_text":
+            if b.get("filter_duplicate_text"):
+                raise ValueError(
+                    "es_dsl: significant_text filter_duplicate_text is "
+                    "unsupported (near-dup suppression lives in "
+                    "operators/dedup.py)"
+                )
+            bad -= {"filter_duplicate_text"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported {kind} keys {sorted(bad)}"
+            )
         return _compile_significant_terms(
             index, b, where, key, dialect
         )
+    if kind == "adjacency_matrix":
+        if sub:
+            raise ValueError(
+                "es_dsl: adjacency_matrix sub-aggs are unsupported "
+                "(doc_count per filter/intersection only)"
+            )
+        return _compile_adjacency_matrix(index, b, where, key, dialect,
+                                         id_field)
     if kind == "composite":
         return _compile_composite(index, b, sub, where, dialect)
     if kind == "filters":
@@ -1716,6 +1742,59 @@ def compile_aggs(
             index, b, inner[0], metrics, where, key, dialect
         )
 
+    if kind in ("sampler", "diversified_sampler"):
+        # ES sampler: sub-aggs run over a BOUNDED sample of matching
+        # docs instead of all of them. ES samples the top shard_size
+        # by relevance; this filter-context engine has no score, so
+        # the sample is the first shard_size docs by id — the
+        # documented deterministic choice (same discipline as every
+        # LIMIT in the module). diversified_sampler additionally caps
+        # docs per distinct field value BEFORE the size cap
+        # (de-duplication bias control); docs missing the diversity
+        # field are excluded, the bucket NULL rule. Scale shape: the
+        # id order is a TakeOrdered over the filtered scan, the
+        # diversity rank one window partitioned by the field — then
+        # every sub-agg runs on <= shard_size rows.
+        known = {"shard_size"} if kind == "sampler" else {
+            "shard_size", "field", "max_docs_per_value"}
+        bad = set(b) - known
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported {kind} keys {sorted(bad)}"
+            )
+        shard_size = int(b.get("shard_size", 100))
+        if shard_size < 1:
+            raise ValueError("es_dsl: shard_size must be >= 1")
+        if kind == "sampler":
+            sample = f"""sample AS (
+  SELECT * FROM {_ident(index)}
+  WHERE {where}
+  ORDER BY {id_field} ASC
+  LIMIT {shard_size}
+)"""
+        else:
+            f = _ident(b["field"])
+            per = int(b.get("max_docs_per_value", 1))
+            if per < 1:
+                raise ValueError(
+                    "es_dsl: max_docs_per_value must be >= 1"
+                )
+            sample = f"""ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {f} ORDER BY {id_field} ASC) AS _divrank
+  FROM {_ident(index)}
+  WHERE ({where}) AND {f} IS NOT NULL
+),
+sample AS (
+  SELECT * FROM ranked WHERE _divrank <= {per}
+  ORDER BY {id_field} ASC
+  LIMIT {shard_size}
+)"""
+        return f"""
+WITH {sample}
+SELECT count(*) AS doc_count{metrics}
+FROM sample
+"""
     if kind == "missing":
         # ES missing agg: ONE bucket of docs lacking the field
         if set(b) != {"field"}:
@@ -3154,6 +3233,71 @@ LIMIT {size}
 """
 
 
+def _compile_adjacency_matrix(
+    index: str, b: dict, where: str, key: str, dialect: str,
+    id_field: str,
+) -> str:
+    """ES adjacency_matrix: N named filters -> one bucket per filter
+    plus one per pairwise intersection (key "a&b", names sorted), only
+    non-empty buckets returned, ordered by key. Compiled as ONE scan:
+    every bucket is a conditional count in a single aggregate row, then
+    K row-local SELECTs over that 1-row relation unpivot it — bucket
+    count is K = N + N(N-1)/2, never data-sized, and the fact table is
+    read once regardless of N."""
+    bad = set(b) - {"filters", "separator"}
+    if bad:
+        raise ValueError(
+            f"es_dsl: unsupported adjacency_matrix keys {sorted(bad)}"
+        )
+    filters = b.get("filters")
+    if not isinstance(filters, dict) or len(filters) < 2:
+        raise ValueError(
+            "es_dsl: adjacency_matrix wants >= 2 named filters"
+        )
+    sep = b.get("separator", "&")
+    if not isinstance(sep, str) or "'" in sep or "\\" in sep:
+        raise ValueError(f"es_dsl: bad adjacency_matrix separator {sep!r}")
+    names = sorted(filters)
+    conds = {
+        n: f"coalesce({_query_expr(filters[n], dialect, id_field)}, FALSE)"
+        for n in names
+    }
+    sums, rows = [], []
+    for i, a in enumerate(names):
+        label = a.replace("'", "''")
+        sums.append(f"sum(CASE WHEN {conds[a]} THEN 1 ELSE 0 END) AS c{i}")
+        # cast: DuckDB widens sum(CASE) to HUGEINT; the driver hash
+        # needs BIGINT in both engines
+        rows.append(
+            f"SELECT '{label}' AS {key}, cast(c{i} AS BIGINT)"
+            " AS doc_count FROM agg"
+        )
+        for j in range(i + 1, len(names)):
+            pair = f"{a}{sep}{names[j]}".replace("'", "''")
+            sums.append(
+                f"sum(CASE WHEN {conds[a]} AND {conds[names[j]]} "
+                f"THEN 1 ELSE 0 END) AS c{i}_{j}"
+            )
+            rows.append(
+                f"SELECT '{pair}' AS {key}, cast(c{i}_{j} AS BIGINT)"
+                " AS doc_count FROM agg"
+            )
+    sums_sql = ",\n         ".join(sums)
+    union = "\n  UNION ALL ".join(rows)
+    return f"""
+WITH agg AS (
+  SELECT {sums_sql}
+  FROM {_ident(index)}
+  WHERE {where}
+)
+SELECT {key}, doc_count FROM (
+  {union}
+) buckets
+WHERE doc_count > 0
+ORDER BY {key} ASC
+"""
+
+
 # --- percolate (reverse search: stored queries match incoming docs) ----------
 
 
@@ -3764,6 +3908,52 @@ PERCENTILES_BUCKET_BODY = {
     "size": 0,
 }
 
+ADJACENCY_MATRIX_BODY = {
+    # co-occurrence counts of three audience segments in one scan
+    "aggs": {"segments": {"adjacency_matrix": {"filters": {
+        "english": {"term": {"lang": "en"}},
+        "long": {"range": {"n_chars": {"gte": 300}}},
+        "spark_docs": {"match": {"text": "spark"}},
+    }}}},
+    "size": 0,
+}
+
+SAMPLER_BODY = {
+    # profile a bounded sample instead of the full match set
+    "query": {"term": {"lang": "en"}},
+    "aggs": {"sample": {
+        "sampler": {"shard_size": 150},
+        "aggs": {
+            "chars_avg": {"avg": {"field": "n_chars"}},
+            "n_sources": {"cardinality": {"field": "source"}},
+        },
+    }},
+    "size": 0,
+}
+
+DIVERSIFIED_SAMPLER_BODY = {
+    # the same profile with a per-language diversity cap
+    "aggs": {"sample": {
+        "diversified_sampler": {
+            "field": "lang", "max_docs_per_value": 25, "shard_size": 100,
+        },
+        "aggs": {
+            "chars_avg": {"avg": {"field": "n_chars"}},
+            "langs": {"cardinality": {"field": "lang"}},
+        },
+    }},
+    "size": 0,
+}
+
+SIGNIFICANT_TEXT_BODY = {
+    # tokens over-represented in English docs vs the whole corpus
+    "query": {"term": {"lang": "en"}},
+    "aggs": {"sig": {"significant_text": {
+        "field": "text", "min_doc_count": 3, "size": 10,
+    }}},
+    "size": 0,
+}
+
 FUNCTION_SCORE_BODY = {
     # "relevant AND popular": BM25 over the match, multiplied by a
     # log1p-damped document-length factor — the ES boosting idiom
@@ -4195,6 +4385,28 @@ def registry() -> dict[str, dict]:
             "fn": _entry("events", PERCENTILES_BUCKET_BODY, "event_id"),
             "oracle": compile_search(
                 "events", PERCENTILES_BUCKET_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_adjacency_matrix": {
+            "fn": _entry("documents", ADJACENCY_MATRIX_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", ADJACENCY_MATRIX_BODY, "duck"
+            ),
+        },
+        "es_dsl_sampler": {
+            "fn": _entry("documents", SAMPLER_BODY, "doc_id"),
+            "oracle": compile_search("documents", SAMPLER_BODY, "duck"),
+        },
+        "es_dsl_diversified_sampler": {
+            "fn": _entry("documents", DIVERSIFIED_SAMPLER_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", DIVERSIFIED_SAMPLER_BODY, "duck"
+            ),
+        },
+        "es_dsl_significant_text": {
+            "fn": _entry("documents", SIGNIFICANT_TEXT_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", SIGNIFICANT_TEXT_BODY, "duck"
             ),
         },
     }

@@ -24,7 +24,7 @@ that decides those 50 slots:
   re-rotation. The executed r08 window is pinned against the
   CORRECTNESS files (not this table, which rolls on) in
   tests/test_rotation_tool.py::test_r08_window_matches_executed_roll.
-- r10 (CURRENT_WINDOW below) continues steady state: the 25 net-new
+- r10 (CURRENT_WINDOW below) continues steady state: the 29 net-new
   r10 registrations lead (batch 1: es_dsl_bucket_selector /
   bucket_script — the Kibana HAVING and derived-metric pipeline
   idioms; es_dsl_match_highlight — highlight inside the _search body
@@ -51,7 +51,9 @@ that decides those 50 slots:
   risk; batch 7 — es_dsl_string_stats_boxplot / rate / mad, the
   remaining everyday ES metric kinds (exact where ES approximates);
   batch 8 — es_dsl_normalize / bucket_sort / percentiles_bucket, the
-  remaining order-free pipeline aggs — each batch returning three
+  remaining order-free pipeline aggs; batch 9 —
+  es_dsl_adjacency_matrix / sampler / diversified_sampler /
+  significant_text, the remaining everyday bucket kinds — each batch returning three
   more re-rotations to the pool (the window's whole re-rotation
   cohort shares r04 evidence, so eviction order among equals is
   immaterial))), then pure oldest-evidence
@@ -61,7 +63,7 @@ that decides those 50 slots:
   after each batch). The executed r09 window (22 net-new + 3
   re-checks + 25 re-rotations) is pinned against CORRECTNESS_r09.json
   in tests/test_rotation_tool.py::test_r09_window_matches_executed_roll.
-  With a 311-entry registry and a 50-slot window, steady-state
+  With a 315-entry registry and a 50-slot window, steady-state
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
@@ -157,6 +159,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'embedding_quantize_int8': (8, 'verified', None),
     'embedding_remove_top_component': (6, 'float-stat', None),
     'es_cat_indices': (None, 'unclassified', 'r10'),
+    'es_dsl_adjacency_matrix': (None, 'unclassified', 'r10'),
     'es_dsl_auto_date_histogram': (None, 'unclassified', 'r10'),
     'es_dsl_bool_filter': (8, 'unclassified', None),
     'es_dsl_bucket_script': (None, 'unclassified', 'r10'),
@@ -196,6 +199,9 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_query_string': (None, 'unclassified', 'r10'),
     'es_dsl_rare_terms': (None, 'unclassified', 'r10'),
     'es_dsl_rate': (None, 'unclassified', 'r10'),
+    'es_dsl_sampler': (None, 'unclassified', 'r10'),
+    'es_dsl_diversified_sampler': (None, 'unclassified', 'r10'),
+    'es_dsl_significant_text': (None, 'unclassified', 'r10'),
     'es_dsl_regexp': (None, 'unclassified', 'r10'),
     'es_dsl_search_after': (9, 'unclassified', None),
     'es_dsl_serial_diff_moving_fn': (None, 'unclassified', 'r10'),
@@ -306,13 +312,13 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'q20_excess_suppliers': (4, 'verified', 'r10'),
     'q21_waiting_suppliers': (4, 'verified', 'r10'),
     'q22_dormant_customers': (9, 'verified', None),
-    'q2_min_cost_supplier': (4, 'verified', 'r10'),
+    'q2_min_cost_supplier': (4, 'verified', None),
     'q3_shipping_priority': (9, 'verified', None),
-    'q4_order_priority': (4, 'verified', 'r10'),
+    'q4_order_priority': (4, 'verified', None),
     'q5_local_supplier_volume': (9, 'verified', None),
     'q6_forecast_revenue': (9, 'verified', None),
-    'q7_volume_shipping': (4, 'verified', 'r10'),
-    'q8_market_share': (4, 'verified', 'r10'),
+    'q7_volume_shipping': (4, 'verified', None),
+    'q8_market_share': (4, 'verified', None),
     'q9_product_type_profit': (4, 'verified', None),
     'quality_classifier_calibration': (6, 'float-stat', None),
     'quality_classifier_train': (6, 'float-stat', None),
@@ -422,6 +428,10 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_dsl_normalize',
     'es_dsl_bucket_sort',
     'es_dsl_percentiles_bucket',
+    'es_dsl_adjacency_matrix',
+    'es_dsl_sampler',
+    'es_dsl_diversified_sampler',
+    'es_dsl_significant_text',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
@@ -443,10 +453,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'q18_large_orders',
     'q20_excess_suppliers',
     'q21_waiting_suppliers',
-    'q2_min_cost_supplier',
-    'q4_order_priority',
-    'q7_volume_shipping',
-    'q8_market_share',
 )
 
 def scheduled(window: str) -> list[str]:

@@ -2478,3 +2478,80 @@ def test_percentiles_bucket_sibling(tiny_val):
     rows = tiny_val.execute(
         compile_aggs("ev", b, "duck", "event_id")).fetchall()
     assert rows[0][-2] == 30.0 and rows[0][-1] == 50.0
+
+
+# --- batch 9: adjacency_matrix / sampler / significant_text -------------------
+
+
+def test_adjacency_matrix_pairwise_counts(tiny):
+    b = {"aggs": {"adj": {"adjacency_matrix": {"filters": {
+        "en": {"term": {"lang": "en"}},
+        "news": {"term": {"source": "news"}},
+        "big": {"range": {"n": {"gte": 50}}},
+    }}}}, "size": 0}
+    rows = dict(tiny.execute(compile_search("docs", b, "duck")).fetchall())
+    # en: docs 1,2,8; news: 1,3; big: 5,6,7,8
+    assert rows == {"en": 3, "news": 2, "big": 4,
+                    "big&en": 1, "en&news": 1}
+    # empty intersections (big&news) are absent, as in ES
+    assert "big&news" not in rows
+
+
+def test_adjacency_matrix_custom_separator_and_rejections(tiny):
+    b = {"aggs": {"adj": {"adjacency_matrix": {
+        "separator": "|",
+        "filters": {"en": {"term": {"lang": "en"}},
+                    "news": {"term": {"source": "news"}}},
+    }}}, "size": 0}
+    rows = dict(tiny.execute(compile_search("docs", b, "duck")).fetchall())
+    assert "en|news" in rows
+    with pytest.raises(ValueError, match=">= 2 named filters"):
+        compile_search("docs", {"aggs": {"a": {"adjacency_matrix": {
+            "filters": {"solo": {"term": {"lang": "en"}}}}}},
+            "size": 0}, "duck")
+    with pytest.raises(ValueError, match="sub-aggs are unsupported"):
+        compile_search("docs", {"aggs": {"a": {
+            "adjacency_matrix": {"filters": {
+                "x": {"term": {"lang": "en"}},
+                "y": {"term": {"lang": "de"}}}},
+            "aggs": {"m": {"avg": {"field": "n"}}}}}, "size": 0}, "duck")
+
+
+def test_sampler_bounds_the_sample(tiny):
+    # first 3 docs by id: n = 10, 20, 30 -> avg 20
+    b = {"aggs": {"s": {"sampler": {"shard_size": 3},
+         "aggs": {"a": {"avg": {"field": "n"}}}}}, "size": 0}
+    assert tiny.execute(
+        compile_search("docs", b, "duck")).fetchall() == [(3, 20.0)]
+
+
+def test_diversified_sampler_caps_per_value(tiny):
+    # one doc per lang by lowest id: 1 (en, 10), 3 (de, 30), 5 (fr, 50)
+    # -> doc 7 (NULL lang) excluded, avg 30
+    b = {"aggs": {"s": {"diversified_sampler": {
+        "field": "lang", "max_docs_per_value": 1, "shard_size": 10},
+        "aggs": {"a": {"avg": {"field": "n"}}}}}, "size": 0}
+    assert tiny.execute(
+        compile_search("docs", b, "duck")).fetchall() == [(3, 30.0)]
+    with pytest.raises(ValueError, match="max_docs_per_value"):
+        compile_search("docs", {"aggs": {"s": {"diversified_sampler": {
+            "field": "lang", "max_docs_per_value": 0}}}, "size": 0},
+            "duck")
+
+
+def test_significant_text_is_the_tokenizing_alias(tiny):
+    st = {"query": {"term": {"lang": "en"}},
+          "aggs": {"sig": {"significant_text": {
+              "field": "text", "min_doc_count": 1, "size": 5}}},
+          "size": 0}
+    terms = {"query": {"term": {"lang": "en"}},
+             "aggs": {"sig": {"significant_terms": {
+                 "field": "text", "min_doc_count": 1, "size": 5}}},
+             "size": 0}
+    assert (tiny.execute(compile_search("docs", st, "duck")).fetchall()
+            == tiny.execute(
+                compile_search("docs", terms, "duck")).fetchall())
+    with pytest.raises(ValueError, match="filter_duplicate_text"):
+        compile_search("docs", {"aggs": {"s": {"significant_text": {
+            "field": "text", "filter_duplicate_text": True}}},
+            "size": 0}, "duck")
