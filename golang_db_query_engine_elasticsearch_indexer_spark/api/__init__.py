@@ -309,6 +309,16 @@ def create_app(
 
         _attach_if_named()
         body = _es_body()
+        if request.args.get("scroll"):
+            # scroll open: first page + a STATELESS cursor (the
+            # keep_alive duration is accepted and irrelevant — the
+            # scroll_id encodes the position, nothing server-side
+            # expires)
+            return jsonify(gateway.es_scroll(
+                _spark(), index, body,
+                id_field=request.args.get("id_field"),
+                max_rows=max_rows,
+            )), 200
         if request.args.get("plan", "").lower() in ("1", "true", "formatted"):
             # engine extension, mirroring /query/?explain: return the
             # optimized physical plan of the COMPILED body instead of
@@ -358,6 +368,35 @@ def create_app(
         # contract anyone parses)
         _attach_if_named()
         return jsonify(gateway.cat_indices(_spark())), 200
+
+    @app.get("/<index>/_field_caps")
+    def es_field_caps_route(index: str):
+        _attach_if_named()
+        return jsonify(gateway.es_field_caps(_spark(), index)), 200
+
+    @app.post("/<index>/_terms_enum")
+    def es_terms_enum_route(index: str):
+        _attach_if_named()
+        return jsonify(gateway.es_terms_enum(_spark(), index,
+                                             _es_body())), 200
+
+    @app.post("/<index>/_search/template")
+    def es_search_template_route(index: str):
+        _attach_if_named()
+        df = gateway.es_search_template_df(_spark(), index, _es_body())
+        res = collect_envelope(df, max_rows=max_rows)
+        return jsonify(json.loads(res.to_json())), 200
+
+    @app.post("/_search/scroll")
+    def es_scroll_continue_route():
+        _attach_if_named()
+        body = _es_body()
+        sid = body.get("scroll_id")
+        if not sid:
+            raise ParamsNullError()
+        return jsonify(gateway.es_scroll(_spark(), None,
+                                         scroll_id=sid,
+                                         max_rows=max_rows)), 200
 
     @app.post("/<index>/_validate/query")
     def es_validate_query_route(index: str):

@@ -357,3 +357,332 @@ def es_mget(
          **({"_source": by_id[str(k)]} if str(k) in by_id else {})}
         for i, k in zip(ids, keys)
     ]}
+
+
+# --- _field_caps ---------------------------------------------------------------
+
+# DuckDB type name -> ES field type, the oracle-side twin of the
+# indexer's Spark-schema rule (es_mapping_for_schema). Two INDEPENDENT
+# mappings over two independent schema readings of the same parquet —
+# the driver differential checks they tell one type story.
+_DUCK_FIELD_CAPS_CASE = """CASE
+  WHEN t LIKE '%INT%' THEN 'long'
+  WHEN t IN ('DOUBLE', 'FLOAT', 'REAL') OR t LIKE 'DECIMAL%' THEN 'double'
+  WHEN t = 'BOOLEAN' THEN 'boolean'
+  WHEN t LIKE 'TIMESTAMP%' OR t = 'DATE' THEN 'date'
+  WHEN t = 'BLOB' THEN 'binary'
+  WHEN t = 'VARCHAR' THEN 'text'
+  ELSE 'unsupported'
+END"""
+
+
+def field_caps_fields(schema) -> list[tuple[str, str]]:
+    """(field, es_type) leaf pairs from a Spark schema via the
+    indexer's ONE mapping rule (es_mapping_for_schema), struct fields
+    dotted, sorted by field name."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (  # noqa: PLC0415
+        es_mapping_for_schema,
+    )
+
+    out: list[tuple[str, str]] = []
+
+    def walk(prefix: str, node: dict) -> None:
+        if "properties" in node:
+            for k, v in node["properties"].items():
+                walk(f"{prefix}.{k}" if prefix else k, v)
+        else:
+            out.append((prefix, node["type"]))
+
+    walk("", es_mapping_for_schema(schema))
+    return sorted(out)
+
+
+def field_caps_oracle_sql(index: str) -> str:
+    """The DuckDB-side `_field_caps` relation: information_schema
+    introspection mapped through the CASE twin of the Spark rule.
+    Array element types arrive as 'ELEM[]' — strip the suffix before
+    mapping (ES arrays are implicit, the es_mapping_for_schema rule)."""
+    if not index:
+        raise ParamsNullError()
+    return f"""
+WITH cols AS (
+  SELECT column_name AS field,
+         CASE WHEN data_type LIKE '%[]'
+              THEN substr(data_type, 1, length(data_type) - 2)
+              ELSE data_type END AS t
+  FROM information_schema.columns
+  WHERE table_name = '{index}'
+)
+SELECT field, {_DUCK_FIELD_CAPS_CASE} AS es_type
+FROM cols
+ORDER BY field ASC
+"""
+
+
+def es_field_caps_df(spark: SparkSession, index: str) -> DataFrame:
+    """`GET /{index}/_field_caps` as a relation: (field, es_type) rows
+    derived driver-side from the analyzed Spark schema — bounded by
+    schema width, no scan."""
+    if index is None:
+        raise ParamsNullError()
+    rows = field_caps_fields(spark.table(index).schema)
+    return spark.createDataFrame(rows, "field string, es_type string")
+
+
+def es_field_caps(spark: SparkSession, index: str) -> dict:
+    """`GET /{index}/_field_caps?fields=*` parity: the ES response
+    envelope — every leaf field with its type, searchable/aggregatable
+    true (one analysis model, no per-field index toggles)."""
+    return {
+        "indices": [index],
+        "fields": {
+            f: {t: {"type": t, "metadata_field": False,
+                    "searchable": True, "aggregatable": True}}
+            for f, t in field_caps_fields(spark.table(index).schema)
+        },
+    }
+
+
+# --- _terms_enum ----------------------------------------------------------------
+
+
+def terms_enum_sql(index: str, field: str, prefix: str, size: int,
+                   dialect: str) -> str:
+    """`POST /{index}/_terms_enum` body: distinct values of ``field``
+    starting with ``prefix``, sorted, capped at ``size`` — the
+    autocomplete verb. One DISTINCT aggregate with the LIKE pushed
+    below it; the prefix LIKE is sargable (prefix scan), and the
+    result is vocabulary-sized."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        _ident,
+        _like_escape,
+    )
+
+    if not index or not field:
+        raise ParamsNullError()
+    size = int(size)
+    if not 1 <= size <= 10_000:
+        raise SqlSyntaxError("es_dsl: _terms_enum size must be in [1, 10000]")
+    if dialect not in ("spark", "duck"):
+        raise SqlSyntaxError(f"es_dsl: unknown dialect {dialect!r}")
+    f = _ident(field)
+    pat = _like_escape(str(prefix))
+    return f"""
+SELECT DISTINCT {f} AS term
+FROM {_ident(index)}
+WHERE {f} LIKE '{pat}%' ESCAPE '!'
+ORDER BY term ASC
+LIMIT {size}
+"""
+
+
+def es_terms_enum_df(spark: SparkSession, index: str, field: str,
+                     prefix: str = "", size: int = 10) -> DataFrame:
+    return spark.sql(terms_enum_sql(index, field, prefix, size, "spark"))
+
+
+def es_terms_enum(spark: SparkSession, index: str, body: dict) -> dict:
+    """`POST /{index}/_terms_enum` parity: the `{terms, complete}`
+    envelope. `complete` is exact here: true iff fewer than `size`
+    terms matched (a size-capped page may be incomplete)."""
+    bad = set(body or {}) - {"field", "string", "size"}
+    if bad:
+        raise SqlSyntaxError(
+            f"es_dsl: unsupported _terms_enum keys {sorted(bad)}"
+        )
+    if not body or "field" not in body:
+        raise ParamsNullError()
+    size = int(body.get("size", 10))
+    terms = [
+        r["term"]
+        for r in es_terms_enum_df(
+            spark, index, body["field"], body.get("string", ""), size
+        ).collect()
+    ]
+    return {"terms": terms, "complete": len(terms) < size}
+
+
+# --- _search/template ------------------------------------------------------------
+
+
+def render_search_template(source, params: dict):
+    """Mustache-subset rendering for `POST /{index}/_search/template`:
+    `{{var}}` as a WHOLE string substitutes the typed param (numbers,
+    lists, objects stay typed); `{{var}}` inside a longer string
+    interpolates its string form. Sections (`{{#...}}`), partials, and
+    unknown params raise — a dashboard template must never silently
+    compile to different semantics."""
+    import re as _re  # noqa: PLC0415
+
+    pat = _re.compile(r"\{\{([^{}]*)\}\}")
+
+    def sub(node):
+        if isinstance(node, dict):
+            return {k: sub(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [sub(v) for v in node]
+        if isinstance(node, str):
+            m = pat.fullmatch(node)
+            names = pat.findall(node)
+            for n in names:
+                if n.startswith(("#", "^", "/", ">", "!")):
+                    raise SqlSyntaxError(
+                        "es_dsl: search template sections/partials are "
+                        f"unsupported ({{{{{n}}}}})"
+                    )
+                if n not in (params or {}):
+                    raise SqlSyntaxError(
+                        f"es_dsl: search template param {n!r} is missing"
+                    )
+            if m:
+                return params[m.group(1)]
+            return pat.sub(lambda mm: str(params[mm.group(1)]), node)
+        return node
+
+    if not isinstance(source, dict):
+        raise SqlSyntaxError(
+            "es_dsl: search template source must be a JSON object"
+        )
+    return sub(source)
+
+
+def es_search_template_df(spark: SparkSession, index: str,
+                          tmpl: dict) -> DataFrame:
+    """`POST /{index}/_search/template` with an inline `source`:
+    render, then compile as a normal `_search` body. Stored-template
+    `id` lookup is unsupported (this engine stores no scripts) and
+    raises."""
+    if not isinstance(tmpl, dict) or "source" not in tmpl:
+        raise SqlSyntaxError(
+            "es_dsl: _search/template wants an inline source "
+            "(stored-template id lookup is unsupported)"
+        )
+    bad = set(tmpl) - {"source", "params"}
+    if bad:
+        raise SqlSyntaxError(
+            f"es_dsl: unsupported _search/template keys {sorted(bad)}"
+        )
+    body = render_search_template(tmpl["source"], tmpl.get("params") or {})
+    return es_search_df(spark, index, body)
+
+
+# --- scroll (stateless cursor over search_after) ----------------------------------
+
+
+def effective_sort(body: dict, id_field: str) -> list[tuple[str, str]]:
+    """The effective (field, dir) sort keys of a filter-context search:
+    the explicit field sorts plus the id tiebreak the compiler appends
+    — the tuple a scroll cursor must carry."""
+    order: list[tuple[str, str]] = []
+    for s in body.get("sort", []):
+        if isinstance(s, str):
+            f, d = s, "asc"
+        else:
+            f, spec = next(iter(s.items()))
+            d = spec if isinstance(spec, str) else spec.get("order", "asc")
+        if f == "_score":
+            raise SqlSyntaxError(
+                "es_dsl: scroll requires filter context (no _score sort)"
+            )
+        order.append((f, d))
+    if id_field not in [f for f, _ in order]:
+        order.append((id_field, "asc"))
+    return order
+
+
+def _encode_scroll_id(state: dict) -> str:
+    import base64 as _b64  # noqa: PLC0415
+    import json as _json  # noqa: PLC0415
+
+    return _b64.urlsafe_b64encode(
+        _json.dumps(state, sort_keys=True).encode()
+    ).decode()
+
+
+def _decode_scroll_id(scroll_id: str) -> dict:
+    import base64 as _b64  # noqa: PLC0415
+    import json as _json  # noqa: PLC0415
+
+    try:
+        return _json.loads(_b64.urlsafe_b64decode(scroll_id.encode()))
+    except Exception as exc:
+        raise SqlSyntaxError(f"es_dsl: bad scroll_id: {exc}")
+
+
+def es_scroll_page(
+    spark: SparkSession, index: str, body: dict,
+    after: list | None = None, id_field: str = "doc_id",
+) -> DataFrame:
+    """One scroll page as a lazy DataFrame: the body with the cursor
+    injected as `search_after`. The cursor compiles to a lexicographic
+    predicate that prunes AT THE SCAN (es_dsl search_after), so page N
+    of a 100 TB result costs what page 1 costs — the reason this
+    scroll is STATELESS: no server-side context to expire, the
+    scroll_id IS the position."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        compile_search,
+    )
+
+    if index is None or body is None:
+        raise ParamsNullError()
+    body = dict(body)
+    body.pop("from", None)
+    if after is not None:
+        body["search_after"] = after
+    return spark.sql(compile_search(index, body, "spark", id_field))
+
+
+def es_scroll(
+    spark: SparkSession, index: str | None, body: dict | None = None,
+    scroll_id: str | None = None, id_field: str | None = None,
+    max_rows: int = DEFAULT_MAX_ROWS,
+) -> dict:
+    """`POST /{index}/_search?scroll=...` (open: body, no scroll_id)
+    and `POST /_search/scroll` (continue: scroll_id alone). The
+    returned _scroll_id encodes (index, body, id_field, last sort
+    tuple) — stateless, survives server restarts, costs nothing to
+    abandon. Requires every effective sort field in the result columns
+    (that is where the next cursor is read from); scored bodies raise
+    (filter context only)."""
+    if scroll_id is not None:
+        state = _decode_scroll_id(scroll_id)
+        index, body = state["index"], state["body"]
+        id_field, after = state["id_field"], state["after"]
+    else:
+        if index is None or body is None:
+            raise ParamsNullError()
+        if id_field is None:
+            id_field = spark.table(index).columns[0]
+        after = None
+    order = effective_sort(body, id_field)
+    df = es_scroll_page(spark, index, body, after, id_field)
+    missing = [f for f, _ in order if f not in df.columns]
+    if missing:
+        raise SqlSyntaxError(
+            f"es_dsl: scroll sort fields {missing} must be in _source "
+            "(the cursor is read from the returned columns)"
+        )
+    rows = df.limit(max_rows).collect()
+    if rows:
+        last = rows[-1]
+        after = [last[f] for f, _ in order]
+        # JSON-encodable cursor: temporal sort keys round-trip as ISO
+        # strings (the compiler's string literals coerce back)
+        after = [
+            v.isoformat() if hasattr(v, "isoformat") else v for v in after
+        ]
+    next_id = _encode_scroll_id({
+        "index": index, "body": {k: v for k, v in body.items()
+                                 if k != "search_after"},
+        "id_field": id_field, "after": after,
+    })
+    return {
+        "_scroll_id": next_id,
+        "hits": {
+            "total": {"value": len(rows), "relation": "eq"},
+            "hits": [
+                {"_index": index, "_source": r.asDict(recursive=True)}
+                for r in rows
+            ],
+        },
+    }

@@ -4084,6 +4084,111 @@ def _entry(index: str, body: dict, id_field: str):
     return run
 
 
+SEARCH_TEMPLATE = {
+    # the Kibana saved-search shape: one template, typed params —
+    # {{min_chars}} substitutes a typed int (whole-string rule),
+    # {{lang}} interpolates into the term
+    "source": {
+        "query": {"bool": {"filter": [
+            {"term": {"lang": "{{lang}}"}},
+            {"range": {"n_chars": {"gte": "{{min_chars}}"}}},
+        ]}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 100,
+        "_source": ["doc_id", "lang", "n_chars"],
+    },
+    "params": {"lang": "en", "min_chars": 200},
+}
+
+SCROLL_BODY = {
+    # a deep-paginatable filter-context search: sort fields live in
+    # _source (the stateless cursor is read from the result columns)
+    "query": {"range": {"n_chars": {"gte": 100}}},
+    "sort": [{"n_chars": "asc"}],
+    "size": 40,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
+
+def _field_caps_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        es_field_caps_df,
+    )
+
+    return es_field_caps_df(spark, "embeddings")
+
+
+def _field_caps_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        field_caps_oracle_sql,
+    )
+
+    return field_caps_oracle_sql("embeddings")
+
+
+def _terms_enum_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        es_terms_enum_df,
+    )
+
+    return es_terms_enum_df(spark, "documents", "source", "src1", 20)
+
+
+def _terms_enum_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        terms_enum_sql,
+    )
+
+    return terms_enum_sql("documents", "source", "src1", 20, "duck")
+
+
+def _search_template_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        es_search_template_df,
+    )
+
+    return es_search_template_df(spark, "documents", SEARCH_TEMPLATE)
+
+
+def _search_template_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        render_search_template,
+    )
+
+    return compile_search(
+        "documents",
+        render_search_template(
+            SEARCH_TEMPLATE["source"], SEARCH_TEMPLATE["params"]
+        ),
+        "duck",
+    )
+
+
+def _scroll_page2_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 via the stateless scroll cursor: run page 1, read the
+    cursor from its last row (bounded collect: page size), compile the
+    continuation. The oracle is the INDEPENDENT from/size formulation
+    of the same page, so the differential proves cursor == offset —
+    the search_after equivalence at the API layer."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        effective_sort,
+        es_scroll_page,
+    )
+
+    order = effective_sort(SCROLL_BODY, "doc_id")
+    page1 = es_scroll_page(
+        spark, "documents", SCROLL_BODY, None, "doc_id"
+    ).collect()
+    after = [page1[-1][f] for f, _ in order]
+    return es_scroll_page(spark, "documents", SCROLL_BODY, after, "doc_id")
+
+
+def _scroll_page2_oracle() -> str:
+    return compile_search(
+        "documents", {**SCROLL_BODY, "from": 40}, "duck"
+    )
+
+
 def _cat_indices_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
         cat_indices_df,
@@ -4408,5 +4513,26 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "documents", SIGNIFICANT_TEXT_BODY, "duck"
             ),
+        },
+        # GET /{index}/_field_caps — the Spark side maps the analyzed
+        # schema through the indexer's one type rule; the oracle maps
+        # DuckDB's information_schema through an INDEPENDENT CASE twin,
+        # so the differential checks the two engines' schema readings
+        # tell one type story
+        "es_field_caps": {
+            "fn": _field_caps_entry,
+            "oracle": _field_caps_oracle(),
+        },
+        "es_terms_enum": {
+            "fn": _terms_enum_entry,
+            "oracle": _terms_enum_oracle(),
+        },
+        "es_search_template": {
+            "fn": _search_template_entry,
+            "oracle": _search_template_oracle(),
+        },
+        "es_scroll_page2": {
+            "fn": _scroll_page2_entry,
+            "oracle": _scroll_page2_oracle(),
         },
     }

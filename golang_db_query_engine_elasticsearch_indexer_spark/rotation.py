@@ -24,7 +24,7 @@ that decides those 50 slots:
   re-rotation. The executed r08 window is pinned against the
   CORRECTNESS files (not this table, which rolls on) in
   tests/test_rotation_tool.py::test_r08_window_matches_executed_roll.
-- r10 (CURRENT_WINDOW below) continues steady state: the 29 net-new
+- r10 (CURRENT_WINDOW below) continues steady state: the 33 net-new
   r10 registrations lead (batch 1: es_dsl_bucket_selector /
   bucket_script — the Kibana HAVING and derived-metric pipeline
   idioms; es_dsl_match_highlight — highlight inside the _search body
@@ -53,7 +53,11 @@ that decides those 50 slots:
   batch 8 — es_dsl_normalize / bucket_sort / percentiles_bucket, the
   remaining order-free pipeline aggs; batch 9 —
   es_dsl_adjacency_matrix / sampler / diversified_sampler /
-  significant_text, the remaining everyday bucket kinds — each batch returning three
+  significant_text, the remaining everyday bucket kinds; batch 10 —
+  es_field_caps / terms_enum / search_template / scroll_page2, the
+  remaining read-API verbs (field_caps differentials the two engines'
+  independent schema->type rules; scroll_page2 proves the stateless
+  cursor equals the from/size page) — each batch returning three
   more re-rotations to the pool (the window's whole re-rotation
   cohort shares r04 evidence, so eviction order among equals is
   immaterial))), then pure oldest-evidence
@@ -63,7 +67,7 @@ that decides those 50 slots:
   after each batch). The executed r09 window (22 net-new + 3
   re-checks + 25 re-rotations) is pinned against CORRECTNESS_r09.json
   in tests/test_rotation_tool.py::test_r09_window_matches_executed_roll.
-  With a 315-entry registry and a 50-slot window, steady-state
+  With a 319-entry registry and a 50-slot window, steady-state
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
@@ -159,6 +163,10 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'embedding_quantize_int8': (8, 'verified', None),
     'embedding_remove_top_component': (6, 'float-stat', None),
     'es_cat_indices': (None, 'unclassified', 'r10'),
+    'es_field_caps': (None, 'unclassified', 'r10'),
+    'es_terms_enum': (None, 'unclassified', 'r10'),
+    'es_search_template': (None, 'unclassified', 'r10'),
+    'es_scroll_page2': (None, 'unclassified', 'r10'),
     'es_dsl_adjacency_matrix': (None, 'unclassified', 'r10'),
     'es_dsl_auto_date_histogram': (None, 'unclassified', 'r10'),
     'es_dsl_bool_filter': (8, 'unclassified', None),
@@ -305,12 +313,12 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'q14_promo_revenue': (9, 'verified', None),
     'q15_top_supplier': (4, 'verified', 'r10'),
     'q16_supplier_part_counts': (4, 'verified', 'r10'),
-    'q17_small_quantity_revenue': (4, 'verified', 'r10'),
-    'q18_large_orders': (4, 'verified', 'r10'),
+    'q17_small_quantity_revenue': (4, 'verified', None),
+    'q18_large_orders': (4, 'verified', None),
     'q19_disjunctive_predicates': (9, 'verified', None),
     'q1_pricing_summary': (9, 'verified', None),
-    'q20_excess_suppliers': (4, 'verified', 'r10'),
-    'q21_waiting_suppliers': (4, 'verified', 'r10'),
+    'q20_excess_suppliers': (4, 'verified', None),
+    'q21_waiting_suppliers': (4, 'verified', None),
     'q22_dormant_customers': (9, 'verified', None),
     'q2_min_cost_supplier': (4, 'verified', None),
     'q3_shipping_priority': (9, 'verified', None),
@@ -432,6 +440,10 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_dsl_sampler',
     'es_dsl_diversified_sampler',
     'es_dsl_significant_text',
+    'es_field_caps',
+    'es_terms_enum',
+    'es_search_template',
+    'es_scroll_page2',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
@@ -449,10 +461,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'q13_customer_distribution',
     'q15_top_supplier',
     'q16_supplier_part_counts',
-    'q17_small_quantity_revenue',
-    'q18_large_orders',
-    'q20_excess_suppliers',
-    'q21_waiting_suppliers',
 )
 
 def scheduled(window: str) -> list[str]:

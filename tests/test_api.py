@@ -553,3 +553,92 @@ def test_es_search_plan_extension(client):
     assert r.status_code == 200
     plan = json.loads(r.data)["plan"]
     assert "Physical Plan" in plan and "PushedFilters" in plan
+
+
+def test_es_field_caps_route(client):
+    r = client.get("/embeddings/_field_caps")
+    assert r.status_code == 200
+    body = json.loads(r.data)
+    assert body["indices"] == ["embeddings"]
+    # FLOAT[] maps to its element type (ES arrays are implicit)
+    assert body["fields"]["embedding"] == {"double": {
+        "type": "double", "metadata_field": False,
+        "searchable": True, "aggregatable": True}}
+    assert "long" in body["fields"]["vec_id"]
+
+
+def test_es_terms_enum_route(client):
+    r = client.post("/documents/_terms_enum",
+                    json={"field": "source", "string": "src1", "size": 5})
+    assert r.status_code == 200
+    body = json.loads(r.data)
+    assert body["terms"] == ["src1", "src10", "src11", "src12", "src13"]
+    assert body["complete"] is False  # size-capped page
+    r2 = client.post("/documents/_terms_enum",
+                     json={"field": "source", "string": "src19"})
+    assert json.loads(r2.data) == {"terms": ["src19"], "complete": True}
+    # unknown keys are client errors
+    r3 = client.post("/documents/_terms_enum",
+                     json={"field": "source", "case_insensitive": True})
+    assert r3.status_code == 400
+
+
+def test_es_search_template_route(client):
+    tmpl = {
+        "source": {
+            "query": {"bool": {"filter": [
+                {"term": {"lang": "{{lang}}"}},
+                {"range": {"n_chars": {"gte": "{{min_chars}}"}}},
+            ]}},
+            "sort": [{"doc_id": "asc"}], "size": 5,
+            "_source": ["doc_id", "lang", "n_chars"],
+        },
+        "params": {"lang": "en", "min_chars": 200},
+    }
+    r = client.post("/documents/_search/template", json=tmpl)
+    assert r.status_code == 200
+    body = json.loads(r.data)
+    assert body["count"] > 0
+    assert all(d["lang"] == "en" and d["n_chars"] >= 200
+               for d in body["data"])
+    # missing param -> 400, stored-template id -> 400
+    bad = {"source": {"query": {"term": {"lang": "{{ghost}}"}}},
+           "params": {}}
+    assert client.post("/documents/_search/template",
+                       json=bad).status_code == 400
+    assert client.post("/documents/_search/template",
+                       json={"id": "stored"}).status_code == 400
+
+
+def test_es_scroll_routes_paginate_exactly(client):
+    # open: first page + stateless cursor
+    body = {"query": {"range": {"n_chars": {"gte": 100}}},
+            "sort": [{"n_chars": "asc"}], "size": 40,
+            "_source": ["doc_id", "lang", "n_chars"]}
+    r = client.post("/documents/_search?scroll=1m&id_field=doc_id",
+                    json=body)
+    assert r.status_code == 200
+    p1 = json.loads(r.data)
+    assert len(p1["hits"]["hits"]) == 40
+    # continue: the scroll_id carries everything
+    r2 = client.post("/_search/scroll",
+                     json={"scroll_id": p1["_scroll_id"]})
+    assert r2.status_code == 200
+    p2 = json.loads(r2.data)
+    assert len(p2["hits"]["hits"]) == 40
+    ids1 = [h["_source"]["doc_id"] for h in p1["hits"]["hits"]]
+    ids2 = [h["_source"]["doc_id"] for h in p2["hits"]["hits"]]
+    assert not set(ids1) & set(ids2)  # disjoint pages
+    # pages 1+2 == the first 80 of the from/size formulation
+    r3 = client.post("/documents/_search",
+                     json={**body, "size": 80})
+    all80 = [d["doc_id"] for d in json.loads(r3.data)["data"]]
+    assert ids1 + ids2 == all80
+    # bad scroll_id -> 400
+    assert client.post("/_search/scroll",
+                       json={"scroll_id": "garbage!"}).status_code == 400
+    # sort field not in _source -> 400 (cursor unreadable)
+    nosrc = {**body, "_source": ["doc_id"]}
+    assert client.post(
+        "/documents/_search?scroll=1m&id_field=doc_id", json=nosrc
+    ).status_code == 400
