@@ -148,6 +148,17 @@ def _query_expr(q: dict, dialect: str, id_field: str) -> str:
         for op, v in conds.items():
             if op not in ops:
                 raise ValueError(f"es_dsl: unsupported range op {op!r}")
+            if isinstance(v, str):
+                from golang_db_query_engine_elasticsearch_indexer_spark.operators import (  # noqa: PLC0415
+                    es_datemath,
+                )
+
+                if es_datemath.looks_like_date_math(v):
+                    # `now-7d/d` / `2024-01-04||+1w/d`: resolved at
+                    # compile time to a plain timestamp literal (with
+                    # the ES per-operator rounding rules, rewritten to
+                    # clean unit boundaries — es_datemath)
+                    op, v = es_datemath.resolve(v, op)
             parts.append(f"{_ident(f)} {ops[op]} {_lit(v, dialect)}")
         if not parts:
             raise ValueError("es_dsl: empty range")
@@ -4084,6 +4095,21 @@ def _entry(index: str, body: dict, id_field: str):
     return run
 
 
+DATE_MATH_BODY = {
+    # ES date math with absolute anchors (deterministic for the
+    # differential; `now` anchors serve live HTTP with the same code
+    # path, pinned via es_datemath.set_now in tests): a rolling window
+    # [Jan 1, Jan 11) spelled the way Kibana time pickers spell it
+    "query": {"bool": {"filter": [
+        {"range": {"ts": {"gte": "2024-01-04||-3d/d",
+                          "lt": "2024-01-04||+1w/d"}}},
+        {"term": {"event_type": "click"}},
+    ]}},
+    "sort": [{"ts": "asc"}, {"event_id": "asc"}],
+    "size": 500,
+    "_source": ["event_id", "user_id", "value"],
+}
+
 SEARCH_TEMPLATE = {
     # the Kibana saved-search shape: one template, typed params —
     # {{min_chars}} substitutes a typed int (whole-string rule),
@@ -4534,5 +4560,11 @@ def registry() -> dict[str, dict]:
         "es_scroll_page2": {
             "fn": _scroll_page2_entry,
             "oracle": _scroll_page2_oracle(),
+        },
+        "es_dsl_date_math": {
+            "fn": _entry("events", DATE_MATH_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", DATE_MATH_BODY, "duck", "event_id"
+            ),
         },
     }
