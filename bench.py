@@ -100,6 +100,16 @@ HEADLINE = [
     "es_dsl_top_hits",
     "multimodal_decode_jpeg",
     "es_dsl_match_highlight",
+    # r10 batches 6-11: the expensive new DSL shapes — the parsed
+    # query-string language (token-level wildcards + phrase LIKEs over
+    # two fields), the two-pass MAD join-back, the token-exploding
+    # significant_text, the stateless scroll continuation (page-1
+    # collect + scan-pruned page 2), and the one-scan adjacency matrix
+    "es_dsl_query_string",
+    "es_dsl_mad",
+    "es_dsl_significant_text",
+    "es_scroll_page2",
+    "es_dsl_adjacency_matrix",
 ]
 
 

@@ -781,6 +781,152 @@ ORDER BY k._score DESC, k._id ASC
 """
 
 
+def _compile_mlt(index: str, body: dict, dialect: str,
+                 id_field: str) -> str:
+    """ES `more_like_this`, fully relational — no driver round-trip to
+    pick query terms: the liked document's tokens join the corpus df
+    relation, the `max_query_terms` rarest ones (idf-ranked, after
+    `min_term_freq`/`min_doc_freq` gates) become the query-term
+    relation IN-PLAN, and hits score by the sum of matched-term idf
+    ("shared rare terms"), coordinated by `minimum_should_match`
+    (int or "N%" of the selected terms). ES's own scoring is the BM25
+    of an internally-built term query — idf-sum keeps the same
+    rarity-driven ranking without tf normalization; documented
+    simplification, not a silent one.
+
+    Determinism: idf quantizes to DECIMAL(18, 9) (lossless at 9 dp for
+    ln-scale values) so per-doc sums are order-independent; scores
+    round to 4 dp before the rank; id tiebreaks everywhere. Scale
+    shape: like-doc tokens are one pushdown point lookup; df is a
+    vocabulary-sized agg; qterms is <= max_query_terms rows (a
+    broadcast); scoring is one token-stream join + groupBy."""
+    q = body["query"]["more_like_this"]
+    known = {"fields", "like", "max_query_terms", "min_term_freq",
+             "min_doc_freq", "minimum_should_match"}
+    bad = set(q) - known
+    if bad:
+        raise ValueError(
+            f"es_dsl: unsupported more_like_this keys {sorted(bad)}"
+        )
+    extra = set(body) - {"query", "_source", "size", "from"}
+    if extra:
+        raise ValueError(
+            "es_dsl: more_like_this combines only with _source/size/"
+            f"from (got {sorted(extra)}) — scored context, no sorts"
+        )
+    fields = q.get("fields")
+    if not isinstance(fields, list) or len(fields) != 1:
+        raise ValueError(
+            "es_dsl: more_like_this wants exactly one field "
+            "(multi-field MLT is unsupported)"
+        )
+    f = _ident(fields[0])
+    like = q.get("like")
+    if isinstance(like, list):
+        if len(like) != 1:
+            raise ValueError(
+                "es_dsl: more_like_this wants exactly one like item"
+            )
+        like = like[0]
+    max_terms = int(q.get("max_query_terms", 25))
+    min_tf = int(q.get("min_term_freq", 2))
+    min_df = int(q.get("min_doc_freq", 5))
+    if min(max_terms, min_tf, min_df) < 1:
+        raise ValueError("es_dsl: more_like_this knobs must be >= 1")
+    msm = q.get("minimum_should_match", "30%")
+    te = _tokens_expr(f, dialect)
+    if dialect == "spark":
+        stream = f"SELECT {id_field} AS _id, explode({te}) AS w"
+    else:
+        stream = f"SELECT {id_field} AS _id, unnest({te}) AS w"
+    exclude_self = ""
+    if isinstance(like, dict):
+        if set(like) != {"_id"}:
+            raise ValueError(
+                "es_dsl: more_like_this like wants free text or {_id}"
+            )
+        like_id = _lit(like["_id"], dialect)
+        like_tf = f"""like_tf AS (
+  SELECT w, count(*) AS tf
+  FROM ({stream} FROM {_ident(index)} WHERE {id_field} = {like_id}) lt
+  GROUP BY w
+)"""
+        exclude_self = f"\n  AND sc._id != {like_id}"
+    elif isinstance(like, str) and like.strip():
+        toks = _analyze(like)
+        arr = ", ".join(_lit(t, dialect) for t in toks)
+        raw = (
+            f"SELECT explode(array({arr})) AS w" if dialect == "spark"
+            else f"SELECT unnest([{arr}]) AS w"
+        )
+        like_tf = f"""like_raw AS ({raw}),
+like_tf AS (SELECT w, count(*) AS tf FROM like_raw GROUP BY w)"""
+    else:
+        raise ValueError(
+            "es_dsl: more_like_this like wants free text or {_id}"
+        )
+    # minimum_should_match: int, or "N%" of the SELECTED term count —
+    # resolved in-plan against count(*) of qterms (ES rounds down)
+    if isinstance(msm, str):
+        mm = re.fullmatch(r"(\d+)%", msm.strip())
+        if not mm:
+            raise ValueError(
+                f"es_dsl: bad minimum_should_match {msm!r} (int or 'N%')"
+            )
+        msm_cond = (
+            f"matched >= floor(qn.n_terms * {int(mm.group(1))} / 100.0)"
+        )
+    elif isinstance(msm, int) and msm >= 0:
+        msm_cond = f"matched >= {msm}"
+    else:
+        raise ValueError(
+            f"es_dsl: bad minimum_should_match {msm!r} (int or 'N%')"
+        )
+    cols = _source_cols(body, "more_like_this hits")
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    off = f" OFFSET {offset}" if offset else ""
+    if cols:
+        select = ", ".join(f"t.{_ident(c)}" for c in cols)
+        hit = (f"JOIN {_ident(index)} t ON t.{id_field} = sc._id")
+    else:
+        select = f"sc._id AS {id_field}"
+        hit = ""
+    return f"""
+WITH corpus AS (
+  {stream} FROM {_ident(index)}
+),
+df AS (
+  SELECT w, count(DISTINCT _id) AS df FROM corpus GROUP BY w
+),
+n_docs AS (SELECT count(*) AS n FROM {_ident(index)}),
+{like_tf},
+qterms AS (
+  SELECT w,
+         cast(cast(ln(1 + (n - df + 0.5) / (df + 0.5))
+              AS DECIMAL(18, 9)) AS DOUBLE) AS idf
+  FROM like_tf JOIN df USING (w) CROSS JOIN n_docs
+  WHERE tf >= {min_tf} AND df >= {min_df}
+  ORDER BY idf DESC, w ASC
+  LIMIT {max_terms}
+),
+qn AS (SELECT count(*) AS n_terms FROM qterms),
+scored AS (
+  SELECT _id,
+         cast(sum(cast(idf AS DECIMAL(18, 9))) AS DOUBLE) AS s,
+         count(DISTINCT w) AS matched
+  FROM (SELECT DISTINCT _id, w FROM corpus) c
+  JOIN qterms USING (w)
+  GROUP BY _id
+)
+SELECT {select}, round(sc.s, 4) AS _score
+FROM scored sc CROSS JOIN qn {hit}
+WHERE {msm_cond}{exclude_self}
+ORDER BY _score DESC, {'t.' + id_field if cols else 'sc._id'} ASC
+LIMIT {size}{off}
+"""
+
+
 # --- search compilation ------------------------------------------------------
 
 
@@ -886,6 +1032,13 @@ def compile_search(
             index, {**body, "query": inner}, dialect, id_field,
             fvf=fvf, fs_mode=mode,
         )
+    if qkind == "more_like_this":
+        if field_sorts:
+            raise ValueError(
+                "es_dsl: more_like_this is scored context only "
+                "(no field sorts)"
+            )
+        return _compile_mlt(index, body, dialect, id_field)
     if qkind in ("match", "multi_match") and not field_sorts:
         # ES query context: bare full-text query, no field sort ->
         # BM25-scored, _score-ordered hits (the ES default experience)
@@ -1689,12 +1842,15 @@ def compile_aggs(
                   if (n, sp) not in inner and "normalize" in sp]
     bsorts = [(n, sp) for n, sp in sub.items()
               if (n, sp) not in inner and "bucket_sort" in sp]
+    cumcards = [(n, sp) for n, sp in sub.items()
+                if (n, sp) not in inner and "cumulative_cardinality" in sp]
     metric_specs = [
         (n, sp) for n, sp in sub.items()
         if (n, sp) not in inner and (n, sp) not in top_hits
         and (n, sp) not in pipelines and (n, sp) not in rowlocal
         and (n, sp) not in mads and (n, sp) not in rates
         and (n, sp) not in normalizes and (n, sp) not in bsorts
+        and (n, sp) not in cumcards
     ]
     if (normalizes or bsorts) and kind not in (
         "terms", "date_histogram", "histogram"
@@ -1705,6 +1861,24 @@ def compile_aggs(
         )
     if len(bsorts) > 1:
         raise ValueError("es_dsl: at most one bucket_sort per level")
+    if cumcards:
+        # the running count of DISTINCT values needs the raw rows
+        # (which bucket saw each value FIRST) — a dedicated two-
+        # aggregation path, like MAD
+        if (kind not in ("date_histogram", "histogram") or pipelines
+                or rowlocal or normalizes or bsorts or len(cumcards) > 1):
+            raise ValueError(
+                "es_dsl: cumulative_cardinality needs a histogram-"
+                "family parent and composes with plain metric "
+                "sub-aggs only"
+            )
+        metric_sql2 = _metric_list(metric_specs, dialect, id_field)
+        if rates:
+            metric_sql2 += _rate_cols(rates, kind, b, dialect)
+        return _compile_cumulative_cardinality(
+            index, b, kind, cumcards[0], metric_sql2, sub, where, key,
+            dialect,
+        )
     if mads:
         # median-of-|x - bucket median| needs the bucket's own median
         # as an input — a second aggregation pass over the same scan,
@@ -3244,6 +3418,75 @@ LIMIT {size}
 """
 
 
+def _compile_cumulative_cardinality(
+    index: str, b: dict, kind: str, cc: tuple[str, dict],
+    metric_sql: list[str], sub: dict, where: str, key: str, dialect: str,
+) -> str:
+    """ES `cumulative_cardinality`: how many DISTINCT values have been
+    seen up to each bucket — "total unique users to date". EXACT here
+    (ES chains HLL sketches): each value contributes at its FIRST
+    bucket (one value-keyed aggregation), first-occurrence counts sum
+    cumulatively over the bucket axis. Scale shape: the firsts relation
+    is distinct-value-sized and collapses to bucket-cardinality before
+    the join; the window runs on bucket rows. buckets_path must name a
+    sibling `cardinality` agg — that is where the field comes from,
+    exactly as in ES."""
+    name, spec = cc
+    p = spec["cumulative_cardinality"]
+    if set(spec) != {"cumulative_cardinality"}:
+        raise ValueError(
+            "es_dsl: cumulative_cardinality takes no sibling keys"
+        )
+    bad = set(p) - {"buckets_path"}
+    if bad:
+        raise ValueError(
+            f"es_dsl: unsupported cumulative_cardinality keys "
+            f"{sorted(bad)}"
+        )
+    path = p.get("buckets_path")
+    card = sub.get(path, {})
+    if not isinstance(card, dict) or "cardinality" not in card:
+        raise ValueError(
+            f"es_dsl: cumulative_cardinality buckets_path {path!r} "
+            "must name a sibling cardinality agg"
+        )
+    f = _ident(card["cardinality"]["field"])
+    key_expr, _ = _bucket_key(kind, b, dialect)
+    mdc = int(b.get("min_doc_count", 1))
+    if mdc != 1:
+        raise ValueError(
+            "es_dsl: cumulative_cardinality with min_doc_count != 1 "
+            "is unsupported (a filtered axis would skip first-"
+            "occurrence buckets)"
+        )
+    metrics = (
+        "" if not metric_sql else ",\n       " + ",\n       ".join(metric_sql)
+    )
+    n = _ident(name)
+    return f"""
+WITH base AS (
+  SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
+  FROM {_ident(index)}
+  WHERE ({where}) AND ({key_expr}) IS NOT NULL
+  GROUP BY {key_expr}
+),
+firsts AS (
+  SELECT min({key_expr}) AS k
+  FROM {_ident(index)}
+  WHERE ({where}) AND ({key_expr}) IS NOT NULL AND {f} IS NOT NULL
+  GROUP BY {f}
+),
+inc AS (
+  SELECT k, count(*) AS new_vals FROM firsts GROUP BY k
+)
+SELECT b.*,
+       cast(sum(coalesce(i.new_vals, 0)) OVER (
+         ORDER BY b.{key} ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS {n}
+FROM base b LEFT JOIN inc i ON i.k = b.{key}
+ORDER BY b.{key} ASC
+"""
+
+
 def _compile_adjacency_matrix(
     index: str, b: dict, where: str, key: str, dialect: str,
     id_field: str,
@@ -4095,6 +4338,37 @@ def _entry(index: str, body: dict, id_field: str):
     return run
 
 
+CUMULATIVE_CARDINALITY_BODY = {
+    # "total unique users to date" on a daily axis — exact, where ES
+    # chains HLL sketches
+    "query": {"term": {"event_type": "view"}},
+    "aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "users": {"cardinality": {"field": "user_id"}},
+            "total_users": {"cumulative_cardinality": {
+                "buckets_path": "users",
+            }},
+        },
+    }},
+    "size": 0,
+}
+
+MORE_LIKE_THIS_BODY = {
+    # "find documents like this one": in-plan rare-term selection from
+    # the liked doc, idf-sum scoring, 30% coordination
+    "query": {"more_like_this": {
+        "fields": ["text"],
+        "like": [{"_id": 7}],
+        "max_query_terms": 10,
+        "min_term_freq": 2,
+        "min_doc_freq": 5,
+        "minimum_should_match": "30%",
+    }},
+    "_source": ["doc_id", "lang"],
+    "size": 30,
+}
+
 DATE_MATH_BODY = {
     # ES date math with absolute anchors (deterministic for the
     # differential; `now` anchors serve live HTTP with the same code
@@ -4565,6 +4839,18 @@ def registry() -> dict[str, dict]:
             "fn": _entry("events", DATE_MATH_BODY, "event_id"),
             "oracle": compile_search(
                 "events", DATE_MATH_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_cumulative_cardinality": {
+            "fn": _entry("events", CUMULATIVE_CARDINALITY_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", CUMULATIVE_CARDINALITY_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_more_like_this": {
+            "fn": _entry("documents", MORE_LIKE_THIS_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", MORE_LIKE_THIS_BODY, "duck"
             ),
         },
     }

@@ -24,7 +24,7 @@ that decides those 50 slots:
   re-rotation. The executed r08 window is pinned against the
   CORRECTNESS files (not this table, which rolls on) in
   tests/test_rotation_tool.py::test_r08_window_matches_executed_roll.
-- r10 (CURRENT_WINDOW below) continues steady state: the 34 net-new
+- r10 (CURRENT_WINDOW below) continues steady state: the 36 net-new
   r10 registrations lead (batch 1: es_dsl_bucket_selector /
   bucket_script — the Kibana HAVING and derived-metric pipeline
   idioms; es_dsl_match_highlight — highlight inside the _search body
@@ -60,7 +60,10 @@ that decides those 50 slots:
   cursor equals the from/size page); batch 11 — es_dsl_date_math,
   the Kibana time-picker range syntax with the ES per-operator
   rounding table (absolute anchors keep the driver check
-  deterministic; `now` pins via es_datemath.set_now) — each batch returning three
+  deterministic; `now` pins via es_datemath.set_now); batch 12 —
+  es_dsl_cumulative_cardinality (exact first-occurrence formulation
+  where ES chains HLL) and es_dsl_more_like_this (in-plan rare-term
+  selection + idf-sum scoring) — each batch returning three
   more re-rotations to the pool (the window's whole re-rotation
   cohort shares r04 evidence, so eviction order among equals is
   immaterial))), then pure oldest-evidence
@@ -70,7 +73,7 @@ that decides those 50 slots:
   after each batch). The executed r09 window (22 net-new + 3
   re-checks + 25 re-rotations) is pinned against CORRECTNESS_r09.json
   in tests/test_rotation_tool.py::test_r09_window_matches_executed_roll.
-  With a 320-entry registry and a 50-slot window, steady-state
+  With a 322-entry registry and a 50-slot window, steady-state
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
@@ -179,6 +182,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_collapse': (8, 'unclassified', None),
     'es_dsl_composite_after': (9, 'unclassified', None),
     'es_dsl_count': (9, 'unclassified', None),
+    'es_dsl_cumulative_cardinality': (None, 'unclassified', 'r10'),
     'es_dsl_date_histogram': (9, 'unclassified', None),
     'es_dsl_date_math': (None, 'unclassified', 'r10'),
     'es_dsl_date_range': (None, 'unclassified', 'r10'),
@@ -198,6 +202,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_match_phrase_prefix': (9, 'unclassified', None),
     'es_dsl_match_scored': (9, 'unclassified', None),
     'es_dsl_multi_match': (9, 'unclassified', None),
+    'es_dsl_more_like_this': (None, 'unclassified', 'r10'),
     'es_dsl_multi_terms': (None, 'unclassified', 'r10'),
     'es_dsl_normalize': (None, 'unclassified', 'r10'),
     'es_dsl_percentiles_bucket': (None, 'unclassified', 'r10'),
@@ -313,9 +318,9 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'q10_returned_items': (8, 'verified', None),
     'q11_important_values': (4, 'verified', 'r10'),
     'q12_priority_shipping': (9, 'verified', None),
-    'q13_customer_distribution': (4, 'verified', 'r10'),
+    'q13_customer_distribution': (4, 'verified', None),
     'q14_promo_revenue': (9, 'verified', None),
-    'q15_top_supplier': (4, 'verified', 'r10'),
+    'q15_top_supplier': (4, 'verified', None),
     'q16_supplier_part_counts': (4, 'verified', None),
     'q17_small_quantity_revenue': (4, 'verified', None),
     'q18_large_orders': (4, 'verified', None),
@@ -449,6 +454,8 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_search_template',
     'es_scroll_page2',
     'es_dsl_date_math',
+    'es_dsl_cumulative_cardinality',
+    'es_dsl_more_like_this',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
@@ -463,8 +470,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'multimodal_resize_pooled',
     'pipeline_curate_corpus',
     'q11_important_values',
-    'q13_customer_distribution',
-    'q15_top_supplier',
 )
 
 def scheduled(window: str) -> list[str]:

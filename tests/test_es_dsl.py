@@ -2555,3 +2555,92 @@ def test_significant_text_is_the_tokenizing_alias(tiny):
         compile_search("docs", {"aggs": {"s": {"significant_text": {
             "field": "text", "filter_duplicate_text": True}}},
             "size": 0}, "duck")
+
+
+# --- batch 12: cumulative_cardinality / more_like_this ------------------------
+
+
+def test_cumulative_cardinality_exact(tiny_val):
+    tiny_val.execute("""
+        CREATE TABLE cc AS SELECT * FROM (VALUES
+          (1, TIMESTAMP '2024-01-01 01:00:00', 100),
+          (2, TIMESTAMP '2024-01-01 02:00:00', 200),
+          (3, TIMESTAMP '2024-01-02 01:00:00', 100),
+          (4, TIMESTAMP '2024-01-03 01:00:00', 300),
+          (5, TIMESTAMP '2024-01-03 02:00:00', 100),
+          (6, TIMESTAMP '2024-01-04 01:00:00', 200)
+        ) AS t(event_id, ts, user_id)
+    """)
+    b = {"aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"users": {"cardinality": {"field": "user_id"}},
+                 "total": {"cumulative_cardinality": {
+                     "buckets_path": "users"}}}}}, "size": 0}
+    rows = tiny_val.execute(
+        compile_aggs("cc", b, "duck", "event_id")).fetchall()
+    # per-day distinct: 2,1,2,1 — cumulative DISTINCT: 2,2,3,3 (the
+    # revisits on days 2-4 add nothing)
+    assert [(r[2], r[3]) for r in rows] == [(2, 2), (1, 2), (2, 3), (1, 3)]
+
+
+def test_cumulative_cardinality_rejections(tiny_val):
+    with pytest.raises(ValueError, match="histogram-\\s*family parent"):
+        compile_aggs("ev", {"aggs": {"x": {
+            "terms": {"field": "value"},
+            "aggs": {"c": {"cardinality": {"field": "value"}},
+                     "t": {"cumulative_cardinality": {
+                         "buckets_path": "c"}}}}}}, "duck", "event_id")
+    with pytest.raises(ValueError, match="sibling cardinality"):
+        compile_aggs("ev", {"aggs": {"x": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"c": {"sum": {"field": "value"}},
+                     "t": {"cumulative_cardinality": {
+                         "buckets_path": "c"}}}}}}, "duck", "event_id")
+
+
+def test_more_like_this_ranks_by_shared_rare_terms(tiny):
+    tiny.execute("""
+        CREATE TABLE mlt AS SELECT * FROM (VALUES
+          (1, 'apple banana cherry apple'),
+          (2, 'apple banana date'),
+          (3, 'cherry date elderberry'),
+          (4, 'fig grape apple'),
+          (5, 'banana cherry apple banana'),
+          (6, 'unrelated words entirely here')
+        ) AS t(doc_id, text)
+    """)
+    body = {"query": {"more_like_this": {
+        "fields": ["text"], "like": [{"_id": 1}],
+        "max_query_terms": 5, "min_term_freq": 1, "min_doc_freq": 1,
+        "minimum_should_match": 1}},
+        "_source": ["doc_id"], "size": 10}
+    rows = tiny.execute(compile_search("mlt", body, "duck")).fetchall()
+    # self excluded; 5 shares all three terms, 2 two, 3/4 one; 6 none
+    assert [r[0] for r in rows] == [5, 2, 3, 4]
+    # free-text like + percentage coordination
+    body2 = {"query": {"more_like_this": {
+        "fields": ["text"], "like": "cherry date cherry",
+        "max_query_terms": 5, "min_term_freq": 1, "min_doc_freq": 1,
+        "minimum_should_match": "100%"}},
+        "_source": ["doc_id"], "size": 10}
+    rows2 = tiny.execute(compile_search("mlt", body2, "duck")).fetchall()
+    # 100% of the 2 selected terms -> only docs with cherry AND date
+    assert [r[0] for r in rows2] == [3]
+
+
+def test_more_like_this_rejections(tiny):
+    with pytest.raises(ValueError, match="exactly one field"):
+        compile_search("docs", {"query": {"more_like_this": {
+            "fields": ["text", "source"], "like": "x"}}}, "duck")
+    with pytest.raises(ValueError, match="scored context only"):
+        compile_search("docs", {"query": {"more_like_this": {
+            "fields": ["text"], "like": "x"}},
+            "sort": [{"doc_id": "asc"}]}, "duck")
+    with pytest.raises(ValueError, match="free text or"):
+        compile_search("docs", {"query": {"more_like_this": {
+            "fields": ["text"], "like": [{"_index": "a", "_id": 1}]}}},
+            "duck")
+    with pytest.raises(ValueError, match="int or 'N%'"):
+        compile_search("docs", {"query": {"more_like_this": {
+            "fields": ["text"], "like": "x",
+            "minimum_should_match": "30%%"}}}, "duck")
