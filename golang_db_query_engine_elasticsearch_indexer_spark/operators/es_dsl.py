@@ -950,6 +950,53 @@ def _source_cols(body: dict, what: str):
     )
 
 
+def _runtime_mappings_cte(index: str, rm: dict, dialect: str) -> str:
+    """ES runtime fields (`runtime_mappings`): each field is an
+    `emit(<script>)` over doc values, compiled through the module's
+    Painless-lite grammar with `doc['field'].value` refs — the Kibana
+    runtime-field idiom. Rendered as ONE projection CTE the rest of
+    the statement selects from, so runtime fields work everywhere a
+    mapped field does (query, sort, aggs, _source) and Catalyst still
+    pushes filters on REAL columns below the projection."""
+    if not isinstance(rm, dict) or not rm:
+        raise ValueError(
+            "es_dsl: runtime_mappings must be a non-empty object"
+        )
+    cols = []
+    for name, spec in rm.items():
+        bad = set(spec) - {"type", "script"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported runtime field keys {sorted(bad)}"
+            )
+        rtype = spec.get("type")
+        casts = {"long": "BIGINT", "double": "DOUBLE",
+                 "boolean": "BOOLEAN"}
+        if rtype not in casts:
+            raise ValueError(
+                f"es_dsl: unsupported runtime field type {rtype!r} "
+                "(long/double/boolean — the script grammar is "
+                "numeric/boolean)"
+            )
+        src = spec.get("script")
+        src = src.get("source") if isinstance(src, dict) else src
+        m = re.fullmatch(r"\s*emit\((.*)\)\s*", str(src or ""), re.S)
+        if not m:
+            raise ValueError(
+                "es_dsl: runtime field scripts must be emit(<expr>) "
+                f"(got {src!r})"
+            )
+        expr = _compile_script(
+            m.group(1), {}, f"runtime field {name}", allow_doc_fields=True
+        )
+        cols.append(f"cast({expr} AS {casts[rtype]}) AS {_ident(name)}")
+    return (
+        f"{_ident(index)}_rt AS (\n"
+        f"  SELECT *, {', '.join(cols)}\n"
+        f"  FROM {_ident(index)}\n)"
+    )
+
+
 def compile_search(
     index: str, body: dict, dialect: str, id_field: str = "doc_id"
 ) -> str:
@@ -957,6 +1004,16 @@ def compile_search(
     from) to one SQL statement over table ``index``."""
     if dialect not in ("spark", "duck"):
         raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
+    if "runtime_mappings" in body:
+        rm = body["runtime_mappings"]
+        rest = {k: v for k, v in body.items() if k != "runtime_mappings"}
+        cte = _runtime_mappings_cte(index, rm, dialect)
+        inner = compile_search(f"{index}_rt", rest, dialect, id_field)
+        stripped = inner.lstrip()
+        if stripped.startswith("WITH "):
+            # merge into one top-level WITH list
+            return f"WITH {cte},\n{stripped[len('WITH '):]}"
+        return f"WITH {cte}\n{inner}"
     known = {"query", "_source", "sort", "size", "from", "aggs", "knn",
              "collapse", "search_after", "highlight"}
     bad = set(body) - known
@@ -1436,7 +1493,8 @@ def _metric_cols(name: str, kind: str, m: dict, dialect: str) -> list[str]:
 
 
 _BUCKETS = {"terms", "date_histogram", "histogram", "range"}
-_PIPELINE = {"cumulative_sum", "derivative", "serial_diff", "moving_fn"}
+_PIPELINE = {"cumulative_sum", "derivative", "serial_diff", "moving_fn",
+             "moving_percentiles"}
 _SIBLING_PIPELINE = {"avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
                      "stats_bucket", "percentiles_bucket"}
 # sibling pipelines that render as MULTIPLE columns — not addressable
@@ -2177,7 +2235,8 @@ GROUP BY {key_expr}{having}"""
     # agg); multi-column siblings are not addressable
     avail = (
         simple
-        | {n for n, _ in pipelines}
+        | {n for n, sp in pipelines
+           if next(iter(sp)) != "moving_percentiles"}  # multi-column
         | {n for n, sp in siblings.items()
            if next(iter(sp)) not in _MULTI_COLUMN_SIBLINGS}
     )
@@ -2381,6 +2440,48 @@ def _wrap_pipelines(
                 f"{path} - lag({path}, {lag}) OVER (ORDER BY {key} ASC)"
                 f" AS {n}"
             )
+        elif pkind == "moving_percentiles":
+            # exact interpolated quantiles over a sliding bucket frame
+            # (ES's is TDigest-approximate) — the moving_fn frame
+            # semantics, the percentiles naming/DECIMAL discipline
+            bad = set(p) - {"buckets_path", "window", "shift", "percents"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported moving_percentiles keys "
+                    f"{sorted(bad)}"
+                )
+            w = int(p.get("window", 0))
+            if w < 1:
+                raise ValueError(
+                    "es_dsl: moving_percentiles window must be >= 1"
+                )
+            shift = int(p.get("shift", 0))
+            if shift == 0:
+                frame = f"ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING"
+            elif shift == 1:
+                frame = f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW"
+            else:
+                raise ValueError(
+                    f"es_dsl: unsupported moving_percentiles shift "
+                    f"{shift} (0 = exclude current bucket, 1 = include)"
+                )
+            percents = p.get("percents", [1, 5, 25, 50, 75, 95, 99])
+            if not isinstance(percents, list) or not percents or not all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                and 0 <= x <= 100 for x in percents
+            ):
+                raise ValueError(
+                    "es_dsl: percents must be numbers in [0, 100]"
+                )
+            over = f"OVER (ORDER BY {key} ASC {frame})"
+            pfn = "percentile" if dialect == "spark" else "quantile_cont"
+            for pc in percents:
+                q = repr(pc / 100.0)
+                label = (f"{pc:g}").replace(".", "_").replace("-", "m")
+                cols.append(
+                    f"cast(cast({pfn}({path}, {q}) {over}"
+                    f" AS DECIMAL(18, 6)) AS DOUBLE) AS {n}_p{label}"
+                )
         else:  # moving_fn
             bad = set(p) - {"buckets_path", "window", "script", "shift"}
             if bad:
@@ -2537,12 +2638,14 @@ ORDER BY {key} ASC
 # --- row-local pipeline aggs: bucket_script / bucket_selector ----------------
 
 _SCRIPT_TOKEN = re.compile(
-    r"\s*(params\.[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+"
+    r"\s*(doc\['[A-Za-z_][A-Za-z0-9_]*'\]\.value"
+    r"|params\.[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+"
     r"|&&|\|\||==|!=|>=|<=|[-+*/()><!])"
 )
 
 
-def _compile_script(script, params: dict[str, str], what: str) -> str:
+def _compile_script(script, params: dict[str, str], what: str,
+                    allow_doc_fields: bool = False) -> str:
     """Translate the Painless-lite expression grammar real
     bucket_script/bucket_selector bodies use — `params.x` refs, numeric
     literals, + - * / arithmetic, comparisons, && || !, parentheses —
@@ -2593,6 +2696,13 @@ def _compile_script(script, params: dict[str, str], what: str) -> str:
             take()
             return f"(NOT {atom()})"
         take()
+        if t.startswith("doc['"):
+            if not allow_doc_fields:
+                raise ValueError(
+                    f"es_dsl: {what} script: doc[...] refs are for "
+                    "runtime fields (bucket scripts read params.*)"
+                )
+            return _ident(t[len("doc['"):-len("'].value")])
         if t.startswith("params."):
             name = t[len("params."):]
             if name not in params:
@@ -4338,6 +4448,43 @@ def _entry(index: str, body: dict, id_field: str):
     return run
 
 
+RUNTIME_FIELDS_BODY = {
+    # Kibana runtime fields: a derived metric defined in the request,
+    # then queried, bucketed, and aggregated like a mapped field
+    "runtime_mappings": {
+        "chars_per_src": {
+            "type": "double",
+            "script": {"source": "emit(doc['n_chars'].value / 25)"},
+        },
+        "is_long": {
+            "type": "boolean",
+            "script": {"source": "emit(doc['n_chars'].value >= 300)"},
+        },
+    },
+    "query": {"range": {"chars_per_src": {"gte": 4}}},
+    "aggs": {"by_long": {
+        "terms": {"field": "is_long"},
+        "aggs": {"chars_avg": {"avg": {"field": "n_chars"}}},
+    }},
+    "size": 0,
+}
+
+MOVING_PERCENTILES_BODY = {
+    # smoothed p50/p90 of daily click value over a trailing week
+    "query": {"term": {"event_type": "click"}},
+    "aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "v": {"sum": {"field": "value"}},
+            "v_smooth": {"moving_percentiles": {
+                "buckets_path": "v", "window": 7, "shift": 1,
+                "percents": [50, 90],
+            }},
+        },
+    }},
+    "size": 0,
+}
+
 CUMULATIVE_CARDINALITY_BODY = {
     # "total unique users to date" on a daily axis — exact, where ES
     # chains HLL sketches
@@ -4851,6 +4998,18 @@ def registry() -> dict[str, dict]:
             "fn": _entry("documents", MORE_LIKE_THIS_BODY, "doc_id"),
             "oracle": compile_search(
                 "documents", MORE_LIKE_THIS_BODY, "duck"
+            ),
+        },
+        "es_dsl_runtime_fields": {
+            "fn": _entry("documents", RUNTIME_FIELDS_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", RUNTIME_FIELDS_BODY, "duck"
+            ),
+        },
+        "es_dsl_moving_percentiles": {
+            "fn": _entry("events", MOVING_PERCENTILES_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", MOVING_PERCENTILES_BODY, "duck", "event_id"
             ),
         },
     }

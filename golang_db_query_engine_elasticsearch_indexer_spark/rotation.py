@@ -24,7 +24,7 @@ that decides those 50 slots:
   re-rotation. The executed r08 window is pinned against the
   CORRECTNESS files (not this table, which rolls on) in
   tests/test_rotation_tool.py::test_r08_window_matches_executed_roll.
-- r10 (CURRENT_WINDOW below) continues steady state: the 36 net-new
+- r10 (CURRENT_WINDOW below) continues steady state: the 38 net-new
   r10 registrations lead (batch 1: es_dsl_bucket_selector /
   bucket_script — the Kibana HAVING and derived-metric pipeline
   idioms; es_dsl_match_highlight — highlight inside the _search body
@@ -63,7 +63,10 @@ that decides those 50 slots:
   deterministic; `now` pins via es_datemath.set_now); batch 12 —
   es_dsl_cumulative_cardinality (exact first-occurrence formulation
   where ES chains HLL) and es_dsl_more_like_this (in-plan rare-term
-  selection + idf-sum scoring) — each batch returning three
+  selection + idf-sum scoring); batch 13 — es_dsl_runtime_fields
+  (Kibana runtime fields: emit() scripts over doc values as one
+  projection CTE) and es_dsl_moving_percentiles (exact sliding-frame
+  quantiles) — each batch returning three
   more re-rotations to the pool (the window's whole re-rotation
   cohort shares r04 evidence, so eviction order among equals is
   immaterial))), then pure oldest-evidence
@@ -73,7 +76,7 @@ that decides those 50 slots:
   after each batch). The executed r09 window (22 net-new + 3
   re-checks + 25 re-rotations) is pinned against CORRECTNESS_r09.json
   in tests/test_rotation_tool.py::test_r09_window_matches_executed_roll.
-  With a 322-entry registry and a 50-slot window, steady-state
+  With a 324-entry registry and a 50-slot window, steady-state
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
@@ -203,6 +206,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_match_scored': (9, 'unclassified', None),
     'es_dsl_multi_match': (9, 'unclassified', None),
     'es_dsl_more_like_this': (None, 'unclassified', 'r10'),
+    'es_dsl_moving_percentiles': (None, 'unclassified', 'r10'),
     'es_dsl_multi_terms': (None, 'unclassified', 'r10'),
     'es_dsl_normalize': (None, 'unclassified', 'r10'),
     'es_dsl_percentiles_bucket': (None, 'unclassified', 'r10'),
@@ -216,6 +220,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_query_string': (None, 'unclassified', 'r10'),
     'es_dsl_rare_terms': (None, 'unclassified', 'r10'),
     'es_dsl_rate': (None, 'unclassified', 'r10'),
+    'es_dsl_runtime_fields': (None, 'unclassified', 'r10'),
     'es_dsl_sampler': (None, 'unclassified', 'r10'),
     'es_dsl_diversified_sampler': (None, 'unclassified', 'r10'),
     'es_dsl_significant_text': (None, 'unclassified', 'r10'),
@@ -309,14 +314,14 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'orders_regression_trend': (6, 'float-stat', None),
     'orders_revenue_concentration': (7, 'integer-exact', None),
     'pack_sequences_chunked': (8, 'verified', None),
-    'pipeline_curate_corpus': (4, 'verified', 'r10'),
+    'pipeline_curate_corpus': (4, 'verified', None),
     'pipeline_curation_report': (7, 'integer-exact', None),
     'pipeline_incremental_rollup': (7, 'integer-exact', None),
     'pivot_conditional': (5, 'verified', None),
     'profile_orders': (8, 'integer-exact', None),
     'proj_distinct': (8, 'verified', None),
     'q10_returned_items': (8, 'verified', None),
-    'q11_important_values': (4, 'verified', 'r10'),
+    'q11_important_values': (4, 'verified', None),
     'q12_priority_shipping': (9, 'verified', None),
     'q13_customer_distribution': (4, 'verified', None),
     'q14_promo_revenue': (9, 'verified', None),
@@ -456,6 +461,8 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_dsl_date_math',
     'es_dsl_cumulative_cardinality',
     'es_dsl_more_like_this',
+    'es_dsl_runtime_fields',
+    'es_dsl_moving_percentiles',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
@@ -468,8 +475,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'multimodal_binary_features',
     'multimodal_frame_sample',
     'multimodal_resize_pooled',
-    'pipeline_curate_corpus',
-    'q11_important_values',
 )
 
 def scheduled(window: str) -> list[str]:

@@ -175,8 +175,11 @@ def test_terms_agg_orders_by_count_then_key(tiny):
 
 def test_unsupported_dsl_raises_loudly():
     for body, msg in [
+        # more_like_this is SUPPORTED since batch 12 — a body without
+        # a like clause still fails loudly, just deeper in
         ({"query": {"more_like_this": {"fields": ["text"]}}},
-         "unsupported query clause"),
+         "free text or"),
+        ({"query": {"span_near": {}}}, "unsupported query clause"),
         ({"query": {"bool": {"boost": 2}}}, "unsupported bool keys"),
         ({"query": {"match": {"text": "  "}}}, "empty query string"),
         ({"suggest": {}}, "unsupported body keys"),
@@ -295,7 +298,7 @@ def test_es_search_gateway_api(spark, tables, sf_dir):
     with pytest.raises(ParamsNullError):
         es_search_df(spark, "documents", None)
     with pytest.raises(ValueError, match="unsupported query clause"):
-        es_search_df(spark, "documents", {"query": {"more_like_this": {}}})
+        es_search_df(spark, "documents", {"query": {"span_near": {}}})
 
 
 def test_nested_terms_bucket_semantics(tiny):
@@ -1076,7 +1079,7 @@ def test_es_msearch_gateway(spark, tables, sf_dir):
     with pytest.raises(ValueError, match="unsupported query clause"):
         es_msearch(spark, [
             ("documents", {"query": {"term": {"lang": "en"}}}),
-            ("documents", {"query": {"more_like_this": {}}}),
+            ("documents", {"query": {"span_near": {}}}),
         ])
     with pytest.raises(ParamsNullError):
         es_msearch(spark, [("documents", None)])
@@ -2644,3 +2647,83 @@ def test_more_like_this_rejections(tiny):
         compile_search("docs", {"query": {"more_like_this": {
             "fields": ["text"], "like": "x",
             "minimum_should_match": "30%%"}}}, "duck")
+
+
+# --- batch 13: runtime_mappings / moving_percentiles --------------------------
+
+
+def test_runtime_fields_everywhere(tiny):
+    tiny.execute("""
+        CREATE TABLE rt AS SELECT * FROM (VALUES
+          (1, 100, 4), (2, 300, 2), (3, 250, 5), (4, 90, 1)
+        ) AS t(doc_id, n_chars, pages)
+    """)
+    body = {
+        "runtime_mappings": {
+            "cpp": {"type": "double", "script": {
+                "source": "emit(doc['n_chars'].value / doc['pages'].value)"}},
+        },
+        "query": {"range": {"cpp": {"gte": 50}}},
+        "sort": [{"cpp": "desc"}],
+        "size": 10,
+        "_source": ["doc_id", "cpp"],
+    }
+    rows = tiny.execute(compile_search("rt", body, "duck")).fetchall()
+    # chars/page: 25, 150, 50, 90 -> filtered + ranked
+    assert rows == [(2, 150.0), (4, 90.0), (3, 50.0)]
+    # runtime field as a bucket key
+    agg = {
+        "runtime_mappings": {"is_long": {"type": "boolean", "script": {
+            "source": "emit(doc['n_chars'].value >= 200)"}}},
+        "aggs": {"by": {"terms": {"field": "is_long"},
+                 "aggs": {"p": {"avg": {"field": "pages"}}}}},
+        "size": 0,
+    }
+    rows2 = tiny.execute(compile_search("rt", agg, "duck")).fetchall()
+    assert dict((r[0], r[2]) for r in rows2) == {False: 2.5, True: 3.5}
+
+
+def test_runtime_fields_rejections(tiny):
+    with pytest.raises(ValueError, match="emit"):
+        compile_search("docs", {"runtime_mappings": {"x": {
+            "type": "double", "script": {"source": "doc['n'].value"}}},
+            "size": 0, "aggs": {"a": {"terms": {"field": "x"}}}}, "duck")
+    with pytest.raises(ValueError, match="unsupported runtime field type"):
+        compile_search("docs", {"runtime_mappings": {"x": {
+            "type": "keyword",
+            "script": {"source": "emit(doc['n'].value)"}}},
+            "size": 0, "aggs": {"a": {"terms": {"field": "x"}}}}, "duck")
+    # doc[...] refs stay OUT of bucket scripts
+    with pytest.raises(ValueError, match="doc\\[\\.\\.\\.\\] refs"):
+        compile_search("docs", {"aggs": {"x": {
+            "terms": {"field": "lang"},
+            "aggs": {"s": {"bucket_script": {
+                "buckets_path": {"c": "_count"},
+                "script": "doc['n'].value * params.c"}}}}},
+            "size": 0}, "duck")
+
+
+def test_moving_percentiles_sliding_frame(tiny_val):
+    b = {"aggs": {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {"v": {"sum": {"field": "value"}},
+                 "mp": {"moving_percentiles": {
+                     "buckets_path": "v", "window": 3, "shift": 1,
+                     "percents": [50]}}}}}, "size": 0}
+    rows = tiny_val.execute(
+        compile_aggs("ev", b, "duck", "event_id")).fetchall()
+    # daily sums 10,20,30,40,50 (gappy axis, existing buckets only);
+    # trailing-3 medians: 10, 15, 20, 30, 40
+    assert [r[-1] for r in rows] == [10.0, 15.0, 20.0, 30.0, 40.0]
+    # multi-column: not addressable as a selector/sort target
+    with pytest.raises(ValueError, match="names no single-value"):
+        compile_aggs("ev", {"aggs": {"daily": {
+            "date_histogram": {"field": "ts",
+                               "calendar_interval": "day"},
+            "aggs": {"v": {"sum": {"field": "value"}},
+                     "mp": {"moving_percentiles": {
+                         "buckets_path": "v", "window": 3}},
+                     "sel": {"bucket_selector": {
+                         "buckets_path": {"m": "mp"},
+                         "script": "params.m > 1"}}}}}, "size": 0},
+            "duck", "event_id")
