@@ -398,6 +398,25 @@ def create_app(
                                          scroll_id=sid,
                                          max_rows=max_rows)), 200
 
+    @app.post("/<index>/_explain/<doc_id>")
+    def es_explain_route(index: str, doc_id: str):
+        _attach_if_named()
+        return jsonify(gateway.es_explain(
+            _spark(), index, doc_id, _es_body(),
+            id_field=request.args.get("id_field"),
+        )), 200
+
+    @app.get("/_cat/count")
+    @app.get("/_cat/count/<index>")
+    def es_cat_count_route(index: str | None = None):
+        _attach_if_named()
+        return jsonify(gateway.cat_count(_spark(), index)), 200
+
+    @app.get("/_cat/health")
+    def es_cat_health_route():
+        _attach_if_named()
+        return jsonify(gateway.cat_health(_spark())), 200
+
     @app.post("/<index>/_validate/query")
     def es_validate_query_route(index: str):
         _attach_if_named()

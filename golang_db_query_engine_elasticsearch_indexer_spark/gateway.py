@@ -686,3 +686,81 @@ def es_scroll(
             ],
         },
     }
+
+
+# --- _explain / _cat/count / _cat/health -------------------------------------
+
+
+def es_explain(spark: SparkSession, index: str, doc_id, body: dict,
+               id_field: str | None = None) -> dict:
+    """`POST /{index}/_explain/{id}` parity: does THIS document match
+    the query — one point lookup (id predicate pushed to the scan)
+    under the compiled filter-context membership expression. The
+    explanation carries the compiled SQL predicate instead of a Lucene
+    score tree (this engine's honest equivalent); scored-only kinds
+    (more_like_this, knn, pinned) raise — membership is the question
+    _explain answers here."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        _query_expr,
+    )
+
+    if index is None or doc_id is None:
+        raise ParamsNullError()
+    q = (body or {}).get("query", {"match_all": {}})
+    try:
+        pred = _query_expr(q, "spark", id_field or "doc_id")
+    except ValueError as exc:
+        raise SqlSyntaxError(str(exc))
+    df = spark.table(index)
+    idc = id_field or df.columns[0]
+    key = int(doc_id) if str(doc_id).lstrip("-").isdigit() else str(doc_id)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    hit = (
+        df.filter(F.col(idc) == key)
+        .filter(F.expr(f"coalesce({pred}, FALSE)"))
+        .limit(1)
+        .count()
+    )
+    exists = hit or df.filter(F.col(idc) == key).limit(1).count()
+    return {
+        "_index": index,
+        "_id": str(doc_id),
+        "matched": bool(hit),
+        "explanation": {
+            "description": (
+                f"membership of compiled predicate: {pred}"
+                if exists else "document does not exist"
+            ),
+        },
+    }
+
+
+def cat_count(spark: SparkSession, index: str | None = None) -> dict:
+    """`GET /_cat/count[/{index}]?format=json` parity: one total doc
+    count — one metadata-only aggregate per table."""
+    if index is not None:
+        if not spark.catalog.tableExists(index):
+            raise ParamsNullError()
+        n = spark.table(index).count()
+    else:
+        n = sum(
+            int(r["docs_count"]) for r in cat_indices_df(spark).collect()
+        )
+    return {"count": str(n)}
+
+
+def cat_health(spark: SparkSession) -> dict:
+    """`GET /_cat/health?format=json` parity: the constant-green
+    single-node shape (this engine has no shard states), with the
+    index count as the one live datum."""
+    n = len(cat_indices_df(spark).collect())
+    return {
+        "status": "green",
+        "node.total": "1",
+        "shards": str(n),
+        "pri": str(n),
+        "relo": "0",
+        "init": "0",
+        "unassign": "0",
+    }

@@ -299,6 +299,50 @@ def _query_expr(q: dict, dialect: str, id_field: str) -> str:
         )
         needle = " ".join(toks)
         return f"{joined} LIKE '%{_like_escape(' ' + needle + ' ')}%' ESCAPE '!'"
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: every analyzed term is a term match,
+        # the LAST is a token prefix; operator or (default) = any
+        # clause matches, and = all must. Unlike match_phrase_prefix,
+        # no adjacency — the "search-as-you-type over bags of words"
+        # query.
+        f, v = _one(body, "match_bool_prefix")
+        op = "or"
+        if isinstance(v, dict):
+            bad = set(v) - {"query", "operator"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported match_bool_prefix keys "
+                    f"{sorted(bad)}"
+                )
+            op = v.get("operator", "or")
+            if op not in ("or", "and"):
+                raise ValueError(
+                    f"es_dsl: bad match_bool_prefix operator {op!r}"
+                )
+            v = v["query"]
+        toks = _analyze(v)
+        if not toks:
+            raise ValueError(
+                "es_dsl: match_bool_prefix with an empty query string"
+            )
+        te = _tokens_expr(_ident(f), dialect)
+        *full, last = toks
+        clauses = []
+        for t in full:
+            lit = _lit(t, dialect)
+            clauses.append(
+                f"array_contains({te}, {lit})" if dialect == "spark"
+                else f"list_contains({te}, {lit})"
+            )
+        pat = f"{_like_escape(last)}%"
+        clauses.append(
+            f"exists({te}, t -> t LIKE '{pat}' ESCAPE '!')"
+            if dialect == "spark"
+            else f"len(list_filter({te}, t -> t LIKE '{pat}'"
+                 " ESCAPE '!')) > 0"
+        )
+        glue = " AND " if op == "and" else " OR "
+        return "(" + glue.join(clauses) + ")"
     if kind == "regexp":
         # Lucene regexp is FULL-match on the field value (the keyword-
         # field idiom, like terms include/exclude); Spark rlike is
@@ -781,6 +825,70 @@ ORDER BY k._score DESC, k._id ASC
 """
 
 
+def _compile_pinned(index: str, body: dict, dialect: str,
+                    id_field: str) -> str:
+    """ES `pinned` query: promoted ids first, in their given order,
+    then the organic hits (minus the pinned ones) by score — the
+    commerce "sponsored results" idiom. Pinned rows take synthetic
+    scores 1e9 - position (ES uses its own huge constant; documented),
+    so one `_score DESC` order serves both tiers. The id list is a
+    compile-time CASE — no extra relation; the organic query compiles
+    as a normal scored search inside a CTE. Requires an explicit
+    `_source` list containing the id field (the union needs the id
+    column on both sides)."""
+    spec = body["query"]["pinned"]
+    bad = set(spec) - {"ids", "organic"}
+    if bad:
+        raise ValueError(f"es_dsl: unsupported pinned keys {sorted(bad)}")
+    ids = spec.get("ids")
+    if not isinstance(ids, list) or not ids or len(ids) > 100:
+        raise ValueError(
+            "es_dsl: pinned wants 1..100 ids"
+        )
+    organic = spec.get("organic")
+    okind, _ = _one(organic or {}, "pinned organic")
+    if okind not in ("match", "multi_match"):
+        raise ValueError(
+            "es_dsl: pinned organic must be a match/multi_match query"
+        )
+    cols = _source_cols(body, "pinned hits")
+    if not cols or id_field not in cols:
+        raise ValueError(
+            "es_dsl: pinned requires an explicit _source list "
+            f"containing the id field {id_field!r}"
+        )
+    if set(body) - {"query", "_source", "size", "from"}:
+        raise ValueError(
+            "es_dsl: pinned combines only with _source/size/from"
+        )
+    if "from" in body:
+        raise ValueError("es_dsl: pinned with from is unsupported")
+    size = int(body.get("size", 10))
+    organic_sql = compile_search(
+        index, {**{k: v for k, v in body.items() if k != "query"},
+                "query": organic},
+        dialect, id_field,
+    )
+    in_list = ", ".join(_lit(i, dialect) for i in ids)
+    whens = " ".join(
+        f"WHEN {_lit(i, dialect)} THEN {pos}" for pos, i in enumerate(ids)
+    )
+    sel = ", ".join(_ident(c) for c in cols)
+    return f"""
+WITH org AS (
+{organic_sql}
+)
+SELECT {sel}, cast(1000000000 - CASE {id_field} {whens} END AS DOUBLE)
+       AS _score
+FROM {_ident(index)}
+WHERE {id_field} IN ({in_list})
+UNION ALL
+SELECT {sel}, _score FROM org WHERE {id_field} NOT IN ({in_list})
+ORDER BY _score DESC, {id_field} ASC
+LIMIT {size}
+"""
+
+
 def _compile_mlt(index: str, body: dict, dialect: str,
                  id_field: str) -> str:
     """ES `more_like_this`, fully relational — no driver round-trip to
@@ -1096,6 +1204,12 @@ def compile_search(
                 "(no field sorts)"
             )
         return _compile_mlt(index, body, dialect, id_field)
+    if qkind == "pinned":
+        if field_sorts:
+            raise ValueError(
+                "es_dsl: pinned is scored context only (no field sorts)"
+            )
+        return _compile_pinned(index, body, dialect, id_field)
     if qkind in ("match", "multi_match") and not field_sorts:
         # ES query context: bare full-text query, no field sort ->
         # BM25-scored, _score-ordered hits (the ES default experience)
@@ -4448,6 +4562,26 @@ def _entry(index: str, body: dict, id_field: str):
     return run
 
 
+MATCH_BOOL_PREFIX_BODY = {
+    # search-as-you-type: full terms + a trailing prefix, no adjacency
+    "query": {"match_bool_prefix": {"text": {
+        "query": "table sca", "operator": "and",
+    }}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 200,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
+PINNED_BODY = {
+    # sponsored results: three promoted ids, organic BM25 below
+    "query": {"pinned": {
+        "ids": [42, 7, 300],
+        "organic": {"match": {"text": "vector scan"}},
+    }},
+    "_source": ["doc_id", "lang"],
+    "size": 25,
+}
+
 RUNTIME_FIELDS_BODY = {
     # Kibana runtime fields: a derived metric defined in the request,
     # then queried, bucketed, and aggregated like a mapped field
@@ -4999,6 +5133,16 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "documents", MORE_LIKE_THIS_BODY, "duck"
             ),
+        },
+        "es_dsl_match_bool_prefix": {
+            "fn": _entry("documents", MATCH_BOOL_PREFIX_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", MATCH_BOOL_PREFIX_BODY, "duck"
+            ),
+        },
+        "es_dsl_pinned": {
+            "fn": _entry("documents", PINNED_BODY, "doc_id"),
+            "oracle": compile_search("documents", PINNED_BODY, "duck"),
         },
         "es_dsl_runtime_fields": {
             "fn": _entry("documents", RUNTIME_FIELDS_BODY, "doc_id"),

@@ -24,7 +24,7 @@ that decides those 50 slots:
   re-rotation. The executed r08 window is pinned against the
   CORRECTNESS files (not this table, which rolls on) in
   tests/test_rotation_tool.py::test_r08_window_matches_executed_roll.
-- r10 (CURRENT_WINDOW below) continues steady state: the 38 net-new
+- r10 (CURRENT_WINDOW below) continues steady state: the 40 net-new
   r10 registrations lead (batch 1: es_dsl_bucket_selector /
   bucket_script — the Kibana HAVING and derived-metric pipeline
   idioms; es_dsl_match_highlight — highlight inside the _search body
@@ -66,7 +66,9 @@ that decides those 50 slots:
   selection + idf-sum scoring); batch 13 — es_dsl_runtime_fields
   (Kibana runtime fields: emit() scripts over doc values as one
   projection CTE) and es_dsl_moving_percentiles (exact sliding-frame
-  quantiles) — each batch returning three
+  quantiles); batch 14 — es_dsl_match_bool_prefix (search-as-you-type)
+  and es_dsl_pinned (promoted ids over organic BM25), plus the
+  _explain / _cat/count / _cat/health HTTP verbs — each batch returning three
   more re-rotations to the pool (the window's whole re-rotation
   cohort shares r04 evidence, so eviction order among equals is
   immaterial))), then pure oldest-evidence
@@ -76,7 +78,7 @@ that decides those 50 slots:
   after each batch). The executed r09 window (22 net-new + 3
   re-checks + 25 re-rotations) is pinned against CORRECTNESS_r09.json
   in tests/test_rotation_tool.py::test_r09_window_matches_executed_roll.
-  With a 324-entry registry and a 50-slot window, steady-state
+  With a 326-entry registry and a 50-slot window, steady-state
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
@@ -201,6 +203,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_knn': (8, 'unclassified', None),
     'es_dsl_match_and_scored': (9, 'unclassified', None),
     'es_dsl_mad': (None, 'unclassified', 'r10'),
+    'es_dsl_match_bool_prefix': (None, 'unclassified', 'r10'),
     'es_dsl_match_highlight': (None, 'unclassified', 'r10'),
     'es_dsl_match_phrase_prefix': (9, 'unclassified', None),
     'es_dsl_match_scored': (9, 'unclassified', None),
@@ -210,6 +213,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_multi_terms': (None, 'unclassified', 'r10'),
     'es_dsl_normalize': (None, 'unclassified', 'r10'),
     'es_dsl_percentiles_bucket': (None, 'unclassified', 'r10'),
+    'es_dsl_pinned': (None, 'unclassified', 'r10'),
     'es_dsl_nested_agg': (9, 'unclassified', None),
     'es_dsl_nested_three_levels': (9, 'unclassified', None),
     'es_dsl_percentile_ranks_wavg': (9, 'unclassified', None),
@@ -302,11 +306,11 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'multimodal_decode_png': (8, 'unclassified', None),
     'multimodal_decode_tiff': (8, 'unclassified', None),
     'multimodal_docx_extract_text': (8, 'unclassified', None),
-    'multimodal_frame_sample': (4, 'verified', 'r10'),
+    'multimodal_frame_sample': (4, 'verified', None),
     'multimodal_gif_frames': (8, 'unclassified', None),
     'multimodal_html_extract_text': (8, 'unclassified', None),
     'multimodal_pdf_extract_text': (8, 'unclassified', None),
-    'multimodal_resize_pooled': (4, 'verified', 'r10'),
+    'multimodal_resize_pooled': (4, 'verified', None),
     'multimodal_xlsx_extract_cells': (8, 'unclassified', None),
     'orders_benford_digits': (7, 'integer-exact', None),
     'orders_monthly_yoy': (7, 'integer-exact', None),
@@ -463,6 +467,8 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_dsl_more_like_this',
     'es_dsl_runtime_fields',
     'es_dsl_moving_percentiles',
+    'es_dsl_match_bool_prefix',
+    'es_dsl_pinned',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
@@ -473,8 +479,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'events_funnel',
     'events_sessionization',
     'multimodal_binary_features',
-    'multimodal_frame_sample',
-    'multimodal_resize_pooled',
 )
 
 def scheduled(window: str) -> list[str]:

@@ -642,3 +642,48 @@ def test_es_scroll_routes_paginate_exactly(client):
     assert client.post(
         "/documents/_search?scroll=1m&id_field=doc_id", json=nosrc
     ).status_code == 400
+
+
+def test_es_explain_route(client):
+    body = {"query": {"term": {"lang": "en"}}}
+    # find one en and one non-en doc id
+    r = client.post("/documents/_search",
+                    json={"query": {"term": {"lang": "en"}},
+                          "sort": [{"doc_id": "asc"}], "size": 1,
+                          "_source": ["doc_id"]})
+    en_id = json.loads(r.data)["data"][0]["doc_id"]
+    r = client.post("/documents/_search",
+                    json={"query": {"term": {"lang": "de"}},
+                          "sort": [{"doc_id": "asc"}], "size": 1,
+                          "_source": ["doc_id"]})
+    de_id = json.loads(r.data)["data"][0]["doc_id"]
+    hit = json.loads(client.post(
+        f"/documents/_explain/{en_id}?id_field=doc_id",
+        json=body).data)
+    miss = json.loads(client.post(
+        f"/documents/_explain/{de_id}?id_field=doc_id",
+        json=body).data)
+    ghost = json.loads(client.post(
+        "/documents/_explain/99999999?id_field=doc_id",
+        json=body).data)
+    assert hit["matched"] is True
+    assert miss["matched"] is False
+    assert "compiled predicate" in miss["explanation"]["description"]
+    assert ghost["matched"] is False
+    assert ghost["explanation"]["description"] == "document does not exist"
+    # scored-only kinds are client errors, not silent memberships
+    assert client.post(
+        f"/documents/_explain/{en_id}?id_field=doc_id",
+        json={"query": {"more_like_this": {"fields": ["text"],
+                                           "like": "x"}}},
+    ).status_code == 400
+
+
+def test_es_cat_count_and_health_routes(client):
+    total = json.loads(client.get("/_cat/count").data)
+    one = json.loads(client.get("/_cat/count/region").data)
+    assert one == {"count": "5"}
+    assert int(total["count"]) > 5
+    h = json.loads(client.get("/_cat/health").data)
+    assert h["status"] == "green" and h["node.total"] == "1"
+    assert client.get("/_cat/count/nope").status_code == 400

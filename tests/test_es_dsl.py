@@ -2727,3 +2727,46 @@ def test_moving_percentiles_sliding_frame(tiny_val):
                          "buckets_path": {"m": "mp"},
                          "script": "params.m > 1"}}}}}, "size": 0},
             "duck", "event_id")
+
+
+# --- batch 14: match_bool_prefix / pinned --------------------------------------
+
+
+def test_match_bool_prefix_terms_plus_prefix(tiny):
+    # "delta ep": term delta AND token-prefix ep — no adjacency needed
+    b = {"query": {"match_bool_prefix": {"text": {
+        "query": "delta ep", "operator": "and"}}},
+        "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, _search(b)) == [3]
+    # default operator or: any clause
+    b2 = {"query": {"match_bool_prefix": {"text": "delta ep"}},
+          "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, _search(b2)) == [2, 3, 7]
+
+
+def test_pinned_promotes_then_organic(tiny):
+    p = {"query": {"pinned": {
+        "ids": [6, 4], "organic": {"match": {"text": "beta"}}}},
+        "_source": ["doc_id"], "size": 10}
+    rows = tiny.execute(_search(p)).fetchall()
+    # pinned in given order (synthetic 1e9-position scores), then
+    # organic BM25 hits excluding the pinned ones
+    assert [r[0] for r in rows][:2] == [6, 4]
+    assert rows[0][1] == 1000000000.0 and rows[1][1] == 999999999.0
+    organic = [r[0] for r in rows[2:]]
+    assert 4 not in organic and 6 not in organic and organic
+
+
+def test_pinned_rejections(tiny):
+    with pytest.raises(ValueError, match="containing the id field"):
+        _search({"query": {"pinned": {
+            "ids": [1], "organic": {"match": {"text": "beta"}}}},
+            "_source": ["text"], "size": 5})
+    with pytest.raises(ValueError, match="match/multi_match"):
+        _search({"query": {"pinned": {
+            "ids": [1], "organic": {"term": {"lang": "en"}}}},
+            "_source": ["doc_id"], "size": 5})
+    with pytest.raises(ValueError, match="scored context only"):
+        _search({"query": {"pinned": {
+            "ids": [1], "organic": {"match": {"text": "beta"}}}},
+            "_source": ["doc_id"], "sort": [{"doc_id": "asc"}]})
