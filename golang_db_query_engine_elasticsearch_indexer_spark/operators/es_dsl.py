@@ -1122,6 +1122,40 @@ def compile_search(
             # merge into one top-level WITH list
             return f"WITH {cte},\n{stripped[len('WITH '):]}"
         return f"WITH {cte}\n{inner}"
+    if "track_total_hits" in body:
+        # accepted and ignored: the knob trades total-count accuracy
+        # for speed in ES; this engine's counts are exact either way
+        if not isinstance(body["track_total_hits"], (bool, int)):
+            raise ValueError("es_dsl: bad track_total_hits value")
+        body = {k: v for k, v in body.items() if k != "track_total_hits"}
+    if "fields" in body:
+        # the modern projection API: plain field names (or the
+        # {"field": name} object form); relationally identical to a
+        # _source list here — one analysis model, no doc-vs-source
+        # split. Wildcards/format raise; combining with _source raises
+        # (ES merges two response sections this engine doesn't have).
+        if "_source" in body:
+            raise ValueError(
+                "es_dsl: fields and _source together are unsupported "
+                "(one projection per body)"
+            )
+        names = []
+        for x in body["fields"]:
+            if isinstance(x, dict):
+                if set(x) != {"field"}:
+                    raise ValueError(
+                        f"es_dsl: unsupported fields entry {x!r} "
+                        "(format is unsupported)"
+                    )
+                x = x["field"]
+            if not isinstance(x, str) or "*" in x:
+                raise ValueError(
+                    f"es_dsl: unsupported fields entry {x!r} "
+                    "(wildcards are unsupported)"
+                )
+            names.append(x)
+        body = {**{k: v for k, v in body.items() if k != "fields"},
+                "_source": names}
     known = {"query", "_source", "sort", "size", "from", "aggs", "knn",
              "collapse", "search_after", "highlight"}
     bad = set(body) - known
@@ -1634,10 +1668,64 @@ def _metric_list(
         if mkind == "top_metrics":
             out += _top_metrics_cols(_ident(sub_name), m, dialect, id_field)
             continue
+        if mkind == "t_test":
+            out += _t_test_cols(_ident(sub_name), m, dialect, id_field)
+            continue
         if mkind not in _METRICS:
             raise ValueError(f"es_dsl: unsupported sub-agg {mkind!r}")
         out += _metric_cols(_ident(sub_name), mkind, m, dialect)
     return out
+
+
+def _t_test_cols(name: str, m: dict, dialect: str,
+                 id_field: str) -> list[str]:
+    """ES `t_test` (the A/B-comparison metric), Welch heteroscedastic
+    form: each population is a filtered side of ONE scan (conditional
+    aggregates — no second pass), sample variances via the
+    extended_stats DECIMAL discipline. Emits `{name}_t_statistic` —
+    the p-value ES reports needs the t-distribution CDF, which neither
+    SQL dialect has; the STATISTIC column is the honest relational
+    equivalent, and the schema makes the difference visible (the
+    string_stats-entropy precedent). Paired and homoscedastic types
+    raise."""
+    bad = set(m) - {"a", "b", "type"}
+    if bad:
+        raise ValueError(f"es_dsl: unsupported t_test keys {sorted(bad)}")
+    if m.get("type", "heteroscedastic") != "heteroscedastic":
+        raise ValueError(
+            "es_dsl: t_test supports type heteroscedastic (Welch) only"
+        )
+    sides = []
+    for side in ("a", "b"):
+        spec = m.get(side)
+        if not isinstance(spec, dict) or "field" not in spec or (
+            set(spec) - {"field", "filter"}
+        ):
+            raise ValueError(
+                f"es_dsl: t_test {side} wants {{field, filter?}}"
+            )
+        f = _ident(spec["field"])
+        cond = (
+            f"coalesce({_query_expr(spec['filter'], dialect, id_field)}"
+            ", FALSE)"
+            if "filter" in spec else "TRUE"
+        )
+        n = f"sum(CASE WHEN {cond} AND {f} IS NOT NULL THEN 1 ELSE 0 END)"
+        s = (
+            f"cast(sum(CASE WHEN {cond} THEN cast({f} AS {_DEC}) END)"
+            " AS DOUBLE)"
+        )
+        sq = (
+            f"cast(round(sum(CASE WHEN {cond} THEN"
+            f" cast({f} AS DECIMAL(18, 6))"
+            f" * cast({f} AS DECIMAL(18, 6)) END), 4) AS DOUBLE)"
+        )
+        mean = f"({s} / {n})"
+        var = f"(({sq} - {s} * {s} / {n}) / ({n} - 1))"
+        sides.append((n, mean, var))
+    (na, ma, va), (nb, mb, vb) = sides
+    t = f"({ma} - {mb}) / sqrt({va} / {na} + {vb} / {nb})"
+    return [f"round({t}, 4) AS {name}_t_statistic"]
 
 
 def _top_metrics_cols(
@@ -2329,14 +2417,21 @@ ORDER BY {order_expr} ASC
     having = f"\nHAVING count(*) >= {mdc}" if mdc > 1 else ""
     if "min_doc_count" in b and mdc == 0:
         # the EXPLICIT Kibana default: a zero-filled bucket axis
-        if kind != "date_histogram":
+        if kind == "histogram":
+            base = _zero_fill_histogram(
+                index, b, metric_specs, metrics, where, key, key_expr,
+                dialect,
+            )
+        elif kind != "date_histogram":
             raise ValueError(
                 "es_dsl: min_doc_count 0 (zero-filled axis) is "
-                "supported for date_histogram only"
+                "supported for date_histogram and histogram only"
             )
-        base = _zero_fill_date_histogram(
-            index, b, metric_specs, metrics, where, key, key_expr, dialect
-        )
+        else:
+            base = _zero_fill_date_histogram(
+                index, b, metric_specs, metrics, where, key, key_expr,
+                dialect,
+            )
     else:
         base = f"""SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
 FROM {_ident(index)}
@@ -3032,6 +3127,85 @@ _AUTO_DH_LADDER = [
 ]
 
 
+def _zero_fill_fills(metric_specs: list[tuple[str, dict]]) -> str:
+    """ES empty-bucket metric values for a zero-filled axis:
+    sum/value_count/cardinality 0, avg/min/max NULL; anything else
+    raises (multi-column metrics have no defined empty shape here)."""
+    fills = []
+    for n, sp in metric_specs:
+        mk = next(iter(sp))
+        if mk in ("value_count", "cardinality"):
+            fills.append(f"coalesce(b.{_ident(n)}, 0) AS {_ident(n)}")
+        elif mk == "sum":
+            fills.append(
+                f"coalesce(b.{_ident(n)}, cast(0 AS DOUBLE)) AS {_ident(n)}"
+            )
+        elif mk in ("avg", "min", "max"):
+            fills.append(f"b.{_ident(n)} AS {_ident(n)}")
+        else:
+            raise ValueError(
+                f"es_dsl: min_doc_count 0 with {mk} metrics is "
+                "unsupported (single-value metrics only)"
+            )
+    return "".join(",\n       " + c for c in fills)
+
+
+def _zero_fill_histogram(
+    index: str, b: dict, metric_specs: list[tuple[str, dict]],
+    metrics: str, where: str, key: str, key_expr: str, dialect: str,
+) -> str:
+    """``min_doc_count: 0`` for NUMERIC histograms — the date axis's
+    sibling: the contiguous bucket grid generated in-plan from the
+    data's bucket ordinals (integer sequence, so a fractional
+    `interval` still yields an exact axis), optionally widened by
+    numeric ``extended_bounds``. Same scale shape as the date variant:
+    axis rows = value span / interval, bounds is one aggregate row,
+    the bucket relation broadcasts into the left join."""
+    fill_cols = _zero_fill_fills(metric_specs)
+    f = _ident(b["field"])
+    step = b["interval"]
+    off = b.get("offset", 0)
+    eb = b.get("extended_bounds")
+    lo = f"cast(floor((min({f}) - {off}) / {step}) AS BIGINT)"
+    hi = f"cast(floor((max({f}) - {off}) / {step}) AS BIGINT)"
+    if eb is not None:
+        if (not isinstance(eb, dict) or set(eb) != {"min", "max"}
+                or not all(isinstance(v, (int, float))
+                           and not isinstance(v, bool)
+                           for v in eb.values())):
+            raise ValueError(
+                "es_dsl: histogram extended_bounds wants numeric "
+                "{min, max}"
+            )
+        elo = f"cast(floor(({eb['min']} - {off}) / {step}) AS BIGINT)"
+        ehi = f"cast(floor(({eb['max']} - {off}) / {step}) AS BIGINT)"
+        lo, hi = f"least({lo}, {elo})", f"greatest({hi}, {ehi})"
+    axis_key = f"cast(round(i * {step} + {off}, 4) AS DOUBLE)"
+    axis = (
+        f"SELECT {axis_key} AS {key}\n"
+        f"  FROM (SELECT explode(sequence(lo, hi, 1)) AS i FROM zf_bounds)"
+        if dialect == "spark"
+        else f"SELECT {axis_key} AS {key}\n"
+        f"  FROM (SELECT unnest(generate_series(lo, hi, 1)) AS i"
+        f" FROM zf_bounds)"
+    )
+    return f"""WITH zf_bounds AS (
+  SELECT {lo} AS lo, {hi} AS hi
+  FROM {_ident(index)} WHERE ({where}) AND {f} IS NOT NULL
+),
+zf_axis AS (
+  {axis}
+),
+zf_buckets AS (
+  SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
+  FROM {_ident(index)}
+  WHERE ({where}) AND ({key_expr}) IS NOT NULL
+  GROUP BY {key_expr}
+)
+SELECT a.{key} AS {key}, coalesce(b.doc_count, 0) AS doc_count{fill_cols}
+FROM zf_axis a LEFT JOIN zf_buckets b ON a.{key} = b.{key}"""
+
+
 def _zero_fill_date_histogram(
     index: str, b: dict, metric_specs: list[tuple[str, dict]],
     metrics: str, where: str, key: str, key_expr: str, dialect: str,
@@ -3050,23 +3224,7 @@ def _zero_fill_date_histogram(
     relation; pipeline aggs composed on top run over the FILLED axis,
     which is exactly what makes derivative/moving windows correct
     across gaps."""
-    fills = []
-    for n, sp in metric_specs:
-        mk = next(iter(sp))
-        if mk in ("value_count", "cardinality"):
-            fills.append(f"coalesce(b.{_ident(n)}, 0) AS {_ident(n)}")
-        elif mk == "sum":
-            fills.append(
-                f"coalesce(b.{_ident(n)}, cast(0 AS DOUBLE)) AS {_ident(n)}"
-            )
-        elif mk in ("avg", "min", "max"):
-            fills.append(f"b.{_ident(n)} AS {_ident(n)}")
-        else:
-            raise ValueError(
-                f"es_dsl: min_doc_count 0 with {mk} metrics is "
-                "unsupported (single-value metrics only)"
-            )
-    fill_cols = "".join(",\n       " + c for c in fills)
+    fill_cols = _zero_fill_fills(metric_specs)
     f = _ident(b["field"])
     eb = b.get("extended_bounds")
     if eb is not None and (
@@ -4562,6 +4720,37 @@ def _entry(index: str, body: dict, id_field: str):
     return run
 
 
+HISTOGRAM_ZERO_FILL_BODY = {
+    # the numeric sibling of the Kibana zero-filled date axis
+    "query": {"term": {"event_type": "click"}},
+    "aggs": {"v_hist": {
+        "histogram": {
+            "field": "value", "interval": 100, "min_doc_count": 0,
+            "extended_bounds": {"min": -200, "max": 1200},
+        },
+        "aggs": {
+            "v_sum": {"sum": {"field": "value"}},
+            "n_users": {"cardinality": {"field": "user_id"}},
+        },
+    }},
+    "size": 0,
+}
+
+T_TEST_BODY = {
+    # Welch's t over two event populations from ONE scan
+    "aggs": {"all_docs": {
+        "filter": {"match_all": {}},
+        "aggs": {"click_vs_view": {"t_test": {
+            "a": {"field": "value",
+                  "filter": {"term": {"event_type": "click"}}},
+            "b": {"field": "value",
+                  "filter": {"term": {"event_type": "view"}}},
+            "type": "heteroscedastic",
+        }}},
+    }},
+    "size": 0,
+}
+
 MATCH_BOOL_PREFIX_BODY = {
     # search-as-you-type: full terms + a trailing prefix, no adjacency
     "query": {"match_bool_prefix": {"text": {
@@ -5132,6 +5321,18 @@ def registry() -> dict[str, dict]:
             "fn": _entry("documents", MORE_LIKE_THIS_BODY, "doc_id"),
             "oracle": compile_search(
                 "documents", MORE_LIKE_THIS_BODY, "duck"
+            ),
+        },
+        "es_dsl_histogram_zero_fill": {
+            "fn": _entry("events", HISTOGRAM_ZERO_FILL_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", HISTOGRAM_ZERO_FILL_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_t_test": {
+            "fn": _entry("events", T_TEST_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", T_TEST_BODY, "duck", "event_id"
             ),
         },
         "es_dsl_match_bool_prefix": {

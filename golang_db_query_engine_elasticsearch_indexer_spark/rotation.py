@@ -24,7 +24,7 @@ that decides those 50 slots:
   re-rotation. The executed r08 window is pinned against the
   CORRECTNESS files (not this table, which rolls on) in
   tests/test_rotation_tool.py::test_r08_window_matches_executed_roll.
-- r10 (CURRENT_WINDOW below) continues steady state: the 40 net-new
+- r10 (CURRENT_WINDOW below) continues steady state: the 42 net-new
   r10 registrations lead (batch 1: es_dsl_bucket_selector /
   bucket_script — the Kibana HAVING and derived-metric pipeline
   idioms; es_dsl_match_highlight — highlight inside the _search body
@@ -68,7 +68,9 @@ that decides those 50 slots:
   projection CTE) and es_dsl_moving_percentiles (exact sliding-frame
   quantiles); batch 14 — es_dsl_match_bool_prefix (search-as-you-type)
   and es_dsl_pinned (promoted ids over organic BM25), plus the
-  _explain / _cat/count / _cat/health HTTP verbs — each batch returning three
+  _explain / _cat/count / _cat/health HTTP verbs; batch 15 —
+  es_dsl_histogram_zero_fill (the numeric sibling of the zero-filled
+  date axis) and es_dsl_t_test (Welch's statistic from one scan) — each batch returning three
   more re-rotations to the pool (the window's whole re-rotation
   cohort shares r04 evidence, so eviction order among equals is
   immaterial))), then pure oldest-evidence
@@ -78,7 +80,7 @@ that decides those 50 slots:
   after each batch). The executed r09 window (22 net-new + 3
   re-checks + 25 re-rotations) is pinned against CORRECTNESS_r09.json
   in tests/test_rotation_tool.py::test_r09_window_matches_executed_roll.
-  With a 326-entry registry and a 50-slot window, steady-state
+  With a 328-entry registry and a 50-slot window, steady-state
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
@@ -200,6 +202,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_fuzzy': (9, 'unclassified', None),
     'es_dsl_global_agg': (9, 'unclassified', None),
     'es_dsl_histogram_offset': (None, 'unclassified', 'r10'),
+    'es_dsl_histogram_zero_fill': (None, 'unclassified', 'r10'),
     'es_dsl_knn': (8, 'unclassified', None),
     'es_dsl_match_and_scored': (9, 'unclassified', None),
     'es_dsl_mad': (None, 'unclassified', 'r10'),
@@ -240,6 +243,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),
+    'es_dsl_t_test': (None, 'unclassified', 'r10'),
     'es_dsl_terms_order_metric': (9, 'unclassified', None),
     'es_dsl_top_hits': (9, 'unclassified', None),
     'es_dsl_top_metrics': (None, 'unclassified', 'r10'),
@@ -266,7 +270,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'events_rolling_active_users': (7, 'integer-exact', None),
     'events_rollup_multires': (7, 'integer-exact', None),
     'events_session_window_native': (7, 'integer-exact', None),
-    'events_sessionization': (4, 'verified', 'r10'),
+    'events_sessionization': (4, 'verified', None),
     'events_state_intervals': (7, 'integer-exact', None),
     'events_stickiness': (7, 'integer-exact', None),
     'events_survival_km': (6, 'float-stat', None),
@@ -297,7 +301,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'json_functions': (8, 'verified', None),
     'layout_zorder_orders': (7, 'integer-exact', None),
     'math_functions': (5, 'verified', None),
-    'multimodal_binary_features': (4, 'verified', 'r10'),
+    'multimodal_binary_features': (4, 'verified', None),
     'multimodal_decode_audio': (5, 'verified', None),
     'multimodal_decode_bmp': (7, 'integer-exact', None),
     'multimodal_decode_gif': (8, 'unclassified', None),
@@ -469,6 +473,8 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_dsl_moving_percentiles',
     'es_dsl_match_bool_prefix',
     'es_dsl_pinned',
+    'es_dsl_histogram_zero_fill',
+    'es_dsl_t_test',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
@@ -477,8 +483,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'embedding_label_centroids',
     'events_cohort_retention',
     'events_funnel',
-    'events_sessionization',
-    'multimodal_binary_features',
 )
 
 def scheduled(window: str) -> list[str]:

@@ -2081,9 +2081,9 @@ def test_zero_fill_extended_bounds_and_rejections(tiny_val):
     assert len(rows) == 13  # bounds only EXTEND the data span
     assert rows[0][1] == 0 and rows[-1][1] == 0
     for body, msg in [
-        ({"aggs": {"h": {"histogram": {"field": "value", "interval": 10,
-                                       "min_doc_count": 0}}}},
-         "date_histogram only"),
+        # (numeric histogram zero-fill is SUPPORTED since batch 15 —
+        # test_histogram_zero_fill_numeric_axis covers the positive
+        # path)
         ({"aggs": {"d": {
             "date_histogram": {"field": "ts", "calendar_interval": "day",
                                "min_doc_count": 0},
@@ -2770,3 +2770,110 @@ def test_pinned_rejections(tiny):
         _search({"query": {"pinned": {
             "ids": [1], "organic": {"match": {"text": "beta"}}}},
             "_source": ["doc_id"], "sort": [{"doc_id": "asc"}]})
+
+
+def test_r10_plan_shapes(spark, tables):
+    """Scale claims of the r10 batches, checked on executed plans:
+    a scroll continuation's search_after cursor prunes AT THE SCAN
+    (PushedFilters on the sort column); runtime-field statements keep
+    pushing REAL-column filters below the projection CTE; MAD's
+    bucket-median join-back broadcasts (bucket-cardinality side)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        MAD_BODY,
+        SCROLL_BODY,
+    )
+
+    # scroll page 2: the cursor appears in PushedFilters
+    page2 = {**SCROLL_BODY, "search_after": [250, 120]}
+    df = spark.sql(compile_search("documents", page2, "spark"))
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in scan
+    assert "GreaterThan(n_chars,250)" in scan.replace(" ", "")
+
+    # runtime fields: a filter on a REAL column still reaches the scan
+    body = {
+        "runtime_mappings": {"cpp": {"type": "double", "script": {
+            "source": "emit(doc['n_chars'].value / 25)"}}},
+        "query": {"bool": {"filter": [
+            {"term": {"lang": "en"}},          # real column
+            {"range": {"cpp": {"gte": 4}}},    # runtime column
+        ]}},
+        "sort": [{"doc_id": "asc"}], "size": 5,
+        "_source": ["doc_id", "cpp"],
+    }
+    df = spark.sql(compile_search("documents", body, "spark"))
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(lang,en)" in scan.replace(" ", "")
+
+    # MAD: the med relation joins back as a broadcast
+    df = spark.sql(compile_search("documents", MAD_BODY, "spark"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# --- batch 15: numeric zero-fill / t_test / fields ----------------------------
+
+
+def test_histogram_zero_fill_numeric_axis(tiny):
+    tiny.execute("""
+        CREATE TABLE hv AS SELECT * FROM (VALUES
+          (1, 5.0), (2, 7.0), (3, 31.0), (4, 33.0), (5, 34.0)
+        ) AS t(doc_id, v)
+    """)
+    b = {"aggs": {"h": {"histogram": {
+        "field": "v", "interval": 10, "min_doc_count": 0},
+        "aggs": {"s": {"sum": {"field": "v"}},
+                 "a": {"avg": {"field": "v"}}}}}, "size": 0}
+    rows = tiny.execute(compile_search("hv", b, "duck")).fetchall()
+    # contiguous axis with ES empty-bucket values: sum 0, avg NULL
+    assert rows == [(0.0, 2, 12.0, 6.0), (10.0, 0, 0.0, None),
+                    (20.0, 0, 0.0, None), (30.0, 3, 98.0,
+                                           pytest.approx(98 / 3))]
+    # numeric extended_bounds only EXTEND
+    b2 = {"aggs": {"h": {"histogram": {
+        "field": "v", "interval": 10, "min_doc_count": 0,
+        "extended_bounds": {"min": -10, "max": 55}}}}, "size": 0}
+    keys = [r[0] for r in tiny.execute(
+        compile_search("hv", b2, "duck")).fetchall()]
+    assert keys == [-10.0, 0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+    with pytest.raises(ValueError, match="numeric"):
+        compile_search("hv", {"aggs": {"h": {"histogram": {
+            "field": "v", "interval": 10, "min_doc_count": 0,
+            "extended_bounds": {"min": "a", "max": "b"}}}},
+            "size": 0}, "duck")
+
+
+def test_t_test_welch_statistic(tiny):
+    tiny.execute("""
+        CREATE TABLE ab AS SELECT * FROM (VALUES
+          (1,'a',10.0),(2,'a',12.0),(3,'a',11.0),(4,'a',13.0),
+          (5,'b',20.0),(6,'b',22.0),(7,'b',21.0),(8,'b',25.0)
+        ) AS t(doc_id, grp, v)
+    """)
+    b = {"aggs": {"all": {"filter": {"match_all": {}},
+         "aggs": {"tt": {"t_test": {
+             "a": {"field": "v", "filter": {"term": {"grp": "a"}}},
+             "b": {"field": "v", "filter": {"term": {"grp": "b"}}}}}}}},
+         "size": 0}
+    rows = tiny.execute(compile_search("ab", b, "duck")).fetchall()
+    # hand Welch: means 11.5/22, sample vars 5/3 and 14/3 -> t = -8.3446
+    assert rows == [(8, -8.3446)]
+    with pytest.raises(ValueError, match="heteroscedastic"):
+        compile_search("ab", {"aggs": {"all": {
+            "filter": {"match_all": {}},
+            "aggs": {"tt": {"t_test": {
+                "a": {"field": "v"}, "b": {"field": "v"},
+                "type": "paired"}}}}}, "size": 0}, "duck")
+
+
+def test_fields_projection_and_track_total_hits(tiny):
+    b = {"query": {"term": {"lang": "en"}},
+         "fields": ["doc_id", {"field": "lang"}],
+         "sort": [{"doc_id": "asc"}], "size": 10,
+         "track_total_hits": True}
+    rows = tiny.execute(_search(b)).fetchall()
+    assert rows == [(1, 'en'), (2, 'en'), (8, 'en')]
+    with pytest.raises(ValueError, match="one projection per body"):
+        _search({"fields": ["doc_id"], "_source": ["lang"]})
+    with pytest.raises(ValueError, match="wildcards"):
+        _search({"fields": ["lang*"]})
