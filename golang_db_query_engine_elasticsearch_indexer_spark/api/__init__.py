@@ -387,6 +387,17 @@ def create_app(
         res = collect_envelope(df, max_rows=max_rows)
         return jsonify(json.loads(res.to_json())), 200
 
+    @app.post("/_render/template")
+    def es_render_template_route():
+        # render WITHOUT executing — the template-debugging verb
+        tmpl = _es_body()
+        if "source" not in tmpl:
+            raise ParamsNullError()
+        rendered = gateway.render_search_template(
+            tmpl["source"], tmpl.get("params") or {}
+        )
+        return jsonify({"template_output": rendered}), 200
+
     @app.post("/_search/scroll")
     def es_scroll_continue_route():
         _attach_if_named()

@@ -343,6 +343,21 @@ def _query_expr(q: dict, dialect: str, id_field: str) -> str:
         )
         glue = " AND " if op == "and" else " OR "
         return "(" + glue.join(clauses) + ")"
+    if kind == "wrapper":
+        # base64-embedded query clause (clients that must smuggle JSON
+        # through string-only config) — decode and compile the inner
+        # clause; a decode/parse failure is the loud compile error
+        import base64 as _b64  # noqa: PLC0415
+        import json as _json  # noqa: PLC0415
+
+        raw = body.get("query") if isinstance(body, dict) else None
+        if not isinstance(raw, str):
+            raise ValueError("es_dsl: wrapper wants a base64 query string")
+        try:
+            inner = _json.loads(_b64.b64decode(raw, validate=True))
+        except Exception as exc:
+            raise ValueError(f"es_dsl: wrapper query does not decode: {exc}")
+        return _query_expr(inner, dialect, id_field)
     if kind == "regexp":
         # Lucene regexp is FULL-match on the field value (the keyword-
         # field idiom, like terms include/exclude); Spark rlike is
@@ -1035,6 +1050,149 @@ LIMIT {size}{off}
 """
 
 
+def compile_suggest(index: str, body: dict, dialect: str,
+                    id_field: str = "doc_id") -> str:
+    """The ES `suggest` API (inside a `_search` body), two kinds:
+
+    - `term`: spell correction — for each analyzed input token, the
+      closest vocabulary words by (edit distance ASC, corpus doc-freq
+      DESC, word ASC), within `max_edits`; `suggest_mode: missing`
+      (the ES default) suggests only for tokens ABSENT from the
+      vocabulary, `always` for all. Relational shape: the vocabulary
+      is one distinct-token aggregation; candidates are vocabulary ×
+      input-token rows (|V|·|q| — linear in vocabulary size; the
+      SymSpell deletion-neighborhood operator in operators/search.py
+      is the indexed swap-in at scale), ranked per token.
+    - `completion`: search-box autocomplete approximated over the
+      SAME analysis model — top-`size` vocabulary words with the
+      given `prefix` by doc frequency (ES's completion type needs a
+      dedicated FST mapping; the vocabulary twin is the honest
+      schema-driven equivalent, documented).
+
+    One suggester per body (ES allows several; one relation per body
+    is this compiler's contract). Output: (input_token, option, score
+    columns) rows, totally ordered."""
+    if dialect not in ("spark", "duck"):
+        raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
+    sug = body["suggest"]
+    if set(body) - {"suggest", "size"} or body.get("size", 0) != 0:
+        raise ValueError(
+            "es_dsl: suggest bodies must use the size: 0 idiom and "
+            "carry nothing else (one relation per body)"
+        )
+    name, spec = _one(sug, "suggest")
+    _ident(name)
+    if "term" in spec:
+        bad = set(spec) - {"text", "term"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported term-suggest keys {sorted(bad)}"
+            )
+        t = spec["term"]
+        tbad = set(t) - {"field", "size", "max_edits", "suggest_mode",
+                         "min_doc_freq"}
+        if tbad:
+            raise ValueError(
+                f"es_dsl: unsupported term suggester keys {sorted(tbad)}"
+            )
+        f = _ident(t["field"])
+        size = int(t.get("size", 5))
+        max_edits = int(t.get("max_edits", 2))
+        if not 1 <= max_edits <= 2:
+            raise ValueError(
+                "es_dsl: term suggester max_edits must be 1 or 2 "
+                "(the ES contract)"
+            )
+        min_df = int(t.get("min_doc_freq", 1))
+        mode = t.get("suggest_mode", "missing")
+        if mode not in ("missing", "always"):
+            raise ValueError(
+                f"es_dsl: bad suggest_mode {mode!r} (missing/always)"
+            )
+        toks = _analyze(spec.get("text") or "")
+        if not toks:
+            raise ValueError("es_dsl: term suggester wants a text string")
+        arr = ", ".join(_lit(x, dialect) for x in dict.fromkeys(toks))
+        inputs = (
+            f"SELECT explode(array({arr})) AS tok"
+            if dialect == "spark"
+            else f"SELECT unnest([{arr}]) AS tok"
+        )
+        te = _tokens_expr(f, dialect)
+        distinct_w = (
+            f"explode(array_distinct({te})) AS w" if dialect == "spark"
+            else f"unnest(list_distinct({te})) AS w"
+        )
+        missing_filter = (
+            "\n  WHERE tok NOT IN (SELECT w FROM vocab)"
+            if mode == "missing" else ""
+        )
+        return f"""
+WITH vocab AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT {distinct_w} FROM {_ident(index)})
+  GROUP BY w
+  HAVING count(*) >= {min_df}
+),
+inputs AS (
+  SELECT tok FROM ({inputs}){missing_filter}
+),
+cands AS (
+  SELECT i.tok AS input_token, v.w AS option, v.freq,
+         levenshtein(i.tok, v.w) AS dist
+  FROM inputs i CROSS JOIN vocab v
+  WHERE levenshtein(i.tok, v.w) <= {max_edits} AND i.tok != v.w
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY input_token
+    ORDER BY dist ASC, freq DESC, option ASC) AS rn
+  FROM cands
+)
+SELECT input_token, option, dist, freq
+FROM ranked WHERE rn <= {size}
+ORDER BY input_token ASC, dist ASC, freq DESC, option ASC
+"""
+    if "completion" in spec:
+        bad = set(spec) - {"prefix", "completion"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported completion-suggest keys "
+                f"{sorted(bad)}"
+            )
+        c = spec["completion"]
+        cbad = set(c) - {"field", "size"}
+        if cbad:
+            raise ValueError(
+                f"es_dsl: unsupported completion suggester keys "
+                f"{sorted(cbad)}"
+            )
+        f = _ident(c["field"])
+        size = int(c.get("size", 5))
+        prefix = spec.get("prefix")
+        if not isinstance(prefix, str) or not prefix.strip():
+            raise ValueError(
+                "es_dsl: completion suggester wants a prefix string"
+            )
+        pat = f"{_like_escape(prefix.strip().lower())}%"
+        te = _tokens_expr(f, dialect)
+        distinct_w = (
+            f"explode(array_distinct({te})) AS w" if dialect == "spark"
+            else f"unnest(list_distinct({te})) AS w"
+        )
+        return f"""
+SELECT w AS option, count(*) AS freq
+FROM (SELECT {distinct_w} FROM {_ident(index)})
+WHERE w LIKE '{pat}' ESCAPE '!'
+GROUP BY w
+ORDER BY freq DESC, option ASC
+LIMIT {size}
+"""
+    raise ValueError(
+        "es_dsl: unsupported suggester (term and completion only)"
+    )
+
+
 # --- search compilation ------------------------------------------------------
 
 
@@ -1156,6 +1314,8 @@ def compile_search(
             names.append(x)
         body = {**{k: v for k, v in body.items() if k != "fields"},
                 "_source": names}
+    if "suggest" in body:
+        return compile_suggest(index, body, dialect, id_field)
     known = {"query", "_source", "sort", "size", "from", "aggs", "knn",
              "collapse", "search_after", "highlight"}
     bad = set(body) - known
@@ -4720,6 +4880,26 @@ def _entry(index: str, body: dict, id_field: str):
     return run
 
 
+SUGGEST_TERM_BODY = {
+    # spell correction against the corpus vocabulary: two misspelled
+    # tokens; 'table' is in-vocabulary, so missing mode skips it
+    "suggest": {"fix": {
+        "text": "tabel scna table",
+        "term": {"field": "text", "size": 3, "max_edits": 2,
+                 "min_doc_freq": 2},
+    }},
+    "size": 0,
+}
+
+SUGGEST_COMPLETION_BODY = {
+    # search-box autocomplete over the analyzed vocabulary
+    "suggest": {"autocomplete": {
+        "prefix": "sc",
+        "completion": {"field": "text", "size": 8},
+    }},
+    "size": 0,
+}
+
 HISTOGRAM_ZERO_FILL_BODY = {
     # the numeric sibling of the Kibana zero-filled date axis
     "query": {"term": {"event_type": "click"}},
@@ -5321,6 +5501,18 @@ def registry() -> dict[str, dict]:
             "fn": _entry("documents", MORE_LIKE_THIS_BODY, "doc_id"),
             "oracle": compile_search(
                 "documents", MORE_LIKE_THIS_BODY, "duck"
+            ),
+        },
+        "es_dsl_suggest_term": {
+            "fn": _entry("documents", SUGGEST_TERM_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", SUGGEST_TERM_BODY, "duck"
+            ),
+        },
+        "es_dsl_suggest_completion": {
+            "fn": _entry("documents", SUGGEST_COMPLETION_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", SUGGEST_COMPLETION_BODY, "duck"
             ),
         },
         "es_dsl_histogram_zero_fill": {

@@ -24,7 +24,7 @@ that decides those 50 slots:
   re-rotation. The executed r08 window is pinned against the
   CORRECTNESS files (not this table, which rolls on) in
   tests/test_rotation_tool.py::test_r08_window_matches_executed_roll.
-- r10 (CURRENT_WINDOW below) continues steady state: the 42 net-new
+- r10 (CURRENT_WINDOW below) continues steady state: the 44 net-new
   r10 registrations lead (batch 1: es_dsl_bucket_selector /
   bucket_script — the Kibana HAVING and derived-metric pipeline
   idioms; es_dsl_match_highlight — highlight inside the _search body
@@ -70,7 +70,10 @@ that decides those 50 slots:
   and es_dsl_pinned (promoted ids over organic BM25), plus the
   _explain / _cat/count / _cat/health HTTP verbs; batch 15 —
   es_dsl_histogram_zero_fill (the numeric sibling of the zero-filled
-  date axis) and es_dsl_t_test (Welch's statistic from one scan) — each batch returning three
+  date axis) and es_dsl_t_test (Welch's statistic from one scan);
+  batch 16 — es_dsl_suggest_term / suggest_completion, the suggest
+  API (spell correction and prefix autocomplete over the corpus
+  vocabulary) — each batch returning three
   more re-rotations to the pool (the window's whole re-rotation
   cohort shares r04 evidence, so eviction order among equals is
   immaterial))), then pure oldest-evidence
@@ -80,7 +83,7 @@ that decides those 50 slots:
   after each batch). The executed r09 window (22 net-new + 3
   re-checks + 25 re-rotations) is pinned against CORRECTNESS_r09.json
   in tests/test_rotation_tool.py::test_r09_window_matches_executed_roll.
-  With a 328-entry registry and a 50-slot window, steady-state
+  With a 330-entry registry and a 50-slot window, steady-state
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
@@ -239,6 +242,8 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_sibling_pipeline': (9, 'unclassified', None),
     'es_dsl_significant_terms': (8, 'unclassified', None),
     'es_dsl_stats_bucket': (None, 'unclassified', 'r10'),
+    'es_dsl_suggest_completion': (None, 'unclassified', 'r10'),
+    'es_dsl_suggest_term': (None, 'unclassified', 'r10'),
     'es_dsl_string_stats_boxplot': (None, 'unclassified', 'r10'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
@@ -254,9 +259,9 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'events_attribution_position': (7, 'regex-string', None),
     'events_bot_detection': (6, 'verified', None),
     'events_chi_square': (6, 'float-stat', None),
-    'events_cohort_retention': (4, 'verified', 'r10'),
+    'events_cohort_retention': (4, 'verified', None),
     'events_ewma_daily': (6, 'float-stat', None),
-    'events_funnel': (4, 'verified', 'r10'),
+    'events_funnel': (4, 'verified', None),
     'events_funnel_latency': (7, 'integer-exact', None),
     'events_funnel_one_pass': (7, 'integer-exact', None),
     'events_gapfill_forward': (7, 'integer-exact', None),
@@ -475,14 +480,14 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_dsl_pinned',
     'es_dsl_histogram_zero_fill',
     'es_dsl_t_test',
+    'es_dsl_suggest_term',
+    'es_dsl_suggest_completion',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
     'dedup_semantic_survivors',
     'dedup_simhash',
     'embedding_label_centroids',
-    'events_cohort_retention',
-    'events_funnel',
 )
 
 def scheduled(window: str) -> list[str]:

@@ -687,3 +687,15 @@ def test_es_cat_count_and_health_routes(client):
     h = json.loads(client.get("/_cat/health").data)
     assert h["status"] == "green" and h["node.total"] == "1"
     assert client.get("/_cat/count/nope").status_code == 400
+
+
+def test_es_render_template_route(client):
+    tmpl = {"source": {"query": {"term": {"lang": "{{l}}"}},
+                       "size": "{{n}}"},
+            "params": {"l": "en", "n": 5}}
+    r = client.post("/_render/template", json=tmpl)
+    assert r.status_code == 200
+    out = json.loads(r.data)["template_output"]
+    assert out == {"query": {"term": {"lang": "en"}}, "size": 5}
+    assert client.post("/_render/template",
+                       json={"params": {}}).status_code == 400

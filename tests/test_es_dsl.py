@@ -2877,3 +2877,65 @@ def test_fields_projection_and_track_total_hits(tiny):
         _search({"fields": ["doc_id"], "_source": ["lang"]})
     with pytest.raises(ValueError, match="wildcards"):
         _search({"fields": ["lang*"]})
+
+
+# --- batch 16: suggesters / wrapper --------------------------------------------
+
+
+@pytest.fixture()
+def sugg(tiny):
+    tiny.execute("""
+        CREATE TABLE sg AS SELECT * FROM (VALUES
+          (1, 'table scan merge'), (2, 'table scan join'),
+          (3, 'merge sort table'), (4, 'vector scan'), (5, 'table vector')
+        ) AS t(doc_id, text)
+    """)
+    return tiny
+
+
+def test_term_suggester_missing_mode(sugg):
+    b = {"suggest": {"fix": {"text": "tabel scna table",
+         "term": {"field": "text", "size": 2, "max_edits": 2}}},
+         "size": 0}
+    rows = sugg.execute(compile_search("sg", b, "duck")).fetchall()
+    # 'table' is in-vocabulary -> skipped (missing mode); corrections
+    # rank by (distance, corpus doc-freq, word)
+    assert rows == [("scna", "scan", 2, 3), ("tabel", "table", 2, 4)]
+    always = {"suggest": {"fix": {"text": "tabel",
+              "term": {"field": "text", "suggest_mode": "always",
+                       "size": 1}}}, "size": 0}
+    assert sugg.execute(compile_search("sg", always, "duck")).fetchall() \
+        == [("tabel", "table", 2, 4)]
+
+
+def test_completion_suggester_prefix_by_freq(sugg):
+    b = {"suggest": {"s": {"prefix": "TA",
+         "completion": {"field": "text", "size": 3}}}, "size": 0}
+    assert sugg.execute(compile_search("sg", b, "duck")).fetchall() \
+        == [("table", 4)]
+
+
+def test_suggest_rejections(sugg):
+    with pytest.raises(ValueError, match="size: 0 idiom"):
+        compile_search("sg", {"suggest": {"s": {"prefix": "t",
+            "completion": {"field": "text"}}},
+            "query": {"match_all": {}}}, "duck")
+    with pytest.raises(ValueError, match="term and completion only"):
+        compile_search("sg", {"suggest": {"s": {"text": "x",
+            "phrase": {"field": "text"}}}, "size": 0}, "duck")
+    with pytest.raises(ValueError, match="max_edits"):
+        compile_search("sg", {"suggest": {"s": {"text": "x",
+            "term": {"field": "text", "max_edits": 3}}}, "size": 0},
+            "duck")
+
+
+def test_wrapper_query_decodes(tiny):
+    import base64
+    import json as j
+    inner = {"term": {"lang": "en"}}
+    b64 = base64.b64encode(j.dumps(inner).encode()).decode()
+    body = {"query": {"wrapper": {"query": b64}},
+            "sort": [{"doc_id": "asc"}], "size": 10}
+    assert _ids(tiny, _search(body)) == [1, 2, 8]
+    with pytest.raises(ValueError, match="does not decode"):
+        _search({"query": {"wrapper": {"query": "!!not-base64!!"}}})
