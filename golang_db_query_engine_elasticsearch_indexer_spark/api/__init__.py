@@ -387,6 +387,17 @@ def create_app(
         res = collect_envelope(df, max_rows=max_rows)
         return jsonify(json.loads(res.to_json())), 200
 
+    @app.get("/<index>/_termvectors/<doc_id>")
+    def es_termvectors_route(index: str, doc_id: str):
+        _attach_if_named()
+        field = request.args.get("fields")
+        if not field or "," in field or "*" in field:
+            raise ParamsNullError()
+        return jsonify(gateway.es_termvectors(
+            _spark(), index, doc_id, field,
+            id_field=request.args.get("id_field"),
+        )), 200
+
     @app.post("/_render/template")
     def es_render_template_route():
         # render WITHOUT executing — the template-debugging verb

@@ -764,3 +764,61 @@ def cat_health(spark: SparkSession) -> dict:
         "init": "0",
         "unassign": "0",
     }
+
+
+# --- _termvectors --------------------------------------------------------------
+
+
+def termvectors_sql(index: str, doc_id, field: str, id_field: str,
+                    dialect: str) -> str:
+    """`GET /{index}/_termvectors/{id}` as a relation: (term,
+    term_freq) of ONE document's analyzed field — an id-pushdown point
+    lookup, then a vocabulary-bounded explode+GROUP BY. Shared by the
+    Spark verb and the DuckDB oracle."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        _ident,
+        _lit,
+        _tokens_expr,
+    )
+
+    if not index or doc_id is None or not field:
+        raise ParamsNullError()
+    if dialect not in ("spark", "duck"):
+        raise SqlSyntaxError(f"es_dsl: unknown dialect {dialect!r}")
+    te = _tokens_expr(_ident(field), dialect)
+    stream = (
+        f"SELECT explode({te}) AS term" if dialect == "spark"
+        else f"SELECT unnest({te}) AS term"
+    )
+    key = (
+        int(doc_id) if str(doc_id).lstrip("-").isdigit() else str(doc_id)
+    )
+    return f"""
+SELECT term, count(*) AS term_freq
+FROM ({stream} FROM {_ident(index)}
+      WHERE {_ident(id_field)} = {_lit(key, dialect)})
+GROUP BY term
+ORDER BY term ASC
+"""
+
+
+def es_termvectors_df(spark: SparkSession, index: str, doc_id,
+                      field: str, id_field: str | None = None) -> DataFrame:
+    idc = id_field or spark.table(index).columns[0]
+    return spark.sql(termvectors_sql(index, doc_id, field, idc, "spark"))
+
+
+def es_termvectors(spark: SparkSession, index: str, doc_id, field: str,
+                   id_field: str | None = None) -> dict:
+    """`GET /{index}/_termvectors/{id}?fields=...` parity: the ES
+    term_vectors envelope for one analyzed field. Bounded collect —
+    one document's vocabulary."""
+    rows = es_termvectors_df(spark, index, doc_id, field, id_field).collect()
+    return {
+        "_index": index,
+        "_id": str(doc_id),
+        "found": bool(rows),
+        "term_vectors": {field: {"terms": {
+            r["term"]: {"term_freq": int(r["term_freq"])} for r in rows
+        }}},
+    }

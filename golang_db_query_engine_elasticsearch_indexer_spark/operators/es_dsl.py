@@ -5139,6 +5139,22 @@ def _scroll_page2_oracle() -> str:
     )
 
 
+def _termvectors_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        es_termvectors_df,
+    )
+
+    return es_termvectors_df(spark, "documents", 7, "text", "doc_id")
+
+
+def _termvectors_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        termvectors_sql,
+    )
+
+    return termvectors_sql("documents", 7, "text", "doc_id", "duck")
+
+
 def _cat_indices_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
         cat_indices_df,
@@ -5502,6 +5518,10 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "documents", MORE_LIKE_THIS_BODY, "duck"
             ),
+        },
+        "es_termvectors": {
+            "fn": _termvectors_entry,
+            "oracle": _termvectors_oracle(),
         },
         "es_dsl_suggest_term": {
             "fn": _entry("documents", SUGGEST_TERM_BODY, "doc_id"),

@@ -24,7 +24,7 @@ that decides those 50 slots:
   re-rotation. The executed r08 window is pinned against the
   CORRECTNESS files (not this table, which rolls on) in
   tests/test_rotation_tool.py::test_r08_window_matches_executed_roll.
-- r10 (CURRENT_WINDOW below) continues steady state: the 44 net-new
+- r10 (CURRENT_WINDOW below) continues steady state: the 45 net-new
   r10 registrations lead (batch 1: es_dsl_bucket_selector /
   bucket_script — the Kibana HAVING and derived-metric pipeline
   idioms; es_dsl_match_highlight — highlight inside the _search body
@@ -73,7 +73,8 @@ that decides those 50 slots:
   date axis) and es_dsl_t_test (Welch's statistic from one scan);
   batch 16 — es_dsl_suggest_term / suggest_completion, the suggest
   API (spell correction and prefix autocomplete over the corpus
-  vocabulary) — each batch returning three
+  vocabulary); batch 17 — es_termvectors, the per-document
+  term-vector read verb — each batch returning three
   more re-rotations to the pool (the window's whole re-rotation
   cohort shares r04 evidence, so eviction order among equals is
   immaterial))), then pure oldest-evidence
@@ -83,7 +84,7 @@ that decides those 50 slots:
   after each batch). The executed r09 window (22 net-new + 3
   re-checks + 25 re-rotations) is pinned against CORRECTNESS_r09.json
   in tests/test_rotation_tool.py::test_r09_window_matches_executed_roll.
-  With a 330-entry registry and a 50-slot window, steady-state
+  With a 331-entry registry and a 50-slot window, steady-state
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
@@ -170,7 +171,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'docs_quality_percentile_filter': (7, 'integer-exact', None),
     'embedding_cluster_purity': (6, 'float-stat', None),
     'embedding_knn_eval': (6, 'float-stat', None),
-    'embedding_label_centroids': (4, 'verified', 'r10'),
+    'embedding_label_centroids': (4, 'verified', None),
     'embedding_matryoshka_recall': (6, 'float-stat', None),
     'embedding_medoid_per_label': (6, 'float-stat', None),
     'embedding_neardup_pairs': (8, 'verified', None),
@@ -181,6 +182,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_cat_indices': (None, 'unclassified', 'r10'),
     'es_field_caps': (None, 'unclassified', 'r10'),
     'es_terms_enum': (None, 'unclassified', 'r10'),
+    'es_termvectors': (None, 'unclassified', 'r10'),
     'es_search_template': (None, 'unclassified', 'r10'),
     'es_scroll_page2': (None, 'unclassified', 'r10'),
     'es_dsl_adjacency_matrix': (None, 'unclassified', 'r10'),
@@ -482,12 +484,12 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_dsl_t_test',
     'es_dsl_suggest_term',
     'es_dsl_suggest_completion',
+    'es_termvectors',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
     'dedup_semantic_survivors',
     'dedup_simhash',
-    'embedding_label_centroids',
 )
 
 def scheduled(window: str) -> list[str]:

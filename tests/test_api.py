@@ -699,3 +699,21 @@ def test_es_render_template_route(client):
     assert out == {"query": {"term": {"lang": "en"}}, "size": 5}
     assert client.post("/_render/template",
                        json={"params": {}}).status_code == 400
+
+
+def test_es_termvectors_route(client):
+    r = client.get("/documents/_termvectors/7?fields=text&id_field=doc_id")
+    assert r.status_code == 200
+    body = json.loads(r.data)
+    assert body["found"] is True and body["_id"] == "7"
+    terms = body["term_vectors"]["text"]["terms"]
+    assert terms and all(v["term_freq"] >= 1 for v in terms.values())
+    ghost = json.loads(client.get(
+        "/documents/_termvectors/99999999?fields=text&id_field=doc_id"
+    ).data)
+    assert ghost["found"] is False
+    # fields is required, single, no wildcards
+    assert client.get(
+        "/documents/_termvectors/7?id_field=doc_id").status_code == 400
+    assert client.get(
+        "/documents/_termvectors/7?fields=a,b").status_code == 400
