@@ -272,3 +272,82 @@ def test_qs_parser_ast_shapes():
     # default_operator resolves implicit adjacency
     assert parse_simple_query_string("a b", "and")[0] == "and"
     assert parse_simple_query_string("a b", "or")[0] == "or"
+
+
+# --- property fuzz: the parsers are total and deterministic -------------------
+
+
+def _sqs_strategy():
+    from hypothesis import strategies as st
+
+    terms = st.sampled_from(["alpha", "beta", "gamma", "delta",
+                             "epsilon", "zeta", "eps*", "zet*"])
+    phrase = st.sampled_from(['"beta gamma"', '"alpha"'])
+    clause = st.one_of(terms, phrase)
+    neg = st.builds(lambda c: f"-{c}", clause)
+    unit = st.one_of(clause, neg)
+
+    def group(children):
+        # one operator kind per level (the compiler's refusal rule)
+        return st.builds(
+            lambda op, parts: "(" + f" {op} ".join(parts) + ")",
+            st.sampled_from(["|", "+", ""]),
+            st.lists(children, min_size=1, max_size=3),
+        )
+
+    return st.recursive(unit, group, max_leaves=6)
+
+
+def test_sqs_fuzz_total_and_deterministic(tiny):
+    from hypothesis import HealthCheck, given, settings
+
+    @given(q=_sqs_strategy())
+    @settings(max_examples=80, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def prop(q):
+        body = {"query": {"simple_query_string": {
+            "query": q, "fields": ["text"]}}, "size": 100}
+        d1 = compile_search("docs", body, "duck")
+        assert d1 == compile_search("docs", body, "duck")  # pure
+        compile_search("docs", body, "spark")              # both dialects
+        ids = [r[0] for r in tiny.execute(d1).fetchall()]
+        assert ids == sorted(ids)  # id-tiebreak total order
+
+    prop()
+
+
+def test_qs_fuzz_field_expressions(tiny):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    leaf = st.one_of(
+        st.sampled_from([
+            "lang:en", "lang:de", 'text:"beta gamma"', "source:news",
+            "n:[10 TO 50]", "n:{20 TO 70}", "n:>=30", "n:<40",
+            "_exists_:lang", "source:a?c", "text:gam*",
+        ]),
+    )
+    neg = st.builds(lambda c: f"NOT {c}", leaf)
+    unit = st.one_of(leaf, neg)
+
+    def group(children):
+        return st.builds(
+            lambda op, parts: "(" + f" {op} ".join(parts) + ")",
+            st.sampled_from(["AND", "OR"]),
+            st.lists(children, min_size=1, max_size=3),
+        )
+
+    expr = st.recursive(unit, group, max_leaves=6)
+
+    @given(q=expr)
+    @settings(max_examples=80, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def prop(q):
+        body = {"query": {"query_string": {
+            "query": q, "default_field": "text"}}, "size": 100}
+        d1 = compile_search("docs", body, "duck")
+        assert d1 == compile_search("docs", body, "duck")
+        compile_search("docs", body, "spark")
+        tiny.execute(d1).fetchall()  # executes without binder errors
+
+    prop()
