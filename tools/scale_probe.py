@@ -96,6 +96,8 @@ def kernels() -> dict:
     )
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
         MATCH_SCORED_BODY,
+        MORE_LIKE_THIS_BODY,
+        SUGGEST_TERM_BODY,
         TERMS_AGG_BODY,
         compile_search,
     )
@@ -121,6 +123,18 @@ def kernels() -> dict:
             spark, SF_DIR
         ),
         "jpeg_decode": lambda spark: multimodal.decode_jpeg(spark, SF_DIR),
+        # r10 batch-12/16 additions: the two new corpus-vocabulary
+        # shapes — more_like_this (liked-doc point lookup + df agg +
+        # broadcast term-relation join + per-doc sum) and the term
+        # suggester (vocabulary x query-token candidate space). Both
+        # should be scan/agg-bounded; a super-linear term would mean
+        # the qterms/vocab relations stopped broadcasting.
+        "more_like_this": compile_search(
+            "documents", MORE_LIKE_THIS_BODY, "spark"
+        ),
+        "suggest_term": compile_search(
+            "documents", SUGGEST_TERM_BODY, "spark"
+        ),
     }
 
 
