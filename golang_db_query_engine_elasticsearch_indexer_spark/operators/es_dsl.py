@@ -5,14 +5,33 @@ them with the ES `_search` DSL (`api/controllers/elastic_controller.go`
 ships the documents; querying is the whole point of shipping). This
 module closes that loop natively: the SAME JSON body a reference user
 sends to `POST /index/_search` compiles to a Catalyst plan over the
-engine's tables — query context (bool/term/terms/range/match/
-match_phrase/prefix/wildcard/exists/ids, ES minimum_should_match
-defaults; bare match/multi_match = BM25-scored hits),
-`_source`/`sort`/`size`/`from`, and an aggregation context up to
-three bucket levels (terms / date_histogram / histogram / disjoint
-range / significant_terms / filters / composite-with-after, with
-avg/sum/min/max/value_count/cardinality/stats sub-metrics,
-cumulative_sum/derivative pipeline aggs, and top_hits).
+engine's tables.
+
+Query context: bool trees with ES minimum_should_match defaults;
+term/terms/ids/exists/range (incl. `now-7d/d` date math,
+operators/es_datemath.py); prefix/wildcard/regexp; analyzed
+match/match_phrase/match_phrase_prefix/match_bool_prefix/fuzzy/
+terms_set; the query_string and simple_query_string mini-languages
+(operators/es_querystring.py); dis_max/boosting/constant_score/
+wrapper compound wrappers; bare match/multi_match (and function_score
+/ pinned / more_like_this) = BM25-scored hits; knn; percolate.
+Hit surface: `_source`/`fields`/`sort`/`size`/`from`, search_after
+and the stateless scroll cursor, collapse, in-body highlight,
+runtime_mappings, the suggest API (term + completion).
+
+Aggregation context up to three bucket levels: terms (order/missing/
+include/exclude), date_histogram (calendar/fixed intervals,
+zero-filled axes), histogram (offset, zero-fill), range/date_range,
+rare_terms, multi_terms, auto_date_histogram, significant_terms/
+significant_text, adjacency_matrix, sampler/diversified_sampler,
+composite-with-after, filters/filter/global/missing; metrics
+avg/sum/min/max/value_count/cardinality/stats/extended_stats/
+percentiles/percentile_ranks/weighted_avg/string_stats/boxplot/rate/
+median_absolute_deviation/t_test/top_metrics; parent pipelines
+cumulative_sum/derivative/serial_diff/moving_fn/moving_percentiles/
+bucket_script/bucket_selector/normalize/bucket_sort/
+cumulative_cardinality; sibling pipelines avg/sum/min/max_bucket/
+stats_bucket/percentiles_bucket; and top_hits.
 
 Design:
 
