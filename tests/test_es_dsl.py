@@ -182,7 +182,9 @@ def test_unsupported_dsl_raises_loudly():
         ({"query": {"span_near": {}}}, "unsupported query clause"),
         ({"query": {"bool": {"boost": 2}}}, "unsupported bool keys"),
         ({"query": {"match": {"text": "  "}}}, "empty query string"),
-        ({"suggest": {}}, "unsupported body keys"),
+        # suggest is SUPPORTED since batch 16 — an empty suggest body
+        # still fails loudly, just deeper in
+        ({"suggest": {}}, "single-key object"),
         ({"knn": {}}, "knn requires"),
         ({"sort": [{"n": {"order": "sideways"}}]}, "bad sort order"),
         ({"query": {"term": {"n; DROP": 1}}}, "bad field name"),
