@@ -460,7 +460,228 @@ def _query_expr(q: dict, dialect: str, id_field: str) -> str:
         )
 
         return es_querystring.query_string_expr(body, dialect, id_field)
+    if kind == "intervals":
+        f, spec = _one(body, "intervals")
+        rule, m = _one(spec, "intervals rule")
+        if rule != "match":
+            raise ValueError(
+                f"es_dsl: unsupported intervals rule {rule!r} (match only; "
+                "all_of/any_of/prefix/wildcard/fuzzy are unsupported)"
+            )
+        if not isinstance(m, dict):
+            raise ValueError("es_dsl: intervals match wants an object")
+        bad = set(m) - {"query", "max_gaps", "ordered"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported intervals match keys {sorted(bad)}"
+            )
+        terms = _analyze(m.get("query", ""))
+        gaps = m.get("max_gaps", -1)
+        if not isinstance(gaps, int) or isinstance(gaps, bool) or gaps < -1:
+            raise ValueError("es_dsl: max_gaps must be an int >= -1")
+        ordered = m.get("ordered", False)
+        if not isinstance(ordered, bool):
+            raise ValueError("es_dsl: intervals ordered must be a boolean")
+        return _proximity_pred(f, terms, gaps, ordered, dialect, "intervals")
+    if kind == "span_near":
+        spec = body
+        bad = set(spec) - {"clauses", "slop", "in_order"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported span_near keys {sorted(bad)}"
+            )
+        clauses = spec.get("clauses")
+        if not isinstance(clauses, list) or len(clauses) < 2:
+            raise ValueError("es_dsl: span_near wants >= 2 clauses")
+        field = None
+        terms = []
+        for c in clauses:
+            ck, cs = _one(c, "span_near clause")
+            if ck != "span_term":
+                raise ValueError(
+                    f"es_dsl: unsupported span clause {ck!r} (span_term only)"
+                )
+            cf, cv = _one(cs, "span_term")
+            if field is None:
+                field = cf
+            elif cf != field:
+                raise ValueError(
+                    "es_dsl: span_near clauses must share one field"
+                )
+            if not isinstance(cv, str):
+                raise ValueError("es_dsl: span_term wants a string value")
+            terms.append(cv.lower().strip())
+        slop = spec.get("slop", 0)
+        if not isinstance(slop, int) or isinstance(slop, bool) or slop < 0:
+            raise ValueError("es_dsl: span_near slop must be an int >= 0")
+        in_order = spec.get("in_order", True)
+        if not isinstance(in_order, bool):
+            raise ValueError("es_dsl: span_near in_order must be a boolean")
+        return _proximity_pred(
+            field, terms, slop, in_order, dialect, "span_near"
+        )
+    if kind == "geo_bounding_box":
+        f, box = _one(body, "geo_bounding_box")
+        lat, lon = _geo_cols(f)
+        if not isinstance(box, dict) or set(box) != {
+            "top_left", "bottom_right",
+        }:
+            raise ValueError(
+                "es_dsl: geo_bounding_box wants {top_left, bottom_right}"
+            )
+        tl = _geo_point(box["top_left"], "top_left")
+        br = _geo_point(box["bottom_right"], "bottom_right")
+        if tl[0] < br[0]:
+            raise ValueError(
+                "es_dsl: geo_bounding_box top_left.lat must be >= "
+                "bottom_right.lat"
+            )
+        if tl[1] > br[1]:
+            raise ValueError(
+                "es_dsl: geo_bounding_box crossing the antimeridian is "
+                "unsupported (top_left.lon must be <= bottom_right.lon)"
+            )
+        return (
+            f"({lat} BETWEEN {br[0]!r} AND {tl[0]!r}"
+            f" AND {lon} BETWEEN {tl[1]!r} AND {br[1]!r})"
+        )
+    if kind == "geo_distance":
+        spec = dict(body)
+        dist = spec.pop("distance", None)
+        if dist is None or len(spec) != 1:
+            raise ValueError(
+                "es_dsl: geo_distance wants {distance, <geo_field>: "
+                "{lat, lon}}"
+            )
+        meters = _distance_meters(dist)
+        f, pt = next(iter(spec.items()))
+        lat, lon = _geo_cols(f)
+        lat0, lon0 = _geo_point(pt, f)
+        return (
+            f"({lat} IS NOT NULL AND {lon} IS NOT NULL AND "
+            f"{_haversine(lat, lon, lat0, lon0)} <= {float(meters)!r})"
+        )
     raise ValueError(f"es_dsl: unsupported query clause {kind!r}")
+
+
+def _geo_cols(field) -> tuple[str, str]:
+    """The engine's geo_point column convention: geo field ``f`` reads
+    doubles ``f_lat`` / ``f_lon`` (the relational layout of ES's
+    doc-values pair; runtime_mappings derive them when the table
+    stores points differently)."""
+    f = _ident(field)
+    return f"{f}_lat", f"{f}_lon"
+
+
+def _geo_point(pt, what: str) -> tuple[float, float]:
+    if not isinstance(pt, dict) or set(pt) != {"lat", "lon"}:
+        raise ValueError(f"es_dsl: {what} wants {{lat, lon}} numbers")
+    lat, lon = pt["lat"], pt["lon"]
+    for v in (lat, lon):
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise ValueError(f"es_dsl: {what} wants {{lat, lon}} numbers")
+    if not -90 <= lat <= 90 or not -180 <= lon <= 180:
+        raise ValueError(f"es_dsl: {what} out of range")
+    return float(lat), float(lon)
+
+
+_DISTANCE = re.compile(r"(\d+(?:\.\d+)?)(m|km|mi)")
+
+
+def _distance_meters(s) -> float:
+    m = _DISTANCE.fullmatch(str(s))
+    if not m:
+        raise ValueError(
+            f"es_dsl: bad distance {s!r} (want e.g. 500m / 200km / 10mi)"
+        )
+    return float(m.group(1)) * {"m": 1.0, "km": 1000.0,
+                                "mi": 1609.344}[m.group(2)]
+
+
+# ES GeoUtils.EARTH_MEAN_RADIUS (meters) — the radius ES's arc
+# distance uses, so thresholds mean the same thing here
+_EARTH_R = 6371008.7714
+
+
+def _haversine(lat: str, lon: str, lat0: float, lon0: float) -> str:
+    """Great-circle distance in meters from (lat, lon) columns to a
+    fixed origin — haversine over doubles, identical text in both
+    dialects (radians/sin/cos/asin/sqrt are shared), with the origin's
+    trigonometry folded to Python float literals at compile time."""
+    import math
+
+    p0, l0 = math.radians(lat0), math.radians(lon0)
+    cos0 = math.cos(p0)
+    dphi = f"((radians({lat}) - {p0!r}) / 2)"
+    dl = f"((radians({lon}) - {l0!r}) / 2)"
+    a = (
+        f"sin({dphi}) * sin({dphi})"
+        f" + cos(radians({lat})) * {cos0!r} * sin({dl}) * sin({dl})"
+    )
+    return f"(2 * {_EARTH_R!r} * asin(sqrt({a})))"
+
+
+_PROX_TERM = re.compile(r"[a-z0-9]+")
+
+
+def _proximity_pred(
+    field, terms: list[str], gaps: int, ordered: bool, dialect: str,
+    what: str,
+) -> str:
+    """intervals-match / span_near as ONE regex over the analyzed
+    token string: the field's tokens joined by single spaces, so token
+    adjacency in the string IS positional adjacency in the index —
+    exact proximity semantics with zero extra relations, evaluated
+    inside the scan (map-only; the cheapest possible shape at scale).
+
+    Bounded gap counts (`max_gaps`/`slop` >= 0) render as counted
+    `( [^ ]+){0,g}` runs between terms — exact for TWO terms, where the
+    pair gap IS the interval gap; three-plus terms with a bounded gap
+    budget would need cross-pair gap accounting no single regex can
+    express, so that shape raises loudly rather than approximating.
+    Unbounded (-1 intervals / no-limit spans) supports any term count:
+    ordered = subsequence containment, unordered = all-terms
+    containment. Terms must analyze to [a-z0-9]+ tokens (regex-safe by
+    construction — no escaping path to audit)."""
+    f = _ident(field)
+    if len(terms) < 2:
+        raise ValueError(f"es_dsl: {what} wants >= 2 terms")
+    for t in terms:
+        if not _PROX_TERM.fullmatch(t):
+            raise ValueError(
+                f"es_dsl: {what} term {t!r} must analyze to a plain "
+                "[a-z0-9]+ token"
+            )
+    if gaps >= 0 and len(terms) != 2:
+        raise ValueError(
+            f"es_dsl: {what} with a bounded gap budget supports exactly "
+            f"2 terms (got {len(terms)}; cross-pair gap accounting is "
+            "not expressible exactly — use -1/unbounded)"
+        )
+    te = _tokens_expr(f, dialect)
+    joined = (
+        f"array_join({te}, ' ')" if dialect == "spark"
+        else f"array_to_string({te}, ' ')"
+    )
+
+    def rx(pat: str) -> str:
+        if dialect == "spark":
+            return f"{joined} RLIKE '{pat}'"
+        return f"regexp_matches({joined}, '{pat}')"
+
+    if gaps >= 0:
+        a, b = terms
+        fwd = f"(^| ){a}( [^ ]+){{0,{gaps}}} {b}( |$)"
+        if ordered:
+            return rx(fwd)
+        rev = f"(^| ){b}( [^ ]+){{0,{gaps}}} {a}( |$)"
+        return f"({rx(fwd)} OR {rx(rev)})"
+    if ordered:
+        pat = "(^| )" + "( [^ ]+)* ".join(terms) + "( |$)"
+        return rx(pat)
+    return "(" + " AND ".join(
+        rx(f"(^| ){t}( |$)") for t in terms
+    ) + ")"
 
 
 def _bool_expr(body: dict, dialect: str, id_field: str) -> str:
@@ -610,9 +831,283 @@ def _fvf_expr(fvf: dict, dialect: str) -> str:
     )
 
 
+_DURATION = re.compile(r"(\d+)([smhd])")
+_ORIGIN_TS = re.compile(r"\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2})?")
+
+
+def _duration_secs(s, what: str) -> int:
+    m = _DURATION.fullmatch(str(s))
+    if not m:
+        raise ValueError(
+            f"es_dsl: {what} wants a duration like 7d/12h/30m/45s, "
+            f"got {s!r}"
+        )
+    return int(m.group(1)) * {"s": 1, "m": 60, "h": 3600, "d": 86400}[
+        m.group(2)
+    ]
+
+
+def _epoch_secs(col: str, origin: str, dialect: str) -> tuple[str, str]:
+    """(field, origin) as microsecond-exact epoch SECONDS, double in
+    both dialects. Spark's unix_timestamp truncates to whole seconds
+    while DuckDB's epoch keeps the fraction — enough to flip rounded
+    score boundaries — so both sides read integer MICROS
+    (unix_micros / epoch_us agree exactly) and divide by the same
+    double. Used only as differences, so timezone conventions cancel."""
+    m = "cast(1000000 AS double)"
+    if dialect == "spark":
+        # the fixture surfaces TIMESTAMP_NTZ (and the engine session
+        # sets spark.sql.timestampType=TIMESTAMP_NTZ, so a bare
+        # `timestamp` cast/literal is ALSO ntz); unix_micros wants
+        # TIMESTAMP_LTZ — cast both sides to timestamp_ltz explicitly:
+        # the session-tz shift applies equally and cancels in the
+        # difference
+        return (
+            f"(cast(unix_micros(cast({col} AS timestamp_ltz)) AS double)"
+            f" / {m})",
+            f"(cast(unix_micros(cast(timestamp '{origin}' AS"
+            f" timestamp_ltz)) AS double) / {m})",
+        )
+    return (
+        f"(cast(epoch_us({col}) AS double) / {m})",
+        f"(cast(epoch_us(TIMESTAMP '{origin}') AS double) / {m})",
+    )
+
+
+def _decay_expr(kind: str, spec: dict, dialect: str) -> str:
+    """function_score decay (gauss/exp/linear) as one row-local SQL
+    expression over the joined-back hit row — the ES recency/proximity
+    boosting idiom. The decay curve's constants (lambda / pivot span)
+    are folded to Python float literals at compile time, so both
+    dialects evaluate IDENTICAL IEEE operations on identical operands
+    and the 4-dp score round never sits on an engine-dependent
+    boundary. Date fields take an explicit ISO origin (never "now" —
+    a non-deterministic origin can't be oracle-checked) with duration
+    scale/offset; the epoch conversion enters only as a DIFFERENCE, so
+    session-timezone conventions cancel."""
+    import math
+
+    f, p = _one(spec, f"{kind} decay")
+    bad = set(p) - {"origin", "scale", "offset", "decay"}
+    if bad:
+        raise ValueError(f"es_dsl: unsupported {kind} decay keys {sorted(bad)}")
+    missing = {"origin", "scale"} - set(p)
+    if missing:
+        raise ValueError(f"es_dsl: {kind} decay requires {sorted(missing)}")
+    decay = p.get("decay", 0.5)
+    if (
+        not isinstance(decay, (int, float)) or isinstance(decay, bool)
+        or not 0 < decay < 1
+    ):
+        raise ValueError("es_dsl: decay must be a number in (0, 1)")
+    col = _ident(f)
+    origin = p["origin"]
+    if isinstance(origin, str):
+        if not _ORIGIN_TS.fullmatch(origin):
+            raise ValueError(
+                f"es_dsl: bad decay origin {origin!r} (ISO date/datetime; "
+                "'now' is unsupported — pass an explicit origin)"
+            )
+        s_secs = _duration_secs(p["scale"], f"{kind} decay scale")
+        off = _duration_secs(p.get("offset", "0s"), f"{kind} decay offset")
+        x, o = _epoch_secs(col, origin, dialect)
+        scale = float(s_secs)
+        offset = float(off)
+    else:
+        if not isinstance(origin, (int, float)) or isinstance(origin, bool):
+            raise ValueError("es_dsl: decay origin must be a number or date")
+        scale = p["scale"]
+        if (
+            not isinstance(scale, (int, float)) or isinstance(scale, bool)
+            or scale <= 0
+        ):
+            raise ValueError("es_dsl: decay scale must be a positive number")
+        offset = p.get("offset", 0)
+        if (
+            not isinstance(offset, (int, float)) or isinstance(offset, bool)
+            or offset < 0
+        ):
+            raise ValueError("es_dsl: decay offset must be a number >= 0")
+        x, o = f"cast({col} AS double)", repr(float(origin))
+        scale, offset = float(scale), float(offset)
+    dist = f"greatest(cast(0 AS double), abs({x} - {o}) - {offset!r})"
+    if kind == "gauss":
+        lam = math.log(decay) / (scale * scale)
+        return f"exp({lam!r} * {dist} * {dist})"
+    if kind == "exp":
+        lam = math.log(decay) / scale
+        return f"exp({lam!r} * {dist})"
+    span = scale / (1.0 - decay)
+    return f"greatest(cast(0 AS double), ({span!r} - {dist}) / {span!r})"
+
+
+def _random_score_expr(rs: dict, dialect: str, id_field: str) -> str:
+    """random_score with an EXPLICIT seed+field: ES's deterministic
+    shuffle (same seed -> same order). Rendered as the engine's
+    md5-uniform primitive (functions.hash16 over md5('seed:field')),
+    the same dialect-portable hash the sampling operators are built
+    on — so the "random" permutation is identical in Spark and DuckDB
+    and the query is oracle-checkable, unlike a rand() call."""
+    if not isinstance(rs, dict):
+        raise ValueError("es_dsl: random_score wants an object")
+    bad = set(rs) - {"seed", "field"}
+    if bad:
+        raise ValueError(f"es_dsl: unsupported random_score keys {sorted(bad)}")
+    seed = rs.get("seed", 0)
+    if not isinstance(seed, int) or isinstance(seed, bool):
+        raise ValueError("es_dsl: random_score seed must be an int")
+    f = _ident(rs.get("field", id_field))
+    cast = "string" if dialect == "spark" else "varchar"
+    from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
+        hash16,
+    )
+
+    h = hash16(f"md5(concat('{seed}:', cast({f} AS {cast})))")
+    return f"({h} / cast(65536 AS double))"
+
+
+def _script_score_expr(ss: dict) -> str:
+    """script_score over the Painless-lite grammar _compile_script
+    already enforces for bucket_script (arithmetic + comparisons
+    only): doc['field'].value refs read the joined-back hit row,
+    params.* resolve to numeric literals, and `_score` reads the BM25
+    relevance of the inner query — the three inputs real ES
+    script_score bodies combine. Anything beyond the grammar (method
+    calls, strings, ternaries) raises at compile time."""
+    if not isinstance(ss, dict) or set(ss) != {"script"}:
+        raise ValueError("es_dsl: script_score wants {script: {...}}")
+    script = ss["script"]
+    if not isinstance(script, dict) or set(script) - {"source", "params"}:
+        raise ValueError(
+            "es_dsl: script_score script wants {source, params?}"
+        )
+    src = script.get("source")
+    if not isinstance(src, str) or not src.strip():
+        raise ValueError("es_dsl: script_score needs a source string")
+    pmap: dict[str, str] = {}
+    for k, v in (script.get("params") or {}).items():
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise ValueError(
+                f"es_dsl: script_score param {k!r} must be numeric"
+            )
+        pmap[k] = repr(float(v)) if isinstance(v, float) else str(v)
+    # `_score` reads the inner query's BM25 score (scored CTE column)
+    src = re.sub(r"(?<![\w.'])_score\b", "params._score", src)
+    pmap["_score"] = "sc.s"
+    return "(" + _compile_script(
+        src, pmap, "script_score", allow_doc_fields=True
+    ) + ")"
+
+
+_FS_FUNCTION_KINDS = (
+    "field_value_factor", "gauss", "exp", "linear",
+    "script_score", "random_score",
+)
+
+
+def _fs_one_function(entry: dict, dialect: str, id_field: str,
+                     what: str) -> str:
+    """Render the single score function in a function_score entry
+    (shorthand body or one element of `functions`) as a row-local SQL
+    expression; `weight` multiplies, a bare weight IS the function."""
+    kinds = [k for k in entry if k in _FS_FUNCTION_KINDS]
+    if len(kinds) > 1:
+        raise ValueError(
+            f"es_dsl: {what} has multiple score functions {sorted(kinds)}"
+        )
+    if kinds:
+        k = kinds[0]
+        if k == "field_value_factor":
+            expr = _fvf_expr(entry[k], dialect)
+        elif k in ("gauss", "exp", "linear"):
+            expr = _decay_expr(k, entry[k], dialect)
+        elif k == "script_score":
+            expr = _script_score_expr(entry[k])
+        else:
+            expr = _random_score_expr(entry[k], dialect, id_field)
+    else:
+        expr = "cast(1 AS double)"
+    w = entry.get("weight")
+    if w is not None:
+        if not isinstance(w, (int, float)) or isinstance(w, bool):
+            raise ValueError(f"es_dsl: {what} weight must be numeric")
+        expr = f"{w} * ({expr})" if kinds else f"cast({w} AS double)"
+    elif not kinds:
+        raise ValueError(
+            f"es_dsl: {what} needs a score function or a weight"
+        )
+    return expr
+
+
+def _fs_factor(fs: dict, dialect: str, id_field: str) -> str:
+    """The combined function_score factor: either the shorthand single
+    function, or the `functions` array — each entry optionally gated
+    by a `filter` (non-matching entries contribute NOTHING, the ES
+    semantics), combined by `score_mode` multiply (product, absent
+    entries = 1) or sum (sum of matching entries; if NO entry matches
+    the factor is 1, i.e. the score is unmodified — ES's documented
+    behavior). `max_boost` caps the factor before it combines with
+    the query score. Everything is row-local arithmetic over the
+    joined-back hit row: zero extra shuffles, zero extra scans."""
+    if "functions" in fs:
+        if set(fs) & {*_FS_FUNCTION_KINDS, "weight"}:
+            raise ValueError(
+                "es_dsl: function_score takes functions OR a shorthand "
+                "function, not both"
+            )
+        entries = fs["functions"]
+        if not isinstance(entries, list) or not entries:
+            raise ValueError("es_dsl: functions wants a non-empty list")
+        exprs = []
+        for i, entry in enumerate(entries):
+            if not isinstance(entry, dict):
+                raise ValueError("es_dsl: functions entries must be objects")
+            bad = set(entry) - {"filter", "weight", *_FS_FUNCTION_KINDS}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported functions[{i}] keys {sorted(bad)}"
+                )
+            expr = _fs_one_function(entry, dialect, id_field, f"functions[{i}]")
+            if "filter" in entry:
+                pred = _query_expr(entry["filter"], dialect, id_field)
+                expr = f"CASE WHEN {pred} THEN {expr} END"
+            exprs.append(f"({expr})")
+        mode = fs.get("score_mode", "multiply")
+        if mode == "multiply":
+            factor = " * ".join(
+                f"coalesce({e}, cast(1 AS double))" for e in exprs
+            )
+        elif mode == "sum":
+            all_null = " AND ".join(f"{e} IS NULL" for e in exprs)
+            total = " + ".join(
+                f"coalesce({e}, cast(0 AS double))" for e in exprs
+            )
+            factor = (
+                f"CASE WHEN {all_null} THEN cast(1 AS double) "
+                f"ELSE {total} END"
+            )
+        else:
+            raise ValueError(
+                f"es_dsl: unsupported score_mode {mode!r} (multiply/sum)"
+            )
+    else:
+        if "score_mode" in fs:
+            raise ValueError(
+                "es_dsl: score_mode needs a functions array"
+            )
+        factor = _fs_one_function(fs, dialect, id_field, "function_score")
+    mb = fs.get("max_boost")
+    if mb is not None:
+        if not isinstance(mb, (int, float)) or isinstance(mb, bool):
+            raise ValueError("es_dsl: max_boost must be numeric")
+        factor = f"least(({factor}), cast({mb} AS double))"
+    return f"({factor})"
+
+
 def _compile_scored(
     index: str, body: dict, dialect: str, id_field: str,
-    fvf: dict | None = None, fs_mode: str = "multiply",
+    factor: str | None = None, fs_mode: str = "multiply",
+    min_score: float | None = None,
 ) -> str:
     """Top-level `match` / `multi_match` with no explicit sort: BM25
     query context. `multi_match` combines per-field scores by its ES
@@ -677,7 +1172,7 @@ def _compile_scored(
     offset = int(body.get("from", 0))
     off = f" OFFSET {offset}" if offset else ""
     if "highlight" in body:
-        if fvf:
+        if factor or min_score is not None:
             raise ValueError(
                 "es_dsl: function_score with highlight is unsupported"
             )
@@ -686,10 +1181,19 @@ def _compile_scored(
             size, off, dialect, id_field,
         )
     sc = "sc.s"
-    if fvf:
-        fx = _fvf_expr(fvf, dialect)
-        sc = f"sc.s * {fx}" if fs_mode == "multiply" else f"sc.s + {fx}"
+    if factor:
+        sc = {
+            "multiply": f"sc.s * {factor}",
+            "sum": f"sc.s + {factor}",
+            "replace": factor,
+        }[fs_mode]
     score = f"round({sc}, 4) AS _score"
+    # min_score filters on the FINAL (post-function) rounded score —
+    # rendered in the WHERE so the predicate sits below the top-k sort
+    msw = (
+        f"\nWHERE round({sc}, 4) >= {min_score}"
+        if min_score is not None else ""
+    )
     if cols is None and "_source" in body:
         # _source: true — full source + _score via the join-back
         return f"""
@@ -700,7 +1204,7 @@ scored AS (
   GROUP BY _id
 )
 SELECT t.*, {score}
-FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id
+FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id{msw}
 ORDER BY _score DESC, t.{id_field} ASC
 LIMIT {size}{off}
 """
@@ -714,12 +1218,12 @@ scored AS (
   GROUP BY _id
 )
 SELECT {select}, {score}
-FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id
+FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id{msw}
 ORDER BY _score DESC, t.{id_field} ASC
 LIMIT {size}{off}
 """
-    if fvf:
-        # the factor reads a field, so the id-only shape still joins
+    if factor or min_score is not None:
+        # the factor may read fields, so the id-only shape still joins
         return f"""
 WITH {ctes},
 scored AS (
@@ -728,7 +1232,7 @@ scored AS (
   GROUP BY _id
 )
 SELECT t.{id_field} AS {id_field}, {score}
-FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id
+FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id{msw}
 ORDER BY _score DESC, {id_field} ASC
 LIMIT {size}{off}
 """
@@ -1069,6 +1573,209 @@ LIMIT {size}{off}
 """
 
 
+def _compile_feature_query(
+    index: str, body: dict, qkind: str, dialect: str, id_field: str,
+) -> str:
+    """rank_feature / distance_feature as top-level scored queries —
+    ES's static-signal ranking primitives (popularity, freshness,
+    proximity) when no text relevance is in play.
+
+    rank_feature scores boost * fn(field) with the ES function menu:
+    saturation x/(x+pivot) (pivot REQUIRED here — ES's default pivot
+    is a corpus statistic, which would make the query's meaning change
+    under ingestion; an explicit pivot is the deterministic subset),
+    log ln(scaling_factor + x), sigmoid x^e/(x^e + pivot^e), linear x.
+    distance_feature scores boost * pivot/(pivot + |field - origin|)
+    over numbers or dates (duration pivot, explicit origin — never
+    "now"). Both are one scan + TakeOrdered: the score is row-local
+    arithmetic, hits are rows where the feature exists (ES semantics:
+    documents without the feature don't match), and the 6-dp round +
+    id tiebreak keep the top-k permutation total and cross-engine
+    stable. Scale shape: no shuffle at all below the final top-k."""
+    q = body["query"][qkind]
+    extra = set(body) - {"query", "_source", "size", "from"}
+    if extra:
+        raise ValueError(
+            f"es_dsl: {qkind} combines only with _source/size/from "
+            f"(got {sorted(extra)})"
+        )
+    if not isinstance(q, dict) or "field" not in q:
+        raise ValueError(f"es_dsl: {qkind} requires a field")
+    f = _ident(q["field"])
+    boost = q.get("boost", 1.0)
+    if not isinstance(boost, (int, float)) or isinstance(boost, bool):
+        raise ValueError(f"es_dsl: {qkind} boost must be numeric")
+    if qkind == "rank_feature":
+        bad = set(q) - {"field", "boost", "saturation", "log", "sigmoid",
+                        "linear"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported rank_feature keys {sorted(bad)}"
+            )
+        fns = [k for k in ("saturation", "log", "sigmoid", "linear")
+               if k in q]
+        if len(fns) != 1:
+            raise ValueError(
+                "es_dsl: rank_feature wants exactly one of saturation/"
+                "log/sigmoid/linear (the ES default pivot is a corpus "
+                "statistic — pass saturation with an explicit pivot)"
+            )
+        kind = fns[0]
+        spec = q[kind]
+        if not isinstance(spec, dict):
+            raise ValueError(f"es_dsl: rank_feature {kind} wants an object")
+        x = f"cast({f} AS double)"
+        if kind == "saturation":
+            if set(spec) != {"pivot"}:
+                raise ValueError(
+                    "es_dsl: rank_feature saturation requires an explicit "
+                    "pivot (corpus-statistic defaults are unsupported)"
+                )
+            pivot = _num(spec["pivot"], "saturation pivot", positive=True)
+            expr = f"{x} / ({x} + {pivot!r})"
+        elif kind == "log":
+            if set(spec) != {"scaling_factor"}:
+                raise ValueError(
+                    "es_dsl: rank_feature log wants {scaling_factor}"
+                )
+            sf = _num(spec["scaling_factor"], "log scaling_factor",
+                      positive=True)
+            expr = f"ln({sf!r} + {x})"
+        elif kind == "sigmoid":
+            if set(spec) != {"pivot", "exponent"}:
+                raise ValueError(
+                    "es_dsl: rank_feature sigmoid wants {pivot, exponent}"
+                )
+            pivot = _num(spec["pivot"], "sigmoid pivot", positive=True)
+            e = _num(spec["exponent"], "sigmoid exponent", positive=True)
+            expr = (
+                f"power({x}, {e!r}) / (power({x}, {e!r})"
+                f" + power({pivot!r}, {e!r}))"
+            )
+        else:
+            if spec:
+                raise ValueError("es_dsl: rank_feature linear takes no keys")
+            expr = x
+    else:
+        bad = set(q) - {"field", "boost", "origin", "pivot"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported distance_feature keys {sorted(bad)}"
+            )
+        missing = {"origin", "pivot"} - set(q)
+        if missing:
+            raise ValueError(
+                f"es_dsl: distance_feature requires {sorted(missing)}"
+            )
+        origin = q["origin"]
+        if isinstance(origin, str):
+            if not _ORIGIN_TS.fullmatch(origin):
+                raise ValueError(
+                    f"es_dsl: bad distance_feature origin {origin!r} "
+                    "(ISO date/datetime; 'now' is unsupported)"
+                )
+            pivot = float(
+                _duration_secs(q["pivot"], "distance_feature pivot")
+            )
+            # microsecond-exact epochs cast to double: Spark's
+            # unix_timestamp truncates to seconds while DuckDB's epoch
+            # keeps fractional seconds — a 0.04 s disagreement flips
+            # 6-dp score boundaries. unix_micros/epoch_us agree exactly,
+            # and the double cast keeps Spark's decimal-literal
+            # arithmetic from emitting a DECIMAL score.
+            x, o = _epoch_secs(f, origin, dialect)
+        else:
+            o = repr(float(_num(origin, "distance_feature origin")))
+            pivot = _num(q["pivot"], "distance_feature pivot",
+                         positive=True)
+            x = f"cast({f} AS double)"
+        expr = f"{pivot!r} / ({pivot!r} + abs({x} - {o}))"
+    score = f"round({boost} * ({expr}), 6)"
+    cols = _source_cols(body, f"{qkind} hits")
+    if cols is None and "_source" in body:
+        select = "*"  # _source: true — full source + _score
+    elif not cols:
+        select = f"{id_field}"
+    else:
+        select = ", ".join(_ident(c) for c in cols)
+    tiebreak = id_field
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    off = f" OFFSET {offset}" if offset else ""
+    return f"""
+SELECT {select}, {score} AS _score
+FROM {_ident(index)}
+WHERE {f} IS NOT NULL
+ORDER BY _score DESC, {tiebreak} ASC
+LIMIT {size}{off}
+"""
+
+
+def _num(v, what: str, positive: bool = False) -> float:
+    if not isinstance(v, (int, float)) or isinstance(v, bool) or (
+        positive and v <= 0
+    ):
+        kind = "a positive number" if positive else "a number"
+        raise ValueError(f"es_dsl: {what} must be {kind}")
+    return float(v)
+
+
+def _compile_combined_fields(
+    index: str, body: dict, dialect: str, id_field: str,
+) -> str:
+    """combined_fields: term-centric BM25 over N text fields merged
+    into ONE synthetic field — per-term frequencies and field lengths
+    SUM across fields before scoring (the ES semantics that
+    distinguishes it from multi_match best/most_fields, which score
+    per-field then combine). The merge is exactly a whitespace
+    concatenation of the analyzed fields, so the compiler projects
+    concat_ws(' ', fields...) as a one-CTE derived column and reuses
+    the standard BM25 scored path over it: same plan shape as a plain
+    match (scan -> token agg -> top-k), one extra row-local projection,
+    zero extra shuffles."""
+    spec = body["query"]["combined_fields"]
+    bad = set(spec) - {"query", "fields", "operator"}
+    if bad:
+        raise ValueError(
+            f"es_dsl: unsupported combined_fields keys {sorted(bad)}"
+        )
+    missing = {"query", "fields"} - set(spec)
+    if missing:
+        raise ValueError(
+            f"es_dsl: combined_fields requires {sorted(missing)}"
+        )
+    fields = spec["fields"]
+    if not isinstance(fields, list) or not fields:
+        raise ValueError("es_dsl: combined_fields wants >= 1 field")
+    cols = body.get("_source")
+    if not isinstance(cols, list) or not cols:
+        raise ValueError(
+            "es_dsl: combined_fields requires an explicit _source list "
+            "(the synthetic merged column must not leak into hits)"
+        )
+    op = spec.get("operator", "or")
+    if op not in ("or", "and"):
+        raise ValueError(f"es_dsl: bad combined_fields operator {op!r}")
+    merged = ", ".join(f"coalesce({_ident(f)}, '')" for f in fields)
+    cte = (
+        f"{_ident(index)}_cf AS (\n"
+        f"  SELECT *, concat_ws(' ', {merged}) AS _combined\n"
+        f"  FROM {_ident(index)}\n)"
+    )
+    inner_body = {
+        "query": {"match": {"_combined": {
+            "query": spec["query"], "operator": op,
+        }}},
+        "_source": cols,
+        **{k: body[k] for k in ("size", "from") if k in body},
+    }
+    inner = _compile_scored(
+        f"{index}_cf", inner_body, dialect, id_field
+    ).lstrip()
+    assert inner.startswith("WITH ")
+    return f"WITH {cte},\n{inner[len('WITH '):]}"
+
+
 def compile_suggest(index: str, body: dict, dialect: str,
                     id_field: str = "doc_id") -> str:
     """The ES `suggest` API (inside a `_search` body), two kinds:
@@ -1381,10 +2088,20 @@ def compile_search(
         else:
             field_sorts.append(s)
     if qkind == "function_score":
-        # popularity/recency boosting: BM25 relevance combined with a
-        # field-derived factor — the ES idiom for "relevant AND popular"
+        # popularity/recency/proximity boosting: BM25 relevance
+        # combined with field-derived factors — the ES idiom for
+        # "relevant AND popular/recent/nearby". Shorthand single
+        # function (field_value_factor / gauss / exp / linear /
+        # script_score / random_score) or a `functions` array with
+        # per-entry filter+weight, combined by score_mode and applied
+        # by boost_mode; max_boost caps the factor, min_score drops
+        # hits below the final threshold. All of it compiles to
+        # row-local arithmetic over the joined-back top-k relation.
         fs = q["function_score"]
-        bad = set(fs) - {"query", "field_value_factor", "boost_mode"}
+        bad = set(fs) - {
+            "query", "functions", "score_mode", "boost_mode",
+            "max_boost", "min_score", "weight", *_FS_FUNCTION_KINDS,
+        }
         if bad:
             raise ValueError(
                 f"es_dsl: unsupported function_score keys {sorted(bad)}"
@@ -1396,20 +2113,35 @@ def compile_search(
                 "es_dsl: function_score needs a match/multi_match query "
                 "and no field sorts (scored context only)"
             )
-        fvf = fs.get("field_value_factor")
-        if not fvf:
-            raise ValueError(
-                "es_dsl: function_score supports field_value_factor only"
-            )
+        factor = _fs_factor(fs, dialect, id_field)
         mode = fs.get("boost_mode", "multiply")
-        if mode not in ("multiply", "sum"):
+        if mode not in ("multiply", "sum", "replace"):
             raise ValueError(
-                f"es_dsl: unsupported boost_mode {mode!r} (multiply/sum)"
+                f"es_dsl: unsupported boost_mode {mode!r} "
+                "(multiply/sum/replace)"
             )
+        ms = fs.get("min_score")
+        if ms is not None and (
+            not isinstance(ms, (int, float)) or isinstance(ms, bool)
+        ):
+            raise ValueError("es_dsl: min_score must be numeric")
         return _compile_scored(
             index, {**body, "query": inner}, dialect, id_field,
-            fvf=fvf, fs_mode=mode,
+            factor=factor, fs_mode=mode, min_score=ms,
         )
+    if qkind in ("rank_feature", "distance_feature"):
+        if field_sorts:
+            raise ValueError(
+                f"es_dsl: {qkind} is scored context only (no field sorts)"
+            )
+        return _compile_feature_query(index, body, qkind, dialect, id_field)
+    if qkind == "combined_fields":
+        if field_sorts:
+            raise ValueError(
+                "es_dsl: combined_fields is scored context only "
+                "(no field sorts)"
+            )
+        return _compile_combined_fields(index, body, dialect, id_field)
     if qkind == "more_like_this":
         if field_sorts:
             raise ValueError(
@@ -1621,7 +2353,8 @@ _METRICS = {"avg", "sum", "min", "max", "value_count", "cardinality",
 # error on a nonexistent column (ADVICE r09 finding #1).
 _MULTI_COLUMN_METRICS = frozenset(
     {"stats", "extended_stats", "percentiles", "percentile_ranks",
-     "top_metrics", "string_stats", "boxplot"}
+     "top_metrics", "string_stats", "boxplot", "geo_centroid",
+     "geo_bounds"}
 )
 
 
@@ -1849,6 +2582,31 @@ def _metric_list(
             continue
         if mkind == "t_test":
             out += _t_test_cols(_ident(sub_name), m, dialect, id_field)
+            continue
+        if mkind in ("geo_centroid", "geo_bounds"):
+            # geo metrics over the f_lat/f_lon column convention.
+            # centroid = arithmetic mean of coords (the ES formula),
+            # through the DECIMAL quantize discipline so double
+            # summation order can't flip the 6-dp display round;
+            # bounds = the min/max envelope (exact, no float hazard)
+            if set(m) != {"field"}:
+                raise ValueError(f"es_dsl: {mkind} wants {{field}} only")
+            lat, lon = _geo_cols(m["field"])
+            name = _ident(sub_name)
+            if mkind == "geo_centroid":
+                out += [
+                    f"cast(round(avg(cast({lat} AS {_DEC})), 6)"
+                    f" AS DOUBLE) AS {name}_lat",
+                    f"cast(round(avg(cast({lon} AS {_DEC})), 6)"
+                    f" AS DOUBLE) AS {name}_lon",
+                ]
+            else:
+                out += [
+                    f"max({lat}) AS {name}_top",
+                    f"min({lat}) AS {name}_bottom",
+                    f"min({lon}) AS {name}_left",
+                    f"max({lon}) AS {name}_right",
+                ]
             continue
         if mkind not in _METRICS:
             raise ValueError(f"es_dsl: unsupported sub-agg {mkind!r}")
@@ -2552,6 +3310,52 @@ LIMIT {size}
         return _compile_auto_date_histogram(
             index, b, metrics, where, key, dialect
         )
+    if kind == "geotile_grid":
+        # ES geotile_grid: map-tile buckets keyed "z/x/y" (the slippy-
+        # map scheme Kibana maps request). The tile indices are pure
+        # floor arithmetic over web-mercator projection — one GROUP BY
+        # on a derived string key, top-N by doc_count, metrics compose
+        # as on terms. Scale shape: identical to a terms agg (partial
+        # agg -> TakeOrdered); precision bounds the key cardinality at
+        # 4^z regardless of row count.
+        if pipelines or rowlocal:
+            raise ValueError(
+                "es_dsl: pipeline aggs under geotile_grid are unsupported"
+            )
+        bad = set(b) - {"field", "precision", "size"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported geotile_grid keys {sorted(bad)}"
+            )
+        z = b.get("precision", 7)
+        if not isinstance(z, int) or isinstance(z, bool) or not 0 <= z <= 29:
+            raise ValueError(
+                "es_dsl: geotile_grid precision must be an int in [0, 29]"
+            )
+        lat, lon = _geo_cols(b["field"])
+        n = 2 ** z
+        sv = "string" if dialect == "spark" else "varchar"
+        xe = (
+            f"least(greatest(cast(floor(({lon} + 180.0) / 360.0 * {n})"
+            f" AS BIGINT), 0), {n - 1})"
+        )
+        ye = (
+            f"least(greatest(cast(floor((1.0 - ln(tan(radians({lat}))"
+            f" + 1.0 / cos(radians({lat}))) / pi()) / 2.0 * {n})"
+            f" AS BIGINT), 0), {n - 1})"
+        )
+        key_expr = (
+            f"concat('{z}/', cast({xe} AS {sv}), '/', cast({ye} AS {sv}))"
+        )
+        size = int(b.get("size", 10000))
+        return f"""
+SELECT {key_expr} AS {key}, count(*) AS doc_count{metrics}
+FROM {_ident(index)}
+WHERE ({where}) AND {lat} IS NOT NULL AND {lon} IS NOT NULL
+GROUP BY {key_expr}
+ORDER BY doc_count DESC, {key} ASC
+LIMIT {size}
+"""
     if kind == "rare_terms":
         # ES rare_terms: the long tail — buckets whose doc_count is at
         # most max_doc_count, ordered rarest first. No size param (the
@@ -3028,7 +3832,7 @@ ORDER BY {key} ASC
 _SCRIPT_TOKEN = re.compile(
     r"\s*(doc\['[A-Za-z_][A-Za-z0-9_]*'\]\.value"
     r"|params\.[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+"
-    r"|&&|\|\||==|!=|>=|<=|[-+*/()><!])"
+    r"|&&|\|\||==|!=|>=|<=|[-+*/()><!%])"
 )
 
 
@@ -3105,7 +3909,9 @@ def _compile_script(script, params: dict[str, str], what: str,
 
     def mul() -> str:
         e = atom()
-        while peek() in ("*", "/"):
+        # % is Painless (and SQL) modulo — dividend-sign semantics in
+        # both target dialects, so the translation is literal
+        while peek() in ("*", "/", "%"):
             e = f"{e} {take()} {atom()}"
         return e
 
@@ -4783,6 +5589,186 @@ FUNCTION_SCORE_BODY = {
     "_source": ["doc_id", "lang", "n_chars"],
 }
 
+FS_DECAY_BODY = {
+    # "relevant AND recent": BM25 over the match, exp-decayed by the
+    # event's age from an explicit origin (never "now" — deterministic
+    # origins are what make recency boosting oracle-checkable). The
+    # decay constants fold to literals at compile time, so the curve
+    # is identical IEEE arithmetic in both engines.
+    "query": {"function_score": {
+        "query": {"match": {"event_type": "click"}},
+        "exp": {"ts": {
+            "origin": "2024-06-01 00:00:00", "scale": "30d",
+            "decay": 0.5,
+        }},
+    }},
+    "size": 25,
+    "_source": ["event_id", "ts"],
+}
+
+FS_FUNCTIONS_BODY = {
+    # the full function_score shape real relevance-tuning bodies use:
+    # a functions array where each entry is gated by a filter and
+    # weighted, combined by score_mode, capped by max_boost, applied
+    # by boost_mode — "boost English docs near the target length,
+    # slightly prefer shorter docs everywhere"
+    "query": {"function_score": {
+        "query": {"match": {"text": "table scan fast"}},
+        "functions": [
+            {"filter": {"term": {"lang": "en"}}, "weight": 2,
+             "linear": {"n_chars": {
+                 "origin": 400, "scale": 400, "decay": 0.5,
+             }}},
+            {"exp": {"n_chars": {"origin": 0, "scale": 1000}},
+             "weight": 0.5},
+        ],
+        "score_mode": "sum",
+        "boost_mode": "multiply",
+        "max_boost": 3,
+    }},
+    "size": 20,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
+SCRIPT_SCORE_BODY = {
+    # custom ranking formula: saturation-damped length prior times the
+    # BM25 score, written in the Painless-lite expression grammar
+    # (doc[...] refs + params + _score); min_score drops the tail
+    "query": {"function_score": {
+        "query": {"match": {"text": "table scan"}},
+        "script_score": {"script": {
+            "source": "_score * (params.w / (params.w"
+                      " + doc['n_chars'].value))",
+            "params": {"w": 500},
+        }},
+        "boost_mode": "replace",
+        "min_score": 0.1,
+    }},
+    "size": 20,
+    "_source": ["doc_id", "n_chars"],
+}
+
+RANDOM_SCORE_BODY = {
+    # seeded deterministic shuffle of the match hits — ES's A/B-test /
+    # result-rotation idiom; the engine renders it over its
+    # md5-uniform primitive so the permutation is cross-engine stable
+    "query": {"function_score": {
+        "query": {"match": {"text": "table"}},
+        "random_score": {"seed": 42, "field": "doc_id"},
+        "boost_mode": "replace",
+    }},
+    "size": 15,
+    "_source": ["doc_id"],
+}
+
+RANK_FEATURE_BODY = {
+    # static-signal ranking: saturation-damped document length with an
+    # EXPLICIT pivot (the ES default pivot is a corpus statistic —
+    # non-deterministic under ingestion, so this compiler requires it)
+    "query": {"rank_feature": {
+        "field": "n_chars",
+        "saturation": {"pivot": 500},
+        "boost": 2,
+    }},
+    "size": 15,
+    "_source": ["doc_id", "n_chars"],
+}
+
+DISTANCE_FEATURE_BODY = {
+    # freshness ranking: nearest events to an explicit instant, scored
+    # pivot/(pivot+|ts-origin|) over microsecond-exact epochs
+    "query": {"distance_feature": {
+        "field": "ts",
+        "origin": "2024-01-15 12:00:00",
+        "pivot": "12h",
+    }},
+    "size": 12,
+    "_source": ["event_id", "ts"],
+}
+
+COMBINED_FIELDS_BODY = {
+    # term-centric BM25 over text+source merged into ONE synthetic
+    # field (tf and length SUM across fields before scoring — the
+    # semantics that distinguishes combined_fields from multi_match)
+    "query": {"combined_fields": {
+        "query": "table wiki",
+        "fields": ["text", "source"],
+    }},
+    "size": 15,
+    "_source": ["doc_id", "source"],
+}
+
+INTERVALS_BODY = {
+    # positional proximity: 'table' then 'scan' with at most 3 tokens
+    # between — one regex over the analyzed token string, exact
+    # interval semantics, evaluated inside the scan (map-only)
+    "query": {"intervals": {"text": {"match": {
+        "query": "table scan", "max_gaps": 3, "ordered": True,
+    }}}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 500,
+    "_source": ["doc_id", "lang"],
+}
+
+SPAN_NEAR_BODY = {
+    # the classic Lucene span query: two terms within slop 2 in either
+    # order, composed under a bool filter with a term clause — spans
+    # are ordinary predicates here, so they compose anywhere a query
+    # clause can appear
+    "query": {"bool": {"filter": [
+        {"term": {"lang": "en"}},
+        {"span_near": {
+            "clauses": [{"span_term": {"text": "fast"}},
+                        {"span_term": {"text": "merge"}}],
+            "slop": 2, "in_order": False,
+        }},
+    ]}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 500,
+    "_source": ["doc_id", "lang"],
+}
+
+# the geo bodies derive the loc_lat/loc_lon point columns from the
+# fixture's integer keys via runtime_mappings (the % operator joined
+# the Painless-lite grammar for exactly this) — deterministic points,
+# so every geo kernel is oracle-checkable
+_GEO_RM = {
+    "loc_lat": {"type": "double",
+                "script": {"source": "emit(doc['user_id'].value"
+                                     " % 120 - 60)"}},
+    "loc_lon": {"type": "double",
+                "script": {"source": "emit(doc['event_id'].value"
+                                     " % 300 - 150)"}},
+}
+
+GEO_DISTANCE_BODY = {
+    # "events within 2000 km of the origin" — haversine over the ES
+    # mean earth radius, evaluated inside the scan
+    "runtime_mappings": _GEO_RM,
+    "query": {"geo_distance": {
+        "distance": "2000km", "loc": {"lat": 10, "lon": 20},
+    }},
+    "sort": [{"event_id": "asc"}],
+    "size": 300,
+    "_source": ["event_id", "loc_lat", "loc_lon"],
+}
+
+GEOTILE_GRID_BODY = {
+    # the Kibana map request: slippy-map tile buckets with a centroid,
+    # a bounds envelope, and an ordinary metric per tile
+    "runtime_mappings": _GEO_RM,
+    "query": {"term": {"event_type": "click"}},
+    "aggs": {"tiles": {
+        "geotile_grid": {"field": "loc", "precision": 3, "size": 12},
+        "aggs": {
+            "centroid": {"geo_centroid": {"field": "loc"}},
+            "bounds": {"geo_bounds": {"field": "loc"}},
+            "v_avg": {"avg": {"field": "value"}},
+        },
+    }},
+    "size": 0,
+}
+
 TOP_METRICS_BODY = {
     # "the latest reading per host": per event type, the value on the
     # newest event, beside ordinary metrics — composable, unlike
@@ -5586,6 +6572,62 @@ def registry() -> dict[str, dict]:
             "fn": _entry("events", MOVING_PERCENTILES_BODY, "event_id"),
             "oracle": compile_search(
                 "events", MOVING_PERCENTILES_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_function_score_decay": {
+            "fn": _entry("events", FS_DECAY_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", FS_DECAY_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_function_score_functions": {
+            "fn": _entry("documents", FS_FUNCTIONS_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", FS_FUNCTIONS_BODY, "duck"
+            ),
+        },
+        "es_dsl_script_score": {
+            "fn": _entry("documents", SCRIPT_SCORE_BODY, "doc_id"),
+            "oracle": compile_search("documents", SCRIPT_SCORE_BODY, "duck"),
+        },
+        "es_dsl_random_score": {
+            "fn": _entry("documents", RANDOM_SCORE_BODY, "doc_id"),
+            "oracle": compile_search("documents", RANDOM_SCORE_BODY, "duck"),
+        },
+        "es_dsl_rank_feature": {
+            "fn": _entry("documents", RANK_FEATURE_BODY, "doc_id"),
+            "oracle": compile_search("documents", RANK_FEATURE_BODY, "duck"),
+        },
+        "es_dsl_distance_feature": {
+            "fn": _entry("events", DISTANCE_FEATURE_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", DISTANCE_FEATURE_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_combined_fields": {
+            "fn": _entry("documents", COMBINED_FIELDS_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", COMBINED_FIELDS_BODY, "duck"
+            ),
+        },
+        "es_dsl_intervals": {
+            "fn": _entry("documents", INTERVALS_BODY, "doc_id"),
+            "oracle": compile_search("documents", INTERVALS_BODY, "duck"),
+        },
+        "es_dsl_span_near": {
+            "fn": _entry("documents", SPAN_NEAR_BODY, "doc_id"),
+            "oracle": compile_search("documents", SPAN_NEAR_BODY, "duck"),
+        },
+        "es_dsl_geo_distance": {
+            "fn": _entry("events", GEO_DISTANCE_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", GEO_DISTANCE_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_geotile_grid": {
+            "fn": _entry("events", GEOTILE_GRID_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", GEOTILE_GRID_BODY, "duck", "event_id"
             ),
         },
     }

@@ -74,7 +74,28 @@ that decides those 50 slots:
   batch 16 — es_dsl_suggest_term / suggest_completion, the suggest
   API (spell correction and prefix autocomplete over the corpus
   vocabulary); batch 17 — es_termvectors, the per-document
-  term-vector read verb — each batch returning three
+  term-vector read verb; batch 18 — the function_score
+  generalization (es_dsl_function_score_decay — gauss/exp/linear
+  recency curves with compile-time-folded constants;
+  es_dsl_function_score_functions — the filtered/weighted functions
+  array with score_mode/max_boost; es_dsl_script_score — the
+  Painless-lite custom-formula path reading doc fields + params +
+  _score; es_dsl_random_score — the seeded md5-uniform deterministic
+  shuffle); batch 19 — the static-signal ranking primitives
+  (es_dsl_rank_feature — saturation/log/sigmoid/linear with explicit
+  pivots; es_dsl_distance_feature — freshness/proximity over
+  microsecond-exact epochs; es_dsl_combined_fields — term-centric
+  BM25 over a merged synthetic field); batch 20 — positional
+  proximity as ordinary predicates (es_dsl_intervals — gap-bounded
+  interval matching; es_dsl_span_near — Lucene spans composed under
+  bool); batch 21 — geo (es_dsl_geo_distance — haversine circles
+  over the f_lat/f_lon point convention, runtime_mappings-derived;
+  es_dsl_geotile_grid — Kibana map tiles with geo_centroid/geo_bounds
+  metrics; % joins the Painless-lite grammar for the point
+  derivation). The r10 window filled at batch 19, so later-registered
+  entries carry the r11 label (front-scheduled next round — within
+  the policy's 2-round bound; meanwhile the in-repo sf0.01
+  differential gate covers them every test run) — each batch returning
   more re-rotations to the pool (the window's whole re-rotation
   cohort shares r04 evidence, so eviction order among equals is
   immaterial))), then pure oldest-evidence
@@ -143,25 +164,25 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'customers_abc_pareto': (7, 'integer-exact', None),
     'customers_gini_by_nation': (6, 'float-stat', None),
     'date_functions': (5, 'verified', None),
-    'decontam_benchmark_overlap': (4, 'verified', 'r10'),
+    'decontam_benchmark_overlap': (4, 'verified', None),
     'dedup_audio_fingerprint': (7, 'integer-exact', None),
     'dedup_cluster_size_stats': (7, 'integer-exact', None),
     'dedup_components': (5, 'verified', None),
     'dedup_containment': (7, 'integer-exact', None),
-    'dedup_exact': (4, 'verified', 'r10'),
+    'dedup_exact': (4, 'verified', None),
     'dedup_image_phash': (7, 'integer-exact', None),
     'dedup_incremental_batch': (7, 'integer-exact', None),
     'dedup_keep_best': (5, 'verified', None),
     'dedup_lsh_bucket_stats': (7, 'integer-exact', None),
     'dedup_minhash_estimate_eval': (6, 'float-stat', None),
-    'dedup_minhash_lsh': (4, 'verified', 'r10'),
+    'dedup_minhash_lsh': (4, 'verified', None),
     'dedup_modality_agreement': (7, 'integer-exact', None),
     'dedup_ngram_jaccard': (5, 'verified', None),
     'dedup_normalized': (5, 'verified', None),
     'dedup_prefix_filter_jaccard': (7, 'integer-exact', None),
     'dedup_remap_to_canonical': (7, 'integer-exact', None),
-    'dedup_semantic_survivors': (4, 'verified', 'r10'),
-    'dedup_simhash': (4, 'verified', 'r10'),
+    'dedup_semantic_survivors': (4, 'verified', None),
+    'dedup_simhash': (4, 'verified', None),
     'dedup_simhash_pairs': (7, 'integer-exact', None),
     'dedup_span_coverage': (5, 'verified', None),
     'dedup_split_leakage': (7, 'integer-exact', None),
@@ -247,6 +268,17 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_suggest_completion': (None, 'unclassified', 'r10'),
     'es_dsl_suggest_term': (None, 'unclassified', 'r10'),
     'es_dsl_string_stats_boxplot': (None, 'unclassified', 'r10'),
+    'es_dsl_function_score_decay': (None, 'unclassified', 'r10'),
+    'es_dsl_function_score_functions': (None, 'unclassified', 'r10'),
+    'es_dsl_script_score': (None, 'unclassified', 'r10'),
+    'es_dsl_random_score': (None, 'unclassified', 'r11'),
+    'es_dsl_rank_feature': (None, 'unclassified', 'r10'),
+    'es_dsl_distance_feature': (None, 'unclassified', 'r10'),
+    'es_dsl_combined_fields': (None, 'unclassified', 'r11'),
+    'es_dsl_intervals': (None, 'unclassified', 'r11'),
+    'es_dsl_span_near': (None, 'unclassified', 'r11'),
+    'es_dsl_geo_distance': (None, 'unclassified', 'r11'),
+    'es_dsl_geotile_grid': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),
@@ -485,11 +517,11 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_dsl_suggest_term',
     'es_dsl_suggest_completion',
     'es_termvectors',
-    'decontam_benchmark_overlap',
-    'dedup_exact',
-    'dedup_minhash_lsh',
-    'dedup_semantic_survivors',
-    'dedup_simhash',
+    'es_dsl_function_score_decay',
+    'es_dsl_function_score_functions',
+    'es_dsl_script_score',
+    'es_dsl_rank_feature',
+    'es_dsl_distance_feature',
 )
 
 def scheduled(window: str) -> list[str]:

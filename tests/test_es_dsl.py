@@ -179,7 +179,10 @@ def test_unsupported_dsl_raises_loudly():
         # a like clause still fails loudly, just deeper in
         ({"query": {"more_like_this": {"fields": ["text"]}}},
          "free text or"),
-        ({"query": {"span_near": {}}}, "unsupported query clause"),
+        # span_near is SUPPORTED since batch 20 — an empty body still
+        # fails loudly, just deeper in
+        ({"query": {"span_near": {}}}, "wants >= 2 clauses"),
+        ({"query": {"span_first": {}}}, "unsupported query clause"),
         ({"query": {"bool": {"boost": 2}}}, "unsupported bool keys"),
         ({"query": {"match": {"text": "  "}}}, "empty query string"),
         # suggest is SUPPORTED since batch 16 — an empty suggest body
@@ -300,7 +303,7 @@ def test_es_search_gateway_api(spark, tables, sf_dir):
     with pytest.raises(ParamsNullError):
         es_search_df(spark, "documents", None)
     with pytest.raises(ValueError, match="unsupported query clause"):
-        es_search_df(spark, "documents", {"query": {"span_near": {}}})
+        es_search_df(spark, "documents", {"query": {"span_first": {}}})
 
 
 def test_nested_terms_bucket_semantics(tiny):
@@ -1081,7 +1084,7 @@ def test_es_msearch_gateway(spark, tables, sf_dir):
     with pytest.raises(ValueError, match="unsupported query clause"):
         es_msearch(spark, [
             ("documents", {"query": {"term": {"lang": "en"}}}),
-            ("documents", {"query": {"span_near": {}}}),
+            ("documents", {"query": {"span_first": {}}}),
         ])
     with pytest.raises(ParamsNullError):
         es_msearch(spark, [("documents", None)])
@@ -2148,9 +2151,11 @@ def test_function_score_field_value_factor(tiny):
             "query": {"term": {"lang": "en"}},
             "field_value_factor": {"field": "n"}}}},
          "needs a match/multi_match"),
+        # the generalized compiler (batch 17) asks for any function,
+        # not field_value_factor specifically
         ({"query": {"function_score": {
             "query": {"match": {"text": "alpha"}}}}},
-         "field_value_factor only"),
+         "needs a score function or a weight"),
         ({"query": {"function_score": {
             "query": {"match": {"text": "alpha"}},
             "field_value_factor": {"field": "n"},
@@ -2169,6 +2174,525 @@ def test_function_score_field_value_factor(tiny):
     ]:
         with pytest.raises(ValueError, match=msg):
             compile_search("docs", body, "duck")
+
+
+# --- r10 batch 17: function_score generalization ------------------------------
+
+
+def test_function_score_decay_curves(tiny):
+    """gauss/exp/linear all score 1.0 at the origin and EXACTLY
+    `decay` at distance = scale (the defining property of the ES decay
+    parameterization), monotone non-increasing in distance."""
+    for kind in ("gauss", "exp", "linear"):
+        body = {"query": {"function_score": {
+            "query": {"match": {"text": "alpha"}},
+            kind: {"n": {"origin": 10, "scale": 30, "decay": 0.5}},
+            "boost_mode": "replace",
+        }}, "_source": ["doc_id", "n"], "size": 10}
+        rows = tiny.execute(_search(body)).fetchall()
+        scores = {n: s for _, n, s in rows}
+        assert set(scores) == {10, 40, 50, 80}  # match 'alpha' hit set
+        assert scores[10] == 1.0, kind          # at the origin
+        assert abs(scores[40] - 0.5) <= 5e-5, kind  # at distance=scale
+        ns = sorted(scores)
+        assert all(
+            scores[a] >= scores[b] for a, b in zip(ns, ns[1:])
+        ), kind
+
+
+def test_function_score_decay_offset(tiny):
+    """offset widens the flat top: every point within origin±offset
+    scores 1.0; decay starts beyond it."""
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "alpha"}},
+        "gauss": {"n": {"origin": 10, "scale": 30, "offset": 30,
+                        "decay": 0.5}},
+        "boost_mode": "replace",
+    }}, "_source": ["doc_id", "n"], "size": 10}
+    scores = {n: s for _, n, s in tiny.execute(_search(body)).fetchall()}
+    assert scores[10] == 1.0 and scores[40] == 1.0  # inside the top
+    assert scores[50] < 1.0                          # dist 40 > offset
+
+
+def test_function_score_functions_array(tiny):
+    """functions array: per-entry filter gating (non-matching entries
+    contribute nothing), score_mode sum, the no-entry-matches -> 1
+    semantics, and the max_boost cap."""
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "alpha"}},
+        "functions": [
+            {"filter": {"term": {"lang": "en"}}, "weight": 3},
+            {"filter": {"term": {"lang": "fr"}}, "weight": 5},
+        ],
+        "score_mode": "sum",
+        "boost_mode": "replace",
+        "max_boost": 4,
+    }}, "_source": ["doc_id", "lang"], "size": 10}
+    rows = tiny.execute(_search(body)).fetchall()
+    by_id = {r[0]: r[2] for r in rows}
+    assert by_id[1] == 3.0 and by_id[8] == 3.0   # en entry applies
+    assert by_id[5] == 4.0                        # fr 5 capped at 4
+    assert by_id[4] == 1.0                        # de: none match -> 1
+
+
+def test_function_score_script_and_random(tiny):
+    """script_score reads doc fields + params + _score through the
+    Painless-lite grammar; random_score is the seeded md5-uniform
+    permutation, recomputable bit-for-bit outside the engine."""
+    import hashlib
+
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "alpha"}},
+        "script_score": {"script": {
+            "source": "doc['n'].value / params.d + 0 * _score",
+            "params": {"d": 20},
+        }},
+        "boost_mode": "replace",
+    }}, "_source": ["doc_id", "n"], "size": 10}
+    rows = tiny.execute(_search(body)).fetchall()
+    for _, n, s in rows:
+        assert s == round(n / 20, 4)
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": "alpha"}},
+        "random_score": {"seed": 42, "field": "doc_id"},
+        "boost_mode": "replace",
+    }}, "_source": ["doc_id"], "size": 10}
+    rows = tiny.execute(_search(body)).fetchall()
+    assert rows == tiny.execute(_search(body)).fetchall()  # deterministic
+    for doc_id, s in rows:
+        h = hashlib.md5(f"42:{doc_id}".encode()).hexdigest()
+        assert s == round(int(h[:4], 16) / 65536, 4)
+        assert 0 <= s < 1
+
+
+def test_function_score_min_score(tiny):
+    """min_score drops hits below the final (post-function) score."""
+    base = {"query": {"function_score": {
+        "query": {"match": {"text": "alpha"}},
+        "field_value_factor": {"field": "n"},
+        "boost_mode": "replace",
+    }}, "_source": ["doc_id", "n"], "size": 10}
+    all_rows = tiny.execute(_search(base)).fetchall()
+    base["query"]["function_score"]["min_score"] = 45
+    kept = tiny.execute(_search(base)).fetchall()
+    assert {r[0] for r in kept} == {
+        r[0] for r in all_rows if r[2] >= 45
+    } and len(kept) < len(all_rows)
+
+
+def test_function_score_generalized_rejections(tiny):
+    q = {"match": {"text": "alpha"}}
+    for body, msg in [
+        ({"query": {"function_score": {"query": q,
+            "gauss": {"n": {"origin": 1, "scale": 2, "pivot": 3}}}}},
+         r"unsupported gauss decay keys \['pivot'\]"),
+        ({"query": {"function_score": {"query": q,
+            "exp": {"n": {"origin": 1, "scale": 2, "decay": 1.5}}}}},
+         r"decay must be a number in \(0, 1\)"),
+        ({"query": {"function_score": {"query": q,
+            "linear": {"n": {"origin": 1}}}}},
+         r"linear decay requires \['scale'\]"),
+        ({"query": {"function_score": {"query": q,
+            "gauss": {"ts": {"origin": "now-7d", "scale": "7d"}}}}},
+         "bad decay origin"),
+        ({"query": {"function_score": {"query": q,
+            "gauss": {"ts": {"origin": "2024-01-01", "scale": "7x"}}}}},
+         "wants a duration"),
+        ({"query": {"function_score": {"query": q,
+            "weight": 2, "score_mode": "sum"}}},
+         "score_mode needs a functions array"),
+        ({"query": {"function_score": {"query": q, "weight": 2,
+            "functions": [{"weight": 3}]}}},
+         "functions OR a shorthand"),
+        ({"query": {"function_score": {"query": q,
+            "functions": [{"filter": {"term": {"lang": "en"}}}]}}},
+         "needs a score function or a weight"),
+        ({"query": {"function_score": {"query": q,
+            "functions": [{"weight": 1, "gauss": {"n": {
+                "origin": 1, "scale": 2}}, "exp": {"n": {
+                "origin": 1, "scale": 2}}}]}}},
+         "multiple score functions"),
+        ({"query": {"function_score": {"query": q,
+            "functions": [{"weight": 1}], "score_mode": "avg"}}},
+         "unsupported score_mode"),
+        ({"query": {"function_score": {"query": q,
+            "functions": [{"weight": 1, "boost": 2}]}}},
+         r"unsupported functions\[0\] keys"),
+        ({"query": {"function_score": {"query": q,
+            "random_score": {"seed": "x"}}}},
+         "seed must be an int"),
+        ({"query": {"function_score": {"query": q,
+            "script_score": {"script": {
+                "source": "Math.log(doc['n'].value)"}}}}},
+         "unsupported syntax"),
+        ({"query": {"function_score": {"query": q,
+            "script_score": {"script": {
+                "source": "params.a", "params": {"a": "s"}}}}}},
+         "must be numeric"),
+        ({"query": {"function_score": {"query": q,
+            "weight": 2, "min_score": "x"}}},
+         "min_score must be numeric"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", body, "duck")
+    # both dialects compile every registered batch-17 body
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        FS_DECAY_BODY, FS_FUNCTIONS_BODY, SCRIPT_SCORE_BODY,
+        RANDOM_SCORE_BODY,
+    )
+    for tbl, idf, b in [
+        ("events", "event_id", FS_DECAY_BODY),
+        ("docs", "doc_id", FS_FUNCTIONS_BODY),
+        ("docs", "doc_id", SCRIPT_SCORE_BODY),
+        ("docs", "doc_id", RANDOM_SCORE_BODY),
+    ]:
+        for dialect in ("spark", "duck"):
+            assert "SELECT" in compile_search(tbl, b, dialect, idf)
+
+
+# --- r10 batch 19: rank_feature / distance_feature / combined_fields ---------
+
+
+def test_rank_feature_functions(tiny):
+    """saturation = x/(x+pivot), log = ln(sf+x), sigmoid =
+    x^e/(x^e+p^e), linear = x — each boost-scaled, hits = rows where
+    the feature exists, ordered by score."""
+    import math
+
+    for spec, fn in [
+        ({"saturation": {"pivot": 40}}, lambda x: x / (x + 40)),
+        ({"log": {"scaling_factor": 1}}, lambda x: math.log(1 + x)),
+        ({"sigmoid": {"pivot": 40, "exponent": 2}},
+         lambda x: x * x / (x * x + 1600)),
+        ({"linear": {}}, lambda x: x),
+    ]:
+        body = {"query": {"rank_feature": {
+            "field": "n", "boost": 2, **spec,
+        }}, "_source": ["doc_id", "n"], "size": 10}
+        rows = tiny.execute(_search(body)).fetchall()
+        assert len(rows) == 8
+        for _, n, s in rows:
+            assert abs(s - 2 * fn(n)) <= 1e-6
+        # descending by score
+        assert [r[2] for r in rows] == sorted(
+            (r[2] for r in rows), reverse=True
+        )
+
+
+def test_distance_feature_numeric(tiny):
+    """pivot/(pivot+|x-origin|): the closest doc to the origin wins,
+    score 1.0 at the origin exactly."""
+    body = {"query": {"distance_feature": {
+        "field": "n", "origin": 30, "pivot": 10,
+    }}, "_source": ["doc_id", "n"], "size": 10}
+    rows = tiny.execute(_search(body)).fetchall()
+    by_n = {n: s for _, n, s in rows}
+    assert by_n[30] == 1.0
+    assert abs(by_n[40] - 0.5) <= 1e-6      # dist 10 = pivot -> 1/2
+    assert abs(by_n[10] - 1 / 3) <= 1e-6    # dist 20 -> 10/30
+    assert rows[0][1] == 30
+
+
+def test_combined_fields_merges_tf_and_length(tiny):
+    """combined_fields sums tf and length across fields BEFORE
+    scoring: a term split across text and source scores as one
+    merged field (doc 5 'gamma beta alpha'+'a_c' vs multi_match which
+    would score the fields separately)."""
+    body = {"query": {"combined_fields": {
+        "query": "alpha beta", "fields": ["text", "source"],
+    }}, "_source": ["doc_id"], "size": 10}
+    rows = tiny.execute(_search(body)).fetchall()
+    ids = {r[0] for r in rows}
+    assert ids == {1, 2, 4, 5, 8}  # docs with alpha or beta in either
+    # equivalent by construction: match over the concatenation
+    concat = tiny.execute(
+        """
+        SELECT doc_id FROM docs
+        WHERE list_contains(string_split_regex(
+                lower(trim(concat_ws(' ', coalesce(text, ''),
+                                     coalesce(source, '')))), '\\s+'),
+              'alpha')
+           OR list_contains(string_split_regex(
+                lower(trim(concat_ws(' ', coalesce(text, ''),
+                                     coalesce(source, '')))), '\\s+'),
+              'beta')
+        """
+    ).fetchall()
+    assert ids == {r[0] for r in concat}
+
+
+def test_feature_query_rejections(tiny):
+    for body, msg in [
+        ({"query": {"rank_feature": {"field": "n"}}},
+         "exactly one of saturation"),
+        ({"query": {"rank_feature": {"field": "n",
+            "saturation": {}}}}, "explicit.*pivot|requires an explicit"),
+        ({"query": {"rank_feature": {"field": "n",
+            "saturation": {"pivot": -1}}}}, "positive number"),
+        ({"query": {"rank_feature": {"field": "n",
+            "saturation": {"pivot": 5}, "log": {"scaling_factor": 1}}}},
+         "exactly one of"),
+        ({"query": {"rank_feature": {"field": "n",
+            "saturation": {"pivot": 5}}},
+          "sort": [{"n": "asc"}]}, "scored context only"),
+        ({"query": {"distance_feature": {"field": "n", "origin": 1}}},
+         r"distance_feature requires \['pivot'\]"),
+        ({"query": {"distance_feature": {"field": "ts",
+            "origin": "now", "pivot": "1d"}}}, "bad distance_feature origin"),
+        ({"query": {"distance_feature": {"field": "n",
+            "origin": 1, "pivot": 0}}}, "positive number"),
+        ({"query": {"combined_fields": {"query": "x"}}},
+         r"combined_fields requires \['fields'\]"),
+        ({"query": {"combined_fields": {"query": "x",
+            "fields": ["text"]}}}, "requires an explicit _source list"),
+        ({"query": {"combined_fields": {"query": "x", "fields": ["text"],
+            "operator": "xor"}}, "_source": ["doc_id"]},
+         "bad combined_fields operator"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", body, "duck")
+    # both dialects compile every registered batch-19 body
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        RANK_FEATURE_BODY, DISTANCE_FEATURE_BODY, COMBINED_FIELDS_BODY,
+    )
+    for tbl, idf, b in [
+        ("docs", "doc_id", RANK_FEATURE_BODY),
+        ("events", "event_id", DISTANCE_FEATURE_BODY),
+        ("docs", "doc_id", COMBINED_FIELDS_BODY),
+    ]:
+        for dialect in ("spark", "duck"):
+            assert "SELECT" in compile_search(tbl, b, dialect, idf)
+
+
+# --- r10 batch 20: intervals / span_near proximity ---------------------------
+
+
+def test_intervals_gap_semantics(tiny):
+    """max_gaps counts tokens BETWEEN the two terms: 'Alpha Beta
+    Gamma' has alpha->gamma gap 1; ordered requires direction."""
+    def hits(gaps, ordered, q="alpha gamma"):
+        return set(_ids(tiny, _search({
+            "query": {"intervals": {"text": {"match": {
+                "query": q, "max_gaps": gaps, "ordered": ordered,
+            }}}},
+            "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"],
+        })))
+
+    assert hits(0, True) == set()          # never adjacent in order
+    assert hits(1, True) == {1}            # alpha _ gamma (doc 1)
+    # unordered adds doc 5 'gamma beta alpha' (gap 1, reversed)
+    assert hits(1, False) == {1, 5}
+    assert hits(0, False) == set()
+    # unbounded ordered subsequence, three terms
+    three = set(_ids(tiny, _search({
+        "query": {"intervals": {"text": {"match": {
+            "query": "alpha beta gamma", "ordered": True,
+        }}}},
+        "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"],
+    })))
+    assert three == {1}                    # only doc 1 has the order
+    # unbounded unordered = all-terms containment
+    anyorder = set(_ids(tiny, _search({
+        "query": {"intervals": {"text": {"match": {
+            "query": "alpha beta gamma", "ordered": False,
+        }}}},
+        "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"],
+    })))
+    assert anyorder == {1, 5}
+
+
+def test_span_near_slop_and_composition(tiny):
+    """slop 0 = adjacency; spans compose as ordinary predicates
+    inside bool."""
+    adjacent = set(_ids(tiny, _search({
+        "query": {"span_near": {
+            "clauses": [{"span_term": {"text": "beta"}},
+                        {"span_term": {"text": "gamma"}}],
+            "slop": 0, "in_order": True,
+        }},
+        "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"],
+    })))
+    assert adjacent == {1, 2}  # 'Alpha Beta Gamma', 'beta gamma delta'
+    composed = set(_ids(tiny, _search({
+        "query": {"bool": {"filter": [
+            {"term": {"lang": "en"}},
+            {"span_near": {
+                "clauses": [{"span_term": {"text": "beta"}},
+                            {"span_term": {"text": "gamma"}}],
+                "slop": 0,
+            }},
+        ]}},
+        "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"],
+    })))
+    assert composed == {1, 2}  # both already en
+    reversed_only = set(_ids(tiny, _search({
+        "query": {"span_near": {
+            "clauses": [{"span_term": {"text": "gamma"}},
+                        {"span_term": {"text": "beta"}}],
+            "slop": 0, "in_order": True,
+        }},
+        "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"],
+    })))
+    assert reversed_only == {5}  # 'gamma beta alpha'
+
+
+def test_proximity_rejections(tiny):
+    for body, msg in [
+        ({"query": {"intervals": {"text": {"all_of": {}}}}},
+         "unsupported intervals rule"),
+        ({"query": {"intervals": {"text": {"match": {
+            "query": "a b c", "max_gaps": 2}}}}},
+         "supports exactly 2 terms"),
+        ({"query": {"intervals": {"text": {"match": {
+            "query": "solo"}}}}}, "wants >= 2 terms"),
+        ({"query": {"intervals": {"text": {"match": {
+            "query": "a .*", "max_gaps": 1}}}}},
+         r"must analyze to a plain \[a-z0-9\]\+ token"),
+        ({"query": {"intervals": {"text": {"match": {
+            "query": "a b", "max_gaps": -2}}}}},
+         "max_gaps must be an int >= -1"),
+        ({"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}]}}}, "wants >= 2 clauses"),
+        ({"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}},
+            {"span_term": {"lang": "b"}}]}}},
+         "share one field"),
+        ({"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}},
+            {"span_first": {"text": "b"}}], "slop": 1}}},
+         "span_term only"),
+        ({"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}},
+            {"span_term": {"text": "b"}}], "slop": -1}}},
+         "slop must be an int >= 0"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", body, "duck")
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        INTERVALS_BODY, SPAN_NEAR_BODY,
+    )
+    for b in (INTERVALS_BODY, SPAN_NEAR_BODY):
+        for dialect in ("spark", "duck"):
+            assert "SELECT" in compile_search("docs", b, dialect)
+
+
+# --- r10 batch 21: geo ---------------------------------------------------------
+
+
+@pytest.fixture()
+def geo():
+    """Four hand-placed points: equator/prime-meridian, 1 degree
+    north, Paris-ish, Sydney-ish."""
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE pts AS SELECT * FROM (VALUES
+          (1, 0.0,    0.0,    'a'),
+          (2, 1.0,    0.0,    'a'),
+          (3, 48.85,  2.35,   'b'),
+          (4, -33.87, 151.21, 'b')
+        ) AS t(pid, loc_lat, loc_lon, tag)
+        """
+    )
+    return con
+
+
+def test_geo_distance_haversine(geo):
+    """1 degree of latitude is ~111.2 km on the ES mean-radius sphere:
+    a 112 km circle around the origin catches points 1+2, a 110 km
+    circle only point 1."""
+    def hits(dist):
+        return set(r[0] for r in geo.execute(compile_search("pts", {
+            "query": {"geo_distance": {
+                "distance": dist, "loc": {"lat": 0, "lon": 0}}},
+            "sort": [{"pid": "asc"}], "size": 10, "_source": ["pid"],
+        }, "duck", "pid")).fetchall())
+
+    assert hits("112km") == {1, 2}
+    assert hits("110km") == {1}
+    assert hits("20000km") == {1, 2, 3, 4}  # half circumference + slack
+
+
+def test_geo_bounding_box(geo):
+    body = {"query": {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 50, "lon": -1},
+        "bottom_right": {"lat": 0, "lon": 3},
+    }}}, "sort": [{"pid": "asc"}], "size": 10, "_source": ["pid"]}
+    ids = [r[0] for r in geo.execute(
+        compile_search("pts", body, "duck", "pid")).fetchall()]
+    assert ids == [1, 2, 3]
+
+
+def test_geotile_grid_keys(geo):
+    """Tile indices follow the slippy-map formulas: at z=1, lon >= 0
+    gives x=1; lat > 0 gives y=0, and the EQUATOR itself floors to
+    y=1 (the boundary row belongs to the southern tile — the same
+    convention ES's GeoTileUtils applies)."""
+    body = {"aggs": {"tiles": {
+        "geotile_grid": {"field": "loc", "precision": 1},
+        "aggs": {"c": {"geo_centroid": {"field": "loc"}}},
+    }}, "size": 0}
+    rows = geo.execute(compile_search("pts", body, "duck", "pid")).fetchall()
+    by_key = {r[0]: r for r in rows}
+    # strictly-north points 2 (lat 1) and 3 (Paris) -> tile 1/1/0
+    assert by_key["1/1/0"][1] == 2
+    # the origin (lat 0, boundary -> south) and Sydney -> tile 1/1/1
+    assert by_key["1/1/1"][1] == 2
+    # centroid of points 2, 3: lat (1+48.85)/2, lon (0+2.35)/2
+    assert abs(by_key["1/1/0"][2] - 24.925) <= 1e-6
+    assert abs(by_key["1/1/0"][3] - 1.175) <= 1e-6
+
+
+def test_geo_rejections(geo):
+    for body, msg in [
+        ({"query": {"geo_distance": {"distance": "12parsec",
+            "loc": {"lat": 0, "lon": 0}}}}, "bad distance"),
+        ({"query": {"geo_distance": {"loc": {"lat": 0, "lon": 0}}}},
+         "geo_distance wants"),
+        ({"query": {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 0, "lon": 0},
+            "bottom_right": {"lat": 10, "lon": 10}}}}},
+         "top_left.lat must be >="),
+        ({"query": {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 10, "lon": 20},
+            "bottom_right": {"lat": 0, "lon": -10}}}}},
+         "antimeridian"),
+        ({"query": {"geo_distance": {"distance": "1km",
+            "loc": {"lat": 91, "lon": 0}}}}, "out of range"),
+        ({"aggs": {"t": {"geotile_grid": {"field": "loc",
+            "precision": 30}}}, "size": 0},
+         r"precision must be an int in \[0, 29\]"),
+        ({"aggs": {"t": {"geotile_grid": {"field": "loc"},
+            "aggs": {"c": {"geo_centroid": {"field": "loc",
+                                            "wrap": 1}}}}}, "size": 0},
+         r"geo_centroid wants \{field\} only"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("pts", body, "duck", "pid")
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        GEO_DISTANCE_BODY, GEOTILE_GRID_BODY,
+    )
+    for b in (GEO_DISTANCE_BODY, GEOTILE_GRID_BODY):
+        for dialect in ("spark", "duck"):
+            assert "SELECT" in compile_search("events", b, dialect, "event_id")
+
+
+def test_script_grammar_modulo(tiny):
+    """% joined the Painless-lite grammar (geo point derivation uses
+    it): doc-value modulo in a runtime field round-trips."""
+    body = {
+        "runtime_mappings": {"bucket5": {
+            "type": "long",
+            "script": {"source": "emit(doc['n'].value % 50)"},
+        }},
+        "query": {"range": {"bucket5": {"gte": 10}}},
+        "sort": [{"doc_id": "asc"}], "size": 10,
+        "_source": ["doc_id", "bucket5"],
+    }
+    rows = tiny.execute(compile_search("docs", body, "duck")).fetchall()
+    assert {(r[0], r[1]) for r in rows} == {
+        (1, 10), (2, 20), (3, 30), (4, 40), (6, 10), (7, 20), (8, 30),
+    }
 
 
 def test_top_metrics_latest_per_bucket(tiny_val):

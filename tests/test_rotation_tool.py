@@ -180,9 +180,16 @@ def test_live_table_consistency():
         assert risk, name
     # steady-state: the never-checked backlog cleared in r08, so every
     # entry without evidence must be a THIS-round registration and must
-    # hold a window slot (net-new front-schedules the round it lands)
+    # hold a window slot (net-new front-schedules the round it lands) —
+    # OR, when a round registers more than 50 net-new entries, the
+    # overflow carries a FUTURE label so it front-schedules next round
+    # (the 2-round unchecked bound from the policy still holds)
     never = {n for n, (last, _, _) in r.ROTATION.items() if last is None}
-    assert never <= set(r.CURRENT_WINDOW)
+    in_window = never & set(r.CURRENT_WINDOW)
+    deferred = never - in_window
+    future = {f"r{int(cur[1:]) + i:02d}" for i in (1, 2)}
+    for name in deferred:
+        assert r.ROTATION[name][2] in future, (name, r.ROTATION[name])
 
 
 def test_docstring_window_recount_matches_correctness_files():
@@ -375,9 +382,14 @@ def test_r10_window_matches_executed_roll():
     # (1) the window IS the driver's first-50 slice of queries()
     assert names[:50] == w
     # (2) only this round's registrations lack capped evidence; they
-    # lead the window with the changed-kernel re-checks
+    # lead the window with the changed-kernel re-checks. When the
+    # round registers >50 net-new entries the overflow defers to the
+    # next round's label (still within the policy's 2-round bound).
     net_new = [n for n in names if not ev.get(n)]
-    taken = set(net_new) | set(_CHANGED_R10)
+    deferred = {n for n in net_new if n not in w}
+    for n in deferred:
+        assert r.ROTATION[n][2] == "r11", (n, r.ROTATION[n])
+    taken = (set(net_new) - deferred) | set(_CHANGED_R10)
     assert set(w[: len(taken)]) == taken
     # (3) the remaining slots are pure re-rotation, oldest first
     pool = sorted(
