@@ -139,12 +139,13 @@ def _one(d: dict, what: str) -> tuple:
     return next(iter(d.items()))
 
 
-def _query_expr(q: dict, dialect: str, id_field: str) -> str:
+def _query_expr(q: dict, dialect: str, id_field: str,
+                relations: dict | None = None) -> str:
     kind, body = _one(q, "query clause")
     if kind == "match_all":
         return "TRUE"
     if kind == "bool":
-        return _bool_expr(body, dialect, id_field)
+        return _bool_expr(body, dialect, id_field, relations)
     if kind == "term":
         f, v = _one(body, "term")
         if isinstance(v, dict):
@@ -520,6 +521,76 @@ def _query_expr(q: dict, dialect: str, id_field: str) -> str:
         return _proximity_pred(
             field, terms, slop, in_order, dialect, "span_near"
         )
+    if kind in ("has_child", "has_parent"):
+        # ES parent-child (the join field) relationally: the parent
+        # and child types are TABLES related by a declared key pair,
+        # and the query compiles to a semi-join — SELECT on one side
+        # gated by an IN-subquery on the other. min/max_children add a
+        # GROUP BY + HAVING on the child key first (aggregate BEFORE
+        # the join, the partial-agg-friendly shape). score_mode none
+        # only: scored parent-child needs the child scores joined into
+        # the parent ranking, which this filter context doesn't carry.
+        rels = relations or {}
+        if kind == "has_child":
+            bad = set(body) - {"type", "query", "min_children",
+                               "max_children", "score_mode"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported has_child keys {sorted(bad)}"
+                )
+            rel_name = body.get("type")
+        else:
+            bad = set(body) - {"parent_type", "query", "score_mode"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported has_parent keys {sorted(bad)}"
+                )
+            rel_name = body.get("parent_type")
+        if body.get("score_mode", "none") != "none":
+            raise ValueError(
+                "es_dsl: has_child/has_parent support score_mode none "
+                "only (filter context)"
+            )
+        rel = rels.get(rel_name)
+        if rel is None:
+            raise ValueError(
+                f"es_dsl: {kind} type {rel_name!r} has no declared "
+                "relation (pass relations={type: {table, parent_key, "
+                "child_key}} to compile_search)"
+            )
+        table = _ident(rel["table"])
+        pk, ck = _ident(rel["parent_key"]), _ident(rel["child_key"])
+        inner = _query_expr(
+            body.get("query", {"match_all": {}}), dialect,
+            rel.get("id_field", id_field), relations,
+        )
+        if kind == "has_parent":
+            # current index is the CHILD side: keep rows whose parent
+            # (in rel.table, keyed parent_key) matches the inner query
+            return (
+                f"{ck} IN (SELECT {pk} FROM {table}\n"
+                f"    WHERE {inner})"
+            )
+        min_c = body.get("min_children", 1)
+        max_c = body.get("max_children")
+        for v, what in ((min_c, "min_children"), (max_c, "max_children")):
+            if v is not None and (
+                not isinstance(v, int) or isinstance(v, bool) or v < 1
+            ):
+                raise ValueError(f"es_dsl: {what} must be an int >= 1")
+        if min_c == 1 and max_c is None:
+            return (
+                f"{pk} IN (SELECT {ck} FROM {table}\n"
+                f"    WHERE {inner})"
+            )
+        having = f"count(*) >= {min_c}"
+        if max_c is not None:
+            having += f" AND count(*) <= {max_c}"
+        return (
+            f"{pk} IN (SELECT {ck} FROM {table}\n"
+            f"    WHERE {inner}\n"
+            f"    GROUP BY {ck} HAVING {having})"
+        )
     if kind == "geo_bounding_box":
         f, box = _one(body, "geo_bounding_box")
         lat, lon = _geo_cols(f)
@@ -684,7 +755,8 @@ def _proximity_pred(
     ) + ")"
 
 
-def _bool_expr(body: dict, dialect: str, id_field: str) -> str:
+def _bool_expr(body: dict, dialect: str, id_field: str,
+               relations: dict | None = None) -> str:
     """ES bool semantics: must/filter AND, must_not AND NOT, should
     with minimum_should_match defaulting to 1 when there is no
     must/filter and 0 otherwise (pure scoring — dropped, since this is
@@ -700,9 +772,9 @@ def _bool_expr(body: dict, dialect: str, id_field: str) -> str:
 
     parts: list[str] = []
     for c in clauses("must") + clauses("filter"):
-        parts.append(_query_expr(c, dialect, id_field))
+        parts.append(_query_expr(c, dialect, id_field, relations))
     for c in clauses("must_not"):
-        neg = _query_expr(c, dialect, id_field)
+        neg = _query_expr(c, dialect, id_field, relations)
         # must_not matches docs where the clause is NOT true — in ES a
         # NULL field simply fails the inner clause, so NULLs MATCH the
         # negation; plain SQL NOT would drop them
@@ -717,7 +789,8 @@ def _bool_expr(body: dict, dialect: str, id_field: str) -> str:
         if msm > len(should):
             raise ValueError("es_dsl: minimum_should_match exceeds should count")
         votes = " + ".join(
-            f"(CASE WHEN coalesce({_query_expr(c, dialect, id_field)}, FALSE)"
+            "(CASE WHEN coalesce("
+            f"{_query_expr(c, dialect, id_field, relations)}, FALSE)"
             " THEN 1 ELSE 0 END)"
             for c in should
         )
@@ -1990,7 +2063,8 @@ def _runtime_mappings_cte(index: str, rm: dict, dialect: str) -> str:
 
 
 def compile_search(
-    index: str, body: dict, dialect: str, id_field: str = "doc_id"
+    index: str, body: dict, dialect: str, id_field: str = "doc_id",
+    relations: dict | None = None,
 ) -> str:
     """Compile a `_search` body (query context + _source/sort/size/
     from) to one SQL statement over table ``index``."""
@@ -2000,7 +2074,9 @@ def compile_search(
         rm = body["runtime_mappings"]
         rest = {k: v for k, v in body.items() if k != "runtime_mappings"}
         cte = _runtime_mappings_cte(index, rm, dialect)
-        inner = compile_search(f"{index}_rt", rest, dialect, id_field)
+        inner = compile_search(
+            f"{index}_rt", rest, dialect, id_field, relations
+        )
         stripped = inner.lstrip()
         if stripped.startswith("WITH "):
             # merge into one top-level WITH list
@@ -2067,7 +2143,7 @@ def compile_search(
                 "es_dsl: aggs bodies must use the ES size: 0 idiom "
                 "(hit output alongside aggs is unsupported)"
             )
-        return compile_aggs(index, body, dialect, id_field)
+        return compile_aggs(index, body, dialect, id_field, relations)
     q = body.get("query", {"match_all": {}})
     qkind, _ = _one(q, "query clause")
     # normalize the sort list: explicit `_score` (desc) entries are the
@@ -2173,7 +2249,7 @@ def compile_search(
             "query with no explicit sort (filter-context hits carry "
             "no matched terms to snippet)"
         )
-    where = _query_expr(q, dialect, id_field)
+    where = _query_expr(q, dialect, id_field, relations)
     cols = _source_cols(body, "filter-context hits")
     if cols is False:
         select = id_field
@@ -2954,7 +3030,8 @@ def _range_case(f: str, ranges: list, dialect: str) -> tuple[str, str]:
 
 
 def compile_aggs(
-    index: str, body: dict, dialect: str, id_field: str = "doc_id"
+    index: str, body: dict, dialect: str, id_field: str = "doc_id",
+    relations: dict | None = None,
 ) -> str:
     """Compile an aggregation body: one top-level bucket agg (terms /
     date_histogram / histogram / disjoint range / significant_terms)
@@ -2963,7 +3040,9 @@ def compile_aggs(
     query-context filter."""
     if dialect not in ("spark", "duck"):
         raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
-    where = _query_expr(body.get("query", {"match_all": {}}), dialect, id_field)
+    where = _query_expr(
+        body.get("query", {"match_all": {}}), dialect, id_field, relations
+    )
     # sibling pipeline aggs (avg_bucket & co) sit BESIDE the bucket agg
     # at the top level and consume its buckets via "parent>path"
     siblings = {n: sp for n, sp in body["aggs"].items()
@@ -5878,11 +5957,52 @@ RANGE_AGG_BODY = {
 }
 
 
-def _entry(index: str, body: dict, id_field: str):
+def _entry(index: str, body: dict, id_field: str,
+           relations: dict | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return spark.sql(compile_search(index, body, "spark", id_field))
+        return spark.sql(
+            compile_search(index, body, "spark", id_field, relations)
+        )
 
     return run
+
+
+# the TPC-H order/line hierarchy as an ES join-field relation: the
+# declared key pair has_child/has_parent queries semi-join through
+PARENT_CHILD_RELATIONS = {
+    "lineitem": {"table": "lineitem", "parent_key": "o_orderkey",
+                 "child_key": "l_orderkey", "id_field": "l_orderkey"},
+    "orders": {"table": "orders", "parent_key": "o_orderkey",
+               "child_key": "l_orderkey", "id_field": "o_orderkey"},
+}
+
+HAS_CHILD_BODY = {
+    # "orders with at least two heavy line items" — the ES
+    # parent-by-children idiom, compiled as an aggregate-then-semi-join
+    "query": {"has_child": {
+        "type": "lineitem",
+        "query": {"range": {"l_quantity": {"gte": 45}}},
+        "min_children": 2,
+    }},
+    "sort": [{"o_orderkey": "asc"}],
+    "size": 200,
+    "_source": ["o_orderkey", "o_orderstatus"],
+}
+
+HAS_PARENT_BODY = {
+    # "returned line items of big orders" — has_parent composed under
+    # bool beside an ordinary term clause
+    "query": {"bool": {"filter": [
+        {"term": {"l_returnflag": "R"}},
+        {"has_parent": {
+            "parent_type": "orders",
+            "query": {"range": {"o_totalprice": {"gte": 200000}}},
+        }},
+    ]}},
+    "sort": [{"l_orderkey": "asc"}, {"l_linenumber": "asc"}],
+    "size": 200,
+    "_source": ["l_orderkey", "l_linenumber", "l_returnflag"],
+}
 
 
 SUGGEST_TERM_BODY = {
@@ -6628,6 +6748,22 @@ def registry() -> dict[str, dict]:
             "fn": _entry("events", GEOTILE_GRID_BODY, "event_id"),
             "oracle": compile_search(
                 "events", GEOTILE_GRID_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_has_child": {
+            "fn": _entry("orders", HAS_CHILD_BODY, "o_orderkey",
+                         PARENT_CHILD_RELATIONS),
+            "oracle": compile_search(
+                "orders", HAS_CHILD_BODY, "duck", "o_orderkey",
+                PARENT_CHILD_RELATIONS,
+            ),
+        },
+        "es_dsl_has_parent": {
+            "fn": _entry("lineitem", HAS_PARENT_BODY, "l_orderkey",
+                         PARENT_CHILD_RELATIONS),
+            "oracle": compile_search(
+                "lineitem", HAS_PARENT_BODY, "duck", "l_orderkey",
+                PARENT_CHILD_RELATIONS,
             ),
         },
     }

@@ -92,7 +92,10 @@ that decides those 50 slots:
   over the f_lat/f_lon point convention, runtime_mappings-derived;
   es_dsl_geotile_grid — Kibana map tiles with geo_centroid/geo_bounds
   metrics; % joins the Painless-lite grammar for the point
-  derivation). The r10 window filled at batch 19, so later-registered
+  derivation); batch 22 — parent-child (es_dsl_has_child /
+  has_parent: the ES join field as a declared key-pair relation,
+  compiled to aggregate-then-semi-join; composes inside bool). The
+  r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
   differential gate covers them every test run) — each batch returning
@@ -279,6 +282,8 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_span_near': (None, 'unclassified', 'r11'),
     'es_dsl_geo_distance': (None, 'unclassified', 'r11'),
     'es_dsl_geotile_grid': (None, 'unclassified', 'r11'),
+    'es_dsl_has_child': (None, 'unclassified', 'r11'),
+    'es_dsl_has_parent': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

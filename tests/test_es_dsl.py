@@ -2695,6 +2695,100 @@ def test_script_grammar_modulo(tiny):
     }
 
 
+# --- r10 batch 22: parent-child (has_child / has_parent) ----------------------
+
+
+@pytest.fixture()
+def family():
+    """Two tables related by a declared key pair: 3 parents, 5 kids."""
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE parents AS SELECT * FROM (VALUES
+          (1, 'open'), (2, 'open'), (3, 'closed')
+        ) AS t(pid, status);
+        CREATE TABLE kids AS SELECT * FROM (VALUES
+          (10, 1, 5), (11, 1, 50), (12, 2, 60), (13, 2, 70), (14, 3, 5)
+        ) AS t(kid, pid, qty)
+        """
+    )
+    return con
+
+
+_FAM_RELS = {
+    "kids": {"table": "kids", "parent_key": "pid", "child_key": "pid",
+             "id_field": "kid"},
+    "parents": {"table": "parents", "parent_key": "pid",
+                "child_key": "pid", "id_field": "pid"},
+}
+
+
+def test_has_child_min_max_children(family):
+    def parents_with(body):
+        return [r[0] for r in family.execute(compile_search(
+            "parents", {"query": body, "sort": [{"pid": "asc"}],
+                        "size": 10, "_source": ["pid"]},
+            "duck", "pid", relations=_FAM_RELS)).fetchall()]
+
+    heavy = {"has_child": {"type": "kids",
+                           "query": {"range": {"qty": {"gte": 50}}}}}
+    assert parents_with(heavy) == [1, 2]
+    heavy["has_child"]["min_children"] = 2
+    assert parents_with(heavy) == [2]
+    # max_children: parents with exactly one heavy kid
+    assert parents_with({"has_child": {
+        "type": "kids", "query": {"range": {"qty": {"gte": 50}}},
+        "max_children": 1}}) == [1]
+    anykid = {"has_child": {"type": "kids",
+                            "query": {"match_all": {}}}}
+    assert parents_with(anykid) == [1, 2, 3]
+
+
+def test_has_parent_composes_in_bool(family):
+    body = {"query": {"bool": {"filter": [
+        {"range": {"qty": {"lte": 10}}},
+        {"has_parent": {"parent_type": "parents",
+                        "query": {"term": {"status": "open"}}}},
+    ]}}, "sort": [{"kid": "asc"}], "size": 10, "_source": ["kid"]}
+    kids = [r[0] for r in family.execute(compile_search(
+        "kids", body, "duck", "kid", relations=_FAM_RELS)).fetchall()]
+    assert kids == [10]  # kid 14's parent is closed
+
+
+def test_parent_child_rejections(family):
+    for body, msg in [
+        ({"query": {"has_child": {"type": "kids",
+            "query": {"match_all": {}}, "score_mode": "sum"}}},
+         "score_mode none only"),
+        ({"query": {"has_child": {"type": "ghosts",
+            "query": {"match_all": {}}}}}, "no declared relation"),
+        ({"query": {"has_parent": {"parent_type": "ghosts",
+            "query": {"match_all": {}}}}}, "no declared relation"),
+        ({"query": {"has_child": {"type": "kids",
+            "query": {"match_all": {}}, "min_children": 0}}},
+         "min_children must be an int >= 1"),
+        ({"query": {"has_child": {"type": "kids",
+            "query": {"match_all": {}}, "inner_hits": {}}}},
+         "unsupported has_child keys"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("parents", body, "duck", "pid",
+                           relations=_FAM_RELS)
+    # without a relations declaration the clause raises, never guesses
+    with pytest.raises(ValueError, match="no declared relation"):
+        compile_search("parents", {"query": {"has_child": {
+            "type": "kids", "query": {"match_all": {}}}}}, "duck", "pid")
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        HAS_CHILD_BODY, HAS_PARENT_BODY, PARENT_CHILD_RELATIONS,
+    )
+    for tbl, idf, b in [("orders", "o_orderkey", HAS_CHILD_BODY),
+                        ("lineitem", "l_orderkey", HAS_PARENT_BODY)]:
+        for dialect in ("spark", "duck"):
+            assert "SELECT" in compile_search(
+                tbl, b, dialect, idf, PARENT_CHILD_RELATIONS
+            )
+
+
 def test_top_metrics_latest_per_bucket(tiny_val):
     """top_metrics = the metric value on the bucket's sort-extremum
     row, composable with ordinary metrics (one column per metric,
