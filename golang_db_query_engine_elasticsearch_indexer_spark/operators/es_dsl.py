@@ -1177,27 +1177,10 @@ def _fs_factor(fs: dict, dialect: str, id_field: str) -> str:
     return f"({factor})"
 
 
-def _compile_scored(
-    index: str, body: dict, dialect: str, id_field: str,
-    factor: str | None = None, fs_mode: str = "multiply",
-    min_score: float | None = None,
-) -> str:
-    """Top-level `match` / `multi_match` with no explicit sort: BM25
-    query context. `multi_match` combines per-field scores by its ES
-    `type` — best_fields = max over fields (the default), most_fields
-    = sum. Hits are docs scoring on >= 1 term; `_source`/`size`/`from`
-    apply as usual; `_score` is always appended."""
-    # an EMPTY sort list routes here (ES: [] = default _score order),
-    # so tolerate the key; any non-empty sort took the filter-context
-    # path before this function was reached
-    extra = set(body) - {"query", "_source", "size", "from", "sort",
-                         "highlight"}
-    if extra:
-        raise ValueError(
-            f"es_dsl: scored match combines only with _source/size/from/"
-            f"highlight (got {sorted(extra)})"
-        )
-    kind, spec = _one(body["query"], "query clause")
+def _parse_fulltext(q: dict):
+    """Normalize a match / multi_match clause for the scored path:
+    (fields, analyzed terms, per-field combine fn, require_all)."""
+    kind, spec = _one(q, "query clause")
     require_all = False
     if kind == "match":
         f, v = _one(spec, "match")
@@ -1230,15 +1213,52 @@ def _compile_scored(
     terms = _analyze(v)
     if not terms:
         raise ValueError("es_dsl: match with an empty query string")
+    return fields, terms, combine, require_all
+
+
+def _scored_ctes(
+    index: str, fields: list[str], terms: list[str], prefix: str,
+    dialect: str, id_field: str, require_all: bool,
+) -> tuple[str, str]:
+    """(BM25 CTE chain, per-field score UNION) for one full-text
+    clause, with CTE names namespaced by ``prefix`` so two scored
+    clauses (query + rescore_query) coexist in one statement."""
     ctes = ",\n".join(
         _bm25_field_ctes(
-            index, f, terms, f"f{i}", dialect, id_field,
+            index, f, terms, f"{prefix}{i}", dialect, id_field,
             require_all=require_all,
         )
         for i, f in enumerate(fields)
     )
     union = "\n    UNION ALL ".join(
-        f"SELECT _id, s FROM f{i}_bm" for i in range(len(fields))
+        f"SELECT _id, s FROM {prefix}{i}_bm" for i in range(len(fields))
+    )
+    return ctes, union
+
+
+def _compile_scored(
+    index: str, body: dict, dialect: str, id_field: str,
+    factor: str | None = None, fs_mode: str = "multiply",
+    min_score: float | None = None,
+) -> str:
+    """Top-level `match` / `multi_match` with no explicit sort: BM25
+    query context. `multi_match` combines per-field scores by its ES
+    `type` — best_fields = max over fields (the default), most_fields
+    = sum. Hits are docs scoring on >= 1 term; `_source`/`size`/`from`
+    apply as usual; `_score` is always appended."""
+    # an EMPTY sort list routes here (ES: [] = default _score order),
+    # so tolerate the key; any non-empty sort took the filter-context
+    # path before this function was reached
+    extra = set(body) - {"query", "_source", "size", "from", "sort",
+                         "highlight"}
+    if extra:
+        raise ValueError(
+            f"es_dsl: scored match combines only with _source/size/from/"
+            f"highlight (got {sorted(extra)})"
+        )
+    fields, terms, combine, require_all = _parse_fulltext(body["query"])
+    ctes, union = _scored_ctes(
+        index, fields, terms, "f", dialect, id_field, require_all
     )
     cols = _source_cols(body, "scored hits")
     size = int(body.get("size", 10))
@@ -1320,6 +1340,93 @@ SELECT _id AS {id_field}, round(s, 4) AS _score
 FROM scored
 ORDER BY _score DESC, {id_field} ASC
 LIMIT {size}{off}
+"""
+
+
+def _compile_rescore(
+    index: str, body: dict, dialect: str, id_field: str,
+) -> str:
+    """ES query rescoring: re-rank the TOP window_size first-pass hits
+    by a combination of the original score and a second query's score
+    — the classic precision-pass idiom (cheap recall query first,
+    expensive phrase/proximity query over the window only).
+
+    Plan shape is the scale argument: the first pass is the standard
+    BM25 TakeOrdered (window_size rows survive), the rescore query's
+    relation LEFT JOINs onto those window_size rows, and the final
+    sort is over window_size rows — the rescore cost never touches
+    the full corpus ordering. score_mode total (w1*s1 + w2*s2, hits
+    missing from the rescore query contribute 0) or multiply."""
+    rs = body["rescore"]
+    bad = set(rs) - {"window_size", "query"}
+    if bad:
+        raise ValueError(f"es_dsl: unsupported rescore keys {sorted(bad)}")
+    window = rs.get("window_size", 10)
+    if not isinstance(window, int) or isinstance(window, bool) or window < 1:
+        raise ValueError("es_dsl: rescore window_size must be an int >= 1")
+    rq = rs.get("query")
+    if not isinstance(rq, dict):
+        raise ValueError("es_dsl: rescore wants a query object")
+    bad = set(rq) - {"rescore_query", "query_weight",
+                     "rescore_query_weight", "score_mode"}
+    if bad:
+        raise ValueError(
+            f"es_dsl: unsupported rescore query keys {sorted(bad)}"
+        )
+    mode = rq.get("score_mode", "total")
+    if mode not in ("total", "multiply"):
+        raise ValueError(
+            f"es_dsl: unsupported rescore score_mode {mode!r} "
+            "(total/multiply)"
+        )
+    w1 = rq.get("query_weight", 1)
+    w2 = rq.get("rescore_query_weight", 1)
+    for w, what in ((w1, "query_weight"), (w2, "rescore_query_weight")):
+        if not isinstance(w, (int, float)) or isinstance(w, bool):
+            raise ValueError(f"es_dsl: rescore {what} must be numeric")
+    f_fields, f_terms, f_comb, f_all = _parse_fulltext(body["query"])
+    r_fields, r_terms, r_comb, r_all = _parse_fulltext(
+        rq.get("rescore_query") or {}
+    )
+    f_ctes, f_union = _scored_ctes(
+        index, f_fields, f_terms, "f", dialect, id_field, f_all
+    )
+    r_ctes, r_union = _scored_ctes(
+        index, r_fields, r_terms, "r", dialect, id_field, r_all
+    )
+    cols = _source_cols(body, "rescored hits")
+    if not cols:
+        select = f"t.{id_field} AS {id_field}"
+    else:
+        select = ", ".join(f"t.{_ident(c)}" for c in cols)
+    size = int(body.get("size", 10))
+    if mode == "total":
+        combined = f"{w1} * fp.s1 + {w2} * coalesce(rs.s2, 0)"
+    else:
+        # ES multiply mode leaves hits absent from the rescore query
+        # unmodified (factor 1), exactly like function_score filters
+        combined = f"{w1} * fp.s1 * coalesce({w2} * rs.s2, 1)"
+    return f"""
+WITH {f_ctes},
+{r_ctes},
+first_pass AS (
+  SELECT _id, {f_comb}(s) AS s1
+  FROM ({f_union}) u
+  GROUP BY _id
+  ORDER BY s1 DESC, _id ASC
+  LIMIT {window}
+),
+rescores AS (
+  SELECT _id, {r_comb}(s) AS s2
+  FROM ({r_union}) u
+  GROUP BY _id
+)
+SELECT {select}, round({combined}, 4) AS _score
+FROM first_pass fp
+LEFT JOIN rescores rs ON rs._id = fp._id
+JOIN {_ident(index)} t ON t.{id_field} = fp._id
+ORDER BY _score DESC, t.{id_field} ASC
+LIMIT {size}
 """
 
 
@@ -2119,10 +2226,16 @@ def compile_search(
     if "suggest" in body:
         return compile_suggest(index, body, dialect, id_field)
     known = {"query", "_source", "sort", "size", "from", "aggs", "knn",
-             "collapse", "search_after", "highlight"}
+             "collapse", "search_after", "highlight", "min_score",
+             "rescore", "slice"}
     bad = set(body) - known
     if bad:
         raise ValueError(f"es_dsl: unsupported body keys {sorted(bad)}")
+    ms_top = body.get("min_score")
+    if ms_top is not None:
+        if not isinstance(ms_top, (int, float)) or isinstance(ms_top, bool):
+            raise ValueError("es_dsl: min_score must be numeric")
+        body = {k: v for k, v in body.items() if k != "min_score"}
     if "knn" in body:
         return _compile_knn(index, body, dialect, id_field)
     if "aggs" in body:
@@ -2132,7 +2245,8 @@ def compile_search(
         # #3). The ES "size": 0 idiom (aggs only, no hits) is the one
         # accepted shape.
         hit_keys = {"sort", "from", "_source", "collapse",
-                    "search_after", "highlight"} & set(body)
+                    "search_after", "highlight", "rescore",
+                    "slice"} & set(body)
         if hit_keys:
             raise ValueError(
                 f"es_dsl: {sorted(hit_keys)} cannot combine with aggs "
@@ -2163,6 +2277,20 @@ def compile_search(
             score_sorted = True
         else:
             field_sorts.append(s)
+    if "rescore" in body:
+        if qkind not in ("match", "multi_match") or field_sorts:
+            raise ValueError(
+                "es_dsl: rescore needs a scored match/multi_match query "
+                "with no field sorts"
+            )
+        extra = set(body) & {"collapse", "search_after", "highlight",
+                             "slice", "from"}
+        if extra or ms_top is not None:
+            raise ValueError(
+                "es_dsl: rescore combines only with _source/size "
+                f"(got {sorted(extra) or ['min_score']})"
+            )
+        return _compile_rescore(index, body, dialect, id_field)
     if qkind == "function_score":
         # popularity/recency/proximity boosting: BM25 relevance
         # combined with field-derived factors — the ES idiom for
@@ -2201,9 +2329,15 @@ def compile_search(
             not isinstance(ms, (int, float)) or isinstance(ms, bool)
         ):
             raise ValueError("es_dsl: min_score must be numeric")
+        if ms is not None and ms_top is not None:
+            raise ValueError(
+                "es_dsl: min_score inside function_score and at the "
+                "body top level are mutually exclusive"
+            )
         return _compile_scored(
             index, {**body, "query": inner}, dialect, id_field,
-            factor=factor, fs_mode=mode, min_score=ms,
+            factor=factor, fs_mode=mode,
+            min_score=ms if ms is not None else ms_top,
         )
     if qkind in ("rank_feature", "distance_feature"):
         if field_sorts:
@@ -2234,7 +2368,9 @@ def compile_search(
     if qkind in ("match", "multi_match") and not field_sorts:
         # ES query context: bare full-text query, no field sort ->
         # BM25-scored, _score-ordered hits (the ES default experience)
-        return _compile_scored(index, body, dialect, id_field)
+        return _compile_scored(
+            index, body, dialect, id_field, min_score=ms_top
+        )
     if score_sorted and qkind in ("match", "multi_match"):
         raise ValueError(
             "es_dsl: mixing _score with field sorts on a scored query "
@@ -2249,7 +2385,37 @@ def compile_search(
             "query with no explicit sort (filter-context hits carry "
             "no matched terms to snippet)"
         )
+    if ms_top is not None:
+        raise ValueError(
+            "es_dsl: min_score needs a scored query (filter-context "
+            "hits all score identically)"
+        )
     where = _query_expr(q, dialect, id_field, relations)
+    if "slice" in body:
+        # sliced scroll: deterministic disjoint partitions of the hit
+        # set by a hash of the id — the ES idiom for parallel export.
+        # Rendered over the engine's md5-uniform primitive so slice
+        # membership is identical in both dialects AND stable across
+        # runs; the predicate sits in the WHERE, below the sort.
+        sl = body["slice"]
+        if not isinstance(sl, dict) or set(sl) != {"id", "max"}:
+            raise ValueError("es_dsl: slice wants {id, max}")
+        sid, smax = sl["id"], sl["max"]
+        if (
+            not isinstance(sid, int) or not isinstance(smax, int)
+            or isinstance(sid, bool) or isinstance(smax, bool)
+            or smax < 2 or not 0 <= sid < smax
+        ):
+            raise ValueError(
+                "es_dsl: slice wants ints 0 <= id < max, max >= 2"
+            )
+        from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+            hash16,
+        )
+
+        cast = "string" if dialect == "spark" else "varchar"
+        h = hash16(f"md5(cast({id_field} AS {cast}))")
+        where = f"({where})\n  AND ({h} % {smax}) = {sid}"
     cols = _source_cols(body, "filter-context hits")
     if cols is False:
         select = id_field
@@ -3389,6 +3555,82 @@ LIMIT {size}
         return _compile_auto_date_histogram(
             index, b, metrics, where, key, dialect
         )
+    if kind == "matrix_stats":
+        # ES matrix_stats: pairwise covariance/correlation across N
+        # numeric fields. Relational shape: one row per unordered
+        # field pair (diagonal included — its covariance IS the
+        # variance), columns field_a/field_b/n_rows/covariance/
+        # correlation. Float discipline: inputs quantize to
+        # DECIMAL(18,6), the sums of products are EXACT decimals, and
+        # covariance/correlation form from those sums in identical
+        # double arithmetic — partial-aggregation order can never flip
+        # a bit, the same reason the metric kinds use _DEC. One scan,
+        # one aggregate row, a constant-size VALUES-join fan-out.
+        if sub or pipelines or rowlocal:
+            raise ValueError("es_dsl: matrix_stats takes no sub-aggs")
+        bad = set(b) - {"fields"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported matrix_stats keys {sorted(bad)}"
+            )
+        fields = b.get("fields")
+        if (
+            not isinstance(fields, list) or not 2 <= len(fields) <= 6
+            or len(set(fields)) != len(fields)
+        ):
+            raise ValueError(
+                "es_dsl: matrix_stats wants 2-6 distinct fields"
+            )
+        cols = [_ident(f) for f in fields]
+        # exact sums per field and per pair over one aggregate
+        sums, pair_rows = [], []
+        for i, a in enumerate(cols):
+            sums.append(f"sum(cast({a} AS {_DEC})) AS s_{a}")
+            sums.append(
+                f"sum(cast({a} AS {_DEC}) * cast({a} AS {_DEC}))"
+                f" AS ss_{a}_{a}"
+            )
+            for j in range(i + 1, len(cols)):
+                bcol = cols[j]
+                sums.append(
+                    f"sum(cast({a} AS {_DEC}) * cast({bcol} AS {_DEC}))"
+                    f" AS ss_{a}_{bcol}"
+                )
+        def cov(x, y):
+            return (
+                f"(cast(ss_{x}_{y} AS DOUBLE)"
+                f" - cast(s_{x} AS DOUBLE) * cast(s_{y} AS DOUBLE) / n)"
+                f" / (n - 1)"
+            )
+        for i, a in enumerate(cols):
+            for j in range(i, len(cols)):
+                bcol = cols[j]
+                c = cov(a, bcol)
+                if i == j:
+                    corr = "cast(1.0 AS DOUBLE)"
+                else:
+                    corr = (
+                        f"round(({c}) / (sqrt({cov(a, a)})"
+                        f" * sqrt({cov(bcol, bcol)})), 6)"
+                    )
+                pair_rows.append(
+                    f"SELECT '{a}' AS field_a, '{bcol}' AS field_b,"
+                    f" n AS n_rows, round({c}, 4) AS covariance,"
+                    f" {corr} AS correlation FROM agg"
+                )
+        union = "\n  UNION ALL ".join(pair_rows)
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        return f"""
+WITH agg AS (
+  SELECT cast(count(*) AS DOUBLE) AS n, {', '.join(sums)}
+  FROM {_ident(index)}
+  WHERE ({where}) AND {notnull}
+)
+SELECT * FROM (
+  {union}
+) m
+ORDER BY field_a ASC, field_b ASC
+"""
     if kind == "geotile_grid":
         # ES geotile_grid: map-tile buckets keyed "z/x/y" (the slippy-
         # map scheme Kibana maps request). The tile indices are pure
@@ -5848,6 +6090,52 @@ GEOTILE_GRID_BODY = {
     "size": 0,
 }
 
+RESCORE_BODY = {
+    # the precision-pass idiom: cheap one-term recall query, then the
+    # top-50 window re-ranked by a stricter AND query — rescore cost
+    # bounded by window_size, never the corpus
+    "query": {"match": {"text": "table"}},
+    "rescore": {"window_size": 50, "query": {
+        "rescore_query": {"match": {"text": {
+            "query": "scan fast", "operator": "and",
+        }}},
+        "query_weight": 0.7,
+        "rescore_query_weight": 1.2,
+    }},
+    "size": 20,
+    "_source": ["doc_id", "lang"],
+}
+
+MIN_SCORE_BODY = {
+    # score-threshold hits: only matches above 0.5 BM25 return
+    "query": {"match": {"text": "table scan"}},
+    "min_score": 0.5,
+    "size": 100,
+    "_source": ["doc_id"],
+}
+
+SLICED_SCROLL_BODY = {
+    # slice 1 of 3: the parallel-export idiom — deterministic disjoint
+    # md5-hash partitions of the hit set, unioning to exactly the full
+    # result (asserted in tests)
+    "query": {"term": {"lang": "en"}},
+    "slice": {"id": 1, "max": 3},
+    "sort": [{"doc_id": "asc"}],
+    "size": 2000,
+    "_source": ["doc_id"],
+}
+
+MATRIX_STATS_BODY = {
+    # pairwise covariance/correlation across three lineitem measures
+    # from ONE scan — exact DECIMAL sums-of-products, so partial-agg
+    # order can't flip a bit
+    "query": {"term": {"l_returnflag": "R"}},
+    "aggs": {"m": {"matrix_stats": {
+        "fields": ["l_quantity", "l_extendedprice", "l_discount"],
+    }}},
+    "size": 0,
+}
+
 TOP_METRICS_BODY = {
     # "the latest reading per host": per event type, the value on the
     # newest event, beside ordinary metrics — composable, unlike
@@ -6764,6 +7052,26 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "lineitem", HAS_PARENT_BODY, "duck", "l_orderkey",
                 PARENT_CHILD_RELATIONS,
+            ),
+        },
+        "es_dsl_rescore": {
+            "fn": _entry("documents", RESCORE_BODY, "doc_id"),
+            "oracle": compile_search("documents", RESCORE_BODY, "duck"),
+        },
+        "es_dsl_min_score": {
+            "fn": _entry("documents", MIN_SCORE_BODY, "doc_id"),
+            "oracle": compile_search("documents", MIN_SCORE_BODY, "duck"),
+        },
+        "es_dsl_sliced_scroll": {
+            "fn": _entry("documents", SLICED_SCROLL_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", SLICED_SCROLL_BODY, "duck"
+            ),
+        },
+        "es_dsl_matrix_stats": {
+            "fn": _entry("lineitem", MATRIX_STATS_BODY, "l_orderkey"),
+            "oracle": compile_search(
+                "lineitem", MATRIX_STATS_BODY, "duck", "l_orderkey"
             ),
         },
     }

@@ -94,7 +94,11 @@ that decides those 50 slots:
   metrics; % joins the Painless-lite grammar for the point
   derivation); batch 22 — parent-child (es_dsl_has_child /
   has_parent: the ES join field as a declared key-pair relation,
-  compiled to aggregate-then-semi-join; composes inside bool). The
+  compiled to aggregate-then-semi-join; composes inside bool);
+  batch 23 — es_dsl_rescore (windowed precision pass), min_score,
+  sliced scroll (md5-hash disjoint partitions), and matrix_stats
+  (exact pairwise covariance/correlation via DECIMAL
+  sums-of-products). The
   r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
@@ -284,6 +288,10 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_geotile_grid': (None, 'unclassified', 'r11'),
     'es_dsl_has_child': (None, 'unclassified', 'r11'),
     'es_dsl_has_parent': (None, 'unclassified', 'r11'),
+    'es_dsl_rescore': (None, 'unclassified', 'r11'),
+    'es_dsl_min_score': (None, 'unclassified', 'r11'),
+    'es_dsl_sliced_scroll': (None, 'unclassified', 'r11'),
+    'es_dsl_matrix_stats': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

@@ -2789,6 +2789,118 @@ def test_parent_child_rejections(family):
             )
 
 
+# --- r10 batch 23: rescore / min_score / slice / matrix_stats -----------------
+
+
+def test_rescore_window_semantics(tiny):
+    """Only hits INSIDE the window get the rescore contribution; the
+    combined score is w1*s1 + w2*s2 with s2=0 for window hits the
+    rescore query misses."""
+    plain = {"query": {"match": {"text": "beta"}},
+             "_source": ["doc_id"], "size": 10}
+    p = {r[0]: r[1] for r in tiny.execute(_search(plain)).fetchall()}
+    resc = {"query": {"match": {"text": "beta"}},
+            "rescore": {"window_size": 10, "query": {
+                "rescore_query": {"match": {"text": "alpha"}},
+                "query_weight": 1, "rescore_query_weight": 10}},
+            "_source": ["doc_id"], "size": 10}
+    r = {x[0]: x[1] for x in tiny.execute(_search(resc)).fetchall()}
+    assert set(r) == set(p)  # window covers all 4 beta hits
+    alpha = {x[0]: x[1] for x in tiny.execute(_search(
+        {"query": {"match": {"text": "alpha"}},
+         "_source": ["doc_id"], "size": 10})).fetchall()}
+    for doc_id in r:
+        expect = p[doc_id] + 10 * alpha.get(doc_id, 0)
+        assert abs(r[doc_id] - expect) <= 2e-3  # 4-dp display rounds
+    # beta-only doc 2 must now rank below any alpha+beta doc
+    assert r[2] == min(r.values())
+
+
+def test_min_score_threshold(tiny):
+    body = {"query": {"match": {"text": "beta"}},
+            "_source": ["doc_id"], "size": 10}
+    allhits = tiny.execute(_search(body)).fetchall()
+    scores = [r[1] for r in allhits]
+    # midpoint threshold: keeps only the strictly-higher scorers (doc
+    # 4 — shortest doc, highest BM25; the other three tie below)
+    body["min_score"] = (max(scores) + min(scores)) / 2
+    kept = tiny.execute(_search(body)).fetchall()
+    assert 1 <= len(kept) < len(allhits)
+    assert all(r[1] >= body["min_score"] for r in kept)
+    assert {r[0] for r in kept} == {
+        r[0] for r in allhits if r[1] >= body["min_score"]
+    }
+
+
+def test_slice_partitions_hit_set(tiny):
+    base = {"query": {"match_all": {}}, "sort": [{"doc_id": "asc"}],
+            "size": 100, "_source": ["doc_id"]}
+    whole = set(_ids(tiny, _search(base)))
+    parts = []
+    for i in range(3):
+        parts.append(set(_ids(tiny, _search(
+            {**base, "slice": {"id": i, "max": 3}}))))
+    assert set().union(*parts) == whole
+    assert sum(len(p) for p in parts) == len(whole)  # disjoint
+
+
+def test_matrix_stats_pairwise(tiny):
+    """Covariance/correlation against DuckDB's own covar_samp/corr."""
+    body = {"aggs": {"m": {"matrix_stats": {
+        "fields": ["doc_id", "n"]}}}, "size": 0}
+    rows = tiny.execute(_search(body)).fetchall()
+    by_pair = {(r[0], r[1]): r for r in rows}
+    ref_cov, ref_corr = tiny.execute(
+        "SELECT covar_samp(doc_id, n), corr(doc_id, n) FROM docs"
+    ).fetchone()
+    pair = by_pair[("doc_id", "n")]
+    assert pair[2] == 8
+    assert abs(pair[3] - ref_cov) <= 1e-4
+    assert abs(pair[4] - ref_corr) <= 1e-6
+    assert by_pair[("n", "n")][4] == 1.0  # diagonal correlation
+
+
+def test_batch23_rejections(tiny):
+    for body, msg in [
+        ({"query": {"term": {"lang": "en"}},
+          "rescore": {"query": {"rescore_query": {
+              "match": {"text": "a"}}}}},
+         "rescore needs a scored"),
+        ({"query": {"match": {"text": "a"}},
+          "rescore": {"query": {"rescore_query": {"match": {"text": "b"}},
+                                "score_mode": "avg"}}},
+         "unsupported rescore score_mode"),
+        ({"query": {"match": {"text": "a"}}, "min_score": 0.1,
+          "rescore": {"query": {"rescore_query": {
+              "match": {"text": "b"}}}}},
+         "rescore combines only"),
+        ({"query": {"term": {"lang": "en"}}, "min_score": 1},
+         "min_score needs a scored query"),
+        ({"query": {"term": {"lang": "en"}},
+          "slice": {"id": 3, "max": 3}},
+         "slice wants ints"),
+        ({"query": {"term": {"lang": "en"}},
+          "slice": {"id": 0}}, r"slice wants \{id, max\}"),
+        ({"aggs": {"m": {"matrix_stats": {"fields": ["n"]}}},
+          "size": 0}, "2-6 distinct fields"),
+        ({"aggs": {"m": {"matrix_stats": {"fields": ["n", "doc_id"]},
+                         "aggs": {"x": {"avg": {"field": "n"}}}}},
+          "size": 0}, "matrix_stats takes no sub-aggs"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", body, "duck")
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        RESCORE_BODY, MIN_SCORE_BODY, SLICED_SCROLL_BODY,
+        MATRIX_STATS_BODY,
+    )
+    for tbl, idf, b in [("docs", "doc_id", RESCORE_BODY),
+                        ("docs", "doc_id", MIN_SCORE_BODY),
+                        ("docs", "doc_id", SLICED_SCROLL_BODY),
+                        ("lineitem", "l_orderkey", MATRIX_STATS_BODY)]:
+        for dialect in ("spark", "duck"):
+            assert "SELECT" in compile_search(tbl, b, dialect, idf)
+
+
 def test_top_metrics_latest_per_bucket(tiny_val):
     """top_metrics = the metric value on the bucket's sort-extremum
     row, composable with ordinary metrics (one column per metric,
