@@ -464,6 +464,31 @@ def create_app(
         return jsonify(gateway.es_analyze(
             body["text"], body.get("analyzer", "standard"))), 200
 
+    @app.post("/<index>/_pit")
+    def es_open_pit_route(index: str):
+        _attach_if_named()
+        return jsonify(gateway.es_open_pit(
+            _spark(), index, request.args.get("keep_alive"))), 200
+
+    @app.post("/_search")
+    def es_pit_search_route():
+        # index-less _search: the PIT form (the body's pit.id names the
+        # snapshot) — the only ES shape where the path has no index
+        _attach_if_named()
+        body = _es_body()
+        if "pit" not in body:
+            raise ParamsNullError()
+        res = gateway.es_pit_search(_spark(), body, max_rows=max_rows)
+        return jsonify(json.loads(res.to_json())), 200
+
+    @app.post("/_reindex")
+    def es_reindex_route():
+        _attach_if_named()
+        body = _es_body()
+        if not body:
+            raise ParamsNullError()
+        return jsonify(gateway.es_reindex(_spark(), body, _sink())), 200
+
     @app.post("/_sql")
     def es_sql_route():
         # the ES SQL API shape over the engine's own SQL gateway —

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
     ParamsNullError,
     SqlSyntaxError,
+    UnauthorizedOperationError,
 )
 from golang_db_query_engine_elasticsearch_indexer_spark.plans import assert_select_only
 from golang_db_query_engine_elasticsearch_indexer_spark.result import (
@@ -821,4 +822,146 @@ def es_termvectors(spark: SparkSession, index: str, doc_id, field: str,
         "term_vectors": {field: {"terms": {
             r["term"]: {"term_freq": int(r["term_freq"])} for r in rows
         }}},
+    }
+
+
+# --- point in time (stateless snapshot assertion) ----------------------------
+
+
+def _index_fingerprint(spark: SparkSession, index: str) -> str:
+    """The snapshot identity of a registered table: md5 over its
+    sorted input-file URIs. The engine's tables are immutable parquet,
+    so "a point in time" IS the file set — no server-side state to
+    keep alive, nothing to expire."""
+    import hashlib  # noqa: PLC0415
+
+    files = sorted(spark.table(index).inputFiles())
+    return hashlib.md5("\n".join(files).encode()).hexdigest()
+
+
+def _pit_codec():
+    import base64  # noqa: PLC0415
+    import json  # noqa: PLC0415
+
+    return base64, json
+
+
+def es_open_pit(spark: SparkSession, index: str,
+                keep_alive: str | None = None) -> dict:
+    """`POST /{index}/_pit` parity: open a point-in-time handle. The
+    id encodes (index, file-set fingerprint); keep_alive is accepted
+    and irrelevant — nothing server-side expires (the same stateless
+    discipline as the scroll cursor)."""
+    base64, json = _pit_codec()
+    if index is None:
+        raise ParamsNullError()
+    state = {"index": index, "fp": _index_fingerprint(spark, index)}
+    pit_id = base64.urlsafe_b64encode(
+        json.dumps(state, sort_keys=True).encode()
+    ).decode()
+    return {"id": pit_id}
+
+
+def es_pit_search(spark: SparkSession, body: dict,
+                  max_rows: int = DEFAULT_MAX_ROWS) -> QueryResult:
+    """`POST /_search` with a `pit` body section: the search runs
+    against the pit's index AFTER asserting the snapshot fingerprint
+    still matches the table's current file set — a changed file set
+    means the point in time no longer exists, and the search fails
+    loudly (ES's 404 for an expired PIT) instead of silently reading
+    different data."""
+    base64, json = _pit_codec()
+    if body is None or "pit" not in body:
+        raise ParamsNullError()
+    pit = body["pit"]
+    if not isinstance(pit, dict) or "id" not in pit or (
+        set(pit) - {"id", "keep_alive"}
+    ):
+        raise SqlSyntaxError("es_dsl: pit wants {id, keep_alive?}")
+    try:
+        state = json.loads(base64.urlsafe_b64decode(pit["id"]).decode())
+        index, fp = state["index"], state["fp"]
+    except Exception:
+        raise SqlSyntaxError("es_dsl: pit id does not decode")
+    current = _index_fingerprint(spark, index)
+    if current != fp:
+        raise UnauthorizedOperationError(
+            f"pit for {index!r} no longer matches the table's file set "
+            "(snapshot changed); open a new pit"
+        )
+    rest = {k: v for k, v in body.items() if k != "pit"}
+    return es_search(spark, index, rest, max_rows=max_rows)
+
+
+# --- reindex (read one index, bulk-write another) -----------------------------
+
+
+def es_reindex(
+    spark: SparkSession,
+    body: dict,
+    sink,
+    id_field: str | None = None,
+) -> dict:
+    """`POST /_reindex` parity: copy documents from a source index to
+    a destination index through the engine's bulk write path —
+    source-side `query` filters at the scan, `_source` prunes columns,
+    `max_docs` caps the copy, and the source's id column becomes the
+    destination `_id` (ES preserves ids across a reindex).
+
+    Scale shape: the read side is an ordinary pushdown scan (filter +
+    projection reach parquet), the write side is the sink's
+    executor-parallel bulk protocol — the driver never holds documents;
+    a max_docs cap is a TakeOrdered, deterministic by the id order.
+    Returns the ES response shape {took, total, created}."""
+    import time as _time  # noqa: PLC0415
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.indexer import (  # noqa: PLC0415
+        ID_COL,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        _ident,
+        _query_expr,
+        _source_cols,
+    )
+
+    if body is None or sink is None:
+        raise ParamsNullError()
+    bad = set(body) - {"source", "dest", "max_docs"}
+    if bad:
+        raise SqlSyntaxError(f"es_dsl: unsupported reindex keys {sorted(bad)}")
+    src, dest = body.get("source"), body.get("dest")
+    if not isinstance(src, dict) or "index" not in src or (
+        set(src) - {"index", "query", "_source"}
+    ):
+        raise SqlSyntaxError(
+            "es_dsl: reindex source wants {index, query?, _source?}"
+        )
+    if not isinstance(dest, dict) or set(dest) != {"index"}:
+        raise SqlSyntaxError("es_dsl: reindex dest wants {index}")
+    index = src["index"]
+    idc = id_field or spark.table(index).columns[0]
+    where = _query_expr(
+        src.get("query", {"match_all": {}}), "spark", idc
+    )
+    cols = _source_cols(src, "reindex source")
+    if cols and idc not in cols:
+        cols = [idc, *cols]
+    select = ", ".join(_ident(c) for c in cols) if cols else "*"
+    sql = f"SELECT {select} FROM {_ident(index)} WHERE {where}"
+    md = body.get("max_docs")
+    if md is not None:
+        if not isinstance(md, int) or isinstance(md, bool) or md < 1:
+            raise SqlSyntaxError("es_dsl: max_docs must be an int >= 1")
+        sql += f"\nORDER BY {_ident(idc)} ASC\nLIMIT {md}"
+    t0 = _time.time()
+    df = spark.sql(sql)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    df_with_id = df.withColumn(ID_COL, F.col(idc).cast("string"))
+    stats = sink.write(spark, df_with_id, dest["index"])
+    return {
+        "took": int((_time.time() - t0) * 1000),
+        "total": stats.num_docs,
+        "created": stats.num_docs,
+        "failures": [],
     }

@@ -6587,6 +6587,31 @@ def _cat_indices_oracle() -> str:
     return cat_indices_sql(FIXTURE_TABLES, "duck")
 
 
+PIT_SEARCH_BODY = {
+    # the search half of a PIT round-trip: an ordinary filter search
+    # the entry runs through es_pit_search after opening the pit
+    "query": {"term": {"lang": "en"}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 40,
+    "_source": ["doc_id", "lang"],
+}
+
+
+def _pit_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open a PIT on documents, assert it, and run the search through
+    the pit-validated path. The oracle is the SAME body compiled
+    directly — the differential proves the pit wrapper is a pure
+    snapshot assertion that changes no results."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        es_open_pit,
+        es_pit_search,
+    )
+
+    pit = es_open_pit(spark, "documents")
+    es_pit_search(spark, {**PIT_SEARCH_BODY, "pit": pit})  # asserts
+    return spark.sql(compile_search("documents", PIT_SEARCH_BODY, "spark"))
+
+
 def registry() -> dict[str, dict]:
     return {
         "es_dsl_bool_filter": {
@@ -7073,5 +7098,9 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "lineitem", MATRIX_STATS_BODY, "duck", "l_orderkey"
             ),
+        },
+        "es_pit_search": {
+            "fn": _pit_search_entry,
+            "oracle": compile_search("documents", PIT_SEARCH_BODY, "duck"),
         },
     }

@@ -717,3 +717,53 @@ def test_es_termvectors_route(client):
         "/documents/_termvectors/7?id_field=doc_id").status_code == 400
     assert client.get(
         "/documents/_termvectors/7?fields=a,b").status_code == 400
+
+
+def test_es_pit_routes(client):
+    """PIT open + pit-search: the id asserts the snapshot file set;
+    a tampered id 400s, a matching one searches the pit's index."""
+    r = client.post("/documents/_pit?keep_alive=1m")
+    assert r.status_code == 200
+    pit_id = r.get_json()["id"]
+    r = client.post("/_search", json={
+        "pit": {"id": pit_id, "keep_alive": "1m"},
+        "query": {"term": {"lang": "en"}},
+        "sort": [{"doc_id": "asc"}], "size": 5, "_source": ["doc_id"],
+    })
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["count"] == 5
+    # an undecodable pit id is a client error
+    r = client.post("/_search", json={
+        "pit": {"id": "not-a-pit"}, "size": 1,
+    })
+    assert r.status_code == 400
+    # a pit body without the pit key on the index-less route: 400
+    r = client.post("/_search", json={"query": {"match_all": {}}})
+    assert r.status_code == 400
+
+
+def test_es_reindex_route(client):
+    """_reindex copies a filtered projection into the sink under the
+    source ids, ES response shape {took, total, created}."""
+    r = client.post("/_reindex", json={
+        "source": {"index": "documents",
+                   "query": {"term": {"lang": "en"}},
+                   "_source": ["doc_id", "lang", "n_chars"]},
+        "dest": {"index": "docs_en_copy"},
+        "max_docs": 25,
+    })
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["created"] == 25 and body["total"] == 25
+    assert body["failures"] == [] and body["took"] >= 0
+    # the copy is readable back through the GET-doc route by source id
+    r2 = client.get("/docs_en_copy/_doc/3")
+    if r2.status_code == 200:  # id 3 may not be among the 25 en docs
+        assert r2.get_json()["_source"]["lang"] == "en"
+    # malformed: dest missing
+    r = client.post("/_reindex", json={"source": {"index": "documents"}})
+    assert r.status_code == 400
+    # empty body
+    r = client.post("/_reindex", data="")
+    assert r.status_code == 400
