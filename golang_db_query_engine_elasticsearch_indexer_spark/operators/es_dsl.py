@@ -130,6 +130,42 @@ def _ident(f) -> str:
     return f
 
 
+_JSON_FIELD = re.compile(
+    r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)+"
+)
+
+
+def _field_or_json(f, probe_value, dialect: str) -> str:
+    """Field reference for term/terms/range/exists: a plain column
+    name renders as itself; a DOTTED name (``props.k``) is the ES
+    object-field idiom — the leading segment is a JSON string column
+    and the rest is the path inside it, rendered as a JSON extraction
+    cast by the comparison value's type (numbers compare numerically,
+    strings as text). Pure scan-local projection: Catalyst/DuckDB
+    evaluate the extraction inside the scan, and a NULL path (absent
+    key, malformed document) fails the predicate like ES's missing
+    field."""
+    if not isinstance(f, str) or "." not in f:
+        return _ident(f)
+    if not _JSON_FIELD.fullmatch(f):
+        raise ValueError(f"es_dsl: bad field name {f!r}")
+    col, _, path = f.partition(".")
+    numeric = isinstance(probe_value, (int, float)) and not isinstance(
+        probe_value, bool
+    )
+    if dialect == "spark":
+        e = f"get_json_object({col}, '$.{path}')"
+        return f"cast({e} AS double)" if numeric else e
+    # DuckDB's extraction ERRORS on malformed JSON where Spark's
+    # returns NULL — the json_valid guard pins both engines to the ES
+    # behavior (a malformed document simply doesn't match)
+    e = (
+        f"json_extract_string(CASE WHEN json_valid({col})"
+        f" THEN {col} END, '$.{path}')"
+    )
+    return f"CAST({e} AS DOUBLE)" if numeric else e
+
+
 # --- query context -----------------------------------------------------------
 
 
@@ -150,17 +186,18 @@ def _query_expr(q: dict, dialect: str, id_field: str,
         f, v = _one(body, "term")
         if isinstance(v, dict):
             v = v["value"]
-        return f"{_ident(f)} = {_lit(v, dialect)}"
+        return f"{_field_or_json(f, v, dialect)} = {_lit(v, dialect)}"
     if kind == "terms":
         f, vals = _one(body, "terms")
         if not isinstance(vals, list) or not vals:
             raise ValueError("es_dsl: terms wants a non-empty list")
-        return f"{_ident(f)} IN ({', '.join(_lit(v, dialect) for v in vals)})"
+        fe = _field_or_json(f, vals[0], dialect)
+        return f"{fe} IN ({', '.join(_lit(v, dialect) for v in vals)})"
     if kind == "ids":
         vals = body["values"]
         return f"{id_field} IN ({', '.join(_lit(v, dialect) for v in vals)})"
     if kind == "exists":
-        return f"{_ident(body['field'])} IS NOT NULL"
+        return f"{_field_or_json(body['field'], '', dialect)} IS NOT NULL"
     if kind == "range":
         f, conds = _one(body, "range")
         ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
@@ -179,7 +216,8 @@ def _query_expr(q: dict, dialect: str, id_field: str,
                     # the ES per-operator rounding rules, rewritten to
                     # clean unit boundaries — es_datemath)
                     op, v = es_datemath.resolve(v, op)
-            parts.append(f"{_ident(f)} {ops[op]} {_lit(v, dialect)}")
+            fe = _field_or_json(f, v, dialect)
+            parts.append(f"{fe} {ops[op]} {_lit(v, dialect)}")
         if not parts:
             raise ValueError("es_dsl: empty range")
         return "(" + " AND ".join(parts) + ")"
@@ -6587,6 +6625,19 @@ def _cat_indices_oracle() -> str:
     return cat_indices_sql(FIXTURE_TABLES, "duck")
 
 
+OBJECT_FIELDS_BODY = {
+    # ES object fields: dotted names reach inside a JSON column
+    # (props.k -> $.k of the props document), typed by the comparison
+    # value — the everyday "filter on a property bag" idiom
+    "query": {"bool": {"filter": [
+        {"term": {"event_type": "click"}},
+        {"range": {"props.k": {"gte": 80}}},
+    ]}},
+    "sort": [{"event_id": "asc"}],
+    "size": 400,
+    "_source": ["event_id", "props"],
+}
+
 PIT_SEARCH_BODY = {
     # the search half of a PIT round-trip: an ordinary filter search
     # the entry runs through es_pit_search after opening the pit
@@ -7102,5 +7153,11 @@ def registry() -> dict[str, dict]:
         "es_pit_search": {
             "fn": _pit_search_entry,
             "oracle": compile_search("documents", PIT_SEARCH_BODY, "duck"),
+        },
+        "es_dsl_object_fields": {
+            "fn": _entry("events", OBJECT_FIELDS_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", OBJECT_FIELDS_BODY, "duck", "event_id"
+            ),
         },
     }

@@ -2901,6 +2901,43 @@ def test_batch23_rejections(tiny):
             assert "SELECT" in compile_search(tbl, b, dialect, idf)
 
 
+# --- r10 batch 25: dotted object fields (JSON extraction) ---------------------
+
+
+def test_object_fields_json_extraction(tiny):
+    """Dotted field names reach inside a JSON string column, typed by
+    the comparison value; absent keys and malformed docs fail the
+    predicate (never error)."""
+    tiny.execute("ALTER TABLE docs ADD COLUMN meta VARCHAR")
+    tiny.execute("""UPDATE docs SET meta = CASE doc_id
+        WHEN 1 THEN '{"k": 5, "tag": "hot"}'
+        WHEN 2 THEN '{"k": 50}'
+        WHEN 3 THEN '{"tag": "cold"}'
+        WHEN 4 THEN 'not json'
+        ELSE NULL END""")
+    def ids(q):
+        return _ids(tiny, _search({
+            "query": q, "sort": [{"doc_id": "asc"}],
+            "size": 10, "_source": ["doc_id"]}))
+
+    assert ids({"range": {"meta.k": {"gte": 10}}}) == [2]
+    assert ids({"term": {"meta.tag": "hot"}}) == [1]
+    assert ids({"exists": {"field": "meta.k"}}) == [1, 2]
+    assert ids({"terms": {"meta.tag": ["hot", "cold"]}}) == [1, 3]
+    assert ids({"bool": {"must_not": [{"exists": {"field": "meta.k"}}]}}) \
+        == [3, 4, 5, 6, 7, 8]
+    for f in ("meta.", ".k", "meta.k;drop", "meta..k"):
+        with pytest.raises(ValueError, match="bad field name"):
+            compile_search("docs", {"query": {"term": {f: 1}}}, "duck")
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        OBJECT_FIELDS_BODY,
+    )
+    for dialect in ("spark", "duck"):
+        assert "SELECT" in compile_search(
+            "events", OBJECT_FIELDS_BODY, dialect, "event_id"
+        )
+
+
 def test_top_metrics_latest_per_bucket(tiny_val):
     """top_metrics = the metric value on the bucket's sort-extremum
     row, composable with ordinary metrics (one column per metric,
