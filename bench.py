@@ -110,6 +110,20 @@ HEADLINE = [
     "es_dsl_significant_text",
     "es_scroll_page2",
     "es_dsl_adjacency_matrix",
+    # r10 batches 18-25: the expensive new shapes — rescore (TWO BM25
+    # CTE chains + window join-back, now the heaviest scored plan),
+    # knn (exact cosine top-k over the embedding column), has_child
+    # (child-side aggregate then semi-join into orders), geotile_grid
+    # (transcendental tile keys + three geo metrics over a runtime-
+    # mapped projection), matrix_stats (six DECIMAL product sums in
+    # one aggregate), and the generalized function_score functions
+    # array (two gated decay curves over the scored join-back)
+    "es_dsl_rescore",
+    "es_dsl_knn",
+    "es_dsl_has_child",
+    "es_dsl_geotile_grid",
+    "es_dsl_matrix_stats",
+    "es_dsl_function_score_functions",
 ]
 
 

@@ -9,25 +9,34 @@ engine's tables.
 
 Query context: bool trees with ES minimum_should_match defaults;
 term/terms/ids/exists/range (incl. `now-7d/d` date math,
-operators/es_datemath.py); prefix/wildcard/regexp; analyzed
+operators/es_datemath.py; dotted names reach inside JSON columns as
+typed object fields); prefix/wildcard/regexp; analyzed
 match/match_phrase/match_phrase_prefix/match_bool_prefix/fuzzy/
 terms_set; the query_string and simple_query_string mini-languages
 (operators/es_querystring.py); dis_max/boosting/constant_score/
-wrapper compound wrappers; bare match/multi_match (and function_score
-/ pinned / more_like_this) = BM25-scored hits; knn; percolate.
+wrapper compound wrappers; intervals/span_near positional proximity;
+geo_distance/geo_bounding_box over the f_lat/f_lon point convention;
+has_child/has_parent over declared key-pair relations; bare
+match/multi_match (and the FULL function_score — decay curves,
+script_score, random_score, functions arrays — plus pinned /
+more_like_this / rank_feature / distance_feature / combined_fields /
+rescore) = scored hits with optional min_score; knn; percolate.
 Hit surface: `_source`/`fields`/`sort`/`size`/`from`, search_after
-and the stateless scroll cursor, collapse, in-body highlight,
+and the stateless scroll cursor (plus `slice` disjoint partitions and
+the PIT snapshot assertion), collapse, in-body highlight,
 runtime_mappings, the suggest API (term + completion).
 
 Aggregation context up to three bucket levels: terms (order/missing/
 include/exclude), date_histogram (calendar/fixed intervals,
 zero-filled axes), histogram (offset, zero-fill), range/date_range,
-rare_terms, multi_terms, auto_date_histogram, significant_terms/
-significant_text, adjacency_matrix, sampler/diversified_sampler,
-composite-with-after, filters/filter/global/missing; metrics
+rare_terms, multi_terms, auto_date_histogram, geotile_grid,
+significant_terms/significant_text, adjacency_matrix,
+sampler/diversified_sampler, composite-with-after,
+filters/filter/global/missing, matrix_stats; metrics
 avg/sum/min/max/value_count/cardinality/stats/extended_stats/
 percentiles/percentile_ranks/weighted_avg/string_stats/boxplot/rate/
-median_absolute_deviation/t_test/top_metrics; parent pipelines
+median_absolute_deviation/t_test/top_metrics/geo_centroid/geo_bounds;
+parent pipelines
 cumulative_sum/derivative/serial_diff/moving_fn/moving_percentiles/
 bucket_script/bucket_selector/normalize/bucket_sort/
 cumulative_cardinality; sibling pipelines avg/sum/min/max_bucket/
@@ -189,6 +198,32 @@ def _query_expr(q: dict, dialect: str, id_field: str,
         return f"{_field_or_json(f, v, dialect)} = {_lit(v, dialect)}"
     if kind == "terms":
         f, vals = _one(body, "terms")
+        if isinstance(vals, dict):
+            # ES terms LOOKUP: the allowed values come from another
+            # document — relationally, the `path` column of the row in
+            # `index` whose id matches. Compiles to an IN-subquery: a
+            # point lookup the planner turns into a broadcast semi-join
+            # (one row), so the lookup costs what the literal list
+            # costs at any scale.
+            bad = set(vals) - {"index", "id", "path", "routing"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported terms lookup keys {sorted(bad)}"
+                )
+            missing = {"index", "id", "path"} - set(vals)
+            if missing:
+                raise ValueError(
+                    f"es_dsl: terms lookup requires {sorted(missing)}"
+                )
+            src = _ident(vals["index"])
+            path = _ident(vals["path"])
+            key = vals["id"]
+            if not isinstance(key, (str, int)) or isinstance(key, bool):
+                raise ValueError("es_dsl: terms lookup id must be str/int")
+            return (
+                f"{_ident(f)} IN (SELECT {path} FROM {src}\n"
+                f"    WHERE {id_field} = {_lit(key, dialect)})"
+            )
         if not isinstance(vals, list) or not vals:
             raise ValueError("es_dsl: terms wants a non-empty list")
         fe = _field_or_json(f, vals[0], dialect)
@@ -2215,6 +2250,40 @@ def compile_search(
     from) to one SQL statement over table ``index``."""
     if dialect not in ("spark", "duck"):
         raise ValueError(f"es_dsl: unknown dialect {dialect!r}")
+    if "script_fields" in body:
+        # the older per-hit computed-field API: each entry is a bare
+        # Painless-lite expression (no emit() wrapper) — normalized
+        # into runtime_mappings (same projection CTE), with the field
+        # auto-appended to an explicit _source list (ES always returns
+        # script_fields alongside the source). Numeric expressions
+        # only — boolean/string derivations use runtime_mappings with
+        # an explicit type.
+        sf = body["script_fields"]
+        if not isinstance(sf, dict) or not sf:
+            raise ValueError(
+                "es_dsl: script_fields must be a non-empty object"
+            )
+        rm = dict(body.get("runtime_mappings", {}))
+        for name, spec in sf.items():
+            if not isinstance(spec, dict) or set(spec) != {"script"}:
+                raise ValueError(
+                    f"es_dsl: script_fields {name} wants {{script}}"
+                )
+            src = spec["script"]
+            src = src.get("source") if isinstance(src, dict) else src
+            if not isinstance(src, str) or not src.strip():
+                raise ValueError(
+                    f"es_dsl: script_fields {name} needs a source string"
+                )
+            rm[name] = {"type": "double",
+                        "script": {"source": f"emit({src})"}}
+        body = {k: v for k, v in body.items() if k != "script_fields"}
+        body["runtime_mappings"] = rm
+        if isinstance(body.get("_source"), list):
+            body["_source"] = [
+                *body["_source"],
+                *(n for n in sf if n not in body["_source"]),
+            ]
     if "runtime_mappings" in body:
         rm = body["runtime_mappings"]
         rest = {k: v for k, v in body.items() if k != "runtime_mappings"}
@@ -2233,33 +2302,36 @@ def compile_search(
         if not isinstance(body["track_total_hits"], (bool, int)):
             raise ValueError("es_dsl: bad track_total_hits value")
         body = {k: v for k, v in body.items() if k != "track_total_hits"}
-    if "fields" in body:
-        # the modern projection API: plain field names (or the
+    for fk in ("fields", "docvalue_fields"):
+        if fk not in body:
+            continue
+        # the modern projection APIs: plain field names (or the
         # {"field": name} object form); relationally identical to a
-        # _source list here — one analysis model, no doc-vs-source
-        # split. Wildcards/format raise; combining with _source raises
-        # (ES merges two response sections this engine doesn't have).
+        # _source list here — one analysis model, no doc-vs-docvalue
+        # split (columnar parquet IS doc values). Wildcards/format
+        # raise; combining with _source raises (ES merges response
+        # sections this engine doesn't have).
         if "_source" in body:
             raise ValueError(
-                "es_dsl: fields and _source together are unsupported "
+                f"es_dsl: {fk} and _source together are unsupported "
                 "(one projection per body)"
             )
         names = []
-        for x in body["fields"]:
+        for x in body[fk]:
             if isinstance(x, dict):
                 if set(x) != {"field"}:
                     raise ValueError(
-                        f"es_dsl: unsupported fields entry {x!r} "
+                        f"es_dsl: unsupported {fk} entry {x!r} "
                         "(format is unsupported)"
                     )
                 x = x["field"]
             if not isinstance(x, str) or "*" in x:
                 raise ValueError(
-                    f"es_dsl: unsupported fields entry {x!r} "
+                    f"es_dsl: unsupported {fk} entry {x!r} "
                     "(wildcards are unsupported)"
                 )
             names.append(x)
-        body = {**{k: v for k, v in body.items() if k != "fields"},
+        body = {**{k: v for k, v in body.items() if k != fk},
                 "_source": names}
     if "suggest" in body:
         return compile_suggest(index, body, dialect, id_field)
@@ -6625,6 +6697,31 @@ def _cat_indices_oracle() -> str:
     return cat_indices_sql(FIXTURE_TABLES, "duck")
 
 
+TERMS_LOOKUP_BODY = {
+    # ES terms lookup: the allowed values come from ANOTHER document —
+    # "docs in the same language as doc 7" — compiled as a one-row
+    # IN-subquery (broadcast semi-join at any scale)
+    "query": {"terms": {"lang": {
+        "index": "documents", "id": 7, "path": "lang",
+    }}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 50,
+    "_source": ["doc_id", "lang"],
+}
+
+SCRIPT_FIELDS_BODY = {
+    # the older per-hit computed-field API, normalized into the same
+    # projection CTE runtime_mappings use; the derived field joins the
+    # explicit _source automatically (ES returns them together)
+    "query": {"term": {"lang": "en"}},
+    "script_fields": {"kchars": {"script": {
+        "source": "doc['n_chars'].value / 1000",
+    }}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 10,
+    "_source": ["doc_id", "n_chars"],
+}
+
 OBJECT_FIELDS_BODY = {
     # ES object fields: dotted names reach inside a JSON column
     # (props.k -> $.k of the props document), typed by the comparison
@@ -7158,6 +7255,18 @@ def registry() -> dict[str, dict]:
             "fn": _entry("events", OBJECT_FIELDS_BODY, "event_id"),
             "oracle": compile_search(
                 "events", OBJECT_FIELDS_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_terms_lookup": {
+            "fn": _entry("documents", TERMS_LOOKUP_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", TERMS_LOOKUP_BODY, "duck"
+            ),
+        },
+        "es_dsl_script_fields": {
+            "fn": _entry("documents", SCRIPT_FIELDS_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", SCRIPT_FIELDS_BODY, "duck"
             ),
         },
     }

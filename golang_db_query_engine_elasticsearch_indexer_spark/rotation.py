@@ -102,7 +102,11 @@ that decides those 50 slots:
   (es_pit_search: the stateless snapshot-assertion PIT; reindex runs
   source->sink through the bulk write path, API-tested); batch 25 —
   es_dsl_object_fields (dotted names as typed JSON extraction inside
-  term/terms/range/exists — the property-bag filter idiom). The
+  term/terms/range/exists — the property-bag filter idiom); batch
+  26 — es_dsl_terms_lookup (allowed values from another document, a
+  one-row broadcast semi-join), es_dsl_script_fields (the older
+  computed-field API normalized into the runtime-mappings CTE), and
+  docvalue_fields as a projection alias. The
   r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
@@ -298,6 +302,8 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_matrix_stats': (None, 'unclassified', 'r11'),
     'es_pit_search': (None, 'unclassified', 'r11'),
     'es_dsl_object_fields': (None, 'unclassified', 'r11'),
+    'es_dsl_terms_lookup': (None, 'unclassified', 'r11'),
+    'es_dsl_script_fields': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

@@ -2938,6 +2938,62 @@ def test_object_fields_json_extraction(tiny):
         )
 
 
+# --- r10 batch 26: terms lookup / docvalue_fields / script_fields -------------
+
+
+def test_terms_lookup_subquery(tiny):
+    """The allowed values come from another document's column — doc 3
+    is 'de', so the lookup keeps the de docs."""
+    body = {"query": {"terms": {"lang": {
+        "index": "docs", "id": 3, "path": "lang",
+    }}}, "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"]}
+    assert _ids(tiny, _search(body)) == [3, 4]
+    for bad, msg in [
+        ({"index": "docs", "id": 3}, r"lookup requires \['path'\]"),
+        ({"index": "docs", "id": 3, "path": "lang", "cache": 1},
+         "unsupported terms lookup keys"),
+        ({"index": "docs", "id": None, "path": "lang"},
+         "id must be str/int"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", {"query": {"terms": {"lang": bad}}},
+                           "duck")
+
+
+def test_docvalue_and_script_fields(tiny):
+    """docvalue_fields projects like _source; script_fields derive a
+    per-hit numeric column that auto-joins the explicit _source."""
+    dv = {"query": {"term": {"lang": "en"}},
+          "docvalue_fields": ["doc_id", {"field": "n"}],
+          "sort": [{"doc_id": "asc"}], "size": 10}
+    rows = tiny.execute(_search(dv)).fetchall()
+    assert rows == [(1, 10), (2, 20), (8, 80)]
+    sf = {"query": {"term": {"lang": "en"}},
+          "script_fields": {"half": {"script": {
+              "source": "doc['n'].value / 2"}}},
+          "sort": [{"doc_id": "asc"}], "size": 10,
+          "_source": ["doc_id", "n"]}
+    rows = tiny.execute(_search(sf)).fetchall()
+    assert rows == [(1, 10, 5.0), (2, 20, 10.0), (8, 80, 40.0)]
+    for body, msg in [
+        ({"query": {"match_all": {}}, "docvalue_fields": ["n"],
+          "_source": ["doc_id"]}, "docvalue_fields and _source"),
+        ({"query": {"match_all": {}},
+          "script_fields": {"x": {"script": {"source": "emit(1)"}}}},
+         "unsupported syntax"),
+        ({"query": {"match_all": {}}, "script_fields": {}},
+         "non-empty object"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", body, "duck")
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        TERMS_LOOKUP_BODY, SCRIPT_FIELDS_BODY,
+    )
+    for b in (TERMS_LOOKUP_BODY, SCRIPT_FIELDS_BODY):
+        for dialect in ("spark", "duck"):
+            assert "SELECT" in compile_search("docs", b, dialect)
+
+
 def test_top_metrics_latest_per_bucket(tiny_val):
     """top_metrics = the metric value on the bucket's sort-extremum
     row, composable with ordinary metrics (one column per metric,

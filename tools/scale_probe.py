@@ -95,8 +95,12 @@ def kernels() -> dict:
         multimodal,
     )
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        HAS_CHILD_BODY,
         MATCH_SCORED_BODY,
+        MATRIX_STATS_BODY,
         MORE_LIKE_THIS_BODY,
+        PARENT_CHILD_RELATIONS,
+        RESCORE_BODY,
         SUGGEST_TERM_BODY,
         TERMS_AGG_BODY,
         compile_search,
@@ -134,6 +138,22 @@ def kernels() -> dict:
         ),
         "suggest_term": compile_search(
             "documents", SUGGEST_TERM_BODY, "spark"
+        ),
+        # r10 batch 18-23 additions: the three new shapes where a
+        # super-linear term could hide — rescore (a SECOND BM25 CTE
+        # chain joined onto the bounded first-pass window; the window
+        # bound is what must keep the second pass corpus-independent),
+        # has_child (child-side GROUP BY + semi-join into orders — the
+        # join fan-out must track the key shift, never square), and
+        # matrix_stats (six DECIMAL product sums in one aggregate —
+        # pure partial-agg, should be the most linear kernel here).
+        "rescore": compile_search("documents", RESCORE_BODY, "spark"),
+        "has_child": compile_search(
+            "orders", HAS_CHILD_BODY, "spark", "o_orderkey",
+            PARENT_CHILD_RELATIONS,
+        ),
+        "matrix_stats": compile_search(
+            "lineitem", MATRIX_STATS_BODY, "spark", "l_orderkey"
         ),
     }
 
