@@ -379,11 +379,43 @@ def _query_expr(q: dict, dialect: str, id_field: str,
         return f"{joined} LIKE '%{_like_escape(' ' + needle)}%' ESCAPE '!'"
     if kind == "match_phrase":
         f, v = _one(body, "match_phrase")
+        slop = 0
         if isinstance(v, dict):
+            bad = set(v) - {"query", "slop"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported match_phrase keys {sorted(bad)}"
+                )
+            slop = v.get("slop", 0)
+            if not isinstance(slop, int) or isinstance(slop, bool) or slop < 0:
+                raise ValueError(
+                    "es_dsl: match_phrase slop must be an int >= 0"
+                )
             v = v["query"]
         toks = _analyze(v)
         if not toks:
             raise ValueError("es_dsl: match_phrase with an empty query string")
+        if slop:
+            # Lucene sloppy phrase, exactly, for two terms: forward
+            # with up to `slop` intervening positions; the transposed
+            # order costs 2 moves, so it matches iff slop >= 2 with
+            # the residual budget as its gap allowance. Three-plus
+            # sloppy terms need positional DP no single predicate
+            # expresses — loud raise, never an approximation.
+            if len(toks) != 2:
+                raise ValueError(
+                    "es_dsl: match_phrase slop supports exactly 2 terms "
+                    f"(got {len(toks)}; use intervals for longer "
+                    "unbounded sequences)"
+                )
+            a, b_ = toks
+            pred = _proximity_pred(f, [a, b_], slop, True, dialect,
+                                   "match_phrase")
+            if slop >= 2:
+                rev = _proximity_pred(f, [b_, a], slop - 2, True, dialect,
+                                      "match_phrase")
+                pred = f"({pred} OR {rev})"
+            return pred
         te = _tokens_expr(_ident(f), dialect)
         joined = (
             f"concat(' ', array_join({te}, ' '), ' ')"
@@ -1250,15 +1282,35 @@ def _fs_factor(fs: dict, dialect: str, id_field: str) -> str:
     return f"({factor})"
 
 
+def _boosted_field(x) -> tuple[str, float]:
+    """ES caret syntax: ``"text^2"`` boosts one field's score by 2.
+    Returns (column, weight)."""
+    if not isinstance(x, str):
+        raise ValueError(f"es_dsl: bad field entry {x!r}")
+    name, caret, w = x.partition("^")
+    if not caret:
+        return _ident(name), 1.0
+    try:
+        weight = float(w)
+    except ValueError:
+        raise ValueError(f"es_dsl: bad field boost {x!r}")
+    if weight <= 0:
+        raise ValueError(f"es_dsl: field boost must be positive ({x!r})")
+    return _ident(name), weight
+
+
 def _parse_fulltext(q: dict):
     """Normalize a match / multi_match clause for the scored path:
-    (fields, analyzed terms, per-field combine fn, require_all)."""
+    ([(field, weight)], analyzed terms, per-field combine fn,
+    require_all). Weights carry the ES caret boosts (``"text^2"`` in
+    multi_match fields) and the match clause's own ``boost``."""
     kind, spec = _one(q, "query clause")
     require_all = False
     if kind == "match":
         f, v = _one(spec, "match")
+        boost = 1.0
         if isinstance(v, dict):
-            bad = set(v) - {"query", "operator"}
+            bad = set(v) - {"query", "operator", "boost"}
             if bad:
                 raise ValueError(
                     f"es_dsl: unsupported match keys {sorted(bad)}"
@@ -1267,8 +1319,14 @@ def _parse_fulltext(q: dict):
             if op not in ("or", "and"):
                 raise ValueError(f"es_dsl: bad match operator {op!r}")
             require_all = op == "and"
+            boost = v.get("boost", 1.0)
+            if (
+                not isinstance(boost, (int, float))
+                or isinstance(boost, bool) or boost <= 0
+            ):
+                raise ValueError("es_dsl: match boost must be positive")
             v = v["query"]
-        fields = [_ident(f)]
+        fields = [(_ident(f), float(boost))]
         combine = "max"
     else:
         known = {"query", "fields", "type"}
@@ -1276,7 +1334,7 @@ def _parse_fulltext(q: dict):
         if bad:
             raise ValueError(f"es_dsl: unsupported multi_match keys {sorted(bad)}")
         v = spec["query"]
-        fields = [_ident(x) for x in spec["fields"]]
+        fields = [_boosted_field(x) for x in spec["fields"]]
         if not fields:
             raise ValueError("es_dsl: multi_match wants >= 1 field")
         mtype = spec.get("type", "best_fields")
@@ -1290,21 +1348,25 @@ def _parse_fulltext(q: dict):
 
 
 def _scored_ctes(
-    index: str, fields: list[str], terms: list[str], prefix: str,
-    dialect: str, id_field: str, require_all: bool,
+    index: str, fields: list[tuple[str, float]], terms: list[str],
+    prefix: str, dialect: str, id_field: str, require_all: bool,
 ) -> tuple[str, str]:
     """(BM25 CTE chain, per-field score UNION) for one full-text
     clause, with CTE names namespaced by ``prefix`` so two scored
-    clauses (query + rescore_query) coexist in one statement."""
+    clauses (query + rescore_query) coexist in one statement. Field
+    weights (caret boosts / match boost) scale each field's score
+    BEFORE the per-doc combine, the Lucene order."""
     ctes = ",\n".join(
         _bm25_field_ctes(
             index, f, terms, f"{prefix}{i}", dialect, id_field,
             require_all=require_all,
         )
-        for i, f in enumerate(fields)
+        for i, (f, _) in enumerate(fields)
     )
     union = "\n    UNION ALL ".join(
-        f"SELECT _id, s FROM {prefix}{i}_bm" for i in range(len(fields))
+        f"SELECT _id, s{'' if w == 1.0 else f' * {w!r}'} AS s"
+        f" FROM {prefix}{i}_bm"
+        for i, (_, w) in enumerate(fields)
     )
     return ctes, union
 
@@ -2728,6 +2790,15 @@ def _metric_cols(name: str, kind: str, m: dict, dialect: str) -> list[str]:
     if kind != "weighted_avg" and "field" not in m:
         raise ValueError(f"es_dsl: {kind} requires a field")
     f = _ident(m["field"]) if "field" in m else None
+    if f is not None and "missing" in m:
+        # ES metric `missing`: docs lacking the field contribute the
+        # stand-in value instead of being skipped — one coalesce
+        mv = m["missing"]
+        if not isinstance(mv, (int, float)) or isinstance(mv, bool):
+            raise ValueError(
+                f"es_dsl: {kind} missing must be numeric"
+            )
+        f = f"coalesce({f}, {_lit(mv, dialect)})"
     exact_sum = f"cast(sum(cast({f} AS {_DEC})) AS DOUBLE)"
     if kind == "value_count":
         return [f"count({f}) AS {name}"]
@@ -3251,6 +3322,27 @@ def _bucket_key(kind: str, b: dict, dialect: str) -> tuple[str, str]:
         # string literal coerces identically against temporal columns
         # in both dialects (the r09 _lit rule, pushdown-verified)
         case, ordinal = _range_case(f, b["ranges"], dialect)
+        return case, ordinal
+    if kind == "geo_distance":
+        # distance-ring buckets around an origin: the SAME from-
+        # inclusive / to-exclusive CASE rendering as `range`, over the
+        # haversine expression instead of a column — rings evaluate
+        # inside the scan, one GROUP BY
+        bad = set(b) - {"field", "origin", "ranges", "unit"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported geo_distance agg keys {sorted(bad)}"
+            )
+        lat0, lon0 = _geo_point(b.get("origin"), "geo_distance origin")
+        unit = b.get("unit", "m")
+        if unit not in ("m", "km", "mi"):
+            raise ValueError(
+                f"es_dsl: bad geo_distance unit {unit!r} (m/km/mi)"
+            )
+        scale = {"m": 1.0, "km": 1000.0, "mi": 1609.344}[unit]
+        lat, lon = _geo_cols(b["field"])
+        dist = f"({_haversine(lat, lon, lat0, lon0)} / {scale!r})"
+        case, ordinal = _range_case(dist, b["ranges"], dialect)
         return case, ordinal
     raise ValueError(f"es_dsl: unsupported bucket agg {kind!r}")
 
@@ -3815,7 +3907,7 @@ HAVING count(*) <= {mdc}
 ORDER BY doc_count ASC, {key} ASC
 """
     key_expr, order_expr = _bucket_key(kind, b, dialect)
-    if kind in ("range", "date_range"):
+    if kind in ("range", "date_range", "geo_distance"):
         if pipelines:
             raise ValueError(
                 "es_dsl: pipeline aggs need a histogram-family parent"
@@ -6697,6 +6789,46 @@ def _cat_indices_oracle() -> str:
     return cat_indices_sql(FIXTURE_TABLES, "duck")
 
 
+GEO_RINGS_BODY = {
+    # distance-ring buckets (the store-locator / coverage-report agg):
+    # haversine rings around an origin with a metric per ring
+    "runtime_mappings": _GEO_RM,
+    "aggs": {"rings": {
+        "geo_distance": {
+            "field": "loc", "origin": {"lat": 0, "lon": 0},
+            "unit": "km",
+            "ranges": [{"to": 2000}, {"from": 2000, "to": 6000},
+                       {"from": 6000}],
+        },
+        "aggs": {"v_avg": {"avg": {"field": "value"}}},
+    }},
+    "size": 0,
+}
+
+PHRASE_SLOP_BODY = {
+    # sloppy phrase: 'table' then 'scan' within 2 moves (incl. the
+    # transposed order at cost 2) — Lucene slop semantics, exact for
+    # two terms
+    "query": {"match_phrase": {"text": {
+        "query": "table scan", "slop": 2,
+    }}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 300,
+    "_source": ["doc_id"],
+}
+
+FIELD_BOOSTS_BODY = {
+    # caret boosts: text matches count 3x before the most_fields sum —
+    # the everyday relevance-tuning syntax
+    "query": {"multi_match": {
+        "query": "table wiki",
+        "fields": ["text^3", "source"],
+        "type": "most_fields",
+    }},
+    "size": 15,
+    "_source": ["doc_id", "source"],
+}
+
 TERMS_LOOKUP_BODY = {
     # ES terms lookup: the allowed values come from ANOTHER document —
     # "docs in the same language as doc 7" — compiled as a one-row
@@ -7268,5 +7400,19 @@ def registry() -> dict[str, dict]:
             "oracle": compile_search(
                 "documents", SCRIPT_FIELDS_BODY, "duck"
             ),
+        },
+        "es_dsl_geo_rings": {
+            "fn": _entry("events", GEO_RINGS_BODY, "event_id"),
+            "oracle": compile_search(
+                "events", GEO_RINGS_BODY, "duck", "event_id"
+            ),
+        },
+        "es_dsl_phrase_slop": {
+            "fn": _entry("documents", PHRASE_SLOP_BODY, "doc_id"),
+            "oracle": compile_search("documents", PHRASE_SLOP_BODY, "duck"),
+        },
+        "es_dsl_field_boosts": {
+            "fn": _entry("documents", FIELD_BOOSTS_BODY, "doc_id"),
+            "oracle": compile_search("documents", FIELD_BOOSTS_BODY, "duck"),
         },
     }

@@ -106,7 +106,12 @@ that decides those 50 slots:
   26 — es_dsl_terms_lookup (allowed values from another document, a
   one-row broadcast semi-join), es_dsl_script_fields (the older
   computed-field API normalized into the runtime-mappings CTE), and
-  docvalue_fields as a projection alias. The
+  docvalue_fields as a projection alias; batch 27 —
+  es_dsl_phrase_slop (Lucene sloppy phrase, exact for two terms incl.
+  the cost-2 transposition), es_dsl_field_boosts (caret syntax +
+  match boost scaling before the combine, the Lucene order),
+  es_dsl_geo_rings (geo_distance ring buckets over haversine), and
+  the metric `missing` substitution. The
   r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
@@ -304,6 +309,9 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_object_fields': (None, 'unclassified', 'r11'),
     'es_dsl_terms_lookup': (None, 'unclassified', 'r11'),
     'es_dsl_script_fields': (None, 'unclassified', 'r11'),
+    'es_dsl_geo_rings': (None, 'unclassified', 'r11'),
+    'es_dsl_phrase_slop': (None, 'unclassified', 'r11'),
+    'es_dsl_field_boosts': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

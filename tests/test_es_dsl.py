@@ -820,9 +820,11 @@ def test_match_operator_and(tiny):
     with pytest.raises(ValueError, match="bad match operator"):
         compile_search("docs", {"query": {"match": {"text": {
             "query": "x", "operator": "xor"}}}}, "duck")
+    # boost is SUPPORTED since batch 27 (scales the scored path);
+    # a still-unknown key fails loudly
     with pytest.raises(ValueError, match="unsupported match keys"):
         compile_search("docs", {"query": {"match": {"text": {
-            "query": "x", "boost": 2}}}}, "duck")
+            "query": "x", "fuzz": 2}}}}, "duck")
 
 
 def test_fuzzy_semantics(tiny):
@@ -2992,6 +2994,111 @@ def test_docvalue_and_script_fields(tiny):
     for b in (TERMS_LOOKUP_BODY, SCRIPT_FIELDS_BODY):
         for dialect in ("spark", "duck"):
             assert "SELECT" in compile_search("docs", b, dialect)
+
+
+# --- r10 batch 27: phrase slop / caret boosts / metric missing / geo rings ----
+
+
+def test_match_phrase_slop(tiny):
+    """slop 0 = adjacency (the plain phrase); slop 1 allows one
+    intervening token; slop >= 2 additionally admits the transposed
+    order with the residual budget."""
+    def hits(q, slop):
+        return set(_ids(tiny, _search({
+            "query": {"match_phrase": {"text": {"query": q, "slop": slop}}},
+            "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"],
+        })))
+
+    # 'alpha ... gamma': adjacent nowhere; doc 1 has gap 1; doc 5 has
+    # the reversed pair at gap 1 (cost 2 transpose + 1 gap = slop 3)
+    assert hits("alpha gamma", 0) == set()
+    assert hits("alpha gamma", 1) == {1}
+    # slop 2 admits reversed ADJACENT pairs only — doc 5 is
+    # 'gamma beta alpha' (reversed, gap 1), so it needs slop 3
+    assert hits("alpha gamma", 2) == {1}
+    assert hits("alpha gamma", 3) == {1, 5}
+    with pytest.raises(ValueError, match="slop supports exactly 2"):
+        compile_search("docs", {"query": {"match_phrase": {"text": {
+            "query": "a b c", "slop": 1}}}}, "duck")
+
+
+def test_multi_match_caret_boosts(tiny):
+    """text^N scales the text field's score N-fold before the
+    most_fields sum; boost on a bare match scales the whole score."""
+    plain = {"query": {"multi_match": {
+        "query": "alpha", "fields": ["text"], "type": "most_fields"}},
+        "_source": ["doc_id"], "size": 10}
+    p = {r[0]: r[1] for r in tiny.execute(_search(plain)).fetchall()}
+    boosted = {"query": {"multi_match": {
+        "query": "alpha", "fields": ["text^3"], "type": "most_fields"}},
+        "_source": ["doc_id"], "size": 10}
+    b = {r[0]: r[1] for r in tiny.execute(_search(boosted)).fetchall()}
+    for doc_id in p:
+        assert abs(b[doc_id] - 3 * p[doc_id]) <= 2e-4
+    mb = {"query": {"match": {"text": {"query": "alpha", "boost": 2}}},
+          "_source": ["doc_id"], "size": 10}
+    m = {r[0]: r[1] for r in tiny.execute(_search(mb)).fetchall()}
+    for doc_id in p:
+        assert abs(m[doc_id] - 2 * p[doc_id]) <= 2e-4
+    for body, msg in [
+        ({"query": {"multi_match": {"query": "a",
+            "fields": ["text^0"]}}}, "boost must be positive"),
+        ({"query": {"multi_match": {"query": "a",
+            "fields": ["text^x"]}}}, "bad field boost"),
+        ({"query": {"match": {"text": {"query": "a", "boost": -1}}}},
+         "match boost must be positive"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", body, "duck")
+
+
+def test_metric_missing_substitution(tiny):
+    """avg with `missing`: docs lacking the field contribute the
+    stand-in instead of being skipped."""
+    tiny.execute("ALTER TABLE docs ADD COLUMN score DOUBLE")
+    tiny.execute(
+        "UPDATE docs SET score = CASE WHEN doc_id <= 4 THEN doc_id END"
+    )
+    body = {"aggs": {"all": {"filter": {"match_all": {}},
+        "aggs": {"s_avg": {"avg": {"field": "score", "missing": 10}}}}},
+        "size": 0}
+    (_, avg), = tiny.execute(_search(body)).fetchall()
+    # (1+2+3+4 + 10*4) / 8
+    assert abs(avg - 6.25) <= 1e-9
+    with pytest.raises(ValueError, match="missing must be numeric"):
+        compile_search("docs", {"aggs": {"a": {"filter": {"match_all": {}},
+            "aggs": {"x": {"avg": {"field": "n", "missing": "x"}}}}},
+            "size": 0}, "duck")
+
+
+def test_geo_distance_rings(geo):
+    """Distance rings: from-inclusive/to-exclusive over the haversine,
+    declaration order preserved."""
+    body = {"aggs": {"rings": {"geo_distance": {
+        "field": "loc", "origin": {"lat": 0, "lon": 0}, "unit": "km",
+        "ranges": [{"to": 150}, {"from": 150, "to": 10000},
+                   {"from": 10000}],
+    }}}, "size": 0}
+    rows = geo.execute(compile_search("pts", body, "duck", "pid")).fetchall()
+    by_key = {r[0]: r[1] for r in rows}
+    # origin + 1-degree point inside 150 km; Paris in the middle ring;
+    # Sydney beyond 10000 km
+    assert by_key["*-150"] == 2
+    assert by_key["150-10000"] == 1
+    assert by_key["10000-*"] == 1
+    with pytest.raises(ValueError, match="bad geo_distance unit"):
+        compile_search("pts", {"aggs": {"r": {"geo_distance": {
+            "field": "loc", "origin": {"lat": 0, "lon": 0},
+            "unit": "parsec", "ranges": [{"to": 1}]}}}, "size": 0},
+            "duck", "pid")
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        GEO_RINGS_BODY, PHRASE_SLOP_BODY, FIELD_BOOSTS_BODY,
+    )
+    for tbl, idf, b in [("events", "event_id", GEO_RINGS_BODY),
+                        ("docs", "doc_id", PHRASE_SLOP_BODY),
+                        ("docs", "doc_id", FIELD_BOOSTS_BODY)]:
+        for dialect in ("spark", "duck"):
+            assert "SELECT" in compile_search(tbl, b, dialect, idf)
 
 
 def test_top_metrics_latest_per_bucket(tiny_val):
