@@ -111,7 +111,11 @@ that decides those 50 slots:
   the cost-2 transposition), es_dsl_field_boosts (caret syntax +
   match boost scaling before the combine, the Lucene order),
   es_dsl_geo_rings (geo_distance ring buckets over haversine), and
-  the metric `missing` substitution. The
+  the metric `missing` substitution; batch 28 —
+  stream_percolate_alerts (the ES Watcher idiom: stored DSL rules
+  percolated continuously over the event stream in ONE pass — rules
+  add row-local expressions, never passes — windowed alert counts
+  oracle-checked, per-rule totals pinned to batch evaluation). The
   r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
@@ -312,6 +316,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_geo_rings': (None, 'unclassified', 'r11'),
     'es_dsl_phrase_slop': (None, 'unclassified', 'r11'),
     'es_dsl_field_boosts': (None, 'unclassified', 'r11'),
+    'stream_percolate_alerts': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

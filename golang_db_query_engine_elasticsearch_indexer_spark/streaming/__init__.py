@@ -806,4 +806,93 @@ def registry() -> dict[str, dict]:
             "fn": docs_incremental_dedup,
             "oracle": _docs_incremental_oracle(),
         },
+        "stream_percolate_alerts": {
+            "fn": percolate_alerts,
+            "oracle": _percolate_alerts_oracle(),
+        },
     }
+
+
+# --- watcher-style alerting: stored queries percolated over the stream --------
+
+# the stored alert rules: ordinary ES query clauses (the same grammar
+# compile_search accepts), evaluated CONTINUOUSLY against the event
+# stream — the ES Watcher / alerting idiom. One rule exercises the
+# dotted object-field path (props.k reaches inside the JSON column)
+# so the percolation covers the full clause surface, not just flat
+# columns.
+PERCOLATE_ALERT_RULES: dict[str, dict] = {
+    "big_purchase": {"bool": {"filter": [
+        {"term": {"event_type": "purchase"}},
+        {"range": {"value": {"gte": 80}}},
+    ]}},
+    "hot_property": {"range": {"props.k": {"gte": 95}}},
+    "any_click": {"term": {"event_type": "click"}},
+}
+
+
+def percolate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous percolation: N stored DSL queries evaluate against
+    every event in ONE streaming pass (predicates stack into a
+    row-local array, compact + explode emits the (event, rule)
+    matches — the same inverted-percolator shape as the batch
+    operator), then alerts aggregate per 6-hour window x rule.
+
+    Scale shape: adding rules adds row-local CASE expressions, never
+    passes — 1,000 stored alerts still scan the stream once; the only
+    shuffle is the windowed count, keyed (window, rule), which
+    partial-aggregates map-side. This is the ES Watcher workload as a
+    Structured Streaming job."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        _query_expr,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    tags = [
+        F.when(
+            F.expr(_query_expr(rule, "spark", "event_id")), F.lit(name)
+        )
+        for name, rule in PERCOLATE_ALERT_RULES.items()
+    ]
+    agg = (
+        stream.withColumn(
+            "alert", F.explode(F.array_compact(F.array(*tags)))
+        )
+        .groupBy(F.window("ts", "6 hours").alias("w"), "alert")
+        .agg(
+            F.count("*").alias("n_alerts"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("string").alias("window_start"),
+        "alert",
+        "n_alerts",
+        "value_sum",
+    ).orderBy("window_start", "alert")
+
+
+def _percolate_alerts_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        _query_expr,
+    )
+
+    arms = "\n  UNION ALL ".join(
+        f"SELECT ts, value, '{name}' AS alert FROM events"
+        f" WHERE {_query_expr(rule, 'duck', 'event_id')}"
+        for name, rule in PERCOLATE_ALERT_RULES.items()
+    )
+    return f"""
+WITH matched AS (
+  {arms}
+)
+SELECT cast(cast(to_timestamp(floor(epoch(ts) / 21600) * 21600)
+                 AS TIMESTAMP) AS string) AS window_start,
+       alert,
+       count(*) AS n_alerts,
+       round(sum(value), 2) AS value_sum
+FROM matched
+GROUP BY 1, 2
+ORDER BY window_start, alert
+"""

@@ -310,3 +310,28 @@ def test_left_outer_join_emits_null_padded_unclicked_views(spark, tables, sf_dir
         assert 0 <= r.n_unclicked_views <= r.n_views
         if r.n_pairs > 0:
             assert r.n_unclicked_views < r.n_views
+
+
+def test_stream_percolate_alerts_one_pass(spark, tables, sf_dir):
+    """Watcher-style alerting: N stored DSL rules percolate over the
+    event stream in one pass. Every emitted alert row re-verifies
+    against a direct batch evaluation of the same rule, and each
+    rule's stream total equals its batch count — including the rule
+    that reaches inside the props JSON column."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import streaming
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        _query_expr,
+    )
+
+    rows = streaming.percolate_alerts(spark, sf_dir).collect()
+    assert rows, "no alerts fired on the fixture"
+    assert {r.alert for r in rows} == set(streaming.PERCOLATE_ALERT_RULES)
+    ev = spark.table("events")
+    for name, rule in streaming.PERCOLATE_ALERT_RULES.items():
+        batch_n = ev.filter(_query_expr(rule, "spark", "event_id")).count()
+        stream_n = sum(r.n_alerts for r in rows if r.alert == name)
+        assert stream_n == batch_n, name
+    # window keys are 6-hour aligned
+    for r in rows:
+        assert r.window_start.endswith(("00:00:00", "06:00:00",
+                                        "12:00:00", "18:00:00"))
