@@ -319,6 +319,22 @@ def create_app(
                 id_field=request.args.get("id_field"),
                 max_rows=max_rows,
             )), 200
+        if body.get("profile") is True:
+            # the ES in-body profile flag, served honestly: this
+            # engine's execution breakdown IS the optimized physical
+            # plan (per-operator timings live in the Spark UI), so
+            # profile returns the same section the ?plan=true
+            # extension serves, under the standard ES key
+            spark = _spark()
+            df = gateway.es_search_df(
+                spark, index, {k: v for k, v in body.items()
+                               if k != "profile"}
+            )
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            return jsonify({"profile": {"plan": plan}}), 200
         if request.args.get("plan", "").lower() in ("1", "true", "formatted"):
             # engine extension, mirroring /query/?explain: return the
             # optimized physical plan of the COMPILED body instead of

@@ -775,3 +775,23 @@ def test_es_reindex_route(client):
     # empty body
     r = client.post("/_reindex", data="")
     assert r.status_code == 400
+
+
+def test_es_search_profile_flag(client):
+    """ES's in-body profile:true returns the execution breakdown — the
+    optimized physical plan — instead of hits; plan and hits routes
+    stay consistent."""
+    r = client.post("/documents/_search", json={
+        "profile": True,
+        "query": {"term": {"lang": "en"}}, "size": 3,
+        "_source": ["doc_id"],
+    })
+    assert r.status_code == 200
+    plan = r.get_json()["profile"]["plan"]
+    assert "Physical Plan" in plan or "Scan" in plan
+    # without the flag the same body returns hits
+    r = client.post("/documents/_search", json={
+        "query": {"term": {"lang": "en"}}, "size": 3,
+        "_source": ["doc_id"],
+    })
+    assert r.status_code == 200 and r.get_json()["count"] == 3
