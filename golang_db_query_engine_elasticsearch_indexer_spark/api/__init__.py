@@ -182,9 +182,11 @@ def create_app(
                 return jsonify({"error": str(err)}), 400
         except ImportError:
             pass
-        if isinstance(err, ValueError) and str(err).startswith("es_dsl:"):
-            # the DSL compiler's loud unsupported-clause rejections are
-            # client errors, surfaced BEFORE any execution
+        if isinstance(err, ValueError) and str(err).startswith(
+            ("es_dsl:", "esql:")
+        ):
+            # the DSL / ES|QL compilers' loud unsupported-clause
+            # rejections are client errors, surfaced BEFORE execution
             return jsonify({"error": str(err)}), 400
         raise err
 
@@ -504,6 +506,32 @@ def create_app(
         if not body:
             raise ParamsNullError()
         return jsonify(gateway.es_reindex(_spark(), body, _sink())), 200
+
+    @app.post("/_query")
+    def esql_route():
+        # the ES|QL API (ES 8.11+): {"query": "FROM idx | ..."} ->
+        # columnar {columns, values} response, the ES|QL wire shape
+        _attach_if_named()
+        body = _es_body()
+        if not body.get("query"):
+            raise ParamsNullError()
+        from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (  # noqa: PLC0415
+            esql_df,
+        )
+
+        df = esql_df(_spark(), body["query"])
+        res = gateway.collect_envelope(df, max_rows=max_rows)
+        payload = json.loads(res.to_json())
+        return jsonify({
+            "columns": [
+                {"name": c["name"], "type": c["type"]}
+                for c in payload["schema"]
+            ],
+            "values": [
+                [row.get(c["name"]) for c in payload["schema"]]
+                for row in payload["data"]
+            ],
+        }), 200
 
     @app.post("/_sql")
     def es_sql_route():

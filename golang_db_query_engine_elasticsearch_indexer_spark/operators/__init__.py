@@ -18,6 +18,7 @@ def registry() -> dict[str, dict]:
         decontam,
         dedup,
         es_dsl,
+        esql,
         graph,
         layout,
         multimodal,
@@ -35,7 +36,7 @@ def registry() -> dict[str, dict]:
         profile,
     )
 
-    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile, graph, layout, sequence, materialized, es_dsl):
+    for mod in (dedup, similarity, text, multimodal, asof, pipeline, sampling, decontam, search, chunking, skew, profile, graph, layout, sequence, materialized, es_dsl, esql):
         out.update(mod.registry())
 
     from golang_db_query_engine_elasticsearch_indexer_spark import (  # noqa: PLC0415

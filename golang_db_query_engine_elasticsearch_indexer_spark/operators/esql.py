@@ -1,0 +1,531 @@
+"""ES|QL compiler: Elasticsearch's piped query language -> Spark SQL.
+
+ES|QL (the `POST /_query` API, ES 8.11+) is the modern query surface
+real ES users are migrating to: `FROM idx | WHERE a > 1 | STATS n =
+COUNT(*) BY b | SORT n DESC | LIMIT 5`. This module compiles the
+supported subset to ONE nested-SELECT SQL statement in both dialects
+("spark" runs, "duck" oracles) — the same two-dialect discipline as
+the Query-DSL compiler (operators/es_dsl.py), with the same loudness
+contract: any source command, function, or operator outside the
+subset raises ValueError at compile time, never a silent
+mistranslation.
+
+Supported source command: FROM <index> (one index; no METADATA).
+Processing commands, applied in pipe order:
+
+- WHERE <boolean expr>
+- EVAL name = <expr> [, name = <expr>]...
+- STATS [name =] AGG(expr) [, ...] [BY key [, key]...]
+  with COUNT(*) / COUNT / COUNT_DISTINCT / SUM / AVG / MIN / MAX /
+  MEDIAN — SUM/AVG go through the engine's exact-DECIMAL quantize
+  discipline so partial-aggregation order can't flip a bit
+- SORT field [ASC|DESC] [, ...]  (NULLS FIRST/LAST raise)
+- LIMIT n
+- KEEP f [, f]... / DROP f [, f]... / RENAME old AS new [, ...]
+
+Expression grammar (shared by WHERE/EVAL/STATS/SORT):
+identifiers (dotted names raise here — ES|QL flattens objects at
+mapping time, which this engine models as real columns), integer /
+float / "string" literals, + - * / %, == != > >= < <=, AND OR NOT,
+parentheses, IN (v, ...), IS NULL / IS NOT NULL, LIKE "wildcard*"
+(ES|QL wildcard syntax: * and ?, translated to SQL LIKE with explicit
+ESCAPE), and the scalar functions ROUND(x[, d]) / ABS / LENGTH /
+CONCAT / TO_LOWER / TO_UPPER / COALESCE.
+
+Scale shape: the compiled statement is ordinary Catalyst SQL — WHERE
+stages sit below the aggregation and reach the parquet scan as pushed
+filters; STATS is one partial+final aggregation; SORT+LIMIT after
+STATS is a TakeOrdered over the bucket relation. Pipe order is
+preserved semantically, but the OPTIMIZER reorders physically — the
+reason compiling to a declarative plan beats interpreting the pipe.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_DEC = "DECIMAL(28, 6)"
+
+_TOKEN = re.compile(
+    r"""\s*(
+      "(?:[^"\\]|\\.)*"            # double-quoted string
+    | \d+\.\d+ | \d+               # numbers
+    | [A-Za-z_][A-Za-z0-9_]*       # identifier / keyword / function
+    | == | != | >= | <= | [-+*/%(),><=]
+    )""",
+    re.X,
+)
+
+_KEYWORDS = {
+    "AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE", "ASC", "DESC",
+    "BY", "AS", "TRUE", "FALSE",
+}
+
+_FUNCS = {
+    "ROUND": (1, 2), "ABS": (1, 1), "LENGTH": (1, 1),
+    "CONCAT": (1, 99), "TO_LOWER": (1, 1), "TO_UPPER": (1, 1),
+    "COALESCE": (1, 99),
+}
+
+_AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX", "MEDIAN"}
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _tokenize(s: str, what: str) -> list[str]:
+    toks, i = [], 0
+    while i < len(s):
+        if s[i].isspace():
+            i += 1
+            continue
+        m = _TOKEN.match(s, i)
+        if not m:
+            raise ValueError(f"esql: {what}: unsupported syntax at {s[i:]!r}")
+        toks.append(m.group(1))
+        i = m.end()
+    return toks
+
+
+def _like_pattern(raw: str) -> str:
+    """ES|QL LIKE wildcards (* ?) -> SQL LIKE with explicit escape."""
+    out = []
+    for c in raw:
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in ("%", "_", "!"):
+            out.append("!" + c)
+        elif c == "'":
+            out.append("''")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+class _Expr:
+    """Recursive-descent expression parser over the shared grammar,
+    emitting dialect-agnostic SQL text (every construct used parses
+    identically in Spark SQL and DuckDB)."""
+
+    def __init__(self, toks: list[str], what: str,
+                 allow_aggs: bool = False):
+        self.toks = toks
+        self.pos = 0
+        self.what = what
+        self.allow_aggs = allow_aggs
+
+    def peek(self) -> str | None:
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def peek_kw(self) -> str | None:
+        t = self.peek()
+        return t.upper() if t is not None else None
+
+    def take(self) -> str:
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, t: str) -> None:
+        got = self.take() if self.pos < len(self.toks) else None
+        if got is None or got.upper() != t:
+            raise ValueError(f"esql: {self.what}: expected {t!r}, got {got!r}")
+
+    def _err(self, msg: str):
+        raise ValueError(f"esql: {self.what}: {msg}")
+
+    # precedence: OR < AND < NOT < comparison < additive < multiplicative
+
+    def parse(self) -> str:
+        e = self.or_expr()
+        if self.pos != len(self.toks):
+            self._err(f"trailing tokens {self.toks[self.pos:]!r}")
+        return e
+
+    def or_expr(self) -> str:
+        e = self.and_expr()
+        while self.peek_kw() == "OR":
+            self.take()
+            e = f"({e}) OR ({self.and_expr()})"
+        return e
+
+    def and_expr(self) -> str:
+        e = self.not_expr()
+        while self.peek_kw() == "AND":
+            self.take()
+            e = f"({e}) AND ({self.not_expr()})"
+        return e
+
+    def not_expr(self) -> str:
+        if self.peek_kw() == "NOT":
+            self.take()
+            return f"(NOT {self.not_expr()})"
+        return self.cmp_expr()
+
+    def cmp_expr(self) -> str:
+        e = self.add_expr()
+        t = self.peek_kw()
+        if t in (None,):
+            return e
+        if self.peek() in ("==", "!=", ">", ">=", "<", "<="):
+            op = {"==": "=", "!=": "<>"}.get(self.peek(), self.peek())
+            self.take()
+            return f"{e} {op} {self.add_expr()}"
+        if t == "LIKE":
+            self.take()
+            raw = self.take()
+            if not (raw.startswith('"') and raw.endswith('"')):
+                self._err("LIKE wants a string pattern")
+            pat = _like_pattern(raw[1:-1])
+            return f"{e} LIKE '{pat}' ESCAPE '!'"
+        if t == "IN":
+            self.take()
+            self.expect("(")
+            vals = [self.atom()]
+            while self.peek() == ",":
+                self.take()
+                vals.append(self.atom())
+            self.expect(")")
+            return f"{e} IN ({', '.join(vals)})"
+        if t == "IS":
+            self.take()
+            neg = ""
+            if self.peek_kw() == "NOT":
+                self.take()
+                neg = "NOT "
+            self.expect("NULL")
+            return f"{e} IS {neg}NULL"
+        return e
+
+    def add_expr(self) -> str:
+        e = self.mul_expr()
+        while self.peek() in ("+", "-"):
+            e = f"{e} {self.take()} {self.mul_expr()}"
+        return e
+
+    def mul_expr(self) -> str:
+        e = self.atom()
+        while self.peek() in ("*", "/", "%"):
+            e = f"{e} {self.take()} {self.atom()}"
+        return e
+
+    def atom(self) -> str:
+        t = self.peek()
+        if t is None:
+            self._err("unexpected end of expression")
+        if t == "(":
+            self.take()
+            e = self.or_expr()
+            self.expect(")")
+            return f"({e})"
+        if t == "-":
+            self.take()
+            return f"(- {self.atom()})"
+        self.take()
+        up = t.upper()
+        if t.startswith('"'):
+            body = t[1:-1].replace("\\\"", '"').replace("'", "''")
+            return f"'{body}'"
+        if re.fullmatch(r"\d+(\.\d+)?", t):
+            return t
+        if up in ("TRUE", "FALSE"):
+            return up
+        if up in ("NULL",):
+            return "NULL"
+        if self.peek() == "(":
+            return self.call(t)
+        if up in _KEYWORDS:
+            self._err(f"unexpected keyword {t!r}")
+        if not _IDENT.fullmatch(t):
+            self._err(f"bad identifier {t!r}")
+        return t
+
+    def call(self, name: str) -> str:
+        up = name.upper()
+        self.expect("(")
+        if up == "COUNT" and self.peek() == "*":
+            self.take()
+            self.expect(")")
+            if not self.allow_aggs:
+                self._err("COUNT(*) only inside STATS")
+            return "count(*)"
+        args = []
+        if self.peek() != ")":
+            args.append(self.or_expr())
+            while self.peek() == ",":
+                self.take()
+                args.append(self.or_expr())
+        self.expect(")")
+        if up in _AGGS:
+            if not self.allow_aggs:
+                self._err(f"{up} only inside STATS")
+            if len(args) != 1:
+                self._err(f"{up} wants exactly one argument")
+            x = args[0]
+            if up == "COUNT":
+                return f"count({x})"
+            if up == "COUNT_DISTINCT":
+                return f"count(DISTINCT {x})"
+            if up in ("MIN", "MAX"):
+                return f"{up.lower()}({x})"
+            if up == "SUM":
+                return f"cast(sum(cast({x} AS {_DEC})) AS DOUBLE)"
+            if up == "AVG":
+                return (
+                    f"cast(sum(cast({x} AS {_DEC})) AS DOUBLE)"
+                    f" / count({x})"
+                )
+            # MEDIAN: exact interpolated quantile, quantized like the
+            # DSL percentiles so both engines emit the same double
+            return (
+                f"cast(cast(__PCT__({x}, 0.5) AS DECIMAL(18, 6))"
+                " AS DOUBLE)"
+            )
+        if up not in _FUNCS:
+            self._err(f"unsupported function {name!r}")
+        lo, hi = _FUNCS[up]
+        if not lo <= len(args) <= hi:
+            self._err(f"{up} wants {lo}..{hi} arguments")
+        fn = {"TO_LOWER": "lower", "TO_UPPER": "upper",
+              "LENGTH": "length"}.get(up, up.lower())
+        return f"{fn}({', '.join(args)})"
+
+
+def _split_pipes(q: str) -> list[str]:
+    """Split on | outside double-quoted strings."""
+    parts, buf, in_str, i = [], [], False, 0
+    while i < len(q):
+        c = q[i]
+        if c == '"' and (i == 0 or q[i - 1] != "\\"):
+            in_str = not in_str
+        if c == "|" and not in_str:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts]
+
+
+def _split_top_commas(toks: list[str]) -> list[list[str]]:
+    """Split a token list on commas at paren depth 0."""
+    out, cur, depth = [], [], 0
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            out.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    out.append(cur)
+    return out
+
+
+def compile_esql(query: str, dialect: str) -> str:
+    """Compile one ES|QL statement to one SQL statement."""
+    if dialect not in ("spark", "duck"):
+        raise ValueError(f"esql: unknown dialect {dialect!r}")
+    if not isinstance(query, str) or not query.strip():
+        raise ValueError("esql: empty query")
+    stages = _split_pipes(query)
+    head = _tokenize(stages[0], "FROM")
+    if len(head) != 2 or head[0].upper() != "FROM":
+        raise ValueError(
+            "esql: the source command must be FROM <index> "
+            f"(got {stages[0]!r})"
+        )
+    index = head[1]
+    if not _IDENT.fullmatch(index):
+        raise ValueError(f"esql: bad index name {index!r}")
+    sql = f"SELECT * FROM {index}"
+    n = 0
+    for stage in stages[1:]:
+        toks = _tokenize(stage, "command")
+        if not toks:
+            raise ValueError("esql: empty pipe stage")
+        cmd = toks[0].upper()
+        rest = toks[1:]
+        n += 1
+        inner = f"({sql}) t{n}"
+        if cmd == "WHERE":
+            pred = _Expr(rest, "WHERE").parse()
+            sql = f"SELECT * FROM {inner} WHERE {pred}"
+        elif cmd == "EVAL":
+            cols = []
+            for part in _split_top_commas(rest):
+                if len(part) < 3 or part[1] != "=" or not _IDENT.fullmatch(
+                    part[0]
+                ):
+                    raise ValueError(
+                        "esql: EVAL wants name = <expr> [, ...]"
+                    )
+                e = _Expr(part[2:], "EVAL").parse()
+                cols.append(f"{e} AS {part[0]}")
+            sql = f"SELECT *, {', '.join(cols)} FROM {inner}"
+        elif cmd == "STATS":
+            # optional BY keys: split rest at the top-level BY keyword
+            by_idx = None
+            depth = 0
+            for i, t in enumerate(rest):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and t.upper() == "BY":
+                    by_idx = i
+                    break
+            agg_toks = rest[:by_idx] if by_idx is not None else rest
+            keys = []
+            if by_idx is not None:
+                for part in _split_top_commas(rest[by_idx + 1:]):
+                    if len(part) != 1 or not _IDENT.fullmatch(part[0]):
+                        raise ValueError(
+                            "esql: STATS BY wants plain column names"
+                        )
+                    keys.append(part[0])
+            cols = []
+            for j, part in enumerate(_split_top_commas(agg_toks)):
+                if len(part) >= 2 and part[1] == "=":
+                    if not _IDENT.fullmatch(part[0]):
+                        raise ValueError(
+                            f"esql: bad STATS alias {part[0]!r}"
+                        )
+                    name, body = part[0], part[2:]
+                else:
+                    name, body = f"stat{j}", part
+                e = _Expr(body, "STATS", allow_aggs=True).parse()
+                pct = "percentile" if dialect == "spark" else "quantile_cont"
+                e = e.replace("__PCT__", pct)
+                cols.append(f"{e} AS {name}")
+            if not cols:
+                raise ValueError("esql: STATS wants >= 1 aggregate")
+            if keys:
+                sql = (
+                    f"SELECT {', '.join(keys)}, {', '.join(cols)} "
+                    f"FROM {inner} GROUP BY {', '.join(keys)}"
+                )
+            else:
+                sql = f"SELECT {', '.join(cols)} FROM {inner}"
+        elif cmd == "SORT":
+            orders = []
+            for part in _split_top_commas(rest):
+                d = "ASC"
+                if part and part[-1].upper() in ("ASC", "DESC"):
+                    d = part[-1].upper()
+                    part = part[:-1]
+                if len(part) != 1 or not _IDENT.fullmatch(part[0]):
+                    raise ValueError(
+                        "esql: SORT wants column [ASC|DESC] [, ...]"
+                    )
+                orders.append(f"{part[0]} {d}")
+            sql = f"SELECT * FROM {inner} ORDER BY {', '.join(orders)}"
+        elif cmd == "LIMIT":
+            if len(rest) != 1 or not rest[0].isdigit():
+                raise ValueError("esql: LIMIT wants one integer")
+            sql = f"SELECT * FROM {inner} LIMIT {int(rest[0])}"
+        elif cmd in ("KEEP", "DROP"):
+            names = []
+            for part in _split_top_commas(rest):
+                if len(part) != 1 or not _IDENT.fullmatch(part[0]):
+                    raise ValueError(f"esql: {cmd} wants plain column names")
+                names.append(part[0])
+            if cmd == "KEEP":
+                sql = f"SELECT {', '.join(names)} FROM {inner}"
+            else:
+                cols = ", ".join(names)
+                sql = (
+                    f"SELECT * EXCLUDE ({cols}) FROM {inner}"
+                    if dialect == "duck"
+                    else f"SELECT * EXCEPT ({cols}) FROM {inner}"
+                )
+        elif cmd == "RENAME":
+            pairs = []
+            for part in _split_top_commas(rest):
+                if (
+                    len(part) != 3 or part[1].upper() != "AS"
+                    or not _IDENT.fullmatch(part[0])
+                    or not _IDENT.fullmatch(part[2])
+                ):
+                    raise ValueError(
+                        "esql: RENAME wants old AS new [, ...]"
+                    )
+                pairs.append((part[0], part[2]))
+            olds = ", ".join(o for o, _ in pairs)
+            renames = ", ".join(f"{o} AS {nn}" for o, nn in pairs)
+            base = (
+                f"SELECT * EXCLUDE ({olds}), {renames} FROM {inner}"
+                if dialect == "duck"
+                else f"SELECT * EXCEPT ({olds}), {renames} FROM {inner}"
+            )
+            sql = base
+        else:
+            raise ValueError(
+                f"esql: unsupported command {cmd!r} (WHERE/EVAL/STATS/"
+                "SORT/LIMIT/KEEP/DROP/RENAME)"
+            )
+    return sql
+
+
+def esql_df(spark: SparkSession, query: str) -> DataFrame:
+    """`POST /_query` parity: one ES|QL statement, lazily compiled to a
+    Catalyst plan over the registered tables."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.errors import (  # noqa: PLC0415
+        ParamsNullError,
+    )
+
+    if query is None:
+        raise ParamsNullError()
+    return spark.sql(compile_esql(query, "spark"))
+
+
+# --- registered kernels --------------------------------------------------------
+
+ESQL_FILTER_STATS = """FROM events
+  | WHERE event_type == "click" AND value > 50
+  | STATS n = COUNT(*), v_avg = AVG(value),
+          users = COUNT_DISTINCT(user_id) BY event_type
+  | SORT event_type"""
+
+ESQL_EVAL_KEEP = """FROM documents
+  | EVAL kchars = n_chars / 1000, label = CONCAT(lang, "-", source)
+  | WHERE kchars > 0.5 AND lang IN ("en", "de")
+  | KEEP doc_id, label, kchars
+  | SORT kchars DESC, doc_id ASC
+  | LIMIT 10"""
+
+ESQL_MEDIAN_RENAME = """FROM lineitem
+  | WHERE l_returnflag == "R"
+  | STATS med = MEDIAN(l_quantity),
+          total = SUM(l_extendedprice) BY l_linestatus
+  | RENAME l_linestatus AS status
+  | SORT status"""
+
+
+def registry() -> dict[str, dict]:
+    def entry(q: str):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return spark.sql(compile_esql(q, "spark"))
+
+        return run
+
+    return {
+        "esql_filter_stats": {
+            "fn": entry(ESQL_FILTER_STATS),
+            "oracle": compile_esql(ESQL_FILTER_STATS, "duck"),
+        },
+        "esql_eval_keep": {
+            "fn": entry(ESQL_EVAL_KEEP),
+            "oracle": compile_esql(ESQL_EVAL_KEEP, "duck"),
+        },
+        "esql_median_rename": {
+            "fn": entry(ESQL_MEDIAN_RENAME),
+            "oracle": compile_esql(ESQL_MEDIAN_RENAME, "duck"),
+        },
+    }

@@ -115,7 +115,12 @@ that decides those 50 slots:
   stream_percolate_alerts (the ES Watcher idiom: stored DSL rules
   percolated continuously over the event stream in ONE pass — rules
   add row-local expressions, never passes — windowed alert counts
-  oracle-checked, per-rule totals pinned to batch evaluation). The
+  oracle-checked, per-rule totals pinned to batch evaluation);
+  batch 29 — ES|QL (operators/esql.py: the modern piped query
+  language at POST /_query — FROM | WHERE | EVAL | STATS BY | SORT |
+  LIMIT | KEEP/DROP/RENAME compiled to one declarative statement in
+  both dialects; esql_filter_stats / eval_keep / median_rename
+  registered). The
   r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
@@ -317,6 +322,9 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_phrase_slop': (None, 'unclassified', 'r11'),
     'es_dsl_field_boosts': (None, 'unclassified', 'r11'),
     'stream_percolate_alerts': (None, 'unclassified', 'r11'),
+    'esql_filter_stats': (None, 'unclassified', 'r11'),
+    'esql_eval_keep': (None, 'unclassified', 'r11'),
+    'esql_median_rename': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

@@ -795,3 +795,22 @@ def test_es_search_profile_flag(client):
         "_source": ["doc_id"],
     })
     assert r.status_code == 200 and r.get_json()["count"] == 3
+
+
+def test_esql_query_route(client):
+    """ES|QL at /_query: piped statement in, the columnar ES|QL wire
+    shape ({columns, values}) out."""
+    r = client.post("/_query", json={"query": (
+        'FROM documents | WHERE lang == "en" '
+        "| STATS n = COUNT(*), chars = SUM(n_chars) BY lang | SORT lang"
+    )})
+    assert r.status_code == 200
+    body = r.get_json()
+    assert [c["name"] for c in body["columns"]] == ["lang", "n", "chars"]
+    assert len(body["values"]) == 1 and body["values"][0][0] == "en"
+    assert body["values"][0][1] > 0  # count of en docs at fixture scale
+    # unsupported command: 400, never 500
+    r = client.post("/_query", json={"query": "FROM documents | GROK x"})
+    assert r.status_code == 400
+    r = client.post("/_query", json={})
+    assert r.status_code == 400
