@@ -66,8 +66,10 @@ _KEYWORDS = {
 _FUNCS = {
     "ROUND": (1, 2), "ABS": (1, 1), "LENGTH": (1, 1),
     "CONCAT": (1, 99), "TO_LOWER": (1, 1), "TO_UPPER": (1, 1),
-    "COALESCE": (1, 99),
+    "COALESCE": (1, 99), "SUBSTRING": (2, 3),
 }
+
+_TRUNC_UNITS = {"minute", "hour", "day", "week", "month", "year"}
 
 _AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX", "MEDIAN"}
 
@@ -284,6 +286,43 @@ class _Expr:
                 f"cast(cast(__PCT__({x}, 0.5) AS DECIMAL(18, 6))"
                 " AS DOUBLE)"
             )
+        if up == "DATE_TRUNC":
+            # DATE_TRUNC("day", ts): string unit + temporal expression
+            if len(args) != 2:
+                self._err("DATE_TRUNC wants (unit, field)")
+            unit = args[0]
+            if not (unit.startswith("'") and unit.endswith("'")):
+                self._err("DATE_TRUNC unit must be a string literal")
+            u = unit[1:-1].lower()
+            if u not in _TRUNC_UNITS:
+                self._err(
+                    f"DATE_TRUNC unit {u!r} unsupported "
+                    f"({'/'.join(sorted(_TRUNC_UNITS))})"
+                )
+            # the outer cast pins the result type: DuckDB's day-level
+            # date_trunc yields DATE where Spark yields TIMESTAMP —
+            # the cast text is shared and makes both emit TIMESTAMP
+            return f"cast(date_trunc('{u}', {args[1]}) AS TIMESTAMP)"
+        if up == "CASE":
+            # CASE(cond1, val1, ..., [default]): ES|QL's conditional
+            if len(args) < 2:
+                self._err("CASE wants cond, value pairs")
+            pairs, default = args, None
+            if len(args) % 2 == 1:
+                pairs, default = args[:-1], args[-1]
+            whens = " ".join(
+                f"WHEN {pairs[i]} THEN {pairs[i + 1]}"
+                for i in range(0, len(pairs), 2)
+            )
+            els = f" ELSE {default}" if default is not None else ""
+            return f"(CASE {whens}{els} END)"
+        if up == "STARTS_WITH":
+            # substring-compare form: portable for ARBITRARY prefix
+            # expressions (startswith/starts_with differ by dialect)
+            if len(args) != 2:
+                self._err("STARTS_WITH wants (string, prefix)")
+            x, p = args
+            return f"(substring({x}, 1, length({p})) = {p})"
         if up not in _FUNCS:
             self._err(f"unsupported function {name!r}")
         lo, hi = _FUNCS[up]
@@ -465,10 +504,29 @@ def compile_esql(query: str, dialect: str) -> str:
                 else f"SELECT * EXCEPT ({olds}), {renames} FROM {inner}"
             )
             sql = base
+        elif cmd == "LOOKUP":
+            # LOOKUP JOIN <index> ON <key> (ES 8.18): enrich the
+            # stream with the lookup index's columns by equi-key —
+            # a LEFT JOIN USING, which the planner broadcasts when the
+            # lookup side is small (the ENRICH execution model)
+            if (
+                len(rest) != 4 or rest[0].upper() != "JOIN"
+                or rest[2].upper() != "ON"
+                or not _IDENT.fullmatch(rest[1])
+                or not _IDENT.fullmatch(rest[3])
+            ):
+                raise ValueError(
+                    "esql: LOOKUP wants JOIN <index> ON <key>"
+                )
+            lk, key = rest[1], rest[3]
+            sql = (
+                f"SELECT * FROM {inner} "
+                f"LEFT JOIN {lk} USING ({key})"
+            )
         else:
             raise ValueError(
                 f"esql: unsupported command {cmd!r} (WHERE/EVAL/STATS/"
-                "SORT/LIMIT/KEEP/DROP/RENAME)"
+                "SORT/LIMIT/KEEP/DROP/RENAME/LOOKUP JOIN)"
             )
     return sql
 
@@ -508,6 +566,21 @@ ESQL_MEDIAN_RENAME = """FROM lineitem
   | SORT status"""
 
 
+ESQL_DATE_CASE = """FROM events
+  | EVAL day = DATE_TRUNC("day", ts),
+         band = CASE(value < 20, "low", value < 80, "mid", "high")
+  | STATS n = COUNT(*) BY day, band
+  | SORT day, band
+  | LIMIT 12"""
+
+ESQL_LOOKUP_JOIN = """FROM customer
+  | RENAME c_nationkey AS n_nationkey
+  | LOOKUP JOIN nation ON n_nationkey
+  | STATS cnt = COUNT(*) BY n_name
+  | SORT cnt DESC, n_name ASC
+  | LIMIT 5"""
+
+
 def registry() -> dict[str, dict]:
     def entry(q: str):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,5 +600,13 @@ def registry() -> dict[str, dict]:
         "esql_median_rename": {
             "fn": entry(ESQL_MEDIAN_RENAME),
             "oracle": compile_esql(ESQL_MEDIAN_RENAME, "duck"),
+        },
+        "esql_date_case": {
+            "fn": entry(ESQL_DATE_CASE),
+            "oracle": compile_esql(ESQL_DATE_CASE, "duck"),
+        },
+        "esql_lookup_join": {
+            "fn": entry(ESQL_LOOKUP_JOIN),
+            "oracle": compile_esql(ESQL_LOOKUP_JOIN, "duck"),
         },
     }

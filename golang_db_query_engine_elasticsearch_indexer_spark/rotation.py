@@ -120,7 +120,8 @@ that decides those 50 slots:
   language at POST /_query — FROM | WHERE | EVAL | STATS BY | SORT |
   LIMIT | KEEP/DROP/RENAME compiled to one declarative statement in
   both dialects; esql_filter_stats / eval_keep / median_rename
-  registered). The
+  registered; batch 2 adds DATE_TRUNC/CASE/STARTS_WITH/SUBSTRING and
+  the ES 8.18 LOOKUP JOIN — esql_date_case / lookup_join). The
   r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
@@ -325,6 +326,8 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_filter_stats': (None, 'unclassified', 'r11'),
     'esql_eval_keep': (None, 'unclassified', 'r11'),
     'esql_median_rename': (None, 'unclassified', 'r11'),
+    'esql_date_case': (None, 'unclassified', 'r11'),
+    'esql_lookup_join': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

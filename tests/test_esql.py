@@ -101,3 +101,49 @@ def test_registered_statements_compile_both_dialects():
     for q in (ESQL_FILTER_STATS, ESQL_EVAL_KEEP, ESQL_MEDIAN_RENAME):
         for dialect in ("spark", "duck"):
             assert "SELECT" in compile_esql(q, dialect)
+
+
+def test_date_trunc_case_starts_with(tiny):
+    tiny.execute("ALTER TABLE t ADD COLUMN ts TIMESTAMP")
+    tiny.execute(
+        "UPDATE t SET ts = TIMESTAMP '2024-01-01 00:00:00'"
+        " + to_hours(id * 30)"
+    )
+    rows = _rows(tiny, '''FROM t
+      | EVAL day = DATE_TRUNC("day", ts),
+             band = CASE(v < 15, "low", v < 35, "mid", "high")
+      | KEEP id, day, band
+      | SORT id''')
+    assert [str(r[1])[:10] for r in rows] == [
+        "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-06",
+        "2024-01-07",
+    ]
+    # row 5's v is NULL: both conditions evaluate NULL (not true), so
+    # the default arm applies — the ES|QL CASE fall-through rule
+    assert [r[2] for r in rows] == ["low", "mid", "mid", "high", "high"]
+    rows = _rows(tiny, '''FROM t
+      | WHERE STARTS_WITH(text, SUBSTRING("beta!", 1, 4))
+      | SORT id''')
+    assert [r[0] for r in rows] == [2]
+    for q, msg in [
+        ('FROM t | EVAL d = DATE_TRUNC("eon", ts)',
+         "DATE_TRUNC unit 'eon'"),
+        ("FROM t | EVAL d = DATE_TRUNC(ts)", "wants .unit, field."),
+        ("FROM t | EVAL c = CASE(v)", "cond, value pairs"),
+        ("FROM t | LOOKUP JOIN a b", "LOOKUP wants JOIN"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_esql(q, "duck")
+
+
+def test_lookup_join_enriches(tiny):
+    tiny.execute(
+        "CREATE TABLE langs AS SELECT * FROM (VALUES"
+        " ('en', 'English'), ('de', 'German')) AS x(lang, lang_name)"
+    )
+    rows = _rows(tiny, """FROM t
+      | LOOKUP JOIN langs ON lang
+      | KEEP id, lang_name
+      | SORT id""")
+    assert rows == [(1, "English"), (2, "English"), (3, "German"),
+                    (4, "German"), (5, None)]
