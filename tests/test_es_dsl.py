@@ -3871,3 +3871,44 @@ def test_wrapper_query_decodes(tiny):
     assert _ids(tiny, _search(body)) == [1, 2, 8]
     with pytest.raises(ValueError, match="does not decode"):
         _search({"query": {"wrapper": {"query": "!!not-base64!!"}}})
+
+
+def test_batch18_29_plan_shapes(spark, tables):
+    """Scale claims of the late-r10 batches, checked on executed
+    plans: rescore's second pass joins onto a LIMIT-bounded window
+    (never the corpus ordering); has_child aggregates the child side
+    below a broadcastable semi-join; the geo_distance query's
+    haversine predicate stays scan-local (no join, no shuffle below
+    the top-k); terms lookup broadcasts its one-row subquery."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        GEO_DISTANCE_BODY,
+        HAS_CHILD_BODY,
+        PARENT_CHILD_RELATIONS,
+        RESCORE_BODY,
+        TERMS_LOOKUP_BODY,
+        compile_search,
+    )
+
+    df = spark.sql(compile_search("documents", RESCORE_BODY, "spark"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the first pass is a TakeOrdered/window LIMIT feeding the join
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Join") >= 2  # rescore join-back + source join
+
+    df = spark.sql(compile_search(
+        "orders", HAS_CHILD_BODY, "spark", "o_orderkey",
+        PARENT_CHILD_RELATIONS,
+    ))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Semi" in plan  # IN-subquery planned as a semi join
+    assert "HashAggregate" in plan  # min_children aggregates child side
+
+    df = spark.sql(compile_search(
+        "events", GEO_DISTANCE_BODY, "spark", "event_id"
+    ))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # pure scan-local predicate + top-k
+
+    df = spark.sql(compile_search("documents", TERMS_LOOKUP_BODY, "spark"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
