@@ -59,8 +59,8 @@ _TOKEN = re.compile(
 )
 
 _KEYWORDS = {
-    "AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE", "ASC", "DESC",
-    "BY", "AS", "TRUE", "FALSE",
+    "AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE", "RLIKE", "ASC",
+    "DESC", "BY", "AS", "TRUE", "FALSE",
 }
 
 _FUNCS = {
@@ -183,6 +183,23 @@ class _Expr:
                 self._err("LIKE wants a string pattern")
             pat = _like_pattern(raw[1:-1])
             return f"{e} LIKE '{pat}' ESCAPE '!'"
+        if t == "RLIKE":
+            # regex match; rendered via the __RLIKE__ placeholder the
+            # compiler substitutes per dialect (RLIKE vs
+            # regexp_matches). Quote/backslash characters raise — the
+            # two regex engines escape them differently.
+            self.take()
+            raw = self.take()
+            if not (raw.startswith('"') and raw.endswith('"')):
+                self._err("RLIKE wants a string pattern")
+            pat = raw[1:-1]
+            if "'" in pat or "\\" in pat:
+                self._err(
+                    "RLIKE patterns may not contain quotes or "
+                    "backslashes (escapes parse differently across "
+                    "dialects)"
+                )
+            return f"__RLIKE__({e}, '{pat}')"
         if t == "IN":
             self.take()
             self.expect("(")
@@ -523,12 +540,115 @@ def compile_esql(query: str, dialect: str) -> str:
                 f"SELECT * FROM {inner} "
                 f"LEFT JOIN {lk} USING ({key})"
             )
+        elif cmd in ("DISSECT", "GROK"):
+            sql = _compile_extract(cmd, rest, inner, dialect)
+        elif cmd == "MV_EXPAND":
+            # explode a multivalued (array) column into one row per
+            # element, keeping the column name — map-local fan-out
+            if len(rest) != 1 or not _IDENT.fullmatch(rest[0]):
+                raise ValueError("esql: MV_EXPAND wants one column name")
+            c = rest[0]
+            if dialect == "spark":
+                sql = (
+                    f"SELECT * EXCEPT (_mv, {c}), _mv AS {c} FROM ("
+                    f"SELECT *, explode({c}) AS _mv FROM {inner}) mv{n}"
+                )
+            else:
+                sql = (
+                    f"SELECT * EXCLUDE ({c}), unnest({c}) AS {c}"
+                    f" FROM {inner}"
+                )
         else:
             raise ValueError(
                 f"esql: unsupported command {cmd!r} (WHERE/EVAL/STATS/"
-                "SORT/LIMIT/KEEP/DROP/RENAME/LOOKUP JOIN)"
+                "SORT/LIMIT/KEEP/DROP/RENAME/LOOKUP JOIN/DISSECT/GROK/"
+                "MV_EXPAND)"
             )
-    return sql
+    # dialect-resolved regex predicate (identical argument shapes)
+    return sql.replace(
+        "__RLIKE__(", "rlike(" if dialect == "spark" else "regexp_matches("
+    )
+
+
+# grok's everyday pattern names -> the shared-regex subset both RE2
+# (DuckDB) and the JVM regex engine (Spark) read identically
+_GROK_PATTERNS = {
+    "WORD": r"\w+",
+    "NUMBER": r"[0-9]+(?:[.][0-9]+)?",
+    "INT": r"[0-9]+",
+    "DATA": ".*?",
+    "GREEDYDATA": ".*",
+    "NOTSPACE": r"\S+",
+}
+
+_GROK_KEY = re.compile(
+    r"%\{([A-Z]+):([A-Za-z_][A-Za-z0-9_]*)(?::(int|float))?\}"
+)
+_DISSECT_KEY = re.compile(r"%\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def _compile_extract(cmd: str, rest: list[str], inner: str,
+                     dialect: str) -> str:
+    """DISSECT (literal separators) / GROK (named patterns) -> one
+    regexp_extract projection per captured key, NULL on non-matching
+    rows (the ES behavior; the CASE guard also pins the two engines'
+    different no-match results to a shared NULL). Map-local: the
+    extraction runs inside the scan, no shuffle."""
+    if len(rest) != 2 or not _IDENT.fullmatch(rest[0]):
+        raise ValueError(f"esql: {cmd} wants <column> \"<pattern>\"")
+    col, raw = rest[0], rest[1]
+    if not (raw.startswith('"') and raw.endswith('"')):
+        raise ValueError(f"esql: {cmd} wants a string pattern")
+    pat = raw[1:-1]
+    if "'" in pat or "\\\\" in pat:
+        raise ValueError(
+            f"esql: {cmd} patterns may not contain quotes or "
+            "double-backslashes"
+        )
+    keyre = _GROK_KEY if cmd == "GROK" else _DISSECT_KEY
+    names: list[tuple[str, str | None]] = []
+    regex_parts: list[str] = []
+    pos = 0
+    for m in keyre.finditer(pat):
+        lit = pat[pos:m.start()]
+        regex_parts.append(re.escape(lit))
+        if cmd == "GROK":
+            pname, name, typ = m.group(1), m.group(2), m.group(3)
+            if pname not in _GROK_PATTERNS:
+                raise ValueError(
+                    f"esql: unsupported grok pattern %{{{pname}}} "
+                    f"({'/'.join(sorted(_GROK_PATTERNS))})"
+                )
+            regex_parts.append(f"({_GROK_PATTERNS[pname]})")
+            names.append((name, typ))
+        else:
+            regex_parts.append("(.*?)")
+            names.append((m.group(1), None))
+        pos = m.end()
+    if not names:
+        raise ValueError(f"esql: {cmd} pattern has no %{{...}} keys")
+    tail = pat[pos:]
+    regex_parts.append(re.escape(tail))
+    regex = "".join(regex_parts)
+    if cmd == "DISSECT" and regex.endswith("(.*?)"):
+        # dissect's trailing key consumes the rest of the string
+        regex = regex[: -len("(.*?)")] + "(.*)"
+    if "'" in regex:
+        raise ValueError(f"esql: {cmd} pattern does not render safely")
+    # Spark's SQL parser unescapes backslashes inside string literals
+    # (DuckDB keeps them) — double them for the spark dialect, the
+    # TOKENS/DUCK_TOKENS discipline
+    rx = regex.replace("\\", "\\\\") if dialect == "spark" else regex
+    cols = []
+    guard = f"__RLIKE__({col}, '{rx}')"
+    for i, (name, typ) in enumerate(names, start=1):
+        e = f"regexp_extract({col}, '{rx}', {i})"
+        if typ == "int":
+            e = f"cast({e} AS BIGINT)"
+        elif typ == "float":
+            e = f"cast({e} AS DOUBLE)"
+        cols.append(f"CASE WHEN {guard} THEN {e} END AS {name}")
+    return f"SELECT *, {', '.join(cols)} FROM {inner}"
 
 
 def esql_df(spark: SparkSession, query: str) -> DataFrame:
@@ -581,6 +701,25 @@ ESQL_LOOKUP_JOIN = """FROM customer
   | LIMIT 5"""
 
 
+ESQL_GROK_EXTRACT = """FROM customer
+  | GROK c_name "%{WORD:who}#%{INT:cnum:int}"
+  | WHERE cnum < 5
+  | KEEP c_custkey, who, cnum
+  | SORT c_custkey"""
+
+ESQL_DISSECT = """FROM customer
+  | DISSECT c_name "%{prefix}#%{cnum}"
+  | WHERE cnum IS NOT NULL
+  | STATS n = COUNT(*), variants = COUNT_DISTINCT(prefix)"""
+
+ESQL_MV_EXPAND = """FROM embeddings
+  | WHERE vec_id < 3
+  | MV_EXPAND embedding
+  | EVAL e = ROUND(embedding, 4)
+  | STATS n = COUNT(*), s = SUM(e) BY vec_id
+  | SORT vec_id"""
+
+
 def registry() -> dict[str, dict]:
     def entry(q: str):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,5 +747,17 @@ def registry() -> dict[str, dict]:
         "esql_lookup_join": {
             "fn": entry(ESQL_LOOKUP_JOIN),
             "oracle": compile_esql(ESQL_LOOKUP_JOIN, "duck"),
+        },
+        "esql_grok_extract": {
+            "fn": entry(ESQL_GROK_EXTRACT),
+            "oracle": compile_esql(ESQL_GROK_EXTRACT, "duck"),
+        },
+        "esql_dissect": {
+            "fn": entry(ESQL_DISSECT),
+            "oracle": compile_esql(ESQL_DISSECT, "duck"),
+        },
+        "esql_mv_expand": {
+            "fn": entry(ESQL_MV_EXPAND),
+            "oracle": compile_esql(ESQL_MV_EXPAND, "duck"),
         },
     }

@@ -121,7 +121,9 @@ that decides those 50 slots:
   LIMIT | KEEP/DROP/RENAME compiled to one declarative statement in
   both dialects; esql_filter_stats / eval_keep / median_rename
   registered; batch 2 adds DATE_TRUNC/CASE/STARTS_WITH/SUBSTRING and
-  the ES 8.18 LOOKUP JOIN — esql_date_case / lookup_join). The
+  the ES 8.18 LOOKUP JOIN — esql_date_case / lookup_join; batch 3
+  adds GROK/DISSECT as NULL-guarded regexp_extract projections,
+  MV_EXPAND, and RLIKE — esql_grok_extract / dissect / mv_expand). The
   r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
@@ -328,6 +330,9 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_median_rename': (None, 'unclassified', 'r11'),
     'esql_date_case': (None, 'unclassified', 'r11'),
     'esql_lookup_join': (None, 'unclassified', 'r11'),
+    'esql_grok_extract': (None, 'unclassified', 'r11'),
+    'esql_dissect': (None, 'unclassified', 'r11'),
+    'esql_mv_expand': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

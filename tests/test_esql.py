@@ -82,7 +82,7 @@ def test_esql_rejections(tiny):
     for q, msg in [
         ("", "empty query"),
         ("WHERE x == 1", "source command must be FROM"),
-        ("FROM t | GROK x", "unsupported command"),
+        ("FROM t | ENRICH p", "unsupported command"),
         ("FROM t | WHERE x ~ 1", "unsupported syntax"),
         ("FROM t | STATS PERCENTILE(v, 90)", "unsupported function"),
         ("FROM t | WHERE SUM(v) > 1", "only inside STATS"),
@@ -147,3 +147,50 @@ def test_lookup_join_enriches(tiny):
       | SORT id""")
     assert rows == [(1, "English"), (2, "English"), (3, "German"),
                     (4, "German"), (5, None)]
+
+
+def test_dissect_grok_and_rlike(tiny):
+    """DISSECT splits on literal separators; GROK's named patterns
+    extract typed captures; non-matching rows keep the row with NULL
+    captures (the ES behavior, pinned across both engines' different
+    no-match results); RLIKE is a partial regex match."""
+    tiny.execute("ALTER TABLE t ADD COLUMN line VARCHAR")
+    tiny.execute("""UPDATE t SET line = CASE id
+        WHEN 1 THEN 'GET /a 200'
+        WHEN 2 THEN 'POST /b 404'
+        WHEN 3 THEN 'GET /c 500'
+        WHEN 4 THEN 'garbage' END""")
+    rows = _rows(tiny, '''FROM t
+      | GROK line "%{WORD:verb} %{NOTSPACE:path} %{INT:code:int}"
+      | KEEP id, verb, code
+      | SORT id''')
+    assert rows == [(1, "GET", 200), (2, "POST", 404),
+                    (3, "GET", 500), (4, None, None), (5, None, None)]
+    rows = _rows(tiny, '''FROM t
+      | DISSECT line "%{verb} %{rest}"
+      | WHERE verb == "GET"
+      | KEEP id, rest
+      | SORT id''')
+    assert rows == [(1, "/a 200"), (3, "/c 500")]
+    rows = _rows(tiny, 'FROM t | WHERE line RLIKE "[0-9]{3}$" | SORT id')
+    assert [r[0] for r in rows] == [1, 2, 3]
+    for q, msg in [
+        ('FROM t | GROK line "%{NOPE:x}"', "unsupported grok pattern"),
+        ('FROM t | GROK line "no keys"', "pattern has no"),
+        ("FROM t | MV_EXPAND a b", "MV_EXPAND wants one column"),
+        ('FROM t | WHERE line RLIKE "a\\\\d"', "may not contain quotes"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_esql(q, "duck")
+
+
+def test_mv_expand_explodes(tiny):
+    tiny.execute(
+        "CREATE TABLE arr AS SELECT * FROM (VALUES"
+        " (1, [10, 20]), (2, [30])) AS x(id, vals)"
+    )
+    rows = _rows(tiny, """FROM arr
+      | MV_EXPAND vals
+      | STATS n = COUNT(*), s = SUM(vals) BY id
+      | SORT id""")
+    assert rows == [(1, 2, 30.0), (2, 1, 30.0)]
