@@ -533,6 +533,14 @@ def create_app(
             ],
         }), 200
 
+    @app.post("/<index>/_rank_eval")
+    def es_rank_eval_route(index: str):
+        _attach_if_named()
+        body = _es_body()
+        if not body:
+            raise ParamsNullError()
+        return jsonify(gateway.es_rank_eval(_spark(), index, body)), 200
+
     @app.post("/_sql")
     def es_sql_route():
         # the ES SQL API shape over the engine's own SQL gateway —

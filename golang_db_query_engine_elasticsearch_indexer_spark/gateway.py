@@ -965,3 +965,24 @@ def es_reindex(
         "created": stats.num_docs,
         "failures": [],
     }
+
+
+def es_rank_eval(spark: SparkSession, index: str, body: dict) -> dict:
+    """`POST /{index}/_rank_eval` parity: per-request metric scores +
+    their mean as `metric_score` (the ES response's top-level value).
+    Bounded collect — one row per evaluated request."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        compile_rank_eval,
+    )
+
+    if index is None or body is None:
+        raise ParamsNullError()
+    rows = spark.sql(compile_rank_eval(index, body, "spark")).collect()
+    details = {r["request_id"]: float(r["metric_score"]) for r in rows}
+    mean = sum(details.values()) / len(details) if details else 0.0
+    return {
+        "metric_score": round(mean, 6),
+        "details": {
+            rid: {"metric_score": v} for rid, v in details.items()
+        },
+    }

@@ -5445,6 +5445,114 @@ ORDER BY {key} ASC
 # --- percolate (reverse search: stored queries match incoming docs) ----------
 
 
+def compile_rank_eval(
+    index: str, body: dict, dialect: str, id_field: str = "doc_id",
+) -> str:
+    """ES `_rank_eval`: score a set of search requests against human
+    relevance ratings — the relevance-tuning feedback loop. Each
+    request's scored hits (the standard BM25 top-k) LEFT JOIN a
+    VALUES ratings relation, and the chosen metric computes per
+    request: precision@k (relevant = rating >= threshold),
+    mean_reciprocal_rank (1/rank of the first relevant hit, 0 when
+    none), or dcg ((2^rating - 1) / log2(rank + 1), the ES default
+    gain). One statement, one UNION ALL arm per request; every arm is
+    the ordinary scored plan plus a broadcast-sized ratings join —
+    evaluating 100 queries costs 100 top-k searches, never more."""
+    bad = set(body) - {"requests", "metric"}
+    if bad:
+        raise ValueError(f"es_dsl: unsupported rank_eval keys {sorted(bad)}")
+    reqs = body.get("requests")
+    if not isinstance(reqs, list) or not reqs:
+        raise ValueError("es_dsl: rank_eval wants a requests list")
+    mkind, m = _one(body.get("metric", {}), "rank_eval metric")
+    known_m = {
+        "precision": {"k", "relevant_rating_threshold"},
+        "mean_reciprocal_rank": {"k", "relevant_rating_threshold"},
+        "dcg": {"k"},
+    }
+    if mkind not in known_m:
+        raise ValueError(
+            f"es_dsl: unsupported rank_eval metric {mkind!r} "
+            "(precision/mean_reciprocal_rank/dcg)"
+        )
+    if not isinstance(m, dict) or set(m) - known_m[mkind]:
+        raise ValueError(
+            f"es_dsl: unsupported {mkind} keys "
+            f"{sorted(set(m) - known_m[mkind])}"
+        )
+    k = int(m.get("k", 10))
+    thr = int(m.get("relevant_rating_threshold", 1))
+    if k < 1:
+        raise ValueError("es_dsl: rank_eval k must be >= 1")
+    arms = []
+    for i, req in enumerate(reqs):
+        if not isinstance(req, dict) or set(req) != {
+            "id", "request", "ratings",
+        }:
+            raise ValueError(
+                "es_dsl: each rank_eval request wants {id, request, "
+                "ratings}"
+            )
+        rid = req["id"]
+        if not isinstance(rid, str) or not _IDENTISH.fullmatch(rid):
+            raise ValueError(f"es_dsl: bad rank_eval request id {rid!r}")
+        search = dict(req["request"])
+        if set(search) - {"query"}:
+            raise ValueError(
+                "es_dsl: rank_eval requests carry {query} only "
+                "(k comes from the metric)"
+            )
+        search["size"] = k
+        search["_source"] = False
+        inner = compile_search(index, search, dialect, id_field)
+        ratings = req["ratings"]
+        if not isinstance(ratings, list) or not ratings:
+            raise ValueError("es_dsl: rank_eval ratings must be non-empty")
+        vals = []
+        for r in ratings:
+            if not isinstance(r, dict) or set(r) != {"_id", "rating"}:
+                raise ValueError(
+                    "es_dsl: ratings entries want {_id, rating}"
+                )
+            if not isinstance(r["rating"], int) or isinstance(
+                r["rating"], bool
+            ):
+                raise ValueError("es_dsl: ratings must be ints")
+            vals.append(f"({_lit(r['_id'], dialect)}, {r['rating']})")
+        if mkind == "precision":
+            metric = (
+                f"sum(CASE WHEN rating >= {thr} THEN 1 ELSE 0 END)"
+                f" / cast({k} AS double)"
+            )
+        elif mkind == "mean_reciprocal_rank":
+            # cast(1 AS double): Spark parses 1.0 as DECIMAL and would
+            # emit a DECIMAL score (DuckDB emits double)
+            metric = (
+                f"coalesce(cast(1 AS double) / min(CASE WHEN rating"
+                f" >= {thr} THEN rnk END), cast(0 AS double))"
+            )
+        else:
+            metric = (
+                "coalesce(sum((power(2, rating) - 1)"
+                " / log2(rnk + 1)), 0.0)"
+            )
+        arms.append(f"""SELECT '{rid}' AS request_id,
+       round({metric}, 6) AS metric_score
+FROM (
+  SELECT row_number() OVER (ORDER BY _score DESC, {id_field} ASC)
+           AS rnk,
+         coalesce(rt.rating, 0) AS rating
+  FROM ({inner}) h
+  LEFT JOIN (VALUES {', '.join(vals)}) AS rt(_id, rating)
+    ON rt._id = h.{id_field}
+) g{i}""")
+    union = "\nUNION ALL\n".join(arms)
+    return f"SELECT * FROM (\n{union}\n) rq\nORDER BY request_id ASC"
+
+
+_IDENTISH = re.compile(r"[A-Za-z0-9_.-]+")
+
+
 def compile_percolate(
     index: str,
     queries: dict[str, dict],
@@ -6867,6 +6975,21 @@ OBJECT_FIELDS_BODY = {
     "_source": ["event_id", "props"],
 }
 
+RANK_EVAL_BODY = {
+    # the relevance-tuning feedback loop: two queries scored against
+    # human ratings with the DCG gain, one statement
+    "requests": [
+        {"id": "tables",
+         "request": {"query": {"match": {"text": "table scan"}}},
+         "ratings": [{"_id": 127, "rating": 3}, {"_id": 370, "rating": 2},
+                     {"_id": 5, "rating": 1}]},
+        {"id": "speed",
+         "request": {"query": {"match": {"text": "fast merge"}}},
+         "ratings": [{"_id": 12, "rating": 1}]},
+    ],
+    "metric": {"dcg": {"k": 10}},
+}
+
 PIT_SEARCH_BODY = {
     # the search half of a PIT round-trip: an ordinary filter search
     # the entry runs through es_pit_search after opening the pit
@@ -7382,6 +7505,12 @@ def registry() -> dict[str, dict]:
         "es_pit_search": {
             "fn": _pit_search_entry,
             "oracle": compile_search("documents", PIT_SEARCH_BODY, "duck"),
+        },
+        "es_rank_eval_dcg": {
+            "fn": lambda spark, sf_dir: spark.sql(
+                compile_rank_eval("documents", RANK_EVAL_BODY, "spark")
+            ),
+            "oracle": compile_rank_eval("documents", RANK_EVAL_BODY, "duck"),
         },
         "es_dsl_object_fields": {
             "fn": _entry("events", OBJECT_FIELDS_BODY, "event_id"),

@@ -123,7 +123,10 @@ that decides those 50 slots:
   registered; batch 2 adds DATE_TRUNC/CASE/STARTS_WITH/SUBSTRING and
   the ES 8.18 LOOKUP JOIN — esql_date_case / lookup_join; batch 3
   adds GROK/DISSECT as NULL-guarded regexp_extract projections,
-  MV_EXPAND, and RLIKE — esql_grok_extract / dissect / mv_expand). The
+  MV_EXPAND, and RLIKE — esql_grok_extract / dissect / mv_expand);
+  batch 31 — es_rank_eval_dcg (the _rank_eval API: scored requests vs
+  human ratings, precision@k / MRR / DCG per request in one
+  statement; HTTP route returns the ES details+mean envelope). The
   r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
@@ -333,6 +336,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_grok_extract': (None, 'unclassified', 'r11'),
     'esql_dissect': (None, 'unclassified', 'r11'),
     'esql_mv_expand': (None, 'unclassified', 'r11'),
+    'es_rank_eval_dcg': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

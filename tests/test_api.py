@@ -814,3 +814,26 @@ def test_esql_query_route(client):
     assert r.status_code == 400
     r = client.post("/_query", json={})
     assert r.status_code == 400
+
+
+def test_es_rank_eval_route(client):
+    """_rank_eval: per-request metric details + their mean; the
+    precision metric on a hand-checkable rating set."""
+    body = {
+        "requests": [
+            {"id": "q_en", "request": {"query": {"match": {
+                "text": "table scan"}}},
+             "ratings": [{"_id": 0, "rating": 1}]},
+        ],
+        "metric": {"precision": {"k": 5}},
+    }
+    r = client.post("/documents/_rank_eval", json=body)
+    assert r.status_code == 200
+    out = r.get_json()
+    assert set(out) == {"metric_score", "details"}
+    assert set(out["details"]) == {"q_en"}
+    assert 0.0 <= out["metric_score"] <= 1.0
+    # unsupported metric: 400
+    body["metric"] = {"expected_reciprocal_rank": {}}
+    assert client.post("/documents/_rank_eval", json=body).status_code == 400
+    assert client.post("/documents/_rank_eval", data="").status_code == 400

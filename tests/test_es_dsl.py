@@ -3912,3 +3912,47 @@ def test_batch18_29_plan_shapes(spark, tables):
     df = spark.sql(compile_search("documents", TERMS_LOOKUP_BODY, "spark"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+# --- r10 batch 31: _rank_eval --------------------------------------------------
+
+
+def test_rank_eval_metrics(tiny):
+    """precision@k / MRR / DCG on a hand-checkable rating set: the
+    'alpha' query ranks doc 8 (shortest) first."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        compile_rank_eval,
+    )
+    import math
+
+    def score(metric):
+        body = {"requests": [
+            {"id": "alpha",
+             "request": {"query": {"match": {"text": "alpha"}}},
+             "ratings": [{"_id": 8, "rating": 2}, {"_id": 1, "rating": 1}]},
+        ], "metric": metric}
+        (_, v), = tiny.execute(
+            compile_rank_eval("docs", body, "duck")).fetchall()
+        return v
+
+    # hits ranked 8, 4, 1, 5 (BM25 by doc length); rated: 8 (rank 1,
+    # rating 2) and 1 (rank 3, rating 1)
+    assert score({"mean_reciprocal_rank": {"k": 10}}) == 1.0
+    assert score({"precision": {"k": 4}}) == 0.5
+    assert score({"precision": {
+        "k": 4, "relevant_rating_threshold": 2}}) == 0.25
+    dcg = (2 ** 2 - 1) / math.log2(2) + (2 ** 1 - 1) / math.log2(4)
+    assert abs(score({"dcg": {"k": 10}}) - dcg) <= 1e-6
+    for body, msg in [
+        ({"requests": [], "metric": {"dcg": {}}},
+         "wants a requests list"),
+        ({"requests": [{"id": "a", "request": {"query": {"match": {
+            "text": "x"}}}, "ratings": []}],
+          "metric": {"dcg": {}}}, "ratings must be non-empty"),
+        ({"requests": [{"id": "a", "request": {"query": {"match": {
+            "text": "x"}}}, "ratings": [{"_id": 1, "rating": 1}]}],
+          "metric": {"expected_reciprocal_rank": {}}},
+         "unsupported rank_eval metric"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_rank_eval("docs", body, "duck")
