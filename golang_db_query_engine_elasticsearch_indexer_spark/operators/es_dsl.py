@@ -1478,6 +1478,114 @@ LIMIT {size}{off}
 """
 
 
+def _compile_scored_bool(
+    index: str, body: dict, dialect: str, id_field: str,
+) -> str:
+    """The everyday ES search shape, scored: a top-level ``bool``
+    whose ``must`` clauses are full-text (match / multi_match) and
+    therefore SCORE, with ``filter`` / ``must_not`` gating membership
+    (score-neutral, ES semantics) and optional full-text ``should``
+    clauses adding score when they match. `_score` = sum of must
+    scores + sum of matching should scores — the Lucene boolean
+    scorer's sum.
+
+    Shape: one BM25 CTE chain per full-text clause (namespaced m0../
+    s0..), musts INNER-join on _id (a hit must match every must),
+    shoulds LEFT-join (optional score), then ONE join-back to the
+    source row where the filter predicates apply — filters prune
+    HITS, never the corpus statistics (ES computes idf over the whole
+    index, so a filtered search must not reweight terms; this is why
+    the filters sit at the join-back, not inside the scoring scan).
+    Everything after the per-field aggs is id-keyed joins over
+    hit-sized relations."""
+    q = body["query"]["bool"]
+    known = {"must", "filter", "should", "must_not"}
+    bad = set(q) - known
+    if bad:
+        raise ValueError(
+            f"es_dsl: unsupported scored bool keys {sorted(bad)} "
+            "(minimum_should_match is filter-context only)"
+        )
+
+    def listed(key: str) -> list[dict]:
+        v = q.get(key, [])
+        return v if isinstance(v, list) else [v]
+
+    musts = listed("must")
+    shoulds = listed("should")
+    if not musts:
+        raise ValueError(
+            "es_dsl: scored bool needs >= 1 full-text must clause"
+        )
+    for c in musts + shoulds:
+        kind, _ = _one(c, "bool clause")
+        if kind not in ("match", "multi_match"):
+            raise ValueError(
+                "es_dsl: scored bool must/should clauses are full-text "
+                f"(match/multi_match), got {kind!r} — put membership "
+                "clauses under filter"
+            )
+    preds = [
+        _query_expr(c, dialect, id_field) for c in listed("filter")
+    ]
+    for c in listed("must_not"):
+        neg = _query_expr(c, dialect, id_field)
+        preds.append(f"NOT coalesce({neg}, FALSE)")
+    all_ctes, score_terms, joins = [], [], []
+    for i, c in enumerate(musts):
+        fields, terms, comb, req = _parse_fulltext(c)
+        ctes, union = _scored_ctes(
+            index, fields, terms, f"m{i}x", dialect, id_field, req
+        )
+        all_ctes.append(ctes)
+        all_ctes.append(
+            f"m{i}_s AS (SELECT _id, {comb}(s) AS s FROM ({union}) u"
+            " GROUP BY _id)"
+        )
+        score_terms.append(f"m{i}_s.s")
+        joins.append(
+            f"JOIN m{i}_s ON m{i}_s._id = m0_s._id" if i else ""
+        )
+    for i, c in enumerate(shoulds):
+        fields, terms, comb, req = _parse_fulltext(c)
+        ctes, union = _scored_ctes(
+            index, fields, terms, f"s{i}x", dialect, id_field, req
+        )
+        all_ctes.append(ctes)
+        all_ctes.append(
+            f"s{i}_s AS (SELECT _id, {comb}(s) AS s FROM ({union}) u"
+            " GROUP BY _id)"
+        )
+        score_terms.append(f"coalesce(s{i}_s.s, 0)")
+        joins.append(f"LEFT JOIN s{i}_s ON s{i}_s._id = m0_s._id")
+    cols = _source_cols(body, "scored bool hits")
+    if cols is None and "_source" in body:
+        select = "t.*"
+    elif not cols:
+        select = f"t.{id_field} AS {id_field}"
+    else:
+        select = ", ".join(f"t.{_ident(c)}" for c in cols)
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    off = f" OFFSET {offset}" if offset else ""
+    where = f"\nWHERE {' AND '.join(preds)}" if preds else ""
+    join_sql = "\n".join(j for j in joins if j)
+    score = " + ".join(score_terms)
+    ctes_sql = ",\n".join(all_ctes)
+    return f"""
+WITH {ctes_sql},
+scored AS (
+  SELECT m0_s._id, {score} AS s
+  FROM m0_s
+{join_sql}
+)
+SELECT {select}, round(sc.s, 4) AS _score
+FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id{where}
+ORDER BY _score DESC, t.{id_field} ASC
+LIMIT {size}{off}
+"""
+
+
 def _compile_rescore(
     index: str, body: dict, dialect: str, id_field: str,
 ) -> str:
@@ -2449,6 +2557,38 @@ def compile_search(
             score_sorted = True
         else:
             field_sorts.append(s)
+    if qkind == "bool" and not field_sorts:
+        bq = q["bool"]
+
+        def _listed(key: str) -> list:
+            v = bq.get(key, []) if isinstance(bq, dict) else []
+            return v if isinstance(v, list) else [v]
+
+        def _ft(c) -> bool:
+            return isinstance(c, dict) and next(iter(c), None) in (
+                "match", "multi_match",
+            )
+
+        musts, shoulds = _listed("must"), _listed("should")
+        if (
+            musts and all(map(_ft, musts)) and all(map(_ft, shoulds))
+            and isinstance(bq, dict)
+            and "minimum_should_match" not in bq
+        ):
+            # ES QUERY CONTEXT for bool: full-text musts (+optional
+            # full-text shoulds) score as the Lucene sum, filters gate
+            # membership. Everything else — explicit field sorts,
+            # minimum_should_match vote counting, term-level
+            # musts/shoulds — keeps the established filter-context
+            # path (membership only).
+            extra = set(body) - {"query", "_source", "size", "from",
+                                 "sort"}
+            if extra or ms_top is not None:
+                raise ValueError(
+                    "es_dsl: scored bool combines only with _source/"
+                    f"size/from (got {sorted(extra) or ['min_score']})"
+                )
+            return _compile_scored_bool(index, body, dialect, id_field)
     if "rescore" in body:
         if qkind not in ("match", "multi_match") or field_sorts:
             raise ValueError(
@@ -6975,6 +7115,23 @@ OBJECT_FIELDS_BODY = {
     "_source": ["event_id", "props"],
 }
 
+SCORED_BOOL_BODY = {
+    # the everyday ES search: full-text musts (scored, one boosted) +
+    # an optional should + score-neutral filter/must_not gates —
+    # _score is the Lucene boolean sum
+    "query": {"bool": {
+        "must": [
+            {"match": {"text": "table"}},
+            {"match": {"text": {"query": "scan", "boost": 2}}},
+        ],
+        "should": [{"match": {"text": "fast"}}],
+        "filter": [{"term": {"lang": "en"}}],
+        "must_not": [{"range": {"n_chars": {"gte": 550}}}],
+    }},
+    "size": 20,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
 RANK_EVAL_BODY = {
     # the relevance-tuning feedback loop: two queries scored against
     # human ratings with the DCG gain, one statement
@@ -7505,6 +7662,10 @@ def registry() -> dict[str, dict]:
         "es_pit_search": {
             "fn": _pit_search_entry,
             "oracle": compile_search("documents", PIT_SEARCH_BODY, "duck"),
+        },
+        "es_dsl_scored_bool": {
+            "fn": _entry("documents", SCORED_BOOL_BODY, "doc_id"),
+            "oracle": compile_search("documents", SCORED_BOOL_BODY, "duck"),
         },
         "es_rank_eval_dcg": {
             "fn": lambda spark, sf_dir: spark.sql(

@@ -126,7 +126,11 @@ that decides those 50 slots:
   MV_EXPAND, and RLIKE — esql_grok_extract / dissect / mv_expand);
   batch 31 — es_rank_eval_dcg (the _rank_eval API: scored requests vs
   human ratings, precision@k / MRR / DCG per request in one
-  statement; HTTP route returns the ES details+mean envelope). The
+  statement; HTTP route returns the ES details+mean envelope);
+  batch 32 — es_dsl_scored_bool (QUERY CONTEXT for bool: full-text
+  musts/shoulds score as the Lucene sum, filter/must_not gate
+  membership at the join-back so corpus statistics stay unfiltered —
+  the everyday ES search shape). The
   r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
@@ -337,6 +341,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_dissect': (None, 'unclassified', 'r11'),
     'esql_mv_expand': (None, 'unclassified', 'r11'),
     'es_rank_eval_dcg': (None, 'unclassified', 'r11'),
+    'es_dsl_scored_bool': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

@@ -3956,3 +3956,60 @@ def test_rank_eval_metrics(tiny):
     ]:
         with pytest.raises(ValueError, match=msg):
             compile_rank_eval("docs", body, "duck")
+
+
+# --- r10 batch 32: scored bool context ------------------------------------------
+
+
+def test_scored_bool_sums_and_gates(tiny):
+    """_score = sum of must scores + matching should scores; filters
+    and must_not gate membership without scoring; a hit must match
+    EVERY must."""
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "beta"}}],
+        "should": [{"match": {"text": "alpha"}}],
+    }}, "_source": ["doc_id"], "size": 10}
+    rows = {r[0]: r[1] for r in tiny.execute(_search(body)).fetchall()}
+    assert set(rows) == {1, 2, 4, 5}  # the beta docs
+    beta = {r[0]: r[1] for r in tiny.execute(_search(
+        {"query": {"match": {"text": "beta"}},
+         "_source": ["doc_id"], "size": 10})).fetchall()}
+    alpha = {r[0]: r[1] for r in tiny.execute(_search(
+        {"query": {"match": {"text": "alpha"}},
+         "_source": ["doc_id"], "size": 10})).fetchall()}
+    for d, s in rows.items():
+        expect = beta[d] + alpha.get(d, 0)
+        assert abs(s - expect) <= 2e-4, d
+    # two musts intersect; filter gates
+    both = {"query": {"bool": {
+        "must": [{"match": {"text": "beta"}}, {"match": {"text": "alpha"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}, "_source": ["doc_id"], "size": 10}
+    ids = {r[0] for r in tiny.execute(_search(both)).fetchall()}
+    assert ids == {1}  # docs 4,5 fail the lang filter; 2 lacks alpha
+    # a bool of PURE filters without sort still routes filter-context
+    pure = {"query": {"bool": {"filter": [{"term": {"lang": "en"}}]}},
+            "_source": ["doc_id"], "size": 10}
+    assert "ORDER BY doc_id" in _search(pure)
+    # a bool with a TERM-level must keeps the filter-context path
+    # (membership only) — never a silent constant score in query
+    # context; same for minimum_should_match vote counting
+    mixed = {"query": {"bool": {
+        "must": [{"term": {"lang": "en"}}],
+        "should": [{"match": {"text": "beta"}}]}},
+        "_source": ["doc_id"], "size": 10}
+    assert "ORDER BY doc_id" in _search(mixed)
+    for body, msg in [
+        ({"query": {"bool": {"must": [{"match": {"text": "beta"}}]}},
+          "min_score": 1}, "scored bool combines only"),
+        ({"query": {"bool": {"must": [{"match": {"text": "beta"}}]}},
+          "highlight": {"fields": {"text": {}}}},
+         "scored bool combines only"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", body, "duck")
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        SCORED_BOOL_BODY,
+    )
+    for dialect in ("spark", "duck"):
+        assert "SELECT" in compile_search("docs", SCORED_BOOL_BODY, dialect)
