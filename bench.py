@@ -124,6 +124,12 @@ HEADLINE = [
     "es_dsl_geotile_grid",
     "es_dsl_matrix_stats",
     "es_dsl_function_score_functions",
+    # batches 29-32: one ES|QL statement per cost family (agg pipe,
+    # regex extraction) and the scored-bool sum (three BM25 chains +
+    # two id-keyed joins — the widest everyday scoring plan)
+    "esql_date_case",
+    "esql_grok_extract",
+    "es_dsl_scored_bool",
 ]
 
 
