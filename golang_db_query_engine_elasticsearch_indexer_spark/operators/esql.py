@@ -438,14 +438,26 @@ def compile_esql(query: str, dialect: str) -> str:
                     by_idx = i
                     break
             agg_toks = rest[:by_idx] if by_idx is not None else rest
-            keys = []
+            # keys: plain column names or aliased expressions
+            # (BY day = DATE_TRUNC("day", ts)) — the expression groups,
+            # the alias names the output column
+            keys: list[tuple[str, str]] = []
             if by_idx is not None:
                 for part in _split_top_commas(rest[by_idx + 1:]):
-                    if len(part) != 1 or not _IDENT.fullmatch(part[0]):
+                    if len(part) >= 3 and part[1] == "=":
+                        if not _IDENT.fullmatch(part[0]):
+                            raise ValueError(
+                                f"esql: bad STATS BY alias {part[0]!r}"
+                            )
+                        e = _Expr(part[2:], "STATS BY").parse()
+                        keys.append((part[0], e))
+                    elif len(part) == 1 and _IDENT.fullmatch(part[0]):
+                        keys.append((part[0], part[0]))
+                    else:
                         raise ValueError(
-                            "esql: STATS BY wants plain column names"
+                            "esql: STATS BY wants plain column names "
+                            "or name = <expr>"
                         )
-                    keys.append(part[0])
             cols = []
             for j, part in enumerate(_split_top_commas(agg_toks)):
                 if len(part) >= 2 and part[1] == "=":
@@ -463,9 +475,13 @@ def compile_esql(query: str, dialect: str) -> str:
             if not cols:
                 raise ValueError("esql: STATS wants >= 1 aggregate")
             if keys:
+                key_sel = ", ".join(
+                    k if k == e else f"{e} AS {k}" for k, e in keys
+                )
+                key_grp = ", ".join(e for _, e in keys)
                 sql = (
-                    f"SELECT {', '.join(keys)}, {', '.join(cols)} "
-                    f"FROM {inner} GROUP BY {', '.join(keys)}"
+                    f"SELECT {key_sel}, {', '.join(cols)} "
+                    f"FROM {inner} GROUP BY {key_grp}"
                 )
             else:
                 sql = f"SELECT {', '.join(cols)} FROM {inner}"

@@ -194,3 +194,23 @@ def test_mv_expand_explodes(tiny):
       | STATS n = COUNT(*), s = SUM(vals) BY id
       | SORT id""")
     assert rows == [(1, 2, 30.0), (2, 1, 30.0)]
+
+
+def test_stats_by_aliased_expression(tiny):
+    """BY name = <expr>: the expression groups, the alias names the
+    key column — the EVAL-free form of time bucketing."""
+    tiny.execute("ALTER TABLE t ADD COLUMN ts2 TIMESTAMP")
+    tiny.execute(
+        "UPDATE t SET ts2 = TIMESTAMP '2024-01-01 00:00:00'"
+        " + to_hours(id * 30)"
+    )
+    rows = _rows(tiny, '''FROM t
+      | STATS n = COUNT(*) BY day = DATE_TRUNC("day", ts2), lang
+      | SORT day, lang''')
+    assert [(str(r[0])[:10], r[1], r[2]) for r in rows] == [
+        ("2024-01-02", "en", 1), ("2024-01-03", "en", 1),
+        ("2024-01-04", "de", 1), ("2024-01-06", "de", 1),
+        ("2024-01-07", "fr", 1),
+    ]
+    with pytest.raises(ValueError, match="STATS BY wants plain column"):
+        compile_esql("FROM t | STATS n = COUNT(*) BY v + 1", "duck")
