@@ -214,3 +214,13 @@ def test_stats_by_aliased_expression(tiny):
     ]
     with pytest.raises(ValueError, match="STATS BY wants plain column"):
         compile_esql("FROM t | STATS n = COUNT(*) BY v + 1", "duck")
+
+
+def test_where_after_stats_is_having(tiny):
+    """Pipe composition gives HAVING for free: WHERE after STATS
+    filters the aggregated buckets (each stage nests the previous)."""
+    rows = _rows(tiny, """FROM t
+      | STATS n = COUNT(*), s = SUM(v) BY lang
+      | WHERE n >= 2 AND s > 40
+      | SORT lang""")
+    assert rows == [("de", 2, 70.0)]
