@@ -541,6 +541,11 @@ def create_app(
             raise ParamsNullError()
         return jsonify(gateway.es_rank_eval(_spark(), index, body)), 200
 
+    @app.get("/_resolve/index/<pattern>")
+    def es_resolve_index_route(pattern: str):
+        _attach_if_named()
+        return jsonify(gateway.es_resolve_index(_spark(), pattern)), 200
+
     @app.post("/_sql")
     def es_sql_route():
         # the ES SQL API shape over the engine's own SQL gateway —

@@ -986,3 +986,27 @@ def es_rank_eval(spark: SparkSession, index: str, body: dict) -> dict:
             rid: {"metric_score": v} for rid, v in details.items()
         },
     }
+
+
+def es_resolve_index(spark: SparkSession, pattern: str) -> dict:
+    """`GET /_resolve/index/{pattern}` parity: the registered tables
+    matching a wildcard pattern (* only), in the ES response shape.
+    Driver-side catalog work — no data touched."""
+    import fnmatch  # noqa: PLC0415
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.session import (  # noqa: PLC0415
+        FIXTURE_TABLES,
+    )
+
+    if pattern is None or not str(pattern).strip():
+        raise ParamsNullError()
+    names = sorted(
+        t for t in FIXTURE_TABLES if fnmatch.fnmatchcase(t, pattern)
+    )
+    return {
+        "indices": [
+            {"name": n, "attributes": ["open"]} for n in names
+        ],
+        "aliases": [],
+        "data_streams": [],
+    }

@@ -20,7 +20,10 @@ has_child/has_parent over declared key-pair relations; bare
 match/multi_match (and the FULL function_score — decay curves,
 script_score, random_score, functions arrays — plus pinned /
 more_like_this / rank_feature / distance_feature / combined_fields /
-rescore) = scored hits with optional min_score; knn; percolate.
+rescore) = scored hits with optional min_score; SCORED BOOL (full-text
+musts/shoulds sum, filters gate membership — the everyday search
+shape); knn; percolate; _rank_eval (precision@k / MRR / DCG vs rated
+documents).
 Hit surface: `_source`/`fields`/`sort`/`size`/`from`, search_after
 and the stateless scroll cursor (plus `slice` disjoint partitions and
 the PIT snapshot assertion), collapse, in-body highlight,

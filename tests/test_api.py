@@ -837,3 +837,12 @@ def test_es_rank_eval_route(client):
     body["metric"] = {"expected_reciprocal_rank": {}}
     assert client.post("/documents/_rank_eval", json=body).status_code == 400
     assert client.post("/documents/_rank_eval", data="").status_code == 400
+
+
+def test_es_resolve_index_route(client):
+    r = client.get("/_resolve/index/c*")
+    assert r.status_code == 200
+    names = [i["name"] for i in r.get_json()["indices"]]
+    assert names == ["customer"]
+    r = client.get("/_resolve/index/*e*")
+    assert "events" in [i["name"] for i in r.get_json()["indices"]]

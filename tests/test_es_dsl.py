@@ -4013,3 +4013,18 @@ def test_scored_bool_sums_and_gates(tiny):
     )
     for dialect in ("spark", "duck"):
         assert "SELECT" in compile_search("docs", SCORED_BOOL_BODY, dialect)
+
+
+def test_scored_bool_plan_shape(spark, tables):
+    """The scored-bool plan: BM25 chains join id-keyed over hit-sized
+    relations (no cartesian anywhere), the filter sits at the source
+    join-back, and the final order is a TakeOrdered."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        SCORED_BOOL_BODY,
+        compile_search,
+    )
+
+    df = spark.sql(compile_search("documents", SCORED_BOOL_BODY, "spark"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Cartesian" not in plan
