@@ -196,8 +196,24 @@ def _query_expr(q: dict, dialect: str, id_field: str,
         return _bool_expr(body, dialect, id_field, relations)
     if kind == "term":
         f, v = _one(body, "term")
+        ci = False
         if isinstance(v, dict):
+            bad = set(v) - {"value", "case_insensitive", "boost"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported term keys {sorted(bad)}"
+                )
+            ci = bool(v.get("case_insensitive", False))
             v = v["value"]
+        if ci:
+            if not isinstance(v, str):
+                raise ValueError(
+                    "es_dsl: term case_insensitive wants a string value"
+                )
+            return (
+                f"lower({_field_or_json(f, v, dialect)})"
+                f" = {_lit(v.lower(), dialect)}"
+            )
         return f"{_field_or_json(f, v, dialect)} = {_lit(v, dialect)}"
     if kind == "terms":
         f, vals = _one(body, "terms")
@@ -266,12 +282,22 @@ def _query_expr(q: dict, dialect: str, id_field: str,
         return f"{_ident(f)} LIKE '{_like_escape(v)}%' ESCAPE '!'"
     if kind == "wildcard":
         f, v = _one(body, "wildcard")
+        ci = False
         if isinstance(v, dict):
+            bad = set(v) - {"value", "case_insensitive", "boost"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported wildcard keys {sorted(bad)}"
+                )
+            ci = bool(v.get("case_insensitive", False))
             v = v["value"]
+        if ci:
+            v = v.lower()
         pat = "".join(
             "%" if c == "*" else "_" if c == "?" else _like_escape(c) for c in v
         )
-        return f"{_ident(f)} LIKE '{pat}' ESCAPE '!'"
+        fe = f"lower({_ident(f)})" if ci else _ident(f)
+        return f"{fe} LIKE '{pat}' ESCAPE '!'"
     if kind == "match":
         f, v = _one(body, "match")
         op = "or"

@@ -4028,3 +4028,24 @@ def test_scored_bool_plan_shape(spark, tables):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Cartesian" not in plan
+
+
+def test_term_wildcard_case_insensitive(tiny):
+    """case_insensitive on term/wildcard: lower() both sides; boost is
+    accepted-and-ignored in filter context (ES ignores scores there
+    too)."""
+    body = {"query": {"term": {"text": {
+        "value": "ALPHA BETA GAMMA", "case_insensitive": True,
+    }}}, "size": 10, "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}
+    assert _ids(tiny, _search(body)) == [1]
+    body = {"query": {"wildcard": {"text": {
+        "value": "ALPHA*", "case_insensitive": True, "boost": 2,
+    }}}, "size": 10, "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}
+    assert _ids(tiny, _search(body)) == [1, 8]
+    # sensitive by default: the original casing doesn't match lowercase
+    body = {"query": {"term": {"text": {"value": "alpha beta gamma"}}},
+            "size": 10, "sort": [{"doc_id": "asc"}], "_source": ["doc_id"]}
+    assert _ids(tiny, _search(body)) == []
+    with pytest.raises(ValueError, match="unsupported term keys"):
+        compile_search("docs", {"query": {"term": {"text": {
+            "value": "x", "fuzzy": 1}}}}, "duck")
