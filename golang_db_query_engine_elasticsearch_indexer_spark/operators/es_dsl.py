@@ -2331,6 +2331,89 @@ SELECT input_token, option, dist, freq
 FROM ranked WHERE rn <= {size}
 ORDER BY input_token ASC, dist ASC, freq DESC, option ASC
 """
+    if "phrase" in spec:
+        # "did you mean": whole-query corrections. Per input position,
+        # the top candidate words by (edit distance, corpus freq) —
+        # including the token itself at distance 0 when in-vocabulary —
+        # cross-joined across positions (bounded: candidates^positions,
+        # both capped) and ranked by sum(ln freq) - sum(edits): the
+        # unigram-LM-with-edit-penalty score, the honest deterministic
+        # stand-in for ES's smoothed bigram LM (whose smoothing is a
+        # configurable approximation to begin with). Scale shape: the
+        # vocabulary agg dominates; the phrase lattice is a constant-
+        # size cross join of <= 5-row relations.
+        bad = set(spec) - {"text", "phrase"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported phrase-suggest keys {sorted(bad)}"
+            )
+        p = spec["phrase"]
+        pbad = set(p) - {"field", "size", "max_edits",
+                         "candidates_per_term"}
+        if pbad:
+            raise ValueError(
+                f"es_dsl: unsupported phrase suggester keys {sorted(pbad)}"
+            )
+        f = _ident(p["field"])
+        size = int(p.get("size", 3))
+        max_edits = int(p.get("max_edits", 2))
+        if not 1 <= max_edits <= 2:
+            raise ValueError(
+                "es_dsl: phrase suggester max_edits must be 1 or 2"
+            )
+        cpt = int(p.get("candidates_per_term", 3))
+        if not 1 <= cpt <= 5:
+            raise ValueError(
+                "es_dsl: candidates_per_term must be in [1, 5]"
+            )
+        toks = _analyze(spec.get("text") or "")
+        if not 1 <= len(toks) <= 4:
+            raise ValueError(
+                "es_dsl: phrase suggester wants 1-4 analyzed tokens "
+                "(the lattice is candidates^positions)"
+            )
+        te = _tokens_expr(f, dialect)
+        distinct_w = (
+            f"explode(array_distinct({te})) AS w" if dialect == "spark"
+            else f"unnest(list_distinct({te})) AS w"
+        )
+        pos_ctes, froms = [], []
+        for i, tok in enumerate(toks):
+            lit = _lit(tok, dialect)
+            pos_ctes.append(f"""c{i} AS (
+  SELECT w, freq, dist FROM (
+    SELECT w, freq, levenshtein({lit}, w) AS dist,
+           row_number() OVER (
+             ORDER BY levenshtein({lit}, w) ASC, freq DESC, w ASC
+           ) AS rn
+    FROM vocab
+    WHERE levenshtein({lit}, w) <= {max_edits}
+  ) r WHERE rn <= {cpt}
+)""")
+            froms.append(f"c{i}")
+        phrase = (
+            "concat_ws(' ', "
+            + ", ".join(f"c{i}.w" for i in range(len(toks)))
+            + ")"
+        )
+        score = " + ".join(
+            f"ln(c{i}.freq) - c{i}.dist" for i in range(len(toks))
+        )
+        edits = " + ".join(f"c{i}.dist" for i in range(len(toks)))
+        return f"""
+WITH vocab AS (
+  SELECT w, count(*) AS freq
+  FROM (SELECT {distinct_w} FROM {_ident(index)})
+  GROUP BY w
+),
+{','.join(pos_ctes)}
+SELECT {phrase} AS option,
+       round({score}, 4) AS score,
+       {edits} AS total_edits
+FROM {' CROSS JOIN '.join(froms)}
+ORDER BY score DESC, option ASC
+LIMIT {size}
+"""
     if "completion" in spec:
         bad = set(spec) - {"prefix", "completion"}
         if bad:
@@ -6783,6 +6866,17 @@ SUGGEST_TERM_BODY = {
     "size": 0,
 }
 
+SUGGEST_PHRASE_BODY = {
+    # "did you mean": whole-query correction — both tokens misspelled,
+    # the lattice recovers the common phrase
+    "suggest": {"didyoumean": {
+        "text": "tabel scna",
+        "phrase": {"field": "text", "size": 4, "max_edits": 2,
+                   "candidates_per_term": 3},
+    }},
+    "size": 0,
+}
+
 SUGGEST_COMPLETION_BODY = {
     # search-box autocomplete over the analyzed vocabulary
     "suggest": {"autocomplete": {
@@ -7691,6 +7785,12 @@ def registry() -> dict[str, dict]:
         "es_pit_search": {
             "fn": _pit_search_entry,
             "oracle": compile_search("documents", PIT_SEARCH_BODY, "duck"),
+        },
+        "es_dsl_suggest_phrase": {
+            "fn": _entry("documents", SUGGEST_PHRASE_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", SUGGEST_PHRASE_BODY, "duck"
+            ),
         },
         "es_dsl_scored_bool": {
             "fn": _entry("documents", SCORED_BOOL_BODY, "doc_id"),

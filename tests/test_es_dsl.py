@@ -4049,3 +4049,34 @@ def test_term_wildcard_case_insensitive(tiny):
     with pytest.raises(ValueError, match="unsupported term keys"):
         compile_search("docs", {"query": {"term": {"text": {
             "value": "x", "fuzzy": 1}}}}, "duck")
+
+
+def test_phrase_suggester_lattice(sugg):
+    """The phrase lattice ranks whole corrected queries: both tokens
+    misspelled -> the common phrase wins; an in-vocabulary token keeps
+    itself as the distance-0 candidate."""
+    body = {"suggest": {"fix": {
+        "text": "tabel scna",
+        "phrase": {"field": "text", "size": 3, "candidates_per_term": 3},
+    }}, "size": 0}
+    rows = sugg.execute(compile_search("sg", body, "duck")).fetchall()
+    assert rows and rows[0][0] == "table scan"
+    body = {"suggest": {"fix": {
+        "text": "table scna",
+        "phrase": {"field": "text", "size": 1, "candidates_per_term": 2},
+    }}, "size": 0}
+    rows = sugg.execute(compile_search("sg", body, "duck")).fetchall()
+    assert rows[0][0] == "table scan" and rows[0][2] == 2  # 0 + 2 edits
+    for body, msg in [
+        ({"suggest": {"f": {"text": "a b c d e",
+            "phrase": {"field": "text"}}}, "size": 0},
+         "1-4 analyzed tokens"),
+        ({"suggest": {"f": {"text": "a",
+            "phrase": {"field": "text", "candidates_per_term": 9}}},
+          "size": 0}, r"candidates_per_term must be in \[1, 5\]"),
+        ({"suggest": {"f": {"text": "a",
+            "phrase": {"field": "text", "mode": "x"}}}, "size": 0},
+         "unsupported phrase suggester keys"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("sg", body, "duck")

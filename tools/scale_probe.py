@@ -97,6 +97,7 @@ def kernels() -> dict:
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
         HAS_CHILD_BODY,
         MATCH_SCORED_BODY,
+        SCORED_BOOL_BODY,
         MATRIX_STATS_BODY,
         MORE_LIKE_THIS_BODY,
         PARENT_CHILD_RELATIONS,
@@ -154,6 +155,13 @@ def kernels() -> dict:
         ),
         "matrix_stats": compile_search(
             "lineitem", MATRIX_STATS_BODY, "spark", "l_orderkey"
+        ),
+        # batch 32: three BM25 CTE chains + two id-keyed joins + the
+        # filtered join-back — the widest everyday scoring topology;
+        # the joins are over HIT-sized relations, so the kernel should
+        # scale like the single-chain match, not like a join of scans
+        "scored_bool": compile_search(
+            "documents", SCORED_BOOL_BODY, "spark"
         ),
     }
 
