@@ -2450,7 +2450,7 @@ ORDER BY freq DESC, option ASC
 LIMIT {size}
 """
     raise ValueError(
-        "es_dsl: unsupported suggester (term and completion only)"
+        "es_dsl: unsupported suggester (term/phrase/completion only)"
     )
 
 
