@@ -556,6 +556,70 @@ def compile_esql(query: str, dialect: str) -> str:
                 f"SELECT * FROM {inner} "
                 f"LEFT JOIN {lk} USING ({key})"
             )
+        elif cmd == "INLINESTATS":
+            # aggregates WITHOUT collapsing: each row keeps its
+            # columns and gains the group statistic — a window
+            # function (PARTITION BY keys), the Catalyst shape ES|QL's
+            # join-back implementation approximates
+            by_idx = None
+            depth = 0
+            for i, t in enumerate(rest):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif depth == 0 and t.upper() == "BY":
+                    by_idx = i
+                    break
+            agg_toks = rest[:by_idx] if by_idx is not None else rest
+            part = ""
+            if by_idx is not None:
+                keys = []
+                for kpart in _split_top_commas(rest[by_idx + 1:]):
+                    if len(kpart) != 1 or not _IDENT.fullmatch(kpart[0]):
+                        raise ValueError(
+                            "esql: INLINESTATS BY wants plain column names"
+                        )
+                    keys.append(kpart[0])
+                part = f" PARTITION BY {', '.join(keys)}"
+            cols = []
+            w = f"({part.strip()})"
+            for apart in _split_top_commas(agg_toks):
+                if (
+                    len(apart) < 6 or apart[1] != "=" or apart[3] != "("
+                    or apart[-1] != ")" or not _IDENT.fullmatch(apart[0])
+                ):
+                    raise ValueError(
+                        "esql: INLINESTATS wants name = AGG(expr) [, ...]"
+                    )
+                name, agg = apart[0], apart[2].upper()
+                if agg not in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+                    raise ValueError(
+                        "esql: INLINESTATS supports COUNT/SUM/AVG/MIN/MAX "
+                        "(windowed MEDIAN/COUNT_DISTINCT are not portable)"
+                    )
+                body_toks = apart[4:-1]
+                if body_toks == ["*"]:
+                    if agg != "COUNT":
+                        raise ValueError("esql: only COUNT takes *")
+                    x = "*"
+                else:
+                    x = _Expr(body_toks, "INLINESTATS").parse()
+                if agg == "COUNT":
+                    e = f"count({x}) OVER {w}"
+                elif agg in ("MIN", "MAX"):
+                    e = f"{agg.lower()}({x}) OVER {w}"
+                elif agg == "SUM":
+                    e = f"cast(sum(cast({x} AS {_DEC})) OVER {w} AS DOUBLE)"
+                else:
+                    e = (
+                        f"cast(sum(cast({x} AS {_DEC})) OVER {w} AS DOUBLE)"
+                        f" / count({x}) OVER {w}"
+                    )
+                cols.append(f"{e} AS {name}")
+            if not cols:
+                raise ValueError("esql: INLINESTATS wants >= 1 aggregate")
+            sql = f"SELECT *, {', '.join(cols)} FROM {inner}"
         elif cmd in ("DISSECT", "GROK"):
             sql = _compile_extract(cmd, rest, inner, dialect)
         elif cmd == "MV_EXPAND":
@@ -717,6 +781,13 @@ ESQL_LOOKUP_JOIN = """FROM customer
   | LIMIT 5"""
 
 
+ESQL_INLINESTATS = """FROM documents
+  | INLINESTATS lang_avg = AVG(n_chars), lang_n = COUNT(*) BY lang
+  | WHERE n_chars > lang_avg * 1.8
+  | KEEP doc_id, lang, n_chars, lang_n
+  | SORT doc_id
+  | LIMIT 10"""
+
 ESQL_GROK_EXTRACT = """FROM customer
   | GROK c_name "%{WORD:who}#%{INT:cnum:int}"
   | WHERE cnum < 5
@@ -775,5 +846,9 @@ def registry() -> dict[str, dict]:
         "esql_mv_expand": {
             "fn": entry(ESQL_MV_EXPAND),
             "oracle": compile_esql(ESQL_MV_EXPAND, "duck"),
+        },
+        "esql_inlinestats": {
+            "fn": entry(ESQL_INLINESTATS),
+            "oracle": compile_esql(ESQL_INLINESTATS, "duck"),
         },
     }

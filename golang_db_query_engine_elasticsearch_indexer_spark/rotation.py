@@ -123,7 +123,8 @@ that decides those 50 slots:
   registered; batch 2 adds DATE_TRUNC/CASE/STARTS_WITH/SUBSTRING and
   the ES 8.18 LOOKUP JOIN — esql_date_case / lookup_join; batch 3
   adds GROK/DISSECT as NULL-guarded regexp_extract projections,
-  MV_EXPAND, and RLIKE — esql_grok_extract / dissect / mv_expand);
+  MV_EXPAND, and RLIKE — esql_grok_extract / dissect / mv_expand;
+  batch 4 adds INLINESTATS as window functions — esql_inlinestats);
   batch 31 — es_rank_eval_dcg (the _rank_eval API: scored requests vs
   human ratings, precision@k / MRR / DCG per request in one
   statement; HTTP route returns the ES details+mean envelope);
@@ -343,6 +344,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_grok_extract': (None, 'unclassified', 'r11'),
     'esql_dissect': (None, 'unclassified', 'r11'),
     'esql_mv_expand': (None, 'unclassified', 'r11'),
+    'esql_inlinestats': (None, 'unclassified', 'r11'),
     'es_rank_eval_dcg': (None, 'unclassified', 'r11'),
     'es_dsl_scored_bool': (None, 'unclassified', 'r11'),
     'es_dsl_suggest_phrase': (None, 'unclassified', 'r11'),

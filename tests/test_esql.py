@@ -224,3 +224,29 @@ def test_where_after_stats_is_having(tiny):
       | WHERE n >= 2 AND s > 40
       | SORT lang""")
     assert rows == [("de", 2, 70.0)]
+
+
+def test_inlinestats_windows(tiny):
+    """INLINESTATS keeps the rows and adds the group statistic — the
+    window-function shape — so later stages can compare each row to
+    its group (the above-group-average idiom)."""
+    rows = _rows(tiny, """FROM t
+      | INLINESTATS a = AVG(v), n = COUNT(*) BY lang
+      | WHERE v > a
+      | KEEP id, lang, n
+      | SORT id""")
+    assert rows == [(2, "en", 2), (4, "de", 2)]
+    rows = _rows(tiny, """FROM t
+      | INLINESTATS total = SUM(v)
+      | KEEP id, total
+      | SORT id
+      | LIMIT 1""")
+    assert rows == [(1, 100.0)]
+    for q, msg in [
+        ("FROM t | INLINESTATS MEDIAN(v)", "wants name = AGG"),
+        ("FROM t | INLINESTATS m = MEDIAN(v)",
+         "COUNT/SUM/AVG/MIN/MAX"),
+        ("FROM t | INLINESTATS s = SUM(*)", "only COUNT takes"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_esql(q, "duck")
