@@ -22,6 +22,14 @@ Processing commands, applied in pipe order:
 - SORT field [ASC|DESC] [, ...]  (NULLS FIRST/LAST raise)
 - LIMIT n
 - KEEP f [, f]... / DROP f [, f]... / RENAME old AS new [, ...]
+- LOOKUP JOIN <index> ON <key>  (the 8.18 enrich join: LEFT JOIN
+  USING, broadcast when the lookup side is small)
+- GROK col "%{WORD:name} ..." / DISSECT col "%{a}-%{b}" — NULL-guarded
+  regexp_extract projections (typed grok captures; non-matching rows
+  keep the row with NULL captures, the ES behavior)
+- MV_EXPAND col — explode a multivalued column
+- INLINESTATS name = AGG(expr) [BY keys] — aggregates WITHOUT
+  collapsing, as PARTITION BY window functions
 
 Expression grammar (shared by WHERE/EVAL/STATS/SORT):
 identifiers (dotted names raise here — ES|QL flattens objects at
@@ -29,8 +37,12 @@ mapping time, which this engine models as real columns), integer /
 float / "string" literals, + - * / %, == != > >= < <=, AND OR NOT,
 parentheses, IN (v, ...), IS NULL / IS NOT NULL, LIKE "wildcard*"
 (ES|QL wildcard syntax: * and ?, translated to SQL LIKE with explicit
-ESCAPE), and the scalar functions ROUND(x[, d]) / ABS / LENGTH /
-CONCAT / TO_LOWER / TO_UPPER / COALESCE.
+ESCAPE), RLIKE "regex" (dialect-resolved), and the scalar functions
+ROUND(x[, d]) / ABS / LENGTH / CONCAT / TO_LOWER / TO_UPPER /
+COALESCE / SUBSTRING / DATE_TRUNC (cast-pinned to TIMESTAMP in both
+engines) / CASE (NULL-falls-through) / STARTS_WITH. STATS BY accepts
+aliased expression keys (BY day = DATE_TRUNC("day", ts)); WHERE after
+STATS is HAVING via pipe nesting.
 
 Scale shape: the compiled statement is ordinary Catalyst SQL — WHERE
 stages sit below the aggregation and reach the parquet scan as pushed

