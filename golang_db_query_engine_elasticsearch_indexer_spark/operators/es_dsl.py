@@ -1509,6 +1509,8 @@ LIMIT {size}{off}
 
 def _compile_scored_bool(
     index: str, body: dict, dialect: str, id_field: str,
+    factor: str | None = None, fs_mode: str = "multiply",
+    min_score: float | None = None,
 ) -> str:
     """The everyday ES search shape, scored: a top-level ``bool``
     whose ``must`` clauses are full-text (match / multi_match) and
@@ -1597,10 +1599,21 @@ def _compile_scored_bool(
     size = int(body.get("size", 10))
     offset = int(body.get("from", 0))
     off = f" OFFSET {offset}" if offset else ""
-    where = f"\nWHERE {' AND '.join(preds)}" if preds else ""
     join_sql = "\n".join(j for j in joins if j)
     score = " + ".join(score_terms)
     ctes_sql = ",\n".join(all_ctes)
+    # function_score composition: the factor expression reads the
+    # joined-back row `t`, exactly like the single-clause scored path
+    sc = "sc.s"
+    if factor:
+        sc = {
+            "multiply": f"sc.s * {factor}",
+            "sum": f"sc.s + {factor}",
+            "replace": factor,
+        }[fs_mode]
+    if min_score is not None:
+        preds.append(f"round({sc}, 4) >= {min_score}")
+    where = f"\nWHERE {' AND '.join(preds)}" if preds else ""
     return f"""
 WITH {ctes_sql},
 scored AS (
@@ -1608,7 +1621,7 @@ scored AS (
   FROM m0_s
 {join_sql}
 )
-SELECT {select}, round(sc.s, 4) AS _score
+SELECT {select}, round({sc}, 4) AS _score
 FROM scored sc JOIN {_ident(index)} t ON t.{id_field} = sc._id{where}
 ORDER BY _score DESC, t.{id_field} ASC
 LIMIT {size}{off}
@@ -2736,10 +2749,11 @@ def compile_search(
             )
         inner = fs.get("query")
         ikind, _ = _one(inner or {}, "function_score query")
-        if ikind not in ("match", "multi_match") or field_sorts:
+        if ikind not in ("match", "multi_match", "bool") or field_sorts:
             raise ValueError(
-                "es_dsl: function_score needs a match/multi_match query "
-                "and no field sorts (scored context only)"
+                "es_dsl: function_score needs a match/multi_match/"
+                "scored-bool query and no field sorts (scored context "
+                "only)"
             )
         factor = _fs_factor(fs, dialect, id_field)
         mode = fs.get("boost_mode", "multiply")
@@ -2758,10 +2772,37 @@ def compile_search(
                 "es_dsl: min_score inside function_score and at the "
                 "body top level are mutually exclusive"
             )
+        ms_eff = ms if ms is not None else ms_top
+        if ikind == "bool":
+            # function_score over the everyday scored-bool shape —
+            # the same inner routing rules as the bare scored bool
+            ibq = inner["bool"]
+
+            def _ift(c):
+                return isinstance(c, dict) and next(iter(c), None) in (
+                    "match", "multi_match",
+                )
+
+            im = ibq.get("must", []) if isinstance(ibq, dict) else []
+            im = im if isinstance(im, list) else [im]
+            ish = ibq.get("should", []) if isinstance(ibq, dict) else []
+            ish = ish if isinstance(ish, list) else [ish]
+            if not (
+                im and all(map(_ift, im)) and all(map(_ift, ish))
+                and isinstance(ibq, dict)
+                and "minimum_should_match" not in ibq
+            ):
+                raise ValueError(
+                    "es_dsl: function_score over bool needs full-text "
+                    "musts (put membership clauses under filter)"
+                )
+            return _compile_scored_bool(
+                index, {**body, "query": inner}, dialect, id_field,
+                factor=factor, fs_mode=mode, min_score=ms_eff,
+            )
         return _compile_scored(
             index, {**body, "query": inner}, dialect, id_field,
-            factor=factor, fs_mode=mode,
-            min_score=ms if ms is not None else ms_top,
+            factor=factor, fs_mode=mode, min_score=ms_eff,
         )
     if qkind in ("rank_feature", "distance_feature"):
         if field_sorts:
@@ -7238,6 +7279,24 @@ OBJECT_FIELDS_BODY = {
     "_source": ["event_id", "props"],
 }
 
+FS_OVER_BOOL_BODY = {
+    # the full production query: relevance (bool of full-text musts +
+    # shoulds, filter-gated) times a document-length decay — the
+    # function_score-over-bool composition every tuned search app ships
+    "query": {"function_score": {
+        "query": {"bool": {
+            "must": [{"match": {"text": "table"}}],
+            "should": [{"match": {"text": "fast"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }},
+        "gauss": {"n_chars": {"origin": 300, "scale": 200,
+                              "decay": 0.5}},
+        "boost_mode": "multiply",
+    }},
+    "size": 20,
+    "_source": ["doc_id", "n_chars"],
+}
+
 SCORED_BOOL_BODY = {
     # the everyday ES search: full-text musts (scored, one boosted) +
     # an optional should + score-neutral filter/must_not gates —
@@ -7795,6 +7854,12 @@ def registry() -> dict[str, dict]:
         "es_dsl_scored_bool": {
             "fn": _entry("documents", SCORED_BOOL_BODY, "doc_id"),
             "oracle": compile_search("documents", SCORED_BOOL_BODY, "duck"),
+        },
+        "es_dsl_fs_over_bool": {
+            "fn": _entry("documents", FS_OVER_BOOL_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", FS_OVER_BOOL_BODY, "duck"
+            ),
         },
         "es_rank_eval_dcg": {
             "fn": lambda spark, sf_dir: spark.sql(

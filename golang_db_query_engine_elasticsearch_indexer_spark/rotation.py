@@ -134,7 +134,9 @@ that decides those 50 slots:
   the everyday ES search shape); batch 33 — es_dsl_suggest_phrase
   (the third suggester: whole-query "did you mean" via a bounded
   candidate lattice, unigram-LM + edit-penalty score) and
-  case_insensitive on term/wildcard. The
+  case_insensitive on term/wildcard; batch 34 — es_dsl_fs_over_bool
+  (function_score composed over the scored-bool shape — the full
+  production relevance query). The
   r10 window filled at batch 19, so later-registered
   entries carry the r11 label (front-scheduled next round — within
   the policy's 2-round bound; meanwhile the in-repo sf0.01
@@ -348,6 +350,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_rank_eval_dcg': (None, 'unclassified', 'r11'),
     'es_dsl_scored_bool': (None, 'unclassified', 'r11'),
     'es_dsl_suggest_phrase': (None, 'unclassified', 'r11'),
+    'es_dsl_fs_over_bool': (None, 'unclassified', 'r11'),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
     'es_dsl_terms_set': (None, 'unclassified', 'r10'),

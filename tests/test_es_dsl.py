@@ -4082,3 +4082,30 @@ def test_phrase_suggester_lattice(sugg):
     ]:
         with pytest.raises(ValueError, match=msg):
             compile_search("sg", body, "duck")
+
+
+def test_function_score_over_scored_bool(tiny):
+    """function_score composes over the scored-bool shape: the factor
+    multiplies the Lucene sum; routing rejects non-full-text musts."""
+    plain = {"query": {"bool": {
+        "must": [{"match": {"text": "beta"}}],
+        "should": [{"match": {"text": "alpha"}}],
+    }}, "_source": ["doc_id", "n"], "size": 10}
+    p = {r[0]: r[2] for r in tiny.execute(_search(plain)).fetchall()}
+    fs = {"query": {"function_score": {
+        "query": plain["query"],
+        "field_value_factor": {"field": "n"},
+        "boost_mode": "multiply",
+    }}, "_source": ["doc_id", "n"], "size": 10}
+    rows = tiny.execute(_search(fs)).fetchall()
+    for doc_id, n, s in rows:
+        assert abs(s - p[doc_id] * n) <= n * 6e-5
+    with pytest.raises(ValueError, match="full-text\n*.?musts|full-text "):
+        compile_search("docs", {"query": {"function_score": {
+            "query": {"bool": {"must": [{"term": {"lang": "en"}}]}},
+            "weight": 2}}}, "duck")
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        FS_OVER_BOOL_BODY,
+    )
+    for dialect in ("spark", "duck"):
+        assert "SELECT" in compile_search("docs", FS_OVER_BOOL_BODY, dialect)
