@@ -40,10 +40,10 @@ def _configure(spark: SparkSession) -> None:
 # schedule (r06: 49 first-time + 1 re-check; r07: the remaining 50;
 # r08: the close-out — all 50/50 green, cumulative coverage 264/264).
 # From r09 the table is in steady-state re-rotation: net-new
-# registrations lead (r09: 20 entries; r10: 81 net-new across
-# thirty-three batches — bucket_selector through the phrase
-# suggester, ES|QL, and the scored bool context; the window holds 50,
-# so the 31 post-batch-19 registrations carry the r11 label and
+# registrations lead (r09: 20 entries; r10: 83 net-new across
+# thirty-four batches — bucket_selector through ES|QL, the scored
+# bool context, and function_score-over-bool; the window holds 50,
+# so the 33 post-batch-19 registrations carry the r11 label and
 # front-schedule next round), then changed-kernel re-checks, then the
 # oldest evidence first.
 # Everything out of window keeps regression coverage via the in-repo
