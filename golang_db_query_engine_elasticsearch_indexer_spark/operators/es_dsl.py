@@ -277,8 +277,20 @@ def _query_expr(q: dict, dialect: str, id_field: str,
         return "(" + " AND ".join(parts) + ")"
     if kind == "prefix":
         f, v = _one(body, "prefix")
+        ci = False
         if isinstance(v, dict):
+            bad = set(v) - {"value", "case_insensitive", "boost"}
+            if bad:
+                raise ValueError(
+                    f"es_dsl: unsupported prefix keys {sorted(bad)}"
+                )
+            ci = bool(v.get("case_insensitive", False))
             v = v["value"]
+        if ci:
+            return (
+                f"lower({_ident(f)}) LIKE "
+                f"'{_like_escape(v.lower())}%' ESCAPE '!'"
+            )
         return f"{_ident(f)} LIKE '{_like_escape(v)}%' ESCAPE '!'"
     if kind == "wildcard":
         f, v = _one(body, "wildcard")

@@ -78,7 +78,15 @@ _KEYWORDS = {
 _FUNCS = {
     "ROUND": (1, 2), "ABS": (1, 1), "LENGTH": (1, 1),
     "CONCAT": (1, 99), "TO_LOWER": (1, 1), "TO_UPPER": (1, 1),
-    "COALESCE": (1, 99), "SUBSTRING": (2, 3),
+    "COALESCE": (1, 99), "SUBSTRING": (2, 3), "TRIM": (1, 1),
+}
+
+# ES|QL type-conversion functions -> CAST targets. The numeric
+# targets parse identically in both dialects; the string target is
+# dialect-named (STRING vs VARCHAR), so TO_STRING renders via the
+# __TOSTR__ placeholder the compiler resolves like __RLIKE__.
+_CONVERSIONS = {
+    "TO_INTEGER": "BIGINT", "TO_LONG": "BIGINT", "TO_DOUBLE": "DOUBLE",
 }
 
 _TRUNC_UNITS = {"minute", "hour", "day", "week", "month", "year"}
@@ -125,11 +133,12 @@ class _Expr:
     identically in Spark SQL and DuckDB)."""
 
     def __init__(self, toks: list[str], what: str,
-                 allow_aggs: bool = False):
+                 allow_aggs: bool = False, dialect: str | None = None):
         self.toks = toks
         self.pos = 0
         self.what = what
         self.allow_aggs = allow_aggs
+        self.dialect = dialect
 
     def peek(self) -> str | None:
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -345,6 +354,24 @@ class _Expr:
             )
             els = f" ELSE {default}" if default is not None else ""
             return f"(CASE {whens}{els} END)"
+        if up in _CONVERSIONS:
+            if len(args) != 1:
+                self._err(f"{up} wants one argument")
+            t = _CONVERSIONS[up]
+            if t == "BIGINT":
+                # ES|QL truncates toward zero. Spark's double->int
+                # cast already truncates; DuckDB's ROUNDS, so the duck
+                # dialect trunc()s first (numeric trunc is DuckDB-only
+                # — Spark's trunc is the date function)
+                if self.dialect == "spark":
+                    return f"cast({args[0]} AS BIGINT)"
+                return f"cast(trunc({args[0]}) AS BIGINT)"
+            return f"cast({args[0]} AS {t})"
+        if up == "TO_STRING":
+            if len(args) != 1:
+                self._err("TO_STRING wants one argument")
+            t = "string" if self.dialect == "spark" else "varchar"
+            return f"cast({args[0]} AS {t})"
         if up == "STARTS_WITH":
             # substring-compare form: portable for ARBITRARY prefix
             # expressions (startswith/starts_with differ by dialect)
@@ -423,7 +450,7 @@ def compile_esql(query: str, dialect: str) -> str:
         n += 1
         inner = f"({sql}) t{n}"
         if cmd == "WHERE":
-            pred = _Expr(rest, "WHERE").parse()
+            pred = _Expr(rest, "WHERE", dialect=dialect).parse()
             sql = f"SELECT * FROM {inner} WHERE {pred}"
         elif cmd == "EVAL":
             cols = []
@@ -434,7 +461,7 @@ def compile_esql(query: str, dialect: str) -> str:
                     raise ValueError(
                         "esql: EVAL wants name = <expr> [, ...]"
                     )
-                e = _Expr(part[2:], "EVAL").parse()
+                e = _Expr(part[2:], "EVAL", dialect=dialect).parse()
                 cols.append(f"{e} AS {part[0]}")
             sql = f"SELECT *, {', '.join(cols)} FROM {inner}"
         elif cmd == "STATS":
@@ -461,7 +488,7 @@ def compile_esql(query: str, dialect: str) -> str:
                             raise ValueError(
                                 f"esql: bad STATS BY alias {part[0]!r}"
                             )
-                        e = _Expr(part[2:], "STATS BY").parse()
+                        e = _Expr(part[2:], "STATS BY", dialect=dialect).parse()
                         keys.append((part[0], e))
                     elif len(part) == 1 and _IDENT.fullmatch(part[0]):
                         keys.append((part[0], part[0]))
@@ -480,7 +507,7 @@ def compile_esql(query: str, dialect: str) -> str:
                     name, body = part[0], part[2:]
                 else:
                     name, body = f"stat{j}", part
-                e = _Expr(body, "STATS", allow_aggs=True).parse()
+                e = _Expr(body, "STATS", allow_aggs=True, dialect=dialect).parse()
                 pct = "percentile" if dialect == "spark" else "quantile_cont"
                 e = e.replace("__PCT__", pct)
                 cols.append(f"{e} AS {name}")
@@ -616,7 +643,7 @@ def compile_esql(query: str, dialect: str) -> str:
                         raise ValueError("esql: only COUNT takes *")
                     x = "*"
                 else:
-                    x = _Expr(body_toks, "INLINESTATS").parse()
+                    x = _Expr(body_toks, "INLINESTATS", dialect=dialect).parse()
                 if agg == "COUNT":
                     e = f"count({x}) OVER {w}"
                 elif agg in ("MIN", "MAX"):

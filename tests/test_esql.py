@@ -250,3 +250,33 @@ def test_inlinestats_windows(tiny):
     ]:
         with pytest.raises(ValueError, match=msg):
             compile_esql(q, "duck")
+
+
+def test_conversions_and_trim(tiny):
+    """TO_STRING/TO_INTEGER/TO_LONG/TO_DOUBLE and TRIM; integer
+    conversion truncates toward zero in BOTH engines (DuckDB's
+    rounding cast is trunc()-guarded)."""
+    rows = _rows(tiny, """FROM t
+      | EVAL s = TO_STRING(id), i = TO_INTEGER(v / 15),
+             d = TO_DOUBLE(id) / 2
+      | KEEP id, s, i, d
+      | SORT id""")
+    assert rows[0] == (1, "1", 0, 0.5)
+    assert rows[3] == (4, "4", 2, 2.0)   # 40/15 = 2.67 truncates to 2
+    rows = _rows(tiny, 'FROM t | EVAL x = TRIM("  ok  ") | KEEP x | LIMIT 1')
+    assert rows == [("ok",)]
+
+
+def test_prefix_case_insensitive_flag(tiny):
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (
+        compile_search,
+    )
+
+    body = {"query": {"prefix": {"text": {
+        "value": "ALPHA", "case_insensitive": True}}},
+        "sort": [{"doc_id": "asc"}], "size": 10, "_source": ["doc_id"]}
+    ids = [r[0] for r in tiny.execute(
+        compile_search("t", {**body, "sort": [{"id": "asc"}],
+                             "_source": ["id"]}, "duck", "id")
+    ).fetchall()]
+    assert ids == [1]
