@@ -70,6 +70,17 @@ class SqlSyntaxError(EngineError):
     http_status = 400
 
 
+class NotFoundError(EngineError):
+    """Named resource (index, point-in-time snapshot) does not exist.
+
+    ES returns 404 for a missing index and for a missing/expired
+    point-in-time; the reference has no analogue (its gateway never
+    addresses resources by name beyond the MySQL table inside SQL).
+    """
+
+    http_status = 404
+
+
 class RowLimitExceededError(EngineError):
     """Collect guard tripped: result too large to materialize on the driver.
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+    NotFoundError,
     ParamsNullError,
     SqlSyntaxError,
     UnauthorizedOperationError,
@@ -855,6 +856,8 @@ def es_open_pit(spark: SparkSession, index: str,
     base64, json = _pit_codec()
     if index is None:
         raise ParamsNullError()
+    if not spark.catalog.tableExists(index):
+        raise NotFoundError(f"no such index: {index!r}")
     state = {"index": index, "fp": _index_fingerprint(spark, index)}
     pit_id = base64.urlsafe_b64encode(
         json.dumps(state, sort_keys=True).encode()
@@ -883,9 +886,17 @@ def es_pit_search(spark: SparkSession, body: dict,
         index, fp = state["index"], state["fp"]
     except Exception:
         raise SqlSyntaxError("es_dsl: pit id does not decode")
+    # Both "unknown index inside a decodable pit id" and "file set
+    # changed" are ES 404s (the point in time no longer exists) — not
+    # 401 (authz) and not an unhandled AnalysisException (500).
+    if not spark.catalog.tableExists(index):
+        raise NotFoundError(
+            f"pit names unknown index {index!r}; the point in time "
+            "no longer exists"
+        )
     current = _index_fingerprint(spark, index)
     if current != fp:
-        raise UnauthorizedOperationError(
+        raise NotFoundError(
             f"pit for {index!r} no longer matches the table's file set "
             "(snapshot changed); open a new pit"
         )
@@ -1000,8 +1011,12 @@ def es_resolve_index(spark: SparkSession, pattern: str) -> dict:
 
     if pattern is None or not str(pattern).strip():
         raise ParamsNullError()
+    # Intersect with the live session catalog (cat_indices_df's rule):
+    # the static FIXTURE_TABLES tuple alone would report indices the
+    # session never registered.
     names = sorted(
-        t for t in FIXTURE_TABLES if fnmatch.fnmatchcase(t, pattern)
+        t for t in FIXTURE_TABLES
+        if fnmatch.fnmatchcase(t, pattern) and spark.catalog.tableExists(t)
     )
     return {
         "indices": [

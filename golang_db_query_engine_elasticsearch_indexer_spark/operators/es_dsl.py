@@ -239,9 +239,15 @@ def _query_expr(q: dict, dialect: str, id_field: str,
             key = vals["id"]
             if not isinstance(key, (str, int)) or isinstance(key, bool):
                 raise ValueError("es_dsl: terms lookup id must be str/int")
+            # Alias the lookup table and QUALIFY both columns: an
+            # unqualified id predicate would silently resolve as a
+            # CORRELATED reference to the outer table whenever the
+            # lookup table lacks the id column — turning the point
+            # lookup into per-row correlation with wrong matches.
+            # Qualified, a missing column raises at analysis time.
             return (
-                f"{_ident(f)} IN (SELECT {path} FROM {src}\n"
-                f"    WHERE {id_field} = {_lit(key, dialect)})"
+                f"{_ident(f)} IN (SELECT lk.{path} FROM {src} AS lk\n"
+                f"    WHERE lk.{id_field} = {_lit(key, dialect)})"
             )
         if not isinstance(vals, list) or not vals:
             raise ValueError("es_dsl: terms wants a non-empty list")
@@ -4071,8 +4077,19 @@ LIMIT {size}
         # DECIMAL(18,6), the sums of products are EXACT decimals, and
         # covariance/correlation form from those sums in identical
         # double arithmetic — partial-aggregation order can never flip
-        # a bit, the same reason the metric kinds use _DEC. One scan,
-        # one aggregate row, a constant-size VALUES-join fan-out.
+        # a bit. The PRODUCT operands are DECIMAL(18,6), NOT the
+        # module _DEC(28,6): (28,6)x(28,6) needs precision 57, which
+        # overflows the 38-digit cap — Spark silently reduces the
+        # product to DECIMAL(38,6) and ROUNDS it to 6dp while DuckDB
+        # clamps to DECIMAL(38,12), a cross-engine divergence for any
+        # field with >3 decimal places. The exact width is per
+        # dialect: Spark (18,6)x(18,6) -> (37,12) fits the cap, but
+        # DuckDB MULTIPLIES DECIMAL(<=18) in int64 physical storage
+        # and overflows on real magnitudes (caught live at sf0.01:
+        # 82612.09^2), so it gets (19,6) operands -> int128 ->
+        # DECIMAL(38,12). Same quantization (scale 6), same exact
+        # product value, both engines. One scan, one aggregate row, a
+        # constant-size VALUES-join fan-out.
         if sub or pipelines or rowlocal:
             raise ValueError("es_dsl: matrix_stats takes no sub-aggs")
         bad = set(b) - {"fields"}
@@ -4090,17 +4107,19 @@ LIMIT {size}
             )
         cols = [_ident(f) for f in fields]
         # exact sums per field and per pair over one aggregate
+        # product operand width: see the float-discipline note above
+        _pdec = "DECIMAL(18, 6)" if dialect == "spark" else "DECIMAL(19, 6)"
         sums, pair_rows = [], []
         for i, a in enumerate(cols):
-            sums.append(f"sum(cast({a} AS {_DEC})) AS s_{a}")
+            sums.append(f"sum(cast({a} AS {_pdec})) AS s_{a}")
             sums.append(
-                f"sum(cast({a} AS {_DEC}) * cast({a} AS {_DEC}))"
+                f"sum(cast({a} AS {_pdec}) * cast({a} AS {_pdec}))"
                 f" AS ss_{a}_{a}"
             )
             for j in range(i + 1, len(cols)):
                 bcol = cols[j]
                 sums.append(
-                    f"sum(cast({a} AS {_DEC}) * cast({bcol} AS {_DEC}))"
+                    f"sum(cast({a} AS {_pdec}) * cast({bcol} AS {_pdec}))"
                     f" AS ss_{a}_{bcol}"
                 )
         def cov(x, y):

@@ -749,6 +749,29 @@ def test_es_pit_routes(client):
     # a pit body without the pit key on the index-less route: 400
     r = client.post("/_search", json={"query": {"match_all": {}}})
     assert r.status_code == 400
+    # a decodable pit whose fingerprint no longer matches is ES's
+    # EXPIRED point in time -> 404 (not 401: nothing about authz)
+    import base64
+    import json as _json
+
+    def _pit(state):
+        return base64.urlsafe_b64encode(
+            _json.dumps(state, sort_keys=True).encode()).decode()
+
+    r = client.post("/_search", json={
+        "pit": {"id": _pit({"index": "documents", "fp": "0" * 32})},
+        "size": 1,
+    })
+    assert r.status_code == 404
+    # a decodable pit naming an unknown index: 404, not an unhandled
+    # AnalysisException (500)
+    r = client.post("/_search", json={
+        "pit": {"id": _pit({"index": "no_such_table", "fp": "0" * 32})},
+        "size": 1,
+    })
+    assert r.status_code == 404
+    # opening a pit on an unknown index: 404
+    assert client.post("/no_such_table/_pit").status_code == 404
 
 
 def test_es_reindex_route(client):

@@ -2862,6 +2862,34 @@ def test_matrix_stats_pairwise(tiny):
     assert by_pair[("n", "n")][4] == 1.0  # diagonal correlation
 
 
+def test_matrix_stats_high_precision_cross_engine(spark, tiny):
+    """Fields with 6 decimal places: the product operands must
+    quantize to DECIMAL(18,6) so (18,6)x(18,6) -> (37,12) stays exact
+    in both engines. At the module _DEC(28,6) the product's precision
+    (57) overflows the 38-digit cap and Spark silently ROUNDS each
+    product to 6dp while DuckDB keeps 12 — a hash mismatch on any
+    >3dp data (ADVICE r10)."""
+    vals = [(1.234567, 1.000001), (2.000003, 0.333333),
+            (0.000007, 9.999999), (5.123456, 2.718281)]
+    tiny.execute(
+        "CREATE TABLE hp AS SELECT * FROM (VALUES "
+        + ", ".join(f"({a!r}, {b!r})" for a, b in vals)
+        + ") AS t(x, y)"
+    )
+    spark.createDataFrame(vals, "x double, y double") \
+        .createOrReplaceTempView("hp")
+    body = {"aggs": {"m": {"matrix_stats": {"fields": ["x", "y"]}}},
+            "size": 0}
+    duck_rows = sorted(tiny.execute(
+        compile_search("hp", body, "duck")).fetchall())
+    spark_rows = sorted(
+        tuple(r) for r in
+        spark.sql(compile_search("hp", body, "spark")).collect()
+    )
+    assert duck_rows == spark_rows
+    spark.catalog.dropTempView("hp")
+
+
 def test_batch23_rejections(tiny):
     for body, msg in [
         ({"query": {"term": {"lang": "en"}},
@@ -2960,6 +2988,22 @@ def test_terms_lookup_subquery(tiny):
         with pytest.raises(ValueError, match=msg):
             compile_search("docs", {"query": {"terms": {"lang": bad}}},
                            "duck")
+
+
+def test_terms_lookup_qualifies_id_column(tiny):
+    """The lookup subquery aliases its table and qualifies the id
+    column: a lookup table LACKING the id column must raise a binder
+    error, not silently resolve the id as a correlated reference to
+    the outer table (which turns the point lookup into per-row
+    correlation with wrong matches)."""
+    sql = _search({"query": {"terms": {"lang": {
+        "index": "docs", "id": 3, "path": "lang"}}}, "size": 10})
+    assert "FROM docs AS lk" in sql and "lk.doc_id =" in sql
+    tiny.execute("CREATE TABLE lkup AS SELECT 'de' AS lang")
+    body = {"query": {"terms": {"lang": {
+        "index": "lkup", "id": 1, "path": "lang"}}}, "size": 10}
+    with pytest.raises(Exception, match="doc_id"):
+        tiny.execute(_search(body)).fetchall()
 
 
 def test_docvalue_and_script_fields(tiny):
