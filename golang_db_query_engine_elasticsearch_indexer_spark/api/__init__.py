@@ -546,6 +546,26 @@ def create_app(
         _attach_if_named()
         return jsonify(gateway.es_resolve_index(_spark(), pattern)), 200
 
+    @app.post("/_aliases")
+    def es_update_aliases_route():
+        # the atomic add/remove actions API — the zero-downtime
+        # reindex seam every production deployment queries through
+        return jsonify(
+            gateway.es_update_aliases(_spark(), _es_body())
+        ), 200
+
+    @app.get("/_aliases")
+    def es_get_aliases_route():
+        return jsonify(gateway.es_get_aliases(_spark())), 200
+
+    @app.get("/_alias/<name>")
+    def es_get_alias_route(name: str):
+        return jsonify(gateway.es_get_aliases(_spark(), name)), 200
+
+    @app.get("/_cat/aliases")
+    def es_cat_aliases_route():
+        return jsonify(gateway.cat_aliases(_spark())), 200
+
     @app.post("/_sql")
     def es_sql_route():
         # the ES SQL API shape over the engine's own SQL gateway —

@@ -94,6 +94,7 @@ def es_search_df(spark: SparkSession, index: str, body: dict) -> DataFrame:
 
     if index is None or body is None:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     return spark.sql(compile_search(index, body, "spark"))
 
 
@@ -135,6 +136,7 @@ def es_mapping(spark: SparkSession, index: str) -> dict:
 
     if index is None:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     return {index: {"mappings": es_mapping_for_schema(spark.table(index).schema)}}
 
 
@@ -149,6 +151,7 @@ def es_count(spark: SparkSession, index: str, body: dict | None = None) -> int:
 
     if index is None:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     row = spark.sql(compile_count(index, body or {}, "spark")).collect()[0]
     return int(row["count"])
 
@@ -204,11 +207,112 @@ def cat_indices(spark: SparkSession) -> list[dict]:
 
 
 def es_index_exists(spark: SparkSession, index: str) -> bool:
-    """`HEAD /{index}` parity: does the index (registered table) exist.
-    Catalog lookup only — no scan."""
+    """`HEAD /{index}` parity: does the index (registered table) or an
+    alias to one exist. Catalog lookup only — no scan."""
     if index is None:
         raise ParamsNullError()
-    return bool(spark.catalog.tableExists(index))
+    return bool(spark.catalog.tableExists(_resolve_alias(index)))
+
+
+# --- index aliases -------------------------------------------------------------
+#
+# Every production ES deployment queries through aliases (the
+# zero-downtime reindex seam): reads address `logs` while the concrete
+# index rotates underneath. The engine models an alias as PURE
+# METADATA — a name -> table entry resolved at each index-addressed
+# verb — rather than a Spark temp view: a view captures the target's
+# plan AT CREATION, so re-registering the fixture views (per-sf-dir
+# test switching, the operational "swap the concrete index" move)
+# would leave a view-alias silently reading the OLD data. Metadata
+# resolution always follows the live catalog. Driver-side dict, no
+# data touched; single-target aliases only (multi-index read aliases
+# raise loudly — the UNION semantics belongs to the query layer).
+
+_ALIASES: dict[str, str] = {}
+
+
+def _resolve_alias(index: str) -> str:
+    """Alias -> concrete table; concrete names pass through. One hop:
+    ES forbids aliases to aliases, so no chain walk."""
+    return _ALIASES.get(index, index)
+
+
+def es_update_aliases(spark: SparkSession, body: dict) -> dict:
+    """`POST /_aliases` parity: the atomic actions API —
+    {"actions": [{"add": {"index": i, "alias": a}},
+                 {"remove": {"index": i, "alias": a}}]}.
+    All actions validate BEFORE any applies (the ES all-or-nothing
+    contract); add rejects unknown targets, names shadowing real
+    tables, alias-to-alias chains, and retargeting an existing alias
+    without an explicit remove (ES allows silent repointing only via
+    remove+add in one call, which this supports)."""
+    if body is None or not isinstance(body.get("actions"), list) \
+            or not body["actions"]:
+        raise ParamsNullError()
+    staged: list[tuple[str, str, str]] = []
+    removed_in_call: set[str] = set()
+    for action in body["actions"]:
+        if not isinstance(action, dict) or len(action) != 1:
+            raise SqlSyntaxError("es_aliases: each action wants one "
+                                 "of add/remove")
+        kind, spec = next(iter(action.items()))
+        if kind not in ("add", "remove"):
+            raise SqlSyntaxError(
+                f"es_aliases: unsupported action {kind!r}")
+        if not isinstance(spec, dict) or set(spec) != {"index", "alias"}:
+            raise SqlSyntaxError(
+                "es_aliases: action wants {index, alias}")
+        index, alias = spec["index"], spec["alias"]
+        if kind == "add":
+            if not spark.catalog.tableExists(index):
+                raise NotFoundError(f"no such index: {index!r}")
+            if index in _ALIASES:
+                raise SqlSyntaxError(
+                    f"es_aliases: {index!r} is itself an alias "
+                    "(aliases to aliases are forbidden)")
+            if spark.catalog.tableExists(alias):
+                raise SqlSyntaxError(
+                    f"es_aliases: alias {alias!r} would shadow a "
+                    "real index")
+            if alias in _ALIASES and _ALIASES[alias] != index \
+                    and alias not in removed_in_call:
+                raise SqlSyntaxError(
+                    f"es_aliases: alias {alias!r} already points to "
+                    f"{_ALIASES[alias]!r}; remove it first (multi-"
+                    "index aliases are unsupported)")
+        else:
+            if _ALIASES.get(alias) != index:
+                raise NotFoundError(
+                    f"alias {alias!r} -> {index!r} does not exist")
+            removed_in_call.add(alias)
+        staged.append((kind, index, alias))
+    for kind, index, alias in staged:
+        if kind == "add":
+            _ALIASES[alias] = index
+        else:
+            _ALIASES.pop(alias, None)
+    return {"acknowledged": True}
+
+
+def es_get_aliases(spark: SparkSession, alias: str | None = None) -> dict:
+    """`GET /_aliases` / `GET /_alias/{name}` parity: the ES response
+    shape {index: {"aliases": {alias: {}}}}. Unknown alias -> 404."""
+    pairs = sorted(_ALIASES.items())
+    if alias is not None:
+        pairs = [(a, i) for a, i in pairs if a == alias]
+        if not pairs:
+            raise NotFoundError(f"alias {alias!r} does not exist")
+    out: dict = {}
+    for a, i in pairs:
+        out.setdefault(i, {"aliases": {}})["aliases"][a] = {}
+    return out
+
+
+def cat_aliases(spark: SparkSession) -> list[dict]:
+    """`GET /_cat/aliases?format=json` parity: one row per alias."""
+    return [
+        {"alias": a, "index": i} for a, i in sorted(_ALIASES.items())
+    ]
 
 
 def es_get(
@@ -229,6 +333,7 @@ def es_get(
 
     if index is None or doc_id is None:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     df = spark.table(index)
     idc = id_field or df.columns[0]
     if idc not in df.columns:
@@ -322,6 +427,7 @@ def es_validate_query(spark: SparkSession, index: str, body: dict) -> dict:
 
     if index is None or body is None:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     try:
         df = spark.sql(compile_search(index, {"query": body.get(
             "query", {"match_all": {}})}, "spark"))
@@ -344,6 +450,7 @@ def es_mget(
 
     if index is None or not isinstance(ids, list) or not ids:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     if len(ids) > 10_000:
         raise SqlSyntaxError("es_dsl: _mget is capped at 10000 ids")
     df = spark.table(index)
@@ -427,6 +534,7 @@ def es_field_caps_df(spark: SparkSession, index: str) -> DataFrame:
     schema width, no scan."""
     if index is None:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     rows = field_caps_fields(spark.table(index).schema)
     return spark.createDataFrame(rows, "field string, es_type string")
 
@@ -480,6 +588,7 @@ LIMIT {size}
 
 def es_terms_enum_df(spark: SparkSession, index: str, field: str,
                      prefix: str = "", size: int = 10) -> DataFrame:
+    index = _resolve_alias(index)
     return spark.sql(terms_enum_sql(index, field, prefix, size, "spark"))
 
 
@@ -494,6 +603,7 @@ def es_terms_enum(spark: SparkSession, index: str, body: dict) -> dict:
         )
     if not body or "field" not in body:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     size = int(body.get("size", 10))
     terms = [
         r["term"]
@@ -653,6 +763,7 @@ def es_scroll(
     else:
         if index is None or body is None:
             raise ParamsNullError()
+        index = _resolve_alias(index)
         if id_field is None:
             id_field = spark.table(index).columns[0]
         after = None
@@ -708,6 +819,7 @@ def es_explain(spark: SparkSession, index: str, doc_id, body: dict,
 
     if index is None or doc_id is None:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     q = (body or {}).get("query", {"match_all": {}})
     try:
         pred = _query_expr(q, "spark", id_field or "doc_id")
@@ -742,6 +854,7 @@ def cat_count(spark: SparkSession, index: str | None = None) -> dict:
     """`GET /_cat/count[/{index}]?format=json` parity: one total doc
     count — one metadata-only aggregate per table."""
     if index is not None:
+        index = _resolve_alias(index)
         if not spark.catalog.tableExists(index):
             raise ParamsNullError()
         n = spark.table(index).count()
@@ -806,6 +919,7 @@ ORDER BY term ASC
 
 def es_termvectors_df(spark: SparkSession, index: str, doc_id,
                       field: str, id_field: str | None = None) -> DataFrame:
+    index = _resolve_alias(index)
     idc = id_field or spark.table(index).columns[0]
     return spark.sql(termvectors_sql(index, doc_id, field, idc, "spark"))
 
@@ -856,6 +970,7 @@ def es_open_pit(spark: SparkSession, index: str,
     base64, json = _pit_codec()
     if index is None:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     if not spark.catalog.tableExists(index):
         raise NotFoundError(f"no such index: {index!r}")
     state = {"index": index, "fp": _index_fingerprint(spark, index)}
@@ -988,6 +1103,7 @@ def es_rank_eval(spark: SparkSession, index: str, body: dict) -> dict:
 
     if index is None or body is None:
         raise ParamsNullError()
+    index = _resolve_alias(index)
     rows = spark.sql(compile_rank_eval(index, body, "spark")).collect()
     details = {r["request_id"]: float(r["metric_score"]) for r in rows}
     mean = sum(details.values()) / len(details) if details else 0.0

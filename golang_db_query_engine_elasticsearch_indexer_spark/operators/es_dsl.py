@@ -7385,6 +7385,34 @@ def _pit_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(compile_search("documents", PIT_SEARCH_BODY, "spark"))
 
 
+ALIAS_SEARCH_BODY = {
+    # an ordinary filter search, addressed AT AN ALIAS: the everyday
+    # deployment seam (reads go through `docs_read` while the concrete
+    # index rotates underneath)
+    "query": {"range": {"n_chars": {"gte": 500}}},
+    "sort": [{"doc_id": "asc"}],
+    "size": 60,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
+
+
+def _alias_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register `docs_read` -> documents through the _aliases actions
+    API (idempotent: re-adding the same target is a no-op), then
+    search addressed at the alias. The oracle compiles the SAME body
+    against the concrete table — the differential proves alias
+    indirection is pure name resolution, changing no results."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        es_search_df,
+        es_update_aliases,
+    )
+
+    es_update_aliases(spark, {"actions": [
+        {"add": {"index": "documents", "alias": "docs_read"}},
+    ]})
+    return es_search_df(spark, "docs_read", ALIAS_SEARCH_BODY)
+
+
 def registry() -> dict[str, dict]:
     return {
         "es_dsl_bool_filter": {
@@ -7875,6 +7903,10 @@ def registry() -> dict[str, dict]:
         "es_pit_search": {
             "fn": _pit_search_entry,
             "oracle": compile_search("documents", PIT_SEARCH_BODY, "duck"),
+        },
+        "es_alias_search": {
+            "fn": _alias_search_entry,
+            "oracle": compile_search("documents", ALIAS_SEARCH_BODY, "duck"),
         },
         "es_dsl_suggest_phrase": {
             "fn": _entry("documents", SUGGEST_PHRASE_BODY, "doc_id"),

@@ -10,20 +10,33 @@ contract: any source command, function, or operator outside the
 subset raises ValueError at compile time, never a silent
 mistranslation.
 
-Supported source command: FROM <index> (one index; no METADATA).
+Supported source command: FROM <index> [, <index>]... (no METADATA).
+Multi-index and wildcard FROM (`FROM idx1,idx2`, `FROM doc*`) compile
+to UNION ALL over the matching REGISTERED fixture tables with the ES
+missing-column-as-NULL rule (columns resolve against the static
+fixture schema, _TABLE_COLUMNS; unknown names raise loudly).
 Processing commands, applied in pipe order:
 
 - WHERE <boolean expr>
 - EVAL name = <expr> [, name = <expr>]...
 - STATS [name =] AGG(expr) [, ...] [BY key [, key]...]
   with COUNT(*) / COUNT / COUNT_DISTINCT / SUM / AVG / MIN / MAX /
-  MEDIAN — SUM/AVG go through the engine's exact-DECIMAL quantize
-  discipline so partial-aggregation order can't flip a bit
+  MEDIAN / PERCENTILE(x, p) — SUM/AVG go through the engine's
+  exact-DECIMAL quantize discipline so partial-aggregation order
+  can't flip a bit; PERCENTILE is the exact interpolated quantile
+  (ES's own is TDigest-approximate), quantized like MEDIAN
 - SORT field [ASC|DESC] [, ...]  (NULLS FIRST/LAST raise)
 - LIMIT n
 - KEEP f [, f]... / DROP f [, f]... / RENAME old AS new [, ...]
 - LOOKUP JOIN <index> ON <key>  (the 8.18 enrich join: LEFT JOIN
   USING, broadcast when the lookup side is small)
+- ENRICH <policy> ON <match_field> WITH [name =] field [, ...] —
+  the classic enrich-processor idiom; the policy name is modeled as
+  the source index (the engine has no separate policy store), and the
+  WITH list is REQUIRED (projecting "all policy fields" needs a
+  schema the text compiler doesn't assume). Compiles to a LEFT JOIN
+  USING against a pruned projection — broadcast by the planner, the
+  ENRICH execution model
 - GROK col "%{WORD:name} ..." / DISSECT col "%{a}-%{b}" — NULL-guarded
   regexp_extract projections (typed grok captures; non-matching rows
   keep the row with NULL captures, the ES behavior)
@@ -40,9 +53,16 @@ parentheses, IN (v, ...), IS NULL / IS NOT NULL, LIKE "wildcard*"
 ESCAPE), RLIKE "regex" (dialect-resolved), and the scalar functions
 ROUND(x[, d]) / ABS / LENGTH / CONCAT / TO_LOWER / TO_UPPER /
 COALESCE / SUBSTRING / DATE_TRUNC (cast-pinned to TIMESTAMP in both
-engines) / CASE (NULL-falls-through) / STARTS_WITH. STATS BY accepts
-aliased expression keys (BY day = DATE_TRUNC("day", ts)); WHERE after
-STATS is HAVING via pipe nesting.
+engines) / CASE (NULL-falls-through) / STARTS_WITH /
+DATE_FORMAT("yyyy-MM-dd HH:mm:ss" subset, translated to strftime for
+the oracle dialect) / DATE_DIFF(unit, start, end) (fixed-length units
+second/minute/hour/day as truncated multiples of the microsecond-exact
+epoch difference — tz conventions cancel in the difference; month/year
+raise) / the MV_* multivalue family over array columns — MV_COUNT /
+MV_MIN / MV_MAX / MV_SUM / MV_AVG (sequential fold in both engines,
+result quantized DECIMAL(18,6)->DOUBLE) / MV_CONCAT(arr, delim).
+STATS BY accepts aliased expression keys (BY day = DATE_TRUNC("day",
+ts)); WHERE after STATS is HAVING via pipe nesting.
 
 Scale shape: the compiled statement is ordinary Catalyst SQL — WHERE
 stages sit below the aggregation and reach the parquet scan as pushed
@@ -91,7 +111,26 @@ _CONVERSIONS = {
 
 _TRUNC_UNITS = {"minute", "hour", "day", "week", "month", "year"}
 
-_AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX", "MEDIAN"}
+_AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX", "MEDIAN",
+         "PERCENTILE"}
+
+# DATE_DIFF fixed-length units -> microseconds. Calendar units
+# (month/year) have no fixed length, so "truncated multiples of the
+# epoch difference" would be wrong for them — they raise.
+_DIFF_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+# DATE_FORMAT: the supported Java-pattern tokens (what ES|QL takes)
+# and their strftime spellings for the DuckDB oracle dialect.
+_FMT_TOKENS = {
+    "yyyy": "%Y", "MM": "%m", "dd": "%d",
+    "HH": "%H", "mm": "%M", "ss": "%S",
+}
+_FMT_SEPARATORS = set("-:/ T_.")
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
@@ -267,6 +306,17 @@ class _Expr:
         self.take()
         up = t.upper()
         if t.startswith('"'):
+            # Only the \" escape is supported: any other backslash
+            # would render into a single-quoted literal that Spark's
+            # parser \-unescapes ("a\tb" -> tab) while DuckDB keeps
+            # it literal — a silent cross-dialect divergence. Raise,
+            # matching the RLIKE/GROK guards.
+            if t[1:-1].replace('\\"', "").count("\\"):
+                self._err(
+                    "string literals may not contain backslashes "
+                    'other than \\" (escapes parse differently '
+                    "across dialects)"
+                )
             body = t[1:-1].replace("\\\"", '"').replace("'", "''")
             return f"'{body}'"
         if re.fullmatch(r"\d+(\.\d+)?", t):
@@ -302,6 +352,24 @@ class _Expr:
         if up in _AGGS:
             if not self.allow_aggs:
                 self._err(f"{up} only inside STATS")
+            if up == "PERCENTILE":
+                # PERCENTILE(x, p): exact interpolated quantile where
+                # ES chains TDigest; p must be a numeric literal in
+                # [0, 100], folded to the fraction at compile time
+                if len(args) != 2:
+                    self._err("PERCENTILE wants (field, percentile)")
+                x, p = args
+                try:
+                    frac = float(p) / 100.0
+                except ValueError:
+                    self._err("PERCENTILE percentile must be a "
+                              "numeric literal")
+                if not 0.0 <= frac <= 1.0:
+                    self._err("PERCENTILE percentile must be 0..100")
+                return (
+                    f"cast(cast(__PCT__({x}, {frac!r}) AS "
+                    "DECIMAL(18, 6)) AS DOUBLE)"
+                )
             if len(args) != 1:
                 self._err(f"{up} wants exactly one argument")
             x = args[0]
@@ -379,6 +447,122 @@ class _Expr:
                 self._err("STARTS_WITH wants (string, prefix)")
             x, p = args
             return f"(substring({x}, 1, length({p})) = {p})"
+        if up == "DATE_FORMAT":
+            # DATE_FORMAT("yyyy-MM-dd", ts): the format is a Java
+            # pattern (what ES|QL takes, and what Spark's date_format
+            # reads natively); the oracle dialect renders the same
+            # tokens through strftime. Only the _FMT_TOKENS subset is
+            # accepted — anything else raises rather than silently
+            # formatting differently across engines.
+            if len(args) != 2:
+                self._err("DATE_FORMAT wants (format, field)")
+            fmt, x = args
+            if not (fmt.startswith("'") and fmt.endswith("'")):
+                self._err("DATE_FORMAT format must be a string literal")
+            java = fmt[1:-1]
+            duck_parts, i = [], 0
+            while i < len(java):
+                for tok, strf in _FMT_TOKENS.items():
+                    if java.startswith(tok, i):
+                        duck_parts.append(strf)
+                        i += len(tok)
+                        break
+                else:
+                    if java[i] in _FMT_SEPARATORS:
+                        duck_parts.append(java[i])
+                        i += 1
+                    else:
+                        self._err(
+                            f"DATE_FORMAT token at {java[i:]!r} "
+                            "unsupported (yyyy/MM/dd/HH/mm/ss + "
+                            "separators)"
+                        )
+            if self.dialect == "spark":
+                return f"date_format({x}, '{java}')"
+            return f"strftime({x}, '{''.join(duck_parts)}')"
+        if up == "DATE_DIFF":
+            # DATE_DIFF("hour", start, end): truncated multiples of
+            # the unit between the two timestamps. Microsecond-exact
+            # integer epochs on both sides (the _epoch discipline:
+            # Spark's unix_timestamp truncates to seconds, so it reads
+            # unix_micros; tz conventions cancel in the difference);
+            # the quotient truncates toward zero in both dialects
+            # (Spark's double->BIGINT cast truncates; DuckDB rounds,
+            # so the duck dialect trunc()s first).
+            if len(args) != 3:
+                self._err("DATE_DIFF wants (unit, start, end)")
+            unit, s, e = args
+            if not (unit.startswith("'") and unit.endswith("'")):
+                self._err("DATE_DIFF unit must be a string literal")
+            u = unit[1:-1].lower()
+            if u not in _DIFF_UNIT_US:
+                self._err(
+                    f"DATE_DIFF unit {u!r} unsupported (fixed-length "
+                    f"{'/'.join(sorted(_DIFF_UNIT_US))}; calendar "
+                    "units have no fixed length)"
+                )
+            us = _DIFF_UNIT_US[u]
+            if self.dialect == "spark":
+                micros = (
+                    f"(unix_micros(cast({e} AS timestamp_ltz))"
+                    f" - unix_micros(cast({s} AS timestamp_ltz)))"
+                )
+                return f"cast(cast({micros} AS DOUBLE) / {us} AS BIGINT)"
+            micros = f"(epoch_us({e}) - epoch_us({s}))"
+            return (
+                f"cast(trunc(cast({micros} AS DOUBLE) / {us}) AS BIGINT)"
+            )
+        if up in ("MV_COUNT", "MV_MIN", "MV_MAX", "MV_SUM", "MV_AVG"):
+            # the multivalue family: per-row scalars over an array
+            # column (the dual of MV_EXPAND). All map-local; NULL
+            # arrays yield NULL in both engines. MV_SUM/MV_AVG fold
+            # elements as doubles sequentially (Spark aggregate() /
+            # DuckDB list_sum are both left-to-right) and quantize the
+            # result DECIMAL(18,6)->DOUBLE so a sub-6dp accumulation
+            # wobble can't flip the driver hash.
+            if len(args) != 1:
+                self._err(f"{up} wants one argument")
+            x = args[0]
+            spark = self.dialect == "spark"
+            if up == "MV_COUNT":
+                inner = f"cardinality({x})" if spark else f"len({x})"
+                return f"cast({inner} AS BIGINT)"
+            if up in ("MV_MIN", "MV_MAX"):
+                kind = up[3:].lower()
+                return (f"array_{kind}({x})" if spark
+                        else f"list_{kind}({x})")
+            if spark:
+                # the CASE pins the empty-array result to NULL:
+                # aggregate() over an empty array returns the 0.0
+                # seed, DuckDB's list_sum returns NULL (measured)
+                total = (
+                    f"(CASE WHEN cardinality({x}) > 0 THEN "
+                    f"aggregate({x}, cast(0.0 AS DOUBLE),"
+                    f" (acc, e) -> acc + cast(e AS DOUBLE)) END)"
+                )
+                cnt = f"cardinality({x})"
+            else:
+                total = (
+                    f"list_sum(list_transform({x},"
+                    " e -> cast(e AS DOUBLE)))"
+                )
+                cnt = f"len({x})"
+            if up == "MV_AVG":
+                total = f"({total}) / {cnt}"
+            return f"cast(cast({total} AS DECIMAL(18, 6)) AS DOUBLE)"
+        if up == "MV_CONCAT":
+            if len(args) != 2:
+                self._err("MV_CONCAT wants (array, delimiter)")
+            x, d = args
+            if self.dialect == "spark":
+                # the CASE pins empty arrays to NULL: array_join([])
+                # returns '' while DuckDB's array_to_string([])
+                # returns NULL (measured)
+                return (
+                    f"(CASE WHEN cardinality({x}) > 0 THEN "
+                    f"array_join({x}, {d}) END)"
+                )
+            return f"array_to_string({x}, {d})"
         if up not in _FUNCS:
             self._err(f"unsupported function {name!r}")
         lo, hi = _FUNCS[up]
@@ -387,6 +571,92 @@ class _Expr:
         fn = {"TO_LOWER": "lower", "TO_UPPER": "upper",
               "LENGTH": "length"}.get(up, up.lower())
         return f"{fn}({', '.join(args)})"
+
+
+# Static column inventory of the registered fixture tables (TESTDATA.md
+# schema; stable across rounds). Multi-index / wildcard FROM needs the
+# column sets at COMPILE time — the text compiler runs with no live
+# session (registry() compiles oracles at import) — so the union's
+# missing-column-as-NULL projection resolves against this map. A
+# multi-index FROM naming a table outside it raises loudly;
+# single-index FROM keeps accepting any identifier (resolution happens
+# at execution, as before).
+_TABLE_COLUMNS: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value",
+               "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+def _compile_from(stage: str) -> str:
+    """The FROM source relation: one index (any identifier), or a
+    comma-list / wildcard over the registered fixture tables, unioned
+    with the ES missing-column-as-NULL rule (column order: first-seen
+    across the selected tables)."""
+    import fnmatch  # noqa: PLC0415
+
+    m = re.fullmatch(r"(?is)FROM\s+([A-Za-z0-9_*]+(?:\s*,\s*"
+                     r"[A-Za-z0-9_*]+)*)", stage.strip())
+    if not m:
+        raise ValueError(
+            "esql: the source command must be FROM <index>[, <index>]"
+            f" (got {stage!r})"
+        )
+    parts = [p.strip() for p in m.group(1).split(",")]
+    if len(parts) == 1 and "*" not in parts[0]:
+        index = parts[0]
+        if not _IDENT.fullmatch(index):
+            raise ValueError(f"esql: bad index name {index!r}")
+        return f"SELECT * FROM {index}"
+    tables: list[str] = []
+    for p in parts:
+        if "*" in p:
+            hits = sorted(
+                t for t in _TABLE_COLUMNS if fnmatch.fnmatchcase(t, p)
+            )
+            if not hits:
+                raise ValueError(
+                    f"esql: FROM pattern {p!r} matches no registered "
+                    "index"
+                )
+            tables.extend(t for t in hits if t not in tables)
+        else:
+            if p not in _TABLE_COLUMNS:
+                raise ValueError(
+                    f"esql: multi-index FROM knows only the registered "
+                    f"fixture tables ({'/'.join(sorted(_TABLE_COLUMNS))});"
+                    f" got {p!r}"
+                )
+            if p not in tables:
+                tables.append(p)
+    if len(tables) == 1:
+        return f"SELECT * FROM {tables[0]}"
+    unified: list[str] = []
+    for t in tables:
+        unified.extend(
+            c for c in _TABLE_COLUMNS[t] if c not in unified
+        )
+    selects = []
+    for t in tables:
+        have = set(_TABLE_COLUMNS[t])
+        cols = ", ".join(
+            c if c in have else f"NULL AS {c}" for c in unified
+        )
+        selects.append(f"SELECT {cols} FROM {t}")
+    return "\n  UNION ALL ".join(selects)
 
 
 def _split_pipes(q: str) -> list[str]:
@@ -430,16 +700,7 @@ def compile_esql(query: str, dialect: str) -> str:
     if not isinstance(query, str) or not query.strip():
         raise ValueError("esql: empty query")
     stages = _split_pipes(query)
-    head = _tokenize(stages[0], "FROM")
-    if len(head) != 2 or head[0].upper() != "FROM":
-        raise ValueError(
-            "esql: the source command must be FROM <index> "
-            f"(got {stages[0]!r})"
-        )
-    index = head[1]
-    if not _IDENT.fullmatch(index):
-        raise ValueError(f"esql: bad index name {index!r}")
-    sql = f"SELECT * FROM {index}"
+    sql = _compile_from(stages[0])
     n = 0
     for stage in stages[1:]:
         toks = _tokenize(stage, "command")
@@ -595,6 +856,48 @@ def compile_esql(query: str, dialect: str) -> str:
                 f"SELECT * FROM {inner} "
                 f"LEFT JOIN {lk} USING ({key})"
             )
+        elif cmd == "ENRICH":
+            # ENRICH <policy> ON <match_field> WITH [name =] field
+            # [, ...]: the enrich-processor idiom. The policy name is
+            # the source index; WITH is required (see module
+            # docstring). LEFT JOIN USING against a pruned projection
+            # — column pruning reaches the policy table's scan, and
+            # the planner broadcasts the small side (the ENRICH
+            # execution model: the policy index is shipped to every
+            # node).
+            if (
+                len(rest) < 4 or not _IDENT.fullmatch(rest[0])
+                or rest[1].upper() != "ON"
+                or not _IDENT.fullmatch(rest[2])
+                or rest[3].upper() != "WITH"
+            ):
+                raise ValueError(
+                    "esql: ENRICH wants <policy> ON <match_field> "
+                    "WITH [name =] field [, ...]"
+                )
+            policy, key = rest[0], rest[2]
+            proj = []
+            for part in _split_top_commas(rest[4:]):
+                if len(part) == 1 and _IDENT.fullmatch(part[0]):
+                    proj.append(part[0])
+                elif (
+                    len(part) == 3 and part[1] == "="
+                    and _IDENT.fullmatch(part[0])
+                    and _IDENT.fullmatch(part[2])
+                ):
+                    proj.append(f"{part[2]} AS {part[0]}")
+                else:
+                    raise ValueError(
+                        "esql: ENRICH WITH wants field or "
+                        "name = field [, ...]"
+                    )
+            if not proj:
+                raise ValueError("esql: ENRICH WITH wants >= 1 field")
+            sql = (
+                f"SELECT * FROM {inner} LEFT JOIN "
+                f"(SELECT {key}, {', '.join(proj)} FROM {policy}) "
+                f"enr{n} USING ({key})"
+            )
         elif cmd == "INLINESTATS":
             # aggregates WITHOUT collapsing: each row keeps its
             # columns and gains the group statistic — a window
@@ -680,8 +983,8 @@ def compile_esql(query: str, dialect: str) -> str:
         else:
             raise ValueError(
                 f"esql: unsupported command {cmd!r} (WHERE/EVAL/STATS/"
-                "SORT/LIMIT/KEEP/DROP/RENAME/LOOKUP JOIN/DISSECT/GROK/"
-                "MV_EXPAND)"
+                "SORT/LIMIT/KEEP/DROP/RENAME/LOOKUP JOIN/ENRICH/"
+                "DISSECT/GROK/MV_EXPAND/INLINESTATS)"
             )
     # dialect-resolved regex predicate (identical argument shapes)
     return sql.replace(
@@ -845,6 +1148,42 @@ ESQL_MV_EXPAND = """FROM embeddings
   | STATS n = COUNT(*), s = SUM(e) BY vec_id
   | SORT vec_id"""
 
+ESQL_PERCENTILE = """FROM lineitem
+  | WHERE l_returnflag == "R"
+  | STATS p50 = PERCENTILE(l_extendedprice, 50),
+          p95 = PERCENTILE(l_extendedprice, 95),
+          qmed = MEDIAN(l_quantity) BY l_linestatus
+  | SORT l_linestatus"""
+
+ESQL_DATE_FORMAT_DIFF = """FROM events
+  | WHERE event_type == "view"
+  | EVAL day = DATE_FORMAT("yyyy-MM-dd", ts),
+         hour_of_day = DATE_DIFF("hour", DATE_TRUNC("day", ts), ts)
+  | STATS n = COUNT(*) BY day, hour_of_day
+  | SORT day, hour_of_day
+  | LIMIT 30"""
+
+ESQL_MV_STATS = """FROM embeddings
+  | WHERE vec_id < 50
+  | EVAL n = MV_COUNT(embedding),
+         lo = ROUND(TO_DOUBLE(MV_MIN(embedding)), 4),
+         hi = ROUND(TO_DOUBLE(MV_MAX(embedding)), 4),
+         s = MV_SUM(embedding),
+         m = MV_AVG(embedding)
+  | KEEP vec_id, n, lo, hi, s, m
+  | SORT vec_id"""
+
+ESQL_ENRICH = """FROM supplier
+  | RENAME s_nationkey AS n_nationkey
+  | ENRICH nation ON n_nationkey WITH nat = n_name
+  | STATS suppliers = COUNT(*), bal = SUM(s_acctbal) BY nat
+  | SORT nat"""
+
+ESQL_MULTI_INDEX = """FROM region, nation
+  | EVAL kind = CASE(r_regionkey IS NOT NULL, "region", "nation")
+  | STATS n = COUNT(*), names = COUNT_DISTINCT(n_name) BY kind
+  | SORT kind"""
+
 
 def registry() -> dict[str, dict]:
     def entry(q: str):
@@ -889,5 +1228,25 @@ def registry() -> dict[str, dict]:
         "esql_inlinestats": {
             "fn": entry(ESQL_INLINESTATS),
             "oracle": compile_esql(ESQL_INLINESTATS, "duck"),
+        },
+        "esql_percentile": {
+            "fn": entry(ESQL_PERCENTILE),
+            "oracle": compile_esql(ESQL_PERCENTILE, "duck"),
+        },
+        "esql_date_format_diff": {
+            "fn": entry(ESQL_DATE_FORMAT_DIFF),
+            "oracle": compile_esql(ESQL_DATE_FORMAT_DIFF, "duck"),
+        },
+        "esql_mv_stats": {
+            "fn": entry(ESQL_MV_STATS),
+            "oracle": compile_esql(ESQL_MV_STATS, "duck"),
+        },
+        "esql_enrich": {
+            "fn": entry(ESQL_ENRICH),
+            "oracle": compile_esql(ESQL_ENRICH, "duck"),
+        },
+        "esql_multi_index": {
+            "fn": entry(ESQL_MULTI_INDEX),
+            "oracle": compile_esql(ESQL_MULTI_INDEX, "duck"),
         },
     }

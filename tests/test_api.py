@@ -869,3 +869,61 @@ def test_es_resolve_index_route(client):
     assert names == ["customer"]
     r = client.get("/_resolve/index/*e*")
     assert "events" in [i["name"] for i in r.get_json()["indices"]]
+
+
+def test_es_aliases_routes(client):
+    """The _aliases actions API + read verbs: reads through an alias
+    resolve to the concrete table; lifecycle errors are typed
+    (404 unknown target/alias, 400 shadowing/retarget)."""
+    r = client.post("/_aliases", json={"actions": [
+        {"add": {"index": "documents", "alias": "docs_alias_t"}},
+    ]})
+    assert r.status_code == 200 and r.get_json() == {"acknowledged": True}
+    # search/count/mapping through the alias == through the table
+    body = {"query": {"term": {"lang": "en"}}, "size": 0}
+    via_alias = client.post("/docs_alias_t/_count", json=body).get_json()
+    direct = client.post("/documents/_count", json=body).get_json()
+    assert via_alias == direct
+    assert client.head("/docs_alias_t").status_code == 200
+    m = client.get("/docs_alias_t/_mapping").get_json()
+    assert "documents" in m  # mapping reports the CONCRETE index
+    # read verbs
+    assert client.get("/_aliases").get_json() == {
+        "documents": {"aliases": {"docs_alias_t": {}}}}
+    assert client.get("/_alias/docs_alias_t").status_code == 200
+    assert client.get("/_alias/nope").status_code == 404
+    assert client.get("/_cat/aliases").get_json() == [
+        {"alias": "docs_alias_t", "index": "documents"}]
+    # lifecycle errors
+    assert client.post("/_aliases", json={"actions": [
+        {"add": {"index": "no_such", "alias": "x"}}]}).status_code == 404
+    assert client.post("/_aliases", json={"actions": [
+        {"add": {"index": "documents", "alias": "orders"}}]}
+    ).status_code == 400  # would shadow a real index
+    assert client.post("/_aliases", json={"actions": [
+        {"add": {"index": "orders", "alias": "docs_alias_t"}}]}
+    ).status_code == 400  # retarget without remove
+    assert client.post("/_aliases", json={"actions": [
+        {"remove": {"index": "orders", "alias": "docs_alias_t"}}]}
+    ).status_code == 404  # remove names the wrong target
+    # atomic remove+add retargets in ONE call
+    r = client.post("/_aliases", json={"actions": [
+        {"remove": {"index": "documents", "alias": "docs_alias_t"}},
+        {"add": {"index": "orders", "alias": "docs_alias_t"}},
+    ]})
+    assert r.status_code == 200
+    assert client.get("/_cat/aliases").get_json() == [
+        {"alias": "docs_alias_t", "index": "orders"}]
+    # an action list that fails validation applies NOTHING
+    r = client.post("/_aliases", json={"actions": [
+        {"remove": {"index": "orders", "alias": "docs_alias_t"}},
+        {"add": {"index": "no_such", "alias": "docs_alias_t"}},
+    ]})
+    assert r.status_code == 404
+    assert client.get("/_cat/aliases").get_json() == [
+        {"alias": "docs_alias_t", "index": "orders"}]
+    # cleanup (module-level registry persists across tests)
+    assert client.post("/_aliases", json={"actions": [
+        {"remove": {"index": "orders", "alias": "docs_alias_t"}},
+    ]}).status_code == 200
+    assert client.get("/_cat/aliases").get_json() == []

@@ -82,9 +82,19 @@ def test_esql_rejections(tiny):
     for q, msg in [
         ("", "empty query"),
         ("WHERE x == 1", "source command must be FROM"),
-        ("FROM t | ENRICH p", "unsupported command"),
+        ("FROM t | FORK a", "unsupported command"),
+        ("FROM t | ENRICH p", "ENRICH wants"),
+        ("FROM t | ENRICH p ON k WITH", "ENRICH WITH wants"),
         ("FROM t | WHERE x ~ 1", "unsupported syntax"),
-        ("FROM t | STATS PERCENTILE(v, 90)", "unsupported function"),
+        ("FROM t | STATS PERCENTILE(v)", "wants .field, percentile."),
+        ("FROM t | STATS PERCENTILE(v, 101)", "must be 0..100"),
+        ("FROM t | EVAL d = DATE_DIFF(\"month\", a, b)",
+         "DATE_DIFF unit 'month' unsupported"),
+        ("FROM t | EVAL d = DATE_FORMAT(\"yyyy-QQ\", a)",
+         "DATE_FORMAT token"),
+        ("FROM region, nope | LIMIT 1",
+         "multi-index FROM knows only"),
+        ("FROM zz* | LIMIT 1", "matches no registered index"),
         ("FROM t | WHERE SUM(v) > 1", "only inside STATS"),
         ("FROM t | STATS n = COUNT(*) BY v + 1",
          "BY wants plain column names"),
@@ -92,9 +102,17 @@ def test_esql_rejections(tiny):
         ("FROM t | EVAL 3 = v", "EVAL wants name"),
         ("FROM t | SORT v NULLS", "SORT wants column"),
         ('FROM t | WHERE text LIKE 5', "LIKE wants a string"),
+        # \-escapes other than \" parse differently across dialects
+        # (Spark unescapes '\t' to a tab, DuckDB keeps it literal):
+        # the compiler must raise, not silently mistranslate.
+        ('FROM t | WHERE text == "a\\tb"',
+         "may not contain backslashes"),
     ]:
         with pytest.raises(ValueError, match=msg):
             compile_esql(q, "duck")
+    # the one supported escape still round-trips
+    assert "'a\"b'" in compile_esql(
+        'FROM t | WHERE text == "a\\"b"', "duck")
 
 
 def test_registered_statements_compile_both_dialects():
@@ -280,3 +298,118 @@ def test_prefix_case_insensitive_flag(tiny):
                              "_source": ["id"]}, "duck", "id")
     ).fetchall()]
     assert ids == [1]
+
+
+def test_percentile_exact_interpolated(tiny):
+    rows = _rows(tiny, """FROM t
+      | STATS p50 = PERCENTILE(v, 50), p95 = PERCENTILE(v, 95)""")
+    # v = [10, 20, 30, 40] (NULL excluded): p50 = 25, p95 = 38.5
+    assert rows == [(25.0, 38.5)]
+
+
+def test_date_format_and_diff(tiny):
+    tiny.execute(
+        """CREATE TABLE ev AS SELECT * FROM (VALUES
+             (1, TIMESTAMP '2024-03-05 10:30:00',
+                 TIMESTAMP '2024-03-05 13:45:00'),
+             (2, TIMESTAMP '2024-03-05 12:00:00',
+                 TIMESTAMP '2024-03-05 10:30:00')
+           ) AS x(id, a, b)"""
+    )
+    rows = _rows(tiny, """FROM ev
+      | EVAL day = DATE_FORMAT("yyyy-MM-dd HH:mm", a),
+             dh = DATE_DIFF("hour", a, b),
+             dm = DATE_DIFF("minute", a, b)
+      | KEEP id, day, dh, dm
+      | SORT id""")
+    # row 2: -1.5h truncates toward zero to -1 (not floor -2)
+    assert rows == [(1, "2024-03-05 10:30", 3, 195),
+                    (2, "2024-03-05 12:00", -1, -90)]
+
+
+def test_mv_family(tiny):
+    tiny.execute(
+        """CREATE TABLE arr AS SELECT * FROM (VALUES
+             (1, [1.0, 2.0, 4.0]::DOUBLE[], ['a','b']::VARCHAR[]),
+             (2, []::DOUBLE[],              []::VARCHAR[]),
+             (3, NULL::DOUBLE[],            NULL::VARCHAR[])
+           ) AS x(id, xs, ss)"""
+    )
+    rows = _rows(tiny, """FROM arr
+      | EVAL n = MV_COUNT(xs), lo = MV_MIN(xs), hi = MV_MAX(xs),
+             s = MV_SUM(xs), m = MV_AVG(xs), c = MV_CONCAT(ss, "-")
+      | KEEP id, n, lo, hi, s, m, c
+      | SORT id""")
+    assert rows[0][:5] == (1, 3, 1.0, 4.0, 7.0)
+    assert abs(rows[0][5] - 7.0 / 3) < 1e-5  # avg quantized to 6dp
+    assert rows[0][6] == "a-b"
+    # empty array: count 0, everything else NULL (pinned across
+    # engines — Spark's aggregate()/array_join() would return the
+    # seed / '' without the compiled CASE guards)
+    assert rows[1] == (2, 0, None, None, None, None, None)
+    assert rows[2] == (3, None, None, None, None, None, None)
+
+
+def test_enrich_join(tiny):
+    tiny.execute(
+        """CREATE TABLE pol AS SELECT * FROM (VALUES
+             (1, 'one', 10), (2, 'two', 20), (9, 'nine', 90)
+           ) AS x(id, nm, extra)"""
+    )
+    rows = _rows(tiny, """FROM t
+      | ENRICH pol ON id WITH label = nm
+      | KEEP id, label
+      | SORT id""")
+    assert rows == [(1, "one"), (2, "two"), (3, None), (4, None),
+                    (5, None)]
+    # only the WITH projection joins in: `extra` must not leak through
+    cols = tiny.execute(compile_esql(
+        "FROM t | ENRICH pol ON id WITH label = nm | LIMIT 1", "duck"
+    )).fetchdf().columns
+    assert "extra" not in list(cols)
+
+
+def test_multi_index_from_union(tiny):
+    tiny.execute("CREATE TABLE region AS SELECT 1 AS r_regionkey,"
+                 " 'AMERICA' AS r_name")
+    tiny.execute("CREATE TABLE nation AS SELECT 7 AS n_nationkey,"
+                 " 'FRANCE' AS n_name, 1 AS n_regionkey")
+    rows = _rows(tiny, """FROM region, nation
+      | EVAL kind = CASE(r_regionkey IS NOT NULL, "region", "nation")
+      | KEEP kind, r_name, n_name
+      | SORT kind""")
+    # missing columns NULL-pad per the ES rule
+    assert rows == [("nation", None, "FRANCE"),
+                    ("region", "AMERICA", None)]
+    # wildcard FROM expands against the registered fixture inventory
+    sql = compile_esql("FROM e* | LIMIT 1", "duck")
+    assert "UNION ALL" in sql and "NULL AS" in sql
+    assert "events" in sql and "embeddings" in sql
+    # duplicate mentions collapse; single-name wildcard skips the union
+    assert "UNION ALL" not in compile_esql("FROM r* | LIMIT 1", "duck")
+
+
+def test_mv_family_cross_engine(spark, tiny):
+    """The MV_* guards must make BOTH engines emit identical rows,
+    empty/NULL arrays included."""
+    tiny.execute(
+        """CREATE TABLE arr2 AS SELECT * FROM (VALUES
+             (1, [1.5, 2.25]::DOUBLE[], ['x','y']::VARCHAR[]),
+             (2, []::DOUBLE[],          []::VARCHAR[]),
+             (3, NULL::DOUBLE[],        NULL::VARCHAR[])
+           ) AS x(id, xs, ss)"""
+    )
+    spark.createDataFrame(
+        [(1, [1.5, 2.25], ["x", "y"]), (2, [], []), (3, None, None)],
+        "id bigint, xs array<double>, ss array<string>",
+    ).createOrReplaceTempView("arr2")
+    q = """FROM arr2
+      | EVAL n = MV_COUNT(xs), lo = MV_MIN(xs), hi = MV_MAX(xs),
+             s = MV_SUM(xs), m = MV_AVG(xs), c = MV_CONCAT(ss, "-")
+      | KEEP id, n, lo, hi, s, m, c
+      | SORT id"""
+    duck_rows = tiny.execute(compile_esql(q, "duck")).fetchall()
+    spark_rows = [tuple(r) for r in
+                  spark.sql(compile_esql(q, "spark")).collect()]
+    assert duck_rows == spark_rows
+    spark.catalog.dropTempView("arr2")

@@ -163,7 +163,23 @@ def kernels() -> dict:
         "scored_bool": compile_search(
             "documents", SCORED_BOOL_BODY, "spark"
         ),
+        # r11 (VERDICT r10 ask #8): the ES|QL compiler's everyday
+        # pipeline (FROM | WHERE | STATS BY | SORT) over scaled
+        # events — one declarative statement, so it should be
+        # scan+partial-agg bounded exactly like agg_scan_q1; a
+        # super-linear term would mean the nested-SELECT stages
+        # stopped collapsing in Catalyst.
+        "esql_pipeline": _esql_pipeline_sql(),
     }
+
+
+def _esql_pipeline_sql() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (
+        ESQL_FILTER_STATS,
+        compile_esql,
+    )
+
+    return compile_esql(ESQL_FILTER_STATS, "spark")
 
 
 def main() -> None:
