@@ -152,6 +152,22 @@ that decides those 50 slots:
   in tests/test_rotation_tool.py::test_r09_window_matches_executed_roll.
   With a 331-entry registry and a 50-slot window, steady-state
   re-rotation bounds every entry's evidence age at ~6 rounds.
+- r11 (CURRENT_WINDOW below): the mechanical roll
+  (tools/roll_rotation.py r11 --changed ...) front-schedules, in
+  policy order: the 6 net-new r11 registrations (es_alias_search —
+  query-through-alias over the new _aliases registry; esql_percentile
+  / date_format_diff / mv_stats / enrich / multi_index — the ES|QL
+  function tier + the two source-side idioms), the 3 changed-kernel
+  re-checks from the round-boundary oracle diff (es_dsl_matrix_stats
+  — product operands now dialect-exact DECIMAL(18/19,6) after the
+  ADVICE r10 precision-overflow fix; es_dsl_terms_lookup — the lookup
+  id column is now alias-qualified; es_dsl_terms_set — literal-order
+  determinism fix: set() -> dict.fromkeys), then the whole remaining
+  never-checked backlog (31 entries: the r10 post-batch-19
+  registrations), then 10 oldest-evidence (r04) re-rotations. The
+  backlog is EMPTY after this window — every registered entry has
+  been driver-scheduled within 2 rounds of registration, the
+  docstring's own policy bound.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
   implementation-defined; compression ratio shells out to zlib), so
@@ -209,25 +225,25 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'customers_abc_pareto': (7, 'integer-exact', None),
     'customers_gini_by_nation': (6, 'float-stat', None),
     'date_functions': (5, 'verified', None),
-    'decontam_benchmark_overlap': (4, 'verified', None),
+    'decontam_benchmark_overlap': (4, 'verified', 'r11'),
     'dedup_audio_fingerprint': (7, 'integer-exact', None),
     'dedup_cluster_size_stats': (7, 'integer-exact', None),
     'dedup_components': (5, 'verified', None),
     'dedup_containment': (7, 'integer-exact', None),
-    'dedup_exact': (4, 'verified', None),
+    'dedup_exact': (4, 'verified', 'r11'),
     'dedup_image_phash': (7, 'integer-exact', None),
     'dedup_incremental_batch': (7, 'integer-exact', None),
     'dedup_keep_best': (5, 'verified', None),
     'dedup_lsh_bucket_stats': (7, 'integer-exact', None),
     'dedup_minhash_estimate_eval': (6, 'float-stat', None),
-    'dedup_minhash_lsh': (4, 'verified', None),
+    'dedup_minhash_lsh': (4, 'verified', 'r11'),
     'dedup_modality_agreement': (7, 'integer-exact', None),
     'dedup_ngram_jaccard': (5, 'verified', None),
     'dedup_normalized': (5, 'verified', None),
     'dedup_prefix_filter_jaccard': (7, 'integer-exact', None),
     'dedup_remap_to_canonical': (7, 'integer-exact', None),
-    'dedup_semantic_survivors': (4, 'verified', None),
-    'dedup_simhash': (4, 'verified', None),
+    'dedup_semantic_survivors': (4, 'verified', 'r11'),
+    'dedup_simhash': (4, 'verified', 'r11'),
     'dedup_simhash_pairs': (7, 'integer-exact', None),
     'dedup_span_coverage': (5, 'verified', None),
     'dedup_split_leakage': (7, 'integer-exact', None),
@@ -237,7 +253,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'docs_quality_percentile_filter': (7, 'integer-exact', None),
     'embedding_cluster_purity': (6, 'float-stat', None),
     'embedding_knn_eval': (6, 'float-stat', None),
-    'embedding_label_centroids': (4, 'verified', None),
+    'embedding_label_centroids': (4, 'verified', 'r11'),
     'embedding_matryoshka_recall': (6, 'float-stat', None),
     'embedding_medoid_per_label': (6, 'float-stat', None),
     'embedding_neardup_pairs': (8, 'verified', None),
@@ -245,129 +261,134 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'embedding_pca_top_component': (6, 'float-stat', None),
     'embedding_quantize_int8': (8, 'verified', None),
     'embedding_remove_top_component': (6, 'float-stat', None),
-    'es_cat_indices': (None, 'unclassified', 'r10'),
-    'es_field_caps': (None, 'unclassified', 'r10'),
-    'es_terms_enum': (None, 'unclassified', 'r10'),
-    'es_termvectors': (None, 'unclassified', 'r10'),
-    'es_search_template': (None, 'unclassified', 'r10'),
-    'es_scroll_page2': (None, 'unclassified', 'r10'),
-    'es_dsl_adjacency_matrix': (None, 'unclassified', 'r10'),
-    'es_dsl_auto_date_histogram': (None, 'unclassified', 'r10'),
+    'es_alias_search': (None, 'unclassified', 'r11'),
+    'es_cat_indices': (10, 'unclassified', None),
+    'es_dsl_adjacency_matrix': (10, 'unclassified', None),
+    'es_dsl_auto_date_histogram': (10, 'unclassified', None),
     'es_dsl_bool_filter': (8, 'unclassified', None),
-    'es_dsl_bucket_script': (None, 'unclassified', 'r10'),
-    'es_dsl_bucket_selector': (None, 'unclassified', 'r10'),
-    'es_dsl_bucket_sort': (None, 'unclassified', 'r10'),
+    'es_dsl_bucket_script': (10, 'unclassified', None),
+    'es_dsl_bucket_selector': (10, 'unclassified', None),
+    'es_dsl_bucket_sort': (10, 'unclassified', None),
     'es_dsl_collapse': (8, 'unclassified', None),
+    'es_dsl_combined_fields': (None, 'unclassified', 'r11'),
     'es_dsl_composite_after': (9, 'unclassified', None),
     'es_dsl_count': (9, 'unclassified', None),
-    'es_dsl_cumulative_cardinality': (None, 'unclassified', 'r10'),
+    'es_dsl_cumulative_cardinality': (10, 'unclassified', None),
     'es_dsl_date_histogram': (9, 'unclassified', None),
-    'es_dsl_date_math': (None, 'unclassified', 'r10'),
-    'es_dsl_date_range': (None, 'unclassified', 'r10'),
+    'es_dsl_date_math': (10, 'unclassified', None),
+    'es_dsl_date_range': (10, 'unclassified', None),
     'es_dsl_dis_max_boosting': (9, 'unclassified', None),
+    'es_dsl_distance_feature': (10, 'unclassified', None),
+    'es_dsl_diversified_sampler': (10, 'unclassified', None),
     'es_dsl_extended_stats': (9, 'unclassified', None),
+    'es_dsl_field_boosts': (None, 'unclassified', 'r11'),
     'es_dsl_filter_agg': (9, 'unclassified', None),
     'es_dsl_filters_agg': (9, 'unclassified', None),
     'es_dsl_fixed_interval': (9, 'unclassified', None),
-    'es_dsl_function_score': (None, 'unclassified', 'r10'),
+    'es_dsl_fs_over_bool': (None, 'unclassified', 'r11'),
+    'es_dsl_function_score': (10, 'unclassified', None),
+    'es_dsl_function_score_decay': (10, 'unclassified', None),
+    'es_dsl_function_score_functions': (10, 'unclassified', None),
     'es_dsl_fuzzy': (9, 'unclassified', None),
+    'es_dsl_geo_distance': (None, 'unclassified', 'r11'),
+    'es_dsl_geo_rings': (None, 'unclassified', 'r11'),
+    'es_dsl_geotile_grid': (None, 'unclassified', 'r11'),
     'es_dsl_global_agg': (9, 'unclassified', None),
-    'es_dsl_histogram_offset': (None, 'unclassified', 'r10'),
-    'es_dsl_histogram_zero_fill': (None, 'unclassified', 'r10'),
+    'es_dsl_has_child': (None, 'unclassified', 'r11'),
+    'es_dsl_has_parent': (None, 'unclassified', 'r11'),
+    'es_dsl_histogram_offset': (10, 'unclassified', None),
+    'es_dsl_histogram_zero_fill': (10, 'unclassified', None),
+    'es_dsl_intervals': (None, 'unclassified', 'r11'),
     'es_dsl_knn': (8, 'unclassified', None),
+    'es_dsl_mad': (10, 'unclassified', None),
     'es_dsl_match_and_scored': (9, 'unclassified', None),
-    'es_dsl_mad': (None, 'unclassified', 'r10'),
-    'es_dsl_match_bool_prefix': (None, 'unclassified', 'r10'),
-    'es_dsl_match_highlight': (None, 'unclassified', 'r10'),
+    'es_dsl_match_bool_prefix': (10, 'unclassified', None),
+    'es_dsl_match_highlight': (10, 'unclassified', None),
     'es_dsl_match_phrase_prefix': (9, 'unclassified', None),
     'es_dsl_match_scored': (9, 'unclassified', None),
+    'es_dsl_matrix_stats': (None, 'unclassified', 'r11'),
+    'es_dsl_min_score': (None, 'unclassified', 'r11'),
+    'es_dsl_more_like_this': (10, 'unclassified', None),
+    'es_dsl_moving_percentiles': (10, 'unclassified', None),
     'es_dsl_multi_match': (9, 'unclassified', None),
-    'es_dsl_more_like_this': (None, 'unclassified', 'r10'),
-    'es_dsl_moving_percentiles': (None, 'unclassified', 'r10'),
-    'es_dsl_multi_terms': (None, 'unclassified', 'r10'),
-    'es_dsl_normalize': (None, 'unclassified', 'r10'),
-    'es_dsl_percentiles_bucket': (None, 'unclassified', 'r10'),
-    'es_dsl_pinned': (None, 'unclassified', 'r10'),
+    'es_dsl_multi_terms': (10, 'unclassified', None),
     'es_dsl_nested_agg': (9, 'unclassified', None),
     'es_dsl_nested_three_levels': (9, 'unclassified', None),
+    'es_dsl_normalize': (10, 'unclassified', None),
+    'es_dsl_object_fields': (None, 'unclassified', 'r11'),
     'es_dsl_percentile_ranks_wavg': (9, 'unclassified', None),
     'es_dsl_percentiles': (9, 'unclassified', None),
+    'es_dsl_percentiles_bucket': (10, 'unclassified', None),
     'es_dsl_percolate': (8, 'unclassified', None),
+    'es_dsl_phrase_slop': (None, 'unclassified', 'r11'),
+    'es_dsl_pinned': (10, 'unclassified', None),
     'es_dsl_pipeline_cumsum': (9, 'unclassified', None),
+    'es_dsl_query_string': (10, 'unclassified', None),
+    'es_dsl_random_score': (None, 'unclassified', 'r11'),
     'es_dsl_range_agg': (8, 'unclassified', None),
-    'es_dsl_query_string': (None, 'unclassified', 'r10'),
-    'es_dsl_rare_terms': (None, 'unclassified', 'r10'),
-    'es_dsl_rate': (None, 'unclassified', 'r10'),
-    'es_dsl_runtime_fields': (None, 'unclassified', 'r10'),
-    'es_dsl_sampler': (None, 'unclassified', 'r10'),
-    'es_dsl_diversified_sampler': (None, 'unclassified', 'r10'),
-    'es_dsl_significant_text': (None, 'unclassified', 'r10'),
-    'es_dsl_regexp': (None, 'unclassified', 'r10'),
+    'es_dsl_rank_feature': (10, 'unclassified', None),
+    'es_dsl_rare_terms': (10, 'unclassified', None),
+    'es_dsl_rate': (10, 'unclassified', None),
+    'es_dsl_regexp': (10, 'unclassified', None),
+    'es_dsl_rescore': (None, 'unclassified', 'r11'),
+    'es_dsl_runtime_fields': (10, 'unclassified', None),
+    'es_dsl_sampler': (10, 'unclassified', None),
+    'es_dsl_scored_bool': (None, 'unclassified', 'r11'),
+    'es_dsl_script_fields': (None, 'unclassified', 'r11'),
+    'es_dsl_script_score': (10, 'unclassified', None),
     'es_dsl_search_after': (9, 'unclassified', None),
-    'es_dsl_serial_diff_moving_fn': (None, 'unclassified', 'r10'),
-    'es_dsl_simple_query_string': (None, 'unclassified', 'r10'),
+    'es_dsl_serial_diff_moving_fn': (10, 'unclassified', None),
     'es_dsl_should_msm': (8, 'unclassified', None),
     'es_dsl_sibling_pipeline': (9, 'unclassified', None),
     'es_dsl_significant_terms': (8, 'unclassified', None),
-    'es_dsl_stats_bucket': (None, 'unclassified', 'r10'),
-    'es_dsl_suggest_completion': (None, 'unclassified', 'r10'),
-    'es_dsl_suggest_term': (None, 'unclassified', 'r10'),
-    'es_dsl_string_stats_boxplot': (None, 'unclassified', 'r10'),
-    'es_dsl_function_score_decay': (None, 'unclassified', 'r10'),
-    'es_dsl_function_score_functions': (None, 'unclassified', 'r10'),
-    'es_dsl_script_score': (None, 'unclassified', 'r10'),
-    'es_dsl_random_score': (None, 'unclassified', 'r11'),
-    'es_dsl_rank_feature': (None, 'unclassified', 'r10'),
-    'es_dsl_distance_feature': (None, 'unclassified', 'r10'),
-    'es_dsl_combined_fields': (None, 'unclassified', 'r11'),
-    'es_dsl_intervals': (None, 'unclassified', 'r11'),
-    'es_dsl_span_near': (None, 'unclassified', 'r11'),
-    'es_dsl_geo_distance': (None, 'unclassified', 'r11'),
-    'es_dsl_geotile_grid': (None, 'unclassified', 'r11'),
-    'es_dsl_has_child': (None, 'unclassified', 'r11'),
-    'es_dsl_has_parent': (None, 'unclassified', 'r11'),
-    'es_dsl_rescore': (None, 'unclassified', 'r11'),
-    'es_dsl_min_score': (None, 'unclassified', 'r11'),
+    'es_dsl_significant_text': (10, 'unclassified', None),
+    'es_dsl_simple_query_string': (10, 'unclassified', None),
     'es_dsl_sliced_scroll': (None, 'unclassified', 'r11'),
-    'es_dsl_matrix_stats': (None, 'unclassified', 'r11'),
-    'es_pit_search': (None, 'unclassified', 'r11'),
-    'es_dsl_object_fields': (None, 'unclassified', 'r11'),
-    'es_dsl_terms_lookup': (None, 'unclassified', 'r11'),
-    'es_dsl_script_fields': (None, 'unclassified', 'r11'),
-    'es_dsl_geo_rings': (None, 'unclassified', 'r11'),
-    'es_dsl_phrase_slop': (None, 'unclassified', 'r11'),
-    'es_dsl_field_boosts': (None, 'unclassified', 'r11'),
-    'stream_percolate_alerts': (None, 'unclassified', 'r11'),
-    'esql_filter_stats': (None, 'unclassified', 'r11'),
-    'esql_eval_keep': (None, 'unclassified', 'r11'),
-    'esql_median_rename': (None, 'unclassified', 'r11'),
-    'esql_date_case': (None, 'unclassified', 'r11'),
-    'esql_lookup_join': (None, 'unclassified', 'r11'),
-    'esql_grok_extract': (None, 'unclassified', 'r11'),
-    'esql_dissect': (None, 'unclassified', 'r11'),
-    'esql_mv_expand': (None, 'unclassified', 'r11'),
-    'esql_inlinestats': (None, 'unclassified', 'r11'),
-    'es_rank_eval_dcg': (None, 'unclassified', 'r11'),
-    'es_dsl_scored_bool': (None, 'unclassified', 'r11'),
+    'es_dsl_span_near': (None, 'unclassified', 'r11'),
+    'es_dsl_stats_bucket': (10, 'unclassified', None),
+    'es_dsl_string_stats_boxplot': (10, 'unclassified', None),
+    'es_dsl_suggest_completion': (10, 'unclassified', None),
     'es_dsl_suggest_phrase': (None, 'unclassified', 'r11'),
-    'es_dsl_fs_over_bool': (None, 'unclassified', 'r11'),
+    'es_dsl_suggest_term': (10, 'unclassified', None),
+    'es_dsl_t_test': (10, 'unclassified', None),
     'es_dsl_terms_agg': (9, 'unclassified', None),
-    'es_dsl_terms_include_exclude': (None, 'unclassified', 'r10'),
-    'es_dsl_terms_set': (None, 'unclassified', 'r10'),
-    'es_dsl_t_test': (None, 'unclassified', 'r10'),
+    'es_dsl_terms_include_exclude': (10, 'unclassified', None),
+    'es_dsl_terms_lookup': (None, 'unclassified', 'r11'),
     'es_dsl_terms_order_metric': (9, 'unclassified', None),
+    'es_dsl_terms_set': (10, 'unclassified', 'r11'),
     'es_dsl_top_hits': (9, 'unclassified', None),
-    'es_dsl_top_metrics': (None, 'unclassified', 'r10'),
-    'es_dsl_zero_fill_axis': (None, 'unclassified', 'r10'),
+    'es_dsl_top_metrics': (10, 'unclassified', None),
+    'es_dsl_zero_fill_axis': (10, 'unclassified', None),
+    'es_field_caps': (10, 'unclassified', None),
+    'es_pit_search': (None, 'unclassified', 'r11'),
+    'es_rank_eval_dcg': (None, 'unclassified', 'r11'),
+    'es_scroll_page2': (10, 'unclassified', None),
+    'es_search_template': (10, 'unclassified', None),
+    'es_terms_enum': (10, 'unclassified', None),
+    'es_termvectors': (10, 'unclassified', None),
+    'esql_date_case': (None, 'unclassified', 'r11'),
+    'esql_date_format_diff': (None, 'unclassified', 'r11'),
+    'esql_dissect': (None, 'unclassified', 'r11'),
+    'esql_enrich': (None, 'unclassified', 'r11'),
+    'esql_eval_keep': (None, 'unclassified', 'r11'),
+    'esql_filter_stats': (None, 'unclassified', 'r11'),
+    'esql_grok_extract': (None, 'unclassified', 'r11'),
+    'esql_inlinestats': (None, 'unclassified', 'r11'),
+    'esql_lookup_join': (None, 'unclassified', 'r11'),
+    'esql_median_rename': (None, 'unclassified', 'r11'),
+    'esql_multi_index': (None, 'unclassified', 'r11'),
+    'esql_mv_expand': (None, 'unclassified', 'r11'),
+    'esql_mv_stats': (None, 'unclassified', 'r11'),
+    'esql_percentile': (None, 'unclassified', 'r11'),
     'events_anomaly_seasonal': (6, 'float-stat', None),
     'events_anomaly_zscore': (5, 'verified', None),
     'events_attribution_last_touch': (7, 'integer-exact', None),
     'events_attribution_position': (7, 'regex-string', None),
     'events_bot_detection': (6, 'verified', None),
     'events_chi_square': (6, 'float-stat', None),
-    'events_cohort_retention': (4, 'verified', None),
+    'events_cohort_retention': (4, 'verified', 'r11'),
     'events_ewma_daily': (6, 'float-stat', None),
-    'events_funnel': (4, 'verified', None),
+    'events_funnel': (4, 'verified', 'r11'),
     'events_funnel_latency': (7, 'integer-exact', None),
     'events_funnel_one_pass': (7, 'integer-exact', None),
     'events_gapfill_forward': (7, 'integer-exact', None),
@@ -381,7 +402,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'events_rolling_active_users': (7, 'integer-exact', None),
     'events_rollup_multires': (7, 'integer-exact', None),
     'events_session_window_native': (7, 'integer-exact', None),
-    'events_sessionization': (4, 'verified', None),
+    'events_sessionization': (4, 'verified', 'r11'),
     'events_state_intervals': (7, 'integer-exact', None),
     'events_stickiness': (7, 'integer-exact', None),
     'events_survival_km': (6, 'float-stat', None),
@@ -412,7 +433,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'json_functions': (8, 'verified', None),
     'layout_zorder_orders': (7, 'integer-exact', None),
     'math_functions': (5, 'verified', None),
-    'multimodal_binary_features': (4, 'verified', None),
+    'multimodal_binary_features': (4, 'verified', 'r11'),
     'multimodal_decode_audio': (5, 'verified', None),
     'multimodal_decode_bmp': (7, 'integer-exact', None),
     'multimodal_decode_gif': (8, 'unclassified', None),
@@ -499,6 +520,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'stream_dedup_within_watermark': (4, 'verified', None),
     'stream_docs_incremental_dedup': (7, 'integer-exact', None),
     'stream_hll_daily_merged': (7, 'integer-exact', None),
+    'stream_percolate_alerts': (None, 'unclassified', 'r11'),
     'stream_session_counts': (4, 'verified', None),
     'stream_sliding_counts': (4, 'verified', None),
     'stream_stateful_user_summary': (4, 'verified', None),
@@ -544,56 +566,56 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
 }
 
 CURRENT_WINDOW: tuple[str, ...] = (
-    'es_dsl_terms_include_exclude',
-    'es_dsl_histogram_offset',
-    'es_cat_indices',
-    'es_dsl_auto_date_histogram',
-    'es_dsl_bucket_script',
-    'es_dsl_bucket_selector',
-    'es_dsl_date_range',
-    'es_dsl_function_score',
-    'es_dsl_match_highlight',
-    'es_dsl_multi_terms',
-    'es_dsl_rare_terms',
-    'es_dsl_serial_diff_moving_fn',
-    'es_dsl_stats_bucket',
-    'es_dsl_top_metrics',
-    'es_dsl_zero_fill_axis',
-    'es_dsl_regexp',
+    'es_alias_search',
+    'esql_percentile',
+    'esql_date_format_diff',
+    'esql_mv_stats',
+    'esql_enrich',
+    'esql_multi_index',
+    'es_dsl_matrix_stats',
+    'es_dsl_terms_lookup',
     'es_dsl_terms_set',
-    'es_dsl_simple_query_string',
-    'es_dsl_query_string',
-    'es_dsl_string_stats_boxplot',
-    'es_dsl_rate',
-    'es_dsl_mad',
-    'es_dsl_normalize',
-    'es_dsl_bucket_sort',
-    'es_dsl_percentiles_bucket',
-    'es_dsl_adjacency_matrix',
-    'es_dsl_sampler',
-    'es_dsl_diversified_sampler',
-    'es_dsl_significant_text',
-    'es_field_caps',
-    'es_terms_enum',
-    'es_search_template',
-    'es_scroll_page2',
-    'es_dsl_date_math',
-    'es_dsl_cumulative_cardinality',
-    'es_dsl_more_like_this',
-    'es_dsl_runtime_fields',
-    'es_dsl_moving_percentiles',
-    'es_dsl_match_bool_prefix',
-    'es_dsl_pinned',
-    'es_dsl_histogram_zero_fill',
-    'es_dsl_t_test',
-    'es_dsl_suggest_term',
-    'es_dsl_suggest_completion',
-    'es_termvectors',
-    'es_dsl_function_score_decay',
-    'es_dsl_function_score_functions',
-    'es_dsl_script_score',
-    'es_dsl_rank_feature',
-    'es_dsl_distance_feature',
+    'es_dsl_combined_fields',
+    'es_dsl_field_boosts',
+    'es_dsl_fs_over_bool',
+    'es_dsl_geo_distance',
+    'es_dsl_geo_rings',
+    'es_dsl_geotile_grid',
+    'es_dsl_has_child',
+    'es_dsl_has_parent',
+    'es_dsl_intervals',
+    'es_dsl_min_score',
+    'es_dsl_object_fields',
+    'es_dsl_phrase_slop',
+    'es_dsl_random_score',
+    'es_dsl_rescore',
+    'es_dsl_scored_bool',
+    'es_dsl_script_fields',
+    'es_dsl_sliced_scroll',
+    'es_dsl_span_near',
+    'es_dsl_suggest_phrase',
+    'es_pit_search',
+    'es_rank_eval_dcg',
+    'esql_date_case',
+    'esql_dissect',
+    'esql_eval_keep',
+    'esql_filter_stats',
+    'esql_grok_extract',
+    'esql_inlinestats',
+    'esql_lookup_join',
+    'esql_median_rename',
+    'esql_mv_expand',
+    'stream_percolate_alerts',
+    'decontam_benchmark_overlap',
+    'dedup_exact',
+    'dedup_minhash_lsh',
+    'dedup_semantic_survivors',
+    'dedup_simhash',
+    'embedding_label_centroids',
+    'events_cohort_retention',
+    'events_funnel',
+    'events_sessionization',
+    'multimodal_binary_features',
 )
 
 def scheduled(window: str) -> list[str]:

@@ -267,9 +267,16 @@ _CHANGED_R08 = ["ann_ivf_recall_eval", "ann_ivf_topk"]
 # driver rows
 _CHANGED_R09 = ["es_dsl_date_histogram", "es_dsl_nested_agg",
                 "es_dsl_terms_agg"]
-# r10 changed-kernel re-checks: none yet (populated if a kernel/oracle
-# with prior driver evidence is rewritten this round)
+# r10 changed-kernel re-checks: none (the r10 boundary diff rewrote no
+# registered entry's compiled SQL)
 _CHANGED_R10: list[str] = []
+# r11 changed-kernel re-checks, from the round-boundary oracle diff
+# (r10 boundary worktree vs HEAD): matrix_stats product operands went
+# dialect-exact DECIMAL(18/19,6) (ADVICE r10 precision-overflow fix),
+# terms_lookup's id column is now alias-qualified, terms_set literals
+# render in deterministic order (set() -> dict.fromkeys)
+_CHANGED_R11 = ["es_dsl_matrix_stats", "es_dsl_terms_lookup",
+                "es_dsl_terms_set"]
 
 
 def _capped_evidence(repo: str, through_round: int) -> dict[str, int]:
@@ -365,31 +372,58 @@ def test_r09_window_matches_executed_roll():
 
 
 def test_r10_window_matches_executed_roll():
-    """The LIVE r10 window honors the steady-state policy against
-    evidence capped at r01..r09 (explicit list, never a live glob —
-    this test stays green when the driver lands CORRECTNESS_r10.json).
-    Set-level: net-new r10 registrations + changed-kernel re-checks
-    lead, then pure oldest-evidence re-rotation."""
+    """The EXECUTED r10 window (read from CORRECTNESS_r10.json — the
+    live table has rolled on) honored the steady-state policy against
+    evidence capped at r01..r09. Boundary-proof by construction:
+    every input is a committed historical file. The r10 window was
+    entirely never-checked ES-tier registrations (the 45+ r10 batches
+    outran the 50 slots; the overflow carried the r11 label within the
+    policy's 2-round bound)."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r10 = json.load(open(os.path.join(repo, "CORRECTNESS_r10.json")))
+    w = list(r10)
+    assert len(w) == 50 and len(set(w)) == 50
+    ev = _capped_evidence(repo, 10)
+    # (1) net-new/never-checked entries + changed-kernel re-checks
+    # lead (r10: the whole window)
+    net_new = [n for n in w if not ev.get(n)]
+    taken = set(net_new) | set(_CHANGED_R10)
+    assert set(w[: len(taken)]) == taken
+    # (2) any remaining slots are pure re-rotation, oldest first
+    pool = sorted(
+        (n for n in ev if n not in taken), key=lambda n: (ev[n], n)
+    )
+    refill = [n for n in w if n not in taken]
+    assert set(refill) == set(pool[: len(refill)])
+    # (3) every executed r10 row is hash-green
+    for name, rec in r10.items():
+        assert rec.get("hash_match"), (name, rec)
+
+
+def test_r11_window_matches_live_roll():
+    """The LIVE r11 window honors the policy against evidence capped
+    at r01..r10 (explicit list, never a live glob — stays green when
+    the driver lands CORRECTNESS_r11.json): net-new r11 registrations
+    + the changed-kernel re-checks + the ENTIRE remaining
+    never-checked backlog lead, then pure oldest-evidence
+    re-rotation. The backlog EMPTIES this round — no entry is older
+    than 2 rounds unchecked, the table's own policy bound."""
     repo = os.path.join(os.path.dirname(__file__), "..")
     sys.path.insert(0, repo)
     import __spark_entry__ as entry
     from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
 
-    ev = _capped_evidence(repo, 10)
+    ev = _capped_evidence(repo, 11)
     names = list(entry.queries())
     w = list(r.CURRENT_WINDOW)
     assert len(w) == 50 and len(set(w)) == 50
     # (1) the window IS the driver's first-50 slice of queries()
     assert names[:50] == w
-    # (2) only this round's registrations lack capped evidence; they
-    # lead the window with the changed-kernel re-checks. When the
-    # round registers >50 net-new entries the overflow defers to the
-    # next round's label (still within the policy's 2-round bound).
-    net_new = [n for n in names if not ev.get(n)]
-    deferred = {n for n in net_new if n not in w}
-    for n in deferred:
-        assert r.ROTATION[n][2] == "r11", (n, r.ROTATION[n])
-    taken = (set(net_new) - deferred) | set(_CHANGED_R10)
+    # (2) the whole no-evidence backlog (net-new + never-checked)
+    # fits and leads, with the changed-kernel re-checks
+    backlog = [n for n in names if not ev.get(n)]
+    assert set(backlog) <= set(w)
+    taken = set(backlog) | set(_CHANGED_R11)
     assert set(w[: len(taken)]) == taken
     # (3) the remaining slots are pure re-rotation, oldest first
     pool = sorted(
