@@ -24,8 +24,14 @@ Processing commands, applied in pipe order:
   MEDIAN / PERCENTILE(x, p) — SUM/AVG go through the engine's
   exact-DECIMAL quantize discipline so partial-aggregation order
   can't flip a bit; PERCENTILE is the exact interpolated quantile
-  (ES's own is TDigest-approximate), quantized like MEDIAN
-- SORT field [ASC|DESC] [, ...]  (NULLS FIRST/LAST raise)
+  (ES's own is TDigest-approximate), quantized like MEDIAN; each
+  aggregate takes an optional per-aggregate `WHERE cond` (ES 8.13),
+  compiled as a CASE wrap of the aggregate's argument
+- SORT field [ASC|DESC] [NULLS FIRST|LAST] [, ...] — the null
+  position is ALWAYS rendered explicitly: ES|QL treats null as the
+  largest value (ASC last / DESC first), and the engines' defaults
+  are opposite (Spark null-smallest, DuckDB null-largest), so a bare
+  `col ASC` under LIMIT would silently pick different rows
 - LIMIT n
 - KEEP f [, f]... / DROP f [, f]... / RENAME old AS new [, ...]
 - LOOKUP JOIN <index> ON <key>  (the 8.18 enrich join: LEFT JOIN
@@ -172,12 +178,18 @@ class _Expr:
     identically in Spark SQL and DuckDB)."""
 
     def __init__(self, toks: list[str], what: str,
-                 allow_aggs: bool = False, dialect: str | None = None):
+                 allow_aggs: bool = False, dialect: str | None = None,
+                 agg_filter: str | None = None):
         self.toks = toks
         self.pos = 0
         self.what = what
         self.allow_aggs = allow_aggs
         self.dialect = dialect
+        # per-aggregate predicate (STATS x = AGG(e) WHERE cond, ES
+        # 8.13): compiled as a CASE wrap of the aggregate's argument —
+        # equivalent to FILTER (WHERE ...) but portable across the
+        # composite renderings (AVG is two aggregates here)
+        self.agg_filter = agg_filter
 
     def peek(self) -> str | None:
         return self.toks[self.pos] if self.pos < len(self.toks) else None
@@ -341,6 +353,8 @@ class _Expr:
             self.expect(")")
             if not self.allow_aggs:
                 self._err("COUNT(*) only inside STATS")
+            if self.agg_filter:
+                return f"count(CASE WHEN {self.agg_filter} THEN 1 END)"
             return "count(*)"
         args = []
         if self.peek() != ")":
@@ -359,6 +373,8 @@ class _Expr:
                 if len(args) != 2:
                     self._err("PERCENTILE wants (field, percentile)")
                 x, p = args
+                if self.agg_filter:
+                    x = f"(CASE WHEN {self.agg_filter} THEN {x} END)"
                 try:
                     frac = float(p) / 100.0
                 except ValueError:
@@ -373,6 +389,8 @@ class _Expr:
             if len(args) != 1:
                 self._err(f"{up} wants exactly one argument")
             x = args[0]
+            if self.agg_filter:
+                x = f"(CASE WHEN {self.agg_filter} THEN {x} END)"
             if up == "COUNT":
                 return f"count({x})"
             if up == "COUNT_DISTINCT":
@@ -768,7 +786,23 @@ def compile_esql(query: str, dialect: str) -> str:
                     name, body = part[0], part[2:]
                 else:
                     name, body = f"stat{j}", part
-                e = _Expr(body, "STATS", allow_aggs=True, dialect=dialect).parse()
+                # per-aggregate WHERE (ES 8.13): split at the
+                # top-level WHERE keyword; the predicate CASE-wraps
+                # the aggregate's argument inside _Expr
+                flt = None
+                depth2 = 0
+                for i2, t2 in enumerate(body):
+                    if t2 == "(":
+                        depth2 += 1
+                    elif t2 == ")":
+                        depth2 -= 1
+                    elif depth2 == 0 and t2.upper() == "WHERE":
+                        flt = _Expr(body[i2 + 1:], "STATS WHERE",
+                                    dialect=dialect).parse()
+                        body = body[:i2]
+                        break
+                e = _Expr(body, "STATS", allow_aggs=True,
+                          dialect=dialect, agg_filter=flt).parse()
                 pct = "percentile" if dialect == "spark" else "quantile_cont"
                 e = e.replace("__PCT__", pct)
                 cols.append(f"{e} AS {name}")
@@ -788,15 +822,31 @@ def compile_esql(query: str, dialect: str) -> str:
         elif cmd == "SORT":
             orders = []
             for part in _split_top_commas(rest):
+                nulls = None
+                if (
+                    len(part) >= 2 and part[-2].upper() == "NULLS"
+                    and part[-1].upper() in ("FIRST", "LAST")
+                ):
+                    nulls = part[-1].upper()
+                    part = part[:-2]
                 d = "ASC"
                 if part and part[-1].upper() in ("ASC", "DESC"):
                     d = part[-1].upper()
                     part = part[:-1]
                 if len(part) != 1 or not _IDENT.fullmatch(part[0]):
                     raise ValueError(
-                        "esql: SORT wants column [ASC|DESC] [, ...]"
+                        "esql: SORT wants column [ASC|DESC] "
+                        "[NULLS FIRST|LAST] [, ...]"
                     )
-                orders.append(f"{part[0]} {d}")
+                if nulls is None:
+                    # ES|QL's default: null sorts as the LARGEST value
+                    # (ASC -> last, DESC -> first). Always rendered
+                    # EXPLICITLY because the engines' defaults are
+                    # OPPOSITE (Spark treats null as smallest, DuckDB
+                    # as largest) — a bare `col ASC` under LIMIT would
+                    # silently pick different rows per engine.
+                    nulls = "LAST" if d == "ASC" else "FIRST"
+                orders.append(f"{part[0]} {d} NULLS {nulls}")
             sql = f"SELECT * FROM {inner} ORDER BY {', '.join(orders)}"
         elif cmd == "LIMIT":
             if len(rest) != 1 or not rest[0].isdigit():
@@ -1184,6 +1234,22 @@ ESQL_MULTI_INDEX = """FROM region, nation
   | STATS n = COUNT(*), names = COUNT_DISTINCT(n_name) BY kind
   | SORT kind"""
 
+ESQL_STATS_WHERE = """FROM events
+  | STATS views = COUNT(*) WHERE event_type == "view",
+          clicks = COUNT(*) WHERE event_type == "click",
+          click_value = SUM(value) WHERE event_type == "click",
+          n = COUNT(*)
+          BY day = DATE_TRUNC("day", ts)
+  | SORT day
+  | LIMIT 15"""
+
+ESQL_SORT_NULLS = """FROM events
+  | WHERE event_id < 500
+  | EVAL hot = CASE(value > 90, "hot")
+  | SORT hot ASC, event_id ASC
+  | KEEP event_id, hot, value
+  | LIMIT 12"""
+
 
 def registry() -> dict[str, dict]:
     def entry(q: str):
@@ -1248,5 +1314,13 @@ def registry() -> dict[str, dict]:
         "esql_multi_index": {
             "fn": entry(ESQL_MULTI_INDEX),
             "oracle": compile_esql(ESQL_MULTI_INDEX, "duck"),
+        },
+        "esql_stats_where": {
+            "fn": entry(ESQL_STATS_WHERE),
+            "oracle": compile_esql(ESQL_STATS_WHERE, "duck"),
+        },
+        "esql_sort_nulls": {
+            "fn": entry(ESQL_SORT_NULLS),
+            "oracle": compile_esql(ESQL_SORT_NULLS, "duck"),
         },
     }

@@ -154,20 +154,25 @@ that decides those 50 slots:
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - r11 (CURRENT_WINDOW below): the mechanical roll
   (tools/roll_rotation.py r11 --changed ...) front-schedules, in
-  policy order: the 6 net-new r11 registrations (es_alias_search —
+  policy order: the 8 net-new r11 registrations (es_alias_search —
   query-through-alias over the new _aliases registry; esql_percentile
   / date_format_diff / mv_stats / enrich / multi_index — the ES|QL
-  function tier + the two source-side idioms), the 3 changed-kernel
-  re-checks from the round-boundary oracle diff (es_dsl_matrix_stats
-  — product operands now dialect-exact DECIMAL(18/19,6) after the
-  ADVICE r10 precision-overflow fix; es_dsl_terms_lookup — the lookup
-  id column is now alias-qualified; es_dsl_terms_set — literal-order
+  function tier + the two source-side idioms; esql_stats_where —
+  per-aggregate WHERE filters; esql_sort_nulls — the explicit ES
+  null-is-largest sort rule, which also pinned the engines' OPPOSITE
+  bare-`ORDER BY` null defaults), the 3 changed-kernel re-checks from
+  the round-boundary oracle diff (es_dsl_matrix_stats — product
+  operands now dialect-exact DECIMAL(18/19,6) after the ADVICE r10
+  precision-overflow fix; es_dsl_terms_lookup — the lookup id column
+  is now alias-qualified; es_dsl_terms_set — literal-order
   determinism fix: set() -> dict.fromkeys), then the whole remaining
   never-checked backlog (31 entries: the r10 post-batch-19
-  registrations), then 10 oldest-evidence (r04) re-rotations. The
-  backlog is EMPTY after this window — every registered entry has
-  been driver-scheduled within 2 rounds of registration, the
-  docstring's own policy bound.
+  registrations — their compiled SORT clauses also changed this round
+  when the explicit null ordering landed, so their first driver check
+  runs against the current kernel), then 8 oldest-evidence (r04)
+  re-rotations. The backlog is EMPTY after this window — every
+  registered entry has been driver-scheduled within 2 rounds of
+  registration, the docstring's own policy bound.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
   implementation-defined; compression ratio shells out to zlib), so
@@ -380,6 +385,8 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_mv_expand': (None, 'unclassified', 'r11'),
     'esql_mv_stats': (None, 'unclassified', 'r11'),
     'esql_percentile': (None, 'unclassified', 'r11'),
+    'esql_sort_nulls': (None, 'unclassified', 'r11'),
+    'esql_stats_where': (None, 'unclassified', 'r11'),
     'events_anomaly_seasonal': (6, 'float-stat', None),
     'events_anomaly_zscore': (5, 'verified', None),
     'events_attribution_last_touch': (7, 'integer-exact', None),
@@ -402,7 +409,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'events_rolling_active_users': (7, 'integer-exact', None),
     'events_rollup_multires': (7, 'integer-exact', None),
     'events_session_window_native': (7, 'integer-exact', None),
-    'events_sessionization': (4, 'verified', 'r11'),
+    'events_sessionization': (4, 'verified', None),
     'events_state_intervals': (7, 'integer-exact', None),
     'events_stickiness': (7, 'integer-exact', None),
     'events_survival_km': (6, 'float-stat', None),
@@ -433,7 +440,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'json_functions': (8, 'verified', None),
     'layout_zorder_orders': (7, 'integer-exact', None),
     'math_functions': (5, 'verified', None),
-    'multimodal_binary_features': (4, 'verified', 'r11'),
+    'multimodal_binary_features': (4, 'verified', None),
     'multimodal_decode_audio': (5, 'verified', None),
     'multimodal_decode_bmp': (7, 'integer-exact', None),
     'multimodal_decode_gif': (8, 'unclassified', None),
@@ -566,15 +573,12 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
 }
 
 CURRENT_WINDOW: tuple[str, ...] = (
-    'es_alias_search',
-    'esql_percentile',
-    'esql_date_format_diff',
-    'esql_mv_stats',
-    'esql_enrich',
-    'esql_multi_index',
+    'esql_stats_where',
+    'esql_sort_nulls',
     'es_dsl_matrix_stats',
     'es_dsl_terms_lookup',
     'es_dsl_terms_set',
+    'es_alias_search',
     'es_dsl_combined_fields',
     'es_dsl_field_boosts',
     'es_dsl_fs_over_bool',
@@ -597,14 +601,19 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_pit_search',
     'es_rank_eval_dcg',
     'esql_date_case',
+    'esql_date_format_diff',
     'esql_dissect',
+    'esql_enrich',
     'esql_eval_keep',
     'esql_filter_stats',
     'esql_grok_extract',
     'esql_inlinestats',
     'esql_lookup_join',
     'esql_median_rename',
+    'esql_multi_index',
     'esql_mv_expand',
+    'esql_mv_stats',
+    'esql_percentile',
     'stream_percolate_alerts',
     'decontam_benchmark_overlap',
     'dedup_exact',
@@ -614,8 +623,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'embedding_label_centroids',
     'events_cohort_retention',
     'events_funnel',
-    'events_sessionization',
-    'multimodal_binary_features',
 )
 
 def scheduled(window: str) -> list[str]:

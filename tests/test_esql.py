@@ -413,3 +413,33 @@ def test_mv_family_cross_engine(spark, tiny):
                   spark.sql(compile_esql(q, "spark")).collect()]
     assert duck_rows == spark_rows
     spark.catalog.dropTempView("arr2")
+
+
+def test_stats_per_agg_where(tiny):
+    """STATS x = AGG(e) WHERE cond (ES 8.13): the predicate filters
+    ONE aggregate, not the stage."""
+    rows = _rows(tiny, """FROM t
+      | STATS en = COUNT(*) WHERE lang == "en",
+              de_sum = SUM(v) WHERE lang == "de",
+              n = COUNT(*)""")
+    assert rows == [(2, 70.0, 5)]
+    # composes with BY and with PERCENTILE/AVG's two-agg rendering
+    rows = _rows(tiny, """FROM t
+      | STATS big = AVG(v) WHERE v >= 20 BY lang
+      | SORT lang""")
+    assert rows == [("de", 35.0), ("en", 20.0), ("fr", None)]
+
+
+def test_sort_null_ordering_pinned(tiny):
+    """Bare SORT renders EXPLICIT NULLS LAST (asc) / FIRST (desc) —
+    the ES rule (null = largest) — because Spark and DuckDB defaults
+    are opposite and a LIMIT would otherwise pick different rows."""
+    sql = compile_esql("FROM t | SORT v | LIMIT 2", "duck")
+    assert "v ASC NULLS LAST" in sql
+    sql = compile_esql("FROM t | SORT v DESC | LIMIT 2", "spark")
+    assert "v DESC NULLS FIRST" in sql
+    rows = _rows(tiny, "FROM t | SORT v DESC | KEEP id | LIMIT 2")
+    assert [r[0] for r in rows] == [5, 4]  # null first under DESC
+    rows = _rows(tiny, "FROM t | SORT v DESC NULLS LAST | KEEP id"
+                       " | LIMIT 2")
+    assert [r[0] for r in rows] == [4, 3]  # explicit override wins
