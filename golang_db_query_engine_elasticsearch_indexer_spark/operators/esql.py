@@ -10,7 +10,8 @@ contract: any source command, function, or operator outside the
 subset raises ValueError at compile time, never a silent
 mistranslation.
 
-Supported source command: FROM <index> [, <index>]... (no METADATA).
+Supported source commands: FROM <index> [, <index>]... (no METADATA)
+and ROW name = <expr> [, ...] (the inline one-row relation).
 Multi-index and wildcard FROM (`FROM idx1,idx2`, `FROM doc*`) compile
 to UNION ALL over the matching REGISTERED fixture tables with the ES
 missing-column-as-NULL rule (columns resolve against the static
@@ -66,7 +67,16 @@ second/minute/hour/day as truncated multiples of the microsecond-exact
 epoch difference — tz conventions cancel in the difference; month/year
 raise) / the MV_* multivalue family over array columns — MV_COUNT /
 MV_MIN / MV_MAX / MV_SUM / MV_AVG (sequential fold in both engines,
-result quantized DECIMAL(18,6)->DOUBLE) / MV_CONCAT(arr, delim).
+result quantized DECIMAL(18,6)->DOUBLE) / MV_CONCAT(arr, delim) /
+MV_SORT (nulls-last asc; desc is the exact reverse in both engines) /
+MV_DEDUPE (pinned to sorted NULL-dropped output — the engines' native
+dedups disagree on order and NULLs) / MV_SLICE (the ES 0-based
+inclusive bounds; integer literals only, negatives raise) — plus
+POW / SQRT / EXP / LOG10 / GREATEST / LEAST / LEFT / RIGHT / REPLACE /
+REVERSE (name+semantics identical in both dialects, probed), CEIL /
+FLOOR (pinned to DOUBLE: Spark returns BIGINT, DuckDB the input type),
+TO_DATETIME, and SPLIT (literal separator — Spark's split() is a
+regex, so the compiler regex-escapes it).
 STATS BY accepts aliased expression keys (BY day = DATE_TRUNC("day",
 ts)); WHERE after STATS is HAVING via pipe nesting.
 
@@ -105,6 +115,12 @@ _FUNCS = {
     "ROUND": (1, 2), "ABS": (1, 1), "LENGTH": (1, 1),
     "CONCAT": (1, 99), "TO_LOWER": (1, 1), "TO_UPPER": (1, 1),
     "COALESCE": (1, 99), "SUBSTRING": (2, 3), "TRIM": (1, 1),
+    # batch 3: functions whose name AND semantics are identical in
+    # both dialects (probed: null handling, arg ranges, return types)
+    "POW": (2, 2), "SQRT": (1, 1), "EXP": (1, 1), "LOG10": (1, 1),
+    "GREATEST": (2, 99), "LEAST": (2, 99),
+    "LEFT": (2, 2), "RIGHT": (2, 2), "REPLACE": (3, 3),
+    "REVERSE": (1, 1),
 }
 
 # ES|QL type-conversion functions -> CAST targets. The numeric
@@ -568,6 +584,89 @@ class _Expr:
             if up == "MV_AVG":
                 total = f"({total}) / {cnt}"
             return f"cast(cast({total} AS DECIMAL(18, 6)) AS DOUBLE)"
+        if up in ("CEIL", "FLOOR"):
+            # ES keeps doubles double; bare ceil/floor returns BIGINT
+            # in Spark but the input type in DuckDB — pin both to
+            # DOUBLE (the ES behavior for the double columns these
+            # run on)
+            if len(args) != 1:
+                self._err(f"{up} wants one argument")
+            return f"cast({up.lower()}({args[0]}) AS DOUBLE)"
+        if up == "TO_DATETIME":
+            if len(args) != 1:
+                self._err("TO_DATETIME wants one argument")
+            return f"cast({args[0]} AS TIMESTAMP)"
+        if up == "SPLIT":
+            # SPLIT(str, sep): sep must be a PLAIN string literal —
+            # Spark's split() reads it as a Java regex while DuckDB's
+            # string_split is literal, so the compiler regex-escapes
+            # it for Spark (doubling backslashes for the SQL parser,
+            # the GROK discipline) and rejects quotes/backslashes.
+            if len(args) != 2:
+                self._err("SPLIT wants (string, separator)")
+            x, sep = args
+            if not (sep.startswith("'") and sep.endswith("'")):
+                self._err("SPLIT separator must be a string literal")
+            raw = sep[1:-1]
+            if "'" in raw or "\\" in raw or not raw:
+                self._err(
+                    "SPLIT separator must be non-empty without "
+                    "quotes/backslashes"
+                )
+            if self.dialect == "spark":
+                esc = re.escape(raw).replace("\\", "\\\\")
+                return f"split({x}, '{esc}')"
+            return f"string_split({x}, '{raw}')"
+        if up == "MV_SORT":
+            # MV_SORT(arr[, "ASC"|"DESC"]): both engines sort ASC with
+            # nulls last (probed); DESC is the exact reverse in both
+            if len(args) not in (1, 2):
+                self._err("MV_SORT wants (array[, order])")
+            x = args[0]
+            order = "ASC"
+            if len(args) == 2:
+                if args[1] not in ("'ASC'", "'DESC'", "'asc'", "'desc'"):
+                    self._err('MV_SORT order must be "ASC" or "DESC"')
+                order = args[1][1:-1].upper()
+            asc = (f"array_sort({x})" if self.dialect == "spark"
+                   else f"list_sort({x})")
+            if order == "ASC":
+                return asc
+            return (f"reverse({asc})" if self.dialect == "spark"
+                    else f"list_reverse({asc})")
+        if up == "MV_DEDUPE":
+            # ES leaves the output order unspecified; the engine pins
+            # SORTED order with NULLs dropped, because the engines'
+            # native dedups disagree (DuckDB's list_distinct drops
+            # NULLs and hash-reorders, Spark's array_distinct keeps
+            # both — probed)
+            if len(args) != 1:
+                self._err("MV_DEDUPE wants one argument")
+            x = args[0]
+            if self.dialect == "spark":
+                return (f"array_sort(array_distinct("
+                        f"filter({x}, e -> e IS NOT NULL)))")
+            return f"list_sort(list_distinct({x}))"
+        if up == "MV_SLICE":
+            # MV_SLICE(arr, start, end): 0-based INCLUSIVE bounds (the
+            # ES signature). Integer literals only — ES's negative
+            # indices count from the end, which the two SQL slice
+            # forms disagree on, so anything non-literal raises
+            # rather than silently mistranslating.
+            if len(args) != 3:
+                self._err("MV_SLICE wants (array, start, end)")
+            x, s, e = args
+            if not (re.fullmatch(r"\d+", s) and re.fullmatch(r"\d+", e)):
+                self._err(
+                    "MV_SLICE start/end must be non-negative integer "
+                    "literals"
+                )
+            s_i, e_i = int(s), int(e)
+            if s_i > e_i:
+                self._err("MV_SLICE start must be <= end")
+            if self.dialect == "spark":
+                return f"slice({x}, {s_i + 1}, {e_i - s_i + 1})"
+            return f"list_slice({x}, {s_i + 1}, {e_i + 1})"
         if up == "MV_CONCAT":
             if len(args) != 2:
                 self._err("MV_CONCAT wants (array, delimiter)")
@@ -619,19 +718,33 @@ _TABLE_COLUMNS: dict[str, list[str]] = {
 }
 
 
-def _compile_from(stage: str) -> str:
-    """The FROM source relation: one index (any identifier), or a
+def _compile_from(stage: str, dialect: str) -> str:
+    """The source command: FROM — one index (any identifier), or a
     comma-list / wildcard over the registered fixture tables, unioned
     with the ES missing-column-as-NULL rule (column order: first-seen
-    across the selected tables)."""
+    across the selected tables) — or ROW name = <expr> [, ...], the
+    inline one-row relation every ES|QL tutorial opens with (compiles
+    to a FROM-less SELECT, valid in both dialects)."""
     import fnmatch  # noqa: PLC0415
 
+    if re.match(r"(?is)^\s*ROW\b", stage):
+        toks = _tokenize(stage, "ROW")[1:]
+        cols = []
+        for part in _split_top_commas(toks):
+            if (
+                len(part) < 3 or part[1] != "="
+                or not _IDENT.fullmatch(part[0])
+            ):
+                raise ValueError("esql: ROW wants name = <expr> [, ...]")
+            e = _Expr(part[2:], "ROW", dialect=dialect).parse()
+            cols.append(f"{e} AS {part[0]}")
+        return f"SELECT {', '.join(cols)}"
     m = re.fullmatch(r"(?is)FROM\s+([A-Za-z0-9_*]+(?:\s*,\s*"
                      r"[A-Za-z0-9_*]+)*)", stage.strip())
     if not m:
         raise ValueError(
-            "esql: the source command must be FROM <index>[, <index>]"
-            f" (got {stage!r})"
+            "esql: the source command must be FROM <index>[, <index>] "
+            f"or ROW (got {stage!r})"
         )
     parts = [p.strip() for p in m.group(1).split(",")]
     if len(parts) == 1 and "*" not in parts[0]:
@@ -718,7 +831,7 @@ def compile_esql(query: str, dialect: str) -> str:
     if not isinstance(query, str) or not query.strip():
         raise ValueError("esql: empty query")
     stages = _split_pipes(query)
-    sql = _compile_from(stages[0])
+    sql = _compile_from(stages[0], dialect)
     n = 0
     for stage in stages[1:]:
         toks = _tokenize(stage, "command")
@@ -1250,6 +1363,33 @@ ESQL_SORT_NULLS = """FROM events
   | KEEP event_id, hot, value
   | LIMIT 12"""
 
+ESQL_SCALAR_FUNCTIONS = """FROM lineitem
+  | WHERE l_orderkey < 200
+  | EVAL gross = ROUND(POW(l_extendedprice, 0.5), 4),
+         band = CEIL(l_quantity / 10),
+         tag = REPLACE(LEFT(l_returnflag, 1), "N", "none"),
+         widest = GREATEST(l_discount, l_tax),
+         flip = REVERSE(l_linestatus)
+  | KEEP l_orderkey, l_linenumber, gross, band, tag, widest, flip
+  | SORT l_orderkey, l_linenumber
+  | LIMIT 25"""
+
+ESQL_MV_TRANSFORMS = """FROM embeddings
+  | WHERE vec_id < 20
+  | EVAL top3 = MV_SLICE(MV_SORT(embedding, "DESC"), 0, 2),
+         distinct_n = MV_COUNT(MV_DEDUPE(embedding)),
+         best = ROUND(TO_DOUBLE(MV_MAX(embedding)), 4)
+  | EVAL top3_sum = MV_SUM(top3)
+  | KEEP vec_id, top3_sum, distinct_n, best
+  | SORT vec_id"""
+
+ESQL_ROW_SOURCE = """ROW a = 10, label = "x,y", ts = TO_DATETIME("2024-03-05 10:30:00")
+  | EVAL parts = SPLIT(label, ","),
+         n = MV_COUNT(SPLIT(label, ",")),
+         hour = DATE_FORMAT("HH", ts),
+         root = ROUND(SQRT(a), 4)
+  | KEEP a, n, hour, root"""
+
 
 def registry() -> dict[str, dict]:
     def entry(q: str):
@@ -1322,5 +1462,17 @@ def registry() -> dict[str, dict]:
         "esql_sort_nulls": {
             "fn": entry(ESQL_SORT_NULLS),
             "oracle": compile_esql(ESQL_SORT_NULLS, "duck"),
+        },
+        "esql_scalar_functions": {
+            "fn": entry(ESQL_SCALAR_FUNCTIONS),
+            "oracle": compile_esql(ESQL_SCALAR_FUNCTIONS, "duck"),
+        },
+        "esql_mv_transforms": {
+            "fn": entry(ESQL_MV_TRANSFORMS),
+            "oracle": compile_esql(ESQL_MV_TRANSFORMS, "duck"),
+        },
+        "esql_row_source": {
+            "fn": entry(ESQL_ROW_SOURCE),
+            "oracle": compile_esql(ESQL_ROW_SOURCE, "duck"),
         },
     }

@@ -154,13 +154,16 @@ that decides those 50 slots:
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - r11 (CURRENT_WINDOW below): the mechanical roll
   (tools/roll_rotation.py r11 --changed ...) front-schedules, in
-  policy order: the 8 net-new r11 registrations (es_alias_search —
+  policy order: the 11 net-new r11 registrations (es_alias_search —
   query-through-alias over the new _aliases registry; esql_percentile
   / date_format_diff / mv_stats / enrich / multi_index — the ES|QL
   function tier + the two source-side idioms; esql_stats_where —
   per-aggregate WHERE filters; esql_sort_nulls — the explicit ES
   null-is-largest sort rule, which also pinned the engines' OPPOSITE
-  bare-`ORDER BY` null defaults), the 3 changed-kernel re-checks from
+  bare-`ORDER BY` null defaults; esql_scalar_functions /
+  mv_transforms / row_source — the portable scalar-function tier,
+  the MV transform trio with pinned order/NULL semantics, and the
+  ROW inline relation), the 3 changed-kernel re-checks from
   the round-boundary oracle diff (es_dsl_matrix_stats — product
   operands now dialect-exact DECIMAL(18/19,6) after the ADVICE r10
   precision-overflow fix; es_dsl_terms_lookup — the lookup id column
@@ -169,7 +172,7 @@ that decides those 50 slots:
   never-checked backlog (31 entries: the r10 post-batch-19
   registrations — their compiled SORT clauses also changed this round
   when the explicit null ordering landed, so their first driver check
-  runs against the current kernel), then 8 oldest-evidence (r04)
+  runs against the current kernel), then 5 oldest-evidence (r04)
   re-rotations. The backlog is EMPTY after this window — every
   registered entry has been driver-scheduled within 2 rounds of
   registration, the docstring's own policy bound.
@@ -258,7 +261,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'docs_quality_percentile_filter': (7, 'integer-exact', None),
     'embedding_cluster_purity': (6, 'float-stat', None),
     'embedding_knn_eval': (6, 'float-stat', None),
-    'embedding_label_centroids': (4, 'verified', 'r11'),
+    'embedding_label_centroids': (4, 'verified', None),
     'embedding_matryoshka_recall': (6, 'float-stat', None),
     'embedding_medoid_per_label': (6, 'float-stat', None),
     'embedding_neardup_pairs': (8, 'verified', None),
@@ -384,7 +387,10 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_multi_index': (None, 'unclassified', 'r11'),
     'esql_mv_expand': (None, 'unclassified', 'r11'),
     'esql_mv_stats': (None, 'unclassified', 'r11'),
+    'esql_mv_transforms': (None, 'unclassified', 'r11'),
     'esql_percentile': (None, 'unclassified', 'r11'),
+    'esql_row_source': (None, 'unclassified', 'r11'),
+    'esql_scalar_functions': (None, 'unclassified', 'r11'),
     'esql_sort_nulls': (None, 'unclassified', 'r11'),
     'esql_stats_where': (None, 'unclassified', 'r11'),
     'events_anomaly_seasonal': (6, 'float-stat', None),
@@ -393,9 +399,9 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'events_attribution_position': (7, 'regex-string', None),
     'events_bot_detection': (6, 'verified', None),
     'events_chi_square': (6, 'float-stat', None),
-    'events_cohort_retention': (4, 'verified', 'r11'),
+    'events_cohort_retention': (4, 'verified', None),
     'events_ewma_daily': (6, 'float-stat', None),
-    'events_funnel': (4, 'verified', 'r11'),
+    'events_funnel': (4, 'verified', None),
     'events_funnel_latency': (7, 'integer-exact', None),
     'events_funnel_one_pass': (7, 'integer-exact', None),
     'events_gapfill_forward': (7, 'integer-exact', None),
@@ -573,8 +579,9 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
 }
 
 CURRENT_WINDOW: tuple[str, ...] = (
-    'esql_stats_where',
-    'esql_sort_nulls',
+    'esql_scalar_functions',
+    'esql_mv_transforms',
+    'esql_row_source',
     'es_dsl_matrix_stats',
     'es_dsl_terms_lookup',
     'es_dsl_terms_set',
@@ -614,15 +621,14 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'esql_mv_expand',
     'esql_mv_stats',
     'esql_percentile',
+    'esql_sort_nulls',
+    'esql_stats_where',
     'stream_percolate_alerts',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
     'dedup_semantic_survivors',
     'dedup_simhash',
-    'embedding_label_centroids',
-    'events_cohort_retention',
-    'events_funnel',
 )
 
 def scheduled(window: str) -> list[str]:

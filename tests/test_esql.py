@@ -443,3 +443,67 @@ def test_sort_null_ordering_pinned(tiny):
     rows = _rows(tiny, "FROM t | SORT v DESC NULLS LAST | KEEP id"
                        " | LIMIT 2")
     assert [r[0] for r in rows] == [4, 3]  # explicit override wins
+
+
+def test_row_source_and_scalar_functions(tiny):
+    rows = _rows(tiny, """ROW a = 16, s = "a,b,,c"
+      | EVAL r = SQRT(a), c = CEIL(a / 10), f = FLOOR(a / 10),
+             l = LEFT(s, 3), rr = RIGHT(s, 3), rep = REPLACE(s, ",", "-"),
+             rev = REVERSE("abc"), g = GREATEST(1, 5, 3),
+             parts = MV_COUNT(SPLIT(s, ","))""")
+    (a, s, r, c, f, l, rr, rep, rev, g, parts), = rows
+    assert (r, c, f) == (4.0, 2.0, 1.0)
+    assert (l, rr, rep, rev, g) == ("a,b", ",,c", "a-b--c", "cba", 5)
+    assert parts == 4  # empty field between the double commas survives
+
+
+def test_mv_sort_dedupe_slice(tiny):
+    tiny.execute("CREATE TABLE mv AS SELECT"
+                 " [3.0, 1.0, 2.0, 1.0, NULL]::DOUBLE[] AS xs")
+    rows = _rows(tiny, """FROM mv
+      | EVAL asc_first = MV_SLICE(MV_SORT(xs), 0, 0),
+             desc_all = MV_SORT(xs, "DESC"),
+             ded = MV_DEDUPE(xs)""")
+    (_, asc_first, desc_all, ded), = rows
+    assert asc_first == [1.0]
+    # DESC = exact reverse of nulls-last ASC -> null leads
+    # (the duplicate 1.0 survives: sort is not dedupe)
+    assert desc_all == [None, 3.0, 2.0, 1.0, 1.0]
+    # dedupe pins sorted, NULL-dropped output
+    assert ded == [1.0, 2.0, 3.0]
+    for q, msg in [
+        ("FROM mv | EVAL x = MV_SLICE(xs, 2, 1)", "start must be <= end"),
+        ("FROM mv | EVAL x = MV_SLICE(xs, a, 1)",
+         "non-negative integer literals"),
+        ('FROM mv | EVAL x = MV_SORT(xs, "weird")',
+         'order must be "ASC" or "DESC"'),
+        ('FROM mv | EVAL x = SPLIT(xs, ",,")', None),
+        ('ROW x = SPLIT("a", s)', "separator must be a string literal"),
+    ]:
+        if msg is None:
+            continue
+        with pytest.raises(ValueError, match=msg):
+            compile_esql(q, "duck")
+
+
+def test_mv_transforms_cross_engine(spark, tiny):
+    """MV_SORT/MV_DEDUPE/MV_SLICE/SPLIT must emit identical rows in
+    both engines (the dedup/order pinning is the point)."""
+    tiny.execute("CREATE TABLE mvx AS SELECT 1 AS id,"
+                 " [2.0, 1.0, 2.0, NULL]::DOUBLE[] AS xs,"
+                 " 'a.b.c' AS s")
+    spark.createDataFrame(
+        [(1, [2.0, 1.0, 2.0, None], "a.b.c")],
+        "id bigint, xs array<double>, s string",
+    ).createOrReplaceTempView("mvx")
+    q = """FROM mvx
+      | EVAL ded = MV_DEDUPE(xs), top = MV_SLICE(MV_SORT(xs, "DESC"), 0, 1),
+             parts = SPLIT(s, ".")
+      | KEEP id, ded, top, parts"""
+    duck_rows = tiny.execute(compile_esql(q, "duck")).fetchall()
+    spark_rows = [tuple(r) for r in
+                  spark.sql(compile_esql(q, "spark")).collect()]
+    assert duck_rows == spark_rows
+    # the '.' separator is literal, NOT regex-any-char, in both
+    assert duck_rows[0][3] == ["a", "b", "c"]
+    spark.catalog.dropTempView("mvx")
