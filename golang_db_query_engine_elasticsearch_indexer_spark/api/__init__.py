@@ -416,6 +416,14 @@ def create_app(
             id_field=request.args.get("id_field"),
         )), 200
 
+    @app.post("/<index>/_mtermvectors")
+    def es_mtermvectors_route(index: str):
+        _attach_if_named()
+        return jsonify(gateway.es_mtermvectors(
+            _spark(), index, _es_body(),
+            id_field=request.args.get("id_field"),
+        )), 200
+
     @app.post("/_render/template")
     def es_render_template_route():
         # render WITHOUT executing — the template-debugging verb

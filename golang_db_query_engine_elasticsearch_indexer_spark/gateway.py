@@ -924,6 +924,95 @@ def es_termvectors_df(spark: SparkSession, index: str, doc_id,
     return spark.sql(termvectors_sql(index, doc_id, field, idc, "spark"))
 
 
+def mtermvectors_sql(index: str, doc_ids: list, field: str,
+                     id_field: str, dialect: str) -> str:
+    """`POST /{index}/_mtermvectors` as a relation: (_id, term,
+    term_freq) for a LIST of documents' analyzed field — the id list
+    pushes down to the scan, then one vocabulary-bounded
+    explode+GROUP BY over just those rows (N docs cost ONE statement,
+    not N point lookups). Shared by the Spark verb and the oracle."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        _ident,
+        _lit,
+        _tokens_expr,
+    )
+
+    if not index or not doc_ids or not field:
+        raise ParamsNullError()
+    if dialect not in ("spark", "duck"):
+        raise SqlSyntaxError(f"es_dsl: unknown dialect {dialect!r}")
+    if not isinstance(doc_ids, list) or len(doc_ids) > 1000:
+        raise SqlSyntaxError(
+            "es_dsl: _mtermvectors wants a list of <= 1000 ids"
+        )
+    keys = [
+        int(d) if str(d).lstrip("-").isdigit() else str(d)
+        for d in doc_ids
+    ]
+    in_list = ", ".join(_lit(k, dialect) for k in keys)
+    te = _tokens_expr(_ident(field), dialect)
+    idc = _ident(id_field)
+    stream = (
+        f"SELECT {idc} AS _id, explode({te}) AS term"
+        if dialect == "spark"
+        else f"SELECT {idc} AS _id, unnest({te}) AS term"
+    )
+    return f"""
+SELECT _id, term, count(*) AS term_freq
+FROM ({stream} FROM {_ident(index)}
+      WHERE {idc} IN ({in_list}))
+GROUP BY _id, term
+ORDER BY _id ASC, term ASC
+"""
+
+
+def es_mtermvectors_df(spark: SparkSession, index: str, doc_ids: list,
+                       field: str,
+                       id_field: str | None = None) -> DataFrame:
+    index = _resolve_alias(index)
+    idc = id_field or spark.table(index).columns[0]
+    return spark.sql(mtermvectors_sql(index, doc_ids, field, idc, "spark"))
+
+
+def es_mtermvectors(spark: SparkSession, index: str, body: dict,
+                    id_field: str | None = None) -> dict:
+    """`POST /{index}/_mtermvectors` parity: the `{docs: [...]}`
+    envelope, one per requested id (missing ids report found=false,
+    the ES shape). Accepts `ids` + `fields` (also under the ES
+    `parameters` nesting); one analyzed field, the _termvectors
+    contract. Bounded collect — the requested docs' vocabulary."""
+    if body is None:
+        raise ParamsNullError()
+    params = body.get("parameters") or {}
+    ids = body.get("ids") or params.get("ids")
+    fields = body.get("fields") or params.get("fields")
+    if not isinstance(ids, list) or not ids or not isinstance(
+        fields, list
+    ) or len(fields) != 1:
+        raise SqlSyntaxError(
+            "es_dsl: _mtermvectors wants {ids: [...], fields: [one]}"
+        )
+    field = fields[0]
+    rows = es_mtermvectors_df(spark, index, ids, field, id_field).collect()
+    by_id: dict[str, dict] = {}
+    for r in rows:
+        by_id.setdefault(str(r["_id"]), {})[r["term"]] = {
+            "term_freq": int(r["term_freq"])
+        }
+    return {"docs": [
+        {
+            "_index": index,
+            "_id": str(i),
+            "found": str(i) in by_id,
+            "term_vectors": (
+                {field: {"terms": by_id[str(i)]}}
+                if str(i) in by_id else {}
+            ),
+        }
+        for i in ids
+    ]}
+
+
 def es_termvectors(spark: SparkSession, index: str, doc_id, field: str,
                    id_field: str | None = None) -> dict:
     """`GET /{index}/_termvectors/{id}?fields=...` parity: the ES

@@ -2198,6 +2198,29 @@ def _termvectors_oracle() -> str:
     return termvectors_sql("documents", 7, "text", "doc_id", "duck")
 
 
+_MTERMVECTORS_IDS = [3, 7, 11, 9999999]  # last id absent: found=false path
+
+
+def _mtermvectors_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        es_mtermvectors_df,
+    )
+
+    return es_mtermvectors_df(
+        spark, "documents", _MTERMVECTORS_IDS, "text", "doc_id"
+    )
+
+
+def _mtermvectors_oracle() -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        mtermvectors_sql,
+    )
+
+    return mtermvectors_sql(
+        "documents", _MTERMVECTORS_IDS, "text", "doc_id", "duck"
+    )
+
+
 def _cat_indices_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
         cat_indices_df,
@@ -2746,6 +2769,10 @@ def registry() -> dict[str, dict]:
         "es_termvectors": {
             "fn": _termvectors_entry,
             "oracle": _termvectors_oracle(),
+        },
+        "es_mtermvectors": {
+            "fn": _mtermvectors_entry,
+            "oracle": _mtermvectors_oracle(),
         },
         "es_dsl_suggest_term": {
             "fn": _entry("documents", SUGGEST_TERM_BODY, "doc_id"),

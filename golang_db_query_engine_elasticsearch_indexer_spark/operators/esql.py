@@ -10,8 +10,10 @@ contract: any source command, function, or operator outside the
 subset raises ValueError at compile time, never a silent
 mistranslation.
 
-Supported source commands: FROM <index> [, <index>]... (no METADATA)
-and ROW name = <expr> [, ...] (the inline one-row relation).
+Supported source commands: FROM <index> [, <index>]...
+[METADATA _index] (the source-name column that makes multi-index
+reads filterable by origin; other metadata fields raise) and
+ROW name = <expr> [, ...] (the inline one-row relation).
 Multi-index and wildcard FROM (`FROM idx1,idx2`, `FROM doc*`) compile
 to UNION ALL over the matching REGISTERED fixture tables with the ES
 missing-column-as-NULL rule (columns resolve against the static
@@ -740,17 +742,31 @@ def _compile_from(stage: str, dialect: str) -> str:
             cols.append(f"{e} AS {part[0]}")
         return f"SELECT {', '.join(cols)}"
     m = re.fullmatch(r"(?is)FROM\s+([A-Za-z0-9_*]+(?:\s*,\s*"
-                     r"[A-Za-z0-9_*]+)*)", stage.strip())
+                     r"[A-Za-z0-9_*]+)*)(\s+METADATA\s+(\S+))?",
+                     stage.strip())
     if not m:
         raise ValueError(
             "esql: the source command must be FROM <index>[, <index>] "
-            f"or ROW (got {stage!r})"
+            f"[METADATA _index] or ROW (got {stage!r})"
         )
+    meta = None
+    if m.group(2):
+        # METADATA _index: the source index name as a column — the
+        # idiom that makes multi-index FROM filterable/groupable by
+        # origin. _id/_version etc. have no engine analogue and raise.
+        if m.group(3) != "_index":
+            raise ValueError(
+                f"esql: unsupported METADATA field {m.group(3)!r} "
+                "(only _index)"
+            )
+        meta = "_index"
     parts = [p.strip() for p in m.group(1).split(",")]
     if len(parts) == 1 and "*" not in parts[0]:
         index = parts[0]
         if not _IDENT.fullmatch(index):
             raise ValueError(f"esql: bad index name {index!r}")
+        if meta:
+            return f"SELECT *, '{index}' AS _index FROM {index}"
         return f"SELECT * FROM {index}"
     tables: list[str] = []
     for p in parts:
@@ -774,6 +790,8 @@ def _compile_from(stage: str, dialect: str) -> str:
             if p not in tables:
                 tables.append(p)
     if len(tables) == 1:
+        if meta:
+            return f"SELECT *, '{tables[0]}' AS _index FROM {tables[0]}"
         return f"SELECT * FROM {tables[0]}"
     unified: list[str] = []
     for t in tables:
@@ -786,6 +804,8 @@ def _compile_from(stage: str, dialect: str) -> str:
         cols = ", ".join(
             c if c in have else f"NULL AS {c}" for c in unified
         )
+        if meta:
+            cols += f", '{t}' AS _index"
         selects.append(f"SELECT {cols} FROM {t}")
     return "\n  UNION ALL ".join(selects)
 
@@ -1390,6 +1410,10 @@ ESQL_ROW_SOURCE = """ROW a = 10, label = "x,y", ts = TO_DATETIME("2024-03-05 10:
          root = ROUND(SQRT(a), 4)
   | KEEP a, n, hour, root"""
 
+ESQL_FROM_METADATA = """FROM region, nation METADATA _index
+  | STATS rows = COUNT(*), named = COUNT(n_name) BY _index
+  | SORT _index"""
+
 
 def registry() -> dict[str, dict]:
     def entry(q: str):
@@ -1474,5 +1498,9 @@ def registry() -> dict[str, dict]:
         "esql_row_source": {
             "fn": entry(ESQL_ROW_SOURCE),
             "oracle": compile_esql(ESQL_ROW_SOURCE, "duck"),
+        },
+        "esql_from_metadata": {
+            "fn": entry(ESQL_FROM_METADATA),
+            "oracle": compile_esql(ESQL_FROM_METADATA, "duck"),
         },
     }

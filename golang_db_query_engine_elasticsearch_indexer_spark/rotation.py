@@ -154,7 +154,7 @@ that decides those 50 slots:
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - r11 (CURRENT_WINDOW below): the mechanical roll
   (tools/roll_rotation.py r11 --changed ...) front-schedules, in
-  policy order: the 11 net-new r11 registrations (es_alias_search —
+  policy order: the 13 net-new r11 registrations (es_alias_search —
   query-through-alias over the new _aliases registry; esql_percentile
   / date_format_diff / mv_stats / enrich / multi_index — the ES|QL
   function tier + the two source-side idioms; esql_stats_where —
@@ -163,7 +163,10 @@ that decides those 50 slots:
   bare-`ORDER BY` null defaults; esql_scalar_functions /
   mv_transforms / row_source — the portable scalar-function tier,
   the MV transform trio with pinned order/NULL semantics, and the
-  ROW inline relation), the 3 changed-kernel re-checks from
+  ROW inline relation; es_mtermvectors — the multi-doc term-vector
+  verb as ONE id-pushdown statement; esql_from_metadata — METADATA
+  _index over single and multi-index FROM), the 3 changed-kernel
+  re-checks from
   the round-boundary oracle diff (es_dsl_matrix_stats — product
   operands now dialect-exact DECIMAL(18/19,6) after the ADVICE r10
   precision-overflow fix; es_dsl_terms_lookup — the lookup id column
@@ -172,7 +175,7 @@ that decides those 50 slots:
   never-checked backlog (31 entries: the r10 post-batch-19
   registrations — their compiled SORT clauses also changed this round
   when the explicit null ordering landed, so their first driver check
-  runs against the current kernel), then 5 oldest-evidence (r04)
+  runs against the current kernel), then 3 oldest-evidence (r04)
   re-rotations. The backlog is EMPTY after this window — every
   registered entry has been driver-scheduled within 2 rounds of
   registration, the docstring's own policy bound.
@@ -250,8 +253,8 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'dedup_normalized': (5, 'verified', None),
     'dedup_prefix_filter_jaccard': (7, 'integer-exact', None),
     'dedup_remap_to_canonical': (7, 'integer-exact', None),
-    'dedup_semantic_survivors': (4, 'verified', 'r11'),
-    'dedup_simhash': (4, 'verified', 'r11'),
+    'dedup_semantic_survivors': (4, 'verified', None),
+    'dedup_simhash': (4, 'verified', None),
     'dedup_simhash_pairs': (7, 'integer-exact', None),
     'dedup_span_coverage': (5, 'verified', None),
     'dedup_split_leakage': (7, 'integer-exact', None),
@@ -368,6 +371,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_top_metrics': (10, 'unclassified', None),
     'es_dsl_zero_fill_axis': (10, 'unclassified', None),
     'es_field_caps': (10, 'unclassified', None),
+    'es_mtermvectors': (None, 'unclassified', 'r11'),
     'es_pit_search': (None, 'unclassified', 'r11'),
     'es_rank_eval_dcg': (None, 'unclassified', 'r11'),
     'es_scroll_page2': (10, 'unclassified', None),
@@ -380,6 +384,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_enrich': (None, 'unclassified', 'r11'),
     'esql_eval_keep': (None, 'unclassified', 'r11'),
     'esql_filter_stats': (None, 'unclassified', 'r11'),
+    'esql_from_metadata': (None, 'unclassified', 'r11'),
     'esql_grok_extract': (None, 'unclassified', 'r11'),
     'esql_inlinestats': (None, 'unclassified', 'r11'),
     'esql_lookup_join': (None, 'unclassified', 'r11'),
@@ -579,9 +584,8 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
 }
 
 CURRENT_WINDOW: tuple[str, ...] = (
-    'esql_scalar_functions',
-    'esql_mv_transforms',
-    'esql_row_source',
+    'es_mtermvectors',
+    'esql_from_metadata',
     'es_dsl_matrix_stats',
     'es_dsl_terms_lookup',
     'es_dsl_terms_set',
@@ -620,15 +624,16 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'esql_multi_index',
     'esql_mv_expand',
     'esql_mv_stats',
+    'esql_mv_transforms',
     'esql_percentile',
+    'esql_row_source',
+    'esql_scalar_functions',
     'esql_sort_nulls',
     'esql_stats_where',
     'stream_percolate_alerts',
     'decontam_benchmark_overlap',
     'dedup_exact',
     'dedup_minhash_lsh',
-    'dedup_semantic_survivors',
-    'dedup_simhash',
 )
 
 def scheduled(window: str) -> list[str]:

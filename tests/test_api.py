@@ -927,3 +927,27 @@ def test_es_aliases_routes(client):
         {"remove": {"index": "orders", "alias": "docs_alias_t"}},
     ]}).status_code == 200
     assert client.get("/_cat/aliases").get_json() == []
+
+
+def test_es_mtermvectors_route(client):
+    """_mtermvectors: one statement for N docs; missing ids report
+    found=false, the ES docs-envelope shape."""
+    r = client.post("/documents/_mtermvectors?id_field=doc_id", json={
+        "ids": [3, 9999999], "fields": ["text"],
+    })
+    assert r.status_code == 200
+    docs = r.get_json()["docs"]
+    assert [d["_id"] for d in docs] == ["3", "9999999"]
+    assert docs[0]["found"] and not docs[1]["found"]
+    assert docs[0]["term_vectors"]["text"]["terms"]
+    assert docs[1]["term_vectors"] == {}
+    # the ES parameters nesting is accepted too
+    r = client.post("/documents/_mtermvectors?id_field=doc_id", json={
+        "ids": [3], "parameters": {"fields": ["text"]},
+    })
+    assert r.status_code == 200
+    # malformed bodies are typed 400s
+    assert client.post("/documents/_mtermvectors", json={
+        "ids": [], "fields": ["text"]}).status_code == 400
+    assert client.post("/documents/_mtermvectors", json={
+        "ids": [1], "fields": ["a", "b"]}).status_code == 400

@@ -507,3 +507,36 @@ def test_mv_transforms_cross_engine(spark, tiny):
     # the '.' separator is literal, NOT regex-any-char, in both
     assert duck_rows[0][3] == ["a", "b", "c"]
     spark.catalog.dropTempView("mvx")
+
+
+def test_from_metadata_index(tiny):
+    """FROM ... METADATA _index exposes the source name as a column —
+    single index, multi-index union (per-branch constant), and the
+    loud raise for unsupported metadata fields."""
+    tiny.execute("CREATE TABLE r2 AS SELECT 1 AS r_regionkey,"
+                 " 'A' AS r_name")
+    # note: _TABLE_COLUMNS resolves region/nation; reuse them
+    tiny.execute("CREATE TABLE region AS SELECT 2 AS r_regionkey,"
+                 " 'B' AS r_name")
+    tiny.execute("CREATE TABLE nation AS SELECT 7 AS n_nationkey,"
+                 " 'FR' AS n_name, 2 AS n_regionkey")
+    rows = _rows(tiny, """FROM region, nation METADATA _index
+      | STATS n = COUNT(*) BY _index | SORT _index""")
+    assert rows == [("nation", 1), ("region", 1)]
+    rows = _rows(tiny, "FROM t METADATA _index | KEEP _index | LIMIT 1")
+    assert rows == [("t",)]
+    with pytest.raises(ValueError, match="unsupported METADATA"):
+        compile_esql("FROM t METADATA _id | LIMIT 1", "duck")
+
+
+def test_mtermvectors_relation(tiny):
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (
+        mtermvectors_sql,
+    )
+
+    sql = mtermvectors_sql("t", [1, 4, 999], "text", "id", "duck")
+    rows = tiny.execute(sql).fetchall()
+    # doc 1: 'alpha beta'; doc 4: 'delta'; 999 absent
+    assert rows == [
+        (1, "alpha", 1), (1, "beta", 1), (4, "delta", 1),
+    ]
