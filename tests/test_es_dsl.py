@@ -4153,3 +4153,17 @@ def test_function_score_over_scored_bool(tiny):
     )
     for dialect in ("spark", "duck"):
         assert "SELECT" in compile_search("docs", FS_OVER_BOOL_BODY, dialect)
+
+
+def test_compiler_modules_stay_under_split_budget():
+    """The r11 split's invariant: no compiler module grows past 3k
+    lines again (es_dsl.py facade, query tier, aggregation tier)."""
+    import os
+
+    base = os.path.join(
+        os.path.dirname(__file__), "..",
+        "golang_db_query_engine_elasticsearch_indexer_spark", "operators",
+    )
+    for mod in ("es_dsl.py", "es_dsl_query.py", "es_dsl_aggs.py"):
+        n = len(open(os.path.join(base, mod)).read().split("\n"))
+        assert n < 3000, (mod, n)

@@ -640,7 +640,12 @@ def test_xlsx_roundtrip_any_text(text):
             list("abcxyz_0123456789 |=<>!\"'()*?%,.+-/")
             + ["FROM ", " WHERE ", " STATS ", " EVAL ", " SORT ",
                " LIMIT ", " KEEP ", " BY ", "COUNT", "AVG",
-               " LIKE ", " AND ", " OR "]
+               " LIKE ", " AND ", " OR ",
+               # r11 grammar: sources, metadata, MV/date/scalar tier
+               "ROW ", " METADATA _index", " ENRICH ", " ON ",
+               " WITH ", "MV_SORT", "MV_SLICE", "MV_DEDUPE", "SPLIT",
+               "PERCENTILE", "DATE_DIFF", "DATE_FORMAT", " NULLS ",
+               " FIRST", " LAST", "GREATEST", "CEIL"]
         ),
         min_size=0,
         max_size=24,
@@ -675,8 +680,11 @@ def test_esql_compiler_totality_and_purity(q):
             "EVAL k = n_chars / 1000",
             "STATS n = COUNT(*) BY lang",
             "SORT doc_id",
+            "SORT n_chars DESC NULLS LAST",
             "LIMIT 5",
             "KEEP doc_id, lang",
+            'STATS en = COUNT(*) WHERE lang == "en"',
+            "EVAL b = CEIL(n_chars / 100)",
         ]),
         min_size=1,
         max_size=6,
