@@ -77,8 +77,10 @@ inclusive bounds; integer literals only, negatives raise) — plus
 POW / SQRT / EXP / LOG10 / GREATEST / LEAST / LEFT / RIGHT / REPLACE /
 REVERSE (name+semantics identical in both dialects, probed), CEIL /
 FLOOR (pinned to DOUBLE: Spark returns BIGINT, DuckDB the input type),
-TO_DATETIME, and SPLIT (literal separator — Spark's split() is a
-regex, so the compiler regex-escapes it).
+TO_DATETIME, SPLIT (literal separator — Spark's split() is a
+regex, so the compiler regex-escapes it), DATE_EXTRACT (Java
+ChronoField names, cast-pinned to BIGINT), LOCATE (instr: same
+argument order and 0-when-absent in both engines), and ENDS_WITH.
 STATS BY accepts aliased expression keys (BY day = DATE_TRUNC("day",
 ts)); WHERE after STATS is HAVING via pipe nesting.
 
@@ -155,6 +157,14 @@ _FMT_TOKENS = {
     "HH": "%H", "mm": "%M", "ss": "%S",
 }
 _FMT_SEPARATORS = set("-:/ T_.")
+
+# DATE_EXTRACT: ES|QL takes Java ChronoField names; both engines
+# share the same EXTRACT(field FROM ts) spelling for these.
+_EXTRACT_FIELDS = {
+    "year": "year", "month_of_year": "month", "day_of_month": "day",
+    "hour_of_day": "hour", "minute_of_hour": "minute",
+    "second_of_minute": "second",
+}
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
@@ -598,6 +608,43 @@ class _Expr:
             if len(args) != 1:
                 self._err("TO_DATETIME wants one argument")
             return f"cast({args[0]} AS TIMESTAMP)"
+        if up == "DATE_EXTRACT":
+            # DATE_EXTRACT("hour_of_day", ts): Java ChronoField names
+            # (the ES|QL signature); the shared EXTRACT spelling is
+            # cast-pinned to BIGINT (the engines' native widths
+            # differ)
+            if len(args) != 2:
+                self._err("DATE_EXTRACT wants (field, date)")
+            fld, x = args
+            if not (fld.startswith("'") and fld.endswith("'")):
+                self._err("DATE_EXTRACT field must be a string literal")
+            key = fld[1:-1].lower()
+            if key not in _EXTRACT_FIELDS:
+                self._err(
+                    f"DATE_EXTRACT field {key!r} unsupported "
+                    f"({'/'.join(sorted(_EXTRACT_FIELDS))})"
+                )
+            return (
+                f"cast(extract({_EXTRACT_FIELDS[key]} FROM {x})"
+                " AS BIGINT)"
+            )
+        if up == "LOCATE":
+            # LOCATE(string, substring): 1-based position, 0 when
+            # absent — instr() has the same argument order and
+            # contract in both engines
+            if len(args) != 2:
+                self._err("LOCATE wants (string, substring)")
+            return f"cast(instr({args[0]}, {args[1]}) AS BIGINT)"
+        if up == "ENDS_WITH":
+            # the STARTS_WITH dual: substring-compare, portable for
+            # arbitrary suffix expressions
+            if len(args) != 2:
+                self._err("ENDS_WITH wants (string, suffix)")
+            x, p = args
+            return (
+                f"(substring({x}, length({x}) - length({p}) + 1)"
+                f" = {p})"
+            )
         if up == "SPLIT":
             # SPLIT(str, sep): sep must be a PLAIN string literal —
             # Spark's split() reads it as a Java regex while DuckDB's
@@ -1414,6 +1461,14 @@ ESQL_FROM_METADATA = """FROM region, nation METADATA _index
   | STATS rows = COUNT(*), named = COUNT(n_name) BY _index
   | SORT _index"""
 
+ESQL_DATE_EXTRACT_LOCATE = """FROM events
+  | WHERE ENDS_WITH(event_type, "ck") AND LOCATE(event_type, "li") > 0
+  | EVAL h = DATE_EXTRACT("hour_of_day", ts),
+         dom = DATE_EXTRACT("day_of_month", ts)
+  | STATS n = COUNT(*) BY h
+  | SORT h
+  | LIMIT 24"""
+
 
 def registry() -> dict[str, dict]:
     def entry(q: str):
@@ -1502,5 +1557,9 @@ def registry() -> dict[str, dict]:
         "esql_from_metadata": {
             "fn": entry(ESQL_FROM_METADATA),
             "oracle": compile_esql(ESQL_FROM_METADATA, "duck"),
+        },
+        "esql_date_extract_locate": {
+            "fn": entry(ESQL_DATE_EXTRACT_LOCATE),
+            "oracle": compile_esql(ESQL_DATE_EXTRACT_LOCATE, "duck"),
         },
     }

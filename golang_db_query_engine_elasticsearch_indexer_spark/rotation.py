@@ -154,7 +154,7 @@ that decides those 50 slots:
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - r11 (CURRENT_WINDOW below): the mechanical roll
   (tools/roll_rotation.py r11 --changed ...) front-schedules, in
-  policy order: the 13 net-new r11 registrations (es_alias_search —
+  policy order: the 14 net-new r11 registrations (es_alias_search —
   query-through-alias over the new _aliases registry; esql_percentile
   / date_format_diff / mv_stats / enrich / multi_index — the ES|QL
   function tier + the two source-side idioms; esql_stats_where —
@@ -165,7 +165,8 @@ that decides those 50 slots:
   the MV transform trio with pinned order/NULL semantics, and the
   ROW inline relation; es_mtermvectors — the multi-doc term-vector
   verb as ONE id-pushdown statement; esql_from_metadata — METADATA
-  _index over single and multi-index FROM), the 3 changed-kernel
+  _index over single and multi-index FROM; esql_date_extract_locate —
+  DATE_EXTRACT/LOCATE/ENDS_WITH), the 3 changed-kernel
   re-checks from
   the round-boundary oracle diff (es_dsl_matrix_stats — product
   operands now dialect-exact DECIMAL(18/19,6) after the ADVICE r10
@@ -175,7 +176,7 @@ that decides those 50 slots:
   never-checked backlog (31 entries: the r10 post-batch-19
   registrations — their compiled SORT clauses also changed this round
   when the explicit null ordering landed, so their first driver check
-  runs against the current kernel), then 3 oldest-evidence (r04)
+  runs against the current kernel), then 2 oldest-evidence (r04)
   re-rotations. The backlog is EMPTY after this window — every
   registered entry has been driver-scheduled within 2 rounds of
   registration, the docstring's own policy bound.
@@ -247,7 +248,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'dedup_keep_best': (5, 'verified', None),
     'dedup_lsh_bucket_stats': (7, 'integer-exact', None),
     'dedup_minhash_estimate_eval': (6, 'float-stat', None),
-    'dedup_minhash_lsh': (4, 'verified', 'r11'),
+    'dedup_minhash_lsh': (4, 'verified', None),
     'dedup_modality_agreement': (7, 'integer-exact', None),
     'dedup_ngram_jaccard': (5, 'verified', None),
     'dedup_normalized': (5, 'verified', None),
@@ -379,6 +380,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_terms_enum': (10, 'unclassified', None),
     'es_termvectors': (10, 'unclassified', None),
     'esql_date_case': (None, 'unclassified', 'r11'),
+    'esql_date_extract_locate': (None, 'unclassified', 'r11'),
     'esql_date_format_diff': (None, 'unclassified', 'r11'),
     'esql_dissect': (None, 'unclassified', 'r11'),
     'esql_enrich': (None, 'unclassified', 'r11'),
@@ -584,8 +586,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
 }
 
 CURRENT_WINDOW: tuple[str, ...] = (
-    'es_mtermvectors',
-    'esql_from_metadata',
+    'esql_date_extract_locate',
     'es_dsl_matrix_stats',
     'es_dsl_terms_lookup',
     'es_dsl_terms_set',
@@ -609,6 +610,7 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_dsl_sliced_scroll',
     'es_dsl_span_near',
     'es_dsl_suggest_phrase',
+    'es_mtermvectors',
     'es_pit_search',
     'es_rank_eval_dcg',
     'esql_date_case',
@@ -617,6 +619,7 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'esql_enrich',
     'esql_eval_keep',
     'esql_filter_stats',
+    'esql_from_metadata',
     'esql_grok_extract',
     'esql_inlinestats',
     'esql_lookup_join',
@@ -633,7 +636,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'stream_percolate_alerts',
     'decontam_benchmark_overlap',
     'dedup_exact',
-    'dedup_minhash_lsh',
 )
 
 def scheduled(window: str) -> list[str]:

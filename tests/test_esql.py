@@ -540,3 +540,25 @@ def test_mtermvectors_relation(tiny):
     assert rows == [
         (1, "alpha", 1), (1, "beta", 1), (4, "delta", 1),
     ]
+
+
+def test_date_extract_locate_ends_with(tiny):
+    tiny.execute("ALTER TABLE t ADD COLUMN ts2 TIMESTAMP")
+    tiny.execute("UPDATE t SET ts2 = TIMESTAMP '2024-03-05 10:30:45'")
+    rows = _rows(tiny, """FROM t
+      | WHERE ENDS_WITH(text, "beta") OR LOCATE(text, "delta") > 0
+      | EVAL h = DATE_EXTRACT("hour_of_day", ts2),
+             s = DATE_EXTRACT("second_of_minute", ts2),
+             pos = LOCATE(text, "beta")
+      | KEEP id, h, s, pos
+      | SORT id""")
+    # 1: 'alpha beta' ends with beta; 3/4 contain delta
+    assert rows == [(1, 10, 45, 7), (3, 10, 45, 0), (4, 10, 45, 0)]
+    for q, msg in [
+        ('FROM t | EVAL x = DATE_EXTRACT("era", ts2)',
+         "DATE_EXTRACT field 'era' unsupported"),
+        ("FROM t | EVAL x = DATE_EXTRACT(ts2)", "wants .field, date."),
+        ("FROM t | EVAL x = LOCATE(text)", "wants .string, substring."),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_esql(q, "duck")
