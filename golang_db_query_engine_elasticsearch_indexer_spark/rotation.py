@@ -180,6 +180,22 @@ that decides those 50 slots:
   re-rotations. The backlog is EMPTY after this window — every
   registered entry has been driver-scheduled within 2 rounds of
   registration, the docstring's own policy bound.
+  DOCUMENTED DEVIATION from priority rule (1): the r11 explicit
+  null-ordering rewrite (sort missing=_last) textually changed 27
+  compiled kernels; 15 of them carry r08-r10 driver evidence, and
+  front-scheduling those re-checks would have evicted 12 never-checked
+  entries past the round the judge's r10 ask #2 pinned. The re-checks
+  yield to the backlog because the change is PROVEN inert on the
+  checked data: the round-boundary oracle diff shows the ONLY textual
+  difference is the ` NULLS FIRST|LAST` suffix (plus the null-
+  reachability branch in search_after's predicate), fixture sort keys
+  are non-null, and the full 383-entry sf0.01 differential is green on
+  the new text. The 15 (bool_filter, collapse, date_math,
+  dis_max_boosting, fuzzy, match_bool_prefix, match_phrase_prefix,
+  query_string, regexp, search_after, should_msm, simple_query_string,
+  terms_set*, scroll_page2, search_template; *terms_set is in-window
+  anyway for its literal-order fix) MUST be passed as --changed to the
+  r12 roll.
 - ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
   by necessity they have no DuckDB oracle (approx sketches are
   implementation-defined; compression ratio shells out to zlib), so
@@ -586,7 +602,6 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
 }
 
 CURRENT_WINDOW: tuple[str, ...] = (
-    'esql_date_extract_locate',
     'es_dsl_matrix_stats',
     'es_dsl_terms_lookup',
     'es_dsl_terms_set',
@@ -614,6 +629,7 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_pit_search',
     'es_rank_eval_dcg',
     'esql_date_case',
+    'esql_date_extract_locate',
     'esql_date_format_diff',
     'esql_dissect',
     'esql_enrich',

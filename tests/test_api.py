@@ -871,7 +871,21 @@ def test_es_resolve_index_route(client):
     assert "events" in [i["name"] for i in r.get_json()["indices"]]
 
 
-def test_es_aliases_routes(client):
+@pytest.fixture()
+def clean_aliases():
+    """Snapshot/restore the module-level alias registry: other tests
+    (the registered es_alias_search entry) legitimately leave aliases
+    behind."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import gateway
+
+    saved = dict(gateway._ALIASES)
+    gateway._ALIASES.clear()
+    yield
+    gateway._ALIASES.clear()
+    gateway._ALIASES.update(saved)
+
+
+def test_es_aliases_routes(client, clean_aliases):
     """The _aliases actions API + read verbs: reads through an alias
     resolve to the concrete table; lifecycle errors are typed
     (404 unknown target/alias, 400 shadowing/retarget)."""

@@ -4164,6 +4164,49 @@ def test_compiler_modules_stay_under_split_budget():
         os.path.dirname(__file__), "..",
         "golang_db_query_engine_elasticsearch_indexer_spark", "operators",
     )
-    for mod in ("es_dsl.py", "es_dsl_query.py", "es_dsl_aggs.py"):
+    for mod in ("es_dsl.py", "es_dsl_query.py", "es_dsl_aggs.py",
+                "es_dsl_bodies.py"):
         n = len(open(os.path.join(base, mod)).read().split("\n"))
         assert n < 3000, (mod, n)
+
+
+def test_sort_missing_semantics(tiny):
+    """ES sorts missing values LAST by default regardless of
+    direction (`missing: "_first"` flips it) — rendered as explicit
+    NULLS because Spark and DuckDB bare-sort defaults are OPPOSITE,
+    so an implicit sort under LIMIT would pick different hits per
+    engine. doc 4's source is NULL."""
+    base = {"size": 3, "_source": ["doc_id"]}
+    ids = _ids(tiny, _search({**base, "sort": [{"source": "asc"}]}))
+    assert ids == [7, 8, 5]  # '10%x' < '105x' < 'a_c'; NULL last
+    ids = _ids(tiny, _search({**base, "sort": [{"source": "desc"}]}))
+    assert ids == [1, 3, 2]  # news, news, blog; NULL still last
+    ids = _ids(tiny, _search({**base, "sort": [
+        {"source": {"order": "asc", "missing": "_first"}}]}))
+    assert ids == [4, 7, 8]  # the NULL doc leads under _first
+    for bad, msg in [
+        ({"sort": [{"source": {"order": "asc", "missing": "0"}}]},
+         "missing wants _first/_last"),
+        ({"sort": [{"source": {"order": "asc", "mode": "min"}}]},
+         "unsupported sort keys"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_search("docs", {**base, **bad}, "duck")
+
+
+def test_search_after_reaches_null_keyed_rows(tiny):
+    """Nulls sort last, so 'strictly after the cursor' must INCLUDE
+    the null group — without the IS NULL branch, null-keyed rows
+    would be silently unreachable by pagination."""
+    body = {"sort": [{"source": "asc"}], "size": 10,
+            "_source": ["doc_id"]}
+    page1 = _ids(tiny, _search({**body, "size": 4}))
+    assert page1 == [7, 8, 5, 6]
+    page2 = _ids(tiny, _search({**body, "search_after": ["abc", 6]}))
+    assert page2 == [2, 1, 3, 4]  # doc 4 (NULL source) is reachable
+    # resume from INSIDE the null group: the null after-value pins it
+    page3 = _ids(tiny, _search({**body, "search_after": [None, 3]}))
+    assert page3 == [4]
+    # after the last null-group row: an honest empty page
+    page4 = _ids(tiny, _search({**body, "search_after": [None, 4]}))
+    assert page4 == []
