@@ -45,12 +45,12 @@ def _configure(spark: SparkSession) -> None:
 # bool context, and function_score-over-bool; the window holds 50,
 # so the 33 post-batch-19 registrations carried the r11 label), then
 # changed-kernel re-checks, then the oldest evidence first. The r11
-# roll front-schedules the 14 net-new r11 registrations (the ES|QL
+# roll front-schedules the 15 net-new r11 registrations (the ES|QL
 # function tier incl. per-agg WHERE and the pinned null-sort rule,
 # plus query-through-alias), the 3 round-boundary
 # changed-kernel re-checks (matrix_stats / terms_lookup / terms_set),
 # and the ENTIRE remaining never-checked backlog — which empties this
-# round — before 2 oldest-evidence (r04) re-rotations.
+# round — before 1 oldest-evidence (r04) re-rotation.
 # Everything out of window keeps regression coverage via the in-repo
 # sf0.01 differential gate (tests/test_oracle_queries.py) and the
 # recorded sf0.1 spot differentials (SCALE.md).

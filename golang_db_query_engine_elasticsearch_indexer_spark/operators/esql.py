@@ -80,7 +80,12 @@ FLOOR (pinned to DOUBLE: Spark returns BIGINT, DuckDB the input type),
 TO_DATETIME, SPLIT (literal separator — Spark's split() is a
 regex, so the compiler regex-escapes it), DATE_EXTRACT (Java
 ChronoField names, cast-pinned to BIGINT), LOCATE (instr: same
-argument order and 0-when-absent in both engines), and ENDS_WITH.
+argument order and 0-when-absent in both engines), ENDS_WITH, and
+BUCKET — the Kibana groupby idiom: time spans (count 1 via
+cast-pinned date_trunc; repeated FIXED-length spans on integer epoch
+micros) and the numeric (count, min, max) form picking the smallest
+1/2/5x10^k width within the bucket budget, zero-anchored, width
+literals pinned to DOUBLE.
 STATS BY accepts aliased expression keys (BY day = DATE_TRUNC("day",
 ts)); WHERE after STATS is HAVING via pipe nesting.
 
@@ -325,6 +330,110 @@ class _Expr:
             e = f"{e} {self.take()} {self.mul_expr()}"
         return e
 
+    # span units for the time form of BUCKET; fixed-length spans may
+    # repeat (6 hours), calendar units only with count 1 (via
+    # date_trunc — "3 months" has no fixed length)
+    _BUCKET_US = {
+        "minute": 60_000_000, "hour": 3_600_000_000,
+        "day": 86_400_000_000, "week": 7 * 86_400_000_000,
+    }
+    _BUCKET_TRUNC = {"minute", "hour", "day", "week", "month", "year"}
+
+    def _bucket(self) -> str:
+        """BUCKET(ts, 1 day) / BUCKET(ts, 6 hours) — the groupby-time
+        idiom every Kibana ES|QL chart uses — and the numeric form
+        BUCKET(x, count, min, max), which picks a human-friendly
+        width from the 1/2/5 x 10^k ladder (the SMALLEST nice width
+        producing <= count buckets over [min, max] — the finest
+        granularity within the budget, the histogram convention;
+        deterministic, literals required) with zero-anchored buckets.
+        Time spans: count 1 compiles to the cast-pinned date_trunc;
+        repeated FIXED-length spans bucket on integer epoch micros
+        (unix_micros/epoch_us agree exactly; fixture epochs are
+        positive, so Spark's trunc-div and DuckDB's floor-div agree)."""
+        first = self.or_expr()
+        if self.peek() != ",":
+            self._err(
+                "BUCKET wants (field, <count> <unit>) or "
+                "(field, count, min, max)"
+            )
+        self.take()
+        # raw-scan the remaining args: time spans ("1 day") are two
+        # adjacent tokens the expression grammar cannot parse
+        parts: list[list[str]] = [[]]
+        depth = 0
+        while True:
+            t = self.peek()
+            if t is None:
+                self._err("unterminated BUCKET(")
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                if depth == 0:
+                    self.take()
+                    break
+                depth -= 1
+            if t == "," and depth == 0:
+                self.take()
+                parts.append([])
+                continue
+            parts[-1].append(self.take())
+        if len(parts) == 1 and len(parts[0]) == 2:
+            n_tok, unit = parts[0]
+            if not re.fullmatch(r"\d+", n_tok):
+                self._err("BUCKET span wants <count> <unit>")
+            n, u = int(n_tok), unit.lower().rstrip("s")
+            if n == 1 and u in self._BUCKET_TRUNC:
+                return f"cast(date_trunc('{u}', {first}) AS TIMESTAMP)"
+            if u not in self._BUCKET_US:
+                self._err(
+                    f"BUCKET span unit {unit!r} unsupported for "
+                    "count > 1 (fixed-length minute/hour/day/week; "
+                    "calendar units only as 1 month / 1 year)"
+                )
+            span = n * self._BUCKET_US[u]
+            if self.dialect == "spark":
+                return (
+                    f"cast(timestamp_micros(unix_micros(cast({first}"
+                    f" AS timestamp_ltz)) div {span} * {span})"
+                    " AS TIMESTAMP)"
+                )
+            return (
+                f"make_timestamp(epoch_us({first})"
+                f" // {span} * {span})"
+            )
+        if len(parts) == 3 and all(len(p) == 1 for p in parts):
+            cnt, lo, hi = (p[0] for p in parts)
+            try:
+                cnt_i, lo_f, hi_f = int(cnt), float(lo), float(hi)
+            except ValueError:
+                self._err(
+                    "BUCKET numeric form wants literal "
+                    "(count, min, max)"
+                )
+            if cnt_i < 1 or not hi_f > lo_f:
+                self._err("BUCKET wants count >= 1 and max > min")
+            width = None
+            k = -12
+            while k < 14 and width is None:
+                for m in (1.0, 2.0, 5.0):
+                    w = m * (10.0 ** k)
+                    if (hi_f - lo_f) / w <= cnt_i:
+                        width = w
+                        break
+                k += 1
+            if width is None:
+                self._err("BUCKET range too wide for the width ladder")
+            # float-exact fold: both engines evaluate the identical
+            # literal arithmetic. The exponent spelling pins the
+            # literal to DOUBLE — a bare `20.0` is DECIMAL(3,1) in
+            # Spark but float in DuckDB (caught by the type tag)
+            return f"(floor({first} / {width!r}e0) * {width!r}e0)"
+        self._err(
+            "BUCKET wants (field, <count> <unit>) or "
+            "(field, count, min, max)"
+        )
+
     def mul_expr(self) -> str:
         e = self.atom()
         while self.peek() in ("*", "/", "%"):
@@ -376,6 +485,8 @@ class _Expr:
     def call(self, name: str) -> str:
         up = name.upper()
         self.expect("(")
+        if up == "BUCKET":
+            return self._bucket()
         if up == "COUNT" and self.peek() == "*":
             self.take()
             self.expect(")")
@@ -1469,6 +1580,12 @@ ESQL_DATE_EXTRACT_LOCATE = """FROM events
   | SORT h
   | LIMIT 24"""
 
+ESQL_BUCKET = """FROM events
+  | STATS n = COUNT(*), v = ROUND(AVG(value), 4)
+          BY span = BUCKET(ts, 6 hours), vb = BUCKET(value, 5, 0, 100)
+  | SORT span, vb
+  | LIMIT 40"""
+
 
 def registry() -> dict[str, dict]:
     def entry(q: str):
@@ -1561,5 +1678,9 @@ def registry() -> dict[str, dict]:
         "esql_date_extract_locate": {
             "fn": entry(ESQL_DATE_EXTRACT_LOCATE),
             "oracle": compile_esql(ESQL_DATE_EXTRACT_LOCATE, "duck"),
+        },
+        "esql_bucket": {
+            "fn": entry(ESQL_BUCKET),
+            "oracle": compile_esql(ESQL_BUCKET, "duck"),
         },
     }

@@ -154,7 +154,7 @@ that decides those 50 slots:
   re-rotation bounds every entry's evidence age at ~6 rounds.
 - r11 (CURRENT_WINDOW below): the mechanical roll
   (tools/roll_rotation.py r11 --changed ...) front-schedules, in
-  policy order: the 14 net-new r11 registrations (es_alias_search —
+  policy order: the 15 net-new r11 registrations (es_alias_search —
   query-through-alias over the new _aliases registry; esql_percentile
   / date_format_diff / mv_stats / enrich / multi_index — the ES|QL
   function tier + the two source-side idioms; esql_stats_where —
@@ -166,7 +166,8 @@ that decides those 50 slots:
   ROW inline relation; es_mtermvectors — the multi-doc term-vector
   verb as ONE id-pushdown statement; esql_from_metadata — METADATA
   _index over single and multi-index FROM; esql_date_extract_locate —
-  DATE_EXTRACT/LOCATE/ENDS_WITH), the 3 changed-kernel
+  DATE_EXTRACT/LOCATE/ENDS_WITH; esql_bucket — BUCKET time spans +
+  nice-width numeric buckets), the 3 changed-kernel
   re-checks from
   the round-boundary oracle diff (es_dsl_matrix_stats — product
   operands now dialect-exact DECIMAL(18/19,6) after the ADVICE r10
@@ -176,7 +177,7 @@ that decides those 50 slots:
   never-checked backlog (31 entries: the r10 post-batch-19
   registrations — their compiled SORT clauses also changed this round
   when the explicit null ordering landed, so their first driver check
-  runs against the current kernel), then 2 oldest-evidence (r04)
+  runs against the current kernel), then 1 oldest-evidence (r04)
   re-rotations. The backlog is EMPTY after this window — every
   registered entry has been driver-scheduled within 2 rounds of
   registration, the docstring's own policy bound.
@@ -258,7 +259,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'dedup_cluster_size_stats': (7, 'integer-exact', None),
     'dedup_components': (5, 'verified', None),
     'dedup_containment': (7, 'integer-exact', None),
-    'dedup_exact': (4, 'verified', 'r11'),
+    'dedup_exact': (4, 'verified', None),
     'dedup_image_phash': (7, 'integer-exact', None),
     'dedup_incremental_batch': (7, 'integer-exact', None),
     'dedup_keep_best': (5, 'verified', None),
@@ -395,6 +396,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_search_template': (10, 'unclassified', None),
     'es_terms_enum': (10, 'unclassified', None),
     'es_termvectors': (10, 'unclassified', None),
+    'esql_bucket': (None, 'unclassified', 'r11'),
     'esql_date_case': (None, 'unclassified', 'r11'),
     'esql_date_extract_locate': (None, 'unclassified', 'r11'),
     'esql_date_format_diff': (None, 'unclassified', 'r11'),
@@ -602,6 +604,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
 }
 
 CURRENT_WINDOW: tuple[str, ...] = (
+    'esql_bucket',
     'es_dsl_matrix_stats',
     'es_dsl_terms_lookup',
     'es_dsl_terms_set',
@@ -651,7 +654,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'esql_stats_where',
     'stream_percolate_alerts',
     'decontam_benchmark_overlap',
-    'dedup_exact',
 )
 
 def scheduled(window: str) -> list[str]:

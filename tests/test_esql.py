@@ -562,3 +562,58 @@ def test_date_extract_locate_ends_with(tiny):
     ]:
         with pytest.raises(ValueError, match=msg):
             compile_esql(q, "duck")
+
+
+def test_bucket_time_and_numeric(tiny):
+    tiny.execute("CREATE TABLE ev2 AS SELECT * FROM (VALUES"
+                 " (1, TIMESTAMP '2024-03-05 02:10:00', 12.0),"
+                 " (2, TIMESTAMP '2024-03-05 07:59:00', 37.0),"
+                 " (3, TIMESTAMP '2024-03-05 13:00:00', 61.0),"
+                 " (4, TIMESTAMP '2024-03-06 01:00:00', 99.0)"
+                 ") AS x(id, ts, v)")
+    rows = _rows(tiny, """FROM ev2
+      | EVAL day = BUCKET(ts, 1 day), six = BUCKET(ts, 6 hours),
+             vb = BUCKET(v, 5, 0, 100)
+      | KEEP id, day, six, vb
+      | SORT id""")
+    assert [str(r[1])[:10] for r in rows] == ["2024-03-05"] * 3 + [
+        "2024-03-06"]
+    assert [str(r[2])[11:16] for r in rows] == [
+        "00:00", "06:00", "12:00", "00:00"]
+    # width ladder picks 20 for (5, 0, 100); zero-anchored buckets
+    assert [r[3] for r in rows] == [0.0, 20.0, 60.0, 80.0]
+    for q, msg in [
+        ("FROM ev2 | EVAL b = BUCKET(ts, 3 months)",
+         "unsupported for count > 1"),
+        ("FROM ev2 | EVAL b = BUCKET(v, 0, 0, 100)",
+         "count >= 1 and max > min"),
+        ("FROM ev2 | EVAL b = BUCKET(v, 5, a, 100)",
+         "literal .count, min, max."),
+        ("FROM ev2 | EVAL b = BUCKET(v)", "BUCKET wants"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_esql(q, "duck")
+
+
+def test_bucket_cross_engine(spark, tiny):
+    """Repeated fixed spans bucket on integer epoch micros — the two
+    engines must emit identical timestamps and numeric buckets."""
+    tiny.execute("CREATE TABLE ev3 AS SELECT * FROM (VALUES"
+                 " (1, TIMESTAMP '2024-03-05 02:10:00', 12.5),"
+                 " (2, TIMESTAMP '2024-03-05 22:59:00', 87.5)"
+                 ") AS x(id, ts, v)")
+    spark.createDataFrame(
+        [(1, "2024-03-05 02:10:00", 12.5), (2, "2024-03-05 22:59:00", 87.5)],
+        "id bigint, ts_s string, v double",
+    ).selectExpr("id", "cast(ts_s AS timestamp) AS ts", "v") \
+        .createOrReplaceTempView("ev3")
+    q = """FROM ev3
+      | EVAL six = BUCKET(ts, 6 hours), vb = BUCKET(v, 10, 0, 100)
+      | KEEP id, six, vb
+      | SORT id"""
+    duck_rows = [(r[0], str(r[1]), r[2]) for r in
+                 tiny.execute(compile_esql(q, "duck")).fetchall()]
+    spark_rows = [(r[0], str(r[1]), r[2]) for r in
+                  spark.sql(compile_esql(q, "spark")).collect()]
+    assert duck_rows == spark_rows
+    spark.catalog.dropTempView("ev3")
