@@ -617,3 +617,23 @@ def test_bucket_cross_engine(spark, tiny):
                   spark.sql(compile_esql(q, "spark")).collect()]
     assert duck_rows == spark_rows
     spark.catalog.dropTempView("ev3")
+
+
+def test_table_columns_match_fixture_schemas():
+    """_TABLE_COLUMNS is the compile-time schema for multi-index
+    FROM's missing-column-as-NULL projection; if the fixture parquet
+    schema drifts, the union would silently project wrong columns —
+    pin it to the real files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (
+        _TABLE_COLUMNS,
+    )
+    from tests.conftest import SF_DIR
+
+    for t, cols in _TABLE_COLUMNS.items():
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        actual = [f.name for f in pq.read_schema(path)]
+        assert actual == cols, (t, actual, cols)
