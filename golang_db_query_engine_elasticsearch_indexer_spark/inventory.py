@@ -2566,20 +2566,43 @@ _q(
 )
 
 # Approximate aggregation (SURVEY.md §2.B "Approximate agg" — free
-# upgrades over the reference surface). Sketch results are
-# engine-specific (Spark HLL++ / GK-quantile vs DuckDB's sketches), so
-# there is no exact cross-engine oracle: rows-only check, by design.
+# upgrades over the reference surface). Sketch INTERNALS are
+# engine-specific (Spark HLL++ / GK-quantile vs DuckDB's sketches),
+# so the raw sketch outputs have no cross-engine oracle; instead the
+# plan emits the exact values PLUS in-plan error-bound booleans —
+# |approx - exact| within the documented epsilon, both computed in
+# the SAME aggregation — so the output is deterministic and the
+# DuckDB differential verifies the exact tier and that the sketches
+# meet their bounds (VERDICT r11 ask #4; formerly rows-only).
+# Epsilons: HLL++ default rsd is 0.05 — 0.15 is 3 sigma; Spark's
+# percentile_approx at the default accuracy (10000) is well inside
+# 5% of the exact interpolated median on any non-degenerate group.
 _q(
     "agg_approx_sketches",
     """
     SELECT l_returnflag,
-           approx_count_distinct(l_orderkey)              AS approx_orders,
-           round(percentile_approx(l_extendedprice, 0.5), 2) AS approx_median_price
+           count(DISTINCT l_orderkey) AS exact_orders,
+           cast(abs(approx_count_distinct(l_orderkey)
+                    - count(DISTINCT l_orderkey))
+                <= 0.15 * count(DISTINCT l_orderkey)
+                AS boolean) AS orders_within_eps,
+           cast(abs(percentile_approx(l_extendedprice, 0.5)
+                    - percentile(l_extendedprice, 0.5))
+                <= 0.05 * percentile(l_extendedprice, 0.5)
+                AS boolean) AS median_within_eps
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    no_oracle=True,
+    oracle="""
+    SELECT l_returnflag,
+           cast(count(DISTINCT l_orderkey) AS bigint) AS exact_orders,
+           TRUE AS orders_within_eps,
+           TRUE AS median_within_eps
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
 )
 
 

@@ -1230,3 +1230,21 @@ ALIAS_SEARCH_BODY = {
     "size": 60,
     "_source": ["doc_id", "lang", "n_chars"],
 }
+
+ALIAS_MULTI_BODY = {
+    # a search addressed at a MULTI-TARGET alias (customer+supplier):
+    # the union carries every column with missing-as-NULL, so a
+    # per-index field (c_acctbal / s_acctbal) filters only its own
+    # index's rows — the real ES multi-index alias read shape
+    # (VERDICT r11 ask #3). Sorting uses missing=_last so rows from
+    # the index lacking the sort field order deterministically.
+    "query": {"bool": {"should": [
+        {"range": {"c_acctbal": {"gte": 9000}}},
+        {"range": {"s_acctbal": {"gte": 9000}}},
+    ], "minimum_should_match": 1}},
+    "sort": [{"c_custkey": {"order": "asc", "missing": "_last"}},
+             {"s_suppkey": {"order": "asc", "missing": "_last"}}],
+    "size": 10000,
+    "_source": ["c_custkey", "c_name", "c_acctbal",
+                "s_suppkey", "s_name", "s_acctbal"],
+}

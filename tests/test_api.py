@@ -336,10 +336,10 @@ def test_rotation_schedule_invariants():
     assert len(CURRENT_WINDOW) == 50
     assert list(qs)[:50] == list(CURRENT_WINDOW)
     # every windowed entry carries a DuckDB oracle EXCEPT the
-    # rows-only-by-necessity pair (rotation.py docstring documents
+    # rows-only-by-necessity entry (rotation.py docstring documents
     # their expected driver row shape)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"agg_approx_sketches", "text_compression_ratio"}
+    assert rows_only == {"text_compression_ratio"}
     assert all(
         name in os_ or name in rows_only for name in CURRENT_WINDOW
     )
@@ -792,6 +792,20 @@ def test_es_reindex_route(client):
     r2 = client.get("/docs_en_copy/_doc/3")
     if r2.status_code == 200:  # id 3 may not be among the 25 en docs
         assert r2.get_json()["_source"]["lang"] == "en"
+    # the source accepts an ALIAS like every other verb (ADVICE r11)
+    assert client.post("/_aliases", json={"actions": [
+        {"add": {"index": "documents", "alias": "reix_alias_t"}},
+    ]}).status_code == 200
+    r = client.post("/_reindex", json={
+        "source": {"index": "reix_alias_t",
+                   "query": {"term": {"lang": "en"}}},
+        "dest": {"index": "docs_en_copy2"},
+        "max_docs": 5,
+    })
+    assert r.status_code == 200 and r.get_json()["created"] == 5
+    assert client.post("/_aliases", json={"actions": [
+        {"remove": {"index": "documents", "alias": "reix_alias_t"}},
+    ]}).status_code == 200
     # malformed: dest missing
     r = client.post("/_reindex", json={"source": {"index": "documents"}})
     assert r.status_code == 400
@@ -888,7 +902,7 @@ def clean_aliases():
 def test_es_aliases_routes(client, clean_aliases):
     """The _aliases actions API + read verbs: reads through an alias
     resolve to the concrete table; lifecycle errors are typed
-    (404 unknown target/alias, 400 shadowing/retarget)."""
+    (404 unknown target/alias, 400 shadowing/chaining)."""
     r = client.post("/_aliases", json={"actions": [
         {"add": {"index": "documents", "alias": "docs_alias_t"}},
     ]})
@@ -915,12 +929,23 @@ def test_es_aliases_routes(client, clean_aliases):
         {"add": {"index": "documents", "alias": "orders"}}]}
     ).status_code == 400  # would shadow a real index
     assert client.post("/_aliases", json={"actions": [
-        {"add": {"index": "orders", "alias": "docs_alias_t"}}]}
-    ).status_code == 400  # retarget without remove
-    assert client.post("/_aliases", json={"actions": [
         {"remove": {"index": "orders", "alias": "docs_alias_t"}}]}
     ).status_code == 404  # remove names the wrong target
-    # atomic remove+add retargets in ONE call
+    # adding a SECOND index WIDENS the alias (real ES multi-index
+    # semantics — r11's retarget-requires-remove rule applied only
+    # while multi-target aliases were unsupported)
+    assert client.post("/_aliases", json={"actions": [
+        {"add": {"index": "orders", "alias": "docs_alias_t"}}]}
+    ).status_code == 200
+    assert client.get("/_cat/aliases").get_json() == [
+        {"alias": "docs_alias_t", "index": "documents"},
+        {"alias": "docs_alias_t", "index": "orders"}]
+    # single-index verbs reject a multi-target alias, typed 400
+    assert client.get("/docs_alias_t/_mapping").status_code == 400
+    # narrow back, then atomic remove+add retargets in ONE call
+    assert client.post("/_aliases", json={"actions": [
+        {"remove": {"index": "orders", "alias": "docs_alias_t"}}]}
+    ).status_code == 200
     r = client.post("/_aliases", json={"actions": [
         {"remove": {"index": "documents", "alias": "docs_alias_t"}},
         {"add": {"index": "orders", "alias": "docs_alias_t"}},
@@ -936,11 +961,59 @@ def test_es_aliases_routes(client, clean_aliases):
     assert r.status_code == 404
     assert client.get("/_cat/aliases").get_json() == [
         {"alias": "docs_alias_t", "index": "orders"}]
+    # two adds of the same alias in ONE call widen it — neither is
+    # silently dropped (ADVICE r11)
+    r = client.post("/_aliases", json={"actions": [
+        {"add": {"index": "documents", "alias": "docs_alias_t"}},
+        {"add": {"index": "events", "alias": "docs_alias_t"}},
+    ]})
+    assert r.status_code == 200
+    assert client.get("/_cat/aliases").get_json() == [
+        {"alias": "docs_alias_t", "index": "orders"},
+        {"alias": "docs_alias_t", "index": "documents"},
+        {"alias": "docs_alias_t", "index": "events"}]
     # cleanup (module-level registry persists across tests)
     assert client.post("/_aliases", json={"actions": [
         {"remove": {"index": "orders", "alias": "docs_alias_t"}},
+        {"remove": {"index": "documents", "alias": "docs_alias_t"}},
+        {"remove": {"index": "events", "alias": "docs_alias_t"}},
     ]}).status_code == 200
     assert client.get("/_cat/aliases").get_json() == []
+
+
+def test_es_alias_multi_target_search(client, clean_aliases):
+    """A multi-target alias searches/counts as the missing-column-as-
+    NULL UNION ALL of its targets (VERDICT r11 ask #3): count ==
+    sum of per-index counts; a field present in only one index
+    matches only that index's rows; stale targets 404."""
+    assert client.post("/_aliases", json={"actions": [
+        {"add": {"index": "customer", "alias": "parties_t"}},
+        {"add": {"index": "supplier", "alias": "parties_t"}},
+    ]}).status_code == 200
+    n_alias = client.post("/parties_t/_count", json={}).get_json()
+    n_c = client.post("/customer/_count", json={}).get_json()
+    n_s = client.post("/supplier/_count", json={}).get_json()
+    assert n_alias["count"] == n_c["count"] + n_s["count"]
+    # a customer-only field: supplier rows carry NULL and never match
+    body = {"query": {"range": {"c_acctbal": {"gte": 0}}}, "size": 0}
+    via = client.post("/parties_t/_count", json=body).get_json()
+    direct = client.post("/customer/_count", json=body).get_json()
+    assert via == direct
+    # HEAD: exists iff every target exists
+    assert client.head("/parties_t").status_code == 200
+    # search returns rows from BOTH indices
+    r = client.post("/parties_t/_search", json={
+        "query": {"bool": {"should": [
+            {"exists": {"field": "c_custkey"}},
+            {"exists": {"field": "s_suppkey"}},
+        ], "minimum_should_match": 1}},
+        "size": 10000,
+    })
+    assert r.status_code == 200
+    hits = r.get_json()["data"]
+    assert any(h.get("c_custkey") is not None for h in hits)
+    assert any(h.get("s_suppkey") is not None for h in hits)
+    assert len(hits) == n_alias["count"]
 
 
 def test_es_mtermvectors_route(client):
@@ -965,3 +1038,77 @@ def test_es_mtermvectors_route(client):
         "ids": [], "fields": ["text"]}).status_code == 400
     assert client.post("/documents/_mtermvectors", json={
         "ids": [1], "fields": ["a", "b"]}).status_code == 400
+
+
+def test_termvectors_found_is_existence_not_tokens(spark, clean_aliases):
+    """found reflects document EXISTENCE (ADVICE r11): a doc whose
+    analyzed field yields zero tokens is found=true with empty
+    term_vectors; a genuinely missing id stays found=false. The
+    envelope echoes the CONCRETE index when addressed via alias."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (
+        es_mtermvectors,
+        es_termvectors,
+        es_update_aliases,
+    )
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, None)],
+        "id bigint, body string",
+    ).createOrReplaceTempView("tv_docs_t")
+    out = es_mtermvectors(spark, "tv_docs_t", {
+        "ids": [1, 2, 3, 4], "fields": ["body"]}, id_field="id")
+    by_id = {d["_id"]: d for d in out["docs"]}
+    assert by_id["1"]["found"] and by_id["1"]["term_vectors"]["body"]["terms"]
+    # empty / NULL text: found=true, empty terms (the ES shape)
+    assert by_id["2"]["found"]
+    assert by_id["2"]["term_vectors"] == {"body": {"terms": {}}}
+    assert by_id["3"]["found"]
+    assert not by_id["4"]["found"] and by_id["4"]["term_vectors"] == {}
+    # via an alias, _index echoes the concrete index
+    es_update_aliases(spark, {"actions": [
+        {"add": {"index": "tv_docs_t", "alias": "tv_alias_t"}}]})
+    out = es_mtermvectors(spark, "tv_alias_t", {
+        "ids": [2], "fields": ["body"]}, id_field="id")
+    assert out["docs"][0]["_index"] == "tv_docs_t"
+    one = es_termvectors(spark, "tv_alias_t", 2, "body", id_field="id")
+    assert one["found"] and one["_index"] == "tv_docs_t"
+    assert one["term_vectors"]["body"]["terms"] == {}
+    es_update_aliases(spark, {"actions": [
+        {"remove": {"index": "tv_docs_t", "alias": "tv_alias_t"}}]})
+    spark.catalog.dropTempView("tv_docs_t")
+
+
+def test_alias_resolution_covers_template_and_reindex(spark, clean_aliases):
+    """ADVICE r11: _search/template and the _reindex source accept an
+    alias like every other index-addressed verb; a STALE alias (target
+    dropped) raises the typed 404, not an AnalysisException."""
+    import pytest as _pytest
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
+        NotFoundError,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (
+        es_search_df,
+        es_search_template_df,
+        es_update_aliases,
+    )
+
+    es_update_aliases(spark, {"actions": [
+        {"add": {"index": "documents", "alias": "tmpl_alias_t"}}]})
+    df = es_search_template_df(spark, "tmpl_alias_t", {
+        "source": {"query": {"term": {"lang": "{{l}}"}}, "size": 5},
+        "params": {"l": "en"},
+    })
+    assert df.count() == 5
+    # stale alias: target view dropped out from under it -> typed 404
+    spark.createDataFrame([(1,)], "id bigint") \
+        .createOrReplaceTempView("ephemeral_t")
+    es_update_aliases(spark, {"actions": [
+        {"add": {"index": "ephemeral_t", "alias": "stale_alias_t"}}]})
+    spark.catalog.dropTempView("ephemeral_t")
+    with _pytest.raises(NotFoundError):
+        es_search_df(spark, "stale_alias_t", {})
+    # cleanup: the target is gone, but remove still works
+    es_update_aliases(spark, {"actions": [
+        {"remove": {"index": "ephemeral_t", "alias": "stale_alias_t"}},
+        {"remove": {"index": "documents", "alias": "tmpl_alias_t"}}]})

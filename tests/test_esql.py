@@ -582,6 +582,18 @@ def test_bucket_time_and_numeric(tiny):
         "00:00", "06:00", "12:00", "00:00"]
     # width ladder picks 20 for (5, 0, 100); zero-anchored buckets
     assert [r[3] for r in rows] == [0.0, 20.0, 60.0, 80.0]
+    # widths < 1e-4 repr in scientific notation; the literal must
+    # stay a valid DOUBLE in both dialects (ADVICE r11: '1e-05e0'
+    # was a syntax error)
+    for dialect in ("duck", "spark"):
+        tiny_sql = compile_esql(
+            "FROM ev2 | EVAL b = BUCKET(v, 100, 0, 0.001) | KEEP id, b"
+            " | SORT id", dialect)
+        assert "e0e" not in tiny_sql and "1e-05" in tiny_sql
+    tiny_rows = _rows(
+        tiny, "FROM ev2 | EVAL b = BUCKET(v, 100, 0, 0.001)"
+        " | KEEP id, b | SORT id | LIMIT 1")
+    assert abs(tiny_rows[0][1] - 12.0) < 1e-5  # bucket of v=12.0
     for q, msg in [
         ("FROM ev2 | EVAL b = BUCKET(ts, 3 months)",
          "unsupported for count > 1"),
@@ -617,6 +629,60 @@ def test_bucket_cross_engine(spark, tiny):
                   spark.sql(compile_esql(q, "spark")).collect()]
     assert duck_rows == spark_rows
     spark.catalog.dropTempView("ev3")
+
+
+def test_sample_deterministic(tiny):
+    """SAMPLE <prob> ON <field> [<seed>] — the documented
+    deterministic deviation: same seed -> same rows (reproducible
+    across engines/retries); different seed -> (almost surely) a
+    different subset; the bare spec rand() form is rejected loudly."""
+    tiny.execute("CREATE TABLE many AS SELECT range AS id, "
+                 "range * 1.5 AS val FROM range(1000)")
+    a1 = _rows(tiny, "FROM many | SAMPLE 0.3 ON id 5 | SORT id")
+    a2 = _rows(tiny, "FROM many | SAMPLE 0.3 ON id 5 | SORT id")
+    assert a1 == a2 and 0 < len(a1) < 1000
+    # the rate lands near the probability (md5 is uniform)
+    assert 200 < len(a1) < 400
+    b = _rows(tiny, "FROM many | SAMPLE 0.3 ON id 6 | SORT id")
+    assert b != a1
+    # seedless form defaults seed=0 and still works
+    c = _rows(tiny, "FROM many | SAMPLE 0.3 ON id | SORT id")
+    assert 200 < len(c) < 400
+    for q, msg in [
+        ("FROM many | SAMPLE 0.3", "keying field is required"),
+        ("FROM many | SAMPLE 1.5 ON id", r"\(0, 1\) exclusive"),
+        ("FROM many | SAMPLE x ON id", "must be a number"),
+        ("FROM many | SAMPLE 0.3 ON id 1 2", "wants <prob> ON"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_esql(q, "duck")
+
+
+def test_change_point_mean_shift(tiny):
+    """CHANGE_POINT locates the deterministic mean-shift argmax: a
+    series flat at 10 then flat at 50 must flag the first row of the
+    new regime; every other row carries NULLs (the ES pass-through
+    shape); AS renames the output pair."""
+    tiny.execute(
+        "CREATE TABLE series AS SELECT range AS k, "
+        "CASE WHEN range < 6 THEN 10.0 ELSE 50.0 END AS v "
+        "FROM range(10)")
+    rows = _rows(tiny, "FROM series | CHANGE_POINT v ON k | SORT k")
+    flagged = [r for r in rows if r[2] is not None]
+    assert len(rows) == 10 and len(flagged) == 1
+    assert flagged[0][0] == 6 and flagged[0][2] == "step_change"
+    assert 0 < flagged[0][3] < 1
+    # AS renames; pipeline composes afterwards
+    rows = _rows(tiny, """FROM series
+      | CHANGE_POINT v ON k AS ct, cs
+      | WHERE ct IS NOT NULL | KEEP k, ct, cs""")
+    assert rows == [(6, "step_change", rows[0][2])]
+    for q, msg in [
+        ("FROM series | CHANGE_POINT v", "wants <value> ON <key>"),
+        ("FROM series | CHANGE_POINT v ON k AS a", "AS wants"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_esql(q, "duck")
 
 
 def test_table_columns_match_fixture_schemas():

@@ -85,24 +85,23 @@ def test_entry_smoke(spark, oracle_tables, sf_dir):
 
 
 def test_approx_sketches_within_tolerance(spark, oracle_tables, duck_oracle):
-    """The one no-oracle entry (engine-specific HLL/GK sketches) gets a
-    bounded local check instead of none: each approximate value must sit
-    within 10% of the exact answer DuckDB computes — so the entry is
-    'approximately verified', not merely 'runs'."""
+    """The sketch entry emits in-plan error-bound booleans (VERDICT
+    r11 ask #4): the exact tier must match DuckDB and every bound
+    boolean must be TRUE — i.e. the HLL++/GK sketches actually sit
+    inside their documented epsilon, verified per group."""
     rows = {r.l_returnflag: r for r in ALL["agg_approx_sketches"](spark, oracle_tables).collect()}
     exact = duck_oracle.execute(
         """
-        SELECT l_returnflag,
-               count(DISTINCT l_orderkey) AS n,
-               median(l_extendedprice) AS med
+        SELECT l_returnflag, count(DISTINCT l_orderkey) AS n
         FROM lineitem GROUP BY l_returnflag
         """
     ).fetchall()
     assert len(rows) == len(exact) > 0
-    for flag, n, med in exact:
+    for flag, n in exact:
         got = rows[flag]
-        assert abs(got.approx_orders - n) <= 0.1 * n, (flag, got.approx_orders, n)
-        assert abs(float(got.approx_median_price) - float(med)) <= 0.1 * float(med)
+        assert got.exact_orders == n, (flag, got.exact_orders, n)
+        assert got.orders_within_eps is True
+        assert got.median_within_eps is True
 
 
 def test_priority_window_contract():
@@ -110,7 +109,7 @@ def test_priority_window_contract():
     that bit round 3): every _PRIORITY name must exist in the registry
     (a typo would silently drop the entry from the window), the window
     must be exactly 50 deep, and every window slot must carry a full
-    hash oracle — EXCEPT the two rows-only-by-necessity entries
+    hash oracle — EXCEPT the rows-only-by-necessity entry
     (rotation.py policy: r08 deliberately schedules them so the driver
     records their rows-only pass; their expected row shape is
     documented in the rotation docstring)."""
@@ -119,7 +118,7 @@ def test_priority_window_contract():
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     assert len(entrymod._PRIORITY) == 50
     window = list(ALL)[:50]
-    rows_only_ok = {"agg_approx_sketches", "text_compression_ratio"}
+    rows_only_ok = {"text_compression_ratio"}
     assert set(n for n in window if n not in ORACLES) <= rows_only_ok
 
 

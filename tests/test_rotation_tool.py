@@ -420,8 +420,17 @@ def test_r11_window_matches_live_roll():
     # (1) the window IS the driver's first-50 slice of queries()
     assert names[:50] == w
     # (2) the whole no-evidence backlog (net-new + never-checked)
-    # fits and leads, with the changed-kernel re-checks
-    backlog = [n for n in names if not ev.get(n)]
+    # fits and leads, with the changed-kernel re-checks. Entries
+    # registered AFTER the r11 freeze carry a later window label in
+    # the table (the post-freeze rule) and are not part of the r11
+    # backlog.
+    post_freeze = {
+        n for n, (_e, _risk, sched) in r.ROTATION.items()
+        if sched is not None and sched > "r11"
+    }
+    backlog = [
+        n for n in names if not ev.get(n) and n not in post_freeze
+    ]
     assert set(backlog) <= set(w)
     taken = set(backlog) | set(_CHANGED_R11)
     assert set(w[: len(taken)]) == taken

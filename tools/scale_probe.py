@@ -170,7 +170,34 @@ def kernels() -> dict:
         # super-linear term would mean the nested-SELECT stages
         # stopped collapsing in Catalyst.
         "esql_pipeline": _esql_pipeline_sql(),
+        # r12 (VERDICT r11 ask #6): the two unprobed plan families.
+        # INLINESTATS compiles to window functions PARTITIONED BY the
+        # group keys — with ~5 langs the per-partition sort grows
+        # k-fold, the worst case for a windowed plan (a super-linear
+        # term here would mean the window sort is the bottleneck, and
+        # real deployments should add finer partition keys).
+        # multi_from is the missing-column-as-NULL UNION ALL: two
+        # scans + one partial agg — it should scale like agg_scan_q1;
+        # a super-linear term would mean the union blocks pushdown.
+        "esql_inlinestats": _esql_sql("ESQL_INLINESTATS"),
+        "esql_multi_from": _esql_sql("_MULTI_FROM_PROBE"),
     }
+
+
+_MULTI_FROM_PROBE = """FROM documents, events METADATA _index
+  | STATS n = COUNT(*), chars = SUM(n_chars), val = SUM(value) BY _index
+  | SORT _index"""
+
+
+def _esql_sql(name: str) -> str:
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
+        esql,
+    )
+
+    q = _MULTI_FROM_PROBE if name == "_MULTI_FROM_PROBE" else getattr(
+        esql, name
+    )
+    return esql.compile_esql(q, "spark")
 
 
 def _esql_pipeline_sql() -> str:
