@@ -45,12 +45,16 @@ def _configure(spark: SparkSession) -> None:
 # bool context, and function_score-over-bool; the window holds 50,
 # so the 33 post-batch-19 registrations carried the r11 label), then
 # changed-kernel re-checks, then the oldest evidence first. The r11
-# roll front-schedules the 15 net-new r11 registrations (the ES|QL
-# function tier incl. per-agg WHERE and the pinned null-sort rule,
-# plus query-through-alias), the 3 round-boundary
-# changed-kernel re-checks (matrix_stats / terms_lookup / terms_set),
-# and the ENTIRE remaining never-checked backlog — which empties this
-# round — before 1 oldest-evidence (r04) re-rotation.
+# roll front-scheduled the 15 net-new r11 registrations, the 3
+# round-boundary changed-kernel re-checks, and the ENTIRE remaining
+# never-checked backlog — which emptied that round. The r12 roll
+# (backlog empty) front-schedules the 18 changed-kernel re-checks
+# (the 15 null-ordering-touched kernels the r11 docstring carried +
+# the termvectors pair + the rewritten agg_approx_sketches), the 4
+# net-new r12 registrations (multi-target alias search, deterministic
+# SAMPLE / CHANGE_POINT, the TOP/VALUES/WEIGHTED_AVG tier), then 28
+# oldest-evidence re-rotations draining the r04/r05 tier (VERDICT r11
+# ask #1).
 # Everything out of window keeps regression coverage via the in-repo
 # sf0.01 differential gate (tests/test_oracle_queries.py) and the
 # recorded sf0.1 spot differentials (SCALE.md).

@@ -24,10 +24,17 @@ Processing commands, applied in pipe order:
 - EVAL name = <expr> [, name = <expr>]...
 - STATS [name =] AGG(expr) [, ...] [BY key [, key]...]
   with COUNT(*) / COUNT / COUNT_DISTINCT / SUM / AVG / MIN / MAX /
-  MEDIAN / PERCENTILE(x, p) — SUM/AVG go through the engine's
+  MEDIAN / PERCENTILE(x, p) / WEIGHTED_AVG(v, w) / TOP(x, k, order) /
+  VALUES(x) — SUM/AVG go through the engine's
   exact-DECIMAL quantize discipline so partial-aggregation order
   can't flip a bit; PERCENTILE is the exact interpolated quantile
-  (ES's own is TDigest-approximate), quantized like MEDIAN; each
+  (ES's own is TDigest-approximate), quantized like MEDIAN;
+  WEIGHTED_AVG forms its products over the matrix_stats per-dialect
+  exact-decimal widths; TOP returns the ordered top-k VALUES as a
+  multivalue (NULLs dropped, the ES missing rule); VALUES returns
+  the distinct values pinned to sorted-ascending (ES documents no
+  order — the MV_DEDUPE pinning precedent) so the output is
+  deterministic and oracle-checkable; each
   aggregate takes an optional per-aggregate `WHERE cond` (ES 8.13),
   compiled as a CASE wrap of the aggregate's argument
 - SORT field [ASC|DESC] [NULLS FIRST|LAST] [, ...] — the null
@@ -52,6 +59,18 @@ Processing commands, applied in pipe order:
 - MV_EXPAND col — explode a multivalued column
 - INLINESTATS name = AGG(expr) [BY keys] — aggregates WITHOUT
   collapsing, as PARTITION BY window functions
+- SAMPLE <prob> ON <field> [<seed>] — DETERMINISTIC documented
+  deviation (keyed md5-uniform coin flip; the spec's bare rand()
+  form raises loudly — see the command comment)
+- CHANGE_POINT <value> ON <key> [AS type, pvalue] — DETERMINISTIC
+  documented deviation (mean-shift locator over DECIMAL prefix sums
+  where ES runs an ML test; pass-through rows, ES output shape;
+  input contract: an already-aggregated series)
+- FORK (branch) (branch) ... — 2..8 sub-pipelines over the current
+  table, concatenated with the _fork discriminator ('fork1'..),
+  compiled by textual recursion into ONE UNION ALL (branches must
+  end with the same column set — stricter than ES's NULL-padding,
+  loud at analysis)
 
 Expression grammar (shared by WHERE/EVAL/STATS/SORT):
 identifiers (dotted names raise here — ES|QL flattens objects at
@@ -143,6 +162,7 @@ _CONVERSIONS = {
 _TRUNC_UNITS = {"minute", "hour", "day", "week", "month", "year"}
 
 _AGGS = {"COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX", "MEDIAN",
+         "VALUES", "TOP", "WEIGHTED_AVG",
          "PERCENTILE"}
 
 # DATE_DIFF fixed-length units -> microseconds. Calendar units
@@ -531,6 +551,72 @@ class _Expr:
                 return (
                     f"cast(cast(__PCT__({x}, {frac!r}) AS "
                     "DECIMAL(18, 6)) AS DOUBLE)"
+                )
+            if up == "WEIGHTED_AVG":
+                # WEIGHTED_AVG(value, weight): sum(v*w)/sum(w), the
+                # products over per-dialect exact-decimal operands
+                # (the matrix_stats width discipline: Spark (18,6)
+                # stays under the 38-digit cap; DuckDB needs (19,6)
+                # to force int128 physical storage), the division in
+                # identical double arithmetic. Rows with NULL value
+                # contribute neither product nor weight (ES skips
+                # missing values).
+                if len(args) != 2:
+                    self._err("WEIGHTED_AVG wants (value, weight)")
+                v, w = args
+                if self.agg_filter:
+                    v = f"(CASE WHEN {self.agg_filter} THEN {v} END)"
+                pd = (
+                    "DECIMAL(18, 6)" if self.dialect == "spark"
+                    else "DECIMAL(19, 6)"
+                )
+                return (
+                    f"(cast(sum(cast({v} AS {pd}) * cast({w} AS {pd}))"
+                    f" AS DOUBLE) / cast(sum(CASE WHEN ({v}) IS NOT "
+                    f"NULL THEN cast({w} AS {pd}) END) AS DOUBLE))"
+                )
+            if up == "TOP":
+                # TOP(field, limit, order): the top-k VALUES as a
+                # multivalue, ordered per `order` — NULLs dropped
+                # (the ES missing-value rule). limit and order must
+                # be literals so the slice folds at compile time.
+                if len(args) != 3:
+                    self._err('TOP wants (field, limit, "asc"|"desc")')
+                x, k_lit, order = args
+                if self.agg_filter:
+                    x = f"(CASE WHEN {self.agg_filter} THEN {x} END)"
+                if not re.fullmatch(r"\d+", k_lit) or int(k_lit) < 1:
+                    self._err("TOP limit must be an integer literal >= 1")
+                o = order.strip("'").lower()
+                if o not in ("asc", "desc"):
+                    self._err('TOP order must be "asc" or "desc"')
+                k_i = int(k_lit)
+                if self.dialect == "spark":
+                    # collect_list drops NULLs
+                    asc = "true" if o == "asc" else "false"
+                    return (
+                        f"slice(sort_array(collect_list({x}), {asc}),"
+                        f" 1, {k_i})"
+                    )
+                return (
+                    f"list_slice(list_sort(list({x}) FILTER "
+                    f"(({x}) IS NOT NULL), '{o.upper()}'), 1, {k_i})"
+                )
+            if up == "VALUES":
+                # VALUES(field): the distinct values as a multivalue.
+                # ES documents NO order guarantee; pinned to sorted
+                # ascending (NULLs dropped) so the result is
+                # deterministic and oracle-checkable — the MV_DEDUPE
+                # pinning precedent.
+                if len(args) != 1:
+                    self._err("VALUES wants one argument")
+                x = args[0]
+                if self.agg_filter:
+                    x = f"(CASE WHEN {self.agg_filter} THEN {x} END)"
+                if self.dialect == "spark":
+                    return f"sort_array(collect_set({x}))"
+                return (
+                    f"list_sort(list_distinct(list({x})))"
                 )
             if len(args) != 1:
                 self._err(f"{up} wants exactly one argument")
@@ -1024,13 +1110,20 @@ def _compile_from(stage: str, dialect: str) -> str:
 
 
 def _split_pipes(q: str) -> list[str]:
-    """Split on | outside double-quoted strings."""
-    parts, buf, in_str, i = [], [], False, 0
+    """Split on | outside double-quoted strings AND outside parens —
+    FORK branches carry their own pipes inside (...) groups, which
+    belong to the FORK stage, not the outer pipeline."""
+    parts, buf, in_str, depth, i = [], [], False, 0, 0
     while i < len(q):
         c = q[i]
         if c == '"' and (i == 0 or q[i - 1] != "\\"):
             in_str = not in_str
-        if c == "|" and not in_str:
+        if not in_str:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+        if c == "|" and not in_str and depth == 0:
             parts.append("".join(buf))
             buf = []
         else:
@@ -1038,6 +1131,40 @@ def _split_pipes(q: str) -> list[str]:
         i += 1
     parts.append("".join(buf))
     return [p.strip() for p in parts]
+
+
+def _paren_groups(s: str) -> list[str]:
+    """Top-level (...) groups of a raw text span (string-aware) — the
+    FORK branch list. Anything outside a group except whitespace is a
+    syntax error."""
+    groups: list[str] = []
+    cur: list[str] = []
+    depth, in_str = 0, False
+    for idx, c in enumerate(s):
+        if c == '"' and (idx == 0 or s[idx - 1] != "\\"):
+            in_str = not in_str
+        if not in_str:
+            if c == "(":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif c == ")":
+                if depth == 0:
+                    raise ValueError("esql: unbalanced ) in FORK")
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+        if depth >= 1:
+            cur.append(c)
+        elif not c.isspace():
+            raise ValueError(
+                "esql: FORK wants (branch) (branch) ... groups only"
+            )
+    if depth != 0 or in_str:
+        raise ValueError("esql: unbalanced ( or string in FORK")
+    return groups
 
 
 def _split_top_commas(toks: list[str]) -> list[list[str]]:
@@ -1067,11 +1194,16 @@ def compile_esql(query: str, dialect: str) -> str:
     sql = _compile_from(stages[0], dialect)
     n = 0
     for stage in stages[1:]:
-        toks = _tokenize(stage, "command")
-        if not toks:
-            raise ValueError("esql: empty pipe stage")
-        cmd = toks[0].upper()
-        rest = toks[1:]
+        if re.match(r"(?is)^\s*FORK\b", stage):
+            # FORK branches carry raw sub-pipelines the stage
+            # tokenizer must not see — dispatch on the raw text
+            cmd, rest = "FORK", []
+        else:
+            toks = _tokenize(stage, "command")
+            if not toks:
+                raise ValueError("esql: empty pipe stage")
+            cmd = toks[0].upper()
+            rest = toks[1:]
         n += 1
         inner = f"({sql}) t{n}"
         if cmd == "WHERE":
@@ -1376,6 +1508,44 @@ def compile_esql(query: str, dialect: str) -> str:
                     f"SELECT * EXCLUDE ({c}), unnest({c}) AS {c}"
                     f" FROM {inner}"
                 )
+        elif cmd == "FORK":
+            # FORK (branch) (branch) ... (ES 8.19 tech preview): run
+            # 2..8 sub-pipelines over the CURRENT table and
+            # concatenate, each row tagged with its branch in _fork
+            # ('fork1'..'forkN', branch order). Compiled by textual
+            # recursion: each branch compiles as its own ES|QL
+            # pipeline over a placeholder source, then the placeholder
+            # is substituted with the current subquery — so branches
+            # get the full command grammar (including nested FORK) for
+            # free, and the result is ONE UNION ALL statement Catalyst
+            # plans as sibling scans sharing the input plan. STRICTER
+            # than ES on schema: branches must end with the same
+            # column set (ES pads missing columns with NULL; this
+            # engine's columns are not known at compile time, so a
+            # mismatch fails loudly at analysis instead of silently
+            # padding). Branch output order is engine-defined, as in
+            # ES — pipe into SORT for determinism.
+            raw = re.match(r"(?is)^\s*FORK\b(.*)$", stage, re.S)
+            branches = _paren_groups(raw.group(1))
+            if not 2 <= len(branches) <= 8:
+                raise ValueError("esql: FORK wants 2..8 (...) branches")
+            arms = []
+            for i, btxt in enumerate(branches, 1):
+                if not btxt.strip():
+                    raise ValueError(
+                        "esql: FORK branches must be non-empty"
+                    )
+                bsql = compile_esql(
+                    f"FROM __fork_base | {btxt}", dialect
+                )
+                bsql = bsql.replace(
+                    "FROM __fork_base", f"FROM {inner}"
+                )
+                arms.append(
+                    f"SELECT *, 'fork{i}' AS _fork "
+                    f"FROM ({bsql}) fk{n}_{i}"
+                )
+            sql = "\nUNION ALL ".join(arms)
         elif cmd == "SAMPLE":
             # SAMPLE <prob> ON <field> [<seed>] — DETERMINISTIC
             # documented deviation from the spec's `SAMPLE prob
@@ -1514,12 +1684,24 @@ def compile_esql(query: str, dialect: str) -> str:
                 f"THEN round(1e0 / (1e0 + _cp_d), 6) END) AS {pname} "
                 f"FROM ({located}) cpl{n}"
             )
+        elif cmd in ("COMPLETION", "RERANK"):
+            # the ES|QL inference commands (9.x): both call a deployed
+            # ML model per row (LLM completion / semantic reranker).
+            # No model runtime exists in this engine — an honest loud
+            # stub, the mp3/mp4 posture: never a silent fake.
+            raise ValueError(
+                f"esql: {cmd} requires a deployed inference model "
+                "(an ML runtime this engine does not embed); "
+                "deterministic relational commands are fully "
+                "supported — see FORK/SAMPLE/CHANGE_POINT for the "
+                "tech-preview tier that IS implemented"
+            )
         else:
             raise ValueError(
                 f"esql: unsupported command {cmd!r} (WHERE/EVAL/STATS/"
                 "SORT/LIMIT/KEEP/DROP/RENAME/LOOKUP JOIN/ENRICH/"
                 "DISSECT/GROK/MV_EXPAND/INLINESTATS/SAMPLE/"
-                "CHANGE_POINT)"
+                "CHANGE_POINT/FORK)"
             )
     # dialect-resolved regex predicate (identical argument shapes)
     return sql.replace(
@@ -1664,6 +1846,20 @@ ESQL_INLINESTATS = """FROM documents
   | KEEP doc_id, lang, n_chars, lang_n
   | SORT doc_id
   | LIMIT 10"""
+
+ESQL_TOP_VALUES_WAVG = """FROM events
+  | STATS wavg = ROUND(WEIGHTED_AVG(value, event_id % 7 + 1), 4),
+          hi3 = MV_CONCAT(TOP(user_id, 3, "desc"), "|"),
+          lo2 = MV_CONCAT(TOP(user_id, 2, "asc"), "|"),
+          kinds = MV_CONCAT(VALUES(event_type), ","),
+          whi = ROUND(WEIGHTED_AVG(value, 2), 4) WHERE value > 50
+    BY event_type
+  | SORT event_type"""
+
+ESQL_FORK = """FROM documents
+  | FORK (WHERE n_chars >= 900 | EVAL tier = "long" | KEEP doc_id, lang, n_chars, tier)
+         (SORT n_chars ASC, doc_id ASC | LIMIT 20 | EVAL tier = "short" | KEEP doc_id, lang, n_chars, tier)
+  | SORT _fork, doc_id"""
 
 ESQL_SAMPLE = """FROM events
   | SAMPLE 0.25 ON event_id 7
@@ -1840,6 +2036,14 @@ def registry() -> dict[str, dict]:
         "esql_sample": {
             "fn": entry(ESQL_SAMPLE),
             "oracle": compile_esql(ESQL_SAMPLE, "duck"),
+        },
+        "esql_top_values_wavg": {
+            "fn": entry(ESQL_TOP_VALUES_WAVG),
+            "oracle": compile_esql(ESQL_TOP_VALUES_WAVG, "duck"),
+        },
+        "esql_fork": {
+            "fn": entry(ESQL_FORK),
+            "oracle": compile_esql(ESQL_FORK, "duck"),
         },
         "esql_change_point": {
             "fn": entry(ESQL_CHANGE_POINT),

@@ -197,6 +197,29 @@ that decides those 50 slots:
   terms_set*, scroll_page2, search_template; *terms_set is in-window
   anyway for its literal-order fix) MUST be passed as --changed to the
   r12 roll.
+- r12 (CURRENT_WINDOW below): with the backlog empty, the roll
+  (tools/roll_rotation.py r12 --changed ...) front-schedules the 18
+  changed-kernel re-checks — the 15 kernels the r11 explicit
+  null-ordering rewrite touched (the r11 docstring's MUST-pass list:
+  es_dsl_bool_filter/collapse/date_math/dis_max_boosting/fuzzy/
+  match_bool_prefix/match_phrase_prefix/query_string/regexp/
+  search_after/should_msm/simple_query_string/terms_set +
+  es_scroll_page2/es_search_template) plus the 3 r12-boundary oracle
+  changes (es_termvectors / es_mtermvectors — empty-token filter +
+  found-is-existence, ADVICE r11; agg_approx_sketches — rewritten
+  from rows-only to the in-plan error-bound oracle, VERDICT r11 ask
+  #4), then the 4 net-new r12 registrations (es_alias_multi_search —
+  multi-target alias search through the UNION-ALL machinery;
+  esql_sample / esql_change_point — the deterministic documented
+  deviations; esql_top_values_wavg — the TOP/VALUES/WEIGHTED_AVG
+  aggregate tier), then 28 pure oldest-evidence re-rotations from
+  the r04/r05 tier (dedup_exact, minhash, the stream_* family, the
+  TPC-H q* tail, text_*, search_bm25 — VERDICT r11 ask #1: the
+  oldest evidence re-checks now that the backlog is empty). The
+  changed set was derived MECHANICALLY: an old-vs-new oracle dump
+  diff at the r11 boundary commit (82ea86e) showed exactly
+  es_termvectors + es_mtermvectors changed and the 5 added/upgraded;
+  the r11 15 carry per that round's documented deviation note.
 - ROWS-ONLY entry (text_compression_ratio): by necessity it has no
   DuckDB oracle (the ratio shells out to zlib, not SQL-expressible),
   so the driver's CORRECTNESS row for it is the weaker rows-only
@@ -219,7 +242,7 @@ from __future__ import annotations
 # name -> (newest driver-green CORRECTNESS round or None,
 #          divergence-risk class, scheduled window or None)
 ROTATION: dict[str, tuple[int | None, str, str | None]] = {
-    'agg_approx_sketches': (8, 'integer-exact', None),
+    'agg_approx_sketches': (8, 'integer-exact', 'r12'),
     'agg_count_distinct': (5, 'verified', None),
     'agg_cube': (5, 'verified', None),
     'agg_filtered': (5, 'verified', None),
@@ -256,25 +279,25 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'customers_abc_pareto': (7, 'integer-exact', None),
     'customers_gini_by_nation': (6, 'float-stat', None),
     'date_functions': (5, 'verified', None),
-    'decontam_benchmark_overlap': (4, 'verified', 'r11'),
+    'decontam_benchmark_overlap': (11, 'verified', None),
     'dedup_audio_fingerprint': (7, 'integer-exact', None),
     'dedup_cluster_size_stats': (7, 'integer-exact', None),
     'dedup_components': (5, 'verified', None),
     'dedup_containment': (7, 'integer-exact', None),
-    'dedup_exact': (4, 'verified', None),
+    'dedup_exact': (4, 'verified', 'r12'),
     'dedup_image_phash': (7, 'integer-exact', None),
     'dedup_incremental_batch': (7, 'integer-exact', None),
     'dedup_keep_best': (5, 'verified', None),
     'dedup_lsh_bucket_stats': (7, 'integer-exact', None),
     'dedup_minhash_estimate_eval': (6, 'float-stat', None),
-    'dedup_minhash_lsh': (4, 'verified', None),
+    'dedup_minhash_lsh': (4, 'verified', 'r12'),
     'dedup_modality_agreement': (7, 'integer-exact', None),
     'dedup_ngram_jaccard': (5, 'verified', None),
     'dedup_normalized': (5, 'verified', None),
     'dedup_prefix_filter_jaccard': (7, 'integer-exact', None),
     'dedup_remap_to_canonical': (7, 'integer-exact', None),
-    'dedup_semantic_survivors': (4, 'verified', None),
-    'dedup_simhash': (4, 'verified', None),
+    'dedup_semantic_survivors': (4, 'verified', 'r12'),
+    'dedup_simhash': (4, 'verified', 'r12'),
     'dedup_simhash_pairs': (7, 'integer-exact', None),
     'dedup_span_coverage': (5, 'verified', None),
     'dedup_split_leakage': (7, 'integer-exact', None),
@@ -284,7 +307,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'docs_quality_percentile_filter': (7, 'integer-exact', None),
     'embedding_cluster_purity': (6, 'float-stat', None),
     'embedding_knn_eval': (6, 'float-stat', None),
-    'embedding_label_centroids': (4, 'verified', None),
+    'embedding_label_centroids': (4, 'verified', 'r12'),
     'embedding_matryoshka_recall': (6, 'float-stat', None),
     'embedding_medoid_per_label': (6, 'float-stat', None),
     'embedding_neardup_pairs': (8, 'verified', None),
@@ -293,55 +316,53 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'embedding_quantize_int8': (8, 'verified', None),
     'embedding_remove_top_component': (6, 'float-stat', None),
     'es_alias_multi_search': (None, 'unclassified', 'r12'),
-    'esql_sample': (None, 'unclassified', 'r12'),
-    'esql_change_point': (None, 'unclassified', 'r12'),
-    'es_alias_search': (None, 'unclassified', 'r11'),
+    'es_alias_search': (11, 'unclassified', None),
     'es_cat_indices': (10, 'unclassified', None),
     'es_dsl_adjacency_matrix': (10, 'unclassified', None),
     'es_dsl_auto_date_histogram': (10, 'unclassified', None),
-    'es_dsl_bool_filter': (8, 'unclassified', None),
+    'es_dsl_bool_filter': (8, 'unclassified', 'r12'),
     'es_dsl_bucket_script': (10, 'unclassified', None),
     'es_dsl_bucket_selector': (10, 'unclassified', None),
     'es_dsl_bucket_sort': (10, 'unclassified', None),
-    'es_dsl_collapse': (8, 'unclassified', None),
-    'es_dsl_combined_fields': (None, 'unclassified', 'r11'),
+    'es_dsl_collapse': (8, 'unclassified', 'r12'),
+    'es_dsl_combined_fields': (11, 'unclassified', None),
     'es_dsl_composite_after': (9, 'unclassified', None),
     'es_dsl_count': (9, 'unclassified', None),
     'es_dsl_cumulative_cardinality': (10, 'unclassified', None),
     'es_dsl_date_histogram': (9, 'unclassified', None),
-    'es_dsl_date_math': (10, 'unclassified', None),
+    'es_dsl_date_math': (10, 'unclassified', 'r12'),
     'es_dsl_date_range': (10, 'unclassified', None),
-    'es_dsl_dis_max_boosting': (9, 'unclassified', None),
+    'es_dsl_dis_max_boosting': (9, 'unclassified', 'r12'),
     'es_dsl_distance_feature': (10, 'unclassified', None),
     'es_dsl_diversified_sampler': (10, 'unclassified', None),
     'es_dsl_extended_stats': (9, 'unclassified', None),
-    'es_dsl_field_boosts': (None, 'unclassified', 'r11'),
+    'es_dsl_field_boosts': (11, 'unclassified', None),
     'es_dsl_filter_agg': (9, 'unclassified', None),
     'es_dsl_filters_agg': (9, 'unclassified', None),
     'es_dsl_fixed_interval': (9, 'unclassified', None),
-    'es_dsl_fs_over_bool': (None, 'unclassified', 'r11'),
+    'es_dsl_fs_over_bool': (11, 'unclassified', None),
     'es_dsl_function_score': (10, 'unclassified', None),
     'es_dsl_function_score_decay': (10, 'unclassified', None),
     'es_dsl_function_score_functions': (10, 'unclassified', None),
-    'es_dsl_fuzzy': (9, 'unclassified', None),
-    'es_dsl_geo_distance': (None, 'unclassified', 'r11'),
-    'es_dsl_geo_rings': (None, 'unclassified', 'r11'),
-    'es_dsl_geotile_grid': (None, 'unclassified', 'r11'),
+    'es_dsl_fuzzy': (9, 'unclassified', 'r12'),
+    'es_dsl_geo_distance': (11, 'unclassified', None),
+    'es_dsl_geo_rings': (11, 'unclassified', None),
+    'es_dsl_geotile_grid': (11, 'unclassified', None),
     'es_dsl_global_agg': (9, 'unclassified', None),
-    'es_dsl_has_child': (None, 'unclassified', 'r11'),
-    'es_dsl_has_parent': (None, 'unclassified', 'r11'),
+    'es_dsl_has_child': (11, 'unclassified', None),
+    'es_dsl_has_parent': (11, 'unclassified', None),
     'es_dsl_histogram_offset': (10, 'unclassified', None),
     'es_dsl_histogram_zero_fill': (10, 'unclassified', None),
-    'es_dsl_intervals': (None, 'unclassified', 'r11'),
+    'es_dsl_intervals': (11, 'unclassified', None),
     'es_dsl_knn': (8, 'unclassified', None),
     'es_dsl_mad': (10, 'unclassified', None),
     'es_dsl_match_and_scored': (9, 'unclassified', None),
-    'es_dsl_match_bool_prefix': (10, 'unclassified', None),
+    'es_dsl_match_bool_prefix': (10, 'unclassified', 'r12'),
     'es_dsl_match_highlight': (10, 'unclassified', None),
-    'es_dsl_match_phrase_prefix': (9, 'unclassified', None),
+    'es_dsl_match_phrase_prefix': (9, 'unclassified', 'r12'),
     'es_dsl_match_scored': (9, 'unclassified', None),
-    'es_dsl_matrix_stats': (None, 'unclassified', 'r11'),
-    'es_dsl_min_score': (None, 'unclassified', 'r11'),
+    'es_dsl_matrix_stats': (11, 'unclassified', None),
+    'es_dsl_min_score': (11, 'unclassified', None),
     'es_dsl_more_like_this': (10, 'unclassified', None),
     'es_dsl_moving_percentiles': (10, 'unclassified', None),
     'es_dsl_multi_match': (9, 'unclassified', None),
@@ -349,89 +370,93 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_nested_agg': (9, 'unclassified', None),
     'es_dsl_nested_three_levels': (9, 'unclassified', None),
     'es_dsl_normalize': (10, 'unclassified', None),
-    'es_dsl_object_fields': (None, 'unclassified', 'r11'),
+    'es_dsl_object_fields': (11, 'unclassified', None),
     'es_dsl_percentile_ranks_wavg': (9, 'unclassified', None),
     'es_dsl_percentiles': (9, 'unclassified', None),
     'es_dsl_percentiles_bucket': (10, 'unclassified', None),
     'es_dsl_percolate': (8, 'unclassified', None),
-    'es_dsl_phrase_slop': (None, 'unclassified', 'r11'),
+    'es_dsl_phrase_slop': (11, 'unclassified', None),
     'es_dsl_pinned': (10, 'unclassified', None),
     'es_dsl_pipeline_cumsum': (9, 'unclassified', None),
-    'es_dsl_query_string': (10, 'unclassified', None),
-    'es_dsl_random_score': (None, 'unclassified', 'r11'),
+    'es_dsl_query_string': (10, 'unclassified', 'r12'),
+    'es_dsl_random_score': (11, 'unclassified', None),
     'es_dsl_range_agg': (8, 'unclassified', None),
     'es_dsl_rank_feature': (10, 'unclassified', None),
     'es_dsl_rare_terms': (10, 'unclassified', None),
     'es_dsl_rate': (10, 'unclassified', None),
-    'es_dsl_regexp': (10, 'unclassified', None),
-    'es_dsl_rescore': (None, 'unclassified', 'r11'),
+    'es_dsl_regexp': (10, 'unclassified', 'r12'),
+    'es_dsl_rescore': (11, 'unclassified', None),
     'es_dsl_runtime_fields': (10, 'unclassified', None),
     'es_dsl_sampler': (10, 'unclassified', None),
-    'es_dsl_scored_bool': (None, 'unclassified', 'r11'),
-    'es_dsl_script_fields': (None, 'unclassified', 'r11'),
+    'es_dsl_scored_bool': (11, 'unclassified', None),
+    'es_dsl_script_fields': (11, 'unclassified', None),
     'es_dsl_script_score': (10, 'unclassified', None),
-    'es_dsl_search_after': (9, 'unclassified', None),
+    'es_dsl_search_after': (9, 'unclassified', 'r12'),
     'es_dsl_serial_diff_moving_fn': (10, 'unclassified', None),
-    'es_dsl_should_msm': (8, 'unclassified', None),
+    'es_dsl_should_msm': (8, 'unclassified', 'r12'),
     'es_dsl_sibling_pipeline': (9, 'unclassified', None),
     'es_dsl_significant_terms': (8, 'unclassified', None),
     'es_dsl_significant_text': (10, 'unclassified', None),
-    'es_dsl_simple_query_string': (10, 'unclassified', None),
-    'es_dsl_sliced_scroll': (None, 'unclassified', 'r11'),
-    'es_dsl_span_near': (None, 'unclassified', 'r11'),
+    'es_dsl_simple_query_string': (10, 'unclassified', 'r12'),
+    'es_dsl_sliced_scroll': (11, 'unclassified', None),
+    'es_dsl_span_near': (11, 'unclassified', None),
     'es_dsl_stats_bucket': (10, 'unclassified', None),
     'es_dsl_string_stats_boxplot': (10, 'unclassified', None),
     'es_dsl_suggest_completion': (10, 'unclassified', None),
-    'es_dsl_suggest_phrase': (None, 'unclassified', 'r11'),
+    'es_dsl_suggest_phrase': (11, 'unclassified', None),
     'es_dsl_suggest_term': (10, 'unclassified', None),
     'es_dsl_t_test': (10, 'unclassified', None),
     'es_dsl_terms_agg': (9, 'unclassified', None),
     'es_dsl_terms_include_exclude': (10, 'unclassified', None),
-    'es_dsl_terms_lookup': (None, 'unclassified', 'r11'),
+    'es_dsl_terms_lookup': (11, 'unclassified', None),
     'es_dsl_terms_order_metric': (9, 'unclassified', None),
-    'es_dsl_terms_set': (10, 'unclassified', 'r11'),
+    'es_dsl_terms_set': (11, 'unclassified', 'r12'),
     'es_dsl_top_hits': (9, 'unclassified', None),
     'es_dsl_top_metrics': (10, 'unclassified', None),
     'es_dsl_zero_fill_axis': (10, 'unclassified', None),
     'es_field_caps': (10, 'unclassified', None),
-    'es_mtermvectors': (None, 'unclassified', 'r11'),
-    'es_pit_search': (None, 'unclassified', 'r11'),
-    'es_rank_eval_dcg': (None, 'unclassified', 'r11'),
-    'es_scroll_page2': (10, 'unclassified', None),
-    'es_search_template': (10, 'unclassified', None),
+    'es_mtermvectors': (11, 'unclassified', 'r12'),
+    'es_pit_search': (11, 'unclassified', None),
+    'es_rank_eval_dcg': (11, 'unclassified', None),
+    'es_scroll_page2': (10, 'unclassified', 'r12'),
+    'es_search_template': (10, 'unclassified', 'r12'),
     'es_terms_enum': (10, 'unclassified', None),
-    'es_termvectors': (10, 'unclassified', None),
-    'esql_bucket': (None, 'unclassified', 'r11'),
-    'esql_date_case': (None, 'unclassified', 'r11'),
-    'esql_date_extract_locate': (None, 'unclassified', 'r11'),
-    'esql_date_format_diff': (None, 'unclassified', 'r11'),
-    'esql_dissect': (None, 'unclassified', 'r11'),
-    'esql_enrich': (None, 'unclassified', 'r11'),
-    'esql_eval_keep': (None, 'unclassified', 'r11'),
-    'esql_filter_stats': (None, 'unclassified', 'r11'),
-    'esql_from_metadata': (None, 'unclassified', 'r11'),
-    'esql_grok_extract': (None, 'unclassified', 'r11'),
-    'esql_inlinestats': (None, 'unclassified', 'r11'),
-    'esql_lookup_join': (None, 'unclassified', 'r11'),
-    'esql_median_rename': (None, 'unclassified', 'r11'),
-    'esql_multi_index': (None, 'unclassified', 'r11'),
-    'esql_mv_expand': (None, 'unclassified', 'r11'),
-    'esql_mv_stats': (None, 'unclassified', 'r11'),
-    'esql_mv_transforms': (None, 'unclassified', 'r11'),
-    'esql_percentile': (None, 'unclassified', 'r11'),
-    'esql_row_source': (None, 'unclassified', 'r11'),
-    'esql_scalar_functions': (None, 'unclassified', 'r11'),
-    'esql_sort_nulls': (None, 'unclassified', 'r11'),
-    'esql_stats_where': (None, 'unclassified', 'r11'),
+    'es_termvectors': (10, 'unclassified', 'r12'),
+    'esql_bucket': (11, 'unclassified', None),
+    'esql_change_point': (None, 'unclassified', 'r12'),
+    'esql_date_case': (11, 'unclassified', None),
+    'esql_date_extract_locate': (11, 'unclassified', None),
+    'esql_date_format_diff': (11, 'unclassified', None),
+    'esql_dissect': (11, 'unclassified', None),
+    'esql_enrich': (11, 'unclassified', None),
+    'esql_eval_keep': (11, 'unclassified', None),
+    'esql_filter_stats': (11, 'unclassified', None),
+    'esql_fork': (None, 'unclassified', 'r12'),
+    'esql_from_metadata': (11, 'unclassified', None),
+    'esql_grok_extract': (11, 'unclassified', None),
+    'esql_inlinestats': (11, 'unclassified', None),
+    'esql_lookup_join': (11, 'unclassified', None),
+    'esql_median_rename': (11, 'unclassified', None),
+    'esql_multi_index': (11, 'unclassified', None),
+    'esql_mv_expand': (11, 'unclassified', None),
+    'esql_mv_stats': (11, 'unclassified', None),
+    'esql_mv_transforms': (11, 'unclassified', None),
+    'esql_percentile': (11, 'unclassified', None),
+    'esql_row_source': (11, 'unclassified', None),
+    'esql_sample': (None, 'unclassified', 'r12'),
+    'esql_scalar_functions': (11, 'unclassified', None),
+    'esql_sort_nulls': (11, 'unclassified', None),
+    'esql_stats_where': (11, 'unclassified', None),
+    'esql_top_values_wavg': (None, 'unclassified', 'r12'),
     'events_anomaly_seasonal': (6, 'float-stat', None),
     'events_anomaly_zscore': (5, 'verified', None),
     'events_attribution_last_touch': (7, 'integer-exact', None),
     'events_attribution_position': (7, 'regex-string', None),
     'events_bot_detection': (6, 'verified', None),
     'events_chi_square': (6, 'float-stat', None),
-    'events_cohort_retention': (4, 'verified', None),
+    'events_cohort_retention': (4, 'verified', 'r12'),
     'events_ewma_daily': (6, 'float-stat', None),
-    'events_funnel': (4, 'verified', None),
+    'events_funnel': (4, 'verified', 'r12'),
     'events_funnel_latency': (7, 'integer-exact', None),
     'events_funnel_one_pass': (7, 'integer-exact', None),
     'events_gapfill_forward': (7, 'integer-exact', None),
@@ -445,7 +470,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'events_rolling_active_users': (7, 'integer-exact', None),
     'events_rollup_multires': (7, 'integer-exact', None),
     'events_session_window_native': (7, 'integer-exact', None),
-    'events_sessionization': (4, 'verified', None),
+    'events_sessionization': (4, 'verified', 'r12'),
     'events_state_intervals': (7, 'integer-exact', None),
     'events_stickiness': (7, 'integer-exact', None),
     'events_survival_km': (6, 'float-stat', None),
@@ -476,7 +501,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'json_functions': (8, 'verified', None),
     'layout_zorder_orders': (7, 'integer-exact', None),
     'math_functions': (5, 'verified', None),
-    'multimodal_binary_features': (4, 'verified', None),
+    'multimodal_binary_features': (4, 'verified', 'r12'),
     'multimodal_decode_audio': (5, 'verified', None),
     'multimodal_decode_bmp': (7, 'integer-exact', None),
     'multimodal_decode_gif': (8, 'unclassified', None),
@@ -485,11 +510,11 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'multimodal_decode_png': (8, 'unclassified', None),
     'multimodal_decode_tiff': (8, 'unclassified', None),
     'multimodal_docx_extract_text': (8, 'unclassified', None),
-    'multimodal_frame_sample': (4, 'verified', None),
+    'multimodal_frame_sample': (4, 'verified', 'r12'),
     'multimodal_gif_frames': (8, 'unclassified', None),
     'multimodal_html_extract_text': (8, 'unclassified', None),
     'multimodal_pdf_extract_text': (8, 'unclassified', None),
-    'multimodal_resize_pooled': (4, 'verified', None),
+    'multimodal_resize_pooled': (4, 'verified', 'r12'),
     'multimodal_xlsx_extract_cells': (8, 'unclassified', None),
     'orders_benford_digits': (7, 'integer-exact', None),
     'orders_monthly_yoy': (7, 'integer-exact', None),
@@ -497,34 +522,34 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'orders_regression_trend': (6, 'float-stat', None),
     'orders_revenue_concentration': (7, 'integer-exact', None),
     'pack_sequences_chunked': (8, 'verified', None),
-    'pipeline_curate_corpus': (4, 'verified', None),
+    'pipeline_curate_corpus': (4, 'verified', 'r12'),
     'pipeline_curation_report': (7, 'integer-exact', None),
     'pipeline_incremental_rollup': (7, 'integer-exact', None),
     'pivot_conditional': (5, 'verified', None),
     'profile_orders': (8, 'integer-exact', None),
     'proj_distinct': (8, 'verified', None),
     'q10_returned_items': (8, 'verified', None),
-    'q11_important_values': (4, 'verified', None),
+    'q11_important_values': (4, 'verified', 'r12'),
     'q12_priority_shipping': (9, 'verified', None),
-    'q13_customer_distribution': (4, 'verified', None),
+    'q13_customer_distribution': (4, 'verified', 'r12'),
     'q14_promo_revenue': (9, 'verified', None),
-    'q15_top_supplier': (4, 'verified', None),
-    'q16_supplier_part_counts': (4, 'verified', None),
-    'q17_small_quantity_revenue': (4, 'verified', None),
-    'q18_large_orders': (4, 'verified', None),
+    'q15_top_supplier': (4, 'verified', 'r12'),
+    'q16_supplier_part_counts': (4, 'verified', 'r12'),
+    'q17_small_quantity_revenue': (4, 'verified', 'r12'),
+    'q18_large_orders': (4, 'verified', 'r12'),
     'q19_disjunctive_predicates': (9, 'verified', None),
     'q1_pricing_summary': (9, 'verified', None),
-    'q20_excess_suppliers': (4, 'verified', None),
-    'q21_waiting_suppliers': (4, 'verified', None),
+    'q20_excess_suppliers': (4, 'verified', 'r12'),
+    'q21_waiting_suppliers': (4, 'verified', 'r12'),
     'q22_dormant_customers': (9, 'verified', None),
-    'q2_min_cost_supplier': (4, 'verified', None),
+    'q2_min_cost_supplier': (4, 'verified', 'r12'),
     'q3_shipping_priority': (9, 'verified', None),
-    'q4_order_priority': (4, 'verified', None),
+    'q4_order_priority': (4, 'verified', 'r12'),
     'q5_local_supplier_volume': (9, 'verified', None),
     'q6_forecast_revenue': (9, 'verified', None),
-    'q7_volume_shipping': (4, 'verified', None),
-    'q8_market_share': (4, 'verified', None),
-    'q9_product_type_profit': (4, 'verified', None),
+    'q7_volume_shipping': (4, 'verified', 'r12'),
+    'q8_market_share': (4, 'verified', 'r12'),
+    'q9_product_type_profit': (4, 'verified', 'r12'),
     'quality_classifier_calibration': (6, 'float-stat', None),
     'quality_classifier_train': (6, 'float-stat', None),
     'recursive_date_spine': (5, 'verified', None),
@@ -532,12 +557,12 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'sample_curriculum_order': (6, 'float-stat', None),
     'sample_dsir_importance': (6, 'float-stat', None),
     'sample_neyman_allocation': (6, 'float-stat', None),
-    'sample_stratified': (4, 'verified', None),
+    'sample_stratified': (4, 'verified', 'r12'),
     'sample_temperature_mix': (5, 'verified', None),
     'sample_token_budget': (6, 'float-stat', None),
     'sample_weighted_mix': (9, 'verified', None),
     'sample_weighted_reservoir': (6, 'float-stat', None),
-    'search_bm25': (4, 'verified', None),
+    'search_bm25': (4, 'verified', 'r12'),
     'search_bm25_from_artifact': (8, 'unclassified', None),
     'search_fuzzy_terms': (6, 'regex-string', None),
     'search_highlight_snippets': (8, 'unclassified', None),
@@ -563,7 +588,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'stream_dedup_within_watermark': (4, 'verified', None),
     'stream_docs_incremental_dedup': (7, 'integer-exact', None),
     'stream_hll_daily_merged': (7, 'integer-exact', None),
-    'stream_percolate_alerts': (None, 'unclassified', 'r11'),
+    'stream_percolate_alerts': (11, 'unclassified', None),
     'stream_session_counts': (4, 'verified', None),
     'stream_sliding_counts': (4, 'verified', None),
     'stream_stateful_user_summary': (4, 'verified', None),
@@ -609,56 +634,56 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
 }
 
 CURRENT_WINDOW: tuple[str, ...] = (
-    'esql_bucket',
-    'es_dsl_matrix_stats',
-    'es_dsl_terms_lookup',
+    'agg_approx_sketches',
+    'es_dsl_bool_filter',
+    'es_dsl_collapse',
+    'es_dsl_date_math',
+    'es_dsl_dis_max_boosting',
+    'es_dsl_fuzzy',
+    'es_dsl_match_bool_prefix',
+    'es_dsl_match_phrase_prefix',
+    'es_dsl_query_string',
+    'es_dsl_regexp',
+    'es_dsl_search_after',
+    'es_dsl_should_msm',
+    'es_dsl_simple_query_string',
     'es_dsl_terms_set',
-    'es_alias_search',
-    'es_dsl_combined_fields',
-    'es_dsl_field_boosts',
-    'es_dsl_fs_over_bool',
-    'es_dsl_geo_distance',
-    'es_dsl_geo_rings',
-    'es_dsl_geotile_grid',
-    'es_dsl_has_child',
-    'es_dsl_has_parent',
-    'es_dsl_intervals',
-    'es_dsl_min_score',
-    'es_dsl_object_fields',
-    'es_dsl_phrase_slop',
-    'es_dsl_random_score',
-    'es_dsl_rescore',
-    'es_dsl_scored_bool',
-    'es_dsl_script_fields',
-    'es_dsl_sliced_scroll',
-    'es_dsl_span_near',
-    'es_dsl_suggest_phrase',
     'es_mtermvectors',
-    'es_pit_search',
-    'es_rank_eval_dcg',
-    'esql_date_case',
-    'esql_date_extract_locate',
-    'esql_date_format_diff',
-    'esql_dissect',
-    'esql_enrich',
-    'esql_eval_keep',
-    'esql_filter_stats',
-    'esql_from_metadata',
-    'esql_grok_extract',
-    'esql_inlinestats',
-    'esql_lookup_join',
-    'esql_median_rename',
-    'esql_multi_index',
-    'esql_mv_expand',
-    'esql_mv_stats',
-    'esql_mv_transforms',
-    'esql_percentile',
-    'esql_row_source',
-    'esql_scalar_functions',
-    'esql_sort_nulls',
-    'esql_stats_where',
-    'stream_percolate_alerts',
-    'decontam_benchmark_overlap',
+    'es_scroll_page2',
+    'es_search_template',
+    'es_termvectors',
+    'es_alias_multi_search',
+    'esql_change_point',
+    'esql_fork',
+    'esql_sample',
+    'esql_top_values_wavg',
+    'dedup_exact',
+    'dedup_minhash_lsh',
+    'dedup_semantic_survivors',
+    'dedup_simhash',
+    'embedding_label_centroids',
+    'events_cohort_retention',
+    'events_funnel',
+    'events_sessionization',
+    'multimodal_binary_features',
+    'multimodal_frame_sample',
+    'multimodal_resize_pooled',
+    'pipeline_curate_corpus',
+    'q11_important_values',
+    'q13_customer_distribution',
+    'q15_top_supplier',
+    'q16_supplier_part_counts',
+    'q17_small_quantity_revenue',
+    'q18_large_orders',
+    'q20_excess_suppliers',
+    'q21_waiting_suppliers',
+    'q2_min_cost_supplier',
+    'q4_order_priority',
+    'q7_volume_shipping',
+    'q8_market_share',
+    'q9_product_type_profit',
+    'sample_stratified',
+    'search_bm25',
 )
 
 def scheduled(window: str) -> list[str]:

@@ -82,7 +82,11 @@ def test_esql_rejections(tiny):
     for q, msg in [
         ("", "empty query"),
         ("WHERE x == 1", "source command must be FROM"),
-        ("FROM t | FORK a", "unsupported command"),
+        ("FROM t | RERANK x", "requires a deployed inference model"),
+        ("FROM t | COMPLETION x", "requires a deployed inference"),
+        ("FROM t | RRF", "unsupported command"),
+        ("FROM t | FORK a", "FORK wants .branch."),
+        ("FROM t | FORK (WHERE v > 1)", "2..8"),
         ("FROM t | ENRICH p", "ENRICH wants"),
         ("FROM t | ENRICH p ON k WITH", "ENRICH WITH wants"),
         ("FROM t | WHERE x ~ 1", "unsupported syntax"),
@@ -656,6 +660,66 @@ def test_sample_deterministic(tiny):
     ]:
         with pytest.raises(ValueError, match=msg):
             compile_esql(q, "duck")
+
+
+def test_top_values_weighted_avg(tiny):
+    """The r12 aggregate tier: TOP returns the ordered top-k VALUES
+    with NULLs dropped; VALUES pins ES's unordered distinct set to
+    sorted-ascending; WEIGHTED_AVG is sum(v*w)/sum(w) over the exact
+    decimal discipline, skipping NULL-value rows entirely."""
+    rows = _rows(tiny, """FROM t
+      | STATS top2 = MV_CONCAT(TOP(text, 2, "desc"), "|"),
+              langs = MV_CONCAT(VALUES(lang), ","),
+              w = WEIGHTED_AVG(v, id)""")
+    assert rows == [("gamma delta|delta", "de,en,fr",
+                     pytest.approx((10 + 40 + 90 + 160) / 10))]
+    # NULL v (id 5) contributes NEITHER product NOR weight; NULL text
+    # is dropped from TOP/VALUES (ES missing-value rule)
+    rows = _rows(tiny, """FROM t
+      | STATS first = MV_CONCAT(TOP(lang, 1, "asc"), ","),
+              n = MV_COUNT(VALUES(text))""")
+    assert rows == [("de", 4)]
+    for q, msg in [
+        ("FROM t | STATS x = TOP(v, 0, \"asc\")", "limit must be"),
+        ("FROM t | STATS x = TOP(v, 2, \"up\")", 'order must be "asc"'),
+        ("FROM t | STATS x = TOP(v)", "TOP wants"),
+        ("FROM t | STATS x = WEIGHTED_AVG(v)", "WEIGHTED_AVG wants"),
+        ("FROM t | STATS x = VALUES(v, v)", "VALUES wants one"),
+        ("FROM t | EVAL x = VALUES(v)", "only inside STATS"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_esql(q, "duck")
+
+
+def test_fork_branches(tiny):
+    """FORK: 2..8 sub-pipelines over the current table, concatenated
+    with the _fork discriminator in branch order; branches get the
+    full grammar (including nested FORK); mismatched branch schemas
+    fail loudly (stricter than ES's NULL padding)."""
+    rows = _rows(tiny, """FROM t
+      | FORK (WHERE v >= 30 | EVAL tag = "big" | KEEP id, tag)
+             (SORT v ASC | LIMIT 2 | EVAL tag = "small" | KEEP id, tag)
+      | SORT _fork, id""")
+    assert rows == [(3, "big", "fork1"), (4, "big", "fork1"),
+                    (1, "small", "fork2"), (2, "small", "fork2")]
+    # nested FORK: inner discriminator is consumed by KEEP, outer
+    # re-tags
+    rows = _rows(tiny, """FROM t
+      | FORK (WHERE id == 1 | KEEP id)
+             (FORK (WHERE id == 2 | KEEP id)
+                   (WHERE id == 3 | KEEP id) | KEEP id)
+      | SORT _fork, id""")
+    assert rows == [(1, "fork1"), (2, "fork2"), (3, "fork2")]
+    # a FORK feeding later pipes composes (the UNION is a subquery)
+    rows = _rows(tiny, """FROM t
+      | FORK (WHERE v > 35 | KEEP lang) (WHERE v < 15 | KEEP lang)
+      | STATS n = COUNT(*) BY _fork | SORT _fork""")
+    assert rows == [("fork1", 1), ("fork2", 1)]
+    # mismatched branch columns: loud at analysis (DuckDB binder)
+    import duckdb as _duck
+    with pytest.raises(_duck.Error):
+        tiny.execute(compile_esql(
+            "FROM t | FORK (KEEP id) (KEEP id, lang)", "duck"))
 
 
 def test_change_point_mean_shift(tiny):

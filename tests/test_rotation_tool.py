@@ -400,47 +400,80 @@ def test_r10_window_matches_executed_roll():
         assert rec.get("hash_match"), (name, rec)
 
 
-def test_r11_window_matches_live_roll():
-    """The LIVE r11 window honors the policy against evidence capped
-    at r01..r10 (explicit list, never a live glob — stays green when
-    the driver lands CORRECTNESS_r11.json): net-new r11 registrations
-    + the changed-kernel re-checks + the ENTIRE remaining
-    never-checked backlog lead, then pure oldest-evidence
-    re-rotation. The backlog EMPTIES this round — no entry is older
-    than 2 rounds unchecked, the table's own policy bound."""
+def test_r11_window_matches_executed_roll():
+    """The EXECUTED r11 window (read from CORRECTNESS_r11.json — the
+    live table has rolled on) honored the policy against evidence
+    capped at r01..r10: net-new r11 registrations + the changed-kernel
+    re-checks + the ENTIRE remaining never-checked backlog led, then
+    pure oldest-evidence re-rotation. The backlog EMPTIED that round —
+    no entry older than 2 rounds unchecked, the table's policy bound."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r11 = json.load(open(os.path.join(repo, "CORRECTNESS_r11.json")))
+    w = list(r11)
+    assert len(w) == 50 and len(set(w)) == 50
+    ev = _capped_evidence(repo, 11)
+    backlog = [n for n in w if not ev.get(n)]
+    taken = set(backlog) | set(_CHANGED_R11)
+    assert set(w[: len(taken)]) == taken
+    pool = sorted(
+        (n for n in ev if ev.get(n) and n not in taken),
+        key=lambda n: (ev[n], n),
+    )
+    refill = [n for n in w if n not in taken]
+    assert set(refill) <= set(pool[: len(refill) + len(w)])
+    # every executed r11 row is hash-green
+    for name, rec in r11.items():
+        assert rec.get("hash_match"), (name, rec)
+
+
+# Changed-kernel re-checks front-scheduled in the r12 roll: the 15
+# kernels the r11 null-ordering rewrite touched (the r11 docstring's
+# MUST-carry list) + the 3 r12-boundary oracle changes (mechanical
+# old-vs-new oracle dump diff at commit 82ea86e).
+_CHANGED_R12 = [
+    "es_dsl_bool_filter", "es_dsl_collapse", "es_dsl_date_math",
+    "es_dsl_dis_max_boosting", "es_dsl_fuzzy",
+    "es_dsl_match_bool_prefix", "es_dsl_match_phrase_prefix",
+    "es_dsl_query_string", "es_dsl_regexp", "es_dsl_search_after",
+    "es_dsl_should_msm", "es_dsl_simple_query_string",
+    "es_dsl_terms_set", "es_scroll_page2", "es_search_template",
+    "es_mtermvectors", "es_termvectors", "agg_approx_sketches",
+]
+
+
+def test_r12_window_matches_live_roll():
+    """The LIVE r12 window honors the steady-state policy against
+    evidence capped at r01..r11 (explicit list — stays green when the
+    driver lands CORRECTNESS_r12.json): the changed-kernel re-checks
+    + the net-new r12 registrations lead, then pure oldest-evidence
+    re-rotation (the r04/r05 tier, VERDICT r11 ask #1)."""
     repo = os.path.join(os.path.dirname(__file__), "..")
     sys.path.insert(0, repo)
     import __spark_entry__ as entry
     from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
 
-    ev = _capped_evidence(repo, 11)
+    ev = _capped_evidence(repo, 12)
     names = list(entry.queries())
     w = list(r.CURRENT_WINDOW)
     assert len(w) == 50 and len(set(w)) == 50
     # (1) the window IS the driver's first-50 slice of queries()
     assert names[:50] == w
-    # (2) the whole no-evidence backlog (net-new + never-checked)
-    # fits and leads, with the changed-kernel re-checks. Entries
-    # registered AFTER the r11 freeze carry a later window label in
-    # the table (the post-freeze rule) and are not part of the r11
-    # backlog.
-    post_freeze = {
-        n for n, (_e, _risk, sched) in r.ROTATION.items()
-        if sched is not None and sched > "r11"
-    }
-    backlog = [
-        n for n in names if not ev.get(n) and n not in post_freeze
-    ]
-    assert set(backlog) <= set(w)
-    taken = set(backlog) | set(_CHANGED_R11)
+    # (2) net-new (no evidence) + changed-kernel re-checks lead
+    net_new = [n for n in names if not ev.get(n)]
+    assert set(net_new) <= set(w)
+    taken = set(net_new) | set(_CHANGED_R12)
     assert set(w[: len(taken)]) == taken
-    # (3) the remaining slots are pure re-rotation, oldest first
+    # (3) the remaining slots are pure re-rotation, oldest first —
+    # the r04/r05 tier drains before anything newer
     pool = sorted(
         (n for n in names if ev.get(n) and n not in taken),
         key=lambda n: (ev[n], n),
     )
     refill = [n for n in w if n not in taken]
     assert set(refill) == set(pool[: len(refill)])
+    assert all(ev[n] <= 5 for n in refill), (
+        "re-rotation slots should drain the oldest (r04/r05) tier"
+    )
 
 
 def test_evidence_reader_credits_rows_only_shape(tmp_path):
