@@ -284,25 +284,92 @@ def _resolve_alias(index: str, spark: SparkSession | None = None) -> str:
     return targets[0]
 
 
-def _search_relation(spark: SparkSession, index: str) -> str:
-    """The table name a search-shaped verb should compile against:
-    concrete names and single-target aliases resolve as before; a
-    multi-target alias materializes (metadata-only) a temp view over
-    the ES missing-column-as-NULL UNION ALL of its targets — the same
-    union the ES|QL multi-index FROM emits — named for the alias. The
-    view is re-created on every resolution so it always follows the
-    live catalog and the current alias targets."""
-    targets = _alias_targets(spark, index)
-    if len(targets) == 1:
-        return targets[0]
+def _expand_index_expression(
+    spark: SparkSession, expr: str
+) -> tuple[str, ...]:
+    """An ES index expression — a comma list of names, aliases, and
+    `*` wildcards (`GET /logs-*,metrics/_search`) — expanded to
+    concrete tables, first-seen order, deduplicated. Wildcards match
+    registered fixture tables present in the live catalog (the
+    cat_indices/_resolve rule — engine-internal temp views are not
+    indices) AND alias names, whose targets expand in. A part that
+    resolves to nothing raises the typed 404 (the
+    allow_no_indices=false posture: a silent empty search hides
+    typos; ES's lenient default is opt-in leniency this engine
+    declines). Driver-side catalog work — no data touched."""
+    import fnmatch  # noqa: PLC0415
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.session import (  # noqa: PLC0415
+        FIXTURE_TABLES,
+    )
+
+    out: list[str] = []
+
+    def add(t: str) -> None:
+        if t not in out:
+            out.append(t)
+
+    for part in (p.strip() for p in expr.split(",")):
+        if not part:
+            raise SqlSyntaxError(
+                f"es_dsl: empty index name in {expr!r}"
+            )
+        if "*" in part:
+            hits = [
+                t for t in FIXTURE_TABLES
+                if fnmatch.fnmatchcase(t, part)
+                and spark.catalog.tableExists(t)
+            ]
+            for a in sorted(_ALIASES):
+                if fnmatch.fnmatchcase(a, part):
+                    hits.extend(_alias_targets(spark, a))
+            if not hits:
+                raise NotFoundError(
+                    f"no indices match pattern {part!r}"
+                )
+            for t in hits:
+                add(t)
+        else:
+            for t in _alias_targets(spark, part):
+                if not spark.catalog.tableExists(t):
+                    raise NotFoundError(f"no such index: {t!r}")
+                add(t)
+    return tuple(out)
+
+
+def _union_view(spark: SparkSession, targets: tuple[str, ...]) -> str:
+    """Materialize (metadata-only) a temp view over the ES
+    missing-column-as-NULL UNION ALL of the targets — the same union
+    the ES|QL multi-index FROM emits — named by a digest of the
+    target list. Re-created on every resolution so it always follows
+    the live catalog."""
+    import hashlib  # noqa: PLC0415
+
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (  # noqa: PLC0415
         union_all_sql,
     )
 
     cols = {t: list(spark.table(t).columns) for t in targets}
-    view = f"__alias_{index}"
+    view = "__indices_" + hashlib.md5(
+        ",".join(targets).encode()
+    ).hexdigest()[:12]
     spark.sql(union_all_sql(cols)).createOrReplaceTempView(view)
     return view
+
+
+def _search_relation(spark: SparkSession, index: str) -> str:
+    """The table name a search-shaped verb should compile against:
+    concrete names and single-target aliases resolve as before; a
+    multi-target alias, a comma list, or a `*` wildcard expression
+    resolves through _expand_index_expression and compiles against
+    the UNION ALL view."""
+    if "," in index or "*" in index:
+        targets = _expand_index_expression(spark, index)
+    else:
+        targets = _alias_targets(spark, index)
+    if len(targets) == 1:
+        return targets[0]
+    return _union_view(spark, targets)
 
 
 def es_update_aliases(spark: SparkSession, body: dict) -> dict:

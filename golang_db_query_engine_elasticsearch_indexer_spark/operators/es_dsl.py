@@ -101,6 +101,7 @@ from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl_bodies 
     ADJACENCY_MATRIX_BODY,
     ALIAS_MULTI_BODY,
     ALIAS_SEARCH_BODY,
+    MULTI_INDEX_SEARCH_BODY,
     AUTO_DATE_HISTOGRAM_BODY,
     BOOL_FILTER_BODY,
     BUCKET_SCRIPT_BODY,
@@ -1269,19 +1270,38 @@ def _alias_multi_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_search_df(spark, "parties_all", ALIAS_MULTI_BODY)
 
 
-def _alias_multi_oracle() -> str:
+def _union_oracle(targets: tuple[str, ...], body: dict,
+                  id_field: str) -> str:
+    """DuckDB oracle for a multi-index/alias search: the SAME union
+    view name gateway._union_view derives (md5 digest of the target
+    list) supplied as a CTE over the concrete tables, then the same
+    compiled body — so the differential proves the expansion IS that
+    union."""
+    import hashlib  # noqa: PLC0415
+
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (  # noqa: PLC0415
         _TABLE_COLUMNS,
         union_all_sql,
     )
 
-    union = union_all_sql(
-        {t: _TABLE_COLUMNS[t] for t in ("customer", "supplier")}
+    view = "__indices_" + hashlib.md5(
+        ",".join(targets).encode()
+    ).hexdigest()[:12]
+    union = union_all_sql({t: _TABLE_COLUMNS[t] for t in targets})
+    inner = compile_search(view, body, "duck", id_field)
+    return f"WITH {view} AS (\n{union}\n)\n{inner}"
+
+
+def _multi_index_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search addressed at the wildcard index expression `*ion`
+    (region + nation): the ES comma/wildcard multi-index read. The
+    oracle inlines the identical missing-column-as-NULL union — the
+    differential proves wildcard expansion IS that union."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        es_search_df,
     )
-    inner = compile_search(
-        "__alias_parties_all", ALIAS_MULTI_BODY, "duck", "c_custkey"
-    )
-    return f"WITH __alias_parties_all AS (\n{union}\n)\n{inner}"
+
+    return es_search_df(spark, "*ion", MULTI_INDEX_SEARCH_BODY)
 
 
 def registry() -> dict[str, dict]:
@@ -1785,7 +1805,16 @@ def registry() -> dict[str, dict]:
         },
         "es_alias_multi_search": {
             "fn": _alias_multi_search_entry,
-            "oracle": _alias_multi_oracle(),
+            "oracle": _union_oracle(
+                ("customer", "supplier"), ALIAS_MULTI_BODY, "c_custkey"
+            ),
+        },
+        "es_multi_index_search": {
+            "fn": _multi_index_search_entry,
+            "oracle": _union_oracle(
+                ("region", "nation"), MULTI_INDEX_SEARCH_BODY,
+                "r_regionkey",
+            ),
         },
         "es_dsl_suggest_phrase": {
             "fn": _entry("documents", SUGGEST_PHRASE_BODY, "doc_id"),

@@ -1231,6 +1231,24 @@ ALIAS_SEARCH_BODY = {
     "_source": ["doc_id", "lang", "n_chars"],
 }
 
+MULTI_INDEX_SEARCH_BODY = {
+    # a search addressed at a WILDCARD index expression (`*ion` ->
+    # region + nation): the ES comma/wildcard multi-index read, same
+    # missing-column-as-NULL union as the multi-target alias; the
+    # bool/should keeps rows from BOTH indices and the two-key sort
+    # (each missing in the other index, missing=_last) orders them
+    # deterministically.
+    "query": {"bool": {"should": [
+        {"exists": {"field": "r_regionkey"}},
+        {"exists": {"field": "n_nationkey"}},
+    ], "minimum_should_match": 1}},
+    "sort": [{"r_regionkey": {"order": "asc", "missing": "_last"}},
+             {"n_nationkey": {"order": "asc", "missing": "_last"}}],
+    "size": 1000,
+    "_source": ["r_regionkey", "r_name", "n_nationkey", "n_name",
+                "n_regionkey"],
+}
+
 ALIAS_MULTI_BODY = {
     # a search addressed at a MULTI-TARGET alias (customer+supplier):
     # the union carries every column with missing-as-NULL, so a

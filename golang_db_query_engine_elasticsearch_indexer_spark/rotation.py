@@ -416,6 +416,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_zero_fill_axis': (10, 'unclassified', None),
     'es_field_caps': (10, 'unclassified', None),
     'es_mtermvectors': (11, 'unclassified', 'r12'),
+    'es_multi_index_search': (None, 'unclassified', 'r12'),
     'es_pit_search': (11, 'unclassified', None),
     'es_rank_eval_dcg': (11, 'unclassified', None),
     'es_scroll_page2': (10, 'unclassified', 'r12'),
@@ -562,7 +563,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'sample_token_budget': (6, 'float-stat', None),
     'sample_weighted_mix': (9, 'verified', None),
     'sample_weighted_reservoir': (6, 'float-stat', None),
-    'search_bm25': (4, 'verified', 'r12'),
+    'search_bm25': (4, 'verified', None),
     'search_bm25_from_artifact': (8, 'unclassified', None),
     'search_fuzzy_terms': (6, 'regex-string', None),
     'search_highlight_snippets': (8, 'unclassified', None),
@@ -653,6 +654,7 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_search_template',
     'es_termvectors',
     'es_alias_multi_search',
+    'es_multi_index_search',
     'esql_change_point',
     'esql_fork',
     'esql_sample',
@@ -683,7 +685,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'q8_market_share',
     'q9_product_type_profit',
     'sample_stratified',
-    'search_bm25',
 )
 
 def scheduled(window: str) -> list[str]:

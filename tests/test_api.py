@@ -1040,6 +1040,40 @@ def test_es_mtermvectors_route(client):
         "ids": [1], "fields": ["a", "b"]}).status_code == 400
 
 
+def test_es_multi_index_expression_routes(client, clean_aliases):
+    """Comma lists and `*` wildcards in the index position of
+    _search/_count (the ES multi-index read): the union counts add
+    up, a per-index field matches only its own rows, unknown names
+    and dead patterns are typed 404s (allow_no_indices=false
+    posture)."""
+    n_r = client.post("/region/_count", json={}).get_json()["count"]
+    n_n = client.post("/nation/_count", json={}).get_json()["count"]
+    both = client.post("/region,nation/_count", json={}).get_json()
+    assert both["count"] == n_r + n_n
+    wild = client.post("/*ion/_count", json={}).get_json()
+    assert wild["count"] == n_r + n_n
+    # duplicate expansion counts once (alias + its target in one list)
+    assert client.post("/_aliases", json={"actions": [
+        {"add": {"index": "region", "alias": "geo_read"}}]}
+    ).status_code == 200
+    via = client.post("/geo_read,region/_count", json={}).get_json()
+    assert via["count"] == n_r
+    # per-index field filters only its own rows through the union
+    body = {"query": {"exists": {"field": "n_name"}}}
+    assert client.post("/region,nation/_count", json=body).get_json()[
+        "count"] == n_n
+    # search returns rows from both indices
+    r = client.post("/region,nation/_search", json={"size": 1000})
+    assert r.status_code == 200 and r.get_json()["count"] == n_r + n_n
+    # typed 404s: unknown concrete name in the list, dead pattern
+    assert client.post("/region,nope_idx/_count",
+                       json={}).status_code == 404
+    assert client.post("/zz*/_count", json={}).status_code == 404
+    assert client.post("/_aliases", json={"actions": [
+        {"remove": {"index": "region", "alias": "geo_read"}}]}
+    ).status_code == 200
+
+
 def test_termvectors_found_is_existence_not_tokens(spark, clean_aliases):
     """found reflects document EXISTENCE (ADVICE r11): a doc whose
     analyzed field yields zero tokens is found=true with empty
