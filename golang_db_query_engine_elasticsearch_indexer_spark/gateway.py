@@ -141,6 +141,14 @@ def es_mapping(spark: SparkSession, index: str) -> dict:
 
     if index is None:
         raise ParamsNullError()
+    if "," in index or "*" in index:
+        # the ES multi-index mapping read: one entry per CONCRETE
+        # index (never merged — mappings are per-index state)
+        targets = _expand_index_expression(spark, index)
+        return {
+            t: {"mappings": es_mapping_for_schema(spark.table(t).schema)}
+            for t in targets
+        }
     index = _resolve_alias(index, spark)
     return {index: {"mappings": es_mapping_for_schema(spark.table(index).schema)}}
 
@@ -685,15 +693,34 @@ def es_field_caps_df(spark: SparkSession, index: str) -> DataFrame:
 def es_field_caps(spark: SparkSession, index: str) -> dict:
     """`GET /{index}/_field_caps?fields=*` parity: the ES response
     envelope — every leaf field with its type, searchable/aggregatable
-    true (one analysis model, no per-field index toggles)."""
-    return {
-        "indices": [index],
-        "fields": {
-            f: {t: {"type": t, "metadata_field": False,
-                    "searchable": True, "aggregatable": True}}
-            for f, t in field_caps_fields(spark.table(index).schema)
-        },
-    }
+    true (one analysis model, no per-field index toggles). Accepts
+    the full index-expression grammar (aliases, comma lists, `*`
+    wildcards) like real ES: fields are merged across the expanded
+    indices, and a field mapped to DIFFERENT types gains one entry
+    per type, each carrying the `indices` list that holds it — the
+    conflict shape Kibana renders."""
+    if index is None:
+        raise ParamsNullError()
+    if "," in index or "*" in index:
+        targets = _expand_index_expression(spark, index)
+    else:
+        targets = _alias_targets(spark, index)
+    per_field: dict[str, dict[str, list[str]]] = {}
+    for t in targets:
+        for f, typ in field_caps_fields(spark.table(t).schema):
+            per_field.setdefault(f, {}).setdefault(typ, []).append(t)
+    fields: dict = {}
+    for f, by_type in per_field.items():
+        conflict = len(by_type) > 1
+        fields[f] = {
+            typ: {
+                "type": typ, "metadata_field": False,
+                "searchable": True, "aggregatable": True,
+                **({"indices": sorted(ixs)} if conflict else {}),
+            }
+            for typ, ixs in by_type.items()
+        }
+    return {"indices": list(targets), "fields": fields}
 
 
 # --- _terms_enum ----------------------------------------------------------------
@@ -1418,6 +1445,13 @@ def es_resolve_index(spark: SparkSession, pattern: str) -> dict:
         "indices": [
             {"name": n, "attributes": ["open"]} for n in names
         ],
-        "aliases": [],
+        # aliases matching the pattern, with their target indices —
+        # the ES response's second section (empty before aliases
+        # existed; populated since the r12 multi-target work)
+        "aliases": [
+            {"name": a, "indices": list(targets)}
+            for a, targets in sorted(_ALIASES.items())
+            if fnmatch.fnmatchcase(a, pattern)
+        ],
         "data_streams": [],
     }

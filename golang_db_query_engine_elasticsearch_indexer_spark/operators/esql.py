@@ -1790,15 +1790,55 @@ def _compile_extract(cmd: str, rest: list[str], inner: str,
     return f"SELECT *, {', '.join(cols)} FROM {inner}"
 
 
+def _expand_from_aliases(spark: SparkSession, query: str) -> str:
+    """Textually expand gateway index aliases in the FROM stage to
+    their concrete target names (real ES resolves aliases in ES|QL
+    FROM too). A multi-target alias expands to a comma list — the
+    multi-index FROM machinery then builds the same
+    missing-column-as-NULL union the _search path uses. Resolution
+    happens at QUERY time against the live alias registry, keeping
+    aliases pure metadata. Wildcard parts pass through unchanged
+    (they match fixture tables, the documented FROM grammar)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
+        _ALIASES,
+        _alias_targets,
+    )
+
+    stages = _split_pipes(query)
+    m = re.fullmatch(
+        r"(?is)(FROM\s+)([A-Za-z0-9_*]+(?:\s*,\s*[A-Za-z0-9_*]+)*)"
+        r"(\s+METADATA\s+\S+)?",
+        stages[0].strip(),
+    )
+    if not m:
+        return query
+    parts = [p.strip() for p in m.group(2).split(",")]
+    out: list[str] = []
+    for p in parts:
+        if "*" not in p and p in _ALIASES:
+            for t in _alias_targets(spark, p):
+                if t not in out:
+                    out.append(t)
+        elif p not in out:
+            out.append(p)
+    if out == parts:
+        return query
+    new_from = m.group(1) + ", ".join(out) + (m.group(3) or "")
+    return " | ".join([new_from, *stages[1:]])
+
+
 def esql_df(spark: SparkSession, query: str) -> DataFrame:
     """`POST /_query` parity: one ES|QL statement, lazily compiled to a
-    Catalyst plan over the registered tables."""
+    Catalyst plan over the registered tables. FROM accepts gateway
+    index aliases (expanded to concrete names before compile — a
+    multi-target alias becomes the multi-index union)."""
     from golang_db_query_engine_elasticsearch_indexer_spark.errors import (  # noqa: PLC0415
         ParamsNullError,
     )
 
     if query is None:
         raise ParamsNullError()
+    query = _expand_from_aliases(spark, query)
     return spark.sql(compile_esql(query, "spark"))
 
 

@@ -1074,6 +1074,86 @@ def test_es_multi_index_expression_routes(client, clean_aliases):
     ).status_code == 200
 
 
+def test_multi_index_metadata_verbs(client, spark, clean_aliases):
+    """field_caps / mapping / _resolve over index expressions: caps
+    merge across indices with per-type `indices` lists on conflicts;
+    mappings stay per-concrete-index; _resolve lists matching aliases
+    with their targets."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (
+        es_field_caps,
+        es_mapping,
+        es_resolve_index,
+        es_update_aliases,
+    )
+
+    caps = es_field_caps(spark, "region,nation")
+    assert caps["indices"] == ["region", "nation"]
+    # shared-name fields would conflict; these schemas are disjoint,
+    # so every field has exactly one un-annotated type entry
+    assert set(caps["fields"]) == {
+        "r_regionkey", "r_name", "n_nationkey", "n_name", "n_regionkey"}
+    for by_type in caps["fields"].values():
+        (entry,) = by_type.values()
+        assert "indices" not in entry
+    # a REAL type conflict: same field name, long vs keyword
+    spark.createDataFrame([(1,)], "shared bigint") \
+        .createOrReplaceTempView("fc_a_t")
+    spark.createDataFrame([("x",)], "shared string") \
+        .createOrReplaceTempView("fc_b_t")
+    es_update_aliases(spark, {"actions": [
+        {"add": {"index": "fc_a_t", "alias": "fc_both_t"}},
+        {"add": {"index": "fc_b_t", "alias": "fc_both_t"}}]})
+    caps = es_field_caps(spark, "fc_both_t")
+    by_type = caps["fields"]["shared"]
+    assert len(by_type) == 2
+    assert all("indices" in e for e in by_type.values())
+    es_update_aliases(spark, {"actions": [
+        {"remove": {"index": "fc_a_t", "alias": "fc_both_t"}},
+        {"remove": {"index": "fc_b_t", "alias": "fc_both_t"}}]})
+    spark.catalog.dropTempView("fc_a_t")
+    spark.catalog.dropTempView("fc_b_t")
+    # mapping over an expression: one entry per concrete index
+    m = es_mapping(spark, "*ion")
+    assert set(m) == {"region", "nation"}
+    assert all("mappings" in v for v in m.values())
+    # _resolve lists aliases with targets
+    es_update_aliases(spark, {"actions": [
+        {"add": {"index": "region", "alias": "geo_res_t"}}]})
+    r = es_resolve_index(spark, "geo*")
+    assert r["aliases"] == [{"name": "geo_res_t", "indices": ["region"]}]
+    es_update_aliases(spark, {"actions": [
+        {"remove": {"index": "region", "alias": "geo_res_t"}}]})
+
+
+def test_esql_from_accepts_aliases(spark, tables, clean_aliases):
+    """ES|QL FROM resolves gateway aliases like real ES: a
+    single-target alias reads its table; a multi-target alias becomes
+    the multi-index union (METADATA _index tags by CONCRETE index)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (
+        es_update_aliases,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (
+        esql_df,
+    )
+
+    es_update_aliases(spark, {"actions": [
+        {"add": {"index": "region", "alias": "geo_q_t"}}]})
+    n = esql_df(spark, "FROM geo_q_t | STATS n = COUNT(*)").collect()
+    direct = esql_df(spark, "FROM region | STATS n = COUNT(*)").collect()
+    assert n == direct
+    es_update_aliases(spark, {"actions": [
+        {"add": {"index": "nation", "alias": "geo_q_t"}}]})
+    rows = esql_df(
+        spark, "FROM geo_q_t METADATA _index"
+        " | STATS n = COUNT(*) BY _index | SORT _index"
+    ).collect()
+    assert [(r["_index"], r["n"]) for r in rows] == [
+        ("nation", 25), ("region", 5)]
+    es_update_aliases(spark, {"actions": [
+        {"remove": {"index": "region", "alias": "geo_q_t"}},
+        {"remove": {"index": "nation", "alias": "geo_q_t"}}]})
+
+
 def test_termvectors_found_is_existence_not_tokens(spark, clean_aliases):
     """found reflects document EXISTENCE (ADVICE r11): a doc whose
     analyzed field yields zero tokens is found=true with empty

@@ -741,6 +741,14 @@ def test_change_point_mean_shift(tiny):
       | CHANGE_POINT v ON k AS ct, cs
       | WHERE ct IS NOT NULL | KEEP k, ct, cs""")
     assert rows == [(6, "step_change", rows[0][2])]
+    # flat series: the locator still locates (ES also always reports
+    # its best candidate), but the score pins to 1.0 — "no
+    # confidence", the caller-filterable sentinel
+    tiny.execute("CREATE TABLE flat AS SELECT range AS k, 7.0 AS v "
+                 "FROM range(5)")
+    rows = _rows(tiny, "FROM flat | CHANGE_POINT v ON k | SORT k")
+    flagged = [r for r in rows if r[2] is not None]
+    assert len(flagged) == 1 and flagged[0][3] == 1.0
     for q, msg in [
         ("FROM series | CHANGE_POINT v", "wants <value> ON <key>"),
         ("FROM series | CHANGE_POINT v ON k AS a", "AS wants"),
