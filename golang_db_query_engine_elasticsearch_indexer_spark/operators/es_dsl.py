@@ -144,6 +144,8 @@ from golang_db_query_engine_elasticsearch_indexer_spark.operators.es_dsl_bodies 
     MATCH_HIGHLIGHT_BODY,
     MATCH_PHRASE_PREFIX_BODY,
     MATCH_SCORED_BODY,
+    POST_FILTER_BODY,
+    SOURCE_FILTERING_BODY,
     MATRIX_STATS_BODY,
     MIN_SCORE_BODY,
     MORE_LIKE_THIS_BODY,
@@ -443,8 +445,89 @@ def compile_search(
             names.append(x)
         body = {**{k: v for k, v in body.items() if k != fk},
                 "_source": names}
+    if isinstance(body.get("_source"), dict):
+        # the ES object form: {"includes": [...], "excludes": [...]},
+        # either side optional, wildcards allowed — normalized to the
+        # plain list form against the compile-time column inventory
+        # (the ES|QL multi-index schema map; known fixture tables and
+        # live registrations). Excludes/wildcards over a table outside
+        # the inventory raise — resolution needs the column set.
+        src = body["_source"]
+        bad = set(src) - {"includes", "excludes"}
+        if bad:
+            raise ValueError(
+                f"es_dsl: unsupported _source keys {sorted(bad)}"
+            )
+        inc = src.get("includes", ["*"])
+        exc = src.get("excludes", [])
+        if not isinstance(inc, list) or not isinstance(exc, list):
+            raise ValueError(
+                "es_dsl: _source includes/excludes must be lists"
+            )
+        if exc or any("*" in str(p) for p in inc):
+            import fnmatch  # noqa: PLC0415
+
+            from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (  # noqa: PLC0415
+                _TABLE_COLUMNS,
+            )
+
+            if index not in _TABLE_COLUMNS:
+                raise ValueError(
+                    "es_dsl: _source excludes/wildcards need the "
+                    f"column inventory; index {index!r} is not a "
+                    "registered table"
+                )
+            cols = _TABLE_COLUMNS[index]
+            keep = [
+                c for c in cols
+                if any(fnmatch.fnmatchcase(c, str(p)) for p in inc)
+                and not any(
+                    fnmatch.fnmatchcase(c, str(p)) for p in exc
+                )
+            ]
+        else:
+            keep = [str(p) for p in inc]
+        if not keep:
+            raise ValueError(
+                "es_dsl: _source includes/excludes selected no fields"
+            )
+        body = {**body, "_source": keep}
     if "suggest" in body:
         return compile_suggest(index, body, dialect, id_field)
+    if "post_filter" in body:
+        # the Kibana faceted-search idiom: post_filter narrows the
+        # HITS but not the aggregations. For hit bodies it merges
+        # into the query's filter context — identical hit set,
+        # pagination, and scores (filter context never contributes
+        # score, and this engine's BM25 statistics are corpus-scoped,
+        # not query-scoped, so a surviving hit's score is unchanged —
+        # the ES property). For aggs bodies it drops, because ES aggs
+        # are computed BEFORE post_filter and this compiler returns
+        # the aggs relation only. knn rejects (the knn body's query
+        # key is already a pre-filter; stacking both is ambiguous).
+        pf = body["post_filter"]
+        if not isinstance(pf, dict):
+            raise ValueError("es_dsl: post_filter must be an object")
+        if "knn" in body:
+            raise ValueError(
+                "es_dsl: post_filter cannot combine with knn"
+            )
+        body = {k: v for k, v in body.items() if k != "post_filter"}
+        if "aggs" not in body:
+            q = body.get("query", {"match_all": {}})
+            if (
+                isinstance(q, dict) and set(q) == {"bool"}
+                and isinstance(q["bool"], dict)
+            ):
+                # merge into the existing bool's filter list so the
+                # scored-bool detection still sees the original musts
+                bq = dict(q["bool"])
+                flt = bq.get("filter", [])
+                flt = flt if isinstance(flt, list) else [flt]
+                bq["filter"] = [*flt, pf]
+                body["query"] = {"bool": bq}
+            else:
+                body["query"] = {"bool": {"must": [q], "filter": [pf]}}
     known = {"query", "_source", "sort", "size", "from", "aggs", "knn",
              "collapse", "search_after", "highlight", "min_score",
              "rescore", "slice"}
@@ -1351,6 +1434,16 @@ def registry() -> dict[str, dict]:
         "es_dsl_match_scored": {
             "fn": _entry("documents", MATCH_SCORED_BODY, "doc_id"),
             "oracle": compile_search("documents", MATCH_SCORED_BODY, "duck"),
+        },
+        "es_dsl_post_filter": {
+            "fn": _entry("documents", POST_FILTER_BODY, "doc_id"),
+            "oracle": compile_search("documents", POST_FILTER_BODY, "duck"),
+        },
+        "es_dsl_source_filtering": {
+            "fn": _entry("documents", SOURCE_FILTERING_BODY, "doc_id"),
+            "oracle": compile_search(
+                "documents", SOURCE_FILTERING_BODY, "duck"
+            ),
         },
         "es_dsl_multi_match": {
             "fn": _entry("documents", MULTI_MATCH_BODY, "doc_id"),

@@ -112,6 +112,25 @@ MATCH_SCORED_BODY = {
     "size": 25,
     "_source": ["doc_id", "lang", "n_chars"],
 }
+SOURCE_FILTERING_BODY = {
+    # the _source OBJECT form: includes wildcards resolved against
+    # the compile-time column inventory, minus excludes — the
+    # response-trimming idiom wide-document deployments rely on
+    "query": {"range": {"n_chars": {"gte": 400}}},
+    "_source": {"includes": ["doc_id", "lang", "n_*"],
+                "excludes": ["text"]},
+    "sort": [{"doc_id": "asc"}],
+    "size": 40,
+}
+POST_FILTER_BODY = {
+    # the Kibana faceted-search shape: a scored match narrowed by a
+    # facet selection via post_filter — hit set filtered, BM25 scores
+    # and ranking unchanged for the surviving docs
+    "query": {"match": {"text": "table scan fast"}},
+    "post_filter": {"term": {"lang": "en"}},
+    "size": 25,
+    "_source": ["doc_id", "lang", "n_chars"],
+}
 MULTI_MATCH_BODY = {
     "query": {"multi_match": {
         "query": "merge value batch",

@@ -378,6 +378,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_phrase_slop': (11, 'unclassified', None),
     'es_dsl_pinned': (10, 'unclassified', None),
     'es_dsl_pipeline_cumsum': (9, 'unclassified', None),
+    'es_dsl_post_filter': (None, 'unclassified', 'r12'),
     'es_dsl_query_string': (10, 'unclassified', 'r12'),
     'es_dsl_random_score': (11, 'unclassified', None),
     'es_dsl_range_agg': (8, 'unclassified', None),
@@ -399,6 +400,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_significant_text': (10, 'unclassified', None),
     'es_dsl_simple_query_string': (10, 'unclassified', 'r12'),
     'es_dsl_sliced_scroll': (11, 'unclassified', None),
+    'es_dsl_source_filtering': (None, 'unclassified', 'r12'),
     'es_dsl_span_near': (11, 'unclassified', None),
     'es_dsl_stats_bucket': (10, 'unclassified', None),
     'es_dsl_string_stats_boxplot': (10, 'unclassified', None),
@@ -550,7 +552,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'q6_forecast_revenue': (9, 'verified', None),
     'q7_volume_shipping': (4, 'verified', 'r12'),
     'q8_market_share': (4, 'verified', 'r12'),
-    'q9_product_type_profit': (4, 'verified', 'r12'),
+    'q9_product_type_profit': (4, 'verified', None),
     'quality_classifier_calibration': (6, 'float-stat', None),
     'quality_classifier_train': (6, 'float-stat', None),
     'recursive_date_spine': (5, 'verified', None),
@@ -558,7 +560,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'sample_curriculum_order': (6, 'float-stat', None),
     'sample_dsir_importance': (6, 'float-stat', None),
     'sample_neyman_allocation': (6, 'float-stat', None),
-    'sample_stratified': (4, 'verified', 'r12'),
+    'sample_stratified': (4, 'verified', None),
     'sample_temperature_mix': (5, 'verified', None),
     'sample_token_budget': (6, 'float-stat', None),
     'sample_weighted_mix': (9, 'verified', None),
@@ -654,6 +656,8 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_search_template',
     'es_termvectors',
     'es_alias_multi_search',
+    'es_dsl_post_filter',
+    'es_dsl_source_filtering',
     'es_multi_index_search',
     'esql_change_point',
     'esql_fork',
@@ -683,8 +687,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'q4_order_priority',
     'q7_volume_shipping',
     'q8_market_share',
-    'q9_product_type_profit',
-    'sample_stratified',
 )
 
 def scheduled(window: str) -> list[str]:

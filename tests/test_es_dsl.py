@@ -531,6 +531,82 @@ def test_match_scored_query_context(tiny):
                                 "collapse": {"field": "lang"}}, "duck")
 
 
+def test_source_object_form(spark, tables, sf_dir, duck):
+    """_source as {"includes": [...], "excludes": [...]}: wildcards
+    and excludes resolve against the compile-time column inventory;
+    plain includes work on any table; empty selections and unknown
+    keys are loud."""
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import compare
+
+    body = {"query": {"term": {"lang": "en"}},
+            "_source": {"includes": ["doc_id", "n_*"],
+                        "excludes": ["n_chars"]},
+            "sort": [{"doc_id": "asc"}], "size": 5}
+    sql = compile_search("documents", body, "spark")
+    df = spark.sql(sql)
+    assert df.columns == ["doc_id"]  # n_* minus n_chars = nothing else
+    ok, diag = compare(df, duck, compile_search("documents", body, "duck"))
+    assert ok, diag
+    # excludes-only: everything but text
+    body2 = {"query": {"term": {"lang": "en"}},
+             "_source": {"excludes": ["text"]},
+             "sort": [{"doc_id": "asc"}], "size": 5}
+    df2 = spark.sql(compile_search("documents", body2, "spark"))
+    assert "text" not in df2.columns and "lang" in df2.columns
+    # plain includes (no wildcards) need no inventory
+    body3 = {"query": {"match_all": {}},
+             "_source": {"includes": ["doc_id"]},
+             "sort": [{"doc_id": "asc"}], "size": 3}
+    assert spark.sql(
+        compile_search("documents", body3, "spark")).columns == ["doc_id"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="selected no fields"):
+        compile_search("documents", {
+            "_source": {"includes": ["zz_*"]}}, "duck")
+    with _pytest.raises(ValueError, match="unsupported _source keys"):
+        compile_search("documents", {
+            "_source": {"include": ["doc_id"]}}, "duck")
+    with _pytest.raises(ValueError, match="not a registered table"):
+        compile_search("sometable", {
+            "_source": {"excludes": ["x"]}}, "duck")
+
+
+def test_post_filter_narrows_hits_not_scores(tiny):
+    """post_filter (the Kibana faceted-search idiom): the hit set
+    narrows, but each surviving hit keeps the IDENTICAL BM25 score
+    and relative order the unfiltered query gave it; aggs bodies
+    ignore post_filter (ES computes aggs before it)."""
+    base = {"query": {"match": {"text": "alpha"}}, "size": 10}
+    unfiltered = {r[0]: r[1] for r in tiny.execute(_search(base)).fetchall()}
+    pf = dict(base, post_filter={"term": {"lang": "en"}})
+    rows = tiny.execute(_search(pf)).fetchall()
+    assert set(r[0] for r in rows) < set(unfiltered)
+    for did, score in ((r[0], r[1]) for r in rows):
+        assert score == unfiltered[did]
+    # filter-context query + post_filter: plain conjunction
+    pf2 = {"query": {"range": {"n": {"gte": 1}}},
+           "post_filter": {"term": {"lang": "en"}},
+           "sort": [{"doc_id": "asc"}], "size": 10,
+           "_source": ["doc_id", "lang"]}
+    got = tiny.execute(_search(pf2)).fetchall()
+    assert got and all(r[1] == "en" for r in got)
+    # aggs ignore post_filter — same agg rows either way (ES scope)
+    agg = {"aggs": {"l": {"terms": {"field": "lang", "size": 10}}},
+           "size": 0}
+    with_pf = tiny.execute(_search(
+        dict(agg, post_filter={"term": {"lang": "en"}}))).fetchall()
+    without = tiny.execute(_search(agg)).fetchall()
+    assert with_pf == without and len(without) > 1
+    # malformed / knn combination: loud
+    with pytest.raises(ValueError, match="post_filter must be an object"):
+        compile_search("docs", {"post_filter": "x"}, "duck")
+    with pytest.raises(ValueError, match="cannot combine with knn"):
+        compile_search("docs", {
+            "knn": {"field": "v", "query_vector": [1.0], "k": 1,
+                    "num_candidates": 10},
+            "post_filter": {"term": {"lang": "en"}}}, "duck")
+
+
 def test_multi_match_best_vs_most_fields(tiny):
     """multi_match combine rules: best_fields = max over per-field
     BM25, most_fields = sum. Doc 1 matches 'alpha' in text AND 'news'
@@ -2041,7 +2117,9 @@ def test_source_boolean_forms(tiny):
         "duck")).fetchall()
     assert len(scored[0]) == 6  # 5 columns + _score
     assert scored[0][-1] >= scored[-1][-1]
-    for bad in ("text", [], [1, 2], {"includes": ["text"]}):
+    # the object form {"includes": ...} is VALID since r12
+    # (test_source_object_form); plain-list/boolean misuse stays loud
+    for bad in ("text", [], [1, 2]):
         with pytest.raises(ValueError, match="_source for"):
             compile_search("docs", {"query": {"term": {"lang": "en"}},
                                     "_source": bad}, "duck")
