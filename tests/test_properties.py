@@ -645,7 +645,10 @@ def test_xlsx_roundtrip_any_text(text):
                "ROW ", " METADATA _index", " ENRICH ", " ON ",
                " WITH ", "MV_SORT", "MV_SLICE", "MV_DEDUPE", "SPLIT",
                "PERCENTILE", "DATE_DIFF", "DATE_FORMAT", " NULLS ",
-               " FIRST", " LAST", "GREATEST", "CEIL"]
+               " FIRST", " LAST", "GREATEST", "CEIL",
+               # r12 grammar: tech-preview commands + the agg tier
+               " SAMPLE ", " CHANGE_POINT ", " FORK ", " AS ",
+               "TOP", "VALUES", "WEIGHTED_AVG", " ON "]
         ),
         min_size=0,
         max_size=24,
@@ -685,6 +688,12 @@ def test_esql_compiler_totality_and_purity(q):
             "KEEP doc_id, lang",
             'STATS en = COUNT(*) WHERE lang == "en"',
             "EVAL b = CEIL(n_chars / 100)",
+            # r12 stages
+            "SAMPLE 0.5 ON doc_id 3",
+            "CHANGE_POINT n_chars ON doc_id",
+            'STATS t = TOP(lang, 2, "asc"), v = VALUES(lang)',
+            "STATS w = WEIGHTED_AVG(n_chars, doc_id)",
+            "FORK (LIMIT 3) (LIMIT 2)",
         ]),
         min_size=1,
         max_size=6,
