@@ -12,6 +12,8 @@ no custom rewrite code.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from golang_db_query_engine_elasticsearch_indexer_spark.errors import (
@@ -27,6 +29,17 @@ from golang_db_query_engine_elasticsearch_indexer_spark.result import (
     collect_envelope,
 )
 from golang_db_query_engine_elasticsearch_indexer_spark.session import SourceRegistry
+
+
+def _doc_key(d):
+    """A document id's typed comparison key: integer ids arrive as
+    strings over HTTP ('42', '-7') and must compare as ints against
+    BIGINT columns; everything else compares as the string itself.
+    One definition for the seven verbs that point-look-up by id —
+    and a regex, not lstrip('-').isdigit(), which accepted '--5' and
+    then crashed int() (found in review)."""
+    s = str(d)
+    return int(s) if _re.fullmatch(r"-?\d+", s) else s
 
 
 def query_df(
@@ -98,8 +111,14 @@ def es_search_df(spark: SparkSession, index: str, body: dict) -> DataFrame:
     # id tiebreak column: the relation's first column, the same
     # default every other index-addressed verb uses (the old fixed
     # "doc_id" default broke hit-returning searches over any table
-    # not named documents — and over multi-target alias unions)
-    id_field = spark.table(index).columns[0]
+    # not named documents). Union views carry the synthetic never-NULL
+    # _uid instead — their first column is NULL for rows from targets
+    # lacking it, which would leave LIMIT engine-arbitrary and drop
+    # NULL-id rows from every slice.
+    if index.startswith("__indices_"):
+        id_field = "_uid"
+    else:
+        id_field = spark.table(index).columns[0]
     return spark.sql(compile_search(index, body, "spark", id_field))
 
 
@@ -221,11 +240,20 @@ def cat_indices(spark: SparkSession) -> list[dict]:
 
 def es_index_exists(spark: SparkSession, index: str) -> bool:
     """`HEAD /{index}` parity: does the index (registered table) or an
-    alias to one exist. Catalog lookup only — no scan. A multi-target
-    alias exists iff every target does; a stale alias reports False
-    rather than raising (HEAD has no error body to explain with)."""
+    alias to one exist. Catalog lookup only — no scan. Accepts the
+    comma/wildcard index-expression grammar like the other read verbs
+    (HEAD /region,nation is 200 in real ES when all parts resolve).
+    A multi-target alias exists iff every target does; a stale alias
+    or dead pattern reports False rather than raising (HEAD has no
+    error body to explain with)."""
     if index is None:
         raise ParamsNullError()
+    if "," in index or "*" in index:
+        try:
+            _expand_index_expression(spark, index)
+        except (NotFoundError, SqlSyntaxError):
+            return False
+        return True
     targets = _ALIASES.get(index, (index,))
     return all(spark.catalog.tableExists(t) for t in targets)
 
@@ -348,9 +376,14 @@ def _expand_index_expression(
 def _union_view(spark: SparkSession, targets: tuple[str, ...]) -> str:
     """Materialize (metadata-only) a temp view over the ES
     missing-column-as-NULL UNION ALL of the targets — the same union
-    the ES|QL multi-index FROM emits — named by a digest of the
-    target list. Re-created on every resolution so it always follows
-    the live catalog."""
+    the ES|QL multi-index FROM emits, plus the never-NULL ``_uid``
+    identity column (source name + the branch's own first column)
+    that the search path uses as its sort tiebreak / slice hash /
+    pagination key (the union's FIRST column is NULL for rows from
+    targets lacking it, so it cannot be the id). Named by a digest of
+    the target list; re-created on every resolution so it always
+    follows the live catalog. ``_uid`` rides along in `_source: true`
+    responses — the honest stand-in for the ES hit `_id`."""
     import hashlib  # noqa: PLC0415
 
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (  # noqa: PLC0415
@@ -361,7 +394,7 @@ def _union_view(spark: SparkSession, targets: tuple[str, ...]) -> str:
     view = "__indices_" + hashlib.md5(
         ",".join(targets).encode()
     ).hexdigest()[:12]
-    spark.sql(union_all_sql(cols)).createOrReplaceTempView(view)
+    spark.sql(union_all_sql(cols, uid=True)).createOrReplaceTempView(view)
     return view
 
 
@@ -489,7 +522,7 @@ def es_get(
     idc = id_field or df.columns[0]
     if idc not in df.columns:
         raise ParamsNullError(f"unknown id field {idc!r}")
-    key = int(doc_id) if str(doc_id).lstrip("-").isdigit() else doc_id
+    key = _doc_key(doc_id)
     rows = df.filter(F.col(idc) == key).limit(1).toJSON().collect()
     out = {"_index": index, "_id": str(doc_id), "found": bool(rows)}
     if rows:
@@ -580,8 +613,12 @@ def es_validate_query(spark: SparkSession, index: str, body: dict) -> dict:
         raise ParamsNullError()
     index = _resolve_alias(index, spark)
     try:
+        # id tiebreak = first column, like es_search_df (the fixed
+        # "doc_id" default made every valid query on a table not
+        # named documents report valid:false; found in review)
+        id_field = spark.table(index).columns[0]
         df = spark.sql(compile_search(index, {"query": body.get(
-            "query", {"match_all": {}})}, "spark"))
+            "query", {"match_all": {}})}, "spark", id_field))
         df.schema  # force analysis: unknown columns/tables surface here
     except Exception as exc:  # noqa: BLE001 — the point IS the envelope
         return {"valid": False, "error": str(exc)[:500]}
@@ -606,7 +643,7 @@ def es_mget(
         raise SqlSyntaxError("es_dsl: _mget is capped at 10000 ids")
     df = spark.table(index)
     idc = id_field or df.columns[0]
-    keys = [int(i) if str(i).lstrip("-").isdigit() else i for i in ids]
+    keys = [_doc_key(i) for i in ids]
     rows = df.filter(F.col(idc).isin(keys)).toJSON().collect()
     by_id = {}
     for r in rows:
@@ -997,7 +1034,7 @@ def es_explain(spark: SparkSession, index: str, doc_id, body: dict,
         raise SqlSyntaxError(str(exc))
     df = spark.table(index)
     idc = id_field or df.columns[0]
-    key = int(doc_id) if str(doc_id).lstrip("-").isdigit() else str(doc_id)
+    key = _doc_key(doc_id)
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     hit = (
@@ -1075,9 +1112,7 @@ def termvectors_sql(index: str, doc_id, field: str, id_field: str,
         f"SELECT explode({te}) AS term" if dialect == "spark"
         else f"SELECT unnest({te}) AS term"
     )
-    key = (
-        int(doc_id) if str(doc_id).lstrip("-").isdigit() else str(doc_id)
-    )
+    key = _doc_key(doc_id)
     return f"""
 SELECT term, count(*) AS term_freq
 FROM ({stream} FROM {_ident(index)}
@@ -1116,10 +1151,7 @@ def mtermvectors_sql(index: str, doc_ids: list, field: str,
         raise SqlSyntaxError(
             "es_dsl: _mtermvectors wants a list of <= 1000 ids"
         )
-    keys = [
-        int(d) if str(d).lstrip("-").isdigit() else str(d)
-        for d in doc_ids
-    ]
+    keys = [_doc_key(d) for d in doc_ids]
     in_list = ", ".join(_lit(k, dialect) for k in keys)
     te = _tokens_expr(_ident(field), dialect)
     idc = _ident(id_field)
@@ -1184,10 +1216,7 @@ def es_mtermvectors(spark: SparkSession, index: str, body: dict,
         _lit,
     )
 
-    keys = [
-        int(d) if str(d).lstrip("-").isdigit() else str(d)
-        for d in ids
-    ]
+    keys = [_doc_key(d) for d in ids]
     in_list = ", ".join(_lit(k, "spark") for k in keys)
     existing = {
         str(r[0]) for r in spark.sql(
@@ -1226,10 +1255,7 @@ def es_termvectors(spark: SparkSession, index: str, doc_id, field: str,
         )
 
         idc = id_field or spark.table(index).columns[0]
-        key = (
-            int(doc_id) if str(doc_id).lstrip("-").isdigit()
-            else str(doc_id)
-        )
+        key = _doc_key(doc_id)
         found = bool(spark.sql(
             f"SELECT 1 FROM {_ident(index)} "
             f"WHERE {_ident(idc)} = {_lit(key, 'spark')} LIMIT 1"

@@ -520,8 +520,19 @@ def compile_search(
                 and isinstance(q["bool"], dict)
             ):
                 # merge into the existing bool's filter list so the
-                # scored-bool detection still sees the original musts
+                # scored-bool detection still sees the original musts.
+                # A should-only bool defaults minimum_should_match to
+                # 1 ONLY while it has no must/filter clause — adding
+                # the post_filter would silently flip that default to
+                # 0 and EXPAND the hit set (post_filter may only ever
+                # narrow), so pin the pre-merge default explicitly.
                 bq = dict(q["bool"])
+                if (
+                    bq.get("should")
+                    and not bq.get("must") and not bq.get("filter")
+                    and "minimum_should_match" not in bq
+                ):
+                    bq["minimum_should_match"] = 1
                 flt = bq.get("filter", [])
                 flt = flt if isinstance(flt, list) else [flt]
                 bq["filter"] = [*flt, pf]
@@ -1353,26 +1364,24 @@ def _alias_multi_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return es_search_df(spark, "parties_all", ALIAS_MULTI_BODY)
 
 
-def _union_oracle(targets: tuple[str, ...], body: dict,
-                  id_field: str) -> str:
-    """DuckDB oracle for a multi-index/alias search: the SAME union
-    view name gateway._union_view derives (md5 digest of the target
-    list) supplied as a CTE over the concrete tables, then the same
-    compiled body — so the differential proves the expansion IS that
-    union."""
-    import hashlib  # noqa: PLC0415
-
+def _union_oracle(targets: tuple[str, ...], body: dict) -> str:
+    """DuckDB oracle for a multi-index/alias search: the same
+    missing-column-as-NULL union gateway._union_view materializes —
+    including its never-NULL ``_uid`` id column, which is also the
+    oracle's sort tiebreak — inlined as a CTE over the concrete
+    tables, then the same compiled body. The CTE name is local to
+    this statement (compare() matches rows, not identifiers), so a
+    fixed identifier beats recomputing gateway's digest naming."""
     from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (  # noqa: PLC0415
         _TABLE_COLUMNS,
         union_all_sql,
     )
 
-    view = "__indices_" + hashlib.md5(
-        ",".join(targets).encode()
-    ).hexdigest()[:12]
-    union = union_all_sql({t: _TABLE_COLUMNS[t] for t in targets})
-    inner = compile_search(view, body, "duck", id_field)
-    return f"WITH {view} AS (\n{union}\n)\n{inner}"
+    union = union_all_sql(
+        {t: _TABLE_COLUMNS[t] for t in targets}, uid=True
+    )
+    inner = compile_search("__indices_u", body, "duck", "_uid")
+    return f"WITH __indices_u AS (\n{union}\n)\n{inner}"
 
 
 def _multi_index_search_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1899,14 +1908,13 @@ def registry() -> dict[str, dict]:
         "es_alias_multi_search": {
             "fn": _alias_multi_search_entry,
             "oracle": _union_oracle(
-                ("customer", "supplier"), ALIAS_MULTI_BODY, "c_custkey"
+                ("customer", "supplier"), ALIAS_MULTI_BODY
             ),
         },
         "es_multi_index_search": {
             "fn": _multi_index_search_entry,
             "oracle": _union_oracle(
-                ("region", "nation"), MULTI_INDEX_SEARCH_BODY,
-                "r_regionkey",
+                ("region", "nation"), MULTI_INDEX_SEARCH_BODY
             ),
         },
         "es_dsl_suggest_phrase": {

@@ -990,7 +990,27 @@ class _TableColumns:
         return out
 
     def __getitem__(self, key: str) -> list[str]:
-        return self._snapshot()[key]
+        snap = self._snapshot()
+        if key not in snap:
+            # a bare KeyError here surfaces as an unexplained crash
+            # inside registry()/oracle compilation on machines where
+            # the fixture dir is absent — name the actual cause
+            import os  # noqa: PLC0415
+
+            from golang_db_query_engine_elasticsearch_indexer_spark.session import (  # noqa: PLC0415
+                DEFAULT_SF_DIR,
+            )
+
+            hint = (
+                "" if os.path.isdir(DEFAULT_SF_DIR) else
+                f" (fixture dir {DEFAULT_SF_DIR!r} is absent and no "
+                "live register_sf_dir has published schemas — set "
+                "SPARK_GRAFT_SF_DIR or register the tables first)"
+            )
+            raise ValueError(
+                f"esql: no column inventory for table {key!r}{hint}"
+            )
+        return snap[key]
 
     def __contains__(self, key) -> bool:
         return key in self._snapshot()
@@ -1006,14 +1026,21 @@ _TABLE_COLUMNS = _TableColumns()
 
 
 def union_all_sql(
-    table_cols: dict[str, list[str]], meta: bool = False
+    table_cols: dict[str, list[str]], meta: bool = False,
+    uid: bool = False,
 ) -> str:
     """The ES missing-column-as-NULL UNION ALL over named tables:
     column order is first-seen across the tables (the ES multi-index
-    rule); ``meta`` appends the source name as ``_index``. Shared by
-    the ES|QL multi-index FROM compile and the gateway's multi-target
-    alias search (gateway._search_relation). Valid in both dialects —
-    plain SELECT/UNION ALL, no engine-specific syntax."""
+    rule); ``meta`` appends the source name as ``_index``; ``uid``
+    appends ``_uid`` — the source name prefixed onto the branch's own
+    first column — a NEVER-NULL per-row identity the search path's
+    sort tiebreak / slice hashing / search_after need (the union's
+    first column is NULL for every row from targets lacking it, which
+    would leave LIMIT engine-arbitrary and drop rows from every
+    slice; found in review). Shared by the ES|QL multi-index FROM
+    compile and the gateway's multi-target alias search
+    (gateway._search_relation). Valid in both dialects — plain
+    SELECT/UNION ALL (STRING is a VARCHAR alias in DuckDB)."""
     if not table_cols:
         raise ValueError("esql: union_all_sql wants >= 1 table")
     unified: list[str] = []
@@ -1027,6 +1054,11 @@ def union_all_sql(
         )
         if meta:
             proj += f", '{t}' AS _index"
+        if uid:
+            proj += (
+                f", concat('{t}:', coalesce(cast({cols[0]} AS STRING),"
+                f" '')) AS _uid"
+            )
         selects.append(f"SELECT {proj} FROM {t}")
     return "\n  UNION ALL ".join(selects)
 
@@ -1594,9 +1626,15 @@ def compile_esql(query: str, dialect: str) -> str:
             h = hash16(
                 f"md5(concat('{seed}:', cast({rest[2]} AS {cast_t})))"
             )
+            # NULL keys are EXCLUDED explicitly (the TOP/VALUES
+            # missing-value rule): without the guard the engines
+            # diverge — Spark's concat propagates NULL (row dropped)
+            # while DuckDB's concat skips NULL arguments, giving every
+            # NULL-key row the SAME shared coin flip (found in review)
             sql = (
                 f"SELECT * FROM {inner} "
-                f"WHERE {h} < {int(round(prob * 65536))}"
+                f"WHERE ({rest[2]}) IS NOT NULL "
+                f"AND {h} < {int(round(prob * 65536))}"
             )
         elif cmd == "CHANGE_POINT":
             # CHANGE_POINT <value> ON <key> [AS <type>, <pvalue>] —

@@ -208,11 +208,14 @@ that decides those 50 slots:
   changes (es_termvectors / es_mtermvectors — empty-token filter +
   found-is-existence, ADVICE r11; agg_approx_sketches — rewritten
   from rows-only to the in-plan error-bound oracle, VERDICT r11 ask
-  #4), then the 4 net-new r12 registrations (es_alias_multi_search —
-  multi-target alias search through the UNION-ALL machinery;
-  esql_sample / esql_change_point — the deterministic documented
-  deviations; esql_top_values_wavg — the TOP/VALUES/WEIGHTED_AVG
-  aggregate tier), then 28 pure oldest-evidence re-rotations from
+  #4), then the 8 net-new r12 registrations (es_alias_multi_search /
+  es_multi_index_search — multi-target alias and comma/wildcard
+  search through the UNION-ALL machinery; esql_sample /
+  esql_change_point — the deterministic documented deviations;
+  esql_fork — branch-and-concatenate; esql_top_values_wavg — the
+  TOP/VALUES/WEIGHTED_AVG aggregate tier; es_dsl_post_filter /
+  es_dsl_source_filtering — the Kibana facet idiom and the _source
+  object form), then 24 pure oldest-evidence re-rotations from
   the r04/r05 tier (dedup_exact, minhash, the stream_* family, the
   TPC-H q* tail, text_*, search_bm25 — VERDICT r11 ask #1: the
   oldest evidence re-checks now that the backlog is empty). The

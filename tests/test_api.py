@@ -539,6 +539,11 @@ def test_es_validate_query_route(client):
     # empty body = match_all = valid
     r = client.post("/documents/_validate/query", json={})
     assert json.loads(r.data)["valid"] is True
+    # REGRESSION (review r12): valid on a table NOT named documents —
+    # the fixed doc_id tiebreak default made this report valid:false
+    r = client.post("/customer/_validate/query",
+                    json={"query": {"match_all": {}}})
+    assert json.loads(r.data) == {"valid": True}
 
 
 def test_es_mget_route(client):
@@ -1065,6 +1070,19 @@ def test_es_multi_index_expression_routes(client, clean_aliases):
     # search returns rows from both indices
     r = client.post("/region,nation/_search", json={"size": 1000})
     assert r.status_code == 200 and r.get_json()["count"] == n_r + n_n
+    # HEAD accepts expressions too (review r12): 200 when every part
+    # resolves, 404 when any part is dead
+    assert client.head("/region,nation").status_code == 200
+    assert client.head("/*ion").status_code == 200
+    assert client.head("/region,nope_idx").status_code == 404
+    assert client.head("/zz*").status_code == 404
+    # hit search through the union is deterministic under LIMIT: the
+    # synthetic _uid tiebreak is never NULL (review r12 — the union's
+    # first column IS null for the other index's rows)
+    r = client.post("/region,nation/_search", json={"size": 7})
+    r2 = client.post("/region,nation/_search", json={"size": 7})
+    assert r.get_json()["data"] == r2.get_json()["data"]
+    assert all(row["_uid"] for row in r.get_json()["data"])
     # typed 404s: unknown concrete name in the list, dead pattern
     assert client.post("/region,nope_idx/_count",
                        json={}).status_code == 404

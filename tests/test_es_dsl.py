@@ -597,6 +597,19 @@ def test_post_filter_narrows_hits_not_scores(tiny):
         dict(agg, post_filter={"term": {"lang": "en"}}))).fetchall()
     without = tiny.execute(_search(agg)).fetchall()
     assert with_pf == without and len(without) > 1
+    # REGRESSION (review r12): merging post_filter into a should-only
+    # bool must not flip the implicit minimum_should_match from 1 to
+    # 0 — post_filter may only ever NARROW the hit set
+    should_only = {"query": {"bool": {"should": [
+        {"term": {"lang": "en"}}, {"term": {"lang": "fr"}}]}},
+        "sort": [{"doc_id": "asc"}], "size": 20,
+        "_source": ["doc_id", "lang"]}
+    base_hits = tiny.execute(_search(should_only)).fetchall()
+    narrowed = tiny.execute(_search(dict(
+        should_only, post_filter={"range": {"n": {"gte": 0}}}
+    ))).fetchall()
+    assert set(narrowed) <= set(base_hits)
+    assert all(r[1] in ("en", "fr") for r in narrowed)
     # malformed / knn combination: loud
     with pytest.raises(ValueError, match="post_filter must be an object"):
         compile_search("docs", {"post_filter": "x"}, "duck")

@@ -652,6 +652,15 @@ def test_sample_deterministic(tiny):
     # seedless form defaults seed=0 and still works
     c = _rows(tiny, "FROM many | SAMPLE 0.3 ON id | SORT id")
     assert 200 < len(c) < 400
+    # REGRESSION (review r12): NULL keys are excluded EXPLICITLY —
+    # without the guard DuckDB's NULL-skipping concat gave the whole
+    # NULL block one shared coin while Spark dropped it
+    tiny.execute("CREATE TABLE withnull AS SELECT "
+                 "CASE WHEN range < 5 THEN range END AS id FROM range(10)")
+    got = _rows(tiny, "FROM withnull | SAMPLE 0.9 ON id 1 | SORT id")
+    assert all(r[0] is not None for r in got)
+    sql = compile_esql("FROM withnull | SAMPLE 0.9 ON id 1", "duck")
+    assert "IS NOT NULL" in sql
     for q, msg in [
         ("FROM many | SAMPLE 0.3", "keying field is required"),
         ("FROM many | SAMPLE 1.5 ON id", r"\(0, 1\) exclusive"),
