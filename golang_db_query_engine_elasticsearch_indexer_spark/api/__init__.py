@@ -360,6 +360,16 @@ def create_app(
         body = _es_body()
         return jsonify({"count": gateway.es_count(_spark(), index, body)}), 200
 
+    @app.get("/<index>/_stats")
+    def es_index_stats_route(index: str):
+        _attach_if_named()
+        return jsonify(gateway.es_index_stats(_spark(), index)), 200
+
+    @app.get("/<index>/_settings")
+    def es_index_settings_route(index: str):
+        _attach_if_named()
+        return jsonify(gateway.es_index_settings(_spark(), index)), 200
+
     @app.get("/<index>/_mapping")
     def es_mapping_route(index: str):
         _attach_if_named()

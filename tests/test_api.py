@@ -1092,6 +1092,34 @@ def test_es_multi_index_expression_routes(client, clean_aliases):
     ).status_code == 200
 
 
+def test_index_stats_and_settings_routes(client, clean_aliases):
+    """_stats / _settings: the capacity-check verbs — doc counts from
+    one aggregate per index, store bytes from an FS listing; settings
+    report the honest shard analog (input-file count). Both accept
+    index expressions; unknown names 404."""
+    r = client.get("/region/_stats")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["indices"]["region"]["primaries"]["docs"]["count"] == 5
+    assert body["indices"]["region"]["primaries"]["store"][
+        "size_in_bytes"] > 0
+    assert body["_all"]["primaries"]["docs"]["count"] == 5
+    # expression: _all sums the parts
+    both = client.get("/region,nation/_stats").get_json()
+    assert set(both["indices"]) == {"region", "nation"}
+    assert both["_all"]["primaries"]["docs"]["count"] == 30
+    # settings: per concrete index, shard analog >= 1
+    s = client.get("/*ion/_settings").get_json()
+    assert set(s) == {"region", "nation"}
+    idx = s["region"]["settings"]["index"]
+    assert int(idx["number_of_shards"]) >= 1
+    assert idx["number_of_replicas"] == "0"
+    assert idx["provided_name"] == "region"
+    # unknown index: typed 404
+    assert client.get("/nope_idx_x/_stats").status_code == 404
+    assert client.get("/zz*/_settings").status_code == 404
+
+
 def test_multi_index_metadata_verbs(client, spark, clean_aliases):
     """field_caps / mapping / _resolve over index expressions: caps
     merge across indices with per-type `indices` lists on conflicts;
