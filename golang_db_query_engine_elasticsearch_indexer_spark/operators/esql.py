@@ -1550,7 +1550,11 @@ def compile_esql(query: str, dialect: str) -> str:
             # is substituted with the current subquery — so branches
             # get the full command grammar (including nested FORK) for
             # free, and the result is ONE UNION ALL statement Catalyst
-            # plans as sibling scans sharing the input plan. STRICTER
+            # plans as sibling scans sharing the input plan. (ES 8.19
+            # rejects nested FORK outright; this engine allows it as a
+            # documented superset — but an inner _fork column that is
+            # not KEEP/DROP-ed away before the outer FORK re-tags will
+            # appear TWICE in the output, both engines.) STRICTER
             # than ES on schema: branches must end with the same
             # column set (ES pads missing columns with NULL; this
             # engine's columns are not known at compile time, so a

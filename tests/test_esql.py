@@ -766,6 +766,45 @@ def test_change_point_mean_shift(tiny):
             compile_esql(q, "duck")
 
 
+def test_esql_random_pipeline_cross_engine(spark, tables, sf_dir):
+    """Cross-engine EXECUTION fuzz of the r12 command tier: random
+    permutations of row-level stages (WHERE / EVAL / SAMPLE / FORK)
+    capped by a deterministic aggregation, compiled for BOTH engines
+    and hash-compared via the oracle gate — semantic, not just
+    compile-level, equivalence over composed pipelines."""
+    from itertools import permutations
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import (
+        compare,
+        duckdb_connection,
+    )
+
+    pool = [
+        'WHERE lang == "en" OR lang == "de"',
+        "WHERE n_chars > 300",
+        "SAMPLE 0.5 ON doc_id 3",
+        "EVAL band = CEIL(n_chars / 250)",
+        "FORK (WHERE n_chars > 500 | EVAL big = 1)"
+        " (WHERE n_chars <= 500 | EVAL big = 0)",
+    ]
+    ending = "STATS n = COUNT(*), s = SUM(n_chars) BY lang | SORT lang"
+    con = duckdb_connection(sf_dir)
+    try:
+        cases = [
+            list(p) for k in (1, 2, 3)
+            for p in permutations(pool, k)
+        ]
+        # deterministic thinning: every 4th case keeps runtime sane
+        # while covering every stage in several positions
+        for parts in cases[::4]:
+            q = " | ".join(["FROM documents", *parts, ending])
+            df = spark.sql(compile_esql(q, "spark"))
+            ok, diag = compare(df, con, compile_esql(q, "duck"))
+            assert ok, f"{q}\n{diag}"
+    finally:
+        con.close()
+
+
 def test_table_columns_match_fixture_schemas():
     """_TABLE_COLUMNS is the compile-time schema for multi-index
     FROM's missing-column-as-NULL projection; if the fixture parquet
