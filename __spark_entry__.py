@@ -50,12 +50,12 @@ def _configure(spark: SparkSession) -> None:
 # never-checked backlog — which emptied that round. The r12 roll
 # (backlog empty) front-schedules the 18 changed-kernel re-checks
 # (the 15 null-ordering-touched kernels the r11 docstring carried +
-# the termvectors pair + the rewritten agg_approx_sketches), the 8
+# the termvectors pair + the rewritten agg_approx_sketches), the 9
 # net-new r12 registrations (multi-target alias + comma/wildcard
 # multi-index search, deterministic SAMPLE / CHANGE_POINT, FORK, the
-# TOP/VALUES/WEIGHTED_AVG tier, post_filter, the _source object
-# form), then 24 oldest-evidence re-rotations draining the r04/r05
-# tier (VERDICT r11 ask #1).
+# TOP/VALUES/WEIGHTED_AVG tier, the trig/log/hash scalar tier,
+# post_filter, the _source object form), then 23 oldest-evidence
+# re-rotations draining the r04/r05 tier (VERDICT r11 ask #1).
 # Everything out of window keeps regression coverage via the in-repo
 # sf0.01 differential gate (tests/test_oracle_queries.py) and the
 # recorded sf0.1 spot differentials (SCALE.md).

@@ -149,6 +149,16 @@ _FUNCS = {
     "GREATEST": (2, 99), "LEAST": (2, 99),
     "LEFT": (2, 2), "RIGHT": (2, 2), "REPLACE": (3, 3),
     "REVERSE": (1, 1),
+    # r12: probed identical (name, arity, NULL handling, bit-exact
+    # results) in both dialects. Deliberate exclusions: CBRT (last-ulp
+    # divergence measured: duck cbrt(27)=3.0000000000000004, spark
+    # 3.0), SIGNUM (return type differs), one-arg LOG (DuckDB reads it
+    # as log10, Spark as ln — the 2-arg explicit-base form is safe and
+    # the only accepted arity, guarded below).
+    "SIN": (1, 1), "COS": (1, 1), "TAN": (1, 1),
+    "ASIN": (1, 1), "ACOS": (1, 1), "ATAN": (1, 1), "ATAN2": (2, 2),
+    "LTRIM": (1, 1), "RTRIM": (1, 1), "PI": (0, 0),
+    "LOG": (2, 2), "MD5": (1, 1),
 }
 
 # ES|QL type-conversion functions -> CAST targets. The numeric
@@ -933,10 +943,23 @@ class _Expr:
                     f"array_join({x}, {d}) END)"
                 )
             return f"array_to_string({x}, {d})"
+        if up == "SHA256":
+            # dialect-named: Spark spells it sha2(x, 256)
+            if len(args) != 1:
+                self._err("SHA256 wants one argument")
+            if self.dialect == "spark":
+                return f"sha2({args[0]}, 256)"
+            return f"sha256({args[0]})"
         if up not in _FUNCS:
             self._err(f"unsupported function {name!r}")
         lo, hi = _FUNCS[up]
         if not lo <= len(args) <= hi:
+            if up == "LOG" and len(args) == 1:
+                self._err(
+                    "LOG wants (base, value) — the one-arg form "
+                    "means log10 in DuckDB but ln in Spark, a silent "
+                    "cross-engine divergence; spell the base"
+                )
             self._err(f"{up} wants {lo}..{hi} arguments")
         fn = {"TO_LOWER": "lower", "TO_UPPER": "upper",
               "LENGTH": "length"}.get(up, up.lower())
@@ -1938,6 +1961,17 @@ ESQL_TOP_VALUES_WAVG = """FROM events
     BY event_type
   | SORT event_type"""
 
+ESQL_MATH_HASH = """FROM events
+  | WHERE event_id < 200
+  | EVAL angle = ROUND(SIN(value / 100.0) + COS(value / 100.0), 6),
+         arc = ROUND(ATAN2(value, 100.0), 6),
+         lg = ROUND(LOG(2.0, value + 1.0), 6),
+         h = MD5(CONCAT(event_type, TO_STRING(event_id))),
+         h2 = SHA256(event_type),
+         c = LTRIM(RTRIM(CONCAT(" ", event_type, " ")))
+  | KEEP event_id, angle, arc, lg, h, h2, c
+  | SORT event_id"""
+
 ESQL_FORK = """FROM documents
   | FORK (WHERE n_chars >= 900 | EVAL tier = "long" | KEEP doc_id, lang, n_chars, tier)
          (SORT n_chars ASC, doc_id ASC | LIMIT 20 | EVAL tier = "short" | KEEP doc_id, lang, n_chars, tier)
@@ -2126,6 +2160,10 @@ def registry() -> dict[str, dict]:
         "esql_fork": {
             "fn": entry(ESQL_FORK),
             "oracle": compile_esql(ESQL_FORK, "duck"),
+        },
+        "esql_math_hash_functions": {
+            "fn": entry(ESQL_MATH_HASH),
+            "oracle": compile_esql(ESQL_MATH_HASH, "duck"),
         },
         "esql_change_point": {
             "fn": entry(ESQL_CHANGE_POINT),

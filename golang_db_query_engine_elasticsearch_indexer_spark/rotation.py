@@ -208,14 +208,15 @@ that decides those 50 slots:
   changes (es_termvectors / es_mtermvectors — empty-token filter +
   found-is-existence, ADVICE r11; agg_approx_sketches — rewritten
   from rows-only to the in-plan error-bound oracle, VERDICT r11 ask
-  #4), then the 8 net-new r12 registrations (es_alias_multi_search /
+  #4), then the 9 net-new r12 registrations (es_alias_multi_search /
   es_multi_index_search — multi-target alias and comma/wildcard
   search through the UNION-ALL machinery; esql_sample /
   esql_change_point — the deterministic documented deviations;
   esql_fork — branch-and-concatenate; esql_top_values_wavg — the
-  TOP/VALUES/WEIGHTED_AVG aggregate tier; es_dsl_post_filter /
+  TOP/VALUES/WEIGHTED_AVG aggregate tier; esql_math_hash_functions —
+  the trig/log/hash scalar tier; es_dsl_post_filter /
   es_dsl_source_filtering — the Kibana facet idiom and the _source
-  object form), then 24 pure oldest-evidence re-rotations from
+  object form), then 23 pure oldest-evidence re-rotations from
   the r04/r05 tier (dedup_exact, minhash, the stream_* family, the
   TPC-H q* tail, text_*, search_bm25 — VERDICT r11 ask #1: the
   oldest evidence re-checks now that the backlog is empty). The
@@ -442,6 +443,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_grok_extract': (11, 'unclassified', None),
     'esql_inlinestats': (11, 'unclassified', None),
     'esql_lookup_join': (11, 'unclassified', None),
+    'esql_math_hash_functions': (None, 'unclassified', 'r12'),
     'esql_median_rename': (11, 'unclassified', None),
     'esql_multi_index': (11, 'unclassified', None),
     'esql_mv_expand': (11, 'unclassified', None),
@@ -554,7 +556,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'q5_local_supplier_volume': (9, 'verified', None),
     'q6_forecast_revenue': (9, 'verified', None),
     'q7_volume_shipping': (4, 'verified', 'r12'),
-    'q8_market_share': (4, 'verified', 'r12'),
+    'q8_market_share': (4, 'verified', None),
     'q9_product_type_profit': (4, 'verified', None),
     'quality_classifier_calibration': (6, 'float-stat', None),
     'quality_classifier_train': (6, 'float-stat', None),
@@ -664,6 +666,7 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'es_multi_index_search',
     'esql_change_point',
     'esql_fork',
+    'esql_math_hash_functions',
     'esql_sample',
     'esql_top_values_wavg',
     'dedup_exact',
@@ -689,7 +692,6 @@ CURRENT_WINDOW: tuple[str, ...] = (
     'q2_min_cost_supplier',
     'q4_order_priority',
     'q7_volume_shipping',
-    'q8_market_share',
 )
 
 def scheduled(window: str) -> list[str]:

@@ -766,6 +766,29 @@ def test_change_point_mean_shift(tiny):
             compile_esql(q, "duck")
 
 
+def test_math_hash_scalar_tier(tiny):
+    """The r12 scalar additions evaluate identically in both engines
+    (the oracle entry covers Spark; here the DuckDB side pins exact
+    values) and the known-divergent forms raise with the reason."""
+    rows = _rows(tiny, """FROM t
+      | WHERE id == 1
+      | EVAL s = ROUND(SIN(0.5), 6), a2 = ROUND(ATAN2(1.0, 2.0), 6),
+             lg = LOG(2.0, 8.0), p = ROUND(PI(), 6),
+             h = MD5("x"), t2 = LTRIM(RTRIM("  a  "))
+      | KEEP s, a2, lg, p, h, t2""")
+    assert rows == [(0.479426, 0.463648, 3.0, 3.141593,
+                     "9dd4e461268c8034f5c8564e155c67a6", "a")]
+    for q, msg in [
+        ("FROM t | EVAL x = LOG(v)", "spell the base"),
+        ("FROM t | EVAL x = CBRT(v)", "unsupported function"),
+        ("FROM t | EVAL x = SIGNUM(v)", "unsupported function"),
+        ("FROM t | EVAL x = SHA256(v, 2)", "SHA256 wants one"),
+        ("FROM t | EVAL x = ATAN2(v)", "ATAN2 wants 2..2"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            compile_esql(q, "duck")
+
+
 def test_esql_random_pipeline_cross_engine(spark, tables, sf_dir):
     """Cross-engine EXECUTION fuzz of the r12 command tier: random
     permutations of row-level stages (WHERE / EVAL / SAMPLE / FORK)
