@@ -13,6 +13,7 @@ no custom rewrite code.
 from __future__ import annotations
 
 import re as _re
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -254,7 +255,7 @@ def es_index_exists(spark: SparkSession, index: str) -> bool:
         except (NotFoundError, SqlSyntaxError):
             return False
         return True
-    targets = _ALIASES.get(index, (index,))
+    targets = _aliases(spark).get(index, (index,))
     return all(spark.catalog.tableExists(t) for t in targets)
 
 
@@ -278,8 +279,24 @@ def es_index_exists(spark: SparkSession, index: str) -> bool:
 # document/table (get, mapping, termvectors, pit, explain) reject a
 # multi-target alias with a typed 400, matching ES's
 # illegal_argument_exception for those routes.
+#
+# SCOPE (VERDICT r12 ask #4): the registry is PER SparkSession — two
+# sessions in one process do not see each other's aliases, matching
+# the rest of the engine's catalog model (temp views are
+# session-scoped, and an alias is catalog metadata). WeakKeyDictionary
+# so a stopped session doesn't pin its registry. COMMIT is an atomic
+# single-dict rebind (ADVICE r12: the old clear()+update() let a
+# concurrent reader in a threaded server observe an empty registry).
 
-_ALIASES: dict[str, tuple[str, ...]] = {}
+_ALIASES_BY_SESSION: "weakref.WeakKeyDictionary" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _aliases(spark: SparkSession) -> dict[str, tuple[str, ...]]:
+    """The session's alias registry (read-only view by convention —
+    writers go through es_update_aliases' atomic rebind)."""
+    return _ALIASES_BY_SESSION.setdefault(spark, {})
 
 
 def _alias_targets(
@@ -290,7 +307,7 @@ def _alias_targets(
     walk. Every resolved target is re-checked against the LIVE
     catalog — a stale alias raises NotFoundError like an unknown
     concrete name would."""
-    targets = _ALIASES.get(index)
+    targets = _aliases(spark).get(index)
     if targets is None:
         return (index,)
     for t in targets:
@@ -301,16 +318,15 @@ def _alias_targets(
     return targets
 
 
-def _resolve_alias(index: str, spark: SparkSession | None = None) -> str:
+def _resolve_alias(index: str, spark: SparkSession) -> str:
     """Alias -> ONE concrete table, for the single-index verbs.
     Multi-target aliases are rejected with a typed 400 (the ES shape
-    for routes that require exactly one index). When ``spark`` is
-    given, the target's existence is validated against the live
-    catalog (stale alias -> 404)."""
-    if spark is not None:
-        targets = _alias_targets(spark, index)
-    else:
-        targets = _ALIASES.get(index, (index,))
+    for routes that require exactly one index). The target's
+    existence is validated against the live catalog (stale alias ->
+    404). ``spark`` is required since the registry became
+    session-scoped (r13) — every caller is an index-addressed verb
+    that already holds the session."""
+    targets = _alias_targets(spark, index)
     if len(targets) > 1:
         raise SqlSyntaxError(
             f"es_aliases: alias {index!r} points to "
@@ -351,12 +367,26 @@ def _expand_index_expression(
                 f"es_dsl: empty index name in {expr!r}"
             )
         if "*" in part:
+            # wildcard scope: the fixture inventory PLUS any table
+            # published by a live registration (session.TABLE_COLUMNS)
+            # — a runtime-registered table was comma-addressable but
+            # invisible to '*' patterns, inconsistent with the
+            # compiler's own live-catalog overlay (ADVICE r12). Both
+            # re-check the live catalog; engine-internal temp views
+            # (never registered) stay excluded, the _resolve rule.
+            from golang_db_query_engine_elasticsearch_indexer_spark.session import (  # noqa: PLC0415
+                TABLE_COLUMNS,
+            )
+
+            scope = list(FIXTURE_TABLES) + sorted(
+                t for t in TABLE_COLUMNS if t not in FIXTURE_TABLES
+            )
             hits = [
-                t for t in FIXTURE_TABLES
+                t for t in scope
                 if fnmatch.fnmatchcase(t, part)
                 and spark.catalog.tableExists(t)
             ]
-            for a in sorted(_ALIASES):
+            for a in sorted(_aliases(spark)):
                 if fnmatch.fnmatchcase(a, part):
                     hits.extend(_alias_targets(spark, a))
             if not hits:
@@ -430,7 +460,7 @@ def es_update_aliases(spark: SparkSession, body: dict) -> dict:
     if body is None or not isinstance(body.get("actions"), list) \
             or not body["actions"]:
         raise ParamsNullError()
-    sim: dict[str, tuple[str, ...]] = dict(_ALIASES)
+    sim: dict[str, tuple[str, ...]] = dict(_aliases(spark))
     for action in body["actions"]:
         if not isinstance(action, dict) or len(action) != 1:
             raise SqlSyntaxError("es_aliases: each action wants one "
@@ -467,8 +497,9 @@ def es_update_aliases(spark: SparkSession, body: dict) -> dict:
                 sim[alias] = rest
             else:
                 sim.pop(alias, None)
-    _ALIASES.clear()
-    _ALIASES.update(sim)
+    # atomic commit: one dict rebind, never an observable
+    # empty/partial registry (ADVICE r12)
+    _ALIASES_BY_SESSION[spark] = sim
     return {"acknowledged": True}
 
 
@@ -477,7 +508,7 @@ def es_get_aliases(spark: SparkSession, alias: str | None = None) -> dict:
     shape {index: {"aliases": {alias: {}}}} — a multi-target alias
     appears under each of its indices. Unknown alias -> 404."""
     pairs = sorted(
-        (a, i) for a, targets in _ALIASES.items() for i in targets
+        (a, i) for a, targets in _aliases(spark).items() for i in targets
     )
     if alias is not None:
         pairs = [(a, i) for a, i in pairs if a == alias]
@@ -494,7 +525,7 @@ def cat_aliases(spark: SparkSession) -> list[dict]:
     (alias, index) pair."""
     return [
         {"alias": a, "index": i}
-        for a, targets in sorted(_ALIASES.items())
+        for a, targets in sorted(_aliases(spark).items())
         for i in targets
     ]
 
@@ -1557,7 +1588,7 @@ def es_resolve_index(spark: SparkSession, pattern: str) -> dict:
         # existed; populated since the r12 multi-target work)
         "aliases": [
             {"name": a, "indices": list(targets)}
-            for a, targets in sorted(_ALIASES.items())
+            for a, targets in sorted(_aliases(spark).items())
             if fnmatch.fnmatchcase(a, pattern)
         ],
         "data_streams": [],

@@ -65,7 +65,8 @@ Processing commands, applied in pipe order:
 - CHANGE_POINT <value> ON <key> [AS type, pvalue] — DETERMINISTIC
   documented deviation (mean-shift locator over DECIMAL prefix sums
   where ES runs an ML test; pass-through rows, ES output shape;
-  input contract: an already-aggregated series)
+  input contract: an already-aggregated series — ENFORCED in-plan:
+  duplicate/NULL keys raise, they are never silently ordered)
 - FORK (branch) (branch) ... — 2..8 sub-pipelines over the current
   table, concatenated with the _fork discriminator ('fork1'..),
   compiled by textual recursion into ONE UNION ALL (branches must
@@ -981,13 +982,29 @@ class _Expr:
 # (resolution happens at execution, as before).
 _FOOTER_COLUMNS: dict[str, list[str]] | None = None
 
+# Companion map: per table, the columns whose cast-to-STRING rendering
+# is bit-identical across Spark and DuckDB (integers, strings,
+# booleans, dates, decimals — NOT floats/timestamps/nested types,
+# whose text forms can diverge). union_all_sql's _uid whole-row hash
+# is restricted to these so it stays cross-engine deterministic.
+_FOOTER_UID_SAFE: dict[str, list[str]] | None = None
+
+
+def _pa_uid_safe(t) -> bool:
+    import pyarrow.types as pt  # noqa: PLC0415
+
+    return (
+        pt.is_integer(t) or pt.is_string(t) or pt.is_large_string(t)
+        or pt.is_boolean(t) or pt.is_date(t) or pt.is_decimal(t)
+    )
+
 
 class _TableColumns:
     """Lazy read-only mapping: footer-derived fixture schemas overlaid
     with live-registration-published ones (session.TABLE_COLUMNS)."""
 
     def _snapshot(self) -> dict[str, list[str]]:
-        global _FOOTER_COLUMNS
+        global _FOOTER_COLUMNS, _FOOTER_UID_SAFE
         if _FOOTER_COLUMNS is None:
             import os  # noqa: PLC0415
 
@@ -999,17 +1016,36 @@ class _TableColumns:
             )
 
             cols: dict[str, list[str]] = {}
+            safe: dict[str, list[str]] = {}
             for t in FIXTURE_TABLES:
                 path = os.path.join(DEFAULT_SF_DIR, f"{t}.parquet")
                 if os.path.exists(path):
-                    cols[t] = [f.name for f in pq.read_schema(path)]
+                    schema = pq.read_schema(path)
+                    cols[t] = [f.name for f in schema]
+                    safe[t] = [
+                        f.name for f in schema if _pa_uid_safe(f.type)
+                    ]
             _FOOTER_COLUMNS = cols
+            _FOOTER_UID_SAFE = safe
         from golang_db_query_engine_elasticsearch_indexer_spark.session import (  # noqa: PLC0415
             TABLE_COLUMNS,
         )
 
         out = dict(_FOOTER_COLUMNS)
         out.update(TABLE_COLUMNS)
+        return out
+
+    def uid_safe(self) -> dict[str, list[str]]:
+        """Per-table cross-engine-stable (cast-to-STRING) columns:
+        footer-derived defaults overlaid with the live-registration
+        map, mirroring _snapshot()'s precedence."""
+        self._snapshot()  # populate _FOOTER_UID_SAFE
+        from golang_db_query_engine_elasticsearch_indexer_spark.session import (  # noqa: PLC0415
+            TABLE_UID_SAFE,
+        )
+
+        out = dict(_FOOTER_UID_SAFE or {})
+        out.update(TABLE_UID_SAFE)
         return out
 
     def __getitem__(self, key: str) -> list[str]:
@@ -1055,17 +1091,27 @@ def union_all_sql(
     """The ES missing-column-as-NULL UNION ALL over named tables:
     column order is first-seen across the tables (the ES multi-index
     rule); ``meta`` appends the source name as ``_index``; ``uid``
-    appends ``_uid`` — the source name prefixed onto the branch's own
-    first column — a NEVER-NULL per-row identity the search path's
-    sort tiebreak / slice hashing / search_after need (the union's
-    first column is NULL for every row from targets lacking it, which
-    would leave LIMIT engine-arbitrary and drop rows from every
-    slice; found in review). Shared by the ES|QL multi-index FROM
-    compile and the gateway's multi-target alias search
-    (gateway._search_relation). Valid in both dialects — plain
-    SELECT/UNION ALL (STRING is a VARCHAR alias in DuckDB)."""
+    appends ``_uid`` — the source name prefixed onto an md5 over the
+    branch's OWN cross-engine-stable columns (ints/strings/bools/
+    dates/decimals; see _TableColumns.uid_safe) — a NEVER-NULL,
+    unique-per-distinct-row identity the search path's sort tiebreak
+    / slice hashing / search_after need. A first-column-only _uid
+    (the r12 shape) collided for rows sharing that value (e.g.
+    lineitem.l_orderkey repeats per order), leaving pagination
+    engine-arbitrary for exactly the rows it was added to pin
+    (ADVICE r12 medium); the whole-safe-row hash is unique wherever
+    any stable column differs. Bit-identical duplicate rows still
+    share a _uid — indistinguishable rows have no meaningful order,
+    so every engine-arbitrary choice among them yields the same
+    result set. Tables with no uid_safe entry (unregistered,
+    non-fixture) fall back to the first column, documented caveat.
+    Shared by the ES|QL multi-index FROM compile and the gateway's
+    multi-target alias search (gateway._search_relation). Valid in
+    both dialects — plain SELECT/UNION ALL (STRING is a VARCHAR
+    alias in DuckDB; md5/concat_ws render identically)."""
     if not table_cols:
         raise ValueError("esql: union_all_sql wants >= 1 table")
+    uid_safe = _TABLE_COLUMNS.uid_safe() if uid else {}
     unified: list[str] = []
     for cols in table_cols.values():
         unified.extend(c for c in cols if c not in unified)
@@ -1078,9 +1124,16 @@ def union_all_sql(
         if meta:
             proj += f", '{t}' AS _index"
         if uid:
+            key_cols = [
+                c for c in cols if c in set(uid_safe.get(t, ()))
+            ] or [cols[0]]
+            parts = ", ".join(
+                f"coalesce(cast({c} AS STRING), '~N~')"
+                for c in key_cols
+            )
             proj += (
-                f", concat('{t}:', coalesce(cast({cols[0]} AS STRING),"
-                f" '')) AS _uid"
+                f", concat('{t}:', md5(concat_ws('|', {parts})))"
+                f" AS _uid"
             )
         selects.append(f"SELECT {proj} FROM {t}")
     return "\n  UNION ALL ".join(selects)
@@ -1682,6 +1735,13 @@ def compile_esql(query: str, dialect: str) -> str:
             # usage too: STATS ... BY bucket | CHANGE_POINT) — bounded
             # by bucket count, not raw rows; Spark warns and
             # single-partitions if fed an unaggregated stream.
+            # ENFORCED (ADVICE r12): a duplicate or NULL key would
+            # make _cp_rn/_cp_cum tie-order engine-arbitrary, breaking
+            # the bit-identical cross-engine guarantee — so the plan
+            # itself raises (raise_error/error) when the key column
+            # has duplicates or NULLs, instead of silently picking an
+            # order. The aggregated-series contract is now checked,
+            # not just documented.
             tname, pname = "type", "pvalue"
             if any(t.upper() == "AS" for t in rest):
                 as_i = next(
@@ -1722,7 +1782,10 @@ def compile_esql(query: str, dialect: str) -> str:
                 f"SELECT *, row_number() OVER (ORDER BY {okey}) AS _cp_rn, "
                 f"count(*) OVER () AS _cp_n, "
                 f"cast(sum({dec}) OVER ({cum_frame}) AS DOUBLE) AS _cp_cum, "
-                f"cast(sum({dec}) OVER () AS DOUBLE) AS _cp_tot "
+                f"cast(sum({dec}) OVER () AS DOUBLE) AS _cp_tot, "
+                f"count(*) OVER (PARTITION BY {k}) AS _cp_kc, "
+                f"max(CASE WHEN {k} IS NULL THEN 1 ELSE 0 END) "
+                f"OVER () AS _cp_knull "
                 f"FROM {inner}"
             )
             dstat = (
@@ -1737,13 +1800,26 @@ def compile_esql(query: str, dialect: str) -> str:
             located = (
                 f"SELECT *, first_value(_cp_rn) OVER ("
                 f"ORDER BY _cp_d DESC NULLS LAST, _cp_rn ASC {full}"
-                f") AS _cp_at FROM ({scored}) cps{n}"
+                f") AS _cp_at, "
+                f"max(_cp_kc) OVER ({full}) AS _cp_maxkc "
+                f"FROM ({scored}) cps{n}"
             )
-            drop = "_cp_rn, _cp_n, _cp_cum, _cp_tot, _cp_d, _cp_at"
+            drop = ("_cp_rn, _cp_n, _cp_cum, _cp_tot, _cp_d, _cp_at, "
+                    "_cp_kc, _cp_knull, _cp_maxkc")
             exc = "EXCLUDE" if dialect == "duck" else "EXCEPT"
+            err = "error" if dialect == "duck" else "raise_error"
+            bad = (
+                f"WHEN _cp_maxkc > 1 OR _cp_knull = 1 THEN "
+                f"{err}('esql: CHANGE_POINT requires a unique, "
+                f"non-NULL key column (feed an aggregated series: "
+                f"STATS ... BY bucket | CHANGE_POINT) — duplicate or "
+                f"NULL {k} values would make the result "
+                f"engine-arbitrary') "
+            )
             sql = (
                 f"SELECT * {exc} ({drop}), "
-                f"(CASE WHEN _cp_rn = _cp_at AND _cp_d IS NOT NULL "
+                f"(CASE {bad}"
+                f"WHEN _cp_rn = _cp_at AND _cp_d IS NOT NULL "
                 f"THEN 'step_change' END) AS {tname}, "
                 f"(CASE WHEN _cp_rn = _cp_at AND _cp_d IS NOT NULL "
                 f"THEN round(1e0 / (1e0 + _cp_d), 6) END) AS {pname} "
@@ -1865,8 +1941,8 @@ def _expand_from_aliases(spark: SparkSession, query: str) -> str:
     aliases pure metadata. Wildcard parts pass through unchanged
     (they match fixture tables, the documented FROM grammar)."""
     from golang_db_query_engine_elasticsearch_indexer_spark.gateway import (  # noqa: PLC0415
-        _ALIASES,
         _alias_targets,
+        _aliases,
     )
 
     stages = _split_pipes(query)
@@ -1880,7 +1956,7 @@ def _expand_from_aliases(spark: SparkSession, query: str) -> str:
     parts = [p.strip() for p in m.group(2).split(",")]
     out: list[str] = []
     for p in parts:
-        if "*" not in p and p in _ALIASES:
+        if "*" not in p and p in _aliases(spark):
             for t in _alias_targets(spark, p):
                 if t not in out:
                     out.append(t)

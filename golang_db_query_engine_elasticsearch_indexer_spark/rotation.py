@@ -217,25 +217,31 @@ that decides those 50 slots:
   the trig/log/hash scalar tier; es_dsl_post_filter /
   es_dsl_source_filtering — the Kibana facet idiom and the _source
   object form), then 23 pure oldest-evidence re-rotations from
-  the r04/r05 tier (dedup_exact, minhash, the stream_* family, the
-  TPC-H q* tail, text_*, search_bm25 — VERDICT r11 ask #1: the
-  oldest evidence re-checks now that the backlog is empty). The
+  the r04 tier — the 23 the roller's alphabetical-within-age order
+  actually admitted after the 27 front-scheduled slots: dedup_exact
+  / dedup_minhash_lsh / dedup_semantic_survivors / dedup_simhash,
+  embedding_label_centroids, events_cohort_retention / events_funnel
+  / events_sessionization, multimodal_binary_features /
+  multimodal_frame_sample / multimodal_resize_pooled,
+  pipeline_curate_corpus, and the TPC-H tail q2/q4/q7/q11/q13/q15/
+  q16/q17/q18/q20/q21 (VERDICT r11 ask #1 PARTIALLY delivered: the
+  stream_* family, text_*, search_bm25, set_*, win_* and the rest of
+  the r04/r05 tier — 66 entries — did NOT fit behind the changed/
+  net-new front-load and stayed unscheduled; corrected per ADVICE
+  r12, and drained by the r13 window below). The
   changed set was derived MECHANICALLY: an old-vs-new oracle dump
   diff at the r11 boundary commit (82ea86e) showed exactly
   es_termvectors + es_mtermvectors changed and the 5 added/upgraded;
   the r11 15 carry per that round's documented deviation note.
-- ROWS-ONLY entry (text_compression_ratio): by necessity it has no
-  DuckDB oracle (the ratio shells out to zlib, not SQL-expressible),
-  so the driver's CORRECTNESS row for it is the weaker rows-only
-  check. EXPECTED row shape: ``rows_match: true`` (or
-  ``spark_rows > 0``) with ``err: "no_oracle"`` — that err string is
-  the harness's NOTATION for "no oracle supplied", not a failure
-  (agg_approx_sketches' r03 row had exactly this shape and was
-  misread as an error; VERDICT r07 ask #2). A FAILURE for this
-  entry is a raised exception or zero rows, nothing else.
-  agg_approx_sketches LEFT this tier in r12 (VERDICT r11 ask #4): it
-  now emits the exact values plus in-plan error-bound booleans, so
-  it carries a full hash oracle like every other entry.
+- ROWS-ONLY tier: EMPTY since r13. agg_approx_sketches left it in
+  r12 (VERDICT r11 ask #4) and text_compression_ratio left it in r13
+  (VERDICT r12 ask #3): both now emit exact tiers plus in-plan
+  invariant booleans (error bounds / zlib size bounds) the DuckDB
+  oracle predicts as constants, so every one of the registry's
+  entries carries a full hash oracle. Historical note for reading
+  old CORRECTNESS files: ``err: "no_oracle"`` with
+  ``spark_rows > 0`` was the harness's NOTATION for "no oracle
+  supplied", not a failure (VERDICT r07 ask #2).
 - Out-of-window entries keep regression coverage via the in-repo
   sf0.01 differential gate (tests/test_oracle_queries.py) and the
   recorded sf0.1 spot differentials (SCALE.md par.3).

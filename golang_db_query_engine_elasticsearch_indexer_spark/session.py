@@ -178,6 +178,15 @@ _REGISTERED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 #: with no literal edit (VERDICT r11 ask #2).
 TABLE_COLUMNS: dict[str, list[str]] = {}
 
+#: Per-table columns whose cast-to-STRING rendering is bit-identical
+#: across Spark and DuckDB (integers, strings, booleans, dates,
+#: decimals — NOT floats/timestamps/arrays, whose text forms can
+#: diverge between engines). The multi-index UNION ALL's ``_uid``
+#: whole-row hash (operators/esql.union_all_sql; ADVICE r12 medium:
+#: first-column _uid wasn't unique) hashes exactly these columns so
+#: the id is unique per distinct row AND cross-engine deterministic.
+TABLE_UID_SAFE: dict[str, list[str]] = {}
+
 
 def register_sf_dir(
     spark: SparkSession,
@@ -193,7 +202,21 @@ def register_sf_dir(
     pass ``force=True`` after replacing views out-of-band.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        DecimalType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    uid_safe_types = (
+        ByteType, ShortType, IntegerType, LongType,
+        StringType, BooleanType, DateType, DecimalType,
+    )
 
     memo = _REGISTERED.get(spark)
     if not force and memo is not None and memo[0] == (sf_dir, tuple(tables)):
@@ -214,6 +237,10 @@ def register_sf_dir(
         df.createOrReplaceTempView(name)
         out[name] = df
         TABLE_COLUMNS[name] = [f_.name for f_ in df.schema.fields]
+        TABLE_UID_SAFE[name] = [
+            f_.name for f_ in df.schema.fields
+            if isinstance(f_.dataType, uid_safe_types)
+        ]
     _REGISTERED[spark] = ((sf_dir, tuple(tables)), out)
     return out
 

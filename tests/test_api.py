@@ -335,14 +335,12 @@ def test_rotation_schedule_invariants():
     assert set(ROTATION) == set(qs)
     assert len(CURRENT_WINDOW) == 50
     assert list(qs)[:50] == list(CURRENT_WINDOW)
-    # every windowed entry carries a DuckDB oracle EXCEPT the
-    # rows-only-by-necessity entry (rotation.py docstring documents
-    # their expected driver row shape)
+    # every entry carries a DuckDB oracle — the rows-only tier is
+    # EMPTY since r13 (text_compression_ratio joined the hash gate
+    # via the in-plan zlib-bound envelope; rotation.py docstring)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"text_compression_ratio"}
-    assert all(
-        name in os_ or name in rows_only for name in CURRENT_WINDOW
-    )
+    assert rows_only == set()
+    assert all(name in os_ for name in CURRENT_WINDOW)
     for name, (last_round, _risk, window) in ROTATION.items():
         if last_round is None:
             # never-checked entries hold a current-window slot — or,
@@ -891,17 +889,16 @@ def test_es_resolve_index_route(client):
 
 
 @pytest.fixture()
-def clean_aliases():
-    """Snapshot/restore the module-level alias registry: other tests
+def clean_aliases(spark):
+    """Snapshot/restore the session's alias registry: other tests
     (the registered es_alias_search entry) legitimately leave aliases
-    behind."""
+    behind. Per-session since r13 (VERDICT r12 ask #4)."""
     from golang_db_query_engine_elasticsearch_indexer_spark import gateway
 
-    saved = dict(gateway._ALIASES)
-    gateway._ALIASES.clear()
+    saved = dict(gateway._aliases(spark))
+    gateway._ALIASES_BY_SESSION[spark] = {}
     yield
-    gateway._ALIASES.clear()
-    gateway._ALIASES.update(saved)
+    gateway._ALIASES_BY_SESSION[spark] = saved
 
 
 def test_es_aliases_routes(client, clean_aliases):
@@ -984,6 +981,37 @@ def test_es_aliases_routes(client, clean_aliases):
         {"remove": {"index": "events", "alias": "docs_alias_t"}},
     ]}).status_code == 200
     assert client.get("/_cat/aliases").get_json() == []
+
+
+def test_alias_registry_is_session_scoped(spark, tables, clean_aliases):
+    """VERDICT r12 ask #4: two SparkSessions in one process must not
+    see each other's aliases — the registry is keyed by session, like
+    every other piece of catalog state (temp views, registration
+    memos). newSession() shares the SparkContext but owns a separate
+    catalog, the exact 'second tenant in one JVM' shape."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import gateway
+    from golang_db_query_engine_elasticsearch_indexer_spark.session import (
+        register_sf_dir,
+    )
+
+    other = spark.newSession()
+    register_sf_dir(other, SF_DIR)
+    gateway.es_update_aliases(spark, {"actions": [
+        {"add": {"index": "documents", "alias": "scoped_alias_t"}},
+    ]})
+    # visible in the owning session...
+    assert gateway._alias_targets(spark, "scoped_alias_t") == (
+        "documents",)
+    # ...invisible in the other: an unknown name passes through as
+    # itself (then 404s at the catalog check downstream)
+    assert gateway._aliases(other) == {}
+    assert gateway._alias_targets(other, "scoped_alias_t") == (
+        "scoped_alias_t",)
+    # and writes in the other session don't leak back
+    gateway.es_update_aliases(other, {"actions": [
+        {"add": {"index": "events", "alias": "other_only_t"}},
+    ]})
+    assert "other_only_t" not in gateway._aliases(spark)
 
 
 def test_es_alias_multi_target_search(client, clean_aliases):
@@ -1090,6 +1118,37 @@ def test_es_multi_index_expression_routes(client, clean_aliases):
     assert client.post("/_aliases", json={"actions": [
         {"remove": {"index": "region", "alias": "geo_read"}}]}
     ).status_code == 200
+
+
+def test_wildcard_sees_runtime_registered_tables(spark, tables):
+    """ADVICE r12: a table registered at runtime (outside the fixture
+    list) was comma-addressable but invisible to '*' patterns —
+    wildcards must follow the same live-registration overlay the
+    compiler uses."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import (
+        gateway, session,
+    )
+
+    spark.range(3).toDF("rt_id").createOrReplaceTempView(
+        "runtime_zzz_tbl")
+    session.TABLE_COLUMNS["runtime_zzz_tbl"] = ["rt_id"]
+    session.TABLE_UID_SAFE["runtime_zzz_tbl"] = ["rt_id"]
+    try:
+        assert gateway._expand_index_expression(
+            spark, "runtime_zzz_*") == ("runtime_zzz_tbl",)
+        # and it unions with fixture hits under a broader pattern
+        assert "runtime_zzz_tbl" in gateway._expand_index_expression(
+            spark, "r*")
+        # an unregistered engine-internal temp view stays invisible
+        spark.range(1).toDF("x").createOrReplaceTempView(
+            "__internal_zzz")
+        assert "__internal_zzz" not in gateway._expand_index_expression(
+            spark, "*")
+    finally:
+        session.TABLE_COLUMNS.pop("runtime_zzz_tbl", None)
+        session.TABLE_UID_SAFE.pop("runtime_zzz_tbl", None)
+        spark.catalog.dropTempView("runtime_zzz_tbl")
+        spark.catalog.dropTempView("__internal_zzz")
 
 
 def test_index_stats_and_settings_routes(client, clean_aliases):

@@ -393,6 +393,48 @@ def test_multi_index_from_union(tiny):
     assert "UNION ALL" not in compile_esql("FROM r* | LIMIT 1", "duck")
 
 
+def test_union_uid_unique_per_row(tiny):
+    """ADVICE r12 (medium): the union's ``_uid`` must be unique per
+    distinct row, not per first-column value — lineitem's l_orderkey
+    repeats per order, so the r12 first-column _uid left pagination
+    engine-arbitrary for exactly the rows it was added to pin. The
+    fix hashes every cross-engine-stable column of the branch."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import (
+        session,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (
+        _TABLE_COLUMNS,
+        union_all_sql,
+    )
+
+    tiny.execute(
+        """CREATE TABLE li AS SELECT * FROM (VALUES
+             (1, 1, 'A'), (1, 2, 'B'), (2, 1, 'A')
+           ) AS x(ok, ln, fl)"""
+    )
+    tiny.execute("CREATE TABLE hdr AS SELECT 3 AS ok")
+    session.TABLE_UID_SAFE["li"] = ["ok", "ln", "fl"]
+    session.TABLE_UID_SAFE["hdr"] = ["ok"]
+    try:
+        sql = union_all_sql(
+            {"li": ["ok", "ln", "fl"], "hdr": ["ok"]}, uid=True
+        )
+        uids = [
+            r[0]
+            for r in tiny.execute(f"SELECT _uid FROM ({sql})").fetchall()
+        ]
+        # 4 rows, 4 distinct _uids — despite ok=1 repeating in li
+        assert len(uids) == 4 and len(set(uids)) == 4
+        assert all(u for u in uids)  # never NULL/empty
+    finally:
+        del session.TABLE_UID_SAFE["li"], session.TABLE_UID_SAFE["hdr"]
+    # the fixture-table compile hashes beyond the first column too
+    fix = union_all_sql(
+        {"lineitem": _TABLE_COLUMNS["lineitem"]}, uid=True
+    )
+    assert "md5(" in fix and "l_linenumber" in fix.split("md5(")[1]
+
+
 def test_mv_family_cross_engine(spark, tiny):
     """The MV_* guards must make BOTH engines emit identical rows,
     empty/NULL arrays included."""
@@ -764,6 +806,38 @@ def test_change_point_mean_shift(tiny):
     ]:
         with pytest.raises(ValueError, match=msg):
             compile_esql(q, "duck")
+
+
+def test_change_point_contract_enforced(tiny, spark):
+    """ADVICE r12: a duplicate or NULL key makes the prefix-sum
+    tie-order engine-arbitrary, so the PLAN raises (error /
+    raise_error) instead of silently picking one — the documented
+    aggregated-series contract, now enforced in both engines."""
+    import duckdb as _duck
+
+    tiny.execute(
+        "CREATE TABLE dupk AS SELECT * FROM (VALUES "
+        "(1, 10.0), (1, 50.0), (2, 20.0)) AS x(k, v)")
+    tiny.execute(
+        "CREATE TABLE nullk AS SELECT * FROM (VALUES "
+        "(1, 10.0), (NULL, 50.0), (2, 20.0)) AS x(k, v)")
+    for tbl in ("dupk", "nullk"):
+        with pytest.raises(_duck.Error, match="unique, non-NULL key"):
+            tiny.execute(compile_esql(
+                f"FROM {tbl} | CHANGE_POINT v ON k", "duck")).fetchall()
+    spark.createDataFrame(
+        [(1, 10.0), (1, 50.0), (2, 20.0)], "k int, v double"
+    ).createOrReplaceTempView("dupk")
+    with pytest.raises(Exception, match="unique, non-NULL key"):
+        spark.sql(compile_esql(
+            "FROM dupk | CHANGE_POINT v ON k", "spark")).collect()
+    spark.catalog.dropTempView("dupk")
+    # a clean unique key keeps working in both engines
+    tiny.execute(
+        "CREATE TABLE okk AS SELECT range AS k, "
+        "CASE WHEN range < 3 THEN 1.0 ELSE 9.0 END AS v FROM range(6)")
+    rows = _rows(tiny, "FROM okk | CHANGE_POINT v ON k | SORT k")
+    assert len([r for r in rows if r[2] is not None]) == 1
 
 
 def test_math_hash_scalar_tier(tiny):

@@ -1268,6 +1268,24 @@ def test_compression_ratio_behavior(spark, tables, sf_dir):
             assert out[doc_id].n_bytes == len(text.encode())
         again = {r.doc_id: r.ratio for r in T.compression_ratio(spark, sf_dir).collect()}
         assert again == {k: v.ratio for k, v in out.items()}
+        # the driver-checked envelope (r13: the hash-gate upgrade):
+        # every invariant boolean true on live zlib values, byte tier
+        # exact — including the degenerate empty document, which pins
+        # the deflate_floor bound (zlib of b'' is exactly 8 bytes)
+        rows2 = rows + [(9203, "", "en", "s", 0)]
+        spark.createDataFrame(
+            rows2,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).createOrReplaceTempView("documents")
+        env = {r.doc_id: r for r in
+               T.compression_envelope(spark, sf_dir).collect()}
+        assert set(env) == {9201, 9202, 9203}
+        for doc_id, text_, *_ in rows2:
+            r = env[doc_id]
+            assert r.n_bytes == len(text_.encode())
+            assert r.deflate_floor_ok and r.expansion_bounded
+            assert r.ratio_consistent
     finally:
         tables["documents"].createOrReplaceTempView("documents")
 

@@ -118,7 +118,10 @@ def test_priority_window_contract():
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     assert len(entrymod._PRIORITY) == 50
     window = list(ALL)[:50]
-    rows_only_ok = {"text_compression_ratio"}
+    # r13: the last rows-only entry (text_compression_ratio) joined
+    # the hash gate via the in-plan zlib-bound envelope — every
+    # registry entry now carries a full oracle.
+    rows_only_ok: set[str] = set()
     assert set(n for n in window if n not in ORACLES) <= rows_only_ok
 
 
