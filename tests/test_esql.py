@@ -902,6 +902,59 @@ def test_esql_random_pipeline_cross_engine(spark, tables, sf_dir):
         con.close()
 
 
+def test_esql_r13_composition_fuzz(spark, tables, sf_dir):
+    """VERDICT r12 ask #2: cross-engine EXECUTION fuzz composing the
+    newest surface in ONE pipeline — multi-index FROM (the
+    missing-column-as-NULL UNION ALL) × FORK × deterministic SAMPLE ×
+    per-aggregate WHERE — the feature-interaction space where the
+    post_filter-class bugs live. Every case compiles for BOTH engines
+    and must hash-match via the oracle gate. Stage notes: over the
+    documents∪events union each column is NULL for the other branch's
+    rows, so the WHERE/EVAL/per-agg predicates exercise three-valued
+    logic across the union; SAMPLE ON doc_id drops the events branch
+    by the documented NULL-key-exclusion rule; FORK discriminates on
+    _index then re-unions — a union-of-unions."""
+    from itertools import permutations
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import (
+        compare,
+        duckdb_connection,
+    )
+
+    pool = [
+        "WHERE n_chars > 250 OR value > 40.0",
+        "SAMPLE 0.5 ON doc_id 7",
+        "EVAL src = COALESCE(lang, event_type)",
+        'FORK (WHERE _index == "documents" | EVAL is_doc = 1)'
+        ' (WHERE _index == "events" | EVAL is_doc = 0)',
+    ]
+    ending = (
+        'STATS n = COUNT(*), en = COUNT(*) WHERE lang == "en", '
+        "chars = SUM(n_chars) WHERE n_chars > 400, "
+        "nv = COUNT(value) WHERE value > 50.0 "
+        "BY _index | SORT _index"
+    )
+    con = duckdb_connection(sf_dir)
+    try:
+        cases = [
+            list(p) for k in (1, 2, 3, 4)
+            for p in permutations(pool, k)
+        ]
+        # deterministic thinning (the r12 fuzz's pattern): every 3rd
+        # case still covers every stage in several positions,
+        # including all four composed at once
+        for parts in cases[::3]:
+            q = " | ".join(
+                ["FROM documents, events METADATA _index", *parts,
+                 ending]
+            )
+            df = spark.sql(compile_esql(q, "spark"))
+            ok, diag = compare(df, con, compile_esql(q, "duck"))
+            assert ok, f"{q}\n{diag}"
+    finally:
+        con.close()
+
+
 def test_table_columns_match_fixture_schemas():
     """_TABLE_COLUMNS is the compile-time schema for multi-index
     FROM's missing-column-as-NULL projection; if the fixture parquet

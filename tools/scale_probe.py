@@ -181,6 +181,21 @@ def kernels() -> dict:
         # a super-linear term would mean the union blocks pushdown.
         "esql_inlinestats": _esql_sql("ESQL_INLINESTATS"),
         "esql_multi_from": _esql_sql("_MULTI_FROM_PROBE"),
+        # r13 (VERDICT r12 ask #5): FORK at branch-count x row scale.
+        # FORK compiles to ONE UNION ALL whose branches each embed the
+        # input subquery textually — so the plan question is whether
+        # the input is recomputed per branch. Measured live (r13):
+        # filter-only branches over a raw scan plan as N parquet scans
+        # with each branch's predicate PUSHED into its own scan (the
+        # right 100 TB plan — each scan prunes row groups; a cache
+        # would materialize the whole input to serve every branch);
+        # when the input ends in an aggregation, AQE's runtime
+        # ReusedExchange shares the exchange across branches (verified
+        # post-AQE: 1 ReusedExchange), so the expensive prefix runs
+        # once. fork8/fork2 wall ratio at fixed k measures the
+        # branch-count term; ks measure the row term.
+        "esql_fork2": _esql_sql("_FORK2_PROBE"),
+        "esql_fork8": _esql_sql("_FORK8_PROBE"),
     }
 
 
@@ -188,15 +203,33 @@ _MULTI_FROM_PROBE = """FROM documents, events METADATA _index
   | STATS n = COUNT(*), chars = SUM(n_chars), val = SUM(value) BY _index
   | SORT _index"""
 
+_FORK2_PROBE = """FROM documents
+  | FORK (WHERE n_chars > 500 | EVAL arm = 1)
+         (WHERE n_chars <= 500 | EVAL arm = 0)
+  | STATS n = COUNT(*), chars = SUM(n_chars) BY _fork | SORT _fork"""
+
+# 8 disjoint n_chars bands — every branch a selective pushed filter
+_FORK8_PROBE = "FROM documents\n  | FORK " + " ".join(
+    f"(WHERE n_chars > {lo} AND n_chars <= {hi} | EVAL arm = {i})"
+    for i, (lo, hi) in enumerate(
+        [(-1, 125), (125, 250), (250, 375), (375, 500),
+         (500, 625), (625, 750), (750, 875), (875, 10**9)]
+    )
+) + "\n  | STATS n = COUNT(*), chars = SUM(n_chars) BY _fork | SORT _fork"
+
+_LOCAL_PROBES = {
+    "_MULTI_FROM_PROBE": _MULTI_FROM_PROBE,
+    "_FORK2_PROBE": _FORK2_PROBE,
+    "_FORK8_PROBE": _FORK8_PROBE,
+}
+
 
 def _esql_sql(name: str) -> str:
     from golang_db_query_engine_elasticsearch_indexer_spark.operators import (
         esql,
     )
 
-    q = _MULTI_FROM_PROBE if name == "_MULTI_FROM_PROBE" else getattr(
-        esql, name
-    )
+    q = _LOCAL_PROBES.get(name) or getattr(esql, name)
     return esql.compile_esql(q, "spark")
 
 
