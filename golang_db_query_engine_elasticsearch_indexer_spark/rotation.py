@@ -233,6 +233,38 @@ that decides those 50 slots:
   diff at the r11 boundary commit (82ea86e) showed exactly
   es_termvectors + es_mtermvectors changed and the 5 added/upgraded;
   the r11 15 carry per that round's documented deviation note.
+- r13 (CURRENT_WINDOW below): the stale-tier-drain round (VERDICT
+  r12 ask #1). NOTHING net-new registered. The roll
+  (tools/roll_rotation.py r13 --changed ...) front-schedules only
+  the 5 changed-kernel re-checks — the mechanical oracle dump diff
+  at the r12 boundary commit (ba71324) showed exactly
+  es_alias_multi_search + es_multi_index_search (the _uid
+  whole-row-hash fix, ADVICE r12 medium) and esql_change_point (the
+  enforced aggregated-series contract) changed plus
+  text_compression_ratio added (the zlib-bound envelope);
+  es_alias_search is carried by hand because its resolve path moved
+  to the session-scoped alias registry (VERDICT r12 ask #4) even
+  though its oracle text is unchanged — then 45 pure oldest-evidence
+  re-rotations that drain the ENTIRE r04 tier (the stream_* family,
+  search_bm25, text_fingerprint/lang_id/quality_score/repetition/
+  token_count/unigram_logprob, tokens_top_terms, sample_stratified,
+  q8/q9) and 27 of the 48-entry r05 tier (agg_* core, cast/date/
+  math/array/conditional function tiers, dedup_components/keep_best/
+  ngram_jaccard/normalized/span_coverage, ann_pq_topk,
+  multimodal_decode_audio/image, join_right_outer, pivot_conditional,
+  indexer_positional_ids, doc_chunk_windows, doc_embedding_hashed,
+  events_anomaly_zscore). COUNTED REMAINDER for r14 (21 entries, all
+  r05): recursive_date_spine, retrieval_training_triplets,
+  sample_temperature_mix, search_tfidf_cosine_topk, set_except,
+  set_intersect, set_union_all, set_union_distinct,
+  sort_limit_offset, str_functions, stream_static_enrich,
+  subquery_derived_table, subquery_not_in, text_bigram_logprob,
+  values_inline_table, variant_json_bucket, win_lead_lag, win_ntile,
+  win_rank_dense, win_running_sum, win_topk_per_group — these 21
+  MUST lead the r14 window (pure oldest-evidence order already puts
+  them there); until then they are covered by the in-repo sf0.01
+  differential gate plus an r13 in-session sf0.1 sweep recorded in
+  SCALE.md par.3.
 - ROWS-ONLY tier: EMPTY since r13. agg_approx_sketches left it in
   r12 (VERDICT r11 ask #4) and text_compression_ratio left it in r13
   (VERDICT r12 ask #3): both now emit exact tiers plus in-plan
@@ -252,17 +284,17 @@ from __future__ import annotations
 # name -> (newest driver-green CORRECTNESS round or None,
 #          divergence-risk class, scheduled window or None)
 ROTATION: dict[str, tuple[int | None, str, str | None]] = {
-    'agg_approx_sketches': (8, 'integer-exact', 'r12'),
-    'agg_count_distinct': (5, 'verified', None),
-    'agg_cube': (5, 'verified', None),
-    'agg_filtered': (5, 'verified', None),
+    'agg_approx_sketches': (12, 'integer-exact', None),
+    'agg_count_distinct': (5, 'verified', 'r13'),
+    'agg_cube': (5, 'verified', 'r13'),
+    'agg_filtered': (5, 'verified', 'r13'),
     'agg_group_by_all': (8, 'integer-exact', None),
-    'agg_group_concat': (5, 'verified', None),
-    'agg_grouping_sets': (5, 'verified', None),
-    'agg_having': (5, 'verified', None),
-    'agg_percentile': (5, 'verified', None),
+    'agg_group_concat': (5, 'verified', 'r13'),
+    'agg_grouping_sets': (5, 'verified', 'r13'),
+    'agg_having': (5, 'verified', 'r13'),
+    'agg_percentile': (5, 'verified', 'r13'),
     'agg_rollup': (8, 'verified', None),
-    'agg_stats': (5, 'verified', None),
+    'agg_stats': (5, 'verified', 'r13'),
     'ann_brute_force_topk': (9, 'verified', None),
     'ann_ivf_recall_eval': (8, 'float-stat', None),
     'ann_ivf_topk': (8, 'verified', None),
@@ -270,15 +302,15 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'ann_lsh_bucket_topk': (9, 'verified', None),
     'ann_lsh_recall_eval': (7, 'float-stat', None),
     'ann_pq_from_artifact': (6, 'verified', None),
-    'ann_pq_topk': (5, 'verified', None),
+    'ann_pq_topk': (5, 'verified', 'r13'),
     'ann_range_search': (6, 'float-stat', None),
-    'array_map_struct_functions': (5, 'verified', None),
+    'array_map_struct_functions': (5, 'verified', 'r13'),
     'asof_join_events_orders': (9, 'verified', None),
     'audit_expectations': (7, 'integer-exact', None),
     'audit_referential_integrity': (8, 'integer-exact', None),
     'basket_part_affinity': (8, 'verified', None),
-    'cast_types': (5, 'verified', None),
-    'conditional_case': (5, 'verified', None),
+    'cast_types': (5, 'verified', 'r13'),
+    'conditional_case': (5, 'verified', 'r13'),
     'corpus_novelty_curve': (7, 'integer-exact', None),
     'corpus_signal_correlations': (6, 'float-stat', None),
     'corpus_source_divergence': (6, 'float-stat', None),
@@ -288,36 +320,36 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'customer_rfm_segments': (7, 'integer-exact', None),
     'customers_abc_pareto': (7, 'integer-exact', None),
     'customers_gini_by_nation': (6, 'float-stat', None),
-    'date_functions': (5, 'verified', None),
+    'date_functions': (5, 'verified', 'r13'),
     'decontam_benchmark_overlap': (11, 'verified', None),
     'dedup_audio_fingerprint': (7, 'integer-exact', None),
     'dedup_cluster_size_stats': (7, 'integer-exact', None),
-    'dedup_components': (5, 'verified', None),
+    'dedup_components': (5, 'verified', 'r13'),
     'dedup_containment': (7, 'integer-exact', None),
-    'dedup_exact': (4, 'verified', 'r12'),
+    'dedup_exact': (12, 'verified', None),
     'dedup_image_phash': (7, 'integer-exact', None),
     'dedup_incremental_batch': (7, 'integer-exact', None),
-    'dedup_keep_best': (5, 'verified', None),
+    'dedup_keep_best': (5, 'verified', 'r13'),
     'dedup_lsh_bucket_stats': (7, 'integer-exact', None),
     'dedup_minhash_estimate_eval': (6, 'float-stat', None),
-    'dedup_minhash_lsh': (4, 'verified', 'r12'),
+    'dedup_minhash_lsh': (12, 'verified', None),
     'dedup_modality_agreement': (7, 'integer-exact', None),
-    'dedup_ngram_jaccard': (5, 'verified', None),
-    'dedup_normalized': (5, 'verified', None),
+    'dedup_ngram_jaccard': (5, 'verified', 'r13'),
+    'dedup_normalized': (5, 'verified', 'r13'),
     'dedup_prefix_filter_jaccard': (7, 'integer-exact', None),
     'dedup_remap_to_canonical': (7, 'integer-exact', None),
-    'dedup_semantic_survivors': (4, 'verified', 'r12'),
-    'dedup_simhash': (4, 'verified', 'r12'),
+    'dedup_semantic_survivors': (12, 'verified', None),
+    'dedup_simhash': (12, 'verified', None),
     'dedup_simhash_pairs': (7, 'integer-exact', None),
-    'dedup_span_coverage': (5, 'verified', None),
+    'dedup_span_coverage': (5, 'verified', 'r13'),
     'dedup_split_leakage': (7, 'integer-exact', None),
     'dedup_threshold_sensitivity': (6, 'float-stat', None),
-    'doc_chunk_windows': (5, 'verified', None),
-    'doc_embedding_hashed': (5, 'verified', None),
+    'doc_chunk_windows': (5, 'verified', 'r13'),
+    'doc_embedding_hashed': (5, 'verified', 'r13'),
     'docs_quality_percentile_filter': (7, 'integer-exact', None),
     'embedding_cluster_purity': (6, 'float-stat', None),
     'embedding_knn_eval': (6, 'float-stat', None),
-    'embedding_label_centroids': (4, 'verified', 'r12'),
+    'embedding_label_centroids': (12, 'verified', None),
     'embedding_matryoshka_recall': (6, 'float-stat', None),
     'embedding_medoid_per_label': (6, 'float-stat', None),
     'embedding_neardup_pairs': (8, 'verified', None),
@@ -325,24 +357,24 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'embedding_pca_top_component': (6, 'float-stat', None),
     'embedding_quantize_int8': (8, 'verified', None),
     'embedding_remove_top_component': (6, 'float-stat', None),
-    'es_alias_multi_search': (None, 'unclassified', 'r12'),
-    'es_alias_search': (11, 'unclassified', None),
+    'es_alias_multi_search': (12, 'unclassified', 'r13'),
+    'es_alias_search': (11, 'unclassified', 'r13'),
     'es_cat_indices': (10, 'unclassified', None),
     'es_dsl_adjacency_matrix': (10, 'unclassified', None),
     'es_dsl_auto_date_histogram': (10, 'unclassified', None),
-    'es_dsl_bool_filter': (8, 'unclassified', 'r12'),
+    'es_dsl_bool_filter': (12, 'unclassified', None),
     'es_dsl_bucket_script': (10, 'unclassified', None),
     'es_dsl_bucket_selector': (10, 'unclassified', None),
     'es_dsl_bucket_sort': (10, 'unclassified', None),
-    'es_dsl_collapse': (8, 'unclassified', 'r12'),
+    'es_dsl_collapse': (12, 'unclassified', None),
     'es_dsl_combined_fields': (11, 'unclassified', None),
     'es_dsl_composite_after': (9, 'unclassified', None),
     'es_dsl_count': (9, 'unclassified', None),
     'es_dsl_cumulative_cardinality': (10, 'unclassified', None),
     'es_dsl_date_histogram': (9, 'unclassified', None),
-    'es_dsl_date_math': (10, 'unclassified', 'r12'),
+    'es_dsl_date_math': (12, 'unclassified', None),
     'es_dsl_date_range': (10, 'unclassified', None),
-    'es_dsl_dis_max_boosting': (9, 'unclassified', 'r12'),
+    'es_dsl_dis_max_boosting': (12, 'unclassified', None),
     'es_dsl_distance_feature': (10, 'unclassified', None),
     'es_dsl_diversified_sampler': (10, 'unclassified', None),
     'es_dsl_extended_stats': (9, 'unclassified', None),
@@ -354,7 +386,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_function_score': (10, 'unclassified', None),
     'es_dsl_function_score_decay': (10, 'unclassified', None),
     'es_dsl_function_score_functions': (10, 'unclassified', None),
-    'es_dsl_fuzzy': (9, 'unclassified', 'r12'),
+    'es_dsl_fuzzy': (12, 'unclassified', None),
     'es_dsl_geo_distance': (11, 'unclassified', None),
     'es_dsl_geo_rings': (11, 'unclassified', None),
     'es_dsl_geotile_grid': (11, 'unclassified', None),
@@ -367,9 +399,9 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_knn': (8, 'unclassified', None),
     'es_dsl_mad': (10, 'unclassified', None),
     'es_dsl_match_and_scored': (9, 'unclassified', None),
-    'es_dsl_match_bool_prefix': (10, 'unclassified', 'r12'),
+    'es_dsl_match_bool_prefix': (12, 'unclassified', None),
     'es_dsl_match_highlight': (10, 'unclassified', None),
-    'es_dsl_match_phrase_prefix': (9, 'unclassified', 'r12'),
+    'es_dsl_match_phrase_prefix': (12, 'unclassified', None),
     'es_dsl_match_scored': (9, 'unclassified', None),
     'es_dsl_matrix_stats': (11, 'unclassified', None),
     'es_dsl_min_score': (11, 'unclassified', None),
@@ -388,29 +420,29 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_phrase_slop': (11, 'unclassified', None),
     'es_dsl_pinned': (10, 'unclassified', None),
     'es_dsl_pipeline_cumsum': (9, 'unclassified', None),
-    'es_dsl_post_filter': (None, 'unclassified', 'r12'),
-    'es_dsl_query_string': (10, 'unclassified', 'r12'),
+    'es_dsl_post_filter': (12, 'unclassified', None),
+    'es_dsl_query_string': (12, 'unclassified', None),
     'es_dsl_random_score': (11, 'unclassified', None),
     'es_dsl_range_agg': (8, 'unclassified', None),
     'es_dsl_rank_feature': (10, 'unclassified', None),
     'es_dsl_rare_terms': (10, 'unclassified', None),
     'es_dsl_rate': (10, 'unclassified', None),
-    'es_dsl_regexp': (10, 'unclassified', 'r12'),
+    'es_dsl_regexp': (12, 'unclassified', None),
     'es_dsl_rescore': (11, 'unclassified', None),
     'es_dsl_runtime_fields': (10, 'unclassified', None),
     'es_dsl_sampler': (10, 'unclassified', None),
     'es_dsl_scored_bool': (11, 'unclassified', None),
     'es_dsl_script_fields': (11, 'unclassified', None),
     'es_dsl_script_score': (10, 'unclassified', None),
-    'es_dsl_search_after': (9, 'unclassified', 'r12'),
+    'es_dsl_search_after': (12, 'unclassified', None),
     'es_dsl_serial_diff_moving_fn': (10, 'unclassified', None),
-    'es_dsl_should_msm': (8, 'unclassified', 'r12'),
+    'es_dsl_should_msm': (12, 'unclassified', None),
     'es_dsl_sibling_pipeline': (9, 'unclassified', None),
     'es_dsl_significant_terms': (8, 'unclassified', None),
     'es_dsl_significant_text': (10, 'unclassified', None),
-    'es_dsl_simple_query_string': (10, 'unclassified', 'r12'),
+    'es_dsl_simple_query_string': (12, 'unclassified', None),
     'es_dsl_sliced_scroll': (11, 'unclassified', None),
-    'es_dsl_source_filtering': (None, 'unclassified', 'r12'),
+    'es_dsl_source_filtering': (12, 'unclassified', None),
     'es_dsl_span_near': (11, 'unclassified', None),
     'es_dsl_stats_bucket': (10, 'unclassified', None),
     'es_dsl_string_stats_boxplot': (10, 'unclassified', None),
@@ -422,21 +454,21 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_terms_include_exclude': (10, 'unclassified', None),
     'es_dsl_terms_lookup': (11, 'unclassified', None),
     'es_dsl_terms_order_metric': (9, 'unclassified', None),
-    'es_dsl_terms_set': (11, 'unclassified', 'r12'),
+    'es_dsl_terms_set': (12, 'unclassified', None),
     'es_dsl_top_hits': (9, 'unclassified', None),
     'es_dsl_top_metrics': (10, 'unclassified', None),
     'es_dsl_zero_fill_axis': (10, 'unclassified', None),
     'es_field_caps': (10, 'unclassified', None),
-    'es_mtermvectors': (11, 'unclassified', 'r12'),
-    'es_multi_index_search': (None, 'unclassified', 'r12'),
+    'es_mtermvectors': (12, 'unclassified', None),
+    'es_multi_index_search': (12, 'unclassified', 'r13'),
     'es_pit_search': (11, 'unclassified', None),
     'es_rank_eval_dcg': (11, 'unclassified', None),
-    'es_scroll_page2': (10, 'unclassified', 'r12'),
-    'es_search_template': (10, 'unclassified', 'r12'),
+    'es_scroll_page2': (12, 'unclassified', None),
+    'es_search_template': (12, 'unclassified', None),
     'es_terms_enum': (10, 'unclassified', None),
-    'es_termvectors': (10, 'unclassified', 'r12'),
+    'es_termvectors': (12, 'unclassified', None),
     'esql_bucket': (11, 'unclassified', None),
-    'esql_change_point': (None, 'unclassified', 'r12'),
+    'esql_change_point': (12, 'unclassified', 'r13'),
     'esql_date_case': (11, 'unclassified', None),
     'esql_date_extract_locate': (11, 'unclassified', None),
     'esql_date_format_diff': (11, 'unclassified', None),
@@ -444,12 +476,12 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_enrich': (11, 'unclassified', None),
     'esql_eval_keep': (11, 'unclassified', None),
     'esql_filter_stats': (11, 'unclassified', None),
-    'esql_fork': (None, 'unclassified', 'r12'),
+    'esql_fork': (12, 'unclassified', None),
     'esql_from_metadata': (11, 'unclassified', None),
     'esql_grok_extract': (11, 'unclassified', None),
     'esql_inlinestats': (11, 'unclassified', None),
     'esql_lookup_join': (11, 'unclassified', None),
-    'esql_math_hash_functions': (None, 'unclassified', 'r12'),
+    'esql_math_hash_functions': (12, 'unclassified', None),
     'esql_median_rename': (11, 'unclassified', None),
     'esql_multi_index': (11, 'unclassified', None),
     'esql_mv_expand': (11, 'unclassified', None),
@@ -457,20 +489,20 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_mv_transforms': (11, 'unclassified', None),
     'esql_percentile': (11, 'unclassified', None),
     'esql_row_source': (11, 'unclassified', None),
-    'esql_sample': (None, 'unclassified', 'r12'),
+    'esql_sample': (12, 'unclassified', None),
     'esql_scalar_functions': (11, 'unclassified', None),
     'esql_sort_nulls': (11, 'unclassified', None),
     'esql_stats_where': (11, 'unclassified', None),
-    'esql_top_values_wavg': (None, 'unclassified', 'r12'),
+    'esql_top_values_wavg': (12, 'unclassified', None),
     'events_anomaly_seasonal': (6, 'float-stat', None),
-    'events_anomaly_zscore': (5, 'verified', None),
+    'events_anomaly_zscore': (5, 'verified', 'r13'),
     'events_attribution_last_touch': (7, 'integer-exact', None),
     'events_attribution_position': (7, 'regex-string', None),
     'events_bot_detection': (6, 'verified', None),
     'events_chi_square': (6, 'float-stat', None),
-    'events_cohort_retention': (4, 'verified', 'r12'),
+    'events_cohort_retention': (12, 'verified', None),
     'events_ewma_daily': (6, 'float-stat', None),
-    'events_funnel': (4, 'verified', 'r12'),
+    'events_funnel': (12, 'verified', None),
     'events_funnel_latency': (7, 'integer-exact', None),
     'events_funnel_one_pass': (7, 'integer-exact', None),
     'events_gapfill_forward': (7, 'integer-exact', None),
@@ -484,7 +516,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'events_rolling_active_users': (7, 'integer-exact', None),
     'events_rollup_multires': (7, 'integer-exact', None),
     'events_session_window_native': (7, 'integer-exact', None),
-    'events_sessionization': (4, 'verified', 'r12'),
+    'events_sessionization': (12, 'verified', None),
     'events_state_intervals': (7, 'integer-exact', None),
     'events_stickiness': (7, 'integer-exact', None),
     'events_survival_km': (6, 'float-stat', None),
@@ -500,7 +532,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'graph_copurchase_hops': (6, 'verified', None),
     'graph_copurchase_triangles': (6, 'verified', None),
     'graph_pagerank_nations': (6, 'float-stat', None),
-    'indexer_positional_ids': (5, 'verified', None),
+    'indexer_positional_ids': (5, 'verified', 'r13'),
     'join_anti_not_exists': (8, 'verified', None),
     'join_bloom_prefilter': (7, 'integer-exact', None),
     'join_cross': (8, 'verified', None),
@@ -509,26 +541,26 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'join_left_outer': (8, 'verified', None),
     'join_natural': (8, 'verified', None),
     'join_non_equi_theta': (8, 'verified', None),
-    'join_right_outer': (5, 'verified', None),
+    'join_right_outer': (5, 'verified', 'r13'),
     'join_semi_exists': (8, 'verified', None),
     'join_using': (8, 'verified', None),
     'json_functions': (8, 'verified', None),
     'layout_zorder_orders': (7, 'integer-exact', None),
-    'math_functions': (5, 'verified', None),
-    'multimodal_binary_features': (4, 'verified', 'r12'),
-    'multimodal_decode_audio': (5, 'verified', None),
+    'math_functions': (5, 'verified', 'r13'),
+    'multimodal_binary_features': (12, 'verified', None),
+    'multimodal_decode_audio': (5, 'verified', 'r13'),
     'multimodal_decode_bmp': (7, 'integer-exact', None),
     'multimodal_decode_gif': (8, 'unclassified', None),
-    'multimodal_decode_image': (5, 'verified', None),
+    'multimodal_decode_image': (5, 'verified', 'r13'),
     'multimodal_decode_jpeg': (9, 'unclassified', None),
     'multimodal_decode_png': (8, 'unclassified', None),
     'multimodal_decode_tiff': (8, 'unclassified', None),
     'multimodal_docx_extract_text': (8, 'unclassified', None),
-    'multimodal_frame_sample': (4, 'verified', 'r12'),
+    'multimodal_frame_sample': (12, 'verified', None),
     'multimodal_gif_frames': (8, 'unclassified', None),
     'multimodal_html_extract_text': (8, 'unclassified', None),
     'multimodal_pdf_extract_text': (8, 'unclassified', None),
-    'multimodal_resize_pooled': (4, 'verified', 'r12'),
+    'multimodal_resize_pooled': (12, 'verified', None),
     'multimodal_xlsx_extract_cells': (8, 'unclassified', None),
     'orders_benford_digits': (7, 'integer-exact', None),
     'orders_monthly_yoy': (7, 'integer-exact', None),
@@ -536,34 +568,34 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'orders_regression_trend': (6, 'float-stat', None),
     'orders_revenue_concentration': (7, 'integer-exact', None),
     'pack_sequences_chunked': (8, 'verified', None),
-    'pipeline_curate_corpus': (4, 'verified', 'r12'),
+    'pipeline_curate_corpus': (12, 'verified', None),
     'pipeline_curation_report': (7, 'integer-exact', None),
     'pipeline_incremental_rollup': (7, 'integer-exact', None),
-    'pivot_conditional': (5, 'verified', None),
+    'pivot_conditional': (5, 'verified', 'r13'),
     'profile_orders': (8, 'integer-exact', None),
     'proj_distinct': (8, 'verified', None),
     'q10_returned_items': (8, 'verified', None),
-    'q11_important_values': (4, 'verified', 'r12'),
+    'q11_important_values': (12, 'verified', None),
     'q12_priority_shipping': (9, 'verified', None),
-    'q13_customer_distribution': (4, 'verified', 'r12'),
+    'q13_customer_distribution': (12, 'verified', None),
     'q14_promo_revenue': (9, 'verified', None),
-    'q15_top_supplier': (4, 'verified', 'r12'),
-    'q16_supplier_part_counts': (4, 'verified', 'r12'),
-    'q17_small_quantity_revenue': (4, 'verified', 'r12'),
-    'q18_large_orders': (4, 'verified', 'r12'),
+    'q15_top_supplier': (12, 'verified', None),
+    'q16_supplier_part_counts': (12, 'verified', None),
+    'q17_small_quantity_revenue': (12, 'verified', None),
+    'q18_large_orders': (12, 'verified', None),
     'q19_disjunctive_predicates': (9, 'verified', None),
     'q1_pricing_summary': (9, 'verified', None),
-    'q20_excess_suppliers': (4, 'verified', 'r12'),
-    'q21_waiting_suppliers': (4, 'verified', 'r12'),
+    'q20_excess_suppliers': (12, 'verified', None),
+    'q21_waiting_suppliers': (12, 'verified', None),
     'q22_dormant_customers': (9, 'verified', None),
-    'q2_min_cost_supplier': (4, 'verified', 'r12'),
+    'q2_min_cost_supplier': (12, 'verified', None),
     'q3_shipping_priority': (9, 'verified', None),
-    'q4_order_priority': (4, 'verified', 'r12'),
+    'q4_order_priority': (12, 'verified', None),
     'q5_local_supplier_volume': (9, 'verified', None),
     'q6_forecast_revenue': (9, 'verified', None),
-    'q7_volume_shipping': (4, 'verified', 'r12'),
-    'q8_market_share': (4, 'verified', None),
-    'q9_product_type_profit': (4, 'verified', None),
+    'q7_volume_shipping': (12, 'verified', None),
+    'q8_market_share': (4, 'verified', 'r13'),
+    'q9_product_type_profit': (4, 'verified', 'r13'),
     'quality_classifier_calibration': (6, 'float-stat', None),
     'quality_classifier_train': (6, 'float-stat', None),
     'recursive_date_spine': (5, 'verified', None),
@@ -571,12 +603,12 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'sample_curriculum_order': (6, 'float-stat', None),
     'sample_dsir_importance': (6, 'float-stat', None),
     'sample_neyman_allocation': (6, 'float-stat', None),
-    'sample_stratified': (4, 'verified', None),
+    'sample_stratified': (4, 'verified', 'r13'),
     'sample_temperature_mix': (5, 'verified', None),
     'sample_token_budget': (6, 'float-stat', None),
     'sample_weighted_mix': (9, 'verified', None),
     'sample_weighted_reservoir': (6, 'float-stat', None),
-    'search_bm25': (4, 'verified', None),
+    'search_bm25': (4, 'verified', 'r13'),
     'search_bm25_from_artifact': (8, 'unclassified', None),
     'search_fuzzy_terms': (6, 'regex-string', None),
     'search_highlight_snippets': (8, 'unclassified', None),
@@ -598,17 +630,17 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'sort_nulls_ordering': (7, 'integer-exact', None),
     'split_train_val_test': (9, 'verified', None),
     'str_functions': (5, 'verified', None),
-    'stream_dedup_counts': (4, 'verified', None),
-    'stream_dedup_within_watermark': (4, 'verified', None),
+    'stream_dedup_counts': (4, 'verified', 'r13'),
+    'stream_dedup_within_watermark': (4, 'verified', 'r13'),
     'stream_docs_incremental_dedup': (7, 'integer-exact', None),
     'stream_hll_daily_merged': (7, 'integer-exact', None),
     'stream_percolate_alerts': (11, 'unclassified', None),
-    'stream_session_counts': (4, 'verified', None),
-    'stream_sliding_counts': (4, 'verified', None),
-    'stream_stateful_user_summary': (4, 'verified', None),
+    'stream_session_counts': (4, 'verified', 'r13'),
+    'stream_sliding_counts': (4, 'verified', 'r13'),
+    'stream_stateful_user_summary': (4, 'verified', 'r13'),
     'stream_static_enrich': (5, 'verified', None),
-    'stream_tumbling_counts': (4, 'verified', None),
-    'stream_view_click_join': (4, 'verified', None),
+    'stream_tumbling_counts': (4, 'verified', 'r13'),
+    'stream_view_click_join': (4, 'verified', 'r13'),
     'stream_view_click_left_outer': (7, 'integer-exact', None),
     'subquery_correlated_scalar': (9, 'verified', None),
     'subquery_derived_table': (5, 'verified', None),
@@ -616,22 +648,22 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'subquery_not_in': (5, 'verified', None),
     'subquery_scalar': (9, 'verified', None),
     'text_bigram_logprob': (5, 'verified', None),
-    'text_compression_ratio': (8, 'rows-only', None),
-    'text_fingerprint': (4, 'verified', None),
+    'text_compression_ratio': (8, 'rows-only', 'r13'),
+    'text_fingerprint': (4, 'verified', 'r13'),
     'text_keywords_textrank': (7, 'integer-exact', None),
     'text_lang_confusion': (6, 'float-stat', None),
-    'text_lang_id': (4, 'verified', None),
+    'text_lang_id': (4, 'verified', 'r13'),
     'text_pii_redact': (6, 'regex-string', None),
     'text_quality_classifier': (6, 'float-stat', None),
-    'text_quality_score': (4, 'verified', None),
-    'text_repetition': (4, 'verified', None),
-    'text_token_count': (4, 'verified', None),
-    'text_unigram_logprob': (4, 'verified', None),
+    'text_quality_score': (4, 'verified', 'r13'),
+    'text_repetition': (4, 'verified', 'r13'),
+    'text_token_count': (4, 'verified', 'r13'),
+    'text_unigram_logprob': (4, 'verified', 'r13'),
     'tokens_bigrams_udtf': (6, 'verified', None),
     'tokens_bpe_merge_learn': (6, 'float-stat', None),
     'tokens_bpe_pair_stats': (7, 'integer-exact', None),
     'tokens_pmi_top_pairs': (7, 'integer-exact', None),
-    'tokens_top_terms': (4, 'verified', None),
+    'tokens_top_terms': (4, 'verified', 'r13'),
     'unpivot_stack': (9, 'verified', None),
     'values_inline_table': (5, 'verified', None),
     'variant_json_bucket': (5, 'verified', None),
@@ -648,56 +680,56 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
 }
 
 CURRENT_WINDOW: tuple[str, ...] = (
-    'agg_approx_sketches',
-    'es_dsl_bool_filter',
-    'es_dsl_collapse',
-    'es_dsl_date_math',
-    'es_dsl_dis_max_boosting',
-    'es_dsl_fuzzy',
-    'es_dsl_match_bool_prefix',
-    'es_dsl_match_phrase_prefix',
-    'es_dsl_query_string',
-    'es_dsl_regexp',
-    'es_dsl_search_after',
-    'es_dsl_should_msm',
-    'es_dsl_simple_query_string',
-    'es_dsl_terms_set',
-    'es_mtermvectors',
-    'es_scroll_page2',
-    'es_search_template',
-    'es_termvectors',
     'es_alias_multi_search',
-    'es_dsl_post_filter',
-    'es_dsl_source_filtering',
+    'es_alias_search',
     'es_multi_index_search',
     'esql_change_point',
-    'esql_fork',
-    'esql_math_hash_functions',
-    'esql_sample',
-    'esql_top_values_wavg',
-    'dedup_exact',
-    'dedup_minhash_lsh',
-    'dedup_semantic_survivors',
-    'dedup_simhash',
-    'embedding_label_centroids',
-    'events_cohort_retention',
-    'events_funnel',
-    'events_sessionization',
-    'multimodal_binary_features',
-    'multimodal_frame_sample',
-    'multimodal_resize_pooled',
-    'pipeline_curate_corpus',
-    'q11_important_values',
-    'q13_customer_distribution',
-    'q15_top_supplier',
-    'q16_supplier_part_counts',
-    'q17_small_quantity_revenue',
-    'q18_large_orders',
-    'q20_excess_suppliers',
-    'q21_waiting_suppliers',
-    'q2_min_cost_supplier',
-    'q4_order_priority',
-    'q7_volume_shipping',
+    'text_compression_ratio',
+    'q8_market_share',
+    'q9_product_type_profit',
+    'sample_stratified',
+    'search_bm25',
+    'stream_dedup_counts',
+    'stream_dedup_within_watermark',
+    'stream_session_counts',
+    'stream_sliding_counts',
+    'stream_stateful_user_summary',
+    'stream_tumbling_counts',
+    'stream_view_click_join',
+    'text_fingerprint',
+    'text_lang_id',
+    'text_quality_score',
+    'text_repetition',
+    'text_token_count',
+    'text_unigram_logprob',
+    'tokens_top_terms',
+    'agg_count_distinct',
+    'agg_cube',
+    'agg_filtered',
+    'agg_group_concat',
+    'agg_grouping_sets',
+    'agg_having',
+    'agg_percentile',
+    'agg_stats',
+    'ann_pq_topk',
+    'array_map_struct_functions',
+    'cast_types',
+    'conditional_case',
+    'date_functions',
+    'dedup_components',
+    'dedup_keep_best',
+    'dedup_ngram_jaccard',
+    'dedup_normalized',
+    'dedup_span_coverage',
+    'doc_chunk_windows',
+    'doc_embedding_hashed',
+    'events_anomaly_zscore',
+    'indexer_positional_ids',
+    'join_right_outer',
+    'math_functions',
+    'multimodal_decode_audio',
+    'multimodal_decode_image',
+    'pivot_conditional',
 )
 
 def scheduled(window: str) -> list[str]:

@@ -441,30 +441,75 @@ _CHANGED_R12 = [
 ]
 
 
-def test_r12_window_matches_live_roll():
-    """The LIVE r12 window honors the steady-state policy against
-    evidence capped at r01..r11 (explicit list — stays green when the
-    driver lands CORRECTNESS_r12.json): the changed-kernel re-checks
-    + the net-new r12 registrations lead, then pure oldest-evidence
-    re-rotation (the r04/r05 tier, VERDICT r11 ask #1)."""
+def test_r12_window_matches_executed_roll():
+    """The EXECUTED r12 window (read from CORRECTNESS_r12.json — the
+    live table has rolled on) honored the steady-state policy against
+    evidence capped at r01..r11: the changed-kernel re-checks + the
+    net-new r12 registrations led, then pure oldest-evidence
+    re-rotation from the r04 tier. Every executed row hash-green."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r12 = json.load(open(os.path.join(repo, "CORRECTNESS_r12.json")))
+    w = list(r12)
+    assert len(w) == 50 and len(set(w)) == 50
+    ev = _capped_evidence(repo, 12)
+    net_new = [n for n in w if not ev.get(n)]
+    taken = set(net_new) | set(_CHANGED_R12)
+    assert set(w[: len(taken)]) == taken
+    pool = sorted(
+        (n for n in ev if ev.get(n) and n not in taken),
+        key=lambda n: (ev[n], n),
+    )
+    refill = [n for n in w if n not in taken]
+    assert set(refill) == set(pool[: len(refill)])
+    assert all(ev[n] <= 5 for n in refill), (
+        "re-rotation slots should drain the oldest (r04/r05) tier"
+    )
+    # every executed r12 row is hash-green (the round that emptied
+    # the rows-only tier's predecessor still had text_compression as
+    # rows-only OUT of window; all 50 in-window rows carry hashes)
+    for name, rec in r12.items():
+        assert rec.get("hash_match"), (name, rec)
+
+
+# Changed-kernel re-checks front-scheduled in the r13 roll — the
+# MECHANICAL old-vs-new oracle dump diff at the r12 boundary commit
+# (ba71324) showed es_alias_multi_search / es_multi_index_search
+# (the _uid whole-row-hash fix) and esql_change_point (the enforced
+# aggregated-series contract) changed plus text_compression_ratio
+# added (the zlib-bound envelope, ex-rows-only); es_alias_search is
+# carried by hand because its Spark-side resolve path moved to the
+# session-scoped registry even though its oracle text is unchanged.
+_CHANGED_R13 = [
+    "es_alias_multi_search", "es_multi_index_search",
+    "esql_change_point", "text_compression_ratio", "es_alias_search",
+]
+
+
+def test_r13_window_matches_live_roll():
+    """The LIVE r13 window honors the steady-state policy against
+    evidence capped at r01..r12 (explicit cap — stays green when the
+    driver lands CORRECTNESS_r13.json): the 5 changed-kernel
+    re-checks lead (nothing net-new registered this round — VERDICT
+    r12 ask #1), then 45 pure oldest-evidence re-rotation slots that
+    drain the whole r04 tier and most of r05."""
     repo = os.path.join(os.path.dirname(__file__), "..")
     sys.path.insert(0, repo)
     import __spark_entry__ as entry
     from golang_db_query_engine_elasticsearch_indexer_spark import rotation as r
 
-    ev = _capped_evidence(repo, 12)
+    ev = _capped_evidence(repo, 13)
     names = list(entry.queries())
     w = list(r.CURRENT_WINDOW)
     assert len(w) == 50 and len(set(w)) == 50
     # (1) the window IS the driver's first-50 slice of queries()
     assert names[:50] == w
-    # (2) net-new (no evidence) + changed-kernel re-checks lead
+    # (2) no net-new entries this round; the changed re-checks lead
     net_new = [n for n in names if not ev.get(n)]
-    assert set(net_new) <= set(w)
-    taken = set(net_new) | set(_CHANGED_R12)
+    assert net_new == []
+    taken = set(_CHANGED_R13)
     assert set(w[: len(taken)]) == taken
-    # (3) the remaining slots are pure re-rotation, oldest first —
-    # the r04/r05 tier drains before anything newer
+    # (3) the remaining 45 slots are pure re-rotation, oldest first —
+    # every refill slot comes from the r04/r05 evidence tier
     pool = sorted(
         (n for n in names if ev.get(n) and n not in taken),
         key=lambda n: (ev[n], n),
