@@ -407,10 +407,12 @@ def _union_view(spark: SparkSession, targets: tuple[str, ...]) -> str:
     """Materialize (metadata-only) a temp view over the ES
     missing-column-as-NULL UNION ALL of the targets — the same union
     the ES|QL multi-index FROM emits, plus the never-NULL ``_uid``
-    identity column (source name + the branch's own first column)
-    that the search path uses as its sort tiebreak / slice hash /
-    pagination key (the union's FIRST column is NULL for rows from
-    targets lacking it, so it cannot be the id). Named by a digest of
+    identity column (source name + an md5 over the branch's
+    cross-engine-stable columns, unique per distinct row — see
+    operators/esql.union_all_sql) that the search path uses as its
+    sort tiebreak / slice hash / pagination key (the union's FIRST
+    column is NULL for rows from targets lacking it, so it cannot be
+    the id). Named by a digest of
     the target list; re-created on every resolution so it always
     follows the live catalog. ``_uid`` rides along in `_source: true`
     responses — the honest stand-in for the ES hit `_id`."""

@@ -1100,15 +1100,23 @@ def union_all_sql(
     lineitem.l_orderkey repeats per order), leaving pagination
     engine-arbitrary for exactly the rows it was added to pin
     (ADVICE r12 medium); the whole-safe-row hash is unique wherever
-    any stable column differs. Bit-identical duplicate rows still
-    share a _uid — indistinguishable rows have no meaningful order,
-    so every engine-arbitrary choice among them yields the same
-    result set. Tables with no uid_safe entry (unregistered,
-    non-fixture) fall back to the first column, documented caveat.
-    Shared by the ES|QL multi-index FROM compile and the gateway's
-    multi-target alias search (gateway._search_relation). Valid in
-    both dialects — plain SELECT/UNION ALL (STRING is a VARCHAR
-    alias in DuckDB; md5/concat_ws render identically)."""
+    any stable column differs. Each column contributes an UNAMBIGUOUS
+    token — 'n' for NULL, 'v'||md5(value-as-string) otherwise — so a
+    delimiter character inside a value or a literal string equal to
+    the NULL sentinel cannot make two different rows concatenate
+    identically (found in the r13 self-review: bare
+    coalesce+concat_ws collided ('a|b','c') with ('a','b|c')).
+    Bit-identical duplicate rows still share a _uid —
+    indistinguishable rows have no meaningful order, so every
+    engine-arbitrary choice among them yields the same result set.
+    Tables with no uid_safe entry (unregistered, non-fixture) fall
+    back to the first column, documented caveat. Shared by the ES|QL
+    multi-index FROM compile and the gateway's multi-target alias
+    search (gateway._search_relation). Valid in both dialects —
+    plain SELECT/UNION ALL (STRING is a VARCHAR alias in DuckDB;
+    md5/concat_ws render identically). Per-column md5 is row-local
+    JVM/codegen work on the already-bounded search relation — the
+    scale cost is the same class as any projection expression."""
     if not table_cols:
         raise ValueError("esql: union_all_sql wants >= 1 table")
     uid_safe = _TABLE_COLUMNS.uid_safe() if uid else {}
@@ -1128,7 +1136,8 @@ def union_all_sql(
                 c for c in cols if c in set(uid_safe.get(t, ()))
             ] or [cols[0]]
             parts = ", ".join(
-                f"coalesce(cast({c} AS STRING), '~N~')"
+                f"(CASE WHEN {c} IS NULL THEN 'n' ELSE "
+                f"concat('v', md5(cast({c} AS STRING))) END)"
                 for c in key_cols
             )
             proj += (

@@ -428,11 +428,30 @@ def test_union_uid_unique_per_row(tiny):
         assert all(u for u in uids)  # never NULL/empty
     finally:
         del session.TABLE_UID_SAFE["li"], session.TABLE_UID_SAFE["hdr"]
+    # r13 self-review pin: per-column tokens make the hash immune to
+    # delimiter ambiguity — ('a|b','c') vs ('a','b|c') — and to a
+    # literal value colliding with the NULL sentinel
+    tiny.execute(
+        """CREATE TABLE amb AS SELECT * FROM (VALUES
+             ('a|b', 'c'), ('a', 'b|c'), ('n', NULL), (NULL, 'n')
+           ) AS x(s1, s2)"""
+    )
+    session.TABLE_UID_SAFE["amb"] = ["s1", "s2"]
+    try:
+        sql2 = union_all_sql({"amb": ["s1", "s2"]}, uid=True)
+        uids2 = [
+            r[0]
+            for r in tiny.execute(f"SELECT _uid FROM ({sql2})").fetchall()
+        ]
+        assert len(uids2) == 4 and len(set(uids2)) == 4
+    finally:
+        del session.TABLE_UID_SAFE["amb"]
     # the fixture-table compile hashes beyond the first column too
     fix = union_all_sql(
         {"lineitem": _TABLE_COLUMNS["lineitem"]}, uid=True
     )
-    assert "md5(" in fix and "l_linenumber" in fix.split("md5(")[1]
+    assert "md5(cast(l_orderkey" in fix
+    assert "md5(cast(l_linenumber" in fix
 
 
 def test_mv_family_cross_engine(spark, tiny):
