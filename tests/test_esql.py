@@ -974,6 +974,62 @@ def test_esql_r13_composition_fuzz(spark, tables, sf_dir):
         con.close()
 
 
+def test_change_point_composition_cross_engine(spark, tables, sf_dir):
+    """CHANGE_POINT composed with the rest of the r12/r13 surface —
+    the enforced aggregated-series contract must neither fire on
+    legitimate composed pipelines (unique non-NULL keys out of STATS
+    BY) nor let a NULL-key series through when a multi-index union
+    feeds the aggregation. Positive cases hash-compare cross-engine;
+    the negative case must raise in BOTH engines."""
+    import duckdb as _duck
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import (
+        compare,
+        duckdb_connection,
+    )
+
+    cases = [
+        # canonical: aggregated series straight into the locator
+        "FROM documents | STATS s = SUM(n_chars) BY band ="
+        " CEIL(n_chars / 100) | CHANGE_POINT s ON band | SORT band",
+        # filtered input + renamed outputs
+        'FROM documents | WHERE lang == "en" | STATS s = COUNT(*)'
+        " BY band = CEIL(n_chars / 200)"
+        " | CHANGE_POINT s ON band AS cptype, score | SORT band",
+        # deterministic SAMPLE upstream of the aggregation + LIMIT
+        "FROM documents | SAMPLE 0.5 ON doc_id 3 | STATS s ="
+        " SUM(n_chars) BY band = CEIL(n_chars / 250)"
+        " | CHANGE_POINT s ON band | SORT band | LIMIT 5",
+        # post-CHANGE_POINT narrowing to the located row
+        "FROM documents | STATS s = SUM(n_chars) BY band ="
+        " CEIL(n_chars / 100) | CHANGE_POINT s ON band"
+        " | WHERE type IS NOT NULL | KEEP band, type",
+        # a multi-index union feeding the series (keys stay unique
+        # and non-NULL because _index is the BY key)
+        "FROM documents, events METADATA _index | STATS n = COUNT(*)"
+        " BY _index | CHANGE_POINT n ON _index | SORT _index",
+    ]
+    con = duckdb_connection(sf_dir)
+    try:
+        for q in cases:
+            df = spark.sql(compile_esql(q, "spark"))
+            ok, diag = compare(df, con, compile_esql(q, "duck"))
+            assert ok, f"{q}\n{diag}"
+        # negative: events rows have NULL n_chars, so the BY key has
+        # a NULL band — the contract must raise in BOTH engines
+        qbad = (
+            "FROM documents, events METADATA _index | STATS s ="
+            " COUNT(*) BY band = CEIL(n_chars / 500)"
+            " | CHANGE_POINT s ON band"
+        )
+        with pytest.raises(Exception, match="unique, non-NULL key"):
+            spark.sql(compile_esql(qbad, "spark")).collect()
+        with pytest.raises(_duck.Error, match="unique, non-NULL key"):
+            con.execute(compile_esql(qbad, "duck")).fetchall()
+    finally:
+        con.close()
+
+
 def test_table_columns_match_fixture_schemas():
     """_TABLE_COLUMNS is the compile-time schema for multi-index
     FROM's missing-column-as-NULL projection; if the fixture parquet

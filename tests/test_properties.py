@@ -715,3 +715,46 @@ def test_esql_random_pipelines_compile_or_reject(parts):
         return
     assert parts[0] == "FROM documents"
     assert "SELECT" in sql
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(max_size=12)),
+            st.one_of(st.none(), st.text(max_size=12)),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_union_uid_injective_on_distinct_rows(rows):
+    """_uid is injective over DISTINCT rows for ANY string/NULL
+    content — delimiter characters, values equal to the NULL
+    sentinel, empty strings, unicode — because each column
+    contributes an unambiguous token ('n' vs 'v'||md5). The r13
+    self-review found the bare-concat form violated exactly this
+    (('a|b','c') == ('a','b|c')); this property pins the class."""
+    import duckdb
+
+    from golang_db_query_engine_elasticsearch_indexer_spark import (
+        session,
+    )
+    from golang_db_query_engine_elasticsearch_indexer_spark.operators.esql import (
+        union_all_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pt (c1 VARCHAR, c2 VARCHAR)")
+    con.executemany("INSERT INTO pt VALUES (?, ?)", rows)
+    session.TABLE_UID_SAFE["pt"] = ["c1", "c2"]
+    try:
+        sql = union_all_sql({"pt": ["c1", "c2"]}, uid=True)
+        uids = [r[0] for r in con.execute(
+            f"SELECT _uid FROM ({sql})").fetchall()]
+        assert len(set(uids)) == len(rows)
+        assert all(u for u in uids)
+    finally:
+        del session.TABLE_UID_SAFE["pt"]
+        con.close()
