@@ -99,3 +99,28 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, partitioned_orders):
         spark.table("orders").where(F.expr("year(o_orderdate) % 4 = 0")).count()
     )
     assert df.collect()[0].n == expected
+
+
+def test_union_branch_elimination_and_pushdown(spark, tables):
+    """The multi-index missing-column-as-NULL UNION ALL (r12/r13
+    search path): a predicate on a column only ONE branch carries
+    must (a) push into that branch's parquet scan and (b) let
+    Catalyst fold the other branch away entirely — its NULL-projected
+    column can never satisfy the filter, so the branch constant-folds
+    to an empty relation and its scan disappears. At 100 TB that is
+    the difference between scanning one index and scanning all of
+    them. The r13 per-column-md5 _uid projection must not block
+    either behavior (it is projection-level, above the filter)."""
+    from golang_db_query_engine_elasticsearch_indexer_spark import gateway
+
+    targets = gateway._expand_index_expression(
+        spark, "documents,events")
+    view = gateway._union_view(spark, targets)
+    df = spark.table(view).filter("n_chars >= 900")
+    plan = _executed_plan(df)
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+    seg = plan[plan.index("PushedFilters"):][:200]
+    assert "GreaterThanOrEqual(n_chars,900)" in seg, seg
+    # and the surviving branch still answers correctly
+    expected = spark.table("documents").where("n_chars >= 900").count()
+    assert df.count() == expected
