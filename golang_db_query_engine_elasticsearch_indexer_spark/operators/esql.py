@@ -951,6 +951,29 @@ class _Expr:
             if self.dialect == "spark":
                 return f"sha2({args[0]}, 256)"
             return f"sha256({args[0]})"
+        if up == "ROUND" and len(args) == 2 and re.fullmatch(
+            r"\d+", args[1]
+        ) and int(args[1]) <= 18:
+            # Decimal-space ROUND (r13, found by the sf0.1 full-registry
+            # sweep): round(double, d) diverges on decimal ties the
+            # binary double can't represent — e.g. AVG = 2394.22/16 =
+            # 149.63875 exactly, stored as the double 149.6387499…;
+            # Spark's round() re-reads the shortest decimal string and
+            # rounds the TIE half-up to 149.6388 while DuckDB rounds the
+            # binary value down to 149.6387. The MEDIAN/percentile
+            # quantization discipline applied here: cast to DECIMAL with
+            # 6 guard digits (recovering the intended decimal — the
+            # binary error is orders below 5e-(d+7) for these
+            # magnitudes), round the TIE in exact decimal space
+            # (half-away-from-zero in both engines), cast back to
+            # DOUBLE. Literal non-negative d only; d > 18 or computed /
+            # negative d keeps native passthrough below.
+            d = int(args[1])
+            g = min(d + 6, 37)
+            return (
+                f"cast(round(cast({args[0]} AS DECIMAL(38, {g})), "
+                f"{d}) AS DOUBLE)"
+            )
         if up not in _FUNCS:
             self._err(f"unsupported function {name!r}")
         lo, hi = _FUNCS[up]

@@ -882,6 +882,36 @@ def test_math_hash_scalar_tier(tiny):
             compile_esql(q, "duck")
 
 
+def test_round_decimal_tie_cross_engine(tiny, spark):
+    """Regression for the r13 sf0.1 sweep finding: ROUND(x, d) on a
+    decimal tie the binary double can't represent. AVG over the sweep
+    group was exactly 2394.22/16 = 149.63875 (stored double
+    149.6387499…); native round() split the engines — Spark re-read
+    the shortest decimal and rounded the tie up (149.6388), DuckDB
+    rounded the binary value down (149.6387). The compiler now rounds
+    literal-scale ROUND in exact decimal space; both engines must
+    agree on the HALF_UP answer."""
+    q = """FROM t
+      | WHERE id == 1
+      | EVAL tie = ROUND(2394.22 / 16, 4),
+             neg = ROUND(0 - 2394.22 / 16, 4)
+      | KEEP tie, neg"""
+    duck = _rows(tiny, q)
+    assert duck == [(149.6388, -149.6388)]
+    tiny_df = spark.createDataFrame([(1,)], "id int")
+    tiny_df.createOrReplaceTempView("t")
+    s_rows = [tuple(r) for r in spark.sql(compile_esql(q, "spark")).collect()]
+    assert s_rows == duck
+    # passthrough forms keep native ROUND: computed scale, scale > 18
+    assert "DECIMAL" not in compile_esql(
+        "FROM t | EVAL x = ROUND(v, id)", "spark")
+    assert "DECIMAL" not in compile_esql(
+        "FROM t | EVAL x = ROUND(v, 19)", "spark")
+    # 1-arg ROUND stays native: integer-boundary ties ARE binary-exact
+    assert "DECIMAL" not in compile_esql(
+        "FROM t | EVAL x = ROUND(v)", "spark")
+
+
 def test_esql_random_pipeline_cross_engine(spark, tables, sf_dir):
     """Cross-engine EXECUTION fuzz of the r12 command tier: random
     permutations of row-level stages (WHERE / EVAL / SAMPLE / FORK)
