@@ -968,6 +968,17 @@ class _Expr:
             # (half-away-from-zero in both engines), cast back to
             # DOUBLE. Literal non-negative d only; d > 18 or computed /
             # negative d keeps native passthrough below.
+            #
+            # Envelope (same one MEDIAN's DECIMAL(18,6) quantization
+            # lives in): the guard scale recovers the intended decimal
+            # while the double's half-ulp stays below the guard
+            # granularity — |x|·2^-53 < 5e-(d+7), i.e. |x| ≲ 4.5e9 /
+            # 10^d (~4.5e5 at d=4). Beyond that, ties at the GUARD
+            # scale could in principle re-split the engines (Spark's
+            # double→decimal cast reads the shortest string, DuckDB
+            # rounds the binary value) — a measure-zero corner the
+            # tie fuzz stays inside of; fixture magnitudes are ≤1e6
+            # at d≤2.
             d = int(args[1])
             g = min(d + 6, 37)
             return (

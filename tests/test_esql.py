@@ -912,6 +912,66 @@ def test_round_decimal_tie_cross_engine(tiny, spark):
         "FROM t | EVAL x = ROUND(v)", "spark")
 
 
+def test_round_tie_fuzz_cross_engine(tiny, spark):
+    """Systematic ROUND-tie fuzz inside the decimal-quantization
+    envelope (|x| < 4.5e9/10^d): exact scale-(d+1) '…5' ties, their
+    near-tie neighbours, and division-generated ties (the shape the
+    sweep actually hit) must round identically in both engines AND
+    match Python's exact-decimal ROUND_HALF_UP answer."""
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = random.Random(13)
+    cases = []  # (sql_expr, exact Decimal value, scale d)
+    for d in range(0, 7):
+        for _ in range(6):
+            # exact tie: k integer digits + d fractional + a final 5
+            mag = rng.choice([0, 1, 2, 3])
+            whole = rng.randrange(0, 10 ** (mag + 1))
+            frac = rng.randrange(0, 10**d) if d else 0
+            tie = (
+                Decimal(whole)
+                + Decimal(frac) / (10**d)
+                + Decimal(5) / (10 ** (d + 1))
+            )
+            if rng.random() < 0.5:
+                tie = -tie
+            cases.append((f"({tie})", tie, d))
+            # near-tie neighbours: must round identically too
+            for eps in (Decimal(1), Decimal(-1)):
+                near = tie + eps / (10 ** (d + 3))
+                cases.append((f"({near})", near, d))
+            # division-generated tie (the esql_bucket shape):
+            # tie * n / n with n a power-of-2 divisor keeps the
+            # quotient exact in binary-friendly space
+            n = rng.choice([2, 4, 8, 16, 32])
+            num = tie * n
+            cases.append((f"({num} / {n})", tie, d))
+    # evaluate in batches of EVAL columns over the single-row table
+    batch = 24
+    for i in range(0, len(cases), batch):
+        chunk = cases[i : i + batch]
+        evals = ", ".join(
+            f"c{j} = ROUND({expr}, {d})"
+            for j, (expr, _, d) in enumerate(chunk)
+        )
+        keeps = ", ".join(f"c{j}" for j in range(len(chunk)))
+        q = f"FROM t | WHERE id == 1 | EVAL {evals} | KEEP {keeps}"
+        duck = _rows(tiny, q)[0]
+        spark.createDataFrame([(1,)], "id int").createOrReplaceTempView("t")
+        srow = tuple(
+            spark.sql(compile_esql(q, "spark")).collect()[0]
+        )
+        for j, (expr, exact, d) in enumerate(chunk):
+            want = float(
+                exact.quantize(
+                    Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP
+                )
+            )
+            assert duck[j] == want, (expr, d, duck[j], want)
+            assert srow[j] == want, (expr, d, srow[j], want)
+
+
 def test_esql_random_pipeline_cross_engine(spark, tables, sf_dir):
     """Cross-engine EXECUTION fuzz of the r12 command tier: random
     permutations of row-level stages (WHERE / EVAL / SAMPLE / FORK)
