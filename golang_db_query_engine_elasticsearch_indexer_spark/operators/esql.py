@@ -979,11 +979,26 @@ class _Expr:
             # rounds the binary value) — a measure-zero corner the
             # tie fuzz stays inside of; fixture magnitudes are ≤1e6
             # at d≤2.
+            #
+            # The CASE routes NaN / ±Infinity / decimal-overflow
+            # magnitudes to NATIVE round (self-review find: DuckDB
+            # hard-errors casting non-finite doubles to DECIMAL where
+            # Spark ANSI-off NULLs them — native round passes them
+            # through identically instead). Both engines compare the
+            # SAME double, and NaN sorts above every bound in both,
+            # so the branch choice is always cross-engine-identical;
+            # at the bound's magnitude round(x, d>0) is the identity
+            # for doubles anyway (no sub-integer bits past 2^53).
             d = int(args[1])
             g = min(d + 6, 37)
-            return (
+            bound = 10 ** (38 - g - 1)
+            dec = (
                 f"cast(round(cast({args[0]} AS DECIMAL(38, {g})), "
                 f"{d}) AS DOUBLE)"
+            )
+            return (
+                f"(CASE WHEN abs({args[0]}) < {bound} THEN {dec} "
+                f"ELSE round({args[0]}, {d}) END)"
             )
         if up not in _FUNCS:
             self._err(f"unsupported function {name!r}")

@@ -910,6 +910,33 @@ def test_round_decimal_tie_cross_engine(tiny, spark):
     # 1-arg ROUND stays native: integer-boundary ties ARE binary-exact
     assert "DECIMAL" not in compile_esql(
         "FROM t | EVAL x = ROUND(v)", "spark")
+    # NaN / ±Infinity / decimal-overflow magnitudes route to native
+    # round in BOTH engines (DuckDB hard-errors casting non-finite
+    # doubles to DECIMAL; Spark ANSI-off NULLs them — neither is the
+    # pass-through ES|QL semantics) — the CASE guard keeps them flowing
+    edge_q = """FROM t
+      | EVAL a = ROUND(pinf, 4), b = ROUND(nv, 4),
+             c = ROUND(ninf, 4), e = ROUND(big, 4)
+      | KEEP a, b, c, e"""
+    econ = duckdb.connect()
+    econ.execute(
+        "CREATE TABLE t AS SELECT 'inf'::DOUBLE pinf, 'nan'::DOUBLE nv,"
+        " '-inf'::DOUBLE ninf, 1e30::DOUBLE big"
+    )
+    duck_edge = econ.execute(compile_esql(edge_q, "duck")).fetchall()[0]
+    spark.sql(
+        "SELECT double('Infinity') pinf, double('NaN') nv,"
+        " double('-Infinity') ninf, 1e30d big"
+    ).createOrReplaceTempView("t")
+    spark_edge = tuple(
+        spark.sql(compile_esql(edge_q, "spark")).collect()[0]
+    )
+    import math
+
+    for dv, sv in zip(duck_edge, spark_edge):
+        assert (math.isnan(dv) and math.isnan(sv)) or dv == sv
+    assert math.isinf(duck_edge[0]) and math.isnan(duck_edge[1])
+    assert duck_edge[3] == 1e30
 
 
 def test_round_tie_fuzz_cross_engine(tiny, spark):
