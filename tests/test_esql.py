@@ -1091,6 +1091,66 @@ def test_esql_r13_composition_fuzz(spark, tables, sf_dir):
         con.close()
 
 
+def test_esql_enrichment_composition_fuzz(spark, tables, sf_dir):
+    """Composition fuzz #2 (r13 close): the ENRICHMENT tier — LOOKUP
+    JOIN / ENRICH / GROK / DISSECT — composed with RENAME, SAMPLE, and
+    the decimal-space ROUND, permuted in one pipeline per case and
+    hash-compared cross-engine. The r13 fuzz covered FORK × multi-index
+    × SAMPLE × per-agg WHERE; this one walks the other half of the
+    command surface where per-dialect regex/join/NULL semantics could
+    drift. Two bases: a relational one (customer RENAMEd onto nation's
+    key, so LOOKUP/ENRICH both resolve) and a text one (documents prose
+    through GROK/DISSECT captures feeding WHERE/EVAL)."""
+    from itertools import permutations
+
+    from golang_db_query_engine_elasticsearch_indexer_spark.oracle import (
+        compare,
+        duckdb_connection,
+    )
+
+    con = duckdb_connection(sf_dir)
+
+    def drive(base, pool, ending, thin):
+        cases = [
+            list(p) for k in (1, 2, 3) for p in permutations(pool, k)
+        ]
+        for parts in cases[::thin]:
+            q = " | ".join([base, *parts, ending])
+            df = spark.sql(compile_esql(q, "spark"))
+            ok, diag = compare(df, con, compile_esql(q, "duck"))
+            assert ok, f"{q}\n{diag}"
+
+    try:
+        drive(
+            "FROM customer | RENAME c_nationkey AS n_nationkey",
+            [
+                "LOOKUP JOIN nation ON n_nationkey",
+                "ENRICH nation ON n_nationkey WITH nat = n_name",
+                "SAMPLE 0.5 ON c_custkey 11",
+                "EVAL band = ROUND(c_acctbal / 1000.0, 2)",
+                "WHERE c_acctbal > 0.0",
+            ],
+            "STATS n = COUNT(*), bal = ROUND(SUM(c_acctbal), 2) "
+            "BY n_nationkey | SORT n_nationkey | LIMIT 10",
+            4,
+        )
+        drive(
+            "FROM documents",
+            [
+                'DISSECT text "%{w1} %{rest}" | WHERE w1 IS NOT NULL',
+                'GROK text "%{WORD:gw} %{WORD:gw2}"'
+                " | EVAL glen = LENGTH(gw)",
+                "WHERE n_chars > 300",
+                "SAMPLE 0.4 ON doc_id 5",
+                "EVAL r = ROUND(n_chars / 7.0, 3)",
+            ],
+            "STATS n = COUNT(*), s = SUM(n_chars) BY lang | SORT lang",
+            4,
+        )
+    finally:
+        con.close()
+
+
 def test_change_point_composition_cross_engine(spark, tables, sf_dir):
     """CHANGE_POINT composed with the rest of the r12/r13 surface —
     the enforced aggregated-series contract must neither fire on
