@@ -12,6 +12,17 @@ every floating aggregate is ``round()``-ed to a tolerance that absorbs
 last-bit drift; every ORDER BY is made total (explicit tiebreaks) so
 LIMIT/window frames are deterministic.
 
+Tie discipline (r13): where the rounded value can be an EXACT
+small-denominator rational — integer/2-dp data averaged or divided by
+group counts (avg_qty, avg_orders_per_cust, avg_gap_s, unit_price…) —
+native ``round(double, d)`` splits the engines on scale-(d+1) ties
+(Spark re-reads the shortest decimal and rounds HALF_UP, DuckDB rounds
+the binary value; the esql_bucket wrong answer caught by the r13 sf0.1
+sweep). Those cells round in exact decimal space instead:
+``cast(round(cast(x AS DECIMAL(38, d+6)), d) AS DOUBLE)``. Cells whose
+operands are irrational (sqrt/ln/stddev) or large non-exact sums keep
+plain round() — no exact tie is reachable there.
+
 Entries here are *SQL-shaped*; DataFrame-API operators (dedup,
 similarity, text analysis, streaming, indexer) are registered by
 ``operators/``/``streaming/`` modules and merged in ``__spark_entry__``.
@@ -55,9 +66,12 @@ _q(
            round(sum(l_extendedprice), 2)                                   AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           cast(round(cast(avg(l_quantity) AS DECIMAL(38, 10)), 4)
+                AS DOUBLE)                                                  AS avg_qty,
+           cast(round(cast(avg(l_extendedprice) AS DECIMAL(38, 10)), 4)
+                AS DOUBLE)                                                  AS avg_price,
+           cast(round(cast(avg(l_discount) AS DECIMAL(38, 12)), 6)
+                AS DOUBLE)                                                  AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= date '1998-09-02'
@@ -335,7 +349,9 @@ _q(
 _q(
     "subquery_derived_table",
     """
-    SELECT round(avg(n_ord), 4) AS avg_orders_per_cust, max(n_ord) AS max_orders
+    SELECT cast(round(cast(avg(n_ord) AS DECIMAL(38, 10)), 4) AS DOUBLE)
+             AS avg_orders_per_cust,
+           max(n_ord) AS max_orders
     FROM (SELECT o_custkey, count(*) AS n_ord FROM orders GROUP BY o_custkey) t
     """,
 )
@@ -731,7 +747,8 @@ _q(
     """
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 4)                AS ad,
-           round(l_extendedprice / l_quantity, 3)          AS unit_price,
+           cast(round(cast(l_extendedprice / l_quantity
+                AS DECIMAL(38, 9)), 3) AS DOUBLE)          AS unit_price,
            cast(ceil(l_quantity)  AS bigint)               AS cq,
            cast(floor(l_extendedprice) AS bigint)          AS fe,
            mod(l_orderkey, 7)                              AS m7,
@@ -2168,7 +2185,8 @@ _q(
     stats AS (
       SELECT user_id,
              count(gap_us) AS n_gaps,
-             round(avg(gap_us) / 1e6, 2) AS avg_gap_s,
+             cast(round(cast(avg(gap_us) / 1e6 AS DECIMAL(38, 8)), 2)
+               AS DOUBLE) AS avg_gap_s,
              round(stddev_samp(gap_us) / 1e6, 2) AS std_gap_s,
              round(stddev_samp(gap_us) / nullif(avg(gap_us), 0), 4) AS gap_cv
       FROM gaps WHERE gap_us IS NOT NULL
@@ -2191,7 +2209,8 @@ _q(
     stats AS (
       SELECT user_id,
              count(gap_us) AS n_gaps,
-             round(avg(gap_us) / 1e6, 2) AS avg_gap_s,
+             cast(round(cast(avg(gap_us) / 1e6 AS DECIMAL(38, 8)), 2)
+               AS DOUBLE) AS avg_gap_s,
              round(stddev_samp(gap_us) / 1e6, 2) AS std_gap_s,
              round(stddev_samp(gap_us) / nullif(avg(gap_us), 0), 4) AS gap_cv
       FROM gaps WHERE gap_us IS NOT NULL

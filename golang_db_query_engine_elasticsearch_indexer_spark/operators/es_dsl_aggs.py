@@ -292,11 +292,28 @@ def _metric_list(
             lat, lon = _geo_cols(m["field"])
             name = _ident(sub_name)
             if mkind == "geo_centroid":
+                # NOT round(avg(DECIMAL), 6): Spark's avg over DECIMAL
+                # stays exact DECIMAL (ties round HALF_UP) while
+                # DuckDB's returns DOUBLE (ties round by the binary
+                # value) — avg(1.000003, 1.000002) demonstrably split
+                # the engines (r13). House discipline instead: exact
+                # decimal sum cast to the SAME double in both engines,
+                # identical division, then the tie resolved in exact
+                # decimal space (the esql ROUND pattern; lat/lon are
+                # degree-bounded so no overflow/non-finite guard).
+                def _cent(col: str) -> str:
+                    a = (
+                        f"cast(sum(cast({col} AS {_DEC})) AS DOUBLE)"
+                        f" / count({col})"
+                    )
+                    return (
+                        f"cast(round(cast({a} AS DECIMAL(38, 12)), 6)"
+                        " AS DOUBLE)"
+                    )
+
                 out += [
-                    f"cast(round(avg(cast({lat} AS {_DEC})), 6)"
-                    f" AS DOUBLE) AS {name}_lat",
-                    f"cast(round(avg(cast({lon} AS {_DEC})), 6)"
-                    f" AS DOUBLE) AS {name}_lon",
+                    f"{_cent(lat)} AS {name}_lat",
+                    f"{_cent(lon)} AS {name}_lon",
                 ]
             else:
                 out += [

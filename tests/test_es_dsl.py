@@ -2736,6 +2736,37 @@ def test_geotile_grid_keys(geo):
     assert abs(by_key["1/1/0"][3] - 1.175) <= 1e-6
 
 
+def test_geo_centroid_tie_cross_engine(spark):
+    """Regression (r13): geo_centroid rendered round(avg(DECIMAL), 6)
+    — Spark's avg over DECIMAL stays exact DECIMAL and rounds the tie
+    HALF_UP while DuckDB's returns DOUBLE and rounds the binary value;
+    avg(1.000003, 1.000002) = exactly 1.0000025 split the engines
+    (spark 1.000003, duck 1.000002). The exact-sum + decimal-space
+    round form must agree on the HALF_UP answer in both."""
+    body = {"aggs": {"tiles": {
+        "geotile_grid": {"field": "loc", "precision": 0},
+        "aggs": {"c": {"geo_centroid": {"field": "loc"}}},
+    }}, "size": 0}
+    mk = (
+        "CREATE OR REPLACE {} pts AS SELECT * FROM (VALUES"
+        " (1, 1.000003, 7.000001, 'a'),"
+        " (2, 1.000002, 7.000002, 'a')"
+        ") AS t(pid, loc_lat, loc_lon, tag)"
+    )
+    con = duckdb.connect()
+    con.execute(mk.format("TABLE"))
+    duck = con.execute(
+        compile_search("pts", body, "duck", "pid")
+    ).fetchall()
+    spark.sql(mk.format("TEMP VIEW")).collect()
+    srows = [tuple(r) for r in spark.sql(
+        compile_search("pts", body, "spark", "pid")
+    ).collect()]
+    assert duck == srows
+    # HALF_UP resolution of both scale-7 ties
+    assert duck[0][2] == 1.000003 and duck[0][3] == 7.000002
+
+
 def test_geo_rejections(geo):
     for body, msg in [
         ({"query": {"geo_distance": {"distance": "12parsec",
