@@ -200,16 +200,15 @@ WITH baskets AS (
   FROM lineitem GROUP BY l_orderkey
 ),
 pairs AS (
-  SELECT explode(flatten(transform(
+  SELECT explode(flatten(flatten(transform(
            sequence(1, size(parts) - 1),
            i -> transform(sequence(0, i - 1),
-                          j -> struct(parts[j] AS p1, parts[i] AS p2))
-         ))) AS p
+                          j -> array(struct(parts[j] AS p1, parts[i] AS p2),
+                                     struct(parts[i] AS p1, parts[j] AS p2)))
+         )))) AS p
   FROM baskets WHERE size(parts) >= 2
 )
-SELECT p.p1, p.p2 FROM pairs
-UNION
-SELECT p.p2 AS p1, p.p1 AS p2 FROM pairs
+SELECT DISTINCT p.p1, p.p2 FROM pairs
 """
 
 

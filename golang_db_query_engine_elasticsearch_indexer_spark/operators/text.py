@@ -1594,6 +1594,12 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(
                 (r, best.lsym, best.rsym, best.lsym + best.rsym, best.freq)
             )
+            if r == BPE_MERGES:
+                # the last argmax is collected above; rewriting the
+                # vocabulary once more would be a job whose output
+                # nothing reads (guide §1.2: don't compute things you
+                # throw away)
+                break
             nxt = cur.select(
                 F.call_function(
                     "replace",
@@ -1603,7 +1609,10 @@ def bpe_merge_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("w"),
                 "cnt",
             ).persist()
-            nxt.count()  # materialize so the next round reads the cache
+            # No count() here: round r+1's argmax is the next action and
+            # it materializes this cache in the same pass (one job per
+            # round instead of two); the rewrite reads round r's cache,
+            # never its lineage, exactly as before.
             held.append(nxt)
             cur = nxt
     finally:
