@@ -18,7 +18,7 @@ every operator here has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from golang_db_query_engine_elasticsearch_indexer_spark.functions import (
@@ -527,9 +527,12 @@ def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-threshold similarity."""
     g = _gram_arrays_df(spark, PREFIX_NGRAM_N)
     ex = g.selectExpr("doc_id", "explode(grams) AS gr")
-    dfreq = ex.groupBy("gr").agg(F.count("*").alias("dfr"))
+    # Document frequency via a count window over the gram key instead
+    # of a groupBy + join-back: same values, but the exploded gram
+    # stream is computed ONCE and shuffled ONCE (the join form paid the
+    # tokenize+explode subtree twice plus a second gram-key exchange).
     ordered = (
-        ex.join(dfreq, "gr")
+        ex.withColumn("dfr", F.count("*").over(Window.partitionBy("gr")))
         .groupBy("doc_id")
         .agg(
             F.expr(
@@ -538,12 +541,23 @@ def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tg = PREFIX_GEN_T
-    pre = ordered.selectExpr(
-        "doc_id",
-        "size(og) AS n",
-        f"slice(og, 1, size(og) - cast(ceil({tg} * size(og)) AS int) + 1)"
-        " AS prefix",
-    ).selectExpr("doc_id", "n", "explode(prefix) AS ptok")
+    # PINNED (eager localCheckpoint): the prefix postings are consumed
+    # by BOTH sides of the candidate self-join; unpinned, Spark inlines
+    # the whole tokenize + df-window + per-doc re-sort subtree once per
+    # side (measured 5 documents scans per query before, 2 after —
+    # plans/r13/dedup_prefix_filter_jaccard_{before,after}.txt). The
+    # pinned stream is the ~(1-t) prefix fraction of the gram stream —
+    # strictly smaller than one of the recomputations it replaces.
+    pre = (
+        ordered.selectExpr(
+            "doc_id",
+            "size(og) AS n",
+            f"slice(og, 1, size(og) - cast(ceil({tg} * size(og)) AS int) + 1)"
+            " AS prefix",
+        )
+        .selectExpr("doc_id", "n", "explode(prefix) AS ptok")
+        .localCheckpoint(eager=True)
+    )
     a = pre.selectExpr("ptok", "doc_id AS a", "n AS na")
     b = pre.selectExpr("ptok", "doc_id AS b", "n AS nb")
     cand = (
@@ -804,10 +818,20 @@ def _rare_gram_candidates(arrs: DataFrame) -> DataFrame:
 
     # Rare-gram postings: doc_id is unique within a posting (grams are
     # distinct per doc), so the sort is total and j < i gives a < b.
+    # PINNED (eager localCheckpoint, the simhash fingerprint-pin
+    # pattern): posts is referenced by BOTH the pair expansion and the
+    # per-doc rare counts (itself joined twice), and Spark re-inlines
+    # the whole tokenize+explode+shuffle subtree per reference —
+    # measured 4 documents scans per query before the pin, 2 after
+    # (plans/r13/dedup_ngram_jaccard_{before,after}.txt). The pinned
+    # relation is df-capped (<= NGRAM_MAX_DF ids per row, one row per
+    # rare gram), i.e. candidate-infrastructure-sized, never the
+    # exploded token stream the r02 verdict flagged.
     posts = (
         g.groupBy("g")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
         .where(F.size("docs").between(2, NGRAM_MAX_DF))
+        .localCheckpoint(eager=True)
     )
     # Per-doc RARE-gram counts — the witness cap is derived from these,
     # not from total gram counts: the gate counts shared RARE grams, so
@@ -1601,14 +1625,18 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: reuses the banded-pairs kernel (equi-join candidates,
     row-local Hamming verify); split assignment is a row-local md5
-    CASE (no shuffle); the two assignment joins key on doc_id and the
-    final rollup has at most 6 rows (unordered pair of 3 splits).
+    CASE (no shuffle) applied directly to the pair's own doc ids —
+    the former join-back against a documents projection added two
+    joins (and two scans) to attach a value that is a pure function of
+    doc_id; every pair member is a documents row by construction, so
+    the inner joins were identity lookups (the oracle keeps the
+    join formulation). Final rollup has at most 6 rows.
     """
     pairs = _simhash_pairs_df(spark)
-    assign = spark.table("documents").selectExpr("doc_id", f"{SPLIT_CASE} AS split")
+    split_a = SPLIT_CASE.replace("doc_id", "doc_a")
+    split_b = SPLIT_CASE.replace("doc_id", "doc_b")
     return (
-        pairs.join(assign.selectExpr("doc_id AS doc_a", "split AS split_a"), "doc_a")
-        .join(assign.selectExpr("doc_id AS doc_b", "split AS split_b"), "doc_b")
+        pairs.selectExpr(f"{split_a} AS split_a", f"{split_b} AS split_b")
         .selectExpr(
             "least(split_a, split_b) AS split_lo",
             "greatest(split_a, split_b) AS split_hi",

@@ -364,7 +364,26 @@ DSIR_TOPK = 200
 DSIR_TARGET = "source IN ('src0', 'src1')"
 
 
-def _dsir_sql(token_select: str) -> str:
+def _dsir_counts_body() -> str:
+    """The LM-count aggregation over ``toks`` — ONE text shared by the
+    oracle's chained CTE and the Spark path's staged pre-pass, so the
+    two formulations cannot drift."""
+    return (
+        f"SELECT b, count(*) AS c_s,\n"
+        f"         sum(CASE WHEN {DSIR_TARGET} THEN 1 ELSE 0 END) AS c_t\n"
+        f"  FROM toks GROUP BY b"
+    )
+
+
+def _dsir_toks_cte(token_select: str) -> str:
+    b = _hash16("md5(w)")
+    return f"""toks AS (
+  SELECT doc_id, source, {b} % {DSIR_BUCKETS} AS b
+  FROM ({token_select})
+)"""
+
+
+def _dsir_sql(token_select: str, counts_rel: str | None = None) -> str:
     """Shared SQL (dialect knob: the token-explode subquery). Both LM
     count tables come out of ONE shuffle on the bucket key (conditional
     aggregation computes target and corpus counts together); the join
@@ -374,18 +393,21 @@ def _dsir_sql(token_select: str) -> str:
     ratio an exact rational of integers before the ln; the per-doc sum
     is rounded to 4 dp at the boundary (summation-order discipline) and
     the final ranking is total-ordered with the doc_id tiebreak. The
-    top-k is a sort-limit (TakeOrdered at scale), never a full sort."""
-    b = _hash16("md5(w)")
+    top-k is a sort-limit (TakeOrdered at scale), never a full sort.
+
+    ``counts_rel``: name of a pre-materialized counts relation (the
+    Spark path stages it — see :func:`dsir_importance`); default is the
+    chained CTE the DuckDB oracle runs (DuckDB materializes CTEs once,
+    Spark would inline ``toks`` into one full token pass per
+    reference)."""
+    counts_cte = (
+        f"counts AS (SELECT b, c_s, c_t FROM {counts_rel})"
+        if counts_rel
+        else f"counts AS (\n  {_dsir_counts_body()}\n)"
+    )
     return f"""
-WITH toks AS (
-  SELECT doc_id, source, {b} % {DSIR_BUCKETS} AS b
-  FROM ({token_select})
-),
-counts AS (
-  SELECT b, count(*) AS c_s,
-         sum(CASE WHEN {DSIR_TARGET} THEN 1 ELSE 0 END) AS c_t
-  FROM toks GROUP BY b
-),
+WITH {_dsir_toks_cte(token_select)},
+{counts_cte},
 tot AS (SELECT sum(c_s) AS n_s, sum(c_t) AS n_t FROM counts),
 scored AS (
   SELECT /*+ BROADCAST(counts), BROADCAST(tot) */
@@ -416,12 +438,20 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic top-of-ranking cut stands in for DSIR's Gumbel
     resample — the sampling flavor is already covered by
     :func:`weighted_reservoir`, so this entry keeps the statistic
-    differential-checkable end to end."""
-    return spark.sql(
-        _dsir_sql(
-            f"SELECT doc_id, source, explode({TOKENS}) AS w FROM documents"
-        )
-    )
+    differential-checkable end to end.
+
+    The counts relation (DSIR_BUCKETS rows by construction) is staged
+    eagerly: chained, Spark inlines ``toks`` once per reference and the
+    plan tokenized documents three times (measured — see
+    plans/r13/sample_dsir_importance_{before,after}.txt); staged, the
+    corpus is tokenized once for the LMs and once for the scoring join,
+    the minimum two passes the statistic admits."""
+    token_select = f"SELECT doc_id, source, explode({TOKENS}) AS w FROM documents"
+    counts = spark.sql(
+        f"WITH {_dsir_toks_cte(token_select)}\n{_dsir_counts_body()}"
+    ).localCheckpoint(eager=True)
+    counts.createOrReplaceTempView("__dsir_counts")
+    return spark.sql(_dsir_sql(token_select, counts_rel="__dsir_counts"))
 
 
 DSIR_ORACLE = _dsir_sql(
