@@ -872,6 +872,105 @@ def pq_train(
     return cbs
 
 
+def _fused_ivfpq_train(spark: SparkSession, samp: DataFrame):
+    """Train the coarse quantizer AND the PQ_M raw-vector codebooks in
+    fused passes over one shared sample: ONE seed collect (the top
+    max(KMEANS_K, PQ_K) rows by ``h`` serve both trainers — the coarse
+    seeds are its first KMEANS_K rows, and rounding commutes with
+    slicing, so per-subspace seed slices equal slices of the rounded
+    full vector) and ONE assignment + stats job per Lloyd iteration
+    (the 9 independent argmaxes — coarse over the full vector, one per
+    subspace — compute in one projection; the per-(quantizer, cid, dim)
+    means come out of one aggregation keyed by a quantizer tag, s = -1
+    for coarse). Value-for-value identical to ``_kmeans_cents`` +
+    ``pq_train`` over the same sample — same assignments, same group
+    contents, same 6-dp rounding; grouping by the extra tag cannot
+    change any group — so the DuckDB oracle replay is untouched.
+    Cuts the composite build from 7 driver round-trips to 3.
+    Returns ``(cents, cbs)``."""
+    samp = samp.select("embedding", "norm", "h")
+    n_seed = max(KMEANS_K, PQ_K)
+    seed_rows = (
+        samp.orderBy("h")
+        .limit(n_seed)
+        .selectExpr("transform(embedding, x -> round(cast(x AS double), 6)) AS c")
+        .collect()
+    )
+    cents = [
+        (i + 1, list(r["c"]), _l2(r["c"])) for i, r in enumerate(seed_rows[:KMEANS_K])
+    ]
+    cbs = [
+        [
+            (i + 1, list(r["c"])[s * PQ_SUB : (s + 1) * PQ_SUB],
+             _l2(list(r["c"])[s * PQ_SUB : (s + 1) * PQ_SUB]))
+            for i, r in enumerate(seed_rows[:PQ_K])
+        ]
+        for s in range(PQ_M)
+    ]
+    for _ in range(KMEANS_ITERS):
+        coarse_cid = (
+            f"array_max({_scored_cells_expr(_centroid_array_expr(cents))}).cid"
+            " AS cidc"
+        )
+        cid_exprs = []
+        for s in range(PQ_M):
+            cb = _centroid_array_expr(cbs[s])
+            dot = DOT.format(a=f"sub{s}", b="c.centroid")
+            nsub = NORM.format(a=f"sub{s}")
+            cid_exprs.append(
+                f"array_max(transform({cb}, c -> struct("
+                f"round(({dot}) / (({nsub}) * c.cnorm), 6) AS score, "
+                f"-c.cid AS neg, c.cid AS cid))).cid AS cid{s}"
+            )
+        assigned = samp.selectExpr(
+            "embedding",
+            "norm",
+            *[
+                f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB}) AS sub{s}"
+                for s in range(PQ_M)
+            ],
+        ).selectExpr(
+            coarse_cid,
+            *cid_exprs,
+            "embedding",
+            *[f"sub{s}" for s in range(PQ_M)],
+        )
+        exploded = assigned.select(
+            F.explode(
+                F.expr(
+                    "array(struct(-1 AS s, cidc AS cid, embedding AS v), "
+                    + ", ".join(
+                        f"struct({s} AS s, cid{s} AS cid, sub{s} AS v)"
+                        for s in range(PQ_M)
+                    )
+                    + ")"
+                )
+            ).alias("e")
+        ).select("e.s", "e.cid", F.posexplode("e.v").alias("pos", "val"))
+        stats = (
+            exploded.groupBy("s", "cid", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+            .collect()
+        )  # KMEANS_K * N_DIM + PQ_M * PQ_K * PQ_SUB rows — constant-size
+        coarse_by_cid: dict[int, dict[int, float]] = {}
+        by_s: list[dict[int, dict[int, float]]] = [{} for _ in range(PQ_M)]
+        for r in stats:
+            tgt = coarse_by_cid if int(r["s"]) < 0 else by_s[int(r["s"])]
+            tgt.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cv"])
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
+            for cid, dims in sorted(coarse_by_cid.items())
+        ]
+        cbs = [
+            [
+                (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
+                for cid, dims in sorted(by_cid.items())
+            ]
+            for by_cid in by_s
+        ]
+    return cents, cbs
+
+
 def _pq_encode(
     df: DataFrame,
     cb_exprs: list[str],
@@ -1365,8 +1464,12 @@ def ivfpq_build(spark: SparkSession, sf_dir: str, persist: bool = True) -> IVFPQ
         .persist()
     )
     try:
-        cents = _kmeans_cents(spark, samp=shared)
-        cbs = pq_train(spark, samp=shared)
+        # Fused trainer (see _fused_ivfpq_train): one seed collect and
+        # one pass per Lloyd iteration train BOTH quantizers —
+        # value-identical to sequential _kmeans_cents + pq_train, 3
+        # driver round-trips instead of 7 (equality pinned in
+        # tests/test_operators.py::test_fused_ivfpq_train_identical).
+        cents, cbs = _fused_ivfpq_train(spark, shared)
     finally:
         shared.unpersist()
     cb_exprs = [_centroid_array_expr(cb) for cb in cbs]

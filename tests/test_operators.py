@@ -540,6 +540,33 @@ def test_ivf_build_search_split_matches_selfcontained(spark, tables, sf_dir):
     assert split == whole
 
 
+def test_fused_ivfpq_train_identical(spark, tables, sf_dir):
+    """The fused composite trainer (one seed collect + one pass per
+    Lloyd iteration for coarse + all PQ subspaces) must return
+    bit-identical centroids and codebooks to the sequential
+    _kmeans_cents + pq_train over the same sample — the equality
+    ivfpq_build's r13 job-count optimization rests on."""
+    from pyspark.sql import functions as F
+
+    shared = (
+        similarity._with_norm(spark.table("embeddings"))
+        .select("vec_id", "embedding", "norm")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(similarity.KMEANS_SAMPLE_N)
+        .select("embedding", "norm", "h")
+        .persist()
+    )
+    try:
+        cents_seq = similarity._kmeans_cents(spark, samp=shared)
+        cbs_seq = similarity.pq_train(spark, samp=shared)
+        cents_fused, cbs_fused = similarity._fused_ivfpq_train(spark, shared)
+    finally:
+        shared.unpersist()
+    assert cents_fused == cents_seq
+    assert cbs_fused == cbs_seq
+
+
 def test_pq_encode_zero_subvector_guard(spark, tables, sf_dir):
     """An all-zero sub-slice has no defined cosine to any centroid; the
     encoder must deterministically assign position 0 (lowest cid) with
