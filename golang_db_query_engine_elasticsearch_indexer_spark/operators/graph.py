@@ -59,6 +59,19 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 5
 BFS_MAX_HOPS = 3
 
+
+def _round_half_up(x: float, scale: int) -> float:
+    """Exact mirror of Spark SQL's round() on DOUBLE:
+    BigDecimal.valueOf(x) parses Double.toString's shortest round-trip
+    decimal — the same string Python's repr() produces — then
+    setScale(scale, HALF_UP). Used by the driver-side rank iterations
+    so every surfaced value is one the SQL formulation also computes."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
+    )
+
 # Nation->nation trade edges, out-weight-normalized: revenue per
 # (supplier nation, customer nation) — the q7 join spine without the
 # year filter — then a window over the source normalizes each nation's
@@ -83,39 +96,55 @@ nodes AS (SELECT n_name AS node FROM nation)
 """
 
 
-def _pagerank_iter_sql(n_nodes: int, w_relation: str, nodes_relation: str) -> str:
-    """PAGERANK_ITERS unrolled damped-PageRank iterations over the given
-    edge/node relations: rank_{t+1}(c) = (1-d)/N + d * (sum_s
-    rank_t(s) * w(s, c) + dangling_t / N), where dangling_t is the rank
-    mass sitting on nodes with no out-edges — redistributed uniformly,
-    the standard treatment, so total mass conserves to the rounding
-    (at small scale factors many nations have no outgoing trade; drop
-    the term and the rank vector silently decays). Rank rounded to 9 dp
-    per iteration."""
+def _pr_dm_sql(prev: str, outs: str) -> str:
+    """Dangling-mass CTE body: rank mass on nodes with no out-edges —
+    ONE text shared by the oracle's unrolled chain and the engine's
+    per-iteration loop, so the two formulations cannot drift."""
+    return f"""
+  SELECT coalesce(sum(p.pr), 0) AS dm
+  FROM {prev} p LEFT JOIN {outs} o ON o.node = p.node
+  WHERE o.node IS NULL
+"""
+
+
+def _pr_rank_sql(
+    n_nodes: int, w_relation: str, nodes_relation: str, prev: str, dm: str
+) -> str:
+    """One damped-PageRank iteration body (shared text, see
+    :func:`_pr_dm_sql`): rank_{t+1}(c) = (1-d)/N + d * (sum_s
+    rank_t(s) * w(s, c) + dangling_t / N) — dangling mass redistributed
+    uniformly, the standard treatment, so total mass conserves to the
+    rounding (at small scale factors many nations have no outgoing
+    trade; drop the term and the rank vector silently decays). Rank
+    rounded to 9 dp per iteration."""
     d = PAGERANK_DAMPING
+    return f"""
+  SELECT n.node,
+         round((1 - {d}) / {n_nodes}
+               + {d} * (coalesce(sum(p.pr * w.w), 0) + dd.dm / {n_nodes}), 9) AS pr
+  FROM {nodes_relation} n
+  CROSS JOIN {dm} dd
+  LEFT JOIN {w_relation} w ON w.dst = n.node
+  LEFT JOIN {prev} p ON p.node = w.src
+  GROUP BY n.node, dd.dm
+"""
+
+
+def _pagerank_iter_sql(n_nodes: int, w_relation: str, nodes_relation: str) -> str:
+    """PAGERANK_ITERS unrolled damped-PageRank iterations (the ORACLE
+    formulation: DuckDB materializes each CTE once, so the chain costs
+    one pass there; Spark INLINES multiply-referenced CTEs — each
+    iteration references r{i-1} twice, so the unrolled chain explodes
+    to 2^ITERS subplan copies and the engine loop materializes each
+    25-row iteration instead, see :func:`pagerank_nations`)."""
     parts = [
         f"outs AS (SELECT DISTINCT src AS node FROM {w_relation})",
         f"r0 AS (SELECT node, round(1.0 / {n_nodes}, 9) AS pr FROM {nodes_relation})",
     ]
     for i in range(1, PAGERANK_ITERS + 1):
+        parts.append(f"dm{i} AS ({_pr_dm_sql(f'r{i - 1}', 'outs')})")
         parts.append(
-            f"""dm{i} AS (
-  SELECT coalesce(sum(p.pr), 0) AS dm
-  FROM r{i - 1} p LEFT JOIN outs o ON o.node = p.node
-  WHERE o.node IS NULL
-)"""
-        )
-        parts.append(
-            f"""r{i} AS (
-  SELECT n.node,
-         round((1 - {d}) / {n_nodes}
-               + {d} * (coalesce(sum(p.pr * w.w), 0) + dd.dm / {n_nodes}), 9) AS pr
-  FROM {nodes_relation} n
-  CROSS JOIN dm{i} dd
-  LEFT JOIN {w_relation} w ON w.dst = n.node
-  LEFT JOIN r{i - 1} p ON p.node = w.src
-  GROUP BY n.node, dd.dm
-)"""
+            f"r{i} AS ({_pr_rank_sql(n_nodes, w_relation, nodes_relation, f'r{i - 1}', f'dm{i}')})"
         )
     return ",\n".join(parts) + (
         f"\nSELECT node, round(pr, 6) AS pagerank\n"
@@ -130,40 +159,67 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The distributed stage runs once: the edge aggregation over the fact
     table. Its 625-row-bounded result is collected (control-flow-scale,
-    like the IVF centroid artifact) and the five rank iterations run as
-    constant-folded literal joins — the returned plan scans nothing."""
+    like the IVF centroid artifact) and the five rank iterations run in
+    driver arithmetic over that artifact — |nation|^2-bounded work at
+    ANY scale factor, with round() mirrored bit-for-bit
+    (:func:`_round_half_up`) and exact-decimal constants where the SQL
+    literals are decimal-typed, so every surfaced value is one the SQL
+    formulation also computes (differential-verified at sf0.001/0.01/
+    0.1 against the chained oracle). History (r13 optimization round):
+    the original one-shot unrolled chain references r{i-1} twice per
+    iteration (dangling mass + rank join), Spark inlines CTEs, and the
+    plan grew 2^ITERS subplan copies — measured ~3 s of pure optimizer
+    time on 25-row relations at ITERS=5; per-iteration literal
+    round-trips and local-relation views both just moved the cost into
+    5-6 driver round-trips (~0.4 s floor each on local[32]). The
+    driver-side loop leaves exactly one heavy action (the edge
+    aggregation) plus one trivial local-relation return. The ORACLE
+    keeps the chained CTE text — DuckDB materializes CTEs once, so the
+    chain is the right shape there AND pins loop-vs-chain equivalence."""
 
-    def q(s: str) -> str:
-        return s.replace("'", "''")
+    from decimal import Decimal
 
     edge_rows = spark.sql(
         "WITH " + _EDGES_CTE.strip() + "\nSELECT src, dst, w FROM w"
     ).collect()
     node_rows = spark.sql("SELECT n_name AS node FROM nation").collect()
     n = len(node_rows)
-    w_vals = ", ".join(
-        f"('{q(r.src)}', '{q(r.dst)}', CAST({r.w!r} AS DOUBLE))" for r in edge_rows
+    nodes = sorted(r.node for r in node_rows)
+    in_edges: dict[str, list[tuple[str, float]]] = {}
+    outs: set[str] = set()
+    # Deterministic iteration order (sorted by key) so the float sums
+    # below are reproducible run-to-run; cross-engine sub-ULP
+    # summation-order differences are absorbed by the 9-dp per-
+    # iteration rounding exactly as between Spark and DuckDB (module
+    # float discipline above).
+    for r in sorted(edge_rows, key=lambda e: (e.src, e.dst)):
+        in_edges.setdefault(r.dst, []).append((r.src, float(r.w)))
+        outs.add(r.src)
+    d = PAGERANK_DAMPING
+    # SQL-literal arithmetic mirror: "1.0 / n" and "(1 - 0.85) / n" are
+    # DECIMAL-exact in both engines for n = |nation| = 25 (terminating
+    # quotients), so compute them in exact decimal and convert once.
+    r0 = _round_half_up(float(Decimal(1) / Decimal(n)), 9)
+    base = float((Decimal(1) - Decimal(repr(d))) / Decimal(n))
+    pr = {v: r0 for v in nodes}
+    for _ in range(PAGERANK_ITERS):
+        dm = 0.0
+        for v in nodes:
+            if v not in outs:
+                dm += pr[v]
+        pr = {
+            v: _round_half_up(
+                base
+                + d * (sum(pr[s] * w for s, w in in_edges.get(v, ())) + dm / n),
+                9,
+            )
+            for v in nodes
+        }
+    rows = sorted(
+        ((v, _round_half_up(pr[v], 6)) for v in nodes),
+        key=lambda t: (-t[1], t[0]),
     )
-    # degenerate guard: with no trade edges at all (not reachable on the
-    # fixtures, but VALUES of zero tuples is a syntax error) every node
-    # is dangling and the rank stays uniform — an empty relation gives
-    # exactly that through the dangling-mass term.
-    w_rel = (
-        "SELECT * FROM VALUES " + w_vals + " AS t(src, dst, w)"
-        if edge_rows
-        else "SELECT '' AS src, '' AS dst, CAST(0 AS DOUBLE) AS w WHERE 1 = 0"
-    )
-    node_vals = ", ".join(f"('{q(r.node)}')" for r in node_rows)
-    sql = (
-        "WITH w AS ("
-        + w_rel
-        + "),\n"
-        + "nodes AS (SELECT * FROM VALUES "
-        + node_vals
-        + " AS t(node)),\n"
-        + _pagerank_iter_sql(n, "w", "nodes")
-    )
-    return spark.sql(sql)
+    return spark.createDataFrame(rows, "node string, pagerank double")
 
 
 def _pagerank_oracle() -> str:
