@@ -628,10 +628,14 @@ def incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("h")
         .agg(F.min("doc_id").alias("corpus_id"))
     )
+    # PINNED: exact_m is consumed twice (the near-dup anti-join AND the
+    # exact branch of the union); unpinned, each reference re-ran the
+    # sha2 hash join over two documents scans. Batch-match-sized.
     exact_m = (
         flagged.where("is_batch")
         .join(corpus_hashes, "h")
         .selectExpr("doc_id AS batch_id", "corpus_id")
+        .localCheckpoint(eager=True)
     )
 
     sh = _shingle_arrays_df(spark)
@@ -1011,10 +1015,16 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The edge list is joined once per round: without pinning it, every
     # iteration re-executes the whole minhash candidate pipeline. Edges
     # are bounded by the banding caps (MINHASH_MAX_BUCKET), so this is
-    # a candidate-sized cache, not a corpus-sized one.
+    # a candidate-sized cache, not a corpus-sized one. Symmetrize with
+    # a row-local explode, not a UNION of two references to `edges` —
+    # the union form inlined the whole minhash pipeline (two documents
+    # scans + the verify join) once per branch into the cache-fill job.
     sym = (
-        edges.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        edges.selectExpr(
+            "explode(array(struct(doc_a AS src, doc_b AS dst),"
+            " struct(doc_b AS src, doc_a AS dst))) AS e"
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     converged = False

@@ -99,21 +99,23 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SELECT p.k FROM __blm_probe p JOIN __blm_dim d ON p.k = d.k",
         ),
     ]
+    # CROSS JOINs of 1-row aggregates, not scalar subqueries: Spark
+    # executes each scalar subquery as its own job before the main
+    # query (5 driver round-trips over the caches); the cross-join form
+    # runs the same five tiny aggregates inside ONE action. Values
+    # unchanged (each aggregate is over the same relation).
     final = """
-    WITH counts AS (
-      SELECT (SELECT count(*) FROM __blm_probe)  AS n_probe,
-             (SELECT count(*) FROM __blm_dim)    AS n_dim_keys,
-             (SELECT count(*) FROM __blm_pass)   AS n_bloom_pass,
-             (SELECT count(*) FROM __blm_truth)  AS n_true_match,
-             (SELECT count(*) FROM __blm_truth t
-              LEFT JOIN __blm_pass bp ON t.k = bp.k
-              WHERE bp.k IS NULL)                AS n_missed
-    )
     SELECT n_probe, n_dim_keys, n_bloom_pass, n_true_match, n_missed,
            n_bloom_pass - n_true_match AS n_false_pos,
            round(cast(n_bloom_pass - n_true_match AS double)
                  / nullif(n_probe - n_true_match, 0), 6) AS fpr
-    FROM counts
+    FROM       (SELECT count(*) AS n_probe      FROM __blm_probe)
+    CROSS JOIN (SELECT count(*) AS n_dim_keys   FROM __blm_dim)
+    CROSS JOIN (SELECT count(*) AS n_bloom_pass FROM __blm_pass)
+    CROSS JOIN (SELECT count(*) AS n_true_match FROM __blm_truth)
+    CROSS JOIN (SELECT count(*) AS n_missed     FROM __blm_truth t
+                LEFT JOIN __blm_pass bp ON t.k = bp.k
+                WHERE bp.k IS NULL)
     """
     return materialized_chain(spark, stages, final)
 
