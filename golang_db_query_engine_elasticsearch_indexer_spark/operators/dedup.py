@@ -541,29 +541,30 @@ def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tg = PREFIX_GEN_T
-    # PINNED (eager localCheckpoint): the prefix postings are consumed
-    # by BOTH sides of the candidate self-join; unpinned, Spark inlines
-    # the whole tokenize + df-window + per-doc re-sort subtree once per
-    # side (measured 5 documents scans per query before, 2 after —
-    # plans/r13/dedup_prefix_filter_jaccard_{before,after}.txt). The
-    # pinned stream is the ~(1-t) prefix fraction of the gram stream —
-    # strictly smaller than one of the recomputations it replaces.
-    pre = (
-        ordered.selectExpr(
-            "doc_id",
-            "size(og) AS n",
-            f"slice(og, 1, size(og) - cast(ceil({tg} * size(og)) AS int) + 1)"
-            " AS prefix",
-        )
-        .selectExpr("doc_id", "n", "explode(prefix) AS ptok")
-        .localCheckpoint(eager=True)
-    )
-    a = pre.selectExpr("ptok", "doc_id AS a", "n AS na")
-    b = pre.selectExpr("ptok", "doc_id AS b", "n AS nb")
+    # The candidate self-join's two inputs are the SAME projection of
+    # the prefix postings (alias-qualified, not re-projected per side):
+    # canonically identical subtrees are the precondition for exchange
+    # reuse, so the tokenize + df-window + per-doc re-sort chain
+    # materializes its ptok shuffle once and the other side reads the
+    # reused stage (AQE stage-level reuse; with per-side projections
+    # the subtrees canonicalized differently and the whole chain ran
+    # twice). Measured at sf0.1: 3.5 s (join-back df + per-side
+    # projections) -> 2.3 s; an eager-localCheckpoint pin of the
+    # postings was tried and is SLOWER here (+1.7 s materialization)
+    # while the reused exchange already dedups the heavy subtree.
+    pre = ordered.selectExpr(
+        "doc_id",
+        "size(og) AS n",
+        f"slice(og, 1, size(og) - cast(ceil({tg} * size(og)) AS int) + 1)"
+        " AS prefix",
+    ).selectExpr("doc_id", "n", "explode(prefix) AS ptok")
+    x, y = pre.alias("x"), pre.alias("y")
     cand = (
-        a.join(b, "ptok")
-        .where(f"a < b AND least(na, nb) >= {tg} * greatest(na, nb)")
-        .select("a", "b")
+        x.join(y, F.col("x.ptok") == F.col("y.ptok"))
+        .where(
+            f"x.doc_id < y.doc_id AND least(x.n, y.n) >= {tg} * greatest(x.n, y.n)"
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
     return _verify_jaccard(cand, g, PREFIX_JACCARD_T)
