@@ -1559,12 +1559,24 @@ def _simhash_pairs_df(spark: SparkSession) -> DataFrame:
               b -> shiftright(f, b * {SIMHASH_BAND_BITS})
                    % {1 << SIMHASH_BAND_BITS})) AS (band, bkey)""",
     )
-    a = bands.selectExpr("band", "bkey", "doc_id AS doc_a", "f AS fa")
-    b = bands.selectExpr("band", "bkey", "doc_id AS doc_b", "f AS fb")
+    # Same alias-qualified self-join shape as prefix_filter_pairs: both
+    # inputs are the IDENTICAL projection, so the band-key exchange
+    # canonicalizes equal and materializes once (per-side projections
+    # defeated exchange reuse and re-ran the posexplode per side).
+    x, y = bands.alias("x"), bands.alias("y")
     cand = (
-        a.join(b, ["band", "bkey"])
-        .where("doc_a < doc_b")
-        .select("doc_a", "doc_b", "fa", "fb")
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey")),
+        )
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.f").alias("fa"),
+            F.col("y.f").alias("fb"),
+        )
         .distinct()
     )
     return (
