@@ -1838,60 +1838,78 @@ _HQ_QS_VALUES = (
 # first (operators/materialized.py) because Spark would inline the
 # three vals references into three lineitem scans (11 scans total in
 # the one-query form).
+#
+# Exact-quantile tail (r13 optimization): the exact rank lookup is
+# bin-local, not a global prefix sum — the original
+# `sum(c) OVER (ORDER BY v)` over ALL distinct values is an
+# unpartitioned window (Spark: "Moving all data to a single
+# partition"), the one non-scalable stage this entry had. Because the
+# bin id is monotone nondecreasing in v, the target quantile's value
+# lives in exactly the bin `pick` already located (bins below it hold
+# cum <= below < rk; that bin's last value reaches cb >= rk), and the
+# global prefix decomposes as below + within-bin prefix — all BIGINT
+# arithmetic, so the surfaced values are bit-identical to the global-
+# window formulation in both engines. The within-bin window touches
+# ~n/BINS rows per target quantile instead of every distinct value.
+_HQ_BOUNDS_SQL = (
+    "SELECT min(v) AS lo, max(v) AS hi, cast(sum(c) AS bigint) AS n FROM {vals}"
+)
+
+_HQ_BINNED_SQL = (
+    "SELECT ((v - lo) * {BINS}) {IDIV} (hi - lo + 1) AS bin, v % 4 AS sh, v, c\n"
+    "      FROM {vals} CROSS JOIN {bounds}"
+)
+
+# hist folded into cum (cum carries (bin, bc, cb), so hist is just its
+# (bin, bc) projection everywhere it was read).
+_HQ_CUM_SQL = """SELECT bin, bc,
+             cast(sum(bc) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cb
+      FROM (SELECT bin, cast(sum(c) AS bigint) AS bc FROM {binned} GROUP BY bin) hist"""
+
 _HQ_TAIL_SQL = """
-    bounds AS (
-      SELECT min(v) AS lo, max(v) AS hi, cast(sum(c) AS bigint) AS n FROM {vals}
-    ),
-    binned AS (
-      SELECT ((v - lo) * {BINS}) {IDIV} (hi - lo + 1) AS bin, v % 4 AS sh, v, c
-      FROM {vals} CROSS JOIN bounds
-    ),
-    hist AS (
-      SELECT bin, cast(sum(c) AS bigint) AS bc FROM binned GROUP BY bin
-    ),
     hist_by_shard AS (
-      SELECT sh, bin, cast(sum(c) AS bigint) AS bc FROM binned GROUP BY sh, bin
+      SELECT sh, bin, cast(sum(c) AS bigint) AS bc FROM {binned} GROUP BY sh, bin
     ),
     merged AS (
       SELECT bin, cast(sum(bc) AS bigint) AS bc FROM hist_by_shard GROUP BY bin
     ),
     merge_check AS (
       SELECT count(*) AS n_diff FROM (
-        SELECT bin, bc FROM hist
+        SELECT bin, bc FROM {cum}
         EXCEPT
         SELECT bin, bc FROM merged
       ) d
     ),
-    cum AS (
-      SELECT bin, bc,
-             cast(sum(bc) OVER (ORDER BY bin
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cb
-      FROM hist
-    ),
     tq AS (
       SELECT q, cast(ceil(q * n) AS bigint) AS rk, lo, hi, n
-      FROM {QS} CROSS JOIN bounds
+      FROM {QS} CROSS JOIN {bounds}
     ),
     pick AS (
       SELECT t.q, t.rk, t.lo, t.hi, min(c2.bin) AS bin
-      FROM tq t JOIN cum c2 ON c2.cb >= t.rk
+      FROM tq t JOIN {cum} c2 ON c2.cb >= t.rk
       GROUP BY t.q, t.rk, t.lo, t.hi
     ),
     est AS (
       SELECT p.q, p.rk,
              p.lo + ((p.bin + (p.rk - (c2.cb - c2.bc)) * cast(1 AS double) / c2.bc)
                      * (p.hi - p.lo + 1)) / cast({BINS} AS double) AS est_cents
-      FROM pick p JOIN cum c2 ON p.bin = c2.bin
+      FROM pick p JOIN {cum} c2 ON p.bin = c2.bin
     ),
-    cumv AS (
-      SELECT v, cast(sum(c) OVER (ORDER BY v
+    pickc AS (
+      SELECT p.q, p.rk, p.bin, c3.cb - c3.bc AS below
+      FROM pick p JOIN {cum} c3 ON p.bin = c3.bin
+    ),
+    winv AS (
+      SELECT pc.q, pc.rk, b2.v,
+             pc.below + cast(sum(b2.c) OVER (PARTITION BY pc.q ORDER BY b2.v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS cv
-      FROM {vals}
+      FROM {binned} b2 JOIN pickc pc ON b2.bin = pc.bin
     ),
     exact AS (
-      SELECT t.q, min(cv2.v) AS exact_cents
-      FROM tq t JOIN cumv cv2 ON cv2.cv >= t.rk
-      GROUP BY t.q
+      SELECT q, min(v) AS exact_cents
+      FROM winv WHERE cv >= rk
+      GROUP BY q
     )
     SELECT e.q, e.rk AS target_rank,
            round(e.est_cents / cast(100 AS double), 4) AS est_quantile,
@@ -1903,9 +1921,31 @@ _HQ_TAIL_SQL = """
 """
 
 
+def _hq_stage_sqls(vals: str, idiv: str, bounds: str, binned: str):
+    """(bounds, binned, cum) stage bodies — the Spark side materializes
+    these (bounds is 1 row, cum is BINS rows; binned is a row-local
+    projection of the vals cache) so the tail's many references read
+    tiny pinned relations instead of recomputing vals-cache
+    aggregations per reference."""
+    return (
+        _HQ_BOUNDS_SQL.format(vals=vals),
+        _HQ_BINNED_SQL.format(vals=vals, bounds=bounds, BINS=_HQ_BINS, IDIV=idiv),
+        _HQ_CUM_SQL.format(binned=binned),
+    )
+
+
 def _hq_tail(vals: str, idiv: str) -> str:
-    return _HQ_TAIL_SQL.format(
-        vals=vals, IDIV=idiv, BINS=_HQ_BINS, QS=_HQ_QS_VALUES
+    """Fully chained CTE form (the ORACLE text; DuckDB materializes each
+    CTE once, so chaining is also the efficient shape there)."""
+    b_sql, bin_sql, cum_sql = _hq_stage_sqls(vals, idiv, "bounds", "binned")
+    return (
+        f"bounds AS ({b_sql}),\n"
+        f"    binned AS ({bin_sql}),\n"
+        f"    cum AS ({cum_sql}),"
+        + _HQ_TAIL_SQL.format(
+            binned="binned", bounds="bounds", cum="cum",
+            BINS=_HQ_BINS, QS=_HQ_QS_VALUES,
+        )
     )
 
 

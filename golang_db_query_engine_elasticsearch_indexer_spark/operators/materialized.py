@@ -127,16 +127,39 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of the histogram-quantile sketch (oracle: the chained
     form in ``inventory._histogram_quantiles_entry``). Everything
     downstream of ``vals`` is distinct-value-sized; caching vals alone
-    cuts the lineitem scans from 11 to 1."""
+    cuts the lineitem scans from 11 to 1. ``bounds`` (1 row) and
+    ``cum`` (BINS rows) are staged too: the tail references them 3-4
+    times each and every unpinned reference re-aggregated the whole
+    vals cache. ``binned`` stays a plain view (row-local projection of
+    the cache). The exact-rank lookup is bin-local (see the template
+    comment in inventory.py) — no unpartitioned all-values window."""
     from golang_db_query_engine_elasticsearch_indexer_spark.inventory import (  # noqa: PLC0415
+        _HQ_BINS,
+        _HQ_QS_VALUES,
+        _HQ_TAIL_SQL,
         _HQ_VALS_SQL,
-        _hq_tail,
+        _hq_stage_sqls,
     )
 
+    b_sql, bin_sql, cum_sql = _hq_stage_sqls(
+        "__hq_vals", "div", "__hq_bounds", "__hq_binned"
+    )
     return materialized_chain(
         spark,
-        [("__hq_vals", _HQ_VALS_SQL)],
-        "WITH " + _hq_tail("__hq_vals", "div"),
+        [
+            ("__hq_vals", _HQ_VALS_SQL),
+            ("__hq_bounds", b_sql),
+            ("__hq_binned", bin_sql, False),
+            ("__hq_cum", cum_sql),
+        ],
+        "WITH "
+        + _HQ_TAIL_SQL.format(
+            binned="__hq_binned",
+            bounds="__hq_bounds",
+            cum="__hq_cum",
+            BINS=_HQ_BINS,
+            QS=_HQ_QS_VALUES,
+        ).lstrip(),
     )
 
 
