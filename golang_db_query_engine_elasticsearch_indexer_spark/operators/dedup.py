@@ -1034,7 +1034,13 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
         ).persist()
-        prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        # No initial sum job: round 1 always strictly decreases the
+        # label sum when any edge exists (the larger endpoint of an
+        # edge must take a smaller label), so the first comparison that
+        # can signal convergence is round2 == round1 — the sentinel
+        # makes round 1 never match. (Empty graph: labels is empty,
+        # every round sums to NULL, round 2 detects the fixpoint.)
+        prev_sum: object = object()
         for _ in range(CC_MAX_ITERS):
             neigh = (
                 sym.join(labels.selectExpr("id AS dst", "lbl AS nlbl"), "dst")
