@@ -432,6 +432,83 @@ def _scored_cells_expr(cent_expr: str) -> str:
     )
 
 
+def _lloyd_iter_sql(
+    view: str,
+    cents: list | None = None,
+    cbs: list | None = None,
+    metric: str = "cos",
+) -> str:
+    """ONE SQL statement computing a full Lloyd iteration's per-
+    (quantizer, cid, dim) means over a sample view: assignment argmaxes
+    (coarse over the full vector when ``cents`` is given, tagged s = -1;
+    per-subspace when ``cbs`` is given, tagged s = 0..PQ_M-1), row-local
+    struct explosion, posexplode, and the 6-dp mean — the exact chain
+    the trainers previously built as 5 chained DataFrame ops. Classic
+    PySpark analyzes the WHOLE tree again on every chained Dataset op,
+    and these trees embed the ~0.25 MB codebook literals, so one
+    parse+analysis per iteration instead of five is a measured ~35%
+    of standalone PQ training time (r13). Values are unchanged: same
+    expressions, same group contents (the constant s tag cannot change
+    a group), same rounding."""
+    cid_exprs: list[str] = []
+    structs: list[str] = []
+    subs: list[str] = []
+    if cbs is not None:
+        for s in range(PQ_M):
+            subs.append(f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB}) AS sub{s}")
+            cb = _centroid_array_expr(cbs[s])
+            dot = DOT.format(a=f"sub{s}", b="c.centroid")
+            if metric == "l2":
+                score = f"round(({dot}) - c.cn2 / 2, 9)"
+            else:
+                nsub = NORM.format(a=f"sub{s}")
+                score = f"round(({dot}) / (({nsub}) * c.cnorm), 6)"
+            cid_exprs.append(
+                f"array_max(transform({cb}, c -> struct("
+                f"{score} AS score, -c.cid AS neg, c.cid AS cid))).cid AS cid{s}"
+            )
+            structs.append(f"struct({s} AS s, cid{s} AS cid, sub{s} AS v)")
+    if cents is not None:
+        cid_exprs.append(
+            f"array_max({_scored_cells_expr(_centroid_array_expr(cents))}).cid"
+            " AS cidc"
+        )
+        structs.append("struct(-1 AS s, cidc AS cid, embedding AS v)")
+    carry = []
+    if cents is not None:
+        carry.append("embedding")
+    carry.extend(f"sub{s}" for s in range(PQ_M) if cbs is not None)
+    layer1 = ["embedding", *subs] + (["norm"] if cents is not None else [])
+    return (
+        "SELECT e.s AS s, e.cid AS cid, pos,"
+        " round(avg(cast(val AS double)), 6) AS cv\n"
+        "FROM (\n"
+        "  SELECT explode(array(" + ", ".join(structs) + ")) AS e\n"
+        "  FROM (SELECT " + ", ".join(cid_exprs + carry) + "\n"
+        "        FROM (SELECT " + ", ".join(layer1) + f" FROM {view}))\n"
+        ") x LATERAL VIEW posexplode(e.v) t AS pos, val\n"
+        "GROUP BY e.s, e.cid, pos"
+    )
+
+
+def _collect_lloyd_stats(spark: SparkSession, view: str, **kw):
+    """Run one fused Lloyd iteration (see :func:`_lloyd_iter_sql`) and
+    split the collected means into (coarse_by_cid, by_subspace)."""
+    coarse: dict[int, dict[int, float]] = {}
+    by_s: list[dict[int, dict[int, float]]] = [{} for _ in range(PQ_M)]
+    for r in spark.sql(_lloyd_iter_sql(view, **kw)).collect():
+        tgt = coarse if int(r["s"]) < 0 else by_s[int(r["s"])]
+        tgt.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cv"])
+    return coarse, by_s
+
+
+def _cents_from_stats(by_cid: dict) -> list[tuple[int, list[float], float]]:
+    return [
+        (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
+        for cid, dims in sorted(by_cid.items())
+    ]
+
+
 def _kmeans_cents(
     spark: SparkSession,
     k: int = KMEANS_K,
@@ -501,22 +578,12 @@ def _kmeans_cents(
         cents = [
             (i + 1, list(r["c"]), _l2(r["c"])) for i, r in enumerate(seed_rows)
         ]
+        samp.createOrReplaceTempView("__km_samp")
         for _ in range(iters):
-            nearest = f"array_max({_scored_cells_expr(_centroid_array_expr(cents))}).cid"
-            stats = (
-                samp.select(F.expr(nearest).alias("cid"), "embedding")
-                .select("cid", F.posexplode("embedding").alias("pos", "v"))
-                .groupBy("cid", "pos")
-                .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
-                .collect()
-            )  # k * N_DIM rows — constant-size
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in stats:
-                by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cv"])
-            cents = [
-                (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
-                for cid, dims in sorted(by_cid.items())
-            ]
+            # One SQL per iteration (see _lloyd_iter_sql): k * N_DIM
+            # result rows — constant-size.
+            by_cid, _unused = _collect_lloyd_stats(spark, "__km_samp", cents=cents)
+            cents = _cents_from_stats(by_cid)
     finally:
         if owned:
             samp.unpersist()
@@ -809,63 +876,18 @@ def pq_train(
             [(i + 1, list(r[f"c{s}"]), _l2(r[f"c{s}"])) for i, r in enumerate(seed_rows)]
             for s in range(PQ_M)
         ]
+        samp.createOrReplaceTempView("__pq_samp")
         for _ in range(KMEANS_ITERS):
             # Per-subspace nearest-centroid cid with the same scored-
             # struct argmax (round-6 scores, lowest-cid tiebreak) the
             # single-subspace trainer applies, then one explosion to
-            # (s, cid, pos, val) and ONE aggregation for all subspaces.
-            # ONE projection for all 8 subspace argmaxes (chained
-            # withColumns would nest 8 projections and pay analyzer
-            # cost per layer — measurable at this expression size).
-            cid_exprs = []
-            for s in range(PQ_M):
-                cb = _centroid_array_expr(cbs[s])
-                dot = DOT.format(a=f"sub{s}", b="c.centroid")
-                if metric == "l2":
-                    score = f"round(({dot}) - c.cn2 / 2, 9)"
-                else:
-                    nsub = NORM.format(a=f"sub{s}")
-                    score = f"round(({dot}) / (({nsub}) * c.cnorm), 6)"
-                cid_exprs.append(
-                    f"array_max(transform({cb}, c -> struct("
-                    f"{score} AS score, "
-                    f"-c.cid AS neg, c.cid AS cid))).cid AS cid{s}"
-                )
-            assigned = samp.selectExpr(
-                *[
-                    f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB}) AS sub{s}"
-                    for s in range(PQ_M)
-                ]
-            ).selectExpr(*cid_exprs, *[f"sub{s}" for s in range(PQ_M)])
-            exploded = assigned.select(
-                F.explode(
-                    F.expr(
-                        "array("
-                        + ", ".join(
-                            f"struct({s} AS s, cid{s} AS cid, sub{s} AS v)"
-                            for s in range(PQ_M)
-                        )
-                        + ")"
-                    )
-                ).alias("e")
-            ).select("e.s", "e.cid", F.posexplode("e.v").alias("pos", "val"))
-            stats = (
-                exploded.groupBy("s", "cid", "pos")
-                .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
-                .collect()
-            )  # PQ_M * PQ_K * PQ_SUB rows — constant-size
-            by_s: list[dict[int, dict[int, float]]] = [{} for _ in range(PQ_M)]
-            for r in stats:
-                by_s[int(r["s"])].setdefault(int(r["cid"]), {})[int(r["pos"])] = float(
-                    r["cv"]
-                )
-            cbs = [
-                [
-                    (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
-                    for cid, dims in sorted(by_cid.items())
-                ]
-                for by_cid in by_s
-            ]
+            # (s, cid, pos, val) and ONE aggregation for all subspaces,
+            # all in ONE SQL statement per iteration (_lloyd_iter_sql):
+            # PQ_M * PQ_K * PQ_SUB result rows — constant-size.
+            _unused, by_s = _collect_lloyd_stats(
+                spark, "__pq_samp", cbs=cbs, metric=metric
+            )
+            cbs = [_cents_from_stats(by_cid) for by_cid in by_s]
     finally:
         if owned:
             samp.unpersist()
@@ -907,67 +929,18 @@ def _fused_ivfpq_train(spark: SparkSession, samp: DataFrame):
         ]
         for s in range(PQ_M)
     ]
+    samp.createOrReplaceTempView("__ivfpq_samp")
     for _ in range(KMEANS_ITERS):
-        coarse_cid = (
-            f"array_max({_scored_cells_expr(_centroid_array_expr(cents))}).cid"
-            " AS cidc"
+        # One SQL statement per iteration (_lloyd_iter_sql): the 9
+        # argmaxes (coarse + 8 subspaces) in one projection, one
+        # explosion to (s, cid, pos, val), one aggregation.
+        # KMEANS_K * N_DIM + PQ_M * PQ_K * PQ_SUB result rows —
+        # constant-size.
+        coarse_by_cid, by_s = _collect_lloyd_stats(
+            spark, "__ivfpq_samp", cents=cents, cbs=cbs
         )
-        cid_exprs = []
-        for s in range(PQ_M):
-            cb = _centroid_array_expr(cbs[s])
-            dot = DOT.format(a=f"sub{s}", b="c.centroid")
-            nsub = NORM.format(a=f"sub{s}")
-            cid_exprs.append(
-                f"array_max(transform({cb}, c -> struct("
-                f"round(({dot}) / (({nsub}) * c.cnorm), 6) AS score, "
-                f"-c.cid AS neg, c.cid AS cid))).cid AS cid{s}"
-            )
-        assigned = samp.selectExpr(
-            "embedding",
-            "norm",
-            *[
-                f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB}) AS sub{s}"
-                for s in range(PQ_M)
-            ],
-        ).selectExpr(
-            coarse_cid,
-            *cid_exprs,
-            "embedding",
-            *[f"sub{s}" for s in range(PQ_M)],
-        )
-        exploded = assigned.select(
-            F.explode(
-                F.expr(
-                    "array(struct(-1 AS s, cidc AS cid, embedding AS v), "
-                    + ", ".join(
-                        f"struct({s} AS s, cid{s} AS cid, sub{s} AS v)"
-                        for s in range(PQ_M)
-                    )
-                    + ")"
-                )
-            ).alias("e")
-        ).select("e.s", "e.cid", F.posexplode("e.v").alias("pos", "val"))
-        stats = (
-            exploded.groupBy("s", "cid", "pos")
-            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
-            .collect()
-        )  # KMEANS_K * N_DIM + PQ_M * PQ_K * PQ_SUB rows — constant-size
-        coarse_by_cid: dict[int, dict[int, float]] = {}
-        by_s: list[dict[int, dict[int, float]]] = [{} for _ in range(PQ_M)]
-        for r in stats:
-            tgt = coarse_by_cid if int(r["s"]) < 0 else by_s[int(r["s"])]
-            tgt.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["cv"])
-        cents = [
-            (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
-            for cid, dims in sorted(coarse_by_cid.items())
-        ]
-        cbs = [
-            [
-                (cid, [dims[p] for p in sorted(dims)], _l2([dims[p] for p in sorted(dims)]))
-                for cid, dims in sorted(by_cid.items())
-            ]
-            for by_cid in by_s
-        ]
+        cents = _cents_from_stats(coarse_by_cid)
+        cbs = [_cents_from_stats(by_cid) for by_cid in by_s]
     return cents, cbs
 
 
