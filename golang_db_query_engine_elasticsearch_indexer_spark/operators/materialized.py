@@ -72,8 +72,18 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT {_bloom_pos('k', s)} AS pos FROM __blm_dim"
         for s in range(k_hashes)
     )
-    probe_pos = "\nUNION ALL ".join(
-        f"SELECT k, {_bloom_pos('k', s)} AS pos FROM __blm_probe"
+    # Membership as k_hashes broadcast SEMI-joins (one per salt), not an
+    # exploded (k, pos) stream joined and re-grouped: "all positions
+    # present" is a conjunction of IN-set tests, so the 3x|probe| row
+    # explosion, the position join's fan-out, and the HAVING count(*)
+    # shuffle all disappear — one map-side pass over the probe cache
+    # against the broadcast position set. Same membership by
+    # construction (a salt whose position misses fails its conjunct and
+    # failed its count; duplicate positions within one key match or
+    # miss together in both forms); the oracle keeps the exploded
+    # formulation, so the differential pins the equivalence.
+    pass_pred = " AND ".join(
+        f"{_bloom_pos('k', s)} IN (SELECT pos FROM __blm_dim_pos)"
         for s in range(k_hashes)
     )
     stages = [
@@ -83,17 +93,10 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WHERE o_totalprice > 400000",
         ),
         ("__blm_probe", "SELECT DISTINCT l_orderkey AS k FROM lineitem"),
-        # position unions are consumed once — plain views (no cache);
-        # bloom_pass/truth are consumed twice and their subtrees carry
-        # the position join, so they stay persisted (measured: plain
-        # views re-ran the position join and cost MORE than the cache)
+        # the position set is consumed by the three semi-joins of ONE
+        # action — plain view over the dim cache (no cache of its own)
         ("__blm_dim_pos", f"SELECT DISTINCT pos FROM ({dim_pos}) d", False),
-        ("__blm_probe_pos", probe_pos, False),
-        (
-            "__blm_pass",
-            "SELECT p.k FROM __blm_probe_pos p JOIN __blm_dim_pos b"
-            f" ON p.pos = b.pos GROUP BY p.k HAVING count(*) = {k_hashes}",
-        ),
+        ("__blm_pass", f"SELECT k FROM __blm_probe WHERE {pass_pred}"),
         (
             "__blm_truth",
             "SELECT p.k FROM __blm_probe p JOIN __blm_dim d ON p.k = d.k",
