@@ -972,21 +972,12 @@ def _pq_encode(
     engines (Spark 0/0 -> NaN, DuckDB list_cosine_similarity -> -1).
 
     Map-only: every expression is row-local under whole-stage codegen.
+    ONE SQL statement over a view of ``df`` (the three nested
+    projections below were previously three chained selectExpr calls;
+    classic PySpark re-analyzes the whole tree per chained op, and
+    these trees embed the codebook literals — the same measured cost
+    _lloyd_iter_sql removes from the trainers).
     """
-    # Three flat projections, not 24 chained withColumns (each chained
-    # withColumn nests another Project node; at these expression sizes
-    # the analyzer cost per layer is measurable).
-    passthrough = [f.name for f in df.schema.fields if f.name != "embedding"]
-    out = df.selectExpr(
-        *passthrough,
-        *[
-            f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB}) AS sub{s}"
-            for s in range(PQ_M)
-        ],
-    ).selectExpr(
-        "*",
-        *[f"{NORM.format(a=f'sub{s}')} AS nsub{s}" for s in range(PQ_M)],
-    )
     pos_exprs = []
     for s in range(PQ_M):
         dot = DOT.format(a=f"sub{s}", b="c.centroid")
@@ -1005,15 +996,22 @@ def _pq_encode(
                 f"round(({dot}) / (nsub{s} * c.cnorm), 6) AS score, "
                 f"-i AS neg, i AS pos))).pos AS tinyint) END AS pos{s}"
             )
-    out = out.selectExpr("*", *pos_exprs)
     rn2 = " + ".join(
         f"element_at({cb_exprs[s]}, cast(pos{s} AS int) + 1).cn2" for s in range(PQ_M)
     )
-    return out.selectExpr(
-        "vec_id",
-        *extra,
-        *[f"pos{s}" for s in range(PQ_M)],
-        f"sqrt({rn2}) AS rnorm",
+    extra_cols = ("".join(f"{c}, " for c in extra))
+    subs = ", ".join(
+        f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB}) AS sub{s}" for s in range(PQ_M)
+    )
+    nsubs = ", ".join(f"{NORM.format(a=f'sub{s}')} AS nsub{s}" for s in range(PQ_M))
+    poss = ", ".join(f"pos{s}" for s in range(PQ_M))
+    df.createOrReplaceTempView("__pq_encode_src")
+    return df.sparkSession.sql(
+        f"SELECT vec_id, {extra_cols}{poss}, sqrt({rn2}) AS rnorm\n"
+        f"FROM (SELECT *, {', '.join(pos_exprs)}\n"
+        f"  FROM (SELECT *, {nsubs}\n"
+        f"    FROM (SELECT vec_id, {extra_cols}{subs}"
+        " FROM __pq_encode_src)))"
     )
 
 
@@ -1180,24 +1178,92 @@ def pq_search(spark: SparkSession, sf_dir: str, index: PQIndex) -> DataFrame:
     jiggle inside it). Both stages rank on values rounded to 6 dp with
     vec_id tiebreaks, so the DuckDB oracle replays rank-for-rank.
     """
-    luts = _pq_probe_luts(spark, index.cb_exprs)
+    index.codes.createOrReplaceTempView("__pq_codes")
+    return spark.sql(_adc_rerank_sql("__pq_codes", index.cb_exprs))
+
+
+def _adc_rerank_sql(
+    codes_rel: str,
+    cb_exprs: list[str],
+    cells_expr: str | None = None,
+    nprobe: int | None = None,
+) -> str:
+    """ONE SQL statement for the whole ADC search (the luts / ADC scan /
+    shortlist window / exact re-rank chain — the same relations
+    ``_pq_probe_luts`` + ``_exact_rerank`` build, mirrored text-for-
+    text; previously ~12 chained Dataset ops each re-analyzing the
+    codes lineage with its embedded codebook literals — measured ~1.8 s
+    of pure analysis per self-contained search at sf0.1). With
+    ``cells_expr``/``nprobe`` set, the ADC scan is additionally routed
+    through the broadcast (probe, cell) relation — the IVF-PQ composite;
+    otherwise it is the plain PQ full-code scan. BROADCAST hints pin the
+    same join strategies the DataFrame form forced with F.broadcast."""
+    lut_cols = []
+    for s in range(PQ_M):
+        psub = f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB})"
+        dot = DOT.format(a=psub, b="c.centroid")
+        lut_cols.append(f"transform({cb_exprs[s]}, c -> {dot}) AS lut{s}")
     num = " + ".join(
         f"element_at(lut{s}, cast(pos{s} AS int) + 1)" for s in range(PQ_M)
     )
-    adc = (
-        index.codes.crossJoin(F.broadcast(luts))
-        .where(F.col("vec_id") != F.col("probe_id"))
-        .withColumn("adc_cos", F.expr(f"round(({num}) / (p_norm * rnorm), 6)"))
-    )
-    wadc = Window.partitionBy("probe_id").orderBy(F.col("adc_cos").desc(), F.col("vec_id"))
-    shortlist = (
-        adc.withColumn("srn", F.row_number().over(wadc))
-        .where(F.col("srn") <= PQ_RERANK)
-        .select("probe_id", "vec_id")
-    )
-    # The tiny shortlist (PQ_RERANK * n_probes rows) broadcasts into the
-    # exact re-rank scan.
-    return _exact_rerank(spark, shortlist)
+    if cells_expr is not None:
+        routing_cte = f""",
+pcells AS (
+  SELECT probe_id, pc.cid AS cell FROM (
+    SELECT vec_id AS probe_id,
+           explode(slice(reverse(array_sort({cells_expr})), 1, {nprobe})) AS pc
+    FROM (SELECT vec_id, embedding, {NORM.format(a='embedding')} AS norm
+          FROM embeddings WHERE vec_id < {N_PROBES}))
+)"""
+        adc_from = (
+            f"FROM {codes_rel} c\n"
+            "  JOIN pcells pc ON pc.cell = c.cell\n"
+            "  JOIN luts l ON l.probe_id = pc.probe_id\n"
+            "  WHERE c.vec_id != pc.probe_id"
+        )
+        adc_hint = "/*+ BROADCAST(pcells), BROADCAST(luts) */ "
+    else:
+        routing_cte = ""
+        adc_from = f"FROM {codes_rel} c CROSS JOIN luts l WHERE c.vec_id != l.probe_id"
+        adc_hint = "/*+ BROADCAST(luts) */ "
+    return f"""
+WITH luts AS (
+  SELECT vec_id AS probe_id, {NORM.format(a='embedding')} AS p_norm,
+         {", ".join(lut_cols)}
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS p_emb,
+         {NORM.format(a='embedding')} AS p_norm
+  FROM embeddings WHERE vec_id < {N_PROBES}
+){routing_cte},
+adc AS (
+  SELECT {adc_hint}c.vec_id, l.probe_id,
+         round(({num}) / (l.p_norm * c.rnorm), 6) AS adc_cos
+  {adc_from}
+),
+shortlist AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY probe_id ORDER BY adc_cos DESC, vec_id) AS srn
+    FROM adc)
+  WHERE srn <= {PQ_RERANK}
+),
+exact AS (
+  SELECT /*+ BROADCAST(shortlist), BROADCAST(probes) */ s.probe_id, e.vec_id,
+         round(({DOT.format(a='p.p_emb', b='e.embedding')})
+               / (p.p_norm * {NORM.format(a='e.embedding')}), 6) AS cos
+  FROM embeddings e
+  JOIN shortlist s ON s.vec_id = e.vec_id
+  JOIN probes p ON p.probe_id = s.probe_id
+)
+SELECT probe_id, vec_id AS neighbor_id, rank, cos AS cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rank
+  FROM exact)
+WHERE rank <= {TOP_K}
+ORDER BY probe_id, rank
+"""
 
 
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1500,37 +1566,15 @@ def ivfpq_search(
     bounds which rows are read, PQ bounds the bytes and arithmetic per
     row); the candidate restriction is an equi-join on the cell id
     against the broadcast (probe, cell) relation; LUT scoring, shortlist
-    and re-rank are identical to :func:`pq_search`."""
-    emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
-    probe_cells = (
-        emb.where(F.col("vec_id") < N_PROBES)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.explode(
-                F.expr(f"slice(reverse(array_sort({index.cells_expr})), 1, {nprobe})")
-            ).alias("pc"),
+    and re-rank are identical to :func:`pq_search` (one SQL statement —
+    see :func:`_adc_rerank_sql`)."""
+    index.codes.createOrReplaceTempView("__ivfpq_codes")
+    return spark.sql(
+        _adc_rerank_sql(
+            "__ivfpq_codes", index.cb_exprs,
+            cells_expr=index.cells_expr, nprobe=nprobe,
         )
-        .select("probe_id", F.col("pc.cid").alias("cell"))
     )
-    luts = _pq_probe_luts(spark, index.cb_exprs)
-    cand = index.codes.join(F.broadcast(probe_cells), "cell").where(
-        F.col("vec_id") != F.col("probe_id")
-    )
-    num = " + ".join(
-        f"element_at(lut{s}, cast(pos{s} AS int) + 1)" for s in range(PQ_M)
-    )
-    adc = cand.join(F.broadcast(luts), "probe_id").withColumn(
-        "adc_cos", F.expr(f"round(({num}) / (p_norm * rnorm), 6)")
-    )
-    wadc = Window.partitionBy("probe_id").orderBy(
-        F.col("adc_cos").desc(), F.col("vec_id")
-    )
-    shortlist = (
-        adc.withColumn("srn", F.row_number().over(wadc))
-        .where(F.col("srn") <= PQ_RERANK)
-        .select("probe_id", "vec_id")
-    )
-    return _exact_rerank(spark, shortlist)
 
 
 def ivfpq_topk(
