@@ -1637,11 +1637,12 @@ ORDER BY doc_a, doc_b
 # split_train_val_test inventory entry (~5% validation / 10% test /
 # 85% train), so the leakage audit reports on the split a training run
 # would actually materialize.
-SPLIT_CASE = (
-    "CASE WHEN substr(md5(cast(doc_id AS string)), 1, 2) < '0d' THEN 'validation' "
-    "WHEN substr(md5(cast(doc_id AS string)), 1, 2) < '27' THEN 'test' "
+SPLIT_CASE_TMPL = (
+    "CASE WHEN substr(md5(cast({col} AS string)), 1, 2) < '0d' THEN 'validation' "
+    "WHEN substr(md5(cast({col} AS string)), 1, 2) < '27' THEN 'test' "
     "ELSE 'train' END"
 )
+SPLIT_CASE = SPLIT_CASE_TMPL.format(col="doc_id")
 
 
 def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1662,8 +1663,11 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     join formulation). Final rollup has at most 6 rows.
     """
     pairs = _simhash_pairs_df(spark)
-    split_a = SPLIT_CASE.replace("doc_id", "doc_a")
-    split_b = SPLIT_CASE.replace("doc_id", "doc_b")
+    # Explicit column placeholder, not textual substitution on the
+    # doc_id form (ADVICE r13: a substring collision or a renamed pair
+    # column would silently yield a wrong-but-valid expression).
+    split_a = SPLIT_CASE_TMPL.format(col="doc_a")
+    split_b = SPLIT_CASE_TMPL.format(col="doc_b")
     return (
         pairs.selectExpr(f"{split_a} AS split_a", f"{split_b} AS split_b")
         .selectExpr(

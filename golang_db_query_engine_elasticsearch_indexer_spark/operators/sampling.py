@@ -451,7 +451,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH {_dsir_toks_cte(token_select)}\n{_dsir_counts_body()}"
     ).localCheckpoint(eager=True)
     counts.createOrReplaceTempView("__dsir_counts")
-    return spark.sql(_dsir_sql(token_select, counts_rel="__dsir_counts"))
+    try:
+        # spark.sql analyzes eagerly, so the returned frame's plan no
+        # longer needs the view; dropping it un-pins the checkpoint
+        # blocks from the session catalog (ADVICE r13).
+        return spark.sql(_dsir_sql(token_select, counts_rel="__dsir_counts"))
+    finally:
+        spark.catalog.dropTempView("__dsir_counts")
 
 
 DSIR_ORACLE = _dsir_sql(

@@ -585,6 +585,10 @@ def _kmeans_cents(
             by_cid, _unused = _collect_lloyd_stats(spark, "__km_samp", cents=cents)
             cents = _cents_from_stats(by_cid)
     finally:
+        # Per-iteration statements collect eagerly, so nothing outlives
+        # the loop that needs the view; leaving it registered leaks a
+        # fixed-name view into the session catalog (ADVICE r13).
+        spark.catalog.dropTempView("__km_samp")
         if owned:
             samp.unpersist()
     return cents
@@ -889,6 +893,7 @@ def pq_train(
             )
             cbs = [_cents_from_stats(by_cid) for by_cid in by_s]
     finally:
+        spark.catalog.dropTempView("__pq_samp")
         if owned:
             samp.unpersist()
     return cbs
@@ -930,17 +935,20 @@ def _fused_ivfpq_train(spark: SparkSession, samp: DataFrame):
         for s in range(PQ_M)
     ]
     samp.createOrReplaceTempView("__ivfpq_samp")
-    for _ in range(KMEANS_ITERS):
-        # One SQL statement per iteration (_lloyd_iter_sql): the 9
-        # argmaxes (coarse + 8 subspaces) in one projection, one
-        # explosion to (s, cid, pos, val), one aggregation.
-        # KMEANS_K * N_DIM + PQ_M * PQ_K * PQ_SUB result rows —
-        # constant-size.
-        coarse_by_cid, by_s = _collect_lloyd_stats(
-            spark, "__ivfpq_samp", cents=cents, cbs=cbs
-        )
-        cents = _cents_from_stats(coarse_by_cid)
-        cbs = [_cents_from_stats(by_cid) for by_cid in by_s]
+    try:
+        for _ in range(KMEANS_ITERS):
+            # One SQL statement per iteration (_lloyd_iter_sql): the 9
+            # argmaxes (coarse + 8 subspaces) in one projection, one
+            # explosion to (s, cid, pos, val), one aggregation.
+            # KMEANS_K * N_DIM + PQ_M * PQ_K * PQ_SUB result rows —
+            # constant-size.
+            coarse_by_cid, by_s = _collect_lloyd_stats(
+                spark, "__ivfpq_samp", cents=cents, cbs=cbs
+            )
+            cents = _cents_from_stats(coarse_by_cid)
+            cbs = [_cents_from_stats(by_cid) for by_cid in by_s]
+    finally:
+        spark.catalog.dropTempView("__ivfpq_samp")
     return cents, cbs
 
 
@@ -1006,13 +1014,19 @@ def _pq_encode(
     nsubs = ", ".join(f"{NORM.format(a=f'sub{s}')} AS nsub{s}" for s in range(PQ_M))
     poss = ", ".join(f"pos{s}" for s in range(PQ_M))
     df.createOrReplaceTempView("__pq_encode_src")
-    return df.sparkSession.sql(
-        f"SELECT vec_id, {extra_cols}{poss}, sqrt({rn2}) AS rnorm\n"
-        f"FROM (SELECT *, {', '.join(pos_exprs)}\n"
-        f"  FROM (SELECT *, {nsubs}\n"
-        f"    FROM (SELECT vec_id, {extra_cols}{subs}"
-        " FROM __pq_encode_src)))"
-    )
+    try:
+        # spark.sql analyzes eagerly — the returned frame's plan is
+        # already bound, so the view can be dropped immediately
+        # (ADVICE r13: fixed-name views must not outlive the call).
+        return df.sparkSession.sql(
+            f"SELECT vec_id, {extra_cols}{poss}, sqrt({rn2}) AS rnorm\n"
+            f"FROM (SELECT *, {', '.join(pos_exprs)}\n"
+            f"  FROM (SELECT *, {nsubs}\n"
+            f"    FROM (SELECT vec_id, {extra_cols}{subs}"
+            " FROM __pq_encode_src)))"
+        )
+    finally:
+        df.sparkSession.catalog.dropTempView("__pq_encode_src")
 
 
 def _pq_probe_luts(spark: SparkSession, cb_exprs: list[str]) -> DataFrame:
@@ -1179,7 +1193,10 @@ def pq_search(spark: SparkSession, sf_dir: str, index: PQIndex) -> DataFrame:
     vec_id tiebreaks, so the DuckDB oracle replays rank-for-rank.
     """
     index.codes.createOrReplaceTempView("__pq_codes")
-    return spark.sql(_adc_rerank_sql("__pq_codes", index.cb_exprs))
+    try:
+        return spark.sql(_adc_rerank_sql("__pq_codes", index.cb_exprs))
+    finally:
+        spark.catalog.dropTempView("__pq_codes")
 
 
 def _adc_rerank_sql(
@@ -1187,6 +1204,7 @@ def _adc_rerank_sql(
     cb_exprs: list[str],
     cells_expr: str | None = None,
     nprobe: int | None = None,
+    residual: "IVFPQResidualIndex | None" = None,
 ) -> str:
     """ONE SQL statement for the whole ADC search (the luts / ADC scan /
     shortlist window / exact re-rank chain — the same relations
@@ -1196,8 +1214,17 @@ def _adc_rerank_sql(
     of pure analysis per self-contained search at sf0.1). With
     ``cells_expr``/``nprobe`` set, the ADC scan is additionally routed
     through the broadcast (probe, cell) relation — the IVF-PQ composite;
-    otherwise it is the plain PQ full-code scan. BROADCAST hints pin the
-    same join strategies the DataFrame form forced with F.broadcast."""
+    otherwise it is the plain PQ full-code scan. With ``residual`` set
+    (an :class:`IVFPQResidualIndex`), the routing relation additionally
+    carries the per-(probe, cell) coarse terms (cell_dot, cell_cn2) and
+    the ADC score reconstructs cos(p, c + r-hat) from the residual
+    codes via the index's constant driver-resident cross/cn2 maps —
+    the same arithmetic, term for term, as the chained form it
+    replaces. BROADCAST hints name the FROM-clause aliases (hints bind
+    to the alias when one is present — naming the CTE leaves the hint
+    unresolved; locally the size estimator still picked broadcast, but
+    at real scale the shortlist/LUT relations have no usable estimate,
+    so the hint is the scale-safety contract)."""
     lut_cols = []
     for s in range(PQ_M):
         psub = f"slice(embedding, {s * PQ_SUB + 1}, {PQ_SUB})"
@@ -1206,8 +1233,41 @@ def _adc_rerank_sql(
     num = " + ".join(
         f"element_at(lut{s}, cast(pos{s} AS int) + 1)" for s in range(PQ_M)
     )
-    if cells_expr is not None:
+    score = f"round(({num}) / (l.p_norm * c.rnorm), 6) AS adc_cos"
+    if residual is not None:
+        cells_expr = residual.cells_expr
+        cbr = _centroid_array_expr(residual.cents)
+        cell_dot = DOT.format(
+            a="p_emb", b=f"filter({cbr}, c -> c.cid = pc.cid)[0].centroid"
+        )
         routing_cte = f""",
+pcells AS (
+  SELECT probe_id, pc.cid AS cell,
+         {cell_dot} AS cell_dot,
+         element_at({residual.cell_cn2_expr}, pc.cid) AS cell_cn2
+  FROM (
+    SELECT vec_id AS probe_id, embedding AS p_emb,
+           explode(slice(reverse(array_sort({cells_expr})), 1, {nprobe})) AS pc
+    FROM (SELECT vec_id, embedding, {NORM.format(a='embedding')} AS norm
+          FROM embeddings WHERE vec_id < {N_PROBES}))
+)"""
+        rn2 = " + ".join(
+            f"element_at({cb_exprs[s]}, cast(pos{s} AS int) + 1).cn2"
+            for s in range(PQ_M)
+        )
+        crossv = " + ".join(
+            f"element_at({residual.cross_exprs[s]}, c.cell * {PQ_K}"
+            f" + cast(pos{s} AS int))"
+            for s in range(PQ_M)
+        )
+        den = f"pc.cell_cn2 + 2 * ({crossv}) + ({rn2})"
+        score = (
+            f"round((pc.cell_dot + {num}) / "
+            f"nullif(l.p_norm * sqrt(greatest({den}, 0D)), 0D), 6) AS adc_cos"
+        )
+    if cells_expr is not None:
+        if residual is None:
+            routing_cte = f""",
 pcells AS (
   SELECT probe_id, pc.cid AS cell FROM (
     SELECT vec_id AS probe_id,
@@ -1221,11 +1281,11 @@ pcells AS (
             "  JOIN luts l ON l.probe_id = pc.probe_id\n"
             "  WHERE c.vec_id != pc.probe_id"
         )
-        adc_hint = "/*+ BROADCAST(pcells), BROADCAST(luts) */ "
+        adc_hint = "/*+ BROADCAST(pc), BROADCAST(l) */ "
     else:
         routing_cte = ""
         adc_from = f"FROM {codes_rel} c CROSS JOIN luts l WHERE c.vec_id != l.probe_id"
-        adc_hint = "/*+ BROADCAST(luts) */ "
+        adc_hint = "/*+ BROADCAST(l) */ "
     return f"""
 WITH luts AS (
   SELECT vec_id AS probe_id, {NORM.format(a='embedding')} AS p_norm,
@@ -1239,7 +1299,7 @@ probes AS (
 ){routing_cte},
 adc AS (
   SELECT {adc_hint}c.vec_id, l.probe_id,
-         round(({num}) / (l.p_norm * c.rnorm), 6) AS adc_cos
+         {score}
   {adc_from}
 ),
 shortlist AS (
@@ -1250,7 +1310,7 @@ shortlist AS (
   WHERE srn <= {PQ_RERANK}
 ),
 exact AS (
-  SELECT /*+ BROADCAST(shortlist), BROADCAST(probes) */ s.probe_id, e.vec_id,
+  SELECT /*+ BROADCAST(s), BROADCAST(p) */ s.probe_id, e.vec_id,
          round(({DOT.format(a='p.p_emb', b='e.embedding')})
                / (p.p_norm * {NORM.format(a='e.embedding')}), 6) AS cos
   FROM embeddings e
@@ -1569,12 +1629,15 @@ def ivfpq_search(
     and re-rank are identical to :func:`pq_search` (one SQL statement —
     see :func:`_adc_rerank_sql`)."""
     index.codes.createOrReplaceTempView("__ivfpq_codes")
-    return spark.sql(
-        _adc_rerank_sql(
-            "__ivfpq_codes", index.cb_exprs,
-            cells_expr=index.cells_expr, nprobe=nprobe,
+    try:
+        return spark.sql(
+            _adc_rerank_sql(
+                "__ivfpq_codes", index.cb_exprs,
+                cells_expr=index.cells_expr, nprobe=nprobe,
+            )
         )
-    )
+    finally:
+        spark.catalog.dropTempView("__ivfpq_codes")
 
 
 def ivfpq_topk(
@@ -1739,57 +1802,24 @@ def ivfpq_residual_search(
     are the standard per-probe partial dots against the RESIDUAL
     codebooks, and the cross/cn2 terms come from constant driver-
     resident maps — per (probe, doc) work stays O(PQ_M) lookups + adds;
-    no 64-dim vector is ever touched until the exact re-rank."""
-    cb = _centroid_array_expr(index.cents)
-    emb = _with_norm(spark.table("embeddings")).select("vec_id", "embedding", "norm")
-    probe_cells = (
-        emb.where(F.col("vec_id") < N_PROBES)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("p_emb"),
-            F.explode(
-                F.expr(f"slice(reverse(array_sort({index.cells_expr})), 1, {nprobe})")
-            ).alias("pc"),
+    no 64-dim vector is ever touched until the exact re-rank.
+
+    ONE SQL statement (``_adc_rerank_sql`` with ``residual=``): the
+    former chained Dataset form re-analyzed the codes lineage with its
+    embedded codebook/cross-map literals per op — the same measured
+    per-op analysis cost the raw-code searches shed in r13. The score
+    arithmetic is mirrored term for term; collected-row equality
+    against the chained form is pinned in tests/test_operators.py."""
+    index.codes.createOrReplaceTempView("__ivfpq_res_codes")
+    try:
+        return spark.sql(
+            _adc_rerank_sql(
+                "__ivfpq_res_codes", index.cb_exprs,
+                nprobe=nprobe, residual=index,
+            )
         )
-        .selectExpr(
-            "probe_id",
-            "pc.cid AS cell",
-            f"{DOT.format(a='p_emb', b=f'filter({cb}, c -> c.cid = pc.cid)[0].centroid')}"
-            " AS cell_dot",
-            f"element_at({index.cell_cn2_expr}, pc.cid) AS cell_cn2",
-        )
-    )
-    luts = _pq_probe_luts(spark, index.cb_exprs)
-    cand = index.codes.join(F.broadcast(probe_cells), "cell").where(
-        F.col("vec_id") != F.col("probe_id")
-    )
-    num = "cell_dot + " + " + ".join(
-        f"element_at(lut{s}, cast(pos{s} AS int) + 1)" for s in range(PQ_M)
-    )
-    rn2 = " + ".join(
-        f"element_at({index.cb_exprs[s]}, cast(pos{s} AS int) + 1).cn2"
-        for s in range(PQ_M)
-    )
-    crossv = " + ".join(
-        f"element_at({index.cross_exprs[s]}, cell * {PQ_K} + cast(pos{s} AS int))"
-        for s in range(PQ_M)
-    )
-    den = f"cell_cn2 + 2 * ({crossv}) + ({rn2})"
-    adc = cand.join(F.broadcast(luts), "probe_id").withColumn(
-        "adc_cos",
-        F.expr(
-            f"round(({num}) / nullif(p_norm * sqrt(greatest({den}, 0D)), 0D), 6)"
-        ),
-    )
-    wadc = Window.partitionBy("probe_id").orderBy(
-        F.col("adc_cos").desc(), F.col("vec_id")
-    )
-    shortlist = (
-        adc.withColumn("srn", F.row_number().over(wadc))
-        .where(F.col("srn") <= PQ_RERANK)
-        .select("probe_id", "vec_id")
-    )
-    return _exact_rerank(spark, shortlist)
+    finally:
+        spark.catalog.dropTempView("__ivfpq_res_codes")
 
 
 def ivfpq_residual_index_save(index: IVFPQResidualIndex, path: str) -> None:

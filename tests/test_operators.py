@@ -531,6 +531,85 @@ def test_ivfpq_residual_recall_parity_floor(spark, tables, sf_dir):
     assert r_res >= 0.4
 
 
+def test_ivfpq_residual_one_sql_search_matches_chained(spark, tables, sf_dir):
+    """The one-SQL residual ADC search (r14: _adc_rerank_sql with
+    residual=) must return row-for-row exactly what the chained Dataset
+    form it replaced returned — reconstructed here from the same
+    building blocks (_pq_probe_luts + _exact_rerank) with the identical
+    score arithmetic, the way test_fused_ivfpq_train_identical pins the
+    fused trainer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    S = similarity
+    idx = S.ivfpq_residual_build(spark, sf_dir, persist=True)
+    try:
+        cb = S._centroid_array_expr(idx.cents)
+        emb = S._with_norm(spark.table("embeddings")).select(
+            "vec_id", "embedding", "norm"
+        )
+        probe_cells = (
+            emb.where(F.col("vec_id") < S.N_PROBES)
+            .select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("p_emb"),
+                F.explode(
+                    F.expr(
+                        f"slice(reverse(array_sort({idx.cells_expr})), 1, "
+                        f"{S.N_PROBE_CELLS})"
+                    )
+                ).alias("pc"),
+            )
+            .selectExpr(
+                "probe_id",
+                "pc.cid AS cell",
+                f"{S.DOT.format(a='p_emb', b=f'filter({cb}, c -> c.cid = pc.cid)[0].centroid')}"
+                " AS cell_dot",
+                f"element_at({idx.cell_cn2_expr}, pc.cid) AS cell_cn2",
+            )
+        )
+        luts = S._pq_probe_luts(spark, idx.cb_exprs)
+        cand = idx.codes.join(F.broadcast(probe_cells), "cell").where(
+            F.col("vec_id") != F.col("probe_id")
+        )
+        num = "cell_dot + " + " + ".join(
+            f"element_at(lut{s}, cast(pos{s} AS int) + 1)" for s in range(S.PQ_M)
+        )
+        rn2 = " + ".join(
+            f"element_at({idx.cb_exprs[s]}, cast(pos{s} AS int) + 1).cn2"
+            for s in range(S.PQ_M)
+        )
+        crossv = " + ".join(
+            f"element_at({idx.cross_exprs[s]}, cell * {S.PQ_K} + cast(pos{s} AS int))"
+            for s in range(S.PQ_M)
+        )
+        den = f"cell_cn2 + 2 * ({crossv}) + ({rn2})"
+        adc = cand.join(F.broadcast(luts), "probe_id").withColumn(
+            "adc_cos",
+            F.expr(
+                f"round(({num}) / nullif(p_norm * sqrt(greatest({den}, 0D)), 0D), 6)"
+            ),
+        )
+        wadc = Window.partitionBy("probe_id").orderBy(
+            F.col("adc_cos").desc(), F.col("vec_id")
+        )
+        shortlist = (
+            adc.withColumn("srn", F.row_number().over(wadc))
+            .where(F.col("srn") <= S.PQ_RERANK)
+            .select("probe_id", "vec_id")
+        )
+        chained = [tuple(r) for r in S._exact_rerank(spark, shortlist).collect()]
+        one_sql = [
+            tuple(r)
+            for r in S.ivfpq_residual_search(
+                spark, sf_dir, idx, S.N_PROBE_CELLS
+            ).collect()
+        ]
+        assert one_sql == chained
+    finally:
+        idx.release()
+
+
 def test_ivf_build_search_split_matches_selfcontained(spark, tables, sf_dir):
     """ivf_topk(cents=ivf_build(...)) must equal the self-contained
     ivf_topk — the prebuilt-quantizer path skips training, not math."""
