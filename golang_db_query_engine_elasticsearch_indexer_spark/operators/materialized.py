@@ -19,6 +19,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Observability hook for plan capture (tools/capture_plans.py
+#: --internals): when set to a list, materialized_chain appends
+#: ``(stage_name, formatted_plan)`` for every stage it runs plus the
+#: final statement — the INTERNAL plans an eager localCheckpoint hides
+#: from the returned frame's explain. Never set in production paths.
+PLAN_CAPTURE: list | None = None
+
+
+def _capture(name: str, df: DataFrame) -> None:
+    if PLAN_CAPTURE is None:
+        return
+    try:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception as e:  # noqa: BLE001 — capture is best-effort
+        plan = f"EXPLAIN FAILED: {type(e).__name__}: {e}"
+    PLAN_CAPTURE.append((name, plan))
+
 
 def materialized_chain(
     spark: SparkSession,
@@ -42,11 +61,14 @@ def materialized_chain(
             name, sql = stage[0], stage[1]
             persist = stage[2] if len(stage) > 2 else True
             df = spark.sql(sql)
+            _capture(name, df)
             if persist:
                 df = df.persist()
                 held.append(df)
             df.createOrReplaceTempView(name)
-        return spark.sql(final_sql).localCheckpoint(eager=True)
+        final = spark.sql(final_sql)
+        _capture("__final__", final)
+        return final.localCheckpoint(eager=True)
     finally:
         for df in held:
             df.unpersist()

@@ -19,10 +19,54 @@ import os
 import shutil
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
+
+
+def _stream_state_partitions() -> int:
+    """Partition count for exchanges INSIDE a streaming query.
+
+    A stateful stream bakes ``spark.sql.shuffle.partitions`` into its
+    state layout at the first checkpoint and pays a fixed per-partition
+    cost every micro-batch (state-store open/commit/snapshot files,
+    task launch) — and, unlike batch exchanges, AQE can NEVER coalesce
+    these partitions because the state partitioning must stay fixed
+    across triggers. So the batch remedy for tiny shuffles (guide §2.2:
+    AQE coalescing) is structurally unavailable here and the count must
+    be sized explicitly: per-micro-batch volume is trigger-bounded
+    (far below the full-table volume batch queries see), so the right
+    order is a fraction of the core count, not the batch shuffle width.
+    Measured at sf0.1/local[32] (interleaved min-of-3): tumbling counts
+    4.33 s at 32 state partitions -> 2.30 s at 8; foreachBatch dedup
+    3.93 -> 3.09. Parameterized for cluster deployments via
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` (state sizing is a capacity
+    decision: pick rows-per-trigger / target-partition-rows); the local
+    default derives from the core-count env, never a constant tuned to
+    one box.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return int(
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", max(4, cpus // 4))
+    )
+
+
+@contextmanager
+def _scoped_stream_partitions(spark: SparkSession):
+    """Set the stream-sized shuffle partition count for the lifetime of
+    one bounded streaming query, restoring the session's batch value
+    after (the conf is read at query start and inside foreachBatch
+    bodies; scoping it keeps every batch entry's plan width untouched)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_stream_state_partitions())
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,16 +103,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Drive a bounded stream to completion into a memory sink."""
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scoped_stream_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return stream_df.sparkSession.table(name)
 
 
@@ -580,23 +625,24 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    q = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-        .where(is_batch)
-        .writeStream.outputMode("append")
-        .foreachBatch(_match)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-        corpus_hashes.unpersist()
-        corpus_sh.unpersist()
-        corpus_postings.unpersist()
+    with _scoped_stream_partitions(spark):
+        q = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .load(sf_dir)
+            .where(is_batch)
+            .writeStream.outputMode("append")
+            .foreachBatch(_match)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            corpus_hashes.unpersist()
+            corpus_sh.unpersist()
+            corpus_postings.unpersist()
     # Freeze the matches (eager localCheckpoint — blocks are GC-scoped
     # to the returned frame) so the temp sink directory can be deleted
     # instead of accumulating across runs.
@@ -707,16 +753,17 @@ def stream_index_events(
         totals["failed"] += stats.num_failed
         totals["batches"] += 1
 
-    q = (
-        _events_stream(spark, sf_dir)
-        .writeStream.outputMode("append")
-        .foreachBatch(_write_batch)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scoped_stream_partitions(spark):
+        q = (
+            _events_stream(spark, sf_dir)
+            .writeStream.outputMode("append")
+            .foreachBatch(_write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return totals
 
 
