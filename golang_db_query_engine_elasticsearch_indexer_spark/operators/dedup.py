@@ -1041,6 +1041,14 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # makes round 1 never match. (Empty graph: labels is empty,
         # every round sums to NULL, round 2 detects the fixpoint.)
         prev_sum: object = object()
+        # Stride stays ONE hop per materialized round: a 2-hop stride
+        # (two chained min-propagations per convergence aggregate) was
+        # implemented and interleave-measured in r14 — near-dup
+        # components are tiny/dense (fixture diameter 1; both strides
+        # converge in the 2-round floor of 1 progress + 1 detection
+        # round) and the doubled per-round lineage cost 41 jobs vs 27
+        # and +60% wall with byte-identical output. Revisit only if a
+        # corpus with deep components ever appears.
         for _ in range(CC_MAX_ITERS):
             neigh = (
                 sym.join(labels.selectExpr("id AS dst", "lbl AS nlbl"), "dst")
