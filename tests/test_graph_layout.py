@@ -26,6 +26,24 @@ def test_pagerank_mass_conservation(spark, tables):
     assert all(r.pagerank > 0 for r in rows)
 
 
+def test_pagerank_driver_loop_matches_chained_sql(spark, tables):
+    """The driver-side rank loop must surface EXACTLY the values the
+    chained-CTE SQL formulation (the oracle's text) computes when run
+    by Spark itself — the r13 rewrite's equivalence is empirical
+    (9-dp HALF_UP rounding absorbing summation-order differences), so
+    any drift should fail here, loudly and in-repo, not at
+    oracle-compare time. The chained plan is the known 2^ITERS
+    optimizer blow-up; acceptable once, in a test, on 25-row data."""
+    chained = spark.sql(
+        "WITH "
+        + graph._EDGES_CTE.strip()
+        + ",\n"
+        + graph._pagerank_iter_sql(25, "w", "nodes")
+    ).collect()
+    loop = graph.pagerank_nations(spark, None).collect()
+    assert [tuple(r) for r in chained] == [tuple(r) for r in loop]
+
+
 def test_pagerank_returned_plan_scans_nothing(spark, tables):
     """The edge artifact is collected (bounded by |nation|^2); the
     returned plan must be literal-only — scanning lineitem once per
